@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each module under graft.* contributes a map of named queries plus the
+  * DuckDB oracle SQL the driver hash-matches against at sf0.01. Every
+  * query orders by its full key set and rounds doubles (4 dp) in BOTH the
+  * Spark result and the oracle so float last-ulp noise can't break the
+  * hash compare (SURVEY.md §7.4).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    gold.TypicalDay.query(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "typical_day" -> (gold.TypicalDay.query _)
+    ) ++ ops.RelationalOps.queries ++
+      ops.GravityOps.queries ++
+      ops.TextOps.queries ++
+      ops.DedupOps.queries ++
+      ops.SimilarityOps.queries ++
+      ops.MultimodalOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Map(
+      "typical_day" -> gold.TypicalDay.oracle
+    ) ++ ops.RelationalOps.oracles ++
+      ops.GravityOps.oracles ++
+      ops.TextOps.oracles ++
+      ops.DedupOps.oracles ++
+      ops.SimilarityOps.oracles ++
+      ops.MultimodalOps.oracles
 }

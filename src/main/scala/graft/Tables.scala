@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` function receives `(spark, sfDir)` and reads
+  * only through here, so the scan layer is a single seam: at 100 TB the same
+  * code points at a partitioned table location instead of one parquet file,
+  * and Catalyst's parquet pushdown/pruning applies unchanged.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects outright. Read nanos as long (legacy conf,
+    * runtime-settable) and rebuild the timestamp with integral division —
+    * `ts div 1000` stays in long arithmetic; a double division would lose
+    * precision above 2^53 ns (~1970+104 days).
+    */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = eventsRaw(spark, sfDir)
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test JVM (suites reuse it via
+  * getOrCreate). sf0.001 keeps specs fast; shuffle partitions sized to
+  * the local core count, not the 200 default.
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfTiny = "/root/testdata/sf0.001"
+  val sfSmall = "/root/testdata/sf0.01"
+
+  /** Exact equality of two frames (schema-order-insensitive, row-order
+    * sensitive — our queries all end in orderBy).
+    */
+  def assertSameResult(a: DataFrame, b: DataFrame): Unit = {
+    val cols = a.columns.sorted.toSeq
+    assert(cols == b.columns.sorted.toSeq, "column sets differ")
+    val ra = a.select(cols.map(a.apply): _*).collect().toSeq
+    val rb = b.select(cols.map(b.apply): _*).collect().toSeq
+    assert(ra.size == rb.size, s"row counts differ: ${ra.size} vs ${rb.size}")
+    ra.zip(rb).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs: $x vs $y")
+    }
+  }
+}
