@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.4 (aggregations) + §2.7 (scalar functions) battery.
+  * Partial (map-side) aggregation is automatic for every groupBy here;
+  * the only shuffle per query is the single exchange on the group keys.
+  */
+object AggOps {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  // ------------------------------------------------------------- A1+A2
+  /** Multi-key hash aggregate with sum/avg/stddev_samp/countDistinct
+    * (the reference's core stats pass, `dags/mitma/new_gold.py:33-44`).
+    * Exact countDistinct (not HLL) to hash-match the oracle; the single
+    * distinct column plans as a two-stage aggregate, no expand blowup.
+    */
+  def aggMultikey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(coalesce(stddev_samp(col("l_discount")), lit(0.0))).as("std_disc"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val aggMultikeyOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |       ROUND(COALESCE(STDDEV_SAMP(l_discount), 0), 4) AS std_disc,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------- A4/F4
+  /** Aggregate on expression keys — the reference's LEFT(zone,5)
+    * municipality rollup (`dags/gravity/aggregate_trips.py:11-18`),
+    * rendered over zero-padded part keys. */
+  def substrGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(substring(lpad(col("l_partkey").cast("string"), 6, "0"), 1, 4)
+        .as("muni"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"))
+      .orderBy(col("muni"))
+
+  private val substrGroupOracle =
+    """SELECT substring(lpad(CAST(l_partkey AS VARCHAR), 6, '0'), 1, 4) AS muni,
+      |       COUNT(*) AS n, ROUND(SUM(l_quantity),4) AS sum_qty,
+      |       ROUND(AVG(l_extendedprice),4) AS avg_price
+      |FROM lineitem GROUP BY muni ORDER BY muni""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  /** Conditional aggregation — the long-trip-share shape
+    * (`dags/bussiness_layer/transform_gold_long_trip_dependency.py:129-145`):
+    * SUM(CASE WHEN …) plus a NULLIF-guarded ratio. */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val longRev = sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+      .otherwise(0.0))
+    val totRev = sum(col("l_extendedprice"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(longRev).as("long_rev"),
+        r4(totRev).as("total_rev"),
+        round(longRev / when(totRev === 0.0, lit(null)).otherwise(totRev), 6)
+          .as("long_ratio"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val conditionalAggOracle =
+    """SELECT l_returnflag,
+      |       ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END),4) AS long_rev,
+      |       ROUND(SUM(l_extendedprice),4) AS total_rev,
+      |       ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END)
+      |             / NULLIF(SUM(l_extendedprice), 0), 6) AS long_ratio
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** Whole-table scalar aggregate → driver scalar → re-injected constant
+    * — the gravity k-factor two-phase shape (`dags/gravity/calculate_gold
+    * .py:10-44`). The scalar is rounded to 8dp BEFORE re-injection so both
+    * engines multiply by bit-identical k (last-ulp differences in the
+    * global sums would otherwise leak through the multiplication).
+    * The fallback k=1.0 when NULL mirrors `k_factor = k_result[0] if
+    * k_result[0] else 1.0`.
+    */
+  def scalarInject(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val kRow = li.agg(
+      (sum(col("l_extendedprice") * col("l_discount")) /
+        when(sum(col("l_quantity")) === 0.0, lit(null))
+          .otherwise(sum(col("l_quantity")))).as("k")).first()
+    val kRaw = if (kRow.isNullAt(0)) 1.0 else kRow.getDouble(0)
+    val k = BigDecimal(kRaw).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r4(sum(lit(k) * col("o_totalprice") / 100.0)).as("sum_predicted"),
+        count(lit(1)).as("n"))
+      .withColumn("calibration_constant", lit(k))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val scalarInjectOracle =
+    """WITH kf AS (
+      |  SELECT COALESCE(ROUND(SUM(l_extendedprice * l_discount)
+      |                        / NULLIF(SUM(l_quantity), 0), 8), 1.0) AS k
+      |  FROM lineitem)
+      |SELECT o_orderstatus,
+      |       ROUND(SUM(k * o_totalprice / 100.0),4) AS sum_predicted,
+      |       COUNT(*) AS n, k AS calibration_constant
+      |FROM orders CROSS JOIN kf
+      |GROUP BY o_orderstatus, k ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  /** MIN/MAX aggregates incl. dates (`dags/gravity/create_ranking.py:15`,
+    * bbox probes). */
+  def minMax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(min(col("l_quantity"))).as("min_qty"),
+        r4(max(col("l_quantity"))).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val minMaxOracle =
+    """SELECT l_returnflag,
+      |       ROUND(MIN(l_quantity),4) AS min_qty,
+      |       ROUND(MAX(l_quantity),4) AS max_qty,
+      |       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- A11
+  /** HAVING post-aggregate filter + second-level regroup — the duplicate-
+    * key QA probe (`dags/Economy/test_economy.py:55-66`) generalized into
+    * a lines-per-order histogram over orders with >4 lines. */
+  def havingDups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt_lines"))
+      .filter(col("cnt_lines") > 4)
+      .groupBy(col("cnt_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("cnt_lines"))
+
+  private val havingDupsOracle =
+    """SELECT cnt_lines, COUNT(*) AS n_orders
+      |FROM (SELECT l_orderkey, COUNT(*) AS cnt_lines
+      |      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 4)
+      |GROUP BY cnt_lines ORDER BY cnt_lines""".stripMargin
+
+  // ----------------------------------------------------------- A9+A12
+  /** AVG-of-AVG two-level rollup (`dags/gravity/aggregate_economy.py:11-17`
+    * avg_income municipality rollup): per-customer average order price,
+    * then segment average of those. */
+  def avgOfAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    val c = Tables.customer(spark, sfDir)
+    perCust.join(broadcast(c), perCust("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(r4(avg(col("cust_avg"))).as("avg_of_avg"), count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val avgOfAvgOracle =
+    """SELECT c_mktsegment, ROUND(AVG(cust_avg),4) AS avg_of_avg,
+      |       COUNT(*) AS n_cust
+      |FROM (SELECT o_custkey, AVG(o_totalprice) AS cust_avg
+      |      FROM orders GROUP BY o_custkey)
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------- F1-F6/F10
+  /** String-repair battery: digit-strip (F2), split-token (F3), zone-
+    * suffix strip (F1), Spanish-locale decimal repair (F6) — the INE
+    * parsers (`dags/Economy/transform_silver_economy.py:32-64`,
+    * `dags/Population/transform_silver_population.py:38-62`). The Spanish
+    * string is synthesized from the balance and repaired back, proving the
+    * round-trip. */
+  def stringRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    val spanish = regexp_replace(round(col("c_acctbal"), 2).cast("string"),
+      "\\.", ",")
+    Tables.customer(spark, sfDir)
+      .select(
+        regexp_replace(col("c_name"), "[^0-9]", "").cast("bigint").as("cust_id"),
+        split(col("c_name"), "#").getItem(0).as("token"),
+        regexp_replace(concat(col("c_mktsegment"), lit("_AM")), "_AM|_AD", "")
+          .as("seg_norm"),
+        regexp_replace(regexp_replace(spanish, "\\.", ""), ",", "\\.")
+          .cast("double").as("repaired"))
+      .orderBy(col("cust_id"))
+  }
+
+  private val stringRepairOracle =
+    """SELECT CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS cust_id,
+      |       split_part(c_name, '#', 1) AS token,
+      |       regexp_replace(c_mktsegment || '_AM', '_AM|_AD', '', 'g') AS seg_norm,
+      |       CAST(replace(replace(replace(CAST(ROUND(c_acctbal,2) AS VARCHAR),
+      |            '.', ','), '.', ''), ',', '.') AS DOUBLE) AS repaired
+      |FROM customer ORDER BY cust_id""".stripMargin
+
+  // ------------------------------------------------------------- F7/F8
+  /** Date format/parse round-trip (F7 `strptime('%Y%m%d')::DATE`,
+    * F8 `year()`) + month rollup (`dags/mitma/silver_mitma.py:122,137`). */
+  def dateParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = to_date(date_format(col("l_shipdate"), "yyyyMMdd"), "yyyyMMdd")
+    Tables.lineitem(spark, sfDir)
+      .select(d.as("d"))
+      .groupBy(year(col("d")).cast("int").as("yr"),
+        month(col("d")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n"), min(col("d")).as("first_day"),
+        max(col("d")).as("last_day"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  private val dateParseOracle =
+    """SELECT CAST(year(d) AS INTEGER) AS yr, CAST(month(d) AS INTEGER) AS mo,
+      |       COUNT(*) AS n, MIN(d) AS first_day, MAX(d) AS last_day
+      |FROM (SELECT CAST(strptime(strftime(l_shipdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS d
+      |      FROM lineitem)
+      |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_multikey" -> (aggMultikey _),
+    "q_substr_group" -> (substrGroup _),
+    "q_conditional_agg" -> (conditionalAgg _),
+    "q_scalar_inject" -> (scalarInject _),
+    "q_minmax" -> (minMax _),
+    "q_having_dups" -> (havingDups _),
+    "q_avg_of_avg" -> (avgOfAvg _),
+    "q_string_repair" -> (stringRepair _),
+    "q_date_parse" -> (dateParse _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_multikey" -> aggMultikeyOracle,
+    "q_substr_group" -> substrGroupOracle,
+    "q_conditional_agg" -> conditionalAggOracle,
+    "q_scalar_inject" -> scalarInjectOracle,
+    "q_minmax" -> minMaxOracle,
+    "q_avg_of_avg" -> avgOfAvgOracle,
+    "q_having_dups" -> havingDupsOracle,
+    "q_string_repair" -> stringRepairOracle,
+    "q_date_parse" -> dateParseOracle
+  )
+}

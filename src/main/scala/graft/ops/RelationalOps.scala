@@ -1,49 +1,344 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** SURVEY.md §2.2–§2.7 relational operator battery, one named query per
-  * operator family, each mirrored by DuckDB oracle SQL. All built-ins —
-  * whole-stage codegen end to end, filters/projections pushed into the
-  * parquet scan by Catalyst.
+/** SURVEY.md §2.2 (projections/filters), §2.3 (joins), §2.6 (sort/limit/
+  * set-op) operator battery. One named query per operator family, each
+  * mirrored by DuckDB oracle SQL the driver hash-matches at sf0.01.
+  *
+  * Everything here is Spark built-ins: the plans are whole-stage-codegen
+  * end to end, filters and column pruning reach the parquet scan, small
+  * dimension sides are broadcast explicitly. Every query ends in a full
+  * ORDER BY of its keys and rounds doubles to 4dp — in both engines — so
+  * the hash compare is float-noise-proof (SURVEY.md §7.4).
   */
 object RelationalOps {
 
-  /** A1+A2: multi-key hash aggregate with sum/avg/stddev_samp/countDistinct
-    * (the reference's core stats pass, `dags/mitma/new_gold.py:33-44`).
-    * Partial aggregation (map-side combine) is automatic; the single
-    * countDistinct plans as a two-stage aggregate without expand blowup.
-    */
-  def aggMultikey(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(coalesce(stddev_samp(col("l_discount")), lit(0.0)), 4).as("std_disc"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  private def r4(c: Column): Column = round(c, 4)
 
-  val aggMultikeyOracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
-      |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-      |       ROUND(COALESCE(STDDEV_SAMP(l_discount), 0), 4) AS std_disc,
-      |       COUNT(DISTINCT l_orderkey) AS n_orders,
-      |       COUNT(*) AS n_rows
+  // ---------------------------------------------------------------- P1+S1
+  /** Rename-projection, the bronze ingest shape of
+    * `dags/mitma/bronze_mitma.py:51-67` (Spanish→English columns): pure
+    * projection + predicate; Catalyst prunes the scan to the 5 columns
+    * and pushes the filter into the parquet reader.
+    */
+  def bronzeRename(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_partkey").as("part_id"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag"))
+      .filter(col("flag") =!= "N")
+      .orderBy(col("order_id"), col("line_no"))
+
+  private val bronzeRenameOracle =
+    """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+      |       l_partkey AS part_id, l_quantity AS qty, l_returnflag AS flag
+      |FROM lineitem WHERE l_returnflag <> 'N'
+      |ORDER BY order_id, line_no""".stripMargin
+
+  // ------------------------------------------------------------ P2/P4/P5
+  /** Equality/BETWEEN/null-guard predicate stack
+    * (`dags/mitma/silver_mitma.py:129-139` quality filters). */
+  def filterPred(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity").between(10, 40) &&
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_discount").isNotNull && col("l_returnflag") =!= "N")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val filterPredOracle =
+    """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity),4) AS sum_qty
       |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |WHERE l_quantity BETWEEN 10 AND 40
+      |  AND l_shipdate >= TIMESTAMP '1994-01-01'
+      |  AND l_discount IS NOT NULL AND l_returnflag <> 'N'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- P3
+  /** LIKE / NOT LIKE prefix+infix filters
+    * (`dags/mitma/silver_mitma.py:131-134` PT%/FR% zone exclusion). */
+  def likeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(!col("p_type").like("STANDARD%") && col("p_name").like("%e%") &&
+        !col("p_name").like("red%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("p_retailprice"))).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  private val likeFilterOracle =
+    """SELECT p_brand, COUNT(*) AS n, ROUND(SUM(p_retailprice),4) AS sum_price
+      |FROM part
+      |WHERE p_type NOT LIKE 'STANDARD%' AND p_name LIKE '%e%'
+      |  AND p_name NOT LIKE 'red%'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- P9
+  /** CASE WHEN bucket classification (`dags/gravity/create_ranking.py:19-24`
+    * infrastructure_status buckets). First-match-wins semantics are the
+    * same in both engines, so the overlapping boundary at 50000 is safe.
+    */
+  def caseBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice").between(50000, 150000), "mid")
+          .otherwise("large"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        r4(sum(col("o_totalprice"))).as("sum_price"),
+        r4(avg(col("o_totalprice"))).as("avg_price"))
+      .orderBy(col("bucket"))
+
+  private val caseBucketsOracle =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice BETWEEN 50000 AND 150000 THEN 'mid'
+      |            ELSE 'large' END AS bucket,
+      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS sum_price,
+      |       ROUND(AVG(o_totalprice),4) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- P10
+  /** COALESCE / NULLIF guards (`dags/gravity/create_gravity_data.py:16-30`).
+    * NULLIF(x,0) drops zeros from the avg; COALESCE re-fills for the sum.
+    */
+  def nullGuards(spark: SparkSession, sfDir: String): DataFrame = {
+    val nz = when(col("c_acctbal") === 0.0, lit(null)).otherwise(col("c_acctbal"))
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(nz).as("n_nonzero"),
+        r4(avg(nz)).as("avg_nonzero"),
+        r4(sum(coalesce(nz, lit(0.0)))).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val nullGuardsOracle =
+    """SELECT c_mktsegment,
+      |       COUNT(NULLIF(c_acctbal, 0)) AS n_nonzero,
+      |       ROUND(AVG(NULLIF(c_acctbal, 0)),4) AS avg_nonzero,
+      |       ROUND(SUM(COALESCE(NULLIF(c_acctbal, 0), 0)),4) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- P8
+  /** TRY_CAST validity filtering (`dags/mitma/silver_mitma.py:137-139`):
+    * keep only castable rows, count the rest. The regexp pulls the numeric
+    * payload out of the JSON props string portably (no JSON extension
+    * dependency in the oracle).
+    */
+  def tryCast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS INT)"))
+      .withColumn("bad", expr("try_cast(event_type AS DOUBLE)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("k_sum"),
+        count(col("bad")).as("n_castable"))
+      .orderBy(col("event_type"))
+
+  private val tryCastOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS k_sum,
+      |       COUNT(TRY_CAST(event_type AS DOUBLE)) AS n_castable
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ J2/J3
+  /** Left-outer equi-join with an extra join-time condition
+    * (`dags/gravity/create_gravity_data.py:21-23`). The dimension side is
+    * broadcast — at cluster scale this is a map-side join, no shuffle of
+    * the fact table.
+    */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") < 13, "left")
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("segment"))
+  }
+
+  private val joinLeftOuterOracle =
+    """SELECT o_orderstatus, COALESCE(c_mktsegment, 'NONE') AS segment,
+      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS sum_price
+      |FROM orders LEFT JOIN customer
+      |  ON o_custkey = c_custkey AND c_nationkey < 13
+      |GROUP BY o_orderstatus, segment
+      |ORDER BY o_orderstatus, segment""".stripMargin
+
+  // ---------------------------------------------------------------- J4
+  /** Cross join + theta filter (`dags/gravity/create_distances.py:13-22`
+    * all-pairs distance matrix). Both sides are tiny dimensions →
+    * BroadcastNestedLoopJoin, which is exactly right; the theta predicate
+    * can't be pushed into a hash join anyway.
+    */
+  def crossTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"))
+    val n2 = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"))
+    n1.crossJoin(n2)
+      .filter(col("k1") =!= col("k2") &&
+        pmod(col("k1") * 7 + col("k2") * 3, lit(11)) > 4)
+      .select(col("name1"), col("name2"),
+        (col("k1") * 7 + col("k2") * 3).cast("long").as("score"))
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  private val crossThetaOracle =
+    """SELECT n1.n_name AS name1, n2.n_name AS name2,
+      |       CAST(n1.n_nationkey*7 + n2.n_nationkey*3 AS BIGINT) AS score
+      |FROM nation n1 CROSS JOIN nation n2
+      |WHERE n1.n_nationkey <> n2.n_nationkey
+      |  AND (n1.n_nationkey*7 + n2.n_nationkey*3) % 11 > 4
+      |ORDER BY name1, name2""".stripMargin
+
+  // ---------------------------------------------------------------- J5
+  /** Disjunctive (OR) join (`dags/bussiness_layer/generate_report.py:119-126`)
+    * rewritten as a union of two equi-joins: branch 2 re-checks ¬cond1 so
+    * each qualifying pair appears exactly once. A naive OR condition
+    * degrades to BroadcastNestedLoopJoin; the rewrite keeps both branches
+    * hash-joinable — at 100 TB that is the difference between O(n·m) and
+    * two shuffled/broadcast hash joins.
+    */
+  def orJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val b1 = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+    val b2 = s.join(broadcast(n),
+      pmod(s("s_suppkey"), lit(25)) === n("n_nationkey") &&
+        s("s_nationkey") =!= n("n_nationkey"))
+    b1.select(col("n_name"), col("s_acctbal")).
+      union(b2.select(col("n_name"), col("s_acctbal")))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("s_acctbal"))).as("sum_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  private val orJoinOracle =
+    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(s_acctbal),4) AS sum_bal
+      |FROM supplier JOIN nation
+      |  ON s_nationkey = n_nationkey OR (s_suppkey % 25) = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- J6
+  /** Semi-join (`dags/bussiness_layer/transform_gold_long_trip_dependency
+    * .py:101-109` — inner join used for membership). `left_semi` never
+    * duplicates or widens rows and stops probing at first match.
+    */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val rich = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
+    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val semiJoinOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       ROUND(SUM(o_totalprice),4) AS sum_price
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti-join — the complement of [[semiJoin]] (capability extension; the
+    * reference has no NOT EXISTS, but a complete engine needs it). */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val rich = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
+    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val antiJoinOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       ROUND(SUM(o_totalprice),4) AS sum_price
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer
+      |                  WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ O2/O3
+  /** ORDER BY … DESC LIMIT n (`dags/gravity/create_ranking.py:27`). The
+    * unique orderkey tiebreak makes the result deterministic; Spark plans
+    * TakeOrderedAndProject (per-partition top-k then merge — no global
+    * sort of the full table).
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private val topKOracle =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- O4
+  /** UNION ALL of two heterogeneous branches + re-aggregate (the J5
+    * rewrite building block). */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+    val b = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("k"), col("l_extendedprice").as("v"))
+    a.union(b)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("v"))).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  private val unionAllOracle =
+    """SELECT k, COUNT(*) AS n, ROUND(SUM(v),4) AS sum_v
+      |FROM (SELECT o_custkey AS k, o_totalprice AS v FROM orders
+      |      WHERE o_orderstatus = 'F'
+      |      UNION ALL
+      |      SELECT l_suppkey AS k, l_extendedprice AS v FROM lineitem
+      |      WHERE l_returnflag = 'R')
+      |GROUP BY k ORDER BY k""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_multikey" -> (aggMultikey _)
-  )
+    "q_bronze_rename" -> (bronzeRename _),
+    "q_filter_pred" -> (filterPred _),
+    "q_like_filter" -> (likeFilter _),
+    "q_case_buckets" -> (caseBuckets _),
+    "q_null_guards" -> (nullGuards _),
+    "q_try_cast" -> (tryCast _),
+    "q_join_leftouter" -> (joinLeftOuter _),
+    "q_cross_theta" -> (crossTheta _),
+    "q_or_join" -> (orJoin _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_topk" -> (topK _),
+    "q_union_all" -> (unionAll _)
+  ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
-    "q_agg_multikey" -> aggMultikeyOracle
-  )
+    "q_bronze_rename" -> bronzeRenameOracle,
+    "q_filter_pred" -> filterPredOracle,
+    "q_like_filter" -> likeFilterOracle,
+    "q_case_buckets" -> caseBucketsOracle,
+    "q_null_guards" -> nullGuardsOracle,
+    "q_try_cast" -> tryCastOracle,
+    "q_join_leftouter" -> joinLeftOuterOracle,
+    "q_cross_theta" -> crossThetaOracle,
+    "q_or_join" -> orJoinOracle,
+    "q_semi_join" -> semiJoinOracle,
+    "q_anti_join" -> antiJoinOracle,
+    "q_topk" -> topKOracle,
+    "q_union_all" -> unionAllOracle
+  ) ++ AggOps.oracles
 }
