@@ -1,0 +1,132 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Spark bindings for the §2.8 spatial function surface. Two tiers:
+  *
+  *  - HOT PATH (distance math over fact-table rows): pure Column
+  *    expressions ([[haversineKm]]) — built from `functions._` so they
+  *    stay inside whole-stage codegen. Used by the gravity/long-trip
+  *    pipelines where the expression runs per joined pair.
+  *  - GEOMETRY PATH (WKT polygon predicates, centroids, reprojection):
+  *    Scala UDFs over [[Geo]]. These run over dimension-sized geometry
+  *    tables (census sections ≈ 36k rows in the reference), never over
+  *    the fact table, so UDF overhead is irrelevant at scale and codegen
+  *    Expressions would buy nothing.
+  */
+object GeoFunctions {
+
+  /** Haversine great-circle distance in KM as a codegen-friendly Column
+    * expression (mirrors ST_Distance_Spheroid/1000 within 0.5%; exact
+    * parity with the DuckDB oracle since both engines evaluate the same
+    * double-precision formula).
+    */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dphi = radians(lat2 - lat1)
+    val dl = radians(lon2 - lon1)
+    val h = pow(sin(dphi / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dl / 2), 2)
+    lit(2 * Geo.MeanRadius / 1000.0) * asin(sqrt(h))
+  }
+
+  /** The same formula as DuckDB SQL text, parameterized on the four
+    * column expressions — keeps Spark and oracle literally in lockstep. */
+  def haversineKmSql(lon1: String, lat1: String, lon2: String, lat2: String): String =
+    s"2 * ${Geo.MeanRadius / 1000.0} * asin(sqrt(" +
+      s"pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians(($lon2) - ($lon1)) / 2), 2)))"
+
+  // ------------------------------------------------------------- UDF layer
+
+  import Geo._
+
+  /** WKT-in/WKT-out aggregate union: collects member polygons into a
+    * MULTIPOLYGON (`ST_Union_Agg`, `dags/gravity/create_centroids.py:16`).
+    * The reference only ever feeds the union into ST_Centroid or
+    * ST_AsGeoJSON, so a multipolygon collect is semantically sufficient
+    * (SURVEY.md §2.8) — centroid-of-collect = area-weighted centroid,
+    * identical to centroid-of-dissolve for non-overlapping census polygons.
+    */
+  class UnionAgg extends Aggregator[String, List[String], String] {
+    def zero: List[String] = Nil
+    def reduce(b: List[String], a: String): List[String] =
+      if (a == null) b else a :: b
+    def merge(b1: List[String], b2: List[String]): List[String] = b1 ::: b2
+    def finish(r: List[String]): String = {
+      val polys = r.sorted.flatMap { w =>
+        parseWkt(w) match {
+          case GPolygon(p) => Vector(p)
+          case GMultiPolygon(ps) => ps
+          case GPoint(p) => // points union → multipoint not needed; skip
+            Vector.empty
+        }
+      }
+      if (polys.isEmpty) null else toWkt(GMultiPolygon(polys.toVector))
+    }
+    // kryo buffer: the aggregation runs over dimension-sized geometry
+    // tables (census sections), never fact rows, so opaque-buffer cost is
+    // irrelevant and kryo avoids hand-rolling a List encoder.
+    def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Register every st_* function on the session (idempotent). Returns the
+    * session for chaining. SQL names mirror the DuckDB spatial extension.
+    */
+  def register(spark: SparkSession): SparkSession = {
+    val u = spark.udf
+    u.register("st_point", (x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
+    u.register("st_x", (w: String) => parseWkt(w) match {
+      case GPoint(p) => p.x
+      case g => centroid(g).x
+    })
+    u.register("st_y", (w: String) => parseWkt(w) match {
+      case GPoint(p) => p.y
+      case g => centroid(g).y
+    })
+    u.register("st_centroid", (w: String) => {
+      val c = centroid(parseWkt(w)); toWkt(GPoint(c))
+    })
+    u.register("st_area", (w: String) => area(parseWkt(w)))
+    u.register("st_distance_spheroid", (a: String, b: String) => {
+      (parseWkt(a), parseWkt(b)) match {
+        case (GPoint(p), GPoint(q)) => distanceSpheroid(p.x, p.y, q.x, q.y)
+        case (ga, gb) =>
+          val (p, q) = (centroid(ga), centroid(gb))
+          distanceSpheroid(p.x, p.y, q.x, q.y)
+      }
+    })
+    u.register("st_intersects", (a: String, b: String) =>
+      intersects(parseWkt(a), parseWkt(b)))
+    u.register("st_contains", (a: String, b: String) =>
+      containsGeom(parseWkt(a), parseWkt(b)))
+    u.register("st_within", (a: String, b: String) =>
+      within(parseWkt(a), parseWkt(b)))
+    u.register("st_overlaps", (a: String, b: String) =>
+      overlaps(parseWkt(a), parseWkt(b)))
+    u.register("st_xmin", (w: String) => bbox(parseWkt(w))._1)
+    u.register("st_ymin", (w: String) => bbox(parseWkt(w))._2)
+    u.register("st_xmax", (w: String) => bbox(parseWkt(w))._3)
+    u.register("st_ymax", (w: String) => bbox(parseWkt(w))._4)
+    u.register("st_astext", (w: String) => toWkt(parseWkt(w)))
+    u.register("st_asgeojson", (w: String) => toGeoJson(parseWkt(w)))
+    u.register("st_isvalid", (w: String) => isValid(parseWkt(w)))
+    u.register("st_geomfromtext", (w: String) => toWkt(parseWkt(w)))
+    u.register("st_transform_25830_4326", (e: Double, n: Double) => {
+      val (lon, lat) = utm30nToLonLat(e, n); toWkt(GPoint(Pt(lon, lat)))
+    })
+    u.register("st_union_agg", udaf(new UnionAgg))
+    spark
+  }
+
+  /** Column-API wrappers (same UDFs, usable without SQL). */
+  def st_centroid(c: Column): Column = call_udf("st_centroid", c)
+  def st_union_agg(c: Column): Column = call_udf("st_union_agg", c)
+  def st_within(a: Column, b: Column): Column = call_udf("st_within", a, b)
+  def st_intersects(a: Column, b: Column): Column = call_udf("st_intersects", a, b)
+  def st_x(c: Column): Column = call_udf("st_x", c)
+  def st_y(c: Column): Column = call_udf("st_y", c)
+}

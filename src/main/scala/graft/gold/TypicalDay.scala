@@ -42,7 +42,8 @@ object TypicalDay {
       .groupBy(keys.map(col): _*)
       .agg(
         round(sum(col("trips")), 4).as("total_trips"),
-        round(avg(col("trips")), 4).as("avg_trips"),
+        // stabilized avg: see graft.ops.Parity scaladoc (float parity)
+        graft.ops.Parity.stableAvg(col("trips")).as("avg_trips"),
         round(coalesce(stddev_samp(col("trips")), lit(0.0)), 4).as("std_trips"),
         countDistinct(col("date")).as("num_days_observed"))
       .orderBy(keys.map(col): _*)
@@ -73,7 +74,7 @@ object TypicalDay {
        |                    AND st.avg_trips + 3 * st.std_trips)
        |SELECT day_type, hour_period, origin_zone, destination_zone,
        |       ROUND(SUM(trips), 4) AS total_trips,
-       |       ROUND(AVG(trips), 4) AS avg_trips,
+       |       CAST((2*CAST(ROUND(ROUND(SUM(trips),4)*10000) AS BIGINT) + COUNT(trips)) // (2*COUNT(trips)) AS DOUBLE)/10000.0 AS avg_trips,
        |       ROUND(COALESCE(STDDEV_SAMP(trips), 0), 4) AS std_trips,
        |       COUNT(DISTINCT date) AS num_days_observed
        |FROM outlier_filtered

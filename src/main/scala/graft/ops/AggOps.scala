@@ -24,7 +24,7 @@ object AggOps {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         r4(sum(col("l_quantity"))).as("sum_qty"),
-        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        Parity.stableAvg(col("l_extendedprice")).as("avg_price"),
         r4(coalesce(stddev_samp(col("l_discount")), lit(0.0))).as("std_disc"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows"))
@@ -33,7 +33,7 @@ object AggOps {
   private val aggMultikeyOracle =
     """SELECT l_returnflag, l_linestatus,
       |       ROUND(SUM(l_quantity), 4) AS sum_qty,
-      |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |       CAST((2*CAST(ROUND(ROUND(SUM(l_extendedprice),4)*10000) AS BIGINT) + COUNT(l_extendedprice)) // (2*COUNT(l_extendedprice)) AS DOUBLE)/10000.0 AS avg_price,
       |       ROUND(COALESCE(STDDEV_SAMP(l_discount), 0), 4) AS std_disc,
       |       COUNT(DISTINCT l_orderkey) AS n_orders,
       |       COUNT(*) AS n_rows
@@ -50,13 +50,13 @@ object AggOps {
       .groupBy(substring(lpad(col("l_partkey").cast("string"), 6, "0"), 1, 4)
         .as("muni"))
       .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"),
-        r4(avg(col("l_extendedprice"))).as("avg_price"))
+        Parity.stableAvg(col("l_extendedprice")).as("avg_price"))
       .orderBy(col("muni"))
 
   private val substrGroupOracle =
     """SELECT substring(lpad(CAST(l_partkey AS VARCHAR), 6, '0'), 1, 4) AS muni,
       |       COUNT(*) AS n, ROUND(SUM(l_quantity),4) AS sum_qty,
-      |       ROUND(AVG(l_extendedprice),4) AS avg_price
+      |       CAST((2*CAST(ROUND(ROUND(SUM(l_extendedprice),4)*10000) AS BIGINT) + COUNT(l_extendedprice)) // (2*COUNT(l_extendedprice)) AS DOUBLE)/10000.0 AS avg_price
       |FROM lineitem GROUP BY muni ORDER BY muni""".stripMargin
 
   // ---------------------------------------------------------------- A5
@@ -174,12 +174,12 @@ object AggOps {
     val c = Tables.customer(spark, sfDir)
     perCust.join(broadcast(c), perCust("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(r4(avg(col("cust_avg"))).as("avg_of_avg"), count(lit(1)).as("n_cust"))
+      .agg(Parity.stableAvg(col("cust_avg")).as("avg_of_avg"), count(lit(1)).as("n_cust"))
       .orderBy(col("c_mktsegment"))
   }
 
   private val avgOfAvgOracle =
-    """SELECT c_mktsegment, ROUND(AVG(cust_avg),4) AS avg_of_avg,
+    """SELECT c_mktsegment, CAST((2*CAST(ROUND(ROUND(SUM(cust_avg),4)*10000) AS BIGINT) + COUNT(cust_avg)) // (2*COUNT(cust_avg)) AS DOUBLE)/10000.0 AS avg_of_avg,
       |       COUNT(*) AS n_cust
       |FROM (SELECT o_custkey, AVG(o_totalprice) AS cust_avg
       |      FROM orders GROUP BY o_custkey)

@@ -1,8 +1,445 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+import graft.geo.GeoFunctions
+
+/** The reference's spatial/gravity analytics (SURVEY.md §3.2, §3.3)
+  * re-expressed over the harness star schema: nations stand in for
+  * municipalities (FIXTURES.md §6), with deterministic synthetic
+  * coordinates derived from keys so every number is reproducible in the
+  * DuckDB oracle with plain SQL math.
+  *
+  * Scale notes: centroids/distances/economy/population are all
+  * municipality-grained (thousands of rows at Spain scale) — they are
+  * broadcast to the fact-table joins. The only fact-table shuffle in the
+  * whole gravity chain is the trips aggregation's single groupBy. Distance
+  * math is the codegen'd haversine Column expression, not a UDF.
+  */
 object GravityOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  // Deterministic Spain-box coordinates from an integer key. Both engines
+  // evaluate the identical double expression, so the values are
+  // bit-identical and safe to compare after rounding.
+  private def synthLon(key: Column): Column = lit(-9.0) + pmod(key, lit(97)) * 0.1
+  private def synthLat(key: Column): Column = lit(36.0) + pmod(key, lit(83)) * 0.08
+  private def synthLonSql(k: String) = s"-9.0 + ($k % 97) * 0.1"
+  private def synthLatSql(k: String) = s"36.0 + ($k % 83) * 0.08"
+
+  /** Per-nation centroid of its customers' synthetic points — the
+    * `ST_Point(AVG(ST_X), AVG(ST_Y))` centroid form the reference itself
+    * uses (`…long_trip_dependency.py:77`), which for point sets equals
+    * `ST_Centroid(ST_Union_Agg(centroid))` (`dags/gravity/create_centroids
+    * .py:13-19`).
+    *
+    * Float-determinism: the average runs over the INTEGER key residues
+    * (integer-valued doubles sum exactly, so the result is identical in
+    * both engines regardless of partial-sum order) and the affine
+    * lon/lat transform is applied after the agg — making the centroids
+    * bit-identical between Spark and DuckDB. Averaging the quantized
+    * doubles directly can land exactly on a rounding half-boundary where
+    * a 1-ulp sum-order difference flips the rounded digit.
+    */
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int").as("municipality"),
+        pmod(col("c_custkey"), lit(97)).as("mlon"),
+        pmod(col("c_custkey"), lit(83)).as("mlat"))
+      .groupBy(col("municipality"))
+      .agg((lit(-9.0) + avg(col("mlon")) * 0.1).as("clon"),
+        (lit(36.0) + avg(col("mlat")) * 0.08).as("clat"))
+
+  private val centroidsSql: String =
+    s"""SELECT CAST(c_nationkey AS INTEGER) AS municipality,
+       |       -9.0 + AVG(c_custkey % 97) * 0.1 AS clon,
+       |       36.0 + AVG(c_custkey % 83) * 0.08 AS clat
+       |FROM customer GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  def geoCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroids(spark, sfDir)
+      .select(col("municipality"), round(col("clon"), 6).as("clon"),
+        round(col("clat"), 6).as("clat"))
+      .orderBy(col("municipality"))
+
+  private val geoCentroidsOracle =
+    s"""SELECT municipality, ROUND(clon, 6) AS clon, ROUND(clat, 6) AS clat
+       |FROM ($centroidsSql) ORDER BY municipality""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Cross join + spheroid-distance theta filter
+    * (`dags/gravity/create_distances.py:13-22`): all municipality pairs,
+    * self-pairs and near-zero distances dropped. Municipality-grained on
+    * both sides → BroadcastNestedLoopJoin over tiny inputs is the right
+    * plan; the O(n²) output is the operator's semantics, not a plan flaw.
+    */
+  private def distances(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = centroids(spark, sfDir)
+    val o = c.select(col("municipality").as("origin_municipality"),
+      col("clon").as("olon"), col("clat").as("olat"))
+    val d = c.select(col("municipality").as("dest_municipality"),
+      col("clon").as("dlon"), col("clat").as("dlat"))
+    o.crossJoin(d)
+      .withColumn("distance_km",
+        GeoFunctions.haversineKm(col("olon"), col("olat"), col("dlon"), col("dlat")))
+      .filter(col("origin_municipality") =!= col("dest_municipality") &&
+        col("distance_km") > 0.1)
+      .select(col("origin_municipality"), col("dest_municipality"), col("distance_km"))
+  }
+
+  private val distancesSql: String = {
+    val hav = GeoFunctions.haversineKmSql("o.clon", "o.clat", "d.clon", "d.clat")
+    s"""SELECT o.municipality AS origin_municipality,
+       |       d.municipality AS dest_municipality,
+       |       $hav AS distance_km
+       |FROM cent o CROSS JOIN cent d
+       |WHERE o.municipality <> d.municipality AND $hav > 0.1""".stripMargin
+  }
+
+  def geoDistanceMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    distances(spark, sfDir)
+      .select(col("origin_municipality"), col("dest_municipality"),
+        r4(col("distance_km")).as("distance_km"))
+      .orderBy(col("origin_municipality"), col("dest_municipality"))
+
+  private val geoDistanceMatrixOracle =
+    s"""WITH cent AS ($centroidsSql)
+       |SELECT origin_municipality, dest_municipality,
+       |       ROUND(distance_km, 4) AS distance_km
+       |FROM ($distancesSql)
+       |ORDER BY origin_municipality, dest_municipality""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** The full gravity-model pipeline (§3.2): centroids → distances →
+    * trips/economy/population aggregates → 3-way left join → driver-side
+    * k calibration (`dags/gravity/calculate_gold.py:10-44`) → predicted
+    * trips + mismatch ratio → infrastructure ranking
+    * (`dags/gravity/create_ranking.py:11-27`).
+    *
+    * k is rounded to 8dp before re-injection so both engines multiply by
+    * the identical constant. Fallback k=1.0 when NULL/0 mirrors
+    * `k_factor = k_result[0] if k_result[0] else 1.0`.
+    */
+  def gravityModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+
+    // origin = customer's nation, dest = synthetic destination bucket
+    val trips = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .select(col("c_nationkey").cast("int").as("origin_municipality"),
+        pmod(col("o_orderkey"), lit(25)).cast("int").as("dest_municipality"),
+        (col("o_totalprice") / 1024.0).as("trips"))
+      .groupBy(col("origin_municipality"), col("dest_municipality"))
+      .agg(avg(col("trips")).as("mean_trips"),
+        stddev_samp(col("trips")).as("std_trips"))
+
+    val economy = cust.groupBy(col("c_nationkey").cast("int").as("municipality"))
+      .agg(avg(col("c_acctbal")).as("avg_income"))
+    val population = cust.groupBy(col("c_nationkey").cast("int").as("municipality"))
+      .agg(count(lit(1)).as("population"))
+
+    val gravityData = distances(spark, sfDir)
+      .join(broadcast(population),
+        col("origin_municipality") === population("municipality"), "left")
+      .drop("municipality")
+      .join(broadcast(economy),
+        col("dest_municipality") === economy("municipality"), "left")
+      .drop("municipality")
+      .join(broadcast(trips), Seq("origin_municipality", "dest_municipality"), "left")
+      .select(
+        col("origin_municipality"), col("dest_municipality"), col("distance_km"),
+        coalesce(col("population"), lit(0L)).as("origin_population"),
+        coalesce(col("avg_income"), lit(0.0)).as("dest_economic_activity"),
+        col("mean_trips").as("actual_mean_trips"), col("std_trips"))
+      .cache()
+
+    // Phase 1: the engine→driver scalar hop (fetchone() in the reference).
+    val kRow = gravityData.filter(col("actual_mean_trips").isNotNull)
+      .agg((sum(col("actual_mean_trips") * col("distance_km") * col("distance_km")) /
+        when(sum(col("origin_population") * col("dest_economic_activity")) === 0.0,
+          lit(null))
+          .otherwise(sum(col("origin_population") * col("dest_economic_activity"))))
+        .as("k")).first()
+    val kRaw = if (kRow.isNullAt(0) || kRow.getDouble(0) == 0.0) 1.0 else kRow.getDouble(0)
+    val k = BigDecimal(kRaw).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // Phase 2: gold + ranking.
+    val predicted = lit(k) * col("origin_population") * col("dest_economic_activity") /
+      (col("distance_km") * col("distance_km"))
+    val gold = gravityData.select(
+      col("origin_municipality"), col("origin_population"),
+      col("actual_mean_trips"),
+      predicted.as("predicted_trips"),
+      when(predicted > 0, col("actual_mean_trips") / predicted)
+        .otherwise(lit(null)).as("mismatch_ratio"))
+
+    gold.filter(col("mismatch_ratio").isNotNull)
+      .groupBy(col("origin_municipality"))
+      .agg(
+        r4(avg(col("mismatch_ratio"))).as("avg_mismatch_ratio"),
+        max(col("origin_population")).as("population"),
+        count(lit(1)).as("num_connections"),
+        r4(sum(col("actual_mean_trips"))).as("total_actual_trips"),
+        r4(sum(col("predicted_trips"))).as("total_predicted_trips"),
+        when(avg(col("mismatch_ratio")) < 0.5, "Well-served")
+          .when(avg(col("mismatch_ratio")).between(0.5, 1.5), "Adequately-served")
+          .otherwise("Underserved").as("infrastructure_status"))
+      .orderBy(col("origin_municipality"))
+  }
+
+  private val gravityModelOracle: String = {
+    s"""WITH cent AS ($centroidsSql),
+       |dist AS ($distancesSql),
+       |trips AS (
+       |  SELECT CAST(c_nationkey AS INTEGER) AS origin_municipality,
+       |         CAST(o_orderkey % 25 AS INTEGER) AS dest_municipality,
+       |         AVG(o_totalprice / 1024.0) AS mean_trips,
+       |         STDDEV_SAMP(o_totalprice / 1024.0) AS std_trips
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |economy AS (
+       |  SELECT CAST(c_nationkey AS INTEGER) AS municipality,
+       |         AVG(c_acctbal) AS avg_income
+       |  FROM customer GROUP BY 1),
+       |population AS (
+       |  SELECT CAST(c_nationkey AS INTEGER) AS municipality,
+       |         COUNT(*) AS population
+       |  FROM customer GROUP BY 1),
+       |gravity_data AS (
+       |  SELECT d.origin_municipality, d.dest_municipality, d.distance_km,
+       |         COALESCE(p.population, 0) AS origin_population,
+       |         COALESCE(e.avg_income, 0) AS dest_economic_activity,
+       |         t.mean_trips AS actual_mean_trips, t.std_trips
+       |  FROM dist d
+       |  LEFT JOIN population p ON d.origin_municipality = p.municipality
+       |  LEFT JOIN economy e ON d.dest_municipality = e.municipality
+       |  LEFT JOIN trips t ON d.origin_municipality = t.origin_municipality
+       |                   AND d.dest_municipality = t.dest_municipality),
+       |kf AS (
+       |  SELECT COALESCE(NULLIF(ROUND(
+       |           SUM(actual_mean_trips * distance_km * distance_km) /
+       |           NULLIF(SUM(origin_population * dest_economic_activity), 0), 8),
+       |           0), 1.0) AS k
+       |  FROM gravity_data WHERE actual_mean_trips IS NOT NULL),
+       |gold AS (
+       |  SELECT origin_municipality, origin_population, actual_mean_trips,
+       |         k * origin_population * dest_economic_activity /
+       |           (distance_km * distance_km) AS predicted_trips,
+       |         CASE WHEN k * origin_population * dest_economic_activity /
+       |                   (distance_km * distance_km) > 0
+       |              THEN actual_mean_trips /
+       |                   (k * origin_population * dest_economic_activity /
+       |                    (distance_km * distance_km))
+       |              ELSE NULL END AS mismatch_ratio
+       |  FROM gravity_data CROSS JOIN kf)
+       |SELECT origin_municipality,
+       |       ROUND(AVG(mismatch_ratio), 4) AS avg_mismatch_ratio,
+       |       MAX(origin_population) AS population,
+       |       COUNT(*) AS num_connections,
+       |       ROUND(SUM(actual_mean_trips), 4) AS total_actual_trips,
+       |       ROUND(SUM(predicted_trips), 4) AS total_predicted_trips,
+       |       CASE WHEN AVG(mismatch_ratio) < 0.5 THEN 'Well-served'
+       |            WHEN AVG(mismatch_ratio) BETWEEN 0.5 AND 1.5 THEN 'Adequately-served'
+       |            ELSE 'Underserved' END AS infrastructure_status
+       |FROM gold WHERE mismatch_ratio IS NOT NULL
+       |GROUP BY origin_municipality
+       |ORDER BY origin_municipality""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  /** Long-distance-trip dependency (BQ3, `dags/bussiness_layer/
+    * transform_gold_long_trip_dependency.py:85-158`): origin centroid
+    * required (inner), destination centroid optional (left → NULL
+    * distance), conditional sums over a distance threshold. Destination
+    * buckets 25-29 have no centroid, exercising the NULL-distance branch.
+    * Threshold scaled to 500 km (reference: 15 km at census-section
+    * scale) so the synthetic nation distances actually discriminate.
+    */
+  def longTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val cent = centroids(spark, sfDir)
+
+    val trips = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .select(col("c_nationkey").cast("int").as("origin"),
+        pmod(col("o_orderkey"), lit(30)).cast("int").as("dest"),
+        (col("o_totalprice") / 1024.0).as("trips"))
+
+    val oc = cent.select(col("municipality").as("origin"),
+      col("clon").as("olon"), col("clat").as("olat"))
+
+    val withDist = trips
+      .join(broadcast(oc), Seq("origin"))
+      .join(broadcast(cent.select(col("municipality").as("dest"),
+        col("clon").as("dlon"), col("clat").as("dlat"))), Seq("dest"), "left")
+      .withColumn("distance_km",
+        when(col("dlon").isNull, lit(null)).otherwise(
+          GeoFunctions.haversineKm(col("olon"), col("olat"), col("dlon"), col("dlat"))))
+
+    withDist.groupBy(col("origin").as("municipality_id"))
+      .agg(
+        r4(sum(col("trips"))).as("total_trips"),
+        r4(sum(when(col("distance_km") > 500.0, col("trips")).otherwise(0.0)))
+          .as("long_trips"),
+        r4(sum(when(col("distance_km").isNotNull, col("trips")).otherwise(0.0)))
+          .as("trips_with_distance"),
+        round(sum(when(col("distance_km") > 500.0, col("trips")).otherwise(0.0)) /
+          when(sum(when(col("distance_km").isNotNull, col("trips")).otherwise(0.0)) === 0.0,
+            lit(null))
+            .otherwise(sum(when(col("distance_km").isNotNull, col("trips")).otherwise(0.0))), 6)
+          .as("long_trip_ratio"),
+        r4(avg(col("distance_km"))).as("avg_trip_km"))
+      .orderBy(col("municipality_id"))
+  }
+
+  private val longTripOracle: String = {
+    val hav = GeoFunctions.haversineKmSql("oc.clon", "oc.clat", "dc.clon", "dc.clat")
+    s"""WITH cent AS ($centroidsSql),
+       |trips AS (
+       |  SELECT CAST(c_nationkey AS INTEGER) AS origin,
+       |         CAST(o_orderkey % 30 AS INTEGER) AS dest,
+       |         o_totalprice / 1024.0 AS trips
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |with_dist AS (
+       |  SELECT t.origin, t.trips,
+       |         CASE WHEN dc.clon IS NULL THEN NULL ELSE $hav END AS distance_km
+       |  FROM trips t
+       |  JOIN cent oc ON t.origin = oc.municipality
+       |  LEFT JOIN cent dc ON t.dest = dc.municipality)
+       |SELECT origin AS municipality_id,
+       |       ROUND(SUM(trips), 4) AS total_trips,
+       |       ROUND(SUM(CASE WHEN distance_km > 500.0 THEN trips ELSE 0 END), 4) AS long_trips,
+       |       ROUND(SUM(CASE WHEN distance_km IS NOT NULL THEN trips ELSE 0 END), 4) AS trips_with_distance,
+       |       ROUND(SUM(CASE WHEN distance_km > 500.0 THEN trips ELSE 0 END) /
+       |             NULLIF(SUM(CASE WHEN distance_km IS NOT NULL THEN trips ELSE 0 END), 0), 6)
+       |         AS long_trip_ratio,
+       |       ROUND(AVG(distance_km), 4) AS avg_trip_km
+       |FROM with_dist GROUP BY origin ORDER BY municipality_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  /** P11: spatial predicate filter vs a constant WKT polygon
+    * (`dags/gravity/extract_geometry.py:22-43`). The AOI is an
+    * axis-aligned box — exactly like the reference's default Valencia
+    * polygon — so the generic ray-casting st_within UDF can be checked
+    * against plain BETWEEN arithmetic in the oracle.
+    */
+  private val aoiWkt =
+    "POLYGON((-6 38, -2 38, -2 41, -6 41, -6 38))"
+
+  def polygonFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int").as("municipality"),
+        pmod(col("c_custkey"), lit(97)).as("mlon"),
+        pmod(col("c_custkey"), lit(83)).as("mlat"),
+        synthLon(col("c_custkey")).as("lon"), synthLat(col("c_custkey")).as("lat"))
+      .filter(expr(s"st_within(st_point(lon, lat), '$aoiWkt')"))
+      .groupBy(col("municipality"))
+      .agg(count(lit(1)).as("n_inside"),
+        // integer-residue average + affine-after (see centroids note)
+        round(lit(-9.0) + avg(col("mlon")) * 0.1, 6).as("avg_lon"),
+        round(lit(36.0) + avg(col("mlat")) * 0.08, 6).as("avg_lat"))
+      .orderBy(col("municipality"))
+  }
+
+  private val polygonFilterOracle =
+    s"""SELECT municipality, COUNT(*) AS n_inside,
+       |       ROUND(-9.0 + AVG(mlon) * 0.1, 6) AS avg_lon,
+       |       ROUND(36.0 + AVG(mlat) * 0.08, 6) AS avg_lat
+       |FROM (SELECT CAST(c_nationkey AS INTEGER) AS municipality,
+       |             c_custkey % 97 AS mlon, c_custkey % 83 AS mlat,
+       |             ${synthLonSql("c_custkey")} AS lon,
+       |             ${synthLatSql("c_custkey")} AS lat
+       |      FROM customer)
+       |WHERE lon BETWEEN -6 AND -2 AND lat BETWEEN 38 AND 41
+       |GROUP BY municipality ORDER BY municipality""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** A10: ST_Centroid(ST_Union_Agg(geometry)) per region
+    * (`dags/gravity/create_centroids.py:13-19`) over synthetic rectangle
+    * polygons. The oracle computes the analytically-equal area-weighted
+    * rectangle-center mean — validating the whole WKT parse → union-agg →
+    * centroid UDF path against closed-form arithmetic.
+    */
+  def unionCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val k = col("n_nationkey")
+    val lon0 = lit(-9.0) + pmod(k, lit(10)) * 1.5
+    val lat0 = lit(36.0) + pmod(k, lit(7)) * 1.1
+    val w = lit(0.5) + pmod(k, lit(5)) * 0.1
+    val h = lit(0.4) + pmod(k, lit(3)) * 0.1
+    Tables.nation(spark, sfDir)
+      .select(col("n_regionkey").cast("int").as("region"),
+        concat(lit("POLYGON(("),
+          lon0, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0 + h, lit(", "),
+          lon0, lit(" "), lat0 + h, lit(", "),
+          lon0, lit(" "), lat0, lit("))")).as("poly"))
+      .groupBy(col("region"))
+      .agg(expr("st_union_agg(poly)").as("union_wkt"))
+      .select(col("region"),
+        round(expr("st_x(st_centroid(union_wkt))"), 6).as("cx"),
+        round(expr("st_y(st_centroid(union_wkt))"), 6).as("cy"),
+        round(expr("st_area(union_wkt)"), 6).as("total_area"))
+      .orderBy(col("region"))
+  }
+
+  private val unionCentroidOracle =
+    """SELECT CAST(n_regionkey AS INTEGER) AS region,
+      |       ROUND(SUM((lon0 + w/2) * (w*h)) / SUM(w*h), 6) AS cx,
+      |       ROUND(SUM((lat0 + h/2) * (w*h)) / SUM(w*h), 6) AS cy,
+      |       ROUND(SUM(w*h), 6) AS total_area
+      |FROM (SELECT n_regionkey,
+      |             -9.0 + (n_nationkey % 10) * 1.5 AS lon0,
+      |             36.0 + (n_nationkey % 7) * 1.1 AS lat0,
+      |             0.5 + (n_nationkey % 5) * 0.1 AS w,
+      |             0.4 + (n_nationkey % 3) * 0.1 AS h
+      |      FROM nation)
+      |GROUP BY 1 ORDER BY region""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** ST_Transform EPSG:25830→4326 (`dags/geometry/transform_silver_geometry
+    * .py:20,26`) over synthetic in-zone UTM coordinates. No SQL oracle (the
+    * inverse transverse-Mercator series is not expressible in portable
+    * SQL) → driver records the weaker rows-only check; precision is
+    * covered by GeoSpec round-trip tests instead.
+    */
+  def geoTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("int").as("k"),
+        (lit(400000.0) + col("n_nationkey") * 15000.0).as("easting"),
+        (lit(4200000.0) + col("n_nationkey") * 12000.0).as("northing"))
+      .withColumn("pt", expr("st_transform_25830_4326(easting, northing)"))
+      .select(col("k"),
+        round(expr("st_x(pt)"), 9).as("lon"),
+        round(expr("st_y(pt)"), 9).as("lat"))
+      .orderBy(col("k"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_centroids" -> (geoCentroids _),
+    "q_geo_distance_matrix" -> (geoDistanceMatrix _),
+    "q_gravity_model" -> (gravityModel _),
+    "q_long_trip" -> (longTrip _),
+    "q_polygon_filter" -> (polygonFilter _),
+    "q_union_centroid" -> (unionCentroid _),
+    "q_geo_transform" -> (geoTransform _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_geo_centroids" -> geoCentroidsOracle,
+    "q_geo_distance_matrix" -> geoDistanceMatrixOracle,
+    "q_gravity_model" -> gravityModelOracle,
+    "q_long_trip" -> longTripOracle,
+    "q_polygon_filter" -> polygonFilterOracle,
+    "q_union_centroid" -> unionCentroidOracle
+    // q_geo_transform intentionally omitted (non-SQL-expressible)
+  )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Float-parity helpers for the DuckDB-oracle hash compare.
+  *
+  * Why this exists: source columns like prices are decimal-quantized
+  * (2 dp). A SUM of such values sits on a coarse decimal lattice, so
+  * rounding it at 4 dp is stable against the ~1-ulp partial-sum-order
+  * differences between Spark and DuckDB (the nearest rounding
+  * half-boundary is ≥ 5e-5 away). An AVG is not: dividing by the group
+  * count re-quantizes the lattice onto exact rounding half-boundaries
+  * (e.g. 274.03/8 = 34.25375), where the two engines' ROUND paths
+  * disagree — Spark rounds the shortest decimal repr via BigDecimal
+  * HALF_UP, DuckDB multiplies by 10^s in binary and std::round()s.
+  *
+  * [[stableAvg]] therefore leaves floating point entirely: it scales the
+  * lattice-safe rounded sum to integer ten-thousandths and performs a
+  * half-up division in exact integer arithmetic — identical in both
+  * engines by construction. Semantics: a 4 dp-stabilized average,
+  * deviating from round(avg,4) by at most one ulp-of-1e-4 at exact ties
+  * (where it deterministically rounds half-up; floor-division form, so
+  * negative ties round toward +inf in both engines alike).
+  */
+object Parity {
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Order-insensitive 4 dp average over decimal-quantized data.
+    * floor((2·sum_e4 + n) / 2n) / 1e4 in exact integer arithmetic.
+    */
+  def stableAvg(c: Column): Column = {
+    val sumE4 = round(round(sum(c), 4) * 10000, 0).cast("long")
+    val n = count(c)
+    val num = sumE4 * 2 + n
+    val den = n * 2
+    // (num - pmod(num, den)) is an exact multiple of den; the long/long
+    // division therefore yields an exact integer double — bit-identical
+    // to DuckDB's `//` floor division.
+    ((num - pmod(num, den)) / den) / 10000.0
+  }
+
+  /** DuckDB rendering of [[stableAvg]] (`//` = floor division). */
+  def stableAvgSql(e: String): String =
+    s"CAST((2*CAST(ROUND(ROUND(SUM($e),4)*10000) AS BIGINT) + COUNT($e)) " +
+      s"// (2*COUNT($e)) AS DOUBLE)/10000.0"
+}

@@ -94,7 +94,7 @@ object RelationalOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         r4(sum(col("o_totalprice"))).as("sum_price"),
-        r4(avg(col("o_totalprice"))).as("avg_price"))
+        Parity.stableAvg(col("o_totalprice")).as("avg_price"))
       .orderBy(col("bucket"))
 
   private val caseBucketsOracle =
@@ -102,7 +102,7 @@ object RelationalOps {
       |            WHEN o_totalprice BETWEEN 50000 AND 150000 THEN 'mid'
       |            ELSE 'large' END AS bucket,
       |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS sum_price,
-      |       ROUND(AVG(o_totalprice),4) AS avg_price
+      |       CAST((2*CAST(ROUND(ROUND(SUM(o_totalprice),4)*10000) AS BIGINT) + COUNT(o_totalprice)) // (2*COUNT(o_totalprice)) AS DOUBLE)/10000.0 AS avg_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // --------------------------------------------------------------- P10
@@ -115,7 +115,7 @@ object RelationalOps {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(nz).as("n_nonzero"),
-        r4(avg(nz)).as("avg_nonzero"),
+        Parity.stableAvg(nz).as("avg_nonzero"),
         r4(sum(coalesce(nz, lit(0.0)))).as("sum_bal"))
       .orderBy(col("c_mktsegment"))
   }
@@ -123,7 +123,7 @@ object RelationalOps {
   private val nullGuardsOracle =
     """SELECT c_mktsegment,
       |       COUNT(NULLIF(c_acctbal, 0)) AS n_nonzero,
-      |       ROUND(AVG(NULLIF(c_acctbal, 0)),4) AS avg_nonzero,
+      |       CAST((2*CAST(ROUND(ROUND(SUM(NULLIF(c_acctbal, 0)),4)*10000) AS BIGINT) + COUNT(NULLIF(c_acctbal, 0))) // (2*COUNT(NULLIF(c_acctbal, 0))) AS DOUBLE)/10000.0 AS avg_nonzero,
       |       ROUND(SUM(COALESCE(NULLIF(c_acctbal, 0), 0)),4) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

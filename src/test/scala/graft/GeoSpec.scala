@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+import graft.geo.Geo._
+
+/** Pure-geometry unit tests — no SparkSession needed. Anchor values
+  * computed independently (meridian arc by numerical integration of the
+  * GRS80 curvature; distances cross-checked against the published
+  * Madrid–Barcelona geodesic).
+  */
+class GeoSpec extends AnyFunSuite {
+
+  test("WKT round-trip: point, polygon, polygon with hole, multipolygon") {
+    val cases = Seq(
+      "POINT (1.5 -2.25)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    cases.foreach { w =>
+      assert(toWkt(parseWkt(w)) == w, s"round-trip failed for $w")
+    }
+  }
+
+  test("WKT parse accepts unclosed rings and scientific notation") {
+    val g = parseWkt("POLYGON((0 0, 1e1 0, 10 1E1, 0 10))") // auto-closes
+    assert(area(g) == 100.0)
+  }
+
+  test("area and centroid: square, square with hole, multipolygon") {
+    val sq = parseWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(area(sq) == 16.0)
+    assert(centroid(sq) == Pt(2, 2))
+
+    val holed = parseWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (0 0, 5 0, 5 5, 0 5, 0 0))")
+    assert(area(holed) == 75.0)
+    // centroid shifts away from the removed quadrant
+    val c = centroid(holed)
+    assert(c.x > 5.0 && c.y > 5.0)
+
+    // two unit squares: centroid = midpoint of their centers
+    val mp = parseWkt(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert(math.abs(centroid(mp).x - 3.0) < 1e-12)
+    assert(math.abs(centroid(mp).y - 3.0) < 1e-12)
+  }
+
+  test("centroid is orientation-independent (CW ring == CCW ring)") {
+    val ccw = parseWkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    val cw = parseWkt("POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))")
+    assert(centroid(ccw) == centroid(cw))
+    assert(area(ccw) == area(cw))
+  }
+
+  test("point-in-polygon: convex, concave, hole, boundary") {
+    val sq = parseWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(contains(sq, Pt(2, 2)))
+    assert(!contains(sq, Pt(5, 2)))
+    assert(contains(sq, Pt(0, 2)), "boundary counts as inside")
+    assert(contains(sq, Pt(4, 4)), "vertex counts as inside")
+
+    // concave L-shape: the notch (3,3) is outside
+    val l = parseWkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    assert(contains(l, Pt(1, 3)))
+    assert(contains(l, Pt(3, 1)))
+    assert(!contains(l, Pt(3, 3)))
+
+    val holed = parseWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(contains(holed, Pt(2, 2)))
+    assert(!contains(holed, Pt(5, 5)), "inside the hole = outside")
+  }
+
+  test("intersects / contains / within / overlaps") {
+    val a = parseWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = parseWkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") // overlaps a
+    val c = parseWkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") // inside a
+    val d = parseWkt("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))") // disjoint
+
+    assert(intersects(a, b) && intersects(b, a))
+    assert(intersects(a, c))
+    assert(!intersects(a, d))
+    assert(containsGeom(a, c) && within(c, a))
+    assert(!containsGeom(a, b))
+    assert(overlaps(a, b))
+    assert(!overlaps(a, c), "containment is not overlap")
+    assert(!overlaps(a, d))
+    // degenerate cross shape: boundaries cross but no vertex inside
+    val h = parseWkt("POLYGON ((-1 1, 5 1, 5 3, -1 3, -1 1))")
+    assert(intersects(a, h), "edge-crossing without vertex containment")
+  }
+
+  test("bbox accessors") {
+    val g = parseWkt("POLYGON ((1 2, 5 2, 5 7, 1 7, 1 2))")
+    assert(bbox(g) == (1.0, 2.0, 5.0, 7.0))
+  }
+
+  test("spheroid distance: identity, symmetry, known anchors") {
+    assert(distanceSpheroid(-3.7, 40.4, -3.7, 40.4) == 0.0)
+    val d1 = distanceSpheroid(-3.7038, 40.4168, 2.1734, 41.3851)
+    val d2 = distanceSpheroid(2.1734, 41.3851, -3.7038, 40.4168)
+    assert(math.abs(d1 - d2) < 1e-6, "symmetric")
+    // Madrid–Barcelona geodesic ≈ 504.6 km (WGS84)
+    assert(d1 > 503000 && d1 < 507000, s"got $d1")
+    // one degree of longitude at the equator ≈ 111.32 km
+    val eq = distanceSpheroid(0, 0, 1, 0)
+    assert(math.abs(eq - 111319.49) < 10, s"got $eq")
+    // haversine within 0.5% of spheroid
+    val h = haversine(-3.7038, 40.4168, 2.1734, 41.3851)
+    assert(math.abs(h - d1) / d1 < 0.005)
+    // haversine anchor from independent computation: 505444.17 m
+    assert(math.abs(h - 505444.169) < 1.0, s"got $h")
+  }
+
+  test("meridian arc matches numerical integration (M(40°) = 4429529.030)") {
+    val m = Geo.meridianArc(math.toRadians(40.0))
+    assert(math.abs(m - 4429529.0304) < 0.01, s"got $m")
+  }
+
+  test("UTM 30N inverse: central meridian and round-trips across the zone") {
+    // E=500000 is the central meridian by construction → lon = -3 exactly
+    val (lon0, lat0) = utm30nToLonLat(500000.0, Geo.meridianArc(math.toRadians(40.0)) * 0.9996)
+    assert(math.abs(lon0 - (-3.0)) < 1e-9, s"got $lon0")
+    assert(math.abs(lat0 - 40.0) < 1e-7, s"got $lat0")
+
+    // forward∘inverse identity to ~1 cm over the Spanish zone (series
+    // truncation grows toward the zone edge: ~4 mm at 4.2° offset)
+    for (lon <- Seq(-5.9, -3.0, -0.3, 1.2); lat <- Seq(36.1, 39.47, 43.6)) {
+      val (e, n) = lonLatToUtm30n(lon, lat)
+      val (lon2, lat2) = utm30nToLonLat(e, n)
+      assert(math.abs(lon2 - lon) < 1e-7, s"lon $lon -> $lon2 (e=$e n=$n)")
+      assert(math.abs(lat2 - lat) < 1e-7, s"lat $lat -> $lat2")
+    }
+    // Valencia-ish anchor: E=725000 N=4373000 → ≈ (-0.38, 39.48)
+    val (vlon, vlat) = utm30nToLonLat(725000.0, 4373000.0)
+    assert(vlon > -0.45 && vlon < -0.3, s"got $vlon")
+    assert(vlat > 39.4 && vlat < 39.6, s"got $vlat")
+  }
+
+  test("GeoJSON serialization") {
+    assert(toGeoJson(parseWkt("POINT (1 2)")) ==
+      """{"type":"Point","coordinates":[1.0,2.0]}""")
+    val gj = toGeoJson(parseWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    assert(gj.startsWith("""{"type":"Polygon","coordinates":[[[0.0,0.0]"""))
+  }
+
+  test("isValid") {
+    assert(isValid(parseWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+    assert(isValid(parseWkt("POINT (3 4)")))
+  }
+}

@@ -35,7 +35,7 @@ class TypicalDaySpec extends SparkSpec {
     val joinBack = filtered.groupBy(keys.map(col): _*)
       .agg(
         round(sum(col("trips")), 4).as("total_trips"),
-        round(avg(col("trips")), 4).as("avg_trips"),
+        graft.ops.Parity.stableAvg(col("trips")).as("avg_trips"),
         round(coalesce(stddev_samp(col("trips")), lit(0.0)), 4).as("std_trips"),
         countDistinct(col("date")).as("num_days_observed"))
       .orderBy(keys.map(col): _*)
