@@ -1,8 +1,222 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash groupBy), n-gram Jaccard (shingle-bucket candidate join),
+  * MinHash+LSH (signature → banding → bucket join), SimHash (bit-vote
+  * signature → band buckets → Hamming verify).
+  *
+  * Scale design: every variant is candidate-generation-by-equi-join —
+  * never an all-pairs comparison. Exact/Jaccard shuffle on hash/shingle
+  * keys; MinHash/SimHash shuffle on band buckets. That keeps the
+  * comparison count proportional to true collisions, which is the whole
+  * point of LSH at 100 TB: the naive O(n²) pair space never materializes.
+  * Candidate pairs are then verified with the exact measure (Jaccard /
+  * Hamming) — LSH only prunes, it never decides.
+  */
 object DedupOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** Distinct word-3-gram shingles per document (docs shorter than 3
+    * words contribute none). 0-indexed array lambda on the Spark side,
+    * 1-indexed generate_series in the oracle — same shingles.
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+      |       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |     LATERAL unnest(generate_series(1, len(words)-2)) AS t(i)
+      |WHERE len(words) >= 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Exact deduplication: canonical-prefix hash → groupBy → keeper =
+    * min(doc_id). One shuffle on the hash key; at corpus scale this is
+    * the cheapest and first dedup pass.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("copies"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("fp"))
+
+  private val dedupExactOracle =
+    """SELECT md5(substr(text, 1, 40)) AS fp,
+      |       MIN(doc_id) AS keeper, COUNT(*) AS copies,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** N-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+    * (equi-join on the shingle — the inverted-index pattern), then exact
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets,
+    * thresholded.
+    */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
+    val shared = s1.join(s2, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+    val n1 = sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))
+    val n2 = sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))
+    shared.join(n1, Seq("d1")).join(n2, Seq("d2"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("d1"), col("d2"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val dedupNgramJaccardOracle =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS shared
+       |  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+       |  WHERE s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, shared, ROUND(jaccard, 6) AS jaccard
+       |FROM (SELECT d1, d2, shared,
+       |             CAST(shared AS DOUBLE) / (a.n_sh + b.n_sh - shared) AS jaccard
+       |      FROM shared
+       |      JOIN sizes a ON d1 = a.doc_id
+       |      JOIN sizes b ON d2 = b.doc_id)
+       |WHERE jaccard >= 0.3
+       |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+
+  /** MinHash signatures: per doc, min of xxhash64(seed, shingle) for each
+    * of 16 seeds — one groupBy over the exploded shingles computes all 16
+    * mins (single shuffle). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the 16-wide signature into 4 bands
+    * of 4, bucket-join on (band index, band hash), then verify candidates
+    * with exact Jaccard ≥ 0.5. No DuckDB oracle (xxhash64 is
+    * Spark-specific); correctness is asserted against the brute-force
+    * Jaccard in DedupSpec.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sig = minhashSignatures(sh)
+    val banded = sig.select(col("doc_id"),
+      explode(expr(
+        (0 until NumBands).map(b =>
+          s"named_struct('band', $b, 'bh', xxhash64(" +
+            (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(",") + "))")
+          .mkString("array(", ",", ")")))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    // exact-Jaccard verification of the LSH candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
+    val shared = s1.join(s2, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    cand.join(shared, Seq("d1", "d2"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------------------------
+  private val SimBits = 32
+
+  /** SimHash signature per document: each distinct term votes ±tf on each
+    * of 32 bit positions of its hash; the sign vector is the signature.
+    * Computed as 32 conditional sums in ONE groupBy — single shuffle. */
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$b"))
+    val sigExpr = (0 until SimBits).map(b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    terms.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("sig", expr(sigExpr))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 8 bits bucket the signatures;
+    * candidates verified by Hamming distance ≤ 3 of the full 32-bit
+    * signature. No oracle (xxhash64); asserted in DedupSpec.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSignatures(spark, sfDir).cache()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        (0 until 4).map(b =>
+          s"named_struct('band', $b, 'bv', shiftright(sig, ${b * 8}) & 255)")
+          .mkString("array(", ",", ")"))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactOracle,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardOracle
+    // minhash/simhash: xxhash64-based, not oracle-expressible; verified
+    // against brute force in DedupSpec.
+  )
 }

@@ -1,8 +1,97 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata, exactly how image/audio
+  * blobs travel in a lakehouse training pipeline. The decode step itself
+  * is STUBBED with a deterministic fake (this container ships no image
+  * libs — see the builder brief) but everything Spark-side is real and
+  * tested: the schema, the binary encoding, the partition-parallel
+  * `mapPartitions` batch shape a JNI/FFI decoder would plug into, and the
+  * metadata aggregation.
+  */
 object MultimodalOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** A decoded media record — what the per-partition decoder emits. */
+  final case class MediaFeature(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** STUB decoder: deterministic fake in place of an image/audio codec.
+    * Signature and batch shape are the real contract: one call per
+    * partition, an iterator of (id, bytes) in, an iterator of decoded
+    * features out — a libjpeg/ffmpeg binding would replace only the body.
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeature = {
+    val len = bytes.length.toLong
+    val w = (len % 640).toInt + 1
+    val h = (len % 480).toInt + 1
+    val frames = (len / 100).toInt + 1
+    // fake 8-dim feature: byte histogram moments, deterministic
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      feat(bytes(i) & 0x7) += 1.0f
+      i += 1
+    }
+    MediaFeature(docId, len, w, h, frames, feat)
+  }
+
+  /** The distributed decode pass: binary column → mapPartitions(decoder).
+    * Runs entirely on executors; no driver collect. */
+  def decodeAll(spark: SparkSession, sfDir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
+  /** Metadata aggregation over the binary payloads — the SQL-expressible
+    * part of the decode (byte length and the stub's arithmetic), checked
+    * against DuckDB. The `media` binary column is materialized mid-plan to
+    * prove binary columns flow through projections.
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("media"))
+      .select(col("doc_id"), col("source"),
+        length(col("media")).as("byte_len"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("byte_len")).cast("long").as("total_bytes"),
+        max(col("byte_len")).cast("long").as("max_bytes"),
+        sum(pmod(col("byte_len"), lit(640)) + 1).cast("long").as("sum_width"),
+        Parity.stableAvg((col("byte_len") / lit(100)).cast("long") + 1)
+          .as("avg_frames"))
+      .orderBy(col("source"))
+
+  private val mediaMetaOracle =
+    s"""SELECT source, COUNT(*) AS n_media,
+       |       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       |       CAST(MAX(byte_len) AS BIGINT) AS max_bytes,
+       |       CAST(SUM(byte_len % 640 + 1) AS BIGINT) AS sum_width,
+       |       ${Parity.stableAvgSql("byte_len // 100 + 1")} AS avg_frames
+       |FROM (SELECT doc_id, source,
+       |             octet_length(CAST(text AS BLOB)) AS byte_len
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta" -> (mediaMeta _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_media_meta" -> mediaMetaOracle
+  )
 }

@@ -1,8 +1,134 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: quality scoring, language-ID heuristic, token
+  * counting, document fingerprinting. All pure `functions._` column math
+  * (codegen'd, no UDFs) so every operator scales as a single projection +
+  * aggregation over the corpus — at 100 TB these are embarrassingly
+  * parallel map-side transforms.
+  */
 object TextOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Marker-word hit count (substring matches, shared with the oracle). */
+  private def hits(c: Column, pattern: String): Column =
+    size(expr(s"regexp_extract_all(text, '$pattern', 0)"))
+
+  // ------------------------------------------------------------------
+  /** Quality scoring: token count, char lengths, stopword ratio, average
+    * token length — the length/punct/stopword-ratio heuristics used to
+    * filter web corpora, aggregated per language label. Integer counts
+    * average exactly (stableAvg), ratios are continuous.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = size(split(col("text"), " "))
+    val stop = hits(col("text"), "(the|a|of|and|in)")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        length(col("text")).as("len"), tokens.as("n_tokens"), stop.as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("total_chars"),
+        // length(text) == n_chars is a data-quality invariant of the table
+        sum(when(col("len") === col("n_chars"), 0).otherwise(1)).cast("long")
+          .as("n_len_mismatch"),
+        Parity.stableAvg(col("n_tokens")).as("avg_tokens"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6)
+          .as("stop_ratio"),
+        round(sum(col("len") - col("n_tokens") + 1).cast("double") /
+          sum(col("n_tokens")), 6).as("avg_token_len"))
+      .orderBy(col("lang"))
+  }
+
+  private val textStatsOracle =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(len) AS BIGINT) AS total_chars,
+       |       CAST(SUM(CASE WHEN len = n_chars THEN 0 ELSE 1 END) AS BIGINT) AS n_len_mismatch,
+       |       ${Parity.stableAvgSql("n_tokens")} AS avg_tokens,
+       |       ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens), 6) AS stop_ratio,
+       |       ROUND(CAST(SUM(len - n_tokens + 1) AS DOUBLE) / SUM(n_tokens), 6) AS avg_token_len
+       |FROM (SELECT lang, n_chars, strlen(text) AS len,
+       |             len(string_split(text, ' ')) AS n_tokens,
+       |             len(regexp_extract_all(text, '(the|a|of|and|in)')) AS n_stop
+       |      FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Language-ID n-gram heuristic: score each candidate language by
+    * marker-token hits, argmax with deterministic tie-break order, then
+    * cross-tabulate predicted vs. labeled language (the confusion matrix a
+    * corpus pipeline monitors).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val sEn = hits(col("text"), "(the|a|of|and)")
+    val sEs = hits(col("text"), "(el|la|de|que)")
+    val sZh = hits(col("text"), "(zh|shi|bu|le)")
+    Tables.documents(spark, sfDir)
+      .withColumn("s_en", sEn).withColumn("s_es", sEs).withColumn("s_zh", sZh)
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_en")).cast("long").as("sum_s_en"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val langIdOracle =
+    """SELECT lang, predicted, COUNT(*) AS n,
+      |       CAST(SUM(s_en) AS BIGINT) AS sum_s_en
+      |FROM (SELECT lang, s_en, s_es, s_zh,
+      |             CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+      |                  WHEN s_es >= s_zh THEN 'es'
+      |                  ELSE 'zh' END AS predicted
+      |      FROM (SELECT lang,
+      |              len(regexp_extract_all(text, '(the|a|of|and)')) AS s_en,
+      |              len(regexp_extract_all(text, '(el|la|de|que)')) AS s_es,
+      |              len(regexp_extract_all(text, '(zh|shi|bu|le)')) AS s_zh
+      |            FROM documents))
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Document fingerprinting: md5 over whitespace/punctuation-normalized
+    * text (the canonical-form hash used for exact-dup detection at corpus
+    * scale), plus a cheap BPE-ish token estimate (bytes/4). Emitted
+    * per-document — at scale this is the map-side normalize+hash pass
+    * whose output feeds the dedup groupBy.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "").cast("binary"))
+          .as("fingerprint"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintOracle =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_doc_fingerprint" -> (fingerprint _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsOracle,
+    "q_lang_id" -> langIdOracle,
+    "q_doc_fingerprint" -> fingerprintOracle
+  )
 }
