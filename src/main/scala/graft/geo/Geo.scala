@@ -256,6 +256,24 @@ object Geo {
     r1.exists { case (a, b) => r2.exists { case (c, d) => segsIntersect(a, b, c, d) } }
   }
 
+  /** Segments cross at an interior point of both (proper crossing) —
+    * endpoint touches and collinear overlap do NOT count. Containment
+    * tolerates boundary touching but not a true pass-through. */
+  private def segsProperlyCross(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    def orient(p: Pt, q: Pt, r: Pt): Double =
+      (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+  }
+
+  private def boundariesProperlyCross(p1: Poly, p2: Poly): Boolean = {
+    val r1 = p1.rings.flatMap(r => r.zip(r.tail))
+    val r2 = p2.rings.flatMap(r => r.zip(r.tail))
+    r1.exists { case (a, b) => r2.exists { case (c, d) => segsProperlyCross(a, b, c, d) } }
+  }
+
   private def bboxOverlap(a: Geom, b: Geom): Boolean = {
     val (ax0, ay0, ax1, ay1) = bbox(a)
     val (bx0, by0, bx1, by1) = bbox(b)
@@ -283,17 +301,20 @@ object Geo {
     }
   }
 
-  /** ST_Contains(a, b): every vertex of b inside a and no boundary
-    * crossing that exits (sufficient for the simple census polygons). */
+  /** ST_Contains(a, b): every exterior vertex of b inside a, no proper
+    * boundary crossing (a concave a can be exited and re-entered by an
+    * edge of b while all of b's vertices stay inside — the crossing test
+    * catches that), and no hole of a strictly inside b. Boundary touches
+    * are allowed, matching OGC Contains over closed geometries. */
   def containsGeom(a: Geom, b: Geom): Boolean = b match {
     case GPoint(p) => contains(a, p)
     case _ =>
-      val pb = polysOf(b)
-      pb.forall(_.exterior.forall(p => contains(a, p))) && {
-        // no hole of a strictly inside b (would punch through)
-        polysOf(a).forall(_.rings.tail.forall(h =>
-          !pb.exists(bp => pointInPoly(h.head, bp)) || false))
-      }
+      val pa = polysOf(a); val pb = polysOf(b)
+      pb.forall(_.exterior.forall(p => contains(a, p))) &&
+        !pb.exists(bp => pa.exists(ap => boundariesProperlyCross(ap, bp))) &&
+        // no hole of a strictly inside b (would punch through b's interior)
+        pa.forall(_.rings.tail.forall(h =>
+          !pb.exists(bp => pointInPoly(h.head, bp))))
   }
 
   def within(a: Geom, b: Geom): Boolean = containsGeom(b, a)

@@ -91,8 +91,10 @@ object AggOps {
     * .py:10-44`). The scalar is rounded to 8dp BEFORE re-injection so both
     * engines multiply by bit-identical k (last-ulp differences in the
     * global sums would otherwise leak through the multiplication).
-    * The fallback k=1.0 when NULL mirrors `k_factor = k_result[0] if
-    * k_result[0] else 1.0`.
+    * The reference's Python falsy check `k_factor = k_result[0] if
+    * k_result[0] else 1.0` sends BOTH None and 0.0 to 1.0 — mirrored here
+    * (and in the oracle) as COALESCE(NULLIF(ROUND(k, 8), 0), 1.0), with
+    * rounding applied before the fallback on both sides.
     */
   def scalarInject(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -100,8 +102,10 @@ object AggOps {
       (sum(col("l_extendedprice") * col("l_discount")) /
         when(sum(col("l_quantity")) === 0.0, lit(null))
           .otherwise(sum(col("l_quantity")))).as("k")).first()
-    val kRaw = if (kRow.isNullAt(0)) 1.0 else kRow.getDouble(0)
-    val k = BigDecimal(kRaw).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = (if (kRow.isNullAt(0)) None else Some(kRow.getDouble(0)))
+      .map(v => BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .filter(_ != 0.0)
+      .getOrElse(1.0)
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -113,8 +117,8 @@ object AggOps {
 
   private val scalarInjectOracle =
     """WITH kf AS (
-      |  SELECT COALESCE(ROUND(SUM(l_extendedprice * l_discount)
-      |                        / NULLIF(SUM(l_quantity), 0), 8), 1.0) AS k
+      |  SELECT COALESCE(NULLIF(ROUND(SUM(l_extendedprice * l_discount)
+      |                        / NULLIF(SUM(l_quantity), 0), 8), 0), 1.0) AS k
       |  FROM lineitem)
       |SELECT o_orderstatus,
       |       ROUND(SUM(k * o_totalprice / 100.0),4) AS sum_predicted,

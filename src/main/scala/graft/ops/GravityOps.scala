@@ -164,8 +164,13 @@ object GravityOps {
           lit(null))
           .otherwise(sum(col("origin_population") * col("dest_economic_activity"))))
         .as("k")).first()
-    val kRaw = if (kRow.isNullAt(0) || kRow.getDouble(0) == 0.0) 1.0 else kRow.getDouble(0)
-    val k = BigDecimal(kRaw).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // COALESCE(NULLIF(ROUND(k, 8), 0), 1.0) — round FIRST, then the
+    // zero/null→1.0 fallback, in exactly the oracle's order (a raw k in
+    // (0, 5e-9) rounds to 0 and must fall back, not propagate as 0).
+    val k = (if (kRow.isNullAt(0)) None else Some(kRow.getDouble(0)))
+      .map(v => BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .filter(_ != 0.0)
+      .getOrElse(1.0)
 
     // Phase 2: gold + ranking.
     val predicted = lit(k) * col("origin_population") * col("dest_economic_activity") /

@@ -9,9 +9,14 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
   * The dot product is a higher-order-function fold over doubles —
-  * codegen'd array math, no UDF, no Python. Both engines fold
-  * left-to-right over identical doubles, so cosine values are
-  * bit-comparable with the DuckDB oracle.
+  * codegen'd array math, no UDF, no Python. Float-parity: each float×float
+  * product is exact in double (24+24 < 53 mantissa bits), and BOTH sides
+  * accumulate the products with an explicitly sequential left-to-right
+  * fold — Spark `aggregate(...)`, DuckDB `list_reduce(...)` — rather than
+  * `list_dot_product`, whose accumulation order is an implementation
+  * detail (SIMD/pairwise would differ by ulps and can flip a rounded
+  * digit at a half-boundary). That makes the cosine bit-identical between
+  * the engines by construction, not by luck.
   *
   * Scale path: brute-force top-k is the exact baseline (a broadcast of
   * the query set against a full scan — linear, embarrassingly parallel,
@@ -31,10 +36,16 @@ object SimilarityOps {
   private def cosineCol(a: String, b: String): Column =
     expr(s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))")
 
+  /** DuckDB dot product with PINNED left-to-right accumulation: list_reduce
+    * folds sequentially, mirroring Spark's aggregate() exactly. (Initial
+    * value differs — Spark starts at 0.0, list_reduce at v1 — but 0.0+v1
+    * == v1 in IEEE, so the partial-sum sequences are identical.) */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), " +
+      s"x -> x[1] * x[2]), (acc, v) -> acc + v)"
+
   private def cosineSql(a: String, b: String): String =
-    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
-      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
-      s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   // ------------------------------------------------------------------
   /** Exact brute-force cosine top-k: the first 5 vectors are the query

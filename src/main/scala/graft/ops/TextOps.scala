@@ -54,7 +54,7 @@ object TextOps {
        |       ${Parity.stableAvgSql("n_tokens")} AS avg_tokens,
        |       ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens), 6) AS stop_ratio,
        |       ROUND(CAST(SUM(len - n_tokens + 1) AS DOUBLE) / SUM(n_tokens), 6) AS avg_token_len
-       |FROM (SELECT lang, n_chars, strlen(text) AS len,
+       |FROM (SELECT lang, n_chars, length(text) AS len,
        |             len(string_split(text, ' ')) AS n_tokens,
        |             len(regexp_extract_all(text, '(the|a|of|and|in)')) AS n_stop
        |      FROM documents)
@@ -117,7 +117,7 @@ object TextOps {
     """SELECT doc_id,
       |       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
       |       len(string_split(text, ' ')) AS ws_tokens,
-      |       CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_est
+      |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -92,6 +92,25 @@ class GeoSpec extends AnyFunSuite {
     assert(intersects(a, h), "edge-crossing without vertex containment")
   }
 
+  test("containsGeom: concave container rejects edge that exits and re-enters") {
+    // U-shape: opening along the top between x∈(2,6), y>2
+    val u = parseWkt(
+      "POLYGON ((0 0, 8 0, 8 8, 6 8, 6 2, 2 2, 2 8, 0 8, 0 0))")
+    // bar spanning the opening: both endpoints inside the U's arms but the
+    // connecting edge passes through the notch (outside the U)
+    val bar = parseWkt("POLYGON ((1 5, 7 5, 7 6, 1 6, 1 5))")
+    assert(contains(u, Pt(1, 5)) && contains(u, Pt(7, 5)),
+      "bar vertices individually inside the U's arms")
+    assert(!containsGeom(u, bar),
+      "edge exits/re-enters the concave container — not contained")
+    // control: a polygon truly inside one arm IS contained
+    val inArm = parseWkt("POLYGON ((0.5 3, 1.5 3, 1.5 7, 0.5 7, 0.5 3))")
+    assert(containsGeom(u, inArm))
+    // boundary touching still counts as contained (closure semantics)
+    val touching = parseWkt("POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))")
+    assert(containsGeom(u, touching))
+  }
+
   test("bbox accessors") {
     val g = parseWkt("POLYGON ((1 2, 5 2, 5 7, 1 7, 1 2))")
     assert(bbox(g) == (1.0, 2.0, 5.0, 7.0))
