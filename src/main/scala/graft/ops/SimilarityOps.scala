@@ -5,18 +5,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorExprs
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
-  * The dot product is a higher-order-function fold over doubles —
-  * codegen'd array math, no UDF, no Python. Float-parity: each float×float
-  * product is exact in double (24+24 < 53 mantissa bits), and BOTH sides
-  * accumulate the products with an explicitly sequential left-to-right
-  * fold — Spark `aggregate(...)`, DuckDB `list_reduce(...)` — rather than
-  * `list_dot_product`, whose accumulation order is an implementation
-  * detail (SIMD/pairwise would differ by ulps and can flip a rounded
-  * digit at a half-boundary). That makes the cosine bit-identical between
-  * the engines by construction, not by luck.
+  * The dot product is [[graft.functions.VecDot]] — a native Catalyst
+  * expression with codegen (a tight primitive loop inside the whole-stage-
+  * codegen'd operator), not a higher-order-function fold and not a UDF.
+  * Float-parity: each float×float product is exact in double (24+24 < 53
+  * mantissa bits), and BOTH sides accumulate the products with an
+  * explicitly sequential left-to-right fold — VecDot's loop, DuckDB's
+  * `list_reduce(...)` — rather than `list_dot_product`, whose accumulation
+  * order is an implementation detail (SIMD/pairwise would differ by ulps
+  * and can flip a rounded digit at a half-boundary). That makes the cosine
+  * bit-identical between the engines by construction, not by luck.
+  *
+  * Per-vector norms are computed ONCE before any join and carried as a
+  * column, so each candidate pair costs one dot product, not three.
+  * (sqrt of the same double and products of the same doubles are
+  * deterministic, so this is value-identical to computing norms per pair,
+  * which is what the oracle SQL does.)
   *
   * Scale path: brute-force top-k is the exact baseline (a broadcast of
   * the query set against a full scan — linear, embarrassingly parallel,
@@ -28,24 +36,26 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  /** dot(a, b) over float arrays, computed in double. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
-  private def cosineCol(a: String, b: String): Column =
-    expr(s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))")
-
   /** DuckDB dot product with PINNED left-to-right accumulation: list_reduce
-    * folds sequentially, mirroring Spark's aggregate() exactly. (Initial
-    * value differs — Spark starts at 0.0, list_reduce at v1 — but 0.0+v1
-    * == v1 in IEEE, so the partial-sum sequences are identical.) */
+    * folds sequentially, mirroring VecDot's loop exactly. (Initial value
+    * differs — VecDot starts at 0.0, list_reduce at v1 — but 0.0+v1 == v1
+    * in IEEE, so the partial-sum sequences are identical.) */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), " +
       s"x -> x[1] * x[2]), (acc, v) -> acc + v)"
 
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Embeddings with the norm precomputed once per vector. */
+  private def withNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
+
+  private def cosine(qv: String, qn: String, cv: String, cn: String): Column =
+    expr(s"vec_dot($qv, $cv)") / (col(qn) * col(cn))
 
   // ------------------------------------------------------------------
   /** Exact brute-force cosine top-k: the first 5 vectors are the query
@@ -55,14 +65,15 @@ object SimilarityOps {
     * per-query top-k reduction.
     */
   def annBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = withNorm(spark, sfDir)
     val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"))
     val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      col("label").as("clabel"))
+      col("norm").as("cn"), col("label").as("clabel"))
     val scored = cands.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", cosineCol("qv", "cv"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -100,15 +111,16 @@ object SimilarityOps {
     val bucketExpr = (1 to 6).map(i =>
       s"CASE WHEN CAST(embedding[${i - 1}] AS DOUBLE) > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+    val e = withNorm(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        expr(bucketExpr).as("bucket"))
     val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"),
-      col("bucket"))
+      col("norm").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"),
-      col("bucket"))
+      col("norm").as("n2"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("d1") < col("d2"))
-      .withColumn("cosine", cosineCol("v1", "v2"))
+      .withColumn("cosine", cosine("v1", "n1", "v2", "n2"))
       .filter(col("cosine") >= 0.4)
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("d1"), col("d2"))
@@ -117,39 +129,71 @@ object SimilarityOps {
   // ------------------------------------------------------------------
   /** IVF-style ANN: vectors with vec_id % 61 == 0 serve as coarse
     * centroids; every vector is assigned to its nearest centroid (the
-    * cell), and each query searches only its own cell. Recall vs. the
-    * exact scan is asserted in SimilaritySpec; no SQL oracle (the argmin
-    * assignment would need the same tie-break dance in SQL for little
-    * value).
+    * cell), and each query searches only its own cell. Assignment is a
+    * broadcast of the (tiny) seed set + argmax-by-window; the per-cell
+    * search joins on the cell id, so the candidate set never leaves its
+    * equi-join key. Recall vs. the exact scan is asserted in
+    * SimilaritySpec; the oracle mirrors the same two-stage plan in SQL.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = withNorm(spark, sfDir)
     val seeds = e.filter(pmod(col("vec_id"), lit(61)) === 0)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
+        col("norm").as("sn"))
     // assign: argmax cosine over seeds (broadcast — seeds are tiny)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("seed_cos").desc, col("seed_id").asc)
     val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("seed_cos", cosineCol("embedding", "sv"))
+      .withColumn("seed_cos", cosine("embedding", "norm", "sv", "sn"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"),
+      .select(col("vec_id"), col("embedding"), col("norm"), col("label"),
         col("seed_id").as("cell"))
     val queries = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("cell"))
     val cands = assigned.select(col("vec_id").as("cid"),
-      col("embedding").as("cv"), col("cell"))
+      col("embedding").as("cv"), col("norm").as("cn"), col("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
     queries.join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", cosineCol("qv", "cv"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("cid"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  private val annIvfOracle =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+       |  WHERE vec_id % 61 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, s.seed_id AS cell,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
+       |                      s.seed_id ASC) AS arank
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE arank = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assigned
+       |      WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosineSql("q.qv", "c.embedding")} AS cosine
+       |  FROM q JOIN assigned c USING (cell)
+       |  WHERE q.qid <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, cid, ROUND(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (annBruteforce _),
@@ -159,8 +203,8 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> annBruteforceOracle,
-    "q_dedup_embedding" -> dedupEmbeddingRealOracle
-    // q_ann_ivf: verified by recall assertion in SimilaritySpec
+    "q_dedup_embedding" -> dedupEmbeddingRealOracle,
+    "q_ann_ivf" -> annIvfOracle
   )
 
   private val dedupEmbeddingRealOracle = {
