@@ -21,6 +21,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
       }
+      finally spark.catalog.clearCache() // don't accumulate cached blocks across 40+ queries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

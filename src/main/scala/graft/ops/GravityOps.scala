@@ -337,13 +337,17 @@ object GravityOps {
     "POLYGON((-6 38, -2 38, -2 41, -6 41, -6 38))"
 
   def polygonFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    GeoFunctions.register(spark)
+    val inAoi = GeoFunctions.pointInAoiUdf(aoiWkt) // parsed once, driver-side
+    val (xmin, ymin, xmax, ymax) = graft.geo.Geo.bbox(graft.geo.Geo.parseWkt(aoiWkt))
     Tables.customer(spark, sfDir)
       .select(col("c_nationkey").cast("int").as("municipality"),
         pmod(col("c_custkey"), lit(97)).as("mlon"),
         pmod(col("c_custkey"), lit(83)).as("mlat"),
         synthLon(col("c_custkey")).as("lon"), synthLat(col("c_custkey")).as("lat"))
-      .filter(expr(s"st_within(st_point(lon, lat), '$aoiWkt')"))
+      // bbox prefilter: codegen'd Column predicate culls rows before the
+      // exact point-in-polygon UDF (which no longer parses WKT per row).
+      .filter(col("lon").between(xmin, xmax) && col("lat").between(ymin, ymax))
+      .filter(inAoi(col("lon"), col("lat")))
       .groupBy(col("municipality"))
       .agg(count(lit(1)).as("n_inside"),
         // integer-residue average + affine-after (see centroids note)

@@ -1,69 +1,82 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle compare (see BASELINE.md t2).
+"""Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Dev tool only (not part of the Scala library): compares each
+Verify-dumped parquet result against its oracleSql run by DuckDB over
+the same testdata parquet tables. Usage:
 
-Registers each /root/testdata table as a DuckDB view, runs every oracle SQL
-from oracle_sql.json, and compares row-by-row (columns sorted by name)
-against the Spark result parquet the Verify main dumped.
+    python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
 """
-import sys, json, glob, math
+import json, os, sys
+
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    return repr(v)
+def canon(rows, cols):
+    # driver compare: sort columns by name, round floats, sort rows
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if type(v).__name__ == "Decimal":
+                v = float(v)
+            if isinstance(v, float):
+                v = round(v, 4)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
 
-def main(out_dir, sf_dir):
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracles.items()):
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not spark_files:
-            print(f"[MISS] {name}: no spark result parquet")
-            n_bad += 1
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"{name}: MISSING spark output")
+            fails += 1
             continue
         try:
-            odf = con.execute(sql).fetchdf()
+            ores = con.execute(sql)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
         except Exception as e:
-            print(f"[ORACLE-ERR] {name}: {e}")
-            n_bad += 1
+            print(f"{name}: ORACLE ERROR {e}")
+            fails += 1
             continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet({spark_files!r})").fetchdf()
-        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
-        if ocols != scols:
-            print(f"[SCHEMA] {name}: oracle {ocols} vs spark {scols}")
-            n_bad += 1
+        sres = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in sres.description]
+        srows = sres.fetchall()
+        if sorted(scols) != sorted(ocols):
+            print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
+            fails += 1
             continue
-        o = [tuple(norm(v) for v in row) for row in odf[ocols].itertuples(index=False)]
-        s = [tuple(norm(v) for v in row) for row in sdf[ocols].itertuples(index=False)]
-        if len(o) != len(s):
-            print(f"[ROWS] {name}: oracle {len(o)} vs spark {len(s)}")
-            n_bad += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(o, s)) if a != b]
-        if bad:
-            i, a, b = bad[0]
-            print(f"[VALUES] {name}: {len(bad)}/{len(o)} rows differ; first at {i}:")
-            print(f"   oracle: {a}")
-            print(f"   spark : {b}")
-            n_bad += 1
+        sc, oc = canon(srows, scols), canon(orows, ocols)
+        if len(sc) != len(oc):
+            print(f"{name}: ROWS MISMATCH spark={len(sc)} oracle={len(oc)}")
+            fails += 1
+        elif sc != oc:
+            bad = next(i for i in range(len(sc)) if sc[i] != oc[i])
+            print(f"{name}: HASH MISMATCH first diff row {bad}:\n  spark : {sc[bad]}\n  oracle: {oc[bad]}")
+            fails += 1
         else:
-            print(f"[OK] {name}: {len(o)} rows")
-            n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad")
-    return 1 if n_bad else 0
+            print(f"{name}: OK ({len(sc)} rows)")
+    sys.exit(1 if fails else 0)
+
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
