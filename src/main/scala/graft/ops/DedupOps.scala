@@ -25,7 +25,7 @@ object DedupOps {
     * words contribute none). 0-indexed array lambda on the Spark side,
     * 1-indexed generate_series in the oracle — same shingles.
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)

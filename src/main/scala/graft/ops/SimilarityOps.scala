@@ -129,31 +129,36 @@ object SimilarityOps {
   // ------------------------------------------------------------------
   /** IVF-style ANN: vectors with vec_id % 61 == 0 serve as coarse
     * centroids; every vector is assigned to its nearest centroid (the
-    * cell), and each query searches only its own cell. Assignment is a
-    * broadcast of the (tiny) seed set + argmax-by-window; the per-cell
-    * search joins on the cell id, so the candidate set never leaves its
-    * equi-join key. Recall vs. the exact scan is asserted in
+    * cell). Queries are MULTI-PROBE (nprobe=3): each query searches the
+    * members of its 3 nearest cells — the standard IVF recall/throughput
+    * dial (single-probe recall@5 measured 0.36 on the fixture; 3-probe
+    * lifts it while still scanning ~3/|cells| of the corpus). Assignment
+    * is a broadcast of the (tiny) seed set + argmax-by-window; the
+    * per-cell search joins on the cell id, so the candidate set never
+    * leaves its equi-join key. Recall vs. the exact scan is asserted in
     * SimilaritySpec; the oracle mirrors the same two-stage plan in SQL.
     */
+  private val NProbe = 3
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = withNorm(spark, sfDir)
     val seeds = e.filter(pmod(col("vec_id"), lit(61)) === 0)
       .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
         col("norm").as("sn"))
-    // assign: argmax cosine over seeds (broadcast — seeds are tiny)
+    // assign: rank all seeds per vector by cosine (broadcast — seeds tiny)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("seed_cos").desc, col("seed_id").asc)
-    val assigned = e.crossJoin(broadcast(seeds))
+    val ranked = e.crossJoin(broadcast(seeds))
       .withColumn("seed_cos", cosine("embedding", "norm", "sv", "sn"))
       .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("label"),
-        col("seed_id").as("cell"))
-    val queries = assigned.filter(col("vec_id") < 5)
+    // every vector lives in exactly its nearest cell...
+    val cands = ranked.filter(col("arank") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"), col("seed_id").as("cell"))
+    // ...while a query probes its NProbe nearest cells.
+    val queries = ranked.filter(col("vec_id") < 5 && col("arank") <= NProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("norm").as("qn"), col("cell"))
-    val cands = assigned.select(col("vec_id").as("cid"),
-      col("embedding").as("cv"), col("norm").as("cn"), col("cell"))
+        col("norm").as("qn"), col("seed_id").as("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
     queries.join(cands, Seq("cell"))
@@ -170,21 +175,20 @@ object SimilarityOps {
     s"""WITH seeds AS (
        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
        |  WHERE vec_id % 61 = 0),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, s.seed_id AS cell,
-       |           ROW_NUMBER() OVER (
-       |             PARTITION BY e.vec_id
-       |             ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
-       |                      s.seed_id ASC) AS arank
-       |    FROM embeddings e CROSS JOIN seeds s)
-       |  WHERE arank = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assigned
-       |      WHERE vec_id < 5),
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, s.seed_id AS cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
+       |                    s.seed_id ASC) AS arank
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |cand AS (SELECT vec_id, embedding, cell FROM cellranked WHERE arank = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM cellranked
+       |      WHERE vec_id < 5 AND arank <= 3),
        |scored AS (
        |  SELECT q.qid, c.vec_id AS cid,
        |         ${cosineSql("q.qv", "c.embedding")} AS cosine
-       |  FROM q JOIN assigned c USING (cell)
+       |  FROM q JOIN cand c USING (cell)
        |  WHERE q.qid <> c.vec_id),
        |ranked AS (
        |  SELECT qid, cid, cosine,

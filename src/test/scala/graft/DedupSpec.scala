@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** Brute-force verification of the LSH dedup operators (the checks the
+  * Spark-side queries cannot get from the DuckDB oracle because xxhash64
+  * is Spark-specific).
+  *
+  * Method: ground truth is recomputed DRIVER-SIDE in plain Scala from the
+  * raw document text — independent of every Spark SQL operator under
+  * test — and compared against the distributed pipelines at sf0.01
+  * (500 docs, so the all-pairs truth is 125k comparisons).
+  */
+class DedupSpec extends SparkSpec {
+
+  /** doc_id → distinct word-3-gram shingle set, straight from the text. */
+  private lazy val truthShingles: Map[Long, Set[String]] = {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+    docs.iterator.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      r.getLong(0) -> (if (ws.length < 3) Set.empty[String]
+                       else ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double = {
+    val inter = (a & b).size
+    if (inter == 0) 0.0 else inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** All pairs with true Jaccard ≥ threshold (exhaustive driver loop). */
+  private def truePairs(threshold: Double): Map[(Long, Long), Double] = {
+    val ids = truthShingles.keys.toArray.sorted
+    val out = Map.newBuilder[(Long, Long), Double]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val jac = jaccard(truthShingles(ids(i)), truthShingles(ids(j)))
+      if (jac >= threshold) out += ((ids(i), ids(j)) -> jac)
+    }
+    out.result()
+  }
+
+  test("minhash: every reported pair is a true near-dup (subset of brute force)") {
+    val out = DedupOps.dedupMinhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = truePairs(0.5)
+    out.foreach { case (pair, jac) =>
+      assert(truth.contains(pair), s"minhash reported a false positive: $pair")
+      assert(math.abs(truth(pair) - jac) < 1e-6,
+        s"jaccard mismatch for $pair: spark=$jac truth=${truth(pair)}")
+    }
+  }
+
+  test("minhash: recall vs brute-force Jaccard >= 0.5") {
+    val out = DedupOps.dedupMinhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = truePairs(0.5).keySet
+    assert(truth.nonEmpty, "fixture has no true near-dup pairs")
+    val recall = out.size.toDouble / truth.size
+    info(f"minhash recall: ${out.size}/${truth.size} = $recall%.3f")
+    // With 4 bands of 4 hashes, P(candidate) at s=0.9 is already 0.986;
+    // the fixture's dup pairs all have J >= 0.9, so recall must be high.
+    assert(recall >= 0.8, s"minhash recall $recall below 0.8")
+  }
+
+  test("minhash output == band-collision candidates ∩ {J >= 0.5} (LSH plumbing is exact)") {
+    // Band-bucket equality on xxhash64(band values) is equality of the
+    // raw 4-tuples (modulo 64-bit hash collisions): recompute candidates
+    // from the collected signature matrix and intersect with the
+    // driver-side truth — this must equal the distributed output exactly.
+    val sig = DedupOps.minhashSignatures(DedupOps.shingles(spark, sfSmall))
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toVector)
+    val cands = for {
+      i <- sig.indices; j <- (i + 1) until sig.length
+      (da, sa) = sig(i); (db, sb) = sig(j)
+      if (0 until 4).exists(b => sa.slice(b * 4, b * 4 + 4) == sb.slice(b * 4, b * 4 + 4))
+    } yield if (da < db) (da, db) else (db, da)
+    val truth = truePairs(0.5).keySet
+    val expected = cands.toSet.filter(truth.contains)
+    val out = DedupOps.dedupMinhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == expected,
+      s"minhash output != expected: missing=${expected -- out}, extra=${out -- expected}")
+  }
+
+  test("simhash output == ALL pairs with Hamming <= 3 (banding is exhaustive by pigeonhole)") {
+    // 4 bands × 8 bits: <= 3 differing bits can touch at most 3 bands, so
+    // at least one band is identical — the LSH candidate set provably
+    // covers every Hamming<=3 pair and the output must be exactly that set.
+    val sigs = DedupOps.simhashSignatures(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    val out = DedupOps.dedupSimhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == expected,
+      s"simhash output != brute force: missing=${expected -- out}, extra=${out -- expected}")
+  }
+
+  test("ngram jaccard query matches driver-side brute force with the df cap") {
+    val ids = truthShingles.keys.toArray.sorted
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    truthShingles.values.foreach(_.foreach(g => df(g) = df.getOrElse(g, 0) + 1))
+    val rare = df.collect { case (g, c) if c <= 50 => g }.toSet
+    val capped = truthShingles.map { case (d, s) => d -> (s & rare) }
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = capped(ids(i)); b = capped(ids(j))
+      jac = jaccard(a, b)
+      if jac >= 0.3
+    } yield (ids(i), ids(j))).toSet
+    val out = DedupOps.dedupNgramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == expected,
+      s"ngram jaccard != brute force: missing=${expected -- out}, extra=${out -- expected}")
+  }
+}

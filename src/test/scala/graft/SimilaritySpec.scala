@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+import graft.ops.SimilarityOps
+
+/** ANN recall against the exact scan, plus the VecDot expression's
+  * analysis-time type checking and NULL contract (the engine/oracle
+  * parity rules documented on [[graft.functions.VecDot]]).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("IVF ANN recall@5 vs exact brute force") {
+    val exact = SimilarityOps.annBruteforce(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.annIvf(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.size == 25, s"expected 5 queries x top-5, got ${exact.size}")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@5: ${(exact & ivf).size}/${exact.size} = $recall%.3f")
+    // Fixture embeddings are near-random (measured top-5 cosines ~0.3-0.4,
+    // no label clustering), which caps achievable IVF recall: probing the
+    // 3 best of 9 cells on unclustered data has a ~0.33 random baseline.
+    // nprobe=3 measured 0.48 (single-probe was 0.36) — assert it stays
+    // meaningfully above the random-probe baseline; on clustered real
+    // corpora the same plan's recall rises with cluster purity.
+    assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+  }
+
+  test("vec_dot equals the higher-order-function fold on real embeddings") {
+    VectorExprs.register(spark)
+    val bad = Tables.embeddings(spark, sfSmall)
+      .limit(200)
+      .select(
+        expr("vec_dot(embedding, embedding)").as("fast"),
+        expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(bad == 0, s"$bad rows where VecDot != sequential fold")
+  }
+
+  test("vec_dot rejects non-float/double arrays at analysis time") {
+    VectorExprs.register(spark)
+    intercept[AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT vec_dot('not an array', array(1.0D))").collect()
+    }
+  }
+
+  test("vec_dot NULL contract: null element, length mismatch, null argument") {
+    VectorExprs.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)),
+        |          array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS null_elem,
+        |  vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |          array(CAST(3 AS FLOAT))) AS len_mismatch,
+        |  vec_dot(CAST(NULL AS ARRAY<FLOAT>),
+        |          array(CAST(1 AS FLOAT))) AS null_arg,
+        |  vec_dot(array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)),
+        |          array(CAST(4 AS FLOAT), CAST(5 AS FLOAT))) AS ok
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0), "null element must poison the dot (list_zip semantics)")
+    assert(r.isNullAt(1), "length mismatch must yield NULL, not silent truncation")
+    assert(r.isNullAt(2), "null argument must yield NULL")
+    assert(r.getDouble(3) == 23.0)
+  }
+}
