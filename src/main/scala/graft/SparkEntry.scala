@@ -25,7 +25,8 @@ object SparkEntry {
       ops.TextOps.queries ++
       ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++
-      ops.MultimodalOps.queries
+      ops.MultimodalOps.queries ++
+      etl.Medallion.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.TextOps.oracles ++
       ops.DedupOps.oracles ++
       ops.SimilarityOps.oracles ++
-      ops.MultimodalOps.oracles
+      ops.MultimodalOps.oracles ++
+      etl.Medallion.oracles
 }

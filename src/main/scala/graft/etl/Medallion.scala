@@ -1,0 +1,148 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.Tables
+
+/** The reference's medallion persistence layer (SURVEY.md §2.1 S8–S10,
+  * S12) — the part of a lakehouse that writes:
+  *
+  *  - S8 full replace: `CREATE OR REPLACE TABLE gold AS SELECT …`
+  *    (`dags/mitma/new_gold.py:31-79`) → `write.mode("overwrite")`.
+  *  - S10 partition replace: `DELETE FROM silver WHERE date='…'` then
+  *    re-`INSERT` that day (`dags/mitma/silver_mitma.py:108,119-139`) →
+  *    `partitionBy("date")` + `partitionOverwriteMode=dynamic`, which
+  *    rewrites ONLY the partitions present in the incoming frame.
+  *  - S9 append: `INSERT INTO silver SELECT …`
+  *    (`dags/Economy/transform_silver_economy.py:32-64`) →
+  *    `write.mode("append")`.
+  *  - S12 CSV export: `COPY (SELECT …) TO '…csv'`
+  *    (`dags/bussiness_layer/generate_report.py:141-147`) →
+  *    `write.option("header", true).csv`.
+  *
+  * Scale design: partitioning silver by `date` is what makes the daily
+  * re-run idempotent AND cheap at 100 TB — the dynamic overwrite touches
+  * one partition's files, never the table; downstream readers get
+  * partition pruning on every `WHERE date` probe for free. The append
+  * path is a blind file add (no read-modify-write of existing data).
+  * Everything driver-side here is two scalar date lookups (the same
+  * engine→driver hop the reference's `fetchone()` uses).
+  */
+object Medallion {
+
+  /** Per-SF scratch warehouse (gitignored `spark-warehouse/`), so
+    * verify (sf0.01) and bench (sf0.1) runs never collide. */
+  private def warehouse(sfDir: String): String =
+    s"spark-warehouse/${new java.io.File(sfDir).getName}"
+
+  private def rmTree(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  // ------------------------------------------------------------------
+  /** S8+S9+S10 in one verifiable pipeline: build silver partitioned by
+    * date, partition-replace the first day with corrected values
+    * (trips×2 — simulating the reference's daily DELETE+re-INSERT after
+    * an upstream fix), append a brand-new day (the first day's rows
+    * shifted past the max date, trips×0.5), then read the table back
+    * from disk and aggregate per date. The oracle recomputes the exact
+    * post-write state from `events` alone, so a duplicated (overwrite
+    * that appended) or lost (overwrite that truncated the table)
+    * partition fails the hash compare.
+    */
+  def partitionReplace(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = s"${warehouse(sfDir)}/silver_mobility"
+    rmTree(spark, tbl) // clean slate → the query itself is idempotent
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val silver = SilverMobility.fromEvents(spark, sfDir)
+    silver.write.partitionBy("date").mode("overwrite").parquet(tbl)
+
+    // the reference's driver-side date probe (silver_mitma.py:108)
+    val mm = silver.agg(min(col("date")), max(col("date"))).first()
+    val dMin = mm.getDate(0)
+    val dMax = mm.getDate(1)
+
+    // S10: dynamic overwrite replaces ONLY the dMin partition
+    silver.filter(col("date") === lit(dMin))
+      .withColumn("trips", col("trips") * 2)
+      .write.partitionBy("date").mode("overwrite").parquet(tbl)
+
+    // S9: append a new day — no existing file is touched
+    silver.filter(col("date") === lit(dMin))
+      .withColumn("date", date_add(lit(dMax), 1))
+      .withColumn("trips", col("trips") * 0.5)
+      .write.partitionBy("date").mode("append").parquet(tbl)
+
+    // read back from disk: the partition column comes from directory
+    // names, and the groupBy("date") prunes/aggregates per partition
+    spark.read.parquet(tbl)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("trips")), 4).as("sum_trips"),
+        countDistinct(col("hour_period")).as("n_hours"))
+      .orderBy(col("date"))
+  }
+
+  private val partitionReplaceOracle =
+    s"""WITH silver AS (${SilverMobility.fromEventsSql}),
+       |bounds AS (SELECT MIN(date) AS dmin, MAX(date) AS dmax FROM silver),
+       |post_write AS (
+       |  SELECT s.date, s.hour_period,
+       |         CASE WHEN s.date = b.dmin THEN s.trips * 2 ELSE s.trips END AS trips
+       |  FROM silver s, bounds b
+       |  UNION ALL
+       |  SELECT b.dmax + 1 AS date, s.hour_period, s.trips * 0.5 AS trips
+       |  FROM silver s, bounds b WHERE s.date = b.dmin)
+       |SELECT date, COUNT(*) AS n_rows,
+       |       ROUND(SUM(trips), 4) AS sum_trips,
+       |       COUNT(DISTINCT hour_period) AS n_hours
+       |FROM post_write GROUP BY date ORDER BY date""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** S12: gold report → CSV with header → read back through an explicit
+    * schema. Round-trips the aggregate through text (doubles are written
+    * with Java's shortest-round-trip formatting, so the parse restores
+    * the identical double) and returns the re-read frame; the oracle
+    * computes the same aggregate straight from `orders`.
+    */
+  def csvExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${warehouse(sfDir)}/report_csv"
+    rmTree(spark, out)
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"))
+      .coalesce(1) // single CSV part — the reference exports one file
+      .write.option("header", true).mode("overwrite").csv(out)
+
+    spark.read
+      .option("header", true)
+      .schema(StructType(Seq(
+        StructField("priority", StringType),
+        StructField("n_orders", LongType),
+        StructField("total_price", DoubleType))))
+      .csv(out)
+      .orderBy(col("priority"))
+  }
+
+  private val csvExportOracle =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+      |       ROUND(SUM(o_totalprice), 4) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_replace" -> (partitionReplace _),
+    "q_csv_export" -> (csvExport _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_replace" -> partitionReplaceOracle,
+    "q_csv_export" -> csvExportOracle
+  )
+}

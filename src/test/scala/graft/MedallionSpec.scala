@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Medallion, SilverMobility}
+
+/** Partition-replace / append semantics against independently computed
+  * expectations: a dynamic overwrite that silently appended (duplicate
+  * rows) or truncated the table (lost partitions) fails these.
+  */
+class MedallionSpec extends SparkSpec {
+
+  test("dynamic partition overwrite replaces exactly one partition; append adds one") {
+    val silver = SilverMobility.fromEvents(spark, sfTiny).cache()
+    val perDate = silver.groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum(col("trips")).as("s"))
+      .collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val dMin = perDate.keys.minBy(_.getTime)
+    val dMax = perDate.keys.maxBy(_.getTime)
+    val dNew = java.sql.Date.valueOf(dMax.toLocalDate.plusDays(1))
+
+    val out = Medallion.partitionReplace(spark, sfTiny).collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    assert(out.size == perDate.size + 1, "exactly one new partition expected")
+    // replaced partition: same row count (no duplicate append), doubled sum
+    assert(out(dMin)._1 == perDate(dMin)._1, "dMin row count changed — overwrite duplicated or lost rows")
+    assert(math.abs(out(dMin)._2 - BigDecimal(perDate(dMin)._2 * 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    // appended partition: dMin's rows at half weight
+    assert(out(dNew)._1 == perDate(dMin)._1)
+    // untouched partitions: bit-identical aggregates
+    perDate.keys.filterNot(_ == dMin).foreach { d =>
+      assert(out(d)._1 == perDate(d)._1, s"partition $d row count changed")
+    }
+    silver.unpersist()
+  }
+}
