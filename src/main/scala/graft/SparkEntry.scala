@@ -26,7 +26,8 @@ object SparkEntry {
       ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++
       ops.MultimodalOps.queries ++
-      etl.Medallion.queries
+      etl.Medallion.queries ++
+      sources.CsvSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.DedupOps.oracles ++
       ops.SimilarityOps.oracles ++
       ops.MultimodalOps.oracles ++
-      etl.Medallion.oracles
+      etl.Medallion.oracles ++
+      sources.CsvSources.oracles
 }

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.Tables
+
+/** CSV ingestion — the reference's bronze layer (SURVEY.md §2.1 S1/S2):
+  *
+  *  - S1: MITMA daily OD file — gzipped, `|`-separated, read permissively
+  *    with every column as VARCHAR and malformed rows tolerated
+  *    (`read_csv_auto(url, compression='gzip', ignore_errors=true,
+  *    all_varchar=true)`, `dags/mitma/bronze_mitma.py:49-69`) →
+  *    `spark.read.schema(allVarchar).option("mode","DROPMALFORMED")`.
+  *  - S2: INE economy/population file — `;`-separated with schema
+  *    inference (`read_csv(path, ignore_errors=true)`,
+  *    `dags/Economy/ingestion_bronze_economy.py:14-17`) →
+  *    `.option("sep",";").option("inferSchema",true)`.
+  *
+  * The fixture files are generated ONCE per scale factor from the
+  * harness parquet (deterministic content, ordered by key; corrupt lines
+  * injected at fixed intervals), then re-used — the same skip-if-present
+  * idempotency the reference's ingest tasks use
+  * (`dags/mitma/bronze_mitma.py:38-47`). The DuckDB oracle reads the
+  * SAME files with `read_csv`, so the parse itself (including which
+  * malformed rows get dropped) is what is being verified, not just the
+  * downstream aggregation.
+  *
+  * Scale notes: a gzipped CSV is not splittable — one Spark task per
+  * file, which matches the reference's one-file-per-day layout (daily
+  * fan-out gives the parallelism, not intra-file splits). The permissive
+  * all-string bronze schema means NO type coercion happens at scan time;
+  * typing is silver's job (TRY_CAST battery), so a bad day's file can
+  * never fail the ingest.
+  */
+object CsvSources {
+
+  /** Bump when fixture content/format changes — the generator skips
+    * work if the versioned file already exists. */
+  private val FixtureVersion = 1
+
+  private def fixtureDir(sfDir: String): File =
+    new File(s"/root/repo/spark-warehouse/${new File(sfDir).getName}/fixtures")
+
+  private def writeLines(target: File, gzip: Boolean)(lines: Iterator[String]): Unit = {
+    target.getParentFile.mkdirs()
+    val tmp = new File(target.getParentFile, target.getName + ".tmp")
+    val out = new FileOutputStream(tmp)
+    val w = new BufferedWriter(new OutputStreamWriter(
+      if (gzip) new GZIPOutputStream(out) else out, StandardCharsets.UTF_8))
+    try lines.foreach { l => w.write(l); w.write("\n") }
+    finally w.close()
+    if (!tmp.renameTo(target)) sys.error(s"fixture rename failed: $target")
+  }
+
+  /** MITMA-shaped daily OD fixture: header + one `|`-separated line per
+    * order, with a short line injected every 97 rows and an over-long
+    * line every 211 — both dropped identically by Spark DROPMALFORMED
+    * and DuckDB ignore_errors (verified behavior, not assumed).
+    */
+  def mitmaCsvGz(spark: SparkSession, sfDir: String): String = {
+    val f = new File(fixtureDir(sfDir), s"mitma_v$FixtureVersion.csv.gz")
+    if (!f.exists()) {
+      val rows = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .collect()
+      writeLines(f, gzip = true) {
+        val header = Iterator.single(
+          "fecha|origen|destino|periodo|distancia|viajes|viajes_km")
+        val body = rows.iterator.zipWithIndex.flatMap { case (r, i) =>
+          val k = r.getLong(0); val c = r.getLong(1)
+          val fecha = r.getDate(2).toLocalDate
+            .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+          val price = r.getDouble(3)
+          val viajes = BigDecimal(price / 1000.0)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          val viajesKm = BigDecimal(price / 100.0)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          val line =
+            s"$fecha|Z${c % 50}|Z${k % 50}|${k % 24}|D${k % 10}|$viajes|$viajesKm"
+          // note: a SINGLE-token line is not malformed to Spark's
+          // univocity parser (it pads the missing columns with null);
+          // two tokens vs a 7-column schema is dropped by both engines.
+          val corrupt =
+            if (i % 97 == 96) Seq("FICHERO|CORRUPTO")
+            else if (i % 211 == 210) Seq(s"$line|EXTRA_CAMPO")
+            else Seq.empty
+          corrupt.iterator ++ Iterator.single(line)
+        }
+        header ++ body
+      }
+    }
+    f.getAbsolutePath
+  }
+
+  /** INE-shaped `;`-separated economy fixture (clean — malformed
+    * tolerance is S1's concern; this one exercises delimiter + schema
+    * inference). */
+  def ineCsv(spark: SparkSession, sfDir: String): String = {
+    val f = new File(fixtureDir(sfDir), s"ine_economy_v$FixtureVersion.csv")
+    if (!f.exists()) {
+      val rows = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+        .collect()
+      writeLines(f, gzip = false) {
+        Iterator.single("Municipios;Periodo;Total") ++
+          rows.iterator.map { r =>
+            val k = r.getLong(0)
+            val bal = BigDecimal(r.getDouble(1))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            s"${10000 + k % 100} Municipio ${k % 100};${2020 + k % 4};$bal"
+          }
+      }
+    }
+    f.getAbsolutePath
+  }
+
+  private val mitmaCols = Seq(
+    "fecha", "origen", "destino", "periodo", "distancia", "viajes", "viajes_km")
+
+  // ------------------------------------------------------------------
+  /** S1 + P1: permissive all-varchar gzipped scan, then the bronze→
+    * silver rename projection and typing (`bronze_mitma.py:51-67` +
+    * `silver_mitma.py:119-139` in miniature), aggregated per origin. */
+  def csvScanPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = mitmaCsvGz(spark, sfDir)
+    val bronze = spark.read
+      .option("header", true).option("sep", "|").option("mode", "DROPMALFORMED")
+      .schema(StructType(mitmaCols.map(StructField(_, StringType))))
+      .csv(path)
+    // The aggregate consumes EVERY bronze column on purpose: Spark prunes
+    // CSV parsing to the referenced columns, and a token-count mismatch
+    // in an unparsed column region goes undetected — malformed-row drops
+    // only mirror DuckDB's ignore_errors when the full row is parsed.
+    bronze
+      .select(
+        to_date(col("fecha"), "yyyyMMdd").as("date"),
+        col("origen").as("origin_zone"),
+        col("destino").as("destination_zone"),
+        col("periodo").cast("int").as("hour_period"),
+        col("distancia").as("distance_range"),
+        col("viajes").cast("double").as("trips"),
+        col("viajes_km").cast("double").as("trips_km"))
+      .groupBy(col("origin_zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("trips")), 4).as("sum_trips"),
+        round(sum(col("trips_km")), 4).as("sum_trips_km"),
+        countDistinct(col("destination_zone")).as("n_dest"),
+        countDistinct(col("hour_period")).as("n_periods"),
+        countDistinct(col("distance_range")).as("n_ranges"),
+        min(col("date")).as("first_day"),
+        max(col("date")).as("last_day"))
+      .orderBy(col("origin_zone"))
+  }
+
+  /** Oracle over the SAME file — path is resolved for the sf0.01 dir the
+    * driver verifies at. */
+  private def csvScanPermissiveOracle(path: String) =
+    s"""SELECT origen AS origin_zone, COUNT(*) AS n_rows,
+       |       ROUND(SUM(CAST(viajes AS DOUBLE)), 4) AS sum_trips,
+       |       ROUND(SUM(CAST(viajes_km AS DOUBLE)), 4) AS sum_trips_km,
+       |       COUNT(DISTINCT destino) AS n_dest,
+       |       COUNT(DISTINCT CAST(periodo AS INTEGER)) AS n_periods,
+       |       COUNT(DISTINCT distancia) AS n_ranges,
+       |       MIN(CAST(strptime(fecha, '%Y%m%d') AS DATE)) AS first_day,
+       |       MAX(CAST(strptime(fecha, '%Y%m%d') AS DATE)) AS last_day
+       |FROM read_csv('$path', delim='|', header=true, all_varchar=true,
+       |              ignore_errors=true, compression='gzip')
+       |GROUP BY origen ORDER BY origin_zone""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** S2 + F3: `;`-separated inferred-schema scan, leading municipality
+    * code split out of "46250 Valencia"-style labels
+    * (`transform_silver_economy.py:35-37`), income averaged per
+    * (code, year). */
+  def csvScanInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ineCsv(spark, sfDir)
+    spark.read
+      .option("header", true).option("sep", ";").option("inferSchema", true)
+      .csv(path)
+      .select(
+        split(col("Municipios"), " ").getItem(0).as("municipality_code"),
+        col("Periodo").cast("int").as("year"),
+        col("Total").cast("double").as("income"))
+      .groupBy(col("municipality_code"), col("year"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("income")), 4).as("avg_income"))
+      .orderBy(col("municipality_code"), col("year"))
+  }
+
+  private def csvScanInferOracle(path: String) =
+    s"""SELECT split_part(Municipios, ' ', 1) AS municipality_code,
+       |       CAST(Periodo AS INTEGER) AS year, COUNT(*) AS n_rows,
+       |       ROUND(AVG(CAST(Total AS DOUBLE)), 4) AS avg_income
+       |FROM read_csv('$path', delim=';', header=true)
+       |GROUP BY 1, 2 ORDER BY municipality_code, year""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_scan_permissive" -> (csvScanPermissive _),
+    "q_csv_scan_infer" -> (csvScanInfer _)
+  )
+
+  /** The driver verifies at sf0.01, so the oracle SQL embeds the sf0.01
+    * fixture paths (generated by the Spark query running first — Verify
+    * executes queries before the driver runs the oracle). */
+  def oracles: Map[String, String] = {
+    val dir = fixtureDir("/root/testdata/sf0.01").getAbsolutePath
+    Map(
+      "q_csv_scan_permissive" ->
+        csvScanPermissiveOracle(s"$dir/mitma_v$FixtureVersion.csv.gz"),
+      "q_csv_scan_infer" ->
+        csvScanInferOracle(s"$dir/ine_economy_v$FixtureVersion.csv")
+    )
+  }
+}
