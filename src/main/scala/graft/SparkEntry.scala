@@ -27,6 +27,7 @@ object SparkEntry {
       ops.SimilarityOps.queries ++
       ops.MultimodalOps.queries ++
       etl.Medallion.queries ++
+      etl.SilverMobility.queries ++
       sources.CsvSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.SimilarityOps.oracles ++
       ops.MultimodalOps.oracles ++
       etl.Medallion.oracles ++
+      etl.SilverMobility.oracles ++
       sources.CsvSources.oracles
 }
