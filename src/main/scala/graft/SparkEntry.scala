@@ -26,6 +26,7 @@ object SparkEntry {
       ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++
       ops.MultimodalOps.queries ++
+      ops.CatalogOps.queries ++
       etl.Medallion.queries ++
       etl.SilverMobility.queries ++
       sources.CsvSources.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       ops.DedupOps.oracles ++
       ops.SimilarityOps.oracles ++
       ops.MultimodalOps.oracles ++
+      ops.CatalogOps.oracles ++
       etl.Medallion.oracles ++
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles

@@ -310,8 +310,72 @@ object RelationalOps {
       |      WHERE l_returnflag = 'R')
       |GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- P6
+  /** `IN (<dynamic list>)` — the reference builds the list driver-side
+    * (target districts from a prior query) and interpolates it into the
+    * report SQL (`dags/mitma/generate_report.py:45-56`,
+    * `dags/bussiness_layer/generate_report.py:105,126`). Same two-phase
+    * shape here: a driver `collect()` of the top-2 segments, then
+    * `isin(values: _*)` — which Catalyst compiles to an In predicate
+    * pushed to the parquet scan. The oracle expresses the identical set
+    * as an IN-subquery.
+    */
+  def isinFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val targetSegs = cust.groupBy(col("c_mktsegment")).count()
+      .orderBy(col("count").desc, col("c_mktsegment").asc)
+      .limit(2).collect().map(_.getString(0)).toSeq
+    cust.filter(col("c_mktsegment").isin(targetSegs: _*))
+      .groupBy(col("c_mktsegment"), col("c_nationkey").cast("int").as("nation"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("c_acctbal"))).as("avg_bal"))
+      .orderBy(col("c_mktsegment"), col("nation"))
+  }
+
+  private val isinFilterOracle =
+    """SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nation,
+      |       COUNT(*) AS n, ROUND(AVG(c_acctbal),4) AS avg_bal
+      |FROM customer
+      |WHERE c_mktsegment IN (
+      |  SELECT c_mktsegment FROM customer GROUP BY c_mktsegment
+      |  ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 2)
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, nation""".stripMargin
+
+  // ---------------------------------------------------------------- F5
+  /** TRIM / NULLIF(TRIM(x), '') — the INE cleaners' blank-to-NULL
+    * normalization (`dags/Economy/transform_silver_economy.py:39`,
+    * `dags/Population/transform_silver_population.py:50-52`). Padded and
+    * deterministically-blanked strings are synthesized, repaired, and
+    * aggregated; blanks must come back as NULL, not ''.
+    */
+  def trimNullif(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        trim(concat(lit("  "), col("c_mktsegment"), lit("\t "))).as("seg"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit("   "))
+          .otherwise(col("c_name")).as("raw"))
+      .select(col("seg"), expr("nullif(trim(raw), '')").as("cleaned"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cleaned").isNull, 1).otherwise(0)).as("n_blank"),
+        min(length(col("cleaned"))).as("min_len"),
+        max(length(col("cleaned"))).as("max_len"))
+      .orderBy(col("seg"))
+
+  private val trimNullifOracle =
+    """SELECT TRIM('  ' || c_mktsegment || chr(9) || ' ') AS seg,
+      |       COUNT(*) AS n,
+      |       SUM(CASE WHEN cleaned IS NULL THEN 1 ELSE 0 END) AS n_blank,
+      |       MIN(length(cleaned)) AS min_len, MAX(length(cleaned)) AS max_len
+      |FROM (SELECT c_mktsegment,
+      |             NULLIF(TRIM(CASE WHEN c_custkey % 7 = 0 THEN '   '
+      |                              ELSE c_name END), '') AS cleaned
+      |      FROM customer)
+      |GROUP BY 1 ORDER BY seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bronze_rename" -> (bronzeRename _),
+    "q_isin_filter" -> (isinFilter _),
+    "q_trim_nullif" -> (trimNullif _),
     "q_filter_pred" -> (filterPred _),
     "q_like_filter" -> (likeFilter _),
     "q_case_buckets" -> (caseBuckets _),
@@ -328,6 +392,8 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q_bronze_rename" -> bronzeRenameOracle,
+    "q_isin_filter" -> isinFilterOracle,
+    "q_trim_nullif" -> trimNullifOracle,
     "q_filter_pred" -> filterPredOracle,
     "q_like_filter" -> likeFilterOracle,
     "q_case_buckets" -> caseBucketsOracle,
