@@ -29,7 +29,8 @@ object SparkEntry {
       ops.CatalogOps.queries ++
       etl.Medallion.queries ++
       etl.SilverMobility.queries ++
-      sources.CsvSources.queries
+      sources.CsvSources.queries ++
+      sources.Shapefile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       ops.CatalogOps.oracles ++
       etl.Medallion.oracles ++
       etl.SilverMobility.oracles ++
-      sources.CsvSources.oracles
+      sources.CsvSources.oracles ++
+      sources.Shapefile.oracles
 }

@@ -304,13 +304,28 @@ object Geo {
   /** ST_Contains(a, b): every exterior vertex of b inside a, no proper
     * boundary crossing (a concave a can be exited and re-entered by an
     * edge of b while all of b's vertices stay inside — the crossing test
-    * catches that), and no hole of a strictly inside b. Boundary touches
-    * are allowed, matching OGC Contains over closed geometries. */
+    * catches that), every edge MIDPOINT of b inside a (a crossing whose
+    * orientation test degenerates to 0 — an edge of b exiting exactly
+    * through a vertex of a, or leaving along a collinear boundary run —
+    * is invisible to the proper-crossing sign test but leaves the
+    * midpoint of the offending sub-segment outside), and no hole of a
+    * strictly inside b. Boundary touches are allowed, matching OGC
+    * Contains over closed geometries. Remaining documented limitation:
+    * an edge of b that exits AND re-enters a within the same half-edge
+    * (two vertex-degenerate crossings inside one segment) can evade both
+    * tests; exact arithmetic would be needed to close that, which this
+    * engine trades away consistently with onSegment's 1e-12 tolerance.
+    */
   def containsGeom(a: Geom, b: Geom): Boolean = b match {
     case GPoint(p) => contains(a, p)
     case _ =>
       val pa = polysOf(a); val pb = polysOf(b)
       pb.forall(_.exterior.forall(p => contains(a, p))) &&
+        pb.forall(_.exterior.sliding(2).forall {
+          case Vector(p, q) =>
+            contains(a, Pt((p.x + q.x) / 2, (p.y + q.y) / 2))
+          case _ => true
+        }) &&
         !pb.exists(bp => pa.exists(ap => boundariesProperlyCross(ap, bp))) &&
         // no hole of a strictly inside b (would punch through b's interior)
         pa.forall(_.rings.tail.forall(h =>

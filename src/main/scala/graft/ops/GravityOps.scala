@@ -432,7 +432,54 @@ object GravityOps {
       .orderBy(col("k"))
   }
 
+  // ------------------------------------------------------------------
+  /** F14: ST_AsGeoJSON (`dags/gravity/create_map.py:32`) — the map-sink
+    * serialization. The GeoJSON strings are produced by the UDF and then
+    * PARSED BACK with Spark's JSON path extraction; the oracle computes
+    * the same type names and coordinates directly, so the output must be
+    * well-formed JSON with the right structure and numbers — not merely
+    * a string that looks plausible.
+    */
+  def geoJson(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val k = col("n_nationkey")
+    val lon0 = lit(-9.0) + pmod(k, lit(10)) * 1.5
+    val lat0 = lit(36.0) + pmod(k, lit(7)) * 1.1
+    val w = lit(0.5) + pmod(k, lit(5)) * 0.1
+    Tables.nation(spark, sfDir)
+      .select(k.cast("int").as("k"),
+        expr("st_asgeojson(st_point(-9.0 + (n_nationkey % 10) * 1.5," +
+          " 36.0 + (n_nationkey % 7) * 1.1))").as("gj_point"),
+        concat(lit("POLYGON(("),
+          lon0, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0 + w, lit(", "),
+          lon0, lit(" "), lat0, lit("))")).as("poly_wkt"))
+      .withColumn("gj_poly", expr("st_asgeojson(st_geomfromtext(poly_wkt))"))
+      .select(col("k"),
+        get_json_object(col("gj_point"), "$.type").as("point_type"),
+        round(get_json_object(col("gj_point"), "$.coordinates[0]")
+          .cast("double"), 6).as("jx"),
+        round(get_json_object(col("gj_point"), "$.coordinates[1]")
+          .cast("double"), 6).as("jy"),
+        get_json_object(col("gj_poly"), "$.type").as("poly_type"),
+        round(get_json_object(col("gj_poly"), "$.coordinates[0][2][1]")
+          .cast("double"), 6).as("ring_pt_y"))
+      .orderBy(col("k"))
+  }
+
+  private val geoJsonOracle =
+    """SELECT CAST(n_nationkey AS INTEGER) AS k,
+      |       'Point' AS point_type,
+      |       ROUND(-9.0 + (n_nationkey % 10) * 1.5, 6) AS jx,
+      |       ROUND(36.0 + (n_nationkey % 7) * 1.1, 6) AS jy,
+      |       'Polygon' AS poly_type,
+      |       ROUND(36.0 + (n_nationkey % 7) * 1.1
+      |             + 0.5 + (n_nationkey % 5) * 0.1, 6) AS ring_pt_y
+      |FROM nation ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geojson" -> (geoJson _),
     "q_geo_centroids" -> (geoCentroids _),
     "q_geo_distance_matrix" -> (geoDistanceMatrix _),
     "q_gravity_model" -> (gravityModel _),
@@ -443,6 +490,7 @@ object GravityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_geojson" -> geoJsonOracle,
     "q_geo_centroids" -> geoCentroidsOracle,
     "q_geo_distance_matrix" -> geoDistanceMatrixOracle,
     "q_gravity_model" -> gravityModelOracle,

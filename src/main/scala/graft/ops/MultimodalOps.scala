@@ -87,11 +87,58 @@ object MultimodalOps {
        |      FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** The decode pass consumed end-to-end: [[decodeAll]]'s mapPartitions
+    * output (dimensions, frame counts, and the 8-bin byte histogram
+    * feature) aggregated globally. The oracle recomputes every number
+    * from the raw text in SQL — the histogram bins via per-character
+    * occurrence counts (byte value ≡ code point for this ASCII corpus;
+    * counted with LENGTH-REPLACE chains over ' ' and a–z, which covers
+    * the corpus alphabet — any char outside it would desync the hash and
+    * surface loudly). Feature sums stay exact: the bins are integral
+    * float counts far below 2^24.
+    */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = decodeAll(spark, sfDir).toDF()
+    val binSums = (0 until 8).map(i =>
+      sum(element_at(col("feature"), i + 1).cast("double")).cast("long")
+        .as(s"f$i"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("byte_len")).cast("long").as("total_bytes"),
+      sum(col("width")).cast("long").as("sum_width"),
+      sum(col("height")).cast("long").as("sum_height"),
+      sum(col("n_frames")).cast("long").as("sum_frames")) ++ binSums
+    feats.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val mediaDecodeOracle: String = {
+    val alphabet = ' ' +: ('a' to 'z')
+    def binCountSql(b: Int): String = {
+      val chars = alphabet.filter(c => (c.toInt & 7) == b)
+      chars.map(c => s"(LENGTH(text) - LENGTH(REPLACE(text, '$c', '')))")
+        .mkString(" + ")
+    }
+    val bins = (0 until 8).map(b =>
+      s"CAST(SUM(${binCountSql(b)}) AS BIGINT) AS f$b").mkString(",\n       |       ")
+    s"""SELECT COUNT(*) AS n_docs,
+       |       CAST(SUM(blen) AS BIGINT) AS total_bytes,
+       |       CAST(SUM(blen % 640 + 1) AS BIGINT) AS sum_width,
+       |       CAST(SUM(blen % 480 + 1) AS BIGINT) AS sum_height,
+       |       CAST(SUM(blen // 100 + 1) AS BIGINT) AS sum_frames,
+       |       $bins
+       |FROM (SELECT text, octet_length(CAST(text AS BLOB)) AS blen
+       |      FROM documents)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_meta" -> (mediaMeta _)
+    "q_media_meta" -> (mediaMeta _),
+    "q_media_decode" -> (mediaDecode _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_media_meta" -> mediaMetaOracle
+    "q_media_meta" -> mediaMetaOracle,
+    "q_media_decode" -> mediaDecodeOracle
   )
 }

@@ -111,6 +111,20 @@ class GeoSpec extends AnyFunSuite {
     assert(containsGeom(u, touching))
   }
 
+  test("containsGeom: edge exiting exactly through a concave vertex (orientation==0) is caught") {
+    // Container dips to (3,1) between concave vertices (2,2) and (4,2).
+    // The inner triangle's top edge runs along y=2 from (1,2) to (5,2):
+    // it passes EXACTLY through both concave vertices (every orientation
+    // test degenerates to 0 — no proper crossing) yet lies outside the
+    // container for x in (2,4). The edge-midpoint test must catch it.
+    val a = parseWkt("POLYGON((0 0, 6 0, 6 4, 4 2, 3 1, 2 2, 0 4, 0 0))")
+    val b = parseWkt("POLYGON((1 2, 5 2, 3 0.5, 1 2))")
+    assert(!containsGeom(a, b), "vertex pass-through exit must defeat containment")
+    // control: the same triangle shifted fully below the notch IS contained
+    val c = parseWkt("POLYGON((1 0.8, 5 0.8, 3 0.3, 1 0.8))")
+    assert(containsGeom(a, c))
+  }
+
   test("bbox accessors") {
     val g = parseWkt("POLYGON ((1 2, 5 2, 5 7, 1 7, 1 2))")
     assert(bbox(g) == (1.0, 2.0, 5.0, 7.0))
