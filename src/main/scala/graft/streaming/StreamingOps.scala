@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming renditions of the mobility pipeline (§2.9).
+  *
+  * The reference is strictly batch-per-day — Airflow fans out one
+  * bronze+silver task per daily file (`dags/mitma/mitma_task_DAG.py:153,
+  * 156`) — so streaming EXCEEDS reference semantics; it is here because
+  * a Spark-native engine at 100 TB ingests the same daily drops as a
+  * file-source stream and gets incremental state, late-data handling,
+  * and exactly-once sinks for free. The operators mirror the batch
+  * layer's semantics so the two paths are mutually checkable (the spec
+  * asserts streaming output == the batch aggregation of the same rows).
+  *
+  * Scale notes: the windowed aggregate is a streaming state store keyed
+  * by (window, zone) — the watermark bounds state size by evicting
+  * closed windows; without it, state grows without bound. The
+  * sessionizer keeps ONE small state object per active user key and
+  * emits on event-time timeout, so state is proportional to concurrent
+  * activity, not history.
+  */
+object StreamingOps {
+
+  /** Watermarked event-time hourly OD aggregation — the streaming twin
+    * of the silver hourly rollup. Append-mode emits a (window, zone) row
+    * exactly once, after the watermark passes the window end. */
+  def hourlyTrips(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), "1 hour"),
+        concat(lit("Z"), lpad(pmod(col("user_id"), lit(50)).cast("string"), 3, "0"))
+          .as("origin_zone"))
+      .agg(sum(col("value")).as("trips"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("origin_zone"),
+        col("trips"), col("n_events"))
+
+  // ------------------------------------------------------------------
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class SessionState(
+      start: Long, last: Long, n: Int, total: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Int,
+      total_value: Double)
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: events of a
+    * user belong to one session while gaps stay under `gapMinutes`; a
+    * session closes either when a later in-batch event exceeds the gap
+    * (emitted immediately) or when the event-time watermark passes
+    * `last + gap` (emitted via timeout). This is the
+    * KeyValueGroupedDataset custom-state surface of §2.9.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) = Session(
+        userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = evs.toVector.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Vector.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                s.total + e.value))
+            case Some(s) =>
+              closed += toSession(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, Session}
+
+/** Structured Streaming semantics, driven through MemoryStream:
+  * the windowed aggregate must equal the batch aggregation of the same
+  * rows once the watermark closes the windows, and the sessionizer must
+  * split/emit on the inactivity gap both in-batch and via event-time
+  * timeout.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked hourly aggregation matches the batch rollup after windows close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val events = input.toDF()
+    val q = StreamingOps.hourlyTrips(events, "1 hour")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq(
+        Ev(1, ts("2024-01-01 10:05:00"), 2.0),
+        Ev(2, ts("2024-01-01 10:20:00"), 3.0),
+        Ev(51, ts("2024-01-01 10:40:00"), 5.0), // user 51 -> zone Z001 too
+        Ev(1, ts("2024-01-01 11:10:00"), 7.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // push the watermark past 11:00+1h so the 10:00 window closes
+      input.addData(Ev(3, ts("2024-01-01 13:30:00"), 1.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("hourly_out")
+        .filter(col("hour_start") === ts("2024-01-01 10:00:00"))
+        .orderBy("origin_zone")
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+      // batch twin over the same rows
+      val batch = batch1.toDF()
+        .filter(col("ts") < ts("2024-01-01 11:00:00"))
+        .groupBy(concat(lit("Z"),
+          lpad(pmod(col("user_id"), lit(50)).cast("string"), 3, "0")).as("z"))
+        .agg(sum("value").as("trips"), count(lit(1)).as("n"))
+        .orderBy("z")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+      // users 1 and 51 both map to zone Z001: 2.0 + 5.0
+      assert(streamed.toSeq == Seq(("Z001", 7.0, 2L), ("Z002", 3.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizer splits on the gap in-batch and emits via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 7: two bursts separated by >30min inside ONE batch -> the
+      // first session closes immediately when the second burst arrives.
+      input.addData(
+        Ev(7, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(7, ts("2024-01-01 10:10:00"), 2.0),
+        Ev(7, ts("2024-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sessions_out").as[Session].collect()
+      assert(afterBatch.toSeq == Seq(
+        Session(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2, 3.0)))
+
+      // advance the watermark far enough (wm = max ts - 10min must pass
+      // last + gap) for the open session's event-time timeout to fire.
+      input.addData(Ev(9, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_out").as[Session].collect()
+        .filter(_.user_id == 7).sortBy(_.session_start.getTime)
+      assert(sessions.toSeq == Seq(
+        Session(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2, 3.0),
+        Session(7, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00"), 1, 4.0)),
+        s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+}
