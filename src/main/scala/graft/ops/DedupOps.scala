@@ -189,13 +189,15 @@ object DedupOps {
     // cached: scanned three times (s1 side, s2 side, sizes) and tiny.
     val candSh = sh.join(broadcast(candDocs), Seq("doc_id")).cache()
     val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = cand
+    // candidate pairs and per-candidate sizes are the pruned (small)
+    // relations — broadcast them so no verify-stage join shuffles.
+    val shared = broadcast(cand)
       .join(candSh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
       .join(candSh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), Seq("d2"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= 0.5)

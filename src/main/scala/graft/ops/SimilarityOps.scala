@@ -161,7 +161,9 @@ object SimilarityOps {
         col("norm").as("qn"), col("seed_id").as("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
-    queries.join(cands, Seq("cell"))
+    // query side is a handful of rows — broadcast it so the cell join
+    // never shuffles the candidate corpus
+    broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
       .withColumn("rank", row_number().over(w))
