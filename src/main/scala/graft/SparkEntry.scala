@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
-      "typical_day" -> (gold.TypicalDay.query _)
+      "typical_day" -> (gold.TypicalDay.query _),
+      "q_peak_hour" -> (gold.TypicalDay.peakHour _)
     ) ++ ops.RelationalOps.queries ++
       ops.GravityOps.queries ++
       ops.TextOps.queries ++
@@ -36,7 +37,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Map(
-      "typical_day" -> gold.TypicalDay.oracle
+      "typical_day" -> gold.TypicalDay.oracle,
+      "q_peak_hour" -> gold.TypicalDay.peakHourOracle
     ) ++ ops.RelationalOps.oracles ++
       ops.GravityOps.oracles ++
       ops.TextOps.oracles ++

@@ -52,6 +52,40 @@ object TypicalDay {
   def query(spark: SparkSession, sfDir: String): DataFrame =
     fromSilver(SilverMobility.fromEvents(spark, sfDir))
 
+  /** Peak hour per day_type from the gold patterns — the report's
+    * pandas-side `idxmax` (`dags/mitma/generate_report.py:123`) brought
+    * into the engine as a ranking window (SURVEY.md §2.5): re-aggregate
+    * gold to (day_type, hour), then row_number over total DESC picks the
+    * peak with a deterministic hour tie-break.
+    */
+  def peakHour(spark: SparkSession, sfDir: String): DataFrame = {
+    val gold = query(spark, sfDir)
+    val byHour = gold.groupBy(col("day_type"), col("hour_period"))
+      .agg(round(sum(col("total_trips")), 4).as("hour_trips"))
+    val w = Window.partitionBy(col("day_type"))
+      .orderBy(col("hour_trips").desc, col("hour_period").asc)
+    byHour.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("day_type"), col("hour_period").as("peak_hour"),
+        col("hour_trips").as("peak_trips"))
+      .orderBy(col("day_type"))
+  }
+
+  /** Nested-WITH embedding of the full typical-day oracle as the gold
+    * CTE (DuckDB accepts a WITH inside a CTE body). */
+  lazy val peakHourOracle: String =
+    s"""WITH gold AS ($oracle),
+       |by_hour AS (
+       |  SELECT day_type, hour_period,
+       |         ROUND(SUM(total_trips), 4) AS hour_trips
+       |  FROM gold GROUP BY 1, 2)
+       |SELECT day_type, hour_period AS peak_hour, hour_trips AS peak_trips
+       |FROM (SELECT day_type, hour_period, hour_trips,
+       |             ROW_NUMBER() OVER (PARTITION BY day_type
+       |                                ORDER BY hour_trips DESC, hour_period ASC) AS rk
+       |      FROM by_hour)
+       |WHERE rk = 1 ORDER BY day_type""".stripMargin
+
   /** DuckDB oracle: the reference's literal CTE shape (stats → join-back →
     * re-agg), proving the window formulation is semantically identical.
     */

@@ -120,13 +120,48 @@ object TextOps {
       |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** BPE-ish regex tokenizer + rolling polynomial fingerprint. The
+    * token pattern is the GPT-2-style segmenter reduced to this corpus'
+    * alphabet (space-prefixed letter runs / digit runs / symbol runs);
+    * the fingerprint is a sequential base-31 fold over the code points
+    * mod 2^31-1 — a true rolling hash, matched bit-for-bit by DuckDB's
+    * list_reduce because both engines fold left-to-right over the same
+    * integer sequence (all intermediate values < 2^36, no overflow on
+    * either side). Everything is per-row column math: at corpus scale
+    * this is the map-side tokenize+hash pass before any shuffle.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpePattern = "( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)"
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("n_bpe"),
+        size(split(col("text"), " ")).as("n_ws"),
+        expr("aggregate(transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+          "CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)")
+          .as("roll_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenCountOracle =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)')) AS n_bpe,
+      |       len(string_split(text, ' ')) AS n_ws,
+      |       list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |         list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 2147483647) AS roll_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (tokenCount _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprint _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_token_count" -> tokenCountOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,
     "q_doc_fingerprint" -> fingerprintOracle
