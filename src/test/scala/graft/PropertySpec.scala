@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5b): distance
+  * metric laws and the UTM 30N projection round-trip across the zone.
+  * (Raw scalacheck API — the scalatest bridge artifact isn't in the
+  * offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val lon = Gen.choose(-7.0, 1.0)   // UTM zone 30 span
+  private val lat = Gen.choose(35.0, 44.0)  // Spain latitudes
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("spheroid distance: identity, symmetry, positivity") {
+    check(Prop.forAll(lon, lat, lon, lat) { (x1, y1, x2, y2) =>
+      val d12 = Geo.distanceSpheroid(x1, y1, x2, y2)
+      val d21 = Geo.distanceSpheroid(x2, y2, x1, y1)
+      Geo.distanceSpheroid(x1, y1, x1, y1) == 0.0 &&
+        math.abs(d12 - d21) <= 1e-6 * math.max(d12, 1.0) &&
+        d12 >= 0.0
+    })
+  }
+
+  test("haversine is within 0.5% of the spheroid distance (regional scale)") {
+    check(Prop.forAll(lon, lat, lon, lat) { (x1, y1, x2, y2) =>
+      val s = Geo.distanceSpheroid(x1, y1, x2, y2)
+      val h = Geo.haversine(x1, y1, x2, y2)
+      s <= 1000 || math.abs(s - h) / s < 0.005 // sub-km pairs: bound is noise
+    })
+  }
+
+  test("UTM 30N round-trip: lonlat -> E/N -> lonlat within 1e-7 degrees") {
+    check(Prop.forAll(lon, lat) { (x, y) =>
+      val (e, n) = Geo.lonLatToUtm30n(x, y)
+      val (x2, y2) = Geo.utm30nToLonLat(e, n)
+      math.abs(x2 - x) < 1e-7 && math.abs(y2 - y) < 1e-7
+    })
+  }
+
+  test("triangle inequality holds up to spheroid tolerance") {
+    check(Prop.forAll(lon, lat, lon, lat, lon, lat) { (x1, y1, x2, y2, x3, y3) =>
+      val ab = Geo.distanceSpheroid(x1, y1, x2, y2)
+      val bc = Geo.distanceSpheroid(x2, y2, x3, y3)
+      val ac = Geo.distanceSpheroid(x1, y1, x3, y3)
+      ac <= ab + bc + 1e-3
+    })
+  }
+}
