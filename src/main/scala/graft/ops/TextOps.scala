@@ -124,23 +124,22 @@ object TextOps {
   /** BPE-ish regex tokenizer + rolling polynomial fingerprint. The
     * token pattern is the GPT-2-style segmenter reduced to this corpus'
     * alphabet (space-prefixed letter runs / digit runs / symbol runs);
-    * the fingerprint is a sequential base-31 fold over the code points
-    * mod 2^31-1 — a true rolling hash, matched bit-for-bit by DuckDB's
-    * list_reduce because both engines fold left-to-right over the same
-    * integer sequence (all intermediate values < 2^36, no overflow on
-    * either side). Everything is per-row column math: at corpus scale
-    * this is the map-side tokenize+hash pass before any shuffle.
+    * the fingerprint is [[graft.functions.RollingHash]] — a codegen'd
+    * sequential base-31 fold mod 2^31-1, matched bit-for-bit by
+    * DuckDB's list_reduce because both engines fold left-to-right over
+    * the same integer sequence (all intermediates < 2^36, no overflow
+    * on either side). Everything is per-row column math: at corpus
+    * scale this is the map-side tokenize+hash pass before any shuffle.
     */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TextExprs.register(spark)
     val bpePattern = "( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)"
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("n_bpe"),
         size(split(col("text"), " ")).as("n_ws"),
-        expr("aggregate(transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
-          "CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)")
-          .as("roll_hash"))
+        expr("roll_hash(text)").as("roll_hash"))
       .orderBy(col("doc_id"))
   }
 
