@@ -478,7 +478,63 @@ object GravityOps {
       |             + 0.5 + (n_nationkey % 5) * 0.1, 6) AS ring_pt_y
       |FROM nation ORDER BY k""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** J9 complete: the map-rendering join (`dags/gravity/create_map.py:
+    * 20-44`) — infrastructure ranking ⋈ municipality geometry, regrouped
+    * by service status with `st_union_agg` dissolving each status bucket
+    * into one multipolygon (then measured, which is what the Kepler sink
+    * consumes). The ranking side is the FULL gravity pipeline; geometry
+    * is the key-derived rectangle per municipality, so the oracle can
+    * recompute the dissolve analytically (union area = Σ member areas,
+    * centroid = area-weighted center — exact for disjoint rectangles).
+    */
+  def mapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val ranking = gravityModel(spark, sfDir)
+      .select(col("origin_municipality").as("municipality"),
+        col("infrastructure_status"))
+    val k = col("n_nationkey")
+    val lon0 = lit(-9.0) + pmod(k, lit(10)) * 1.5
+    val lat0 = lit(36.0) + pmod(k, lit(7)) * 1.1
+    val w = lit(0.5) + pmod(k, lit(5)) * 0.1
+    val h = lit(0.4) + pmod(k, lit(3)) * 0.1
+    val geometry = Tables.nation(spark, sfDir)
+      .select(k.cast("int").as("municipality"),
+        concat(lit("POLYGON(("),
+          lon0, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0, lit(", "),
+          lon0 + w, lit(" "), lat0 + h, lit(", "),
+          lon0, lit(" "), lat0 + h, lit(", "),
+          lon0, lit(" "), lat0, lit("))")).as("poly"))
+    ranking.join(broadcast(geometry), Seq("municipality"))
+      .groupBy(col("infrastructure_status"))
+      .agg(count(lit(1)).as("n_municipalities"),
+        expr("st_union_agg(poly)").as("dissolved"))
+      .select(col("infrastructure_status"), col("n_municipalities"),
+        round(expr("st_area(dissolved)"), 6).as("total_area"),
+        round(expr("st_x(st_centroid(dissolved))"), 6).as("cx"),
+        round(expr("st_y(st_centroid(dissolved))"), 6).as("cy"))
+      .orderBy(col("infrastructure_status"))
+  }
+
+  private lazy val mapJoinOracle =
+    s"""WITH ranking AS ($gravityModelOracle),
+       |geom AS (
+       |  SELECT CAST(n_nationkey AS INTEGER) AS municipality,
+       |         -9.0 + (n_nationkey % 10) * 1.5 AS lon0,
+       |         36.0 + (n_nationkey % 7) * 1.1 AS lat0,
+       |         0.5 + (n_nationkey % 5) * 0.1 AS w,
+       |         0.4 + (n_nationkey % 3) * 0.1 AS h
+       |  FROM nation)
+       |SELECT infrastructure_status, COUNT(*) AS n_municipalities,
+       |       ROUND(SUM(w * h), 6) AS total_area,
+       |       ROUND(SUM((lon0 + w/2) * (w*h)) / SUM(w*h), 6) AS cx,
+       |       ROUND(SUM((lat0 + h/2) * (w*h)) / SUM(w*h), 6) AS cy
+       |FROM ranking r JOIN geom g ON r.origin_municipality = g.municipality
+       |GROUP BY 1 ORDER BY infrastructure_status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_join" -> (mapJoin _),
     "q_geojson" -> (geoJson _),
     "q_geo_centroids" -> (geoCentroids _),
     "q_geo_distance_matrix" -> (geoDistanceMatrix _),
@@ -490,6 +546,7 @@ object GravityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_map_join" -> mapJoinOracle,
     "q_geojson" -> geoJsonOracle,
     "q_geo_centroids" -> geoCentroidsOracle,
     "q_geo_distance_matrix" -> geoDistanceMatrixOracle,
