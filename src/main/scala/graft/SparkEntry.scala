@@ -29,6 +29,7 @@ object SparkEntry {
       ops.MultimodalOps.queries ++
       ops.CatalogOps.queries ++
       etl.Medallion.queries ++
+      etl.Bucketing.queries ++
       etl.SilverMobility.queries ++
       sources.CsvSources.queries ++
       sources.Shapefile.queries
@@ -47,6 +48,7 @@ object SparkEntry {
       ops.MultimodalOps.oracles ++
       ops.CatalogOps.oracles ++
       etl.Medallion.oracles ++
+      etl.Bucketing.oracles ++
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles ++
       sources.Shapefile.oracles

@@ -1,0 +1,77 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bucketed co-located join — the pre-shuffle storage layout the brief's
+  * scale checklist calls for. Both fact tables are written ONCE,
+  * bucketed (and sort-ordered) on the join key via `bucketBy`; the join
+  * then reads bucket files pairwise and performs a sort-merge join with
+  * NO Exchange on either side. At 100 TB this turns the recurring
+  * orders⋈lineitem shuffle — the single largest network cost in the
+  * star schema — into a purely local merge, paid once at write time.
+  *
+  * The reference has no analogue (DuckDB is single-node; its "layout
+  * tuning" is insertion-order relaxation, `dags/ducklake_utils.py:68`);
+  * this is the Spark-native equivalent of that concern at cluster scale.
+  */
+object Bucketing {
+
+  /** Write both sides bucketed on the join key if not already in this
+    * session's catalog (saveAsTable into the session warehouse; bucket
+    * metadata lives in the session catalog). The in-memory catalog dies
+    * with the session while the warehouse directory survives, so a
+    * not-in-catalog table's stale location is deleted before the
+    * CREATE — also what keeps runs at different scale factors from
+    * reading each other's buckets. */
+  private def ensureBucketed(spark: SparkSession, sfDir: String): Unit = {
+    def ensure(table: String, write: () => Unit): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        write()
+      }
+    ensure("orders_bucketed", () =>
+      Tables.orders(spark, sfDir)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bucketed"))
+    ensure("lineitem_bucketed", () =>
+      Tables.lineitem(spark, sfDir)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_bucketed"))
+  }
+
+  /** The co-located join itself: orders⋈lineitem on the bucket key,
+    * rolled up per order priority. [[BucketingSpec]] asserts the plan
+    * contains no shuffle on either join input. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureBucketed(spark, sfDir)
+    val o = spark.table("orders_bucketed")
+    val l = spark.table("lineitem_bucketed")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("o_totalprice") * col("l_discount")), 4).as("weighted"))
+      .orderBy(col("priority"))
+  }
+
+  private val bucketedJoinOracle =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_lines,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       ROUND(SUM(o_totalprice * l_discount), 4) AS weighted
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (bucketedJoin _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_bucketed_join" -> bucketedJoinOracle
+  )
+}
