@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{RollingHash, VecDot}
+import graft.geo.GeoFunctions
+
+/** Library entry points for a user adopting graft in their own Spark
+  * application.
+  *
+  *  - `spark.sql.extensions=graft.GraftExtensions` injects the native
+  *    Catalyst expressions (`vec_dot`, `roll_hash`) at session build —
+  *    the canonical plug-in point, so the functions exist in every
+  *    session (including thrift/connect ones) without user code.
+  *  - [[GraftFunctions.registerAll]] registers the full function
+  *    surface (native expressions + the st_* geometry UDF family) on an
+  *    already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("roll_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "roll_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}
+
+object GraftFunctions {
+  /** Register every graft function on an existing session (idempotent):
+    * the codegen expressions plus the WKT geometry UDFs/UDAF. */
+  def registerAll(spark: SparkSession): SparkSession = {
+    functions.VectorExprs.register(spark)
+    functions.TextExprs.register(spark)
+    GeoFunctions.register(spark)
+    spark
+  }
+}

