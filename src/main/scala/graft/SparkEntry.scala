@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "typical_day" -> (gold.TypicalDay.query _),
-      "q_peak_hour" -> (gold.TypicalDay.peakHour _)
+      "q_peak_hour" -> (gold.TypicalDay.peakHour _),
+      "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
       ops.GravityOps.queries ++
       ops.TextOps.queries ++
@@ -39,7 +40,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Map(
       "typical_day" -> gold.TypicalDay.oracle,
-      "q_peak_hour" -> gold.TypicalDay.peakHourOracle
+      "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
+      "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
       ops.GravityOps.oracles ++
       ops.TextOps.oracles ++
