@@ -29,18 +29,19 @@ import graft.geo.Geo.{GPolygon, Poly, Pt}
 object Shapefile {
 
   // ------------------------------------------------------------- writer
-  /** Write `.shp`/`.dbf` for single-ring polygons with fixed-width
-    * string attributes (enough to synthesize census-section fixtures;
-    * the READER is the operator under test). */
+  /** Write `.shp`/`.dbf` for (possibly multi-ring) polygons with
+    * fixed-width string attributes (enough to synthesize census-section
+    * fixtures; the READER is the operator under test). */
   def write(basePath: String, fieldNames: Seq[String],
-            records: Seq[(Vector[(Double, Double)], Seq[String])]): Unit = {
+            records: Seq[(Vector[Vector[(Double, Double)]], Seq[String])]): Unit = {
     val shp = new File(basePath + ".shp")
     shp.getParentFile.mkdirs()
 
     // ---- .shp
-    val recordBufs = records.zipWithIndex.map { case ((ring, _), i) =>
-      val xs = ring.map(_._1); val ys = ring.map(_._2)
-      val contentBytes = 4 + 32 + 4 + 4 + 4 + 16 * ring.length
+    val recordBufs = records.zipWithIndex.map { case ((rings, _), i) =>
+      val pts = rings.flatten
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      val contentBytes = 4 + 32 + 4 + 4 + 4 * rings.length + 16 * pts.length
       val b = ByteBuffer.allocate(8 + contentBytes)
       b.order(ByteOrder.BIG_ENDIAN)
       b.putInt(i + 1)                  // record number (1-based)
@@ -49,14 +50,15 @@ object Shapefile {
       b.putInt(5)                      // shape type: Polygon
       b.putDouble(xs.min); b.putDouble(ys.min)
       b.putDouble(xs.max); b.putDouble(ys.max)
-      b.putInt(1)                      // numParts
-      b.putInt(ring.length)            // numPoints
-      b.putInt(0)                      // part 0 offset
-      ring.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+      b.putInt(rings.length)           // numParts
+      b.putInt(pts.length)             // numPoints
+      rings.scanLeft(0)(_ + _.length).init.foreach(b.putInt) // part offsets
+      pts.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
       b.array()
     }
     val fileBytes = 100 + recordBufs.map(_.length).sum
-    val allX = records.flatMap(_._1.map(_._1)); val allY = records.flatMap(_._1.map(_._2))
+    val allPts = records.flatMap(_._1.flatten)
+    val allX = allPts.map(_._1); val allY = allPts.map(_._2)
     val h = ByteBuffer.allocate(100)
     h.order(ByteOrder.BIG_ENDIAN)
     h.putInt(9994); h.position(24)
@@ -189,7 +191,7 @@ object Shapefile {
         val ring = Vector((lon0, lat0), (lon0, lat0 + h), (lon0 + w, lat0 + h),
           (lon0 + w, lat0), (lon0, lat0))
         val attrs = Seq(f"$k%05d", f"${(k * 7) % 100}%05d", f"${k % 52}%02d")
-        (ring, attrs)
+        (Vector(ring), attrs)
       }
       write(base, Seq("CUSEC", "CUMUN", "CPRO"), records)
     }
