@@ -132,13 +132,68 @@ object MultimodalOps {
        |      FROM documents)""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** Frame sampling + resize planning over the media metadata: every
+    * 5th frame of each clip becomes a row (`explode(sequence(...))` —
+    * the generator a real sampler feeds to the decoder), and the
+    * resize-to-fit-224 target dimensions are computed in pure integer
+    * arithmetic (aspect preserved via integer scaling by the larger
+    * side), so the oracle is exact with no float noise. At scale the
+    * explode happens AFTER per-clip metadata is derived — row count
+    * multiplies only by frames actually sampled, never by raw bytes.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        length(col("text").cast("binary")).as("blen"))
+      .select(col("doc_id"), col("source"),
+        (col("blen") % 640 + 1).cast("long").as("width"),
+        (col("blen") % 480 + 1).cast("long").as("height"),
+        expr("CAST(blen div 100 AS BIGINT)").as("max_frame"))
+    val resized = meta
+      .withColumn("longest", greatest(col("width"), col("height")))
+      // `div` = integer division (a `/` would be double division in Spark)
+      .withColumn("new_w", expr("CAST(width * 224 div longest AS BIGINT)"))
+      .withColumn("new_h", expr("CAST(height * 224 div longest AS BIGINT)"))
+    resized
+      .select(col("doc_id"), col("source"), col("new_w"), col("new_h"),
+        explode(sequence(lit(0L), col("max_frame"), lit(5L))).as("frame_idx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled_frames"),
+        countDistinct(col("doc_id")).as("n_clips"),
+        sum(col("frame_idx")).cast("long").as("sum_frame_idx"),
+        sum(col("new_w")).cast("long").as("sum_new_w"),
+        sum(col("new_h")).cast("long").as("sum_new_h"))
+      .orderBy(col("source"))
+  }
+
+  private val frameSampleOracle =
+    """SELECT source, COUNT(*) AS n_sampled_frames,
+      |       COUNT(DISTINCT doc_id) AS n_clips,
+      |       CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,
+      |       CAST(SUM(new_w) AS BIGINT) AS sum_new_w,
+      |       CAST(SUM(new_h) AS BIGINT) AS sum_new_h
+      |FROM (
+      |  SELECT doc_id, source,
+      |         width * 224 // GREATEST(width, height) AS new_w,
+      |         height * 224 // GREATEST(width, height) AS new_h,
+      |         unnest(generate_series(0, max_frame, 5)) AS frame_idx
+      |  FROM (SELECT doc_id, source,
+      |               octet_length(CAST(text AS BLOB)) % 640 + 1 AS width,
+      |               octet_length(CAST(text AS BLOB)) % 480 + 1 AS height,
+      |               octet_length(CAST(text AS BLOB)) // 100 AS max_frame
+      |        FROM documents))
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta _),
-    "q_media_decode" -> (mediaDecode _)
+    "q_media_decode" -> (mediaDecode _),
+    "q_frame_sample" -> (frameSample _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_media_meta" -> mediaMetaOracle,
-    "q_media_decode" -> mediaDecodeOracle
+    "q_media_decode" -> mediaDecodeOracle,
+    "q_frame_sample" -> frameSampleOracle
   )
 }
