@@ -137,20 +137,37 @@ object DedupOps {
   private val BandSize = 4
   private val NumBands = NumHashes / BandSize
 
-  /** MinHash signatures: per doc, min of xxhash64(seed, shingle) for each
-    * of 16 seeds — one groupBy over the exploded shingles computes all 16
-    * mins (single shuffle). */
+  /** Universal-hash family over a single md5-derived base value:
+    * h31 = int(md5(shingle)[0:15 hex]) mod 2^31-1, then
+    * h_i = (A_i·h31 + B_i) mod 2^61-1. Every step is exact 64-bit
+    * integer arithmetic available VERBATIM in DuckDB (hex parse via
+    * CAST('0x…' AS BIGINT)), which is the point: unlike xxhash64, the
+    * whole MinHash+LSH pipeline is oracle-checkable. A_i·h31 < 2^62
+    * never overflows. */
+  private val MersP = 2305843009213693951L // 2^61 - 1
+  private def hA(i: Int): Long = 2L * i + 3
+  private def hB(i: Int): Long = 1000003L * i + 12345
+
+  private val h31Spark =
+    "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  private val h31Sql =
+    "CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647"
+
+  /** MinHash signatures: per doc, min of each universal hash — one
+    * groupBy over the exploded shingles computes all 16 mins (single
+    * shuffle). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    val withBase = sh.withColumn("h31", expr(h31Spark))
     val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min(expr(s"(${hA(i)} * h31 + ${hB(i)}) % $MersP")).as(s"m$i"))
+    withBase.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the 16-wide signature into 4 bands
-    * of 4, bucket-join on (band index, band hash), then verify candidates
-    * with exact Jaccard ≥ 0.5. No DuckDB oracle (xxhash64 is
-    * Spark-specific); correctness is asserted against the brute-force
-    * Jaccard in DedupSpec.
+    * of 4, bucket-join on the band's value TUPLE (equality of the raw
+    * 4-tuple — no second-level hash to collide), then verify candidates
+    * with exact Jaccard ≥ 0.5. Fully oracle-checked (md5-based hash
+    * family) AND brute-force-checked in DedupSpec.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
@@ -158,14 +175,17 @@ object DedupOps {
     val banded = sig.select(col("doc_id"),
       explode(expr(
         (0 until NumBands).map(b =>
-          s"named_struct('band', $b, 'bh', xxhash64(" +
-            (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(",") + "))")
+          s"named_struct('band', $b, " +
+            (0 until BandSize).map(j => s"'v$j', m${b * BandSize + j}")
+              .mkString(", ") + ")")
           .mkString("array(", ",", ")")))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id") +: col("bb.band").as("band") +:
+        (0 until BandSize).map(j => col(s"bb.v$j").as(s"v$j")): _*)
 
+    val bandKeys = Seq("band") ++ (0 until BandSize).map(j => s"v$j")
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
@@ -205,18 +225,56 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Oracle twin of [[dedupMinhash]]: identical md5-derived hash family,
+    * band-tuple self-join for candidates, exact-Jaccard verification —
+    * every integer op is exact in both engines. */
+  private lazy val dedupMinhashOracle: String = {
+    val minCols = (0 until NumHashes).map(i =>
+      s"MIN((${hA(i)} * h31 + ${hB(i)}) % $MersP) AS m$i").mkString(", ")
+    val bandConds = (0 until NumBands).map(b =>
+      (0 until BandSize).map(j => s"a.m${b * BandSize + j} = b.m${b * BandSize + j}")
+        .mkString("(", " AND ", ")")).mkString(" OR ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (
+       |  SELECT doc_id, $minCols
+       |  FROM (SELECT doc_id, $h31Sql AS h31 FROM sh)
+       |  GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND ($bandConds)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.d1
+       |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, ROUND(jaccard, 6) AS jaccard
+       |FROM (SELECT d1, d2,
+       |             CAST(shared AS DOUBLE) / (a.n_sh + b.n_sh - shared) AS jaccard
+       |      FROM shared
+       |      JOIN sizes a ON d1 = a.doc_id
+       |      JOIN sizes b ON d2 = b.doc_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   private val SimBits = 32
 
   /** SimHash signature per document: each distinct term votes ±tf on each
     * of 32 bit positions of its hash; the sign vector is the signature.
-    * Computed as 32 conditional sums in ONE groupBy — single shuffle. */
+    * Computed as 32 conditional sums in ONE groupBy — single shuffle.
+    * The term hash is the first 8 md5 hex chars as a 32-bit integer —
+    * exact in both engines, so simhash is oracle-checkable too. */
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"))
     val votes = (0 until SimBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"v$b"))
@@ -230,7 +288,8 @@ object DedupOps {
 
   /** SimHash near-dup pairs: 4 bands of 8 bits bucket the signatures;
     * candidates verified by Hamming distance ≤ 3 of the full 32-bit
-    * signature. No oracle (xxhash64); asserted in DedupSpec.
+    * signature. Oracle-checked (md5 term hash) and proven exhaustive by
+    * pigeonhole in DedupSpec.
     */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashSignatures(spark, sfDir).cache()
@@ -251,6 +310,37 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Oracle twin of [[dedupSimhash]]: identical md5 term hash, vote
+    * sums, band-byte candidate join, and Hamming verification. */
+  private lazy val dedupSimhashOracle: String = {
+    val voteCols = (0 until SimBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS v$b")
+      .mkString(", ")
+    val sigExpr = (0 until SimBits).map(b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandConds = (0 until 4).map(b =>
+      s"((a.sig >> ${b * 8}) & 255) = ((b.sig >> ${b * 8}) & 255)")
+      .mkString(" OR ")
+    s"""WITH terms AS (
+       |  SELECT doc_id, word, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY doc_id, word),
+       |hashed AS (
+       |  SELECT doc_id, tf,
+       |         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS h
+       |  FROM terms),
+       |votes AS (SELECT doc_id, $voteCols FROM hashed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM votes)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND ($bandConds)
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -260,8 +350,8 @@ object DedupOps {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactOracle,
-    "q_dedup_ngram_jaccard" -> dedupNgramJaccardOracle
-    // minhash/simhash: xxhash64-based, not oracle-expressible; verified
-    // against brute force in DedupSpec.
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle
   )
 }
