@@ -26,7 +26,7 @@ object Bucketing {
     * not-in-catalog table's stale location is deleted before the
     * CREATE — also what keeps runs at different scale factors from
     * reading each other's buckets. */
-  private def ensureBucketed(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): Unit = {
     def ensure(table: String, write: () => Unit): Unit =
       if (!spark.catalog.tableExists(table)) {
         val wh = new org.apache.hadoop.fs.Path(

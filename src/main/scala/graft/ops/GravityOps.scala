@@ -533,7 +533,40 @@ object GravityOps {
        |FROM ranking r JOIN geom g ON r.origin_municipality = g.municipality
        |GROUP BY 1 ORDER BY infrastructure_status""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** ST_Transform round-trip, oracle-checked: synthetic in-zone lon/lat
+    * → UTM 30N forward → inverse → the oracle states the INPUT
+    * coordinates. The Krüger-series round-trip error is ≤3e-8 deg
+    * (measured) against a 5e-7 rounding half-gap at 6dp, and the inputs
+    * are fixed, so the compare is deterministic — this pins the
+    * projection pair to ground truth in a way the rows-only
+    * q_geo_transform cannot. */
+  def geoRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    spark.udf.register("lonlat_to_utm30n_e",
+      (lon: Double, lat: Double) => graft.geo.Geo.lonLatToUtm30n(lon, lat)._1)
+    spark.udf.register("lonlat_to_utm30n_n",
+      (lon: Double, lat: Double) => graft.geo.Geo.lonLatToUtm30n(lon, lat)._2)
+    Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("int").as("k"),
+        (lit(-6.5) + pmod(col("n_nationkey"), lit(19)) * 0.39).as("lon"),
+        (lit(36.0) + pmod(col("n_nationkey"), lit(17)) * 0.45).as("lat"))
+      .withColumn("pt", expr(
+        "st_transform_25830_4326(lonlat_to_utm30n_e(lon, lat), lonlat_to_utm30n_n(lon, lat))"))
+      .select(col("k"),
+        round(expr("st_x(pt)"), 6).as("lon_rt"),
+        round(expr("st_y(pt)"), 6).as("lat_rt"))
+      .orderBy(col("k"))
+  }
+
+  private val geoRoundtripOracle =
+    """SELECT CAST(n_nationkey AS INTEGER) AS k,
+      |       ROUND(-6.5 + (n_nationkey % 19) * 0.39, 6) AS lon_rt,
+      |       ROUND(36.0 + (n_nationkey % 17) * 0.45, 6) AS lat_rt
+      |FROM nation ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_roundtrip" -> (geoRoundtrip _),
     "q_map_join" -> (mapJoin _),
     "q_geojson" -> (geoJson _),
     "q_geo_centroids" -> (geoCentroids _),
@@ -546,6 +579,7 @@ object GravityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_geo_roundtrip" -> geoRoundtripOracle,
     "q_map_join" -> mapJoinOracle,
     "q_geojson" -> geoJsonOracle,
     "q_geo_centroids" -> geoCentroidsOracle,
