@@ -26,23 +26,29 @@ object Bucketing {
     * not-in-catalog table's stale location is deleted before the
     * CREATE — also what keeps runs at different scale factors from
     * reading each other's buckets. */
+  /** Scale-factor-qualified table name: a session may serve queries at
+    * several scale factors (specs do), and a name keyed only on the
+    * table would silently join the FIRST factor's data on later calls. */
+  private def tbl(name: String, sfDir: String): String =
+    s"${name}_${new java.io.File(sfDir).getName.replace('.', '_')}"
+
   private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): Unit = {
-    def ensure(table: String, write: () => Unit): Unit =
+    def ensure(table: String, write: String => Unit): Unit =
       if (!spark.catalog.tableExists(table)) {
         val wh = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), table)
         val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(wh)) fs.delete(wh, true)
-        write()
+        write(table)
       }
-    ensure("orders_bucketed", () =>
+    ensure(tbl("orders_bucketed", sfDir), t =>
       Tables.orders(spark, sfDir)
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("orders_bucketed"))
-    ensure("lineitem_bucketed", () =>
+        .mode("overwrite").saveAsTable(t))
+    ensure(tbl("lineitem_bucketed", sfDir), t =>
       Tables.lineitem(spark, sfDir)
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("lineitem_bucketed"))
+        .mode("overwrite").saveAsTable(t))
   }
 
   /** The co-located join itself: orders⋈lineitem on the bucket key,
@@ -50,8 +56,8 @@ object Bucketing {
     * contains no shuffle on either join input. */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     ensureBucketed(spark, sfDir)
-    val o = spark.table("orders_bucketed")
-    val l = spark.table("lineitem_bucketed")
+    val o = spark.table(tbl("orders_bucketed", sfDir))
+    val l = spark.table(tbl("lineitem_bucketed", sfDir))
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_lines"),

@@ -145,7 +145,12 @@ object DedupOps {
     * whole MinHash+LSH pipeline is oracle-checkable. A_i·h31 < 2^62
     * never overflows. */
   private val MersP = 2305843009213693951L // 2^61 - 1
-  private def hA(i: Int): Long = 2L * i + 3
+  // Multipliers must be LARGE (~2^31) so A_i·h31 ≫ 2^61 and the mod
+  // actually wraps: with small A_i the map is monotone in h31, every
+  // hash picks the same argmin shingle, and the 16-wide signature
+  // degenerates to a single-hash minhash (banding then amplifies
+  // nothing). A_i·h31 < 2^32·2^31 = 2^63 still never overflows int64.
+  private def hA(i: Int): Long = 2654435761L + 40503L * i
   private def hB(i: Int): Long = 1000003L * i + 12345
 
   private val h31Spark =

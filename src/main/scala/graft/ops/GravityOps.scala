@@ -543,16 +543,18 @@ object GravityOps {
     * q_geo_transform cannot. */
   def geoRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     GeoFunctions.register(spark)
-    spark.udf.register("lonlat_to_utm30n_e",
-      (lon: Double, lat: Double) => graft.geo.Geo.lonLatToUtm30n(lon, lat)._1)
-    spark.udf.register("lonlat_to_utm30n_n",
-      (lon: Double, lat: Double) => graft.geo.Geo.lonLatToUtm30n(lon, lat)._2)
+    // one UDF for the whole forward∘inverse trip — separate _e/_n
+    // accessors would each run the full Krüger projection per row
+    spark.udf.register("utm30n_roundtrip", (lon: Double, lat: Double) => {
+      val (e, n) = graft.geo.Geo.lonLatToUtm30n(lon, lat)
+      val (lon2, lat2) = graft.geo.Geo.utm30nToLonLat(e, n)
+      graft.geo.Geo.toWkt(graft.geo.Geo.GPoint(graft.geo.Geo.Pt(lon2, lat2)))
+    })
     Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("int").as("k"),
         (lit(-6.5) + pmod(col("n_nationkey"), lit(19)) * 0.39).as("lon"),
         (lit(36.0) + pmod(col("n_nationkey"), lit(17)) * 0.45).as("lat"))
-      .withColumn("pt", expr(
-        "st_transform_25830_4326(lonlat_to_utm30n_e(lon, lat), lonlat_to_utm30n_n(lon, lat))"))
+      .withColumn("pt", expr("utm30n_roundtrip(lon, lat)"))
       .select(col("k"),
         round(expr("st_x(pt)"), 6).as("lon_rt"),
         round(expr("st_y(pt)"), 6).as("lat_rt"))

@@ -209,11 +209,15 @@ object CsvSources {
     "q_csv_scan_infer" -> (csvScanInfer _)
   )
 
-  /** The driver verifies at sf0.01, so the oracle SQL embeds the sf0.01
-    * fixture paths (generated by the Spark query running first — Verify
-    * executes queries before the driver runs the oracle). */
+  /** The oracle SQL must embed a concrete fixture path. The driver
+    * verifies at sf0.01 (the default); graft.Verify stamps the actual
+    * sfDir into the `graft.verify.sfdir` system property before dumping
+    * oracle_sql.json, so local checks at other scale factors compare
+    * against the matching fixture. (Fixtures are generated by the Spark
+    * queries, which Verify runs before any oracle executes.) */
   def oracles: Map[String, String] = {
-    val dir = fixtureDir("/root/testdata/sf0.01").getAbsolutePath
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val dir = fixtureDir(sfDir).getAbsolutePath
     Map(
       "q_csv_scan_permissive" ->
         csvScanPermissiveOracle(s"$dir/mitma_v$FixtureVersion.csv.gz"),

@@ -13,7 +13,10 @@ import duckdb
 
 
 def canon(rows, cols):
-    # driver compare: sort columns by name, round floats, sort rows
+    # like the driver's compare (sort columns by name, round floats,
+    # sort rows) but STRICTER on floats: 6dp instead of 4dp, since many
+    # queries intentionally round to 6dp and a 4dp re-round would mask
+    # errors well above their tolerance. +0.0 normalizes -0.0.
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -23,7 +26,7 @@ def canon(rows, cols):
             if type(v).__name__ == "Decimal":
                 v = float(v)
             if isinstance(v, float):
-                v = round(v, 4)
+                v = round(v, 6) + 0.0
             vals.append(repr(v))
         out.append("|".join(vals))
     out.sort()
