@@ -39,11 +39,13 @@ object Bench {
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // Drop cached blocks a query left behind (several dedup/gravity
         // plans cache intermediates) so 40+ queries in one session don't
-        // accumulate storage-memory pressure that skews later timings.
+        // accumulate storage-memory pressure that skews later timings —
+        // AFTER the clock stops, so eviction isn't charged to the query.
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> elapsed
       }.toMap
     }.last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -23,11 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("roll_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "roll_hash"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"roll_hash requires exactly 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      }))
   }
 }
 

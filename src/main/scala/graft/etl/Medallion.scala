@@ -64,8 +64,10 @@ object Medallion {
     val prevMode = spark.conf
       .getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // four consumers below (two writes, the min/max probe, the append
+    // source) — cache or each one re-runs the events scan + holiday join
+    val silver = SilverMobility.fromEvents(spark, sfDir).cache()
     try {
-      val silver = SilverMobility.fromEvents(spark, sfDir)
       silver.write.partitionBy("date").mode("overwrite").parquet(tbl)
 
       // the reference's driver-side date probe (silver_mitma.py:108)
@@ -83,9 +85,12 @@ object Medallion {
         .withColumn("date", date_add(lit(dMax), 1))
         .withColumn("trips", col("trips") * 0.5)
         .write.partitionBy("date").mode("append").parquet(tbl)
-    } finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally {
+      silver.unpersist()
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
 
     // read back from disk: the partition column comes from directory

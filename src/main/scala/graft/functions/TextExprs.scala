@@ -71,7 +71,11 @@ object TextExprs {
   /** Register `roll_hash` on the session's function registry (idempotent). */
   def register(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "roll_hash", exprs => RollingHash(exprs.head), "built-in")
+      "roll_hash", exprs => {
+        require(exprs.length == 1,
+          s"roll_hash requires exactly 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      }, "built-in")
     spark
   }
 }

@@ -130,7 +130,11 @@ object VectorExprs {
   /** Register `vec_dot` on the session's function registry (idempotent). */
   def register(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", exprs => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }, "built-in")
     spark
   }
 }

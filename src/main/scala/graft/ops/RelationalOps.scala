@@ -327,13 +327,16 @@ object RelationalOps {
       .limit(2).collect().map(_.getString(0)).toSeq
     cust.filter(col("c_mktsegment").isin(targetSegs: _*))
       .groupBy(col("c_mktsegment"), col("c_nationkey").cast("int").as("nation"))
-      .agg(count(lit(1)).as("n"), r4(avg(col("c_acctbal"))).as("avg_bal"))
+      // stableAvg, not ROUND(AVG): several (segment, nation) groups land
+      // EXACTLY on 4dp half-boundaries where a 1-ulp sum-order change
+      // flips ROUND between engines (see Parity scaladoc)
+      .agg(count(lit(1)).as("n"), Parity.stableAvg(col("c_acctbal")).as("avg_bal"))
       .orderBy(col("c_mktsegment"), col("nation"))
   }
 
   private val isinFilterOracle =
-    """SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nation,
-      |       COUNT(*) AS n, ROUND(AVG(c_acctbal),4) AS avg_bal
+    s"""SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nation,
+      |       COUNT(*) AS n, ${Parity.stableAvgSql("c_acctbal")} AS avg_bal
       |FROM customer
       |WHERE c_mktsegment IN (
       |  SELECT c_mktsegment FROM customer GROUP BY c_mktsegment

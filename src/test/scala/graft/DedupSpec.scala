@@ -4,13 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.DedupOps
 
-/** Brute-force verification of the LSH dedup operators (the checks the
-  * Spark-side queries cannot get from the DuckDB oracle because xxhash64
-  * is Spark-specific).
-  *
-  * Method: ground truth is recomputed DRIVER-SIDE in plain Scala from the
-  * raw document text — independent of every Spark SQL operator under
-  * test — and compared against the distributed pipelines at sf0.01
+/** Brute-force verification of the LSH dedup operators. These operators
+  * are ALSO DuckDB-oracle-checked (the md5-derived hash families are
+  * exact in both engines); this spec adds the orthogonal guarantee the
+  * oracle cannot: ground truth recomputed DRIVER-SIDE in plain Scala
+  * from the raw document text — independent of every Spark SQL operator
+  * under test — compared against the distributed pipelines at sf0.01
   * (500 docs, so the all-pairs truth is 125k comparisons).
   */
 class DedupSpec extends SparkSpec {
@@ -66,10 +65,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash output == band-collision candidates ∩ {J >= 0.5} (LSH plumbing is exact)") {
-    // Band-bucket equality on xxhash64(band values) is equality of the
-    // raw 4-tuples (modulo 64-bit hash collisions): recompute candidates
-    // from the collected signature matrix and intersect with the
-    // driver-side truth — this must equal the distributed output exactly.
+    // Band buckets join on the RAW 4-tuple of minhash values (no
+    // second-level hash): recompute candidates from the collected
+    // signature matrix and intersect with the driver-side truth — this
+    // must equal the distributed output exactly.
     val sig = DedupOps.minhashSignatures(DedupOps.shingles(spark, sfSmall))
       .collect()
       .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toVector)

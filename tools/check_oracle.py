@@ -60,10 +60,17 @@ def main():
             print(f"{name}: ORACLE ERROR {e}")
             fails += 1
             continue
-        sres = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        scols = [d[0] for d in sres.description]
-        srows = sres.fetchall()
+        try:
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            scols = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            # a failed Verify write can leave an empty result dir; keep
+            # checking the other queries rather than aborting the run
+            print(f"{name}: SPARK OUTPUT UNREADABLE {e}")
+            fails += 1
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
             fails += 1
