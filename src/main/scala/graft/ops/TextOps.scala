@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -152,7 +153,82 @@ object TextOps {
       |         (acc, c) -> (acc * 31 + c) % 2147483647) AS roll_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Quality filtering: the Gopher-style keep/drop rules composed from
+    * the scalar metrics — token count in range, stopword ratio above a
+    * floor, mean word length in a sane band. Emits the per-source
+    * keep/drop tallies plus surviving-token mass: the numbers a corpus
+    * curation run actually reports. Pure column math; the verdict is a
+    * single codegen'd boolean per row.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val nStop = hits(col("text"), "(the|a|of|and|in)")
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok", nTok)
+      .withColumn("keep",
+        col("n_tok").between(20, 1000) &&
+          (nStop.cast("double") / col("n_tok")) >= 0.01 &&
+          meanLen.between(2.0, 12.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0)).cast("long")
+          .as("kept_tokens"),
+        round(sum(when(col("keep"), 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val qualityFilterOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS keep_rate
+      |FROM (
+      |  SELECT source, n_tok,
+      |         (n_tok BETWEEN 20 AND 1000)
+      |         AND (CAST(n_stop AS DOUBLE) / n_tok) >= 0.01
+      |         AND ((CAST(length(text) - n_tok + 1 AS DOUBLE) / n_tok)
+      |              BETWEEN 2.0 AND 12.0) AS keep
+      |  FROM (SELECT source, text,
+      |               len(string_split(text, ' ')) AS n_tok,
+      |               len(regexp_extract_all(text, '(the|a|of|and|in)')) AS n_stop
+      |        FROM documents))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Corpus composition: per (source, lang) document and token mass with
+    * each cell's share of the global token budget — the mixture report a
+    * training-data pipeline tracks when weighting sources. The share is
+    * a window over the aggregate (sum-of-sums), exact because token
+    * counts are integers.
+    */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCell = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+    perCell
+      .withColumn("token_share",
+        round(col("tokens").cast("double") /
+          sum(col("tokens")).over(Window.partitionBy()), 6))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val corpusMixOracle =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |       ROUND(CAST(SUM(n_tok) AS DOUBLE) /
+      |             SUM(SUM(n_tok)) OVER (), 6) AS token_share
+      |FROM (SELECT source, lang, len(string_split(text, ' ')) AS n_tok
+      |      FROM documents)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_filter" -> (qualityFilter _),
+    "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -160,6 +236,8 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_quality_filter" -> qualityFilterOracle,
+    "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,
