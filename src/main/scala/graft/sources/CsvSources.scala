@@ -192,15 +192,17 @@ object CsvSources {
         col("Periodo").cast("int").as("year"),
         col("Total").cast("double").as("income"))
       .groupBy(col("municipality_code"), col("year"))
+      // stableAvg: income is 2dp-quantized, and ROUND(AVG) of quantized
+      // data can land on exact 4dp half-boundaries (Parity scaladoc)
       .agg(count(lit(1)).as("n_rows"),
-        round(avg(col("income")), 4).as("avg_income"))
+        graft.ops.Parity.stableAvg(col("income")).as("avg_income"))
       .orderBy(col("municipality_code"), col("year"))
   }
 
   private def csvScanInferOracle(path: String) =
     s"""SELECT split_part(Municipios, ' ', 1) AS municipality_code,
        |       CAST(Periodo AS INTEGER) AS year, COUNT(*) AS n_rows,
-       |       ROUND(AVG(CAST(Total AS DOUBLE)), 4) AS avg_income
+       |       ${graft.ops.Parity.stableAvgSql("CAST(Total AS DOUBLE)")} AS avg_income
        |FROM read_csv('$path', delim=';', header=true)
        |GROUP BY 1, 2 ORDER BY municipality_code, year""".stripMargin
 
