@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -262,7 +263,55 @@ object AggOps {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ §2.5+
+  /** Batch sessionization — the lag/cumulative-sum window pair (the
+    * batch twin of the streaming `flatMapGroupsWithState` sessionizer in
+    * [[graft.streaming.StreamingOps]]): a session breaks when the gap to
+    * the previous event of the same user exceeds 30 minutes; the session
+    * id is the running count of breaks. Sessions are then summarized as
+    * a size distribution. Millisecond epoch arithmetic keeps both
+    * engines exact (floor(ns/1e6) is identical whether truncating
+    * through micros or not).
+    */
+  def sessionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val flagged = ev
+      .withColumn("gap_break",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("gap_break")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_ms")).cast("long").as("total_dur_ms"))
+      .orderBy(col("n_events"))
+  }
+
+  private val sessionBatchOracle =
+    """SELECT n_events, COUNT(*) AS n_sessions,
+      |       CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms
+      |FROM (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         MAX(ms) - MIN(ms) AS dur_ms
+      |  FROM (
+      |    SELECT user_id, ms,
+      |           SUM(gap_break) OVER (PARTITION BY user_id ORDER BY ms
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, epoch_ms(ts) AS ms,
+      |             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+      |                    PARTITION BY user_id ORDER BY epoch_ms(ts))
+      |                  > 1800000 THEN 1 ELSE 0 END AS gap_break
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |GROUP BY n_events ORDER BY n_events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_batch" -> (sessionBatch _),
     "q_skew_distinct" -> (skewDistinct _),
     "q_agg_multikey" -> (aggMultikey _),
     "q_substr_group" -> (substrGroup _),
@@ -276,6 +325,7 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_session_batch" -> sessionBatchOracle,
     "q_skew_distinct" -> skewDistinctOracle,
     "q_agg_multikey" -> aggMultikeyOracle,
     "q_substr_group" -> substrGroupOracle,
