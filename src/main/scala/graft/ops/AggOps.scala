@@ -310,7 +310,57 @@ object AggOps {
       |  GROUP BY user_id, session_id)
       |GROUP BY n_events ORDER BY n_events""".stripMargin
 
+  // ------------------------------------------------------------ A2-approx
+  /** HLL approximate distinct — the aggregate that replaces exact
+    * COUNT(DISTINCT) at 100 TB (fixed-size sketch, no expand, mergeable
+    * across partitions). Sketches are engine-specific, so the oracle
+    * contract is a TOLERANCE check computed in-engine: the output
+    * carries the exact count (hash-matched) plus a boolean asserting the
+    * approximation landed within 5%; the oracle states the exact count
+    * and `true`. A broken sketch fails the hash via the boolean.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("priority"), col("exact_custs"),
+        (abs(col("approx") - col("exact_custs")).cast("double") /
+          col("exact_custs") <= 0.05).as("approx_within_5pct"))
+      .orderBy(col("priority"))
+
+  private val approxDistinctOracle =
+    """SELECT o_orderpriority AS priority,
+      |       COUNT(DISTINCT o_custkey) AS exact_custs,
+      |       TRUE AS approx_within_5pct
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  // ------------------------------------------------------------ quantiles
+  /** Exact interpolated percentiles: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition (verified
+    * value-identical to 6dp on the fixture before wiring). The exact
+    * form is the correctness baseline; at 100 TB the same query swaps to
+    * `approx_percentile` (t-digest) exactly as exact distinct swaps to
+    * HLL in [[approxDistinct]]. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("flag"))
+
+  private val percentilesOracle =
+    """SELECT l_returnflag AS flag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (percentiles _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q_session_batch" -> (sessionBatch _),
     "q_skew_distinct" -> (skewDistinct _),
     "q_agg_multikey" -> (aggMultikey _),
@@ -325,6 +375,8 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_percentiles" -> percentilesOracle,
+    "q_approx_distinct" -> approxDistinctOracle,
     "q_session_batch" -> sessionBatchOracle,
     "q_skew_distinct" -> skewDistinctOracle,
     "q_agg_multikey" -> aggMultikeyOracle,
