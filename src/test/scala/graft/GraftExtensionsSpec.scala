@@ -17,6 +17,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("st_* functions return NULL on NULL geometry instead of NPE-failing the task") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_centroid(CAST(NULL AS STRING)) AS c,
+        |       st_area(CAST(NULL AS STRING)) AS a,
+        |       st_within('POINT(0 0)', CAST(NULL AS STRING)) AS w,
+        |       st_x(CAST(NULL AS STRING)) AS x
+        |""".stripMargin).collect()(0)
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"column $i must be NULL"))
+  }
+
   test("GraftExtensions injects the native expressions into an extensions registry") {
     // SparkSessionExtensions has a public constructor (DeveloperApi);
     // apply the plugin and confirm the builders resolve and construct.

@@ -38,6 +38,21 @@ class ShapefileSpec extends SparkSpec {
     assert(Geo.contains(holed, Geo.Pt(1.0, 1.0)))
   }
 
+  test("multi-part record with two exterior rings reads as islands, not a hole") {
+    val base = tmpBase("islands")
+    // both rings CLOCKWISE (negative shoelace) = two exteriors per the
+    // shapefile winding convention
+    val mainland = Vector((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val island = Vector((10.0, 0.0), (10.0, 1.0), (11.0, 1.0), (11.0, 0.0), (10.0, 0.0))
+    Shapefile.write(base, Seq("NAME"),
+      Seq((Vector(mainland, island), Seq("coast"))))
+    val wkt = Shapefile.read(spark, base).collect()(0).getString(0)
+    val g = Geo.parseWkt(wkt)
+    // areas ADD (16 + 1); a hole-misread would subtract (16 - 1)
+    assert(math.abs(Geo.area(g) - 17.0) < 1e-9, s"got area ${Geo.area(g)} from $wkt")
+    assert(Geo.contains(g, Geo.Pt(10.5, 0.5)), "island interior must be inside")
+  }
+
   test("attribute values pad/truncate to the fixed dbf width and trim back") {
     val base = tmpBase("attrs")
     val sq = Vector((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0))
