@@ -36,8 +36,18 @@ object SparkEntry {
       sources.Shapefile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The driver contract is parameterless, so the one sfDir-dependent
+    * oracle family (CSV fixture paths) falls back to the driver's verify
+    * scale via the `graft.verify.sfdir` property; anything that knows
+    * its sfDir (graft.Verify does) should call [[oracleSqlFor]] instead.
+    */
   def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01"))
+
+  /** [[oracleSql]] with the scale-factor directory threaded explicitly. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     Map(
       "typical_day" -> gold.TypicalDay.oracle,
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
@@ -52,6 +62,6 @@ object SparkEntry {
       etl.Medallion.oracles ++
       etl.Bucketing.oracles ++
       etl.SilverMobility.oracles ++
-      sources.CsvSources.oracles ++
+      sources.CsvSources.oracles(sfDir) ++
       sources.Shapefile.oracles
 }

@@ -20,7 +20,10 @@ object Tables {
     * precision above 2^53 ns (~1970+104 days).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-if-absent guard: a per-call conf.set mutates session state on
+    // every events read; one idempotent stamp per session is enough
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
   }
 

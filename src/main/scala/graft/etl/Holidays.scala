@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * feeds the `ref_holidays` table (`silver_mitma.py:10-15`: date DATE,
   * is_holiday BOOLEAN).
   *
-  * The national (no-subdivision) list is the 8 fixed-date holidays plus
+  * The national (no-subdivision) list is the 9 fixed-date holidays plus
   * Good Friday; Easter comes from the Meeus/Jones/Butcher Gregorian
   * computus (public-domain textbook algorithm). Note Jan 6 (Epiphany)
   * is included: observed nationwide and present in the `holidays`

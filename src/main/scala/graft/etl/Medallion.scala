@@ -35,7 +35,7 @@ object Medallion {
 
   /** Per-SF scratch warehouse (gitignored `spark-warehouse/`), so
     * verify (sf0.01) and bench (sf0.1) runs never collide. */
-  private def warehouse(sfDir: String): String =
+  private[graft] def warehouse(sfDir: String): String =
     s"spark-warehouse/${new java.io.File(sfDir).getName}"
 
   private def rmTree(spark: SparkSession, dir: String): Unit = {

@@ -80,6 +80,28 @@ object SilverMobility {
        |       ON CAST(ts AS DATE) = h.hdate""".stripMargin
 
   // ------------------------------------------------------------------
+  /** F9: the bronze ingest projection with its `CURRENT_TIMESTAMP` audit
+    * column — the all-VARCHAR bronze shape plus `ingestion_date`
+    * (`dags/mitma/bronze_mitma.py:24,67`; same stamp on the gold write,
+    * `dags/gravity/calculate_gold.py:43`). `current_timestamp()` is
+    * nondeterministic, so this projection is EXCLUDED from the
+    * oracle-hashed query surface by design (SURVEY §2.9b — two engines
+    * can never hash-match a wall clock); it is pinned by
+    * BronzeAuditSpec instead: schema, type, non-null, single stamp per
+    * query (Spark evaluates current_timestamp once per query, mirroring
+    * DuckDB's transaction-time semantics), and bounded clock skew.
+    */
+  def bronzeIngest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        date_format(col("ts"), "yyyyMMdd").as("fecha"),
+        concat(lit("Z"), lpad(pmod(col("user_id"), lit(50)).cast("string"), 3, "0"))
+          .as("origen"),
+        col("event_type").as("destino"),
+        col("value").cast("string").as("viajes"))
+      .withColumn("ingestion_date", current_timestamp())
+
+  // ------------------------------------------------------------------
   /** F13 complete: distribution of the full holiday-aware day-type over
     * the silver table — day_type 8 is populated by 2024-01-01 and
     * 2024-01-06 in the harness window, proving the holiday branch fires.

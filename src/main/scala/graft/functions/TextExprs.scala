@@ -8,22 +8,23 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native rolling-hash fingerprint: sequential base-31 polynomial fold
-  * over the string's UTF-16 units, mod 2^31-1, seeded at 7 — the
+  * over the string's UTF-8 bytes, mod 2^31-1, seeded at 7 — the
   * document-fingerprinting hash of the text-analysis surface.
   *
   * Why an Expression: the `aggregate(transform(split(text, ''), …))`
   * higher-order formulation materializes a per-character array and runs
   * an interpreted lambda per element — per-ROW allocation at corpus
-  * scale. This generates a tight char loop inside whole-stage codegen
-  * instead: zero allocation, one pass.
+  * scale. This generates a tight byte loop over the UTF8String's
+  * existing buffer inside whole-stage codegen instead: zero allocation,
+  * one pass (no String copy — Spark rows hold UTF-8 bytes natively).
   *
   * Parity contract: for ASCII text (this corpus — and most web text
-  * after normalization) UTF-16 units == code points == bytes, so the
-  * fold equals DuckDB's `list_reduce` over `unicode(ch)` exactly; all
-  * intermediate values stay < 2^36, so 64-bit arithmetic is exact in
-  * both engines. Non-BMP input would diverge from a code-point fold
-  * (surrogate pairs hash as two units) — documented, not silent: the
-  * hash is still deterministic, just not oracle-comparable there.
+  * after normalization) UTF-8 bytes == code points, so the fold equals
+  * DuckDB's `list_reduce` over `unicode(ch)` exactly; all intermediate
+  * values stay < 2^36, so 64-bit arithmetic is exact in both engines.
+  * Non-ASCII input would diverge from a code-point fold (a multi-byte
+  * sequence hashes per byte) — documented, not silent: the hash is
+  * still deterministic, just not oracle-comparable there.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -38,11 +39,14 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
     var acc = Seed
     var i = 0
-    while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % Mod
+    while (i < n) {
+      // & 0xFF: getByte is signed; the fold is defined over the unsigned
+      // byte value so ASCII bytes equal their code points
+      acc = (acc * 31 + (s.getByte(i) & 0xFF)) % Mod
       i += 1
     }
     acc
@@ -50,14 +54,14 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |java.lang.String $s = $c.toString();
+         |int $n = $c.numBytes();
          |long $acc = ${Seed}L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${Mod}L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc = ($acc * 31L + ($c.getByte($i) & 0xFF)) % ${Mod}L;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -187,6 +187,10 @@ object DedupOps {
         .as("bb"))
       .select(col("doc_id") +: col("bb.band").as("band") +:
         (0 until BandSize).map(j => col(s"bb.v$j").as(s"v$j")): _*)
+      // banded feeds BOTH sides of the candidate self-join; without a
+      // cache the 16-hash signature aggregation (the expensive stage —
+      // a full corpus scan + shuffle at 100 TB) executes twice.
+      .cache()
 
     val bandKeys = Seq("band") ++ (0 until BandSize).map(j => s"v$j")
     val cand = banded.as("x").join(banded.as("y"),

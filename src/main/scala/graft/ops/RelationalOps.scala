@@ -353,22 +353,26 @@ object RelationalOps {
   def trimNullif(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .select(
-        trim(concat(lit("  "), col("c_mktsegment"), lit("\t "))).as("seg"),
+        // Space-only padding: Spark's one-arg trim strips every ASCII char
+        // <= 0x20 while DuckDB's TRIM strips spaces only, so a control char
+        // in the padding (or the group key) diverges between engines.
+        trim(concat(lit("  "), col("c_mktsegment"), lit("   "))).as("seg"),
         when(pmod(col("c_custkey"), lit(7)) === 0, lit("   "))
           .otherwise(col("c_name")).as("raw"))
       .select(col("seg"), expr("nullif(trim(raw), '')").as("cleaned"))
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("cleaned").isNull, 1).otherwise(0)).as("n_blank"),
-        min(length(col("cleaned"))).as("min_len"),
-        max(length(col("cleaned"))).as("max_len"))
+        min(length(col("cleaned"))).cast("long").as("min_len"),
+        max(length(col("cleaned"))).cast("long").as("max_len"))
       .orderBy(col("seg"))
 
   private val trimNullifOracle =
-    """SELECT TRIM('  ' || c_mktsegment || chr(9) || ' ') AS seg,
+    """SELECT TRIM('  ' || c_mktsegment || '   ') AS seg,
       |       COUNT(*) AS n,
-      |       SUM(CASE WHEN cleaned IS NULL THEN 1 ELSE 0 END) AS n_blank,
-      |       MIN(length(cleaned)) AS min_len, MAX(length(cleaned)) AS max_len
+      |       CAST(SUM(CASE WHEN cleaned IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+      |       CAST(MIN(length(cleaned)) AS BIGINT) AS min_len,
+      |       CAST(MAX(length(cleaned)) AS BIGINT) AS max_len
       |FROM (SELECT c_mktsegment,
       |             NULLIF(TRIM(CASE WHEN c_custkey % 7 = 0 THEN '   '
       |                              ELSE c_name END), '') AS cleaned

@@ -211,14 +211,13 @@ object CsvSources {
     "q_csv_scan_infer" -> (csvScanInfer _)
   )
 
-  /** The oracle SQL must embed a concrete fixture path. The driver
-    * verifies at sf0.01 (the default); graft.Verify stamps the actual
-    * sfDir into the `graft.verify.sfdir` system property before dumping
-    * oracle_sql.json, so local checks at other scale factors compare
-    * against the matching fixture. (Fixtures are generated by the Spark
+  /** The oracle SQL must embed a concrete fixture path, so this map —
+    * alone in the oracle surface — is sfDir-dependent. The sfDir is
+    * threaded EXPLICITLY from the caller (`SparkEntry.oracleSqlFor`):
+    * no process-global side channel deciding which scale factor's
+    * fixture the SQL points at. (Fixtures are generated by the Spark
     * queries, which Verify runs before any oracle executes.) */
-  def oracles: Map[String, String] = {
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+  def oracles(sfDir: String): Map[String, String] = {
     val dir = fixtureDir(sfDir).getAbsolutePath
     Map(
       "q_csv_scan_permissive" ->

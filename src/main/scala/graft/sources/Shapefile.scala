@@ -189,7 +189,7 @@ object Shapefile {
     * CUSEC/CUMUN/CPRO attributes — the same deterministic rectangle
     * parameterization the q_union_centroid oracle already validates, so
     * the geometry math downstream of the codec has proven SQL parity. */
-  private def fixture(spark: SparkSession, sfDir: String): String = {
+  private[graft] def fixture(spark: SparkSession, sfDir: String): String = {
     val base = s"/root/repo/spark-warehouse/${new File(sfDir).getName}/fixtures/sections_v1"
     if (!new File(base + ".shp").exists()) {
       val keys = graft.Tables.nation(spark, sfDir)
