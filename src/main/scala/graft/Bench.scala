@@ -19,16 +19,14 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup: one pass over the main inputs absorbs JVM/JIT,
     // codegen compilation, and parquet footer reads, so the first timed
-    // query isn't charged ~5s of session initialization. Skipped for
-    // restricted (SPARK_GRAFT_ONLY) profiling runs except where a
-    // selected query needs it.
+    // query isn't charged ~5s of session initialization. Unconditional —
+    // a SPARK_GRAFT_ONLY profiling run skipping it charges session init
+    // to whichever selected query happens to sort first.
     val names = selected.map(_._1).toSet
     try {
-      if (only.isEmpty) {
-        Tables.lineitem(spark, sfDir).count()
-        Tables.documents(spark, sfDir).count()
-        Tables.events(spark, sfDir).count()
-      }
+      Tables.lineitem(spark, sfDir).count()
+      Tables.documents(spark, sfDir).count()
+      Tables.events(spark, sfDir).count()
       // bucketed-layout creation is a pay-once-at-write cost by design;
       // timing it inside q_bucketed_join would measure the write, not
       // the co-located join the query demonstrates

@@ -47,12 +47,13 @@ object Report {
       |      FROM silver)""".stripMargin
 
   def bq1Report(spark: SparkSession, sfDir: String): DataFrame = {
-    // gold (the expensive 3-sigma window aggregate) feeds BOTH union
-    // branches, and geo feeds the driver collect plus both branches —
-    // cache them or each reference re-runs the whole silver lineage.
-    // (The harness clears the cache after every query.)
+    // gold is the MATERIALIZED typical-day table (the reference report
+    // reads gold_typical_day_patterns, it never re-runs the 3σ
+    // aggregation) — a parquet read per branch, no cache needed. geo
+    // feeds the driver collect plus both branches — cached, or each
+    // reference re-runs the silver zone-universe scan.
     val silver = SilverMobility.fromEvents(spark, sfDir)
-    val gold = TypicalDay.fromSilver(silver).cache()
+    val gold = TypicalDay.goldTable(spark, sfDir)
     val geo = zoneGeometry(silver).cache()
 
     // the reference's driver-side district discovery (:137-145)

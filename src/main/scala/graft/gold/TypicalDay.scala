@@ -52,14 +52,37 @@ object TypicalDay {
   def query(spark: SparkSession, sfDir: String): DataFrame =
     fromSilver(SilverMobility.fromEvents(spark, sfDir))
 
+  /** Tables already materialized by [[goldTable]] this session (keyed by
+    * path so sf0.01 verify and sf0.1 bench runs stay separate). */
+  private val goldWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The materialized gold patterns table. The reference writes
+    * `gold_typical_day_patterns` once (`dags/mitma/new_gold.py:31-79`)
+    * and every report-layer consumer READS the table
+    * (`dags/bussiness_layer/generate_report.py:105-145`) instead of
+    * re-running the 3σ aggregation. Mirrored here exactly like
+    * `GravityOps.goldRanking`: first caller per session+SF computes and
+    * writes parquet; later consumers pay a table read. Parquet
+    * round-trips every double bit-exactly, so downstream oracles are
+    * unchanged. At 100 TB this is one fact-table shuffle per day, not
+    * one per report query.
+    */
+  def goldTable(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val tbl = s"${graft.etl.Medallion.warehouse(sfDir)}/gold_typical_day_patterns"
+    if (goldWritten.add(tbl))
+      query(spark, sfDir).write.mode("overwrite").parquet(tbl)
+    spark.read.parquet(tbl)
+  }
+
   /** Peak hour per day_type from the gold patterns — the report's
     * pandas-side `idxmax` (`dags/mitma/generate_report.py:123`) brought
     * into the engine as a ranking window (SURVEY.md §2.5): re-aggregate
     * gold to (day_type, hour), then row_number over total DESC picks the
-    * peak with a deterministic hour tie-break.
+    * peak with a deterministic hour tie-break. Reads the materialized
+    * gold table, as the reference report does.
     */
   def peakHour(spark: SparkSession, sfDir: String): DataFrame = {
-    val gold = query(spark, sfDir)
+    val gold = goldTable(spark, sfDir)
     val byHour = gold.groupBy(col("day_type"), col("hour_period"))
       .agg(round(sum(col("total_trips")), 4).as("hour_trips"))
     val w = Window.partitionBy(col("day_type"))

@@ -24,15 +24,20 @@ object DedupOps {
   /** Distinct word-3-gram shingles per document (docs shorter than 3
     * words contribute none). 0-indexed array lambda on the Spark side,
     * 1-indexed generate_series in the oracle — same shingles.
+    *
+    * Distinctness is PER DOCUMENT (doc_id is part of every row), so it
+    * is applied with `array_distinct` on the in-row array before the
+    * explode — map-side, zero shuffle — rather than a corpus-wide
+    * `.distinct()`, which would shuffle every (doc_id, shingle) string
+    * pair just to deduplicate within rows that are already colocated.
     */
   private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("shingle"))
-      .distinct()
 
   private val shinglesSql =
     """SELECT DISTINCT doc_id,
