@@ -1,0 +1,394 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pipeline operators a large-scale training-data / event-analytics stack
+  * needs beyond the reference's SQL surface: as-of joins, range joins,
+  * benchmark decontamination, PII redaction, deterministic stratified
+  * sampling, repetition-based quality stats, and per-group top-k.
+  *
+  * Design stance (100 TB): every operator here is either a pure map-side
+  * projection or reduces to an equi-join/shuffle on a bounded key — the
+  * as-of join is the union+window rewrite (one shuffle, no range probe),
+  * the range join buckets intervals so Catalyst gets an equi-join instead
+  * of a cartesian theta, decontamination broadcasts the (small) eval-set
+  * n-grams, and sampling is a branchless arithmetic filter with zero
+  * pre-shuffle.
+  */
+object PipelineOps {
+
+  // ------------------------------------------------------------ as-of join
+  /** As-of join — for every `purchase` event, the latest `view` event of
+    * the same user at-or-before its timestamp (trade/quote matching,
+    * attribution joins). Spark has no ASOF JOIN operator; the scalable
+    * rewrite is union-the-two-streams + a running `last(_, ignoreNulls)`
+    * window: ONE shuffle on user_id, no per-row range probe, no skew
+    * beyond the user key itself. Views sort before purchases at equal
+    * timestamps (tag 0 < 1) to match the inclusive `v.ts <= b.ts` bound of
+    * DuckDB's native ASOF JOIN, which the oracle runs literally.
+    *
+    * Millisecond-epoch arithmetic for the gap sum per the repo's events
+    * parity convention (floor(ns/1e6) is identical in both engines).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+    // (user_id, ts) is unique in the fixture; the groupBy is the
+    // deterministic tie-break a production feed needs (latest event_id
+    // wins, arg_max in the oracle)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("view_id"),
+        expr("max_by(value, event_id)").as("view_value"))
+    val buys = ev.filter(col("event_type") === "purchase")
+    val tagged = views.select(col("user_id"), col("ms"), lit(0).as("tag"),
+        col("view_id"), col("view_value"),
+        lit(null).cast("double").as("buy_value"))
+      .unionByName(buys.select(col("user_id"), col("ms"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"),
+        lit(null).cast("double").as("view_value"),
+        col("value").as("buy_value")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tagged
+      .withColumn("m_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("m_view_ms",
+        last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w))
+      .withColumn("m_view_value",
+        last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+    matched.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_buys"),
+        sum(when(col("m_view_id").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_matched"),
+        round(sum(col("buy_value")), 4).as("buy_value_sum"),
+        round(sum(coalesce(col("m_view_value"), lit(0.0))), 4)
+          .as("view_value_sum"),
+        sum(coalesce(col("ms") - col("m_view_ms"), lit(0L))).cast("long")
+          .as("gap_ms_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val asofJoinOracle =
+    """WITH v AS (SELECT user_id, epoch_ms(ts) AS ms,
+      |                  MAX(event_id) AS view_id,
+      |                  arg_max(value, event_id) AS view_value
+      |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |     b AS (SELECT user_id, epoch_ms(ts) AS ms, value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT b.user_id, COUNT(*) AS n_buys,
+      |       CAST(SUM(CASE WHEN v.view_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |       ROUND(SUM(b.value), 4) AS buy_value_sum,
+      |       ROUND(SUM(COALESCE(v.view_value, 0.0)), 4) AS view_value_sum,
+      |       CAST(SUM(COALESCE(b.ms - v.ms, 0)) AS BIGINT) AS gap_ms_sum
+      |FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND v.ms <= b.ms
+      |GROUP BY b.user_id ORDER BY b.user_id""".stripMargin
+
+  // ------------------------------------------------------------ range join
+  /** Range (interval-containment) join — events against maintenance
+    * windows `[start, start+90min)` derived from every 6th hour of the
+    * feed. The naive plan is a theta join (BroadcastNestedLoop or
+    * cartesian); the scalable rewrite EXPLODES each interval into the
+    * hour buckets it covers and equi-joins events on their bucket, so
+    * Catalyst gets a hash join whose key fan-out is bounded by
+    * ceil(interval/bucket)=2 — the residual containment predicate then
+    * runs as a post-join filter. The oracle states the literal BETWEEN
+    * theta join.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // pure ms-epoch arithmetic end to end: date_trunc('hour')/hour() are
+    // session-timezone-dependent in Spark but naive in DuckDB — integer
+    // division of the epoch is identical everywhere
+    val hourMs = 3600000L
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_millis(col("ts")).as("ms"), col("value"))
+    val iv = ev
+      .select((col("ms") - pmod(col("ms"), lit(hourMs))).as("w_start"))
+      .filter((col("w_start") / hourMs).cast("long") % 6 === 0).distinct()
+      .withColumn("w_end", col("w_start") + lit(5400000L))
+    val ivb = iv.withColumn("bucket", explode(sequence(
+      (col("w_start") / hourMs).cast("long"),
+      ((col("w_end") - 1) / hourMs).cast("long"))))
+    val evb = ev.withColumn("bucket", (col("ms") / hourMs).cast("long"))
+    evb.join(ivb, Seq("bucket"))
+      .filter(col("ms") >= col("w_start") && col("ms") < col("w_end"))
+      .groupBy(col("w_start").as("window_start_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .orderBy(col("window_start_ms"))
+  }
+
+  private val rangeJoinOracle =
+    """WITH iv AS (SELECT DISTINCT (epoch_ms(ts) // 3600000) * 3600000 AS w_start,
+      |                   (epoch_ms(ts) // 3600000) * 3600000 + 5400000 AS w_end
+      |            FROM events WHERE (epoch_ms(ts) // 3600000) % 6 = 0)
+      |SELECT iv.w_start AS window_start_ms,
+      |       COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS value_sum
+      |FROM (SELECT epoch_ms(ts) AS ms, value FROM events) e
+      |JOIN iv ON e.ms >= iv.w_start AND e.ms < iv.w_end
+      |GROUP BY 1 ORDER BY window_start_ms""".stripMargin
+
+  // ------------------------------------------------------------ decontamination
+  /** Benchmark decontamination — drop training documents sharing any
+    * word-level 8-gram with the held-out eval split (the overlap filter
+    * every LLM data pipeline runs before training). Eval docs
+    * (`doc_id % 97 = 0`, ~1%) contribute a DISTINCT 8-gram set that is
+    * BROADCAST; train docs explode to their 8-grams map-side and
+    * LEFT SEMI join against it, so the only full shuffle is the final
+    * distinct over contaminated doc_ids. At 100 TB the eval set stays
+    * dimension-sized by construction — this plan shape is exactly the
+    * production one.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+    def grams(d: DataFrame): DataFrame = d.withColumn("gram", explode(
+      when(size(col("w")) >= 8,
+        expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+        .otherwise(array().cast("array<string>"))))
+    val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("gram")).distinct()
+    val dirty = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("dirty", lit(1))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(dirty, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("dirty"), lit(0))).cast("long").as("n_contaminated"),
+        sum(when(col("dirty").isNotNull, size(col("w"))).otherwise(0))
+          .cast("long").as("contaminated_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val decontaminateOracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |     eg AS (SELECT DISTINCT unnest(list_transform(
+      |              range(0, greatest(len(w) - 7, 0)),
+      |              i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+      |            FROM w WHERE doc_id % 97 = 0),
+      |     dirty AS (SELECT DISTINCT doc_id FROM (
+      |              SELECT doc_id, unnest(list_transform(
+      |                range(0, greatest(len(w) - 7, 0)),
+      |                i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+      |              FROM w WHERE doc_id % 97 <> 0)
+      |            WHERE gram IN (SELECT gram FROM eg))
+      |SELECT source, COUNT(*) AS n_train,
+      |       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN len(w.w) ELSE 0 END) AS BIGINT) AS contaminated_tokens
+      |FROM w LEFT JOIN dirty d USING (doc_id)
+      |WHERE w.doc_id % 97 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ PII redaction
+  /** PII redaction — regex scrub of emails and 9-digit phone numbers.
+    * The fixture corpus is digit-free, so deterministic PII is first
+    * synthesized (emails on doc_id%3, phones on doc_id%5 — both in the
+    * oracle verbatim), then redacted with `regexp_replace`; the report
+    * counts matches and length deltas per source and pins the cleaned
+    * text with a group-min md5. Pure map-side column math — the regexes
+    * stay in the Java/RE2 common subset so both engines match the same
+    * spans.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    // [.] instead of \. — the pattern goes through a Spark SQL string
+    // literal (expr), a Scala regex, and a DuckDB literal, which disagree
+    // on backslash processing; a character class needs no escaping anywhere
+    val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phone = "[0-9]{9}"
+    val t = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+          lit("@host"), (col("doc_id") % 7).cast("string"), lit(".com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel "),
+          (lit(600000000L) + col("doc_id") % 1000000).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(spark, sfDir)
+      .withColumn("t", t)
+      .withColumn("n_email", size(expr(s"regexp_extract_all(t, '$email', 0)")))
+      .withColumn("n_phone", size(expr(s"regexp_extract_all(t, '$phone', 0)")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).cast("long").as("n_emails"),
+        sum(col("n_phone")).cast("long").as("n_phones"),
+        sum(length(col("t")) - length(col("clean"))).cast("long")
+          .as("len_delta"),
+        min(md5(col("clean").cast("binary"))).as("clean_md5_min"))
+      .orderBy(col("source"))
+  }
+
+  private val piiRedactOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+'))) AS BIGINT) AS n_emails,
+      |       CAST(SUM(len(regexp_extract_all(t, '[0-9]{9}'))) AS BIGINT) AS n_phones,
+      |       CAST(SUM(length(t) - length(clean)) AS BIGINT) AS len_delta,
+      |       MIN(md5(clean)) AS clean_md5_min
+      |FROM (
+      |  SELECT source, t,
+      |         regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+      |                        '[0-9]{9}', '<PHONE>', 'g') AS clean
+      |  FROM (
+      |    SELECT source,
+      |           text
+      |           || CASE WHEN doc_id % 3 = 0
+      |                   THEN ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+      |                        || '@host' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      |                   ELSE '' END
+      |           || CASE WHEN doc_id % 5 = 0
+      |                   THEN ' tel ' || CAST(600000000 + doc_id % 1000000 AS VARCHAR)
+      |                   ELSE '' END AS t
+      |    FROM documents))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ stratified sampling
+  /** Deterministic stratified sampling — per-language keep rates applied
+    * via a Knuth multiplicative hash of doc_id (exact 64-bit integer
+    * arithmetic, identical in both engines; no RNG, so the sample is
+    * reproducible run-to-run and engine-to-engine). This is the corpus
+    * down/up-weighting step of a training-data mixture: a branchless
+    * map-side filter with zero pre-shuffle; only the per-stratum report
+    * aggregates.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "es", 37)
+      .when(col("lang") === "zh", 80)
+      .when(col("lang") === "fr", 55)
+      .otherwise(100)
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+      lit(100))
+    Tables.documents(spark, sfDir)
+      .withColumn("rate", rate)
+      .withColumn("keep", bucket < col("rate"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("rate")).cast("long").as("target_pct"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_sampled"),
+        round(sum(when(col("keep"), 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("achieved_rate"),
+        sum(when(col("keep"), size(split(col("text"), " "))).otherwise(0))
+          .cast("long").as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val stratifiedSampleOracle =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(MAX(rate) AS BIGINT) AS target_pct,
+      |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS achieved_rate,
+      |       CAST(SUM(CASE WHEN keep THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM (
+      |  SELECT lang, text,
+      |         CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 37 WHEN 'zh' THEN 80
+      |                   WHEN 'fr' THEN 55 ELSE 100 END AS rate,
+      |         ((doc_id * 2654435761) % 4294967296) % 100 < (CASE lang
+      |           WHEN 'en' THEN 10 WHEN 'es' THEN 37 WHEN 'zh' THEN 80
+      |           WHEN 'fr' THEN 55 ELSE 100 END) AS keep
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ repetition stats
+  /** Repetition-based quality stats (the Gopher repetition rules):
+    * duplicate-word and duplicate-bigram fractions per document, a drop
+    * verdict at >0.55 duplicate words, and corpus-level fractions from
+    * EXACT integer sums (sum of distinct counts over sum of totals — no
+    * float-accumulation order sensitivity). All in-row array math:
+    * `array_distinct` on the word array and a `transform`-built bigram
+    * array, zero shuffle before the report aggregate.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nw", size(col("w")))
+      .withColumn("ndw", size(array_distinct(col("w"))))
+      .withColumn("bg",
+        when(col("nw") >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("nbg", size(col("bg")))
+      .withColumn("ndbg", size(array_distinct(col("bg"))))
+      .withColumn("dropped",
+        lit(1.0) - col("ndw").cast("double") / col("nw") > 0.55)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1).otherwise(0)).cast("long").as("n_dropped"),
+        round(lit(1.0) - sum(col("ndw")).cast("double") / sum(col("nw")), 6)
+          .as("dup_word_frac"),
+        round(lit(1.0) - sum(col("ndbg")).cast("double") / sum(col("nbg")), 6)
+          .as("dup_bigram_frac"),
+        sum(when(!col("dropped"), col("nw")).otherwise(0)).cast("long")
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val repetitionStatsOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |       ROUND(1.0 - CAST(SUM(ndw) AS DOUBLE) / SUM(nw), 6) AS dup_word_frac,
+      |       ROUND(1.0 - CAST(SUM(ndbg) AS DOUBLE) / SUM(nbg), 6) AS dup_bigram_frac,
+      |       CAST(SUM(CASE WHEN NOT dropped THEN nw ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM (
+      |  SELECT source, nw, ndw,
+      |         CASE WHEN nw >= 2 THEN nw - 1 ELSE 0 END AS nbg,
+      |         CASE WHEN nw >= 2 THEN len(list_distinct(list_transform(
+      |           range(0, nw - 1), i -> w[i+1] || ' ' || w[i+2]))) ELSE 0 END AS ndbg,
+      |         1.0 - CAST(ndw AS DOUBLE) / nw > 0.55 AS dropped
+      |  FROM (SELECT source, w, len(w) AS nw, len(list_distinct(w)) AS ndw
+      |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ top-k per group
+  /** Per-group top-k — the 3 largest documents per source (row_number
+    * window, deterministic doc_id tie-break): the "best k examples per
+    * stratum" selection a curation pipeline runs. At scale Catalyst
+    * executes this as a partial top-k per partition before the shuffle
+    * (WindowGroupLimit pushdown), so no group ever materializes fully.
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private val topkPerGroupOracle =
+    """SELECT source, doc_id, n_chars, rnk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_repetition_stats" -> (repetitionStats _),
+    "q_topk_per_group" -> (topkPerGroup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofJoinOracle,
+    "q_range_join" -> rangeJoinOracle,
+    "q_decontaminate" -> decontaminateOracle,
+    "q_pii_redact" -> piiRedactOracle,
+    "q_stratified_sample" -> stratifiedSampleOracle,
+    "q_repetition_stats" -> repetitionStatsOracle,
+    "q_topk_per_group" -> topkPerGroupOracle
+  )
+}

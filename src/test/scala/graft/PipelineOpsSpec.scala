@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PipelineOps
+
+/** Semantics checks for the pipeline operators that complement the
+  * DuckDB oracle: the as-of and range joins are re-derived here from
+  * their NAIVE formulations (per-row scan / theta join) so the scalable
+  * rewrites (union+window, bucketed equi-join) are proven equivalent to
+  * the textbook definition inside Spark itself, independent of the
+  * oracle engine's own asof/between implementations.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("as-of join: union+window rewrite == naive per-purchase max scan") {
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), unix_millis(col("ts")).as("ms")).collect()
+    val views = ev.filter(_.getString(1) == "view")
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(3)))
+    // naive: for each purchase, scan all views of the user for max ms <= ts
+    var nBuys, nMatched = 0L
+    var gapSum = 0L
+    ev.filter(_.getString(1) == "purchase").foreach { b =>
+      nBuys += 1
+      val cand = views.filter(v => v._1 == b.getLong(0) && v._2 <= b.getLong(4))
+      if (cand.nonEmpty) {
+        nMatched += 1
+        gapSum += b.getLong(4) - cand.map(_._2).max
+      }
+    }
+    val out = PipelineOps.asofJoin(spark, sfTiny)
+      .agg(sum("n_buys"), sum("n_matched"), sum("gap_ms_sum")).collect()(0)
+    assert(out.getLong(0) == nBuys)
+    assert(out.getLong(1) == nMatched)
+    assert(out.getLong(2) == gapSum)
+  }
+
+  test("range join: bucketed equi-join rewrite == literal theta join") {
+    val ev = Tables.events(spark, sfTiny)
+      .select(unix_millis(col("ts")).as("ms"), col("value"))
+    val iv = ev.select((col("ms") - pmod(col("ms"), lit(3600000L))).as("ws"))
+      .filter((col("ws") / 3600000L).cast("long") % 6 === 0).distinct()
+      .withColumn("we", col("ws") + lit(5400000L))
+    val naive = ev.join(iv, col("ms") >= col("ws") && col("ms") < col("we"))
+      .groupBy(col("ws").as("window_start_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .orderBy(col("window_start_ms"))
+    assertSameResult(PipelineOps.rangeJoin(spark, sfTiny), naive)
+  }
+
+  test("decontamination: flagged docs share an 8-gram with eval, clean ones don't") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def grams(ws: Array[String]): Set[String] =
+      if (ws.length < 8) Set.empty else ws.sliding(8).map(_.mkString(" ")).toSet
+    val evalGrams = docs.collect { case (id, ws) if id % 97 == 0 => grams(ws) }
+      .fold(Set.empty)(_ ++ _)
+    val truthDirty = docs.collect {
+      case (id, ws) if id % 97 != 0 && grams(ws).exists(evalGrams) => id
+    }.toSet
+    val reported = PipelineOps.decontaminate(spark, sfSmall)
+      .agg(sum("n_contaminated")).collect()(0).getLong(0)
+    assert(reported == truthDirty.size,
+      s"contaminated count: spark=$reported truth=${truthDirty.size}")
+  }
+
+  test("stratified sample: achieved rates are within 15pp of targets at sf0.01") {
+    val rows = PipelineOps.stratifiedSample(spark, sfSmall).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val target = r.getLong(2) / 100.0
+      val achieved = r.getDouble(4)
+      assert(math.abs(achieved - target) <= 0.15,
+        s"lang=${r.getString(0)} target=$target achieved=$achieved")
+    }
+  }
+
+  test("pii redaction removes every synthesized email and phone") {
+    val out = PipelineOps.piiRedact(spark, sfSmall).collect()
+    val nDocs = out.map(_.getLong(1)).sum
+    val nEmails = out.map(_.getLong(2)).sum
+    val nPhones = out.map(_.getLong(3)).sum
+    // doc_id 0..499: every %3==0 carries one email, every %5==0 one phone
+    assert(nDocs == 500)
+    assert(nEmails == (0L until 500L).count(_ % 3 == 0))
+    assert(nPhones == (0L until 500L).count(_ % 5 == 0))
+    // redaction must strictly shrink PII-bearing text
+    out.foreach(r => assert(r.getLong(4) >= 0, s"negative len_delta in $r"))
+  }
+
+  test("top-k per group emits at most 3 rows per source, in rank order") {
+    val rows = PipelineOps.topkPerGroup(spark, sfSmall).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"source $src has ${rs.length} rows")
+      assert(rs.map(_.getInt(3)).toSeq == (1 to rs.length),
+        s"ranks not contiguous for $src")
+      val chars = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b },
+        s"n_chars not non-increasing for $src")
+    }
+  }
+}
