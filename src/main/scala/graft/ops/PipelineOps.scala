@@ -38,22 +38,24 @@ object PipelineOps {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         col("event_type"), unix_millis(col("ts")).as("ms"))
-    // (user_id, ts) is unique in the fixture; the groupBy is the
-    // deterministic tie-break a production feed needs (latest event_id
-    // wins, arg_max in the oracle)
+    // no pre-aggregation of the view side: ordering the window by
+    // (ms, tag, event_id) makes `last` pick the max-event_id view at the
+    // latest eligible ms — the arg_max tie-break — without the extra
+    // (user_id, ms) dedup shuffle a groupBy would cost; the whole
+    // operator runs on ONE exchange over user_id
     val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("ms"))
-      .agg(max(col("event_id")).as("view_id"),
-        expr("max_by(value, event_id)").as("view_value"))
     val buys = ev.filter(col("event_type") === "purchase")
     val tagged = views.select(col("user_id"), col("ms"), lit(0).as("tag"),
-        col("view_id"), col("view_value"),
+        col("event_id"), col("event_id").as("view_id"),
+        col("value").as("view_value"),
         lit(null).cast("double").as("buy_value"))
       .unionByName(buys.select(col("user_id"), col("ms"), lit(1).as("tag"),
+        col("event_id"),
         lit(null).cast("long").as("view_id"),
         lit(null).cast("double").as("view_value"),
         col("value").as("buy_value")))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = tagged
       .withColumn("m_view_id", last(col("view_id"), ignoreNulls = true).over(w))
@@ -372,7 +374,52 @@ object PipelineOps {
       |  FROM documents)
       |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
 
+  // ------------------------------------------------------------ salted skew join
+  /** Salted skew join — the large×large equi-join survival pattern when
+    * the key histogram is pathological (here: 3 hot keys carrying the
+    * whole fact table) and the dimension side is too big or too dynamic
+    * to broadcast. The fact side gets a deterministic-per-row salt
+    * `hash(row) % R`; the dimension side is EXPLODED to all R salts; the
+    * join key becomes (key, salt), spreading each hot key over R
+    * reducers. A SHUFFLE_HASH hint keeps the demo honest (without it the
+    * 3-row dim would broadcast and hide the skew problem entirely).
+    * The salt never reaches the output, so the oracle is the literal
+    * unsalted join. AQE's skewedJoin covers sort-merge spills at
+    * runtime; explicit salting is the plan-level fix that also works
+    * for hash joins and pre-AQE engines.
+    */
+  def skewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = 16
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(3L)).as("hot"), col("l_quantity"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(r)).as("salt"))
+    val dim = Tables.orders(spark, sfDir)
+      .groupBy(pmod(col("o_orderkey"), lit(3L)).as("hot"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("price_sum"))
+      .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+    fact.hint("shuffle_hash")
+      .join(dim.hint("shuffle_hash"), Seq("hot", "salt"))
+      .groupBy(col("hot"))
+      .agg(count(lit(1)).as("n_li"),
+        round(sum(col("l_quantity")), 4).as("qty_sum"),
+        max(col("n_orders")).as("n_orders"),
+        max(col("price_sum")).as("price_sum"))
+      .orderBy(col("hot"))
+  }
+
+  private val skewJoinOracle =
+    """WITH dim AS (SELECT o_orderkey % 3 AS hot, COUNT(*) AS n_orders,
+      |                    ROUND(SUM(o_totalprice), 4) AS price_sum
+      |             FROM orders GROUP BY 1)
+      |SELECT f.hot, COUNT(*) AS n_li, ROUND(SUM(f.l_quantity), 4) AS qty_sum,
+      |       MAX(d.n_orders) AS n_orders, MAX(d.price_sum) AS price_sum
+      |FROM (SELECT l_orderkey % 3 AS hot, l_quantity FROM lineitem) f
+      |JOIN dim d USING (hot)
+      |GROUP BY f.hot ORDER BY hot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_decontaminate" -> (decontaminate _),
@@ -383,6 +430,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_decontaminate" -> decontaminateOracle,

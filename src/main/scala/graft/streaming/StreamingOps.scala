@@ -40,6 +40,20 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("origin_zone"),
         col("trips"), col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * fingerprint dedup (`q_dedup_exact`): keep the first document seen
+    * per content fingerprint, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes, so state is proportional to the dedup horizon, not corpus
+    * history — the property that makes streaming ingest dedup viable at
+    * 100 TB; the batch twin's full-history groupBy is the backfill
+    * path).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   // ------------------------------------------------------------------
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 

@@ -93,4 +93,38 @@ class StreamingSpec extends SparkSpec {
         s"got ${sessions.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming dedup keeps the first arrival per fingerprint, in and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "fp", "ts")
+    val q = StreamingOps.dedupStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fp "aa" appears twice in-batch — only the first emits
+      input.addData(
+        (1L, "aa", ts("2024-01-01 10:00:00")),
+        (2L, "aa", ts("2024-01-01 10:01:00")),
+        (3L, "bb", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // batch 2: "aa" again within the watermark horizon — still dropped;
+      // "cc" is new — kept
+      input.addData(
+        (4L, "aa", ts("2024-01-01 10:30:00")),
+        (5L, "cc", ts("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+
+      val kept = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L, 5L), s"kept $kept")
+      // equals the batch twin over the same rows: one survivor per fp
+      val batchFps = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"), (5L, "cc"))
+        .toDF("doc_id", "fp").dropDuplicates("fp")
+        .select("fp").collect().map(_.getString(0)).sorted.toSeq
+      assert(batchFps == Seq("aa", "bb", "cc"))
+    } finally q.stop()
+  }
 }
