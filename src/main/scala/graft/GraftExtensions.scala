@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingHash, VecDot}
+import graft.functions.{MinhashSigs, RollingHash, SimhashSig, VecDot}
 import graft.geo.GeoFunctions
 
 /** Library entry points for a user adopting graft in their own Spark
@@ -36,6 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"roll_hash requires exactly 1 argument, got ${exprs.length}")
         RollingHash(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"minhash_sigs requires exactly 1 argument, got ${exprs.length}")
+        MinhashSigs(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash_sig requires exactly 1 argument, got ${exprs.length}")
+        SimhashSig(exprs.head)
+      }))
   }
 }
 
@@ -45,6 +61,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): SparkSession = {
     functions.VectorExprs.register(spark)
     functions.TextExprs.register(spark)
+    functions.SigExprs.register(spark)
     GeoFunctions.register(spark)
     spark
   }

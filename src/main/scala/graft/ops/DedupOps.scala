@@ -31,13 +31,32 @@ object DedupOps {
     * `.distinct()`, which would shuffle every (doc_id, shingle) string
     * pair just to deduplicate within rows that are already colocated.
     */
-  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+
+  /** Exploded (doc_id, shingle) stream. The generator expression stays
+    * INLINE in the explode on purpose: exploding a named array column
+    * instead lets `InferFiltersFromGenerate` add a `size(sh)>0` filter
+    * whose pushdown through the projection substitutes the whole
+    * shingle-array expression into the Filter — computing every array
+    * twice per row (measured 2.7× slower at sf0.1). With the inline
+    * form the rule skips inference (SPARK-36715: no filter inference
+    * from expensive generator children). */
+  private[graft] def explodedShingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("shingle"))
+
+  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    explodedShingles(Tables.documents(spark, sfDir))
 
   private val shinglesSql =
     """SELECT DISTINCT doc_id,
@@ -138,39 +157,34 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------------
-  private val NumHashes = 16
-  private val BandSize = 4
-  private val NumBands = NumHashes / BandSize
-
   /** Universal-hash family over a single md5-derived base value:
     * h31 = int(md5(shingle)[0:15 hex]) mod 2^31-1, then
     * h_i = (A_i·h31 + B_i) mod 2^61-1. Every step is exact 64-bit
     * integer arithmetic available VERBATIM in DuckDB (hex parse via
     * CAST('0x…' AS BIGINT)), which is the point: unlike xxhash64, the
-    * whole MinHash+LSH pipeline is oracle-checkable. A_i·h31 < 2^62
-    * never overflows. */
-  private val MersP = 2305843009213693951L // 2^61 - 1
-  // Multipliers must be LARGE (~2^31) so A_i·h31 ≫ 2^61 and the mod
-  // actually wraps: with small A_i the map is monotone in h31, every
-  // hash picks the same argmin shingle, and the 16-wide signature
-  // degenerates to a single-hash minhash (banding then amplifies
-  // nothing). A_i·h31 < 2^32·2^31 = 2^63 still never overflows int64.
-  private def hA(i: Int): Long = 2654435761L + 40503L * i
-  private def hB(i: Int): Long = 1000003L * i + 12345
+    * whole MinHash+LSH pipeline is oracle-checkable. The canonical
+    * constants and the native kernel live in
+    * [[graft.functions.SigKernels]]; the oracle SQL below renders the
+    * same math. */
+  import graft.functions.SigKernels.{MersP, NumHashes, SimBits, hA, hB}
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
 
-  private val h31Spark =
-    "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 2147483647"
   private val h31Sql =
     "CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647"
 
-  /** MinHash signatures: per doc, min of each universal hash — one
-    * groupBy over the exploded shingles computes all 16 mins (single
-    * shuffle). */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val withBase = sh.withColumn("h31", expr(h31Spark))
-    val mins = (0 until NumHashes).map(i =>
-      min(expr(s"(${hA(i)} * h31 + ${hB(i)}) % $MersP")).as(s"m$i"))
-    withBase.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  /** MinHash signatures computed ENTIRELY map-side: the shingle set is
+    * already an in-row array, and the 16-wide signature is ONE native
+    * codegen kernel call per row ([[graft.functions.MinhashSigs]]) —
+    * zero shuffle, no explode, no interpreted lambdas. (The explode →
+    * groupBy(doc_id) formulation shuffled every (doc_id, shingle) pair
+    * just to compute a per-row reduction; at 100 TB that is a full
+    * corpus exchange for work each task can do locally.) */
+  def minhashSignatures(shArr: DataFrame): DataFrame = {
+    graft.functions.SigExprs.register(shArr.sparkSession)
+    shArr.withColumn("sigs", expr("minhash_sigs(sh)"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sigs").getItem(i).as(s"m$i")): _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the 16-wide signature into 4 bands
@@ -180,8 +194,7 @@ object DedupOps {
     * family) AND brute-force-checked in DedupSpec.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(shingleArrays(Tables.documents(spark, sfDir)))
     val banded = sig.select(col("doc_id"),
       explode(expr(
         (0 until NumBands).map(b =>
@@ -193,8 +206,8 @@ object DedupOps {
       .select(col("doc_id") +: col("bb.band").as("band") +:
         (0 until BandSize).map(j => col(s"bb.v$j").as(s"v$j")): _*)
       // banded feeds BOTH sides of the candidate self-join; without a
-      // cache the 16-hash signature aggregation (the expensive stage —
-      // a full corpus scan + shuffle at 100 TB) executes twice.
+      // cache the signature pass (a full corpus scan + per-row md5 of
+      // every shingle) executes twice.
       .cache()
 
     val bandKeys = Seq("band") ++ (0 until BandSize).map(j => s"v$j")
@@ -210,30 +223,26 @@ object DedupOps {
       .cache()
 
     // Exact-Jaccard verification scoped to the LSH candidates ONLY.
-    // First cut the corpus shingle table down to documents appearing in
-    // some candidate pair — a BROADCAST semi-join, so the big shingle
-    // relation is filtered in place with no shuffle — then intersect the
-    // (tiny) per-candidate shingle sets. Cost is |candidate docs| ×
-    // shingles-per-doc, NOT the full co-shingled pair space, which is
-    // exactly the work LSH exists to avoid. (Building the full shingle
-    // self-join and intersecting it with candidates afterwards would pay
-    // brute-force cost despite the banding.)
+    // The shingle SET of each candidate doc is an in-row array, so the
+    // verify is two BROADCAST joins (pair → d1 array → d2 array) plus a
+    // map-side `array_intersect` — no explode, no aggregation, no
+    // shuffle. Cost is |candidate pairs| × shingles-per-doc, NOT the
+    // full co-shingled pair space, which is exactly the work LSH exists
+    // to avoid.
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    // cached: scanned three times (s1 side, s2 side, sizes) and tiny.
-    val candSh = sh.join(broadcast(candDocs), Seq("doc_id")).cache()
-    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // candidate pairs and per-candidate sizes are the pruned (small)
-    // relations — broadcast them so no verify-stage join shuffles.
-    val shared = broadcast(cand)
-      .join(candSh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
-      .join(candSh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), Seq("d1"))
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), Seq("d2"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+    // shingle arrays re-derived for CANDIDATE DOCS ONLY (broadcast
+    // semi-join filters the corpus before the shingle transform);
+    // cached: consumed by both pair sides.
+    val candSh = shingleArrays(
+        Tables.documents(spark, sfDir).join(broadcast(candDocs), Seq("doc_id")))
+      .cache()
+    broadcast(cand)
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -275,29 +284,19 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
-  private val SimBits = 32
-
   /** SimHash signature per document: each distinct term votes ±tf on each
     * of 32 bit positions of its hash; the sign vector is the signature.
-    * Computed as 32 conditional sums in ONE groupBy — single shuffle.
+    * Computed ENTIRELY map-side as ONE native codegen kernel call per
+    * row ([[graft.functions.SimhashSig]]: in-row tf map, md5 term hash,
+    * 32 vote sums) — zero shuffle before the band join. (The previous
+    * formulation exploded every word and shuffled (doc_id, word) pairs
+    * to compute tf — a full corpus exchange for a per-row reduction.)
     * The term hash is the first 8 md5 hex chars as a 32-bit integer —
     * exact in both engines, so simhash is oracle-checkable too. */
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"))
-    val votes = (0 until SimBits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$b"))
-    val sigExpr = (0 until SimBits).map(b =>
-      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
-    terms.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .withColumn("sig", expr(sigExpr))
-      .select(col("doc_id"), col("sig"))
+    graft.functions.SigExprs.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("simhash_sig(split(text, ' '))").as("sig"))
   }
 
   /** SimHash near-dup pairs: 4 bands of 8 bits bucket the signatures;

@@ -69,7 +69,8 @@ class DedupSpec extends SparkSpec {
     // second-level hash): recompute candidates from the collected
     // signature matrix and intersect with the driver-side truth — this
     // must equal the distributed output exactly.
-    val sig = DedupOps.minhashSignatures(DedupOps.shingles(spark, sfSmall))
+    val sig = DedupOps.minhashSignatures(
+      DedupOps.shingleArrays(Tables.documents(spark, sfSmall)))
       .collect()
       .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toVector)
     val cands = for {
