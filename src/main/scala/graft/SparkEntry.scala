@@ -23,6 +23,7 @@ object SparkEntry {
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
+      ops.AnalyticsOps.queries ++
       ops.PipelineOps.queries ++
       ops.GravityOps.queries ++
       ops.TextOps.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
+      ops.AnalyticsOps.oracles ++
       ops.PipelineOps.oracles ++
       ops.GravityOps.oracles ++
       ops.TextOps.oracles ++
