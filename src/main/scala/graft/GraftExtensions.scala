@@ -11,15 +11,19 @@ import graft.geo.GeoFunctions
   * application.
   *
   *  - `spark.sql.extensions=graft.GraftExtensions` injects the native
-  *    Catalyst expressions (`vec_dot`, `roll_hash`) at session build —
-  *    the canonical plug-in point, so the functions exist in every
-  *    session (including thrift/connect ones) without user code.
+  *    Catalyst expressions (`vec_dot`, `roll_hash`, `minhash_sigs`,
+  *    `simhash_sig`) and the [[graft.plans.RangeJoinRewrite]] optimizer
+  *    rule at session build — the canonical plug-in point, so they
+  *    exist in every session (including thrift/connect ones) without
+  *    user code.
   *  - [[GraftFunctions.registerAll]] registers the full function
   *    surface (native expressions + the st_* geometry UDF family) on an
-  *    already-running session.
+  *    already-running session; [[graft.plans.RangeJoinRewrite.install]]
+  *    attaches the optimizer rule to a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
