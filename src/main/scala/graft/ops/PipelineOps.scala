@@ -418,7 +418,81 @@ object PipelineOps {
       |JOIN dim d USING (hot)
       |GROUP BY f.hot ORDER BY hot""".stripMargin
 
+  // ------------------------------------------------------------ chunking
+  /** Document chunking — fixed-size token windows (40 tokens, stride 30,
+    * overlap 10): the context-window segmentation step before embedding
+    * or training. Chunk generation is an in-row `transform` over the
+    * word array exploded with POSEXPLODE (the position IS the chunk
+    * index) — pure map-side fan-out, no shuffle; rows grow by a bounded
+    * ~len/stride factor. The generator expression stays inline in the
+    * explode (see the InferFiltersFromGenerate note in DedupOps).
+    */
+  private val ChunkLen = 40
+  private val ChunkStride = 30
+
+  def docChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val overlap = ChunkLen - ChunkStride
+    Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(greatest(size(w) - $overlap, 1) / $ChunkStride.0) AS INT) - 1),
+           |  i -> array_join(slice(w, i * $ChunkStride + 1, $ChunkLen), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).as("chunk_tokens"),
+        md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val docChunkingOracle =
+    s"""SELECT doc_id, i AS chunk_idx,
+       |       len(string_split(chunk, ' ')) AS chunk_tokens,
+       |       md5(chunk) AS chunk_md5
+       |FROM (
+       |  SELECT doc_id, i,
+       |         array_to_string(w[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen], ' ') AS chunk
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL unnest(range(0, CAST(ceil(greatest(len(w) - ${ChunkLen - ChunkStride}, 1) / $ChunkStride.0) AS BIGINT))) AS t(i))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------ sequence packing
+  /** Token-budget sequence packing — documents greedily packed into
+    * 512-token training bins by a running cumulative sum over a
+    * deterministic corpus order: bin = (cumsum_before_doc) div budget.
+    * A single global window is the correctness baseline; at 100 TB the
+    * same expression runs per partition (pack within partitions, the
+    * standard relaxation — bins never need to be globally contiguous).
+    */
+  def seqPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      // integral div, not `/`: double division is exact only below 2^53
+      // — a corpus-scale cumulative token count can exceed that
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  private val seqPackingOracle =
+    """SELECT bin, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, n_tok,
+      |         (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS bin
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents))
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunking" -> (docChunking _),
+    "q_seq_packing" -> (seqPacking _),
     "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -430,6 +504,8 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_doc_chunking" -> docChunkingOracle,
+    "q_seq_packing" -> seqPackingOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
