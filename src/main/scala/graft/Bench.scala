@@ -42,6 +42,8 @@ object Bench {
         sources.CsvSources.ineCsv(spark, sfDir)
       if (names.contains("q_shapefile_scan"))
         sources.Shapefile.fixture(spark, sfDir)
+      if (names.contains("q_schema_merge"))
+        sources.SchemaEvolution.fixture(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = (1 to repeat).map { _ =>
       selected.map { case (name, fn) =>

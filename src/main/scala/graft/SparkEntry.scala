@@ -35,6 +35,7 @@ object SparkEntry {
       etl.Bucketing.queries ++
       etl.SilverMobility.queries ++
       sources.CsvSources.queries ++
+      sources.SchemaEvolution.queries ++
       sources.Shapefile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +68,6 @@ object SparkEntry {
       etl.Bucketing.oracles ++
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles(sfDir) ++
+      sources.SchemaEvolution.oracles(sfDir) ++
       sources.Shapefile.oracles
 }

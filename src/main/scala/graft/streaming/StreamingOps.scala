@@ -40,6 +40,17 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("origin_zone"),
         col("trips"), col("n_events"))
 
+  /** Stream–static enrichment join: a streaming event feed joined to a
+    * batch dimension (user → zone/segment) — the canonical streaming
+    * lookup. The static side is broadcast, so each micro-batch joins
+    * map-side with no stateful join machinery and no shuffle of the
+    * stream; the dimension is re-resolvable per batch (Spark re-plans
+    * the static side), which is what makes slowly-changing lookups
+    * work without restarts.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Streaming exact dedup — the streaming twin of the batch
     * fingerprint dedup (`q_dedup_exact`): keep the first document seen
     * per content fingerprint, with state bounded by the watermark

@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 2.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 3.0)) // no dim row -> NULL tier
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+      val batch = evs.toDF().join(dim, Seq("user_id"), "left")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per fingerprint, in and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
