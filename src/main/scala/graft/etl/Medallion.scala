@@ -150,13 +150,70 @@ object Medallion {
       |       ROUND(SUM(o_totalprice), 4) AS total_price
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Row-level MERGE (upsert): apply an update batch to a keyed table —
+    * matched keys get the new row, unmatched update rows insert, all
+    * other base rows survive. Implemented the way parquet-era engines
+    * (and Delta/Iceberg under the hood) execute MERGE: updates ∪
+    * (base ANTI JOIN updates), rewritten to storage — one shuffle on
+    * the merge key. The update batch is derived deterministically
+    * (every 7th customer gets a +100 balance correction; 10 new
+    * customers append), and the table is read BACK from disk before the
+    * checksum, so a lost or duplicated key fails the oracle's
+    * recomputed post-merge state. At 100 TB the same plan runs
+    * partition-scoped: file/partition pruning limits the rewrite to
+    * files containing touched keys — the anti-join shape is unchanged.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = s"${warehouse(sfDir)}/customer_merged"
+    rmTree(spark, tbl)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates =
+      base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+        .unionByName(
+          base.filter(col("c_custkey") < 10)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
+    updates.unionByName(base.join(updates, Seq("c_custkey"), "left_anti"))
+      .write.mode("overwrite").parquet(tbl)
+
+    spark.read.parquet(tbl)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")), 4).as("bal_sum"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val mergeUpsertOracle =
+    """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |updates AS (
+      |  SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      |  FROM base WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal,
+      |         'NEWSEG' AS c_mktsegment
+      |  FROM base WHERE c_custkey < 10),
+      |merged AS (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM updates))
+      |SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |       ROUND(SUM(c_acctbal), 4) AS bal_sum,
+      |       MAX(c_custkey) AS max_key
+      |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_replace" -> (partitionReplace _),
+    "q_merge_upsert" -> (mergeUpsert _),
     "q_csv_export" -> (csvExport _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_partition_replace" -> partitionReplaceOracle,
+    "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_export" -> csvExportOracle
   )
 }
