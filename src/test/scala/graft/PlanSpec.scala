@@ -66,6 +66,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("salt"), s"salt column missing from join key:\n$plan")
   }
 
+  test("AQE splits the hot partitions of a skewed sort-merge join at runtime") {
+    // The plan-level fix for skew is salting (q_skew_join); this pins the
+    // RUNTIME fix — AQE's OptimizeSkewedJoin — on the same 3-hot-key
+    // shape, with thresholds scaled down to fixture size. Both matter at
+    // 100 TB: salting for hash joins / pre-AQE engines, AQE for SMJ.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // genuinely skewed key: ~90% of rows land on key 0, the rest
+      // spread over 99 keys (q_skew_join's 3 equal hot keys are
+      // BALANCED between partitions — no runtime skew to split).
+      // The repartition(16) matters: AQE splits a skewed partition at
+      // MAP-OUTPUT boundaries, and the sf0.01 parquet is one input
+      // split — a single mapper leaves one unsplittable block, so the
+      // rule correctly declines. (At 100 TB mappers are plentiful;
+      // locally this recreates that.)
+      val skewKey = when(pmod(col("l_orderkey"), lit(10L)) < 9, 0L)
+        .otherwise(pmod(col("l_orderkey"), lit(100L)))
+      val fact = Tables.lineitem(spark, sfSmall)
+        .repartition(16)
+        .select(skewKey.as("hot"), col("l_quantity"))
+      val dim = Tables.orders(spark, sfSmall)
+        .select(pmod(col("o_orderkey"), lit(100L)).as("hot"), col("o_totalprice"))
+      // global aggregate, NOT a groupBy on the join key: a parent that
+      // requires hash distribution on "hot" forbids splitting its
+      // partitions, and OptimizeSkewedJoin would (correctly) decline
+      val joined = fact.join(dim, Seq("hot"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("q"))
+      joined.collect() // AQE decides at runtime — must execute first
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("per-group top-k runs a partial WindowGroupLimit before the shuffle") {
     val plan = executed(PipelineOps.topkPerGroup(spark, sfTiny))
     val limitIdx = plan.indexOf("WindowGroupLimit")
