@@ -97,13 +97,80 @@ object CatalogOps {
       |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total_amount
       |FROM orders GROUP BY 1, 2 ORDER BY yr, status""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Data-quality expectations — the assertion pass a pipeline runs
+    * before publishing a layer: null checks, uniqueness, accepted
+    * values, numeric range, and referential integrity, each emitted as
+    * a (check, n_violations, pass) row. The per-column checks fold into
+    * ONE aggregation pass over each table (conditional sums — no
+    * per-check scans); referential integrity is the one genuine
+    * anti-join. At 100 TB this is exactly the shape a dq framework
+    * compiles to, and the single-pass form is why it stays one scan.
+    */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val liChecks = li.agg(
+      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long")
+        .as("null_orderkey"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+        .cast("long").as("bad_returnflag"),
+      sum(when(!col("l_quantity").between(1, 50), 1).otherwise(0))
+        .cast("long").as("qty_out_of_range"))
+    val dupOrders = ord.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0)).cast("long").as("v"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    def row(name: String, v: org.apache.spark.sql.DataFrame) =
+      v.select(lit(name).as("check_name"), col(v.columns.head).as("n_violations"))
+    row("accepted_values_returnflag", liChecks.select(col("bad_returnflag")))
+      .unionByName(row("not_null_orderkey", liChecks.select(col("null_orderkey"))))
+      .unionByName(row("range_quantity", liChecks.select(col("qty_out_of_range"))))
+      .unionByName(row("referential_lineitem_orders", orphans))
+      .unionByName(row("unique_orderkey", dupOrders))
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy(col("check_name"))
+  }
+
+  private val dqChecksOracle =
+    """SELECT 'accepted_values_returnflag' AS check_name,
+      |       CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |       SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0 AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'not_null_orderkey',
+      |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'range_quantity',
+      |       CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT),
+      |       SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'referential_lineitem_orders',
+      |       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'unique_orderkey',
+      |       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT), COALESCE(SUM(n - 1), 0) = 0
+      |FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+      |      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |ORDER BY check_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_dump" -> (catalogDump _),
-    "q_schema_adaptive" -> (schemaAdaptive _)
+    "q_schema_adaptive" -> (schemaAdaptive _),
+    "q_dq_checks" -> (dqChecks _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_catalog_dump" -> catalogDumpOracle,
-    "q_schema_adaptive" -> schemaAdaptiveOracle
+    "q_schema_adaptive" -> schemaAdaptiveOracle,
+    "q_dq_checks" -> dqChecksOracle
   )
 }

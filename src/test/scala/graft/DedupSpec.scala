@@ -120,4 +120,22 @@ class DedupSpec extends SparkSpec {
     assert(out == expected,
       s"ngram jaccard != brute force: missing=${expected -- out}, extra=${out -- expected}")
   }
+
+  test("connected components: chains, stars, and isolated pairs resolve transitively") {
+    // the sf0.01 minhash graph is all 2-cliques — this pins the
+    // MULTI-HOP propagation the oracle never exercises there: a 5-node
+    // chain (needs >= 3 iterations), a star, and an isolated pair.
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain -> component 1
+      (10L, 11L), (10L, 12L), (10L, 13L),     // star  -> component 10
+      (20L, 21L)                               // pair  -> component 20
+    ).toDF("d1", "d2")
+    val labels = graft.ops.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L), s"got $labels")
+  }
 }
