@@ -358,8 +358,33 @@ object AggOps {
       |       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
 
+  /** The 100 TB percentile path exercised for real: `approx_percentile`
+    * (t-digest — fixed-size, mergeable across partitions, one pass)
+    * emitted alongside the exact percentile with an in-engine relative-
+    * error bound, the [[approxDistinct]] tolerance-contract pattern.
+    * The sketch is engine-specific, so the hash-matched surface is the
+    * exact value plus the boolean; a broken sketch fails via the
+    * boolean. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx"))
+      .select(col("flag"), col("exact_p90"),
+        (abs(col("approx") - col("exact_p90")) / col("exact_p90") <= 0.02)
+          .as("approx_within_2pct"))
+      .orderBy(col("flag"))
+
+  private val approxPercentilesOracle =
+    """SELECT l_returnflag AS flag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+      |       TRUE AS approx_within_2pct
+      |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentiles" -> (percentiles _),
+    "q_approx_percentiles" -> (approxPercentiles _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_session_batch" -> (sessionBatch _),
     "q_skew_distinct" -> (skewDistinct _),
@@ -376,6 +401,7 @@ object AggOps {
 
   def oracles: Map[String, String] = Map(
     "q_percentiles" -> percentilesOracle,
+    "q_approx_percentiles" -> approxPercentilesOracle,
     "q_approx_distinct" -> approxDistinctOracle,
     "q_session_batch" -> sessionBatchOracle,
     "q_skew_distinct" -> skewDistinctOracle,
