@@ -225,7 +225,13 @@ object PipelineOps {
         sum(col("n_phone")).cast("long").as("n_phones"),
         sum(length(col("t")) - length(col("clean"))).cast("long")
           .as("len_delta"),
-        min(md5(col("clean").cast("binary"))).as("clean_md5_min"))
+        // numeric md5 prefix, not the hex string: MIN over a varlen
+        // string buffer forces SortAggregate (no hash agg for mutable
+        // varlen buffers); a BIGINT min keeps the whole report in
+        // HashAggregate. Same 60-bit content pin, same DuckDB rendering.
+        min(expr(
+          "CAST(conv(substring(md5(CAST(clean AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+          .as("clean_md5_min"))
       .orderBy(col("source"))
   }
 
@@ -234,7 +240,7 @@ object PipelineOps {
       |       CAST(SUM(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+'))) AS BIGINT) AS n_emails,
       |       CAST(SUM(len(regexp_extract_all(t, '[0-9]{9}'))) AS BIGINT) AS n_phones,
       |       CAST(SUM(length(t) - length(clean)) AS BIGINT) AS len_delta,
-      |       MIN(md5(clean)) AS clean_md5_min
+      |       MIN(CAST('0x' || substring(md5(clean), 1, 15) AS BIGINT)) AS clean_md5_min
       |FROM (
       |  SELECT source, t,
       |         regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),

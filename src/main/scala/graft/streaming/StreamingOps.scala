@@ -40,6 +40,24 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("origin_zone"),
         col("trips"), col("n_events"))
 
+  /** Stream–stream interval join: purchases matched to same-user views
+    * within the preceding hour, BOTH sides streaming. The watermarks
+    * plus the two-sided time-range condition are what make the join's
+    * state bounded — Spark evicts view state once the purchase-side
+    * watermark passes `view.ts + 1h`, so state is proportional to the
+    * join window, not the stream history. Without the range condition
+    * an inner stream-stream join would buffer both streams forever.
+    */
+  def streamStreamJoin(views: DataFrame, buys: DataFrame): DataFrame =
+    views.withWatermark("ts", "1 hour").alias("v")
+      .join(
+        buys.withWatermark("ts", "1 hour").alias("b"),
+        expr("""v.user_id = b.user_id AND
+                v.ts <= b.ts AND v.ts >= b.ts - INTERVAL 1 HOUR"""))
+      .select(col("b.user_id").as("user_id"), col("b.ts").as("buy_ts"),
+        col("v.ts").as("view_ts"),
+        (col("b.value") + col("v.value")).as("pair_value"))
+
   /** Stream–static enrichment join: a streaming event feed joined to a
     * batch dimension (user → zone/segment) — the canonical streaming
     * lookup. The static side is broadcast, so each micro-batch joins

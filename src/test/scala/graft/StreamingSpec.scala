@@ -94,6 +94,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = StreamingOps.streamStreamJoin(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val vRows = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1, ts("2024-01-01 10:30:00"), 2.0),
+        Ev(1, ts("2024-01-01 08:00:00"), 4.0), // > 1h before the buy — excluded
+        Ev(2, ts("2024-01-01 10:10:00"), 8.0)) // other user
+      val bRows = Seq(Ev(1, ts("2024-01-01 10:45:00"), 16.0))
+      views.addData(vRows: _*)
+      buys.addData(bRows: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("ssj_out")
+        .select("user_id", "view_ts", "pair_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        .sortBy(_._2.getTime).toSeq
+      // inner stream-stream join emits on match; both in-window views
+      // of user 1 pair with the buy, nothing else
+      assert(streamed == Seq(
+        (1L, ts("2024-01-01 10:00:00"), 17.0),
+        (1L, ts("2024-01-01 10:30:00"), 18.0)), s"got $streamed")
+      // equals the batch twin over the same rows
+      val batch = vRows.toDF().alias("v")
+        .join(bRows.toDF().alias("b"),
+          org.apache.spark.sql.functions.expr(
+            "v.user_id = b.user_id AND v.ts <= b.ts AND v.ts >= b.ts - INTERVAL 1 HOUR"))
+        .count()
+      assert(batch == streamed.size.toLong)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
