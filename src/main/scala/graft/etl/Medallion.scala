@@ -38,6 +38,26 @@ object Medallion {
   private[graft] def warehouse(sfDir: String): String =
     s"spark-warehouse/${new java.io.File(sfDir).getName}"
 
+  /** Write-once-per-session materialization: the first caller per table
+    * path computes `df` and writes it; everyone else reads the parquet
+    * back. The path is recorded as written only AFTER the write
+    * returns, so a failed write (disk, cancellation) leaves the session
+    * able to retry instead of permanently reading a missing/partial
+    * table. One helper for all gold/index hand-offs (gravity ranking,
+    * typical-day patterns, minhash pairs, IVF index) — the mechanics
+    * were previously four drifting copies.
+    */
+  private val materialized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def materializeOnce(spark: SparkSession, tbl: String)(
+      df: => DataFrame): DataFrame = synchronized {
+    if (!materialized.contains(tbl)) {
+      df.write.mode("overwrite").parquet(tbl)
+      materialized.add(tbl) // only reached on write success
+    }
+    spark.read.parquet(tbl)
+  }
+
   private def rmTree(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

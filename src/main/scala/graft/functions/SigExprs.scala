@@ -66,37 +66,47 @@ object SigKernels {
       (b(3) & 0xFFL)
   }
 
-  /** 16 minhash values over the shingle array; null-element-free input
-    * expected (array_distinct of transform output). Returns null for an
-    * empty array (no shingles → no signature), matching SQL MIN. */
+  /** 16 minhash values over the shingle array. NULL elements are
+    * skipped (SQL aggregate semantics — MIN ignores NULLs); an array
+    * with no non-NULL element yields NULL, matching SQL MIN over an
+    * empty set. The internal dedup callers feed null-free split()
+    * output, but the function is registered on the public session. */
   def minhashSigs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < n) {
-      val h31 = md5Top60(arr.getUTF8String(j)) % 2147483647L
-      var i = 0
-      while (i < NumHashes) {
-        val v = (hA(i) * h31 + hB(i)) % MersP
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        seen = true
+        val h31 = md5Top60(s) % 2147483647L
+        var i = 0
+        while (i < NumHashes) {
+          val v = (hA(i) * h31 + hB(i)) % MersP
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   /** 32-bit simhash: each DISTINCT word votes ±tf per bit position of
-    * its md5-derived 32-bit hash; the sign vector is the signature. */
+    * its md5-derived 32-bit hash; the sign vector is the signature.
+    * NULL elements are skipped (the registration surface is public —
+    * an NPE from a NULL array entry would fail the whole task). */
   def simhashSig(words: ArrayData): Long = {
     val n = words.numElements()
     val tf = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
     var j = 0
     while (j < n) {
       val w = words.getUTF8String(j)
-      val slot = tf.get(w)
-      if (slot == null) tf.put(w.clone(), Array(1L)) else slot(0) += 1
+      if (w != null) {
+        val slot = tf.get(w)
+        if (slot == null) tf.put(w.clone(), Array(1L)) else slot(0) += 1
+      }
       j += 1
     }
     val votes = new Array[Long](SimBits)

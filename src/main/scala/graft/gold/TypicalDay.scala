@@ -52,10 +52,6 @@ object TypicalDay {
   def query(spark: SparkSession, sfDir: String): DataFrame =
     fromSilver(SilverMobility.fromEvents(spark, sfDir))
 
-  /** Tables already materialized by [[goldTable]] this session (keyed by
-    * path so sf0.01 verify and sf0.1 bench runs stay separate). */
-  private val goldWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The materialized gold patterns table. The reference writes
     * `gold_typical_day_patterns` once (`dags/mitma/new_gold.py:31-79`)
     * and every report-layer consumer READS the table
@@ -67,12 +63,11 @@ object TypicalDay {
     * unchanged. At 100 TB this is one fact-table shuffle per day, not
     * one per report query.
     */
-  def goldTable(spark: SparkSession, sfDir: String): DataFrame = synchronized {
-    val tbl = s"${graft.etl.Medallion.warehouse(sfDir)}/gold_typical_day_patterns"
-    if (goldWritten.add(tbl))
-      query(spark, sfDir).write.mode("overwrite").parquet(tbl)
-    spark.read.parquet(tbl)
-  }
+  def goldTable(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/gold_typical_day_patterns") {
+      query(spark, sfDir)
+    }
 
   /** Peak hour per day_type from the gold patterns — the report's
     * pandas-side `idxmax` (`dags/mitma/generate_report.py:123`) brought

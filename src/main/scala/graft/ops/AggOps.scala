@@ -340,8 +340,9 @@ object AggOps {
     * `quantile_cont` share the linear-interpolation definition (verified
     * value-identical to 6dp on the fixture before wiring). The exact
     * form is the correctness baseline; at 100 TB the same query swaps to
-    * `approx_percentile` (t-digest) exactly as exact distinct swaps to
-    * HLL in [[approxDistinct]]. */
+    * `approx_percentile` (a Greenwald–Khanna quantile summary: fixed
+    * size, mergeable, deterministic rank-error 1/accuracy) exactly as
+    * exact distinct swaps to HLL in [[approxDistinct]]. */
   def percentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag").as("flag"))
@@ -359,9 +360,11 @@ object AggOps {
       |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
 
   /** The 100 TB percentile path exercised for real: `approx_percentile`
-    * (t-digest — fixed-size, mergeable across partitions, one pass)
-    * emitted alongside the exact percentile with an in-engine relative-
-    * error bound, the [[approxDistinct]] tolerance-contract pattern.
+    * (a Greenwald–Khanna quantile summary — fixed-size, mergeable
+    * across partitions, one pass, deterministic RANK error ≤ 1/accuracy
+    * = 0.1% of rows here, which the 2% VALUE tolerance comfortably
+    * covers on this distribution) emitted alongside the exact
+    * percentile, the [[approxDistinct]] tolerance-contract pattern.
     * The sketch is engine-specific, so the hash-matched surface is the
     * exact value plus the boolean; a broken sketch fails via the
     * boolean. */

@@ -397,7 +397,8 @@ object DedupOps {
     // check a single job. Iterations are bounded by component
     // diameter; at web-graph scale the same loop swaps in
     // large-star/small-star for O(log n) rounds.
-    while (!converged && iter < 20) {
+    val maxIter = 50
+    while (!converged && iter < maxIter) {
       val prop = sym
         .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
         .groupBy(col("b").as("node")).agg(min(col("la")).as("nl"))
@@ -410,6 +411,13 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // a silent non-fixpoint would return WRONG labels (a >50-diameter
+    // component split into several clusters) — fail loudly instead; the
+    // cap is a runaway guard, not an accuracy dial
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(component diameter exceeds the cap — raise it or switch to " +
+        "large-star/small-star)")
     // pairs/sym can release now — the final labels stay cached (already
     // materialized by the last convergence count; lineage through the
     // released caches remains valid if blocks are ever evicted)
@@ -418,9 +426,6 @@ object DedupOps {
     labels
   }
 
-  /** Pair tables already materialized this session (keyed by path). */
-  private val pairsWritten = scala.collection.mutable.Set.empty[String]
-
   /** Minhash pair table materialized once per session+SF — the
     * detection → clustering table hand-off: in production the pairwise
     * detection job writes its pairs and the clustering job reads them,
@@ -428,12 +433,9 @@ object DedupOps {
     * losslessly; the clusters oracle still states the full
     * detection+clustering pipeline. */
   private def goldPairs(spark: SparkSession, sfDir: String): DataFrame =
-    synchronized {
-      val tbl = s"${graft.etl.Medallion.warehouse(sfDir)}/dedup_minhash_pairs"
-      if (pairsWritten.add(tbl))
-        dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
-          .write.mode("overwrite").parquet(tbl)
-      spark.read.parquet(tbl)
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/dedup_minhash_pairs") {
+      dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
     }
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =

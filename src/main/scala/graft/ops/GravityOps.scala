@@ -201,10 +201,6 @@ object GravityOps {
     (ranking, () => { gravityData.unpersist(); () })
   }
 
-  /** Tables already materialized by [[goldRanking]] this session (keyed
-    * by path, so sf0.01 verify and sf0.1 bench runs stay separate). */
-  private val goldWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The materialized gold ranking table — the reference writes
     * `gold_gravity_model_analysis` once (`dags/gravity/calculate_gold.py:24-44`)
     * and every consumer, including the map stage
@@ -216,14 +212,14 @@ object GravityOps {
     * this is the difference between one gravity calibration per day and
     * one per downstream query.
     */
-  def goldRanking(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+  def goldRanking(spark: SparkSession, sfDir: String): DataFrame = {
     val tbl = s"${graft.etl.Medallion.warehouse(sfDir)}/gold_gravity_ranking"
-    if (goldWritten.add(tbl)) {
-      val (ranking, release) = rankingPipeline(spark, sfDir)
-      ranking.write.mode("overwrite").parquet(tbl)
-      release()
-    }
-    spark.read.parquet(tbl)
+    var release: () => Unit = () => ()
+    try graft.etl.Medallion.materializeOnce(spark, tbl) {
+      val (ranking, rel) = rankingPipeline(spark, sfDir)
+      release = rel
+      ranking
+    } finally release() // cached intermediate freed on success AND failure
   }
 
   /** The ranking query itself now reads the gold table (parquet

@@ -41,6 +41,19 @@ class SigExprsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("NULL array elements are skipped, not NPE'd (public SQL surface)") {
+    val row = registered.sql(
+      """SELECT minhash_sigs(array('x', CAST(NULL AS STRING))) AS m1,
+        |       minhash_sigs(array('x')) AS m2,
+        |       minhash_sigs(array(CAST(NULL AS STRING))) AS m_all_null,
+        |       simhash_sig(array('a', CAST(NULL AS STRING), 'a')) AS s1,
+        |       simhash_sig(array('a', 'a')) AS s2
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    assert(row.isNullAt(2))
+    assert(row.getLong(3) == row.getLong(4))
+  }
+
   test("simhash_sig == tf-weighted bit votes over md5/conv term hashes (SQL path)") {
     // 'a' appears twice — the tf weight must count it, not just distinct
     val words = Seq("a", "b", "a", "longer-token")
