@@ -379,7 +379,101 @@ object RelationalOps {
       |      FROM customer)
       |GROUP BY 1 ORDER BY seg""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** FULL OUTER join — the one join type the battery lacked: nations
+    * with customers (some nations have none at tiny SF) fully joined to
+    * nations with suppliers, keys coalesced, side markers counted. Both
+    * unmatched directions are exercised by restricting each side to a
+    * different key range.
+    */
+  def fullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val custSide = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppSide = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    custSide.join(suppSide, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nation"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        (col("ck").isNotNull && col("sk").isNotNull).as("matched"))
+      .orderBy(col("nation"))
+  }
+
+  private val fullOuterJoinOracle =
+    """SELECT COALESCE(ck, sk) AS nation,
+      |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+      |       ck IS NOT NULL AND sk IS NOT NULL AS matched
+      |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
+      |      WHERE c_nationkey < 15 GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+      |      WHERE s_nationkey >= 10 GROUP BY 1) s
+      |  ON ck = sk
+      |ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** EXCEPT / INTERSECT set operations (distinct semantics) over the
+    * two nation-key populations, tagged and unioned into one result.
+    * Spark plans both as left-anti / left-semi aggregates — no sort,
+    * single exchange per branch.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 3 === 0).select(col("c_nationkey").as("k"))
+    val s = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") % 2 === 0).select(col("s_nationkey").as("k"))
+    c.except(s).withColumn("op", lit("except"))
+      .unionByName(c.intersect(s).withColumn("op", lit("intersect")))
+      .orderBy(col("op"), col("k"))
+  }
+
+  private val setOpsOracle =
+    """WITH c AS (SELECT c_nationkey AS k FROM customer WHERE c_custkey % 3 = 0),
+      |     s AS (SELECT s_nationkey AS k FROM supplier WHERE s_suppkey % 2 = 0)
+      |SELECT k, 'except' AS op FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+      |UNION ALL
+      |SELECT k, 'intersect' AS op FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+      |ORDER BY op, k""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Raw-SQL entry point: the reference is SQL-first (every operator is
+    * a SQL string against DuckDB), so the engine must accept the same
+    * workload as `spark.sql(...)` over registered views — here a
+    * TPC-H-Q1-shaped pricing summary whose text is near-identical to
+    * the DuckDB oracle. Catalyst parses/optimizes SQL and DataFrame
+    * code into the same plans; this pins that parity end to end.
+    */
+  def sqlEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val sqlEntryOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (fullOuterJoin _),
+    "q_set_ops" -> (setOps _),
+    "q_sql_entry" -> (sqlEntry _),
     "q_bronze_rename" -> (bronzeRename _),
     "q_isin_filter" -> (isinFilter _),
     "q_trim_nullif" -> (trimNullif _),
@@ -398,6 +492,9 @@ object RelationalOps {
   ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
+    "q_full_outer" -> fullOuterJoinOracle,
+    "q_set_ops" -> setOpsOracle,
+    "q_sql_entry" -> sqlEntryOracle,
     "q_bronze_rename" -> bronzeRenameOracle,
     "q_isin_filter" -> isinFilterOracle,
     "q_trim_nullif" -> trimNullifOracle,
