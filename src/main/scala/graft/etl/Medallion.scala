@@ -48,12 +48,19 @@ object Medallion {
     * were previously four drifting copies.
     */
   private val materialized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-path build locks: two threads materializing DIFFERENT tables
+  // (e.g. the typical-day gold and the IVF index) must not serialize
+  // behind one global monitor for the duration of a write job
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   private[graft] def materializeOnce(spark: SparkSession, tbl: String)(
-      df: => DataFrame): DataFrame = synchronized {
-    if (!materialized.contains(tbl)) {
-      df.write.mode("overwrite").parquet(tbl)
-      materialized.add(tbl) // only reached on write success
+      df: => DataFrame): DataFrame = {
+    buildLocks.computeIfAbsent(tbl, _ => new AnyRef).synchronized {
+      if (!materialized.contains(tbl)) {
+        df.write.mode("overwrite").parquet(tbl)
+        materialized.add(tbl) // only reached on write success
+      }
     }
     spark.read.parquet(tbl)
   }

@@ -95,9 +95,13 @@ object SigKernels {
 
   /** 32-bit simhash: each DISTINCT word votes ±tf per bit position of
     * its md5-derived 32-bit hash; the sign vector is the signature.
-    * NULL elements are skipped (the registration surface is public —
-    * an NPE from a NULL array entry would fail the whole task). */
-  def simhashSig(words: ArrayData): Long = {
+    * NULL elements are skipped, and an array with no non-NULL element
+    * yields NULL — consistent with [[minhashSigs]]' SQL aggregate
+    * semantics (returning 0L there would hand every degenerate document
+    * the same legitimate-looking all-zero-band signature, making them
+    * mutual hamming-0 "near-duplicates"). Boxed return so codegen can
+    * surface the NULL. */
+  def simhashSig(words: ArrayData): java.lang.Long = {
     val n = words.numElements()
     val tf = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
     var j = 0
@@ -109,6 +113,7 @@ object SigKernels {
       }
       j += 1
     }
+    if (tf.isEmpty) return null
     val votes = new Array[Long](SimBits)
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
@@ -173,12 +178,20 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     SigKernels.simhashSig(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SigKernels.simhashSig($c);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SigKernels.simhashSig($c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = $boxed == null ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -127,9 +127,16 @@ object CatalogOps {
       .agg(count(lit(1)).as("v"))
     def row(name: String, v: org.apache.spark.sql.DataFrame) =
       v.select(lit(name).as("check_name"), col(v.columns.head).as("n_violations"))
-    row("accepted_values_returnflag", liChecks.select(col("bad_returnflag")))
-      .unionByName(row("not_null_orderkey", liChecks.select(col("null_orderkey"))))
-      .unionByName(row("range_quantity", liChecks.select(col("qty_out_of_range"))))
+    // stack() pivots the single aggregate row into the three per-column
+    // check rows — referencing liChecks from three union branches would
+    // let column pruning specialize each branch and execute THREE
+    // lineitem scans (ReuseExchange can't dedupe the non-identical
+    // subplans), despite this being one aggregation
+    liChecks.select(expr(
+        """stack(3,
+          |  'accepted_values_returnflag', bad_returnflag,
+          |  'not_null_orderkey', null_orderkey,
+          |  'range_quantity', qty_out_of_range) AS (check_name, n_violations)""".stripMargin))
       .unionByName(row("referential_lineitem_orders", orphans))
       .unionByName(row("unique_orderkey", dupOrders))
       .withColumn("pass", col("n_violations") === 0)
@@ -154,7 +161,8 @@ object CatalogOps {
       |UNION ALL
       |SELECT 'referential_lineitem_orders',
       |       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |UNION ALL
       |SELECT 'unique_orderkey',
       |       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT), COALESCE(SUM(n - 1), 0) = 0

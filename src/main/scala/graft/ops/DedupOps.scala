@@ -381,10 +381,11 @@ object DedupOps {
     val pairs = pairs0.select(col("d1"), col("d2")).cache()
     val sym = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b"))).cache()
-    var labels = pairs.select(col("d1").as("node"))
+    val initLabels = pairs.select(col("d1").as("node"))
       .union(pairs.select(col("d2").as("node"))).distinct()
       .withColumn("label", col("node")).cache()
-    labels.count()
+    initLabels.count()
+    var labels: DataFrame = initLabels
     var converged = false
     var iter = 0
     // `localCheckpoint` (eager), not `cache`: a cache shortcuts
@@ -418,11 +419,13 @@ object DedupOps {
       s"connectedComponents did not converge within $maxIter iterations " +
         "(component diameter exceeds the cap — raise it or switch to " +
         "large-star/small-star)")
-    // pairs/sym can release now — the final labels stay cached (already
-    // materialized by the last convergence count; lineage through the
-    // released caches remains valid if blocks are ever evicted)
+    // release the working-set caches; the final labels live in the last
+    // iteration's localCheckpoint blocks (per-iteration checkpoint
+    // blocks are freed when their RDDs are GC'd — each holds only the
+    // tiny label table, bounded by iteration count)
     pairs.unpersist()
     sym.unpersist()
+    initLabels.unpersist()
     labels
   }
 

@@ -47,11 +47,17 @@ class SigExprsSpec extends SparkSpec {
         |       minhash_sigs(array('x')) AS m2,
         |       minhash_sigs(array(CAST(NULL AS STRING))) AS m_all_null,
         |       simhash_sig(array('a', CAST(NULL AS STRING), 'a')) AS s1,
-        |       simhash_sig(array('a', 'a')) AS s2
+        |       simhash_sig(array('a', 'a')) AS s2,
+        |       simhash_sig(array(CAST(NULL AS STRING))) AS s_all_null,
+        |       simhash_sig(cast(array() AS array<string>)) AS s_empty
         |""".stripMargin).head()
     assert(row.getSeq[Long](0) == row.getSeq[Long](1))
     assert(row.isNullAt(2))
     assert(row.getLong(3) == row.getLong(4))
+    // degenerate inputs must NOT produce a legitimate-looking all-zero
+    // signature (it would band-match every other degenerate document)
+    assert(row.isNullAt(5))
+    assert(row.isNullAt(6))
   }
 
   test("simhash_sig == tf-weighted bit votes over md5/conv term hashes (SQL path)") {
