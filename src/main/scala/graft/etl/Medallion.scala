@@ -33,10 +33,18 @@ import graft.Tables
   */
 object Medallion {
 
+  /** Absolute scratch-warehouse base — the ONE config point shared by
+    * the gold-table writes here and every fixture generator
+    * (CsvSources / Shapefile / SchemaEvolution), so a JVM launched
+    * from a different cwd cannot split the warehouse into two
+    * locations. Env-overridable for non-default checkouts. */
+  private[graft] val warehouseBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/spark-warehouse")
+
   /** Per-SF scratch warehouse (gitignored `spark-warehouse/`), so
     * verify (sf0.01) and bench (sf0.1) runs never collide. */
   private[graft] def warehouse(sfDir: String): String =
-    s"spark-warehouse/${new java.io.File(sfDir).getName}"
+    s"$warehouseBase/${new java.io.File(sfDir).getName}"
 
   /** Write-once-per-session materialization: the first caller per table
     * path computes `df` and writes it; everyone else reads the parquet

@@ -192,8 +192,31 @@ object DedupOps {
     * 4-tuple — no second-level hash to collide), then verify candidates
     * with exact Jaccard ≥ 0.5. Fully oracle-checked (md5-based hash
     * family) AND brute-force-checked in DedupSpec.
+    *
+    * Materialized once per session+SF through the Medallion scratch
+    * warehouse (the detection job's output table), with the three
+    * pipeline caches released after the write — library callers no
+    * longer accumulate executor storage across invocations, and repeat
+    * runs are a parquet read-back. Exact integers and the 6dp-rounded
+    * double round-trip parquet losslessly, so the oracle is unchanged.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    var release: () => Unit = () => ()
+    try {
+      graft.etl.Medallion.materializeOnce(spark,
+          s"${graft.etl.Medallion.warehouse(sfDir)}/dedup_minhash_verified") {
+        val (pairs, rel) = minhashPipeline(spark, sfDir)
+        release = rel
+        pairs
+      }.orderBy(col("d1"), col("d2"))
+    } finally release() // caches freed on success AND failure
+  }
+
+  /** The LSH pipeline itself; returns the verified pairs plus a release
+    * thunk dropping the three stage caches (same contract as
+    * GravityOps.rankingPipeline). */
+  private def minhashPipeline(
+      spark: SparkSession, sfDir: String): (DataFrame, () => Unit) = {
     val sig = minhashSignatures(shingleArrays(Tables.documents(spark, sfDir)))
     val banded = sig.select(col("doc_id"),
       explode(expr(
@@ -237,7 +260,7 @@ object DedupOps {
     val candSh = shingleArrays(
         Tables.documents(spark, sfDir).join(broadcast(candDocs), Seq("doc_id")))
       .cache()
-    broadcast(cand)
+    val verified = broadcast(cand)
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
@@ -245,7 +268,9 @@ object DedupOps {
         (size(col("sh1")) + size(col("sh2")) - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+    (verified, () => {
+      banded.unpersist(); cand.unpersist(); candSh.unpersist(); ()
+    })
   }
 
   /** Oracle twin of [[dedupMinhash]]: identical md5-derived hash family,
@@ -429,17 +454,12 @@ object DedupOps {
     labels
   }
 
-  /** Minhash pair table materialized once per session+SF — the
-    * detection → clustering table hand-off: in production the pairwise
-    * detection job writes its pairs and the clustering job reads them,
-    * rather than re-running LSH. Exact integers round-trip parquet
-    * losslessly; the clusters oracle still states the full
-    * detection+clustering pipeline. */
+  /** Detection → clustering table hand-off: the clustering job reads
+    * the detection job's materialized pair table (dedupMinhash's
+    * write-once output) rather than re-running LSH. The clusters
+    * oracle still states the full detection+clustering pipeline. */
   private def goldPairs(spark: SparkSession, sfDir: String): DataFrame =
-    graft.etl.Medallion.materializeOnce(spark,
-      s"${graft.etl.Medallion.warehouse(sfDir)}/dedup_minhash_pairs") {
-      dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
-    }
+    dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(goldPairs(spark, sfDir))

@@ -41,7 +41,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Bucket width in point units; hour-of-ms to match the repo's
     * ms-epoch convention. Overridable per session. */
   private def bucketWidth: Long =
-    spark.conf.getOption("graft.rangeJoin.bucketWidth").map(_.toLong)
+    spark.conf.getOption("graft.rangeJoin.bucketWidth")
+      // an optimizer rule must never throw on user conf: a malformed or
+      // non-positive width (zero ⇒ IntegralDivide null keys) would fail
+      // EVERY query planned in the session — fall back to the default
+      .flatMap(_.toLongOption).filter(_ > 0L)
       .getOrElse(3600000L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

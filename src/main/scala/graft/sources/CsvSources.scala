@@ -45,7 +45,7 @@ object CsvSources {
   private val FixtureVersion = 1
 
   private def fixtureDir(sfDir: String): File =
-    new File(s"/root/repo/spark-warehouse/${new File(sfDir).getName}/fixtures")
+    new File(s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}/fixtures")
 
   private def writeLines(target: File, gzip: Boolean)(lines: Iterator[String]): Unit = {
     target.getParentFile.mkdirs()

@@ -25,7 +25,7 @@ object SchemaEvolution {
   private val FixtureVersion = 1
 
   private[graft] def fixtureDir(sfDir: String): File =
-    new File(s"/root/repo/spark-warehouse/${new File(sfDir).getName}" +
+    new File(s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}" +
       s"/fixtures/evo_v$FixtureVersion")
 
   /** Write the two-generation fixture once per SF: generation v1 holds

@@ -190,7 +190,7 @@ object Shapefile {
     * parameterization the q_union_centroid oracle already validates, so
     * the geometry math downstream of the codec has proven SQL parity. */
   private[graft] def fixture(spark: SparkSession, sfDir: String): String = {
-    val base = s"/root/repo/spark-warehouse/${new File(sfDir).getName}/fixtures/sections_v1"
+    val base = s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}/fixtures/sections_v1"
     if (!new File(base + ".shp").exists()) {
       val keys = graft.Tables.nation(spark, sfDir)
         .select("n_nationkey").orderBy("n_nationkey")
