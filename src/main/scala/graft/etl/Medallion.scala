@@ -240,15 +240,86 @@ object Medallion {
       |       MAX(c_custkey) AS max_key
       |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Small-file compaction — the lakehouse maintenance op every
+    * incremental writer needs: a streaming/micro-batch ingest leaves a
+    * partition as dozens of tiny files (simulated here by a
+    * repartition(48) write), and the compactor rewrites it into
+    * ceil(bytes / targetFileSize) right-sized files. Scan cost at
+    * 100 TB is dominated by file-open/footer overhead once files are
+    * small, so the rewrite IS the optimization; content must round-trip
+    * exactly — the read-back aggregate hash-fails on any lost or
+    * duplicated row. File-count reduction is driver-observable (FS
+    * listing) and injected as a literal boolean the oracle states,
+    * the q_approx_distinct in-engine-contract pattern; MedallionSpec
+    * asserts the counts themselves.
+    */
+  private val CompactTargetBytes = 8L * 1024 * 1024
+
+  private[graft] def compactCounts(
+      spark: SparkSession, sfDir: String): (Int, Int) = {
+    val frag = s"${warehouse(sfDir)}/lineitem_fragmented"
+    val comp = s"${warehouse(sfDir)}/lineitem_compacted"
+    def parts(dir: String): Array[Path] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    }
+    (parts(frag).length, parts(comp).length)
+  }
+
+  def compactTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = s"${warehouse(sfDir)}/lineitem_fragmented"
+    val comp = s"${warehouse(sfDir)}/lineitem_compacted"
+    rmTree(spark, frag); rmTree(spark, comp)
+
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartition(48) // the small-file state a micro-batch writer leaves
+      .write.mode("overwrite").parquet(frag)
+
+    val fragPath = new Path(frag)
+    val fs = fragPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragFiles = fs.listStatus(fragPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val bytes = fragFiles.map(_.getLen).sum
+    val nOut = math.max(1,
+      math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    // coalesce, not repartition: compaction must not pay a shuffle —
+    // it only narrows the file count (each output task concatenates
+    // whole input files)
+    spark.read.parquet(frag).coalesce(nOut)
+      .write.mode("overwrite").parquet(comp)
+
+    val (nBefore, nAfter) = compactCounts(spark, sfDir)
+    spark.read.parquet(comp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .withColumn("files_reduced", lit(nBefore > nAfter))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val compactTableOracle =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+      |       TRUE AS files_reduced
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_replace" -> (partitionReplace _),
     "q_merge_upsert" -> (mergeUpsert _),
-    "q_csv_export" -> (csvExport _)
+    "q_csv_export" -> (csvExport _),
+    "q_compaction" -> (compactTable _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_partition_replace" -> partitionReplaceOracle,
     "q_merge_upsert" -> mergeUpsertOracle,
-    "q_csv_export" -> csvExportOracle
+    "q_csv_export" -> csvExportOracle,
+    "q_compaction" -> compactTableOracle
   )
 }

@@ -226,7 +226,91 @@ object TextOps {
       |      FROM documents)
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** BM25 relevance scoring of the corpus against a fixed query-term
+    * set — the retrieval primitive of a training-data curation stack
+    * (quality-targeted selection, topic filtering, eval-set mining).
+    *
+    * Scale shape: one token explode filtered to the query terms BEFORE
+    * the (doc, term) tf aggregation — the shuffle carries only matching
+    * tokens, not the corpus. Document-frequency and corpus-length
+    * scalars are one-row/tiny aggregates joined back by broadcast, so
+    * the whole plan is two small shuffles over match rows plus
+    * map-side column math; nothing driver-side.
+    *
+    * Float parity: every input to the score is an exact integer (tf,
+    * df, dl, N, Σdl); the double expression tree is written token-
+    * identically in the oracle (same literals, same operation order),
+    * and the per-doc combination is a FIXED-ORDER sum of the three
+    * pivoted per-term scores — not a SUM over rows, whose accumulation
+    * order is engine-defined. `ln` is the one transcendental; both
+    * engines are ≤1 ulp, and scores are rounded at 4 dp.
+    */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn", col("tf") * lit(2.2) / (col("tf") +
+        lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))
+      .withColumn("s", col("idf") * col("tfn"))
+    def termScore(t: String): Column =
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0))
+    val s = Bm25Terms.map(t => termScore(t).as(s"s_$t"))
+    scored.groupBy(col("doc_id"), col("dl"))
+      .agg(s.head, s.tail: _*)
+      .select(col("doc_id"), col("dl"),
+        round(col("s_spark"), 4).as("s_spark"),
+        round(col("s_join"), 4).as("s_join"),
+        round(col("s_window"), 4).as("s_window"),
+        round(col("s_spark") + col("s_join") + col("s_window"), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bm25Oracle =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |              FROM documents),
+      |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+      |           FROM docs),
+      |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+      |       WHERE term IN ('spark', 'join', 'window')
+      |       GROUP BY doc_id, dl, term),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT doc_id, dl, term,
+      |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |         (tf * 2.2 / (tf +
+      |            1.2 * (0.25 + 0.75 * CAST(dl * n_docs AS DOUBLE) / sum_dl))) AS s
+      |  FROM tf JOIN dfx USING (term) CROSS JOIN corpus),
+      |pivoted AS (
+      |  SELECT doc_id, dl,
+      |         COALESCE(MAX(CASE WHEN term = 'spark'  THEN s END), 0.0) AS ss,
+      |         COALESCE(MAX(CASE WHEN term = 'join'   THEN s END), 0.0) AS sj,
+      |         COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS sw
+      |  FROM scored GROUP BY doc_id, dl)
+      |SELECT doc_id, dl,
+      |       ROUND(ss, 4) AS s_spark, ROUND(sj, 4) AS s_join,
+      |       ROUND(sw, 4) AS s_window, ROUND(ss + sj + sw, 4) AS bm25
+      |FROM pivoted ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -236,6 +320,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25Oracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,

@@ -36,4 +36,15 @@ class MedallionSpec extends SparkSpec {
     }
     silver.unpersist()
   }
+
+  test("compaction reduces file count without changing content") {
+    val out = Medallion.compactTable(spark, sfTiny)
+    // content proof is the oracle's job; here pin the maintenance claim:
+    // 48 writer files became ceil(bytes/target) files, and every row has
+    // the files_reduced contract bit set
+    assert(out.collect().forall(_.getAs[Boolean]("files_reduced")))
+    val (before, after) = Medallion.compactCounts(spark, sfTiny)
+    assert(before == 48, s"fragmented write should leave 48 files, got $before")
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+  }
 }
