@@ -496,7 +496,55 @@ object PipelineOps {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents))
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------ bloom prune
+  /** Bloom-filter semi-join reduction — the 100 TB pattern for a join
+    * whose build side is too big to broadcast AS ROWS but whose key set
+    * compresses into a few-MB sketch: build the bloom over the dim keys
+    * DISTRIBUTED (map-side partial sketches, one merge), ship the one
+    * serialized filter to every probe task, and drop non-matching fact
+    * rows BEFORE the join shuffle. This is exactly the machinery of
+    * Spark's own `InjectRuntimeFilter` (BloomFilterAggregate +
+    * BloomFilterMightContain, both codegen'd) invoked explicitly, so the
+    * pruning is guaranteed rather than dependent on the optimizer's size
+    * thresholds. Bloom filters have no false negatives, and the exact
+    * shuffle join afterwards clears false positives — so the result is
+    * BY CONSTRUCTION equal to the plain join, which is the oracle.
+    * PipelineOpsSpec pins the pruning claim itself (pruned scan strictly
+    * smaller, superset of true matches).
+    */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BloomExprs.register(spark)
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    // distributed sketch build; only the merged ~KB filter hits the
+    // driver (the same engine→driver scalar hop as the k-factor fetch)
+    val bf = dim
+      .agg(call_function("bloom_agg", col("c_custkey"), lit(100000L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = Tables.orders(spark, sfDir)
+      .filter(call_function("bloom_might_contain", lit(bf), col("o_custkey")))
+    // SHUFFLE_HASH models the dim being un-broadcastable at scale: rows
+    // shuffle, but only the pruned fact fraction pays the exchange
+    pruned.join(dim.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bloomPruneOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |       ROUND(SUM(o_totalprice), 4) AS revenue,
+      |       COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (bloomPrune _),
     "q_doc_chunking" -> (docChunking _),
     "q_seq_packing" -> (seqPacking _),
     "q_skew_join" -> (skewJoin _),
@@ -510,6 +558,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bloom_prune" -> bloomPruneOracle,
     "q_doc_chunking" -> docChunkingOracle,
     "q_seq_packing" -> seqPackingOracle,
     "q_skew_join" -> skewJoinOracle,

@@ -103,4 +103,29 @@ class PipelineOpsSpec extends SparkSpec {
         s"n_chars not non-increasing for $src")
     }
   }
+
+  test("bloom prune: no false negatives, and the probe scan actually shrinks") {
+    graft.functions.BloomExprs.register(spark)
+    val dimKeys = Tables.customer(spark, sfTiny)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"))
+    val bf = dimKeys
+      .agg(call_function("bloom_agg", col("c_custkey"), lit(100000L)))
+      .head().getAs[Array[Byte]](0)
+    val orders = Tables.orders(spark, sfTiny)
+    val total = orders.count()
+    val pruned = orders
+      .filter(call_function("bloom_might_contain", lit(bf), col("o_custkey")))
+    val prunedKeys = pruned.select(col("o_custkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val trueKeys = orders.join(dimKeys,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    // no false negatives: every truly-matching key survives the filter
+    assert(trueKeys.subsetOf(prunedKeys),
+      s"bloom dropped ${(trueKeys -- prunedKeys).size} matching keys")
+    // the point of the op: the join's probe input is strictly smaller
+    assert(pruned.count() < total,
+      "bloom filter pruned nothing — probe side unchanged")
+  }
 }
