@@ -221,16 +221,126 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** K-means refinement of the IVF coarse centroids — two unrolled
+    * Lloyd iterations (assign to nearest centroid by cosine, recompute
+    * centroids as the per-dimension member mean), then the final
+    * assignment's per-cell stats. This is the index-build step a real
+    * IVF deployment runs between seeding and serving: refined cells cut
+    * the probe fan-out for the same recall.
+    *
+    * Scale shape per iteration: the assignment is a broadcast of the
+    * k (tiny) centroids + a map-side VecDot per row — the corpus never
+    * shuffles for scoring; the recompute shuffles only the k×d partial
+    * sums (hash-agg map-side combine over the exploded dimensions).
+    * Two iterations unroll into one plan — no driver loop, no
+    * checkpointing needed at this depth.
+    *
+    * Float parity: every cosine is the sequential-fold dot product
+    * (VecDot == list_reduce, bit-identical); centroid components are
+    * ROUND(avg, 6)-ed in BOTH engines before the next assignment, so
+    * each iteration starts from identical inputs — the only
+    * cross-engine freedom is the sub-ulp partial-sum order inside one
+    * avg, absorbed by the 6 dp round except on measure-zero boundaries.
+    */
+  private[graft] def normed(spark: SparkSession, sfDir: String): DataFrame =
+    withNorm(spark, sfDir)
+
+  private[graft] def rawSeedCentroids(e: DataFrame): DataFrame =
+    seeds(e).select(col("seed_id").as("cell"),
+      expr("transform(sv, x -> CAST(x AS DOUBLE))").as("cv"))
+
+  private[graft] def refinedCentroids(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    var cents = rawSeedCentroids(e)
+    for (_ <- 1 to 2)
+      cents = kmRecompute(assignWithCos(e, cents))
+    cents
+  }
+
+  private[graft] def assignWithCos(e: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("ccos", cosine("embedding", "norm", "cv", "cn"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+        col("ccos"))
+  }
+
+  private def kmRecompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("cval"))
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)")
+        .as("cv"))
+
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val cents = refinedCentroids(spark, sfDir)
+    val stats = assignWithCos(e, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_member"),
+        max(col("vec_id")).as("max_member"))
+    stats.join(broadcast(cents.select(col("cell"),
+        element_at(col("cv"), 1).as("c0"))), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("min_member"),
+        col("max_member"), col("c0"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val kmeansRefineOracle: String = {
+    def assignCte(centCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+         |                      c.cell ASC) AS arank
+         |    FROM embeddings e CROSS JOIN $centCte c)
+         |  WHERE arank = 1)""".stripMargin
+    def recomputeCte(assignCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(cval ORDER BY pos) AS cv FROM (
+         |    SELECT cell, i AS pos,
+         |           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS cval
+         |    FROM $assignCte, LATERAL unnest(range(0, len(embedding))) AS t(i)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id % 61 = 0),
+       |${assignCte("c0", "a1")},
+       |${recomputeCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${recomputeCte("a2", "c2")},
+       |${assignCte("c2", "a3")}
+       |SELECT cell, COUNT(*) AS n_members,
+       |       MIN(vec_id) AS min_member, MAX(vec_id) AS max_member,
+       |       MAX(cv[1]) AS c0
+       |FROM a3 JOIN c2 USING (cell)
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_dedup_embedding" -> (dedupEmbedding _),
-    "q_ann_ivf" -> (annIvf _)
+    "q_ann_ivf" -> (annIvf _),
+    "q_kmeans" -> (kmeansRefine _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
-    "q_ann_ivf" -> annIvfOracle
+    "q_ann_ivf" -> annIvfOracle,
+    "q_kmeans" -> kmeansRefineOracle
   )
 
   private val dedupEmbeddingRealOracle = {

@@ -69,4 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(2), "null argument must yield NULL")
     assert(r.getDouble(3) == 23.0)
   }
+
+  test("k-means refinement: valid partition, and the objective improves on seeds") {
+    val refined = SimilarityOps.kmeansRefine(spark, sfSmall).collect()
+    val n = Tables.embeddings(spark, sfSmall).count()
+    assert(refined.map(_.getAs[Long]("n_members")).sum == n,
+      "every vector must be assigned to exactly one refined cell")
+    // the seed partition is the materialized IVF index (arank=1 on raw
+    // seeds); Lloyd refinement should strictly improve the mean
+    // cosine-to-centroid objective on this fixture
+    def meanCos(assign: org.apache.spark.sql.DataFrame): Double =
+      assign.agg(avg(col("ccos"))).head().getDouble(0)
+    import graft.ops.SimilarityOps.{assignWithCos, rawSeedCentroids, refinedCentroids}
+    val e = SimilarityOps.normed(spark, sfSmall)
+    val before = meanCos(assignWithCos(e, rawSeedCentroids(e)))
+    val after = meanCos(assignWithCos(e, refinedCentroids(spark, sfSmall)))
+    assert(after > before,
+      f"refinement did not improve mean cosine: $before%.4f -> $after%.4f")
+  }
 }
