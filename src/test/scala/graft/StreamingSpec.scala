@@ -193,4 +193,45 @@ class StreamingSpec extends SparkSpec {
       assert(batchFps == Seq("aa", "bb", "cc"))
     } finally q.stop()
   }
+
+  test("foreachBatch incremental gold converges to the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val tbl = s"${graft.etl.Medallion.warehouseBase}/test/stream_gold"
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.incrementalGold(input.toDF(), tbl)
+    def gold(): Map[Long, (Long, Double)] =
+      spark.read.parquet(tbl).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+    try {
+      val b1 = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1.5),
+        Ev(1, ts("2024-01-01 10:01:00"), 2.0),
+        Ev(2, ts("2024-01-01 10:02:00"), 4.0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(gold() == Map(1L -> ((2L, 3.5)), 2L -> ((1L, 4.0))))
+
+      // batch 2 touches user 1 and introduces user 3; user 2 must be
+      // carried over untouched by the upsert
+      val b2 = Seq(
+        Ev(1, ts("2024-01-01 10:05:00"), 0.5),
+        Ev(3, ts("2024-01-01 10:06:00"), 9.0))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val expected = (b1 ++ b2).toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(gold() == expected, s"gold ${gold()} != batch $expected")
+    } finally q.stop()
+  }
 }
