@@ -32,6 +32,7 @@ object SparkEntry {
       ops.MultimodalOps.queries ++
       ops.CatalogOps.queries ++
       etl.Medallion.queries ++
+      etl.Layout.queries ++
       etl.Bucketing.queries ++
       etl.SilverMobility.queries ++
       sources.CsvSources.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       ops.MultimodalOps.oracles ++
       ops.CatalogOps.oracles ++
       etl.Medallion.oracles ++
+      etl.Layout.oracles ++
       etl.Bucketing.oracles ++
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles(sfDir) ++
