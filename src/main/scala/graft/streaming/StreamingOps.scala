@@ -128,6 +128,31 @@ object StreamingOps {
       throw new java.io.IOException(s"gold swap failed: $tmp -> $path")
   }
 
+  /** Incremental file-source ingest with exactly-once accounting — the
+    * streaming rendition of the reference's daily-drop bronze ingest:
+    * each run picks up ONLY files not yet recorded in the checkpoint's
+    * file-source log, appends them to the bronze sink, and stops
+    * (`Trigger.AvailableNow` drains the backlog then terminates — the
+    * scheduled-batch operating mode, but with the stream's source log
+    * providing the dedup the reference gets from Airflow task state).
+    * A crashed or re-run job re-reads nothing: StreamingSpec restarts
+    * the query against a grown directory and asserts every input row
+    * lands exactly once.
+    */
+  def ingestAvailableNow(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
   final case class SessionState(
