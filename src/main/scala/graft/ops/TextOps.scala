@@ -309,7 +309,74 @@ object TextOps {
       |       ROUND(sw, 4) AS s_window, ROUND(ss + sj + sw, 4) AS bm25
       |FROM pivoted ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Heavy hitters over the corpus token stream — two-phase
+    * Misra-Gries: (1) a SKETCH pass builds one k-counter summary per
+    * partition (O(k) memory, zero shuffle — the only non-codegen stage,
+    * confined to the pass whose whole point is constant memory over an
+    * unbounded key domain); (2) an EXACT pass counts only the
+    * candidate terms (broadcast semi-join, then a hash agg over
+    * candidate-matching tokens). The MG guarantee makes the output
+    * exact, not approximate: any term with global freq > n/(k+1) is
+    * locally heavy in ≥1 partition and therefore survives its summary,
+    * so with threshold n/40 and k=64 ≥ 39 the candidate union is a
+    * SUPERSET of every reported term, and the exact pass removes all
+    * false positives — which is why a plain GROUP BY … HAVING oracle
+    * can hash-match a sketch-based plan. At 100 TB this is the
+    * standard heavy-hitter shape: the full-vocab groupBy the oracle
+    * runs would shuffle billions of distinct keys; the sketch pass
+    * shuffles none and the exact pass only the heavy tail.
+    */
+  private val MgSummarySize = 64
+  private val HhThresholdDen = 40L
+
+  /** Pure Misra-Gries kernel: k-counter summary of a stream. Guarantee
+    * (property-tested in PropertySpec): every item with frequency
+    * > n/(k+1) survives in the summary. */
+  private[graft] def mgSummary(
+      it: Iterator[String], k: Int): scala.collection.Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      if (m.contains(t)) m(t) += 1L
+      else if (m.size < k) m(t) = 1L
+      else { // MG step: decrement every counter, evict the zeros
+        m.mapValuesInPlace((_, v) => v - 1L)
+        m.filterInPlace((_, v) => v > 0L)
+      }
+    }
+    m
+  }
+
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val candidates = toks.as[String]
+      .mapPartitions(it => mgSummary(it, MgSummarySize).keysIterator)
+      .distinct()
+    val counted = toks.join(broadcast(candidates.toDF("term")), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n_toks"))
+    counted.crossJoin(broadcast(tot))
+      .filter(col("cnt") * HhThresholdDen > col("n_toks")) // integer-exact
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_toks"), 6).as("share"))
+      .orderBy(col("term"))
+  }
+
+  private val heavyHittersOracle =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_toks FROM toks),
+       |counted AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+       |SELECT term, cnt,
+       |       ROUND(CAST(cnt AS DOUBLE) / n_toks, 6) AS share
+       |FROM counted CROSS JOIN tot
+       |WHERE cnt * $HhThresholdDen > n_toks
+       |ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
@@ -320,6 +387,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,

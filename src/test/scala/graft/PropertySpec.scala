@@ -46,6 +46,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Misra-Gries summary keeps every item with freq > n/(k+1)") {
+    val stream = Gen.listOfN(400, Gen.frequency(
+      (8, Gen.oneOf("a", "b", "c")),            // heavy candidates
+      (2, Gen.choose(0, 500).map("t" + _))))    // long random tail
+    val k = Gen.choose(2, 16)
+    check(Prop.forAll(stream, k) { (s, kk) =>
+      val summary = graft.ops.TextOps.mgSummary(s.iterator, kk)
+      val exact = s.groupBy(identity).view.mapValues(_.size.toLong)
+      val thresh = s.size.toDouble / (kk + 1)
+      exact.forall { case (t, n) => n <= thresh || summary.contains(t) }
+    })
+  }
+
   test("triangle inequality holds up to spheroid tolerance") {
     check(Prop.forAll(lon, lat, lon, lat, lon, lat) { (x1, y1, x2, y2, x3, y3) =>
       val ab = Geo.distanceSpheroid(x1, y1, x2, y2)
