@@ -309,7 +309,106 @@ object Medallion {
       |       TRUE AS files_reduced
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Versioned snapshot writes — poor-man's time travel for the gold
+    * layer: every write lands in an immutable `v<N>` directory and a
+    * `_LATEST` pointer file flips to it afterwards, so (a) readers never
+    * observe a half-written table (the version directory is complete
+    * before the pointer moves — the same reader isolation a Delta/
+    * Iceberg commit provides), and (b) any historical version stays
+    * queryable until explicitly vacuumed. The reference's
+    * `CREATE OR REPLACE TABLE gold` destroys the previous state on
+    * every daily run; at 100 TB the snapshot layout is what makes a bad
+    * upstream day recoverable (repoint instead of recompute) and lets
+    * audits pin the exact table a report was built from.
+    */
+  private[graft] def snapshotWrite(
+      spark: SparkSession, base: String, df: DataFrame): Int = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, base).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$base/v$next")
+    // pointer flip: tmp + delete + rename (HDFS rename won't overwrite);
+    // a crash between delete and rename leaves the pointer missing, and
+    // latestVersion falls back to directory listing — never a torn read
+    val tmp = new Path(s"$base/_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    val ptr = new Path(s"$base/_LATEST")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"pointer flip failed for $base")
+    next
+  }
+
+  private[graft] def latestVersion(
+      spark: SparkSession, base: String): Option[Int] = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(s"$base/_LATEST")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      s.toIntOption
+    } else if (fs.exists(basePath)) {
+      // fallback: newest complete version directory
+      fs.listStatus(basePath).map(_.getPath.getName)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption)
+        .maxOption
+    } else None
+  }
+
+  private[graft] def snapshotRead(spark: SparkSession, base: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, base)).getOrElse(
+      throw new java.util.NoSuchElementException(s"no snapshot under $base"))
+    spark.read.parquet(s"$base/v$v")
+  }
+
+  /** Two snapshot generations of a per-segment gold table (v2 applies
+    * the balance corrections), then BOTH read back — v1 via explicit
+    * version pin, v2 via the pointer. The oracle recomputes both
+    * states from `customer`, so a v2 write that clobbered v1, or a
+    * pointer pointing at the wrong generation, fails the hash. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${warehouse(sfDir)}/customer_gold_versions"
+    rmTree(spark, base)
+    val byseg = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("bal_sum"))
+    snapshotWrite(spark, base, byseg)
+    val corrected = Tables.customer(spark, sfDir)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, round(col("c_acctbal") + 100.0, 2))
+          .otherwise(col("c_acctbal")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("bal_sum"))
+    snapshotWrite(spark, base, corrected)
+
+    snapshotRead(spark, base, Some(1)).withColumn("version", lit(1))
+      .unionByName(snapshotRead(spark, base).withColumn("version", lit(2)))
+      .select(col("version"), col("c_mktsegment"), col("n_custs"),
+        col("bal_sum"))
+      .orderBy(col("version"), col("c_mktsegment"))
+  }
+
+  private val timeTravelOracle =
+    """SELECT 1 AS version, c_mktsegment, COUNT(*) AS n_custs,
+      |       ROUND(SUM(c_acctbal), 4) AS bal_sum
+      |FROM customer GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 2 AS version, c_mktsegment, COUNT(*) AS n_custs,
+      |       ROUND(SUM(CASE WHEN c_custkey % 7 = 0
+      |                      THEN ROUND(c_acctbal + 100.0, 2)
+      |                      ELSE c_acctbal END), 4) AS bal_sum
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY version, c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (timeTravel _),
     "q_partition_replace" -> (partitionReplace _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_csv_export" -> (csvExport _),
@@ -317,6 +416,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_time_travel" -> timeTravelOracle,
     "q_partition_replace" -> partitionReplaceOracle,
     "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_export" -> csvExportOracle,

@@ -47,4 +47,25 @@ class MedallionSpec extends SparkSpec {
     assert(before == 48, s"fragmented write should leave 48 files, got $before")
     assert(after < before, s"compaction did not reduce files: $before -> $after")
   }
+
+  test("snapshot versions are immutable and the pointer survives a missing file") {
+    import spark.implicits._
+    val base = s"${Medallion.warehouseBase}/test/snap"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+
+    assert(Medallion.snapshotWrite(spark, base, Seq((1, "a")).toDF("k", "x")) == 1)
+    assert(Medallion.snapshotWrite(spark, base, Seq((2, "b")).toDF("k", "x")) == 2)
+    // pinned read sees the OLD generation untouched by the new write
+    assert(Medallion.snapshotRead(spark, base, Some(1))
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // pointer lost mid-flip: directory-listing fallback still resolves
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_LATEST"), false)
+    assert(Medallion.latestVersion(spark, base).contains(2))
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
 }
