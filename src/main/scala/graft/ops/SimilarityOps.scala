@@ -329,18 +329,69 @@ object SimilarityOps {
        |GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** Int8 embedding quantization with reconstruction-error accounting —
+    * the storage/serving compression step of a vector index (4× smaller
+    * than float32, SIMD-friendly dot products). Symmetric quantization
+    * with a FIXED power-of-two scale (q = clamp(round(x·256), ±127)):
+    * float × 2^8 is exact in double and q/256 is exact, so the quantize/
+    * dequantize round trip and the clip count are integer-exact in both
+    * engines; only `round` semantics matter, and both engines round
+    * half away from zero. Per-vector error stats stay order-
+    * deterministic: max|err| is order-free, and the squared-error sum
+    * runs through the SAME sequential fold as every dot product here
+    * (VecDot == list_reduce — bit-identical by the module contract).
+    * All map-side, no shuffle: at 100 TB this is a projection writing
+    * the quantized column next to the source vector.
+    */
+  private val QScale = 256.0
+
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(
+        s"transform(embedding, x -> greatest(-127.0D, least(127.0D, round(CAST(x AS DOUBLE) * $QScale))))"))
+      .withColumn("err", expr(
+        s"zip_with(embedding, q, (x, v) -> CAST(x AS DOUBLE) - v / $QScale)"))
+      .select(col("vec_id"),
+        expr("size(filter(q, v -> abs(v) = 127.0D))").as("n_clip"),
+        round(expr("array_max(transform(err, e -> abs(e)))"), 6).as("max_err"),
+        round(sqrt(expr("vec_dot(err, err)") / lit(64.0)), 6).as("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeInt8Oracle = {
+    val q = s"list_transform(embedding, x -> " +
+      s"GREATEST(-127.0, LEAST(127.0, round(CAST(x AS DOUBLE) * 256.0))))"
+    val err = s"list_transform(list_zip(CAST(embedding AS DOUBLE[]), q), " +
+      s"p -> p[1] - p[2] / 256.0)"
+    s"""WITH quant AS (
+       |  SELECT vec_id, $q AS q, embedding FROM embeddings),
+       |errs AS (
+       |  SELECT vec_id, q, $err AS err FROM quant)
+       |SELECT vec_id,
+       |       len(list_filter(q, v -> abs(v) = 127.0)) AS n_clip,
+       |       ROUND(list_aggregate(list_transform(err, e -> abs(e)), 'max'), 6)
+       |         AS max_err,
+       |       ROUND(sqrt(list_reduce(list_transform(list_zip(err, err),
+       |             x -> x[1] * x[2]), (acc, v) -> acc + v) / 64.0), 6) AS rmse
+       |FROM errs ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
-    "q_kmeans" -> (kmeansRefine _)
+    "q_kmeans" -> (kmeansRefine _),
+    "q_quantize_int8" -> (quantizeInt8 _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,
-    "q_kmeans" -> kmeansRefineOracle
+    "q_kmeans" -> kmeansRefineOracle,
+    "q_quantize_int8" -> quantizeInt8Oracle
   )
 
   private val dedupEmbeddingRealOracle = {
