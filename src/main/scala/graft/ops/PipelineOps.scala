@@ -543,7 +543,59 @@ object PipelineOps {
       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ train split
+  /** Deterministic train/val/test split + shard export — the terminal
+    * stage of a curation pipeline: every document is routed by the same
+    * Knuth multiplicative hash the stratified sampler uses (content-
+    * independent, engine-identical integer arithmetic, stable across
+    * reruns and cluster sizes), a SECOND odd multiplier assigns the
+    * shard file within each split (independent of the split hash), and
+    * the corpus is written `partitionBy(split, shard)` — the directory
+    * layout a training loader consumes. The read-back aggregate means a
+    * lost or double-written shard fails the oracle's recomputed split
+    * accounting. At 100 TB: one hash projection + one partitioned
+    * write; no shuffle beyond the write's own file routing.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = s"${graft.etl.Medallion.warehouse(sfDir)}/train_splits"
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    val hashed = Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("shard",
+        pmod(pmod(col("doc_id") * lit(2246822519L), lit(4294967296L)), lit(8)))
+    hashed.select(col("doc_id"), col("text"), col("lang"), col("split"),
+        col("shard"))
+      .write.partitionBy("split", "shard").mode("overwrite").parquet(tbl)
+
+    spark.read.parquet(tbl)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("shard")).as("n_shards"),
+        sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+      .orderBy(col("split"))
+  }
+
+  private val trainSplitOracle =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |         (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+      |         (doc_id * 2246822519) % 4294967296 % 8 AS shard
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |       COUNT(*) AS n_docs, COUNT(DISTINCT shard) AS n_shards,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_split" -> (trainSplit _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_doc_chunking" -> (docChunking _),
     "q_seq_packing" -> (seqPacking _),
@@ -558,6 +610,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_train_split" -> trainSplitOracle,
     "q_bloom_prune" -> bloomPruneOracle,
     "q_doc_chunking" -> docChunkingOracle,
     "q_seq_packing" -> seqPackingOracle,

@@ -120,4 +120,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.substring(limitIdx).contains("Partial"),
       s"expected a Partial WindowGroupLimit (map-side top-k):\n$plan")
   }
+
+  test("bloom prune applies might_contain on the probe scan below the join") {
+    val plan = executed(PipelineOps.bloomPrune(spark, sfTiny))
+    val joinIdx = plan.indexOf("ShuffledHashJoin")
+    val filterIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0, s"expected the hinted shuffled hash join:\n$plan")
+    assert(filterIdx >= 0, s"bloom filter missing from the plan:\n$plan")
+    // the plan tree prints children after parents: the pruning filter
+    // must sit BELOW the join (fact rows dropped before the exchange)
+    assert(filterIdx > joinIdx,
+      s"bloom filter not below the join:\n$plan")
+  }
+
+  test("layout probe's clustered read pushes the key-range predicate to parquet") {
+    val plan = formatted(graft.etl.Layout.layoutProbe(spark, sfTiny))
+    assert(
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_orderkey".r
+        .findFirstIn(plan).isDefined &&
+        "PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_orderkey".r
+          .findFirstIn(plan).isDefined,
+      s"range predicate not pushed into the clustered scan:\n$plan")
+  }
 }
