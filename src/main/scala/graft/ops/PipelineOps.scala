@@ -594,7 +594,67 @@ object PipelineOps {
       |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ funnel
+  /** Typed per-group funnel metrics via `KeyValueGroupedDataset
+    * .mapGroups` — the batch face of the typed-Dataset surface the
+    * streaming sessionizer already exercises (`flatMapGroupsWithState`).
+    * mapGroups is the right altitude when per-key logic is genuinely
+    * imperative; here the group fold is a single pass of min/count
+    * accumulators (ORDER-INDEPENDENT, so the undefined group iteration
+    * order cannot leak into results), and the plan is one shuffle on
+    * user_id — the same exchange a groupBy would pay, with no
+    * accumulation of group rows in memory. The oracle states the same
+    * semantics relationally (min-purchase join + conditional counts),
+    * pinning the typed path against the SQL path.
+    */
+  private[graft] final case class FunnelRow(
+      user_id: Long, event_type: String, ms: Long)
+  private[graft] final case class Funnel(
+      user_id: Long, n_views_before: Long, latency_ms: Option[Long])
+
+  def funnelMapGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .as[FunnelRow]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        var firstPurchase = Long.MaxValue
+        var firstView = Long.MaxValue
+        val views = scala.collection.mutable.ArrayBuffer.empty[Long]
+        evs.foreach { e =>
+          if (e.event_type == "purchase" && e.ms < firstPurchase)
+            firstPurchase = e.ms
+          else if (e.event_type == "view") { views += e.ms }
+        }
+        if (firstPurchase == Long.MaxValue) Funnel(uid, -1L, None)
+        else {
+          val before = views.filter(_ < firstPurchase)
+          if (before.isEmpty) Funnel(uid, 0L, None)
+          else Funnel(uid, before.length.toLong,
+            Some(firstPurchase - before.min))
+        }
+      }
+      .filter(_.n_views_before >= 0L) // users with no purchase drop out
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  private val funnelOracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |p AS (SELECT user_id, MIN(ms) AS fp FROM e
+      |      WHERE event_type = 'purchase' GROUP BY user_id),
+      |v AS (SELECT e.user_id, COUNT(*) AS nv, MIN(ms) AS fv
+      |      FROM e JOIN p USING (user_id)
+      |      WHERE event_type = 'view' AND ms < fp
+      |      GROUP BY e.user_id)
+      |SELECT p.user_id, COALESCE(nv, 0) AS n_views_before,
+      |       fp - fv AS latency_ms
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |ORDER BY p.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_mapgroups" -> (funnelMapGroups _),
     "q_train_split" -> (trainSplit _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_doc_chunking" -> (docChunking _),
@@ -610,6 +670,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_funnel_mapgroups" -> funnelOracle,
     "q_train_split" -> trainSplitOracle,
     "q_bloom_prune" -> bloomPruneOracle,
     "q_doc_chunking" -> docChunkingOracle,
