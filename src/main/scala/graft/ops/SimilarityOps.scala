@@ -166,9 +166,13 @@ object SimilarityOps {
     graft.etl.Medallion.materializeOnce(spark,
       s"${graft.etl.Medallion.warehouse(sfDir)}/ann_ivf_index") {
       val e = withNorm(spark, sfDir)
-      assign(e, seeds(e), 1)
+      // arank=1 is an argmax: the narrow max_by form (no k× array
+      // shuffle — see assignWithCos); the multi-probe window remains
+      // only on the 5-row query side
+      assignWithCos(e,
+          seeds(e).select(col("seed_id").as("cell"), col("sv").as("cv")))
         .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-          col("norm").as("cn"), col("seed_id").as("cell"))
+          col("norm").as("cn"), col("cell"))
     }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
