@@ -73,10 +73,10 @@ object Layout {
        |FROM lineitem WHERE l_orderkey BETWEEN $ProbeLo AND $ProbeHi
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Per-file (min, max) of `l_orderkey` read from the parquet footers —
-    * the same statistics a pruning reader consults. */
-  private[graft] def fileKeyRanges(
-      spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+  /** Per-file (min, max) of a BIGINT column read from the parquet
+    * footers — the same statistics a pruning reader consults. */
+  private[graft] def fileColumnRanges(spark: SparkSession, dir: String,
+      column: String): Seq[(Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -90,7 +90,7 @@ object Layout {
         try {
           val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
             b.getColumns.asScala
-              .filter(_.getPath.toDotString == "l_orderkey")
+              .filter(_.getPath.toDotString == column)
               .map(_.getStatistics)
           }
           (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
@@ -99,14 +99,102 @@ object Layout {
       }
   }
 
+  private[graft] def fileKeyRanges(
+      spark: SparkSession, dir: String): Seq[(Long, Long)] =
+    fileColumnRanges(spark, dir, "l_orderkey")
+
   private[graft] def probeOverlaps(ranges: Seq[(Long, Long)]): Int =
     ranges.count { case (lo, hi) => lo <= ProbeHi && hi >= ProbeLo }
 
+  // ------------------------------------------------------------------
+  /** TRUE 2-D z-order clustering: interleave the bits of two 10-bit
+    * keys into one Morton value, range-partition + sort the write on
+    * it, and probe with a RECTANGLE predicate (a range on each key —
+    * the query shape 1-D clustering cannot serve: sorting by one key
+    * scatters the other). Because the z-value is monotone in each
+    * coordinate, every point of the rectangle lies in
+    * [z(lo_x,lo_y), z(hi_x,hi_y)] — so file-level zmin/zmax stats give
+    * a sound skip decision, which LayoutSpec checks from the footers:
+    * the z-layout leaves files provably outside the probe's z-interval
+    * (skippable), the scatter layout leaves none. This is the layout
+    * trick behind Delta/Iceberg Z-ORDER, built from repartitionByRange
+    * + an integer-exact interleave expression — no engine extension
+    * needed, and the same arithmetic runs in the DuckDB oracle.
+    */
+  private val ZBits = 10
+  private[graft] val ZProbe = ((100L, 200L), (300L, 400L)) // x range, y range
+
+  /** Bit-interleave `x`,`y` (10 bits each) into a Morton value —
+    * generated Spark SQL (integer-exact shifts and masks). */
+  private def zSql(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(shl(s"(${shr(x, i)} & 1)", 2 * i),
+        shl(s"(${shr(y, i)} & 1)", 2 * i + 1))
+    }.mkString(" | ")
+
+  private def zSpark(x: String, y: String): String =
+    zSql(x, y, (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+
+  /** Driver-side twin for the spec's interval bound (same arithmetic). */
+  private[graft] def zValue(x: Long, y: Long): Long =
+    (0 until ZBits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  private[graft] def zScatteredPath(sfDir: String): String =
+    s"${Medallion.warehouse(sfDir)}/lineitem_zscatter"
+  private[graft] def zClusteredPath(sfDir: String): String =
+    s"${Medallion.warehouse(sfDir)}/lineitem_zorder"
+
+  def zorderProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    rmTree(spark, zScatteredPath(sfDir)); rmTree(spark, zClusteredPath(sfDir))
+    val ((xLo, xHi), (yLo, yHi)) = ZProbe
+    // 10-bit keys by multiplicative hash — uniform over [0,1024) at
+    // every SF (the raw part/supp keys span too little at small scales)
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        pmod(pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L)),
+          lit(1024)).as("px"),
+        pmod(pmod(col("l_partkey") * lit(2246822519L), lit(4294967296L)),
+          lit(1024)).as("py"))
+      .withColumn("zval", expr(zSpark("px", "py")))
+    keyed.repartition(8).write.mode("overwrite").parquet(zScatteredPath(sfDir))
+    keyed.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(zClusteredPath(sfDir))
+
+    spark.read.parquet(zClusteredPath(sfDir))
+      .filter(col("px").between(xLo, xHi) && col("py").between(yLo, yHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private lazy val zorderProbeOracle = {
+    val ((xLo, xHi), (yLo, yHi)) = ZProbe
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |       ROUND(SUM(l_quantity), 4) AS sum_qty
+       |FROM (SELECT l_returnflag, l_quantity,
+       |             (l_orderkey * 2654435761) % 4294967296 % 1024 AS px,
+       |             (l_partkey * 2246822519) % 4294967296 % 1024 AS py
+       |      FROM lineitem)
+       |WHERE px BETWEEN $xLo AND $xHi AND py BETWEEN $yLo AND $yHi
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Per-file (min, max) of `zval` from the footers. */
+  private[graft] def fileZRanges(
+      spark: SparkSession, dir: String): Seq[(Long, Long)] =
+    fileColumnRanges(spark, dir, "zval")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_layout_probe" -> (layoutProbe _)
+    "q_layout_probe" -> (layoutProbe _),
+    "q_zorder_probe" -> (zorderProbe _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_layout_probe" -> layoutProbeOracle
+    "q_layout_probe" -> layoutProbeOracle,
+    "q_zorder_probe" -> zorderProbeOracle
   )
 }

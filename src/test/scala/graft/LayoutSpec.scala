@@ -30,4 +30,24 @@ class LayoutSpec extends SparkSpec {
       assert(hi <= lo, s"overlapping clustered spans: hi=$hi lo=$lo")
     }
   }
+
+  test("z-order confines a rectangle probe's z-interval; scatter does not") {
+    Layout.zorderProbe(spark, sfTiny).collect() // writes both layouts
+
+    // monotonicity of the Morton value in each coordinate: every point
+    // of the probe rectangle has z inside [z(lo), z(hi)]
+    val ((xLo, xHi), (yLo, yHi)) = Layout.ZProbe
+    val (zLo, zHi) = (Layout.zValue(xLo, yLo), Layout.zValue(xHi, yHi))
+    assert(zLo < zHi)
+    def skippable(ranges: Seq[(Long, Long)]): Int =
+      ranges.count { case (lo, hi) => hi < zLo || lo > zHi }
+
+    val scatter = Layout.fileZRanges(spark, Layout.zScatteredPath(sfTiny))
+    val zorder = Layout.fileZRanges(spark, Layout.zClusteredPath(sfTiny))
+    assert(scatter.size == 8 && zorder.size == 8)
+    assert(skippable(scatter) == 0,
+      s"scatter files should all straddle the z-interval")
+    assert(skippable(zorder) >= 4,
+      s"z-order should make most files skippable, got ${skippable(zorder)}/8")
+  }
 }
