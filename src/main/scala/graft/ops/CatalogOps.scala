@@ -170,15 +170,90 @@ object CatalogOps {
       |      GROUP BY o_orderkey HAVING COUNT(*) > 1)
       |ORDER BY check_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** ANALYZE-style table statistics in ONE scan — the numbers a
+    * cost-based optimizer (and a data engineer) wants per column:
+    * row count, null count, min/max, and distinct count, computed as
+    * parallel aggregates over a single pass (the `dqChecks` pattern:
+    * never rescan per column) and UNPIVOTed to one row per column.
+    * Long/string stats are stacked through a common string rendering so
+    * the output is one uniform relation. Exact NDV here because the
+    * oracle must hash-match; the documented 100 TB swap is
+    * `approx_count_distinct` per column in the same single pass
+    * (the HLL path `q_approx_distinct` already pins).
+    */
+  def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val stats = o.agg(
+      count(lit(1)).as("n_rows"),
+      // o_custkey
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long").as("ck_nulls"),
+      min(col("o_custkey")).cast("string").as("ck_min"),
+      max(col("o_custkey")).cast("string").as("ck_max"),
+      countDistinct(col("o_custkey")).as("ck_ndv"),
+      // o_orderstatus
+      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long").as("st_nulls"),
+      min(col("o_orderstatus")).as("st_min"),
+      max(col("o_orderstatus")).as("st_max"),
+      countDistinct(col("o_orderstatus")).as("st_ndv"),
+      // o_totalprice
+      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).cast("long").as("tp_nulls"),
+      cast6(min(col("o_totalprice"))).as("tp_min"),
+      cast6(max(col("o_totalprice"))).as("tp_max"),
+      countDistinct(col("o_totalprice")).as("tp_ndv"))
+    stats.select(col("n_rows"), expr(
+      """stack(3,
+        |  'o_custkey',    ck_nulls, ck_min, ck_max, ck_ndv,
+        |  'o_orderstatus', st_nulls, st_min, st_max, st_ndv,
+        |  'o_totalprice', tp_nulls, tp_min, tp_max, tp_ndv)
+        |AS (column_name, null_count, min_value, max_value, ndv)""".stripMargin))
+      .orderBy(col("column_name"))
+  }
+
+  /** Doubles rendered C-printf style at a fixed 6 dp so both engines
+    * print the same string (raw double-to-string formatting differs
+    * between them; the source values are 2 dp decimals, so no rounding
+    * ambiguity survives at 6 dp). */
+  private def cast6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    format_string("%.6f", c)
+
+  private val tableStatsOracle =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+      |         CAST(MIN(o_custkey) AS VARCHAR) AS ck_min,
+      |         CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
+      |         COUNT(DISTINCT o_custkey) AS ck_ndv,
+      |         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+      |         MIN(o_orderstatus) AS st_min,
+      |         MAX(o_orderstatus) AS st_max,
+      |         COUNT(DISTINCT o_orderstatus) AS st_ndv,
+      |         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+      |         printf('%.6f', MIN(o_totalprice)) AS tp_min,
+      |         printf('%.6f', MAX(o_totalprice)) AS tp_max,
+      |         COUNT(DISTINCT o_totalprice) AS tp_ndv
+      |  FROM orders)
+      |SELECT n_rows, column_name, null_count, min_value, max_value, ndv
+      |FROM (
+      |  SELECT n_rows, 'o_custkey' AS column_name, ck_nulls AS null_count,
+      |         ck_min AS min_value, ck_max AS max_value, ck_ndv AS ndv FROM s
+      |  UNION ALL
+      |  SELECT n_rows, 'o_orderstatus', st_nulls, st_min, st_max, st_ndv FROM s
+      |  UNION ALL
+      |  SELECT n_rows, 'o_totalprice', tp_nulls, tp_min, tp_max, tp_ndv FROM s)
+      |ORDER BY column_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_dump" -> (catalogDump _),
     "q_schema_adaptive" -> (schemaAdaptive _),
-    "q_dq_checks" -> (dqChecks _)
+    "q_dq_checks" -> (dqChecks _),
+    "q_table_stats" -> (tableStats _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_catalog_dump" -> catalogDumpOracle,
     "q_schema_adaptive" -> schemaAdaptiveOracle,
-    "q_dq_checks" -> dqChecksOracle
+    "q_dq_checks" -> dqChecksOracle,
+    "q_table_stats" -> tableStatsOracle
   )
 }
