@@ -184,6 +184,11 @@ object CatalogOps {
     */
   def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
+    // profiled columns are all FIXED-WIDTH buffer types (long, timestamp,
+    // double): a varlen string min/max in the buffer would force the
+    // whole pass into SortAggregate over the count-distinct-expanded
+    // rows (measured 4x slower; the round-4 lesson) — string columns get
+    // ndv/null stats through a numeric surrogate if ever needed
     val stats = o.agg(
       count(lit(1)).as("n_rows"),
       // o_custkey
@@ -191,11 +196,11 @@ object CatalogOps {
       min(col("o_custkey")).cast("string").as("ck_min"),
       max(col("o_custkey")).cast("string").as("ck_max"),
       countDistinct(col("o_custkey")).as("ck_ndv"),
-      // o_orderstatus
-      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long").as("st_nulls"),
-      min(col("o_orderstatus")).as("st_min"),
-      max(col("o_orderstatus")).as("st_max"),
-      countDistinct(col("o_orderstatus")).as("st_ndv"),
+      // o_orderdate
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).cast("long").as("od_nulls"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("od_min"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("od_max"),
+      countDistinct(col("o_orderdate")).as("od_ndv"),
       // o_totalprice
       sum(when(col("o_totalprice").isNull, 1).otherwise(0)).cast("long").as("tp_nulls"),
       cast6(min(col("o_totalprice"))).as("tp_min"),
@@ -203,8 +208,8 @@ object CatalogOps {
       countDistinct(col("o_totalprice")).as("tp_ndv"))
     stats.select(col("n_rows"), expr(
       """stack(3,
-        |  'o_custkey',    ck_nulls, ck_min, ck_max, ck_ndv,
-        |  'o_orderstatus', st_nulls, st_min, st_max, st_ndv,
+        |  'o_custkey',   ck_nulls, ck_min, ck_max, ck_ndv,
+        |  'o_orderdate', od_nulls, od_min, od_max, od_ndv,
         |  'o_totalprice', tp_nulls, tp_min, tp_max, tp_ndv)
         |AS (column_name, null_count, min_value, max_value, ndv)""".stripMargin))
       .orderBy(col("column_name"))
@@ -224,10 +229,10 @@ object CatalogOps {
       |         CAST(MIN(o_custkey) AS VARCHAR) AS ck_min,
       |         CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
       |         COUNT(DISTINCT o_custkey) AS ck_ndv,
-      |         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
-      |         MIN(o_orderstatus) AS st_min,
-      |         MAX(o_orderstatus) AS st_max,
-      |         COUNT(DISTINCT o_orderstatus) AS st_ndv,
+      |         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_nulls,
+      |         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,
+      |         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_max,
+      |         COUNT(DISTINCT o_orderdate) AS od_ndv,
       |         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
       |         printf('%.6f', MIN(o_totalprice)) AS tp_min,
       |         printf('%.6f', MAX(o_totalprice)) AS tp_max,
@@ -238,7 +243,7 @@ object CatalogOps {
       |  SELECT n_rows, 'o_custkey' AS column_name, ck_nulls AS null_count,
       |         ck_min AS min_value, ck_max AS max_value, ck_ndv AS ndv FROM s
       |  UNION ALL
-      |  SELECT n_rows, 'o_orderstatus', st_nulls, st_min, st_max, st_ndv FROM s
+      |  SELECT n_rows, 'o_orderdate', od_nulls, od_min, od_max, od_ndv FROM s
       |  UNION ALL
       |  SELECT n_rows, 'o_totalprice', tp_nulls, tp_min, tp_max, tp_ndv FROM s)
       |ORDER BY column_name""".stripMargin
