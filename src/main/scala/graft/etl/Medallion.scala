@@ -359,6 +359,25 @@ object Medallion {
     } else None
   }
 
+  /** Retention vacuum: delete every snapshot older than the newest
+    * `keep` versions — the cleanup half of time travel (disk is the
+    * price of repointability; retention bounds it). The pointer target
+    * is never deleted even if `keep` would allow it, so a concurrent
+    * reader resolving `_LATEST` cannot lose its table mid-read. */
+  private[graft] def snapshotVacuum(
+      spark: SparkSession, base: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"must keep at least one version, got $keep")
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return Seq.empty
+    val versions = fs.listStatus(basePath).map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption).sorted
+    val pinned = latestVersion(spark, base)
+    val drop = versions.dropRight(keep).filterNot(pinned.contains).toSeq
+    drop.foreach(v => fs.delete(new Path(s"$base/v$v"), true))
+    drop
+  }
+
   private[graft] def snapshotRead(spark: SparkSession, base: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, base)).getOrElse(

@@ -68,4 +68,24 @@ class MedallionSpec extends SparkSpec {
     assert(Medallion.snapshotRead(spark, base)
       .collect().map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  test("snapshot vacuum drops old versions but never the pointer target") {
+    import spark.implicits._
+    val base = s"${Medallion.warehouseBase}/test/snapvac"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    (1 to 3).foreach(i =>
+      Medallion.snapshotWrite(spark, base, Seq((i, "x")).toDF("k", "x")))
+
+    assert(Medallion.snapshotVacuum(spark, base, keep = 1) == Seq(1, 2))
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    intercept[Exception](
+      Medallion.snapshotRead(spark, base, Some(1)).collect())
+    // a vacuum that would drop everything still keeps the pointer target
+    assert(Medallion.snapshotVacuum(spark, base, keep = 1).isEmpty)
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
 }
