@@ -206,9 +206,60 @@ object CsvSources {
        |FROM read_csv('$path', delim=';', header=true)
        |GROUP BY 1, 2 ORDER BY municipality_code, year""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** S1's other half — reject-stream ingest: where DROPMALFORMED
+    * silently discards bad lines, a production bronze KEEPS them so the
+    * reject stream can be counted, alerted on, and replayed. The raw
+    * file is read as LINES (gzip handled by the text source), each line
+    * classified by token count, and only well-formed lines are parsed —
+    * the keep-raw-parse-later pattern. (Spark's PERMISSIVE
+    * `_corrupt_record` capture does NOT fire here: with an all-varchar
+    * schema the univocity parser pads short rows and truncates long
+    * ones without error, so token-count rejects are only detectable
+    * before parsing — measured, which is why this op classifies raw
+    * lines instead.) The oracle recomputes the reject accounting from
+    * `orders` via the fixture generator's own insertion arithmetic — a
+    * capture that missed or double-counted a corrupt line fails the
+    * hash.
+    */
+  def csvCorruptCapture(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = mitmaCsvGz(spark, sfDir)
+    val header = mitmaCols.mkString("|")
+    val toks = size(split(col("value"), "\\|"))
+    spark.read.text(path)
+      .filter(col("value") =!= lit(header))
+      .agg(
+        sum(when(toks === 7, 1).otherwise(0)).cast("long").as("n_good"),
+        sum(when(toks =!= 7, 1).otherwise(0)).cast("long").as("n_corrupt"),
+        sum(when(toks === 2, 1).otherwise(0)).cast("long").as("n_short"),
+        sum(when(toks === 8, 1).otherwise(0)).cast("long").as("n_long"),
+        round(sum(when(toks === 7,
+          split(col("value"), "\\|").getItem(5).cast("double"))), 4)
+          .as("sum_trips"))
+  }
+
+  /** Reject accounting recomputed from the generator's arithmetic: a
+    * short line lands after every 97th order, a long line after every
+    * 211th UNLESS the short rule already fired (else-if). */
+  private val csvCorruptCaptureOracle =
+    """WITH numbered AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS i,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT COUNT(*) AS n_good,
+      |       CAST(SUM(CASE WHEN i % 97 = 96 OR i % 211 = 210
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |       CAST(SUM(CASE WHEN i % 97 = 96 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_short,
+      |       CAST(SUM(CASE WHEN i % 97 <> 96 AND i % 211 = 210
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+      |       ROUND(SUM(ROUND(o_totalprice / 1000.0, 3)), 4) AS sum_trips
+      |FROM numbered""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan_permissive" -> (csvScanPermissive _),
-    "q_csv_scan_infer" -> (csvScanInfer _)
+    "q_csv_scan_infer" -> (csvScanInfer _),
+    "q_csv_corrupt_capture" -> (csvCorruptCapture _)
   )
 
   /** The oracle SQL must embed a concrete fixture path, so this map —
@@ -223,7 +274,8 @@ object CsvSources {
       "q_csv_scan_permissive" ->
         csvScanPermissiveOracle(s"$dir/mitma_v$FixtureVersion.csv.gz"),
       "q_csv_scan_infer" ->
-        csvScanInferOracle(s"$dir/ine_economy_v$FixtureVersion.csv")
+        csvScanInferOracle(s"$dir/ine_economy_v$FixtureVersion.csv"),
+      "q_csv_corrupt_capture" -> csvCorruptCaptureOracle
     )
   }
 }
