@@ -375,7 +375,56 @@ object TextOps {
        |WHERE cnt * $HhThresholdDen > n_toks
        |ORDER BY term""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * signal of a curation pipeline (docs whose tokens are improbable
+    * under the corpus unigram LM are boilerplate/noise candidates):
+    * per-doc average of ln p(token) under corpus-wide frequencies.
+    *
+    * Scale shape: term frequencies are one aggregation over the token
+    * stream, broadcast back (vocab-sized); the per-doc reduction is the
+    * only corpus shuffle. Parity: each token's ln p is QUANTIZED to
+    * integer micro-nats before the per-doc sum, so the reduction is
+    * exact integer arithmetic — order-free by construction, immune to
+    * the engines' different partial-sum orders (a double sum of ln
+    * values would differ in ulps and flip 6 dp roundings). The one
+    * division chain at the end is written token-identically.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(freqs), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_e6")).as("slp"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("slp").cast("double") / col("n_tok") / lit(1000000.0), 6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramLogprobOracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+      |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+      |scored AS (
+      |  SELECT doc_id,
+      |         CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot) * 1000000.0)
+      |              AS BIGINT) AS lp_e6
+      |  FROM toks JOIN freqs USING (term) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |       ROUND(CAST(SUM(lp_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |         AS avg_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_logprob" -> (unigramLogprob _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_quality_filter" -> (qualityFilter _),
@@ -387,6 +436,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_unigram_logprob" -> unigramLogprobOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,
     "q_quality_filter" -> qualityFilterOracle,
