@@ -66,6 +66,7 @@ object GraftFunctions {
     functions.VectorExprs.register(spark)
     functions.TextExprs.register(spark)
     functions.SigExprs.register(spark)
+    functions.BloomExprs.register(spark)
     GeoFunctions.register(spark)
     spark
   }

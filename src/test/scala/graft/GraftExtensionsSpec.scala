@@ -15,6 +15,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 293001343L)
     assert(r.getDouble(2) == 1.0)
+    // the bloom pair is part of the registered surface too: a filter
+    // built over keys 1..3 must admit its members (no false negatives);
+    // might_contain demands a CONSTANT or scalar-subquery bloom side
+    val bloom = spark.sql(
+      """SELECT bloom_might_contain(
+        |         (SELECT bloom_agg(id, 100L)
+        |          FROM (SELECT explode(sequence(1L, 3L)) AS id)),
+        |         2L) AS hit
+        |""".stripMargin).collect()(0)
+    assert(bloom.getBoolean(0), "bloom filter dropped a member key")
   }
 
   test("st_* functions return NULL on NULL geometry instead of NPE-failing the task") {
