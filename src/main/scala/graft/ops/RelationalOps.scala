@@ -470,7 +470,49 @@ object RelationalOps {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------ json extract
+  /** Semi-structured extraction over the events `props` JSON column —
+    * the lakehouse staple the rest of the battery didn't touch yet.
+    * Both of Spark's access paths run side by side and must agree per
+    * row: `from_json` with an explicit schema (the typed, codegen'd
+    * path a silver layer should use — parse ONCE per row into a
+    * struct) and `get_json_object` (the schemaless JSONPath probe of
+    * ad-hoc exploration). The oracle extracts the same field with
+    * DuckDB's JSON reader, so a parse divergence on any row breaks
+    * either the agreement count or the aggregates. Map-side projection
+    * + one aggregation — no scale surface beyond the parse itself.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, sfDir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        countDistinct(col("k")).as("ndv_k"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"),
+        sum(when(col("k") <=> col("k_path"), 1).otherwise(0)).cast("long")
+          .as("n_paths_agree"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonExtractOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       COUNT(DISTINCT k) AS ndv_k,
+      |       CAST(MIN(k) AS BIGINT) AS min_k,
+      |       CAST(MAX(k) AS BIGINT) AS max_k,
+      |       COUNT(*) AS n_paths_agree
+      |FROM (SELECT event_type,
+      |             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (jsonExtract _),
     "q_full_outer" -> (fullOuterJoin _),
     "q_set_ops" -> (setOps _),
     "q_sql_entry" -> (sqlEntry _),
@@ -492,6 +534,7 @@ object RelationalOps {
   ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
+    "q_json_extract" -> jsonExtractOracle,
     "q_full_outer" -> fullOuterJoinOracle,
     "q_set_ops" -> setOpsOracle,
     "q_sql_entry" -> sqlEntryOracle,
