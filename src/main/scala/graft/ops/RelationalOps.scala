@@ -511,8 +511,79 @@ object RelationalOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ correlated subquery
+  /** Correlated scalar subquery — TPC-H Q17's shape: orders priced above
+    * 1.5× their own customer's average. Spark cannot execute a
+    * per-row subquery; Catalyst DECORRELATES it into an aggregate +
+    * join (RewriteCorrelatedScalarSubquery), which is exactly the plan
+    * a hand-written rewrite would produce — the optimizer altitude
+    * argument in one query. Near-identical SQL text runs on both
+    * engines; DuckDB decorrelates with its own flattening, so what is
+    * being compared is the SEMANTICS, independent of either engine's
+    * rewrite.
+    */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, COUNT(*) AS n_big,
+        |       ROUND(SUM(o_totalprice), 4) AS big_total
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(i.o_totalprice)
+        |                            FROM orders_v i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  private val correlatedSubqueryOracle =
+    """SELECT o_custkey, COUNT(*) AS n_big,
+      |       ROUND(SUM(o_totalprice), 4) AS big_total
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT AVG(i.o_totalprice)
+      |                            FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 2
+      |ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------------ ntile
+  /** Quantile bucketing with ntile — the window-function family the
+    * battery hadn't exercised: customers quartiled by balance WITHIN
+    * their segment, aggregated per (segment, quartile). ntile's bucket
+    * boundaries are count-arithmetic (not value-percentiles), so the
+    * result is integer-deterministic given the tie-broken ordering —
+    * (acctbal, custkey) makes the sort total on both engines.
+    */
+  def ntileBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    graft.Tables.customer(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 4).as("lo"),
+        round(max(col("c_acctbal")), 4).as("hi"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  private val ntileBucketsOracle =
+    """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      |       ROUND(MIN(c_acctbal), 4) AS lo,
+      |       ROUND(MAX(c_acctbal), 4) AS hi
+      |FROM (SELECT c_mktsegment, c_acctbal,
+      |             NTILE(4) OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal ASC, c_custkey ASC)
+      |               AS quartile
+      |      FROM customer)
+      |GROUP BY c_mktsegment, quartile
+      |ORDER BY c_mktsegment, quartile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
+    "q_correlated_subquery" -> (correlatedSubquery _),
+    "q_ntile_buckets" -> (ntileBuckets _),
     "q_full_outer" -> (fullOuterJoin _),
     "q_set_ops" -> (setOps _),
     "q_sql_entry" -> (sqlEntry _),
@@ -535,6 +606,8 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q_json_extract" -> jsonExtractOracle,
+    "q_correlated_subquery" -> correlatedSubqueryOracle,
+    "q_ntile_buckets" -> ntileBucketsOracle,
     "q_full_outer" -> fullOuterJoinOracle,
     "q_set_ops" -> setOpsOracle,
     "q_sql_entry" -> sqlEntryOracle,
