@@ -276,6 +276,14 @@ object SimilarityOps {
     * variant inlining the k centroids as array literals was measured 2×
     * SLOWER end-to-end: an 82-wide array-of-structs projection defeats
     * codegen. Measured, not guessed.)
+    *
+    * Plan note: max_by over struct buffers falls to SortAggregate, but
+    * the sort key is just vec_id and the broadcast cross join emits the
+    * k scores of each vector consecutively — a local sort over already-
+    * grouped runs, with the partial still collapsing to one row per
+    * vector BEFORE the exchange. The hash-aggregate alternative (plain
+    * max + equality join-back) would re-run the k×d dot products, which
+    * dominate the cost at scale.
     */
   private[graft] def assignWithCos(e: DataFrame, cents: DataFrame): DataFrame = {
     val c = broadcast(cents.withColumn("cn", sqrt(expr("vec_dot(cv, cv)"))))
