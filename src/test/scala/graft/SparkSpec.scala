@@ -13,6 +13,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"${graft.etl.Medallion.warehouseBase}/catalog")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
