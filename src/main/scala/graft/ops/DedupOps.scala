@@ -276,7 +276,7 @@ object DedupOps {
   /** Oracle twin of [[dedupMinhash]]: identical md5-derived hash family,
     * band-tuple self-join for candidates, exact-Jaccard verification —
     * every integer op is exact in both engines. */
-  private lazy val dedupMinhashOracle: String = {
+  private[ops] lazy val dedupMinhashOracle: String = {
     val minCols = (0 until NumHashes).map(i =>
       s"MIN((${hA(i)} * h31 + ${hB(i)}) % $MersP) AS m$i").mkString(", ")
     val bandConds = (0 until NumBands).map(b =>

@@ -408,12 +408,52 @@ object SimilarityOps {
        |FROM errs ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** Contrastive hard-negative mining — the pair-construction step of
+    * an embedding-training pipeline: pairs that look similar in VECTOR
+    * space (the sign-LSH bucketed cosine pairs) but are NOT verified
+    * TEXT near-duplicates (the MinHash+Jaccard pairs) are exactly the
+    * hard negatives a contrastive loss wants; pairs flagged by both
+    * channels are positives. Composes two already-oracle-checked
+    * detectors through one (d1, d2) equi-join — at scale both inputs
+    * are materialized pair tables, so the mining step is a narrow
+    * join + aggregation, not a recompute. sum of 6 dp-quantized
+    * cosines rounds stably at 4 dp (the repo's lattice-sum doctrine).
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = dedupEmbedding(spark, sfDir)
+      .select(col("d1"), col("d2"), col("cosine"))
+    val dup = DedupOps.dedupMinhash(spark, sfDir)
+      .select(col("d1"), col("d2"), lit(1).as("is_dup"))
+    emb.join(dup, Seq("d1", "d2"), "left")
+      .withColumn("label",
+        when(col("is_dup").isNotNull, "positive").otherwise("hard_negative"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("cosine")), 4).as("sum_cosine"),
+        countDistinct(col("d1")).as("n_anchors"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val hardNegativesOracle =
+    s"""WITH emb AS ($dedupEmbeddingRealOracle),
+       |mh AS (${DedupOps.dedupMinhashOracle})
+       |SELECT label, COUNT(*) AS n_pairs,
+       |       ROUND(SUM(cosine), 4) AS sum_cosine,
+       |       COUNT(DISTINCT d1) AS n_anchors
+       |FROM (SELECT e.d1, e.d2, e.cosine,
+       |             CASE WHEN m.d1 IS NOT NULL THEN 'positive'
+       |                  ELSE 'hard_negative' END AS label
+       |      FROM emb e LEFT JOIN mh m ON e.d1 = m.d1 AND e.d2 = m.d2)
+       |GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
     "q_kmeans" -> (kmeansRefine _),
-    "q_quantize_int8" -> (quantizeInt8 _)
+    "q_quantize_int8" -> (quantizeInt8 _),
+    "q_hard_negatives" -> (hardNegatives _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -421,10 +461,11 @@ object SimilarityOps {
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_kmeans" -> kmeansRefineOracle,
-    "q_quantize_int8" -> quantizeInt8Oracle
+    "q_quantize_int8" -> quantizeInt8Oracle,
+    "q_hard_negatives" -> hardNegativesOracle
   )
 
-  private val dedupEmbeddingRealOracle = {
+  private[ops] val dedupEmbeddingRealOracle = {
     val bucket = (1 to 6).map(i =>
       s"CASE WHEN CAST(embedding[$i] AS DOUBLE) > 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
