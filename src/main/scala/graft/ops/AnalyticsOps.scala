@@ -120,17 +120,215 @@ object AnalyticsOps {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ grouping sets
+  /** Explicit GROUPING SETS — the grouping-set list ROLLUP/CUBE can't
+    * express: the two single-column marginals plus the grand total,
+    * WITHOUT the (flag, status) pair detail. Same map-side Expand /
+    * single-exchange plan as rollup (each input row fans out to its 3
+    * matching sets before the shuffle, partial aggregation applies), so
+    * at 100 TB the cost is 3× map output of ONE pass, not 3 passes over
+    * the table. Uses the Dataset `groupingSets` API (Spark 4.0+).
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+        grouping(col("l_linestatus")).cast("int").as("g2"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("qty_sum"))
+      .orderBy(col("g1"), col("g2"), col("l_returnflag"), col("l_linestatus"))
+
+  private val groupingSetsAggOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+      |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+      |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty_sum
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g1, g2, l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------ session window
+  /** Native `session_window` batch sessionization — the built-in twin of
+    * AggOps.sessionBatch's manual gaps-and-islands. One shuffle on the
+    * user key, sessions merged by Spark's session-window aggregation
+    * (events coalesce while the next timestamp lands strictly INSIDE
+    * the previous event's [ts, ts+gap) window — note the boundary
+    * differs from sessionBatch: a gap of exactly 30 min BREAKS here).
+    * This is the form that also runs unchanged under Structured
+    * Streaming with a watermark, which the hand-rolled lag/cumsum
+    * version cannot. Output is the per-user session profile.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        round(sum(col("value_sum")), 4).as("value_total"))
+      .orderBy(col("user_id"))
+
+  private val sessionWindowAggOracle =
+    """SELECT user_id, COUNT(*) AS n_sessions,
+      |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |       MAX(n_events) AS max_session_events,
+      |       ROUND(SUM(value_sum), 4) AS value_total
+      |FROM (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         ROUND(SUM(value), 4) AS value_sum
+      |  FROM (
+      |    SELECT user_id, value,
+      |           SUM(gap_break) OVER (PARTITION BY user_id ORDER BY ms
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, value, epoch_ms(ts) AS ms,
+      |             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+      |                    PARTITION BY user_id ORDER BY epoch_ms(ts))
+      |                  >= 1800000 THEN 1 ELSE 0 END AS gap_break
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ rank family
+  /** Rank-family window functions over the event stream: per-user value
+    * percentile position (percent_rank / cume_dist — tie-stable: equal
+    * values share a rank in both engines) and the time-ordered lag
+    * delta. Both windows share ONE partition key, so the physical plan
+    * is a single exchange on user_id with two sorts — the second window
+    * re-sorts within already-partitioned data, no extra shuffle.
+    * Rolled up per user so the output stays compact.
+    */
+  def windowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val byMs  = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val byVal = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("value"), col("event_type"))
+      .withColumn("dval", col("value") - lag(col("value"), 1).over(byMs))
+      .withColumn("pr", percent_rank().over(byVal))
+      .withColumn("cd", cume_dist().over(byVal))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(abs(col("dval"))), 4).as("jitter"),
+        round(avg(when(col("event_type") === "purchase", col("pr"))), 4)
+          .as("purchase_pr_avg"),
+        round(avg(col("cd")), 4).as("cd_avg"))
+      .orderBy(col("user_id"))
+  }
+
+  private val windowRanksOracle =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       ROUND(SUM(ABS(dval)), 4) AS jitter,
+      |       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN pr END), 4)
+      |         AS purchase_pr_avg,
+      |       ROUND(AVG(cd), 4) AS cd_avg
+      |FROM (
+      |  SELECT user_id, event_type,
+      |         value - LAG(value) OVER (PARTITION BY user_id
+      |                                  ORDER BY epoch_ms(ts)) AS dval,
+      |         PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+      |         CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ array HOFs
+  /** Higher-order array functions over the embedding column — the lambda
+    * surface (`transform`/`filter`/`zip_with`/`aggregate`) that keeps
+    * vector math INSIDE codegen'd expressions instead of a UDF: squared
+    * L2 norm as a sequential fold over zip_with(v,v), positive-component
+    * count via filter, component max. All map-side; the only shuffle is
+    * the final per-label rollup. Floats are widened to double BEFORE any
+    * arithmetic so the fold matches DuckDB's list kernels bit-for-bit on
+    * the lattice (same left-to-right order, same operand types).
+    */
+  def arrayHof(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("l2sq"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("l2sq")), 4).as("l2sq_avg"),
+        sum(col("n_pos")).as("n_pos_total"),
+        round(max(col("mx")), 4).as("mx_max"))
+      .orderBy(col("label"))
+
+  private val arrayHofOracle =
+    """SELECT label, COUNT(*) AS n_vecs,
+      |       ROUND(AVG(l2sq), 4) AS l2sq_avg,
+      |       CAST(SUM(n_pos) AS BIGINT) AS n_pos_total,
+      |       ROUND(MAX(mx), 4) AS mx_max
+      |FROM (
+      |  SELECT label,
+      |         list_aggregate(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS l2sq,
+      |         len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |         CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------ histogram
+  /** Fixed-bin histogram with a driver-injected domain — the two-phase
+    * shape (A6) at histogram scale: pass 1 reduces to a single (min,
+    * max) row collected to the driver, pass 2 is a branchless
+    * arithmetic bin + one shuffle on a 20-value key. The bin expression
+    * uses INTEGER 20 (not 20.0) and the same operation order both
+    * engines, so bin edges are bit-identical; max-valued rows clamp
+    * into the last bin. At 100 TB pass 1 is a full scan that AQE
+    * cannot elide — if an approximate domain is acceptable, swap in
+    * percentile sketch bounds and skip the exact pass.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val mm = Tables.events(spark, sfDir)
+      .agg(min(col("value")), max(col("value"))).collect()(0)
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    Tables.events(spark, sfDir)
+      .select(least(floor((col("value") - lit(lo)) * lit(20) / lit(hi - lo))
+        .cast("int"), lit(19)).as("bin"), col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .orderBy(col("bin"))
+  }
+
+  private val histogramOracle =
+    """WITH d AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+      |SELECT LEAST(CAST(FLOOR((value - lo) * 20 / (hi - lo)) AS INTEGER),
+      |             19) AS bin,
+      |       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+      |FROM events, d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (histogram _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
     "q_pivot" -> (pivotLang _),
-    "q_rolling_sum" -> (rollingSum _)
+    "q_rolling_sum" -> (rollingSum _),
+    "q_grouping_sets" -> (groupingSetsAgg _),
+    "q_session_window" -> (sessionWindowAgg _),
+    "q_window_ranks" -> (windowRanks _),
+    "q_array_hof" -> (arrayHof _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_histogram" -> histogramOracle,
     "q_rollup" -> rollupAggOracle,
     "q_cube" -> cubeAggOracle,
     "q_pivot" -> pivotLangOracle,
-    "q_rolling_sum" -> rollingSumOracle
+    "q_rolling_sum" -> rollingSumOracle,
+    "q_grouping_sets" -> groupingSetsAggOracle,
+    "q_session_window" -> sessionWindowAggOracle,
+    "q_window_ranks" -> windowRanksOracle,
+    "q_array_hof" -> arrayHofOracle
   )
 }

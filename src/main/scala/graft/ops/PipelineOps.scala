@@ -653,7 +653,60 @@ object PipelineOps {
       |FROM p LEFT JOIN v ON p.user_id = v.user_id
       |ORDER BY p.user_id""".stripMargin
 
+  // ------------------------------------------------------------ cogroup
+  /** Typed two-sided cogroup — orders ⟗ lineitem reconciliation by order
+    * key via `KeyValueGroupedDataset.cogroup`: both sides shuffle ONCE on
+    * the key and the pair of group iterators is folded in a single pass
+    * (order-independent accumulators, nothing materialized), the typed
+    * altitude for per-key logic that needs BOTH sides at once — here the
+    * header-vs-detail invariant check (how many detail rows and how much
+    * detail price each order carries, including keys present on only one
+    * side). The oracle states the same semantics relationally as a
+    * FULL OUTER join of the two grouped sides, pinning the typed path
+    * against the SQL path.
+    */
+  private[graft] final case class OrderSide(k: Long, price: Double)
+  private[graft] final case class ReconRow(
+      n_items: Long, total_price: Double, item_sum: Double)
+
+  def cogroupRecon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .as[OrderSide]
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+      .as[OrderSide]
+    o.groupByKey(_.k).cogroup(l.groupByKey(_.k)) { (_, os, ls) =>
+      var tp = 0.0
+      os.foreach { r => tp += r.price }
+      var nL = 0L; var isum = 0.0
+      ls.foreach { r => nL += 1; isum += r.price }
+      Iterator(ReconRow(nL, tp, isum))
+    }
+      .toDF()
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("item_sum")), 4).as("item_price_sum"),
+        round(sum(col("total_price")), 4).as("order_price_sum"))
+      .orderBy(col("n_items"))
+  }
+
+  private val cogroupReconOracle =
+    """WITH o AS (SELECT o_orderkey AS k, SUM(o_totalprice) AS tp
+      |           FROM orders GROUP BY 1),
+      |     l AS (SELECT l_orderkey AS k, COUNT(*) AS n_items,
+      |                  SUM(l_extendedprice) AS isum
+      |           FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(l.n_items, 0) AS n_items,
+      |       COUNT(*) AS n_keys,
+      |       ROUND(SUM(COALESCE(isum, 0)), 4) AS item_price_sum,
+      |       ROUND(SUM(COALESCE(tp, 0)), 4) AS order_price_sum
+      |FROM o FULL OUTER JOIN l ON o.k = l.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cogroup" -> (cogroupRecon _),
     "q_funnel_mapgroups" -> (funnelMapGroups _),
     "q_train_split" -> (trainSplit _),
     "q_bloom_prune" -> (bloomPrune _),
@@ -670,6 +723,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cogroup" -> cogroupReconOracle,
     "q_funnel_mapgroups" -> funnelOracle,
     "q_train_split" -> trainSplitOracle,
     "q_bloom_prune" -> bloomPruneOracle,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnalyticsOps, PipelineOps}
+
+/** Semantics checks for the round-5 analytics additions, proven inside
+  * Spark against independent formulations (the DuckDB oracle is the
+  * second, external witness):
+  *  - native session_window == manual gaps-and-islands at the SAME gap
+  *    boundary (break at diff >= gap — note sessionBatch's manual twin
+  *    breaks at > gap, a deliberate semantic difference pinned here);
+  *  - GROUPING SETS == the union of its member group-bys;
+  *  - typed cogroup == the relational full-outer formulation;
+  *  - array HOF fold == driver-side recompute on collected vectors.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("session_window == manual islands with >= gap break") {
+    val manual = {
+      val ev = Tables.events(spark, sfTiny)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      ev.withColumn("gap_break",
+          when(col("ms") - lag(col("ms"), 1).over(w) >= 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("gap_break")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("value_sum"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          round(sum(col("value_sum")), 4).as("value_total"))
+        .orderBy(col("user_id"))
+    }
+    assertSameResult(AnalyticsOps.sessionWindowAgg(spark, sfTiny), manual)
+  }
+
+  test("grouping sets == union of member group-bys") {
+    val li = Tables.lineitem(spark, sfTiny)
+    def member(keys: Seq[String]) = {
+      val grouped =
+        if (keys.isEmpty) li.groupBy() else li.groupBy(keys.map(col): _*)
+      val agg = grouped.agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("qty_sum"))
+      // absent keys surface as NULL with GROUPING() = 1, present as 0
+      agg.select(
+        (if (keys.contains("l_returnflag")) col("l_returnflag")
+         else lit(null).cast("string")).as("l_returnflag"),
+        (if (keys.contains("l_linestatus")) col("l_linestatus")
+         else lit(null).cast("string")).as("l_linestatus"),
+        lit(if (keys.contains("l_returnflag")) 0 else 1).as("g1"),
+        lit(if (keys.contains("l_linestatus")) 0 else 1).as("g2"),
+        col("n"), col("qty_sum"))
+    }
+    val union = member(Seq("l_returnflag"))
+      .unionByName(member(Seq("l_linestatus")))
+      .unionByName(member(Seq.empty))
+      .orderBy(col("g1"), col("g2"), col("l_returnflag"), col("l_linestatus"))
+    assertSameResult(AnalyticsOps.groupingSetsAgg(spark, sfTiny), union)
+  }
+
+  test("typed cogroup == relational full-outer reconciliation") {
+    val o = Tables.orders(spark, sfTiny)
+      .groupBy(col("o_orderkey").as("k"))
+      .agg(sum(col("o_totalprice")).as("tp"))
+    val l = Tables.lineitem(spark, sfTiny)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_extendedprice")).as("isum"))
+    val relational = o.join(l, Seq("k"), "full_outer")
+      .groupBy(coalesce(col("n_items"), lit(0L)).as("n_items"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(coalesce(col("isum"), lit(0.0))), 4).as("item_price_sum"),
+        round(sum(coalesce(col("tp"), lit(0.0))), 4).as("order_price_sum"))
+      .orderBy(col("n_items"))
+    assertSameResult(PipelineOps.cogroupRecon(spark, sfTiny), relational)
+  }
+
+  test("array HOF fold matches driver-side recompute") {
+    val rows = Tables.embeddings(spark, sfTiny)
+      .select(col("label"), col("embedding")).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getInt(0)).map { case (lab, rs) =>
+      val per = rs.map { r =>
+        val v = r.getSeq[Float](1)
+        val l2sq = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        val nPos = v.count(_ > 0f)
+        val mx = v.max.toDouble
+        (l2sq, nPos.toLong, mx)
+      }
+      lab -> ((per.length.toLong,
+        BigDecimal(per.map(_._1).sum / per.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        per.map(_._2).sum,
+        BigDecimal(per.map(_._3).max)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    AnalyticsOps.arrayHof(spark, sfTiny).collect().foreach { r =>
+      val (n, l2avg, npos, mx) = byLabel(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - l2avg) <= 1e-4,
+        s"label ${r.getInt(0)} l2sq_avg ${r.getDouble(2)} vs $l2avg")
+      assert(r.getLong(3) == npos)
+      assert(math.abs(r.getDouble(4) - mx) <= 1e-4)
+    }
+  }
+}
