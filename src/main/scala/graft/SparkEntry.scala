@@ -24,6 +24,7 @@ object SparkEntry {
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
       ops.AnalyticsOps.queries ++
+      ops.GraphOps.queries ++
       ops.PipelineOps.queries ++
       ops.GravityOps.queries ++
       ops.TextOps.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
       ops.AnalyticsOps.oracles ++
+      ops.GraphOps.oracles ++
       ops.PipelineOps.oracles ++
       ops.GravityOps.oracles ++
       ops.TextOps.oracles ++

@@ -426,7 +426,71 @@ object Medallion {
       |FROM customer GROUP BY c_mktsegment
       |ORDER BY version, c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Snapshot CDC diff — the change feed between two snapshot versions,
+    * derived entirely from storage (no change log needed): write two
+    * row-level generations of a customer gold table through the
+    * versioned-snapshot path, read BOTH back, and classify every key as
+    * insert / delete / update / unchanged via one full-outer join on
+    * the key. This is how a downstream incremental consumer bootstraps
+    * off a snapshot store that doesn't emit CDC natively; at 100 TB the
+    * join is key-partitioned on both sides (two parquet scans, one
+    * exchange each) and the diff never materializes unchanged rows
+    * beyond the join itself. v2 drops keys ≡7 (mod 11), adds keys ≡3
+    * (mod 11) that v1 lacked, and corrects balances for keys ≡0 (mod 7)
+    * — so all four change classes occur. The oracle recomputes both
+    * generations analytically from `customer`; a write that clobbered
+    * v1, or a diff that misclassifies a key, fails the hash.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${warehouse(sfDir)}/customer_cdc_versions"
+    rmTree(spark, base)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    snapshotWrite(spark, base, cust.filter(col("c_custkey") % 11 =!= 3))
+    snapshotWrite(spark, base,
+      cust.filter(col("c_custkey") % 11 =!= 7)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0,
+            round(col("c_acctbal") + 100.0, 2)).otherwise(col("c_acctbal"))))
+    val v1 = snapshotRead(spark, base, Some(1))
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("old_bal"))
+    val v2 = snapshotRead(spark, base, Some(2))
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("new_bal"))
+    v1.join(v2, Seq("k"), "full_outer")
+      .select(
+        when(col("old_bal").isNull, lit("insert"))
+          .when(col("new_bal").isNull, lit("delete"))
+          .when(col("old_bal") =!= col("new_bal"), lit("update"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        (coalesce(col("new_bal"), lit(0.0)) -
+          coalesce(col("old_bal"), lit(0.0))).as("delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("delta")), 4).as("bal_delta"))
+      .orderBy(col("change_type"))
+  }
+
+  private val snapshotDiffOracle =
+    """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal
+      |            FROM customer WHERE c_custkey % 11 <> 3),
+      |     v2 AS (SELECT c_custkey AS k,
+      |                   CASE WHEN c_custkey % 7 = 0
+      |                        THEN ROUND(c_acctbal + 100.0, 2)
+      |                        ELSE c_acctbal END AS bal
+      |            FROM customer WHERE c_custkey % 11 <> 7)
+      |SELECT CASE WHEN v1.k IS NULL THEN 'insert'
+      |            WHEN v2.k IS NULL THEN 'delete'
+      |            WHEN v1.bal <> v2.bal THEN 'update'
+      |            ELSE 'unchanged' END AS change_type,
+      |       COUNT(*) AS n_keys,
+      |       ROUND(SUM(COALESCE(v2.bal, 0) - COALESCE(v1.bal, 0)), 4)
+      |         AS bal_delta
+      |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_time_travel" -> (timeTravel _),
     "q_partition_replace" -> (partitionReplace _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -435,6 +499,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffOracle,
     "q_time_travel" -> timeTravelOracle,
     "q_partition_replace" -> partitionReplaceOracle,
     "q_merge_upsert" -> mergeUpsertOracle,

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the purchase graph, Spark-first:
+  * edges live in a DataFrame, one PageRank iteration is one
+  * contribution join + one key aggregation (the classic pregel step
+  * expressed relationally), and the iteration count is UNROLLED so
+  * Catalyst sees a finite plan (the repo's iterative-pipeline lesson:
+  * an unbounded loop needs localCheckpoint per round — see
+  * DedupOps.connectedComponents — but a fixed small k is cheaper as a
+  * straight-line plan). Complements the label-propagation connected
+  * components in DedupOps with a weighted-score propagation.
+  */
+object GraphOps {
+
+  // ------------------------------------------------------------ pagerank
+  /** Two unrolled iterations of bipartite PageRank (damping 0.85) over
+    * the customer–supplier purchase graph (distinct (custkey, suppkey)
+    * pairs from orders ⋈ lineitem). Scores propagate customer→supplier
+    * →customer→supplier; each hop is sum(score/out-degree) grouped by
+    * the far key — a shuffle on the SAME two join keys every round, so
+    * at 100 TB the edge table is bucketed once on (c) and (s) and every
+    * hop is a co-located join; the degree sides are key-aggregates of
+    * the edge table itself and broadcast-sized in practice. All scalar
+    * constants (teleport mass per node count) are driver-computed
+    * doubles injected as literals — the A6 two-phase shape — and every
+    * arithmetic op appears in the same order in the oracle, keeping the
+    * double lattice engine-identical (differences are summation-order
+    * only, orders of magnitude below the 6 dp rounding).
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .cache()
+    val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    val degS = edges.groupBy(col("s")).agg(count(lit(1)).as("deg_s"))
+    val nC = degC.count()
+    val nS = degS.count()
+    // s1 = 0.15/nS + 0.85 * Σ_{c ~ s} (1/nC)/deg_c
+    val s1 = edges.join(degC, "c")
+      .groupBy(col("s"))
+      .agg(sum(lit(1.0 / nC) / col("deg_c")).as("contrib"))
+      .select(col("s"),
+        (lit(0.15 / nS) + lit(0.85) * col("contrib")).as("s1"))
+    // c1 = 0.15/nC + 0.85 * Σ_{s ~ c} s1/deg_s
+    val c1 = edges.join(s1, "s").join(degS, "s")
+      .groupBy(col("c"))
+      .agg(sum(col("s1") / col("deg_s")).as("contrib"))
+      .select(col("c"),
+        (lit(0.15 / nC) + lit(0.85) * col("contrib")).as("c1"))
+    // s2 = 0.15/nS + 0.85 * Σ_{c ~ s} c1/deg_c
+    val out = edges.join(c1, "c").join(degC, "c")
+      .groupBy(col("s"))
+      .agg(sum(col("c1") / col("deg_c")).as("contrib"))
+      .select(col("s"),
+        round(lit(0.15 / nS) + lit(0.85) * col("contrib"), 6).as("score"))
+      .orderBy(col("s"))
+    val materialized = out.localCheckpoint()
+    edges.unpersist()
+    materialized
+  }
+
+  private val pagerankOracle =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg_c AS (SELECT c, COUNT(*) AS deg_c FROM edges GROUP BY c),
+      |deg_s AS (SELECT s, COUNT(*) AS deg_s FROM edges GROUP BY s),
+      |n AS (SELECT (SELECT COUNT(*) FROM deg_c) AS nc,
+      |             (SELECT COUNT(*) FROM deg_s) AS ns),
+      |s1 AS (SELECT e.s,
+      |              CAST(0.15 AS DOUBLE) / (SELECT ns FROM n) +
+      |              CAST(0.85 AS DOUBLE) *
+      |                SUM((CAST(1.0 AS DOUBLE) / (SELECT nc FROM n))
+      |                    / d.deg_c) AS s1
+      |       FROM edges e JOIN deg_c d USING (c) GROUP BY e.s),
+      |c1 AS (SELECT e.c,
+      |              CAST(0.15 AS DOUBLE) / (SELECT nc FROM n) +
+      |              CAST(0.85 AS DOUBLE) * SUM(s1.s1 / d.deg_s) AS c1
+      |       FROM edges e JOIN s1 USING (s) JOIN deg_s d USING (s)
+      |       GROUP BY e.c)
+      |SELECT e.s,
+      |       ROUND(CAST(0.15 AS DOUBLE) / (SELECT ns FROM n) +
+      |             CAST(0.85 AS DOUBLE) * SUM(c1.c1 / d.deg_c), 6) AS score
+      |FROM edges e JOIN c1 USING (c) JOIN deg_c d USING (c)
+      |GROUP BY e.s ORDER BY e.s""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pagerank _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle
+  )
+}

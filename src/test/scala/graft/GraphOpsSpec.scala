@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Driver-side ground truth for the unrolled bipartite PageRank: the
+  * two propagation hops recomputed with plain Scala maps over the
+  * collected edge list, compared at 1e-9 (well below the query's 6 dp
+  * rounding, well above double summation-order noise).
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  test("pagerank == driver-side recompute of the two unrolled hops") {
+    val edges = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, sfTiny)
+        .select(col("o_orderkey").as("lo"), col("o_custkey").as("c")), "lo")
+      .select("c", "s").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degC = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val degS = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val nC = degC.size
+    val nS = degS.size
+    val s1 = edges.groupBy(_._2).view.mapValues(_.map { case (c, _) =>
+      (1.0 / nC) / degC(c)
+    }.sum).toMap.map { case (s, m) => s -> (0.15 / nS + 0.85 * m) }
+    val c1 = edges.groupBy(_._1).view.mapValues(_.map { case (_, s) =>
+      s1(s) / degS(s)
+    }.sum).toMap.map { case (c, m) => c -> (0.15 / nC + 0.85 * m) }
+    val s2 = edges.groupBy(_._2).view.mapValues(_.map { case (c, _) =>
+      c1(c) / degC(c)
+    }.sum).toMap.map { case (s, m) => s -> (0.15 / nS + 0.85 * m) }
+
+    val got = GraphOps.pagerank(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == s2.keySet)
+    got.foreach { case (s, score) =>
+      val want = BigDecimal(s2(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - want) <= 1e-9, s"supplier $s: $score vs $want")
+    }
+    // rank mass sanity: total supplier mass stays in (0, 1]
+    val total = s2.values.sum
+    assert(total > 0.0 && total <= 1.0 + 1e-9)
+  }
+}

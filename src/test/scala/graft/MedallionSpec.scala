@@ -88,4 +88,20 @@ class MedallionSpec extends SparkSpec {
     assert(Medallion.snapshotRead(spark, base)
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
+
+  test("snapshot CDC diff classifies every key into the right class") {
+    val keys = Tables.customer(spark, sfTiny)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    // analytic expectations from the generation mods (11: membership,
+    // 7: balance correction)
+    val expect = Map(
+      "insert" -> keys.count(k => k % 11 == 3 && k % 11 != 7),
+      "delete" -> keys.count(k => k % 11 == 7 && k % 11 != 3),
+      "update" -> keys.count(k => k % 11 != 3 && k % 11 != 7 && k % 7 == 0),
+      "unchanged" -> keys.count(k => k % 11 != 3 && k % 11 != 7 && k % 7 != 0))
+    val got = Medallion.snapshotDiff(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect.map { case (k, v) => k -> v.toLong },
+      s"got $got, want $expect")
+  }
 }
