@@ -133,6 +133,26 @@ class PlanSpec extends SparkSpec {
       s"bloom filter not below the join:\n$plan")
   }
 
+  test("grouping sets expand map-side: one hash exchange below an Expand") {
+    val plan = executed(graft.ops.AnalyticsOps.groupingSetsAgg(spark, sfTiny))
+    assert(plan.contains("Expand"), s"no Expand operator:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"grouping sets must aggregate through ONE exchange, got $hashEx:\n$plan")
+    // partial aggregation must sit between Expand and the exchange
+    assert(plan.indexOf("Expand") > plan.indexOf("Exchange hashpartitioning"),
+      s"Expand not below the exchange (no map-side partials):\n$plan")
+  }
+
+  test("rank-family windows share one user_id exchange with in-partition re-sorts") {
+    val plan = executed(graft.ops.AnalyticsOps.windowRanks(spark, sfTiny))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"both windows + final agg must reuse ONE hash exchange, got $hashEx:\n$plan")
+    assert("\\bWindow ".r.findAllIn(plan).size >= 2,
+      s"expected two Window operators:\n$plan")
+  }
+
   test("layout probe's clustered read pushes the key-range predicate to parquet") {
     val plan = formatted(graft.etl.Layout.layoutProbe(spark, sfTiny))
     assert(
