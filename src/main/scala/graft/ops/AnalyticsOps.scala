@@ -152,13 +152,16 @@ object AnalyticsOps {
   // ------------------------------------------------------------ session window
   /** Native `session_window` batch sessionization — the built-in twin of
     * AggOps.sessionBatch's manual gaps-and-islands. One shuffle on the
-    * user key, sessions merged by Spark's session-window aggregation
-    * (events coalesce while the next timestamp lands strictly INSIDE
-    * the previous event's [ts, ts+gap) window — note the boundary
-    * differs from sessionBatch: a gap of exactly 30 min BREAKS here).
-    * This is the form that also runs unchanged under Structured
-    * Streaming with a watermark, which the hand-rolled lag/cumsum
-    * version cannot. Output is the per-user session profile.
+    * user key, sessions merged by Spark's session-window aggregation.
+    * The merge boundary is INCLUSIVE: an event exactly `gap` after the
+    * previous one still merges (the [ts, ts+gap) window's end equals
+    * the next start and Spark's session merge treats that as overlap);
+    * a session breaks only when the gap strictly EXCEEDS 30 min —
+    * identical to sessionBatch's `> gap` break, and pinned at the exact
+    * boundary by the StreamingSpec twin test. This is the form that
+    * also runs unchanged under Structured Streaming with a watermark,
+    * which the hand-rolled lag/cumsum version cannot. Output is the
+    * per-user session profile.
     */
   def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -188,7 +191,7 @@ object AnalyticsOps {
       |      SELECT user_id, value, epoch_ms(ts) AS ms,
       |             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
       |                    PARTITION BY user_id ORDER BY epoch_ms(ts))
-      |                  >= 1800000 THEN 1 ELSE 0 END AS gap_break
+      |                  > 1800000 THEN 1 ELSE 0 END AS gap_break
       |      FROM events))
       |  GROUP BY user_id, session_id)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -308,7 +311,72 @@ object AnalyticsOps {
       |FROM events, d
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ unpivot
+  /** Wide→long unpivot (the Spark 4 `unpivot`/melt API) — the inverse
+    * of the pivot above, proven as a round trip: pivot the per-(source,
+    * lang) counts wide, unpivot back to long, and strip the `n_` prefix
+    * to recover the lang key. Unpivot is a zero-shuffle Expand (each
+    * wide row fans out to 5 long rows map-side), so the round trip
+    * costs exactly the pivot's one exchange. The oracle states the
+    * long form directly — sources × languages with zero-filled counts
+    * (the round trip PRESERVES the explicit zeros `na.fill` added,
+    * which a plain GROUP BY would omit).
+    */
+  def unpivotLang(spark: SparkSession, sfDir: String): DataFrame =
+    pivotLang(spark, sfDir)
+      .unpivot(Array(col("source")),
+        PivotLangs.map(l => col(s"n_$l")).toArray, "lang_col", "n")
+      .select(col("source"),
+        expr("substring(lang_col, 3)").as("lang"), col("n"))
+      .orderBy(col("source"), col("lang"))
+
+  private val unpivotLangOracle =
+    """SELECT s.source, l.lang, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM (SELECT DISTINCT source FROM documents) s
+      |CROSS JOIN (SELECT UNNEST(['de','en','es','fr','zh']) AS lang) l
+      |LEFT JOIN (SELECT source, lang, COUNT(*) AS n
+      |           FROM documents GROUP BY source, lang) c
+      |  ON s.source = c.source AND l.lang = c.lang
+      |ORDER BY s.source, l.lang""".stripMargin
+
+  // ------------------------------------------------------------ moments
+  /** Second-moment statistics family — var_samp / stddev_pop /
+    * covar_samp / corr / regr_slope per group, the profiling pass that
+    * feeds feature normalization and drift detection. All five are
+    * single-pass mergeable aggregates (sum/sum-of-squares/cross-product
+    * accumulators), so one exchange on the 3-value group key regardless
+    * of input size. Both engines use the same sample/population
+    * definitions for these five (unlike skewness/kurtosis, where
+    * DuckDB applies a sample correction Spark does not — excluded
+    * deliberately); 6 dp rounding absorbs summation-order noise.
+    */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(var_samp(col("l_quantity")), 6).as("qty_var"),
+        round(stddev_pop(col("l_quantity")), 6).as("qty_sd_pop"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qp_covar"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qp_corr"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("price_per_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val statsMomentsOracle =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
+      |       ROUND(STDDEV_POP(l_quantity), 6) AS qty_sd_pop,
+      |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qp_covar,
+      |       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qp_corr,
+      |       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)
+      |         AS price_per_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivotLang _),
+    "q_stats_moments" -> (statsMoments _),
     "q_histogram" -> (histogram _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -321,6 +389,8 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_unpivot" -> unpivotLangOracle,
+    "q_stats_moments" -> statsMomentsOracle,
     "q_histogram" -> histogramOracle,
     "q_rollup" -> rollupAggOracle,
     "q_cube" -> cubeAggOracle,

@@ -84,6 +84,30 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
 
   // ------------------------------------------------------------------
+  /** Native `session_window` sessionization under Structured Streaming —
+    * the declarative twin of both the typed [[sessionize]] (explicit
+    * `flatMapGroupsWithState`) and the batch
+    * `AnalyticsOps.sessionWindowAgg`: same merge rule (events coalesce
+    * while the next timestamp lands strictly inside the previous
+    * event's [ts, ts+gap) window), but state management, merging of
+    * out-of-order events, and eviction all come from the engine's
+    * session-window state store. Append mode emits a session exactly
+    * once, after the watermark passes its END — so state is bounded by
+    * (watermark + gap), not stream history. Prefer this form until the
+    * per-session logic genuinely needs imperative state.
+    */
+  def sessionWindowStream(events: DataFrame,
+      watermark: String = "1 hour", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
+  // ------------------------------------------------------------------
   /** Streaming gold-table maintenance: each trigger's changed per-user
     * aggregates are MERGED into a persistent parquet gold table via
     * `foreachBatch` — the continuous-ingestion version of the batch

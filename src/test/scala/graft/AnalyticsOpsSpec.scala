@@ -9,21 +9,22 @@ import graft.ops.{AnalyticsOps, PipelineOps}
   * Spark against independent formulations (the DuckDB oracle is the
   * second, external witness):
   *  - native session_window == manual gaps-and-islands at the SAME gap
-  *    boundary (break at diff >= gap — note sessionBatch's manual twin
-  *    breaks at > gap, a deliberate semantic difference pinned here);
+  *    boundary (break only when diff strictly exceeds the gap — the
+  *    merge at an EXACT 30-min gap is pinned by the StreamingSpec
+  *    boundary test, where synthetic data hits it precisely);
   *  - GROUPING SETS == the union of its member group-bys;
   *  - typed cogroup == the relational full-outer formulation;
   *  - array HOF fold == driver-side recompute on collected vectors.
   */
 class AnalyticsOpsSpec extends SparkSpec {
 
-  test("session_window == manual islands with >= gap break") {
+  test("session_window == manual islands with strict > gap break") {
     val manual = {
       val ev = Tables.events(spark, sfTiny)
         .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
       ev.withColumn("gap_break",
-          when(col("ms") - lag(col("ms"), 1).over(w) >= 1800000L, 1)
+          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1)
             .otherwise(0))
         .withColumn("session_id", sum(col("gap_break")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

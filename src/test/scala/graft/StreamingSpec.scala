@@ -58,6 +58,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stream equals the batch session_window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionWindowStream(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1, ts("2024-01-01 10:30:00"), 2.0),  // EXACTLY 30m -> still merges
+        Ev(1, ts("2024-01-01 11:00:01"), 4.0),  // 30m01s -> NEW session
+        Ev(2, ts("2024-01-01 10:05:00"), 8.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end so all emit
+      input.addData(Ev(9, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_win_out")
+        .filter(col("user_id") < 9)
+        .orderBy("user_id", "session_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      val batch = rows.toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .select(col("user_id"), col("session_window.start"),
+          col("session_window.end"), col("n"), col("v"))
+        .orderBy("user_id", "session_window.start")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+      // the merge boundary is INCLUSIVE (break only at diff > gap):
+      // the exact-30m event merged, the 30m01s event opened session 2
+      assert(streamed.count(_._1 == 1L) == 2)
+      assert(streamed.find(_._1 == 1L).get._4 == 2L,
+        "exact-gap event must merge into the first session")
+    } finally q.stop()
+  }
+
   test("sessionizer splits on the gap in-batch and emits via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
