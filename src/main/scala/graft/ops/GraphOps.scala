@@ -43,8 +43,12 @@ object GraphOps {
       .cache()
     val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
     val degS = edges.groupBy(col("s")).agg(count(lit(1)).as("deg_s"))
-    val nC = degC.count()
-    val nS = degS.count()
+    // one scalar job for both node counts (not a .count() per degree
+    // table — that would pay two extra passes over the cached edges)
+    val nRow = edges
+      .agg(countDistinct(col("c")), countDistinct(col("s"))).collect()(0)
+    val nC = nRow.getLong(0)
+    val nS = nRow.getLong(1)
     // s1 = 0.15/nS + 0.85 * Σ_{c ~ s} (1/nC)/deg_c
     val s1 = edges.join(degC, "c")
       .groupBy(col("s"))
