@@ -374,7 +374,43 @@ object AnalyticsOps {
       |         AS price_per_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ range frame
+  /** Value-based RANGE window frame — the time-windowed running
+    * aggregate (per user, total value in the TRAILING HOUR at each
+    * event), which a ROWS frame cannot express when event spacing is
+    * irregular. Spark plans a RangeFrame over the ms ordering: same
+    * single user_id exchange as every other per-user window here, the
+    * frame bound evaluated per row against the sort key (both bounds
+    * inclusive in both engines). Rolled up per user (peak trailing-hour
+    * load + total) to keep the output compact.
+    */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("hour_load", sum(col("value")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("hour_load")), 4).as("peak_hour_load"),
+        round(sum(col("hour_load")), 4).as("hour_load_total"))
+      .orderBy(col("user_id"))
+  }
+
+  private val rangeFrameOracle =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       ROUND(MAX(hour_load), 4) AS peak_hour_load,
+      |       ROUND(SUM(hour_load), 4) AS hour_load_total
+      |FROM (
+      |  SELECT user_id,
+      |         SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |                          RANGE BETWEEN 3600000 PRECEDING
+      |                                AND CURRENT ROW) AS hour_load
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_frame" -> (rangeFrame _),
     "q_unpivot" -> (unpivotLang _),
     "q_stats_moments" -> (statsMoments _),
     "q_histogram" -> (histogram _),
@@ -389,6 +425,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_range_frame" -> rangeFrameOracle,
     "q_unpivot" -> unpivotLangOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_histogram" -> histogramOracle,

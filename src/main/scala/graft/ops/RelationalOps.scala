@@ -580,7 +580,116 @@ object RelationalOps {
       |GROUP BY c_mktsegment, quartile
       |ORDER BY c_mktsegment, quartile""".stripMargin
 
+  // ------------------------------------------------------------ null-safe join
+  /** Null-safe equi-join (`<=>` / Catalyst NullSafeEqual) — NULL keys
+    * MATCH each other instead of silently dropping, the semantics a
+    * dimension join needs when "unknown" is itself a valid bucket.
+    * Both sides derive a nullable key (priority with '1-URGENT' mapped
+    * to NULL via NULLIF), and the <=> condition still plans as a hash
+    * join on the key (null-safe equality is hashable — no fallback to
+    * nested-loop), so the scale profile is identical to a plain
+    * equi-join. The oracle is DuckDB's IS NOT DISTINCT FROM; a join
+    * that dropped the NULL bucket fails the row count AND the hash.
+    */
+  def nullsafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val left = Tables.orders(spark, sfDir)
+      .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("pk"),
+        col("o_totalprice"))
+    // the dim derives from the left side — alias both so the null-safe
+    // self-join condition resolves unambiguously
+    val dim = left.groupBy(col("pk")).agg(count(lit(1)).as("n_dim"))
+      .withColumnRenamed("pk", "dk")
+    left.join(dim, col("pk") <=> col("dk"))
+      .groupBy(coalesce(col("pk"), lit("1-URGENT")).as("priority"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(col("n_dim")).as("n_dim"),
+        round(sum(col("o_totalprice")), 4).as("price_sum"))
+      .orderBy(col("priority"))
+  }
+
+  private val nullsafeJoinOracle =
+    """WITH l AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS pk,
+      |                  o_totalprice
+      |           FROM orders),
+      |     d AS (SELECT pk, COUNT(*) AS n_dim FROM l GROUP BY pk)
+      |SELECT COALESCE(l.pk, '1-URGENT') AS priority,
+      |       COUNT(*) AS n_matched, MAX(d.n_dim) AS n_dim,
+      |       ROUND(SUM(l.o_totalprice), 4) AS price_sum
+      |FROM l JOIN d ON l.pk IS NOT DISTINCT FROM d.pk
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ exact decimal
+  /** Exact DECIMAL aggregation — the money lattice. Every other sum in
+    * the battery rides doubles + 4 dp rounding; at 100 TB a revenue
+    * report needs EXACT arithmetic (a billion float additions drift;
+    * decimal addition cannot). Cast once at the scan edge to
+    * DECIMAL(12,2), sum on the widened decimal accumulator — both
+    * engines produce the identical exact value, no rounding tolerance
+    * involved. The discounted-revenue product stays exact too:
+    * (12,2)x(12,2) multiplication is representable well inside both
+    * engines' 38-digit ceiling.
+    */
+  def decimalExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).as("price_exact"),
+        sum(col("price") * (lit(BigDecimal(1)).cast("decimal(12,2)") -
+          col("disc"))).as("revenue_exact"))
+      .select(col("l_returnflag"), col("n"),
+        col("price_exact").cast("decimal(24,2)").as("price_exact"),
+        col("revenue_exact").cast("decimal(24,4)").as("revenue_exact"))
+      .orderBy(col("l_returnflag"))
+
+  private val decimalExactOracle =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |            AS DECIMAL(24,2)) AS price_exact,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                (CAST(1 AS DECIMAL(12,2)) -
+      |                 CAST(l_discount AS DECIMAL(12,2))))
+      |            AS DECIMAL(24,4)) AS revenue_exact
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ lateral join
+  /** Correlated LATERAL join — the per-row subquery FROM-clause form
+    * (Catalyst LateralJoin + DecorrelateInnerQuery): for every nation,
+    * the top-2 customers by balance pulled by a correlated ORDER BY /
+    * LIMIT subquery. Spark decorrelates this into a ranked window under
+    * the hood — the same plan the explicit row_number rewrite
+    * (q_topk_per_group) produces — so the declarative form costs
+    * nothing extra at scale; it's pinned here because analysts write
+    * LATERAL, not window rewrites. Deterministic tiebreak on custkey.
+    */
+  def lateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 4) AS bal
+        |FROM nation_v n,
+        |LATERAL (SELECT c_custkey, c_acctbal
+        |         FROM customer_v c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
+  private val lateralTopkOracle =
+    """SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 4) AS bal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nullsafe_join" -> (nullsafeJoin _),
+    "q_decimal_exact" -> (decimalExact _),
+    "q_lateral_topk" -> (lateralTopk _),
     "q_json_extract" -> (jsonExtract _),
     "q_correlated_subquery" -> (correlatedSubquery _),
     "q_ntile_buckets" -> (ntileBuckets _),
@@ -605,6 +714,9 @@ object RelationalOps {
   ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
+    "q_nullsafe_join" -> nullsafeJoinOracle,
+    "q_decimal_exact" -> decimalExactOracle,
+    "q_lateral_topk" -> lateralTopkOracle,
     "q_json_extract" -> jsonExtractOracle,
     "q_correlated_subquery" -> correlatedSubqueryOracle,
     "q_ntile_buckets" -> ntileBucketsOracle,
