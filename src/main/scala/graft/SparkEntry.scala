@@ -38,6 +38,7 @@ object SparkEntry {
       etl.SilverMobility.queries ++
       sources.CsvSources.queries ++
       sources.SchemaEvolution.queries ++
+      sources.JsonSource.queries ++
       sources.Shapefile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles(sfDir) ++
       sources.SchemaEvolution.oracles(sfDir) ++
+      sources.JsonSource.oracles(sfDir) ++
       sources.Shapefile.oracles
 }
