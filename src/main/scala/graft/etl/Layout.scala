@@ -154,10 +154,10 @@ object Layout {
     // every SF (the raw part/supp keys span too little at small scales)
     val keyed = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_quantity"),
-        pmod(pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L)),
-          lit(1024)).as("px"),
-        pmod(pmod(col("l_partkey") * lit(2246822519L), lit(4294967296L)),
-          lit(1024)).as("py"))
+        graft.ops.Parity.mixBucket(col("l_orderkey"), 2654435761L, 1024)
+          .as("px"),
+        graft.ops.Parity.mixBucket(col("l_partkey"), 2246822519L, 1024)
+          .as("py"))
       .withColumn("zval", expr(zSpark("px", "py")))
     keyed.repartition(8).write.mode("overwrite").parquet(zScatteredPath(sfDir))
     keyed.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
@@ -176,8 +176,8 @@ object Layout {
     s"""SELECT l_returnflag, COUNT(*) AS n_rows,
        |       ROUND(SUM(l_quantity), 4) AS sum_qty
        |FROM (SELECT l_returnflag, l_quantity,
-       |             (l_orderkey * 2654435761) % 4294967296 % 1024 AS px,
-       |             (l_partkey * 2246822519) % 4294967296 % 1024 AS py
+       |             (((l_orderkey % 2147483648) * 2654435761) % 4294967296) % 1024 AS px,
+       |             (((l_partkey % 2147483648) * 2246822519) % 4294967296) % 1024 AS py
        |      FROM lineitem)
        |WHERE px BETWEEN $xLo AND $xHi AND py BETWEEN $yLo AND $yHi
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

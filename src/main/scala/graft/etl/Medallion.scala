@@ -37,9 +37,13 @@ object Medallion {
     * the gold-table writes here and every fixture generator
     * (CsvSources / Shapefile / SchemaEvolution), so a JVM launched
     * from a different cwd cannot split the warehouse into two
-    * locations. Env-overridable for non-default checkouts. */
+    * locations. Defaults to `<launch cwd>/spark-warehouse` (sbt runs
+    * from the checkout root, so every entrypoint agrees) rather than a
+    * hardcoded checkout path; env-overridable for JVMs launched from
+    * elsewhere. */
   private[graft] val warehouseBase: String =
-    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/spark-warehouse")
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+      s"${sys.props("user.dir")}/spark-warehouse")
 
   /** Per-SF scratch warehouse (gitignored `spark-warehouse/`), so
     * verify (sf0.01) and bench (sf0.1) runs never collide. */

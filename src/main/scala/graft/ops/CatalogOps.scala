@@ -225,15 +225,15 @@ object CatalogOps {
   private val tableStatsOracle =
     """WITH s AS (
       |  SELECT COUNT(*) AS n_rows,
-      |         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+      |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
       |         CAST(MIN(o_custkey) AS VARCHAR) AS ck_min,
       |         CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
       |         COUNT(DISTINCT o_custkey) AS ck_ndv,
-      |         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_nulls,
+      |         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS od_nulls,
       |         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,
       |         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_max,
       |         COUNT(DISTINCT o_orderdate) AS od_ndv,
-      |         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+      |         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_nulls,
       |         printf('%.6f', MIN(o_totalprice)) AS tp_min,
       |         printf('%.6f', MAX(o_totalprice)) AS tp_max,
       |         COUNT(DISTINCT o_totalprice) AS tp_ndv

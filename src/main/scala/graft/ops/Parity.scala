@@ -44,4 +44,21 @@ object Parity {
   def stableAvgSql(e: String): String =
     s"CAST((2*CAST(ROUND(ROUND(SUM($e),4)*10000) AS BIGINT) + COUNT($e)) " +
       s"// (2*COUNT($e)) AS DOUBLE)/10000.0"
+
+  /** Knuth multiplicative-hash bucket with engine-parity overflow
+    * safety: the key is masked to 31 bits BEFORE the multiply, so the
+    * widest product is 2^31 · k < 2^63 for any k < 2^32 — Spark never
+    * silently wraps and DuckDB's checked BIGINT multiply never raises,
+    * at any key magnitude (an unmasked key * 2654435761 overflows past
+    * orderkey ≈ 3.5e9, i.e. exactly at the 100 TB scales this library
+    * targets). For keys < 2^31 — every driver test scale — the masked
+    * hash equals the unmasked one. Nonneg keys assumed (pmod == %).
+    */
+  def mixBucket(key: Column, k: Long, buckets: Long): Column =
+    pmod(pmod(pmod(key, lit(2147483648L)) * lit(k), lit(4294967296L)),
+      lit(buckets))
+
+  /** DuckDB rendering of [[mixBucket]] — same mask, same arithmetic. */
+  def mixBucketSql(key: String, k: Long, buckets: Long): String =
+    s"((($key % 2147483648) * $k) % 4294967296) % $buckets"
 }

@@ -273,8 +273,7 @@ object PipelineOps {
       .when(col("lang") === "zh", 80)
       .when(col("lang") === "fr", 55)
       .otherwise(100)
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
-      lit(100))
+    val bucket = Parity.mixBucket(col("doc_id"), 2654435761L, 100)
     Tables.documents(spark, sfDir)
       .withColumn("rate", rate)
       .withColumn("keep", bucket < col("rate"))
@@ -299,7 +298,7 @@ object PipelineOps {
       |  SELECT lang, text,
       |         CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 37 WHEN 'zh' THEN 80
       |                   WHEN 'fr' THEN 55 ELSE 100 END AS rate,
-      |         ((doc_id * 2654435761) % 4294967296) % 100 < (CASE lang
+      |         (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < (CASE lang
       |           WHEN 'en' THEN 10 WHEN 'es' THEN 37 WHEN 'zh' THEN 80
       |           WHEN 'fr' THEN 55 ELSE 100 END) AS keep
       |  FROM documents)
@@ -492,7 +491,8 @@ object PipelineOps {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM (
       |  SELECT doc_id, n_tok,
-      |         (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS bin
+      |         CAST((SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 512
+      |              AS BIGINT) AS bin
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents))
       |GROUP BY bin ORDER BY bin""".stripMargin
 
@@ -563,13 +563,11 @@ object PipelineOps {
     if (fs.exists(p)) fs.delete(p, true)
 
     val hashed = Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100)))
+      .withColumn("bucket", Parity.mixBucket(col("doc_id"), 2654435761L, 100))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
-      .withColumn("shard",
-        pmod(pmod(col("doc_id") * lit(2246822519L), lit(4294967296L)), lit(8)))
+      .withColumn("shard", Parity.mixBucket(col("doc_id"), 2246822519L, 8))
     hashed.select(col("doc_id"), col("text"), col("lang"), col("split"),
         col("shard"))
       .write.partitionBy("split", "shard").mode("overwrite").parquet(tbl)
@@ -585,8 +583,8 @@ object PipelineOps {
   private val trainSplitOracle =
     """WITH h AS (
       |  SELECT doc_id, text,
-      |         (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
-      |         (doc_id * 2246822519) % 4294967296 % 8 AS shard
+      |         (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket,
+      |         (((doc_id % 2147483648) * 2246822519) % 4294967296) % 8 AS shard
       |  FROM documents)
       |SELECT CASE WHEN bucket < 80 THEN 'train'
       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,

@@ -639,19 +639,22 @@ object RelationalOps {
         sum(col("price")).as("price_exact"),
         sum(col("price") * (lit(BigDecimal(1)).cast("decimal(12,2)") -
           col("disc"))).as("revenue_exact"))
+      // rendered as full-scale strings: both engines print DECIMAL with
+      // trailing zeros ("…8990"), while a float hop on either side would
+      // trim them and break the exact-value hash (round-5 lesson)
       .select(col("l_returnflag"), col("n"),
-        col("price_exact").cast("decimal(24,2)").as("price_exact"),
-        col("revenue_exact").cast("decimal(24,4)").as("revenue_exact"))
+        col("price_exact").cast("decimal(24,2)").cast("string").as("price_exact"),
+        col("revenue_exact").cast("decimal(24,4)").cast("string").as("revenue_exact"))
       .orderBy(col("l_returnflag"))
 
   private val decimalExactOracle =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-      |            AS DECIMAL(24,2)) AS price_exact,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |            AS DECIMAL(24,2)) AS VARCHAR) AS price_exact,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |                (CAST(1 AS DECIMAL(12,2)) -
       |                 CAST(l_discount AS DECIMAL(12,2))))
-      |            AS DECIMAL(24,4)) AS revenue_exact
+      |            AS DECIMAL(24,4)) AS VARCHAR) AS revenue_exact
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------ lateral join

@@ -88,8 +88,11 @@ object StreamingOps {
     * the declarative twin of both the typed [[sessionize]] (explicit
     * `flatMapGroupsWithState`) and the batch
     * `AnalyticsOps.sessionWindowAgg`: same merge rule (events coalesce
-    * while the next timestamp lands strictly inside the previous
-    * event's [ts, ts+gap) window), but state management, merging of
+    * while the next timestamp is at most `gap` after the previous one —
+    * the boundary is INCLUSIVE, an event landing exactly `gap` later
+    * still merges; a session breaks only when the gap is strictly
+    * exceeded, as StreamingSpec's boundary test pins), but state
+    * management, merging of
     * out-of-order events, and eviction all come from the engine's
     * session-window state store. Append mode emits a session exactly
     * once, after the watermark passes its END — so state is bounded by
@@ -117,11 +120,14 @@ object StreamingOps {
     * gold table converges to the batch aggregate of the whole stream —
     * which is exactly what StreamingSpec asserts.
     *
-    * The write is atomic-by-rename (write tmp, swap): a crashed batch
-    * leaves the previous table intact, and re-running the batch is
-    * idempotent because the upsert is keyed — the exactly-once story a
-    * file-sink gold table needs. At 100 TB the same shape runs
-    * partition-scoped (rewrite only files holding touched keys).
+    * The write swaps by double rename (current → .old, tmp → current)
+    * with startup recovery from a leftover .old: there is no instant at
+    * which neither the previous nor the new table is recoverable, so a
+    * crash at ANY point leaves the previous table intact (possibly
+    * parked at .old) and the checkpoint's batch replay converges it —
+    * the exactly-once story a file-sink gold table needs. At 100 TB the
+    * same shape runs partition-scoped (rewrite only files holding
+    * touched keys).
     */
   def incrementalGold(events: DataFrame, tbl: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -140,6 +146,13 @@ object StreamingOps {
     val spark = updates.sparkSession
     val path = new org.apache.hadoop.fs.Path(tbl)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(tbl + ".old")
+    // crash recovery: a failure between the two swap renames below
+    // leaves the previous table parked at .old with nothing at the
+    // live path — restore it before merging, so the replayed batch
+    // upserts into the full previous state instead of rebuilding the
+    // table from only its own keys
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     val merged =
       if (fs.exists(path))
         updates.unionByName(
@@ -147,9 +160,14 @@ object StreamingOps {
       else updates
     val tmp = new org.apache.hadoop.fs.Path(tbl + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(path)) fs.delete(path, true)
+    // swap: park current at .old, move tmp in, then drop .old — at no
+    // point is the previous state deleted before the new one is live
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(path) && !fs.rename(path, old))
+      throw new java.io.IOException(s"gold park failed: $path -> $old")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"gold swap failed: $tmp -> $path")
+    fs.delete(old, true)
   }
 
   /** Incremental file-source ingest with exactly-once accounting — the
