@@ -409,7 +409,40 @@ object AnalyticsOps {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Cohort-retention matrix — the classic product-analytics rollup:
+    * users grouped by first-seen date (their cohort), activity counted
+    * per (cohort_date, day_offset) cell. The self-derived dimension
+    * (per-user min date) joins back on user_id — the SAME key the
+    * cohort aggregate just shuffled on, so the exchange is reused
+    * (co-partitioned join, no second fact shuffle); only the final
+    * narrow (cohort, offset) aggregate re-partitions. day_offset is
+    * exact integer date math — no float anywhere.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_date"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  private val cohortRetentionOracle =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY 1)
+      |SELECT cohort_date,
+      |       CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+      |       COUNT(DISTINCT ev.user_id) AS n_users, COUNT(*) AS n_events
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (cohortRetention _),
     "q_range_frame" -> (rangeFrame _),
     "q_unpivot" -> (unpivotLang _),
     "q_stats_moments" -> (statsMoments _),
@@ -425,6 +458,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionOracle,
     "q_range_frame" -> rangeFrameOracle,
     "q_unpivot" -> unpivotLangOracle,
     "q_stats_moments" -> statsMomentsOracle,

@@ -480,7 +480,70 @@ object DedupOps {
        |FROM (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node)
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** C4-style SPAN-level exact dedup: documents split into consecutive
+    * non-overlapping [[SpanLen]]-token blocks; a block survives only at
+    * its FIRST corpus occurrence (ordered by doc_id, then position —
+    * the C4 "keep one occurrence of each three-sentence span" rule with
+    * token blocks standing in for sentence spans, since the synthetic
+    * corpus carries no sentence boundaries). The report is per-document
+    * retention: how much of each document survives span-level dedup —
+    * the number a pipeline watches when deciding if boilerplate removal
+    * is eating real text.
+    *
+    * Scale shape: spans reduce to (doc_id, idx, 60-bit md5 key) triples
+    * BEFORE the exchange — the span text never shuffles. The keep-first
+    * rule is one hash-partitioned window over the key (count per key
+    * and the global argmin in the same pass); the per-doc report
+    * re-shuffles only the narrow flag triples. Two exchanges total, both
+    * on ~16-byte rows, candidate count linear in corpus size — the
+    * pattern survives 100 TB where shipping span strings would not.
+    */
+  private val SpanLen = 10
+
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // inline generator (see explodedShingles: named-array explode makes
+    // InferFiltersFromGenerate compute every span array twice)
+    val spans = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / $SpanLen.0) AS INT) - 1),
+           |          i -> concat_ws(' ', slice(ws, i * $SpanLen + 1, $SpanLen)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"),
+        // 60-bit md5 prefix: the narrow engine-parity span key
+        expr("CAST(conv(substring(md5(CAST(col AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    spans
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"))
+      // long/long→double division is IEEE-correctly-rounded — identical
+      // in both engines; ROUND of identical doubles is identical
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_spans"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanDedupOracle =
+    s"""WITH spans AS (
+       |  SELECT doc_id, i AS idx,
+       |         CAST('0x' || substring(md5(array_to_string(ws[i*$SpanLen+1 : i*$SpanLen+$SpanLen], ' ')), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       LATERAL unnest(range(0, CAST(ceil(len(ws) / $SpanLen.0) AS BIGINT))) AS t(i)),
+       |flagged AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS kept
+       |  FROM spans)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       ROUND(CAST(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |             / COUNT(*), 6) AS kept_frac
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (spanDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -489,6 +552,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_span_dedup" -> spanDedupOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

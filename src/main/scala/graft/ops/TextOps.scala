@@ -423,7 +423,73 @@ object TextOps {
       |         AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Temperature-based corpus re-weighting (the mT5 α-sampling rule):
+    * per-language mixing weight ∝ (token mass)^α with α = 0.5, i.e. the
+    * sampling distribution that up-weights low-resource languages
+    * relative to their natural share. α = 0.5 is deliberately the
+    * exact-sqrt case: IEEE-754 sqrt is correctly rounded, so
+    * sqrt(tokens) is bit-identical in both engines — no pow(), whose
+    * libm implementations differ in ulps. Everything downstream lives
+    * on the e6 integer lattice: s_e6 = round(sqrt·1e6) once per
+    * language, totals are integer sums, and both shares are half-up
+    * integer-lattice divisions (the [[Parity.stableAvg]] construction)
+    * — order-free and engine-identical by exact arithmetic. Bound:
+    * 2·1e6·s_e6 must stay under 2^63 ⇒ token mass < ~2.1e13 per
+    * language; past that, drop the lattice to e4 (same pattern,
+    * documented trade).
+    *
+    * Scale shape: one map-side token count + a 5-row aggregate; the
+    * share windows run over the aggregate, not the corpus.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tokens"))
+      .withColumn("s_e6",
+        round(sqrt(col("tokens").cast("double")) * 1000000.0, 0).cast("long"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def halfUpRatioE6(num: Column, den: Column): Column = {
+      val n2 = num * 2000000L + den
+      val d2 = den * 2
+      ((n2 - pmod(n2, d2)) / d2) / 1000000.0
+    }
+    perLang
+      .withColumn("tot_tokens", sum(col("tokens")).over(w))
+      .withColumn("tot_s", sum(col("s_e6")).over(w))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        halfUpRatioE6(col("tokens"), col("tot_tokens")).as("token_share"),
+        halfUpRatioE6(col("s_e6"), col("tot_s")).as("temp_weight"))
+      .orderBy(col("lang"))
+  }
+
+  private def halfUpRatioE6Sql(num: String, den: String): String =
+    s"CAST(((2000000*$num + $den) - (2000000*$num + $den) % (2*$den)) " +
+      s"// (2*$den) AS DOUBLE) / 1000000.0"
+
+  private val temperatureMixOracle =
+    s"""WITH agg AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY lang),
+       |s AS (
+       |  SELECT lang, n_docs, tokens,
+       |         CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
+       |  FROM agg),
+       |t AS (
+       |  SELECT *, CAST(SUM(tokens) OVER () AS BIGINT) AS tot_tokens,
+       |            CAST(SUM(s_e6) OVER () AS BIGINT) AS tot_s
+       |  FROM s)
+       |SELECT lang, n_docs, tokens,
+       |       ${halfUpRatioE6Sql("tokens", "tot_tokens")} AS token_share,
+       |       ${halfUpRatioE6Sql("s_e6", "tot_s")} AS temp_weight
+       |FROM t ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
@@ -436,6 +502,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,

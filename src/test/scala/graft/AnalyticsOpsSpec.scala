@@ -109,4 +109,21 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - mx) <= 1e-4)
     }
   }
+
+  test("cohort retention: conservation and day-0 diagonal") {
+    val rows = AnalyticsOps.cohortRetention(spark, sfSmall).collect()
+    val ev = Tables.events(spark, sfSmall)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    // every event lands in exactly one (cohort, offset) cell
+    assert(rows.map(_.getLong(3)).sum == ev.count(), "events not conserved")
+    assert(rows.forall(_.getLong(1) >= 0), "negative day offset")
+    // the day-0 diagonal counts each cohort's full membership: every
+    // user is active on their own first-seen date by definition
+    val cohortSizes = ev.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+      .groupBy(col("c")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val day0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(day0 == cohortSizes, s"day-0 diagonal $day0 != cohorts $cohortSizes")
+  }
 }

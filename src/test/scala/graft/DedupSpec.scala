@@ -138,4 +138,28 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L), s"got $labels")
   }
+
+  test("span dedup matches driver-side keep-first ground truth") {
+    // recompute the C4-style rule in plain Scala: iterate documents in
+    // (doc_id, block index) order, keep a block only on first sight
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val truth = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val spans = (0 until math.ceil(ws.length / 10.0).toInt)
+        .map(i => ws.slice(i * 10, i * 10 + 10).mkString(" "))
+      val kept = spans.count(s => seen.add(s))
+      id -> ((spans.size.toLong, kept.toLong))
+    }.toMap
+    val got = graft.ops.DedupOps.spanDedup(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == truth, {
+      val bad = truth.keys.filter(k => got.get(k) != truth.get(k)).take(3)
+      s"span accounting differs at docs $bad"
+    })
+    val totalKept = truth.values.map(_._2).sum
+    info(s"${truth.values.map(_._1).sum} spans, $totalKept kept")
+  }
 }

@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below 0.4")
   }
 
+  test("PQ ADC recall@5 vs the exact L2 scan") {
+    // exact squared-L2 top-5 recomputed driver-side (PQ approximates
+    // L2, so cosine top-k is NOT the right baseline)
+    val vecs = Tables.embeddings(spark, sfSmall)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 5L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(vecs(q), v), id) }
+        .sorted.take(5).map { case (_, id) => (q, id) }
+    }.toSet
+    val pq = SimilarityOps.pqAnn(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size == 25, s"expected 5 queries x top-5, got ${pq.size}")
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@5: ${(exact & pq).size}/${exact.size} = $recall%.3f")
+    // near-random fixture: m=16 x 4-dim books measured 0.48 (level with
+    // IVF's multi-probe 0.48); assert it stays above the same floor
+    assert(recall >= 0.4, s"PQ recall $recall below 0.4")
+  }
+
   test("vec_dot equals the higher-order-function fold on real embeddings") {
     VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sfSmall)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Semantics of the temperature-resampling weights (the α = 0.5 mT5
+  * rule), proven against the mathematical properties the operator
+  * exists to deliver — the DuckDB oracle pins the arithmetic, this
+  * pins the MEANING.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("temperature mix: weights normalize and compress toward uniform") {
+    val rows = TextOps.temperatureMix(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val n = rows.length
+    assert(n >= 3, s"expected several languages, got $n")
+    // both share columns are half-up e6-lattice ratios: each sums to 1
+    // within n rounding steps of the lattice
+    val shareSum = rows.map(_._3).sum
+    val weightSum = rows.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) <= n * 1e-6, s"token_share sums to $shareSum")
+    assert(math.abs(weightSum - 1.0) <= n * 1e-6, s"temp_weight sums to $weightSum")
+    // α < 1 compresses the distribution: the largest language is
+    // down-weighted relative to its natural share, the smallest is
+    // up-weighted — the whole point of temperature sampling
+    val byTokens = rows.sortBy(_._2)
+    val (loLang, _, loShare, loWeight) = byTokens.head
+    val (hiLang, _, hiShare, hiWeight) = byTokens.last
+    assert(loWeight > loShare, s"$loLang not up-weighted: $loWeight <= $loShare")
+    assert(hiWeight < hiShare, s"$hiLang not down-weighted: $hiWeight >= $hiShare")
+    // monotone: more tokens never means a smaller weight
+    byTokens.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"weight not monotone in token mass: $a vs $b")
+    }
+  }
+}
