@@ -42,6 +42,8 @@ object Bench {
       // the co-located join the query demonstrates
       if (names.contains("q_bucketed_join"))
         etl.Bucketing.ensureBucketed(spark, sfDir)
+      if (names.contains("q_pagerank"))
+        etl.Bucketing.ensurePagerankEdges(spark, sfDir)
       // CSV/shapefile fixtures likewise: generated once per SF
       // (driver-side collect + gz/shapefile encode), reused forever —
       // pre-create them here so the first timed scan measures the scan,
@@ -68,10 +70,18 @@ object Bench {
         name -> elapsed
       }.toMap
     }.last
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Tail-survivable output: one small JSON line per query FIRST, the
+    // compact total line LAST. The driver captures only the tail of
+    // stdout, so a single giant queries-inline line (the old format)
+    // lost its own leading "total" field once the suite passed ~120
+    // queries; the summary line below stays well under 2 KB no matter
+    // how many queries run, and the per-query lines above it degrade
+    // gracefully (oldest-truncated-first).
+    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

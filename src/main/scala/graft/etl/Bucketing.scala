@@ -32,23 +32,52 @@ object Bucketing {
   private def tbl(name: String, sfDir: String): String =
     s"${name}_${new java.io.File(sfDir).getName.replace('.', '_')}"
 
+  private def ensure(spark: SparkSession)(
+      table: String, write: String => Unit): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      write(table)
+    }
+
   private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): Unit = {
-    def ensure(table: String, write: String => Unit): Unit =
-      if (!spark.catalog.tableExists(table)) {
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(wh)) fs.delete(wh, true)
-        write(table)
-      }
-    ensure(tbl("orders_bucketed", sfDir), t =>
+    ensure(spark)(tbl("orders_bucketed", sfDir), t =>
       Tables.orders(spark, sfDir)
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(t))
-    ensure(tbl("lineitem_bucketed", sfDir), t =>
+    ensure(spark)(tbl("lineitem_bucketed", sfDir), t =>
       Tables.lineitem(spark, sfDir)
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(t))
+  }
+
+  /** The purchase-graph edge table (distinct customer–supplier pairs),
+    * written ONCE per session+SF in BOTH hop orientations — bucketed on
+    * `c` and on `s` — so every PageRank iteration joins against a
+    * pre-partitioned copy and the edge table itself never shuffles
+    * (see [[graft.ops.GraphOps.pagerank]]). This is the pay-once layout
+    * the 100 TB story needs: the distinct-pair build (the one real
+    * shuffle) happens at write time, and each of the k iterations reads
+    * bucket files co-located on its hop key. Returns (byC, byS). */
+  private[graft] def ensurePagerankEdges(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    def edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    ensure(spark)(tbl("edges_by_c", sfDir), t =>
+      edges.write.bucketBy(8, "c").sortBy("c")
+        .mode("overwrite").saveAsTable(t))
+    ensure(spark)(tbl("edges_by_s", sfDir), t =>
+      edges.write.bucketBy(8, "s").sortBy("s")
+        .mode("overwrite").saveAsTable(t))
+    (spark.table(tbl("edges_by_c", sfDir)),
+      spark.table(tbl("edges_by_s", sfDir)))
   }
 
   /** The co-located join itself: orders⋈lineitem on the bucket key,

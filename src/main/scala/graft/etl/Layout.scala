@@ -176,8 +176,8 @@ object Layout {
     s"""SELECT l_returnflag, COUNT(*) AS n_rows,
        |       ROUND(SUM(l_quantity), 4) AS sum_qty
        |FROM (SELECT l_returnflag, l_quantity,
-       |             (((l_orderkey % 2147483648) * 2654435761) % 4294967296) % 1024 AS px,
-       |             (((l_partkey % 2147483648) * 2246822519) % 4294967296) % 1024 AS py
+       |             ${graft.ops.Parity.mixBucketSql("l_orderkey", 2654435761L, 1024)} AS px,
+       |             ${graft.ops.Parity.mixBucketSql("l_partkey", 2246822519L, 1024)} AS py
        |      FROM lineitem)
        |WHERE px BETWEEN $xLo AND $xHi AND py BETWEEN $yLo AND $yHi
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -493,11 +493,17 @@ object DedupOps {
     *
     * Scale shape: spans reduce to (doc_id, idx, 60-bit md5 key) triples
     * BEFORE the exchange — the span text never shuffles. The keep-first
-    * rule is one hash-partitioned window over the key (count per key
-    * and the global argmin in the same pass); the per-doc report
-    * re-shuffles only the narrow flag triples. Two exchanges total, both
-    * on ~16-byte rows, candidate count linear in corpus size — the
-    * pattern survives 100 TB where shipping span strings would not.
+    * rule needs only each key's MINIMUM (doc_id, idx) occurrence, and
+    * the report needs only how many keys each doc wins — so it is two
+    * partial-aggregated hash aggregations (min per key, count per
+    * winning doc), NOT a sort-window over the key. That distinction is
+    * the whole 100 TB story: a `row_number().over(partitionBy(h))`
+    * ships EVERY duplicate of a span to one reducer and sorts it —
+    * web-scale boilerplate (a 10⁸× repeated footer) is precisely the
+    * hot key that kills that plan — while min() collapses each
+    * mapper's duplicates to one row before anything shuffles, so the
+    * hottest key costs one row per map task. Exchanges touch only
+    * ~16-byte rows; the doc-level join reuses the doc_id partitioning.
     */
   private val SpanLen = 10
 
@@ -513,16 +519,24 @@ object DedupOps {
         // 60-bit md5 prefix: the narrow engine-parity span key
         expr("CAST(conv(substring(md5(CAST(col AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-    spans
-      .withColumn("kept", row_number().over(w) === 1)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"))
+    // keep-first winner of each span key = lexicographic min(doc_id,
+    // idx); a doc's kept count = how many keys it wins. Both levels are
+    // hash aggregates with map-side partials (skew-immune — see the
+    // scale note above). A doc whose every span appeared earlier wins
+    // nothing and falls out of `wins` — the left join restores it at 0.
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val wins = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+    perDoc.join(wins, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       // long/long→double division is IEEE-correctly-rounded — identical
       // in both engines; ROUND of identical doubles is identical
       .withColumn("kept_frac",
         round(col("n_kept").cast("double") / col("n_spans"), 6))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"), col("kept_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -532,15 +546,16 @@ object DedupOps {
        |         CAST('0x' || substring(md5(array_to_string(ws[i*$SpanLen+1 : i*$SpanLen+$SpanLen], ' ')), 1, 15) AS BIGINT) AS h
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |       LATERAL unnest(range(0, CAST(ceil(len(ws) / $SpanLen.0) AS BIGINT))) AS t(i)),
-       |flagged AS (
-       |  SELECT doc_id,
-       |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS kept
-       |  FROM spans)
-       |SELECT doc_id, COUNT(*) AS n_spans,
-       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |       ROUND(CAST(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-       |             / COUNT(*), 6) AS kept_frac
-       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+       |wins AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept
+       |  FROM (SELECT h, MIN(doc_id) AS doc_id FROM spans GROUP BY h)
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_spans,
+       |       COALESCE(w.n_kept, 0) AS n_kept,
+       |       ROUND(CAST(COALESCE(w.n_kept, 0) AS DOUBLE) / p.n_spans, 6) AS kept_frac
+       |FROM per_doc p LEFT JOIN wins w USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup" -> (spanDedup _),

@@ -22,55 +22,52 @@ object GraphOps {
     * the customer–supplier purchase graph (distinct (custkey, suppkey)
     * pairs from orders ⋈ lineitem). Scores propagate customer→supplier
     * →customer→supplier; each hop is sum(score/out-degree) grouped by
-    * the far key — a shuffle on the SAME two join keys every round, so
-    * at 100 TB the edge table is bucketed once on (c) and (s) and every
-    * hop is a co-located join; the degree sides are key-aggregates of
-    * the edge table itself and broadcast-sized in practice. All scalar
-    * constants (teleport mass per node count) are driver-computed
-    * doubles injected as literals — the A6 two-phase shape — and every
-    * arithmetic op appears in the same order in the oracle, keeping the
-    * double lattice engine-identical (differences are summation-order
-    * only, orders of magnitude below the 6 dp rounding).
+    * the far key — a join + aggregation on the SAME two keys every
+    * round, so the edge table is BUCKETED ONCE in both orientations
+    * ([[graft.etl.Bucketing.ensurePagerankEdges]]) and every hop reads
+    * the copy pre-partitioned on its hop key: the edge table NEVER
+    * shuffles after the pay-once distinct-pair build (PlanSpec pins
+    * zero Exchange above any edge scan with broadcast disabled — the
+    * 100 TB plan shape, not just words). The degree/score sides are
+    * key-aggregates, narrow and broadcast- or re-bucket-sized. All
+    * scalar constants (teleport mass per node count) are
+    * driver-computed doubles injected as literals — the A6 two-phase
+    * shape — and every arithmetic op appears in the same order in the
+    * oracle, keeping the double lattice engine-identical (differences
+    * are summation-order only, orders of magnitude below the 6 dp
+    * rounding).
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .cache()
-    val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
-    val degS = edges.groupBy(col("s")).agg(count(lit(1)).as("deg_s"))
+    val (eC, eS) = graft.etl.Bucketing.ensurePagerankEdges(spark, sfDir)
+    // degree tables grouped on each copy's OWN bucket key — the
+    // partial/final hash agg runs inside the bucketed distribution
+    val degC = eC.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    val degS = eS.groupBy(col("s")).agg(count(lit(1)).as("deg_s"))
     // one scalar job for both node counts (not a .count() per degree
-    // table — that would pay two extra passes over the cached edges)
-    val nRow = edges
+    // table — that would pay two extra passes over the edges)
+    val nRow = eC
       .agg(countDistinct(col("c")), countDistinct(col("s"))).collect()(0)
     val nC = nRow.getLong(0)
     val nS = nRow.getLong(1)
     // s1 = 0.15/nS + 0.85 * Σ_{c ~ s} (1/nC)/deg_c
-    val s1 = edges.join(degC, "c")
+    val s1 = eC.join(degC, "c")
       .groupBy(col("s"))
       .agg(sum(lit(1.0 / nC) / col("deg_c")).as("contrib"))
       .select(col("s"),
         (lit(0.15 / nS) + lit(0.85) * col("contrib")).as("s1"))
     // c1 = 0.15/nC + 0.85 * Σ_{s ~ c} s1/deg_s
-    val c1 = edges.join(s1, "s").join(degS, "s")
+    val c1 = eS.join(s1, "s").join(degS, "s")
       .groupBy(col("c"))
       .agg(sum(col("s1") / col("deg_s")).as("contrib"))
       .select(col("c"),
         (lit(0.15 / nC) + lit(0.85) * col("contrib")).as("c1"))
     // s2 = 0.15/nS + 0.85 * Σ_{c ~ s} c1/deg_c
-    val out = edges.join(c1, "c").join(degC, "c")
+    eC.join(c1, "c").join(degC, "c")
       .groupBy(col("s"))
       .agg(sum(col("c1") / col("deg_c")).as("contrib"))
       .select(col("s"),
         round(lit(0.15 / nS) + lit(0.85) * col("contrib"), 6).as("score"))
       .orderBy(col("s"))
-    val materialized = out.localCheckpoint()
-    edges.unpersist()
-    materialized
   }
 
   private val pagerankOracle =

@@ -434,10 +434,14 @@ object TextOps {
     * on the e6 integer lattice: s_e6 = round(sqrt·1e6) once per
     * language, totals are integer sums, and both shares are half-up
     * integer-lattice divisions (the [[Parity.stableAvg]] construction)
-    * — order-free and engine-identical by exact arithmetic. Bound:
-    * 2·1e6·s_e6 must stay under 2^63 ⇒ token mass < ~2.1e13 per
-    * language; past that, drop the lattice to e4 (same pattern,
-    * documented trade).
+    * computed with INTEGER division on longs in both engines (Spark
+    * `div`, DuckDB `//`) — order-free and engine-identical by exact
+    * arithmetic, with no 2^53 double-mantissa ceiling anywhere. The
+    * binding bound is the long numerator 2·1e6·x + tot_x < 2^63 taken
+    * over BOTH share columns: token_share binds first (tokens <
+    * ~4.6e12 per language and in the corpus total); temp_weight's
+    * s_e6 ≈ 1e6·√tokens binds only past ~2.1e13. Past ~4.6e12 tokens,
+    * drop the lattice to e4 (same pattern, documented trade).
     *
     * Scale shape: one map-side token count + a 5-row aggregate; the
     * share windows run over the aggregate, not the corpus.
@@ -452,10 +456,13 @@ object TextOps {
         round(sqrt(col("tokens").cast("double")) * 1000000.0, 0).cast("long"))
     val w = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Spark `/` on longs is DOUBLE division — exact only below 2^53.
+    // `div` keeps the whole quotient on the long lattice, matching the
+    // oracle's `//` exactly at any magnitude the numerator survives.
     def halfUpRatioE6(num: Column, den: Column): Column = {
       val n2 = num * 2000000L + den
       val d2 = den * 2
-      ((n2 - pmod(n2, d2)) / d2) / 1000000.0
+      call_function("div", n2 - pmod(n2, d2), d2).cast("double") / 1000000.0
     }
     perLang
       .withColumn("tot_tokens", sum(col("tokens")).over(w))

@@ -152,7 +152,8 @@ object StreamingOps {
     // live path — restore it before merging, so the replayed batch
     // upserts into the full previous state instead of rebuilding the
     // table from only its own keys
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      throw new java.io.IOException(s"gold recovery failed: $old -> $path")
     val merged =
       if (fs.exists(path))
         updates.unionByName(

@@ -162,4 +162,51 @@ class PlanSpec extends SparkSpec {
           .findFirstIn(plan).isDefined,
       s"range predicate not pushed into the clustered scan:\n$plan")
   }
+
+  test("pagerank: no Exchange ever sits above a bucketed edge scan") {
+    // The docstring's 100 TB claim, pinned: every hop join and both
+    // degree aggregates read the edge table from its bucketed copies,
+    // so the (big) edge side never shuffles — only narrow score/degree
+    // aggregates do. Broadcast is disabled so the joins can't dodge the
+    // co-location question, and AQE is disabled so the executed plan is
+    // a plain tree the assertions can traverse.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = graft.ops.GraphOps.pagerank(spark, sfTiny)
+        .queryExecution.executedPlan
+      def edgeScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collect { case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.startsWith("edges_by")) => s }
+      val scans = edgeScans(plan)
+      assert(scans.nonEmpty, s"no bucketed edge scans in plan:\n$plan")
+      assert(scans.forall(_.bucketedScan),
+        s"edge scans not reading buckets:\n$plan")
+      // "the edge table never shuffles" precisely: walking DOWN from
+      // any Exchange, raw edge rows must not be reachable — every path
+      // to an edge scan crosses an aggregate (whose map-side partial
+      // collapses edge-cardinality rows to narrow key rows) first. The
+      // score/degree aggregates above the hop joins shuffle; the edge
+      // rows themselves never do.
+      def rawEdgeReach(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table.startsWith("edges_by"))
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          false
+        case other => other.children.exists(rawEdgeReach)
+      }
+      val offenders =
+        plan.collect { case e: ShuffleExchangeLike if rawEdgeReach(e) => e }
+      assert(offenders.isEmpty,
+        s"${offenders.size} Exchanges ship raw edge rows:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
