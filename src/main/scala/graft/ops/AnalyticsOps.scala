@@ -441,8 +441,50 @@ object AnalyticsOps {
       |FROM ev JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ retention matrix
+  /** The wide retention matrix an analytics user actually reads: one
+    * row per cohort with its size (day-0 distinct users) and the
+    * day-1/7/30 retained counts as columns — [[cohortRetention]]'s
+    * long output composed with the same explicit-value pivot
+    * [[pivotLang]] uses. The pivot re-aggregates the already-narrow
+    * (cohort, offset) cells, so the wide pass touches thousands of
+    * rows regardless of fact-table scale; all heavy lifting stays in
+    * the cohort join's single co-partitioned shuffle. Counts are
+    * exact longs — no float anywhere.
+    */
+  private val RetentionOffsets = Seq(0L, 1L, 7L, 30L)
+
+  def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetention(spark, sfDir)
+      .groupBy(col("cohort_date"))
+      .pivot("day_offset", RetentionOffsets)
+      .agg(sum(col("n_users")))
+      .na.fill(0, RetentionOffsets.map(_.toString))
+      .select(col("cohort_date") +:
+        RetentionOffsets.map(o =>
+          col(o.toString).cast("long").as(if (o == 0L) "cohort_size" else s"d$o")): _*)
+      .orderBy(col("cohort_date"))
+
+  private val retentionMatrixOracle = {
+    val cols = RetentionOffsets.map { o =>
+      val alias = if (o == 0L) "cohort_size" else s"d$o"
+      s"CAST(COALESCE(SUM(CASE WHEN day_offset = $o THEN n_users END), 0) AS BIGINT) AS $alias"
+    }.mkString(",\n      |       ")
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       |c AS (SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY 1),
+       |cell AS (
+       |  SELECT cohort_date,
+       |         CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+       |         COUNT(DISTINCT ev.user_id) AS n_users
+       |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_date,
+       |       $cols
+       |FROM cell GROUP BY cohort_date ORDER BY cohort_date""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
+    "q_retention_matrix" -> (retentionMatrix _),
     "q_range_frame" -> (rangeFrame _),
     "q_unpivot" -> (unpivotLang _),
     "q_stats_moments" -> (statsMoments _),
@@ -459,6 +501,7 @@ object AnalyticsOps {
 
   def oracles: Map[String, String] = Map(
     "q_cohort_retention" -> cohortRetentionOracle,
+    "q_retention_matrix" -> retentionMatrixOracle,
     "q_range_frame" -> rangeFrameOracle,
     "q_unpivot" -> unpivotLangOracle,
     "q_stats_moments" -> statsMomentsOracle,

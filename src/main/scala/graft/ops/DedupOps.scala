@@ -350,7 +350,7 @@ object DedupOps {
 
   /** Oracle twin of [[dedupSimhash]]: identical md5 term hash, vote
     * sums, band-byte candidate join, and Hamming verification. */
-  private lazy val dedupSimhashOracle: String = {
+  private[ops] lazy val dedupSimhashOracle: String = {
     val voteCols = (0 until SimBits).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS v$b")
       .mkString(", ")

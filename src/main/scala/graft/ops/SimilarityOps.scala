@@ -636,7 +636,47 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** ANN index quality evaluation — recall@5 of the IVF multi-probe
+    * index against the exact brute-force ground truth, per query and
+    * on the exact 1e-4 lattice (n_hit/k with k=5). This is the eval
+    * loop a real deployment runs after every index build to pick
+    * nprobe/cell-count; expressing it as a query makes index quality a
+    * monitorable table instead of a notebook number.
+    *
+    * Scale shape: both inputs are per-query top-k sets (k·|Q| rows —
+    * tiny regardless of corpus size), so the left join + groupBy here
+    * is noise; the corpus-scale work happens once inside the two
+    * operands, which share the session-materialized IVF index and the
+    * broadcast query set. The ground-truth side at 100 TB would come
+    * from a sampled query panel — recall is estimated on a panel, never
+    * the full corpus, which is exactly this plan with a larger panel.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteforce(spark, sfDir).select(col("qid"), col("cid"))
+    val approx = annIvf(spark, sfDir).select(col("qid"), col("cid"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  private lazy val annRecallOracle =
+    s"""WITH t AS (SELECT qid, cid FROM ($annBruteforceOracle)),
+       |a AS (SELECT qid, cid, 1 AS hit FROM ($annIvfOracle)),
+       |h AS (
+       |  SELECT t.qid, COALESCE(a.hit, 0) AS hit
+       |  FROM t LEFT JOIN a ON t.qid = a.qid AND t.cid = a.cid)
+       |SELECT qid, CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall
+       |FROM h GROUP BY qid ORDER BY qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -647,6 +687,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,

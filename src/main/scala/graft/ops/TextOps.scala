@@ -495,7 +495,41 @@ object TextOps {
        |       ${halfUpRatioE6Sql("s_e6", "tot_s")} AS temp_weight
        |FROM t ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------- BPE pair count
+  /** The inner step of BPE/WordPiece tokenizer training: count every
+    * adjacent token pair across the corpus and surface the top merge
+    * candidates. The pair explosion happens MAP-SIDE
+    * (`transform(sequence(...))` over the split array — no
+    * posexplode-then-self-join), so the only exchange is the final
+    * partial-aggregated pair count: the classic word-count shape that
+    * scales linearly with corpus bytes. Top-k is a deterministic
+    * (count DESC, pair) order + limit — TakeOrderedAndProject, no
+    * global sort materialization. A real BPE trainer iterates this
+    * count→merge loop; each iteration is exactly this plan over the
+    * re-segmented corpus.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(explode(transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
+  private val bpePairsOracle =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] AS pair
+      |  FROM w, UNNEST(range(1, len(ws))) AS t(i))
+      |SELECT pair, COUNT(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -509,6 +543,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,
     "q_heavy_hitters" -> heavyHittersOracle,

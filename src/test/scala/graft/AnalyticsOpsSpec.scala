@@ -126,4 +126,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
     assert(day0 == cohortSizes, s"day-0 diagonal $day0 != cohorts $cohortSizes")
   }
+
+  test("retention matrix == long-form cohort cells at offsets 0/1/7/30") {
+    val long = AnalyticsOps.cohortRetention(spark, sfSmall).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val wide = AnalyticsOps.retentionMatrix(spark, sfSmall).collect()
+    // one wide row per cohort date, cells matching the long form (0
+    // where the cohort has no activity at that offset)
+    assert(wide.map(_.getDate(0).toString).toSet ==
+      long.keys.map(_._1).toSet, "cohort row set differs")
+    wide.foreach { r =>
+      val c = r.getDate(0).toString
+      val cells = Seq(0L -> r.getLong(1), 1L -> r.getLong(2),
+        7L -> r.getLong(3), 30L -> r.getLong(4))
+      cells.foreach { case (off, n) =>
+        assert(n == long.getOrElse((c, off), 0L),
+          s"cohort $c offset $off: wide $n != long ${long.get((c, off))}")
+      }
+      // retention never exceeds the cohort's day-0 size
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1) &&
+        r.getLong(4) <= r.getLong(1), s"cohort $c retains more than size")
+    }
+  }
 }

@@ -44,4 +44,28 @@ class GraphOpsSpec extends SparkSpec {
     val total = s2.values.sum
     assert(total > 0.0 && total <= 1.0 + 1e-9)
   }
+
+  test("triangle count == driver-side brute force over the pair graph") {
+    val edges = ops.DedupOps.dedupSimhash(spark, sfTiny)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    // brute-force closure: for every wedge a<b<c, check the (a,c) edge
+    val byLow = edges.groupBy(_._1)
+    val triPerNode = collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges
+      (_, c) <- byLow.getOrElse(b, Array.empty[(Long, Long)])
+      if eset.contains((a, c))
+    } Seq(a, b, c).foreach(n =>
+      triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1L)
+    val expected = triPerNode.toSeq
+      .sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = GraphOps.triangleCount(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      s"triangle top-20 differs: got ${got.take(5)} want ${expected.take(5)}")
+    // 3 node slots per triangle: participation mass is divisible by 3
+    assert(triPerNode.values.sum % 3 == 0)
+  }
 }

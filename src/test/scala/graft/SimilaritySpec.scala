@@ -27,6 +27,18 @@ class SimilaritySpec extends SparkSpec {
     // meaningfully above the random-probe baseline; on clustered real
     // corpora the same plan's recall rises with cluster purity.
     assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+
+    // the annRecall eval operator reports exactly this measurement,
+    // per query, on the 1e-4 lattice
+    val reported = SimilarityOps.annRecall(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(reported.keySet == exact.map(_._1), "query panel differs")
+    reported.foreach { case (qid, (nHit, rec)) =>
+      val expect = (exact.filter(_._1 == qid) & ivf.filter(_._1 == qid)).size
+      assert(nHit == expect, s"qid $qid n_hit $nHit != $expect")
+      assert(math.abs(rec - expect / 5.0) <= 1e-4, s"qid $qid recall off")
+    }
+    assert(reported.values.map(_._1).sum == (exact & ivf).size)
   }
 
   test("PQ ADC recall@5 vs the exact L2 scan") {

@@ -35,4 +35,24 @@ class TextOpsSpec extends SparkSpec {
       assert(a._4 <= b._4, s"weight not monotone in token mass: $a vs $b")
     }
   }
+
+  test("BPE pair counts == driver-side sliding recount") {
+    // independent witness: recount every adjacent pair over the
+    // collected corpus with plain Scala sliding windows
+    val truth = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").sliding(2).collect {
+        case Array(a, b) => s"$a $b"
+      })
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = TextOps.bpePairs(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(top.length == 30)
+    top.foreach { case (p, n) =>
+      assert(truth.getOrElse(p, 0L) == n, s"pair '$p': $n != ${truth.get(p)}")
+    }
+    // the returned 30 are the global maxima under (n desc, pair asc)
+    val expected = truth.toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    assert(top.toSeq == expected, "top-30 ranking differs from recount")
+  }
 }
