@@ -519,16 +519,19 @@ object DedupOps {
         // 60-bit md5 prefix: the narrow engine-parity span key
         expr("CAST(conv(substring(md5(CAST(col AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
-    // keep-first winner of each span key = lexicographic min(doc_id,
-    // idx); a doc's kept count = how many keys it wins. Both levels are
-    // hash aggregates with map-side partials (skew-immune — see the
-    // scale note above). A doc whose every span appeared earlier wins
+    // keep-first winner of each span key = min(doc_id) — the in-doc
+    // idx tiebreak is irrelevant to the per-doc win count, and a plain
+    // long min keeps the aggregate a HashAggregate with map-side
+    // partials (a min over struct(doc_id, idx) plans as SortAggregate:
+    // the varlen-buffer trap — see PlanSpec's pin). Skew-immune: every
+    // mapper collapses its copies of one span to a single row before
+    // the exchange. A doc whose every span appeared earlier wins
     // nothing and falls out of `wins` — the left join restores it at 0.
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"))
     val wins = spans.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"))
     perDoc.join(wins, Seq("doc_id"), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
@@ -557,7 +560,89 @@ object DedupOps {
        |FROM per_doc p LEFT JOIN wins w USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Incremental dedup — the DAILY-INGEST shape of production dedup:
+    * an incoming batch (here: `doc_id % 7 == 3`, the deterministic
+    * stand-in for "today's crawl") is deduplicated AGAINST THE
+    * EXISTING CORPUS rather than within one static table. Two
+    * channels, exact first: (1) a batch doc whose canonical-prefix
+    * hash (the SAME 40-char fingerprint [[dedupExact]] keys on)
+    * already exists in the corpus is an `exact` drop — a semi-join of
+    * batch hashes against the corpus hash set (at scale the corpus
+    * side is a bucketed hash table maintained across ingests, so the
+    * probe is co-located and the batch never re-hashes history); (2) a
+    * surviving batch doc with a SimHash near-dup (Hamming ≤ 3) across
+    * the boundary is a `near` drop — a reuse of the materialized pair
+    * table (the dedup stage's standing output; an incremental run
+    * re-signs only the new batch and probes the corpus's band-bucket
+    * index). Output is the per-language ingest ledger: batch size,
+    * drops per channel, survivors — the numbers a crawl-ops dashboard
+    * plots per day.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val isBatch = pmod(col("doc_id"), lit(7)) === 3
+    val batch = docs.filter(isBatch)
+    val fp = md5(substring(col("text"), 1, 40).cast("binary"))
+    val corpusHashes = docs.filter(!isBatch).select(fp.as("h")).distinct()
+    val exactDup = batch.select(col("doc_id"), fp.as("h"))
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(1L))
+    val pairs = simhashPairsMaterialized(spark, sfDir)
+    def inBatch(c: Column): Column = pmod(c, lit(7)) === 3
+    val crossIds = pairs
+      .filter(inBatch(col("d1")) && !inBatch(col("d2")))
+      .select(col("d1").as("doc_id"))
+      .union(pairs.filter(inBatch(col("d2")) && !inBatch(col("d1")))
+        .select(col("d2").as("doc_id")))
+      .distinct().withColumn("near_dup", lit(1L))
+    batch.join(exactDup, Seq("doc_id"), "left")
+      .join(crossIds, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("exact_dup").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("exact_dup").isNull && col("near_dup").isNotNull, 1L)
+          .otherwise(0L)).as("n_near"),
+        sum(when(col("exact_dup").isNull && col("near_dup").isNull, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** SimHash near-dup pair table `(d1, d2)`, materialized once per
+    * session+SF — the standing dedup-stage output that both the
+    * incremental-ingest ledger and the triangle-count diagnostic read
+    * without re-paying signature hashing. */
+  private[ops] def simhashPairsMaterialized(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/simhash_pairs") {
+      dedupSimhash(spark, sfDir).select(col("d1"), col("d2"))
+    }
+
+  private lazy val incrementalDedupOracle =
+    s"""WITH mh AS (SELECT d1, d2 FROM ($dedupSimhashOracle)),
+       |b AS (SELECT doc_id, lang, md5(substr(text, 1, 40)) AS h FROM documents
+       |      WHERE doc_id % 7 = 3),
+       |ch AS (SELECT DISTINCT md5(substr(text, 1, 40)) AS h FROM documents
+       |       WHERE doc_id % 7 <> 3),
+       |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN ch USING (h)),
+       |nd AS (
+       |  SELECT DISTINCT CASE WHEN d1 % 7 = 3 THEN d1 ELSE d2 END AS doc_id
+       |  FROM mh WHERE (d1 % 7 = 3) <> (d2 % 7 = 3))
+       |SELECT lang, COUNT(*) AS n_batch,
+       |       CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_exact,
+       |       CAST(SUM(CASE WHEN ex.doc_id IS NULL AND nd.doc_id IS NOT NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |       CAST(SUM(CASE WHEN ex.doc_id IS NULL AND nd.doc_id IS NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+       |       LEFT JOIN nd ON b.doc_id = nd.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_dedup" -> (incrementalDedup _),
     "q_span_dedup" -> (spanDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_exact" -> (dedupExact _),
@@ -567,6 +652,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_incremental_dedup" -> incrementalDedupOracle,
     "q_span_dedup" -> spanDedupOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_exact" -> dedupExactOracle,

@@ -117,14 +117,8 @@ object GraphOps {
     * already capped by the Hamming-≤3 ball, so id-ordering suffices
     * here and the plan shape is unchanged by that swap.
     */
-  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    graft.etl.Medallion.materializeOnce(spark,
-      s"${graft.etl.Medallion.warehouse(sfDir)}/simhash_pairs") {
-      DedupOps.dedupSimhash(spark, sfDir).select(col("d1"), col("d2"))
-    }
-
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = simhashPairs(spark, sfDir)
+    val e = DedupOps.simhashPairsMaterialized(spark, sfDir)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.d2") === col("e2.d1"))
       .select(col("e1.d1").as("a"), col("e1.d2").as("b"), col("e2.d2").as("c"))
     val tri = wedges.join(e.as("e3"),

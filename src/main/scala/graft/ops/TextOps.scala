@@ -508,17 +508,23 @@ object TextOps {
     * count→merge loop; each iteration is exactly this plan over the
     * re-segmented corpus.
     */
-  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = split(col("text"), " ")
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    // `ws` must be BOUND as a column before the lambda: higher-order-
+    // function lambdas are interpreted, so an inlined split(text) inside
+    // the lambda body would re-tokenize the document once per element
+    // (O(tokens²) splitting — measured 3.3s → 0.6s at sf0.1). The
+    // generator expression itself stays inline (named-array explode
+    // would double-compute it via InferFiltersFromGenerate).
     Tables.documents(spark, sfDir)
-      .select(explode(transform(sequence(lit(0), size(ws) - 2),
-        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
         .as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(30)
-  }
 
   private val bpePairsOracle =
     """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

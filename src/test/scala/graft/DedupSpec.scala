@@ -162,4 +162,31 @@ class DedupSpec extends SparkSpec {
     val totalKept = truth.values.map(_._2).sum
     info(s"${truth.values.map(_._1).sum} spans, $totalKept kept")
   }
+
+  test("incremental dedup ledger matches driver-side recompute") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (batch, corpus) = docs.partition(_._1 % 7 == 3)
+    // exact channel keys on the same 40-char canonical prefix dedupExact uses
+    val corpusTexts = corpus.map(_._3.take(40)).toSet
+    val crossPairs = graft.ops.DedupOps.dedupSimhash(spark, sfSmall)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 7 == 3) != (b % 7 == 3) }
+    val nearIds = crossPairs.map { case (a, b) => if (a % 7 == 3) a else b }.toSet
+    val truth = batch.groupBy(_._2).view.mapValues { rows =>
+      val ex = rows.count(r => corpusTexts.contains(r._3.take(40)))
+      val nr = rows.count(r => !corpusTexts.contains(r._3.take(40)) && nearIds(r._1))
+      (rows.length.toLong, ex.toLong, nr.toLong,
+        rows.length.toLong - ex - nr)
+    }.toMap
+    val got = graft.ops.DedupOps.incrementalDedup(spark, sfSmall).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == truth, s"ledger differs: $got vs $truth")
+    // sanity: the fixture actually exercises both drop channels
+    assert(truth.values.map(_._2).sum > 0, "no exact drops in fixture")
+    assert(truth.values.map(_._3).sum > 0, "no near drops in fixture")
+  }
 }

@@ -209,4 +209,19 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("span dedup: keep-first is hash-aggregated — no sort-window anywhere") {
+    // The skew story, pinned: every duplicate of one span collapses
+    // map-side via min(struct) partial aggregation; a row_number()
+    // window over the span hash would instead sort ALL duplicates of
+    // the hottest key on one reducer. The executed plan must contain
+    // hash aggregates and no Window or Sort-below-aggregate on h.
+    val plan = executed(graft.ops.DedupOps.spanDedup(spark, sfTiny))
+    assert(!plan.contains("Window"),
+      s"span dedup must not plan a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected hash aggregation for keep-first:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"keep-first fell back to sort aggregation:\n$plan")
+  }
 }
