@@ -534,7 +534,66 @@ object TextOps {
       |SELECT pair, COUNT(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------- vocab encode
+  /** Vocabulary build + document encoding — the tokenizer-APPLY step
+    * of a training pipeline: rank the corpus vocabulary by frequency,
+    * keep the top [[VocabSize]] as ids 0..k-1, and re-express every
+    * document as its id sequence (out-of-vocabulary → -1). Output is
+    * the per-doc encoding ledger: token/OOV counts, the first-10-ids
+    * prefix (exact positional order), and the id checksum.
+    *
+    * Scale shape: the vocab build is one partial-aggregated token
+    * count; the rank window runs over the VOCAB-SIZED aggregate (a
+    * dimension — one-partition sort of ~10⁵ rows at web scale, never
+    * the corpus), the dictionary applies as a broadcast map-side join,
+    * and the per-doc re-assembly is the only other corpus shuffle
+    * (collect_list bounded by document length, grouped on doc_id).
+    * Parity: ids are exact integers; the (count DESC, word) rank order
+    * is total, so the id assignment is deterministic in both engines.
+    */
+  private val VocabSize = 24
+
+  def vocabEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val rankW = Window.orderBy(col("c").desc, col("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("id", row_number().over(rankW) - 1)
+      .filter(col("id") < VocabSize)
+      .select(col("w"), col("id"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(struct(col("pos"), col("id")))), 1, 10),
+          s => s.getField("id").cast("string"))).as("ids_prefix"),
+        sum(col("id")).cast("long").as("ids_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val vocabEncodeOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, ws[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       UNNEST(range(1, len(ws)+1)) AS t(i)),
+       |vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+       |vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS id
+       |          FROM vc QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w) <= $VocabSize),
+       |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
+       |        FROM tok t LEFT JOIN vocab v USING (w))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       string_agg(CASE WHEN pos <= 10 THEN CAST(id AS VARCHAR) END,
+       |                  ',' ORDER BY pos) AS ids_prefix,
+       |       CAST(SUM(id) AS BIGINT) AS ids_sum
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_encode" -> (vocabEncode _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
@@ -549,6 +608,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_vocab_encode" -> vocabEncodeOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,

@@ -55,4 +55,24 @@ class TextOpsSpec extends SparkSpec {
     val expected = truth.toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
     assert(top.toSeq == expected, "top-30 ranking differs from recount")
   }
+
+  test("vocab encode == driver-side dictionary build and re-encode") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val counts = docs.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(24).zipWithIndex.map { case ((w, _), i) => w -> i }.toMap
+    val got = TextOps.vocabEncode(spark, sfTiny).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    docs.foreach { case (id, ws) =>
+      val ids = ws.map(w => vocab.getOrElse(w, -1))
+      val want = (ws.size.toLong, ids.count(_ == -1).toLong,
+        ids.take(10).mkString(","), ids.map(_.toLong).sum)
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+    }
+    assert(got.keySet == docs.map(_._1).toSet)
+  }
 }
