@@ -117,8 +117,10 @@ object GraphOps {
     * already capped by the Hamming-≤3 ball, so id-ordering suffices
     * here and the plan shape is unchanged by that swap.
     */
-  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = DedupOps.simhashPairsMaterialized(spark, sfDir)
+  /** Per-node triangle participation over the (d1 < d2) pair table —
+    * shared by [[triangleCount]] (top-k view) and
+    * [[clusteringCoeff]] (ratio to wedge capacity). */
+  private def trianglesPerNode(e: DataFrame): DataFrame = {
     val wedges = e.as("e1").join(e.as("e2"), col("e1.d2") === col("e2.d1"))
       .select(col("e1.d1").as("a"), col("e1.d2").as("b"), col("e2.d2").as("c"))
     val tri = wedges.join(e.as("e3"),
@@ -127,9 +129,54 @@ object GraphOps {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesPerNode(DedupOps.simhashPairsMaterialized(spark, sfDir))
       .orderBy(col("n_triangles").desc, col("doc_id"))
       .limit(20)
+
+  // ---------------------------------------------------- clustering coeff
+  /** Local clustering coefficient over the same near-dup graph:
+    * triangles(n) / C(deg(n), 2) — the fraction of a node's neighbor
+    * pairs that are themselves near-dups. Near 1 marks a true
+    * boilerplate CLIQUE (safe to collapse to one keeper); low values
+    * mark banding chains whose members are not mutually similar — the
+    * per-node version of the wedge-vs-triangle diagnostic. Degrees are
+    * one hash aggregate over both edge orientations; the coefficient
+    * is a long/long double division + 6 dp round, engine-identical.
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.simhashPairsMaterialized(spark, sfDir)
+    val deg = e.select(col("d1").as("doc_id"))
+      .union(e.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(trianglesPerNode(e), Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coeff",
+        round(col("n_triangles").cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)), 6))
+      .select(col("doc_id"), col("deg"), col("n_triangles"), col("coeff"))
+      .orderBy(col("doc_id"))
   }
+
+  private lazy val clusteringCoeffOracle =
+    s"""WITH e AS (SELECT d1, d2 FROM (${DedupOps.dedupSimhashOracle})),
+       |w AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+       |      FROM e e1 JOIN e e2 ON e1.d2 = e2.d1),
+       |t AS (SELECT a, b, c FROM w JOIN e e3 ON w.a = e3.d1 AND w.c = e3.d2),
+       |tri AS (SELECT doc_id, COUNT(*) AS n_triangles
+       |        FROM (SELECT unnest([a, b, c]) AS doc_id FROM t) GROUP BY doc_id),
+       |deg AS (SELECT doc_id, COUNT(*) AS deg
+       |        FROM (SELECT d1 AS doc_id FROM e UNION ALL SELECT d2 FROM e)
+       |        GROUP BY doc_id)
+       |SELECT deg.doc_id, deg.deg,
+       |       COALESCE(tri.n_triangles, 0) AS n_triangles,
+       |       ROUND(CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE) * 2.0 /
+       |             (deg.deg * (deg.deg - 1)), 6) AS coeff
+       |FROM deg LEFT JOIN tri USING (doc_id)
+       |WHERE deg.deg >= 2 ORDER BY deg.doc_id""".stripMargin
 
   private lazy val triangleCountOracle =
     s"""WITH e AS (SELECT d1, d2 FROM (${DedupOps.dedupSimhashOracle})),
@@ -142,11 +189,13 @@ object GraphOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pagerank _),
-    "q_triangle_count" -> (triangleCount _)
+    "q_triangle_count" -> (triangleCount _),
+    "q_clustering_coeff" -> (clusteringCoeff _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
-    "q_triangle_count" -> triangleCountOracle
+    "q_triangle_count" -> triangleCountOracle,
+    "q_clustering_coeff" -> clusteringCoeffOracle
   )
 }

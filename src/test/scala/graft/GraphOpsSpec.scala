@@ -67,5 +67,21 @@ class GraphOpsSpec extends SparkSpec {
       s"triangle top-20 differs: got ${got.take(5)} want ${expected.take(5)}")
     // 3 node slots per triangle: participation mass is divisible by 3
     assert(triPerNode.values.sum % 3 == 0)
+
+    // clustering coefficient: same edge list, ratio to wedge capacity
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotCc = GraphOps.clusteringCoeff(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotCc.keySet == deg.filter(_._2 >= 2).keySet, "node set differs")
+    gotCc.foreach { case (n, (d, t, c)) =>
+      assert(d == deg(n), s"node $n degree $d != ${deg(n)}")
+      assert(t == triPerNode.getOrElse(n, 0L), s"node $n triangles")
+      val want = BigDecimal(t.toDouble * 2.0 / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - want) <= 1e-9, s"node $n coeff $c != $want")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"node $n coeff out of range")
+    }
   }
 }
