@@ -83,6 +83,30 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming incremental dedup — the streaming twin of the batch
+    * ingest ledger (`q_incremental_dedup`): an arriving document is
+    * dropped if its fingerprint already exists in the STATIC corpus
+    * hash set, then first-arrival-deduped within the stream itself.
+    * The corpus probe is a stream-static join (the static side is the
+    * standing corpus index — broadcast here; bucketed and re-read per
+    * micro-batch at 100 TB), written as left-outer + IS NULL because
+    * stream-static LEFT ANTI is not in Spark's supported-join matrix —
+    * the rewrite is the documented equivalent. In-stream dedup state
+    * is watermark-bounded (`dropDuplicatesWithinWatermark`), so total
+    * state is corpus-independent: the stream never holds history the
+    * static index already covers. Appends exactly the rows a daily
+    * ingest would admit to gold.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpusFps: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .join(broadcast(corpusFps.select(col("fp"), lit(1).as("in_corpus"))),
+        Seq("fp"), "left")
+      .filter(col("in_corpus").isNull)
+      .drop("in_corpus")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   // ------------------------------------------------------------------
   /** Native `session_window` sessionization under Structured Streaming —
     * the declarative twin of both the typed [[sessionize]] (explicit

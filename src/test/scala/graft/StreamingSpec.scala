@@ -239,6 +239,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup drops corpus hits then in-stream dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq("aa", "bb").toDF("fp")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "fp", "ts")
+    val q = StreamingOps.incrementalDedupStream(docs, corpus, "1 hour")
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      // "aa" is a corpus hit (dropped), "cc" twice in-batch (first kept),
+      // "dd" is new (kept)
+      input.addData(
+        (1L, "aa", ts("2024-01-01 10:00:00")),
+        (2L, "cc", ts("2024-01-01 10:01:00")),
+        (3L, "cc", ts("2024-01-01 10:02:00")),
+        (4L, "dd", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      // next batch: corpus hit "bb" dropped, "cc" again within the
+      // horizon dropped, "ee" kept
+      input.addData(
+        (5L, "bb", ts("2024-01-01 10:30:00")),
+        (6L, "cc", ts("2024-01-01 10:31:00")),
+        (7L, "ee", ts("2024-01-01 10:32:00")))
+      q.processAllAvailable()
+
+      val kept = spark.table("incdedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(2L, 4L, 7L), s"kept $kept")
+      // equals the batch twin: anti-join the corpus, keep first per fp
+      val rows = Seq((1L, "aa"), (2L, "cc"), (3L, "cc"), (4L, "dd"),
+        (5L, "bb"), (6L, "cc"), (7L, "ee"))
+      val batchKept = rows.toDF("doc_id", "fp")
+        .join(corpus, Seq("fp"), "left_anti")
+        .groupBy($"fp").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == batchKept, s"stream $kept != batch $batchKept")
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental gold converges to the batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
