@@ -534,6 +534,71 @@ object TextOps {
       |SELECT pair, COUNT(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------- bigram LM
+  /** Bigram language-model quality scoring with add-1 smoothing — the
+    * CCNet-style LM filter signal one order up from
+    * [[unigramLogprob]]: per-doc average of
+    * ln p(wᵢ | wᵢ₋₁) = ln (c₂+1)/(c₁+V) under corpus-wide bigram
+    * counts. Low scores mark documents whose word TRANSITIONS are
+    * improbable (shuffled/garbled text that unigram frequencies can't
+    * see).
+    *
+    * Scale shape: the bigram stream is the same map-side bound-array
+    * explode as [[bpePairs]]; both count tables are partial-aggregated
+    * single shuffles. The count joins broadcast here (bigram vocab is
+    * tiny at fixture scale); at web scale c₂ is Zipf-heavy but large —
+    * the joins become ordinary shuffle equi-joins on (w1[,w2]), or the
+    * LM ships as a bucketed standing table, with the plan otherwise
+    * unchanged. Parity: counts and V are exact integers, the smoothed
+    * ratio is one correctly-rounded double division, and each ln is
+    * quantized to integer micro-nats BEFORE the per-doc sum (the
+    * unigram scorer's order-free-reduction doctrine).
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val big = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(ws) - 1),
+        |          i -> struct(element_at(ws, i) AS w1,
+        |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    big.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp_e6",
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+          * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams") / lit(1000000.0), 6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLogprobOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |        FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ws) AS w FROM d)),
+      |sc AS (
+      |  SELECT doc_id,
+      |         CAST(ROUND(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT)
+      |           AS lp_e6
+      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(CAST(SUM(lp_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |         AS avg_logprob
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- vocab encode
   /** Vocabulary build + document encoding — the tokenizer-APPLY step
     * of a training pipeline: rank the corpus vocabulary by frequency,
@@ -593,6 +658,7 @@ object TextOps {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_logprob" -> (bigramLogprob _),
     "q_vocab_encode" -> (vocabEncode _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
@@ -608,6 +674,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bigram_logprob" -> bigramLogprobOracle,
     "q_vocab_encode" -> vocabEncodeOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,

@@ -56,6 +56,33 @@ class TextOpsSpec extends SparkSpec {
     assert(top.toSeq == expected, "top-30 ranking differs from recount")
   }
 
+  test("bigram logprob == driver-side smoothed-LM recompute") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val bigrams = docs.flatMap { case (id, ws) =>
+      ws.sliding(2).collect { case Seq(a, b) => (id, a, b) } }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val v = docs.flatMap(_._2).distinct.length
+    val truth = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val slp = bs.map { case (_, a, b) =>
+        math.round(math.log((c2((a, b)) + 1.0) / (c1(a) + v)) * 1e6)
+      }.sum
+      (bs.length.toLong,
+        BigDecimal(slp.toDouble / bs.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = graft.ops.TextOps.bigramLogprob(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (id, (n, lp)) =>
+      assert(n == truth(id)._1, s"doc $id n_bigrams")
+      assert(math.abs(lp - truth(id)._2) <= 1e-6, s"doc $id: $lp vs ${truth(id)._2}")
+      assert(lp < 0.0, s"doc $id logprob must be negative")
+    }
+  }
+
   test("vocab encode == driver-side dictionary build and re-encode") {
     val docs = Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("text")).collect()
