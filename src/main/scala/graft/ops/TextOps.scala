@@ -517,6 +517,12 @@ object TextOps {
     // would double-compute it via InferFiltersFromGenerate).
     Tables.documents(spark, sfDir)
       .withColumn("ws", split(col("text"), " "))
+      // single-token docs contribute no pairs; the guard matters because
+      // Spark generates sequence(1, 0) DESCENDING ([1, 0] — a phantom
+      // reversed pair) while DuckDB's range(1, 1) is empty. Tested on
+      // text, not size(ws), so the filter can push to the scan without
+      // duplicating the split (PlanSpec pins the single tokenize).
+      .filter(col("text").contains(" "))
       .select(explode(expr(
         """transform(sequence(1, size(ws) - 1),
           |          i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
@@ -557,7 +563,11 @@ object TextOps {
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ws", split(col("text"), " "))
-    val big = docs.select(col("doc_id"), explode(expr(
+    // the space test (not size(ws)) guards Spark's descending
+    // sequence(1, 0) on single-token docs without re-splitting in a
+    // pushed-down filter (DuckDB's range(1, 1) is naturally empty)
+    val big = docs.filter(col("text").contains(" "))
+      .select(col("doc_id"), explode(expr(
       """transform(sequence(1, size(ws) - 1),
         |          i -> struct(element_at(ws, i) AS w1,
         |                      element_at(ws, i + 1) AS w2))""".stripMargin))

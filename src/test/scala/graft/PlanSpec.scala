@@ -210,6 +210,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab encode: the dictionary applies as a broadcast join") {
+    // the corpus must never shuffle on the word key to pick up ids —
+    // the vocab side is dimension-sized by construction (top-k of a
+    // frequency aggregate)
+    val plan = executed(graft.ops.TextOps.vocabEncode(spark, sfTiny))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dictionary join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled on the word key:\n$plan")
+  }
+
   test("BPE pairs: the document is tokenized exactly once in the plan") {
     // The interpreted-lambda trap, pinned: an inlined split(text)
     // inside the transform lambda re-tokenizes the document once per
