@@ -248,7 +248,80 @@ object CatalogOps {
       |  SELECT n_rows, 'o_totalprice', tp_nulls, tp_min, tp_max, tp_ndv FROM s)
       |ORDER BY column_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** PSI drift monitor — the standard ML-ops distribution-shift check:
+    * Population Stability Index of the token-count histogram between
+    * two deterministic halves of the corpus (the stand-in for
+    * yesterday's snapshot vs today's, or train vs serving). Per bin:
+    * counts in each half, add-1-smoothed shares p and q, and the PSI
+    * term (p−q)·ln(p/q); PSI > 0.2 on any feature is the conventional
+    * retrain/investigate trigger. Fixed-width bins with a top
+    * catch-all keep the histogram dimension-sized no matter the
+    * corpus.
+    *
+    * Scale shape: one map-side bin projection + one 8-row conditional
+    * aggregate; the share normalization windows run over the
+    * bin-count aggregate, not the corpus. Parity: counts are exact
+    * longs, shares are correctly-rounded double divisions of exact
+    * ints, and each PSI term quantizes to e6 before the 6 dp output
+    * round (the micro-nat doctrine).
+    */
+  private val PsiBins = 8
+  private val PsiBinWidth = 16L
+
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("grp", when(pmod(col("doc_id"), lit(2)) === 0, "a").otherwise("b"))
+      .withColumn("bin",
+        least(floor(col("n_tok") / PsiBinWidth), lit(PsiBins - 1L)).cast("long"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("grp") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("tot_a", sum(col("n_a")).over(w))
+      .withColumn("tot_b", sum(col("n_b")).over(w))
+      .withColumn("p", (col("n_a") + 1).cast("double") / (col("tot_a") + PsiBins))
+      .withColumn("q", (col("n_b") + 1).cast("double") / (col("tot_b") + PsiBins))
+      .withColumn("psi_e6",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1000000.0), 0)
+          .cast("long"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("psi_e6").cast("double") / 1000000.0, 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val psiDriftOracle =
+    s"""WITH binned AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+       |         LEAST(CAST(FLOOR(len(string_split(text, ' ')) / $PsiBinWidth)
+       |                    AS BIGINT), ${PsiBins - 1}) AS bin
+       |  FROM documents),
+       |c AS (
+       |  SELECT bin,
+       |         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM binned GROUP BY bin),
+       |t AS (
+       |  SELECT *, CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+       |            CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+       |  FROM c),
+       |s AS (
+       |  SELECT bin, n_a, n_b,
+       |         (n_a + 1.0) / (tot_a + $PsiBins) AS p,
+       |         (n_b + 1.0) / (tot_b + $PsiBins) AS q
+       |  FROM t)
+       |SELECT bin, n_a, n_b,
+       |       ROUND(CAST(ROUND((p - q) * ln(p / q) * 1000000.0) AS BIGINT)
+       |             / 1000000.0, 6) AS psi_term
+       |FROM s ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> (psiDrift _),
     "q_catalog_dump" -> (catalogDump _),
     "q_schema_adaptive" -> (schemaAdaptive _),
     "q_dq_checks" -> (dqChecks _),
@@ -256,6 +329,7 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_psi_drift" -> psiDriftOracle,
     "q_catalog_dump" -> catalogDumpOracle,
     "q_schema_adaptive" -> schemaAdaptiveOracle,
     "q_dq_checks" -> dqChecksOracle,
