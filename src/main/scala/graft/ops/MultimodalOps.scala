@@ -185,13 +185,94 @@ object MultimodalOps {
       |        FROM documents))
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Aspect-ratio bucketing — the image-training batching technique
+    * (SDXL-style): each image is assigned to the nearest ratio in a
+    * fixed ladder so a batch shares ONE target resolution and no image
+    * is catastrophically cropped/padded. Per bucket: the member count
+    * and the target (w, h) at a fixed 224² pixel budget, snapped down
+    * to /16 multiples (conv-stride alignment). Everything is exact
+    * integer arithmetic on the e3 ratio lattice — nearest-ladder is an
+    * integer argmin (ties to the wider ratio deliberately: landscape
+    * crops lose less), and target dims are floor(sqrt)·snap on exact
+    * ints — so the oracle is float-noise-free.
+    *
+    * Scale shape: one map-side projection (ratio, bucket, dims) + one
+    * ladder-sized aggregate. The bucket column is exactly what a
+    * training dataloader would `partitionBy` on at write time, so each
+    * shard holds same-shape tensors.
+    */
+  private val RatioLadderE3 = Seq(500L, 750L, 1000L, 1333L, 2000L)
+  private val PixelBudget = 224L * 224L
+
+  def aspectBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    // synthetic dims: the ×7/×13 multipliers spread the derived
+    // ratios across the whole ladder (the plain mods collapse to
+    // ratio 1.0 for every short doc, leaving the ladder untested)
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("blen"))
+      .select(col("doc_id"),
+        (col("blen") * 7 % 640 + 1).cast("long").as("width"),
+        (col("blen") * 13 % 480 + 1).cast("long").as("height"))
+      .withColumn("r_e3", expr("CAST(width * 1000 div height AS BIGINT)"))
+    // integer argmin over the 5-rung ladder; ties break to the WIDER
+    // ratio (the later rung) via strict < on the best-so-far distance
+    val bucket = RatioLadderE3.tail.foldLeft(
+      lit(RatioLadderE3.head)) { (best, rung) =>
+      when(abs(col("r_e3") - rung) <= abs(col("r_e3") - best), lit(rung))
+        .otherwise(best)
+    }
+    meta.withColumn("bucket_e3", bucket)
+      .withColumn("target_h",
+        expr(s"CAST(floor(sqrt($PixelBudget * 1000.0 / bucket_e3)) div 16 * 16 AS BIGINT)"))
+      .withColumn("target_w",
+        expr("CAST(target_h * bucket_e3 div 1000 div 16 * 16 AS BIGINT)"))
+      .groupBy(col("bucket_e3"), col("target_w"), col("target_h"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("r_e3")).as("min_r_e3"),
+        max(col("r_e3")).as("max_r_e3"))
+      .orderBy(col("bucket_e3"))
+  }
+
+  private val aspectBucketsOracle = {
+    // same fold, rendered as nested CASE: rung replaces best when its
+    // distance is <= the best-so-far distance
+    val bucketSql = RatioLadderE3.tail.foldLeft(
+      s"${RatioLadderE3.head}") { (best, rung) =>
+      s"CASE WHEN ABS(r_e3 - $rung) <= ABS(r_e3 - ($best)) THEN $rung ELSE $best END"
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         octet_length(CAST(text AS BLOB)) * 7 % 640 + 1 AS width,
+       |         octet_length(CAST(text AS BLOB)) * 13 % 480 + 1 AS height
+       |  FROM documents),
+       |r AS (SELECT doc_id, width * 1000 // height AS r_e3 FROM m),
+       |b AS (SELECT doc_id, r_e3, $bucketSql AS bucket_e3 FROM r),
+       |t AS (
+       |  SELECT doc_id, r_e3, bucket_e3,
+       |         CAST(FLOOR(SQRT($PixelBudget * 1000.0 / bucket_e3)) AS BIGINT)
+       |           // 16 * 16 AS target_h
+       |  FROM b)
+       |SELECT bucket_e3,
+       |       target_h * bucket_e3 // 1000 // 16 * 16 AS target_w,
+       |       target_h,
+       |       COUNT(*) AS n_images,
+       |       CAST(MIN(r_e3) AS BIGINT) AS min_r_e3,
+       |       CAST(MAX(r_e3) AS BIGINT) AS max_r_e3
+       |FROM t GROUP BY bucket_e3, target_w, target_h
+       |ORDER BY bucket_e3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aspect_buckets" -> (aspectBuckets _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
     "q_frame_sample" -> (frameSample _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_aspect_buckets" -> aspectBucketsOracle,
     "q_media_meta" -> mediaMetaOracle,
     "q_media_decode" -> mediaDecodeOracle,
     "q_frame_sample" -> frameSampleOracle
