@@ -385,7 +385,58 @@ object AggOps {
       |       TRUE AS approx_within_2pct
       |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Robust outlier detection via median ± 3·MAD — the robust twin of
+    * the reference's own avg ± 3σ gold filter (`dags/mitma/
+    * new_gold.py`'s outlier join, J1): the median/MAD pair is immune
+    * to the outliers it hunts, where mean/stddev are dragged by them
+    * (one 1000× spike inflates σ enough to hide real anomalies).
+    * 1.4826·MAD estimates σ under normality, so the 3·MAD gate is the
+    * drop-in robust replacement.
+    *
+    * Scale shape: two exact-percentile passes + the gate count, all
+    * grouped on the same narrow key (exchange reuse); the group
+    * medians broadcast back. At 100 TB the exact `percentile` swaps to
+    * the mergeable GK `approx_percentile` exactly as
+    * [[percentiles]] → [[approxPercentiles]] documents. Parity: the
+    * threshold expression is written token-identically in both
+    * engines, and `percentile` == `quantile_cont` share the linear
+    * interpolation definition.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("flag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = li.join(broadcast(med), Seq("flag"))
+      .withColumn("ad", abs(col("x") - col("med")))
+      .groupBy(col("flag"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"), max(col("med")).as("med"))
+    li.join(broadcast(mad), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("x") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"))
+      .orderBy(col("flag"))
+  }
+
+  private val madOutliersOracle =
+    """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x
+      |            FROM lineitem),
+      |med AS (SELECT flag, quantile_cont(x, 0.5) AS med FROM li GROUP BY flag),
+      |mad AS (SELECT li.flag, quantile_cont(ABS(x - med), 0.5) AS mad,
+      |               MAX(med) AS med
+      |        FROM li JOIN med USING (flag) GROUP BY li.flag)
+      |SELECT flag, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN ABS(x - med) > 3.0 * 1.4826 * mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       ROUND(MAX(med), 4) AS med, ROUND(MAX(mad), 4) AS mad
+      |FROM li JOIN mad USING (flag) GROUP BY flag ORDER BY flag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> (madOutliers _),
     "q_percentiles" -> (percentiles _),
     "q_approx_percentiles" -> (approxPercentiles _),
     "q_approx_distinct" -> (approxDistinct _),
@@ -403,6 +454,7 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mad_outliers" -> madOutliersOracle,
     "q_percentiles" -> percentilesOracle,
     "q_approx_percentiles" -> approxPercentilesOracle,
     "q_approx_distinct" -> approxDistinctOracle,
