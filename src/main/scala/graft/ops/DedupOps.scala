@@ -641,7 +641,105 @@ object DedupOps {
        |       LEFT JOIN nd ON b.doc_id = nd.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Fuzzy-match audit of the near-dup pair graph: Levenshtein edit
+    * distance between the 24-char canonical prefixes of every SimHash
+    * pair, rolled into a distance histogram. The signature channels
+    * (bit votes, bands) say two docs are similar; this asks how
+    * textually tight each pair actually is at the prefix — distance 0
+    * pairs are prefix-exact (the incremental exact channel would also
+    * catch them), the mid-range is true near-dup territory, and a fat
+    * high-distance tail means the banding threshold is too loose.
+    * Also the engine's fuzzy-string-matching surface in one op
+    * (edit-distance joins against reference lists are the classic
+    * data-cleaning ask).
+    *
+    * Scale: the quadratic edit-distance kernel runs ONLY on verified
+    * pairs (bounded by the dedup output, never corpus²) over fixed
+    * 24-char prefixes — O(pairs · 24²); the prefix lookup is two
+    * equi-joins against a two-column projection of the corpus.
+    */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+    simhashPairsMaterialized(spark, sfDir)
+      .join(pre.select(col("doc_id").as("d1"), col("p").as("p1")), Seq("d1"))
+      .join(pre.select(col("doc_id").as("d2"), col("p").as("p2")), Seq("d2"))
+      .groupBy(levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("edit_dist"))
+  }
+
+  private lazy val fuzzyPairsOracle =
+    s"""WITH sh AS (SELECT d1, d2 FROM ($dedupSimhashOracle)),
+       |pre AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents)
+       |SELECT levenshtein(a.p, b.p) AS edit_dist, COUNT(*) AS n_pairs
+       |FROM sh JOIN pre a ON sh.d1 = a.doc_id
+       |        JOIN pre b ON sh.d2 = b.doc_id
+       |GROUP BY edit_dist ORDER BY edit_dist""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Detector agreement matrix — the meta-evaluation a dedup pipeline
+    * owner actually runs: how much do the four near-dup channels
+    * (MinHash+Jaccard, SimHash, n-gram Jaccard, embedding-cosine)
+    * agree on WHICH pairs are duplicates? Each detector's pair set is
+    * tagged with a bit (1/2/4/8) and unioned; one hash aggregate per
+    * (d1, d2) sums the tags into a membership mask (each pair appears
+    * at most once per detector, so the sum IS the bitwise OR), and a
+    * second tiny aggregate counts pairs per mask. Pairs flagged by all
+    * four are certain kills; single-detector masks show each channel's
+    * blind spots and false-positive character.
+    *
+    * Scale: the inputs are the detectors' own (materialized or
+    * session-cached) outputs — pair-table-sized, never corpus² — and
+    * the plan is one union + two hash aggregates.
+    */
+  def detectorAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = Seq(
+      (1L, dedupMinhash(spark, sfDir)),
+      (2L, simhashPairsMaterialized(spark, sfDir)),
+      (4L, dedupNgramJaccard(spark, sfDir)),
+      (8L, SimilarityOps.dedupEmbedding(spark, sfDir)))
+      .map { case (tag, df) =>
+        df.select(col("d1"), col("d2")).withColumn("tag", lit(tag))
+      }.reduce(_ unionByName _)
+    tagged.groupBy(col("d1"), col("d2"))
+      .agg(sum(col("tag")).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("detectors", concat_ws("+",
+        when(col("mask").bitwiseAND(lit(1L)) > 0, "minhash"),
+        when(col("mask").bitwiseAND(lit(2L)) > 0, "simhash"),
+        when(col("mask").bitwiseAND(lit(4L)) > 0, "ngram"),
+        when(col("mask").bitwiseAND(lit(8L)) > 0, "embedding")))
+      .select(col("mask"), col("detectors"), col("n_pairs"))
+      .orderBy(col("mask"))
+  }
+
+  private lazy val detectorAgreementOracle =
+    s"""WITH mh AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |sh AS (SELECT d1, d2 FROM ($dedupSimhashOracle)),
+       |ng AS (SELECT d1, d2 FROM ($dedupNgramJaccardOracle)),
+       |em AS (SELECT d1, d2 FROM (${SimilarityOps.dedupEmbeddingRealOracle})),
+       |u AS (
+       |  SELECT d1, d2, 1 AS tag FROM mh
+       |  UNION ALL SELECT d1, d2, 2 FROM sh
+       |  UNION ALL SELECT d1, d2, 4 FROM ng
+       |  UNION ALL SELECT d1, d2, 8 FROM em),
+       |m AS (SELECT d1, d2, CAST(SUM(tag) AS BIGINT) AS mask
+       |      FROM u GROUP BY d1, d2)
+       |SELECT mask,
+       |       concat_ws('+',
+       |         CASE WHEN mask & 1 > 0 THEN 'minhash' END,
+       |         CASE WHEN mask & 2 > 0 THEN 'simhash' END,
+       |         CASE WHEN mask & 4 > 0 THEN 'ngram' END,
+       |         CASE WHEN mask & 8 > 0 THEN 'embedding' END) AS detectors,
+       |       COUNT(*) AS n_pairs
+       |FROM m GROUP BY mask ORDER BY mask""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_detector_agreement" -> (detectorAgreement _),
+    "q_fuzzy_pairs" -> (fuzzyPairs _),
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_span_dedup" -> (spanDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -652,6 +750,8 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_detector_agreement" -> detectorAgreementOracle,
+    "q_fuzzy_pairs" -> fuzzyPairsOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_span_dedup" -> spanDedupOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
