@@ -609,6 +609,115 @@ object TextOps {
       |         AS avg_logprob
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- PMI collocations
+  /** PMI collocation mining — the classic phrase-discovery statistic:
+    * pointwise mutual information ln(p(w1,w2) / (p(w1)·p(w2))) of each
+    * adjacent pair against independence, with a minimum-support floor
+    * (rare pairs have wildly inflated PMI — the standard guard). The
+    * top collocations are the multi-word expressions a tokenizer or
+    * phrase-embedding stage should treat as units.
+    *
+    * Scale shape: the bigram and token streams are the established
+    * map-side explodes; all three count tables are single
+    * partial-aggregated shuffles; the scalar totals ride a broadcast
+    * crossJoin (A6). PMI quantizes to e6 micro-nats from exact counts
+    * (ratio of correctly-rounded divisions), and top-k is
+    * deterministic under (pmi DESC, pair).
+    */
+  private val PmiMinSupport = 20L
+
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val toks = docs.select(explode(col("ws")).as("w"))
+    val big = docs.filter(col("text").contains(" "))
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = big.agg(count(lit(1)).as("n2"))
+      .crossJoin(toks.agg(count(lit(1)).as("n1")))
+    c2.filter(col("c2") >= PmiMinSupport)
+      .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("ca"))), Seq("w1"))
+      .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_e6",
+        round(log((col("c2").cast("double") / col("n2")) /
+          ((col("ca").cast("double") / col("n1")) *
+            (col("cb").cast("double") / col("n1")))) * lit(1000000.0), 0)
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(col("pmi_e6").cast("double") / 1000000.0, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val pmiCollocationsOracle =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |toks AS (SELECT unnest(ws) AS w FROM d),
+       |big AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |        FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+       |c1 AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT (SELECT COUNT(*) FROM big) AS n2,
+       |               (SELECT COUNT(*) FROM toks) AS n1),
+       |s AS (
+       |  SELECT w1, w2, c2,
+       |         CAST(ROUND(ln((CAST(c2 AS DOUBLE) / n2) /
+       |                       ((CAST(a.c1 AS DOUBLE) / n1) *
+       |                        (CAST(b.c1 AS DOUBLE) / n1))) * 1000000.0)
+       |              AS BIGINT) AS pmi_e6
+       |  FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w
+       |       CROSS JOIN tot
+       |  WHERE c2 >= $PmiMinSupport)
+       |SELECT w1, w2, c2,
+       |       ROUND(CAST(pmi_e6 AS DOUBLE) / 1000000.0, 6) AS pmi
+       |FROM s ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------- lang entropy
+  /** Shannon entropy of the language mix per source — the diversity
+    * metric a corpus curator tracks per provider (entropy 0 =
+    * monolingual feed; ln(5) ≈ 1.609 = uniform over the 5 corpus
+    * languages). One narrow (source, lang) count; each −p·ln(p) term
+    * quantizes to e6 from exact count ratios, so the per-source sum is
+    * exact integer arithmetic (order-free). */
+  def langEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("term_e6",
+        round(col("n").cast("double") / col("tot") *
+          log(col("n").cast("double") / col("tot")) * lit(-1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(sum(col("term_e6")).cast("double") / 1000000.0, 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
+  private val langEntropyOracle =
+    """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+      |           GROUP BY source, lang),
+      |t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+      |      FROM c),
+      |s AS (SELECT source, n,
+      |             CAST(ROUND(CAST(n AS DOUBLE) / tot *
+      |                        ln(CAST(n AS DOUBLE) / tot) * -1000000.0)
+      |                  AS BIGINT) AS term_e6
+      |      FROM t)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |       COUNT(*) AS n_langs,
+      |       ROUND(CAST(SUM(term_e6) AS DOUBLE) / 1000000.0, 6) AS entropy
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- vocab encode
   /** Vocabulary build + document encoding — the tokenizer-APPLY step
     * of a training pipeline: rank the corpus vocabulary by frequency,
@@ -668,6 +777,8 @@ object TextOps {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_collocations" -> (pmiCollocations _),
+    "q_lang_entropy" -> (langEntropy _),
     "q_bigram_logprob" -> (bigramLogprob _),
     "q_vocab_encode" -> (vocabEncode _),
     "q_bpe_pairs" -> (bpePairs _),
@@ -684,6 +795,8 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pmi_collocations" -> pmiCollocationsOracle,
+    "q_lang_entropy" -> langEntropyOracle,
     "q_bigram_logprob" -> bigramLogprobOracle,
     "q_vocab_encode" -> vocabEncodeOracle,
     "q_bpe_pairs" -> bpePairsOracle,
