@@ -190,6 +190,47 @@ object Medallion {
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
   // ------------------------------------------------------------------
+  /** JSONL sharded export — the delivery format of a training-data
+    * pipeline: documents written as hash-sharded JSON-lines
+    * directories (`shard=N/part-*.json`), then READ BACK and audited.
+    * The ledger hashes the round-tripped text (60-bit md5 prefix,
+    * modded to keep the per-shard sum overflow-free), so a mangled
+    * JSON escape, a lost row, or a mis-routed shard all fail the
+    * oracle, which recomputes the same ledger from the source parquet.
+    * At 100 TB this is the writer's actual shape: one hash projection
+    * + a partitioned write (file routing, no extra shuffle), and the
+    * shard column is the reader's unit of parallelism.
+    */
+  def jsonlExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${warehouse(sfDir)}/docs_jsonl"
+    rmTree(spark, out)
+    Tables.documents(spark, sfDir)
+      .withColumn("shard",
+        graft.ops.Parity.mixBucket(col("doc_id"), 2654435761L, 4))
+      .write.partitionBy("shard").mode("overwrite").json(out)
+
+    spark.read.json(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(expr(
+          "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 1000000000"))
+          .cast("long").as("text_csum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val jsonlExportOracle =
+    s"""SELECT ${graft.ops.Parity.mixBucketSql("doc_id", 2654435761L, 4)} AS shard,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       |       CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+       |                % 1000000000) AS BIGINT) AS text_csum,
+       |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Row-level MERGE (upsert): apply an update batch to a keyed table —
     * matched keys get the new row, unmatched update rows insert, all
     * other base rows survive. Implemented the way parquet-era engines
@@ -499,6 +540,7 @@ object Medallion {
     "q_partition_replace" -> (partitionReplace _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_csv_export" -> (csvExport _),
+    "q_jsonl_export" -> (jsonlExport _),
     "q_compaction" -> (compactTable _)
   )
 
@@ -508,6 +550,7 @@ object Medallion {
     "q_partition_replace" -> partitionReplaceOracle,
     "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_export" -> csvExportOracle,
+    "q_jsonl_export" -> jsonlExportOracle,
     "q_compaction" -> compactTableOracle
   )
 }
