@@ -320,7 +320,49 @@ object CatalogOps {
        |             / 1000000.0, 6) AS psi_term
        |FROM s ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** k-anonymity audit — the privacy-release check that complements
+    * PII redaction: before publishing a table, every equivalence class
+    * of the quasi-identifier tuple (here nation × market segment) must
+    * contain at least k rows, or those rows are re-identifiable by
+    * linkage. Per segment: class count, smallest class, classes below
+    * k, and rows at risk (the suppression/generalization worklist).
+    *
+    * Scale shape: one hash aggregate on the quasi-identifier tuple
+    * (the class histogram is dimension-sized), then a tiny conditional
+    * re-aggregate — the same two-level shape as [[dqChecks]]. Exact
+    * integers everywhere.
+    */
+  private val AnonK = 8L
+
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class"),
+        sum(when(col("class_size") < AnonK, 1L).otherwise(0L))
+          .as("n_violating"),
+        sum(when(col("class_size") < AnonK, col("class_size"))
+          .otherwise(0L)).cast("long").as("rows_at_risk"))
+      .orderBy(col("segment"))
+
+  private val kAnonymityOracle =
+    s"""WITH cls AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey,
+       |         COUNT(*) AS class_size
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT segment, COUNT(*) AS n_classes,
+       |       CAST(MIN(class_size) AS BIGINT) AS min_class,
+       |       CAST(SUM(CASE WHEN class_size < $AnonK THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_violating,
+       |       CAST(SUM(CASE WHEN class_size < $AnonK THEN class_size
+       |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
+       |FROM cls GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (kAnonymity _),
     "q_psi_drift" -> (psiDrift _),
     "q_catalog_dump" -> (catalogDump _),
     "q_schema_adaptive" -> (schemaAdaptive _),
@@ -329,6 +371,7 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_k_anonymity" -> kAnonymityOracle,
     "q_psi_drift" -> psiDriftOracle,
     "q_catalog_dump" -> catalogDumpOracle,
     "q_schema_adaptive" -> schemaAdaptiveOracle,
