@@ -737,7 +737,66 @@ object DedupOps {
        |       COUNT(*) AS n_pairs
        |FROM m GROUP BY mask ORDER BY mask""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Dedup APPLY — the pipeline's actual product, not another report:
+    * materialize the deduplicated corpus by keeping exactly one
+    * document (the minimum doc_id — the component label itself under
+    * min-label propagation) per near-dup cluster plus every
+    * unclustered document, write it to the warehouse, and read it BACK
+    * for the per-language ledger with md5 text checksums. A document
+    * wrongly dropped, wrongly kept, or corrupted in the write fails
+    * the oracle, which recomputes keep-set and checksums from the
+    * source parquet through the recursive-CTE clustering.
+    *
+    * Scale shape: the drop list is (clustered nodes − labels) —
+    * pair-graph-sized, so the anti-join broadcasts; the write is the
+    * corpus scan + file routing. This is the job a crawl pipeline runs
+    * nightly after the detection/clustering stages hand over their
+    * materialized tables.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${graft.etl.Medallion.warehouse(sfDir)}/dedup_corpus"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    val drops = connectedComponents(goldPairs(spark, sfDir))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(out)
+
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(expr(
+          "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 1000000000"))
+          .cast("long").as("text_csum"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val dedupApplyOracle =
+    s"""WITH RECURSIVE edges AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |nodes AS (SELECT d1 AS n FROM edges UNION SELECT d2 FROM edges),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+       |reach AS (
+       |  SELECT n AS node, n AS root FROM nodes
+       |  UNION
+       |  SELECT s.b AS node, r.root FROM reach r JOIN sym s ON s.a = r.node),
+       |cl AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node),
+       |drops AS (SELECT node FROM cl WHERE node <> cluster)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       |       CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+       |                % 1000000000) AS BIGINT) AS text_csum
+       |FROM documents d LEFT JOIN drops ON d.doc_id = drops.node
+       |WHERE drops.node IS NULL
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_apply" -> (dedupApply _),
     "q_detector_agreement" -> (detectorAgreement _),
     "q_fuzzy_pairs" -> (fuzzyPairs _),
     "q_incremental_dedup" -> (incrementalDedup _),
@@ -750,6 +809,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_apply" -> dedupApplyOracle,
     "q_detector_agreement" -> detectorAgreementOracle,
     "q_fuzzy_pairs" -> fuzzyPairsOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

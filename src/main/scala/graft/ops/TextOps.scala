@@ -776,7 +776,72 @@ object TextOps {
        |       CAST(SUM(id) AS BIGINT) AS ids_sum
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ temperature sample
+  /** Temperature-mix APPLY — the sampler that realizes
+    * [[temperatureMix]]'s α = 0.5 weights instead of just reporting
+    * them: each language's acceptance rate is its up/down-weighting
+    * factor (temp_weight / token_share) normalized so the most
+    * boosted language keeps everything, quantized to an e6 integer
+    * threshold; a document survives when its Knuth-hash draw falls
+    * under its language's threshold — deterministic, seedless,
+    * engine-reproducible (the [[graft.ops.Parity.mixBucket]]
+    * construction the split/shard writers already use). The ledger
+    * reports per-language kept counts and token mass — the corpus the
+    * next pretraining epoch actually reads.
+    *
+    * Scale shape: the rate table is the 5-row mix aggregate (windows
+    * over it are free), broadcast onto a map-side hash filter; one
+    * conditional aggregate ends the plan. No shuffle touches the
+    * corpus beyond the final per-language rollup.
+    */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = temperatureMix(spark, sfDir)
+      .withColumn("boost", col("temp_weight") / col("token_share"))
+      .withColumn("rate_e6",
+        floor(col("boost") / max(col("boost")).over(wAll) * 1000000.0)
+          .cast("long"))
+      .select(col("lang"), col("rate_e6"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("draw",
+        Parity.mixBucket(col("doc_id"), 2246822519L, 1000000L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("draw") < col("rate_e6"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("rate_e6")).as("rate_e6"),
+        sum(when(col("draw") < col("rate_e6"),
+          size(split(col("text"), " "))).otherwise(0)).cast("long")
+          .as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val temperatureSampleOracle =
+    s"""WITH mix AS ($temperatureMixOracle),
+       |r AS (
+       |  SELECT lang, temp_weight / token_share AS boost FROM mix),
+       |rates AS (
+       |  SELECT lang,
+       |         CAST(FLOOR(boost / MAX(boost) OVER () * 1000000.0) AS BIGINT)
+       |           AS rate_e6
+       |  FROM r),
+       |d AS (
+       |  SELECT d.lang, d.text, rate_e6,
+       |         ${Parity.mixBucketSql("doc_id", 2246822519L, 1000000L)} AS draw
+       |  FROM documents d JOIN rates USING (lang))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN draw < rate_e6 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       MAX(rate_e6) AS rate_e6,
+       |       CAST(SUM(CASE WHEN draw < rate_e6
+       |                     THEN len(string_split(text, ' ')) ELSE 0 END)
+       |            AS BIGINT) AS tokens_kept
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_sample" -> (temperatureSample _),
     "q_pmi_collocations" -> (pmiCollocations _),
     "q_lang_entropy" -> (langEntropy _),
     "q_bigram_logprob" -> (bigramLogprob _),
@@ -795,6 +860,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_temperature_sample" -> temperatureSampleOracle,
     "q_pmi_collocations" -> pmiCollocationsOracle,
     "q_lang_entropy" -> langEntropyOracle,
     "q_bigram_logprob" -> bigramLogprobOracle,
