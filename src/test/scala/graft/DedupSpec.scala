@@ -189,4 +189,21 @@ class DedupSpec extends SparkSpec {
     assert(truth.values.map(_._2).sum > 0, "no exact drops in fixture")
     assert(truth.values.map(_._3).sum > 0, "no near drops in fixture")
   }
+
+  test("dedup apply keeps exactly one doc per cluster plus all unclustered") {
+    val docs = Tables.documents(spark, sfSmall)
+    val total = docs.count()
+    val clusters = graft.ops.DedupOps.dedupClusters(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val clusteredNodes = clusters.map(_._2).sum // n_members per cluster
+    val expectedKept = total - (clusteredNodes - clusters.length)
+    val ledger = graft.ops.DedupOps.dedupApply(spark, sfSmall).collect()
+    assert(ledger.map(_.getLong(1)).sum == expectedKept,
+      s"kept ${ledger.map(_.getLong(1)).sum} != $expectedKept " +
+        s"($total docs, ${clusters.length} clusters, $clusteredNodes members)")
+    // the materialized corpus on disk agrees with the ledger
+    val onDisk = spark.read.parquet(
+      s"${graft.etl.Medallion.warehouse(sfSmall)}/dedup_corpus").count()
+    assert(onDisk == expectedKept, s"disk $onDisk != $expectedKept")
+  }
 }

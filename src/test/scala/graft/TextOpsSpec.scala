@@ -56,6 +56,30 @@ class TextOpsSpec extends SparkSpec {
     assert(top.toSeq == expected, "top-30 ranking differs from recount")
   }
 
+  test("temperature sample: most-boosted language keeps everything") {
+    val mix = TextOps.temperatureMix(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val boosts = mix.view.mapValues { case (share, w) => w / share }.toMap
+    val topLang = boosts.maxBy(_._2)._1
+    val ledger = TextOps.temperatureSample(spark, sfSmall).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // rate_e6 ordering follows the boost ordering; the max-boost
+    // language's rate is the full 1e6 threshold (keeps all docs)
+    assert(ledger(topLang)._3 == 1000000L,
+      s"$topLang rate ${ledger(topLang)._3} != 1e6")
+    assert(ledger(topLang)._1 == ledger(topLang)._2,
+      s"$topLang dropped docs despite rate 1.0")
+    val byBoost = boosts.toSeq.sortBy(_._2).map(_._1)
+    byBoost.sliding(2).foreach { case Seq(a, b) =>
+      assert(ledger(a)._3 <= ledger(b)._3,
+        s"rate not monotone in boost: $a ${ledger(a)._3} > $b ${ledger(b)._3}")
+    }
+    // every language retains at least one doc (rates are e6-floored,
+    // never zero for a 5-language mix)
+    ledger.values.foreach { case (n, kept, _) => assert(kept > 0 && kept <= n) }
+  }
+
   test("bigram logprob == driver-side smoothed-LM recompute") {
     val docs = Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("text")).collect()
