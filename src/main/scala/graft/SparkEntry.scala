@@ -23,6 +23,8 @@ object SparkEntry {
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
+      ops.CurationOps.queries ++
+      ops.RetrievalOps.queries ++
       ops.AnalyticsOps.queries ++
       ops.GraphOps.queries ++
       ops.PipelineOps.queries ++
@@ -59,6 +61,8 @@ object SparkEntry {
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
+      ops.CurationOps.oracles ++
+      ops.RetrievalOps.oracles ++
       ops.AnalyticsOps.oracles ++
       ops.GraphOps.oracles ++
       ops.PipelineOps.oracles ++

@@ -482,7 +482,105 @@ object AnalyticsOps {
        |FROM cell GROUP BY cohort_date ORDER BY cohort_date""".stripMargin
   }
 
+  // ------------------------------------------------------------- SCD2
+  /** Slowly-changing-dimension (type 2) build from the event stream:
+    * per user, each run of consecutive equal event_types collapses into
+    * one VERSION row with [valid_from_ms, valid_to_ms) validity and an
+    * is_current marker on the open-ended last version — the dimension-
+    * table history a lakehouse derives from a change feed (the
+    * MERGE-based upsert in etl/Medallion handles the snapshot side;
+    * this is the full-history side). Change detection is a lag()
+    * inequality, versioning a row_number, expiry a lead() — three
+    * window functions over ONE (user_id, ms, event_id) sort, so the
+    * whole build is a single exchange+sort per key even at 100 TB
+    * (windows over the same partitioning/ordering share one Sort).
+    * Millisecond epoch longs keep both engines on exact integer time
+    * (ns parquet time is truncated identically via Tables.events).
+    * Scoped to user_id ≤ 10 to keep the verify surface compact; the
+    * plan is user-count-independent.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") <= 10)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+    ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events WHERE user_id <= 10),
+      |ch AS (SELECT * FROM ev WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version,
+      |       event_type, ms AS valid_from_ms,
+      |       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+      |       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
+      |FROM ch ORDER BY user_id, version""".stripMargin
+
+  // ------------------------------------------------------------- EWMA
+  /** Exponentially-weighted moving average per user — the order-
+    * sensitive sequential fold a window frame cannot express (each step
+    * depends on the previous RESULT, not a frame of inputs):
+    * s₁ = v₁, sₜ = sₜ₋₁ + α·(vₜ − sₜ₋₁) with α = 0.25. The per-user
+    * event sequence is collected and time-sorted ONCE (array_sort on
+    * (ms, event_id, value) structs — deterministic total order), then
+    * folded with the `aggregate` higher-order function seeded from the
+    * first element.
+    *
+    * Parity: both engines run the IDENTICAL left-to-right fold — Spark
+    * `aggregate(slice(vs,2,…), vs[1], …)`, DuckDB `list_reduce` (which
+    * seeds from the first element by definition) — with the same
+    * `acc + 0.25·(v − acc)` operation order, so every intermediate
+    * double is bit-identical (the [[SimilarityOps]] VecDot/list_reduce
+    * construction applied to a scalar recurrence). α = 0.25 is exactly
+    * representable; no rounding enters until the final 6 dp.
+    *
+    * Scale shape: one groupBy(user) shuffle of (ms, event_id, value)
+    * triples; per-user state is the user's own event list — the same
+    * per-key memory contract as the sessionizer. A 100 TB variant
+    * bounds the list with a time horizon (EWMA forgets geometrically:
+    * events older than ~5/α steps contribute < 1e-6 of the weight).
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ms"), col("event_id"),
+          col("value")))).as("arr"))
+      .withColumn("vs", expr("transform(arr, x -> x.value)"))
+      .select(col("user_id"), col("n_events"),
+        round(expr(
+          "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1)," +
+            " (acc, v) -> acc + 0.25D * (v - acc))"), 6).as("ewma"))
+      .orderBy(col("user_id"))
+
+  private val ewmaOracle =
+    """WITH o AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |         list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |       ROUND(list_reduce(vs, (acc, v) -> acc + 0.25 * (v - acc)), 6) AS ewma
+      |FROM o ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2 _),
+    "q_ewma" -> (ewma _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_retention_matrix" -> (retentionMatrix _),
     "q_range_frame" -> (rangeFrame _),
@@ -500,6 +598,8 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_scd2" -> scd2Oracle,
+    "q_ewma" -> ewmaOracle,
     "q_cohort_retention" -> cohortRetentionOracle,
     "q_retention_matrix" -> retentionMatrixOracle,
     "q_range_frame" -> rangeFrameOracle,

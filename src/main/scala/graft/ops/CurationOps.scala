@@ -1,0 +1,369 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators — the data-SELECTION layer of a training
+  * pipeline, downstream of the cleaning/dedup families in TextOps /
+  * DedupOps: importance-weighted selection toward a target distribution
+  * (the DSIR construction), budgeted top-p selection, sketch-based
+  * frequency monitoring, normalization-aware duplicate accounting, and
+  * capacity-capped mixture allocation.
+  *
+  * All five are single-digit-shuffle plans over the token stream or its
+  * vocab-sized aggregate, with every cross-engine comparison pushed onto
+  * integer lattices (micro-nat quantization before any sum; half-up /
+  * floor integer division instead of float division) so the DuckDB
+  * oracle hash-matches by exact arithmetic, not by luck — the same
+  * parity discipline as [[TextOps]] (see unigramLogprob/temperatureMix).
+  */
+object CurationOps {
+
+  // ------------------------------------------------------ DSIR weights
+  /** Importance weights for data selection (the DSIR construction —
+    * Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * unigrams are under a TARGET distribution (here: the English slice,
+    * the largest lang) than under the full-corpus distribution,
+    * log w(d) = Σ_t n_t(d)·[ln p̂_tgt(t) − ln p̂_all(t)] with add-1
+    * smoothing over the shared vocab. High-weight docs "look like" the
+    * target; resampling by these weights steers a 100 TB crawl toward a
+    * curated domain without training a classifier.
+    *
+    * Scale shape: ONE token explode feeds a vocab-sized groupBy that
+    * counts target and corpus occurrences in the same pass (conditional
+    * aggregation — no second scan); totals are a one-row aggregate OF
+    * the vocab table, not the stream. The per-term log-ratio is
+    * quantized to integer micro-nats and broadcast back, so the per-doc
+    * reduction is an exact integer sum — order-free, partial-agg'd,
+    * skew-irrelevant. The corpus shuffles once (doc_id), the vocab twice
+    * (tiny). Parity: both engines evaluate the same two-ln expression
+    * tree on exact integer inputs; ≤1-ulp ln noise is absorbed by the
+    * e6 round except at exact half-boundaries (same accepted risk as
+    * unigramLogprob, green since round 4).
+    */
+  private val DsirTarget = "en"
+
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+    val freqs = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_all"),
+        sum(when(col("lang") === DsirTarget, 1L).otherwise(0L)).as("tf_tgt"))
+    val tot = freqs.agg(sum(col("tf_all")).as("n_all"),
+      sum(col("tf_tgt")).as("n_tgt"), count(lit(1)).as("vocab"))
+    val lr = freqs.crossJoin(broadcast(tot))
+      .withColumn("lr_e6",
+        round((log((col("tf_tgt") + lit(1L)).cast("double") /
+            (col("n_tgt") + col("vocab"))) -
+          log((col("tf_all") + lit(1L)).cast("double") /
+            (col("n_all") + col("vocab")))) * lit(1000000.0), 0)
+          .cast("long"))
+      .select(col("term"), col("lr_e6"))
+    toks.join(broadcast(lr), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_e6")).as("slr"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("slr").cast("double") / col("n_tok") / lit(1000000.0), 6)
+          .as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val importanceWeightsOracle =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |freqs AS (SELECT term, COUNT(*) AS tf_all,
+       |                 CAST(SUM(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS tf_tgt
+       |          FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf_all) AS BIGINT) AS n_all,
+       |               CAST(SUM(tf_tgt) AS BIGINT) AS n_tgt,
+       |               COUNT(*) AS vocab
+       |        FROM freqs),
+       |lr AS (SELECT term,
+       |              CAST(ROUND((ln(CAST(tf_tgt + 1 AS DOUBLE) / (n_tgt + vocab)) -
+       |                          ln(CAST(tf_all + 1 AS DOUBLE) / (n_all + vocab)))
+       |                         * 1000000.0) AS BIGINT) AS lr_e6
+       |       FROM freqs CROSS JOIN tot)
+       |SELECT doc_id, lang, COUNT(*) AS n_tok,
+       |       ROUND(CAST(SUM(lr_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |         AS dsir_w
+       |FROM toks JOIN lr USING (term)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- nucleus filter
+  /** Budgeted top-p ("nucleus") selection per language: rank each
+    * language's documents by token mass (desc, doc_id tiebreak) and keep
+    * the head whose cumulative mass stays within 80% of the language
+    * total — the "keep the bulk, drop the long tail" selection rule a
+    * pipeline applies per stratum when the token budget is a fraction of
+    * the crawl. The 80% gate is the EXACT integer predicate
+    * 5·cum ≤ 4·tot — no float share, no rounding boundary.
+    *
+    * Scale shape: one narrow row per doc (id, lang, token count) is all
+    * that sorts — the text never moves. Per-lang cumulative sums are a
+    * sort-window within each language partition; languages are few and
+    * internally large, and at 100 TB the ranking would run per-lang on
+    * the token-count column only (a secondary-sort shuffle of ~12-byte
+    * rows), then the keep set joins back by doc_id. The report
+    * aggregates per lang, so output is |langs| rows.
+    */
+  def nucleusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val wCum = Window.partitionBy(col("lang"))
+      .orderBy(col("tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    d.withColumn("cum", sum(col("tok")).over(wCum))
+      .withColumn("tot", sum(col("tok")).over(wTot))
+      .withColumn("keep", col("cum") * 5 <= col("tot") * 4)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("tok")).as("tokens_total"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("coverage",
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6))
+      .orderBy(col("lang"))
+  }
+
+  private val nucleusFilterOracle =
+    """WITH d AS (SELECT doc_id, lang,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |ranked AS (
+      |  SELECT lang, tok,
+      |         SUM(tok) OVER (PARTITION BY lang ORDER BY tok DESC, doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         SUM(tok) OVER (PARTITION BY lang) AS tot
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN cum * 5 <= tot * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+      |       CAST(SUM(CASE WHEN cum * 5 <= tot * 4 THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |       ROUND(CAST(SUM(CASE WHEN cum * 5 <= tot * 4 THEN tok ELSE 0 END) AS DOUBLE) /
+      |             SUM(tok), 6) AS coverage
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- count-min sketch
+  /** Count-min sketch frequency estimation — the mergeable fixed-memory
+    * counter matrix (Cormode & Muthukrishnan 2005) that complements the
+    * Misra-Gries pass in [[TextOps.heavyHitters]]: d=3 hash rows × w=256
+    * buckets of integer sums; est(t) = min over rows of the t-bucket
+    * sum, an overestimate by construction (est ≥ exact, never under).
+    * The report probes the 20 most frequent terms and shows exact count,
+    * CMS estimate, and collision overcount — the sketch-accuracy
+    * monitor a streaming frequency service exposes.
+    *
+    * Scale shape: the sketch is built from the VOCAB-SIZED term-count
+    * table (count once, then hash the distinct terms), not by exploding
+    * every token 3×; the d×w matrix is d·w rows — broadcastable
+    * anywhere, and at 100 TB each partition's partial matrix merges by
+    * cell-wise sum (the whole point of CMS). Hashing: the term's 60-bit
+    * md5 prefix through [[Parity.mixBucket]] with three fixed odd
+    * multipliers — deterministic, engine-identical, overflow-masked.
+    * All arithmetic is integer; no float appears anywhere.
+    *
+    * w = 8 is deliberately NARROW relative to the fixture's 31-term
+    * vocab so the collision path is actually exercised (every probed
+    * term shows a positive overcount; at w = 256 the fixture sketch
+    * was exact and the min/overcount machinery untested). Production
+    * sizing is w ≈ e/ε for additive error ε·N — the same plan with a
+    * wider matrix.
+    */
+  private val CmsW = 8L
+  private val CmsKs = Seq(2654435761L, 2246822519L, 3266489917L)
+  private val CmsTopN = 20
+
+  def cmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+    val cms = CmsKs.zipWithIndex.map { case (k, i) =>
+      cnts.select(lit(i).as("r"), Parity.mixBucket(col("h"), k, CmsW).as("b"),
+        col("cnt"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("bsum"))
+    val top = cnts.orderBy(col("cnt").desc, col("term")).limit(CmsTopN)
+    CmsKs.zipWithIndex.map { case (k, i) =>
+      top.select(col("term"), col("cnt"), lit(i).as("r"),
+        Parity.mixBucket(col("h"), k, CmsW).as("b"))
+    }.reduce(_ unionAll _)
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("bsum")).as("est"))
+      .select(col("term"), col("cnt").as("exact"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
+  private val cmsFreqOracle = {
+    def mix(k: Long) = Parity.mixBucketSql("h", k, CmsW)
+    val rows = CmsKs.zipWithIndex
+    s"""WITH cnts AS (
+       |  SELECT term, COUNT(*) AS cnt,
+       |         CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       |cms AS (
+       |  SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS bsum FROM (
+       |    ${rows.map { case (k, i) =>
+             s"SELECT $i AS r, ${mix(k)} AS b, cnt FROM cnts" }
+             .mkString("\n    UNION ALL ")})
+       |  GROUP BY r, b),
+       |top AS (SELECT term, cnt, h FROM cnts ORDER BY cnt DESC, term LIMIT $CmsTopN),
+       |probes AS (
+       |  ${rows.map { case (k, i) =>
+            s"SELECT term, cnt, $i AS r, ${mix(k)} AS b FROM top" }
+            .mkString("\n  UNION ALL ")})
+       |SELECT term, cnt AS exact, MIN(bsum) AS est, MIN(bsum) - cnt AS overcount
+       |FROM probes JOIN cms USING (r, b)
+       |GROUP BY term, cnt
+       |ORDER BY exact DESC, term""".stripMargin
+  }
+
+  // ------------------------------------------------ normalization dedup
+  /** Normalization-aware duplicate accounting — a three-level collapse
+    * funnel per language: raw docs → distinct under ccnet/C4-style
+    * canonical normalization (lowercase, non-alphanumerics → space,
+    * whitespace squeezed — catches case/punctuation variants) →
+    * distinct under the word-order-insensitive BAG fingerprint (the
+    * sorted token multiset — catches shuffled boilerplate). Each level
+    * is a strictly weaker equality, so n_docs ≥ n_norm ≥ n_bag holds
+    * by construction; the fixture corpus is dup-free at every level
+    * (honest zeros — the injected-dup fixtures in DedupOps exercise
+    * the positive path).
+    *
+    * Scale shape: normalization is map-side string work; the count is
+    * one COUNT(DISTINCT md5) per lang — Spark plans distinct-aggregate
+    * as a two-phase partial expand on (lang, hash), so the wide text
+    * never shuffles, only 16-byte digests. Parity: both regex engines
+    * apply the same two global substitutions (Spark replaces all
+    * matches by default; DuckDB needs the explicit 'g' flag — spelled
+    * in the oracle).
+    */
+  def normalizeDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      // word-order-insensitive fingerprint: the sorted token multiset
+      .withColumn("bag",
+        concat_ws(" ", array_sort(split(col("norm"), " "))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("norm").cast("binary"))).as("n_norm"),
+        countDistinct(md5(col("bag").cast("binary"))).as("n_bag"))
+      .withColumn("n_dup", col("n_docs") - col("n_bag"))
+      .orderBy(col("lang"))
+
+  private val normalizeDedupOracle =
+    """WITH n AS (
+      |  SELECT lang,
+      |         trim(regexp_replace(regexp_replace(
+      |           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       COUNT(DISTINCT md5(norm)) AS n_norm,
+      |       COUNT(DISTINCT md5(array_to_string(
+      |         list_sort(string_split(norm, ' ')), ' '))) AS n_bag,
+      |       COUNT(*) - COUNT(DISTINCT md5(array_to_string(
+      |         list_sort(string_split(norm, ' ')), ' '))) AS n_dup
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------ epoch-capped mixing
+  /** Capacity-capped mixture allocation: distribute a token budget
+    * (95% of the corpus) across sources proportionally to sqrt-scaled
+    * weights (the α=0.5 temperature rule of [[TextOps.temperatureMix]],
+    * now applied to SOURCES), but never allocating a source more than
+    * one epoch of its own tokens — the "max k epochs per source" rule
+    * every mixture designer enforces so upsampled small sources don't
+    * repeat into memorization. Two relational passes: proportional
+    * allocation with the cap applied, then the unspent remainder
+    * redistributed over the uncapped sources by the same weights (one
+    * round of water-filling; a tiny residual can stay unallocated and
+    * is visible as Σalloc < budget — the honest fixed-pass semantics).
+    *
+    * Exactness: weights live on the e6 sqrt lattice (IEEE sqrt is
+    * correctly rounded ⇒ engine-identical); every allocation is a
+    * floor division of a DECIMAL(38,0)/HUGEINT product — 128-bit exact
+    * in BOTH engines, so there is no long-overflow ceiling until 1e38
+    * (the earlier long-lattice ops document ~2^63 bounds; decimal
+    * arithmetic removes the concern for this one). Both passes are
+    * broadcast joins of one-row aggregates against |sources| rows —
+    * driver-free, and at 100 TB still |sources|-sized.
+    */
+  def epochCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("cap"))
+      .withColumn("w_e6",
+        round(sqrt(col("cap").cast("double")) * lit(1000000.0), 0).cast("long"))
+    val tot = per.agg(sum(col("cap")).as("tot_cap"), sum(col("w_e6")).as("tot_w"))
+    val p1 = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot_cap * 19 div 20"))
+      .withColumn("raw", expr("CAST(w_e6 AS DECIMAL(38,0)) * budget div tot_w"))
+      .withColumn("a1", least(col("raw"), col("cap")))
+      .withColumn("pinned", col("raw") > col("cap"))
+    val s1 = p1.agg(sum(col("a1")).as("alloc1"),
+      sum(when(!col("pinned"), col("w_e6")).otherwise(0L)).as("w_un"))
+    p1.crossJoin(broadcast(s1))
+      .withColumn("add", when(col("pinned") || col("w_un") === 0L, 0L)
+        .otherwise(expr(
+          "CAST(w_e6 AS DECIMAL(38,0)) * (budget - alloc1) div w_un")))
+      .withColumn("alloc", least(col("cap"), col("a1") + col("add")))
+      .select(col("source"), col("cap"), col("alloc"), col("pinned"),
+        expr("CAST(alloc AS DECIMAL(38,0)) * 1000000 div cap").as("epochs_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val epochCapOracle =
+    """WITH per AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, cap,
+      |             CAST(ROUND(sqrt(CAST(cap AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+      |      FROM per),
+      |tot AS (SELECT CAST(SUM(cap) AS BIGINT) AS tot_cap,
+      |               CAST(SUM(w_e6) AS BIGINT) AS tot_w FROM w),
+      |p1 AS (
+      |  SELECT source, cap, w_e6, tot_w, tot_cap * 19 // 20 AS budget,
+      |         CAST(CAST(w_e6 AS HUGEINT) * (tot_cap * 19 // 20) // tot_w AS BIGINT) AS raw
+      |  FROM w CROSS JOIN tot),
+      |p1b AS (SELECT *, LEAST(raw, cap) AS a1, raw > cap AS pinned FROM p1),
+      |s1 AS (SELECT CAST(SUM(a1) AS BIGINT) AS alloc1,
+      |              CAST(SUM(CASE WHEN NOT pinned THEN w_e6 ELSE 0 END) AS BIGINT) AS w_un
+      |       FROM p1b)
+      |SELECT source, cap,
+      |       LEAST(cap, a1 + CASE WHEN pinned OR w_un = 0 THEN 0
+      |             ELSE CAST(CAST(w_e6 AS HUGEINT) * (budget - alloc1) // w_un AS BIGINT)
+      |             END) AS alloc,
+      |       pinned,
+      |       CAST(CAST(LEAST(cap, a1 + CASE WHEN pinned OR w_un = 0 THEN 0
+      |             ELSE CAST(CAST(w_e6 AS HUGEINT) * (budget - alloc1) // w_un AS BIGINT)
+      |             END) AS HUGEINT) * 1000000 // cap AS BIGINT) AS epochs_e6
+      |FROM p1b CROSS JOIN s1 ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_importance_weights" -> (importanceWeights _),
+    "q_nucleus_filter" -> (nucleusFilter _),
+    "q_cms_freq" -> (cmsFreq _),
+    "q_normalize_dedup" -> (normalizeDedup _),
+    "q_epoch_cap" -> (epochCap _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_importance_weights" -> importanceWeightsOracle,
+    "q_nucleus_filter" -> nucleusFilterOracle,
+    "q_cms_freq" -> cmsFreqOracle,
+    "q_normalize_dedup" -> normalizeDedupOracle,
+    "q_epoch_cap" -> epochCapOracle
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExprs
+
+/** Hybrid retrieval — the fusion layer on top of the lexical
+  * ([[TextOps.bm25]]) and semantic ([[SimilarityOps]]) scorers: one
+  * ranked list from each modality, combined by reciprocal-rank fusion.
+  * Documents and embeddings share the id space (doc_id ≡ vec_id in the
+  * synthetic corpus), which is exactly the layout of a production
+  * doc-store + vector-index pair.
+  */
+object RetrievalOps {
+
+  /** RRF constant (Cormack et al. 2009 use k=60; it damps the head so
+    * one list's #1 can't drown the other list's consensus). */
+  private val RrfK = 60
+  private val ListK = 50
+  private val OutK = 20
+
+  // ------------------------------------------------------- RRF fusion
+  /** Reciprocal-rank fusion of the BM25 ranking (fixed query-term set)
+    * with the cosine ranking for query vector 0:
+    * score(d) = Σ_lists 1/(60 + rank_list(d)), missing-from-list
+    * contributing 0 — the standard score-free list fusion (rank-only,
+    * so BM25 and cosine calibration never need to agree). Top-[[OutK]]
+    * fused docs with both source ranks, null where a doc appears in
+    * only one list (full-outer semantics).
+    *
+    * Parity: ranks are integers, so each reciprocal lives on the exact
+    * integer lattice 1000000 div (60+rank) — floor division in both
+    * engines, summed as longs; no float enters the fusion.
+    *
+    * Scale shape: each side reduces to its own top-[[ListK]] BEFORE the
+    * fusion join — the fused relation is ≤ 2·[[ListK]] rows per query
+    * regardless of corpus size, so the full-outer join and the final
+    * rank are noise. The corpus-scale work happens inside the two
+    * operands (BM25's term-filtered explode, the ANN scan — each
+    * already adjudicated); the single-partition ranking windows here
+    * order ≤ [[ListK]]-row lists, the same sanctioned pattern as the
+    * per-query top-k in SimilarityOps. At 100 TB the semantic side
+    * would read the IVF/PQ index rather than brute-force — the fusion
+    * layer is unchanged, which is the point of rank-only fusion.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val lex = TextOps.bm25(spark, sfDir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= ListK)
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val sem = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", expr(
+        "vec_dot(qv, embedding) / (sqrt(vec_dot(qv, qv)) * sqrt(vec_dot(embedding, embedding)))"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("sem_rank") <= ListK)
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + sem_rank)"), lit(0L)))
+      .withColumn("frank", row_number().over(
+        Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
+      .filter(col("frank") <= OutK)
+      .select(col("frank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_e6"))
+      .orderBy(col("frank"))
+  }
+
+  private lazy val rrfFusionOracle =
+    s"""WITH bm AS (${TextOps.bm25Oracle}),
+       |lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM bm) WHERE lex_rank <= $ListK),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT vec_id AS doc_id,
+       |           ROW_NUMBER() OVER (
+       |             ORDER BY ${SimilarityOps.cosineSql("qv", "embedding")} DESC,
+       |             vec_id) AS sem_rank
+       |    FROM embeddings CROSS JOIN q WHERE vec_id <> 0) WHERE sem_rank <= $ListK),
+       |fused AS (
+       |  SELECT doc_id, lex_rank, sem_rank,
+       |         COALESCE(1000000 // ($RrfK + lex_rank), 0) +
+       |         COALESCE(1000000 // ($RrfK + sem_rank), 0) AS rrf_e6
+       |  FROM lex FULL JOIN sem USING (doc_id))
+       |SELECT frank, doc_id, lex_rank, sem_rank, rrf_e6 FROM (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS frank, *
+       |  FROM fused) WHERE frank <= $OutK ORDER BY frank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf_fusion" -> (rrfFusion _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_rrf_fusion" -> rrfFusionOracle
+  )
+}

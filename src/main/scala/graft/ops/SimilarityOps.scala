@@ -40,11 +40,11 @@ object SimilarityOps {
     * folds sequentially, mirroring VecDot's loop exactly. (Initial value
     * differs — VecDot starts at 0.0, list_reduce at v1 — but 0.0+v1 == v1
     * in IEEE, so the partial-sum sequences are identical.) */
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), " +
       s"x -> x[1] * x[2]), (acc, v) -> acc + v)"
 
-  private def cosineSql(a: String, b: String): String =
+  private[ops] def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Embeddings with the norm precomputed once per vector. */

@@ -281,7 +281,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val bm25Oracle =
+  private[ops] val bm25Oracle =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |              FROM documents),

@@ -148,4 +148,54 @@ class AnalyticsOpsSpec extends SparkSpec {
         r.getLong(4) <= r.getLong(1), s"cohort $c retains more than size")
     }
   }
+
+  test("SCD2: versions contiguous, intervals chain, one open row per user") {
+    val rows = AnalyticsOps.scd2(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length),
+        s"user $u versions not contiguous")
+      // exactly one open-ended current version, and it is the last
+      assert(vs.count(_._6) == 1, s"user $u current-count != 1")
+      assert(sorted.last._6 && sorted.last._5.isEmpty,
+        s"user $u last version not the open one")
+      sorted.init.foreach { v =>
+        assert(!v._6 && v._5.nonEmpty, s"user $u closed version marked current") }
+      // intervals chain: each valid_to equals the next valid_from, and
+      // consecutive versions really changed type
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5.contains(b._4),
+          s"user $u: version ${a._2} valid_to ${a._5} != next from ${b._4}")
+        assert(a._3 != b._3, s"user $u: consecutive versions same type")
+      }
+    }
+  }
+
+  test("EWMA == driver-side sequential fold on time-sorted values") {
+    val truth = Tables.events(spark, sfTiny)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues { es =>
+        val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+        val folded = vs.tail.foldLeft(vs.head)((acc, v) => acc + 0.25 * (v - acc))
+        (es.length.toLong,
+          BigDecimal(folded).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          vs.min, vs.max)
+      }.toMap
+    val got = AnalyticsOps.ewma(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (u, (n, e)) =>
+      val (tn, te, lo, hi) = truth(u)
+      assert(n == tn, s"user $u event count")
+      assert(math.abs(e - te) <= 1e-6, s"user $u: $e != $te")
+      // an average-of-observations stays inside the observed range
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"user $u EWMA outside range")
+    }
+  }
 }
