@@ -182,21 +182,21 @@ object CurationOps {
   private val CmsTopN = 20
 
   def cmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    // d rows per term via ONE posexplode generator, not a d-leg union
+    // (each union leg re-ran the corpus token explode: 6 scans; this
+    // shape is one scan per consumer)
+    def buckets = array(CmsKs.map(k => Parity.mixBucket(col("h"), k, CmsW)): _*)
     val cnts = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", expr(
         "CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
-    val cms = CmsKs.zipWithIndex.map { case (k, i) =>
-      cnts.select(lit(i).as("r"), Parity.mixBucket(col("h"), k, CmsW).as("b"),
-        col("cnt"))
-    }.reduce(_ unionAll _)
-      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("bsum"))
-    val top = cnts.orderBy(col("cnt").desc, col("term")).limit(CmsTopN)
-    CmsKs.zipWithIndex.map { case (k, i) =>
-      top.select(col("term"), col("cnt"), lit(i).as("r"),
-        Parity.mixBucket(col("h"), k, CmsW).as("b"))
-    }.reduce(_ unionAll _)
+    val cms = cnts.select(col("cnt"), posexplode(buckets))
+      .groupBy(col("pos").as("r"), col("col").as("b"))
+      .agg(sum(col("cnt")).as("bsum"))
+    cnts.orderBy(col("cnt").desc, col("term")).limit(CmsTopN)
+      .select(col("term"), col("cnt"), posexplode(buckets))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "b")
       .join(broadcast(cms), Seq("r", "b"))
       .groupBy(col("term"), col("cnt"))
       .agg(min(col("bsum")).as("est"))
@@ -351,7 +351,159 @@ object CurationOps {
       |             END) AS HUGEINT) * 1000000 // cap AS BIGINT) AS epochs_e6
       |FROM p1b CROSS JOIN s1 ORDER BY source""".stripMargin
 
+  // --------------------------------------------- DSIR resampling apply
+  /** The APPLY stage of DSIR — [[importanceWeights]] realized as an
+    * actual sample (the report becomes a product, the dedupApply/
+    * temperatureSample discipline): systematic resampling of ~[[DsirK]]
+    * picks with inclusion mass ∝ exp(log w). Systematic (stride)
+    * resampling is the deterministic low-variance scheme from the
+    * particle-filter literature: lay the docs on a weight line, take
+    * every (W/K)-th position starting at W/K/2 — no RNG, every pick
+    * decided by exact integer interval arithmetic, and multiplicity
+    * (a doc straddling several strides is picked several times) falls
+    * out of the same floor-division formula.
+    *
+    * Scale shape: the weight line needs a GLOBAL prefix sum — computed
+    * as the scalable two-phase form, not a single-partition window:
+    * per-chunk window cumsums run in parallel (chunk = doc_id div 100),
+    * then a chunk-offset table (|corpus|/100 rows) cumsums once and
+    * broadcasts back. Both floor-division numerators are kept
+    * strictly positive (shift by +step) because Spark `div` truncates
+    * toward zero while DuckDB `//` floors — identical only off the
+    * negatives. The report aggregates per lang: the up/down-weighting
+    * DIRECTION (target-lang pick share vs doc share) is the property
+    * the spec pins.
+    */
+  private val DsirK = 100L
+  private val DsirChunk = 100L
+
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = importanceWeights(spark, sfDir)
+      .withColumn("w_e6",
+        greatest(lit(1L), round(exp(col("dsir_w")) * lit(1000000.0), 0)
+          .cast("long")))
+      .withColumn("chunk", expr(s"doc_id div $DsirChunk"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inChunk = w.withColumn("wcum", sum(col("w_e6")).over(wIn))
+    val chunkTot = w.groupBy(col("chunk"))
+      .agg(sum(col("w_e6")).as("csum"))
+    val wCh = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = chunkTot
+      .withColumn("coff", sum(col("csum")).over(wCh) - col("csum"))
+      .select(col("chunk"), col("coff"))
+    val tot = chunkTot.agg(sum(col("csum")).as("wtot"))
+    val picked = inChunk
+      .join(broadcast(offsets), Seq("chunk"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("coff") + col("wcum"))
+      .withColumn("step", expr(s"wtot div $DsirK"))
+      .withColumn("start", expr("step div 2"))
+      .withColumn("picks",
+        expr("(cum - start + step) div step - (cum - w_e6 - start + step) div step"))
+    picked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("picks") > 0L, 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("picks")).as("n_picks"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()), 6))
+      .withColumn("pick_share",
+        round(col("n_picks").cast("double") /
+          sum(col("n_picks")).over(Window.partitionBy()), 6))
+      .orderBy(col("lang"))
+  }
+
+  private val dsirResampleOracle =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |freqs AS (SELECT term, COUNT(*) AS tf_all,
+       |                 CAST(SUM(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS tf_tgt
+       |          FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf_all) AS BIGINT) AS n_all,
+       |               CAST(SUM(tf_tgt) AS BIGINT) AS n_tgt,
+       |               COUNT(*) AS vocab
+       |        FROM freqs),
+       |lr AS (SELECT term,
+       |              CAST(ROUND((ln(CAST(tf_tgt + 1 AS DOUBLE) / (n_tgt + vocab)) -
+       |                          ln(CAST(tf_all + 1 AS DOUBLE) / (n_all + vocab)))
+       |                         * 1000000.0) AS BIGINT) AS lr_e6
+       |       FROM freqs CROSS JOIN tot),
+       |dw AS (SELECT doc_id, lang,
+       |              ROUND(CAST(SUM(lr_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |                AS dsir_w
+       |       FROM toks JOIN lr USING (term) GROUP BY doc_id, lang),
+       |we AS (SELECT doc_id, lang,
+       |              GREATEST(1, CAST(ROUND(exp(dsir_w) * 1000000.0) AS BIGINT))
+       |                AS w_e6
+       |       FROM dw),
+       |cums AS (SELECT doc_id, lang, w_e6,
+       |                SUM(w_e6) OVER (ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |                SUM(w_e6) OVER () AS wtot
+       |         FROM we),
+       |picks AS (SELECT lang, w_e6,
+       |                 (cum - (wtot // $DsirK // 2) + (wtot // $DsirK))
+       |                   // (wtot // $DsirK) -
+       |                 (cum - w_e6 - (wtot // $DsirK // 2) + (wtot // $DsirK))
+       |                   // (wtot // $DsirK) AS picks
+       |          FROM cums)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN picks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |       CAST(SUM(picks) AS BIGINT) AS n_picks,
+       |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS doc_share,
+       |       ROUND(CAST(SUM(picks) AS DOUBLE) / SUM(SUM(picks)) OVER (), 6) AS pick_share
+       |FROM picks GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------- shard balancing
+  /** Balanced shard assignment for training-data delivery: within each
+    * language, documents rank by token mass (desc, doc_id tiebreak) and
+    * deal round-robin onto [[Shards]] shards — the longest-processing-
+    * time-first heuristic that bounds shard skew by one document's mass
+    * per stratum. The report is the per-shard ledger (docs, tokens,
+    * share) a dataloader reads to confirm no shard starves.
+    *
+    * Scale shape: ranking sorts NARROW rows (id, lang, count) inside
+    * per-lang window partitions — parallel across langs, text never
+    * moves; the final shard ledger is an 8-row aggregate. The spec pins
+    * the balance guarantee (max−min shard mass ≤ langs × max doc).
+    */
+  private val Shards = 8
+
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tok").desc, col("doc_id"))
+    d.withColumn("shard", (row_number().over(w) - 1) % Shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .withColumn("token_share",
+        round(col("tokens").cast("double") /
+          sum(col("tokens")).over(Window.partitionBy()), 6))
+      .orderBy(col("shard"))
+  }
+
+  private val shardBalanceOracle =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |           FROM documents),
+       |assigned AS (
+       |  SELECT tok,
+       |         (ROW_NUMBER() OVER (PARTITION BY lang
+       |                             ORDER BY tok DESC, doc_id) - 1) % $Shards AS shard
+       |  FROM d)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens,
+       |       ROUND(CAST(SUM(tok) AS DOUBLE) / SUM(SUM(tok)) OVER (), 6)
+       |         AS token_share
+       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_resample" -> (dsirResample _),
+    "q_shard_balance" -> (shardBalance _),
     "q_importance_weights" -> (importanceWeights _),
     "q_nucleus_filter" -> (nucleusFilter _),
     "q_cms_freq" -> (cmsFreq _),
@@ -360,6 +512,8 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dsir_resample" -> dsirResampleOracle,
+    "q_shard_balance" -> shardBalanceOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_nucleus_filter" -> nucleusFilterOracle,
     "q_cms_freq" -> cmsFreqOracle,

@@ -98,11 +98,87 @@ object RetrievalOps {
        |  SELECT ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS frank, *
        |  FROM fused) WHERE frank <= $OutK ORDER BY frank""".stripMargin
 
+  // ------------------------------------------------------- nDCG eval
+  /** Retrieval-quality evaluation of the fused ranking — nDCG@20
+    * against label ground truth (a candidate is relevant iff it shares
+    * the query vector's cluster label): DCG = Σ rel_r / log2(1+r) over
+    * the fused top-20, normalized by the ideal DCG of ranking all
+    * |relevant| docs first. The eval loop a retrieval deployment runs
+    * per index build — the [[SimilarityOps.annRecall]] discipline
+    * applied to the fusion layer.
+    *
+    * Parity: the per-rank gain 1e6/log2(1+r) is quantized to the e6
+    * integer lattice (20 distinct values — log2 is the one
+    * transcendental, same ≤1-ulp acceptance as ln elsewhere); DCG and
+    * IDCG are then exact integer sums, and the final ratio is one
+    * IEEE-exact long/long double division rounded at 6 dp.
+    *
+    * Scale shape: everything after the fused top-k is k-sized — the
+    * label join is a broadcast against 20 rows, the ideal-gain explode
+    * generates min(|rel|, 20) rows. The corpus-scale work lives in the
+    * operands, as in annRecall.
+    */
+  def ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val qLabel = labels.filter(col("vec_id") === 0)
+      .select(col("label").as("qlabel"))
+    val nRel = labels.crossJoin(broadcast(qLabel))
+      .filter(col("vec_id") =!= 0 && col("label") === col("qlabel"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    val gained = rrfFusion(spark, sfDir)
+      .join(labels, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qLabel))
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .withColumn("g_e6",
+        round(lit(1000000.0) / log2(col("frank") + lit(1)), 0).cast("long"))
+      .agg(count(lit(1)).as("k"), sum(col("rel")).as("n_rel_topk"),
+        sum(col("rel") * col("g_e6")).as("dcg_e6"))
+    val ideal = nRel
+      .select(col("n_rel_total"), explode(expr(
+        s"sequence(1, least(n_rel_total, $OutK))")).as("r"))
+      .withColumn("g_e6",
+        round(lit(1000000.0) / log2(col("r") + lit(1)), 0).cast("long"))
+      .groupBy(col("n_rel_total"))
+      .agg(sum(col("g_e6")).as("idcg_e6"))
+    gained.crossJoin(broadcast(ideal))
+      .select(col("k"), col("n_rel_total"), col("n_rel_topk"),
+        col("dcg_e6"), col("idcg_e6"),
+        round(col("dcg_e6").cast("double") / col("idcg_e6"), 6).as("ndcg"))
+  }
+
+  private lazy val ndcgOracle =
+    s"""WITH fused AS ($rrfFusionOracle),
+       |q AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+       |rel_tot AS (
+       |  SELECT COUNT(*) AS n_rel_total
+       |  FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0 AND label = qlabel),
+       |gained AS (
+       |  SELECT COUNT(*) AS k,
+       |         CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_rel_topk,
+       |         CAST(SUM((CASE WHEN label = qlabel THEN 1 ELSE 0 END) *
+       |                  CAST(ROUND(1000000.0 / log2(frank + 1)) AS BIGINT))
+       |              AS BIGINT) AS dcg_e6
+       |  FROM fused JOIN embeddings ON doc_id = vec_id CROSS JOIN q),
+       |ideal AS (
+       |  SELECT n_rel_total,
+       |         CAST(SUM(CAST(ROUND(1000000.0 / log2(r + 1)) AS BIGINT))
+       |              AS BIGINT) AS idcg_e6
+       |  FROM rel_tot, LATERAL unnest(range(1, LEAST(n_rel_total, $OutK) + 1)) AS t(r)
+       |  GROUP BY n_rel_total)
+       |SELECT k, n_rel_total, n_rel_topk, dcg_e6, idcg_e6,
+       |       ROUND(CAST(dcg_e6 AS DOUBLE) / idcg_e6, 6) AS ndcg
+       |FROM gained CROSS JOIN ideal""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rrf_fusion" -> (rrfFusion _)
+    "q_rrf_fusion" -> (rrfFusion _),
+    "q_ndcg" -> (ndcg _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_rrf_fusion" -> rrfFusionOracle
+    "q_rrf_fusion" -> rrfFusionOracle,
+    "q_ndcg" -> ndcgOracle
   )
 }

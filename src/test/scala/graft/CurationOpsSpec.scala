@@ -104,6 +104,72 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.exists(!_._4), "all sources pinned: budget degenerate")
   }
 
+  test("DSIR resample: systematic picks conserve K and follow weights") {
+    val rows = CurationOps.dsirResample(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // systematic resampling with step = W div K yields K or K+1 picks
+    // (floor-division remainder can admit one extra stride position)
+    val picks = rows.map(_._4).sum
+    assert(picks >= 100L && picks <= 101L, s"total picks $picks not ~K=100")
+    rows.foreach { case (lang, nDocs, nSampled, nPicks) =>
+      assert(nSampled <= nPicks, s"$lang sampled docs exceed pick count")
+      assert(nSampled <= nDocs, s"$lang sampled more docs than exist")
+      assert(nPicks > 0, s"$lang starved despite >0 weight mass")
+    }
+    // driver-side recompute of the full weight line and stride picks
+    val w = CurationOps.importanceWeights(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .sortBy(_._1)
+      .map { case (id, lang, dw) =>
+        (id, lang, math.max(1L, math.round(math.exp(dw) * 1e6))) }
+    val wtot = w.map(_._3).sum
+    val step = wtot / 100
+    val start = step / 2
+    var cum = 0L
+    val truth = w.map { case (_, lang, we) =>
+      val prev = cum; cum += we
+      (lang, (cum - start + step) / step - (prev - start + step) / step)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (lang, _, _, nPicks) =>
+      assert(truth(lang) == nPicks, s"$lang picks $nPicks != ${truth(lang)}")
+    }
+  }
+
+  test("shard balance: round-robin-by-size bounds shard skew") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").length.toLong))
+    val rows = CurationOps.shardBalance(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 8)
+    assert(rows.map(_._2).sum == docs.length, "doc conservation")
+    assert(rows.map(_._3).sum == docs.map(_._2).sum, "token conservation")
+    // LPT round-robin guarantee: per stratum the dealt sequences differ
+    // by at most one largest doc, so globally max-min <= langs * maxdoc
+    val bound = docs.groupBy(_._1).size * docs.map(_._2).max
+    val skew = rows.map(_._3).max - rows.map(_._3).min
+    assert(skew <= bound, s"shard skew $skew exceeds LPT bound $bound")
+    // doc counts differ by at most one per stratum
+    assert(rows.map(_._2).max - rows.map(_._2).min <= docs.groupBy(_._1).size)
+  }
+
+  test("nDCG: bounded in [0,1], components consistent") {
+    val r = RetrievalOps.ndcg(spark, sfSmall).collect().head
+    val (k, nRelTot, nRelTop, dcg, idcg, nd) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    assert(k == 20)
+    assert(nRelTop <= math.min(nRelTot, k))
+    assert(dcg <= idcg, "DCG cannot exceed the ideal")
+    assert(nd >= 0.0 && nd <= 1.0)
+    // g_e6 is maximal at rank 1 and the ideal stacks best-first: with
+    // any relevant doc found, dcg > 0; idcg counts min(n_rel, k) gains
+    if (nRelTop > 0) assert(dcg > 0)
+    val gains = (1 to math.min(nRelTot, k).toInt)
+      .map(rk => math.round(1e6 / (math.log(rk + 1.0) / math.log(2.0))))
+    assert(idcg == gains.sum, s"idcg $idcg != ${gains.sum}")
+  }
+
   test("RRF fusion: scores recompute from ranks and rank monotonically") {
     val rows = RetrievalOps.rrfFusion(spark, sfSmall).collect()
       .map(r => (r.getInt(0), r.getLong(1),
