@@ -795,7 +795,113 @@ object DedupOps {
        |WHERE drops.node IS NULL
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Asymmetric containment detection — the dup class symmetric Jaccard
+    * MISSES: document A quoted/expanded inside a larger B has
+    * C(A→B) = |A∩B|/|A| ≈ 1 while J(A,B) = |A∩B|/|A∪B| stays small
+    * (the union is dominated by B). Candidates and intersection counts
+    * come from the SAME df-capped inverted index as
+    * [[dedupNgramJaccard]] (shared posting lists, same single shuffle
+    * key); the directional gate is the exact integer predicate
+    * 10·shared ≥ 8·|A|. Each emitted pair reports both measures plus
+    * whether plain Jaccard (≥ 0.3) would have caught it — the
+    * "containment-only" rows are this operator's reason to exist.
+    *
+    * Scale shape: identical to the Jaccard detector (equi-join on rare
+    * shingles, candidate count ∝ true collisions, never corpus²); the
+    * direction just drops the d1 < d2 symmetry filter in favor of
+    * d1 ≠ d2 — same exchange, ≤2× candidate rows.
+    */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = rareShingles(shingles(spark, sfDir)).cache()
+    try {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val s1 = sh.select(col("doc_id").as("containee"), col("shingle"))
+      val s2 = sh.select(col("doc_id").as("container"), col("shingle"))
+      val shared = s1.join(s2, Seq("shingle"))
+        .filter(col("containee") =!= col("container"))
+        .groupBy(col("containee"), col("container"))
+        .agg(count(lit(1)).as("shared"))
+      val nA = sizes.select(col("doc_id").as("containee"), col("n_sh").as("na"))
+      val nB = sizes.select(col("doc_id").as("container"), col("n_sh").as("nb"))
+      shared.join(nA, Seq("containee")).join(nB, Seq("container"))
+        .filter(col("shared") * 10 >= col("na") * 8)
+        .withColumn("containment",
+          round(col("shared").cast("double") / col("na"), 6))
+        .withColumn("jaccard",
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")), 6))
+        .withColumn("jaccard_missed", col("jaccard") < 0.3)
+        .select(col("containee"), col("container"), col("na").as("n_sh_small"),
+          col("shared"), col("containment"), col("jaccard"),
+          col("jaccard_missed"))
+        .orderBy(col("containee"), col("container"))
+    } finally sh.unpersist()
+  }
+
+  private val containmentDedupOracle =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS ($rareShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+       |shared AS (
+       |  SELECT s1.doc_id AS containee, s2.doc_id AS container,
+       |         COUNT(*) AS shared
+       |  FROM rare s1 JOIN rare s2 ON s1.shingle = s2.shingle
+       |  WHERE s1.doc_id <> s2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT containee, container, na AS n_sh_small, shared,
+       |       ROUND(CAST(shared AS DOUBLE) / na, 6) AS containment,
+       |       ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard,
+       |       ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) < 0.3
+       |         AS jaccard_missed
+       |FROM (SELECT containee, container, shared, a.n_sh AS na, b.n_sh AS nb
+       |      FROM shared
+       |      JOIN sizes a ON containee = a.doc_id
+       |      JOIN sizes b ON container = b.doc_id)
+       |WHERE shared * 10 >= na * 8
+       |ORDER BY containee, container""".stripMargin
+
+  // ------------------------------------------------------------------
+  /** Cross-source duplication matrix — the provenance diagnostic over
+    * the verified MinHash pair table: which SOURCE pairs share near-dup
+    * content (mirror sites, syndication, scraper overlap). Source pairs
+    * are normalized (src_a ≤ src_b) so the matrix is upper-triangular;
+    * within-source dup mass sits on the diagonal. The pair table is
+    * session-materialized ([[dedupMinhash]]), so this is two broadcast
+    * lookups of the (tiny) doc→source dimension against |pairs| rows —
+    * at 100 TB the dimension join flips to shuffle-on-doc_id, the
+    * matrix stays |sources|² small.
+    */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val pairs = dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
+    pairs
+      .join(src.select(col("doc_id").as("d1x"), col("source").as("s1")),
+        col("d1") === col("d1x"))
+      .join(src.select(col("doc_id").as("d2x"), col("source").as("s2")),
+        col("d2") === col("d2x"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("same_source", col("src_a") === col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private lazy val crossSourceDupsOracle =
+    s"""WITH mh AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |tagged AS (
+       |  SELECT LEAST(a.source, b.source) AS src_a,
+       |         GREATEST(a.source, b.source) AS src_b
+       |  FROM mh JOIN documents a ON d1 = a.doc_id
+       |          JOIN documents b ON d2 = b.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs, src_a = src_b AS same_source
+       |FROM tagged GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> (containmentDedup _),
+    "q_cross_source_dups" -> (crossSourceDups _),
     "q_dedup_apply" -> (dedupApply _),
     "q_detector_agreement" -> (detectorAgreement _),
     "q_fuzzy_pairs" -> (fuzzyPairs _),
@@ -809,6 +915,8 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_containment" -> containmentDedupOracle,
+    "q_cross_source_dups" -> crossSourceDupsOracle,
     "q_dedup_apply" -> dedupApplyOracle,
     "q_detector_agreement" -> detectorAgreementOracle,
     "q_fuzzy_pairs" -> fuzzyPairsOracle,

@@ -206,4 +206,40 @@ class DedupSpec extends SparkSpec {
       s"${graft.etl.Medallion.warehouse(sfSmall)}/dedup_corpus").count()
     assert(onDisk == expectedKept, s"disk $onDisk != $expectedKept")
   }
+
+  test("containment: measures consistent, Jaccard-caught pairs agree") {
+    val rows = DedupOps.containmentDedup(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty, "injected-dup fixture must produce containment pairs")
+    rows.foreach { case (a, b, na, shared, c, j, missed) =>
+      assert(a != b)
+      assert(shared <= na, s"($a,$b) shared exceeds containee size")
+      assert(shared * 10 >= na * 8, s"($a,$b) below the 80% gate")
+      assert(c >= 0.8 - 1e-9 && c <= 1.0, s"($a,$b) containment $c out of range")
+      assert(j <= c + 1e-9, s"($a,$b) jaccard $j above containment $c")
+      assert(missed == (j < 0.3), s"($a,$b) missed flag inconsistent")
+    }
+    // every containment pair Jaccard DOES catch must be in the
+    // symmetric detector's pair set (same index, same measures)
+    val jaccardPairs = DedupOps.dedupNgramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filterNot(_._7).foreach { case (a, b, _, _, _, _, _) =>
+      val key = (math.min(a, b), math.max(a, b))
+      assert(jaccardPairs.contains(key),
+        s"pair $key caught by jaccard here but absent from q_dedup_ngram_jaccard")
+    }
+  }
+
+  test("cross-source matrix conserves the verified pair table") {
+    val pairs = DedupOps.dedupMinhash(spark, sfSmall).collect()
+    val matrix = DedupOps.crossSourceDups(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(matrix.map(_._3).sum == pairs.length, "pair mass not conserved")
+    matrix.foreach { case (a, b, n, same) =>
+      assert(a <= b, s"($a,$b) not normalized upper-triangular")
+      assert(same == (a == b))
+      assert(n > 0)
+    }
+  }
 }
