@@ -501,7 +501,72 @@ object CurationOps {
        |         AS token_share
        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------- pipeline ledger
+  /** End-to-end curation funnel — the stage ledger a pipeline run
+    * publishes: raw corpus → Gopher-style quality gate (the IDENTICAL
+    * predicate [[TextOps.qualityFilter]] reports on, factored as
+    * [[TextOps.qualityKeep]]) → exact dedup (canonical-prefix md5,
+    * keeper = min doc_id AMONG SURVIVORS — dedup composes after the
+    * quality gate, as a real pipeline orders it). One row per stage
+    * with surviving docs/tokens and their fraction of raw — the chart
+    * every curation report leads with.
+    *
+    * Scale shape: the quality gate is map-side column math; the dedup
+    * stage is one fingerprint groupBy + a semi-join back on doc_id;
+    * stage totals are one-row aggregates unioned (three passes over
+    * a progressively shrinking corpus — the honest cost of a staged
+    * funnel, each pass partial-aggregated). Fractions are IEEE-exact
+    * long/long doubles rounded at 6 dp.
+    */
+  def pipelineLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("keep_q", TextOps.qualityKeep)
+    val q = base.filter(col("keep_q"))
+    val keepers = q
+      .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d = q.join(keepers, Seq("doc_id"), "left_semi")
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("tokens"))
+    val rawTot = base.agg(count(lit(1)).as("raw_docs"),
+      sum(col("n_tok")).as("raw_tokens"))
+    stage(base, 0, "raw")
+      .unionAll(stage(q, 1, "quality"))
+      .unionAll(stage(d, 2, "exact_dedup"))
+      .crossJoin(broadcast(rawTot))
+      .select(col("stage"), col("stage_name"), col("n_docs"), col("tokens"),
+        round(col("n_docs").cast("double") / col("raw_docs"), 6).as("doc_frac"),
+        round(col("tokens").cast("double") / col("raw_tokens"), 6)
+          .as("token_frac"))
+      .orderBy(col("stage"))
+  }
+
+  private lazy val pipelineLedgerOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${TextOps.qualityKeepSql} AS keep_q
+       |  FROM documents),
+       |q AS (SELECT * FROM base WHERE keep_q),
+       |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(substr(text, 1, 40))),
+       |d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+       |raw_tot AS (SELECT COUNT(*) AS raw_docs, CAST(SUM(n_tok) AS BIGINT) AS raw_tokens
+       |            FROM base),
+       |stages AS (
+       |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tok) AS BIGINT) AS tokens FROM base
+       |  UNION ALL SELECT 1, 'quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM q
+       |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM d)
+       |SELECT stage, stage_name, n_docs, tokens,
+       |       ROUND(CAST(n_docs AS DOUBLE) / raw_docs, 6) AS doc_frac,
+       |       ROUND(CAST(tokens AS DOUBLE) / raw_tokens, 6) AS token_frac
+       |FROM stages CROSS JOIN raw_tot ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_ledger" -> (pipelineLedger _),
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
     "q_importance_weights" -> (importanceWeights _),
@@ -512,6 +577,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_ledger" -> pipelineLedgerOracle,
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,
     "q_importance_weights" -> importanceWeightsOracle,

@@ -161,16 +161,31 @@ object TextOps {
     * curation run actually reports. Pure column math; the verdict is a
     * single codegen'd boolean per row.
     */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Gopher-style keep predicate over a `text` column, factored so
+    * pipeline compositions ([[CurationOps.pipelineLedger]]) apply the
+    * IDENTICAL rule qualityFilter reports on. */
+  private[ops] def qualityKeep: Column = {
     val nTok = size(split(col("text"), " "))
     val nStop = hits(col("text"), "(the|a|of|and|in)")
     val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    nTok.between(20, 1000) &&
+      (nStop.cast("double") / nTok) >= 0.01 &&
+      meanLen.between(2.0, 12.0)
+  }
+
+  /** DuckDB rendering of [[qualityKeep]] (expects `text` in scope). */
+  private[ops] val qualityKeepSql: String =
+    """((len(string_split(text, ' ')) BETWEEN 20 AND 1000)
+      | AND (CAST(len(regexp_extract_all(text, '(the|a|of|and|in)')) AS DOUBLE)
+      |      / len(string_split(text, ' '))) >= 0.01
+      | AND ((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |       / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0))""".stripMargin
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
     Tables.documents(spark, sfDir)
       .withColumn("n_tok", nTok)
-      .withColumn("keep",
-        col("n_tok").between(20, 1000) &&
-          (nStop.cast("double") / col("n_tok")) >= 0.01 &&
-          meanLen.between(2.0, 12.0))
+      .withColumn("keep", qualityKeep)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),

@@ -104,6 +104,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.exists(!_._4), "all sources pinned: budget degenerate")
   }
 
+  test("pipeline ledger: monotone funnel, stage-1 == qualityFilter tallies") {
+    val rows = CurationOps.pipelineLedger(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0, "raw"), (1, "quality"), (2, "exact_dedup")))
+    assert(rows(0)._5 == 1.0 && rows(0)._6 == 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel grew at stage ${b._1}")
+    }
+    // cross-operator consistency: the quality stage passes EXACTLY the
+    // docs/tokens the standalone qualityFilter report counts as kept
+    val qf = graft.ops.TextOps.qualityFilter(spark, sfSmall).collect()
+    assert(rows(1)._3 == qf.map(_.getLong(2)).sum, "quality doc tally differs")
+    assert(rows(1)._4 == qf.map(_.getLong(3)).sum, "quality token tally differs")
+  }
+
   test("DSIR resample: systematic picks conserve K and follow weights") {
     val rows = CurationOps.dsirResample(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -231,6 +231,35 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"expected exactly one split(text), got $splits:\n$plan")
   }
 
+  test("CMS: corpus tokenizes once per consumer — no union-leg re-scans") {
+    // the d-row fan-out must be ONE posexplode generator; a d-leg
+    // union re-plans the token explode per leg (6 corpus scans for
+    // d=3 sketch + probe; this shape costs 2)
+    val plan = executed(graft.ops.CurationOps.cmsFreq(spark, sfTiny))
+    val splits = "split\\(text".r.findAllIn(plan).length
+    assert(splits <= 2, s"expected <=2 tokenizations, got $splits:\n$plan")
+    assert(!plan.contains("Union"), s"union-leg fan-out resurfaced:\n$plan")
+  }
+
+  test("DSIR weights: log-ratio dictionary applies as a broadcast join") {
+    // the corpus must pick up per-term micro-nat ratios without
+    // shuffling on the term key — the lr table is vocab-sized
+    val plan = executed(graft.ops.CurationOps.importanceWeights(spark, sfTiny))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled on the term key:\n$plan")
+  }
+
+  test("DSIR resample: prefix sum is two-phase — corpus cumsum windows by chunk") {
+    // the weight line's global cumsum must NOT be a single-partition
+    // window over the corpus: per-chunk windows run in parallel, only
+    // the chunk-offset table (|corpus|/100 rows) cumsums globally
+    val plan = executed(graft.ops.CurationOps.dsirResample(spark, sfTiny))
+    assert("windowspecdefinition\\(chunk".r.findFirstIn(plan).isDefined,
+      s"no chunk-partitioned window — two-phase prefix sum lost:\n$plan")
+  }
+
   test("span dedup: keep-first is hash-aggregated — no sort-window anywhere") {
     // The skew story, pinned: every duplicate of one span collapses
     // map-side via min(struct) partial aggregation; a row_number()
