@@ -378,11 +378,18 @@ object CurationOps {
   private val DsirChunk = 100L
 
   def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    // the narrow (doc_id, lang, w_e6, chunk) weight frame feeds three
+    // consumers (in-chunk cumsum, chunk totals, final join); cached so
+    // the importance-weight computation (two corpus token explodes)
+    // runs once, not three times — measured 3.4s → ~1s at sf0.1. The
+    // harness clears session caches per query.
     val w = importanceWeights(spark, sfDir)
       .withColumn("w_e6",
         greatest(lit(1L), round(exp(col("dsir_w")) * lit(1000000.0), 0)
           .cast("long")))
       .withColumn("chunk", expr(s"doc_id div $DsirChunk"))
+      .select(col("doc_id"), col("lang"), col("w_e6"), col("chunk"))
+      .cache()
     val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inChunk = w.withColumn("wcum", sum(col("w_e6")).over(wIn))
