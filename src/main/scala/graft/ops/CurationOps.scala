@@ -572,7 +572,88 @@ object CurationOps {
        |       ROUND(CAST(tokens AS DOUBLE) / raw_tokens, 6) AS token_frac
        |FROM stages CROSS JOIN raw_tot ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------- curriculum phases
+  /** Curriculum schedule — documents staged easy→hard per language by
+    * the unigram-LM difficulty signal ([[TextOps.unigramLogprob]]'s
+    * avg micro-nat logprob: high = predictable = easy), quartiled with
+    * per-lang ntile(4). The ledger per (lang, phase) carries doc/token
+    * mass and the difficulty band edges — the schedule a curriculum-
+    * learning run feeds its sampler.
+    *
+    * Scale shape: the quartile window partitions BY LANGUAGE (parallel,
+    * narrow rows — doc_id + score only), never a global single-
+    * partition ntile; the heavy lifting (token explode + logprob) is
+    * the composed operator's one corpus pass. Band edges are min/max
+    * of already-6dp-rounded doubles — exact.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.unigramLogprob(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored.withColumn("phase", ntile(4).over(w))
+      .groupBy(col("lang"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        max(col("avg_logprob")).as("easiest"),
+        min(col("avg_logprob")).as("hardest"))
+      .orderBy(col("lang"), col("phase"))
+  }
+
+  private lazy val curriculumOracle =
+    s"""WITH lp AS (${TextOps.unigramLogprobOracle}),
+       |scored AS (
+       |  SELECT lp.doc_id, d.lang, lp.n_tok, lp.avg_logprob,
+       |         NTILE(4) OVER (PARTITION BY d.lang
+       |                        ORDER BY lp.avg_logprob DESC, lp.doc_id) AS phase
+       |  FROM lp JOIN documents d ON lp.doc_id = d.doc_id)
+       |SELECT lang, phase, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       |       MAX(avg_logprob) AS easiest, MIN(avg_logprob) AS hardest
+       |FROM scored GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
+
+  // ---------------------------------------------- inverted index build
+  /** Inverted-index build — the retrieval index as a PRODUCT table
+    * (the BM25 scorer's implicit structure made explicit): one row per
+    * term with document frequency, corpus frequency, the first 10
+    * postings, and an md5 checksum of the full sorted posting list (so
+    * a consumer can verify integrity without shipping the whole list
+    * through the report).
+    *
+    * Scale shape: one (term, doc) distinct aggregation — the same
+    * single-shuffle shape as every dedup pass; posting arrays assemble
+    * per term AFTER the aggregation (vocab-sized rows). At web scale
+    * the array column would write straight to the index store
+    * partitioned by term hash; df/cf/checksum stay this exact plan.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .select(col("term"), col("df"), col("cf"),
+        concat_ws(",", slice(col("postings"), 1, 10)).as("head_postings"),
+        md5(concat_ws(",", col("postings")).cast("binary")).as("postings_md5"))
+      .orderBy(col("term"))
+
+  private val invertedIndexOracle =
+    """WITH tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term, doc_id)
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |       array_to_string(list_sort(list(doc_id))[1:10], ',') AS head_postings,
+      |       md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> (curriculum _),
+    "q_inverted_index" -> (invertedIndex _),
     "q_pipeline_ledger" -> (pipelineLedger _),
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
@@ -584,6 +665,8 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_curriculum" -> curriculumOracle,
+    "q_inverted_index" -> invertedIndexOracle,
     "q_pipeline_ledger" -> pipelineLedgerOracle,
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,

@@ -423,7 +423,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val unigramLogprobOracle =
+  private[ops] val unigramLogprobOracle =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |              FROM documents),
       |tot AS (SELECT COUNT(*) AS n_tot FROM toks),

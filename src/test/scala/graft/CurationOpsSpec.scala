@@ -121,6 +121,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(1)._4 == qf.map(_.getLong(3)).sum, "quality token tally differs")
   }
 
+  test("curriculum: balanced quartiles with monotone difficulty bands") {
+    val rows = CurationOps.curriculum(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (lang, ps) =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 4), s"$lang phases not 1..4")
+      // ntile balance: counts differ by at most one
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1,
+        s"$lang quartiles unbalanced")
+      sorted.foreach { p =>
+        assert(p._5 >= p._6, s"$lang phase ${p._2} band inverted") }
+      // easy→hard: each phase's hardest is no easier than the next
+      // phase's easiest (descending-logprob staging)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._6 >= b._5, s"$lang: phase ${a._2}/${b._2} bands overlap wrong way")
+      }
+    }
+  }
+
+  test("inverted index == driver-side posting-list rebuild") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val truth = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues { hits =>
+        val postings = hits.map(_._2).distinct.sorted
+        (postings.length.toLong, hits.length.toLong,
+          postings.take(10).mkString(","), postings.mkString(","))
+      }.toMap
+    val got = CurationOps.invertedIndex(spark, sfTiny).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+    assert(got.map(_._1).toSet == truth.keySet)
+    got.foreach { case (term, (df, cf, head, md5sum)) =>
+      val (tdf, tcf, thead, tfull) = truth(term)
+      assert(df == tdf && cf == tcf, s"$term counts differ")
+      assert(head == thead, s"$term head postings differ")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(tfull.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5sum == digest, s"$term checksum differs")
+    }
+  }
+
   test("DSIR resample: systematic picks conserve K and follow weights") {
     val rows = CurationOps.dsirResample(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
