@@ -232,6 +232,39 @@ object StreamingOps {
       n_events: Int,
       total_value: Double)
 
+  final case class EwmaState(n: Long, ewma: Double)
+
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-key EWMA with `mapGroupsWithState` (Update mode) —
+    * the streaming twin of [[graft.ops.AnalyticsOps.ewma]]: the same
+    * seeded recurrence s₁ = v₁, sₜ = sₜ₋₁ + α·(vₜ − sₜ₋₁), maintained
+    * as ONE (count, ewma) pair per user key instead of a collected
+    * array — the state an online scoring service holds. Within a batch
+    * events fold in event-time order; across batches arrival order is
+    * event-time order for an in-order source (the spec feeds ordered
+    * batches — out-of-order tolerance would buffer under the
+    * sessionizer's event-time-timeout pattern, at the cost of latency).
+    * State is O(1) per active user forever — no watermark needed for
+    * correctness, only for state expiry of dormant keys.
+    */
+  def ewmaStream(events: Dataset[Ev], alpha: Double = 0.25): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[EwmaState]): EwmaOut = {
+      var s = state.getOption.getOrElse(EwmaState(0L, 0.0))
+      evs.toVector.sortBy(_.ts.getTime).foreach { e =>
+        s = if (s.n == 0L) EwmaState(1L, e.value)
+        else EwmaState(s.n + 1L, s.ewma + alpha * (e.value - s.ewma))
+      }
+      state.update(s)
+      EwmaOut(userId, s.n, s.ewma)
+    }
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Stateful sessionization with `flatMapGroupsWithState`: events of a
     * user belong to one session while gaps stay under `gapMinutes`; a
     * session closes either when a later in-batch event exceeds the gap

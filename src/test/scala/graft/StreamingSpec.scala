@@ -139,6 +139,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA state equals the batch fold over ordered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      def fold(vs: Seq[Double]) =
+        vs.tail.foldLeft(vs.head)((a, v) => a + 0.25 * (v - a))
+      // batch 1: user 1 out-of-order WITHIN the batch (must sort), user 2
+      input.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 20.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 10.0),
+        Ev(2, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      val mid = spark.table("ewma_out").as[StreamingOps.EwmaOut].collect()
+        .filter(r => r.user_id == 1L && r.n_events == 2L)
+      assert(mid.nonEmpty, "no update emitted for user 1 after batch 1")
+      assert(math.abs(mid.head.ewma - fold(Seq(10.0, 20.0))) < 1e-12,
+        "mid-stream state wrong")
+      // batch 2 continues each user's recurrence from held state
+      input.addData(
+        Ev(1, ts("2024-01-01 10:10:00"), 30.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 7.0))
+      q.processAllAvailable()
+      val fin = spark.table("ewma_out").as[StreamingOps.EwmaOut].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(fin(1L).n_events == 3L)
+      assert(math.abs(fin(1L).ewma - fold(Seq(10.0, 20.0, 30.0))) < 1e-12,
+        s"user 1 final ${fin(1L).ewma}")
+      assert(fin(2L).n_events == 2L)
+      assert(math.abs(fin(2L).ewma - fold(Seq(5.0, 7.0))) < 1e-12,
+        s"user 2 final ${fin(2L).ewma}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join over the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
