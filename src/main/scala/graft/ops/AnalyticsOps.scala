@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -578,7 +578,123 @@ object AnalyticsOps {
       |       ROUND(list_reduce(vs, (acc, v) -> acc + 0.25 * (v - acc)), 6) AS ewma
       |FROM o ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------- correlation
+  /** Exact-integer Pearson correlation between document length and
+    * unigram-LM quality — "are longer docs more predictable?", the
+    * kind of signal-vs-signal diagnostic a curation team runs before
+    * trusting one as a proxy for the other. The five sufficient
+    * statistics (Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums over
+    * (n_tok, milli-nat logprob) pairs — order-free, partial-agg'd —
+    * and r evaluates once in a single token-identical expression whose
+    * cross-products run in DECIMAL(38)/HUGEINT (128-bit exact in both
+    * engines — the long-only form overflows n·Σy² past ~5k docs on
+    * the e6 lattice; e3 keeps the SUMS in long range to ~10⁸ docs and
+    * decimal removes the product ceiling entirely), so the hash
+    * matches by construction (built-in corr() would accumulate doubles
+    * in engine-defined order instead). One corpus pass (the logprob
+    * operator) + a 1-row reduction.
+    */
+  def qualityCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.ops.TextOps.unigramLogprob(spark, sfDir)
+      .select(col("n_tok").as("x"),
+        round(col("avg_logprob") * 1000.0, 0).cast("long").as("y"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    scored.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          .cast("double") /
+          (sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            .cast("double")) *
+            sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+              .cast("double"))),
+          6).as("pearson_r"))
+  }
+
+  private lazy val qualityCorrOracle =
+    s"""WITH lp AS (${graft.ops.TextOps.unigramLogprobOracle}),
+       |s AS (SELECT n_tok AS x,
+       |             CAST(ROUND(avg_logprob * 1000.0) AS BIGINT) AS y
+       |      FROM lp),
+       |m AS (SELECT COUNT(*) AS n,
+       |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |             CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |             CAST(SUM(y * y) AS BIGINT) AS syy,
+       |             CAST(SUM(x * y) AS BIGINT) AS sxy
+       |      FROM s)
+       |SELECT n,
+       |       ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+       |                  AS DOUBLE) /
+       |             (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+       |                        AS DOUBLE)) *
+       |              sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+       |                        AS DOUBLE))), 6) AS pearson_r
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------- conversion lag
+  /** Signup→purchase conversion lag — per user, the delay between the
+    * FIRST signup and the first purchase AFTER it; reported as the
+    * funnel rate plus lag percentiles (the activation-latency chart).
+    * First-touch timestamps are conditional min aggregates in ONE
+    * per-user pass (no self-join); lags are exact ms longs;
+    * `percentile` == `quantile_cont` share the linear-interpolation
+    * definition (the q_percentiles precedent) over minute doubles
+    * derived identically in both engines.
+    */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ms"))).as("s_ms"))
+    val purchases = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("pms"),
+        col("event_type"))
+      .filter(col("event_type") === "purchase")
+    val lags = firsts.filter(col("s_ms").isNotNull)
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("pok", when(col("pms") >= col("s_ms"), col("pms")))
+      .groupBy(col("user_id"), col("s_ms"))
+      .agg(min(col("pok")).as("p_ms"))
+      .withColumn("lag_min",
+        (col("p_ms") - col("s_ms")).cast("double") / 60000.0)
+    lags.agg(count(lit(1)).as("n_signup"),
+      sum(when(col("p_ms").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      round(sum(when(col("p_ms").isNotNull, 1.0).otherwise(0.0)) /
+        count(lit(1)), 6).as("conversion_rate"),
+      round(expr("percentile(lag_min, 0.5)"), 4).as("p50_lag_min"),
+      round(expr("percentile(lag_min, 0.9)"), 4).as("p90_lag_min"))
+  }
+
+  private val conversionLagOracle =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |firsts AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'signup' THEN ms END) AS s_ms
+      |  FROM ev GROUP BY user_id),
+      |lags AS (
+      |  SELECT f.user_id, f.s_ms, MIN(CASE WHEN p.ms >= f.s_ms THEN p.ms END) AS p_ms
+      |  FROM firsts f LEFT JOIN ev p
+      |    ON f.user_id = p.user_id AND p.event_type = 'purchase'
+      |  WHERE f.s_ms IS NOT NULL
+      |  GROUP BY f.user_id, f.s_ms)
+      |SELECT COUNT(*) AS n_signup,
+      |       CAST(SUM(CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_converted,
+      |       ROUND(SUM(CASE WHEN p_ms IS NOT NULL THEN 1.0 ELSE 0.0 END)
+      |             / COUNT(*), 6) AS conversion_rate,
+      |       ROUND(quantile_cont(CAST(p_ms - s_ms AS DOUBLE) / 60000.0, 0.5), 4)
+      |         AS p50_lag_min,
+      |       ROUND(quantile_cont(CAST(p_ms - s_ms AS DOUBLE) / 60000.0, 0.9), 4)
+      |         AS p90_lag_min
+      |FROM lags""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_corr" -> (qualityCorr _),
+    "q_conversion_lag" -> (conversionLag _),
     "q_scd2" -> (scd2 _),
     "q_ewma" -> (ewma _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -598,6 +714,8 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_quality_corr" -> qualityCorrOracle,
+    "q_conversion_lag" -> conversionLagOracle,
     "q_scd2" -> scd2Oracle,
     "q_ewma" -> ewmaOracle,
     "q_cohort_retention" -> cohortRetentionOracle,

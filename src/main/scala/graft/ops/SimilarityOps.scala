@@ -675,7 +675,50 @@ object SimilarityOps {
        |       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall
        |FROM h GROUP BY qid ORDER BY qid""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Per-label embedding-norm distribution — the vector-health monitor
+    * an embedding pipeline watches (collapsed or exploding norms signal
+    * a bad encoder batch; per-label spread signals cluster imbalance).
+    * Each vector's squared norm is ONE VecDot fold (bit-identical to
+    * the oracle's list_reduce — the module's parity construction),
+    * rounded once onto the 6 dp lattice; min/max/avg then aggregate the
+    * ROUNDED lattice values, with the average as an exact half-up
+    * integer division (the [[Parity.stableAvg]] idea on the e6 grid).
+    * Map-side per-vector math + one |labels|-row aggregate — at 100 TB
+    * this is a free rider on any existing embedding scan.
+    */
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val nsq = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        round(expr("vec_dot(embedding, embedding)"), 6).as("nsq"))
+      .withColumn("nsq_e6", round(col("nsq") * 1000000.0, 0).cast("long"))
+    nsq.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nsq")).as("min_nsq"),
+        max(col("nsq")).as("max_nsq"),
+        sum(col("nsq_e6")).as("s_e6"))
+      .select(col("label"), col("n_vecs"), col("min_nsq"), col("max_nsq"),
+        (((col("s_e6") * 2 + col("n_vecs")) -
+          pmod(col("s_e6") * 2 + col("n_vecs"), col("n_vecs") * 2)) /
+          (col("n_vecs") * 2) / lit(1000000.0)).as("avg_nsq"))
+      .orderBy(col("label"))
+  }
+
+  private val embedNormsOracle =
+    s"""WITH n AS (
+       |  SELECT label, ROUND(${dotSql("embedding", "embedding")}, 6) AS nsq,
+       |         CAST(ROUND(ROUND(${dotSql("embedding", "embedding")}, 6)
+       |              * 1000000.0) AS BIGINT) AS nsq_e6
+       |  FROM embeddings)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |       MIN(nsq) AS min_nsq, MAX(nsq) AS max_nsq,
+       |       CAST((CAST(SUM(nsq_e6) AS BIGINT) * 2 + COUNT(*))
+       |            // (COUNT(*) * 2) AS DOUBLE) / 1000000.0 AS avg_nsq
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norms" -> (embedNorms _),
     "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
@@ -687,6 +730,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_norms" -> embedNormsOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,

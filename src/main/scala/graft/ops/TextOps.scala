@@ -855,7 +855,65 @@ object TextOps {
        |            AS BIGINT) AS tokens_kept
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Tokenizer fertility per language — characters and whitespace words
+    * per BPE-ish token (the [[tokenCount]] segmenter), the metric a
+    * multilingual tokenizer evaluation reports per language: high
+    * fertility = the vocabulary fragments that language's text into
+    * more, shorter tokens (costing context budget). Exact integer sums
+    * feed [[Parity.stableAvg]]-style half-up lattice divisions — no
+    * float accumulation anywhere. The e6 lattice bounds the numerator
+    * at 2·10⁶·Σchars < 2⁶³, i.e. Σchars per language ≲ 4.6e12 — past
+    * that, drop the ratio lattice to e3 (or DECIMAL(38), the epochCap
+    * route); the sums themselves stay exact longs far beyond it.
+    *
+    * Scale shape: one map-side regexp count per doc, one |langs|-row
+    * aggregate. The regexp_extract_all is the costliest per-row op in
+    * the family — at 100 TB this pass rides the same scan as the rest
+    * of the per-doc scoring (one pass, many columns).
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpePattern = "( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)"
+    def halfUpE6(num: Column, den: Column): Column =
+      ((num * 2000000L + den - pmod(num * 2000000L + den, den * 2)) /
+        (den * 2)) / lit(1000000.0)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).cast("long")
+          .as("n_bpe"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_ws")).as("ws_tokens"))
+      .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+        halfUpE6(col("chars"), col("bpe_tokens")).as("chars_per_token"),
+        halfUpE6(col("bpe_tokens"), col("ws_tokens")).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenizerFertilityOracle =
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+      |         CAST(len(regexp_extract_all(text, '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)'))
+      |              AS BIGINT) AS n_bpe,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+      |  FROM documents),
+      |agg AS (SELECT lang, COUNT(*) AS n_docs,
+      |               CAST(SUM(chars) AS BIGINT) AS chars,
+      |               CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+      |               CAST(SUM(n_ws) AS BIGINT) AS ws_tokens
+      |        FROM d GROUP BY lang)
+      |SELECT lang, n_docs, bpe_tokens,
+      |       CAST((chars * 2000000 + bpe_tokens) // (bpe_tokens * 2) AS DOUBLE)
+      |         / 1000000.0 AS chars_per_token,
+      |       CAST((bpe_tokens * 2000000 + ws_tokens) // (ws_tokens * 2) AS DOUBLE)
+      |         / 1000000.0 AS fertility
+      |FROM agg ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_pmi_collocations" -> (pmiCollocations _),
     "q_lang_entropy" -> (langEntropy _),
@@ -875,6 +933,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q_temperature_sample" -> temperatureSampleOracle,
     "q_pmi_collocations" -> pmiCollocationsOracle,
     "q_lang_entropy" -> langEntropyOracle,

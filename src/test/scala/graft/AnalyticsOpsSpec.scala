@@ -174,6 +174,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality correlation == driver-side sufficient-statistics recompute") {
+    val r = AnalyticsOps.qualityCorr(spark, sfSmall).collect().head
+    val (n, pr) = (r.getLong(0), r.getDouble(1))
+    assert(n == 500)
+    assert(pr >= -1.0 && pr <= 1.0, s"r=$pr outside [-1,1]")
+    val xs = graft.ops.TextOps.unigramLogprob(spark, sfSmall).collect()
+      .map(row => (row.getLong(1),
+        // HALF_UP (away from zero) — math.round would shift negative
+        // ties toward +inf, off the engines' rounding
+        BigDecimal(row.getDouble(2) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val syy = xs.map(t => t._2 * t._2).sum
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val m = xs.length.toLong
+    val want = (m * sxy - sx * sy).toDouble /
+      (math.sqrt((m * sxx - sx * sx).toDouble) *
+        math.sqrt((m * syy - sy * sy).toDouble))
+    assert(math.abs(pr - want) <= 1e-6, s"r=$pr != $want")
+  }
+
+  test("conversion lag: funnel consistent, percentiles ordered") {
+    val r = AnalyticsOps.conversionLag(spark, sfSmall).collect().head
+    val (nS, nC, rate, p50, p90) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(nC <= nS && nS > 0)
+    assert(math.abs(rate - nC.toDouble / nS) <= 1e-6)
+    assert(p50 >= 0.0 && p90 >= p50, s"percentiles disordered: $p50/$p90")
+  }
+
   test("EWMA == driver-side sequential fold on time-sorted values") {
     val truth = Tables.events(spark, sfTiny)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"),

@@ -125,4 +125,18 @@ class SimilaritySpec extends SparkSpec {
     assert(after > before,
       f"refinement did not improve mean cosine: $before%.4f -> $after%.4f")
   }
+
+  test("embedding norms: lattice average sits inside the observed band") {
+    val rows = SimilarityOps.embedNorms(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, sfSmall).count())
+    rows.foreach { case (label, n, lo, hi, avg) =>
+      assert(n > 0 && lo > 0.0, s"label $label degenerate")
+      assert(lo <= hi, s"label $label band inverted")
+      // half-up lattice average deviates from the true mean by <1e-6
+      assert(avg >= lo - 1e-6 && avg <= hi + 1e-6,
+        s"label $label avg $avg outside [$lo,$hi]")
+    }
+  }
 }

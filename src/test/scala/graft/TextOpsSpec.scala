@@ -36,6 +36,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility == driver-side half-up lattice recompute") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pat = "( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)".r
+    def halfUp(num: Long, den: Long): Double =
+      ((num * 2000000L + den) / (den * 2)).toDouble / 1e6
+    val truth = docs.groupBy(_._1).view.mapValues { ds =>
+      val chars = ds.map(_._2.length.toLong).sum
+      val bpe = ds.map(d => pat.findAllIn(d._2).length.toLong).sum
+      val ws = ds.map(_._2.split(" ").length.toLong).sum
+      (ds.length.toLong, bpe, halfUp(chars, bpe), halfUp(bpe, ws))
+    }.toMap
+    val got = TextOps.tokenizerFertility(spark, sfTiny).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (lang, g) =>
+      assert(g == truth(lang), s"$lang: $g != ${truth(lang)}")
+      // a BPE-ish segmenter never merges across whitespace words, so
+      // fertility (bpe per ws token) is at least 1
+      assert(g._4 >= 1.0, s"$lang fertility below 1")
+    }
+  }
+
   test("BPE pair counts == driver-side sliding recount") {
     // independent witness: recount every adjacent pair over the
     // collected corpus with plain Scala sliding windows
