@@ -166,8 +166,13 @@ object CurationOps {
     * every token 3×; the d×w matrix is d·w rows — broadcastable
     * anywhere, and at 100 TB each partition's partial matrix merges by
     * cell-wise sum (the whole point of CMS). Hashing: the term's 60-bit
-    * md5 prefix through [[Parity.mixBucket]] with three fixed odd
-    * multipliers — deterministic, engine-identical, overflow-masked.
+    * md5 prefix through [[Parity.mixBucketHi]] (HIGH product bits) with
+    * three fixed odd multipliers — deterministic, engine-identical,
+    * overflow-masked, and genuinely independent across rows: the
+    * low-bit `mixBucket` form would make every row a fixed bijection
+    * of the key's low bits, so two terms colliding in one row would
+    * collide in ALL rows and the min-over-rows would be a no-op (the
+    * flaw the bootstrap operator exposed — see mixBucketHi's scaladoc).
     * All arithmetic is integer; no float appears anywhere.
     *
     * w = 8 is deliberately NARROW relative to the fixture's 31-term
@@ -185,7 +190,7 @@ object CurationOps {
     // d rows per term via ONE posexplode generator, not a d-leg union
     // (each union leg re-ran the corpus token explode: 6 scans; this
     // shape is one scan per consumer)
-    def buckets = array(CmsKs.map(k => Parity.mixBucket(col("h"), k, CmsW)): _*)
+    def buckets = array(CmsKs.map(k => Parity.mixBucketHi(col("h"), k, CmsW)): _*)
     val cnts = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -206,7 +211,7 @@ object CurationOps {
   }
 
   private val cmsFreqOracle = {
-    def mix(k: Long) = Parity.mixBucketSql("h", k, CmsW)
+    def mix(k: Long) = Parity.mixBucketHiSql("h", k, CmsW)
     val rows = CmsKs.zipWithIndex
     s"""WITH cnts AS (
        |  SELECT term, COUNT(*) AS cnt,
@@ -651,7 +656,124 @@ object CurationOps {
       |       md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  // ------------------------------------------------- CV leakage audit
+  /** Cross-validation leakage audit — the check an eval pipeline runs
+    * after assigning folds: a near-dup pair SPLIT ACROSS FOLDS leaks
+    * training text into evaluation (the dup survives in another fold's
+    * train split), silently inflating scores. Folds are deterministic
+    * hash buckets ([[Parity.mixBucket]] of doc_id, 5 folds — the
+    * `trainSplit` discipline); the verified MinHash pair table supplies
+    * the near-dup edges. Reported per fold pair (fold_a ≤ fold_b):
+    * leaking pair count, plus the same-fold (safe) diagonal.
+    *
+    * Scale shape: two broadcast fold lookups against the (materialized,
+    * |pairs|-sized) pair table and a ≤ 5×5 aggregate — corpus-free at
+    * query time; the pair table already paid its LSH cost once per
+    * session. The spec pins conservation (Σ cells == |pairs|) and the
+    * remedy metric (leak share = cross-fold mass / total).
+    */
+  private val CvFolds = 5L
+
+  def cvLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val fold = Parity.mixBucket(col("doc_id"), 2654435761L, CvFolds)
+    val folds = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fold.as("fold"))
+    val pairs = DedupOps.dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
+    pairs
+      .join(folds.select(col("doc_id").as("d1x"), col("fold").as("f1")),
+        col("d1") === col("d1x"))
+      .join(folds.select(col("doc_id").as("d2x"), col("fold").as("f2")),
+        col("d2") === col("d2x"))
+      .select(least(col("f1"), col("f2")).as("fold_a"),
+        greatest(col("f1"), col("f2")).as("fold_b"))
+      .groupBy(col("fold_a"), col("fold_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("fold_a") =!= col("fold_b"))
+      .orderBy(col("fold_a"), col("fold_b"))
+  }
+
+  private lazy val cvLeakageOracle = {
+    val foldSql = Parity.mixBucketSql("doc_id", 2654435761L, CvFolds)
+    s"""WITH mh AS (SELECT d1, d2 FROM (${DedupOps.dedupMinhashOracle})),
+       |f AS (SELECT doc_id, $foldSql AS fold FROM documents),
+       |tagged AS (
+       |  SELECT LEAST(a.fold, b.fold) AS fold_a,
+       |         GREATEST(a.fold, b.fold) AS fold_b
+       |  FROM mh JOIN f a ON d1 = a.doc_id JOIN f b ON d2 = b.doc_id)
+       |SELECT fold_a, fold_b, COUNT(*) AS n_pairs, fold_a <> fold_b AS leaks
+       |FROM tagged GROUP BY fold_a, fold_b ORDER BY fold_a, fold_b""".stripMargin
+  }
+
+  // ---------------------------------------------------- bootstrap CI
+  /** Deterministic Poisson-style bootstrap confidence interval for a
+    * corpus mean (here: tokens per document) — the error bar a corpus
+    * report should carry. Replica weights are hash-seeded
+    * binomial(8, 1/8) draws (mean 1, variance 7/8 — the standard
+    * Poisson(1)-approximating resampling weight, made DETERMINISTIC:
+    * eight [[Parity.mixBucket]] evaluations of (doc·B + replica) with
+    * distinct odd multipliers, so both engines draw the identical
+    * resamples with no RNG anywhere). Each replica's self-normalized
+    * mean Σw·x / Σw is one exact-integer pair of sums; the CI is the
+    * 2.5/97.5 percentile of the B replica means (quantile_cont
+    * parity, the q_percentiles precedent).
+    *
+    * Scale shape: the replica fan-out is a generator (B rows per doc
+    * of three integers — never the text), aggregated by replica with
+    * map-side partials; B is a constant, so the whole thing is one
+    * bounded-width shuffle. At 100 TB the same plan holds — Poisson
+    * bootstrap exists precisely because resampling-by-weight
+    * distributes where sample-with-replacement does not.
+    */
+  private val BootB = 50
+  private val BootKs = Seq(2654435761L, 2246822519L, 3266489917L,
+    668265263L, 374761393L, 2869860233L, 1540483477L, 2654435789L)
+
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("x"))
+    val reps = docs
+      .select(col("doc_id"), col("x"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("w", BootKs.map(k =>
+        when(Parity.mixBucketHi(col("doc_id") * BootB + col("b"), k, 8L) === 0L,
+          1L).otherwise(0L)).reduce(_ + _))
+    val means = reps.groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .withColumn("m", col("swx").cast("double") / col("sw"))
+    val base = docs.agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+    means.agg(count(lit(1)).as("b_reps"),
+      round(expr("percentile(m, 0.025D)"), 4).as("ci_lo"),
+      round(expr("percentile(m, 0.975D)"), 4).as("ci_hi"))
+      .crossJoin(broadcast(base))
+      .select(col("n_docs"), col("b_reps"),
+        round(col("sx").cast("double") / col("n_docs"), 4).as("mean_tokens"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  private lazy val bootstrapCiOracle = {
+    val wSql = BootKs.map(k =>
+      s"CASE WHEN ${Parity.mixBucketHiSql(s"(doc_id * $BootB + b)", k, 8L)} = 0" +
+        " THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id,
+       |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+       |              FROM documents),
+       |reps AS (
+       |  SELECT doc_id, x, b, $wSql AS w
+       |  FROM docs, LATERAL unnest(range(0, $BootB)) AS t(b)),
+       |means AS (
+       |  SELECT b, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+       |  FROM reps GROUP BY b),
+       |base AS (SELECT COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sx FROM docs)
+       |SELECT n_docs, (SELECT COUNT(*) FROM means) AS b_reps,
+       |       ROUND(CAST(sx AS DOUBLE) / n_docs, 4) AS mean_tokens,
+       |       (SELECT ROUND(quantile_cont(m, 0.025), 4) FROM means) AS ci_lo,
+       |       (SELECT ROUND(quantile_cont(m, 0.975), 4) FROM means) AS ci_hi
+       |FROM base""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (bootstrapCi _),
+    "q_cv_leakage" -> (cvLeakage _),
     "q_curriculum" -> (curriculum _),
     "q_inverted_index" -> (invertedIndex _),
     "q_pipeline_ledger" -> (pipelineLedger _),
@@ -665,6 +787,8 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" -> bootstrapCiOracle,
+    "q_cv_leakage" -> cvLeakageOracle,
     "q_curriculum" -> curriculumOracle,
     "q_inverted_index" -> invertedIndexOracle,
     "q_pipeline_ledger" -> pipelineLedgerOracle,

@@ -61,4 +61,31 @@ object Parity {
   /** DuckDB rendering of [[mixBucket]] — same mask, same arithmetic. */
   def mixBucketSql(key: String, k: Long, buckets: Long): String =
     s"((($key % 2147483648) * $k) % 4294967296) % $buckets"
+
+  /** HIGH-bits multiplicative bucket — Knuth's actual prescription.
+    * [[mixBucket]] keeps the product's LOW bits (`% buckets`), and for
+    * a power-of-two bucket count the low bits of key·k are a fixed
+    * bijection of the key's own low bits for EVERY odd multiplier —
+    * so "independent" hash rows built from different multipliers
+    * collide identically (two keys agree in one row ⟺ they agree in
+    * all rows), which silently voids any d-row sketch or multi-draw
+    * construction. Taking the TOP bits (divide by 2³²⁄buckets) makes
+    * the bucket depend on the full product, so distinct multipliers
+    * give genuinely distinct bucketings. `buckets` must divide 2³².
+    * Same 31-bit pre-mask ⇒ same overflow safety as [[mixBucket]].
+    */
+  def mixBucketHi(key: Column, k: Long, buckets: Long): Column = {
+    require(4294967296L % buckets == 0, s"buckets $buckets must divide 2^32")
+    val shift = 4294967296L / buckets
+    val prod = pmod(pmod(key, lit(2147483648L)) * lit(k), lit(4294967296L))
+    // exact-multiple floor division (the stableAvg idiom) — identical
+    // to DuckDB's `//` on nonnegative operands
+    ((prod - pmod(prod, lit(shift))) / lit(shift)).cast("long")
+  }
+
+  /** DuckDB rendering of [[mixBucketHi]] (`//` = floor division). */
+  def mixBucketHiSql(key: String, k: Long, buckets: Long): String = {
+    require(4294967296L % buckets == 0, s"buckets $buckets must divide 2^32")
+    s"((($key % 2147483648) * $k) % 4294967296) // ${4294967296L / buckets}"
+  }
 }

@@ -121,6 +121,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(1)._4 == qf.map(_.getLong(3)).sum, "quality token tally differs")
   }
 
+  test("CV leakage matrix conserves the pair table; folds well-formed") {
+    val nPairs = graft.ops.DedupOps.dedupMinhash(spark, sfSmall).count()
+    val rows = CurationOps.cvLeakage(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._3).sum == nPairs, "pair mass not conserved")
+    rows.foreach { case (a, b, n, leaks) =>
+      assert(a >= 0 && b < 5 && a <= b, s"fold cell ($a,$b) malformed")
+      assert(leaks == (a != b))
+      assert(n > 0)
+    }
+    // hash folds split near-dups: SOME pair must leak on this fixture
+    // (23 pairs across 5 random folds — same-fold-only would mean the
+    // fold hash is correlated with document content)
+    assert(rows.exists(_._4), "no cross-fold leakage found — suspicious folds")
+  }
+
+  test("bootstrap CI brackets the true mean with sane width") {
+    val r = CurationOps.bootstrapCi(spark, sfSmall).collect().head
+    val (n, b, mean, lo, hi) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(n == 500 && b == 50)
+    assert(lo < hi, "degenerate interval")
+    assert(mean >= lo && mean <= hi,
+      s"mean $mean outside percentile interval [$lo,$hi]")
+    // binomial(8,1/8) weights: se ≈ sd/sqrt(n); the 95% band must be
+    // neither collapsed nor wider than a generous 5× of that
+    val xs = Tables.documents(spark, sfSmall)
+      .selectExpr("CAST(size(split(text, ' ')) AS LONG) x").collect()
+      .map(_.getLong(0).toDouble)
+    val m = xs.sum / xs.length
+    val se = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length / xs.length)
+    assert(hi - lo > se, s"interval ${hi - lo} narrower than one SE $se")
+    assert(hi - lo < 10 * se, s"interval ${hi - lo} wider than 10 SE $se")
+  }
+
   test("curriculum: balanced quartiles with monotone difficulty bands") {
     val rows = CurationOps.curriculum(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
