@@ -692,7 +692,77 @@ object AnalyticsOps {
       |         AS p90_lag_min
       |FROM lags""".stripMargin
 
+  // ----------------------------------------------------- KS test
+  /** Two-sample Kolmogorov–Smirnov statistic — does the English slice's
+    * document-length distribution match the rest of the corpus? The
+    * distribution-shift test that complements the binned PSI monitor
+    * (CatalogOps.psiDrift) with a bin-free statistic. ENTIRELY exact
+    * integer arithmetic: per distinct length, cumulative counts for
+    * both samples (one small value-domain window), and the supremum of
+    * |F_a − F_b| found by maximizing the CROSS-MULTIPLIED integer
+    * |cum_a·n_b − cum_b·n_a| — no division until the single final
+    * D/(n_a·n_b), so the argmax is exact and the hash matches by
+    * construction.
+    *
+    * Scale shape: the corpus reduces to (length, count_a, count_b)
+    * rows BEFORE any window — the cumsum runs over the length value
+    * domain (hundreds of rows), not the corpus; at 100 TB that domain
+    * is unchanged. One groupBy shuffle, one tiny window, a 1-row
+    * argmax.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      .groupBy(col("v"))
+      .agg(sum(col("is_en")).as("c_en"),
+        sum(lit(1L) - col("is_en")).as("c_ot"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = d
+      .withColumn("cum_en", sum(col("c_en")).over(w))
+      .withColumn("cum_ot", sum(col("c_ot")).over(w))
+    val tot = d.agg(sum(col("c_en")).as("n_en"), sum(col("c_ot")).as("n_ot"))
+    cums.crossJoin(broadcast(tot))
+      .withColumn("dnum",
+        abs(col("cum_en") * col("n_ot") - col("cum_ot") * col("n_en")))
+      .groupBy(col("n_en"), col("n_ot"))
+      .agg(max(struct(col("dnum"), (-col("v")).as("nv"))).as("m"))
+      .select(col("n_en"), col("n_ot"),
+        (-col("m.nv")).as("ks_at"),
+        round(col("m.dnum").cast("double") / (col("n_en") * col("n_ot")), 6)
+          .as("ks"))
+  }
+
+  private val ksTestOracle =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c_ot
+      |  FROM documents GROUP BY 1),
+      |cums AS (
+      |  SELECT v,
+      |         SUM(c_en) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_en,
+      |         SUM(c_ot) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ot
+      |  FROM d),
+      |tot AS (SELECT CAST(SUM(c_en) AS BIGINT) AS n_en,
+      |               CAST(SUM(c_ot) AS BIGINT) AS n_ot FROM d),
+      |scored AS (
+      |  SELECT n_en, n_ot, v,
+      |         ABS(cum_en * n_ot - cum_ot * n_en) AS dnum
+      |  FROM cums CROSS JOIN tot),
+      |best AS (
+      |  SELECT n_en, n_ot, v AS ks_at, dnum,
+      |         ROW_NUMBER() OVER (ORDER BY dnum DESC, v ASC) AS rn
+      |  FROM scored)
+      |SELECT n_en, n_ot, ks_at,
+      |       ROUND(CAST(dnum AS DOUBLE) / (n_en * n_ot), 6) AS ks
+      |FROM best WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (ksTest _),
     "q_quality_corr" -> (qualityCorr _),
     "q_conversion_lag" -> (conversionLag _),
     "q_scd2" -> (scd2 _),
@@ -714,6 +784,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ks_test" -> ksTestOracle,
     "q_quality_corr" -> qualityCorrOracle,
     "q_conversion_lag" -> conversionLagOracle,
     "q_scd2" -> scd2Oracle,

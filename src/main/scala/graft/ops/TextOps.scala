@@ -912,7 +912,67 @@ object TextOps {
       |         / 1000000.0 AS fertility
       |FROM agg ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Distinctive vocabulary per source — TF-IDF over sources as the
+    * "documents": per (source, term) frequency weighted by
+    * ln(S / source-df), top-3 terms per source. The source-profiling
+    * report a curation run reads to see WHAT each crawl slice
+    * contributes (near-universal terms get idf ≈ 0 and drop out).
+    *
+    * Parity: idf is quantized once per term to e6 micro-nats and
+    * multiplied by the exact integer tf — score_e6 is an exact long,
+    * so ranking and the hash are exact; only the display column
+    * divides back to a double. Scale shape: one token-stream groupBy
+    * to (source, term), a vocab-sized df aggregate broadcast back,
+    * and a per-source top-k window over vocab-sized partitions.
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nSrc = tf.agg(countDistinct(col("source")).as("n_src"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("idf_e6",
+        round(log(col("n_src").cast("double") / col("df")) * lit(1000000.0), 0)
+          .cast("long"))
+      .select(col("term"), col("df"), col("idf_e6"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_e6").desc, col("term"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .withColumn("score_e6", col("tf") * col("idf_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score_e6").cast("double") / 1000000.0, 6).as("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val tfidfTermsOracle =
+    """WITH tf AS (
+      |  SELECT source, term, COUNT(*) AS tf
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY source, term),
+      |s AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
+      |dfx AS (
+      |  SELECT term, COUNT(*) AS df,
+      |         CAST(ROUND(ln(CAST(n_src AS DOUBLE) / COUNT(*)) * 1000000.0)
+      |              AS BIGINT) AS idf_e6
+      |  FROM tf CROSS JOIN s GROUP BY term, n_src),
+      |ranked AS (
+      |  SELECT source, term, tf, df, tf * idf_e6 AS score_e6,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY tf * idf_e6 DESC, term) AS rank
+      |  FROM tf JOIN dfx USING (term))
+      |SELECT source, rank, term, tf, df,
+      |       ROUND(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS tfidf
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_terms" -> (tfidfTerms _),
     "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_pmi_collocations" -> (pmiCollocations _),
@@ -933,6 +993,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf_terms" -> tfidfTermsOracle,
     "q_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q_temperature_sample" -> temperatureSampleOracle,
     "q_pmi_collocations" -> pmiCollocationsOracle,

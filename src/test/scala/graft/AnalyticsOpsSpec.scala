@@ -174,6 +174,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("KS statistic == driver-side ECDF supremum") {
+    val r = AnalyticsOps.ksTest(spark, sfTiny).collect().head
+    val (nEn, nOt, ksAt, ks) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("lang"), col("text")).collect()
+      .map(row => (row.getString(0) == "en", row.getString(1).split(" ").length))
+    val en = docs.filter(_._1).map(_._2).sorted
+    val ot = docs.filterNot(_._1).map(_._2).sorted
+    assert(nEn == en.length && nOt == ot.length)
+    val vs = (en ++ ot).distinct.sorted
+    val sup = vs.map { v =>
+      val d = math.abs(en.count(_ <= v).toLong * ot.length -
+        ot.count(_ <= v).toLong * en.length)
+      (d, v)
+    }.maxBy(t => (t._1, -t._2))
+    assert(ksAt == sup._2, s"argmax $ksAt != ${sup._2}")
+    assert(math.abs(ks - sup._1.toDouble / (en.length.toLong * ot.length))
+      <= 1e-6)
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("TF-IDF: universal terms zero out, scores rank non-increasing") {
+    val rows = graft.ops.TextOps.tfidfTerms(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val nSrc = rows.map(_._1).distinct.length
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      assert(ts.map(_._2).sorted.toSeq == (1 to 3), s"$src ranks not 1..3")
+      val byRank = ts.sortBy(_._2)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._6 >= b._6, s"$src tfidf not non-increasing") }
+    }
+    rows.foreach { case (src, _, term, tf, df, score) =>
+      assert(tf > 0 && df >= 1 && df <= nSrc)
+      if (df == nSrc) assert(score == 0.0, s"$src/$term universal but scored")
+      if (df < nSrc) assert(score > 0.0, s"$src/$term distinctive but zero")
+    }
+    // at least one source must surface a genuinely distinctive term
+    assert(rows.exists(_._6 > 0), "no distinctive vocabulary found")
+  }
+
   test("quality correlation == driver-side sufficient-statistics recompute") {
     val r = AnalyticsOps.qualityCorr(spark, sfSmall).collect().head
     val (n, pr) = (r.getLong(0), r.getDouble(1))
