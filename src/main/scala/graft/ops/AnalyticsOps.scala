@@ -761,7 +761,75 @@ object AnalyticsOps {
       |       ROUND(CAST(dnum AS DOUBLE) / (n_en * n_ot), 6) AS ks
       |FROM best WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------- user similarity
+  /** Behavioral user-user similarity — the dedup inverted-index
+    * pattern applied to the event stream: users are "documents", their
+    * active (date, hour) slots are the "shingles", and similarity is
+    * exact Jaccard over slot sets. Top-20 most-similar pairs (rank,
+    * not threshold — robust to activity density). The collaborative
+    * signal a recommender bootstraps from; structurally identical to
+    * [[DedupOps]]' candidate-by-equi-join discipline, demonstrating
+    * the pattern generalizes beyond text.
+    *
+    * Scale shape: the slot incidence is distinct per (user, slot); the
+    * candidate self-join keys on the slot (never user×user), so pair
+    * work ∝ true co-activity; per-slot fan-out is bounded by slot
+    * df — the posting-list cap applies verbatim if a global event
+    * (boilerplate slot) ever appears.
+    */
+  def userSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val slots = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        concat_ws(":", to_date(col("ts")).cast("string"),
+          hour(col("ts")).cast("string")).as("slot"))
+      .distinct()
+    val sizes = slots.groupBy(col("user_id")).agg(count(lit(1)).as("n_slots"))
+    val s1 = slots.select(col("user_id").as("u1"), col("slot"))
+    val s2 = slots.select(col("user_id").as("u2"), col("slot"))
+    val shared = s1.join(s2, Seq("slot"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("shared"))
+    val n1 = sizes.select(col("user_id").as("u1"), col("n_slots").as("n1"))
+    val n2 = sizes.select(col("user_id").as("u2"), col("n_slots").as("n2"))
+    val w = Window.orderBy(col("jaccard").desc, col("u1"), col("u2"))
+    shared.join(n1, Seq("u1")).join(n2, Seq("u2"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("u1"), col("u2"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("rank"))
+  }
+
+  private val userSimilarityOracle =
+    """WITH slots AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(CAST(ts AS DATE) AS VARCHAR) || ':' ||
+      |         CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS slot
+      |  FROM events),
+      |sizes AS (SELECT user_id, COUNT(*) AS n_slots FROM slots GROUP BY user_id),
+      |shared AS (
+      |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS shared
+      |  FROM slots a JOIN slots b ON a.slot = b.slot
+      |  WHERE a.user_id < b.user_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT u1, u2, shared,
+      |         CAST(shared AS DOUBLE) / (x.n_slots + y.n_slots - shared) AS jaccard
+      |  FROM shared
+      |  JOIN sizes x ON u1 = x.user_id
+      |  JOIN sizes y ON u2 = y.user_id),
+      |ranked AS (
+      |  SELECT u1, u2, shared, jaccard,
+      |         ROW_NUMBER() OVER (ORDER BY jaccard DESC, u1, u2) AS rank
+      |  FROM scored)
+      |SELECT rank, u1, u2, shared, ROUND(jaccard, 6) AS jaccard
+      |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_similarity" -> (userSimilarity _),
     "q_ks_test" -> (ksTest _),
     "q_quality_corr" -> (qualityCorr _),
     "q_conversion_lag" -> (conversionLag _),
@@ -784,6 +852,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_user_similarity" -> userSimilarityOracle,
     "q_ks_test" -> ksTestOracle,
     "q_quality_corr" -> qualityCorrOracle,
     "q_conversion_lag" -> conversionLagOracle,

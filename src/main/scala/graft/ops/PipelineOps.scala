@@ -703,7 +703,72 @@ object PipelineOps {
       |FROM o FULL OUTER JOIN l ON o.k = l.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ nested export
+  /** Nested-record export — the denormalized delivery shape a training
+    * dataloader reads (one row per document: metadata STRUCT + an
+    * ARRAY<STRUCT> of 32-token chunks with per-chunk hashes), written
+    * to parquet and READ BACK through [[graft.etl.Medallion
+    * .materializeOnce]] so the nested schema's parquet round-trip is
+    * part of what the oracle checks. The reference has no nested types
+    * (SURVEY §1.2); this is the Spark/Parquet capability class that
+    * replaces the "one flat table per join" delivery with
+    * self-contained records. The emitted audit is flat: per doc, the
+    * chunk count, the token-mass conservation (Σ chunk tokens ==
+    * n_tok — non-overlapping chunks must cover exactly), and an md5
+    * chain over the in-order chunk hashes (order-sensitive by
+    * construction, so a shuffled array would surface loudly).
+    *
+    * Scale shape: chunking and struct assembly are map-side; the write
+    * is partition-parallel; the audit is one narrow projection over
+    * the read-back. Nothing shuffles except the final orderBy.
+    */
+  private val NestedChunk = 32
+
+  def nestedExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        struct(col("lang"), col("source"),
+          size(col("w")).cast("long").as("n_tok")).as("meta"),
+        expr(
+          s"""transform(
+             |  sequence(0, CAST(ceil(size(w) / $NestedChunk.0) AS INT) - 1),
+             |  i -> named_struct(
+             |    'idx', i,
+             |    'n_tok', size(slice(w, i * $NestedChunk + 1, $NestedChunk)),
+             |    'h', md5(CAST(concat_ws(' ', slice(w, i * $NestedChunk + 1, $NestedChunk)) AS BINARY))))""".stripMargin)
+          .as("chunks"))
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/nested_docs")(recs)
+      .select(col("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_tok").as("n_tok"),
+        size(col("chunks")).as("n_chunks"),
+        expr("aggregate(chunks, 0L, (a, c) -> a + c.n_tok)")
+          .as("chunk_tok_sum"),
+        md5(expr("concat_ws('', transform(chunks, c -> c.h))").cast("binary"))
+          .as("chain_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nestedExportOracle =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, i,
+       |         array_to_string(w[i*$NestedChunk+1 : i*$NestedChunk+$NestedChunk], ' ') AS chunk
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL unnest(range(0, CAST(ceil(len(w) / $NestedChunk.0) AS BIGINT))) AS t(i)),
+       |audit AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |         CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_tok_sum,
+       |         md5(string_agg(md5(chunk), '' ORDER BY i)) AS chain_md5
+       |  FROM chunks GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |       a.n_chunks, a.chunk_tok_sum, a.chain_md5
+       |FROM documents d JOIN audit a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nested_export" -> (nestedExport _),
     "q_cogroup" -> (cogroupRecon _),
     "q_funnel_mapgroups" -> (funnelMapGroups _),
     "q_train_split" -> (trainSplit _),
@@ -721,6 +786,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_nested_export" -> nestedExportOracle,
     "q_cogroup" -> cogroupReconOracle,
     "q_funnel_mapgroups" -> funnelOracle,
     "q_train_split" -> trainSplitOracle,

@@ -174,6 +174,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("nested export: conservation, chunk math, and a nested disk schema") {
+    val rows = PipelineOps.nestedExport(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nTok, nChunks, chunkSum) =>
+      assert(chunkSum == nTok, s"doc $id chunk mass $chunkSum != $nTok")
+      assert(nChunks == math.ceil(nTok / 32.0).toInt, s"doc $id chunk count")
+    }
+    // the materialized table really is nested on disk
+    val schema = spark.read.parquet(
+      s"${graft.etl.Medallion.warehouse(sfSmall)}/nested_docs").schema
+    assert(schema("meta").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    val chunks = schema("chunks").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(chunks.elementType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+  }
+
+  test("user similarity: ranked pairs well-formed and truly maximal") {
+    val rows = AnalyticsOps.userSimilarity(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1 to 20))
+    rows.foreach { case (_, u1, u2, shared, j) =>
+      assert(u1 < u2 && shared > 0)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 >= b._5, "jaccard not non-increasing down the ranking")
+    }
+  }
+
   test("KS statistic == driver-side ECDF supremum") {
     val r = AnalyticsOps.ksTest(spark, sfTiny).collect().head
     val (nEn, nOt, ksAt, ks) = (r.getLong(0), r.getLong(1), r.getLong(2),
