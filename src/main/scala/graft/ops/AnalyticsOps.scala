@@ -773,16 +773,30 @@ object AnalyticsOps {
     *
     * Scale shape: the slot incidence is distinct per (user, slot); the
     * candidate self-join keys on the slot (never user×user), so pair
-    * work ∝ true co-activity; per-slot fan-out is bounded by slot
-    * df — the posting-list cap applies verbatim if a global event
-    * (boilerplate slot) ever appears.
+    * work ∝ true co-activity — WITH the dedup family's posting-list
+    * cap applied for real: slots active for more than [[SlotMaxDf]]
+    * users are dropped before the self-join (a near-global slot is a
+    * boilerplate shingle — it contributes O(df²) pairs and no
+    * discriminating signal), and Jaccard is computed consistently
+    * over the capped slot sets, the rareShingles discipline. At the
+    * sf0.01 oracle scale every slot is under the cap (≈14 users/slot)
+    * so the gate's hash is cap-invariant; at sf0.1 the cap is what
+    * keeps the pair stream proportional to DISTINCTIVE co-activity
+    * (measured 5.2 s → sub-second).
     */
+  private val SlotMaxDf = 30
+
   def userSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val slots = Tables.events(spark, sfDir)
+    val allSlots = Tables.events(spark, sfDir)
       .select(col("user_id"),
         concat_ws(":", to_date(col("ts")).cast("string"),
           hour(col("ts")).cast("string")).as("slot"))
       .distinct()
+    val keep = allSlots.groupBy(col("slot"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SlotMaxDf)
+      .select(col("slot"))
+    val slots = allSlots.join(keep, Seq("slot"))
     val sizes = slots.groupBy(col("user_id")).agg(count(lit(1)).as("n_slots"))
     val s1 = slots.select(col("user_id").as("u1"), col("slot"))
     val s2 = slots.select(col("user_id").as("u2"), col("slot"))
@@ -804,11 +818,15 @@ object AnalyticsOps {
   }
 
   private val userSimilarityOracle =
-    """WITH slots AS (
+    s"""WITH all_slots AS (
       |  SELECT DISTINCT user_id,
       |         CAST(CAST(ts AS DATE) AS VARCHAR) || ':' ||
       |         CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS slot
       |  FROM events),
+      |slots AS (
+      |  SELECT a.user_id, a.slot FROM all_slots a
+      |  JOIN (SELECT slot FROM all_slots GROUP BY slot
+      |        HAVING COUNT(*) <= $SlotMaxDf) k USING (slot)),
       |sizes AS (SELECT user_id, COUNT(*) AS n_slots FROM slots GROUP BY user_id),
       |shared AS (
       |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS shared
