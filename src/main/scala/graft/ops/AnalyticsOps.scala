@@ -846,7 +846,159 @@ object AnalyticsOps {
       |SELECT rank, u1, u2, shared, ROUND(jaccard, 6) AS jaccard
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------- A/B test
+  /** Two-proportion z-test — the experiment readout: users split into
+    * deterministic arms (even/odd user_id — the hash-assignment
+    * stand-in), success = an ABOVE-MEDIAN purchase count (the
+    * scale-robust metric: "everyone made ≥1 purchase" is degenerate on
+    * a dense event stream — p̂ = 1 zeroes the pooled variance), and
+    * the pooled two-proportion z-statistic decides significance, NULL
+    * when the pooled rate is degenerate (0 or 1). All four sufficient
+    * counts are exact integers from ONE conditional aggregation; z
+    * evaluates once in a token-identical double expression (the
+    * qualityCorr discipline), so the hash matches by construction. At
+    * 100 TB this is a per-user aggregate + a 2-row reduction.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+    val med = perUser.agg(expr("percentile(n_purch, 0.5D)").as("med"))
+    val arms = perUser.crossJoin(broadcast(med))
+      .withColumn("converted",
+        when(col("n_purch") > col("med"), 1L).otherwise(0L))
+      .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L, "A")
+        .otherwise("B"))
+    val counts = arms.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("c_b"))
+    counts
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z", when(
+        col("p_pool") > 0.0 && col("p_pool") < 1.0,
+        round((col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(col("p_a"), 6).as("rate_a"), round(col("p_b"), 6).as("rate_b"),
+        col("z"), (abs(col("z")) > 1.96).as("significant"))
+  }
+
+  private val abTestOracle =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_purch
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT quantile_cont(n_purch, 0.5) AS med FROM pu),
+      |arms AS (
+      |  SELECT user_id,
+      |         CASE WHEN n_purch > med THEN 1 ELSE 0 END AS converted,
+      |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM pu CROSS JOIN m),
+      |c AS (SELECT
+      |        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+      |        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      |      FROM arms),
+      |z AS (SELECT *,
+      |        CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+      |      FROM c)
+      |SELECT n_a, c_a, n_b, c_b,
+      |       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |       CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+      |         ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+      |               sqrt(p_pool * (1.0 - p_pool) *
+      |                    (1.0 / n_a + 1.0 / n_b)), 4) END AS z,
+      |       ABS(CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+      |         ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+      |               sqrt(p_pool * (1.0 - p_pool) *
+      |                    (1.0 / n_a + 1.0 / n_b)), 4) END) > 1.96 AS significant
+      |FROM z""".stripMargin
+
+  // ------------------------------------------------- survival curve
+  /** Kaplan–Meier survival over user lifetimes — churn's canonical
+    * estimator: a user "dies" on their last active day unless that day
+    * is the study end (right-censored); at each death day t the
+    * at-risk set is everyone whose last day ≥ t, and
+    * S(t) = Π_{s≤t} (1 − d_s/n_s). The product is computed as
+    * exp(Σ ln(1 − d/n)) with each day's ln QUANTIZED to e6 micro-nats
+    * before the cumulative sum — the unigramLogprob discipline applied
+    * to a cumulative product, making the running product order-free
+    * and engine-exact up to the final exp/round.
+    *
+    * Scale shape: the corpus reduces to one (last_day) row per user,
+    * then to the DAY value domain (a window over ≤ study-length rows);
+    * at 100 TB the day domain is unchanged. The at-risk count is a
+    * suffix sum — one descending-day cumsum, no per-user state.
+    */
+  def survivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val lifet = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"))
+    val endD = lifet.agg(max(col("last_d")).as("end_d"))
+    val byDay = lifet.crossJoin(broadcast(endD))
+      .groupBy(col("last_d"))
+      .agg(count(lit(1)).as("n_last"),
+        sum(when(col("last_d") < col("end_d"), 1L).otherwise(0L)).as("d_t"))
+    val wRisk = Window.orderBy(col("last_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("last_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk", sum(col("n_last")).over(wRisk))
+      .withColumn("ln_e6", when(col("d_t") === 0L, 0L).otherwise(
+        round(log(lit(1.0) - col("d_t").cast("double") / col("n_risk")) *
+          lit(1000000.0), 0).cast("long")))
+      .withColumn("surv",
+        round(exp(sum(col("ln_e6")).over(wCum).cast("double") / lit(1000000.0)),
+          6))
+      .filter(col("d_t") > 0L)
+      .select(col("last_d").as("day"), col("n_risk"), col("d_t").as("deaths"),
+        col("surv"))
+      .orderBy(col("day"))
+  }
+
+  private val survivalKmOracle =
+    """WITH lifet AS (
+      |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT MAX(last_d) AS end_d FROM lifet),
+      |by_day AS (
+      |  SELECT last_d, COUNT(*) AS n_last,
+      |         CAST(SUM(CASE WHEN last_d < end_d THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+      |  FROM lifet CROSS JOIN e GROUP BY last_d),
+      |risked AS (
+      |  SELECT last_d, d_t,
+      |         SUM(n_last) OVER (ORDER BY last_d DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM by_day),
+      |lns AS (
+      |  SELECT last_d, d_t, n_risk,
+      |         CASE WHEN d_t = 0 THEN 0
+      |              ELSE CAST(ROUND(ln(1.0 - CAST(d_t AS DOUBLE) / n_risk)
+      |                              * 1000000.0) AS BIGINT) END AS ln_e6
+      |  FROM risked)
+      |SELECT last_d AS day, n_risk, d_t AS deaths,
+      |       ROUND(exp(CAST(SUM(ln_e6) OVER (ORDER BY last_d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / 1000000.0), 6) AS surv
+      |FROM lns
+      |QUALIFY d_t > 0
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (abTest _),
+    "q_survival_km" -> (survivalKm _),
     "q_user_similarity" -> (userSimilarity _),
     "q_ks_test" -> (ksTest _),
     "q_quality_corr" -> (qualityCorr _),
@@ -870,6 +1022,8 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ab_test" -> abTestOracle,
+    "q_survival_km" -> survivalKmOracle,
     "q_user_similarity" -> userSimilarityOracle,
     "q_ks_test" -> ksTestOracle,
     "q_quality_corr" -> qualityCorrOracle,

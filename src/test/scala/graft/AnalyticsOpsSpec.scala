@@ -174,6 +174,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("A/B test: counts conserve users, z matches hand recompute") {
+    val r = AnalyticsOps.abTest(spark, sfSmall).collect().head
+    val (nA, cA, nB, cB, z) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(6))
+    val users = Tables.events(spark, sfSmall)
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB == users, "arms must partition the user set")
+    assert(cA <= nA && cB <= nB)
+    val (pA, pB) = (cA.toDouble / nA, cB.toDouble / nB)
+    val pp = (cA + cB).toDouble / (nA + nB)
+    val want = (pA - pB) / math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(z - want) <= 5e-4, s"z=$z != $want")
+    assert(r.getBoolean(7) == (math.abs(z) > 1.96))
+  }
+
+  test("survival: S monotone non-increasing, risk sets nested, KM recompute") {
+    val rows = AnalyticsOps.survivalKm(spark, sfSmall).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1 && a._2 > b._2, "days/risk sets not strictly ordered")
+      assert(a._4 >= b._4, "survival must be non-increasing")
+    }
+    // hand-fold the KM product on the same (deaths, n_risk) pairs
+    var s = 1.0
+    rows.foreach { case (_, nRisk, d, surv) =>
+      assert(d > 0 && d <= nRisk)
+      s *= 1.0 - d.toDouble / nRisk
+      assert(math.abs(surv - s) <= 1e-4, s"KM product drifted: $surv vs $s")
+    }
+    assert(rows.last._4 > 0.0 && rows.head._4 < 1.0)
+  }
+
   test("nested export: conservation, chunk math, and a nested disk schema") {
     val rows = PipelineOps.nestedExport(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
