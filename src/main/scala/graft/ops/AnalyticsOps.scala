@@ -996,7 +996,106 @@ object AnalyticsOps {
       |QUALIFY d_t > 0
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------- event transition matrix
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the user-journey model behind "what do users do after
+    * X": P(next = b | cur = a) from lag-adjacent event pairs within
+    * each user's time-ordered stream. Transitions count via ONE
+    * (user, ms, event_id) sort window (lag), probabilities are
+    * half-up e6 integer-lattice divisions of exact counts (the
+    * temperatureMix construction) — no float accumulation. The matrix
+    * is |types|² rows regardless of corpus size; the sort is the same
+    * per-user exchange every sessionizer already pays.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("row_n", sum(col("n")).over(wFrom))
+      .withColumn("p", ((col("n") * 2000000L + col("row_n") -
+        pmod(col("n") * 2000000L + col("row_n"), col("row_n") * 2)) /
+        (col("row_n") * 2)) / lit(1000000.0))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventTransitionsOracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST((n * 2000000 + SUM(n) OVER (PARTITION BY from_type))
+      |            // (SUM(n) OVER (PARTITION BY from_type) * 2) AS DOUBLE)
+      |         / 1000000.0 AS p
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
+  // ------------------------------------------------ Pareto analysis
+  /** Activity concentration (the 80/20 readout): how many of the most
+    * active users does it take to cover 80% of all events, plus the
+    * top-decile share — the concentration numbers a capacity/abuse
+    * review leads with. The 80% gate is the exact integer predicate
+    * 5·cum ≤ 4·tot + the FIRST row crossing it (the boundary user is
+    * counted in), so the answer is exact; shares are IEEE long/long
+    * divisions. The cumsum runs over per-user totals (narrow rows);
+    * at 100 TB the ranking sorts |users| rows, never events.
+    */
+  def paretoUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val wCum = Window.orderBy(col("n_ev").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.orderBy(col("n_ev").desc, col("user_id"))
+    val ranked = per
+      .withColumn("cum", sum(col("n_ev")).over(wCum))
+      .withColumn("rnk", row_number().over(wRank))
+    val tot = per.agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_tot"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n_users"), col("n_tot"))
+      .agg(min(when(col("cum") * 5 >= col("n_tot") * 4, col("rnk")))
+        .as("users_for_80pct"),
+        sum(when(col("rnk") * 10 <= col("n_users"), col("n_ev"))
+          .otherwise(0L)).as("top_decile_events"))
+      .select(col("n_users"), col("n_tot"), col("users_for_80pct"),
+        round(col("users_for_80pct").cast("double") / col("n_users"), 6)
+          .as("user_frac_for_80pct"),
+        round(col("top_decile_events").cast("double") / col("n_tot"), 6)
+          .as("top_decile_share"))
+  }
+
+  private val paretoUsersOracle =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT n_ev,
+      |         SUM(n_ev) OVER (ORDER BY n_ev DESC, user_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id) AS rnk
+      |  FROM per),
+      |tot AS (SELECT COUNT(*) AS n_users, CAST(SUM(n_ev) AS BIGINT) AS n_tot
+      |        FROM per)
+      |SELECT n_users, n_tot,
+      |       MIN(CASE WHEN cum * 5 >= n_tot * 4 THEN rnk END) AS users_for_80pct,
+      |       ROUND(CAST(MIN(CASE WHEN cum * 5 >= n_tot * 4 THEN rnk END)
+      |                  AS DOUBLE) / n_users, 6) AS user_frac_for_80pct,
+      |       ROUND(CAST(SUM(CASE WHEN rnk * 10 <= n_users THEN n_ev ELSE 0 END)
+      |                  AS DOUBLE) / n_tot, 6) AS top_decile_share
+      |FROM ranked CROSS JOIN tot
+      |GROUP BY n_users, n_tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
+    "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
     "q_survival_km" -> (survivalKm _),
     "q_user_similarity" -> (userSimilarity _),
@@ -1022,6 +1121,8 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsOracle,
+    "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,
     "q_survival_km" -> survivalKmOracle,
     "q_user_similarity" -> userSimilarityOracle,

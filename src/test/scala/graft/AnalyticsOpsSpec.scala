@@ -174,6 +174,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("event transitions: rows normalize, pair mass conserves") {
+    val rows = AnalyticsOps.eventTransitions(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val events = Tables.events(spark, sfSmall).count()
+    val users = Tables.events(spark, sfSmall)
+      .select(col("user_id")).distinct().count()
+    // every event except each user's first contributes one transition
+    assert(rows.map(_._3).sum == events - users, "transition mass")
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val pSum = ts.map(_._4).sum
+      assert(math.abs(pSum - 1.0) <= ts.length * 1e-6,
+        s"$from row sums to $pSum")
+      ts.foreach(t => assert(t._4 > 0.0 && t._4 <= 1.0))
+    }
+  }
+
+  test("Pareto: boundary exact, decile share consistent") {
+    val r = AnalyticsOps.paretoUsers(spark, sfSmall).collect().head
+    val (nU, nT, k, frac, decile) = (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(k >= 1 && k <= nU)
+    assert(math.abs(frac - k.toDouble / nU) <= 1e-6)
+    // the top decile (sorted desc) cannot hold less than its headcount share
+    assert(decile >= (nU / 10).toDouble / nU - 1e-6)
+    // k is the FIRST rank crossing 80%: recompute from per-user counts
+    val per = Tables.events(spark, sfSmall).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).map(_._2)
+    var cum = 0L
+    val want = per.indexWhere { n => cum += n; cum * 5 >= nT * 4 } + 1
+    assert(k == want, s"boundary $k != $want")
+  }
+
   test("A/B test: counts conserve users, z matches hand recompute") {
     val r = AnalyticsOps.abTest(spark, sfSmall).collect().head
     val (nA, cA, nB, cB, z) = (r.getLong(0), r.getLong(1), r.getLong(2),
