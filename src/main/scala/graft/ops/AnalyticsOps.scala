@@ -1093,7 +1093,49 @@ object AnalyticsOps {
       |FROM ranked CROSS JOIN tot
       |GROUP BY n_users, n_tot""".stripMargin
 
+  // ------------------------------------------------- Gini coefficient
+  /** Gini coefficient of per-user activity — the single-number
+    * inequality complement to the Pareto boundary: with per-user event
+    * counts x ranked ascending (rank i = 1..n),
+    * G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n. Both sums are EXACT integer
+    * aggregates over narrow ranked rows (the rank is one window over
+    * |users| rows), and G evaluates once in a token-identical double
+    * expression with DECIMAL(38)/HUGEINT cross-products (the
+    * qualityCorr discipline — n·Σi·x overflows a long at web-scale
+    * user counts). Exact, order-free, one narrow sort.
+    */
+  def giniActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val w = Window.orderBy(col("n_ev"), col("user_id"))
+    per.withColumn("i", row_number().over(w).cast("long"))
+      // the rank-weighted sum accumulates in DECIMAL(38) so neither the
+      // i·x product nor its sum has a long ceiling at web-scale counts
+      .agg(count(lit(1)).as("n"), sum(col("n_ev")).as("sx"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * n_ev")).as("six"))
+      .select(col("n"), col("sx"),
+        round(lit(2.0) * col("six").cast("double") /
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE)") -
+          (col("n") + lit(1L)).cast("double") / col("n"), 6).as("gini"))
+  }
+
+  private val giniActivityOracle =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT n_ev,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY n_ev, user_id) AS BIGINT) AS i
+      |  FROM per),
+      |s AS (SELECT COUNT(*) AS n, CAST(SUM(n_ev) AS BIGINT) AS sx,
+      |             SUM(CAST(i AS HUGEINT) * n_ev) AS six
+      |      FROM ranked)
+      |SELECT n, sx,
+      |       ROUND(2.0 * CAST(six AS DOUBLE) /
+      |             CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) -
+      |             CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
     "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
@@ -1121,6 +1163,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
     "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,

@@ -771,7 +771,68 @@ object CurationOps {
        |FROM base""".stripMargin
   }
 
+  // ------------------------------------------------------ lift table
+  /** Decile lift table — the ranking-eval readout for a selection
+    * score: documents deciled by DSIR weight (desc), each decile's
+    * target-language ("positive") rate compared to the base rate.
+    * Lift > 1 in the top deciles is the evidence that the score
+    * actually concentrates the target — the table every
+    * classifier/heuristic selection ships with. Deciling is one
+    * narrow-row ntile window; rates and lift are exact-count IEEE
+    * divisions rounded at 6 dp; the corpus-scale work is the composed
+    * weight operator's one pass.
+    */
+  def liftTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = importanceWeights(spark, sfDir)
+      .withColumn("pos", when(col("lang") === DsirTarget, 1L).otherwise(0L))
+    val w = Window.orderBy(col("dsir_w").desc, col("doc_id"))
+    val deciled = scored.withColumn("decile", ntile(10).over(w))
+    val base = scored.agg(count(lit(1)).as("n_all"), sum(col("pos")).as("p_all"))
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"))
+      .crossJoin(broadcast(base))
+      .select(col("decile"), col("n"), col("positives"),
+        round(col("positives").cast("double") / col("n"), 6).as("rate"),
+        round((col("positives").cast("double") / col("n")) /
+          (col("p_all").cast("double") / col("n_all")), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  private lazy val liftTableOracle =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |freqs AS (SELECT term, COUNT(*) AS tf_all,
+       |                 CAST(SUM(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS tf_tgt
+       |          FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf_all) AS BIGINT) AS n_all,
+       |               CAST(SUM(tf_tgt) AS BIGINT) AS n_tgt,
+       |               COUNT(*) AS vocab
+       |        FROM freqs),
+       |lr AS (SELECT term,
+       |              CAST(ROUND((ln(CAST(tf_tgt + 1 AS DOUBLE) / (n_tgt + vocab)) -
+       |                          ln(CAST(tf_all + 1 AS DOUBLE) / (n_all + vocab)))
+       |                         * 1000000.0) AS BIGINT) AS lr_e6
+       |       FROM freqs CROSS JOIN tot),
+       |dw AS (SELECT doc_id, lang,
+       |              ROUND(CAST(SUM(lr_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |                AS dsir_w
+       |       FROM toks JOIN lr USING (term) GROUP BY doc_id, lang),
+       |deciled AS (
+       |  SELECT CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END AS pos,
+       |         NTILE(10) OVER (ORDER BY dsir_w DESC, doc_id) AS decile
+       |  FROM dw),
+       |base AS (SELECT COUNT(*) AS n_all, CAST(SUM(pos) AS BIGINT) AS p_all
+       |         FROM deciled)
+       |SELECT decile, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS positives,
+       |       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS rate,
+       |       ROUND((CAST(SUM(pos) AS DOUBLE) / COUNT(*)) /
+       |             (CAST(p_all AS DOUBLE) / n_all), 6) AS lift
+       |FROM deciled CROSS JOIN base
+       |GROUP BY decile, p_all, n_all ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lift_table" -> (liftTable _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cv_leakage" -> (cvLeakage _),
     "q_curriculum" -> (curriculum _),
@@ -787,6 +848,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lift_table" -> liftTableOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_cv_leakage" -> cvLeakageOracle,
     "q_curriculum" -> curriculumOracle,

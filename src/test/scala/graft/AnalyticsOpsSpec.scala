@@ -174,6 +174,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("Gini == driver-side rank-formula recompute, bounded") {
+    val r = AnalyticsOps.giniActivity(spark, sfSmall).collect().head
+    val (n, sx, g) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    val xs = Tables.events(spark, sfSmall).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    assert(n == xs.length && sx == xs.sum)
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val want = 2.0 * six / (xs.length.toLong * xs.sum).toDouble -
+      (xs.length + 1.0) / xs.length
+    assert(math.abs(g - want) <= 1e-6, s"gini $g != $want")
+  }
+
   test("event transitions: rows normalize, pair mass conserves") {
     val rows = AnalyticsOps.eventTransitions(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

@@ -121,6 +121,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(1)._4 == qf.map(_.getLong(3)).sum, "quality token tally differs")
   }
 
+  test("lift table: score concentrates the target (top>1>bottom lift)") {
+    val rows = CurationOps.liftTable(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "deciles unbalanced")
+    val nEn = Tables.documents(spark, sfSmall)
+      .filter(col("lang") === "en").count()
+    assert(rows.map(_._3).sum == nEn, "positives don't conserve")
+    // the whole point of the score: the head is enriched, the tail
+    // depleted relative to base rate
+    assert(rows.head._5 > 1.0, s"top decile lift ${rows.head._5} <= 1")
+    assert(rows.last._5 < 1.0, s"bottom decile lift ${rows.last._5} >= 1")
+    rows.foreach { case (_, n, p, rate, _) =>
+      assert(math.abs(rate - p.toDouble / n) <= 1e-6)
+    }
+  }
+
   test("CV leakage matrix conserves the pair table; folds well-formed") {
     val nPairs = graft.ops.DedupOps.dedupMinhash(spark, sfSmall).count()
     val rows = CurationOps.cvLeakage(spark, sfSmall).collect()
