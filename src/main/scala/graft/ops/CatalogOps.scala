@@ -361,7 +361,52 @@ object CatalogOps {
        |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
        |FROM cls GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------- referential integrity
+  /** Cross-table referential-integrity audit between the documents
+    * store and the embedding index — the check a doc+vector pipeline
+    * runs after every ingest: ids present on one side but not the
+    * other are stale (doc deleted, vector kept) or unembedded (doc
+    * ingested, vector missing). Both directions are LEFT ANTI joins —
+    * the id sets shuffle, never the payloads — plus the matched count;
+    * one summary row the pipeline alerts on if any orphan count is
+    * nonzero. At 100 TB both sides reduce to id columns before any
+    * exchange.
+    */
+  def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"))
+    val unembedded = docs.join(vecs, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vec"))
+    val stale = vecs.join(docs, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("vecs_without_doc"))
+    val matched = docs.join(vecs, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("matched"))
+    matched.crossJoin(unembedded).crossJoin(stale)
+      .withColumn("consistent",
+        col("docs_without_vec") === 0L && col("vecs_without_doc") === 0L)
+  }
+
+  private val refIntegrityOracle =
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents d
+      |   WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+      |    AS matched,
+      |  (SELECT COUNT(*) FROM documents d
+      |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+      |    AS docs_without_vec,
+      |  (SELECT COUNT(*) FROM embeddings e
+      |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+      |    AS vecs_without_doc,
+      |  (SELECT COUNT(*) FROM documents d
+      |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) = 0
+      |  AND
+      |  (SELECT COUNT(*) FROM embeddings e
+      |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) = 0
+      |    AS consistent""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_psi_drift" -> (psiDrift _),
     "q_catalog_dump" -> (catalogDump _),
@@ -371,6 +416,7 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_psi_drift" -> psiDriftOracle,
     "q_catalog_dump" -> catalogDumpOracle,

@@ -971,7 +971,65 @@ object TextOps {
       |FROM ranked WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Zipf-law fit — the corpus-health diagnostic: regress ln(freq) on
+    * ln(rank) over the frequency-ranked vocabulary; natural text sits
+    * near slope −1, and a corpus whose slope drifts (boilerplate
+    * flooding, truncation) fails the eyeball test this number
+    * automates. The regression is the [[AnalyticsOps.qualityCorr]]
+    * sufficient-statistics discipline: both logs are quantized to e6
+    * micro-nats per VOCAB ROW, the five sums are exact integer
+    * aggregates over the (tiny) vocab, and slope/intercept/r² evaluate
+    * once in token-identical expressions with DECIMAL/HUGEINT
+    * cross-products. One token-count pass + a vocab-sized window.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    val ranked = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("y"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          .cast("double") /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            .cast("double"), 6).as("zipf_slope"))
+  }
+
+  private val zipfSlopeOracle =
+    """WITH cnts AS (
+      |  SELECT term, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term),
+      |ranked AS (
+      |  SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+      |                             AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+      |         CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      |  FROM cnts),
+      |m AS (SELECT COUNT(*) AS n,
+      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM ranked)
+      |SELECT n,
+      |       ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+      |                  AS DOUBLE) /
+      |             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |                  AS DOUBLE), 6) AS zipf_slope
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_temperature_sample" -> (temperatureSample _),
@@ -993,6 +1051,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,
     "q_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q_temperature_sample" -> temperatureSampleOracle,

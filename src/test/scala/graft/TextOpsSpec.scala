@@ -36,6 +36,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("Zipf slope == driver-side least-squares on the log-log lattice") {
+    val r = TextOps.zipfSlope(spark, sfSmall).collect().head
+    val (n, slope) = (r.getLong(0), r.getDouble(1))
+    assert(slope < 0.0, "frequency must fall with rank")
+    val cnts = Tables.documents(spark, sfSmall)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    assert(n == cnts.length)
+    val pts = cnts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val m = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val want = (BigInt(m) * sxy - BigInt(sx) * BigInt(sy)).toDouble /
+      (BigInt(m) * sxx - BigInt(sx) * BigInt(sx)).toDouble
+    assert(math.abs(slope - want) <= 1e-6, s"slope $slope != $want")
+  }
+
   test("tokenizer fertility == driver-side half-up lattice recompute") {
     val docs = Tables.documents(spark, sfTiny)
       .select(col("lang"), col("text")).collect()
