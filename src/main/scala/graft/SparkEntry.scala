@@ -23,6 +23,7 @@ object SparkEntry {
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
+      ops.StatsOps.queries ++
       ops.CurationOps.queries ++
       ops.RetrievalOps.queries ++
       ops.AnalyticsOps.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
+      ops.StatsOps.oracles ++
       ops.CurationOps.oracles ++
       ops.RetrievalOps.oracles ++
       ops.AnalyticsOps.oracles ++

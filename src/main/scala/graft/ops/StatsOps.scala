@@ -1,0 +1,474 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Decision-analytics operators a BI/growth team runs on top of the
+  * warehouse the reference builds (beyond the reference's own query
+  * surface, like the rest of the analytics family): customer
+  * segmentation (RFM), marketing attribution (last touch), Pareto
+  * frontier (2-D skyline), first-digit audit (Benford), categorical
+  * independence (chi-square), and two time-series diagnostics over the
+  * event stream (lag autocorrelation, cumulative-deviation change
+  * point), plus co-purchase link prediction (Adamic-Adar).
+  *
+  * Parity doctrine is the house one: every cross-engine comparison and
+  * every reported ratio lives on an exact integer lattice (the
+  * [[Parity]] half-up idiom), so no result depends on float summation
+  * order — each query's oracle-hash holds at any partition count.
+  */
+object StatsOps {
+
+  // --------------------------------------------------------------- RFM
+  /** RFM segmentation over orders: per customer, Recency (days since
+    * last order vs the corpus max date), Frequency (order count) and
+    * Monetary (lifetime cents), each scored against the customer-base
+    * mean and concatenated into one of 8 segments ("RFM" = recent,
+    * frequent, high-spend; "---" = lapsed low-value).
+    *
+    * Scale shape: ONE hash aggregation per customer is the only real
+    * shuffle; the two scalar hops (corpus max date, base-wide means)
+    * are 1-row aggregates broadcast back — never a global sort or
+    * ntile. Above/below-mean tests cross-multiply in long arithmetic
+    * (m·N > S) instead of dividing, so the comparison is exact; at
+    * trillions of cents · customers swap the products to DECIMAL(38).
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_dt"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+    val now = per.agg(max(col("last_dt")).as("now_dt"))
+    val r = per.crossJoin(broadcast(now))
+      .withColumn("r_days", datediff(col("now_dt"), col("last_dt")).cast("long"))
+    val means = r.agg(count(lit(1)).as("n_tot"), sum(col("r_days")).as("s_r"),
+      sum(col("f")).as("s_f"), sum(col("m_cents")).as("s_m"))
+    r.crossJoin(broadcast(means))
+      .withColumn("segment", concat(
+        when(col("r_days") * col("n_tot") < col("s_r"), lit("R")).otherwise(lit("-")),
+        when(col("f") * col("n_tot") > col("s_f"), lit("F")).otherwise(lit("-")),
+        when(col("m_cents") * col("n_tot") > col("s_m"), lit("M")).otherwise(lit("-"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("f")).as("n_orders"),
+        sum(col("m_cents")).as("tot_cents"))
+      .orderBy(col("segment"))
+  }
+
+  private val rfmSegmentsOracle =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+      |         COUNT(*) AS f,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT p.*, date_diff('day', last_dt,
+      |           (SELECT MAX(last_dt) FROM per)) AS r_days
+      |  FROM per p),
+      |g AS (SELECT COUNT(*) AS n_tot, SUM(r_days) AS s_r,
+      |             SUM(f) AS s_f, SUM(m_cents) AS s_m FROM r)
+      |SELECT segment, COUNT(*) AS n_cust,
+      |       CAST(SUM(f) AS BIGINT) AS n_orders,
+      |       CAST(SUM(m_cents) AS BIGINT) AS tot_cents
+      |FROM (SELECT (CASE WHEN r_days * n_tot < s_r THEN 'R' ELSE '-' END)
+      |          || (CASE WHEN f * n_tot > s_f THEN 'F' ELSE '-' END)
+      |          || (CASE WHEN m_cents * n_tot > s_m THEN 'M' ELSE '-' END)
+      |            AS segment, f, m_cents
+      |      FROM r, g)
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------------- attribution
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent PRECEDING non-purchase event of the same user (its
+    * event_type is the "channel"); purchases with no prior touch are
+    * 'direct'. Per channel: conversions and summed purchase value.
+    *
+    * Scale shape: one window per user (the stream's natural partition
+    * key — same exchange the sessionizer uses), map-side credit
+    * assignment, then a tiny channel aggregate. `last(_, ignoreNulls)`
+    * over a growing frame is a running carry, not a sort-window over
+    * the whole user history per row. Revenue stays lattice-safe:
+    * values are 2-dp quantized, so round(sum,4) is order-insensitive.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 4).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  private val attributionOracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, value,
+      |         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS touch
+      |  FROM events)
+      |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS conversions,
+      |       ROUND(SUM(value), 4) AS revenue
+      |FROM seq WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // ----------------------------------------------------------- benford
+  /** Benford first-digit audit over order totals: the observed share of
+    * each leading digit vs the Benford expectation log10(1+1/d) — the
+    * classic fraud/synthetic-data screen. Expected shares are shared
+    * Scala constants rendered into BOTH engines (log10 is not required
+    * to be correctly rounded by either runtime, so neither engine
+    * computes it at query time).
+    *
+    * The leading digit comes from integer-cents string prefix — never
+    * from double formatting (engines disagree on shortest-repr); shares
+    * are exact half-up e6 ratios ([[Parity]] idiom). Scale: one 9-key
+    * hash aggregate; the share window runs over 9 rows.
+    */
+  private[graft] val benfordE6: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val expected = benfordE6.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (d, e)) =>
+        when(col("digit") === d, lit(e)).otherwise(acc) }
+    Tables.orders(spark, sfDir)
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("share_e6",
+        ((col("n") * 2000000L + col("tot") -
+          pmod(col("n") * 2000000L + col("tot"), col("tot") * 2)) /
+          (col("tot") * 2)).cast("long"))
+      .withColumn("expected_e6", expected)
+      .select(col("digit"), col("n"), col("share_e6"), col("expected_e6"),
+        (col("share_e6") - col("expected_e6")).as("dev_e6"))
+      .orderBy(col("digit"))
+  }
+
+  private val benfordOracle = {
+    val expected = benfordE6.toSeq.sortBy(_._1)
+      .map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT c.*, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c)
+       |SELECT digit, n,
+       |       CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS share_e6,
+       |       CASE digit $expected END AS expected_e6,
+       |       CAST((n * 2000000 + tot) // (tot * 2)
+       |            - CASE digit $expected END AS BIGINT) AS dev_e6
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
+  // ------------------------------------------------------- change point
+  /** Cumulative-deviation change-point scan over the daily event count
+    * series: C_t = N·(Σ_{i≤t} x_i) − t·S (the mean-centred CUSUM scaled
+    * by N to stay integral), whose |max| marks the most likely level
+    * shift — the day a deploy or an outage bent the curve. All exact
+    * long arithmetic; the windows run over the post-aggregation daily
+    * series (one row per day), not the event stream.
+    *
+    * Scale: the per-day count is the one data-sized shuffle; a year is
+    * 365 rows after it, so the ordered prefix-sum window is free. Days
+    * index by epoch-ms floor division — no timezone, no date parsing.
+    */
+  def changePoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val wOrd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("t", count(lit(1)).over(wOrd))
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("c", col("n_days") * col("cum") - col("t") * col("s"))
+      .withColumn("is_peak", abs(col("c")) === max(abs(col("c"))).over(wAll))
+      .select(col("day"), col("x"), col("c"), col("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  private val changePointOracle =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT day, x,
+      |         CAST((SELECT COUNT(*) FROM daily) *
+      |           SUM(x) OVER (ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         - (ROW_NUMBER() OVER (ORDER BY day)) *
+      |           (SELECT SUM(x) FROM daily) AS BIGINT) AS c
+      |  FROM daily)
+      |SELECT day, x, c, abs(c) = MAX(abs(c)) OVER () AS is_peak
+      |FROM c ORDER BY day""".stripMargin
+
+  // -------------------------------------------------- autocorrelation
+  /** Lag-k autocorrelation (k = 1..7) of the daily event count — the
+    * weekly-seasonality fingerprint. Pearson over (x_t, x_{t+k}) pairs
+    * with all six sums (n, Σx, Σy, Σxy, Σx², Σy²) as exact longs; only
+    * the final r divides, as num/√d1/√d2 so no long product can
+    * overflow and both engines execute the identical IEEE op sequence
+    * on identical integers.
+    *
+    * Scale: the daily aggregate is the one shuffle; the lag self-join
+    * runs on the tiny post-agg series (a year = 365 rows × 7 lags).
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("a.day") + col("lag") === col("b.day"))
+      .select(col("lag"), col("a.x").as("x"), col("b.x").as("y"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r"))
+      .orderBy(col("lag"))
+  }
+
+  private val autocorrOracle =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT l.lag, a.x AS x, b.x AS y
+      |  FROM daily a CROSS JOIN range(1, 8) l(lag)
+      |  JOIN daily b ON a.day + l.lag = b.day),
+      |s AS (
+      |  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n,
+      |       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+      |FROM s ORDER BY lag""".stripMargin
+
+  // ----------------------------------------------------------- skyline
+  /** 2-D skyline (Pareto frontier) over parts: the parts no other part
+    * beats on BOTH price and size (strict dominance: ≤ on both, < on
+    * one). The classic "best tradeoff" operator relational engines
+    * lack as a primitive.
+    *
+    * Distributed shape (the reason this isn't a quadratic NOT EXISTS):
+    * 1. band-prune: bucket prices into 64 fixed integer bands; a part
+    *    whose size ≥ the min size of any STRICTLY cheaper band is
+    *    dominated (lower band ⇒ strictly lower price) and drops
+    *    map-side against the broadcast 64-row band table. Dominance is
+    *    transitive, so every dominated part is dominated by some
+    *    frontier part, and frontier parts are never pruned — the
+    *    survivor set always contains the full skyline.
+    * 2. exact finish: per-price min size (hash agg) + running min over
+    *    the strictly-cheaper prices, on the tiny survivor set.
+    * The oracle is the O(n²) NOT EXISTS — a genuinely independent
+    * algorithm, not a restatement.
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+    val bounds = parts.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val banded = parts.crossJoin(broadcast(bounds))
+      .withColumn("band", ((col("cents") - col("lo")) * 64 /
+        (col("hi") - col("lo") + 1)).cast("long"))
+      .drop("lo", "hi")
+    val wBand = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
+    val bandMin = banded.groupBy(col("band")).agg(min(col("p_size")).as("bm"))
+      .withColumn("rm_band", min(col("bm")).over(wBand)) // 64 rows
+      .select(col("band"), col("rm_band"))
+    val survivors = banded.join(broadcast(bandMin), Seq("band"))
+      .filter(col("rm_band").isNull || col("rm_band") > col("p_size"))
+    val perPrice = survivors.groupBy(col("cents")).agg(min(col("p_size")).as("m"))
+    val wPrice = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice.withColumn("rm", min(col("m")).over(wPrice))
+      .filter(col("rm").isNull || col("rm") > col("m"))
+      .select(col("cents"), col("m"))
+    survivors.join(broadcast(frontier),
+        survivors("cents") === frontier("cents") && col("p_size") === col("m"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val skylineOracle =
+    """SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------------- chi-square
+  /** Chi-square independence test, lang × source over documents — "is
+    * the language mix the same across sources?". Per cell: observed
+    * count, expected count under independence, and the χ² contribution
+    * (obs−exp)²/exp — computed entirely on the integer lattice as
+    * (obs·N − rt·ct)² / (rt·ct·N) in DECIMAL(38,0), so no engine ever
+    * rounds a float mid-computation (the long product (obs·N−rt·ct)²
+    * overflows int64 already at ~3k docs × 2k cells — decimal is the
+    * 100 TB-honest type, mirrored by DuckDB's HUGEINT).
+    *
+    * Scale: one cell-level hash aggregate on the data; the marginal
+    * windows run over the ~|langs|·|sources| cell frame.
+    */
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val wr = Window.partitionBy(col("lang"))
+    val wc = Window.partitionBy(col("source"))
+    val wt = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      .withColumn("rt", sum(col("obs")).over(wr))
+      .withColumn("ct", sum(col("obs")).over(wc))
+      .withColumn("n", sum(col("obs")).over(wt))
+      // v = obs·N − rt·ct; contrib_e6 = half-up(1e6·v² / (rt·ct·N))
+      .withColumn("v", expr(
+        "CAST(obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct"))
+      .withColumn("den", expr("CAST(rt AS DECIMAL(38,0)) * ct * n"))
+      .withColumn("num", expr("2000000 * v * v + den"))
+      .withColumn("contrib_e6",
+        expr("CAST((num - (num % (2 * den))) / (2 * den) AS BIGINT)"))
+      .select(col("lang"), col("source"), col("obs"),
+        (col("contrib_e6").cast("double") / 1e6).as("contrib"),
+        (sum(col("contrib_e6")).over(wt).cast("double") / 1e6).as("chi2"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val chiSquareOracle =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS obs
+      |  FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT lang, source, obs,
+      |         SUM(obs) OVER (PARTITION BY lang) AS rt,
+      |         SUM(obs) OVER (PARTITION BY source) AS ct,
+      |         SUM(obs) OVER () AS n
+      |  FROM cells),
+      |c AS (
+      |  SELECT lang, source, obs,
+      |         CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS v,
+      |         CAST(rt AS HUGEINT) * ct * n AS den
+      |  FROM m),
+      |e AS (
+      |  SELECT lang, source, obs,
+      |         CAST((2000000 * v * v + den - ((2000000 * v * v + den)
+      |               % (2 * den))) // (2 * den) AS BIGINT) AS contrib_e6
+      |  FROM c)
+      |SELECT lang, source, obs,
+      |       CAST(contrib_e6 AS DOUBLE) / 1e6 AS contrib,
+      |       CAST(CAST(SUM(contrib_e6) OVER () AS BIGINT) AS DOUBLE) / 1e6
+      |         AS chi2
+      |FROM e ORDER BY lang, source""".stripMargin
+
+  // ------------------------------------------------------- adamic-adar
+  /** Adamic-Adar co-purchase link prediction over the order→part
+    * bipartite graph: for each part pair sharing an order, score
+    * Σ_orders 1/ln(|order|) — common neighbors weighted down by how
+    * promiscuous the neighbor is. Top 30 predicted links.
+    *
+    * Per-size weights 1e6/ln(sz) are shared Scala constants rendered
+    * into both engines (ln is not correctly-rounded-guaranteed in
+    * either runtime), summed as exact longs. Scale: the pair fan-out is
+    * bounded by order size (≤ k² per order, k capped at 20), the pair
+    * aggregate is one hash shuffle, and the top-30 is TakeOrdered —
+    * never a global sort.
+    */
+  private[graft] val adamicAdarE6: Map[Int, Long] =
+    (2 to 20).map(s => s -> math.round(1e6 / math.log(s))).toMap
+
+  def adamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, 20))
+    val weight = adamicAdarE6.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (s, e)) =>
+        when(col("sz") === s, lit(e)).otherwise(acc) }
+    // distinct, size agg, and both self-join sides all hash on
+    // l_orderkey — AQE reuses one exchange for the whole chain
+    op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("l_orderkey"),
+        col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .join(sized, Seq("l_orderkey"))
+      .groupBy(col("p1"), col("p2")).agg(sum(weight).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("p1"), col("p2"))
+      .limit(30)
+      .select(col("p1"), col("p2"), col("score_e6"),
+        (col("score_e6").cast("double") / 1e6).as("score"))
+  }
+
+  private val adamicAdarOracle = {
+    val weight = adamicAdarE6.toSeq.sortBy(_._1)
+      .map { case (s, e) => s"WHEN $s THEN $e" }.mkString(" ")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (
+       |  SELECT l_orderkey, COUNT(*) AS sz FROM op GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |         CASE sz $weight END AS w
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey
+       |  JOIN sized s ON s.l_orderkey = a.l_orderkey)
+       |SELECT p1, p2, CAST(SUM(w) AS BIGINT) AS score_e6,
+       |       CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / 1e6 AS score
+       |FROM pairs GROUP BY p1, p2
+       |ORDER BY score_e6 DESC, p1, p2 LIMIT 30""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (rfmSegments _),
+    "q_attribution" -> (attribution _),
+    "q_benford" -> (benfordDigits _),
+    "q_changepoint" -> (changePoint _),
+    "q_autocorr" -> (autocorr _),
+    "q_skyline" -> (skyline _),
+    "q_chi_square" -> (chiSquare _),
+    "q_adamic_adar" -> (adamicAdar _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_rfm" -> rfmSegmentsOracle,
+    "q_attribution" -> attributionOracle,
+    "q_benford" -> benfordOracle,
+    "q_changepoint" -> changePointOracle,
+    "q_autocorr" -> autocorrOracle,
+    "q_skyline" -> skylineOracle,
+    "q_chi_square" -> chiSquareOracle,
+    "q_adamic_adar" -> adamicAdarOracle
+  )
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StatsOps
+
+/** Semantics checks for the decision-analytics family, proven inside
+  * Spark against independent invariants (the DuckDB oracle is the
+  * second, external witness):
+  *  - RFM segments partition the customer base (counts and order
+  *    totals are conserved across the 8 segments);
+  *  - attribution conserves conversions (every purchase is credited
+  *    to exactly one channel, 'direct' included);
+  *  - Benford shares are a half-up-exact probability vector and the
+  *    expected constants are the textbook log10(1+1/d) values;
+  *  - the change-point CUSUM closes at exactly zero (N·S − N·S) and
+  *    matches a driver-side recompute day by day;
+  *  - autocorrelation is a correlation (|r| ≤ 1, pair counts shrink
+  *    with the lag).
+  */
+class StatsOpsSpec extends SparkSpec {
+
+  test("rfm segments partition the customer base") {
+    val seg = StatsOps.rfmSegments(spark, sfTiny).collect()
+    val nCust = Tables.orders(spark, sfTiny)
+      .select(col("o_custkey")).distinct().count()
+    val nOrders = Tables.orders(spark, sfTiny).count()
+    assert(seg.map(_.getAs[Long]("n_cust")).sum == nCust)
+    assert(seg.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    val labels = seg.map(_.getAs[String]("segment")).toSet
+    assert(labels.forall(_.matches("[R-][F-][M-]")))
+  }
+
+  test("attribution conserves conversions") {
+    val at = StatsOps.attribution(spark, sfTiny).collect()
+    val purchases = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase").count()
+    assert(at.map(_.getAs[Long]("conversions")).sum == purchases)
+    // every channel is a real event type (or the 'direct' fallback)
+    val types = Tables.events(spark, sfTiny)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet + "direct"
+    assert(at.map(_.getAs[String]("channel")).forall(types.contains))
+  }
+
+  test("benford shares are an exact probability vector") {
+    val rows = StatsOps.benfordDigits(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Int]("digit")).forall(d => d >= 1 && d <= 9))
+    // half-up e6 shares sum to 1e6 within one rounding ulp per digit
+    val sum = rows.map(_.getAs[Long]("share_e6")).sum
+    assert(math.abs(sum - 1000000L) <= rows.length,
+      s"shares sum $sum not ~1e6")
+    // expected constants are the textbook Benford masses
+    assert(StatsOps.benfordE6(1) == 301030L && StatsOps.benfordE6(9) == 45757L)
+    assert(StatsOps.benfordE6.values.sum == 1000000L) // rounds to an exact mass
+  }
+
+  test("change-point CUSUM closes at zero and matches recompute") {
+    val rows = StatsOps.changePoint(spark, sfTiny)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.last.getAs[Long]("c") == 0L, "C_N must be exactly 0")
+    val xs = rows.map(_.getAs[Long]("x"))
+    val n = xs.length.toLong
+    val s = xs.sum
+    var cum = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      cum += xs(i)
+      assert(r.getAs[Long]("c") == n * cum - (i + 1) * s, s"row $i")
+    }
+    assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
+  }
+
+  test("skyline == quadratic strict-dominance recompute") {
+    val got = StatsOps.skyline(spark, sfTiny).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size"))).toSet
+    val pts = Tables.part(spark, sfTiny)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = pts.filter { case (_, pp, ps) =>
+      !pts.exists { case (_, qp, qs) =>
+        qp <= pp && qs <= ps && (qp < pp || qs < ps) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("chi-square marginals and total are conserved") {
+    val rows = StatsOps.chiSquare(spark, sfTiny).collect()
+    val total = Tables.documents(spark, sfTiny).count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == total)
+    rows.foreach(r => assert(r.getAs[Double]("contrib") >= 0.0))
+    // the reported chi2 is the sum of the per-cell contributions
+    // (both live on the e6 lattice, so the equality is exact)
+    val chi2 = rows.head.getAs[Double]("chi2")
+    val sum = rows.map(r => math.round(r.getAs[Double]("contrib") * 1e6)).sum
+    assert(math.round(chi2 * 1e6) == sum)
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
+  }
+
+  test("adamic-adar == driver-side brute force") {
+    val got = StatsOps.adamicAdar(spark, sfTiny).collect()
+      .map(r => ((r.getAs[Long]("p1"), r.getAs[Long]("p2")),
+        r.getAs[Long]("score_e6")))
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val scores = collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { parts =>
+      val sz = parts.length
+      if (sz >= 2 && sz <= 20) {
+        val w = StatsOps.adamicAdarE6(sz)
+        for (i <- parts.indices; j <- (i + 1) until sz)
+          scores((parts(i), parts(j))) = scores.getOrElse((parts(i), parts(j)), 0L) + w
+      }
+    }
+    val want = scores.toSeq
+      .sortBy { case ((p1, p2), s) => (-s, p1, p2) }.take(30)
+    assert(got.toSeq == want.map { case (k, s) => (k, s) })
+  }
+
+  test("autocorrelation is bounded and pair counts shrink") {
+    val rows = StatsOps.autocorr(spark, sfTiny)
+      .collect().sortBy(_.getAs[Long]("lag"))
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(!v.isNaN && math.abs(v) <= 1.0 + 1e-9, s"r=$v out of range")
+    }
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+}
