@@ -405,9 +405,58 @@ object CatalogOps {
       |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) = 0
       |    AS consistent""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** l-diversity audit — k-anonymity's necessary complement: a class
+    * can hold ≥ k rows yet still leak if every row shares the same
+    * SENSITIVE value (homogeneity attack). Per quasi-identifier class
+    * (nation × market segment) count the distinct sensitive categories
+    * (account-balance band: delinquent / standard / premium); classes
+    * with fewer than l = 2 distinct values are the disclosure risk.
+    *
+    * Scale shape: the sensitive band is a map-side CASE; the distinct
+    * count rides the SAME quasi-identifier hash aggregate k-anonymity
+    * uses (count distinct over a 3-value domain — partial-aggregable);
+    * then the per-segment re-aggregate is dimension-sized.
+    */
+  private val DivL = 2L
+
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .withColumn("band",
+        when(col("c_acctbal") < 0, lit("delinquent"))
+          .when(col("c_acctbal") < 5000, lit("standard"))
+          .otherwise(lit("premium")))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("band")).as("l_div"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("l_div")).as("min_l"),
+        sum(when(col("l_div") < DivL, 1L).otherwise(0L)).as("n_homogeneous"),
+        sum(when(col("l_div") < DivL, col("class_size")).otherwise(0L))
+          .cast("long").as("rows_exposed"))
+      .orderBy(col("segment"))
+
+  private val lDiversityOracle =
+    s"""WITH cls AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey,
+       |         COUNT(*) AS class_size,
+       |         COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+       |                             WHEN c_acctbal < 5000 THEN 'standard'
+       |                             ELSE 'premium' END) AS l_div
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT segment, COUNT(*) AS n_classes,
+       |       CAST(MIN(l_div) AS BIGINT) AS min_l,
+       |       CAST(SUM(CASE WHEN l_div < $DivL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_homogeneous,
+       |       CAST(SUM(CASE WHEN l_div < $DivL THEN class_size ELSE 0 END)
+       |         AS BIGINT) AS rows_exposed
+       |FROM cls GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
+    "q_l_diversity" -> (lDiversity _),
     "q_psi_drift" -> (psiDrift _),
     "q_catalog_dump" -> (catalogDump _),
     "q_schema_adaptive" -> (schemaAdaptive _),
@@ -418,6 +467,7 @@ object CatalogOps {
   def oracles: Map[String, String] = Map(
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
+    "q_l_diversity" -> lDiversityOracle,
     "q_psi_drift" -> psiDriftOracle,
     "q_catalog_dump" -> catalogDumpOracle,
     "q_schema_adaptive" -> schemaAdaptiveOracle,

