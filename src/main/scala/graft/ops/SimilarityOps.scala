@@ -761,8 +761,88 @@ object SimilarityOps {
        |FROM el, range(0, 16) d(j)
        |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
 
+  // ------------------------------------------------------ kNN classify
+  /** 5-NN majority-vote label classification, evaluated per class: the
+    * first 50 vectors are the held-out panel, every other vector is
+    * "training" data; each panel vector takes the majority label of
+    * its 5 nearest training neighbors (cosine), ties broken by label.
+    * Output: per true label, panel size, correct votes and accuracy —
+    * the supervised twin of [[annRecall]]'s unsupervised recall.
+    *
+    * Scale shape: the panel broadcasts (like every query panel here);
+    * candidates stream map-side through the cosine; the top-5 rows
+    * carry only (qid, clabel, cosine, cid) — arrays are dropped
+    * BEFORE the rank exchange (the round-5 argmax lesson); the vote
+    * and accuracy re-aggregates are panel-sized.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val panel = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").as("true_label"))
+    val train = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"), col("label").as("clabel"))
+    val scored = train.crossJoin(broadcast(panel))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .select(col("qid"), col("true_label"), col("cid"), col("clabel"),
+        col("cosine"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val votes = scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .groupBy(col("qid"), col("true_label"), col("clabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("clabel").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_panel"),
+        sum(when(col("clabel") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc",
+        ((col("n_correct") * 2000000L + col("n_panel") -
+          pmod(col("n_correct") * 2000000L + col("n_panel"),
+            col("n_panel") * 2)) / (col("n_panel") * 2)) / lit(1000000.0))
+      .orderBy(col("true_label"))
+  }
+
+  private val knnClassifyOracle =
+    s"""WITH panel AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS true_label
+       |  FROM embeddings WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT qid, true_label, vec_id AS cid, label AS clabel,
+       |         ${cosineSql("qv", "embedding")} AS cosine
+       |  FROM embeddings CROSS JOIN panel
+       |  WHERE vec_id >= 50),
+       |top5 AS (
+       |  SELECT * FROM (
+       |    SELECT qid, true_label, clabel,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY cosine DESC, cid ASC) AS rank
+       |    FROM scored) WHERE rank <= 5),
+       |votes AS (
+       |  SELECT qid, true_label, clabel, COUNT(*) AS votes
+       |  FROM top5 GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT * FROM (
+       |    SELECT qid, true_label, clabel,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY votes DESC, clabel ASC) AS vr
+       |    FROM votes) WHERE vr = 1)
+       |SELECT true_label, COUNT(*) AS n_panel,
+       |       CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_correct,
+       |       CAST((CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+       |                  AS BIGINT) * 2000000 + COUNT(*))
+       |            // (COUNT(*) * 2) AS DOUBLE) / 1000000.0 AS acc
+       |FROM win GROUP BY true_label ORDER BY true_label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_random_projection" -> (randomProjection _),
+    "q_knn_classify" -> (knnClassify _),
     "q_embed_norms" -> (embedNorms _),
     "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
@@ -776,6 +856,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "q_random_projection" -> randomProjectionOracle,
+    "q_knn_classify" -> knnClassifyOracle,
     "q_embed_norms" -> embedNormsOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,

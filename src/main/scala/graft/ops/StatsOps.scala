@@ -449,6 +449,117 @@ object StatsOps {
        |ORDER BY score_e6 DESC, p1, p2 LIMIT 30""".stripMargin
   }
 
+  // --------------------------------------------------------------- AUC
+  /** ROC AUC of an integer score (document length) predicting a binary
+    * label (lang = 'en') — the rank statistic every quality/routing
+    * classifier is graded on. Computed as the tie-corrected
+    * Mann-Whitney U entirely in integer arithmetic: per distinct
+    * score, the doubled average rank r2 = min_rank + max_rank is
+    * integral, so Σ_pos r2 − P(P+1) = 2U is exact, and
+    * AUC = U / (P·N) renders as the house half-up e6 ratio. No float
+    * enters until the final division.
+    *
+    * Scale: one hash aggregate on the score value; the rank prefix-sum
+    * runs over DISTINCT scores (bounded domain), not rows. P·N products
+    * guard through DECIMAL(38) — at 1e12 docs a long P·N overflows.
+    */
+  def rocAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val perScore = Tables.documents(spark, sfDir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos_cnt"))
+    val wOrd = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("max_rank", sum(col("cnt")).over(wOrd))
+      .withColumn("r2", col("max_rank") * 2 - col("cnt") + 1)
+      .agg(sum(col("pos_cnt")).as("p"),
+        sum(col("cnt") - col("pos_cnt")).as("n"),
+        sum(expr("CAST(pos_cnt AS DECIMAL(38,0)) * r2")).as("sum_r2"))
+      .withColumn("u2", expr("sum_r2 - CAST(p AS DECIMAL(38,0)) * (p + 1)"))
+      .withColumn("pn2", expr("CAST(p AS DECIMAL(38,0)) * n * 2"))
+      .withColumn("num", expr("1000000 * u2 + CAST(p AS DECIMAL(38,0)) * n"))
+      .select(col("p"), col("n"), col("u2").cast("long").as("u2"),
+        expr("CAST(CAST((num - (num % pn2)) / pn2 AS BIGINT) AS DOUBLE) / 1e6")
+          .as("auc"))
+  }
+
+  private val rocAucOracle =
+    """WITH per AS (
+      |  SELECT n_chars AS score, COUNT(*) AS cnt,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_cnt
+      |  FROM documents GROUP BY 1),
+      |rk AS (
+      |  SELECT *, SUM(cnt) OVER (ORDER BY score
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_rank
+      |  FROM per),
+      |agg AS (
+      |  SELECT CAST(SUM(pos_cnt) AS HUGEINT) AS p,
+      |         CAST(SUM(cnt - pos_cnt) AS HUGEINT) AS n,
+      |         CAST(SUM(pos_cnt * (max_rank * 2 - cnt + 1)) AS HUGEINT) AS sum_r2
+      |  FROM rk)
+      |SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+      |       CAST(sum_r2 - p * (p + 1) AS BIGINT) AS u2,
+      |       CAST(CAST((1000000 * (sum_r2 - p * (p + 1)) + p * n
+      |                  - ((1000000 * (sum_r2 - p * (p + 1)) + p * n)
+      |                     % (p * n * 2))) // (p * n * 2) AS BIGINT)
+      |            AS DOUBLE) / 1e6 AS auc
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------- wilson CI
+  /** Wilson 95% score interval for each source's "long-document rate"
+    * (n_chars ≥ 500) — the interval a curation dashboard shows instead
+    * of the raw proportion, because it stays honest at small n. The
+    * interval is float math, but from EXACT integer (k, n) inputs
+    * through one explicitly-parenthesized IEEE op sequence — both
+    * engines execute the identical correctly-rounded ops on identical
+    * operands, so the 6-dp rounds agree. z² enters as the shared
+    * literal 3.8416, never as a runtime 1.96·1.96.
+    *
+    * Scale: one map-side boolean + per-source hash aggregate.
+    */
+  def wilsonCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val kn = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= 500, 1L).otherwise(0L)).as("k"))
+    kn.withColumn("nn", col("n").cast("double"))
+      .withColumn("phat", col("k").cast("double") / col("nn"))
+      .withColumn("den", lit(1.0) + lit(3.8416) / col("nn"))
+      .withColumn("center", col("phat") + lit(3.8416) / (lit(2.0) * col("nn")))
+      .withColumn("rad", lit(1.96) * sqrt(
+        col("phat") * (lit(1.0) - col("phat")) / col("nn") +
+          lit(3.8416) / (lit(4.0) * col("nn") * col("nn"))))
+      .select(col("source"), col("n"), col("k"),
+        round(col("phat"), 6).as("rate"),
+        round((col("center") - col("rad")) / col("den"), 6).as("lo"),
+        round((col("center") + col("rad")) / col("den"), 6).as("hi"))
+      .orderBy(col("source"))
+  }
+
+  private val wilsonCiOracle =
+    """WITH kn AS (
+      |  SELECT source, COUNT(*) AS n,
+      |         SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS k
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT source, n, CAST(k AS BIGINT) AS k,
+      |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+      |         1.0 + 3.8416 / CAST(n AS DOUBLE) AS den,
+      |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |           + 3.8416 / (2.0 * CAST(n AS DOUBLE)) AS center,
+      |         1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |                     * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |                     / CAST(n AS DOUBLE)
+      |                     + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+      |                                 * CAST(n AS DOUBLE))) AS rad
+      |  FROM kn)
+      |SELECT source, n, k, ROUND(phat, 6) AS rate,
+      |       ROUND((center - rad) / den, 6) AS lo,
+      |       ROUND((center + rad) / den, 6) AS hi
+      |FROM c ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> (rfmSegments _),
@@ -458,7 +569,9 @@ object StatsOps {
     "q_autocorr" -> (autocorr _),
     "q_skyline" -> (skyline _),
     "q_chi_square" -> (chiSquare _),
-    "q_adamic_adar" -> (adamicAdar _)
+    "q_adamic_adar" -> (adamicAdar _),
+    "q_auc" -> (rocAuc _),
+    "q_wilson_ci" -> (wilsonCi _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,6 +582,8 @@ object StatsOps {
     "q_autocorr" -> autocorrOracle,
     "q_skyline" -> skylineOracle,
     "q_chi_square" -> chiSquareOracle,
-    "q_adamic_adar" -> adamicAdarOracle
+    "q_adamic_adar" -> adamicAdarOracle,
+    "q_auc" -> rocAucOracle,
+    "q_wilson_ci" -> wilsonCiOracle
   )
 }

@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSpec {
     assert(sq.values.count(_ > 0L) == vecs.length)
   }
 
+  test("kNN classify: panel conservation and exact accuracy lattice") {
+    val rows = SimilarityOps.knnClassify(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Long]("n_panel")).sum == 50L)
+    rows.foreach { r =>
+      val (np, nc) = (r.getAs[Long]("n_panel"), r.getAs[Long]("n_correct"))
+      assert(nc >= 0L && nc <= np)
+      // acc is the half-up e6 ratio of exactly nc/np
+      val accE6 = math.round(r.getAs[Double]("acc") * 1e6)
+      assert(accE6 == (nc * 2000000L + np) / (np * 2L))
+    }
+  }
+
   test("IVF ANN recall@5 vs exact brute force") {
     val exact = SimilarityOps.annBruteforce(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

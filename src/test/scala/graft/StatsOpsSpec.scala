@@ -119,6 +119,37 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.toSeq == want.map { case (k, s) => (k, s) })
   }
 
+  test("AUC == brute-force pair counting with half-credit ties") {
+    val row = StatsOps.rocAuc(spark, sfTiny).collect().head
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("n_chars"), (col("lang") === "en").as("pos")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    assert(row.getAs[Long]("p") == pos.length && row.getAs[Long]("n") == neg.length)
+    // 2U = #(pos>neg pairs)·2 + #(ties)·1, exactly
+    val u2 = pos.iterator.map(s =>
+      2L * neg.count(_ < s) + neg.count(_ == s).toLong).sum
+    assert(row.getAs[Long]("u2") == u2)
+    val auc = row.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("wilson interval brackets the rate and matches recompute") {
+    StatsOps.wilsonCi(spark, sfTiny).collect().foreach { r =>
+      val (n, k) = (r.getAs[Long]("n").toDouble, r.getAs[Long]("k").toDouble)
+      val (rate, lo, hi) =
+        (r.getAs[Double]("rate"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate + 1e-9 && rate <= hi + 1e-9)
+      val phat = k / n
+      val den = 1.0 + 3.8416 / n
+      val center = phat + 3.8416 / (2.0 * n)
+      val rad = 1.96 * math.sqrt(phat * (1.0 - phat) / n + 3.8416 / (4.0 * n * n))
+      assert(math.abs(lo - (center - rad) / den) < 1e-6)
+      assert(math.abs(hi - (center + rad) / den) < 1e-6)
+    }
+  }
+
   test("autocorrelation is bounded and pair counts shrink") {
     val rows = StatsOps.autocorr(spark, sfTiny)
       .collect().sortBy(_.getAs[Long]("lag"))
