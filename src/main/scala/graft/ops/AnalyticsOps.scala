@@ -96,6 +96,115 @@ object AnalyticsOps {
     * (exact at 4 dp); ms-epoch ordering is engine-identical and
     * tie-free ((user_id, ts) unique).
     */
+  /** Point-in-time join against an SCD2-style dimension (the [[scd2]]
+    * construction, here versioning the user's non-purchase "browsing
+    * context"): each purchase is enriched with the context state ACTIVE
+    * at its timestamp — the query every bitemporal warehouse answers
+    * ("what did we believe about the user when the order landed?").
+    * Purchases before any context event fall out as 'none' (left-join
+    * semantics in both engines). Output: purchases and revenue per
+    * active state.
+    *
+    * Scale shape: NOT an interval theta join — the dimension's
+    * valid_from rows and the fact rows union into one stream, sorted
+    * per user with dim rows first at equal ms, and a running
+    * `last(_, ignoreNulls)` carries the active state onto each fact
+    * row: one exchange on the user key, zero range comparisons. The
+    * oracle runs the literal interval join (valid_from ≤ ts < valid_to,
+    * zero-length intervals excluded) — an independent formulation whose
+    * tie semantics the carry ordering reproduces exactly: at a shared
+    * millisecond the LAST state change wins (its interval is the
+    * non-zero-length one), which is what ordering dim rows by version
+    * under `last()` yields.
+    */
+  def pitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val wDim = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    // SCD2-style dimension over the NON-purchase stream: the user's
+    // "browsing context", versioned at every context change
+    val dim = Tables.events(spark, sfDir)
+      .filter(col("user_id") <= 10 && col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wDim))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(wDim))
+      .select(col("user_id"), col("ms"), lit(0).as("kind"),
+        col("version").cast("long").as("ord"),
+        col("event_type").as("state"), lit(null).cast("double").as("value"))
+    val facts = Tables.events(spark, sfDir)
+      .filter(col("user_id") <= 10 && col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        lit(1).as("kind"), col("event_id").as("ord"),
+        lit(null).cast("string").as("state"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("kind"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("active", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(coalesce(col("active"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("revenue"))
+      .orderBy(col("state"))
+  }
+
+  private val pitJoinOracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events WHERE user_id <= 10 AND event_type <> 'purchase'),
+      |dim AS (
+      |  SELECT user_id, event_type AS state, ms AS valid_from_ms,
+      |         LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |           AS valid_to_ms
+      |  FROM ev WHERE prev IS NULL OR prev <> event_type),
+      |facts AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, value
+      |  FROM events WHERE user_id <= 10 AND event_type = 'purchase')
+      |SELECT COALESCE(d.state, 'none') AS state, COUNT(*) AS n_purchases,
+      |       ROUND(SUM(f.value), 4) AS revenue
+      |FROM facts f LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND d.valid_from_ms <= f.ms
+      | AND (d.valid_to_ms IS NULL OR f.ms < d.valid_to_ms)
+      | AND (d.valid_to_ms IS NULL OR d.valid_from_ms < d.valid_to_ms)
+      |GROUP BY COALESCE(d.state, 'none') ORDER BY state""".stripMargin
+
+  /** Exact rolling MEDIAN over each user's last-5-event window — the
+    * order statistic a monitoring layer prefers to the mean because one
+    * spike can't drag it. Exercises an exact percentile as a WINDOW
+    * aggregate (not the grouped form [[AggOps]] covers): values ride
+    * the integer cents lattice, and the even-count interpolation
+    * (a+b)/2 of two cents is an exactly-representable half — both
+    * engines render the identical double.
+    *
+    * Scale shape: same per-user window exchange as [[rollingSum]]; the
+    * frame holds ≤ 5 narrow rows, so the per-row re-sort is O(k log k)
+    * on k=5, not a data-sized cost. The user_id < 30 panel bounds the
+    * report, not the computation pattern.
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id")).rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("med_cents", expr("percentile(cents, 0.5)").over(w))
+      .select(col("user_id"), col("event_id"), col("cents"), col("med_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val rollingMedianOracle =
+    """SELECT user_id, event_id,
+      |       CAST(round(value * 100) AS BIGINT) AS cents,
+      |       median(CAST(round(value * 100) AS BIGINT))
+      |         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+      |FROM events WHERE user_id < 30
+      |ORDER BY user_id, event_id""".stripMargin
+
   def rollingSum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
       .rowsBetween(-3, Window.currentRow)
@@ -1156,6 +1265,8 @@ object AnalyticsOps {
     "q_cube" -> (cubeAgg _),
     "q_pivot" -> (pivotLang _),
     "q_rolling_sum" -> (rollingSum _),
+    "q_rolling_median" -> (rollingMedian _),
+    "q_pit_join" -> (pitJoin _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_session_window" -> (sessionWindowAgg _),
     "q_window_ranks" -> (windowRanks _),
@@ -1184,6 +1295,8 @@ object AnalyticsOps {
     "q_cube" -> cubeAggOracle,
     "q_pivot" -> pivotLangOracle,
     "q_rolling_sum" -> rollingSumOracle,
+    "q_rolling_median" -> rollingMedianOracle,
+    "q_pit_join" -> pitJoinOracle,
     "q_grouping_sets" -> groupingSetsAggOracle,
     "q_session_window" -> sessionWindowAggOracle,
     "q_window_ranks" -> windowRanksOracle,

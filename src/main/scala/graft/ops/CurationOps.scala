@@ -831,7 +831,60 @@ object CurationOps {
        |FROM deciled CROSS JOIN base
        |GROUP BY decile, p_all, n_all ORDER BY decile""".stripMargin
 
+  // -------------------------------------------- quantile normalization
+  /** Per-source empirical-CDF transform: each document's length score
+    * maps to its within-source quantile, so a single global threshold
+    * ("keep the top 10%") means the same thing in every source
+    * regardless of how long that source's documents run — the
+    * normalization step before cross-source quality filtering.
+    *
+    * Scale shape: the CDF is NOT a per-row rank window — scores
+    * collapse to (source, score, cnt) first (one hash aggregate), the
+    * prefix sum runs over DISTINCT scores per source, and the mapped
+    * quantile joins back on (source, score). A 10¹² row corpus with a
+    * bounded score domain pays two exchanges on dimension-sized data
+    * plus the fact-side join. CDF values are exact half-up e6 ratios
+    * (cum·2e6 needs DECIMAL(38) once counts pass ~4e12 rows/source).
+    */
+  def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCdf = Window.partitionBy(col("source")).orderBy(col("score"))
+    val wSrc = Window.partitionBy(col("source"))
+    val cdf = per
+      .withColumn("cum", sum(col("cnt")).over(wCdf))
+      .withColumn("n_src", sum(col("cnt")).over(wSrc))
+      .withColumn("cdf_e6",
+        ((col("cum") * 2000000L + col("n_src") -
+          pmod(col("cum") * 2000000L + col("n_src"), col("n_src") * 2)) /
+          (col("n_src") * 2)).cast("long"))
+      .select(col("source"), col("score"), col("cdf_e6"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+      .join(cdf, Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"), col("cdf_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val quantileNormOracle =
+    """WITH per AS (
+      |  SELECT source, n_chars AS score, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, score,
+      |         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score)
+      |              AS BIGINT) AS cum,
+      |         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM per)
+      |SELECT d.doc_id, d.source, d.n_chars AS score,
+      |       CAST((cum * 2000000 + n_src) // (n_src * 2) AS BIGINT) AS cdf_e6
+      |FROM documents d JOIN c ON d.source = c.source AND d.n_chars = c.score
+      |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> (quantileNorm _),
     "q_lift_table" -> (liftTable _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cv_leakage" -> (cvLeakage _),
@@ -848,6 +901,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_quantile_norm" -> quantileNormOracle,
     "q_lift_table" -> liftTableOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_cv_leakage" -> cvLeakageOracle,

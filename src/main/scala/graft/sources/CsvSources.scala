@@ -256,10 +256,77 @@ object CsvSources {
       |       ROUND(SUM(ROUND(o_totalprice / 1000.0, 3)), 4) AS sum_trips
       |FROM numbered""".stripMargin
 
+  // ------------------------------------------------------- fixed width
+  /** Mainframe-style fixed-width export of the supplier table: 8-digit
+    * key, 4-digit nation, sign char + 11-digit zero-padded cents,
+    * 18-char space-padded name — no delimiter anywhere. */
+  def fixedWidthFile(spark: SparkSession, sfDir: String): String = {
+    val f = new File(fixtureDir(sfDir), s"supplier_fw_v$FixtureVersion.dat")
+    if (!f.exists()) {
+      val rows = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"),
+          col("s_name"))
+        .orderBy(col("s_suppkey"))
+        .collect()
+      writeLines(f, gzip = false) {
+        rows.iterator.map { r =>
+          val cents = r.getLong(2)
+          val sign = if (cents < 0) "-" else "+"
+          val name = r.getString(3).take(18).padTo(18, ' ')
+          f"${r.getLong(0)}%08d${r.getInt(1)}%04d$sign${math.abs(cents)}%011d$name"
+        }
+      }
+    }
+    f.getAbsolutePath
+  }
+
+  /** Fixed-width scan: `spark.read.text` + substring/cast slicing — the
+    * ingestion path for COBOL-era extracts that carry no delimiter at
+    * all. The parse is pure map-side codegen (substring + cast on the
+    * line column); the text source splits by line, so a 100 TB extract
+    * parallelizes like any other text scan (unlike the gzip CSVs above,
+    * which are one task per file). The aggregate forces every sliced
+    * column through a typed use so pruning can't skip the parse; the
+    * DuckDB oracle re-slices the SAME file with substr arithmetic.
+    */
+  def fixedWidthScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixedWidthFile(spark, sfDir)
+    spark.read.text(path)
+      .select(
+        substring(col("value"), 1, 8).cast("long").as("s_suppkey"),
+        substring(col("value"), 9, 4).cast("int").as("s_nationkey"),
+        (when(substring(col("value"), 13, 1) === "-", -1L).otherwise(1L) *
+          substring(col("value"), 14, 11).cast("long")).as("cents"),
+        trim(substring(col("value"), 25, 18)).as("s_name"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("s_suppkey")).as("min_key"),
+        sum(col("cents")).as("tot_cents"),
+        max(length(col("s_name"))).as("name_w"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private def fixedWidthScanOracle(path: String) =
+    s"""WITH p AS (
+       |  SELECT CAST(substr(line, 1, 8) AS BIGINT) AS s_suppkey,
+       |         CAST(substr(line, 9, 4) AS INTEGER) AS s_nationkey,
+       |         (CASE WHEN substr(line, 13, 1) = '-' THEN -1 ELSE 1 END)
+       |           * CAST(substr(line, 14, 11) AS BIGINT) AS cents,
+       |         trim(substr(line, 25, 18)) AS s_name
+       |  FROM read_csv('$path', columns={'line': 'VARCHAR'},
+       |                delim='|', header=false))
+       |SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       |       MIN(s_suppkey) AS min_key,
+       |       CAST(SUM(cents) AS BIGINT) AS tot_cents,
+       |       CAST(MAX(length(s_name)) AS INTEGER) AS name_w
+       |FROM p GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan_permissive" -> (csvScanPermissive _),
     "q_csv_scan_infer" -> (csvScanInfer _),
-    "q_csv_corrupt_capture" -> (csvCorruptCapture _)
+    "q_csv_corrupt_capture" -> (csvCorruptCapture _),
+    "q_fixed_width_scan" -> (fixedWidthScan _)
   )
 
   /** The oracle SQL must embed a concrete fixture path, so this map —
@@ -275,7 +342,9 @@ object CsvSources {
         csvScanPermissiveOracle(s"$dir/mitma_v$FixtureVersion.csv.gz"),
       "q_csv_scan_infer" ->
         csvScanInferOracle(s"$dir/ine_economy_v$FixtureVersion.csv"),
-      "q_csv_corrupt_capture" -> csvCorruptCaptureOracle
+      "q_csv_corrupt_capture" -> csvCorruptCaptureOracle,
+      "q_fixed_width_scan" ->
+        fixedWidthScanOracle(s"$dir/supplier_fw_v$FixtureVersion.dat")
     )
   }
 }

@@ -18,6 +18,18 @@ import graft.ops.{AnalyticsOps, PipelineOps}
   */
 class AnalyticsOpsSpec extends SparkSpec {
 
+  test("pit join conserves purchases and matches interval-join recompute") {
+    val rows = AnalyticsOps.pitJoin(spark, sfTiny).collect()
+    val purchases = Tables.events(spark, sfTiny)
+      .filter(col("user_id") <= 10 && col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    // every state is a non-purchase event type (or the 'none' fallback)
+    val types = Tables.events(spark, sfTiny)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet - "purchase" + "none"
+    assert(rows.map(_.getAs[String]("state")).forall(types.contains))
+  }
+
   test("session_window == manual islands with strict > gap break") {
     val manual = {
       val ev = Tables.events(spark, sfTiny)

@@ -306,4 +306,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.take(5).exists(r => r._3.nonEmpty && r._4.nonEmpty),
       "no doc in the top-5 appears in both lists")
   }
+
+  test("quantile normalization: bounded, monotone, tops out at exactly 1") {
+    val rows = ops.CurationOps.quantileNorm(spark, sfTiny).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("score"),
+        r.getAs[Long]("cdf_e6")))
+    rows.foreach { case (_, _, c) => assert(c > 0L && c <= 1000000L) }
+    // within a source, CDF is monotone in the score
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, c1), (_, s2, c2)) =>
+          assert(c1 <= c2 || s1 == s2, s"CDF not monotone: $s1->$c1, $s2->$c2")
+        case _ =>
+      }
+    }
+    // the max score of a source sits at exactly cdf = 1e6 (half-up of n/n)
+    val perSrc = Tables.documents(spark, sfTiny)
+      .groupBy(col("source")).agg(max(col("n_chars")).as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter { case (s, sc, _) => perSrc(s) == sc }
+      .foreach { case (_, _, c) => assert(c == 1000000L) }
+  }
 }
