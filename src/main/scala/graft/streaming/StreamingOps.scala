@@ -265,6 +265,44 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class TouchEv(user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  final case class TouchState(touch: String)
+
+  final case class Credit(user_id: Long, ts: Timestamp,
+      channel: String, value: Double)
+
+  /** Streaming last-touch attribution with `flatMapGroupsWithState` —
+    * the streaming twin of [[graft.ops.StatsOps.attribution]]: the
+    * state per user is ONE string (the latest non-purchase touch), and
+    * every purchase immediately emits a credit row against the touch
+    * held at that moment — the credit stream a marketing pipeline
+    * ships to its dashboard without re-scanning history. Within a
+    * batch events fold in event-time order; across batches the
+    * in-order-source contract matches [[ewmaStream]]. State is O(1)
+    * per active user; a timeout would only expire dormant keys.
+    */
+  def attributionStream(events: Dataset[TouchEv]): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, evs: Iterator[TouchEv],
+               state: GroupState[TouchState]): Iterator[Credit] = {
+      var touch = state.getOption.map(_.touch)
+      val out = Vector.newBuilder[Credit]
+      evs.toVector.sortBy(_.ts.getTime).foreach { e =>
+        if (e.event_type == "purchase")
+          out += Credit(userId, e.ts, touch.getOrElse("direct"), e.value)
+        else touch = Some(e.event_type)
+      }
+      touch.foreach(t => state.update(TouchState(t)))
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Stateful sessionization with `flatMapGroupsWithState`: events of a
     * user belong to one session while gaps stay under `gapMinutes`; a
     * session closes either when a later in-batch event exceeds the gap

@@ -260,6 +260,37 @@ class PlanSpec extends SparkSpec {
       s"no chunk-partitioned window — two-phase prefix sum lost:\n$plan")
   }
 
+  test("rfm: scalar hops broadcast — no global sort, no ntile window") {
+    // The segmentation must stay two hash aggregates plus broadcast
+    // 1-row joins; an ntile/percentile formulation would global-sort
+    // the customer base through one partition.
+    val plan = executed(graft.ops.StatsOps.rfmSegments(spark, sfTiny))
+    assert(!plan.contains("Window"), s"rfm must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"mean scalars must broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggs:\n$plan")
+  }
+
+  test("adamic-adar: pair aggregate is partial+final, top-30 is TakeOrdered") {
+    val plan = executed(graft.ops.StatsOps.adamicAdar(spark, sfTiny))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-30 must be a partial top-k, not a global sort:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"pair scores must hash-aggregate:\n$plan")
+  }
+
+  test("quantile norm: CDF computed on the distinct-score frame, fact side joins back") {
+    // The per-row quantile must NOT be a data-sized rank window: the
+    // prefix sum runs over the grouped (source, score) frame and the
+    // documents join back against it.
+    val plan = executed(graft.ops.CurationOps.quantileNorm(spark, sfTiny))
+    assert(plan.contains("HashAggregate"), s"expected the score groupBy:\n$plan")
+    val windowPart = "Window .*".r.findAllIn(plan).mkString("\n")
+    assert(!windowPart.contains("doc_id"),
+      s"CDF window must not run over the fact rows:\n$plan")
+  }
+
   test("span dedup: keep-first is hash-aggregated — no sort-window anywhere") {
     // The skew story, pinned: every duplicate of one span collapses
     // map-side via min(struct) partial aggregation; a row_number()

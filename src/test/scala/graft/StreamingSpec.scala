@@ -177,6 +177,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution credits purchases against the held touch across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamingOps.TouchEv]
+    val q = StreamingOps.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's purchase arrives out of order WITHIN the
+      // batch (before its click in arrival order, after in event time)
+      // → credit goes to the click; user 2 purchases with NO prior
+      // touch → 'direct'
+      input.addData(
+        StreamingOps.TouchEv(1, ts("2024-01-01 10:05:00"), "purchase", 40.0),
+        StreamingOps.TouchEv(1, ts("2024-01-01 10:00:00"), "click", 0.0),
+        StreamingOps.TouchEv(2, ts("2024-01-01 10:00:00"), "purchase", 9.0))
+      q.processAllAvailable()
+      val mid = spark.table("attrib_out").as[StreamingOps.Credit].collect()
+      assert(mid.length == 2)
+      assert(mid.find(_.user_id == 1L).get.channel == "click")
+      assert(mid.find(_.user_id == 2L).get.channel == "direct")
+      // batch 2: user 1's touch carries ACROSS batches (view updates
+      // it, then purchase credits the view); user 2's touch state was
+      // never set, so another purchase stays 'direct'
+      input.addData(
+        StreamingOps.TouchEv(1, ts("2024-01-01 10:20:00"), "view", 0.0),
+        StreamingOps.TouchEv(1, ts("2024-01-01 10:25:00"), "purchase", 60.0),
+        StreamingOps.TouchEv(2, ts("2024-01-01 10:30:00"), "purchase", 3.0))
+      q.processAllAvailable()
+      val fin = spark.table("attrib_out").as[StreamingOps.Credit].collect()
+      assert(fin.length == 4)
+      val u1 = fin.filter(_.user_id == 1L).sortBy(_.ts.getTime)
+      assert(u1.map(_.channel).toSeq == Seq("click", "view"))
+      assert(u1.map(_.value).toSeq == Seq(40.0, 60.0))
+      assert(fin.filter(_.user_id == 2L).forall(_.channel == "direct"))
+      // the aggregated credit stream equals the batch operator's shape:
+      // conversions conserved per channel
+      val byChannel = fin.groupBy(_.channel).view.mapValues(_.length).toMap
+      assert(byChannel == Map("click" -> 1, "view" -> 1, "direct" -> 2))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join over the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
