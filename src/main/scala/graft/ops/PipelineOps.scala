@@ -610,6 +610,97 @@ object PipelineOps {
   private[graft] final case class Funnel(
       user_id: Long, n_views_before: Long, latency_ms: Option[Long])
 
+  private[graft] final case class WfDepth(user_id: Long, depth: Int)
+
+  /** ClickHouse-style windowFunnel: the deepest prefix of the ordered
+    * chain view → click → purchase a user completes with every step
+    * inside a 6-hour window anchored at the chain's FIRST step; output
+    * is the depth histogram (0..3) — the conversion report a growth
+    * team reads.
+    *
+    * The Spark side is a typed per-user fold over the three sorted
+    * timestamp arrays using the greedy-earliest lemma (taking the
+    * EARLIEST qualifying step at each stage never forecloses a deeper
+    * chain, since any later qualifying pair remains qualifying for the
+    * earlier anchor) — O(n log n) per user, order-independent in ties
+    * because only millisecond values enter the comparisons. The oracle
+    * states the same semantics as a relational EXISTS chain
+    * (v ⋈ c ⋈ p with window predicates) — a genuinely different
+    * algorithm. One shuffle on user_id; per-user state is three
+    * bounded arrays (cap noted for adversarial users at 100 TB).
+    */
+  private val WfWindowMs = 21600000L // 6 hours
+
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .as[FunnelRow]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        val v = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val c = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val p = scala.collection.mutable.ArrayBuffer.empty[Long]
+        evs.foreach { e =>
+          e.event_type match {
+            case "view"     => v += e.ms
+            case "click"    => c += e.ms
+            case "purchase" => p += e.ms
+            case _          =>
+          }
+        }
+        val cs = c.sorted; val ps = p.sorted
+        // min element of `xs` that is >= lo, or MaxValue
+        def ceil(xs: scala.collection.IndexedSeq[Long], lo: Long): Long = {
+          var l = 0; var r = xs.length
+          while (l < r) { val m = (l + r) >>> 1
+            if (xs(m) >= lo) r = m else l = m + 1 }
+          if (l < xs.length) xs(l) else Long.MaxValue
+        }
+        var depth = 0
+        v.foreach { anchor =>
+          if (depth < 1) depth = 1
+          val hi = anchor + WfWindowMs
+          val click = ceil(cs, anchor)
+          if (click <= hi) {
+            if (depth < 2) depth = 2
+            if (depth < 3 && ceil(ps, click) <= hi) depth = 3
+          }
+        }
+        WfDepth(uid, depth)
+      }
+      .toDF()
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  private val windowFunnelOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |v AS (SELECT user_id, ms FROM e WHERE event_type = 'view'),
+       |c AS (SELECT user_id, ms FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, ms FROM e WHERE event_type = 'purchase'),
+       |d3 AS (
+       |  SELECT DISTINCT v.user_id FROM v
+       |  JOIN c ON c.user_id = v.user_id
+       |        AND c.ms >= v.ms AND c.ms <= v.ms + $WfWindowMs
+       |  JOIN p ON p.user_id = v.user_id
+       |        AND p.ms >= c.ms AND p.ms <= v.ms + $WfWindowMs),
+       |d2 AS (
+       |  SELECT DISTINCT v.user_id FROM v
+       |  JOIN c ON c.user_id = v.user_id
+       |        AND c.ms >= v.ms AND c.ms <= v.ms + $WfWindowMs),
+       |d1 AS (SELECT DISTINCT user_id FROM v),
+       |u AS (SELECT DISTINCT user_id FROM e)
+       |SELECT depth, COUNT(*) AS n_users FROM (
+       |  SELECT u.user_id,
+       |         CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+       |              WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+       |              WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+       |              ELSE 0 END AS depth
+       |  FROM u)
+       |GROUP BY depth ORDER BY depth""".stripMargin
+
   def funnelMapGroups(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
@@ -771,6 +862,7 @@ object PipelineOps {
     "q_nested_export" -> (nestedExport _),
     "q_cogroup" -> (cogroupRecon _),
     "q_funnel_mapgroups" -> (funnelMapGroups _),
+    "q_window_funnel" -> (windowFunnel _),
     "q_train_split" -> (trainSplit _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_doc_chunking" -> (docChunking _),
@@ -789,6 +881,7 @@ object PipelineOps {
     "q_nested_export" -> nestedExportOracle,
     "q_cogroup" -> cogroupReconOracle,
     "q_funnel_mapgroups" -> funnelOracle,
+    "q_window_funnel" -> windowFunnelOracle,
     "q_train_split" -> trainSplitOracle,
     "q_bloom_prune" -> bloomPruneOracle,
     "q_doc_chunking" -> docChunkingOracle,

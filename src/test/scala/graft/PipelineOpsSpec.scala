@@ -13,6 +13,27 @@ import graft.ops.PipelineOps
   */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("window funnel: greedy fold == brute-force triple loop") {
+    val got = PipelineOps.windowFunnel(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    val T = 21600000L
+    val evs = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).view.mapValues { g =>
+      val v = g.filter(_._2 == "view").map(_._3)
+      val c = g.filter(_._2 == "click").map(_._3)
+      val p = g.filter(_._2 == "purchase").map(_._3)
+      val d3 = v.exists(a => c.exists(x => x >= a && x <= a + T &&
+        p.exists(y => y >= x && y <= a + T)))
+      val d2 = v.exists(a => c.exists(x => x >= a && x <= a + T))
+      if (d3) 3 else if (d2) 2 else if (v.nonEmpty) 1 else 0
+    }.toMap
+    val hist = want.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == hist, s"got $got want $hist")
+  }
+
   test("as-of join: union+window rewrite == naive per-purchase max scan") {
     val ev = Tables.events(spark, sfTiny)
       .select(col("user_id"), col("event_type"), col("event_id"),
