@@ -560,6 +560,202 @@ object StatsOps {
       |       ROUND((center + rad) / den, 6) AS hi
       |FROM c ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------- OLS fit
+  /** Ordinary-least-squares trend of the daily event count against the
+    * day index: slope, intercept and R² from the textbook closed form —
+    * every sum (n, Σx, Σy, Σxy, Σx², Σy²) an exact long over integers,
+    * divisions deferred to the final projection (num/den as doubles of
+    * exact ints — both engines render identical IEEE quotients).
+    *
+    * Scale: the daily aggregate is the one data shuffle; the fit runs
+    * on the post-agg series.
+    */
+  def olsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("day"))
+    val s = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    s.select(col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))).cast("double") /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("r2"))
+  }
+
+  private val olsTrendOracle =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1),
+      |ix AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS x, y FROM daily),
+      |s AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM ix)
+      |SELECT n,
+      |       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+      |             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+      |       ROUND(CAST(sy*sxx - sx*sxy AS DOUBLE)
+      |             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
+      |       ROUND(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+      |             / (CAST(n*sxx - sx*sx AS DOUBLE)
+      |                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------ mann-kendall
+  /** Mann-Kendall nonparametric trend test on the daily event series:
+    * S = Σ_{i<j} sign(y_j − y_i), with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+    * continuity-corrected Z — the trend detector that needs no
+    * normality assumption. S and the variance numerator are exact
+    * longs (the pair comparison runs over the post-agg daily frame,
+    * O(days²) on dimension-sized data); only Z divides.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"),
+        sum(col("t")).as("n"))
+    pairs.crossJoin(ties)
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
+      .select(col("n"), col("s"),
+        round(when(col("s") > 0, (col("s") - 1).cast("double"))
+          .when(col("s") < 0, (col("s") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / lit(18.0)), 6).as("z"))
+  }
+
+  private val mannKendallOracle =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+      |                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |t AS (
+      |  SELECT CAST(SUM(t*(t-1)*(t*2+5)) AS BIGINT) AS tie_term,
+      |         CAST(SUM(t) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)),
+      |v AS (SELECT p.s, t.n, n*(n-1)*(n*2+5) - tie_term AS var18 FROM p, t)
+      |SELECT n, s,
+      |       ROUND((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |                   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+      |                   ELSE 0.0 END)
+      |             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z
+      |FROM v""".stripMargin
+
+  // -------------------------------------------------------- theil-sen
+  /** Theil-Sen robust slope: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over the daily series — the estimator one
+    * outlier day cannot bend. Slopes are exact-int quotients rendered
+    * as identical IEEE doubles in both engines, so the median (exact
+    * `percentile` / `median` over the O(days²) pair frame) picks the
+    * same element — and an even count interpolates the same half.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("day"))
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+    daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+      .select(((col("b.y") - col("a.y")).cast("double") /
+        (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+  }
+
+  private val theilSenOracle =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1),
+      |ix AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS x, y FROM daily),
+      |sl AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM ix a JOIN ix b ON a.x < b.x)
+      |SELECT COUNT(*) AS n_pairs, ROUND(median(slope), 6) AS ts_slope
+      |FROM sl""".stripMargin
+
+  // -------------------------------------------------------------- SPRT
+  /** Wald's sequential probability-ratio test on the purchase rate:
+    * H₀ p=0.19 vs H₁ p=0.21, log-likelihood ratio accumulated day by
+    * day over (purchases, trials). The per-observation increments
+    * ln(p₁/p₀) and ln(q₁/q₀) are SHARED Scala e9 constants (ln is not
+    * correctly-rounded-guaranteed at runtime), so the cumulative LLR
+    * is an exact long dot product n_s·c₁ + n_f·c₀; the A/B decision
+    * thresholds ln(19) and ln(1/19) (α=β=0.05) are constants on the
+    * same lattice. Output: the day-by-day LLR path and decision state —
+    * the "stop early" monitor an experimentation platform runs.
+    *
+    * Scale: one daily aggregate; the cumulative windows run over the
+    * post-agg series.
+    */
+  private[graft] val SprtC1E9: Long = // ln(0.21/0.19) · 1e9
+    math.round(math.log(0.21 / 0.19) * 1e9)
+  private[graft] val SprtC0E9: Long = // ln(0.79/0.81) · 1e9
+    math.round(math.log(0.79 / 0.81) * 1e9)
+  private[graft] val SprtAE9: Long = // ln((1-β)/α) = ln(19) · 1e9
+    math.round(math.log(19.0) * 1e9)
+
+  def sprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("s"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("s")).as("successes"))
+      .withColumn("cum_s", sum(col("successes")).over(wOrd))
+      .withColumn("cum_f", sum(col("trials") - col("successes")).over(wOrd))
+      .withColumn("llr_e9",
+        col("cum_s") * SprtC1E9 + col("cum_f") * SprtC0E9)
+      .select(col("day"), col("trials"), col("successes"),
+        (col("llr_e9").cast("double") / 1e9).as("llr"),
+        when(col("llr_e9") >= SprtAE9, lit("accept_h1"))
+          .when(col("llr_e9") <= -SprtAE9, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy(col("day"))
+  }
+
+  private val sprtOracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS trials,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS successes
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day, trials, successes,
+       |         CAST(SUM(successes) OVER w AS BIGINT) * $SprtC1E9
+       |         + CAST(SUM(trials - successes) OVER w AS BIGINT) * $SprtC0E9
+       |           AS llr_e9
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT day, trials, successes,
+       |       CAST(llr_e9 AS DOUBLE) / 1e9 AS llr,
+       |       CASE WHEN llr_e9 >= $SprtAE9 THEN 'accept_h1'
+       |            WHEN llr_e9 <= -$SprtAE9 THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM c ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> (rfmSegments _),
@@ -571,7 +767,11 @@ object StatsOps {
     "q_chi_square" -> (chiSquare _),
     "q_adamic_adar" -> (adamicAdar _),
     "q_auc" -> (rocAuc _),
-    "q_wilson_ci" -> (wilsonCi _)
+    "q_wilson_ci" -> (wilsonCi _),
+    "q_ols_trend" -> (olsTrend _),
+    "q_mann_kendall" -> (mannKendall _),
+    "q_theil_sen" -> (theilSen _),
+    "q_sprt" -> (sprt _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -584,6 +784,10 @@ object StatsOps {
     "q_chi_square" -> chiSquareOracle,
     "q_adamic_adar" -> adamicAdarOracle,
     "q_auc" -> rocAucOracle,
-    "q_wilson_ci" -> wilsonCiOracle
+    "q_wilson_ci" -> wilsonCiOracle,
+    "q_ols_trend" -> olsTrendOracle,
+    "q_mann_kendall" -> mannKendallOracle,
+    "q_theil_sen" -> theilSenOracle,
+    "q_sprt" -> sprtOracle
   )
 }

@@ -150,6 +150,69 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  private def dailyCounts: Array[Long] = {
+    Tables.events(spark, sfTiny)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      .collect().sortBy(_.getAs[Long]("day")).map(_.getAs[Long]("y"))
+  }
+
+  test("OLS trend == closed-form recompute on the daily series") {
+    val row = StatsOps.olsTrend(spark, sfTiny).collect().head
+    val ys = dailyCounts
+    val n = ys.length.toDouble
+    val xs = (1 to ys.length).map(_.toDouble)
+    val (sx, sy) = (xs.sum, ys.map(_.toDouble).sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-5)
+    assert(math.abs(row.getAs[Double]("intercept") - icpt) < 1e-4)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("Mann-Kendall S == brute-force pair loop, Z sign follows S") {
+    val row = StatsOps.mannKendall(spark, sfTiny).collect().head
+    val ys = dailyCounts
+    var s = 0L
+    for (i <- ys.indices; j <- (i + 1) until ys.length)
+      s += java.lang.Long.signum(ys(j) - ys(i))
+    assert(row.getAs[Long]("s") == s)
+    assert(row.getAs[Long]("n") == ys.length.toLong)
+    val z = row.getAs[Double]("z")
+    assert(s == 0L || math.signum(z) == math.signum(s.toDouble))
+  }
+
+  test("Theil-Sen slope == driver-side median of pairwise slopes") {
+    val row = StatsOps.theilSen(spark, sfTiny).collect().head
+    val ys = dailyCounts
+    val slopes = (for {
+      i <- ys.indices; j <- (i + 1) until ys.length
+    } yield (ys(j) - ys(i)).toDouble / (j - i).toDouble).sorted
+    assert(row.getAs[Long]("n_pairs") == slopes.length.toLong)
+    val m = slopes.length
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    assert(math.abs(row.getAs[Double]("ts_slope") - med) < 1e-6)
+  }
+
+  test("SPRT path accumulates the exact constant lattice and decides at ln 19") {
+    val rows = StatsOps.sprt(spark, sfTiny).collect()
+      .sortBy(_.getAs[Long]("day"))
+    var (cs, cf) = (0L, 0L)
+    rows.foreach { r =>
+      cs += r.getAs[Long]("successes")
+      cf += r.getAs[Long]("trials") - r.getAs[Long]("successes")
+      val e9 = cs * StatsOps.SprtC1E9 + cf * StatsOps.SprtC0E9
+      assert(math.round(r.getAs[Double]("llr") * 1e9) == e9)
+      val want = if (e9 >= StatsOps.SprtAE9) "accept_h1"
+        else if (e9 <= -StatsOps.SprtAE9) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") == want)
+    }
+  }
+
   test("autocorrelation is bounded and pair counts shrink") {
     val rows = StatsOps.autocorr(spark, sfTiny)
       .collect().sortBy(_.getAs[Long]("lag"))
