@@ -927,7 +927,97 @@ object DedupOps {
        |SELECT src_a, src_b, COUNT(*) AS n_pairs, src_a = src_b AS same_source
        |FROM tagged GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------- repeated substrings
+  /** Stride-1 repeated-substring detection (the C4/RefinedWeb "remove
+    * any ≥k-token span that appears elsewhere in the corpus" screen,
+    * reported rather than applied): every 8-token window of every
+    * document keys by its 60-bit md5 prefix; a window whose key occurs
+    * more than once ANYWHERE in the corpus is repeated, and per
+    * document the flagged positions merge into maximal overlapping
+    * regions — each flagged position extends coverage by
+    * min(gap-from-previous, 8) tokens, so region token coverage is the
+    * exact union length of the [p, p+7] intervals. Output per doc:
+    * token count, repeated-region count, covered tokens, covered
+    * fraction.
+    *
+    * Scale shape: shingles reduce to (doc_id, pos, h) BEFORE any
+    * exchange (text never shuffles); corpus-wide repetition is a
+    * partial-aggregated count on h (skew-safe for boilerplate exactly
+    * like [[spanDedup]]'s min); the island merge is a per-doc window
+    * over FLAGGED positions only. Stride 1 costs SpanLen× more rows
+    * than [[spanDedup]] — that is the operator's true price, paid in
+    * narrow 24-byte rows.
+    */
+  private val RsLen = 8
+
+  def repeatedSubstrings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val perDoc = docs.select(col("doc_id"), size(col("ws")).as("n_tok"))
+    // inline generator (named-array explode double-computes; round-4)
+    val sh = docs
+      .select(col("doc_id"), posexplode(expr(
+        // sequence(0, -k) would generate DESCENDING — guard short docs
+        // to an empty array instead
+        s"""IF(size(ws) < $RsLen, array(),
+           |   transform(sequence(0, size(ws) - $RsLen),
+           |             p -> concat_ws(' ', slice(ws, p + 1, $RsLen))))""".stripMargin)))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(CAST(col AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val flagged = sh.join(rep, Seq("h"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val stats = flagged
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("contrib", when(col("prev").isNull, lit(RsLen.toLong))
+        .otherwise(least(col("pos") - col("prev"), lit(RsLen.toLong))))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pos") - col("prev") > RsLen - 1, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("rep_tokens"),
+        sum(col("brk")).as("n_regions"))
+    perDoc.join(stats, Seq("doc_id"), "left")
+      .withColumn("rep_tokens", coalesce(col("rep_tokens"), lit(0L)))
+      .withColumn("n_regions", coalesce(col("n_regions"), lit(0L)))
+      .withColumn("rep_frac",
+        round(col("rep_tokens").cast("double") / col("n_tok"), 6))
+      .select(col("doc_id"), col("n_tok"), col("n_regions"),
+        col("rep_tokens"), col("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repeatedSubstringsOracle =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |per_doc AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tok FROM d),
+       |sh AS (
+       |  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+       |         CAST('0x' || substring(md5(array_to_string(ws[p+1 : p+$RsLen], ' ')), 1, 15) AS BIGINT) AS h
+       |  FROM d, LATERAL unnest(range(0, GREATEST(len(ws) - $RsLen + 1, 0))) AS t(p)),
+       |rep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+       |fl AS (SELECT sh.* FROM sh JOIN rep USING (h)),
+       |st AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN prev IS NULL THEN $RsLen
+       |                       ELSE LEAST(pos - prev, $RsLen) END) AS BIGINT)
+       |           AS rep_tokens,
+       |         CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > ${RsLen - 1}
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_regions
+       |  FROM (SELECT doc_id, pos,
+       |               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM fl)
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_tok,
+       |       COALESCE(s.n_regions, 0) AS n_regions,
+       |       COALESCE(s.rep_tokens, 0) AS rep_tokens,
+       |       ROUND(CAST(COALESCE(s.rep_tokens, 0) AS DOUBLE) / p.n_tok, 6)
+       |         AS rep_frac
+       |FROM per_doc p LEFT JOIN st s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeated_substrings" -> (repeatedSubstrings _),
     "q_containment" -> (containmentDedup _),
     "q_cross_source_dups" -> (crossSourceDups _),
     "q_dedup_apply" -> (dedupApply _),
@@ -943,6 +1033,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_repeated_substrings" -> repeatedSubstringsOracle,
     "q_containment" -> containmentDedupOracle,
     "q_cross_source_dups" -> crossSourceDupsOracle,
     "q_dedup_apply" -> dedupApplyOracle,

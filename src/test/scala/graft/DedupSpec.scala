@@ -139,6 +139,39 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L), s"got $labels")
   }
 
+  test("repeated substrings match driver-side interval-union ground truth") {
+    val got = DedupOps.repeatedSubstrings(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tok"), r.getAs[Long]("n_regions"),
+          r.getAs[Long]("rep_tokens"))).toMap
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val k = 8
+    // corpus-wide shingle counts on the raw strings (no hashing at all)
+    val counts = collection.mutable.Map.empty[String, Int]
+    texts.foreach { case (_, ws) =>
+      (0 to ws.length - k).foreach { p =>
+        val s = ws.slice(p, p + k).mkString(" ")
+        counts(s) = counts.getOrElse(s, 0) + 1
+      }
+    }
+    texts.foreach { case (id, ws) =>
+      val flagged = (0 to ws.length - k)
+        .filter(p => counts(ws.slice(p, p + k).mkString(" ")) > 1)
+      var (tokens, regions, prev) = (0L, 0L, -1)
+      flagged.foreach { p =>
+        tokens += (if (prev < 0) k else math.min(p - prev, k)).toLong
+        if (prev < 0 || p - prev > k - 1) regions += 1L
+        prev = p
+      }
+      val (nTok, nReg, repTok) = got(id)
+      assert(nTok == ws.length, s"doc $id token count")
+      assert(nReg == regions && repTok == tokens,
+        s"doc $id: got ($nReg, $repTok) want ($regions, $tokens)")
+    }
+  }
+
   test("span dedup matches driver-side keep-first ground truth") {
     // recompute the C4-style rule in plain Scala: iterate documents in
     // (doc_id, block index) order, keep a block only on first sight
