@@ -453,7 +453,56 @@ object CatalogOps {
        |         AS BIGINT) AS rows_exposed
        |FROM cls GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Join-key skew report — the diagnostic a Spark team reads before
+    * picking a salt factor or enabling AQE skew handling: per candidate
+    * join key, the cardinality, the count distribution over keys (p50 /
+    * p99 / max), the skew ratio max/p50, and the salt factor that would
+    * level the hottest key to the p99 (ceil(max/p99), the house salting
+    * rule). All from ONE hash aggregate per key column; the percentile
+    * runs over the key-count frame (cardinality-sized, not data-sized).
+    * Exact percentiles on integer counts interpolate exact halves —
+    * identical in both engines; the sketch swap at 10⁹-key cardinality
+    * is `approx_percentile`, same contract as the AggOps percentiles.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def forKey(key: String): DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50"),
+          expr("percentile(cnt, 0.99)").as("p99"))
+        .select(lit(key).as("join_key"), col("n_keys"), col("max_cnt"),
+          round(col("p50"), 4).as("p50"), round(col("p99"), 4).as("p99"),
+          round(col("max_cnt") / col("p50"), 4).as("skew_ratio"),
+          ceil(col("max_cnt") / col("p99")).cast("long").as("salt_factor"))
+    forKey("l_orderkey")
+      .unionByName(forKey("l_partkey"))
+      .unionByName(forKey("l_suppkey"))
+      .orderBy(col("join_key"))
+  }
+
+  private val skewReportOracle = {
+    def one(key: String) =
+      s"""SELECT '$key' AS join_key, COUNT(*) AS n_keys,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         |       ROUND(quantile_cont(cnt, 0.5), 4) AS p50,
+         |       ROUND(quantile_cont(cnt, 0.99), 4) AS p99,
+         |       ROUND(CAST(MAX(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5), 4)
+         |         AS skew_ratio,
+         |       CAST(CEIL(CAST(MAX(cnt) AS DOUBLE) / quantile_cont(cnt, 0.99))
+         |            AS BIGINT) AS salt_factor
+         |FROM (SELECT $key, COUNT(*) AS cnt FROM lineitem GROUP BY 1)""".stripMargin
+    s"""${one("l_orderkey")}
+       |UNION ALL
+       |${one("l_partkey")}
+       |UNION ALL
+       |${one("l_suppkey")}
+       |ORDER BY join_key""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (skewReport _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_l_diversity" -> (lDiversity _),
@@ -465,6 +514,7 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_report" -> skewReportOracle,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,

@@ -25,4 +25,19 @@ class CatalogOpsSpec extends SparkSpec {
     val total = Tables.customer(spark, sfTiny).count()
     assert(ld.map(_.getAs[Long]("rows_exposed")).sum <= total)
   }
+
+  test("skew report: cardinalities exact, ratios and salt factors coherent") {
+    val rows = CatalogOps.skewReport(spark, sfTiny).collect()
+      .map(r => r.getAs[String]("join_key") -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { case (key, r) =>
+      val distinct = Tables.lineitem(spark, sfTiny)
+        .select(col(key)).distinct().count()
+      assert(r.getAs[Long]("n_keys") == distinct, s"$key cardinality")
+      assert(r.getAs[Double]("skew_ratio") >= 1.0)
+      assert(r.getAs[Long]("salt_factor") >= 1L)
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p99") + 1e-9)
+      assert(r.getAs[Double]("p99") <= r.getAs[Long]("max_cnt").toDouble + 1e-9)
+    }
+  }
 }
