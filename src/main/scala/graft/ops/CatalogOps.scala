@@ -501,8 +501,52 @@ object CatalogOps {
        |ORDER BY join_key""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** Laplace-mechanism DP count release (ε = 1, sensitivity 1 →
+    * b = 1): each segment's customer count is published as
+    * n + Laplace(1), the third leg of the privacy battery after
+    * [[kAnonymity]] and [[lDiversity]]. The inverse-CDF draw
+    * u → −sign(u−½)·b·ln(1−2|u−½|) runs on a uniform derived from the
+    * segment's md5 (the engine-parity hash idiom), so the release is
+    * REPRODUCIBLE across engines for the oracle compare — a production
+    * deployment feeds a secret per-release seed through the same
+    * plumbing, which is the only change this mechanism needs. ln on
+    * identical doubles + 4-dp round is the established e6-ln parity
+    * pattern. One hash aggregate; noise is a map-side projection.
+    */
+  def dpCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(segment AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("u", (pmod(col("h"), lit(4294967296L)).cast("double") +
+        lit(0.5)) / lit(4294967296.0))
+      .withColumn("noise",
+        -signum(col("u") - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))))
+      .select(col("segment"), col("n"),
+        round(col("n") + col("noise"), 4).as("dp_n"))
+      .orderBy(col("segment"))
+
+  private val dpCountsOracle =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment, COUNT(*) AS n FROM customer
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT segment, n,
+      |         (CAST(CAST('0x' || substring(md5(segment), 1, 15) AS BIGINT)
+      |               % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      |  FROM c)
+      |SELECT segment, n,
+      |       ROUND(n + (CASE WHEN u > 0.5 THEN -1.0
+      |                       WHEN u < 0.5 THEN 1.0 ELSE 0.0 END)
+      |                 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS dp_n
+      |FROM u ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_report" -> (skewReport _),
+    "q_dp_counts" -> (dpCounts _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_l_diversity" -> (lDiversity _),
@@ -515,6 +559,7 @@ object CatalogOps {
 
   def oracles: Map[String, String] = Map(
     "q_skew_report" -> skewReportOracle,
+    "q_dp_counts" -> dpCountsOracle,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,

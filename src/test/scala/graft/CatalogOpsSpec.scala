@@ -26,6 +26,22 @@ class CatalogOpsSpec extends SparkSpec {
     assert(ld.map(_.getAs[Long]("rows_exposed")).sum <= total)
   }
 
+  test("dp counts: noise is bounded Laplace, true counts conserved") {
+    val rows = CatalogOps.dpCounts(spark, sfTiny).collect()
+    val total = Tables.customer(spark, sfTiny).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val noise = r.getAs[Double]("dp_n") - r.getAs[Long]("n")
+      // u = (k+0.5)/2^32 is bounded away from {0,1} by 2^-33, so the
+      // inverse-CDF draw can never exceed ln(2^32)
+      assert(math.abs(noise) <= math.log(4294967296.0) + 1e-6,
+        s"noise $noise out of the bounded-seed range")
+    }
+    // the release is deterministic for a fixed seed derivation
+    val again = CatalogOps.dpCounts(spark, sfTiny).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("skew report: cardinalities exact, ratios and salt factors coherent") {
     val rows = CatalogOps.skewReport(spark, sfTiny).collect()
       .map(r => r.getAs[String]("join_key") -> r).toMap
