@@ -544,9 +544,60 @@ object CatalogOps {
       |                 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS dp_n
       |FROM u ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Equi-depth (equi-height) 8-bucket histogram of l_extendedprice —
+    * the histogram a cost-based optimizer keeps per column, where every
+    * bucket holds ~n/8 rows and the EDGES move with the data (the
+    * equi-WIDTH twin lives in AnalyticsOps.histogram). Two passes: one
+    * aggregate for the 7 interior percentile edges (broadcast back as a
+    * 1-row frame), one map-side unrolled comparison ladder + bucket
+    * count. Exact `percentile` today; the 100 TB swap is
+    * `approx_percentile` with the same downstream plan (the AggOps
+    * percentile contract). Bucket membership compares against
+    * bit-identical interpolated edges in both engines.
+    */
+  def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .agg(expr("percentile(l_extendedprice, " +
+        "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("es"))
+    val x = col("l_extendedprice")
+    val bucket = (0 until 7).foldLeft(lit(8)) { case (acc, i) =>
+      // fold builds the ladder inside-out: check edges high→low so the
+      // FIRST satisfied `<=` (lowest edge) wins
+      when(x <= col("es").getItem(6 - i), lit(7 - i)).otherwise(acc)
+    }
+    Tables.lineitem(spark, sfDir).crossJoin(broadcast(edges))
+      .select(bucket.as("bucket"), x.as("x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 4).as("lo"), round(max(col("x")), 4).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  private val equidepthHistOracle =
+    """WITH e AS (
+      |  SELECT quantile_cont(l_extendedprice,
+      |           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS es
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CASE WHEN l_extendedprice <= es[1] THEN 1
+      |              WHEN l_extendedprice <= es[2] THEN 2
+      |              WHEN l_extendedprice <= es[3] THEN 3
+      |              WHEN l_extendedprice <= es[4] THEN 4
+      |              WHEN l_extendedprice <= es[5] THEN 5
+      |              WHEN l_extendedprice <= es[6] THEN 6
+      |              WHEN l_extendedprice <= es[7] THEN 7
+      |              ELSE 8 END AS bucket,
+      |         l_extendedprice AS x
+      |  FROM lineitem, e)
+      |SELECT bucket, COUNT(*) AS n,
+      |       ROUND(MIN(x), 4) AS lo, ROUND(MAX(x), 4) AS hi
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_report" -> (skewReport _),
     "q_dp_counts" -> (dpCounts _),
+    "q_equidepth_hist" -> (equidepthHist _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_l_diversity" -> (lDiversity _),
@@ -560,6 +611,7 @@ object CatalogOps {
   def oracles: Map[String, String] = Map(
     "q_skew_report" -> skewReportOracle,
     "q_dp_counts" -> dpCountsOracle,
+    "q_equidepth_hist" -> equidepthHistOracle,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,

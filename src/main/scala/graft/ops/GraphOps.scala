@@ -187,13 +187,118 @@ object GraphOps {
        |SELECT doc_id, COUNT(*) AS n_triangles FROM x
        |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- BFS
+  /** Multi-source BFS over the co-purchase part graph: distance from
+    * the seed set {p_partkey ≤ 5} through "appeared in the same order"
+    * edges (orders capped at 20 distinct parts, the [[StatsOps
+    * .adamicAdar]] graph), up to 4 hops; output is the reachability
+    * histogram (distance → part count, unreached excluded) — the
+    * blast-radius question every lineage/recall system answers.
+    *
+    * Spark side is frontier iteration: hop h joins the h−1 frontier to
+    * the edge list and min-merges distances, with `localCheckpoint`
+    * per round (the DedupOps.connectedComponents discipline: without
+    * it each round re-optimizes a deepening plan). Every hop shuffles
+    * on the SAME src key — at 100 TB the edge table buckets once like
+    * [[pagerank]]'s. The oracle is a DuckDB RECURSIVE CTE with UNION
+    * dedup — a different evaluation strategy entirely (semi-naive
+    * fixpoint vs unrolled joins), which is the point.
+    */
+  /** Co-purchase pair frame — (p1 < p2, order size sz, n occurrences)
+    * over orders with 2..20 distinct parts — materialized once per
+    * session+SF (the ngram-pair-frame lifecycle): [[StatsOps
+    * .adamicAdar]] weights it by 1/ln(sz), [[bfsHops]] walks its
+    * distinct pairs, and the corpus-scale self-join behind both runs
+    * once instead of once per consumer.
+    */
+  private[ops] def coPurchasePairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/copurchase_pairs") {
+      val op = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz").between(2, 20))
+      op.as("a")
+        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("l_orderkey"),
+          col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .join(sized, Seq("l_orderkey"))
+        .groupBy(col("p1"), col("p2"), col("sz"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    // NO distinct: a pair recurring under several order sizes yields a
+    // duplicate edge, which only widens one hop's join fan-out before
+    // the min-merge dedupes — cheaper than a full dedup shuffle here
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    // cache, not localCheckpoint: the edge list is re-joined every hop
+    // (cache keeps it columnar in memory without the RDD serialization
+    // round-trip), and the loop below is FINITE so lineage stays flat —
+    // the per-round checkpoint discipline applies to dist, whose plan
+    // deepens, not to this constant frame. Unpersisted before return.
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var dist = Tables.part(spark, sfDir).filter(col("p_partkey") <= 5)
+      .select(col("p_partkey").as("part"), lit(0).as("d"))
+      .localCheckpoint(eager = true)
+    // early exit when the frontier drains: a saturated graph (every
+    // reachable node found) must not pay the remaining no-op rounds —
+    // the frontier count is one cheap job against the checkpointed
+    // frame, far less than a dead join round
+    var h = 1
+    var frontierSize = 1L
+    while (h <= 4 && frontierSize > 0L) {
+      val next = dist.filter(col("d") === h - 1)
+        .join(edges, col("part") === col("src"))
+        .select(col("dst").as("part"), lit(h).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy(col("part")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
+      frontierSize = dist.filter(col("d") === h).count()
+      h += 1
+    }
+    val out = dist.groupBy(col("d").as("dist"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("dist"))
+      .localCheckpoint(eager = true) // 3-row result; lets edges release
+    edges.unpersist()
+    out
+  }
+
+  private val bfsHopsOracle =
+    """WITH RECURSIVE
+      |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (
+      |  SELECT l_orderkey FROM op GROUP BY 1
+      |  HAVING COUNT(*) BETWEEN 2 AND 20),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM op a
+      |  JOIN op b ON a.l_orderkey = b.l_orderkey
+      |           AND a.l_partkey <> b.l_partkey
+      |  JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |bfs AS (
+      |  SELECT p_partkey AS part, 0 AS d FROM part WHERE p_partkey <= 5
+      |  UNION
+      |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.part
+      |  WHERE bfs.d < 4)
+      |SELECT d AS dist, COUNT(*) AS n_parts
+      |FROM (SELECT part, MIN(d) AS d FROM bfs GROUP BY part)
+      |GROUP BY dist ORDER BY dist""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_hops" -> (bfsHops _),
     "q_pagerank" -> (pagerank _),
     "q_triangle_count" -> (triangleCount _),
     "q_clustering_coeff" -> (clusteringCoeff _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bfs_hops" -> bfsHopsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_triangle_count" -> triangleCountOracle,
     "q_clustering_coeff" -> clusteringCoeffOracle

@@ -407,22 +407,14 @@ object StatsOps {
     (2 to 20).map(s => s -> math.round(1e6 / math.log(s))).toMap
 
   def adamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, 20))
     val weight = adamicAdarE6.toSeq.sortBy(_._1)
       .foldLeft(lit(0L)) { case (acc, (s, e)) =>
         when(col("sz") === s, lit(e)).otherwise(acc) }
-    // distinct, size agg, and both self-join sides all hash on
-    // l_orderkey — AQE reuses one exchange for the whole chain
-    op.as("a")
-      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_orderkey").as("l_orderkey"),
-        col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .join(sized, Seq("l_orderkey"))
-      .groupBy(col("p1"), col("p2")).agg(sum(weight).as("score_e6"))
+    // the corpus-scale self-join lives in the session-materialized
+    // pair frame (GraphOps.coPurchasePairs) shared with the BFS walk
+    GraphOps.coPurchasePairs(spark, sfDir)
+      .groupBy(col("p1"), col("p2"))
+      .agg(sum(weight * col("n")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("p1"), col("p2"))
       .limit(30)
       .select(col("p1"), col("p2"), col("score_e6"),

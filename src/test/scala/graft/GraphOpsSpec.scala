@@ -11,6 +11,35 @@ import graft.ops.GraphOps
   */
 class GraphOpsSpec extends SparkSpec {
 
+  test("bfs hops == driver-side breadth-first search") {
+    val got = GraphOps.bfsHops(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_parts")).toMap
+    // rebuild the undirected co-purchase graph driver-side
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    op.groupBy(_._1).values.foreach { g =>
+      val parts = g.map(_._2).distinct
+      if (parts.length >= 2 && parts.length <= 20)
+        for (a <- parts; b <- parts if a != b)
+          adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+    }
+    val seeds = Tables.part(spark, sfTiny)
+      .filter(col("p_partkey") <= 5).select(col("p_partkey")).collect()
+      .map(_.getLong(0))
+    val dist = collection.mutable.Map(seeds.map(_ -> 0): _*)
+    var frontier = seeds.toSet
+    for (h <- 1 to 4) {
+      frontier = frontier.flatMap(p => adj.getOrElse(p, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(p => dist(p) = h)
+    }
+    val want = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("pagerank == driver-side recompute of the two unrolled hops") {
     val edges = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey").as("lo"), col("l_suppkey").as("s"))
