@@ -534,7 +534,58 @@ object Medallion {
       |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Signed-delta incremental view maintenance: a materialized
+    * SUM/COUNT aggregate is brought current by aggregating ONLY the
+    * delta — inserts carry +1, deletes carry −1 — and merging the
+    * signed partials into the base, never rescanning history. Base =
+    * orders before 1998; delta = 1998+ orders as inserts plus a
+    * deterministic delete set (orderkey % 37 = 0 of the base) as
+    * retractions. COUNT merges as Σ(sign), SUM as Σ(sign·cents) — the
+    * classic IVM identity for abelian aggregates (MIN/MAX are not
+    * incrementally maintainable this way; that asymmetry is the
+    * documented boundary of the technique). The oracle recomputes the
+    * final state directly from the definition — base minus deletes
+    * plus inserts — touching none of the delta algebra.
+    *
+    * Scale: the base aggregate is read, not rebuilt; the delta
+    * aggregate shuffles only delta-sized data; the merge is a
+    * group-count-sized unionByName + re-aggregate.
+    */
+  def ivmSigned(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        year(col("o_orderdate")).as("yr"))
+    val base = orders.filter(col("yr") < 1998)
+    val baseAgg = base.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val delta = orders.filter(col("yr") >= 1998)
+        .select(col("priority"), col("cents"), lit(1L).as("sign"))
+      .unionByName(base.filter(col("o_orderkey") % 37 === 0)
+        .select(col("priority"), col("cents"), lit(-1L).as("sign")))
+    val deltaAgg = delta.groupBy(col("priority"))
+      .agg(sum(col("sign")).as("n"), sum(col("sign") * col("cents")).as("tot"))
+    baseAgg.unionByName(deltaAgg)
+      .groupBy(col("priority"))
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot_cents"))
+      .orderBy(col("priority"))
+  }
+
+  private val ivmSignedOracle =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         year(o_orderdate) AS yr
+      |  FROM orders),
+      |final AS (
+      |  SELECT * FROM o
+      |  WHERE yr >= 1998 OR (yr < 1998 AND o_orderkey % 37 <> 0))
+      |SELECT priority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot_cents
+      |FROM final GROUP BY priority ORDER BY priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivm_signed" -> (ivmSigned _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_time_travel" -> (timeTravel _),
     "q_partition_replace" -> (partitionReplace _),
@@ -545,6 +596,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ivm_signed" -> ivmSignedOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_time_travel" -> timeTravelOracle,
     "q_partition_replace" -> partitionReplaceOracle,

@@ -171,6 +171,61 @@ object AnalyticsOps {
       | AND (d.valid_to_ms IS NULL OR d.valid_from_ms < d.valid_to_ms)
       |GROUP BY COALESCE(d.state, 'none') ORDER BY state""".stripMargin
 
+  /** Time-weighted average (TWAP) of each user's value stream: every
+    * observation holds until the next one, so the average weights each
+    * value by its holding interval — the telemetry/finance staple the
+    * event-weighted mean (and [[ewma]]) cannot substitute for. Weights
+    * are exact millisecond longs, values exact cents; the dot product
+    * accumulates in DECIMAL(38) (cents × a month of ms × 2e6 lattice
+    * overflows int64) and the final ratio is the half-up e6 idiom —
+    * mirrored by DuckDB HUGEINT. Users with a single event (no holding
+    * interval) drop out in both engines alike.
+    *
+    * Scale: one per-user window (the stream's standing exchange) and a
+    * per-user aggregate.
+    */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("nxt", lead(col("ms"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("dt")).as("span_ms"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dt")).as("s"))
+      .withColumn("num", expr("2000000 * s + span_ms"))
+      .withColumn("den", expr("CAST(span_ms AS DECIMAL(38,0)) * 2"))
+      .select(col("user_id"), col("n_intervals"), col("span_ms"),
+        expr("CAST(CAST((num - (num % den)) / den AS BIGINT) AS DOUBLE) / 1e6")
+          .as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val twapOracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(ts), event_id) AS nxt
+      |  FROM events),
+      |iv AS (SELECT user_id, cents, nxt - ms AS dt FROM ev
+      |       WHERE nxt IS NOT NULL),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |         CAST(SUM(dt) AS BIGINT) AS span_ms,
+      |         CAST(SUM(CAST(cents AS HUGEINT) * dt) AS HUGEINT) AS s
+      |  FROM iv GROUP BY 1)
+      |SELECT user_id, n_intervals, span_ms,
+      |       CAST(CAST((2000000 * s + span_ms
+      |                  - ((2000000 * s + span_ms)
+      |                     % (CAST(span_ms AS HUGEINT) * 2)))
+      |                 // (CAST(span_ms AS HUGEINT) * 2) AS BIGINT)
+      |            AS DOUBLE) / 1e6 AS twap_cents
+      |FROM agg ORDER BY user_id""".stripMargin
+
   /** Exact rolling MEDIAN over each user's last-5-event window — the
     * order statistic a monitoring layer prefers to the mean because one
     * spike can't drag it. Exercises an exact percentile as a WINDOW
@@ -1267,6 +1322,7 @@ object AnalyticsOps {
     "q_rolling_sum" -> (rollingSum _),
     "q_rolling_median" -> (rollingMedian _),
     "q_pit_join" -> (pitJoin _),
+    "q_twap" -> (twap _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_session_window" -> (sessionWindowAgg _),
     "q_window_ranks" -> (windowRanks _),
@@ -1297,6 +1353,7 @@ object AnalyticsOps {
     "q_rolling_sum" -> rollingSumOracle,
     "q_rolling_median" -> rollingMedianOracle,
     "q_pit_join" -> pitJoinOracle,
+    "q_twap" -> twapOracle,
     "q_grouping_sets" -> groupingSetsAggOracle,
     "q_session_window" -> sessionWindowAggOracle,
     "q_window_ranks" -> windowRanksOracle,

@@ -18,6 +18,31 @@ import graft.ops.{AnalyticsOps, PipelineOps}
   */
 class AnalyticsOpsSpec extends SparkSpec {
 
+  test("twap lies within each user's value band and matches recompute") {
+    val rows = AnalyticsOps.twap(spark, sfTiny).collect()
+    val evs = Tables.events(spark, sfTiny)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val seq = byUser(u)
+      val iv = seq.zip(seq.tail)
+      val s = iv.map { case (a, b) => BigInt(a._4) * (b._2 - a._2) }.sum
+      val d = iv.map { case (a, b) => b._2 - a._2 }.sum
+      assert(r.getAs[Long]("span_ms") == d)
+      val e6 = (BigInt(2000000) * s + d) / (BigInt(d) * 2)
+      assert(BigInt(math.round(r.getAs[Double]("twap_cents") * 1e6)) == e6, s"user $u")
+      // a weighted average sits inside the band of the weighted values
+      val cents = iv.map(_._1._4)
+      assert(r.getAs[Double]("twap_cents") >= cents.min - 1e-6 &&
+        r.getAs[Double]("twap_cents") <= cents.max + 1e-6)
+    }
+  }
+
   test("pit join conserves purchases and matches interval-join recompute") {
     val rows = AnalyticsOps.pitJoin(spark, sfTiny).collect()
     val purchases = Tables.events(spark, sfTiny)

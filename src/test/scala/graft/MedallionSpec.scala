@@ -10,6 +10,26 @@ import graft.etl.{Medallion, SilverMobility}
   */
 class MedallionSpec extends SparkSpec {
 
+  test("ivm signed-delta merge == direct recompute of the final state") {
+    import org.apache.spark.sql.functions._
+    val got = graft.etl.Medallion.ivmSigned(spark, sfTiny).collect()
+      .map(r => r.getAs[String]("priority") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tot_cents"))).toMap
+    // the final state, computed directly (no delta algebra)
+    val want = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        year(col("o_orderdate")).as("yr"))
+      .filter(col("yr") >= 1998 ||
+        (col("yr") < 1998 && col("o_orderkey") % 37 =!= 0))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+      .collect()
+      .map(r => r.getAs[String]("priority") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tot"))).toMap
+    assert(got == want)
+  }
+
   test("dynamic partition overwrite replaces exactly one partition; append adds one") {
     val silver = SilverMobility.fromEvents(spark, sfTiny).cache()
     val perDate = silver.groupBy(col("date"))
