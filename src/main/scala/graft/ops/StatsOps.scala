@@ -748,6 +748,102 @@ object StatsOps {
        |            ELSE 'continue' END AS decision
        |FROM c ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------- winsorize
+  /** Winsorized statistics: extended prices clipped at the exact
+    * [p01, p99] percentiles, reporting n, the clipped-row counts and
+    * the mean before/after on the [[Parity.stableAvg]] lattice — the
+    * robustness preprocessing a feature pipeline applies before
+    * z-scoring, with the clip's effect quantified. Two passes: a
+    * percentile aggregate broadcast back (exact today,
+    * `approx_percentile` at 100 TB — the AggOps contract), then one
+    * map-side clamp + aggregate.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .agg(expr("percentile(l_extendedprice, array(0.01, 0.99))").as("es"))
+    // clip edges re-quantize to the cents lattice: a raw interpolated
+    // percentile would put clipped rows OFF the 2-dp lattice and void
+    // stableAvg's order-insensitivity contract
+    Tables.lineitem(spark, sfDir).crossJoin(broadcast(edges))
+      .select(col("l_extendedprice").as("x"),
+        round(col("es").getItem(0), 2).as("lo"),
+        round(col("es").getItem(1), 2).as("hi"))
+      .select(col("x"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("x"))).as("xw"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        Parity.stableAvg(col("x")).as("mean_raw"),
+        Parity.stableAvg(col("xw")).as("mean_winsor"))
+  }
+
+  private val winsorizeOracle =
+    s"""WITH e AS (
+       |  SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS es
+       |  FROM lineitem),
+       |c AS (
+       |  SELECT l_extendedprice AS x,
+       |         ROUND(es[1], 2) AS lo, ROUND(es[2], 2) AS hi,
+       |         GREATEST(ROUND(es[1], 2),
+       |                  LEAST(ROUND(es[2], 2), l_extendedprice)) AS xw
+       |  FROM lineitem, e)
+       |SELECT COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clip_lo,
+       |       CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clip_hi,
+       |       ${Parity.stableAvgSql("x")} AS mean_raw,
+       |       ${Parity.stableAvgSql("xw")} AS mean_winsor
+       |FROM c""".stripMargin
+
+  // ------------------------------------------------------- rolling DAU
+  /** Rolling engagement: per day, the exact distinct active users that
+    * day (DAU) and over the trailing 7 days (WAU), plus the
+    * DAU/WAU stickiness ratio — the growth dashboard's headline.
+    *
+    * Scale shape: the raw stream first collapses to DISTINCT
+    * (day, user) pairs (one data-sized exchange); the trailing window
+    * then fans each pair out to the ≤7 target days it is active for
+    * (bounded fan-out — never a data-sized window state) and a second
+    * distinct-count per target day finishes. Stickiness is the half-up
+    * e6 ratio. Exact today; the 100 TB swap for ultra-wide windows is
+    * an HLL sketch per (day, bucket) merged across the window.
+    */
+  def rollingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val offsets = spark.range(0, 7).select(col("id").as("off"))
+    val wau = du.crossJoin(broadcast(offsets))
+      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .join(dau.select(col("day")), Seq("day")) // only observed days
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (((col("dau") * 2000000L + col("wau")) -
+          pmod(col("dau") * 2000000L + col("wau"), col("wau") * 2)) /
+          (col("wau") * 2) / lit(1000000.0)).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingDauOracle =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+      |wau AS (
+      |  SELECT t.day, COUNT(DISTINCT u.user_id) AS wau
+      |  FROM dau t JOIN du u
+      |    ON u.day BETWEEN t.day - 6 AND t.day
+      |  GROUP BY 1)
+      |SELECT d.day, d.dau, CAST(w.wau AS BIGINT) AS wau,
+      |       CAST((d.dau * 2000000 + w.wau) // (w.wau * 2) AS DOUBLE)
+      |         / 1000000.0 AS stickiness
+      |FROM dau d JOIN wau w USING (day)
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> (rfmSegments _),
@@ -763,7 +859,9 @@ object StatsOps {
     "q_ols_trend" -> (olsTrend _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
-    "q_sprt" -> (sprt _)
+    "q_sprt" -> (sprt _),
+    "q_winsorize" -> (winsorize _),
+    "q_rolling_dau" -> (rollingDau _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -780,6 +878,8 @@ object StatsOps {
     "q_ols_trend" -> olsTrendOracle,
     "q_mann_kendall" -> mannKendallOracle,
     "q_theil_sen" -> theilSenOracle,
-    "q_sprt" -> sprtOracle
+    "q_sprt" -> sprtOracle,
+    "q_winsorize" -> winsorizeOracle,
+    "q_rolling_dau" -> rollingDauOracle
   )
 }

@@ -213,6 +213,39 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean pulls toward the center and clips ~2%") {
+    val r = StatsOps.winsorize(spark, sfTiny).collect().head
+    val n = r.getAs[Long]("n")
+    val clipped = r.getAs[Long]("n_clip_lo") + r.getAs[Long]("n_clip_hi")
+    // p01/p99 edges clip about 2% of rows
+    assert(clipped >= n / 100 && clipped <= n * 4 / 100,
+      s"clipped $clipped of $n")
+    // clipping both tails of a finite sample can only move the mean by
+    // a bounded amount, and the winsorized mean stays inside the band
+    val raw = r.getAs[Double]("mean_raw")
+    val win = r.getAs[Double]("mean_winsor")
+    assert(math.abs(win - raw) < raw * 0.05, s"raw $raw winsor $win")
+  }
+
+  test("rolling DAU/WAU: WAU bounds DAU and matches driver recompute") {
+    val rows = StatsOps.rollingDau(spark, sfTiny).collect()
+      .sortBy(_.getAs[Long]("day"))
+    val du = Tables.events(spark, sfTiny)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val dau = du.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = du.filter(p => p._1 >= d - 6 && p._1 <= d)
+        .map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau && r.getAs[Long]("wau") == wau,
+        s"day $d")
+      assert(wau >= dau)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
   test("autocorrelation is bounded and pair counts shrink") {
     val rows = StatsOps.autocorr(spark, sfTiny)
       .collect().sortBy(_.getAs[Long]("lag"))
