@@ -840,9 +840,83 @@ object SimilarityOps {
        |            // (COUNT(*) * 2) AS DOUBLE) / 1000000.0 AS acc
        |FROM win GROUP BY true_label ORDER BY true_label""".stripMargin
 
+  // ------------------------------------------------- matryoshka recall
+  /** Matryoshka truncation eval: recall@5 of cosine search over the
+    * embedding's PREFIX at d ∈ {8, 16, 32} dims against the full 64-d
+    * ground truth — the measurement behind "can we store the short
+    * prefix and re-rank late?" (MRL-style truncation). Per (d, qid):
+    * hits among the exact top-5.
+    *
+    * One scored frame covers all three widths: the (candidate × query)
+    * pairs explode over the d panel and `slice(embedding, 1, d)` feeds
+    * the same VecDot kernel — map-side flops, then the per-(d, qid)
+    * top-5 rank exchange carries only narrow rows. Ground truth reuses
+    * [[annBruteforce]]'s panel.
+    */
+  def matryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteforce(spark, sfDir).select(col("qid"), col("cid"))
+      .withColumn("hit", lit(1L))
+    val e = withNorm(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("d", explode(expr("array(8, 16, 32)")))
+      .withColumn("cos", expr(
+        """vec_dot(slice(qv, 1, d), slice(cv, 1, d))
+          | / (sqrt(vec_dot(slice(qv, 1, d), slice(qv, 1, d)))
+          |    * sqrt(vec_dot(slice(cv, 1, d), slice(cv, 1, d))))""".stripMargin))
+      .select(col("d"), col("qid"), col("cid"), col("cos"))
+    val w = Window.partitionBy(col("d"), col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(truth, Seq("qid", "cid"), "left")
+      .groupBy(col("d"), col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("d"), col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / 5.0, 4).as("recall"))
+      .orderBy(col("d"), col("qid"))
+  }
+
+  private val matryoshkaOracle = {
+    def block(d: Int) =
+      s"""SELECT $d AS d, qid, cid, clabel FROM (
+         |  SELECT qid, vec_id AS cid, label AS clabel,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |           ${cosineSql("qv[1:" + d + "]", "embedding[1:" + d + "]")} DESC,
+         |           vec_id ASC) AS rank
+         |  FROM embeddings CROSS JOIN q WHERE qid <> vec_id)
+         |WHERE rank <= 5""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < 5),
+       |truth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, vec_id AS cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |             ${cosineSql("qv", "embedding")} DESC, vec_id ASC) AS rank
+       |    FROM embeddings CROSS JOIN q WHERE qid <> vec_id)
+       |  WHERE rank <= 5),
+       |tr AS (
+       |${block(8)}
+       |UNION ALL
+       |${block(16)}
+       |UNION ALL
+       |${block(32)})
+       |SELECT tr.d, tr.qid,
+       |       CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_hit,
+       |       ROUND(CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / 5.0, 4) AS recall
+       |FROM tr LEFT JOIN truth t ON t.qid = tr.qid AND t.cid = tr.cid
+       |GROUP BY tr.d, tr.qid ORDER BY tr.d, tr.qid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_random_projection" -> (randomProjection _),
     "q_knn_classify" -> (knnClassify _),
+    "q_matryoshka" -> (matryoshka _),
     "q_embed_norms" -> (embedNorms _),
     "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
@@ -857,6 +931,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q_random_projection" -> randomProjectionOracle,
     "q_knn_classify" -> knnClassifyOracle,
+    "q_matryoshka" -> matryoshkaOracle,
     "q_embed_norms" -> embedNormsOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,

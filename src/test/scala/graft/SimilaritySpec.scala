@@ -181,4 +181,23 @@ class SimilaritySpec extends SparkSpec {
         s"label $label avg $avg outside [$lo,$hi]")
     }
   }
+
+  test("matryoshka recall: full panel, lattice recall, monotone-on-average") {
+    val rows = SimilarityOps.matryoshka(spark, sfSmall).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(rows.length == 15, s"expected 3 widths x 5 queries, got ${rows.length}")
+    assert(rows.map(_._1).toSet ==
+      (for (d <- Seq(8, 16, 32); q <- 0L to 4L) yield (d, q)).toSet,
+      "panel is not the full {8,16,32} x {q0..q4} grid")
+    rows.foreach { case ((d, q), (nHit, rec)) =>
+      assert(nHit >= 0 && nHit <= 5, s"($d,$q) n_hit $nHit outside 0..5")
+      assert(math.abs(rec - nHit / 5.0) <= 1e-4, s"($d,$q) recall off lattice")
+    }
+    // truncation loses information: on the fixture the 32-dim prefix
+    // recovers strictly more of the exact top-5 than the 8-dim prefix
+    // (measured 0.32 vs 0.08 mean recall)
+    def mean(d: Int) = rows.filter(_._1._1 == d).map(_._2._1).sum / 5.0
+    info(f"mean recall@5: d8=${mean(8) / 5}%.2f d16=${mean(16) / 5}%.2f d32=${mean(32) / 5}%.2f")
+    assert(mean(32) > mean(8), "32-dim prefix should beat 8-dim on average")
+  }
 }
