@@ -844,6 +844,89 @@ object StatsOps {
       |FROM dau d JOIN wau w USING (day)
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- association rules
+  /** Market-basket association rules A→B over co-purchased parts:
+    * support, confidence and lift for both directions of every
+    * co-purchase pair, top 40 by lift. The classic Apriori output at
+    * the 2-itemset level — "customers who bought A also bought B".
+    *
+    * All three ratios live on the exact e6 integer lattice via long
+    * `div` (floor division — identical in both engines for the
+    * positive operands here), so the ranking and the hash are
+    * float-free. Bound: lift's numerator pair_n·N·1e6 must fit a long
+    * — safe to N≈3e6 sized orders at pair_n≈1e6; past that swap the
+    * product through DECIMAL(38) (the [[rocAuc]] precedent).
+    *
+    * Scale: the corpus-scale self-join lives in the shared
+    * session-materialized pair frame ([[GraphOps.coPurchasePairs]],
+    * fan-out bounded by the 2..20 order-size cap); item counts are one
+    * hash aggregate joined back on the pair keys; N is a sanctioned
+    * scalar hop (A6); the top-40 is a TakeOrdered, never a global
+    * sort.
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, 20))
+      .select(col("l_orderkey"))
+    val inSized = op.join(sized, Seq("l_orderkey"))
+    val nOrders = sized.count() // scalar hop: one long to the driver
+    val itemCnt = inSized.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = GraphOps.coPurchasePairs(spark, sfDir)
+      .groupBy(col("p1"), col("p2"))
+      .agg(sum(col("n")).as("pair_n"))
+    val directed = pairs
+      .unionByName(pairs.select(col("p2").as("p1"), col("p1").as("p2"),
+        col("pair_n")))
+      .withColumnRenamed("p1", "ante").withColumnRenamed("p2", "cons")
+    directed
+      .join(itemCnt.select(col("l_partkey").as("ante"),
+        col("cnt").as("a_cnt")), Seq("ante"))
+      .join(itemCnt.select(col("l_partkey").as("cons"),
+        col("cnt").as("c_cnt")), Seq("cons"))
+      .select(col("ante"), col("cons"), col("pair_n"),
+        col("a_cnt"), col("c_cnt"),
+        expr("pair_n * 1000000L div a_cnt").as("conf_e6"),
+        expr(s"pair_n * ${nOrders}L * 1000000L div (a_cnt * c_cnt)")
+          .as("lift_e6"),
+        expr(s"pair_n * 1000000L div ${nOrders}L").as("supp_e6"))
+      .orderBy(col("lift_e6").desc, col("ante"), col("cons"))
+      .limit(40)
+  }
+
+  private val assocRulesOracle =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (
+      |  SELECT l_orderkey FROM op GROUP BY 1
+      |  HAVING COUNT(*) BETWEEN 2 AND 20),
+      |n AS (SELECT COUNT(*) AS n_orders FROM sized),
+      |ic AS (
+      |  SELECT l_partkey, COUNT(*) AS cnt
+      |  FROM op JOIN sized USING (l_orderkey) GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |         CAST(COUNT(*) AS BIGINT) AS pair_n
+      |  FROM op a
+      |  JOIN op b ON a.l_orderkey = b.l_orderkey
+      |           AND a.l_partkey < b.l_partkey
+      |  JOIN sized s ON s.l_orderkey = a.l_orderkey
+      |  GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT p1 AS ante, p2 AS cons, pair_n FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS ante, p1 AS cons, pair_n FROM pairs)
+      |SELECT d.ante, d.cons, d.pair_n, a.cnt AS a_cnt, c.cnt AS c_cnt,
+      |       d.pair_n * 1000000 // a.cnt AS conf_e6,
+      |       d.pair_n * n_orders * 1000000 // (a.cnt * c.cnt) AS lift_e6,
+      |       d.pair_n * 1000000 // n_orders AS supp_e6
+      |FROM directed d
+      |JOIN ic a ON a.l_partkey = d.ante
+      |JOIN ic c ON c.l_partkey = d.cons
+      |CROSS JOIN n
+      |ORDER BY lift_e6 DESC, ante, cons LIMIT 40""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> (rfmSegments _),
@@ -861,7 +944,8 @@ object StatsOps {
     "q_theil_sen" -> (theilSen _),
     "q_sprt" -> (sprt _),
     "q_winsorize" -> (winsorize _),
-    "q_rolling_dau" -> (rollingDau _)
+    "q_rolling_dau" -> (rollingDau _),
+    "q_assoc_rules" -> (assocRules _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -880,6 +964,7 @@ object StatsOps {
     "q_theil_sen" -> theilSenOracle,
     "q_sprt" -> sprtOracle,
     "q_winsorize" -> winsorizeOracle,
-    "q_rolling_dau" -> rollingDauOracle
+    "q_rolling_dau" -> rollingDauOracle,
+    "q_assoc_rules" -> assocRulesOracle
   )
 }

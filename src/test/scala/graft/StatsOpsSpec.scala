@@ -257,4 +257,34 @@ class StatsOpsSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
   }
+
+  test("association rules: lattice identities, bounds, lift symmetry") {
+    val rows = StatsOps.assocRules(spark, sfTiny).collect().map { r =>
+      (r.getAs[Long]("ante"), r.getAs[Long]("cons"), r.getAs[Long]("pair_n"),
+        r.getAs[Long]("a_cnt"), r.getAs[Long]("c_cnt"),
+        r.getAs[Long]("conf_e6"), r.getAs[Long]("lift_e6"),
+        r.getAs[Long]("supp_e6"))
+    }
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { case (a, c, pn, ac, cc, conf, _, supp) =>
+      assert(a != c)
+      assert(pn >= 1 && pn <= math.min(ac, cc),
+        s"($a,$c) pair_n $pn outside 1..min($ac,$cc)")
+      // conf is the exact floor lattice of pair_n/a_cnt
+      assert(conf == pn * 1000000L / ac, s"($a,$c) conf off-lattice")
+      assert(conf <= 1000000L && supp <= conf,
+        s"($a,$c) support must not exceed confidence")
+    }
+    // lift is direction-symmetric: when both directions of a pair make
+    // the top-40, their lift_e6 agree exactly (same integer quotient)
+    val byPair = rows.groupBy { case (a, c, _, _, _, _, _, _) =>
+      (math.min(a, c), math.max(a, c)) }
+    byPair.values.filter(_.length == 2).foreach { dirs =>
+      assert(dirs.map(_._7).distinct.length == 1,
+        s"asymmetric lift for ${dirs.head._1}->${dirs.head._2}")
+    }
+    // the ranking is by lift desc with (ante, cons) tiebreak
+    val key = rows.map { case (a, c, _, _, _, _, l, _) => (-l, a, c) }
+    assert(key.sameElements(key.sorted), "top-40 not ordered by lift")
+  }
 }
