@@ -1298,7 +1298,61 @@ object AnalyticsOps {
       |             CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       |FROM s""".stripMargin
 
+  // ------------------------------------------------- gaps and islands
+  /** Activity-streak detection (the classic gaps-and-islands rewrite):
+    * each user's distinct active days split into maximal runs of
+    * CONSECUTIVE days via the `day - row_number()` grouping constant —
+    * consecutive days share it, any gap shifts it. Reported as the
+    * corpus distribution of per-user longest streaks (streak length →
+    * user count, total islands) — the retention team's "how many users
+    * have a 7-day streak" table, computed without a single self-join.
+    *
+    * Scale: both windows partition by user_id (the natural key; no
+    * global sort), the double aggregation is two hash exchanges on
+    * shrinking keys, and the final distribution is dozens of rows. A
+    * power user with years of days still costs only their own
+    * partition's sort.
+    */
+  def streaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_islands"))
+      .groupBy(col("longest_streak"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_islands")).as("total_islands"))
+      .orderBy(col("longest_streak"))
+  }
+
+  private val streaksOracle =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, grp, COUNT(*) AS len
+      |  FROM (SELECT user_id, day,
+      |               day - ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                        ORDER BY day) AS grp
+      |        FROM days)
+      |  GROUP BY user_id, grp),
+      |per_user AS (
+      |  SELECT user_id, MAX(len) AS longest_streak,
+      |         COUNT(*) AS n_islands
+      |  FROM islands GROUP BY user_id)
+      |SELECT longest_streak, COUNT(*) AS n_users,
+      |       CAST(SUM(n_islands) AS BIGINT) AS total_islands
+      |FROM per_user GROUP BY longest_streak
+      |ORDER BY longest_streak""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> (streaks _),
     "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
     "q_pareto_users" -> (paretoUsers _),
@@ -1330,6 +1384,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_streaks" -> streaksOracle,
     "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
     "q_pareto_users" -> paretoUsersOracle,

@@ -499,6 +499,74 @@ object DedupOps {
        |FROM (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node)
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ----------------------------------------------- golden record merge
+  /** MDM-style survivorship merge: each near-dup cluster (the
+    * [[dedupClusters]] components) collapses to ONE golden record. The
+    * canonical text comes from the longest member (tiebreak: lowest
+    * doc_id — "prefer the richest, then the earliest" survivorship
+    * rule), provenance fields aggregate across the whole cluster
+    * (member count, earliest doc, distinct langs/sources, total
+    * chars). This is the consolidation step a real dedup pipeline runs
+    * AFTER clustering — detection says "these are the same document",
+    * survivorship decides what the merged row looks like.
+    *
+    * Scale: the canonical pick is `max(struct(n_chars, -doc_id))` — a
+    * partial-aggregable hash aggregate (two longs per group buffer),
+    * NOT a per-cluster sort window, so a pathological million-member
+    * boilerplate cluster costs its reducer two comparisons per row.
+    * Everything else is counts/sums/min on the same single exchange.
+    */
+  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = connectedComponents(goldPairs(spark, sfDir))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    labels.join(docs, col("node") === col("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("canon"),
+        min(col("doc_id")).as("first_doc"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster"), col("n_members"),
+        (-col("canon.neg_id")).as("canon_doc"),
+        col("canon.n_chars").as("canon_chars"),
+        col("first_doc"), col("n_langs"), col("n_sources"),
+        col("total_chars"))
+      .orderBy(col("cluster"))
+  }
+
+  private lazy val goldenRecordOracle =
+    s"""WITH RECURSIVE edges AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |nodes AS (SELECT d1 AS n FROM edges UNION SELECT d2 FROM edges),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+       |reach AS (
+       |  SELECT n AS node, n AS root FROM nodes
+       |  UNION
+       |  SELECT s.b AS node, r.root FROM reach r JOIN sym s ON s.a = r.node
+       |),
+       |members AS (
+       |  SELECT c.cluster, d.doc_id, d.lang, d.source, d.n_chars
+       |  FROM (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node) c
+       |  JOIN documents d ON d.doc_id = c.node),
+       |canon AS (
+       |  SELECT cluster, doc_id AS canon_doc, n_chars AS canon_chars
+       |  FROM (SELECT cluster, doc_id, n_chars,
+       |               ROW_NUMBER() OVER (PARTITION BY cluster
+       |                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |        FROM members) WHERE rn = 1)
+       |SELECT m.cluster, COUNT(*) AS n_members,
+       |       ANY_VALUE(c.canon_doc) AS canon_doc,
+       |       ANY_VALUE(c.canon_chars) AS canon_chars,
+       |       MIN(m.doc_id) AS first_doc,
+       |       CAST(COUNT(DISTINCT m.lang) AS BIGINT) AS n_langs,
+       |       CAST(COUNT(DISTINCT m.source) AS BIGINT) AS n_sources,
+       |       CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+       |FROM members m JOIN canon c USING (cluster)
+       |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin
+
   // ------------------------------------------------------------------
   /** C4-style SPAN-level exact dedup: documents split into consecutive
     * non-overlapping [[SpanLen]]-token blocks; a block survives only at
@@ -1026,6 +1094,7 @@ object DedupOps {
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_span_dedup" -> (spanDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_golden_record" -> (goldenRecord _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1042,6 +1111,7 @@ object DedupOps {
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_span_dedup" -> spanDedupOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_golden_record" -> goldenRecordOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

@@ -844,6 +844,73 @@ object StatsOps {
       |FROM dau d JOIN wau w USING (day)
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- calibration / Brier
+  /** Calibration-curve + Brier-score eval of a histogram classifier:
+    * even doc_ids train a per-bin positive-rate predictor (10
+    * fixed-width bins over n_chars, p̂ = train positives/train count),
+    * odd doc_ids evaluate it — per bin, the observed positive rate and
+    * the bin's summed squared error. The reliability table every
+    * probability-emitting classifier is graded on (p̂ vs observed), with
+    * the Brier score = Σ se_e6 / (n_test·1e6) one division away.
+    *
+    * Lattice: p̂ and observed rates are e6 floor quotients; each test
+    * doc's squared error (p̂_e6 − y·1e6)² is floored back to e6 before
+    * summing, so the sum stays exact in a long to ~9e12 test docs per
+    * bin (past that: DECIMAL(38), the [[rocAuc]] precedent). No float
+    * enters either engine.
+    *
+    * Scale: two hash aggregates on a 10-value key plus one broadcast
+    * join of the 10-row model to the test stream; the corpus max is a
+    * sanctioned scalar hop (A6).
+    */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val maxChars = docs.agg(max(col("n_chars"))).head().getLong(0)
+    val binned = docs.withColumn("bin",
+      least(lit(9L), expr(s"n_chars * 10L div ${maxChars + 1}L")))
+    val model = binned.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("pos_train"))
+      .withColumn("p_hat_e6", expr("pos_train * 1000000L div n_train"))
+    binned.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(model), Seq("bin"))
+      .withColumn("se_e6",
+        expr("(p_hat_e6 - y * 1000000L) * (p_hat_e6 - y * 1000000L) div 1000000L"))
+      .groupBy(col("bin"))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("p_hat_e6")).as("p_hat_e6"),
+        count(lit(1)).as("n_test"),
+        sum(col("y")).as("pos_test"),
+        sum(col("se_e6")).as("se_e6_sum"))
+      .withColumn("obs_e6", expr("pos_test * 1000000L div n_test"))
+      .orderBy(col("bin"))
+  }
+
+  private def calibrationOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         LEAST(9, n_chars * 10 //
+      |           (1 + (SELECT MAX(n_chars) FROM documents))) AS bin
+      |  FROM documents),
+      |model AS (
+      |  SELECT bin, COUNT(*) AS n_train,
+      |         CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS p_hat_e6
+      |  FROM d WHERE doc_id % 2 = 0 GROUP BY bin)
+      |SELECT t.bin, m.n_train, m.p_hat_e6,
+      |       COUNT(*) AS n_test,
+      |       CAST(SUM(t.y) AS BIGINT) AS pos_test,
+      |       CAST(SUM((m.p_hat_e6 - t.y * 1000000)
+      |                * (m.p_hat_e6 - t.y * 1000000) // 1000000)
+      |            AS BIGINT) AS se_e6_sum,
+      |       CAST(SUM(t.y) AS BIGINT) * 1000000 // COUNT(*) AS obs_e6
+      |FROM d t JOIN model m USING (bin)
+      |WHERE t.doc_id % 2 = 1
+      |GROUP BY t.bin, m.n_train, m.p_hat_e6
+      |ORDER BY t.bin""".stripMargin
+
   // ------------------------------------------------- association rules
   /** Market-basket association rules A→B over co-purchased parts:
     * support, confidence and lift for both directions of every
@@ -945,7 +1012,8 @@ object StatsOps {
     "q_sprt" -> (sprt _),
     "q_winsorize" -> (winsorize _),
     "q_rolling_dau" -> (rollingDau _),
-    "q_assoc_rules" -> (assocRules _)
+    "q_assoc_rules" -> (assocRules _),
+    "q_calibration" -> (calibration _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -965,6 +1033,7 @@ object StatsOps {
     "q_sprt" -> sprtOracle,
     "q_winsorize" -> winsorizeOracle,
     "q_rolling_dau" -> rollingDauOracle,
-    "q_assoc_rules" -> assocRulesOracle
+    "q_assoc_rules" -> assocRulesOracle,
+    "q_calibration" -> calibrationOracle
   )
 }

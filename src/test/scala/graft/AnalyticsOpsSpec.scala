@@ -424,4 +424,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"user $u EWMA outside range")
     }
   }
+
+  test("streak distribution == driver-side run-length recompute") {
+    val days = Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = days.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // run-length encode consecutive days
+      val lens = sorted.foldLeft(List.empty[(Long, Int)]) {
+        case (Nil, d) => List((d, 1))
+        case ((last, n) :: rest, d) =>
+          if (d == last + 1) (d, n + 1) :: rest else (d, 1) :: (last, n) :: rest
+      }.map(_._2)
+      (lens.max.toLong, lens.length.toLong)
+    }.toSeq
+    val expect = truth.groupBy(_._1).map { case (streak, us) =>
+      streak -> ((us.length.toLong, us.map(_._2).sum))
+    }
+    val got = AnalyticsOps.streaks(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, "streak distribution differs from driver recompute")
+  }
 }

@@ -275,4 +275,32 @@ class DedupSpec extends SparkSpec {
       assert(n > 0)
     }
   }
+
+  test("golden record: consistent with the cluster table, survivorship bounds") {
+    val clusters = DedupOps.dedupClusters(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val golden = DedupOps.goldenRecord(spark, sfSmall).collect()
+    assert(golden.map(_.getLong(0)).toSet == clusters.keySet,
+      "golden-record clusters differ from the cluster table")
+    val chars = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    golden.foreach { r =>
+      val (cluster, members) = (r.getLong(0), r.getLong(1))
+      val (nMembers, maxMember) = clusters(cluster)
+      assert(members == nMembers, s"cluster $cluster member count")
+      val (canonDoc, canonChars) = (r.getLong(2), r.getLong(3))
+      val firstDoc = r.getLong(4)
+      assert(firstDoc <= canonDoc && canonDoc <= maxMember,
+        s"cluster $cluster canon_doc $canonDoc outside member id range")
+      assert(canonChars == chars(canonDoc), s"cluster $cluster canon_chars")
+      assert(r.getLong(5) <= members && r.getLong(6) <= members,
+        s"cluster $cluster distinct langs/sources exceed membership")
+      // the canonical member is the longest: total over n members can't
+      // beat n * canon_chars, and must at least include canon itself
+      val total = r.getLong(7)
+      assert(total >= canonChars && total <= members * canonChars,
+        s"cluster $cluster total_chars $total inconsistent with canon")
+    }
+  }
 }

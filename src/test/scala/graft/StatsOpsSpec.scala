@@ -287,4 +287,23 @@ class StatsOpsSpec extends SparkSpec {
     val key = rows.map { case (a, c, _, _, _, _, l, _) => (-l, a, c) }
     assert(key.sameElements(key.sorted), "top-40 not ordered by lift")
   }
+
+  test("calibration: lattice identities and per-bin squared-error closure") {
+    val rows = StatsOps.calibration(spark, sfTiny).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (bin, nTrain, pHat) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nTest, posTest, seSum, obs) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(bin >= 0 && bin <= 9 && nTrain > 0 && nTest > 0)
+      assert(pHat >= 0 && pHat <= 1000000L && obs >= 0 && obs <= 1000000L)
+      assert(obs == posTest * 1000000L / nTest, s"bin $bin obs off-lattice")
+      // the bin's error mass decomposes exactly: positives contribute
+      // floor((1e6-p̂)²/1e6) each, negatives floor(p̂²/1e6) each
+      val sePos = (1000000L - pHat) * (1000000L - pHat) / 1000000L
+      val seNeg = pHat * pHat / 1000000L
+      assert(seSum == posTest * sePos + (nTest - posTest) * seNeg,
+        s"bin $bin squared-error mass does not close")
+    }
+  }
 }
