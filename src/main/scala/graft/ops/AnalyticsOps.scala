@@ -1298,6 +1298,79 @@ object AnalyticsOps {
       |             CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       |FROM s""".stripMargin
 
+  // -------------------------------------------------- peak concurrency
+  /** Peak concurrent sessions per day — the capacity-planning sweep.
+    * Each event opens a half-open interval [ts, ts + ⌊value⌋ minutes);
+    * concurrency is the classic ±1 point sweep with a running sum, and
+    * the peak is read per calendar day.
+    *
+    * The sweep is day-partitioned, NOT a global sort: each day's points
+    * (starts +1, ends −1 — ends land on the day they OCCUR, which may
+    * be the day after their start) are swept locally, and cross-
+    * midnight intervals enter the next day as a carry-in count (an
+    * interval spans at most one midnight — durations are < 24h by
+    * construction). Peak_D = carry_D + max(0, running-sum max): the
+    * pre-first-point instant (concurrency = carry alone) is a real
+    * instant and can be the peak. Ties inside the window order (same
+    * millisecond, same delta) permute only equal deltas, so the prefix
+    * maximum is order-independent — the result is deterministic at any
+    * partition count.
+    */
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts)").as("s_ms"),
+        expr("unix_millis(ts) + cast(floor(value) as bigint) * 60000")
+          .as("e_ms"))
+    val points = iv.select(col("s_ms").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("e_ms").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", expr("t div 86400000"))
+    val wSweep = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localPeak = points
+      .withColumn("run", sum(col("delta")).over(wSweep))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_points"), max(col("run")).as("max_run"))
+    val carry = iv
+      .filter(col("e_ms") > (expr("s_ms div 86400000") + 1) * 86400000L)
+      .groupBy((expr("s_ms div 86400000") + 1).as("day"))
+      .agg(count(lit(1)).as("carry_in"))
+    localPeak.join(carry, Seq("day"), "left")
+      .select(col("day"), coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+        col("n_points"),
+        (coalesce(col("carry_in"), lit(0L)) +
+          greatest(lit(0L), col("max_run"))).as("peak"))
+      .orderBy(col("day"))
+  }
+
+  private val peakConcurrencyOracle =
+    """WITH iv AS (
+      |  SELECT epoch_ms(ts) AS s_ms,
+      |         epoch_ms(ts) + CAST(FLOOR(value) AS BIGINT) * 60000 AS e_ms
+      |  FROM events),
+      |points AS (
+      |  SELECT s_ms AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT e_ms AS t, -1 AS delta FROM iv),
+      |sweep AS (
+      |  SELECT t // 86400000 AS day,
+      |         SUM(delta) OVER (PARTITION BY t // 86400000
+      |                          ORDER BY t, delta
+      |                          ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM points),
+      |local_peak AS (
+      |  SELECT day, COUNT(*) AS n_points,
+      |         CAST(MAX(run) AS BIGINT) AS max_run
+      |  FROM sweep GROUP BY day),
+      |carry AS (
+      |  SELECT s_ms // 86400000 + 1 AS day, COUNT(*) AS carry_in
+      |  FROM iv WHERE e_ms > (s_ms // 86400000 + 1) * 86400000
+      |  GROUP BY 1)
+      |SELECT l.day, COALESCE(c.carry_in, 0) AS carry_in, l.n_points,
+      |       COALESCE(c.carry_in, 0) + GREATEST(0, l.max_run) AS peak
+      |FROM local_peak l LEFT JOIN carry c USING (day)
+      |ORDER BY l.day""".stripMargin
+
   // ------------------------------------------------- gaps and islands
   /** Activity-streak detection (the classic gaps-and-islands rewrite):
     * each user's distinct active days split into maximal runs of
@@ -1353,6 +1426,7 @@ object AnalyticsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks" -> (streaks _),
+    "q_peak_concurrency" -> (peakConcurrency _),
     "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
     "q_pareto_users" -> (paretoUsers _),
@@ -1385,6 +1459,7 @@ object AnalyticsOps {
 
   def oracles: Map[String, String] = Map(
     "q_streaks" -> streaksOracle,
+    "q_peak_concurrency" -> peakConcurrencyOracle,
     "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
     "q_pareto_users" -> paretoUsersOracle,

@@ -290,7 +290,77 @@ object GraphOps {
       |FROM (SELECT part, MIN(d) AS d FROM bfs GROUP BY part)
       |GROUP BY dist ORDER BY dist""".stripMargin
 
+  // ------------------------------------------- weighted shortest path
+  /** Weighted single-source-set shortest path (≤ [[SpHops]] hops) over
+    * the co-purchase graph, edge weight = the SMALLEST order the pair
+    * co-occurred in (tight co-purchases are cheap to traverse). The
+    * frame is capped to parts ≤ [[SpCap]] so the oracle's path
+    * enumeration stays tractable; the Spark side is cap-independent.
+    *
+    * Spark side is Bellman-Ford: [[SpHops]] relaxation rounds, each a
+    * join of the current distance frame to the edge list and a
+    * partial-aggregated min-merge — the same per-round localCheckpoint
+    * discipline as [[bfsHops]], shuffling on the SAME src key every
+    * round (bucket once at 100 TB). The oracle is a DuckDB RECURSIVE
+    * CTE enumerating every ≤3-hop walk with UNION dedup on
+    * (node, cost, hop) — semi-naive path enumeration vs synchronized
+    * relaxation, a genuinely different evaluation strategy; the state
+    * space is bounded by the cost lattice (≤ cap·60·hops rows), not
+    * the walk count.
+    */
+  private val SpCap = 400L
+  private val SpHops = 3
+
+  def shortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = coPurchasePairs(spark, sfDir)
+      .filter(col("p1") <= SpCap && col("p2") <= SpCap)
+      .groupBy(col("p1"), col("p2")).agg(min(col("sz")).as("w"))
+    val edges = w.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionByName(w.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+      .cache()
+    var dist = Tables.part(spark, sfDir).filter(col("p_partkey") <= 3)
+      .select(col("p_partkey").as("part"), lit(0L).as("cost"))
+      .localCheckpoint(eager = true)
+    (1 to SpHops).foreach { _ =>
+      val relaxed = dist.join(edges, col("part") === col("src"))
+        .select(col("dst").as("part"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("part")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(eager = true)
+    }
+    val out = dist.orderBy(col("part")).localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val shortestPathOracle =
+    s"""WITH RECURSIVE
+       |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (
+       |  SELECT l_orderkey, COUNT(*) AS sz FROM op GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |pw AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, MIN(s.sz) AS w
+       |  FROM op a
+       |  JOIN op b ON a.l_orderkey = b.l_orderkey
+       |           AND a.l_partkey < b.l_partkey
+       |  JOIN sized s ON s.l_orderkey = a.l_orderkey
+       |  WHERE a.l_partkey <= $SpCap AND b.l_partkey <= $SpCap
+       |  GROUP BY 1, 2),
+       |e AS (SELECT p1 AS src, p2 AS dst, w FROM pw
+       |      UNION ALL SELECT p2, p1, w FROM pw),
+       |walk AS (
+       |  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS cost, 0 AS h
+       |  FROM part WHERE p_partkey <= 3
+       |  UNION
+       |  SELECT e.dst, walk.cost + e.w, walk.h + 1
+       |  FROM walk JOIN e ON e.src = walk.node
+       |  WHERE walk.h < $SpHops)
+       |SELECT node AS part, MIN(cost) AS cost
+       |FROM walk GROUP BY node ORDER BY part""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shortest_path" -> (shortestPath _),
     "q_bfs_hops" -> (bfsHops _),
     "q_pagerank" -> (pagerank _),
     "q_triangle_count" -> (triangleCount _),
@@ -298,6 +368,7 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_shortest_path" -> shortestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_triangle_count" -> triangleCountOracle,

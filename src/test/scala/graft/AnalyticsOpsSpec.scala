@@ -446,4 +446,36 @@ class AnalyticsOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expect, "streak distribution differs from driver recompute")
   }
+
+  test("peak concurrency == driver-side GLOBAL sweep (carry logic is exact)") {
+    val iv = Tables.events(spark, sfTiny)
+      .select(expr("unix_millis(ts)").as("s"),
+        expr("unix_millis(ts) + cast(floor(value) as bigint) * 60000").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the truth is a single global sweep — no day partitioning, no
+    // carry: per-day peaks read off the one true concurrency function
+    val points = (iv.map(p => (p._1, 1L)) ++ iv.map(p => (p._2, -1L)))
+      .sortBy(identity)
+    var run = 0L
+    val trace = points.map { case (t, d) => run += d; (t, run) }
+    val dayPeaks = scala.collection.mutable.Map.empty[Long, Long]
+    trace.zipWithIndex.foreach { case ((t, r), i) =>
+      val day = Math.floorDiv(t, 86400000L)
+      // concurrency at the day's first instant (before its first point)
+      val atMidnight = if (i == 0) 0L else trace(i - 1)._2
+      if (i == 0 || Math.floorDiv(trace(i - 1)._1, 86400000L) != day)
+        dayPeaks(day) = math.max(dayPeaks.getOrElse(day, Long.MinValue), atMidnight)
+      dayPeaks(day) = math.max(dayPeaks(day), r)
+    }
+    val got = AnalyticsOps.peakConcurrency(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == dayPeaks.keySet, "day panel differs")
+    got.foreach { case (day, (carry, nPoints, peak)) =>
+      assert(peak == dayPeaks(day), s"day $day peak $peak != ${dayPeaks(day)}")
+      assert(carry >= 0 && peak >= carry.min(peak)) // carry never negative
+      assert(nPoints > 0)
+    }
+    assert(got.values.map(_._2).sum == 2L * iv.length, "point mass conserved")
+  }
 }

@@ -113,4 +113,38 @@ class GraphOpsSpec extends SparkSpec {
       assert(c >= 0.0 && c <= 1.0 + 1e-9, s"node $n coeff out of range")
     }
   }
+
+  test("shortest path == driver-side Bellman-Ford on the collected subgraph") {
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, 20))
+      .select(col("l_orderkey").as("ok"), col("sz"))
+    val pairs = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .join(sized, col("a.l_orderkey") === col("ok"))
+      .filter(col("a.l_partkey") <= 400 && col("b.l_partkey") <= 400)
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(min(col("sz")).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (pairs.map(p => (p._1, p._2, p._3)) ++
+      pairs.map(p => (p._2, p._1, p._3))).groupBy(_._1)
+    var dist = Tables.part(spark, sfTiny).filter(col("p_partkey") <= 3)
+      .select(col("p_partkey")).collect().map(_.getLong(0) -> 0L).toMap
+    (1 to 3).foreach { _ =>
+      val relaxed = dist.toSeq.flatMap { case (u, c) =>
+        adj.getOrElse(u, Array.empty).map(e => e._2 -> (c + e._3)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, cs) => n -> cs.map(_._2).min }
+    }
+    val got = GraphOps.shortestPath(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist, "distances differ from driver Bellman-Ford")
+    assert(got(1L) == 0L && got(2L) == 0L && got(3L) == 0L)
+    // non-seed distances are sums of 1..3 order-size weights (2..20 each)
+    got.filterNot(p => dist.contains(p._1) && dist(p._1) == 0L && p._2 == 0L)
+      .filter(_._2 > 0L)
+      .foreach { case (n, c) => assert(c >= 2L && c <= 60L, s"node $n cost $c") }
+  }
 }
