@@ -883,7 +883,56 @@ object CurationOps {
       |FROM documents d JOIN c ON d.source = c.source AND d.n_chars = c.score
       |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin
 
+  // ----------------------------------------------------- hashing trick
+  /** Hashing-trick featurization (Weinberger et al.'s feature hashing —
+    * the vectorizer behind Vowpal-Wabbit-style linear models at corpus
+    * scale): every token maps to one of [[FhDim]] buckets by hash, with
+    * a ±1 sign drawn from an independent hash bit so collisions cancel
+    * in expectation. Reported as the corpus-level feature-matrix
+    * profile per bucket: total hits, signed mass (what a linear model's
+    * gram column sees), document frequency — the numbers that tell you
+    * whether [[FhDim]] is too small for the vocabulary.
+    *
+    * Scale: one token explode → one hash aggregate on a [[FhDim]]-value
+    * key; the signed sum is map-side partial-aggregated and the
+    * per-bucket doc frequency reduces (bucket, doc) pairs before the
+    * distinct count. No vocabulary is materialized — that is the whole
+    * point of the hashing trick.
+    */
+  private val FhDim = 64L
+
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val hits = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), (col("h") % FhDim).as("bucket"),
+        when(expr(s"(h div ${FhDim}L) % 2") === 0L, 1L).otherwise(-1L)
+          .as("sign"))
+    hits.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("sign")).as("signed_mass"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("bucket"))
+  }
+
+  private val featureHashOracle =
+    s"""WITH hits AS (
+       |  SELECT doc_id,
+       |         h % $FhDim AS bucket,
+       |         CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |          FROM documents)))
+       |SELECT bucket, COUNT(*) AS n_hits,
+       |       CAST(SUM(sign) AS BIGINT) AS signed_mass,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM hits GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (featureHash _),
     "q_quantile_norm" -> (quantileNorm _),
     "q_lift_table" -> (liftTable _),
     "q_bootstrap_ci" -> (bootstrapCi _),
@@ -901,6 +950,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_feature_hash" -> featureHashOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_lift_table" -> liftTableOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,

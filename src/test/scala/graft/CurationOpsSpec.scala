@@ -327,4 +327,31 @@ class CurationOpsSpec extends SparkSpec {
     rows.filter { case (s, sc, _) => perSrc(s) == sc }
       .foreach { case (_, _, c) => assert(c == 1000000L) }
   }
+
+  test("feature hashing: token mass conserved, driver-side hash recompute") {
+    val rows = CurationOps.featureHash(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val hits = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map { t => val hv = h(t)
+        (hv % 64L, if ((hv / 64L) % 2L == 0L) 1L else -1L, id) }
+    }
+    val truth = hits.groupBy(_._1).map { case (b, hs) =>
+      b -> ((hs.length.toLong, hs.map(_._2).sum, hs.map(_._3).distinct.length.toLong))
+    }
+    assert(rows == truth, "bucket profile differs from driver hash recompute")
+    assert(rows.values.map(_._1).sum == hits.length.toLong, "token mass lost")
+    rows.foreach { case (b, (n, mass, df)) =>
+      assert(b >= 0 && b < 64 && df <= docs.length && math.abs(mass) <= n)
+    }
+  }
 }
