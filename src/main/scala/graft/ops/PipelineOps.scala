@@ -858,7 +858,89 @@ object PipelineOps {
        |FROM documents d JOIN audit a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ token bucket
+  /** Token-bucket rate-limiter audit: per user, replay events in time
+    * order against a bucket of capacity [[TbCap]] — a `purchase`
+    * refills by ⌊value⌋ (clamped at capacity), every other event spends
+    * one token, and a spend at an empty bucket is REJECTED. Reports the
+    * terminal state and rejection count per user — the throttling
+    * audit an API platform runs.
+    *
+    * The clamped fold is NON-ASSOCIATIVE (max/min clamp between every
+    * step), so no window frame or aggregate can express it — this is
+    * the typed-Dataset altitude ([[windowFunnel]] doctrine): one
+    * shuffle on user_id, an explicit in-group sort by (ms, event_id)
+    * (group iteration order is undefined — ORDER MUST BE FORCED), and
+    * O(events-per-user) memory. The oracle replays the identical fold
+    * as a DuckDB RECURSIVE CTE stepping all users in lockstep — a
+    * completely different evaluation strategy with the same semantics.
+    */
+  private val TbCap = 100L
+
+  private[graft] final case class TbEvent(
+      user_id: Long, ms: Long, event_id: Long, delta: Long)
+
+  def tokenBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        when(col("event_type") === "purchase",
+          expr("cast(floor(value) as bigint)")).otherwise(lit(-1L)).as("delta"))
+      .as[TbEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        var bal = 0L; var peak = 0L
+        var rej = 0L; var refills = 0L; var spends = 0L
+        evs.toArray.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+          if (e.delta >= 0) { refills += 1; bal = math.min(TbCap, bal + e.delta) }
+          else { spends += 1; if (bal == 0) rej += 1 else bal -= 1 }
+          peak = math.max(peak, bal)
+        }
+        (uid, bal, peak, rej, refills, spends)
+      }
+      .toDF("user_id", "final_balance", "peak_balance", "n_rejected",
+        "n_refills", "n_spends")
+      .orderBy(col("user_id"))
+  }
+
+  private val tokenBucketOracle =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_ms(ts), event_id) AS i,
+       |         CASE WHEN event_type = 'purchase'
+       |              THEN CAST(FLOOR(value) AS BIGINT) ELSE -1 END AS delta
+       |  FROM events),
+       |n AS (SELECT user_id, MAX(i) AS mx FROM ev GROUP BY 1),
+       |walk AS (
+       |  SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS bal,
+       |         CAST(0 AS BIGINT) AS peak, CAST(0 AS BIGINT) AS rej
+       |  FROM n
+       |  UNION ALL
+       |  SELECT w.user_id, w.i + 1,
+       |         CASE WHEN e.delta >= 0 THEN LEAST($TbCap, w.bal + e.delta)
+       |              WHEN w.bal = 0 THEN 0 ELSE w.bal - 1 END,
+       |         GREATEST(w.peak,
+       |           CASE WHEN e.delta >= 0 THEN LEAST($TbCap, w.bal + e.delta)
+       |                WHEN w.bal = 0 THEN 0 ELSE w.bal - 1 END),
+       |         w.rej + CASE WHEN e.delta < 0 AND w.bal = 0 THEN 1 ELSE 0 END
+       |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1),
+       |cnt AS (
+       |  SELECT user_id,
+       |         CAST(SUM(CASE WHEN delta >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_refills,
+       |         CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_spends
+       |  FROM ev GROUP BY 1)
+       |SELECT w.user_id, w.bal AS final_balance, w.peak AS peak_balance,
+       |       w.rej AS n_rejected, c.n_refills, c.n_spends
+       |FROM walk w
+       |JOIN n ON n.user_id = w.user_id AND w.i = n.mx
+       |JOIN cnt c ON c.user_id = w.user_id
+       |ORDER BY w.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_bucket" -> (tokenBucket _),
     "q_nested_export" -> (nestedExport _),
     "q_cogroup" -> (cogroupRecon _),
     "q_funnel_mapgroups" -> (funnelMapGroups _),
@@ -878,6 +960,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_token_bucket" -> tokenBucketOracle,
     "q_nested_export" -> nestedExportOracle,
     "q_cogroup" -> cogroupReconOracle,
     "q_funnel_mapgroups" -> funnelOracle,

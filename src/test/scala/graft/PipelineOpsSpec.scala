@@ -149,4 +149,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pruned.count() < total,
       "bloom filter pruned nothing — probe side unchanged")
   }
+
+  test("token bucket == driver-side sequential replay per user") {
+    val evs = Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"), col("event_id"),
+        col("event_type"), expr("cast(floor(value) as bigint)").as("amt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val truth = evs.groupBy(_._1).map { case (u, es) =>
+      var bal = 0L; var peak = 0L; var rej = 0L
+      var refills = 0L; var spends = 0L
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (e._4 == "purchase") { refills += 1; bal = math.min(100L, bal + e._5) }
+        else { spends += 1; if (bal == 0L) rej += 1 else bal -= 1 }
+        peak = math.max(peak, bal)
+      }
+      u -> ((bal, peak, rej, refills, spends))
+    }
+    val got = PipelineOps.tokenBucket(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == truth, "token-bucket replay differs from driver fold")
+    got.values.foreach { case (bal, peak, rej, refills, spends) =>
+      assert(bal >= 0 && bal <= 100 && peak >= bal && rej <= spends,
+        "invariant violated")
+      assert(refills + spends > 0)
+    }
+  }
 }
