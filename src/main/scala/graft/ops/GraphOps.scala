@@ -211,20 +211,32 @@ object GraphOps {
     * distinct pairs, and the corpus-scale self-join behind both runs
     * once instead of once per consumer.
     */
-  private[ops] def coPurchasePairs(spark: SparkSession, sfDir: String): DataFrame =
+  /** The (sized order, part) membership frame behind [[coPurchasePairs]]
+    * — materialized once per session+SF so consumers needing per-part
+    * or per-order counts ([[StatsOps.assocRules]]'s item supports and
+    * basket total) never re-pay the corpus-wide distinct shuffle. */
+  private[ops] def coPurchaseItems(spark: SparkSession, sfDir: String): DataFrame =
     graft.etl.Medallion.materializeOnce(spark,
-        s"${graft.etl.Medallion.warehouse(sfDir)}/copurchase_pairs") {
+        s"${graft.etl.Medallion.warehouse(sfDir)}/copurchase_items") {
       val op = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
         .filter(col("sz").between(2, 20))
-      op.as("a")
-        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_orderkey").as("l_orderkey"),
-          col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .join(sized, Seq("l_orderkey"))
-        .groupBy(col("p1"), col("p2"), col("sz"))
+      op.join(sized, Seq("l_orderkey"))
+    }
+
+  private[ops] def coPurchasePairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/copurchase_pairs") {
+      // builds FROM the materialized membership frame: the corpus-wide
+      // distinct + size filter is paid once across both tables
+      val items = coPurchaseItems(spark, sfDir)
+      items.as("a")
+        .join(items.select(col("l_orderkey"), col("l_partkey")).as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"),
+          col("a.sz").as("sz"))
         .agg(count(lit(1)).as("n"))
     }
 

@@ -932,14 +932,11 @@ object StatsOps {
     * sort.
     */
   def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, 20))
-      .select(col("l_orderkey"))
-    val inSized = op.join(sized, Seq("l_orderkey"))
-    val nOrders = sized.count() // scalar hop: one long to the driver
-    val itemCnt = inSized.groupBy(col("l_partkey"))
+    // the corpus-wide distinct shuffle lives in the session-materialized
+    // membership frame shared with the pair frame's own build
+    val items = GraphOps.coPurchaseItems(spark, sfDir)
+    val nOrders = items.select(col("l_orderkey")).distinct().count()
+    val itemCnt = items.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("cnt"))
     val pairs = GraphOps.coPurchasePairs(spark, sfDir)
       .groupBy(col("p1"), col("p2"))
