@@ -335,6 +335,108 @@ object AggOps {
       |       TRUE AS approx_within_5pct
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------- HLL from scratch
+  /** HyperLogLog built from first principles — registers, merge,
+    * estimate, error — fully DETERMINISTIC and oracle-matched, unlike
+    * the engine-private sketch behind [[approxDistinct]]. Per
+    * l_returnflag, each order's 60-bit md5 routes to one of [[HllM]]
+    * registers (low bits) and contributes ρ = trailing-zero count of
+    * the remaining bits + 1 (geometric, capped at [[HllRhoCap]]); the
+    * register holds max(ρ) — a PARTIAL-AGGREGABLE max, which is the
+    * entire reason sketches scale: the 100 TB shuffle carries m longs
+    * per group, not the key set. The ALL row re-aggregates the
+    * per-flag registers with the SAME max — the sketch-merge law a
+    * lakehouse rollup relies on.
+    *
+    * The raw-regime estimate α·m²/Σ2^−M stays on an integer lattice:
+    * each term 2^(RhoCap−M_j) is an exact long, and the final quotient
+    * is one floor division of α_e6·m²·2^RhoCap (≈3.1e18, inside long)
+    * by the register sum — no float in either engine. Cardinalities
+    * here are ≫ 2.5m, so the raw regime applies (the small-range
+    * linear-counting correction is documented out of scope).
+    */
+  private val HllM = 64L
+  private val HllRhoCap = 30
+  private val HllAlphaE6 = 709000L // α_64 = 0.709 (Flajolet et al.)
+
+  /** ρ as a 1+trailing-zeros CASE chain over `w` — shared shape for both
+    * engines (`hi` = the hash's upper bits, already div'd by m). */
+  private def rhoCaseSql(w: String): String =
+    (1 to HllRhoCap).map { t =>
+      val p = 1L << t
+      s"WHEN $w % $p = ${p / 2} THEN $t"
+    }.mkString("CASE ", " ", s" ELSE $HllRhoCap END")
+
+  def hllRegisters(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(CAST(l_orderkey AS STRING) AS BINARY)), " +
+          "1, 15), 16, 10) AS BIGINT)"))
+      .select(col("flag"), col("l_orderkey"),
+        (col("h") % HllM).as("j"),
+        expr(rhoCaseSql(s"(h div ${HllM}L)")).as("rho"))
+    val regs = keyed.groupBy(col("flag"), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+    val merged = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("flag", lit("ALL"))
+    val exact = keyed.groupBy(col("flag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_keys"))
+    val exactAll = keyed.agg(
+        countDistinct(col("l_orderkey")).as("exact_keys"))
+      .withColumn("flag", lit("ALL"))
+    val est = regs.unionByName(merged.select(col("flag"), col("j"), col("m_j")))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"cast(pow(2, $HllRhoCap - m_j) as bigint)")).as("reg_sum"))
+      .withColumn("est",
+        expr(s"(${HllAlphaE6}L * ${HllM * HllM}L * ${1L << HllRhoCap}L) " +
+          s"div reg_sum div 1000000L"))
+    est.join(exact.unionByName(exactAll.select(col("flag"), col("exact_keys"))),
+        Seq("flag"))
+      .select(col("flag"), col("n_regs"), col("reg_sum"), col("est"),
+        col("exact_keys"),
+        // err via a positive-lattice quotient: Spark's `div` truncates
+        // while DuckDB's `//` floors — they agree only for non-negative
+        // numerators, so shift by 1e6 instead of dividing a signed delta
+        (expr("est * 1000000L div exact_keys") - lit(1000000L)).as("err_e6"))
+      .orderBy(col("flag"))
+  }
+
+  private lazy val hllRegistersOracle = {
+    val rho = rhoCaseSql(s"(h // $HllM)")
+    s"""WITH keyed AS (
+       |  SELECT flag, l_orderkey, h % $HllM AS j, $rho AS rho
+       |  FROM (
+       |    SELECT DISTINCT l_returnflag AS flag, l_orderkey,
+       |           CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+       |                AS BIGINT) AS h
+       |    FROM lineitem)),
+       |regs AS (
+       |  SELECT flag, j, MAX(rho) AS m_j FROM keyed GROUP BY flag, j
+       |  UNION ALL
+       |  SELECT 'ALL' AS flag, j, MAX(rho) AS m_j FROM keyed GROUP BY j),
+       |est AS (
+       |  SELECT flag, COUNT(*) AS n_regs,
+       |         CAST(SUM(CAST(POW(2, $HllRhoCap - m_j) AS BIGINT)) AS BIGINT)
+       |           AS reg_sum
+       |  FROM regs GROUP BY flag),
+       |exact AS (
+       |  SELECT flag, COUNT(DISTINCT l_orderkey) AS exact_keys
+       |  FROM keyed GROUP BY flag
+       |  UNION ALL
+       |  SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM keyed)
+       |SELECT e.flag, e.n_regs, e.reg_sum,
+       |       CAST($HllAlphaE6 AS BIGINT) * ${HllM * HllM} * ${1L << HllRhoCap}
+       |         // e.reg_sum // 1000000 AS est,
+       |       x.exact_keys,
+       |       (CAST($HllAlphaE6 AS BIGINT) * ${HllM * HllM} * ${1L << HllRhoCap}
+       |         // e.reg_sum // 1000000) * 1000000
+       |         // x.exact_keys - 1000000 AS err_e6
+       |FROM est e JOIN exact x USING (flag)
+       |ORDER BY e.flag""".stripMargin
+  }
+
   // ------------------------------------------------------------ quantiles
   /** Exact interpolated percentiles: Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition (verified
@@ -440,6 +542,7 @@ object AggOps {
     "q_percentiles" -> (percentiles _),
     "q_approx_percentiles" -> (approxPercentiles _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_hll_registers" -> (hllRegisters _),
     "q_session_batch" -> (sessionBatch _),
     "q_skew_distinct" -> (skewDistinct _),
     "q_agg_multikey" -> (aggMultikey _),
@@ -458,6 +561,7 @@ object AggOps {
     "q_percentiles" -> percentilesOracle,
     "q_approx_percentiles" -> approxPercentilesOracle,
     "q_approx_distinct" -> approxDistinctOracle,
+    "q_hll_registers" -> hllRegistersOracle,
     "q_session_batch" -> sessionBatchOracle,
     "q_skew_distinct" -> skewDistinctOracle,
     "q_agg_multikey" -> aggMultikeyOracle,
