@@ -265,6 +265,46 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class TbEv(user_id: Long, ts: Timestamp,
+      event_id: Long, event_type: String, value: Double)
+
+  final case class TbState(bal: Long, peak: Long, rej: Long,
+      refills: Long, spends: Long)
+
+  final case class TbOut(user_id: Long, final_balance: Long,
+      peak_balance: Long, n_rejected: Long, n_refills: Long, n_spends: Long)
+
+  /** Streaming token-bucket rate limiter with `mapGroupsWithState`
+    * (Update mode) — the streaming twin of
+    * [[graft.ops.PipelineOps.tokenBucket]]: the per-user state is the
+    * five-long audit tuple, each batch folds its events in
+    * (event-time, event_id) order through the same clamp rules, and the
+    * emitted row is the cumulative audit — what a live throttling
+    * dashboard reads. The non-associative clamp is exactly why this
+    * must be stateful streaming and not a windowed aggregate. In-order
+    * source contract and O(1) state per key as in [[ewmaStream]].
+    */
+  def tokenBucketStream(events: Dataset[TbEv], cap: Long = 100L): Dataset[TbOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, evs: Iterator[TbEv],
+               state: GroupState[TbState]): TbOut = {
+      var s = state.getOption.getOrElse(TbState(0L, 0L, 0L, 0L, 0L))
+      evs.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        s = if (e.event_type == "purchase") {
+          val bal = math.min(cap, s.bal + math.floor(e.value).toLong)
+          TbState(bal, math.max(s.peak, bal), s.rej, s.refills + 1, s.spends)
+        } else if (s.bal == 0L)
+          s.copy(rej = s.rej + 1, spends = s.spends + 1)
+        else s.copy(bal = s.bal - 1, spends = s.spends + 1)
+      }
+      state.update(s)
+      TbOut(userId, s.bal, s.peak, s.rej, s.refills, s.spends)
+    }
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class TouchEv(user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
 

@@ -177,6 +177,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token bucket: clamp, rejection, and state carry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamingOps.TbEv]
+    val q = StreamingOps.tokenBucketStream(input.toDS(), cap = 5L)
+      .writeStream.format("memory").queryName("tb_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 refills 9 (clamps at cap 5), spends twice —
+      // the refill arrives out of order WITHIN the batch and must fold
+      // first; user 2 spends on an empty bucket → rejected
+      input.addData(
+        StreamingOps.TbEv(1, ts("2024-01-01 10:01:00"), 11L, "click", 0.0),
+        StreamingOps.TbEv(1, ts("2024-01-01 10:00:00"), 10L, "purchase", 9.9),
+        StreamingOps.TbEv(1, ts("2024-01-01 10:02:00"), 12L, "view", 0.0),
+        StreamingOps.TbEv(2, ts("2024-01-01 10:00:00"), 13L, "click", 0.0))
+      q.processAllAvailable()
+      def latest() = spark.table("tb_out").as[StreamingOps.TbOut].collect()
+        .groupBy(_.user_id).view
+        .mapValues(_.maxBy(o => o.n_refills + o.n_spends)).toMap
+      val mid = latest()
+      assert(mid(1L) == StreamingOps.TbOut(1L, 3L, 5L, 0L, 1L, 2L),
+        s"user 1 after batch 1: ${mid(1L)}")
+      assert(mid(2L) == StreamingOps.TbOut(2L, 0L, 0L, 1L, 0L, 1L),
+        s"user 2 after batch 1: ${mid(2L)}")
+      // batch 2: user 1's balance CARRIES (3 → spends to 0, 4th spend
+      // rejected); user 2 refills then spends
+      input.addData(
+        StreamingOps.TbEv(1, ts("2024-01-01 10:10:00"), 20L, "click", 0.0),
+        StreamingOps.TbEv(1, ts("2024-01-01 10:11:00"), 21L, "click", 0.0),
+        StreamingOps.TbEv(1, ts("2024-01-01 10:12:00"), 22L, "view", 0.0),
+        StreamingOps.TbEv(1, ts("2024-01-01 10:13:00"), 23L, "view", 0.0),
+        StreamingOps.TbEv(2, ts("2024-01-01 10:10:00"), 24L, "purchase", 2.0),
+        StreamingOps.TbEv(2, ts("2024-01-01 10:11:00"), 25L, "click", 0.0))
+      q.processAllAvailable()
+      val fin = latest()
+      assert(fin(1L) == StreamingOps.TbOut(1L, 0L, 5L, 1L, 1L, 6L),
+        s"user 1 final: ${fin(1L)}")
+      assert(fin(2L) == StreamingOps.TbOut(2L, 1L, 2L, 1L, 1L, 2L),
+        s"user 2 final: ${fin(2L)}")
+    } finally q.stop()
+  }
+
   test("streaming attribution credits purchases against the held touch across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
