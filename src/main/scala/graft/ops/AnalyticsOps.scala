@@ -1298,6 +1298,60 @@ object AnalyticsOps {
       |             CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       |FROM s""".stripMargin
 
+  // ------------------------------------------------- time-decayed sum
+  /** Recency-weighted engagement with a 7-day half-life: each event's
+    * value decays by 2^−(age-in-weeks) against the corpus's latest day
+    * — the "recent activity counts double" leaderboard rule. Weights
+    * are EXACT powers of two applied to exact cent lattices (value
+    * quantizes to cents, ages to whole weeks), so the weighted sum is
+    * pure long arithmetic — no float decay factor, no summation-order
+    * sensitivity at any partition count. The recency index is the e6
+    * share of the maximum possible weight (1e6 = all mass in the
+    * newest week).
+    *
+    * Scale: one map-side projection + one hash aggregate on
+    * event_type; the anchor day is a 1-row broadcast, not a driver
+    * hop. Long bound: cents·2^4 per row sums safely to ~5e14 rows;
+    * past that the sum column widens to DECIMAL(38) (the house
+    * precedent).
+    */
+  def decayedSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val anchor = ev.agg(max(col("day")).as("day0"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_w", expr("(day0 - day) div 7"))
+      .withColumn("wt", expr("shiftleft(1L, cast(4 - age_w as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("cents") * col("wt")).as("decayed_x16"))
+      .select(col("event_type"), col("n"), col("raw_cents"),
+        col("decayed_x16"),
+        expr("decayed_x16 * 1000000L div (raw_cents * 16L)")
+          .as("recency_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val decayedSumOracle =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT MAX(day) AS day0 FROM ev),
+      |w AS (
+      |  SELECT event_type, cents,
+      |         CAST(POW(2, 4 - (day0 - day) // 7) AS BIGINT) AS wt
+      |  FROM ev CROSS JOIN a)
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS raw_cents,
+      |       CAST(SUM(cents * wt) AS BIGINT) AS decayed_x16,
+      |       CAST(SUM(cents * wt) AS BIGINT) * 1000000
+      |         // (CAST(SUM(cents) AS BIGINT) * 16) AS recency_e6
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------- peak concurrency
   /** Peak concurrent sessions per day — the capacity-planning sweep.
     * Each event opens a half-open interval [ts, ts + ⌊value⌋ minutes);
@@ -1427,6 +1481,7 @@ object AnalyticsOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks" -> (streaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
+    "q_decayed_sum" -> (decayedSum _),
     "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
     "q_pareto_users" -> (paretoUsers _),
@@ -1460,6 +1515,7 @@ object AnalyticsOps {
   def oracles: Map[String, String] = Map(
     "q_streaks" -> streaksOracle,
     "q_peak_concurrency" -> peakConcurrencyOracle,
+    "q_decayed_sum" -> decayedSumOracle,
     "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
     "q_pareto_users" -> paretoUsersOracle,

@@ -478,4 +478,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     assert(got.values.map(_._2).sum == 2L * iv.length, "point mass conserved")
   }
+
+  test("decayed sum == driver recompute; recency index inside its lattice band") {
+    val evs = Tables.events(spark, sfTiny)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val day0 = evs.map(_._2).max
+    val truth = evs.groupBy(_._1).map { case (t, es) =>
+      val decayed = es.map(e => e._3 * (1L << (4 - ((day0 - e._2) / 7)).toInt)).sum
+      val raw = es.map(_._3).sum
+      t -> ((es.length.toLong, raw, decayed, decayed * 1000000L / (raw * 16L)))
+    }
+    val got = AnalyticsOps.decayedSum(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == truth, "decayed sums differ from driver recompute")
+    got.values.foreach { case (_, _, _, recency) =>
+      // weights span 2^0..2^4 ⇒ the index lives in [1/16, 1] on the lattice
+      assert(recency >= 62500L && recency <= 1000000L, s"recency $recency")
+    }
+  }
 }
