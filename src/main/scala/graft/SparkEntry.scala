@@ -23,6 +23,7 @@ object SparkEntry {
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.RelationalOps.queries ++
+      ops.SketchOps.queries ++
       ops.StatsOps.queries ++
       ops.CurationOps.queries ++
       ops.RetrievalOps.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.RelationalOps.oracles ++
+      ops.SketchOps.oracles ++
       ops.StatsOps.oracles ++
       ops.CurationOps.oracles ++
       ops.RetrievalOps.oracles ++

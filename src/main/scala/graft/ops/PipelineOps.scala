@@ -939,7 +939,71 @@ object PipelineOps {
        |JOIN cnt c ON c.user_id = w.user_id
        |ORDER BY w.user_id""".stripMargin
 
+  // --------------------------------------------------- target encoding
+  /** Smoothing pseudo-count for [[targetEncode]] (the "m" in the
+    * m-estimate: category mean shrunk toward the global prior by m
+    * virtual prior-valued rows). */
+  private val TeM = 20L
+
+  /** Leakage-safe K-fold target encoding — the feature-engineering
+    * staple for categoricals: each (category, fold) cell gets the mean
+    * target computed from the OTHER folds only (so a training row
+    * never sees its own label), plus the m-estimate smoothed variant
+    * ((S_oof + m·prior) / (N_oof + m), m = [[TeM]]) that keeps rare
+    * categories from memorizing noise. Category = order priority,
+    * target = order cents, folds = the house multiplicative hash of
+    * the order key ([[Parity.mixBucket]] — deterministic, both
+    * engines).
+    *
+    * Scale shape: out-of-fold means need NO per-fold passes — ONE
+    * hash aggregation per (category, fold) plus a category rollup,
+    * then `oof = (S_cat − s_fold) / (N_cat − n_fold)` cell-wise. The
+    * output is category×K rows (tiny) that broadcast-join back onto
+    * the training set; the fact table is scanned once. All-integer
+    * cent arithmetic; the widest product (S_oof·N_tot·100) fits a
+    * long through ~2e8 orders — past that, swap the two products to
+    * DECIMAL(38) (the house big-lattice escape hatch).
+    */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("category"),
+        Parity.mixBucket(col("o_orderkey"), 2654435761L, 5L).as("fold"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val perFold = o.groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val perCat = perFold.groupBy(col("category"))
+      .agg(sum(col("n_f")).as("n_cat"), sum(col("s_f")).as("s_cat"))
+    val tot = perCat.agg(sum(col("n_cat")).as("n_tot"), sum(col("s_cat")).as("s_tot"))
+    perFold.join(broadcast(perCat), Seq("category")).crossJoin(broadcast(tot))
+      .select(col("category"), col("fold"), col("n_f"),
+        (col("n_cat") - col("n_f")).as("n_oof"),
+        expr("(s_cat - s_f) DIV NULLIF(n_cat - n_f, 0)").as("oof_cents"),
+        expr(s"((s_cat - s_f) * n_tot + $TeM * s_tot) * 100 DIV " +
+          s"(((n_cat - n_f) + $TeM) * n_tot)").as("smooth_c100"))
+      .orderBy(col("category"), col("fold"))
+  }
+
+  private val targetEncodeOracle = {
+    val fold = Parity.mixBucketSql("o_orderkey", 2654435761L, 5L)
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS category, $fold AS fold,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |pf AS (SELECT category, fold, COUNT(*) AS n_f, SUM(cents) AS s_f
+       |       FROM o GROUP BY 1, 2),
+       |pc AS (SELECT category, SUM(n_f) AS n_cat, SUM(s_f) AS s_cat
+       |       FROM pf GROUP BY 1),
+       |t AS (SELECT SUM(n_cat) AS n_tot, SUM(s_cat) AS s_tot FROM pc)
+       |SELECT pf.category, fold, n_f, n_cat - n_f AS n_oof,
+       |       (s_cat - s_f) // NULLIF(n_cat - n_f, 0) AS oof_cents,
+       |       ((s_cat - s_f) * n_tot + $TeM * s_tot) * 100
+       |         // ((n_cat - n_f + $TeM) * n_tot) AS smooth_c100
+       |FROM pf JOIN pc ON pc.category = pf.category CROSS JOIN t
+       |ORDER BY category, fold""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> (targetEncode _),
     "q_token_bucket" -> (tokenBucket _),
     "q_nested_export" -> (nestedExport _),
     "q_cogroup" -> (cogroupRecon _),
@@ -960,6 +1024,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_target_encode" -> targetEncodeOracle,
     "q_token_bucket" -> tokenBucketOracle,
     "q_nested_export" -> nestedExportOracle,
     "q_cogroup" -> cogroupReconOracle,

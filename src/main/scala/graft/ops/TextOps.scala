@@ -1028,7 +1028,61 @@ object TextOps {
       |                  AS DOUBLE), 6) AS zipf_slope
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------ n-gram novelty
+  /** Per-source n-gram NOVELTY — the corpus-freshness audit run before
+    * admitting a new crawl batch: what fraction of a source's distinct
+    * word 8-grams has never been seen in any lexically-earlier source
+    * (sources stand in for arrival batches; the reference corpus is
+    * "everything before you"). Low novelty = the batch mostly re-crawls
+    * what the corpus already holds — the batch-level complement of the
+    * document-level dedup family.
+    *
+    * Scale shape: one distinct over (source, gram), then the
+    * first-seen owner per gram is `min(source)` — a PARTIAL-AGGREGABLE
+    * min, so a boilerplate gram repeated 10⁸ times collapses map-side
+    * (the span-dedup skew lesson applied at birth, not retrofitted) —
+    * joined back on the gram key and rolled up per source. Gram
+    * strings ride the shuffles; at 100 TB swap them for their 60-bit
+    * md5 prefix (the [[graft.ops.DedupOps]] idiom) and the plan shape
+    * is unchanged.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sg = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), explode(
+        when(size(col("w")) >= 8,
+          expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val firstSeen = sg.groupBy(col("gram")).agg(min(col("source")).as("first_src"))
+    sg.join(firstSeen, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_src") === col("source"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_grams").as("novelty_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val ngramNoveltyOracle =
+    """WITH sg AS (
+      |  SELECT DISTINCT source, gram FROM (
+      |    SELECT source, unnest(list_transform(
+      |             range(0, greatest(len(w) - 7, 0)),
+      |             i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+      |fs AS (SELECT gram, MIN(source) AS first_src FROM sg GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_novel,
+      |       CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // COUNT(*) AS novelty_e6
+      |FROM sg JOIN fs USING (gram)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_tokenizer_fertility" -> (tokenizerFertility _),
@@ -1051,6 +1105,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,
     "q_tokenizer_fertility" -> tokenizerFertilityOracle,
