@@ -999,7 +999,7 @@ object PipelineOps {
        |       ((s_cat - s_f) * n_tot + $TeM * s_tot) * 100
        |         // ((n_cat - n_f + $TeM) * n_tot) AS smooth_c100
        |FROM pf JOIN pc ON pc.category = pf.category CROSS JOIN t
-       |ORDER BY category, fold""".stripMargin
+       |ORDER BY pf.category, fold""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

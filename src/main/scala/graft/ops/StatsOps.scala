@@ -991,8 +991,54 @@ object StatsOps {
       |CROSS JOIN n
       |ORDER BY lift_e6 DESC, ante, cons LIMIT 40""".stripMargin
 
+  // ------------------------------------------------- seasonal-naive eval
+  /** Seasonal-naive forecast audit — the baseline every time-series
+    * model must beat: predict each (event type, day)'s cent volume
+    * with the SAME WEEKDAY LAST WEEK (lag-7), then score per type with
+    * MAE and WAPE (weighted absolute percentage error: Σ|err| / Σ
+    * actual — one division at the end, so the whole scorecard sits on
+    * the exact cent/e6 lattice; per-day MAPE would divide per row and
+    * leave the lattice).
+    *
+    * Scale shape: the 100 TB event scan collapses to a (type × day)
+    * frame in ONE partial-aggregated pass; the lag-7 self-join and the
+    * scoring rollup run on that tiny frame. No window, no sort — the
+    * join key (type, day−7) is as partition-friendly as it gets.
+    */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+    val fc = daily.select(col("t"), (col("day") + 7).as("day"), col("c").as("fc_c"))
+    daily.join(fc, Seq("t", "day"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("actual_c"),
+        sum(abs(col("c") - col("fc_c"))).as("abs_err_c"))
+      .select(col("t"), col("n_days"), col("actual_c"), col("abs_err_c"),
+        expr("abs_err_c DIV n_days").as("mae_c"),
+        expr("abs_err_c * 1000000 DIV actual_c").as("wape_e6"))
+      .orderBy(col("t"))
+  }
+
+  private val seasonalNaiveOracle =
+    """WITH daily AS (
+      |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
+      |         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.t, a.c, f.c AS fc_c
+      |  FROM daily a JOIN daily f ON f.t = a.t AND f.day = a.day - 7)
+      |SELECT t, COUNT(*) AS n_days, SUM(c) AS actual_c,
+      |       SUM(ABS(c - fc_c)) AS abs_err_c,
+      |       SUM(ABS(c - fc_c)) // COUNT(*) AS mae_c,
+      |       SUM(ABS(c - fc_c)) * 1000000 // SUM(c) AS wape_e6
+      |FROM j GROUP BY t ORDER BY t""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
     "q_attribution" -> (attribution _),
     "q_benford" -> (benfordDigits _),
@@ -1014,6 +1060,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,
     "q_attribution" -> attributionOracle,
     "q_benford" -> benfordOracle,

@@ -177,4 +177,22 @@ class PipelineOpsSpec extends SparkSpec {
       assert(refills + spends > 0)
     }
   }
+  test("target encoding is leakage-free and conserves counts") {
+    val enc = PipelineOps.targetEncode(spark, sfTiny).collect()
+    // brute-force witness: mean of the OTHER folds, recomputed per cell
+    val rows = Tables.orders(spark, sfTiny)
+      .select(col("o_orderpriority"),
+        graft.ops.Parity.mixBucket(col("o_orderkey"), 2654435761L, 5L),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    enc.foreach { e =>
+      val cat = e.getAs[String]("category"); val f = e.getAs[Long]("fold")
+      val oof = rows.filter(r => r._1 == cat && r._2 != f)
+      assert(e.getAs[Long]("n_oof") == oof.length)
+      assert(e.getAs[Long]("oof_cents") == oof.map(_._3).sum / oof.length)
+    }
+    // cells partition the training set
+    assert(enc.map(_.getAs[Long]("n_f")).sum == rows.length)
+  }
+
 }

@@ -306,4 +306,17 @@ class StatsOpsSpec extends SparkSpec {
         s"bin $bin squared-error mass does not close")
     }
   }
+  test("seasonal naive scores every day with a lag-7 twin") {
+    val sn = StatsOps.seasonalNaive(spark, sfTiny).collect()
+    assert(sn.length == 5)
+    sn.foreach { r =>
+      // 30-day fixture: exactly 23 scoreable days per type
+      assert(r.getAs[Long]("n_days") == 23L)
+      assert(r.getAs[Long]("mae_c") ==
+        r.getAs[Long]("abs_err_c") / r.getAs[Long]("n_days"))
+      val w = r.getAs[Long]("wape_e6")
+      assert(w >= 0, s"wape $w")
+    }
+  }
+
 }

@@ -173,4 +173,25 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(got.keySet == docs.map(_._1).toSet)
   }
+  test("ngram novelty: first source is fully novel, grams are conserved") {
+    val nv = TextOps.ngramNovelty(spark, sfTiny).collect()
+    val first = nv.map(_.getAs[String]("source")).min
+    val fr = nv.find(_.getAs[String]("source") == first).get
+    assert(fr.getAs[Long]("novelty_e6") == 1000000L,
+      "lexically-first source must be 100% novel")
+    nv.foreach { r =>
+      val e6 = r.getAs[Long]("novelty_e6")
+      assert(e6 >= 0 && e6 <= 1000000)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+    // every distinct gram is novel in exactly one source
+    val totalNovel = nv.map(_.getAs[Long]("n_novel")).sum
+    val distinctGrams = Tables.documents(spark, sfTiny)
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))")))
+      .distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
+
 }
