@@ -594,7 +594,150 @@ object CatalogOps {
       |       ROUND(MIN(x), 4) AS lo, ROUND(MAX(x), 4) AS hi
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------- t-closeness
+  /** t-closeness threshold (EMD above this marks a class as leaking
+    * the sensitive attribute's distribution). */
+  private val CloseT_E6 = 200000L
+
+  /** t-closeness audit — the third rung of the anonymity ladder after
+    * [[kAnonymity]] and [[lDiversity]], on the same quasi-identifier
+    * classes (segment × nation) and the same ORDERED sensitive
+    * attribute (the acctbal band, delinquent < standard < premium):
+    * a class can be k-large and l-diverse yet still reveal that its
+    * members are, say, 90% delinquent when the table is 10% — what
+    * t-closeness bounds is the EARTH MOVER'S DISTANCE between the
+    * class's band distribution and the whole table's. For an ordered
+    * m-valued attribute, EMD = Σ|cum(P)−cum(Q)| / (m−1) — here
+    * computed exactly: cum differences cross-multiplied onto the
+    * class_size·N_total lattice, one e6 floor division at the end.
+    *
+    * Scale shape: identical to the siblings — one hash aggregation to
+    * (class × band) counts (here pivoted as three conditional sums in
+    * the same pass), one 1-row global rollup broadcast back, one
+    * segment rollup. Nothing but counts ever shuffles.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, 0).when(col("c_acctbal") < 5000, 1)
+          .otherwise(2).as("band"))
+    val cls = banded.groupBy(col("segment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("band") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("band") === 1, 1L).otherwise(0L)).as("c1"))
+    val glob = banded.agg(count(lit(1)).as("nn"),
+      sum(when(col("band") === 0, 1L).otherwise(0L)).as("g0"),
+      sum(when(col("band") === 1, 1L).otherwise(0L)).as("g1"))
+    cls.crossJoin(broadcast(glob))
+      .withColumn("emd_e6", expr(
+        """(abs(c0 * nn - g0 * n) + abs((c0 + c1) * nn - (g0 + g1) * n))
+           * 1000000 DIV (2 * n * nn)""".replace("\n", " ")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_classes"),
+        max(col("emd_e6")).as("max_emd_e6"),
+        sum(when(col("emd_e6") > CloseT_E6, 1L).otherwise(0L))
+          .as("n_violating"),
+        sum(when(col("emd_e6") > CloseT_E6, col("n")).otherwise(0L))
+          .cast("long").as("rows_exposed"))
+      .orderBy(col("segment"))
+  }
+
+  private val tClosenessOracle =
+    s"""WITH banded AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey,
+       |         CASE WHEN c_acctbal < 0 THEN 0
+       |              WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS band
+       |  FROM customer),
+       |cls AS (
+       |  SELECT segment, c_nationkey, COUNT(*) AS n,
+       |         SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS c0,
+       |         SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS c1
+       |  FROM banded GROUP BY 1, 2),
+       |g AS (SELECT COUNT(*) AS nn,
+       |             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
+       |             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1
+       |      FROM banded),
+       |e AS (
+       |  SELECT segment, n,
+       |         (ABS(c0 * nn - g0 * n) + ABS((c0 + c1) * nn - (g0 + g1) * n))
+       |           * 1000000 // (2 * n * nn) AS emd_e6
+       |  FROM cls, g)
+       |SELECT segment, COUNT(*) AS n_classes, MAX(emd_e6) AS max_emd_e6,
+       |       CAST(SUM(CASE WHEN emd_e6 > $CloseT_E6 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_violating,
+       |       CAST(SUM(CASE WHEN emd_e6 > $CloseT_E6 THEN n ELSE 0 END)
+       |            AS BIGINT) AS rows_exposed
+       |FROM e GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ----------------------------------------------- randomized response
+  /** Warner/generalized randomized response over the event-type
+    * column — the LOCAL-DP leg of the privacy battery ([[dpCounts]]
+    * adds central noise to aggregates; here each RECORD lies before
+    * it ever reaches the collector): report the true type with
+    * probability 12/20, otherwise one of the 4 other types with
+    * probability 2/20 each; the collector debiases observed counts
+    * with the textbook estimator n̂ = (c − n·q)/(p − q), which on
+    * these exact rationals is (20·c − 2·n)/10 — pure integer lattice.
+    * The deterministic coin (the house multiplicative hash of the
+    * event id at 20 buckets; exactly 12 truth coins and 2 per
+    * alternative) makes the mechanism testable and the oracle exact:
+    * swap in a true RNG per record in production and the estimator is
+    * unchanged in expectation (ε = ln(p/q) = ln 6 ≈ 1.79 per event).
+    *
+    * Scale shape: the perturbation is pure map-side column math; the
+    * report is one 5-row hash aggregation joined to its 5-row truth
+    * twin. Nothing else moves.
+    */
+  def randomizedResponse(spark: SparkSession, sfDir: String): DataFrame = {
+    val typesArr = "array('click','error','purchase','signup','view')"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("coin",
+        graft.ops.Parity.mixBucket(col("event_id"), 2654435761L, 20L))
+      .withColumn("reported", expr(
+        s"""CASE WHEN coin < 12 THEN event_type
+            ELSE element_at(filter($typesArr, t -> t != event_type),
+                            CAST(pmod(coin - 12, 4) AS INT) + 1)
+            END""".replace("\n", " ")))
+    val truth = ev.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_true"))
+    val obs = ev.groupBy(col("reported").as("t"))
+      .agg(count(lit(1)).as("n_observed"))
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    truth.join(obs, Seq("t")).crossJoin(broadcast(n))
+      .withColumn("est_x10",
+        lit(20L) * col("n_observed") - lit(2L) * col("n_total"))
+      .select(col("t"), col("n_true"), col("n_observed"),
+        ((col("est_x10") - pmod(col("est_x10"), lit(10L))) / 10L)
+          .cast("long").as("n_est"),
+        (((col("est_x10") - pmod(col("est_x10"), lit(10L))) / 10L)
+          .cast("long") - col("n_true")).as("est_err"))
+      .orderBy(col("t"))
+  }
+
+  private val randomizedResponseOracle = {
+    val coin = graft.ops.Parity.mixBucketSql("event_id", 2654435761L, 20L)
+    s"""WITH ev AS (
+       |  SELECT event_type, $coin AS coin FROM events),
+       |rep AS (
+       |  SELECT event_type,
+       |         CASE WHEN coin < 12 THEN event_type
+       |              ELSE list_filter(['click','error','purchase','signup','view'],
+       |                               t -> t != event_type)[CAST((coin - 12) % 4 AS INT) + 1]
+       |         END AS reported
+       |  FROM ev),
+       |truth AS (SELECT event_type AS t, COUNT(*) AS n_true FROM rep GROUP BY 1),
+       |obs AS (SELECT reported AS t, COUNT(*) AS n_observed FROM rep GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_total FROM rep)
+       |SELECT t, n_true, n_observed,
+       |       (20 * n_observed - 2 * n_total) // 10 AS n_est,
+       |       (20 * n_observed - 2 * n_total) // 10 - n_true AS est_err
+       |FROM truth JOIN obs USING (t) CROSS JOIN n
+       |ORDER BY t""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t_closeness" -> (tCloseness _),
+    "q_randomized_response" -> (randomizedResponse _),
     "q_skew_report" -> (skewReport _),
     "q_dp_counts" -> (dpCounts _),
     "q_equidepth_hist" -> (equidepthHist _),
@@ -609,6 +752,8 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_t_closeness" -> tClosenessOracle,
+    "q_randomized_response" -> randomizedResponseOracle,
     "q_skew_report" -> skewReportOracle,
     "q_dp_counts" -> dpCountsOracle,
     "q_equidepth_hist" -> equidepthHistOracle,

@@ -56,4 +56,30 @@ class CatalogOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("p99") <= r.getAs[Long]("max_cnt").toDouble + 1e-9)
     }
   }
+  test("t-closeness: EMD bounded, class census matches k-anonymity") {
+    val tc = CatalogOps.tCloseness(spark, sfTiny).collect()
+    val ka = CatalogOps.kAnonymity(spark, sfTiny).collect()
+      .map(r => r.getAs[String]("segment") -> r.getAs[Long]("n_classes")).toMap
+    tc.foreach { r =>
+      assert(r.getAs[Long]("n_classes") == ka(r.getAs[String]("segment")))
+      val emd = r.getAs[Long]("max_emd_e6")
+      assert(emd >= 0 && emd <= 1000000)
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_classes"))
+    }
+  }
+
+  test("randomized response conserves reports and debiases within band") {
+    val rr = CatalogOps.randomizedResponse(spark, sfSmall).collect()
+    val nTotal = rr.map(_.getAs[Long]("n_true")).sum
+    assert(rr.map(_.getAs[Long]("n_observed")).sum == nTotal,
+      "perturbation must conserve the report count")
+    // sum of estimates telescopes back to N (up to 5 floor losses)
+    assert(math.abs(rr.map(_.getAs[Long]("n_est")).sum - nTotal) <= 5)
+    rr.foreach { r =>
+      val err = math.abs(r.getAs[Long]("est_err")).toDouble
+      assert(err / r.getAs[Long]("n_true") < 0.10,
+        s"debiased estimate off by ${err}")
+    }
+  }
+
 }
