@@ -43,6 +43,7 @@ object SparkEntry {
       sources.CsvSources.queries ++
       sources.SchemaEvolution.queries ++
       sources.JsonSource.queries ++
+      sources.OrcSource.queries ++
       sources.Shapefile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,6 @@ object SparkEntry {
       sources.CsvSources.oracles(sfDir) ++
       sources.SchemaEvolution.oracles(sfDir) ++
       sources.JsonSource.oracles(sfDir) ++
+      sources.OrcSource.oracles ++
       sources.Shapefile.oracles
 }

@@ -26,4 +26,23 @@ class SourcesSpec extends SparkSpec {
           r.getAs[Long]("tc"), r.getAs[Int]("nw")))).toMap
     assert(got == want)
   }
+  test("orc roundtrip prunes partitions and pushes predicates") {
+    val df = graft.sources.OrcSource.orcScan(spark, sfTiny)
+    // values survive the parquet -> ORC -> scan roundtrip
+    val got = df.collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val want = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_returnflag") === "A" && col("l_quantity") < 25)
+      .groupBy(col("l_linestatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got != $want")
+    // plan: only the A partition is read, quantity predicate is pushed
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.contains("FileScan orc"),
+      s"not an ORC scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
+      s"returnflag not a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(l_quantity".r.findFirstIn(plan).isDefined,
+      s"quantity predicate not pushed:\n$plan")
+  }
+
 }
