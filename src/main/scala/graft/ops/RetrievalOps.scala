@@ -172,13 +172,144 @@ object RetrievalOps {
        |       ROUND(CAST(dcg_e6 AS DOUBLE) / idcg_e6, 6) AS ndcg
        |FROM gained CROSS JOIN ideal""".stripMargin
 
+  // ------------------------------------------------------- MMR rerank
+  /** Candidate-pool and selection sizes for [[mmrRerank]]. */
+  private val MmrPool = 20
+  private val MmrOut = 5
+  private val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversification pass between retrieval and the
+    * context window: from each query's top-[[MmrPool]] cosine
+    * candidates, greedily select [[MmrOut]] maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate
+    * candidates can't crowd out coverage (the retrieval-time twin of
+    * the dedup family's corpus-time work).
+    *
+    * The greedy loop is UNROLLED into [[MmrOut]] relational steps
+    * (the pagerank-hop precedent): each step joins the remaining
+    * candidates to the already-selected set over the precomputed
+    * candidate-pair similarity frame, and takes the per-query argmax
+    * as a partial-aggregable `min(struct(-score, cid))` — no window,
+    * no sort. Per query the work is bounded by pool² = 400 pair rows
+    * and [[MmrOut]] tiny joins; across queries it distributes
+    * embarrassingly — at 100 TB of queries the plan shape is
+    * unchanged, and the candidate pools would come from the IVF/PQ
+    * index instead of the brute-force scan (fusion-layer invariance,
+    * as with RRF).
+    *
+    * Parity: rel and pairwise sims are the module's sequential-fold
+    * cosine — bit-identical doubles in both engines — and the MMR
+    * combination is two IEEE multiplies and a subtract, so the
+    * greedy's argmax decisions (cid-tiebroken) agree exactly; only
+    * displayed values are rounded.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("norm").as("cn"))
+      .crossJoin(broadcast(q)).filter(col("qid") =!= col("cid"))
+      .withColumn("rel", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))))
+      .filter(col("rk") <= MmrPool)
+      .select(col("qid"), col("cid"), col("cv"), col("cn"), col("rel"))
+      .localCheckpoint()
+    val sims = cand.select(col("qid"), col("cid").as("c1"),
+        col("cv").as("v1"), col("cn").as("n1"))
+      .join(cand.select(col("qid"), col("cid").as("c2"),
+        col("cv").as("v2"), col("cn").as("n2")), Seq("qid"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("qid"), col("c1"), col("c2"),
+        (expr("vec_dot(v1, v2)") / (col("n1") * col("n2"))).as("sim"))
+      .localCheckpoint()
+    val pool = cand.select(col("qid"), col("cid"), col("rel"))
+    def argmax(scored: DataFrame, step: Int): DataFrame =
+      scored.groupBy(col("qid"))
+        .agg(min(struct((col("mmr") * -1.0d).as("neg"), col("cid"),
+          col("rel"), col("mmr"))).as("w"))
+        .select(col("qid"), lit(step.toLong).as("step"),
+          col("w.cid").as("cid"), col("w.rel").as("rel"), col("w.mmr").as("mmr"))
+    var selected = argmax(pool.withColumn("mmr", col("rel")), 1)
+    for (step <- 2 to MmrOut) {
+      val maxsim = sims
+        .join(selected.select(col("qid"), col("cid").as("c2")), Seq("qid", "c2"))
+        .groupBy(col("qid"), col("c1").as("cid")).agg(max(col("sim")).as("ms"))
+      val scored = pool
+        .join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
+          "left_anti")
+        .join(maxsim, Seq("qid", "cid"))
+        .withColumn("mmr",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("ms"))
+      selected = selected.union(argmax(scored, step))
+    }
+    selected
+      .select(col("qid"), col("step"), col("cid"),
+        round(col("rel"), 6).as("rel6"), round(col("mmr"), 6).as("mmr6"))
+      .orderBy(col("qid"), col("step"))
+  }
+
+  private val mmrRerankOracle = {
+    val cos = SimilarityOps.cosineSql("a.embedding", "b.embedding")
+    // unrolled greedy, one CTE pair (m_i scores / s_i winner) per step
+    val steps = (2 to MmrOut).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""m$i AS (
+         |  SELECT c.qid, c.cid, c.rel, MAX(si.sim) AS ms
+         |  FROM cand c
+         |  JOIN sims si ON si.qid = c.qid AND si.c1 = c.cid
+         |  JOIN $prev p ON p.qid = si.qid AND p.cid = si.c2
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.qid = c.qid AND x.cid = c.cid)
+         |  GROUP BY 1, 2, 3),
+         |s$i AS (
+         |  SELECT qid, $i AS step, cid, rel,
+         |         $MmrLambda * rel - ${1.0 - MmrLambda} * ms AS mmr
+         |  FROM m$i
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY $MmrLambda * rel - ${1.0 - MmrLambda} * ms DESC, cid) = 1),
+         |sel$i AS (SELECT qid, step, cid, rel, mmr FROM sel${i - 1}
+         |          UNION ALL SELECT qid, step, cid, rel, mmr FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+       |           WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT qid, cid, rel FROM (
+       |    SELECT a.qid, b.vec_id AS cid, $cos AS rel,
+       |           row_number() OVER (PARTITION BY a.qid
+       |                              ORDER BY $cos DESC, b.vec_id) AS rk
+       |    FROM q a JOIN embeddings b ON b.vec_id <> a.qid)
+       |  WHERE rk <= $MmrPool),
+       |sims AS (
+       |  SELECT a.qid, a.cid AS c1, b.cid AS c2,
+       |         ${SimilarityOps.cosineSql("e1.embedding", "e2.embedding")} AS sim
+       |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.cid <> a.cid
+       |  JOIN embeddings e1 ON e1.vec_id = a.cid
+       |  JOIN embeddings e2 ON e2.vec_id = b.cid),
+       |sel1 AS (
+       |  SELECT qid, 1 AS step, cid, rel, rel AS mmr FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |                             ORDER BY rel DESC, cid) = 1),
+       |$steps
+       |SELECT qid, step, cid, ROUND(rel, 6) AS rel6, ROUND(mmr, 6) AS mmr6
+       |FROM sel$MmrOut ORDER BY qid, step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> (rrfFusion _),
-    "q_ndcg" -> (ndcg _)
+    "q_ndcg" -> (ndcg _),
+    "q_mmr_rerank" -> (mmrRerank _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_rrf_fusion" -> rrfFusionOracle,
-    "q_ndcg" -> ndcgOracle
+    "q_ndcg" -> ndcgOracle,
+    "q_mmr_rerank" -> mmrRerankOracle
   )
 }

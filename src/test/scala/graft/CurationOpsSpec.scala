@@ -354,4 +354,25 @@ class CurationOpsSpec extends SparkSpec {
       assert(b >= 0 && b < 64 && df <= docs.length && math.abs(mass) <= n)
     }
   }
+  test("mmr rerank: greedy trades relevance for diversity, step 1 is argmax") {
+    val rows = graft.ops.RetrievalOps.mmrRerank(spark, sfTiny).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { sel =>
+      val steps = sel.map(_.getAs[Long]("step")).sorted
+      assert(steps.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      // one candidate is never selected twice
+      assert(sel.map(_.getAs[Long]("cid")).distinct.length == 5)
+      val s1 = sel.find(_.getAs[Long]("step") == 1L).get
+      // step 1 has no diversity penalty: mmr == rel, and it is the max rel
+      assert(s1.getAs[Double]("mmr6") == s1.getAs[Double]("rel6"))
+      assert(sel.forall(r => r.getAs[Double]("rel6") <= s1.getAs[Double]("rel6")))
+      // later steps carry a penalty: mmr <= lambda * rel (+ rounding slack)
+      sel.filter(_.getAs[Long]("step") > 1L).foreach { r =>
+        assert(r.getAs[Double]("mmr6") <= 0.7 * r.getAs[Double]("rel6") + 0.31,
+          "mmr must be penalized relative to pure relevance")
+      }
+    }
+  }
+
 }
