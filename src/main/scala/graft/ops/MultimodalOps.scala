@@ -264,7 +264,88 @@ object MultimodalOps {
        |ORDER BY bucket_e3""".stripMargin
   }
 
+  // ------------------------------------------------- perceptual near-dup
+  /** Perceptual-hash near-duplicate detection over the media payloads —
+    * the image-dedup leg of the multimodal family (what aHash/pHash do
+    * for crawled images, run here on the stub decode's byte-histogram
+    * features): each payload reduces to a 27-bit structural hash (bit b
+    * set iff histogram bin b — one per byte value mod 32; space and
+    * a–z for this corpus — holds more than its 1/27 uniform share),
+    * and near-dups are pairs within Hamming distance 1, found by two
+    * LSH BANDS (low 14 / high 13 bits: one differing bit leaves the
+    * other band equal — pigeonhole — so ≤1 is fully covered; the
+    * [[graft.ops.DedupOps]] SimHash construction at multimodal scale).
+    * The hash runs in the same mapPartitions batch shape as
+    * [[decodeAll]] — swap the histogram for DCT coefficients when a
+    * real codec plugs in; the banding, verify join, and report are
+    * codec-agnostic. (This statistically-uniform word-salad fixture
+    * still collides heavily at hamming 0 — real corpora separate far
+    * better; the injected cross-source duplicates are all there.)
+    *
+    * Scale shape: hashing is map-side; candidates form on band-value
+    * equi-joins (never an all-pairs scan); the Hamming verify touches
+    * only same-bucket pairs; `bit_count(xor)` is codegen'd integer
+    * math. The DuckDB oracle recomputes the histogram hash from raw
+    * text by character arithmetic and finds pairs with a literal
+    * OR-of-bands join — different algorithm, same pairs.
+    */
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bins = new Array[Long](32)
+        var i = 0
+        while (i < bytes.length) { bins(bytes(i) & 0x1F) += 1; i += 1 }
+        var h = 0L
+        var b = 0
+        while (b < 27) {
+          if (bins(b) * 27 > bytes.length) h |= (1L << b)
+          b += 1
+        }
+        (id, h)
+      }).toDF("doc_id", "ahash")
+    val bands = hashed.select(col("doc_id"), col("ahash"),
+      explode(expr("array(struct(0 AS bi, ahash % 16384 AS bv), " +
+        "struct(1 AS bi, shiftright(ahash, 14) AS bv))")).as("x"))
+      .select(col("doc_id"), col("ahash"), col("x.bi"), col("x.bv"))
+    val cand = bands.select(col("doc_id").as("d1"), col("ahash").as("h1"),
+        col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("d2"), col("ahash").as("h2"),
+        col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+    cand.withColumn("hamming", bit_count(expr("h1 ^ h2")))
+      .filter(col("hamming") <= 1)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d1")).as("n_left_docs"))
+      .orderBy(col("hamming"))
+  }
+
+  private val phashNearDupOracle: String = {
+    // bin per byte%32: ' '->0, 'a'..'z'->1..26 — one character each
+    val alphabet = ' ' +: ('a' to 'z')
+    val hashExpr = alphabet.zipWithIndex.map { case (ch, b) =>
+      s"(CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, '$ch', ''))) * 27 " +
+        s"> LENGTH(text) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, $hashExpr AS ahash FROM documents),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
+       |       a.ahash % 16384 = b.ahash % 16384
+       |    OR a.ahash // 16384 = b.ahash // 16384))
+       |SELECT bit_count(xor(h1, h2)) AS hamming, COUNT(*) AS n_pairs,
+       |       COUNT(DISTINCT d1) AS n_left_docs
+       |FROM cand
+       |WHERE bit_count(xor(h1, h2)) <= 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_neardup" -> (phashNearDup _),
     "q_aspect_buckets" -> (aspectBuckets _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
@@ -272,6 +353,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_phash_neardup" -> phashNearDupOracle,
     "q_aspect_buckets" -> aspectBucketsOracle,
     "q_media_meta" -> mediaMetaOracle,
     "q_media_decode" -> mediaDecodeOracle,

@@ -1036,8 +1036,77 @@ object StatsOps {
       |       SUM(ABS(c - fc_c)) * 1000000 // SUM(c) AS wape_e6
       |FROM j GROUP BY t ORDER BY t""".stripMargin
 
+  // ------------------------------------------------- symbolic motifs
+  /** SAX-style symbolic motif mining over the event stream — the
+    * time-series indexing trick (Lin/Keogh's Symbolic Aggregate
+    * approXimation): collapse the series to PIECEWISE AGGREGATES
+    * (8-hour segment sums per event type), DISCRETIZE each segment
+    * against the series' own median into a binary alphabet, and count
+    * sliding 3-symbol WORDS — the motif histogram that powers
+    * similarity search and anomaly flags over months of telemetry
+    * without ever comparing raw points.
+    *
+    * Exactness: PAA values are segment SUMS (integers — the mean×w
+    * rescale of textbook SAX, same ordering); the median split
+    * compares 2·value against the interpolated median of the DOUBLED
+    * values, which is integer-exact for any parity of n (a+b stays on
+    * the integer lattice); the Gaussian-breakpoint alphabet of
+    * full SAX needs z-scores — the median split is the 2-symbol
+    * special case that stays exact.
+    *
+    * Scale shape: the raw scan collapses to (type × epoch-hour)
+    * counts in one partial-aggregated pass; PAA, the median (over ≤
+    * ~90 segments per type), and the two word-forming self-joins all
+    * run on the collapsed frame. Motif words form by joining seg+1
+    * and seg+2 — so a gap in the series simply forms no word, in both
+    * engines alike.
+    */
+  def symbolicMotifs(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_millis(ts) div 3600000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val paa = hourly.groupBy(col("t"), expr("hr DIV 8").as("seg"))
+      .agg(sum(col("cnt")).as("v"))
+    val med = paa.groupBy(col("t"))
+      .agg(expr("percentile(2 * v, 0.5D)").as("med2"))
+    val sym = paa.join(broadcast(med), Seq("t"))
+      .select(col("t"), col("seg"),
+        when(col("v") * 2 > col("med2"), 1).otherwise(0).as("s"))
+    val words = sym.as("a")
+      .join(sym.as("b"), col("a.t") === col("b.t") &&
+        col("b.seg") === col("a.seg") + 1)
+      .join(sym.as("c"), col("a.t") === col("c.t") &&
+        col("c.seg") === col("a.seg") + 2)
+      .select(col("a.t").as("t"),
+        (col("a.s") * 4 + col("b.s") * 2 + col("c.s")).as("word"))
+    words.groupBy(col("t"), col("word"))
+      .agg(count(lit(1)).as("n_motifs"))
+      .orderBy(col("t"), col("word"))
+  }
+
+  private val symbolicMotifsOracle =
+    """WITH hourly AS (
+      |  SELECT event_type AS t, epoch_ms(ts) // 3600000 AS hr,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |paa AS (SELECT t, hr // 8 AS seg, SUM(cnt) AS v
+      |        FROM hourly GROUP BY 1, 2),
+      |med AS (SELECT t, quantile_cont(2 * v, 0.5) AS med2 FROM paa GROUP BY 1),
+      |sym AS (
+      |  SELECT paa.t, seg,
+      |         CASE WHEN v * 2 > med2 THEN 1 ELSE 0 END AS s
+      |  FROM paa JOIN med ON med.t = paa.t)
+      |SELECT a.t, a.s * 4 + b.s * 2 + c.s AS word,
+      |       COUNT(*) AS n_motifs
+      |FROM sym a
+      |JOIN sym b ON b.t = a.t AND b.seg = a.seg + 1
+      |JOIN sym c ON c.t = a.t AND c.seg = a.seg + 2
+      |GROUP BY 1, 2 ORDER BY a.t, word""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
     "q_attribution" -> (attribution _),
@@ -1060,6 +1129,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,
     "q_attribution" -> attributionOracle,

@@ -319,4 +319,25 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("symbolic motifs cover every contiguous segment triple") {
+    val m = StatsOps.symbolicMotifs(spark, sfTiny).collect()
+    m.foreach { r =>
+      val w = r.getAs[Int]("word")
+      assert(w >= 0 && w <= 7)
+    }
+    // words form exactly where three consecutive segments exist
+    val segs = Tables.events(spark, sfTiny)
+      .select(col("event_type"), expr("unix_millis(ts) div 3600000 DIV 8"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val perType = m.groupBy(_.getAs[String]("t"))
+      .view.mapValues(_.map(_.getAs[Long]("n_motifs")).sum)
+    perType.foreach { case (t, n) =>
+      val s = segs(t)
+      val triples = s.count(x => s(x + 1) && s(x + 2)).toLong
+      assert(n == triples, s"$t: $n words != $triples contiguous triples")
+    }
+  }
+
 }
