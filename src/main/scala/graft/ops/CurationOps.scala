@@ -931,7 +931,125 @@ object CurationOps {
        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
        |FROM hits GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------- Fellegi–Sunter linkage
+  /** Probabilistic record linkage (Fellegi & Sunter 1969) over the
+    * document store — blocked candidate pairs classified by the
+    * likelihood ratio of their field-agreement pattern, the
+    * entity-resolution layer above the dedup family's pair detectors:
+    * four comparison features (lang equal, source equal, length within
+    * 10 chars, 16-char-prefix edit distance ≤ 4) form a 4-bit pattern
+    * γ, and each pattern's match odds is Π_i m_i/u_i (agreeing
+    * features) · (1−m_i)/(1−u_i) (disagreeing), where m = the
+    * feature's agreement rate among presumed matches and u = among
+    * non-matches. The m-probabilities are estimated from the SimHash
+    * blocking's candidate pairs (the presumed-match set; production FS
+    * refines this with EM), the u-probabilities from a deterministic
+    * shifted-pair sample ((d, (d+N/2) mod N) — the standard
+    * random-pair u estimate, derandomized), both Laplace-smoothed.
+    *
+    * Parity: the classifier never computes a logarithm — the
+    * log-weight sum is equivalent to comparing the odds PRODUCT
+    * against 1, and with Laplace counts every odds is a ratio of two
+    * integer products, evaluated exactly in DECIMAL(38) (Spark) /
+    * HUGEINT (DuckDB): ≈ (nm·nu)⁴ ≤ 10³¹ at sf0.1, documented
+    * DECIMAL(38) ceiling ~3·10⁹ total pairs — re-scale by dividing
+    * common factors past that. The displayed odds is the
+    * correctly-rounded double quotient, identical in both engines.
+    *
+    * Scale shape: feature vectors are two broadcast-ish joins onto the
+    * bounded candidate-pair table (never all pairs); m/u estimation is
+    * one 1-row aggregate each, broadcast back; the report is a 16-row
+    * pattern rollup. The blocking step carries the corpus-scale cost
+    * and is already adjudicated (DedupOps.dedupSimhash).
+    */
+  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        substring(col("text"), 1, 16).as("p16"))
+    def feats(pairs: DataFrame): DataFrame = pairs
+      .join(docs.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("source").as("s1"), col("n_chars").as("c1"), col("p16").as("p1")),
+        Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("source").as("s2"), col("n_chars").as("c2"), col("p16").as("p2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        when(col("l1") === col("l2"), 1L).otherwise(0L).as("g1"),
+        when(col("s1") === col("s2"), 1L).otherwise(0L).as("g2"),
+        when(abs(col("c1") - col("c2")) <= 10, 1L).otherwise(0L).as("g3"),
+        when(levenshtein(col("p1"), col("p2")) <= 4, 1L).otherwise(0L).as("g4"))
+    val mf = feats(DedupOps.simhashPairsMaterialized(spark, sfDir))
+    val nDocs = docs.count() // driver scalar hop (the A6 pattern)
+    val uf = feats(docs.select(col("doc_id").as("d1"),
+      pmod(col("doc_id") + lit(nDocs / 2), lit(nDocs)).as("d2"))
+      .filter(col("d1") =!= col("d2")))
+    def rates(f: DataFrame, p: String): DataFrame =
+      f.agg(count(lit(1)).as(s"n$p"),
+        sum(col("g1")).as(s"${p}1"), sum(col("g2")).as(s"${p}2"),
+        sum(col("g3")).as(s"${p}3"), sum(col("g4")).as(s"${p}4"))
+    def term(p: String, n: String, i: Int): String =
+      s"CAST(CASE WHEN pmod(gamma DIV ${1 << (4 - i)}, 2) = 1 " +
+        s"THEN $p$i + 1 ELSE $n + 1 - $p$i END AS DECIMAL(38, 0))"
+    val num = (1 to 4).map(term("a", "na", _)).mkString(" * ") +
+      " * CAST(nc + 2 AS DECIMAL(38, 0))" * 4
+    val den = (1 to 4).map(term("c", "nc", _)).mkString(" * ") +
+      " * CAST(na + 2 AS DECIMAL(38, 0)) * CAST(na + 2 AS DECIMAL(38, 0))" +
+      " * CAST(na + 2 AS DECIMAL(38, 0)) * CAST(na + 2 AS DECIMAL(38, 0))"
+    mf.select((col("g1") * 8 + col("g2") * 4 + col("g3") * 2 + col("g4"))
+        .as("gamma"))
+      .groupBy(col("gamma")).agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(rates(mf, "a")))
+      .crossJoin(broadcast(rates(uf, "c")))
+      .select(col("gamma"), col("n_pairs"),
+        expr(s"($num) > ($den)").as("is_link"),
+        round(expr(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)"), 6)
+          .as("odds"))
+      .orderBy(col("gamma"))
+  }
+
+  private lazy val recordLinkageOracle = {
+    def gbit(i: Int): String = s"(gamma // ${1 << (4 - i)}) % 2"
+    def term(p: String, n: String, i: Int): String =
+      s"CAST(CASE WHEN ${gbit(i)} = 1 THEN $p$i + 1 " +
+        s"ELSE $n + 1 - $p$i END AS HUGEINT)"
+    val num = (1 to 4).map(term("a", "na", _)).mkString(" * ") +
+      " * CAST((nu + 2) AS HUGEINT)" * 4
+    val den = (1 to 4).map(term("c", "nu", _)).mkString(" * ") +
+      " * CAST((na + 2) AS HUGEINT)" * 4
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+       |                  substr(text, 1, 16) AS p16 FROM documents),
+       |mp AS (SELECT d1, d2 FROM (${DedupOps.dedupSimhashOracle})),
+       |n AS (SELECT COUNT(*) AS nd FROM d),
+       |up AS (SELECT doc_id AS d1, (doc_id + nd // 2) % nd AS d2
+       |       FROM d, n WHERE doc_id <> (doc_id + nd // 2) % nd),
+       |mfe AS (
+       |  SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g1,
+       |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g2,
+       |         CASE WHEN ABS(a.n_chars - b.n_chars) <= 10 THEN 1 ELSE 0 END AS g3,
+       |         CASE WHEN levenshtein(a.p16, b.p16) <= 4 THEN 1 ELSE 0 END AS g4
+       |  FROM mp JOIN d a ON a.doc_id = mp.d1 JOIN d b ON b.doc_id = mp.d2),
+       |ufe AS (
+       |  SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g1,
+       |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g2,
+       |         CASE WHEN ABS(a.n_chars - b.n_chars) <= 10 THEN 1 ELSE 0 END AS g3,
+       |         CASE WHEN levenshtein(a.p16, b.p16) <= 4 THEN 1 ELSE 0 END AS g4
+       |  FROM up JOIN d a ON a.doc_id = up.d1 JOIN d b ON b.doc_id = up.d2),
+       |ma AS (SELECT COUNT(*) AS na, SUM(g1) AS a1, SUM(g2) AS a2,
+       |              SUM(g3) AS a3, SUM(g4) AS a4 FROM mfe),
+       |ua AS (SELECT COUNT(*) AS nu, SUM(g1) AS c1, SUM(g2) AS c2,
+       |              SUM(g3) AS c3, SUM(g4) AS c4 FROM ufe),
+       |pat AS (SELECT g1 * 8 + g2 * 4 + g3 * 2 + g4 AS gamma,
+       |               COUNT(*) AS n_pairs
+       |        FROM mfe GROUP BY 1)
+       |SELECT gamma, n_pairs, ($num) > ($den) AS is_link,
+       |       ROUND(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 6)
+       |         AS odds
+       |FROM pat CROSS JOIN ma CROSS JOIN ua
+       |ORDER BY gamma""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_record_linkage" -> (recordLinkage _),
     "q_feature_hash" -> (featureHash _),
     "q_quantile_norm" -> (quantileNorm _),
     "q_lift_table" -> (liftTable _),
@@ -950,6 +1068,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_record_linkage" -> recordLinkageOracle,
     "q_feature_hash" -> featureHashOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_lift_table" -> liftTableOracle,

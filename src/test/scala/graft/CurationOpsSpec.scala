@@ -375,4 +375,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("record linkage partitions candidates and ranks patterns sanely") {
+    val rl = graft.ops.CurationOps.recordLinkage(spark, sfTiny).collect()
+    val nCand = graft.ops.DedupOps.dedupSimhash(spark, sfTiny).count()
+    assert(rl.map(_.getAs[Long]("n_pairs")).sum == nCand,
+      "patterns must partition the candidate set")
+    rl.foreach { r =>
+      val odds = r.getAs[Double]("odds")
+      assert(odds > 0.0)
+      // classifier and displayed odds agree away from the boundary
+      if (odds > 1.01) assert(r.getAs[Boolean]("is_link"))
+      if (odds < 0.99) assert(!r.getAs[Boolean]("is_link"))
+    }
+    // full agreement beats full disagreement wherever both occur
+    val byGamma = rl.map(r => r.getAs[Int]("gamma") -> r.getAs[Double]("odds")).toMap
+    for (hi <- byGamma.get(15); lo <- byGamma.get(0)) assert(hi > lo)
+  }
+
 }
