@@ -235,7 +235,13 @@ object RetrievalOps {
           col("rel"), col("mmr"))).as("w"))
         .select(col("qid"), lit(step.toLong).as("step"),
           col("w.cid").as("cid"), col("w.rel").as("rel"), col("w.mmr").as("mmr"))
+    // each iteration's maxsim reads `selected`, and the final result
+    // unions every step — without a per-iteration checkpoint the union
+    // re-executes step i's joins once per later step (the iterative-
+    // loop lesson); the frame is ≤ 5 rows per query, so the
+    // checkpoint is free
     var selected = argmax(pool.withColumn("mmr", col("rel")), 1)
+      .localCheckpoint()
     for (step <- 2 to MmrOut) {
       val maxsim = sims
         .join(selected.select(col("qid"), col("cid").as("c2")), Seq("qid", "c2"))
@@ -246,7 +252,7 @@ object RetrievalOps {
         .join(maxsim, Seq("qid", "cid"))
         .withColumn("mmr",
           lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("ms"))
-      selected = selected.union(argmax(scored, step))
+      selected = selected.union(argmax(scored, step)).localCheckpoint()
     }
     selected
       .select(col("qid"), col("step"), col("cid"),

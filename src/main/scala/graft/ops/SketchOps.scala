@@ -130,7 +130,10 @@ object SketchOps {
     * path in codegen'd hash aggregates.)
     */
   def kmvJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = cells(spark, sfDir)
+    // the cell frame feeds the sketch, the type list, the sizes, and
+    // both sides of the exact-witness join — checkpoint the 64×-
+    // collapsed frame once instead of rescanning events five times
+    val c = cells(spark, sfDir).localCheckpoint()
     val hashes = c.select(col("t"),
       Parity.mixBucket(col("cell"), 2654435761L, 4294967296L).as("h"))
     // histogram prefilter: cutoff bucket per type, then exact bottom-k
