@@ -735,7 +735,66 @@ object CatalogOps {
        |ORDER BY t""".stripMargin
   }
 
+  // ------------------------------------------ join-cardinality estimate
+  /** Join-size estimation by hashed key sampling — what a cost-based
+    * optimizer's stats layer computes before committing to a join
+    * order: the self-join fan-out |lineitem ⋈ lineitem on partkey| =
+    * Σ_k c_k² is estimated from only the keys whose house hash lands
+    * in a 5%-of-domain sample (Horvitz–Thompson: scale the sampled
+    * Σ c_k² by 20), and reported NEXT TO the exact value with the
+    * relative error on the e6 lattice — the audit that tells you
+    * whether the sample rate is adequate before trusting the estimate
+    * on a join you can't afford to run.
+    *
+    * Key-hash (not row-) sampling is the part that matters: sampling
+    * ROWS at rate p biases Σc² by ~p² per key; sampling the KEY DOMAIN
+    * keeps every surviving key's count exact, so the estimator is
+    * unbiased over the hash draw — and the derandomized house hash
+    * makes the draw reproducible in both engines.
+    *
+    * Scale shape: the exact side is one (key)-count aggregation (the
+    * join itself is never executed — Σc² IS its cardinality); the
+    * estimate side filters the SAME aggregate map-side to ~5% of keys.
+    * At 100 TB the estimate pass reads 5% of the key space and the
+    * exact pass exists only because this is an audit — production
+    * keeps just the sampled sketch.
+    */
+  def joinCardEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .withColumn("sampled",
+        graft.ops.Parity.mixBucket(col("l_partkey"), 2654435761L, 100L) < 5)
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled_keys"),
+        sum(col("c") * col("c")).as("true_pairs"),
+        (sum(when(col("sampled"), col("c") * col("c")).otherwise(0L)) * 20L)
+          .as("est_pairs"))
+      .select(col("n_keys"), col("n_sampled_keys"), col("true_pairs"),
+        col("est_pairs"),
+        expr("abs(est_pairs - true_pairs) * 1000000 DIV true_pairs")
+          .as("rel_err_e6"))
+  }
+
+  private val joinCardEstOracle = {
+    val h = graft.ops.Parity.mixBucketSql("l_partkey", 2654435761L, 100L)
+    s"""WITH c AS (
+       |  SELECT l_partkey, COUNT(*) AS c,
+       |         CASE WHEN $h < 5 THEN 1 ELSE 0 END AS sampled
+       |  FROM lineitem GROUP BY 1)
+       |SELECT COUNT(*) AS n_keys,
+       |       CAST(SUM(sampled) AS BIGINT) AS n_sampled_keys,
+       |       CAST(SUM(c * c) AS BIGINT) AS true_pairs,
+       |       CAST(SUM(CASE WHEN sampled = 1 THEN c * c ELSE 0 END) * 20
+       |            AS BIGINT) AS est_pairs,
+       |       ABS(CAST(SUM(CASE WHEN sampled = 1 THEN c * c ELSE 0 END) * 20
+       |                AS BIGINT) - CAST(SUM(c * c) AS BIGINT)) * 1000000
+       |         // CAST(SUM(c * c) AS BIGINT) AS rel_err_e6
+       |FROM c""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_card_est" -> (joinCardEst _),
     "q_t_closeness" -> (tCloseness _),
     "q_randomized_response" -> (randomizedResponse _),
     "q_skew_report" -> (skewReport _),
@@ -752,6 +811,7 @@ object CatalogOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_card_est" -> joinCardEstOracle,
     "q_t_closeness" -> tClosenessOracle,
     "q_randomized_response" -> randomizedResponseOracle,
     "q_skew_report" -> skewReportOracle,

@@ -1104,8 +1104,79 @@ object StatsOps {
       |JOIN sym c ON c.t = a.t AND c.seg = a.seg + 2
       |GROUP BY 1, 2 ORDER BY a.t, word""".stripMargin
 
+  // ---------------------------------------------- off-policy evaluation
+  /** Off-policy evaluation by replay (Li et al. 2011's IPS estimator
+    * and its self-normalized variant) — the counterfactual question a
+    * decision system asks its logs: "had we always played the best
+    * action, what reward would we have seen?" The logged events are
+    * treated as uniform-propensity decisions (action = event type,
+    * reward = the event's cent value): the policy is chosen on the
+    * TRAIN half of the days (argmax total reward, id tiebreak), and
+    * evaluated on the EVAL half by inverse-propensity scoring —
+    * V̂_IPS = (K/n_eval)·Σ_matched r — next to the self-normalized
+    * V̂_SNIPS = Σ_matched r / n_matched, whose constant weights cancel.
+    * Both sit on the exact cent lattice (one floor division each).
+    *
+    * Scale shape: one (action)-keyed aggregation over train, one
+    * 1-row argmax broadcast back, one conditional aggregation over
+    * eval. The temporal split is a partition-pruning predicate at
+    * 100 TB (day-partitioned events), not a shuffle.
+    */
+  def ipsEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type").as("action"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("r_c"))
+    val cut = ev.agg((min(col("day")) + lit(15L)).as("cut"))
+    val split = ev.crossJoin(broadcast(cut))
+    val chosen = split.filter(col("day") < col("cut"))
+      .groupBy(col("action")).agg(sum(col("r_c")).as("train_r_c"))
+      .agg(max(struct(col("train_r_c"), col("action"))).as("w"))
+      .select(col("w.action").as("pi_action"),
+        col("w.train_r_c").as("train_r_c"))
+    split.filter(col("day") >= col("cut"))
+      .crossJoin(broadcast(chosen))
+      .groupBy(col("pi_action"), col("train_r_c"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("action") === col("pi_action"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("action") === col("pi_action"), col("r_c")).otherwise(0L))
+          .as("m_r_c"))
+      .select(col("pi_action"), col("train_r_c"), col("n_eval"),
+        col("n_matched"), col("m_r_c"),
+        expr("m_r_c * 5 DIV n_eval").as("ips_c"),
+        expr("m_r_c DIV NULLIF(n_matched, 0)").as("snips_c"))
+  }
+
+  private val ipsEvalOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS action, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS r_c
+      |  FROM events),
+      |cut AS (SELECT MIN(day) + 15 AS cut FROM ev),
+      |chosen AS (
+      |  SELECT action AS pi_action, train_r_c FROM (
+      |    SELECT action, SUM(r_c) AS train_r_c FROM ev, cut
+      |    WHERE day < cut GROUP BY action)
+      |  ORDER BY train_r_c DESC, action DESC LIMIT 1)
+      |SELECT pi_action, train_r_c, COUNT(*) AS n_eval,
+      |       CAST(SUM(CASE WHEN action = pi_action THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_matched,
+      |       CAST(SUM(CASE WHEN action = pi_action THEN r_c ELSE 0 END)
+      |            AS BIGINT) AS m_r_c,
+      |       CAST(SUM(CASE WHEN action = pi_action THEN r_c ELSE 0 END)
+      |            AS BIGINT) * 5 // COUNT(*) AS ips_c,
+      |       CAST(SUM(CASE WHEN action = pi_action THEN r_c ELSE 0 END)
+      |            AS BIGINT)
+      |         // NULLIF(CAST(SUM(CASE WHEN action = pi_action THEN 1
+      |                               ELSE 0 END) AS BIGINT), 0) AS snips_c
+      |FROM ev CROSS JOIN cut CROSS JOIN chosen
+      |WHERE day >= cut
+      |GROUP BY pi_action, train_r_c""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ips_eval" -> (ipsEval _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
@@ -1129,6 +1200,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ips_eval" -> ipsEvalOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,

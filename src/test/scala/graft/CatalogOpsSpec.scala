@@ -82,4 +82,17 @@ class CatalogOpsSpec extends SparkSpec {
     }
   }
 
+  test("join cardinality estimate: exact side equals the executed join") {
+    val r = CatalogOps.joinCardEst(spark, sfTiny).collect().head
+    val li = Tables.lineitem(spark, sfTiny).select(col("l_partkey"))
+    val real = li.join(li.withColumnRenamed("l_partkey", "k2"),
+      col("l_partkey") === col("k2")).count()
+    assert(r.getAs[Long]("true_pairs") == real,
+      "sum of squared counts must equal the executed self-join size")
+    assert(r.getAs[Long]("n_sampled_keys") <= r.getAs[Long]("n_keys"))
+    // 5% hash sample at sfTiny is noisy but must stay within 3x
+    val est = r.getAs[Long]("est_pairs").toDouble
+    assert(est > real / 3.0 && est < real * 3.0, s"est $est vs $real")
+  }
+
 }

@@ -340,4 +340,18 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("ips replay: matched share is ~1/K and estimators stay on-lattice") {
+    val r = StatsOps.ipsEval(spark, sfTiny).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nEval = row.getAs[Long]("n_eval")
+    val nMatched = row.getAs[Long]("n_matched")
+    // uniform logging over 5 actions: matched fraction within [0.1, 0.3]
+    assert(nMatched * 10 > nEval && nMatched * 10 < nEval * 3)
+    assert(row.getAs[Long]("ips_c") ==
+      row.getAs[Long]("m_r_c") * 5 / nEval)
+    assert(row.getAs[Long]("snips_c") ==
+      row.getAs[Long]("m_r_c") / nMatched)
+  }
+
 }
