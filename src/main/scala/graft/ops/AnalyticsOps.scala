@@ -1478,7 +1478,71 @@ object AnalyticsOps {
       |FROM per_user GROUP BY longest_streak
       |ORDER BY longest_streak""".stripMargin
 
+  // ----------------------------------------------- calendar gap-fill
+  /** Calendar scaffold + last-observation-carried-forward — the
+    * warehouse idiom for sparse series (a high-value-transaction
+    * feed here: per-type daily cent totals of value ≥ 300 events,
+    * which leaves most calendar days empty): GENERATE the full
+    * per-type calendar from the stream's global day bounds
+    * (`sequence` + explode — rows that never existed in the source),
+    * left-join the observations onto it, and carry the last observed
+    * total forward with an ignoreNulls running `last` (leading gap =
+    * 0). Every row keeps the observed/filled flag, so downstream
+    * consumers can weight accordingly.
+    *
+    * Scale shape: the observation side collapses in one aggregation;
+    * the scaffold is |entities| × |calendar| rows built by a
+    * generator, not a shuffle; the LOCF window is per entity, bounded
+    * by the calendar length (30 here — dashboards rarely scaffold
+    * more than a few thousand days). The day bounds are a 1-row
+    * aggregate broadcast into the generator (the A6 scalar-inject
+    * pattern).
+    */
+  def calendarFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        col("value"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val obs = ev.filter(col("value") >= 300)
+      .groupBy(col("t"), col("day")).agg(sum(col("c")).as("c"))
+    val scaffold = obs.select(col("t")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("t"), explode(expr("sequence(d0, d1)")).as("day"))
+    scaffold.join(obs, Seq("t", "day"), "left")
+      .withColumn("filled", col("c").isNull)
+      .withColumn("v_c", coalesce(
+        last(col("c"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+            .orderBy(col("day"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+        lit(0L)))
+      .select(col("t"), col("day"), col("v_c"), col("filled"))
+      .orderBy(col("t"), col("day"))
+  }
+
+  private val calendarFillOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS c, value
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |obs AS (SELECT t, day, SUM(c) AS c FROM ev
+      |        WHERE value >= 300 GROUP BY 1, 2),
+      |scaffold AS (
+      |  SELECT t, UNNEST(range(d0, d1 + 1)) AS day
+      |  FROM (SELECT DISTINCT t FROM obs), b)
+      |SELECT s.t, s.day,
+      |       COALESCE(last_value(o.c IGNORE NULLS) OVER (
+      |         PARTITION BY s.t ORDER BY s.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS v_c,
+      |       o.c IS NULL AS filled
+      |FROM scaffold s LEFT JOIN obs o ON o.t = s.t AND o.day = s.day
+      |ORDER BY s.t, s.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_calendar_fill" -> (calendarFill _),
     "q_streaks" -> (streaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_decayed_sum" -> (decayedSum _),
@@ -1513,6 +1577,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_calendar_fill" -> calendarFillOracle,
     "q_streaks" -> streaksOracle,
     "q_peak_concurrency" -> peakConcurrencyOracle,
     "q_decayed_sum" -> decayedSumOracle,

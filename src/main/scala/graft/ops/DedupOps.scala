@@ -1084,7 +1084,98 @@ object DedupOps {
        |FROM per_doc p LEFT JOIN st s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- LSH tuning sweep
+  /** LSH band/row parameter sweep — the design-time audit behind every
+    * (bands × rows) choice in the minhash family: the SAME 16-hash
+    * signatures banded three ways ((8,2): permissive, (4,4): the
+    * production config, (2,8): strict), each config's candidate set
+    * scored for precision and recall against the verified-Jaccard
+    * truth (pairs with J ≥ 0.5 from [[dedupMinhash]]'s full verify —
+    * the materialized table, not a re-derivation). The S-curve
+    * tradeoff lands in one 3-row table: more bands → recall up,
+    * precision down — measured, not assumed, before a 100 TB run
+    * commits to a config.
+    *
+    * Scale shape: signatures compute once (map-side kernel) and are
+    * checkpointed tiny (17 ints per doc); each config is one banded
+    * self-join — the same bounded-bucket shape as the production
+    * pipeline — and the truth join touches only candidate pairs. The
+    * sweep costs ≈ 3× the candidate stage, not 3× the corpus.
+    */
+  def lshTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(shingleArrays(Tables.documents(spark, sfDir)))
+      .localCheckpoint()
+    val truth = dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def config(bandSize: Int): DataFrame = {
+      val numBands = graft.functions.SigKernels.NumHashes / bandSize
+      val banded = sig.select(col("doc_id"), explode(expr(
+        (0 until numBands).map(b =>
+          s"named_struct('band', $b, " +
+            (0 until bandSize).map(j => s"'v$j', m${b * bandSize + j}")
+              .mkString(", ") + ")")
+          .mkString("array(", ",", ")"))).as("bb"))
+        .select(col("doc_id") +: col("bb.band").as("band") +:
+          (0 until bandSize).map(j => col(s"bb.v$j").as(s"v$j")): _*)
+      val keys = Seq("band") ++ (0 until bandSize).map(j => s"v$j")
+      banded.as("x").join(banded.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .join(truth.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(numBands.toLong).as("n_bands"),
+          lit(bandSize.toLong).as("rows_per_band"),
+          col("n_cand"), col("n_hits"))
+    }
+    Seq(2, 4, 8).map(config).reduce(_ union _)
+      .crossJoin(broadcast(nTruth))
+      .select(col("n_bands"), col("rows_per_band"), col("n_cand"),
+        col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000 DIV NULLIF(n_cand, 0)").as("precision_e6"),
+        expr("n_hits * 1000000 DIV n_truth").as("recall_e6"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  private lazy val lshTuningOracle = {
+    def bandConds(bandSize: Int): String = {
+      val numBands = graft.functions.SigKernels.NumHashes / bandSize
+      (0 until numBands).map(b =>
+        (0 until bandSize).map(j =>
+          s"a.m${b * bandSize + j} = b.m${b * bandSize + j}")
+          .mkString("(", " AND ", ")")).mkString(" OR ")
+    }
+    val minCols = (0 until graft.functions.SigKernels.NumHashes).map(i =>
+      s"MIN((${hA(i)} * h31 + ${hB(i)}) % $MersP) AS m$i").mkString(", ")
+    val configs = Seq(2, 4, 8).map { bs =>
+      val nb = graft.functions.SigKernels.NumHashes / bs
+      s"""SELECT $nb AS n_bands, $bs AS rows_per_band,
+         |  (SELECT COUNT(*) FROM
+         |     (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b
+         |      ON a.doc_id < b.doc_id AND (${bandConds(bs)}))) AS n_cand,
+         |  (SELECT COUNT(*) FROM
+         |     (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b
+         |      ON a.doc_id < b.doc_id AND (${bandConds(bs)})) c
+         |   JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (
+       |  SELECT doc_id, $minCols
+       |  FROM (SELECT doc_id, $h31Sql AS h31 FROM sh)
+       |  GROUP BY doc_id),
+       |truth AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |cfg AS ($configs)
+       |SELECT n_bands, rows_per_band, n_cand,
+       |       (SELECT COUNT(*) FROM truth) AS n_truth, n_hits,
+       |       n_hits * 1000000 // NULLIF(n_cand, 0) AS precision_e6,
+       |       n_hits * 1000000 // (SELECT COUNT(*) FROM truth) AS recall_e6
+       |FROM cfg ORDER BY rows_per_band""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning" -> (lshTuning _),
     "q_repeated_substrings" -> (repeatedSubstrings _),
     "q_containment" -> (containmentDedup _),
     "q_cross_source_dups" -> (crossSourceDups _),
@@ -1102,6 +1193,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lsh_tuning" -> lshTuningOracle,
     "q_repeated_substrings" -> repeatedSubstringsOracle,
     "q_containment" -> containmentDedupOracle,
     "q_cross_source_dups" -> crossSourceDupsOracle,

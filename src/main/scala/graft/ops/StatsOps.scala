@@ -1175,7 +1175,66 @@ object StatsOps {
       |GROUP BY pi_action, train_r_c""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------- post-stratification
+  /** Post-stratified metric estimation — the survey-statistics
+    * correction an eval pipeline applies when the judged subset's
+    * composition drifts from the population's: the eval docs (every
+    * 7th) carry a mean score (chars) whose language mix differs from
+    * the corpus; the post-stratified estimate reweights each
+    * language's eval mean by the POPULATION share,
+    * ps = Σ_s (N_s/N)·(sum_s/n_s), removing the composition bias.
+    * Per-language rows carry both weights; the naive and
+    * post-stratified totals ride every row (the summary-broadcast
+    * pattern), each term floored once on the e6 lattice so both
+    * engines sum identical integers.
+    *
+    * Scale shape: two hash aggregations (population census, eval
+    * census) joined on the stratum key, one 1-row rollup broadcast
+    * back. Strata counts are the only thing that ever shuffles.
+    */
+  def postStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pop = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+    val ev = docs.filter(col("doc_id") % 7 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("n_chars")).as("sum_eval"))
+    val strata = pop.join(ev, Seq("lang"))
+      .crossJoin(broadcast(pop.agg(sum(col("n_pop")).as("n_tot"))))
+      .withColumn("term_e6",
+        expr("n_pop * sum_eval * 1000000 DIV (n_tot * n_eval)"))
+    val totals = strata.agg(
+      sum(col("n_eval")).as("ne_tot"), sum(col("sum_eval")).as("se_tot"),
+      sum(col("term_e6")).as("ps_e6"))
+      .select(expr("se_tot * 1000000 DIV ne_tot").as("naive_e6"),
+        col("ps_e6"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_pop"), col("n_eval"),
+        expr("sum_eval * 1000000 DIV n_eval").as("mean_eval_e6"),
+        col("term_e6"), col("naive_e6"), col("ps_e6"))
+      .orderBy(col("lang"))
+  }
+
+  private val postStratifiedOracle =
+    """WITH pop AS (SELECT lang, COUNT(*) AS n_pop FROM documents GROUP BY 1),
+      |ev AS (SELECT lang, COUNT(*) AS n_eval, SUM(n_chars) AS sum_eval
+      |       FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
+      |t AS (SELECT SUM(n_pop) AS n_tot FROM pop),
+      |strata AS (
+      |  SELECT lang, n_pop, n_eval, sum_eval,
+      |         n_pop * sum_eval * 1000000 // (n_tot * n_eval) AS term_e6
+      |  FROM pop JOIN ev USING (lang) CROSS JOIN t),
+      |tot AS (
+      |  SELECT SUM(sum_eval) * 1000000 // SUM(n_eval) AS naive_e6,
+      |         SUM(term_e6) AS ps_e6
+      |  FROM strata)
+      |SELECT lang, n_pop, n_eval,
+      |       sum_eval * 1000000 // n_eval AS mean_eval_e6,
+      |       term_e6, naive_e6, ps_e6
+      |FROM strata CROSS JOIN tot
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_post_stratified" -> (postStratified _),
     "q_ips_eval" -> (ipsEval _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
@@ -1200,6 +1259,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_post_stratified" -> postStratifiedOracle,
     "q_ips_eval" -> ipsEvalOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,

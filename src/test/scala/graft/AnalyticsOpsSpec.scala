@@ -499,4 +499,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(recency >= 62500L && recency <= 1000000L, s"recency $recency")
     }
   }
+  test("calendar fill scaffolds every day and LOCF carries values") {
+    val rows = graft.ops.AnalyticsOps.calendarFill(spark, sfTiny).collect()
+    val byT = rows.groupBy(_.getAs[String]("t"))
+    byT.values.foreach { series =>
+      val days = series.map(_.getAs[Long]("day")).sorted
+      // a contiguous calendar, no holes
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        "scaffold must be gapless")
+      // LOCF: a filled day repeats the previous day's value
+      val byDay = series.map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("v_c"), r.getAs[Boolean]("filled"))).toMap
+      byDay.foreach { case (d, (v, filled)) =>
+        if (filled) byDay.get(d - 1).foreach { case (pv, _) =>
+          assert(v == pv, s"filled day $d must carry $pv, got $v") }
+      }
+      // observed days match the source
+      assert(series.exists(!_.getAs[Boolean]("filled")),
+        "each scaffolded type has at least one observation")
+    }
+  }
+
 }

@@ -303,4 +303,21 @@ class DedupSpec extends SparkSpec {
         s"cluster $cluster total_chars $total inconsistent with canon")
     }
   }
+  test("lsh sweep: candidate sets nest as bands widen, recall never rises with rows") {
+    val rows = graft.ops.DedupOps.lshTuning(spark, sfTiny).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+    }
+    // fewer rows per band = strictly more permissive: (8,2)-candidates
+    // include every (4,4) candidate pair count-wise, likewise (2,8)
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"candidate counts must be monotone: ${cands.toSeq}")
+    val recalls = rows.map(_.getAs[Long]("recall_e6"))
+    assert(recalls(0) >= recalls(1) && recalls(1) >= recalls(2))
+  }
+
 }

@@ -354,4 +354,19 @@ class StatsOpsSpec extends SparkSpec {
       row.getAs[Long]("m_r_c") / nMatched)
   }
 
+  test("post-stratification reweights toward the population mix") {
+    val rows = StatsOps.postStratified(spark, sfTiny).collect()
+    val nPop = Tables.documents(spark, sfTiny).count()
+    // population shares cover the whole corpus (every lang is judged here)
+    assert(rows.map(_.getAs[Long]("n_pop")).sum == nPop)
+    val ps = rows.head.getAs[Long]("ps_e6")
+    val naive = rows.head.getAs[Long]("naive_e6")
+    // both estimates are within the per-language mean envelope
+    val means = rows.map(_.getAs[Long]("mean_eval_e6"))
+    for (est <- Seq(ps, naive)) {
+      assert(est >= means.min - rows.length && est <= means.max + rows.length)
+    }
+    assert(rows.map(_.getAs[Long]("ps_e6")).distinct.length == 1)
+  }
+
 }
