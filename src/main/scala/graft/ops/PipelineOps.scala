@@ -969,8 +969,12 @@ object PipelineOps {
       .select(col("o_orderpriority").as("category"),
         Parity.mixBucket(col("o_orderkey"), 2654435761L, 5L).as("fold"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // category×K rows; checkpointing makes the category and global
+    // rollups read THIS frame instead of re-executing the fact scan
+    // (three scans of orders otherwise — pinned to one in PlanSpec)
     val perFold = o.groupBy(col("category"), col("fold"))
       .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+      .localCheckpoint()
     val perCat = perFold.groupBy(col("category"))
       .agg(sum(col("n_f")).as("n_cat"), sum(col("s_f")).as("s_cat"))
     val tot = perCat.agg(sum(col("n_cat")).as("n_tot"), sum(col("s_cat")).as("s_tot"))

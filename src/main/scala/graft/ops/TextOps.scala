@@ -1038,27 +1038,37 @@ object TextOps {
     * document-level dedup family.
     *
     * Scale shape: one distinct over (source, gram), then the
-    * first-seen owner per gram is `min(source)` — a PARTIAL-AGGREGABLE
-    * min, so a boilerplate gram repeated 10⁸ times collapses map-side
-    * (the span-dedup skew lesson applied at birth, not retrofitted) —
-    * joined back on the gram key and rolled up per source. Gram
-    * strings ride the shuffles; at 100 TB swap them for their 60-bit
-    * md5 prefix (the [[graft.ops.DedupOps]] idiom) and the plan shape
-    * is unchanged.
+    * first-seen owner per gram is a PARTIAL-AGGREGABLE numeric min,
+    * so a boilerplate gram repeated 10⁸ times collapses map-side (the
+    * span-dedup skew lesson applied at birth, not retrofitted) —
+    * joined back on the gram key and rolled up per source. The min
+    * runs over a numeric RANK of the source (a broadcast 20-row
+    * dimension), not the source string itself: `min(string)` carries
+    * a varlen buffer and plans as SortAggregate (the round-4/5 trap,
+    * pinned in PlanSpec), while `min(int)` stays in hash aggregation.
+    * Gram strings ride the shuffles; at 100 TB swap them for their
+    * 60-bit md5 prefix (the [[graft.ops.DedupOps]] idiom) and the
+    * plan shape is unchanged.
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sg = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val srcDim = docs.select(col("source")).distinct()
+      .withColumn("src_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))))
+    val sg = docs
       .withColumn("w", split(col("text"), " "))
       .select(col("source"), explode(
         when(size(col("w")) >= 8,
           expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
           .otherwise(array().cast("array<string>"))).as("gram"))
       .distinct()
-    val firstSeen = sg.groupBy(col("gram")).agg(min(col("source")).as("first_src"))
+      .join(broadcast(srcDim), Seq("source"))
+    val firstSeen = sg.groupBy(col("gram"))
+      .agg(min(col("src_rank")).as("first_rank"))
     sg.join(firstSeen, Seq("gram"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_src") === col("source"), 1L).otherwise(0L))
+        sum(when(col("first_rank") === col("src_rank"), 1L).otherwise(0L))
           .as("n_novel"))
       .select(col("source"), col("n_grams"), col("n_novel"),
         expr("n_novel * 1000000 DIV n_grams").as("novelty_e6"))

@@ -305,4 +305,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"),
       s"keep-first fell back to sort aggregation:\n$plan")
   }
+  test("ngram novelty: first-seen owner is a hash-aggregated numeric min") {
+    val plan = executed(graft.ops.TextOps.ngramNovelty(spark, sfTiny))
+    // min over the numeric source rank must stay in hash aggregation —
+    // min(string) would plan the varlen-buffer SortAggregate
+    assert(!plan.contains("SortAggregate"),
+      s"first-seen min must stay hash-aggregable:\n$plan")
+    // the only window is the 20-row source-dimension ranking — nothing
+    // may window over the gram key
+    assert(!"Window \\[[^\\]]*gram".r.findFirstIn(plan).isDefined,
+      s"no window over grams allowed:\n$plan")
+  }
+
+  test("target encoding: single fact scan, no window, broadcast stat joins") {
+    val plan = executed(PipelineOps.targetEncode(spark, sfTiny))
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"per-category stats must broadcast back:\n$plan")
+    // the checkpointed per-fold frame feeds both rollups: one scan
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"orders must not be rescanned per rollup:\n$plan")
+  }
+
+  test("bitmap segments: masks partial-aggregate before the exchange") {
+    val plan = formatted(graft.ops.SketchOps.bitmapSegments(spark, sfTiny))
+    // bit_or aggregate appears in a partial mode (map-side combine)
+    assert(plan.contains("HashAggregate"), s"expected hash aggregates:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"bit_or must stay in HashAggregate:\n$plan")
+  }
+
 }
