@@ -1541,7 +1541,62 @@ object AnalyticsOps {
       |FROM scaffold s LEFT JOIN obs o ON o.t = s.t AND o.day = s.day
       |ORDER BY s.t, s.day""".stripMargin
 
+  // ------------------------------------------------------ path mining
+  /** Clickstream path mining — the product-analytics question the
+    * fixed-steps funnels ([[windowFunnel]] and friends) can't answer:
+    * WHICH journeys actually happen. Each (user, day) with at least
+    * three events contributes its first three event types (by
+    * timestamp, id tiebreak) as a path "a>b>c"; the report is the
+    * top-20 paths by frequency. Discovery, where funnels are
+    * measurement.
+    *
+    * Scale shape: the ranking window partitions by (user, day) —
+    * bounded session-sized groups, the sanctioned sessionization
+    * shape, never a global sort; the three steps pivot with
+    * conditional max (one hash aggregation), paths count in a second,
+    * and the top-20 is TakeOrdered (partial per partition, never a
+    * full sort).
+    */
+  def pathMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 3)
+    ranked.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_steps"),
+        max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .filter(col("n_steps") === 3)
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path"))
+      .limit(20)
+  }
+
+  private val pathMiningOracle =
+    """WITH ranked AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
+      |         row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 86400000
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, day,
+      |         MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+      |         MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+      |         MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+      |  FROM ranked WHERE rn <= 3
+      |  GROUP BY 1, 2 HAVING COUNT(*) = 3)
+      |SELECT path, COUNT(*) AS n_journeys
+      |FROM paths GROUP BY path
+      |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_path_mining" -> (pathMining _),
     "q_calendar_fill" -> (calendarFill _),
     "q_streaks" -> (streaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
@@ -1577,6 +1632,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_path_mining" -> pathMiningOracle,
     "q_calendar_fill" -> calendarFillOracle,
     "q_streaks" -> streaksOracle,
     "q_peak_concurrency" -> peakConcurrencyOracle,

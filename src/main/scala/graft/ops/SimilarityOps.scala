@@ -913,7 +913,80 @@ object SimilarityOps {
        |GROUP BY tr.d, tr.qid ORDER BY tr.d, tr.qid""".stripMargin
   }
 
+  // ------------------------------------------------- embedding drift
+  /** Embedding-drift monitor — the index-maintenance alarm a vector
+    * store runs between snapshots (old model vs re-embedded, last
+    * month's corpus vs this month's): per label, the CENTROIDS of the
+    * even-id and odd-id halves (standing in for the two snapshots)
+    * compared by cosine, with both centroid norms and half sizes in
+    * the row. A centroid cosine well below 1 says the space moved and
+    * the IVF/PQ index built on the old snapshot is stale — re-train
+    * before recall quietly decays (this near-random fixture sits far
+    * from 1 by construction; real embedding spaces hover near 0.99+).
+    *
+    * Parity: centroids are 6 dp-rounded per-dimension means (the
+    * [[kmeansRefine]] convention) reassembled in dimension order, and
+    * the cosine is the module's sequential-fold dot — bit-identical
+    * in both engines.
+    *
+    * Scale shape: one posexplode + (label, dim) hash aggregation per
+    * half — the corpus never shuffles whole vectors, only (label,
+    * dim, partial-sum) cells — then a label-keyed join of two
+    * label-count-sized frames. The same plan at 10⁹ vectors.
+    */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    def half(even: Boolean): DataFrame = {
+      val h = e.filter(pmod(col("vec_id"), lit(2)) === (if (even) 0 else 1))
+      val cent = h.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("cval"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
+          .as("cv"))
+      h.groupBy(col("label")).agg(count(lit(1)).as("n")).join(cent, Seq("label"))
+    }
+    val o = half(even = true)
+      .select(col("label"), col("n").as("n_old"), col("cv").as("cvo"))
+    val n = half(even = false)
+      .select(col("label"), col("n").as("n_new"), col("cv").as("cvn"))
+    o.join(n, Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(expr("vec_dot(cvo, cvn)") /
+          (sqrt(expr("vec_dot(cvo, cvo)")) * sqrt(expr("vec_dot(cvn, cvn)"))), 6)
+          .as("centroid_cos"),
+        round(sqrt(expr("vec_dot(cvo, cvo)")), 6).as("norm_old"),
+        round(sqrt(expr("vec_dot(cvn, cvn)")), 6).as("norm_new"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val embeddingDriftOracle = {
+    def centCte(par: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT c.label, s.n, list(c.cval ORDER BY c.pos) AS cv
+         |  FROM (
+         |    SELECT label, i AS pos,
+         |           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS cval
+         |    FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
+         |    WHERE vec_id % 2 = $par GROUP BY label, i) c
+         |  JOIN (SELECT label, COUNT(*) AS n FROM embeddings
+         |        WHERE vec_id % 2 = $par GROUP BY 1) s ON s.label = c.label
+         |  GROUP BY c.label, s.n)""".stripMargin
+    s"""WITH ${centCte(0, "o")}, ${centCte(1, "n")}
+       |SELECT o.label, CAST(o.n AS BIGINT) AS n_old, CAST(n.n AS BIGINT) AS n_new,
+       |       ROUND(${dotSql("o.cv", "n.cv")} /
+       |             (sqrt(${dotSql("o.cv", "o.cv")}) * sqrt(${dotSql("n.cv", "n.cv")})), 6)
+       |         AS centroid_cos,
+       |       ROUND(sqrt(${dotSql("o.cv", "o.cv")}), 6) AS norm_old,
+       |       ROUND(sqrt(${dotSql("n.cv", "n.cv")}), 6) AS norm_new
+       |FROM o JOIN n ON n.label = o.label
+       |ORDER BY o.label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> (embeddingDrift _),
     "q_random_projection" -> (randomProjection _),
     "q_knn_classify" -> (knnClassify _),
     "q_matryoshka" -> (matryoshka _),
@@ -929,6 +1002,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embedding_drift" -> embeddingDriftOracle,
     "q_random_projection" -> randomProjectionOracle,
     "q_knn_classify" -> knnClassifyOracle,
     "q_matryoshka" -> matryoshkaOracle,

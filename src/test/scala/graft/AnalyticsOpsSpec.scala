@@ -520,4 +520,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("path mining counts every 3+-event user-day exactly once") {
+    val paths = graft.ops.AnalyticsOps.pathMining(spark, sfTiny).collect()
+    paths.foreach { r =>
+      val p = r.getAs[String]("path").split(">")
+      assert(p.length == 3, s"path must have 3 steps: ${r.getAs[String]("path")}")
+    }
+    // journeys counted <= user-days with >= 3 events (top-20 may truncate)
+    val eligible = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000"))
+      .count().filter(col("count") >= 3).count()
+    assert(paths.map(_.getAs[Long]("n_journeys")).sum <= eligible)
+    // frequencies are non-increasing in output order
+    val ns = paths.map(_.getAs[Long]("n_journeys"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
 }

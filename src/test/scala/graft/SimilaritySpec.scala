@@ -200,4 +200,18 @@ class SimilaritySpec extends SparkSpec {
     info(f"mean recall@5: d8=${mean(8) / 5}%.2f d16=${mean(16) / 5}%.2f d32=${mean(32) / 5}%.2f")
     assert(mean(32) > mean(8), "32-dim prefix should beat 8-dim on average")
   }
+  test("embedding drift: cosine bounded, halves partition each label") {
+    val rows = graft.ops.SimilarityOps.embeddingDrift(spark, sfSmall).collect()
+    val totals = Tables.embeddings(spark, sfSmall)
+      .groupBy(org.apache.spark.sql.functions.col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("centroid_cos")
+      assert(cos >= -1.000001 && cos <= 1.000001)
+      assert(r.getAs[Double]("norm_old") > 0 && r.getAs[Double]("norm_new") > 0)
+      assert(r.getAs[Long]("n_old") + r.getAs[Long]("n_new") ==
+        totals(r.getAs[Int]("label")))
+    }
+  }
+
 }
