@@ -734,7 +734,103 @@ object GravityOps {
       |       ROUND(36.0 + (n_nationkey % 17) * 0.45, 6) AS lat_rt
       |FROM nation ORDER BY k""".stripMargin
 
+  // --------------------------------------------------- grid spatial join
+  /** Grid-indexed spatial join — the many-polygon generalization of
+    * [[polygonFilter]]'s single-AOI scan, and THE pattern that makes
+    * point-in-polygon joins survive 100 TB (PostGIS/Sedona's
+    * partitioned spatial join): both sides are keyed to 1°×1° GRID
+    * CELLS — points by floor of their coordinates, each nation's
+    * service rectangle by the (±1-cell padded) cell range of its
+    * bounds — and candidates form on a plain (cx, cy) EQUI-join, with
+    * the exact containment predicate verifying only same-cell pairs.
+    * No polygon is ever tested against a point outside its padded
+    * cell neighborhood, and nothing nested-loops.
+    *
+    * The ±1 pad makes the candidate set robust to floating-point
+    * floor at cell boundaries (a point computed epsilon under a
+    * boundary in one engine and epsilon over in the other would still
+    * be a candidate in both; the verify predicate — identical IEEE
+    * comparisons — then decides identically).
+    *
+    * Output is the per-polygon audit: candidates from the index vs
+    * exact hits — the selectivity a spatial optimizer tracks per
+    * grid resolution.
+    */
+  def gridSpatialJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // points and rectangles share the synthetic residue lattice
+    // (0.1° lon / 0.08° lat steps), so the exact containment check
+    // compares INTEGER residues — the polygonFilter/polygonPredicates
+    // doctrine: never let a float boundary decide a row's fate.
+    // Doubles appear only in the cell index, where the ±1 pad absorbs
+    // any floor-at-boundary wobble.
+    val pts = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        pmod(col("c_custkey"), lit(97)).as("m"),
+        pmod(col("c_custkey"), lit(83)).as("n"))
+      .withColumn("cx", floor(col("m") * 0.1).cast("long"))
+      .withColumn("cy", floor(col("n") * 0.08).cast("long"))
+    val k = col("n_nationkey")
+    val rects = Tables.nation(spark, sfDir)
+      .select(k.cast("int").as("k"),
+        (pmod(k, lit(10)) * 9).as("mx0"), (pmod(k, lit(7)) * 12).as("ny0"))
+      .withColumn("mx1", col("mx0") + lit(8) + pmod(col("k"), lit(3)) * 4)
+      .withColumn("ny1", col("ny0") + lit(12))
+    val rectCells = rects
+      .withColumn("cx", explode(expr(
+        "sequence(CAST(floor(mx0 * 0.1) AS BIGINT) - 1, " +
+          "CAST(floor(mx1 * 0.1) AS BIGINT) + 1)")))
+      .withColumn("cy", explode(expr(
+        "sequence(CAST(floor(ny0 * 0.08) AS BIGINT) - 1, " +
+          "CAST(floor(ny1 * 0.08) AS BIGINT) + 1)")))
+    val perRect = pts.join(rectCells, Seq("cx", "cy"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("m").between(col("mx0"), col("mx1")) &&
+          col("n").between(col("ny0"), col("ny1")), 1L).otherwise(0L))
+          .as("n_inside"))
+    // polygons whose cells hold no points still belong in the audit
+    rects.select(col("k")).join(perRect, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_inside"), lit(0L)).as("n_inside"))
+      .orderBy(col("k"))
+  }
+
+  private val gridSpatialJoinOracle =
+    s"""WITH pts AS (
+       |  SELECT c_custkey, c_custkey % 97 AS m, c_custkey % 83 AS n,
+       |         CAST(FLOOR((c_custkey % 97) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS cx,
+       |         CAST(FLOOR((c_custkey % 83) * CAST(0.08 AS DOUBLE)) AS BIGINT) AS cy
+       |  FROM customer),
+       |rects AS (
+       |  SELECT CAST(n_nationkey AS INT) AS k,
+       |         (n_nationkey % 10) * 9 AS mx0, (n_nationkey % 7) * 12 AS ny0
+       |  FROM nation),
+       |r2 AS (SELECT k, mx0, ny0, mx0 + 8 + (k % 3) * 4 AS mx1,
+       |              ny0 + 12 AS ny1
+       |       FROM rects),
+       |cells AS (
+       |  SELECT k, mx0, ny0, mx1, ny1, cx.cx, cy.cy
+       |  FROM r2,
+       |  LATERAL unnest(range(
+       |    CAST(FLOOR(mx0 * CAST(0.1 AS DOUBLE)) AS BIGINT) - 1,
+       |    CAST(FLOOR(mx1 * CAST(0.1 AS DOUBLE)) AS BIGINT) + 2)) AS cx(cx),
+       |  LATERAL unnest(range(
+       |    CAST(FLOOR(ny0 * CAST(0.08 AS DOUBLE)) AS BIGINT) - 1,
+       |    CAST(FLOOR(ny1 * CAST(0.08 AS DOUBLE)) AS BIGINT) + 2)) AS cy(cy)),
+       |agg AS (
+       |  SELECT k, COUNT(*) AS n_cand,
+       |         CAST(SUM(CASE WHEN m BETWEEN mx0 AND mx1
+       |                        AND n BETWEEN ny0 AND ny1
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+       |  FROM pts p JOIN cells c ON c.cx = p.cx AND c.cy = p.cy
+       |  GROUP BY k)
+       |SELECT r.k, COALESCE(n_cand, 0) AS n_cand,
+       |       COALESCE(n_inside, 0) AS n_inside
+       |FROM rects r LEFT JOIN agg ON agg.k = r.k
+       |ORDER BY r.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grid_spatial_join" -> (gridSpatialJoin _),
     "q_geo_roundtrip" -> (geoRoundtrip _),
     "q_map_join" -> (mapJoin _),
     "q_geojson" -> (geoJson _),
@@ -750,6 +846,7 @@ object GravityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_grid_spatial_join" -> gridSpatialJoinOracle,
     "q_geo_roundtrip" -> geoRoundtripOracle,
     "q_map_join" -> mapJoinOracle,
     "q_geojson" -> geoJsonOracle,

@@ -72,4 +72,25 @@ class ShapefileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bad file code"))
   }
+  test("grid spatial join finds exactly the brute-force containment set") {
+    val rows = graft.ops.GravityOps.gridSpatialJoin(spark, sfTiny).collect()
+    val got = rows.map(r => r.getAs[Int]("k") -> r.getAs[Long]("n_inside")).toMap
+    // brute force: every point against every rectangle, no index
+    val pts = Tables.customer(spark, sfTiny).select(org.apache.spark.sql.functions.col("c_custkey")).collect()
+      .map(_.getLong(0)).map(c => (c % 97, c % 83))
+    val want = Tables.nation(spark, sfTiny).select(org.apache.spark.sql.functions.col("n_nationkey")).collect()
+      .map(_.getAs[Number](0).longValue).map { k =>
+        val (mx0, ny0) = ((k % 10) * 9, (k % 7) * 12)
+        val (mx1, ny1) = (mx0 + 8 + (k % 3) * 4, ny0 + 12)
+        k.toInt -> pts.count(p => p._1 >= mx0 && p._1 <= mx1 &&
+          p._2 >= ny0 && p._2 <= ny1).toLong
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, n) => assert(n == want(k), s"nation $k") }
+    // the index is selective: candidates bound hits from above
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cand") >= r.getAs[Long]("n_inside"))
+    }
+  }
+
 }
