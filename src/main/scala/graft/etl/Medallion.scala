@@ -584,7 +584,67 @@ object Medallion {
       |SELECT priority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot_cents
       |FROM final GROUP BY priority ORDER BY priority""".stripMargin
 
+  // ------------------------------------------- dynamic partition pruning
+  /** Dynamic partition pruning, proven on a real partitioned layout —
+    * the runtime feature that makes star joins cheap at 100 TB: the
+    * fact table (events, day-partitioned, written once) is joined to a
+    * tiny day-dimension FILTERED AT RUNTIME ('promo' days), and
+    * Catalyst injects the dim's surviving keys into the fact scan's
+    * PartitionFilters as a dynamicpruning subquery — only ~4 of 30
+    * day directories are ever read, though the query names no day
+    * literal. PlanSpec pins the `dynamicpruning` expression in the
+    * scan; this query's oracle pins the VALUES.
+    *
+    * Static pruning (a literal `day = X`) is planning-time; this is
+    * the runtime variant a BI layer exercises constantly — filters
+    * arrive through dimension tables, not partition-column literals.
+    */
+  def dppPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val factTbl = s"${warehouse(sfDir)}/events_by_day"
+    val dimTbl = s"${warehouse(sfDir)}/day_dim"
+    val fact = materializeOncePartitioned(spark, factTbl, "day") {
+      graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+    }
+    val dim = materializeOnce(spark, dimTbl) {
+      graft.Tables.events(spark, sfDir)
+        .select(expr("unix_millis(ts) div 86400000").as("day")).distinct()
+        .withColumn("label",
+          when(pmod(col("day"), lit(7)) === 3, lit("promo")).otherwise(lit("base")))
+    }
+    fact.join(dim.filter(col("label") === "promo"), Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .orderBy(col("day"))
+  }
+
+  /** [[materializeOnce]] with a partition column (separate because the
+    * partitioned layout IS what its callers are proving). */
+  private[graft] def materializeOncePartitioned(
+      spark: SparkSession, tbl: String, part: String)(
+      df: => DataFrame): DataFrame = {
+    buildLocks.computeIfAbsent(tbl, _ => new AnyRef).synchronized {
+      if (!materialized.contains(tbl)) {
+        df.write.partitionBy(part).mode("overwrite").parquet(tbl)
+        materialized.add(tbl)
+      }
+    }
+    spark.read.parquet(tbl)
+  }
+
+  private val dppPruneOracle =
+    """WITH f AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT day, COUNT(*) AS n_events, SUM(cents) AS cents
+      |FROM f WHERE day % 7 = 3
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_prune" -> (dppPrune _),
     "q_ivm_signed" -> (ivmSigned _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_time_travel" -> (timeTravel _),
@@ -596,6 +656,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dpp_prune" -> dppPruneOracle,
     "q_ivm_signed" -> ivmSignedOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_time_travel" -> timeTravelOracle,

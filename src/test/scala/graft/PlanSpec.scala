@@ -336,4 +336,10 @@ class PlanSpec extends SparkSpec {
       s"bit_or must stay in HashAggregate:\n$plan")
   }
 
+  test("star join injects dynamic partition pruning into the fact scan") {
+    val plan = formatted(graft.etl.Medallion.dppPrune(spark, sfTiny))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$plan")
+  }
+
 }
