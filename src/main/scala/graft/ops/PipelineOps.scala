@@ -1006,7 +1006,63 @@ object PipelineOps {
        |ORDER BY pf.category, fold""".stripMargin
   }
 
+  // ---------------------------------------------------- systematic PPS
+  /** Target sample size for [[ppsSample]]. */
+  private val PpsK = 50L
+
+  /** Systematic probability-proportional-to-size sampling — the
+    * weighted sampling a curation pipeline uses when long documents
+    * should be picked proportionally more often (weight = chars), with
+    * NO randomness to de-flake: a document is selected iff the
+    * sampling grid (step = total_weight/[[PpsK]]) has a tick inside
+    * its cumulative-weight interval — `cum DIV step` increases across
+    * the row. Pure integer arithmetic, deterministic, and every
+    * selection probability is exactly w/step (capped at 1).
+    *
+    * The scale story is the PREFIX SUM: a naive `SUM() OVER (ORDER BY
+    * doc_id)` is a single-partition window — the whole corpus on one
+    * reducer. Here it is the distributed two-phase form: per-BUCKET
+    * (doc_id/1024) totals roll up in a hash aggregation, a running
+    * offset over the tiny bucket frame (window over |corpus|/1024
+    * rows), and the within-bucket prefix runs partitioned BY bucket —
+    * bounded groups, full parallelism. The DuckDB oracle computes the
+    * same cumulative sums with the naive global window, so the
+    * compare cross-validates the rewrite.
+    */
+  def ppsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("wt"),
+        expr("doc_id DIV 1024").as("bkt"))
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("wt")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw"))
+        .over(w.orderBy(col("bkt")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val cum = docs.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("wt"))
+        .over(w.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Long.MinValue, 0)))
+    val step = docs.agg(expr(s"sum(wt) DIV $PpsK").as("step"))
+    cum.crossJoin(broadcast(step))
+      .filter(expr("cum DIV step > (cum - wt) DIV step"))
+      .select(col("doc_id"), col("wt"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ppsSampleOracle =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars AS wt,
+       |         SUM(n_chars) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents),
+       |s AS (SELECT SUM(n_chars) // $PpsK AS step FROM documents)
+       |SELECT doc_id, wt, cum
+       |FROM c, s
+       |WHERE cum // step > (cum - wt) // step
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pps_sample" -> (ppsSample _),
     "q_target_encode" -> (targetEncode _),
     "q_token_bucket" -> (tokenBucket _),
     "q_nested_export" -> (nestedExport _),
@@ -1028,6 +1084,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pps_sample" -> ppsSampleOracle,
     "q_target_encode" -> targetEncodeOracle,
     "q_token_bucket" -> tokenBucketOracle,
     "q_nested_export" -> nestedExportOracle,

@@ -195,4 +195,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(enc.map(_.getAs[Long]("n_f")).sum == rows.length)
   }
 
+  test("pps sample: tick count is ~K and heavy documents always sampled") {
+    val rows = PipelineOps.ppsSample(spark, sfTiny).collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = docs.map(_._2).sum
+    val step = total / 50
+    // one selection per grid tick, minus ticks absorbed by multi-tick docs
+    assert(rows.length <= 51 && rows.length >= 30, s"${rows.length} sampled")
+    // any document spanning a full step MUST contain a tick
+    val sampled = rows.map(_.getAs[Long]("doc_id")).toSet
+    docs.filter(_._2 >= step).foreach { case (id, w) =>
+      assert(sampled(id), s"doc $id (w=$w >= step=$step) must be sampled")
+    }
+    // cumulative weights are consistent with the raw weights
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum") >= r.getAs[Long]("wt"))
+      assert(r.getAs[Long]("cum") <= total)
+    }
+  }
+
 }
