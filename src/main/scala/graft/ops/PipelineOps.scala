@@ -960,9 +960,14 @@ object PipelineOps {
     * then `oof = (S_cat − s_fold) / (N_cat − n_fold)` cell-wise. The
     * output is category×K rows (tiny) that broadcast-join back onto
     * the training set; the fact table is scanned once. All-integer
-    * cent arithmetic; the widest product (S_oof·N_tot·100) fits a
-    * long through ~2e8 orders — past that, swap the two products to
-    * DECIMAL(38) (the house big-lattice escape hatch).
+    * cent arithmetic: the global prior is FLOORED ONCE to whole cents
+    * (prior_c = S_tot div N_tot — a ≤1-cent quantization, defined
+    * identically in both engines) so the smoothed numerator is
+    * S_oof·100 + m·prior_c·100 ≈ 1.5e9 per order — a long holds it
+    * through ~6e9 orders. (The algebraically-pure form multiplies
+    * S_oof by N_tot and overflows past ~1.7e6 orders — a bound this
+    * docstring once overstated by two orders of magnitude; the
+    * floored-prior form is what you can actually run at 100 TB.)
     */
   def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -977,13 +982,13 @@ object PipelineOps {
       .localCheckpoint()
     val perCat = perFold.groupBy(col("category"))
       .agg(sum(col("n_f")).as("n_cat"), sum(col("s_f")).as("s_cat"))
-    val tot = perCat.agg(sum(col("n_cat")).as("n_tot"), sum(col("s_cat")).as("s_tot"))
+    val tot = perCat.agg(expr("sum(s_cat) DIV sum(n_cat)").as("prior_c"))
     perFold.join(broadcast(perCat), Seq("category")).crossJoin(broadcast(tot))
       .select(col("category"), col("fold"), col("n_f"),
         (col("n_cat") - col("n_f")).as("n_oof"),
         expr("(s_cat - s_f) DIV NULLIF(n_cat - n_f, 0)").as("oof_cents"),
-        expr(s"((s_cat - s_f) * n_tot + $TeM * s_tot) * 100 DIV " +
-          s"(((n_cat - n_f) + $TeM) * n_tot)").as("smooth_c100"))
+        expr(s"((s_cat - s_f) + $TeM * prior_c) * 100 DIV " +
+          s"((n_cat - n_f) + $TeM)").as("smooth_c100"))
       .orderBy(col("category"), col("fold"))
   }
 
@@ -997,11 +1002,11 @@ object PipelineOps {
        |       FROM o GROUP BY 1, 2),
        |pc AS (SELECT category, SUM(n_f) AS n_cat, SUM(s_f) AS s_cat
        |       FROM pf GROUP BY 1),
-       |t AS (SELECT SUM(n_cat) AS n_tot, SUM(s_cat) AS s_tot FROM pc)
+       |t AS (SELECT SUM(s_cat) // SUM(n_cat) AS prior_c FROM pc)
        |SELECT pf.category, fold, n_f, n_cat - n_f AS n_oof,
        |       (s_cat - s_f) // NULLIF(n_cat - n_f, 0) AS oof_cents,
-       |       ((s_cat - s_f) * n_tot + $TeM * s_tot) * 100
-       |         // ((n_cat - n_f + $TeM) * n_tot) AS smooth_c100
+       |       ((s_cat - s_f) + $TeM * prior_c) * 100
+       |         // ((n_cat - n_f) + $TeM) AS smooth_c100
        |FROM pf JOIN pc ON pc.category = pf.category CROSS JOIN t
        |ORDER BY pf.category, fold""".stripMargin
   }
