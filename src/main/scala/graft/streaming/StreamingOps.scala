@@ -393,4 +393,48 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  final case class KmvEv(t: String, cell: Long)
+
+  final case class KmvState(kmin: Array[Long])
+
+  final case class KmvOut(t: String, n_sketch: Long, est_n: Long)
+
+  /** Streaming KMV distinct sketch with `mapGroupsWithState` (Update
+    * mode) — the streaming twin of [[graft.ops.SketchOps.kmvJaccard]]'s
+    * bottom-k construction, and the reason KMV is the sketch you keep
+    * ON the stream: state per key is the k smallest hashes EVER SEEN —
+    * bounded at k longs no matter how many events arrive — and
+    * merging a batch is "union, keep k smallest", which is exactly
+    * the sketch's mergeability law. Every batch emits the current
+    * distinct estimate (k−1)·2³²/h_k on the same integer lattice as
+    * the batch query, so stream and batch agree EXACTLY once they
+    * have seen the same cells (the spec's stream==batch gate —
+    * order-insensitive by construction, since bottom-k is a set
+    * property).
+    *
+    * The hash is the house masked multiplicative hash
+    * ([[graft.ops.Parity.mixBucket]] at 2³² buckets), duplicated here
+    * in JVM arithmetic — injective for cells < 2³¹, so sketch ties
+    * cannot occur.
+    */
+  def kmvStream(events: Dataset[KmvEv], k: Int = 128): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    def hash(cell: Long): Long =
+      ((cell % 2147483648L) * 2654435761L) % 4294967296L
+    def update(t: String, evs: Iterator[KmvEv],
+               state: GroupState[KmvState]): KmvOut = {
+      val cur = state.getOption.map(_.kmin).getOrElse(Array.empty[Long])
+      val merged = (cur ++ evs.map(e => hash(e.cell)))
+        .distinct.sorted.take(k)
+      state.update(KmvState(merged))
+      val est =
+        if (merged.length < 2) merged.length.toLong
+        else (merged.length - 1L) * 4294967296L / merged.last
+      KmvOut(t, merged.length.toLong, est)
+    }
+    events
+      .groupByKey(_.t)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
 }

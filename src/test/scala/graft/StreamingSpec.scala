@@ -481,4 +481,46 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
       s"expected exactly-once ingest, got $out")
   }
+  test("streaming KMV sketch converges to the batch bottom-k estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.KmvEv
+
+    val input = MemoryStream[KmvEv]
+    val q = graft.streaming.StreamingOps.kmvStream(input.toDS(), k = 32)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      // two event-type keys, cells arriving across two batches in
+      // arbitrary order (bottom-k is a set property, order-free)
+      val cellsA = (1L to 400L).map(_ * 7L)
+      val cellsB = (1L to 150L).map(_ * 13L)
+      val (a1, a2) = cellsA.splitAt(137)
+      input.addData(a1.map(KmvEv("a", _)) ++ cellsB.take(50).map(KmvEv("b", _)): _*)
+      q.processAllAvailable()
+      input.addData((a2 ++ a1.take(20)).map(KmvEv("a", _)) ++
+        cellsB.drop(50).map(KmvEv("b", _)): _*)
+      q.processAllAvailable()
+
+      def hash(cell: Long): Long =
+        ((cell % 2147483648L) * 2654435761L) % 4294967296L
+      def expected(cells: Seq[Long]): (Long, Long) = {
+        val kmin = cells.distinct.map(hash).sorted.take(32)
+        (kmin.length.toLong, (kmin.length - 1L) * 4294967296L / kmin.last)
+      }
+      val last = spark.table("kmv_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        // the final state dominates: sketch size grows until full, then
+        // the estimate grows as h_k shrinks — (n, est) is monotone
+        .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+      for ((t, cells) <- Seq("a" -> cellsA, "b" -> cellsB)) {
+        val (n, est) = expected(cells)
+        assert(last(t)._2 == n, s"$t sketch size")
+        assert(last(t)._3 == est, s"$t estimate: ${last(t)._3} != $est")
+        // the estimate is in the right ballpark of the true distinct count
+        assert(est > cells.length / 2 && est < cells.length * 2)
+      }
+    } finally q.stop()
+  }
+
 }
