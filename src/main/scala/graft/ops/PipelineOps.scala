@@ -1066,7 +1066,74 @@ object PipelineOps {
        |WHERE cum // step > (cum - wt) // step
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- length-bucketed batching
+  /** Batch size for [[lengthBatching]]. */
+  private val LbBatch = 32L
+
+  /** Length-bucketed batching audit — the padding-waste measurement
+    * behind every "sort by length before batching" training-loader
+    * trick: fixed-size batches of [[LbBatch]] docs are formed two ways
+    * from the same corpus — ARRIVAL order (doc_id) and LENGTH order
+    * (chars, id tiebreak) — and each batch pays
+    * Σ(batch_max_len − len) padding. One result row quantifies the
+    * win: bucketed batching cuts padding because same-length docs
+    * share batches (a spec asserts the inequality, the oracle pins
+    * the numbers).
+    *
+    * Scale shape: forming batches by rank IS a global sort — Spark's
+    * native range-partitioned sort, the one operation entitled to it
+    * (the loader must emit batches in SOME deterministic order). The
+    * padding rollup is a (batch) hash aggregation over batch ids
+    * computed from the rank, and the two orderings reuse one scan.
+    * At 100 TB the same plan runs per epoch-shard rather than
+    * globally — the comparison logic is unchanged.
+    */
+  def lengthBatching(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("len"))
+    def waste(ordered: org.apache.spark.sql.Column*): DataFrame =
+      docs.withColumn("rn", row_number().over(w.orderBy(ordered: _*)))
+        .withColumn("batch", expr(s"(rn - 1) DIV $LbBatch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+          sum(col("len")).as("s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n") * col("mx") - col("s")).as("pad"))
+    val arrival = waste(col("doc_id"))
+      .select(col("n_batches"), col("pad").as("pad_arrival"))
+    val bucketed = waste(col("len"), col("doc_id"))
+      .select(col("pad").as("pad_bucketed"))
+    arrival.crossJoin(bucketed)
+      .crossJoin(broadcast(docs.agg(sum(col("len")).as("tokens"))))
+      .select(col("n_batches"), col("tokens"), col("pad_arrival"),
+        col("pad_bucketed"),
+        expr("pad_arrival * 1000000 DIV (tokens + pad_arrival)")
+          .as("waste_arrival_e6"),
+        expr("pad_bucketed * 1000000 DIV (tokens + pad_bucketed)")
+          .as("waste_bucketed_e6"))
+  }
+
+  private val lengthBatchingOracle =
+    s"""WITH d AS (SELECT doc_id, n_chars AS len FROM documents),
+       |ra AS (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1)
+       |                   // $LbBatch AS b FROM d),
+       |aa AS (SELECT COUNT(*) AS n_batches, SUM(n * mx - s) AS pad
+       |       FROM (SELECT b, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS s
+       |             FROM ra GROUP BY b)),
+       |rb AS (SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1)
+       |                   // $LbBatch AS b FROM d),
+       |bb AS (SELECT SUM(n * mx - s) AS pad
+       |       FROM (SELECT b, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS s
+       |             FROM rb GROUP BY b)),
+       |t AS (SELECT SUM(len) AS tokens FROM d)
+       |SELECT n_batches, tokens, aa.pad AS pad_arrival, bb.pad AS pad_bucketed,
+       |       aa.pad * 1000000 // (tokens + aa.pad) AS waste_arrival_e6,
+       |       bb.pad * 1000000 // (tokens + bb.pad) AS waste_bucketed_e6
+       |FROM aa, bb, t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_batching" -> (lengthBatching _),
     "q_pps_sample" -> (ppsSample _),
     "q_target_encode" -> (targetEncode _),
     "q_token_bucket" -> (tokenBucket _),
@@ -1089,6 +1156,7 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_length_batching" -> lengthBatchingOracle,
     "q_pps_sample" -> ppsSampleOracle,
     "q_target_encode" -> targetEncodeOracle,
     "q_token_bucket" -> tokenBucketOracle,

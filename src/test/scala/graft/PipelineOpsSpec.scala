@@ -216,4 +216,14 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("length bucketing never pads more than arrival order") {
+    val r = PipelineOps.lengthBatching(spark, sfTiny).collect().head
+    val nDocs = Tables.documents(spark, sfTiny).count()
+    assert(r.getAs[Long]("n_batches") == (nDocs + 31) / 32)
+    assert(r.getAs[Long]("pad_bucketed") >= 0L)
+    assert(r.getAs[Long]("pad_bucketed") <= r.getAs[Long]("pad_arrival"),
+      "sorting by length must not increase padding")
+    assert(r.getAs[Long]("waste_bucketed_e6") <= r.getAs[Long]("waste_arrival_e6"))
+  }
+
 }
