@@ -1233,7 +1233,80 @@ object StatsOps {
       |FROM strata CROSS JOIN tot
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------- runs test
+  /** Wald–Wolfowitz runs test on the training-shuffle order — the
+    * "did my shuffle actually shuffle" audit a data loader runs
+    * before an epoch: documents are laid out in the hash order the
+    * pipeline would feed them ([[Parity.mixBucket]] of doc_id — the
+    * same derandomized shuffle [[graft.ops.PipelineOps.trainSplit]]
+    * uses), binarized by source half, and the number of RUNS of equal
+    * labels is compared to its null expectation E[R] = 1 + 2·n₁·n₀/n.
+    * Too few runs = sources still clumped (a broken shuffle feeds
+    * whole crawls back-to-back); too many = anti-correlated. The row
+    * carries R, the exact-rational E[R] and Var[R] on the e3/e6
+    * lattices, and the squared z on the e3 lattice with its sign —
+    * everything needed to reject at |z| > 1.96 without a square root
+    * ever being compared across engines.
+    *
+    * Scale shape: one projection + one lag over the hash order (a
+    * range-partitioned sort — the audit IS about a global order; at
+    * 100 TB it runs per training shard exactly like the loader
+    * itself) and a 1-row rollup.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val laid = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Parity.mixBucket(col("doc_id"), 2654435761L, 4294967296L).as("pos"),
+        when(col("source") < "src2", 1L).otherwise(0L).as("lab"))
+    val runs = laid
+      .withColumn("prev", lag(col("lab"), 1).over(
+        w.orderBy(col("pos"), col("doc_id"))))
+      .agg(count(lit(1)).as("n"), sum(col("lab")).as("n1"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("lab"), 1L)
+          .otherwise(0L))).as("r"))
+    runs.select(col("n"), col("n1"), (col("n") - col("n1")).as("n0"), col("r"),
+        expr("1000 + 2000 * n1 * (n - n1) DIV n").as("e_r_e3"),
+        // staged floor divisions keep every product under 2^63 through
+        // ~4e6 rows per audited shard (2n1n0·1e6 is the widest term);
+        // the same staging defines the e6 value in both engines
+        expr("""((2 * n1 * (n - n1) * 1000000 DIV (n * n))
+                * (2 * n1 * (n - n1) - n)) DIV (n - 1)"""
+          .replace("\n", " ")).as("var_r_e6"),
+        (col("r") * 1000 - expr("1000 + 2000 * n1 * (n - n1) DIV n"))
+          .as("dev_e3"))
+      .select(col("n"), col("n1"), col("n0"), col("r"), col("e_r_e3"),
+        col("var_r_e6"), col("dev_e3"),
+        expr("(dev_e3 * dev_e3) DIV NULLIF(var_r_e6 DIV 1000, 0)")
+          .as("z2_e3"))
+  }
+
+  private val runsTestOracle = {
+    val pos = Parity.mixBucketSql("doc_id", 2654435761L, 4294967296L)
+    s"""WITH laid AS (
+       |  SELECT doc_id, $pos AS pos,
+       |         CASE WHEN source < 'src2' THEN 1 ELSE 0 END AS lab
+       |  FROM documents),
+       |runs AS (
+       |  SELECT COUNT(*) AS n, SUM(lab) AS n1,
+       |         SUM(CASE WHEN prev IS NULL OR prev <> lab THEN 1 ELSE 0 END)
+       |           AS r
+       |  FROM (SELECT lab, lag(lab, 1) OVER (ORDER BY pos, doc_id) AS prev
+       |        FROM laid)),
+       |s AS (
+       |  SELECT n, n1, n - n1 AS n0, r,
+       |         1000 + 2000 * n1 * (n - n1) // n AS e_r_e3,
+       |         ((2 * n1 * (n - n1) * 1000000 // (n * n))
+       |           * (2 * n1 * (n - n1) - n)) // (n - 1) AS var_r_e6,
+       |         r * 1000 - (1000 + 2000 * n1 * (n - n1) // n) AS dev_e3
+       |  FROM runs)
+       |SELECT n, n1, n0, r, e_r_e3, var_r_e6, dev_e3,
+       |       (dev_e3 * dev_e3) // NULLIF(var_r_e6 // 1000, 0) AS z2_e3
+       |FROM s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs_test" -> (runsTest _),
     "q_post_stratified" -> (postStratified _),
     "q_ips_eval" -> (ipsEval _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
@@ -1259,6 +1332,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_runs_test" -> runsTestOracle,
     "q_post_stratified" -> postStratifiedOracle,
     "q_ips_eval" -> ipsEvalOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,

@@ -369,4 +369,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("ps_e6")).distinct.length == 1)
   }
 
+  test("runs test counts runs exactly and flags the hash order's structure") {
+    val r = StatsOps.runsTest(spark, sfTiny).collect().head
+    // driver-side recount over the same layout
+    val laid = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .map { case (id, s) =>
+        (((id % 2147483648L) * 2654435761L) % 4294967296L, id,
+          if (s < "src2") 1L else 0L) }
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val runs = 1L + laid.sliding(2).count(p => p(0) != p(1))
+    assert(r.getAs[Long]("r") == runs, s"runs ${r.getAs[Long]("r")} != $runs")
+    assert(r.getAs[Long]("n1") == laid.count(_ == 1L))
+    // dev and z2 agree in magnitude relation
+    val dev = r.getAs[Long]("dev_e3")
+    assert(dev == r.getAs[Long]("r") * 1000 - r.getAs[Long]("e_r_e3"))
+    assert(r.getAs[Long]("z2_e3") >= 0)
+  }
+
 }
