@@ -102,11 +102,43 @@ object Bucketing {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------ bucket pruning
+  /** Bucket PRUNING — the read-side payoff of [[ensureBucketed]] beyond
+    * the exchange-free join: an equality predicate on the bucket column
+    * tells the scan which single bucket file can hold the key, so 7 of
+    * 8 bucket files are never opened (`SelectedBucketsCount: 1 out of
+    * 8` in the scan node — pinned in BucketingSpec). The point-lookup
+    * analogue of partition pruning, one storage layer down: at 100 TB
+    * with thousands of buckets, a keyed read touches one file per
+    * partition instead of all of them.
+    *
+    * The probe keys are a small IN-list (three orderkeys spread across
+    * distinct buckets), so the scan proves multi-bucket selection too;
+    * the oracle recomputes the same rows from raw parquet.
+    */
+  def bucketPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureBucketed(spark, sfDir)
+    spark.table(tbl("lineitem_bucketed", sfDir))
+      .filter(col("l_orderkey").isin(1L, 7L, 32L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val bucketPruningOracle =
+    """SELECT l_orderkey, COUNT(*) AS n_lines,
+      |       ROUND(SUM(l_extendedprice), 4) AS sum_price
+      |FROM lineitem WHERE l_orderkey IN (1, 7, 32)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bucketed_join" -> (bucketedJoin _)
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_bucket_pruning" -> (bucketPruning _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_bucketed_join" -> bucketedJoinOracle
+    "q_bucketed_join" -> bucketedJoinOracle,
+    "q_bucket_pruning" -> bucketPruningOracle
   )
 }

@@ -1595,7 +1595,65 @@ object AnalyticsOps {
       |FROM paths GROUP BY path
       |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ watermark design
+  /** Watermark-lateness audit — the design table you read BEFORE
+    * choosing a Structured Streaming watermark (the streaming family's
+    * sessionizer and hourly aggregation both take one as a parameter):
+    * each event gets a deterministic ingest delay (the house hash of
+    * its id, spread over 0–600s — standing in for the transport jitter
+    * a real bus exhibits), and for each candidate watermark the row
+    * reports how many events would arrive LATER than the watermark
+    * allows — i.e. would be dropped from closed windows — and the
+    * volume-weighted miss rate. Pick the first row whose drop rate
+    * clears your SLO; that's the latency you pay.
+    *
+    * Scale shape: the lateness column is map-side hash math; the
+    * sweep is one conditional aggregation producing one row per
+    * candidate watermark via a tiny explode — the events scan runs
+    * once. All counts and e6 rates on the exact integer lattice.
+    */
+  def watermarkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        graft.ops.Parity.mixBucket(col("event_id"), 2654435761L, 600L)
+          .as("delay_s"))
+    ev.select(col("c"), col("delay_s"),
+        explode(expr("array(60, 120, 300, 600)")).as("wm_s"))
+      .groupBy(col("wm_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("delay_s") > col("wm_s"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("delay_s") > col("wm_s"), col("c")).otherwise(0L))
+          .as("dropped_c"),
+        sum(col("c")).as("total_c"))
+      .select(col("wm_s"), col("n_events"), col("n_dropped"),
+        expr("n_dropped * 1000000 DIV n_events").as("drop_rate_e6"),
+        expr("dropped_c * 1000000 DIV total_c").as("value_miss_e6"))
+      .orderBy(col("wm_s"))
+  }
+
+  private val watermarkAuditOracle = {
+    val d = graft.ops.Parity.mixBucketSql("event_id", 2654435761L, 600L)
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
+       |         $d AS delay_s
+       |  FROM events),
+       |sweep AS (
+       |  SELECT wm_s, c, delay_s
+       |  FROM ev, LATERAL unnest([60, 120, 300, 600]) AS t(wm_s))
+       |SELECT wm_s, COUNT(*) AS n_events,
+       |       CAST(SUM(CASE WHEN delay_s > wm_s THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dropped,
+       |       CAST(SUM(CASE WHEN delay_s > wm_s THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // COUNT(*) AS drop_rate_e6,
+       |       CAST(SUM(CASE WHEN delay_s > wm_s THEN c ELSE 0 END) AS BIGINT)
+       |         * 1000000 // SUM(c) AS value_miss_e6
+       |FROM sweep GROUP BY wm_s ORDER BY wm_s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_watermark_audit" -> (watermarkAudit _),
     "q_path_mining" -> (pathMining _),
     "q_calendar_fill" -> (calendarFill _),
     "q_streaks" -> (streaks _),
@@ -1632,6 +1690,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_watermark_audit" -> watermarkAuditOracle,
     "q_path_mining" -> pathMiningOracle,
     "q_calendar_fill" -> calendarFillOracle,
     "q_streaks" -> streaksOracle,

@@ -536,4 +536,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("watermark audit: drop rates fall monotonically, 600s drops nothing") {
+    val rows = graft.ops.AnalyticsOps.watermarkAudit(spark, sfTiny).collect()
+      .sortBy(_.getAs[Int]("wm_s"))
+    val drops = rows.map(_.getAs[Long]("n_dropped"))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      "longer watermark can only drop fewer events")
+    assert(drops.last == 0L, "delays are bounded by 600s")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drop_rate_e6") <= 1000000L)
+      assert(r.getAs[Long]("n_events") ==
+        Tables.events(spark, sfTiny).count())
+    }
+  }
+
 }

@@ -31,4 +31,14 @@ class BucketingSpec extends SparkSpec {
     // and the numbers still have to be right
     assert(df.count() == 5)
   }
+  test("point lookup on the bucket column selects a strict subset of buckets") {
+    val df = graft.etl.Bucketing.bucketPruning(spark, sfTiny)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in scan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"IN-list probe must prune buckets: ${m.get.matched}")
+    assert(df.count() > 0)
+  }
+
 }
