@@ -1652,7 +1652,69 @@ object AnalyticsOps {
        |FROM sweep GROUP BY wm_s ORDER BY wm_s""".stripMargin
   }
 
+  // ----------------------------------------------- sliding distinct
+  /** Trailing 7-day sliding distinct users (and event volume) per
+    * observed day — the rolling-uniques metric (weekly actives as of
+    * each day) that SQL window functions CANNOT express in Spark:
+    * `COUNT(DISTINCT) OVER (RANGE ...)` is unsupported, and the naive
+    * rewrite (per-day `collect_set` union) holds every window's whole
+    * user set in one task. The scale-safe composition instead:
+    * (1) dedup to (day, user) — one hash aggregate over the stream;
+    * (2) fan each (day, user) into the ≤7 window-days it contributes
+    * to (a BOUNDED explode — fan-out = window length, not data size);
+    * (3) `countDistinct(user)` per window-day — Spark's own two-phase
+    * distinct aggregate. No window operator, no per-key set state; at
+    * 100 TB each stage is a partial-aggregated hash shuffle, and the
+    * fan-out factor stays 7 no matter the corpus.
+    *
+    * The observed-day frame (tiny) broadcasts in to drop the phantom
+    * tail days (a fan-out day past the last event day). The oracle is
+    * a genuinely different algorithm — DuckDB range-joins each day to
+    * its trailing window and counts distinct directly — so the
+    * explode+regroup rewrite is cross-checked, not mirrored.
+    */
+  def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("win_day")).distinct()
+    val perDay = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    val u7 = du
+      .withColumn("win_day", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(days), Seq("win_day"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+    val e7 = perDay
+      .withColumn("win_day", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(days), Seq("win_day"))
+      .groupBy(col("win_day"))
+      .agg(sum(col("n_ev")).as("e7"))
+    u7.join(e7, Seq("win_day"))
+      .select(col("win_day").as("day"), col("u7"), col("e7"))
+      .orderBy(col("day"))
+  }
+
+  private val slidingDistinctOracle =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |pd AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1),
+      |u AS (
+      |  SELECT d.day, COUNT(DISTINCT du.user_id) AS u7
+      |  FROM days d JOIN du ON du.day >= d.day - 6 AND du.day <= d.day
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT d.day, CAST(SUM(pd.n_ev) AS BIGINT) AS e7
+      |  FROM days d JOIN pd ON pd.day >= d.day - 6 AND pd.day <= d.day
+      |  GROUP BY 1)
+      |SELECT u.day, u.u7, e.e7
+      |FROM u JOIN e ON u.day = e.day
+      |ORDER BY u.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_distinct" -> (slidingDistinct _),
     "q_watermark_audit" -> (watermarkAudit _),
     "q_path_mining" -> (pathMining _),
     "q_calendar_fill" -> (calendarFill _),
@@ -1690,6 +1752,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sliding_distinct" -> slidingDistinctOracle,
     "q_watermark_audit" -> watermarkAuditOracle,
     "q_path_mining" -> pathMiningOracle,
     "q_calendar_fill" -> calendarFillOracle,

@@ -689,7 +689,72 @@ object RelationalOps {
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n.n_name, t.c_custkey""".stripMargin
 
+  // ------------------------------------------------------------ star join
+  /** TPC-H Q5-shaped star join — the whole-plan showcase every
+    * warehouse runs: revenue by nation for one region and one
+    * order-date year, with the "local supplier" condition
+    * (customer and supplier share a nation). Six tables join in one
+    * query: lineitem (fact) ⋈ orders (fact, date-pruned) ⋈ customer ⋈
+    * supplier ⋈ nation ⋈ region.
+    *
+    * Scale shape: the ONLY fact-fact edge is lineitem ⋈ orders on
+    * orderkey — the one unavoidable exchange (or zero with the
+    * bucketed layout of q_bucketed_join); every dimension side is
+    * explicitly `broadcast()`, so filters (r_name, the date year)
+    * reach the scans and the dim joins add no shuffle. The date
+    * predicate prunes orders BEFORE its join — at 100 TB the
+    * partition-pruned year is what makes this interactive. Revenue is
+    * exact integer e4 (cents × discount-percent): 2 dp × 2 dp inputs,
+    * so no float enters until the final /1e4 display division.
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round((1.0D - l_discount) * 100) AS BIGINT)")).as("rev_e4"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("rev_e4"))
+      .select(col("n_name"), col("n_lines"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val starJoinOracle =
+    """SELECT n_name, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
+      |            AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_join" -> (starJoin _),
     "q_nullsafe_join" -> (nullsafeJoin _),
     "q_decimal_exact" -> (decimalExact _),
     "q_lateral_topk" -> (lateralTopk _),
@@ -717,6 +782,7 @@ object RelationalOps {
   ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
+    "q_star_join" -> starJoinOracle,
     "q_nullsafe_join" -> nullsafeJoinOracle,
     "q_decimal_exact" -> decimalExactOracle,
     "q_lateral_topk" -> lateralTopkOracle,
