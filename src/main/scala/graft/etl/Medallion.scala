@@ -643,7 +643,59 @@ object Medallion {
       |FROM f WHERE day % 7 = 3
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // --------------------------------------------------- CDC log compaction
+  /** CDC log compaction — folding an ordered upsert/delete change log
+    * into current state, the consumer side of every change-data-capture
+    * pipeline (a Debezium-style stream compacted into a queryable
+    * snapshot). The event stream stands in for the log: key = user_id,
+    * LSN = event_id (the monotone, unique log sequence number), op =
+    * tombstone for 'error' events, else upsert of the row payload
+    * (`value`). Current state per key = the payload at the key's MAX
+    * LSN; a key whose final op is a tombstone is absent from the
+    * snapshot (but still counted in the log depth n_ops).
+    *
+    * Scale shape: last-writer-wins is a partial-aggregable `max(lsn)`
+    * per key plus a join-back on the unique (key, lsn) pair — the
+    * span-dedup doctrine: NOT a `row_number()` window over the log,
+    * which would ship every update of one hot entity (a key updated
+    * millions of times is CDC's defining skew) to a single sorted
+    * reducer. The max aggregates map-side; the join-back probes the
+    * log with a |keys|-sized frame, hash-partitioned on the same key
+    * either way. Payload columns ride only through the join-back,
+    * never through the aggregate — wide CDC rows don't inflate the
+    * exchange.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val chg = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id").as("lsn"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val latest = chg.groupBy(col("user_id"))
+      .agg(max(col("lsn")).as("lsn"), count(lit(1)).as("n_ops"))
+    latest.join(chg, Seq("user_id", "lsn"))
+      .filter(col("op") === "U")
+      .select(col("user_id"), col("lsn").as("last_lsn"), col("n_ops"),
+        (col("v_cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cdcApplyOracle =
+    """WITH chg AS (
+      |  SELECT user_id, event_id AS lsn,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(value * 100) AS BIGINT) AS v_cents
+      |  FROM events),
+      |latest AS (
+      |  SELECT user_id, MAX(lsn) AS lsn, COUNT(*) AS n_ops
+      |  FROM chg GROUP BY 1)
+      |SELECT l.user_id, l.lsn AS last_lsn, l.n_ops,
+      |       CAST(g.v_cents AS DOUBLE) / 100.0 AS value
+      |FROM latest l JOIN chg g ON g.user_id = l.user_id AND g.lsn = l.lsn
+      |WHERE g.op = 'U'
+      |ORDER BY l.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> (cdcApply _),
     "q_dpp_prune" -> (dppPrune _),
     "q_ivm_signed" -> (ivmSigned _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -656,6 +708,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cdc_apply" -> cdcApplyOracle,
     "q_dpp_prune" -> dppPruneOracle,
     "q_ivm_signed" -> ivmSignedOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,

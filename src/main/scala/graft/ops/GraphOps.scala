@@ -371,7 +371,58 @@ object GraphOps {
        |SELECT node AS part, MIN(cost) AS cost
        |FROM walk GROUP BY node ORDER BY part""".stripMargin
 
+  // ---------------------------------------------------------------- HITS
+  /** HITS hubs-and-authorities (Kleinberg) on the customer–supplier
+    * purchase bipartite graph — customers are hubs, suppliers are
+    * authorities: a good supplier is bought from by good customers,
+    * a good customer buys from good suppliers. Two unrolled mutual-
+    * reinforcement hops from h₀ ≡ 1, entirely in integer arithmetic:
+    * a₁(s) = deg(s), h₁(c) = Σ_{s~c} a₁(s), a₂(s) = Σ_{c~s} h₁(c) —
+    * exact longs (widest value ≤ |E|·max h₁; renormalize per hop past
+    * that, same staged floor-division), normalized ONCE at the end by
+    * max a₂ on the e6 half-up lattice.
+    *
+    * Scale shape: the edge table never shuffles — each hop reads the
+    * pay-once bucketed copy pre-partitioned on ITS aggregation key
+    * (the pagerank layout, shared), so the partial/final hash
+    * aggregate runs inside the bucketed distribution; the opposite-
+    * side score frame is node-sized and broadcasts in (GraphX's
+    * aggregateMessages shape). At node counts past broadcast size,
+    * ship the score frame to the edge bucketing instead — a narrow
+    * exchange of the SMALL side per hop, never of the edges.
+    */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eC, eS) = graft.etl.Bucketing.ensurePagerankEdges(spark, sfDir)
+    val a1 = eS.groupBy(col("s")).agg(count(lit(1)).as("a1"))
+    val h1 = eC.join(broadcast(a1), "s")
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = eS.join(broadcast(h1), "c")
+      .groupBy(col("s")).agg(sum(col("h1")).as("a2"))
+    val mx = a2.agg(max(col("a2")).as("mx"))
+    a2.crossJoin(broadcast(mx))
+      .select(col("s"), col("a2"),
+        (((col("a2") * 2000000L + col("mx")) -
+          pmod(col("a2") * 2000000L + col("mx"), col("mx") * 2)) /
+          (col("mx") * 2) / lit(1000000.0)).as("auth"))
+      .orderBy(col("s"))
+  }
+
+  private val hitsOracle =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT s, COUNT(*) AS a1 FROM edges GROUP BY s),
+      |h1 AS (SELECT e.c, SUM(a1.a1) AS h1
+      |       FROM edges e JOIN a1 ON a1.s = e.s GROUP BY e.c),
+      |a2 AS (SELECT e.s, CAST(SUM(h1.h1) AS BIGINT) AS a2
+      |       FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.s),
+      |mx AS (SELECT MAX(a2) AS mx FROM a2)
+      |SELECT s, a2,
+      |       CAST((a2 * 2000000 + mx - ((a2 * 2000000 + mx) % (mx * 2)))
+      |            // (mx * 2) AS BIGINT) / 1000000.0 AS auth
+      |FROM a2, mx ORDER BY s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> (hits _),
     "q_shortest_path" -> (shortestPath _),
     "q_bfs_hops" -> (bfsHops _),
     "q_pagerank" -> (pagerank _),
@@ -380,6 +431,7 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_hits" -> hitsOracle,
     "q_shortest_path" -> shortestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_pagerank" -> pagerankOracle,

@@ -305,6 +305,44 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class CdcEv(user_id: Long, lsn: Long, op: String, v_cents: Long)
+
+  final case class CdcState(lsn: Long, op: String, v_cents: Long, nOps: Long)
+
+  final case class CdcOut(user_id: Long, last_lsn: Long, n_ops: Long,
+      live: Boolean, value: Double)
+
+  /** Streaming CDC apply with `mapGroupsWithState` (Update mode) — the
+    * streaming twin of [[graft.etl.Medallion.cdcApply]]: per-key state
+    * is the (max-LSN, op, payload, log-depth) quadruple, and each batch
+    * folds its change records by LSN COMPARISON, not arrival order —
+    * a change that arrives late (lower LSN than the held state) only
+    * deepens the log count, never regresses the snapshot. This is the
+    * batch twin's max+join-back semantics held incrementally, which is
+    * why the fold is associative/idempotent-safe where a "last arrival
+    * wins" fold would not be. Every touched key emits its updated
+    * snapshot row per batch; a key whose winning op is a tombstone
+    * emits live=false — the compacted deletion a downstream merge
+    * applies. State is O(1) per key; watermarking would only expire
+    * dormant keys, never affect correctness.
+    */
+  def cdcApplyStream(changes: Dataset[CdcEv]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    def update(userId: Long, evs: Iterator[CdcEv],
+               state: GroupState[CdcState]): CdcOut = {
+      var s = state.getOption.getOrElse(CdcState(-1L, "D", 0L, 0L))
+      evs.foreach { e =>
+        s = if (e.lsn > s.lsn) CdcState(e.lsn, e.op, e.v_cents, s.nOps + 1)
+        else s.copy(nOps = s.nOps + 1)
+      }
+      state.update(s)
+      CdcOut(userId, s.lsn, s.nOps, s.op == "U", s.v_cents.toDouble / 100.0)
+    }
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class TouchEv(user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
 

@@ -177,6 +177,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: LSN wins over arrival order, tombstones compact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CdcEv, CdcOut}
+
+    val input = MemoryStream[CdcEv]
+    val q = StreamingOps.cdcApplyStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      def latest() = spark.table("cdc_out").as[CdcOut].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_ops)).toMap
+      // batch 1: user 1 out-of-order WITHIN the batch (LSN 5 then 3 —
+      // 3 must NOT regress the snapshot); user 2 upsert then tombstone
+      input.addData(
+        CdcEv(1L, 5L, "U", 1200L), CdcEv(1L, 3L, "U", 900L),
+        CdcEv(2L, 1L, "U", 500L), CdcEv(2L, 2L, "D", 0L))
+      q.processAllAvailable()
+      val mid = latest()
+      assert(mid(1L).last_lsn == 5L && mid(1L).live &&
+        math.abs(mid(1L).value - 12.0) < 1e-12, s"user 1 mid ${mid(1L)}")
+      assert(mid(2L).last_lsn == 2L && !mid(2L).live, s"user 2 mid ${mid(2L)}")
+      // batch 2: a LATE change for user 1 (LSN 4 < held 5) deepens the
+      // log but keeps the snapshot; user 2 is resurrected by LSN 6
+      input.addData(CdcEv(1L, 4L, "U", 9999L), CdcEv(2L, 6L, "U", 700L))
+      q.processAllAvailable()
+      val fin = latest()
+      assert(fin(1L).last_lsn == 5L && fin(1L).n_ops == 3L &&
+        math.abs(fin(1L).value - 12.0) < 1e-12,
+        s"late LSN regressed the snapshot: ${fin(1L)}")
+      assert(fin(2L).live && fin(2L).last_lsn == 6L &&
+        math.abs(fin(2L).value - 7.0) < 1e-12, s"user 2 fin ${fin(2L)}")
+    } finally q.stop()
+  }
+
   test("streaming token bucket: clamp, rejection, and state carry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
