@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1305,7 +1305,292 @@ object StatsOps {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------------- Cohen's kappa
+  /** Cohen's kappa — chance-corrected agreement between two raters,
+    * THE statistic label-quality audits report (two annotators, or a
+    * cheap heuristic vs a reference classifier: raw agreement is
+    * inflated whenever class priors are skewed, which is always).
+    * Raters here: the length heuristic (n_chars ≥ 300) vs the
+    * whitespace-token heuristic (≥ 50 tokens) — two "keep this
+    * document" judges that mostly agree by construction (both proxy
+    * length) with principled disagreement on dense/sparse outliers.
+    *
+    * κ = (N·Σnᵢᵢ − Σₖ rₖcₖ) / (N² − Σₖ rₖcₖ) — one pass to the four
+    * confusion cells (a map-side boolean pair + single hash aggregate
+    * to ONE row), then exact rational arithmetic: N² and rₖcₖ in
+    * DECIMAL(38) (a long N² overflows past ~3e9 rows — the honest
+    * type at corpus scale), the final ratio as the house signed
+    * half-up e6 division. Observed and expected agreement ship
+    * alongside κ so the dashboard can see WHY chance correction bit.
+    */
+  def cohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .select(
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("ra"),
+        when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L)).as("n00"))
+    cells
+      .withColumn("agree", col("n11") + col("n00"))
+      .withColumn("rc", expr(
+        """CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+          | + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)""".stripMargin))
+      .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * agree - rc"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * n - rc"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(agree * 2000000 + n - ((agree * 2000000 + n) % (n * 2)))" +
+          " DIV (n * 2)").cast("double").divide(1e6).as("po"),
+        expr("""CAST((rc * 2000000 + CAST(n AS DECIMAL(38,0)) * n
+                - ((rc * 2000000 + CAST(n AS DECIMAL(38,0)) * n)
+                   % (CAST(n AS DECIMAL(38,0)) * n * 2)))
+               / (CAST(n AS DECIMAL(38,0)) * n * 2) AS BIGINT)"""
+          .replace("\n", " ")).cast("double").divide(1e6).as("pe"),
+        expr("""CAST(CASE WHEN (num < 0) <> (den < 0)
+                 THEN -((abs(num) * 1000000 * 2 + abs(den)
+                        - ((abs(num) * 1000000 * 2 + abs(den))
+                           % (abs(den) * 2))) / (abs(den) * 2))
+                 ELSE (abs(num) * 1000000 * 2 + abs(den)
+                      - ((abs(num) * 1000000 * 2 + abs(den))
+                         % (abs(den) * 2))) / (abs(den) * 2)
+               END AS BIGINT)""".replace("\n", " "))
+          .cast("double").divide(1e6).as("kappa"))
+  }
+
+  private val cohensKappaOracle =
+    """WITH r AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+      |         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS rb
+      |  FROM documents),
+      |cells AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+      |         SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
+      |         SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
+      |         SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00
+      |  FROM r),
+      |m AS (
+      |  SELECT n, n11, n10, n01, n00, n11 + n00 AS agree,
+      |         CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS rc
+      |  FROM cells),
+      |k AS (
+      |  SELECT *, CAST(n AS HUGEINT) * agree - rc AS num,
+      |         CAST(n AS HUGEINT) * n - rc AS den
+      |  FROM m)
+      |SELECT n, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+      |       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+      |       CAST((agree * 2000000 + n - ((agree * 2000000 + n) % (n * 2)))
+      |            // (n * 2) AS DOUBLE) / 1e6 AS po,
+      |       CAST(CAST((rc * 2000000 + CAST(n AS HUGEINT) * n
+      |            - ((rc * 2000000 + CAST(n AS HUGEINT) * n)
+      |               % (CAST(n AS HUGEINT) * n * 2)))
+      |            // (CAST(n AS HUGEINT) * n * 2) AS BIGINT) AS DOUBLE) / 1e6
+      |         AS pe,
+      |       CAST(CAST(CASE WHEN (num < 0) <> (den < 0)
+      |              THEN -((abs(num) * 1000000 * 2 + abs(den)
+      |                     - ((abs(num) * 1000000 * 2 + abs(den))
+      |                        % (abs(den) * 2))) // (abs(den) * 2))
+      |              ELSE (abs(num) * 1000000 * 2 + abs(den)
+      |                   - ((abs(num) * 1000000 * 2 + abs(den))
+      |                      % (abs(den) * 2))) // (abs(den) * 2)
+      |            END AS BIGINT) AS DOUBLE) / 1e6 AS kappa
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------- PR curve
+  /** Precision/recall/F1 operating-point sweep — the threshold-picking
+    * companion to [[rocAuc]] (AUC says whether the score ranks; the
+    * curve says WHERE to cut it). Same classifier (n_chars predicting
+    * lang = 'en'): at each of 9 fixed thresholds t, predict positive
+    * when score ≥ t and report the confusion counts and the three
+    * ratios on the half-up e6 lattice (F1 as its sufficient-statistic
+    * form 2tp/(2tp+fp+fn) — one division, no float compounding).
+    *
+    * Scale: ONE scan — each row fans into the 9 sweep rows via a tiny
+    * explode (the watermark-audit shape), partial-aggregated before
+    * the 9-row exchange. NULLIF guards an empty prediction set.
+    */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        explode(expr("sequence(100, 900, 100)")).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("score") >= col("t") && col("pos") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("t") && col("pos") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("t") && col("pos") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("t"), col("tp"), col("fp"), col("fn"),
+        expr("""CAST((tp * 2000000 + NULLIF(tp + fp, 0)
+               - ((tp * 2000000 + NULLIF(tp + fp, 0)) % ((tp + fp) * 2)))
+               DIV ((tp + fp) * 2) AS DOUBLE)""".replace("\n", " "))
+          .divide(1e6).as("prec"),
+        expr("""CAST((tp * 2000000 + NULLIF(tp + fn, 0)
+               - ((tp * 2000000 + NULLIF(tp + fn, 0)) % ((tp + fn) * 2)))
+               DIV ((tp + fn) * 2) AS DOUBLE)""".replace("\n", " "))
+          .divide(1e6).as("recall"),
+        expr("""CAST((tp * 4000000 + NULLIF(2 * tp + fp + fn, 0)
+               - ((tp * 4000000 + NULLIF(2 * tp + fp + fn, 0))
+                  % ((2 * tp + fp + fn) * 2)))
+               DIV ((2 * tp + fp + fn) * 2) AS DOUBLE)""".replace("\n", " "))
+          .divide(1e6).as("f1"))
+      .orderBy(col("t"))
+  }
+
+  private val prCurveOracle =
+    """WITH sweep AS (
+      |  SELECT t, n_chars AS score,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents, unnest(range(100, 1000, 100)) AS u(t)),
+      |c AS (
+      |  SELECT t,
+      |         SUM(CASE WHEN score >= t AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+      |         SUM(CASE WHEN score >= t AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+      |         SUM(CASE WHEN score < t AND pos = 1 THEN 1 ELSE 0 END) AS fn
+      |  FROM sweep GROUP BY t)
+      |SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |       CAST(fn AS BIGINT) AS fn,
+      |       CAST((tp * 2000000 + NULLIF(tp + fp, 0)
+      |            - ((tp * 2000000 + NULLIF(tp + fp, 0)) % ((tp + fp) * 2)))
+      |            // ((tp + fp) * 2) AS DOUBLE) / 1e6 AS prec,
+      |       CAST((tp * 2000000 + NULLIF(tp + fn, 0)
+      |            - ((tp * 2000000 + NULLIF(tp + fn, 0)) % ((tp + fn) * 2)))
+      |            // ((tp + fn) * 2) AS DOUBLE) / 1e6 AS recall,
+      |       CAST((tp * 4000000 + NULLIF(2 * tp + fp + fn, 0)
+      |            - ((tp * 4000000 + NULLIF(2 * tp + fp + fn, 0))
+      |               % ((2 * tp + fp + fn) * 2)))
+      |            // ((2 * tp + fp + fn) * 2) AS DOUBLE) / 1e6 AS f1
+      |FROM c ORDER BY t""".stripMargin
+
+  // ------------------------------------------------- multi-feature OLS
+  /** Two-feature OLS via the normal equations, solved in closed form
+    * by Cramer's rule — l_extendedprice (cents) regressed on
+    * (l_quantity, discount percentage points): the sanity regression a
+    * pricing pipeline runs (in true TPC-H data β₁ recovers the mean
+    * unit price; this synthetic fixture prices independently of
+    * quantity, and the fit honestly reports the weak slope). Extends
+    * [[olsTrend]]'s single-feature closed form to the 3×3 system.
+    *
+    * All nine sufficient statistics (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂²,
+    * Σy, Σx₁y, Σx₂y) accumulate as exact longs in ONE map-side
+    * partial-aggregated pass; the 3×3 determinants expand in
+    * DECIMAL(38,0) (widest term 1e6·Σy·Σx₁²·Σx₂² ≈ 6e35 at sf0.1 —
+    * inside DECIMAL(38)/HUGEINT through ~1e7 rows; past that, center
+    * the features first, which shrinks the cross-moments by orders of
+    * magnitude). βs emerge as signed half-up e6 integer divisions —
+    * no float until the final display division, so the fit is
+    * bit-identical at any partition count.
+    */
+  def olsMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(l_quantity AS BIGINT)").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+    // 3×3 Cramer in DECIMAL(38,0); minors expand first so every
+    // product is two factors wide (the precision-loss-safe order)
+    val withDets = s
+      .withColumn("m0", expr(
+        "CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12"))
+      .withColumn("m1", expr(
+        "CAST(sx1 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * sx2"))
+      .withColumn("m2", expr(
+        "CAST(sx1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * sx2"))
+      .withColumn("p1", expr(
+        "CAST(s1y AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s2y"))
+      .withColumn("p2", expr(
+        "CAST(s1y AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2y"))
+      .withColumn("q1", expr(
+        "CAST(sx1 AS DECIMAL(38,0)) * s2y - CAST(s1y AS DECIMAL(38,0)) * sx2"))
+      .withColumn("det", expr("n * m0 - sx1 * m1 + sx2 * m2"))
+      .withColumn("d0", expr("sy * m0 - sx1 * p1 + sx2 * p2"))
+      .withColumn("d1", expr("n * p1 - sy * m1 + sx2 * q1"))
+      .withColumn("d2", expr("n * p2 - sx1 * q1 + sy * m2"))
+    def beta(di: String): Column = expr(
+      s"""CAST(CASE WHEN ($di < 0) <> (det < 0)
+         | THEN -((abs($di) * 2000000 + abs(det)
+         |        - ((abs($di) * 2000000 + abs(det)) % (abs(det) * 2)))
+         |        / (abs(det) * 2))
+         | ELSE (abs($di) * 2000000 + abs(det)
+         |      - ((abs($di) * 2000000 + abs(det)) % (abs(det) * 2)))
+         |      / (abs(det) * 2)
+         |END AS BIGINT)""".stripMargin.replace("\n", " "))
+      .cast("double").divide(1e6)
+    withDets.select(col("n"), col("sy"),
+      beta("d0").as("b0"), beta("d1").as("b1"), beta("d2").as("b2"))
+  }
+
+  private val olsMultiOracle =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CAST(l_quantity AS BIGINT)) AS sx1,
+      |         SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sx2,
+      |         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s11,
+      |         SUM(CAST(l_quantity AS BIGINT)
+      |             * CAST(round(l_discount * 100) AS BIGINT)) AS s12,
+      |         SUM(CAST(round(l_discount * 100) AS BIGINT)
+      |             * CAST(round(l_discount * 100) AS BIGINT)) AS s22,
+      |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+      |         SUM(CAST(l_quantity AS BIGINT)
+      |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1y,
+      |         SUM(CAST(round(l_discount * 100) AS BIGINT)
+      |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT *,
+      |         CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12 AS m0,
+      |         CAST(sx1 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * sx2 AS m1,
+      |         CAST(sx1 AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * sx2 AS m2,
+      |         CAST(s1y AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2y AS p1,
+      |         CAST(s1y AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2y AS p2,
+      |         CAST(sx1 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * sx2 AS q1
+      |  FROM s),
+      |d AS (
+      |  SELECT *, n * m0 - sx1 * m1 + sx2 * m2 AS det,
+      |         sy * m0 - sx1 * p1 + sx2 * p2 AS d0,
+      |         n * p1 - sy * m1 + sx2 * q1 AS d1,
+      |         n * p2 - sx1 * q1 + sy * m2 AS d2
+      |  FROM m)
+      |SELECT n, sy,
+      |       CAST(CAST(CASE WHEN (d0 < 0) <> (det < 0)
+      |              THEN -((abs(d0) * 2000000 + abs(det)
+      |                     - ((abs(d0) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                     // (abs(det) * 2))
+      |              ELSE (abs(d0) * 2000000 + abs(det)
+      |                   - ((abs(d0) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                   // (abs(det) * 2) END AS BIGINT) AS DOUBLE) / 1e6 AS b0,
+      |       CAST(CAST(CASE WHEN (d1 < 0) <> (det < 0)
+      |              THEN -((abs(d1) * 2000000 + abs(det)
+      |                     - ((abs(d1) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                     // (abs(det) * 2))
+      |              ELSE (abs(d1) * 2000000 + abs(det)
+      |                   - ((abs(d1) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                   // (abs(det) * 2) END AS BIGINT) AS DOUBLE) / 1e6 AS b1,
+      |       CAST(CAST(CASE WHEN (d2 < 0) <> (det < 0)
+      |              THEN -((abs(d2) * 2000000 + abs(det)
+      |                     - ((abs(d2) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                     // (abs(det) * 2))
+      |              ELSE (abs(d2) * 2000000 + abs(det)
+      |                   - ((abs(d2) * 2000000 + abs(det)) % (abs(det) * 2)))
+      |                   // (abs(det) * 2) END AS BIGINT) AS DOUBLE) / 1e6 AS b2
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_kappa" -> (cohensKappa _),
+    "q_pr_curve" -> (prCurve _),
+    "q_ols_multi" -> (olsMulti _),
     "q_runs_test" -> (runsTest _),
     "q_post_stratified" -> (postStratified _),
     "q_ips_eval" -> (ipsEval _),
@@ -1332,6 +1617,9 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cohens_kappa" -> cohensKappaOracle,
+    "q_pr_curve" -> prCurveOracle,
+    "q_ols_multi" -> olsMultiOracle,
     "q_runs_test" -> runsTestOracle,
     "q_post_stratified" -> postStratifiedOracle,
     "q_ips_eval" -> ipsEvalOracle,
