@@ -829,7 +829,88 @@ object GravityOps {
        |FROM rects r LEFT JOIN agg ON agg.k = r.k
        |ORDER BY r.k""".stripMargin
 
+  // ----------------------------------------------------------- geohash
+  /** Geohash-6 spatial indexing — THE portable spatial bucketing key
+    * (public base32 interleave encoding): quantize lon/lat to 15 bits
+    * each, interleave (lon first) into a 30-bit code, render as 6
+    * base32 chars. Prefix truncation = spatial containment, which is
+    * what makes it a partition/join key: `substr(gh, 1, k)` buckets
+    * co-locate nearby points for neighborhood joins (the grid-join's
+    * cell key, but hierarchical and sortable — a z-order curve in
+    * string clothing).
+    *
+    * Engine parity by construction: the coordinates live on the e6
+    * integer lattice (key-derived, Spain-ish extents), quantization is
+    * exact integer floor division, every bit extraction is
+    * `(q DIV 2^s) % 2` and every 5-bit char an integer divide —
+    * rendered for both engines from ONE Scala formula builder, so no
+    * float touches any cell boundary. GeoSpec cross-checks against an
+    * INDEPENDENT implementation (successive-bisection algorithm, the
+    * textbook construction) — the oracle proves engine parity, the
+    * spec proves the encoding is actually geohash.
+    *
+    * Scale: pure map-side arithmetic on two columns — a free rider on
+    * any scan, like every good partition key.
+    */
+  def geohash(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("int").as("k"),
+        (lit(-6300000L) + pmod(col("n_nationkey"), lit(21)) * 310000L)
+          .as("lon_e6"),
+        (lit(36100000L) + pmod(col("n_nationkey"), lit(11)) * 520000L)
+          .as("lat_e6"))
+      .withColumn("lon_q",
+        expr("(lon_e6 + 180000000) * 32768 DIV 360000000"))
+      .withColumn("lat_q",
+        expr("(lat_e6 + 90000000) * 32768 DIV 180000000"))
+      .withColumn("g", expr(geohashBitsSql("DIV")))
+      .select(col("k"),
+        (col("lon_e6").cast("double") / 1e6).as("lon"),
+        (col("lat_e6").cast("double") / 1e6).as("lat"),
+        expr(geohashCharsSql("DIV")).as("gh6"))
+      .withColumn("gh3", substring(col("gh6"), 1, 3))
+      .orderBy(col("k"))
+  }
+
+  /** Base32 alphabet of the public geohash encoding (no a/i/l/o). */
+  private[graft] val GhAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** 30-bit interleave as engine-portable integer arithmetic over
+    * columns lon_q/lat_q — bit i of the 15-bit quantized value via
+    * `DIV 2^(14-i) % 2`, placed at interleaved weight (lon even
+    * positions from the MSB, lat odd). `div` = "DIV" (Spark) / "//"
+    * (DuckDB). */
+  private[ops] def geohashBitsSql(div: String): String =
+    (0 until 15).flatMap { i =>
+      Seq(s"((lon_q $div ${1 << (14 - i)}) % 2) * ${1L << (29 - 2 * i)}",
+        s"((lat_q $div ${1 << (14 - i)}) % 2) * ${1L << (28 - 2 * i)}")
+    }.mkString(" + ")
+
+  /** Six 5-bit chars of column g through the base32 table. */
+  private[ops] def geohashCharsSql(div: String): String =
+    (0 until 6).map { j =>
+      s"substr('$GhAlphabet', CAST(((g $div ${1L << (25 - 5 * j)}) % 32) AS INT) + 1, 1)"
+    }.mkString(" || ")
+
+  private lazy val geohashOracle =
+    s"""WITH pts AS (
+       |  SELECT CAST(n_nationkey AS INTEGER) AS k,
+       |         CAST(-6300000 + (n_nationkey % 21) * 310000 AS BIGINT) AS lon_e6,
+       |         CAST(36100000 + (n_nationkey % 11) * 520000 AS BIGINT) AS lat_e6
+       |  FROM nation),
+       |q AS (
+       |  SELECT *, (lon_e6 + 180000000) * 32768 // 360000000 AS lon_q,
+       |         (lat_e6 + 90000000) * 32768 // 180000000 AS lat_q
+       |  FROM pts),
+       |bits AS (SELECT *, ${geohashBitsSql("//")} AS g FROM q)
+       |SELECT k, CAST(lon_e6 AS DOUBLE) / 1e6 AS lon,
+       |       CAST(lat_e6 AS DOUBLE) / 1e6 AS lat,
+       |       ${geohashCharsSql("//")} AS gh6,
+       |       substr(${geohashCharsSql("//")}, 1, 3) AS gh3
+       |FROM bits ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geohash" -> (geohash _),
     "q_grid_spatial_join" -> (gridSpatialJoin _),
     "q_geo_roundtrip" -> (geoRoundtrip _),
     "q_map_join" -> (mapJoin _),
@@ -846,6 +927,7 @@ object GravityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_geohash" -> geohashOracle,
     "q_grid_spatial_join" -> gridSpatialJoinOracle,
     "q_geo_roundtrip" -> geoRoundtripOracle,
     "q_map_join" -> mapJoinOracle,

@@ -12,6 +12,63 @@ import graft.geo.Geo._
   */
 class GeoSpec extends AnyFunSuite {
 
+  test("geohash quantize-interleave equals the textbook bisection encoding") {
+    // the textbook successive-bisection construction — independent of
+    // the integer quantize+interleave arithmetic the SQL renders
+    def refGeohash(lon: Double, lat: Double, chars: Int): String = {
+      var (lonL, lonH, latL, latH) = (-180.0, 180.0, -90.0, 90.0)
+      val sb = new StringBuilder
+      var isLon = true; var bit = 0; var ch = 0
+      while (sb.length < chars) {
+        if (isLon) {
+          val m = (lonL + lonH) / 2
+          if (lon >= m) { ch = ch * 2 + 1; lonL = m }
+          else { ch = ch * 2; lonH = m }
+        } else {
+          val m = (latL + latH) / 2
+          if (lat >= m) { ch = ch * 2 + 1; latL = m }
+          else { ch = ch * 2; latH = m }
+        }
+        isLon = !isLon; bit += 1
+        if (bit == 5) {
+          sb.append(graft.ops.GravityOps.GhAlphabet.charAt(ch))
+          bit = 0; ch = 0
+        }
+      }
+      sb.toString
+    }
+    // plain-Scala mirror of the SQL arithmetic (same quantize, same
+    // interleave weights) — positive operands, so / == floor == DIV == //
+    def sqlGeohash(lonE6: Long, latE6: Long): String = {
+      val lonQ = (lonE6 + 180000000L) * 32768 / 360000000L
+      val latQ = (latE6 + 90000000L) * 32768 / 180000000L
+      var g = 0L
+      for (i <- 0 until 15) {
+        g += ((lonQ >> (14 - i)) & 1) << (29 - 2 * i)
+        g += ((latQ >> (14 - i)) & 1) << (28 - 2 * i)
+      }
+      (0 until 6).map(j =>
+        graft.ops.GravityOps.GhAlphabet.charAt(((g >> (25 - 5 * j)) & 31).toInt))
+        .mkString
+    }
+    // published anchor (Wikipedia's geohash example, truncated to 6):
+    // (57.64911 N, 10.40744 E) -> u4pruydqqvj
+    assert(sqlGeohash(10407440L, 57649110L) == "u4pruy", "anchor mismatch")
+    assert(refGeohash(10.40744, 57.64911, 6) == "u4pruy", "ref anchor mismatch")
+    // the 25 key-derived query points + a deterministic sweep
+    val pts = (0 until 25).map(k =>
+      (-6300000L + (k % 21) * 310000L, 36100000L + (k % 11) * 520000L)) ++
+      (0 until 500).map { i =>
+        val h = i * 2654435761L
+        ((h % 360000000L) - 180000000L, ((h / 7) % 180000000L) - 90000000L)
+      }
+    pts.foreach { case (lonE6, latE6) =>
+      val got = sqlGeohash(lonE6, latE6)
+      val want = refGeohash(lonE6.toDouble / 1e6, latE6.toDouble / 1e6, 6)
+      assert(got == want, s"($lonE6, $latE6): sql=$got ref=$want")
+    }
+  }
+
   test("WKT round-trip: point, polygon, polygon with hole, multipolygon") {
     val cases = Seq(
       "POINT (1.5 -2.25)",
