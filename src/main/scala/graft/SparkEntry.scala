@@ -43,6 +43,7 @@ object SparkEntry {
       sources.CsvSources.queries ++
       sources.SchemaEvolution.queries ++
       sources.JsonSource.queries ++
+      sources.BinaryFiles.queries ++
       sources.OrcSource.queries ++
       sources.Shapefile.queries
 
@@ -84,6 +85,7 @@ object SparkEntry {
       sources.CsvSources.oracles(sfDir) ++
       sources.SchemaEvolution.oracles(sfDir) ++
       sources.JsonSource.oracles(sfDir) ++
+      sources.BinaryFiles.oracles ++
       sources.OrcSource.oracles ++
       sources.Shapefile.oracles
 }
