@@ -342,4 +342,97 @@ class PlanSpec extends SparkSpec {
       s"fact scan must carry a dynamicpruning partition filter:\n$plan")
   }
 
+  test("Q5 star join: every dimension broadcasts; at most the fact-fact edge shuffles") {
+    val plan = executed(RelationalOps.starJoin(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"star join must stay equi-join:\n$plan")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 4, s"expected >=4 broadcast dim joins, got $nBroadcast:\n$plan")
+    val nShuffleJoins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(nShuffleJoins <= 1,
+      s"only lineitem><orders may shuffle, got $nShuffleJoins:\n$plan")
+  }
+
+  test("sliding distinct: bounded explode + hash aggregates, never a window") {
+    val plan = executed(graft.ops.AnalyticsOps.slidingDistinct(spark, sfTiny))
+    assert(!plan.contains("Window"),
+      s"rolling uniques must not plan a window:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"distinct must stay hash-aggregated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"observed-day frame must broadcast:\n$plan")
+    assert(plan.contains("Generate"), s"expected the 7-day explode:\n$plan")
+  }
+
+  test("CDC apply: last-writer-wins is a partial-aggregated max, no window") {
+    val plan = executed(graft.etl.Medallion.cdcApply(spark, sfTiny))
+    assert(!plan.contains("Window"),
+      s"CDC compaction must not sort-window the log:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected hash-aggregated max(lsn):\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"max(lsn) fell back to sort aggregation:\n$plan")
+  }
+
+  test("HITS: bucketed edge scans; no Exchange ships raw edge rows") {
+    // Same invariant as the pagerank pin, with broadcast ENABLED (the
+    // score frames broadcast by design): every hop aggregate runs
+    // inside the bucketed edge distribution, so any Exchange in the
+    // plan carries only aggregated node rows.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE off so the executed plan is a plain traversable tree (the
+    // pagerank pin's discipline); broadcast stays ON — it's the design
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.GraphOps.hits(spark, sfTiny)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.startsWith("edges_by")) => s }
+      assert(scans.nonEmpty, s"no bucketed edge scans in plan:\n$plan")
+      assert(scans.forall(_.bucketedScan), s"edge scans not reading buckets:\n$plan")
+      def rawEdgeReach(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table.startsWith("edges_by"))
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case other => other.children.exists(rawEdgeReach)
+      }
+      val offenders =
+        plan.collect { case e: ShuffleExchangeLike if rawEdgeReach(e) => e }
+      assert(offenders.isEmpty, s"${offenders.size} Exchanges ship raw edge rows:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("k-core peel: degree filters stay in hash aggregation, no window") {
+    val plan = executed(graft.ops.GraphOps.kcore(spark, sfTiny))
+    assert(!plan.contains("Window"), s"peel must not window:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"degree counts must hash-aggregate:\n$plan")
+  }
+
+  test("geohash: map-side arithmetic only — no hash exchange in the plan") {
+    val plan = executed(graft.ops.GravityOps.geohash(spark, sfTiny))
+    assert(!plan.contains("hashpartitioning"),
+      s"encoding must not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"pure projection expected:\n$plan")
+  }
+
+  test("multi-feature OLS / kappa / PR curve: one scan, one partial-agg pass each") {
+    Seq(graft.ops.StatsOps.olsMulti(spark, sfTiny),
+      graft.ops.StatsOps.cohensKappa(spark, sfTiny),
+      graft.ops.StatsOps.prCurve(spark, sfTiny)).foreach { df =>
+      val plan = executed(df)
+      assert(!plan.contains("Window"), s"no window expected:\n$plan")
+      assert("Scan parquet".r.findAllIn(plan).size == 1,
+        s"sufficient statistics must come from ONE scan:\n$plan")
+    }
+  }
+
 }
