@@ -1587,7 +1587,118 @@ object StatsOps {
       |                   // (abs(det) * 2) END AS BIGINT) AS DOUBLE) / 1e6 AS b2
       |FROM d""".stripMargin
 
+  // ------------------------------------------------------------- DTW
+  private[graft] final case class DtwCell(
+      t1: String, t2: String, day: java.sql.Date, c1: Long, c2: Long)
+  private[graft] final case class DtwOut(
+      t1: String, t2: String, n_days: Long, dtw: Long)
+
+  /** Dynamic time warping distance between every pair of event-type
+    * daily-volume series — the elastic-alignment similarity measure
+    * for time series whose shapes match but whose timing drifts
+    * (Euclidean distance punishes a one-day phase shift; DTW aligns
+    * it). An operator Spark genuinely lacks: the DP recurrence
+    * D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) is
+    * sequential in BOTH dimensions — not a window, not an aggregate —
+    * so this is the charter's sanctioned per-group imperative case:
+    * pairs are the parallel unit (one shuffle on the pair key), the
+    * O(n²) DP runs locally per group over two rolling rows (O(n)
+    * memory, never the matrix). Both series read off ONE dense
+    * (type × day) grid, so lengths always agree and zero-fill is
+    * explicit. All-integer costs — exact parity at any partition
+    * count, order-independent because cells are sorted by day inside
+    * the group.
+    *
+    * The oracle is a genuinely different formulation: a recursive CTE
+    * advancing cell-by-cell through the same recurrence, carrying the
+    * previous DP row as a LIST column (the token-bucket/Bellman-Ford
+    * oracle discipline — typed fold vs set-based recursion).
+    *
+    * Scale: |types|² pairs × |days| rows shuffle once; per-group cost
+    * is days² integer ops. For LONG series (n > ~10⁴) real systems
+    * band the DP (Sakoe-Chiba) — the same mapGroups with a clamped
+    * inner loop; the banded variant drops in without plan changes.
+    */
+  def dtw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val types = daily.select(col("t")).distinct()
+    val days = daily.select(col("day")).distinct()
+    val dense = types.crossJoin(broadcast(days))
+      .join(daily, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a.day") === col("b.day") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"), col("a.day").as("day"),
+        col("a.cnt").as("c1"), col("b.cnt").as("c2"))
+      .as[DtwCell]
+      .groupByKey(r => (r.t1, r.t2))
+      .mapGroups { (key: (String, String), it: Iterator[DtwCell]) =>
+        val (t1, t2) = key
+        val cells = it.toArray.sortBy(_.day.getTime)
+        val a = cells.map(_.c1)
+        val b = cells.map(_.c2)
+        val n = a.length
+        val prev = new Array[Long](n)
+        val cur = new Array[Long](n)
+        prev(0) = math.abs(a(0) - b(0))
+        var j = 1
+        while (j < n) { prev(j) = prev(j - 1) + math.abs(a(0) - b(j)); j += 1 }
+        var i = 1
+        while (i < n) {
+          cur(0) = prev(0) + math.abs(a(i) - b(0))
+          j = 1
+          while (j < n) {
+            cur(j) = math.abs(a(i) - b(j)) +
+              math.min(math.min(prev(j), prev(j - 1)), cur(j - 1))
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, n)
+          i += 1
+        }
+        DtwOut(t1, t2, n.toLong, prev(n - 1))
+      }
+      .toDF()
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  private val dtwOracle =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.t, g.day, COALESCE(d.cnt, 0) AS cnt
+      |  FROM (SELECT a.t, b.day
+      |        FROM (SELECT DISTINCT t FROM daily) a,
+      |             (SELECT DISTINCT day FROM daily) b) g
+      |  LEFT JOIN daily d ON d.t = g.t AND d.day = g.day),
+      |s AS (SELECT t, list(cnt ORDER BY day) AS v FROM grid GROUP BY t),
+      |p AS (SELECT a.t AS t1, b.t AS t2, a.v AS va, b.v AS vb
+      |      FROM s a JOIN s b ON a.t < b.t),
+      |dp AS (
+      |  SELECT t1, t2, va, vb, 1 AS i, 1 AS j,
+      |         CAST(NULL AS BIGINT[]) AS prev, [abs(va[1] - vb[1])] AS cur
+      |  FROM p
+      |  UNION ALL
+      |  SELECT t1, t2, va, vb,
+      |    CASE WHEN j < len(vb) THEN i ELSE i + 1 END,
+      |    CASE WHEN j < len(vb) THEN j + 1 ELSE 1 END,
+      |    CASE WHEN j < len(vb) THEN prev ELSE cur END,
+      |    CASE WHEN j < len(vb) THEN
+      |      list_append(cur, abs(va[i] - vb[j+1]) +
+      |        CASE WHEN i = 1 THEN cur[-1]
+      |             ELSE least(prev[j+1], prev[j], cur[-1]) END)
+      |    ELSE [abs(va[i+1] - vb[1]) + cur[1]] END
+      |  FROM dp WHERE NOT (i = len(va) AND j = len(vb)))
+      |SELECT t1, t2, CAST(len(va) AS BIGINT) AS n_days, cur[-1] AS dtw
+      |FROM dp WHERE i = len(va) AND j = len(vb)
+      |ORDER BY t1, t2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
     "q_pr_curve" -> (prCurve _),
     "q_ols_multi" -> (olsMulti _),
@@ -1617,6 +1728,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
     "q_pr_curve" -> prCurveOracle,
     "q_ols_multi" -> olsMultiOracle,

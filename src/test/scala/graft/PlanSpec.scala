@@ -424,6 +424,41 @@ class PlanSpec extends SparkSpec {
       s"pure projection expected:\n$plan")
   }
 
+  test("parquet MIN/MAX/COUNT push down into the v2 scan (footer-stats aggregate)") {
+    // The 100 TB free lunch for audit queries: with the v2 parquet
+    // reader, whole-column MIN/MAX/COUNT aggregates answer from file
+    // footers — zero data pages read. Pinned under scoped confs (the
+    // default v1 reader path doesn't support it; bucketed tables need
+    // v1, so the switch is per-query, never session-global). MIN/MAX
+    // on TIMESTAMP columns do NOT push (verified here first — Spark
+    // excludes them from footer-stats trust); integral/numeric do.
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "avro,csv,json,kafka,orc,text",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      val plan = formatted(df)
+      assert(plan.contains("PushedAggregation: ["),
+        s"no aggregate pushdown section:\n$plan")
+      assert("PushedAggregation: \\[[^\\]]*MIN".r.findFirstIn(plan).isDefined &&
+        "PushedAggregation: \\[[^\\]]*COUNT".r.findFirstIn(plan).isDefined,
+        s"MIN/COUNT not pushed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("DTW: one shuffle on the pair key feeds the typed per-group DP") {
+    val plan = executed(graft.ops.StatsOps.dtw(spark, sfTiny))
+    assert(plan.contains("MapGroups"), s"expected typed mapGroups:\n$plan")
+    assert(!plan.contains("Window"), s"DP must not plan a window:\n$plan")
+  }
+
   test("multi-feature OLS / kappa / PR curve: one scan, one partial-agg pass each") {
     Seq(graft.ops.StatsOps.olsMulti(spark, sfTiny),
       graft.ops.StatsOps.cohensKappa(spark, sfTiny),
