@@ -1713,7 +1713,59 @@ object AnalyticsOps {
       |FROM u JOIN e ON u.day = e.day
       |ORDER BY u.day""".stripMargin
 
+  // ----------------------------------------------------- WoW growth
+  /** Week-over-week growth per event type — the first derivative every
+    * metrics dashboard shows: weekly value (Monday-truncated weeks,
+    * identical in both engines) with the previous week's value pulled
+    * by a lag window and the growth ratio derived from EXACT integer
+    * cents. Parity doctrine for the ratio: delta is an exact long;
+    * growth = round(delta/prev, 6) is ONE correctly-rounded IEEE op on
+    * identical integer operands (the Wilson-interval pattern) — safe
+    * without the half-up machinery, and NULL on the first week rather
+    * than a fake zero.
+    *
+    * Scale: the fact scan partial-aggregates to |types|·|weeks| cells
+    * in one shuffle; the lag window runs over that tiny frame. The
+    * trailing partial week ships honestly (n_days shows it) — cutting
+    * it is the dashboard's choice, not the engine's.
+    */
+  def wowGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n_days"), col("n_events"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (col("cents") - col("prev_cents")).as("delta_cents"),
+        round(((col("cents") - col("prev_cents")).cast("double") /
+          col("prev_cents").cast("double")), 6).as("growth"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  private val wowGrowthOracle =
+    """WITH wk AS (
+      |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+      |         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |         COUNT(*) AS n_events,
+      |         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT *, LAG(cents, 1) OVER (PARTITION BY event_type
+      |                                ORDER BY week) AS prev_cents
+      |  FROM wk)
+      |SELECT event_type, week, n_days, n_events,
+      |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |       CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+      |       ROUND(CAST(cents - prev_cents AS DOUBLE)
+      |             / CAST(prev_cents AS DOUBLE), 6) AS growth
+      |FROM lg ORDER BY event_type, week""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wow_growth" -> (wowGrowth _),
     "q_sliding_distinct" -> (slidingDistinct _),
     "q_watermark_audit" -> (watermarkAudit _),
     "q_path_mining" -> (pathMining _),
@@ -1752,6 +1804,7 @@ object AnalyticsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_wow_growth" -> wowGrowthOracle,
     "q_sliding_distinct" -> slidingDistinctOracle,
     "q_watermark_audit" -> watermarkAuditOracle,
     "q_path_mining" -> pathMiningOracle,

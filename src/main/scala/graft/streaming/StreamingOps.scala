@@ -432,6 +432,45 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class MomEv(t: String, value: Double)
+
+  final case class MomState(n: Long, mean: Double, m2: Double)
+
+  final case class MomOut(t: String, n: Long, mean: Double, var_samp: Double)
+
+  /** Streaming running moments via Welford's one-pass recurrence
+    * (`mapGroupsWithState`, Update mode) — the streaming twin of the
+    * batch moment battery ([[graft.ops.AnalyticsOps.statsMoments]]):
+    * per-key state is the (n, mean, M2) triple, each event folds in as
+    * mean += d/n, M2 += d·(x − mean) — the numerically stable form
+    * (the naive Σx² − (Σx)²/n cancels catastrophically once mean² ≫
+    * variance, which is exactly a metric stream's shape). Emits
+    * (n, mean, sample variance) per touched key per batch — the live
+    * anomaly-band a monitoring dashboard draws. O(1) state per key;
+    * var_samp reported as 0 until n ≥ 2. Fold order within a batch is
+    * arrival order (float associativity noise only — bounded far
+    * below any alerting threshold; the spec pins agreement with the
+    * two-pass definition at 1e-9).
+    */
+  def momentsStream(events: Dataset[MomEv]): Dataset[MomOut] = {
+    import events.sparkSession.implicits._
+    def update(t: String, evs: Iterator[MomEv],
+               state: GroupState[MomState]): MomOut = {
+      var s = state.getOption.getOrElse(MomState(0L, 0.0, 0.0))
+      evs.foreach { e =>
+        val n = s.n + 1
+        val d = e.value - s.mean
+        val mean = s.mean + d / n
+        s = MomState(n, mean, s.m2 + d * (e.value - mean))
+      }
+      state.update(s)
+      MomOut(t, s.n, s.mean, if (s.n > 1) s.m2 / (s.n - 1) else 0.0)
+    }
+    events
+      .groupByKey(_.t)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class KmvEv(t: String, cell: Long)
 
   final case class KmvState(kmin: Array[Long])

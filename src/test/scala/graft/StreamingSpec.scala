@@ -177,6 +177,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Welford moments equal the two-pass mean/variance across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{MomEv, MomOut}
+
+    val input = MemoryStream[MomEv]
+    val q = StreamingOps.momentsStream(input.toDS())
+      .writeStream.format("memory").queryName("mom_out")
+      .outputMode("update").start()
+    try {
+      def twoPass(vs: Seq[Double]): (Double, Double) = {
+        val m = vs.sum / vs.size
+        (m, if (vs.size > 1) vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1)
+            else 0.0)
+      }
+      val b1 = Seq(10.0, 12.5, 9.25); val b2 = Seq(1e6, 1e6 + 0.5)
+      input.addData(b1.map(MomEv("a", _)): _*)
+      input.addData(b2.map(MomEv("b", _)): _*)
+      q.processAllAvailable()
+      // batch 2: both keys continue from held state; key b's large mean
+      // with tiny variance is the catastrophic-cancellation regime the
+      // Welford form exists for
+      input.addData(MomEv("a", 11.0), MomEv("b", 1e6 + 0.25))
+      q.processAllAvailable()
+      val fin = spark.table("mom_out").as[MomOut].collect()
+        .groupBy(_.t).view.mapValues(_.maxBy(_.n)).toMap
+      val (ma, va) = twoPass(b1 :+ 11.0)
+      val (mb, vb) = twoPass(b2 :+ (1e6 + 0.25))
+      assert(fin("a").n == 4 && math.abs(fin("a").mean - ma) < 1e-9 &&
+        math.abs(fin("a").var_samp - va) < 1e-9, s"key a: ${fin("a")}")
+      assert(fin("b").n == 3 && math.abs(fin("b").mean - mb) < 1e-6 &&
+        math.abs(fin("b").var_samp - vb) < 1e-6, s"key b: ${fin("b")}")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: LSN wins over arrival order, tombstones compact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
