@@ -753,7 +753,82 @@ object RelationalOps {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------- explode_outer
+  /** Null-preserving generate (`explode_outer`) — the LEFT-JOIN form of
+    * array flattening: a document whose extracted array is EMPTY must
+    * survive as one row with a NULL element, or every downstream
+    * per-document aggregate silently drops it (the classic fan-out
+    * bug: inner explode = inner join against your own array). Arrays
+    * here are each document's long words (≥ 8 chars — 106 of 500
+    * fixture docs have none); the rollup pins exactly the
+    * rows-vs-docs-vs-nulls accounting that distinguishes outer from
+    * inner generate. The oracle spells the same semantics as a LEFT
+    * JOIN LATERAL unnest — the relational definition of the operator.
+    *
+    * Scale: generate is map-side; the fan-out is data-bounded (words
+    * per doc), and the rollup partial-aggregates per source.
+    */
+  def explodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode_outer(expr("filter(split(text, ' '), w -> length(w) >= 8)"))
+          .as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_empty_docs"),
+        count(col("w")).as("n_words"))
+      .orderBy(col("source"))
+
+  private val explodeOuterOracle =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '),
+      |                     w -> length(w) >= 8) AS ws
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT doc_id) AS n_docs,
+      |       SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_empty_docs,
+      |       COUNT(w) AS n_words
+      |FROM d LEFT JOIN LATERAL (SELECT unnest(ws) AS w) t ON TRUE
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- union by name
+  /** Schema-reconciling union (`unionByName(allowMissingColumns)`) —
+    * how heterogeneous exports concatenate without positional-union
+    * corruption: each side's missing columns NULL-fill, and columns
+    * align by NAME (a positional UNION of these two frames would
+    * silently zip lang against source). The oracle is DuckDB's
+    * UNION ALL BY NAME — the same reconciliation rule stated natively.
+    * Complements sources/SchemaEvolution's parquet mergeSchema (file-
+    * level evolution) with the frame-level form.
+    */
+  def unionMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val a = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val b = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(coalesce(col("lang"), lit("?")).as("lang"),
+        coalesce(col("source"), lit("?")).as("source"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_chars_present"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val unionMissingOracle =
+    """WITH u AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1)
+      |SELECT COALESCE(lang, '?') AS lang, COALESCE(source, '?') AS source,
+      |       COUNT(*) AS n, COUNT(n_chars) AS n_chars_present
+      |FROM u GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> (explodeOuter _),
+    "q_union_missing" -> (unionMissing _),
     "q_star_join" -> (starJoin _),
     "q_nullsafe_join" -> (nullsafeJoin _),
     "q_decimal_exact" -> (decimalExact _),
@@ -782,6 +857,8 @@ object RelationalOps {
   ) ++ AggOps.queries
 
   def oracles: Map[String, String] = Map(
+    "q_explode_outer" -> explodeOuterOracle,
+    "q_union_missing" -> unionMissingOracle,
     "q_star_join" -> starJoinOracle,
     "q_nullsafe_join" -> nullsafeJoinOracle,
     "q_decimal_exact" -> decimalExactOracle,
