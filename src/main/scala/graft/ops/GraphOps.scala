@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -497,7 +498,88 @@ object GraphOps {
        |ORDER BY k, round""".stripMargin
   }
 
+  // ---------------------------------------------------------- modularity
+  /** Newman modularity of the SOURCE partition over the near-dup graph
+    * — "are near-duplicates concentrated within sources?" as one
+    * number: Q = Σ_c (e_c/m − (d_c/2m)²), communities = document
+    * sources, edges = the verified MinHash pair table. The
+    * cross-source dup matrix (q_cross_source_dups) shows the raw
+    * counts; Q is the chance-corrected summary a crawl-dedup dashboard
+    * alerts on (Q ≈ 0 ⇒ dups ignore source boundaries ⇒ cross-source
+    * contamination).
+    *
+    * Exact arithmetic: Q's terms are rationals with denominator 4m² —
+    * per-community contribution = (4·m·e_c − d_c²) / (4m²), summed as
+    * exact longs and emitted through the signed half-up e6 division;
+    * the total Q is the SUM of the integer numerators through ONE
+    * division (not a sum of rounded terms — no drift). m arrives via
+    * one scalar hop (the A6 shape).
+    *
+    * Scale: the pair table is the session-materialized MinHash output
+    * (built once, shared with clusters/triangles/linkage); labeling is
+    * two broadcast joins against the doc→source dimension; the rest is
+    * two community-sized aggregates.
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val lab = DedupOps.dedupMinhash(spark, sfDir).select(col("d1"), col("d2"))
+      .join(broadcast(src.select(col("doc_id").as("d1"), col("source").as("s1"))), Seq("d1"))
+      .join(broadcast(src.select(col("doc_id").as("d2"), col("source").as("s2"))), Seq("d2"))
+    val m = lab.count()
+    val dc = lab.select(col("s1").as("c")).unionByName(lab.select(col("s2").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("d_c"))
+    val ec = lab.filter(col("s1") === col("s2"))
+      .groupBy(col("s1").as("c")).agg(count(lit(1)).as("e_c"))
+    val wt = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dc.join(ec, Seq("c"), "left")
+      .select(col("c"), col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .withColumn("num",
+        lit(4L * m) * col("e_c") - col("d_c") * col("d_c"))
+      .withColumn("contrib", signedHalfUpE6(col("num"), lit(4L * m * m)))
+      .withColumn("q_total", signedHalfUpE6(sum(col("num")).over(wt), lit(4L * m * m)))
+      .select(col("c"), col("d_c"), col("e_c"), col("contrib"), col("q_total"))
+      .orderBy(col("c"))
+  }
+
+  /** Signed half-up e6 ratio num/den (den > 0) as an exact-integer
+    * expression — the house lattice division, factored for reuse. */
+  private def signedHalfUpE6(num: Column, den: Column): Column = {
+    val a = abs(num) * 2000000L
+    val h = ((a + den) - pmod(a + den, den * 2)) / (den * 2)
+    (when(num < 0, -h).otherwise(h)).cast("long").cast("double") / 1e6
+  }
+
+  private lazy val modularityOracle =
+    s"""WITH edges AS (SELECT d1, d2 FROM (${DedupOps.dedupMinhashOracle})),
+       |lab AS (
+       |  SELECT a.source AS s1, b.source AS s2
+       |  FROM edges e
+       |  JOIN documents a ON a.doc_id = e.d1
+       |  JOIN documents b ON b.doc_id = e.d2),
+       |mm AS (SELECT COUNT(*) AS m FROM lab),
+       |dc AS (SELECT c, COUNT(*) AS d_c
+       |       FROM (SELECT s1 AS c FROM lab UNION ALL SELECT s2 FROM lab)
+       |       GROUP BY 1),
+       |ec AS (SELECT s1 AS c, COUNT(*) AS e_c FROM lab WHERE s1 = s2 GROUP BY 1),
+       |cells AS (
+       |  SELECT c, d_c, COALESCE(e_c, 0) AS e_c,
+       |         4 * m * COALESCE(e_c, 0) - d_c * d_c AS num, 4 * m * m AS den
+       |  FROM dc LEFT JOIN ec USING (c), mm)
+       |SELECT c, d_c, CAST(e_c AS BIGINT) AS e_c,
+       |       CAST(CAST(CASE WHEN num < 0
+       |          THEN -((abs(num) * 2000000 + den - ((abs(num) * 2000000 + den) % (den * 2))) // (den * 2))
+       |          ELSE (abs(num) * 2000000 + den - ((abs(num) * 2000000 + den) % (den * 2))) // (den * 2)
+       |        END AS BIGINT) AS DOUBLE) / 1e6 AS contrib,
+       |       CAST(CAST(CASE WHEN SUM(num) OVER () < 0
+       |          THEN -((abs(SUM(num) OVER ()) * 2000000 + den - ((abs(SUM(num) OVER ()) * 2000000 + den) % (den * 2))) // (den * 2))
+       |          ELSE (abs(SUM(num) OVER ()) * 2000000 + den - ((abs(SUM(num) OVER ()) * 2000000 + den) % (den * 2))) // (den * 2)
+       |        END AS BIGINT) AS DOUBLE) / 1e6 AS q_total
+       |FROM cells ORDER BY c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity" -> (modularity _),
     "q_kcore" -> (kcore _),
     "q_hits" -> (hits _),
     "q_shortest_path" -> (shortestPath _),
@@ -508,6 +590,7 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_modularity" -> modularityOracle,
     "q_kcore" -> kcoreOracle,
     "q_hits" -> hitsOracle,
     "q_shortest_path" -> shortestPathOracle,
