@@ -1697,7 +1697,69 @@ object StatsOps {
       |FROM dp WHERE i = len(va) AND j = len(vb)
       |ORDER BY t1, t2""".stripMargin
 
+  // --------------------------------------------------- mutual information
+  /** Mutual information I(lang; source) — the information-theoretic
+    * companion to [[chiSquare]] over the SAME contingency cells: how
+    * many nats knowing the source tells you about the language.
+    * χ² asks "is there dependence?"; MI measures its magnitude on the
+    * entropy scale (comparable across tables, the feature-selection
+    * currency). Per cell: p_ij·ln(p_ij/(p_i·p_j)) quantized to
+    * integer e6 micro-nats BEFORE summation (the langEntropy/PMI
+    * doctrine — ln runs over identical integer-derived doubles in
+    * both engines, and the per-term e6 round absorbs last-ulp ln
+    * differences), with the total as the exact sum of quantized
+    * terms.
+    *
+    * Scale: one cell-level hash aggregate on the data; marginal
+    * windows over the |langs|·|sources| frame — the chiSquare plan.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val wr = Window.partitionBy(col("lang"))
+    val wc = Window.partitionBy(col("source"))
+    val wt = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      .withColumn("rt", sum(col("obs")).over(wr))
+      .withColumn("ct", sum(col("obs")).over(wc))
+      .withColumn("n", sum(col("obs")).over(wt))
+      // p_ij·ln(p_ij·N/(r_i·c_j)) in e6 micro-nats; the ln argument is
+      // the exact integer ratio (obs·N)/(rt·ct) — identical operands
+      .withColumn("term_e6", round(
+        col("obs").cast("double") / col("n") *
+          log(col("obs").cast("double") * col("n") /
+            (col("rt").cast("double") * col("ct"))) * lit(1000000.0), 0)
+        .cast("long"))
+      .select(col("lang"), col("source"), col("obs"),
+        (col("term_e6").cast("double") / 1e6).as("contrib"),
+        (sum(col("term_e6")).over(wt).cast("double") / 1e6).as("mi_nats"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val mutualInfoOracle =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT lang, source, obs,
+      |         SUM(obs) OVER (PARTITION BY lang) AS rt,
+      |         SUM(obs) OVER (PARTITION BY source) AS ct,
+      |         SUM(obs) OVER () AS n
+      |  FROM cells),
+      |t AS (
+      |  SELECT lang, source, obs,
+      |         CAST(ROUND(CAST(obs AS DOUBLE) / n *
+      |                    ln(CAST(obs AS DOUBLE) * n /
+      |                       (CAST(rt AS DOUBLE) * ct)) * 1000000.0)
+      |              AS BIGINT) AS term_e6
+      |  FROM m)
+      |SELECT lang, source, obs,
+      |       CAST(term_e6 AS DOUBLE) / 1e6 AS contrib,
+      |       CAST(CAST(SUM(term_e6) OVER () AS BIGINT) AS DOUBLE) / 1e6
+      |         AS mi_nats
+      |FROM t ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
     "q_pr_curve" -> (prCurve _),
@@ -1728,6 +1790,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
     "q_pr_curve" -> prCurveOracle,
