@@ -432,6 +432,56 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class MgEv(t: String, item: Long)
+
+  final case class MgSketch(items: Array[Long], counts: Array[Long], n: Long)
+
+  final case class MgOut(t: String, n_seen: Long, n_candidates: Long,
+      top_item: Long, top_cnt: Long)
+
+  /** Streaming Misra–Gries heavy hitters with `mapGroupsWithState`
+    * (Update mode) — the streaming twin of the batch MG candidate pass
+    * ([[graft.ops.TextOps.heavyHitters]]): per key, at most k
+    * (item, counter) pairs ever live in state, and each arrival either
+    * increments its counter, claims a free slot, or decrements ALL
+    * counters (evicting zeros) — the classic deterministic guarantee:
+    * any item with true frequency > n/(k+1) is ALWAYS in the summary,
+    * and every counter is a lower bound within n/(k+1) of the truth.
+    * Streaming adds nothing to prove: MG is a sequential fold, so
+    * continuing it from held state across batches IS the algorithm —
+    * which is exactly why it's the sketch you keep on a stream (vs the
+    * batch pass, which re-reads the corpus per run). State is O(k)
+    * longs per key forever.
+    */
+  def mgStream(events: Dataset[MgEv], k: Int = 8): Dataset[MgOut] = {
+    import events.sparkSession.implicits._
+    def update(t: String, evs: Iterator[MgEv],
+               state: GroupState[MgSketch]): MgOut = {
+      val s = state.getOption.getOrElse(MgSketch(Array.empty, Array.empty, 0L))
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      s.items.zip(s.counts).foreach { case (i, c) => m(i) = c }
+      var n = s.n
+      evs.foreach { e =>
+        n += 1
+        if (m.contains(e.item)) m(e.item) += 1L
+        else if (m.size < k) m(e.item) = 1L
+        else {
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      val arr = m.toArray.sortBy(_._1)
+      state.update(MgSketch(arr.map(_._1), arr.map(_._2), n))
+      val (topItem, topCnt) =
+        if (m.isEmpty) (-1L, 0L)
+        else m.maxBy { case (i, c) => (c, -i) }
+      MgOut(t, n, m.size.toLong, topItem, topCnt)
+    }
+    events
+      .groupByKey(_.t)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class MomEv(t: String, value: Double)
 
   final case class MomState(n: Long, mean: Double, m2: Double)

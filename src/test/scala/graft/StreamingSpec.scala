@@ -177,6 +177,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries: majority survives across batches within the MG bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{MgEv, MgOut}
+
+    val input = MemoryStream[MgEv]
+    val q = StreamingOps.mgStream(input.toDS(), k = 4)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("update").start()
+    try {
+      // item 7 is a true heavy hitter (freq 20/50 > n/(k+1) = 10);
+      // noise items 100..129 appear once each, split across batches
+      val b1 = Seq.fill(12)(7L) ++ (100L until 115L)
+      val b2 = Seq.fill(8)(7L) ++ (115L until 130L)
+      input.addData(b1.map(MgEv("a", _)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(MgEv("a", _)): _*)
+      q.processAllAvailable()
+      val fin = spark.table("mg_out").as[MgOut].collect().maxBy(_.n_seen)
+      assert(fin.n_seen == 50L, s"event accounting: $fin")
+      assert(fin.n_candidates <= 4L, s"state exceeded k: $fin")
+      // the guarantee: 7 survives as top with count >= truth - n/(k+1)
+      assert(fin.top_item == 7L, s"heavy hitter evicted: $fin")
+      assert(fin.top_cnt >= 20L - 50L / 5 && fin.top_cnt <= 20L,
+        s"MG bound violated: $fin")
+    } finally q.stop()
+  }
+
   test("streaming Welford moments equal the two-pass mean/variance across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
