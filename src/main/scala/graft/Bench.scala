@@ -71,17 +71,30 @@ object Bench {
       }.toMap
     }.last
     // Tail-survivable output: one small JSON line per query FIRST, the
-    // compact total line LAST. The driver captures only the tail of
-    // stdout, so a single giant queries-inline line (the old format)
-    // lost its own leading "total" field once the suite passed ~120
-    // queries; the summary line below stays well under 2 KB no matter
-    // how many queries run, and the per-query lines above it degrade
-    // gracefully (oldest-truncated-first).
+    // full contract line LAST. The driver captures only the tail of
+    // stdout, so the lines most likely to survive are the final ones:
+    // per-query lines degrade oldest-truncated-first, and the LAST line
+    // is the complete `{"metric":…,"queries":{…}}` object the driver's
+    // parser expects (r7 emitted a queries-free total line; `parsed`
+    // came back null). Values are rounded to 3 dp to keep the full line
+    // ~6 KB at 264 queries. The same line is ALSO written to
+    // bench_summary.json next to the CWD so a truncated stdout capture
+    // still has a parseable artifact.
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>
       println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
     }
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val queriesJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"bench_total","value":${r3(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":$queriesJson,"sf":"$sfDir"}"""
+    println(summary)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

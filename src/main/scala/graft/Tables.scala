@@ -35,10 +35,23 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = eventsRaw(spark, sfDir)
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // the driver has shipped events.ts three ways across testdata
+    // generations: TIMESTAMP(NANOS) (surfaces as long via nanosAsLong),
+    // TIMESTAMP_NTZ(MICROS), and plain TIMESTAMP — normalize all three
+    // to session-zone TIMESTAMP so downstream unix_millis()/window()
+    // logic is generation-independent
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

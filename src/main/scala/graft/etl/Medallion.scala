@@ -615,7 +615,9 @@ object Medallion {
           when(pmod(col("day"), lit(7)) === 3, lit("promo")).otherwise(lit("base")))
     }
     fact.join(dim.filter(col("label") === "promo"), Seq("day"))
-      .groupBy(col("day"))
+      // partition-column read-back infers INT; restore the long the
+      // fact wrote so the day key is BIGINT in both engines
+      .groupBy(col("day").cast("long").as("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
       .orderBy(col("day"))
   }
@@ -639,7 +641,7 @@ object Medallion {
       |  SELECT epoch_ms(ts) // 86400000 AS day,
       |         CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events)
-      |SELECT day, COUNT(*) AS n_events, SUM(cents) AS cents
+      |SELECT day, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS cents
       |FROM f WHERE day % 7 = 3
       |GROUP BY day ORDER BY day""".stripMargin
 

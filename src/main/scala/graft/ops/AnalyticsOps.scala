@@ -470,7 +470,7 @@ object AnalyticsOps {
   private val histogramOracle =
     """WITH d AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
       |SELECT LEAST(CAST(FLOOR((value - lo) * 20 / (hi - lo)) AS INTEGER),
-      |             19) AS bin,
+      |             19) AS INTEGER) AS bin,
       |       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
       |FROM events, d
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -688,7 +688,9 @@ object AnalyticsOps {
       |  FROM events WHERE user_id <= 10),
       |ch AS (SELECT * FROM ev WHERE prev IS NULL OR prev <> event_type)
       |SELECT user_id,
-      |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |                               ORDER BY ms, event_id)
+      |            AS INTEGER) AS version,
       |       event_type, ms AS valid_from_ms,
       |       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
       |       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
@@ -1007,7 +1009,8 @@ object AnalyticsOps {
       |  SELECT u1, u2, shared, jaccard,
       |         ROW_NUMBER() OVER (ORDER BY jaccard DESC, u1, u2) AS rank
       |  FROM scored)
-      |SELECT rank, u1, u2, shared, ROUND(jaccard, 6) AS jaccard
+      |SELECT CAST(rank AS INTEGER) AS rank, u1, u2, shared,
+      |       ROUND(jaccard, 6) AS jaccard
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------- A/B test
@@ -1143,8 +1146,9 @@ object AnalyticsOps {
       |  FROM lifet CROSS JOIN e GROUP BY last_d),
       |risked AS (
       |  SELECT last_d, d_t,
-      |         SUM(n_last) OVER (ORDER BY last_d DESC
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |         CAST(SUM(n_last) OVER (ORDER BY last_d DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS n_risk
       |  FROM by_day),
       |lns AS (
       |  SELECT last_d, d_t, n_risk,
@@ -1249,7 +1253,8 @@ object AnalyticsOps {
       |tot AS (SELECT COUNT(*) AS n_users, CAST(SUM(n_ev) AS BIGINT) AS n_tot
       |        FROM per)
       |SELECT n_users, n_tot,
-      |       MIN(CASE WHEN cum * 5 >= n_tot * 4 THEN rnk END) AS users_for_80pct,
+      |       CAST(MIN(CASE WHEN cum * 5 >= n_tot * 4 THEN rnk END)
+      |            AS INTEGER) AS users_for_80pct,
       |       ROUND(CAST(MIN(CASE WHEN cum * 5 >= n_tot * 4 THEN rnk END)
       |                  AS DOUBLE) / n_users, 6) AS user_frac_for_80pct,
       |       ROUND(CAST(SUM(CASE WHEN rnk * 10 <= n_users THEN n_ev ELSE 0 END)
@@ -1528,7 +1533,7 @@ object AnalyticsOps {
       |         CAST(round(value * 100) AS BIGINT) AS c, value
       |  FROM events),
       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
-      |obs AS (SELECT t, day, SUM(c) AS c FROM ev
+      |obs AS (SELECT t, day, CAST(SUM(c) AS BIGINT) AS c FROM ev
       |        WHERE value >= 300 GROUP BY 1, 2),
       |scaffold AS (
       |  SELECT t, UNNEST(range(d0, d1 + 1)) AS day
@@ -1648,7 +1653,7 @@ object AnalyticsOps {
        |       CAST(SUM(CASE WHEN delay_s > wm_s THEN 1 ELSE 0 END) AS BIGINT)
        |         * 1000000 // COUNT(*) AS drop_rate_e6,
        |       CAST(SUM(CASE WHEN delay_s > wm_s THEN c ELSE 0 END) AS BIGINT)
-       |         * 1000000 // SUM(c) AS value_miss_e6
+       |         * 1000000 // CAST(SUM(c) AS BIGINT) AS value_miss_e6
        |FROM sweep GROUP BY wm_s ORDER BY wm_s""".stripMargin
   }
 

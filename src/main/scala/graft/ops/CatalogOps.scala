@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -551,15 +551,32 @@ object CatalogOps {
     * equi-WIDTH twin lives in AnalyticsOps.histogram). Two passes: one
     * aggregate for the 7 interior percentile edges (broadcast back as a
     * 1-row frame), one map-side unrolled comparison ladder + bucket
-    * count. Exact `percentile` today; the 100 TB swap is
-    * `approx_percentile` with the same downstream plan (the AggOps
-    * percentile contract). Bucket membership compares against
-    * bit-identical interpolated edges in both engines.
+    * count.
+    *
+    * Percentile contract (the [[graft.ops.AggOps.approxPercentiles]]
+    * contract, made explicit here because this is the suite's most
+    * expensive exact-percentile user): exact `percentile` is the
+    * ORACLE-PARITY mode only — it buffers the whole column in one
+    * aggregation buffer, which is fine at verify SF and OOM at 100 TB.
+    * The scale default is the mergeable fixed-size Greenwald–Khanna
+    * `approx_percentile` with the SAME downstream ladder plan, selected
+    * by `-Dgraft.percentile.approx=true` (what a 100 TB deployment
+    * sets); [[equidepthHistApprox]] keeps that path oracle-checked via
+    * the equi-depth invariant, and CatalogOpsSpec pins that the flag
+    * really swaps the aggregate.
     */
+  private[graft] def percentileEdges(exact: Boolean): Column =
+    if (exact)
+      expr("percentile(l_extendedprice, " +
+        "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+    else
+      expr("approx_percentile(l_extendedprice, " +
+        "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875), 10000)")
+
   def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = !sys.props.get("graft.percentile.approx").contains("true")
     val edges = Tables.lineitem(spark, sfDir)
-      .agg(expr("percentile(l_extendedprice, " +
-        "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("es"))
+      .agg(percentileEdges(exact).as("es"))
     val x = col("l_extendedprice")
     val bucket = (0 until 7).foldLeft(lit(8)) { case (acc, i) =>
       // fold builds the ladder inside-out: check edges high→low so the
@@ -573,6 +590,41 @@ object CatalogOps {
         round(min(col("x")), 4).as("lo"), round(max(col("x")), 4).as("hi"))
       .orderBy(col("bucket"))
   }
+
+  /** The 100 TB mode of [[equidepthHist]] exercised for real: edges
+    * from the mergeable GK sketch (accuracy 10000 → rank error ≤ 0.01%
+    * of rows per edge), then the SAME ladder plan, verified through the
+    * property that DEFINES an equi-depth histogram rather than through
+    * engine-specific sketch internals: each of the 8 buckets must hold
+    * n/8 rows within a tolerance dominated by the sketch's rank error
+    * (1% is 100× headroom), and bucket counts must partition the table
+    * exactly. A broken sketch, ladder, or merge fails the booleans; the
+    * exact row total keeps the row hashable end-to-end.
+    */
+  def equidepthHistApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .agg(percentileEdges(exact = false).as("es"))
+    val x = col("l_extendedprice")
+    val bucket = (0 until 7).foldLeft(lit(8)) { case (acc, i) =>
+      when(x <= col("es").getItem(6 - i), lit(7 - i)).otherwise(acc)
+    }
+    Tables.lineitem(spark, sfDir).crossJoin(broadcast(edges))
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_total"),
+        count(lit(1)).cast("int").as("n_buckets"),
+        max(col("n")).as("n_max"), min(col("n")).as("n_min"))
+      .select(col("n_total"), col("n_buckets"),
+        (greatest(col("n_max") - col("n_total") / 8.0,
+          col("n_total") / 8.0 - col("n_min")) <= col("n_total") / 100.0)
+          .as("depth_within_1pct"))
+  }
+
+  private val equidepthHistApproxOracle =
+    """SELECT COUNT(*) AS n_total, 8 AS n_buckets,
+      |       TRUE AS depth_within_1pct
+      |FROM lineitem""".stripMargin
 
   private val equidepthHistOracle =
     """WITH e AS (
@@ -650,12 +702,12 @@ object CatalogOps {
        |  FROM customer),
        |cls AS (
        |  SELECT segment, c_nationkey, COUNT(*) AS n,
-       |         SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS c0,
-       |         SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS c1
+       |         CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |         CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
        |  FROM banded GROUP BY 1, 2),
        |g AS (SELECT COUNT(*) AS nn,
-       |             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
-       |             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1
+       |             CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+       |             CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1
        |      FROM banded),
        |e AS (
        |  SELECT segment, n,
@@ -800,6 +852,7 @@ object CatalogOps {
     "q_skew_report" -> (skewReport _),
     "q_dp_counts" -> (dpCounts _),
     "q_equidepth_hist" -> (equidepthHist _),
+    "q_equidepth_hist_approx" -> (equidepthHistApprox _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_l_diversity" -> (lDiversity _),
@@ -817,6 +870,7 @@ object CatalogOps {
     "q_skew_report" -> skewReportOracle,
     "q_dp_counts" -> dpCountsOracle,
     "q_equidepth_hist" -> equidepthHistOracle,
+    "q_equidepth_hist_approx" -> equidepthHistApproxOracle,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,

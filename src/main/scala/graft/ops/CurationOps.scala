@@ -506,7 +506,8 @@ object CurationOps {
        |assigned AS (
        |  SELECT tok,
        |         (ROW_NUMBER() OVER (PARTITION BY lang
-       |                             ORDER BY tok DESC, doc_id) - 1) % $Shards AS shard
+       |                             ORDER BY tok DESC, doc_id) - 1) % $Shards
+       |              AS INTEGER) AS shard
        |  FROM d)
        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens,
        |       ROUND(CAST(SUM(tok) AS DOUBLE) / SUM(SUM(tok)) OVER (), 6)
@@ -611,7 +612,8 @@ object CurationOps {
        |scored AS (
        |  SELECT lp.doc_id, d.lang, lp.n_tok, lp.avg_logprob,
        |         NTILE(4) OVER (PARTITION BY d.lang
-       |                        ORDER BY lp.avg_logprob DESC, lp.doc_id) AS phase
+       |                        ORDER BY lp.avg_logprob DESC, lp.doc_id)
+       |              AS INTEGER) AS phase
        |  FROM lp JOIN documents d ON lp.doc_id = d.doc_id)
        |SELECT lang, phase, COUNT(*) AS n_docs,
        |       CAST(SUM(n_tok) AS BIGINT) AS tokens,
@@ -820,7 +822,8 @@ object CurationOps {
        |       FROM toks JOIN lr USING (term) GROUP BY doc_id, lang),
        |deciled AS (
        |  SELECT CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END AS pos,
-       |         NTILE(10) OVER (ORDER BY dsir_w DESC, doc_id) AS decile
+       |         CAST(NTILE(10) OVER (ORDER BY dsir_w DESC, doc_id)
+       |              AS INTEGER) AS decile
        |  FROM dw),
        |base AS (SELECT COUNT(*) AS n_all, CAST(SUM(pos) AS BIGINT) AS p_all
        |         FROM deciled)
@@ -1038,7 +1041,7 @@ object CurationOps {
        |              SUM(g3) AS a3, SUM(g4) AS a4 FROM mfe),
        |ua AS (SELECT COUNT(*) AS nu, SUM(g1) AS c1, SUM(g2) AS c2,
        |              SUM(g3) AS c3, SUM(g4) AS c4 FROM ufe),
-       |pat AS (SELECT g1 * 8 + g2 * 4 + g3 * 2 + g4 AS gamma,
+       |pat AS (SELECT CAST(g1 * 8 + g2 * 4 + g3 * 2 + g4 AS BIGINT) AS gamma,
        |               COUNT(*) AS n_pairs
        |        FROM mfe GROUP BY 1)
        |SELECT gamma, n_pairs, ($num) > ($den) AS is_link,

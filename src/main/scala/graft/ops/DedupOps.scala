@@ -760,7 +760,8 @@ object DedupOps {
   private lazy val fuzzyPairsOracle =
     s"""WITH sh AS (SELECT d1, d2 FROM ($dedupSimhashOracle)),
        |pre AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents)
-       |SELECT levenshtein(a.p, b.p) AS edit_dist, COUNT(*) AS n_pairs
+       |SELECT CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist,
+       |       COUNT(*) AS n_pairs
        |FROM sh JOIN pre a ON sh.d1 = a.doc_id
        |        JOIN pre b ON sh.d2 = b.doc_id
        |GROUP BY edit_dist ORDER BY edit_dist""".stripMargin
@@ -1151,7 +1152,8 @@ object DedupOps {
       s"MIN((${hA(i)} * h31 + ${hB(i)}) % $MersP) AS m$i").mkString(", ")
     val configs = Seq(2, 4, 8).map { bs =>
       val nb = graft.functions.SigKernels.NumHashes / bs
-      s"""SELECT $nb AS n_bands, $bs AS rows_per_band,
+      s"""SELECT CAST($nb AS BIGINT) AS n_bands,
+         |       CAST($bs AS BIGINT) AS rows_per_band,
          |  (SELECT COUNT(*) FROM
          |     (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b
          |      ON a.doc_id < b.doc_id AND (${bandConds(bs)}))) AS n_cand,
@@ -1174,7 +1176,22 @@ object DedupOps {
        |FROM cfg ORDER BY rows_per_band""".stripMargin
   }
 
+  /** [[dedupClusters]] recomputed through the O(log n)-round
+    * large-star/small-star contraction
+    * ([[graft.ops.GraphOps.connectedComponentsStar]]) instead of
+    * min-label propagation — same pair graph, same output contract,
+    * same recursive-CTE oracle, so the two component algorithms
+    * cross-check each other query-for-query. GraphOpsSpec separately
+    * pins the O(log n) round bound on a long-path graph where
+    * min-label would need O(diameter) shuffles. */
+  def ccStar(spark: SparkSession, sfDir: String): DataFrame =
+    GraphOps.connectedComponentsStar(goldPairs(spark, sfDir))._1
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy(col("cluster"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cc_star" -> (ccStar _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_repeated_substrings" -> (repeatedSubstrings _),
     "q_containment" -> (containmentDedup _),
@@ -1193,6 +1210,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cc_star" -> dedupClustersOracle,
     "q_lsh_tuning" -> lshTuningOracle,
     "q_repeated_substrings" -> repeatedSubstringsOracle,
     "q_containment" -> containmentDedupOracle,

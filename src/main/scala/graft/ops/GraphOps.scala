@@ -578,6 +578,88 @@ object GraphOps {
        |        END AS BIGINT) AS DOUBLE) / 1e6 AS q_total
        |FROM cells ORDER BY c""".stripMargin
 
+  // ---------------------------------------- star connected components
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log n)-round web-graph-scale
+    * upgrade that [[graft.ops.DedupOps.connectedComponents]]'s
+    * min-label propagation docstring promises. Min-label needs
+    * O(diameter) rounds (a 10⁶-long chain of near-dup shingles = 10⁶
+    * shuffles); star contraction repeatedly rewires every node toward
+    * its neighborhood minimum, provably halving potential per
+    * alternation, so a path of ANY length converges in O(log n)
+    * rounds of the SAME join+aggregate plan shape.
+    *
+    * Per round: one symmetrized neighbor frame, one min-per-node hash
+    * aggregate, one join back — all on the node key, partial-agg
+    * friendly, no window, no driver-side edges. localCheckpoint per
+    * round truncates the deepening lineage (the repo's iterative
+    * lesson); the convergence probe rides the same job as the
+    * checkpoint's count. Returns `(node, label)` with every node
+    * labeled by its component minimum — same contract as min-label,
+    * so the two implementations cross-check against one oracle.
+    *
+    * @return (labels, rounds) — rounds exposed so the scale spec can
+    *         assert the O(log n) bound actually holds.
+    */
+  private[graft] def connectedComponentsStar(
+      pairs0: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edges, self-loops dropped: (hi, lo)
+    var edges = pairs0
+      .select(greatest(col("d1"), col("d2")).as("hi"),
+        least(col("d1"), col("d2")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(true)
+    // set signature: count + XOR-fold of per-edge hashes — order-free,
+    // overflow-free (SUM under ANSI throws on long overflow), collision
+    // odds 2⁻⁶⁴ per round
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var last = sig(edges)
+    var rounds = 0
+    var converged = false
+    val maxRounds = 40 // ~2·log₂(n) + slack; a 2⁴⁰-node component won't fit anyway
+    while (!converged && rounds < maxRounds) {
+      // large-star: node u gathers N(u)∪{u}, min m; every LARGER
+      // neighbor v re-wires to (v, m) — strictly-larger keeps the
+      // rewiring acyclic (always toward smaller ids)
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: node u and its SMALLER neighbors all re-wire to
+      // the minimum of that set — the contraction step
+      val smaller = afterLarge
+        .select(col("hi").as("u"), col("lo").as("v")) // v < u by construction
+      val mins2 = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = smaller.join(mins2, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .union(mins2.select(col("u").as("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      val cur = sig(afterSmall)
+      converged = cur == last
+      last = cur
+      edges = afterSmall
+      rounds += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxRounds rounds")
+    // fixpoint is a star forest: every edge is (member, root)
+    val labels = edges.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("label")))
+      .distinct()
+    (labels, rounds)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_modularity" -> (modularity _),
     "q_kcore" -> (kcore _),

@@ -549,7 +549,7 @@ object GravityOps {
     """SELECT CAST(n_regionkey AS INTEGER) AS region,
       |       ROUND(SUM((lon0 + w/2) * (w*h)) / SUM(w*h), 6) AS cx,
       |       ROUND(SUM((lat0 + h/2) * (w*h)) / SUM(w*h), 6) AS cy,
-      |       ROUND(SUM(w*h), 6) AS total_area
+      |       CAST(ROUND(SUM(w*h), 6) AS DOUBLE) AS total_area
       |FROM (SELECT n_regionkey,
       |             -9.0 + (n_nationkey % 10) * 1.5 AS lon0,
       |             36.0 + (n_nationkey % 7) * 1.1 AS lat0,
@@ -592,8 +592,8 @@ object GravityOps {
 
   private val geoTransformOracle =
     """SELECT CAST(n_nationkey AS INTEGER) AS k,
-      |       ROUND(-6.3 + (n_nationkey % 21) * 0.31, 6) AS lon_tr,
-      |       ROUND(36.1 + (n_nationkey % 11) * 0.52, 6) AS lat_tr
+      |       CAST(ROUND(-6.3 + (n_nationkey % 21) * 0.31, 6) AS DOUBLE) AS lon_tr,
+      |       CAST(ROUND(36.1 + (n_nationkey % 11) * 0.52, 6) AS DOUBLE) AS lat_tr
       |FROM nation ORDER BY k""".stripMargin
 
   // ------------------------------------------------------------------
@@ -635,11 +635,11 @@ object GravityOps {
   private val geoJsonOracle =
     """SELECT CAST(n_nationkey AS INTEGER) AS k,
       |       'Point' AS point_type,
-      |       ROUND(-9.0 + (n_nationkey % 10) * 1.5, 6) AS jx,
-      |       ROUND(36.0 + (n_nationkey % 7) * 1.1, 6) AS jy,
+      |       CAST(ROUND(-9.0 + (n_nationkey % 10) * 1.5, 6) AS DOUBLE) AS jx,
+      |       CAST(ROUND(36.0 + (n_nationkey % 7) * 1.1, 6) AS DOUBLE) AS jy,
       |       'Polygon' AS poly_type,
       |       ROUND(36.0 + (n_nationkey % 7) * 1.1
-      |             + 0.5 + (n_nationkey % 5) * 0.1, 6) AS ring_pt_y
+      |             + 0.5 + (n_nationkey % 5) * 0.1, 6) AS DOUBLE) AS ring_pt_y
       |FROM nation ORDER BY k""".stripMargin
 
   // ------------------------------------------------------------------
@@ -694,7 +694,7 @@ object GravityOps {
        |         0.4 + (n_nationkey % 3) * 0.1 AS h
        |  FROM nation)
        |SELECT infrastructure_status, COUNT(*) AS n_municipalities,
-       |       ROUND(SUM(w * h), 6) AS total_area,
+       |       CAST(ROUND(SUM(w * h), 6) AS DOUBLE) AS total_area,
        |       ROUND(SUM((lon0 + w/2) * (w*h)) / SUM(w*h), 6) AS cx,
        |       ROUND(SUM((lat0 + h/2) * (w*h)) / SUM(w*h), 6) AS cy
        |FROM ranking r JOIN geom g ON r.origin_municipality = g.municipality
@@ -730,8 +730,8 @@ object GravityOps {
 
   private val geoRoundtripOracle =
     """SELECT CAST(n_nationkey AS INTEGER) AS k,
-      |       ROUND(-6.5 + (n_nationkey % 19) * 0.39, 6) AS lon_rt,
-      |       ROUND(36.0 + (n_nationkey % 17) * 0.45, 6) AS lat_rt
+      |       CAST(ROUND(-6.5 + (n_nationkey % 19) * 0.39, 6) AS DOUBLE) AS lon_rt,
+      |       CAST(ROUND(36.0 + (n_nationkey % 17) * 0.45, 6) AS DOUBLE) AS lat_rt
       |FROM nation ORDER BY k""".stripMargin
 
   // --------------------------------------------------- grid spatial join

@@ -248,7 +248,8 @@ object MultimodalOps {
        |         octet_length(CAST(text AS BLOB)) * 13 % 480 + 1 AS height
        |  FROM documents),
        |r AS (SELECT doc_id, width * 1000 // height AS r_e3 FROM m),
-       |b AS (SELECT doc_id, r_e3, $bucketSql AS bucket_e3 FROM r),
+       |b AS (SELECT doc_id, r_e3,
+       |             CAST($bucketSql AS BIGINT) AS bucket_e3 FROM r),
        |t AS (
        |  SELECT doc_id, r_e3, bucket_e3,
        |         CAST(FLOOR(SQRT($PixelBudget * 1000.0 / bucket_e3)) AS BIGINT)
@@ -337,7 +338,8 @@ object MultimodalOps {
        |  FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
        |       a.ahash % 16384 = b.ahash % 16384
        |    OR a.ahash // 16384 = b.ahash // 16384))
-       |SELECT bit_count(xor(h1, h2)) AS hamming, COUNT(*) AS n_pairs,
+       |SELECT CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming,
+       |       COUNT(*) AS n_pairs,
        |       COUNT(DISTINCT d1) AS n_left_docs
        |FROM cand
        |WHERE bit_count(xor(h1, h2)) <= 1

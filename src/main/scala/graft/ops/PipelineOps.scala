@@ -372,7 +372,7 @@ object PipelineOps {
   }
 
   private val topkPerGroupOracle =
-    """SELECT source, doc_id, n_chars, rnk FROM (
+    """SELECT source, doc_id, n_chars, CAST(rnk AS INTEGER) AS rnk FROM (
       |  SELECT source, doc_id, n_chars,
       |         ROW_NUMBER() OVER (PARTITION BY source
       |                            ORDER BY n_chars DESC, doc_id) AS rnk
@@ -450,8 +450,8 @@ object PipelineOps {
   }
 
   private val docChunkingOracle =
-    s"""SELECT doc_id, i AS chunk_idx,
-       |       len(string_split(chunk, ' ')) AS chunk_tokens,
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |       CAST(len(string_split(chunk, ' ')) AS INTEGER) AS chunk_tokens,
        |       md5(chunk) AS chunk_md5
        |FROM (
        |  SELECT doc_id, i,
@@ -848,7 +848,7 @@ object PipelineOps {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |       LATERAL unnest(range(0, CAST(ceil(len(w) / $NestedChunk.0) AS BIGINT))) AS t(i)),
        |audit AS (
-       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
        |         CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_tok_sum,
        |         md5(string_agg(md5(chunk), '' ORDER BY i)) AS chain_md5
        |  FROM chunks GROUP BY doc_id)
@@ -998,11 +998,14 @@ object PipelineOps {
        |  SELECT o_orderpriority AS category, $fold AS fold,
        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
        |  FROM orders),
-       |pf AS (SELECT category, fold, COUNT(*) AS n_f, SUM(cents) AS s_f
+       |pf AS (SELECT category, fold, COUNT(*) AS n_f,
+       |              CAST(SUM(cents) AS BIGINT) AS s_f
        |       FROM o GROUP BY 1, 2),
-       |pc AS (SELECT category, SUM(n_f) AS n_cat, SUM(s_f) AS s_cat
+       |pc AS (SELECT category, CAST(SUM(n_f) AS BIGINT) AS n_cat,
+       |              CAST(SUM(s_f) AS BIGINT) AS s_cat
        |       FROM pf GROUP BY 1),
-       |t AS (SELECT SUM(s_cat) // SUM(n_cat) AS prior_c FROM pc)
+       |t AS (SELECT CAST(SUM(s_cat) // SUM(n_cat) AS BIGINT)
+       |             AS prior_c FROM pc)
        |SELECT pf.category, fold, n_f, n_cat - n_f AS n_oof,
        |       (s_cat - s_f) // NULLIF(n_cat - n_f, 0) AS oof_cents,
        |       ((s_cat - s_f) + $TeM * prior_c) * 100
@@ -1057,8 +1060,9 @@ object PipelineOps {
   private val ppsSampleOracle =
     s"""WITH c AS (
        |  SELECT doc_id, n_chars AS wt,
-       |         SUM(n_chars) OVER (ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum
        |  FROM documents),
        |s AS (SELECT SUM(n_chars) // $PpsK AS step FROM documents)
        |SELECT doc_id, wt, cum
@@ -1118,15 +1122,16 @@ object PipelineOps {
     s"""WITH d AS (SELECT doc_id, n_chars AS len FROM documents),
        |ra AS (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1)
        |                   // $LbBatch AS b FROM d),
-       |aa AS (SELECT COUNT(*) AS n_batches, SUM(n * mx - s) AS pad
+       |aa AS (SELECT COUNT(*) AS n_batches,
+       |              CAST(SUM(n * mx - s) AS BIGINT) AS pad
        |       FROM (SELECT b, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS s
        |             FROM ra GROUP BY b)),
        |rb AS (SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1)
        |                   // $LbBatch AS b FROM d),
-       |bb AS (SELECT SUM(n * mx - s) AS pad
+       |bb AS (SELECT CAST(SUM(n * mx - s) AS BIGINT) AS pad
        |       FROM (SELECT b, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS s
        |             FROM rb GROUP BY b)),
-       |t AS (SELECT SUM(len) AS tokens FROM d)
+       |t AS (SELECT CAST(SUM(len) AS BIGINT) AS tokens FROM d)
        |SELECT n_batches, tokens, aa.pad AS pad_arrival, bb.pad AS pad_bucketed,
        |       aa.pad * 1000000 // (tokens + aa.pad) AS waste_arrival_e6,
        |       bb.pad * 1000000 // (tokens + bb.pad) AS waste_bucketed_e6

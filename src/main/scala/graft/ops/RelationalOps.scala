@@ -575,7 +575,7 @@ object RelationalOps {
       |FROM (SELECT c_mktsegment, c_acctbal,
       |             NTILE(4) OVER (PARTITION BY c_mktsegment
       |                            ORDER BY c_acctbal ASC, c_custkey ASC)
-      |               AS quartile
+      |               AS INTEGER) AS quartile
       |      FROM customer)
       |GROUP BY c_mktsegment, quartile
       |ORDER BY c_mktsegment, quartile""".stripMargin
@@ -788,7 +788,8 @@ object RelationalOps {
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_rows,
       |       COUNT(DISTINCT doc_id) AS n_docs,
-      |       SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_empty_docs,
+      |       CAST(SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_empty_docs,
       |       COUNT(w) AS n_words
       |FROM d LEFT JOIN LATERAL (SELECT unnest(ws) AS w) t ON TRUE
       |GROUP BY source ORDER BY source""".stripMargin

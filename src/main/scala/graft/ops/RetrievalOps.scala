@@ -94,7 +94,9 @@ object RetrievalOps {
        |         COALESCE(1000000 // ($RrfK + lex_rank), 0) +
        |         COALESCE(1000000 // ($RrfK + sem_rank), 0) AS rrf_e6
        |  FROM lex FULL JOIN sem USING (doc_id))
-       |SELECT frank, doc_id, lex_rank, sem_rank, rrf_e6 FROM (
+       |SELECT CAST(frank AS INTEGER) AS frank, doc_id,
+       |       CAST(lex_rank AS INTEGER) AS lex_rank,
+       |       CAST(sem_rank AS INTEGER) AS sem_rank, rrf_e6 FROM (
        |  SELECT ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS frank, *
        |  FROM fused) WHERE frank <= $OutK ORDER BY frank""".stripMargin
 
@@ -303,7 +305,8 @@ object RetrievalOps {
        |  QUALIFY row_number() OVER (PARTITION BY qid
        |                             ORDER BY rel DESC, cid) = 1),
        |$steps
-       |SELECT qid, step, cid, ROUND(rel, 6) AS rel6, ROUND(mmr, 6) AS mmr6
+       |SELECT qid, CAST(step AS BIGINT) AS step, cid,
+       |       ROUND(rel, 6) AS rel6, ROUND(mmr, 6) AS mmr6
        |FROM sel$MmrOut ORDER BY qid, step""".stripMargin
   }
 

@@ -96,7 +96,8 @@ object SimilarityOps {
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |                            ORDER BY cosine DESC, cid ASC) AS rank
        |  FROM scored)
-       |SELECT qid, rank, cid, clabel, ROUND(cosine, 6) AS cosine
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, clabel,
+       |       ROUND(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
@@ -221,7 +222,8 @@ object SimilarityOps {
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |                            ORDER BY cosine DESC, cid ASC) AS rank
        |  FROM scored)
-       |SELECT qid, rank, cid, ROUND(cosine, 6) AS cosine
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
+       |       ROUND(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
@@ -400,7 +402,7 @@ object SimilarityOps {
        |errs AS (
        |  SELECT vec_id, q, $err AS err FROM quant)
        |SELECT vec_id,
-       |       len(list_filter(q, v -> abs(v) = 127.0)) AS n_clip,
+       |       CAST(len(list_filter(q, v -> abs(v) = 127.0)) AS INTEGER) AS n_clip,
        |       ROUND(list_aggregate(list_transform(err, e -> abs(e)), 'max'), 6)
        |         AS max_err,
        |       ROUND(sqrt(list_reduce(list_transform(list_zip(err, err),
@@ -631,7 +633,7 @@ object SimilarityOps {
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |                            ORDER BY adc_e6, cid) AS rank
        |  FROM adc)
-       |SELECT qid, rank, cid,
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
        |       ROUND(CAST(adc_e6 AS DOUBLE) / 1000000.0, 6) AS adc
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }

@@ -208,7 +208,8 @@ object SketchOps {
        |           row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
        |    FROM memb GROUP BY t1, t2, h) WHERE rn <= $KmvK),
        |kj AS (SELECT t1, t2,
-       |              SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) * 1000000
+       |              CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)
+       |                   AS BIGINT) * 1000000
        |                // COUNT(*) AS kmv_jaccard_e6
        |       FROM unionk GROUP BY 1, 2),
        |sizes AS (SELECT t, COUNT(*) AS n FROM cells GROUP BY 1),

@@ -172,7 +172,7 @@ object StatsOps {
        |t AS (SELECT c.*, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c)
        |SELECT digit, n,
        |       CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS share_e6,
-       |       CASE digit $expected END AS expected_e6,
+       |       CAST(CASE digit $expected END AS BIGINT) AS expected_e6,
        |       CAST((n * 2000000 + tot) // (tot * 2)
        |            - CASE digit $expected END AS BIGINT) AS dev_e6
        |FROM t ORDER BY digit""".stripMargin
@@ -1025,15 +1025,16 @@ object StatsOps {
   private val seasonalNaiveOracle =
     """WITH daily AS (
       |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
-      |         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
       |  FROM events GROUP BY 1, 2),
       |j AS (
       |  SELECT a.t, a.c, f.c AS fc_c
       |  FROM daily a JOIN daily f ON f.t = a.t AND f.day = a.day - 7)
-      |SELECT t, COUNT(*) AS n_days, SUM(c) AS actual_c,
-      |       SUM(ABS(c - fc_c)) AS abs_err_c,
-      |       SUM(ABS(c - fc_c)) // COUNT(*) AS mae_c,
-      |       SUM(ABS(c - fc_c)) * 1000000 // SUM(c) AS wape_e6
+      |SELECT t, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS actual_c,
+      |       CAST(SUM(ABS(c - fc_c)) AS BIGINT) AS abs_err_c,
+      |       CAST(SUM(ABS(c - fc_c)) AS BIGINT) // COUNT(*) AS mae_c,
+      |       CAST(SUM(ABS(c - fc_c)) AS BIGINT) * 1000000
+      |         // CAST(SUM(c) AS BIGINT) AS wape_e6
       |FROM j GROUP BY t ORDER BY t""".stripMargin
 
   // ------------------------------------------------- symbolic motifs
@@ -1156,7 +1157,7 @@ object StatsOps {
       |cut AS (SELECT MIN(day) + 15 AS cut FROM ev),
       |chosen AS (
       |  SELECT action AS pi_action, train_r_c FROM (
-      |    SELECT action, SUM(r_c) AS train_r_c FROM ev, cut
+      |    SELECT action, CAST(SUM(r_c) AS BIGINT) AS train_r_c FROM ev, cut
       |    WHERE day < cut GROUP BY action)
       |  ORDER BY train_r_c DESC, action DESC LIMIT 1)
       |SELECT pi_action, train_r_c, COUNT(*) AS n_eval,
@@ -1216,16 +1217,18 @@ object StatsOps {
 
   private val postStratifiedOracle =
     """WITH pop AS (SELECT lang, COUNT(*) AS n_pop FROM documents GROUP BY 1),
-      |ev AS (SELECT lang, COUNT(*) AS n_eval, SUM(n_chars) AS sum_eval
+      |ev AS (SELECT lang, COUNT(*) AS n_eval,
+      |              CAST(SUM(n_chars) AS BIGINT) AS sum_eval
       |       FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
-      |t AS (SELECT SUM(n_pop) AS n_tot FROM pop),
+      |t AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS n_tot FROM pop),
       |strata AS (
       |  SELECT lang, n_pop, n_eval, sum_eval,
       |         n_pop * sum_eval * 1000000 // (n_tot * n_eval) AS term_e6
       |  FROM pop JOIN ev USING (lang) CROSS JOIN t),
       |tot AS (
-      |  SELECT SUM(sum_eval) * 1000000 // SUM(n_eval) AS naive_e6,
-      |         SUM(term_e6) AS ps_e6
+      |  SELECT CAST(SUM(sum_eval) AS BIGINT) * 1000000
+      |           // CAST(SUM(n_eval) AS BIGINT) AS naive_e6,
+      |         CAST(SUM(term_e6) AS BIGINT) AS ps_e6
       |  FROM strata)
       |SELECT lang, n_pop, n_eval,
       |       sum_eval * 1000000 // n_eval AS mean_eval_e6,
@@ -1288,8 +1291,9 @@ object StatsOps {
        |         CASE WHEN source < 'src2' THEN 1 ELSE 0 END AS lab
        |  FROM documents),
        |runs AS (
-       |  SELECT COUNT(*) AS n, SUM(lab) AS n1,
-       |         SUM(CASE WHEN prev IS NULL OR prev <> lab THEN 1 ELSE 0 END)
+       |  SELECT COUNT(*) AS n, CAST(SUM(lab) AS BIGINT) AS n1,
+       |         CAST(SUM(CASE WHEN prev IS NULL OR prev <> lab
+       |                       THEN 1 ELSE 0 END) AS BIGINT)
        |           AS r
        |  FROM (SELECT lab, lag(lab, 1) OVER (ORDER BY pos, doc_id) AS prev
        |        FROM laid)),
@@ -1453,7 +1457,8 @@ object StatsOps {
       |         SUM(CASE WHEN score >= t AND pos = 0 THEN 1 ELSE 0 END) AS fp,
       |         SUM(CASE WHEN score < t AND pos = 1 THEN 1 ELSE 0 END) AS fn
       |  FROM sweep GROUP BY t)
-      |SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |SELECT CAST(t AS INTEGER) AS t,
+      |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
       |       CAST(fn AS BIGINT) AS fn,
       |       CAST((tp * 2000000 + NULLIF(tp + fp, 0)
       |            - ((tp * 2000000 + NULLIF(tp + fp, 0)) % ((tp + fp) * 2)))
@@ -1563,7 +1568,7 @@ object StatsOps {
       |         n * p1 - sy * m1 + sx2 * q1 AS d1,
       |         n * p2 - sx1 * q1 + sy * m2 AS d2
       |  FROM m)
-      |SELECT n, sy,
+      |SELECT n, CAST(sy AS BIGINT) AS sy,
       |       CAST(CAST(CASE WHEN (d0 < 0) <> (det < 0)
       |              THEN -((abs(d0) * 2000000 + abs(det)
       |                     - ((abs(d0) * 2000000 + abs(det)) % (abs(det) * 2)))

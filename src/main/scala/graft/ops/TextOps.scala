@@ -117,7 +117,7 @@ object TextOps {
   private val fingerprintOracle =
     """SELECT doc_id,
       |       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
-      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
       |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -146,8 +146,10 @@ object TextOps {
 
   private val tokenCountOracle =
     """SELECT doc_id,
-      |       len(regexp_extract_all(text, '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)')) AS n_bpe,
-      |       len(string_split(text, ' ')) AS n_ws,
+      |       CAST(len(regexp_extract_all(
+      |              text, '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)'))
+      |            AS INTEGER) AS n_bpe,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
       |       list_reduce(list_prepend(CAST(7 AS BIGINT),
       |         list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
       |         (acc, c) -> (acc * 31 + c) % 2147483647) AS roll_hash
@@ -966,7 +968,7 @@ object TextOps {
       |         ROW_NUMBER() OVER (PARTITION BY source
       |                            ORDER BY tf * idf_e6 DESC, term) AS rank
       |  FROM tf JOIN dfx USING (term))
-      |SELECT source, rank, term, tf, df,
+      |SELECT source, CAST(rank AS INTEGER) AS rank, term, tf, df,
       |       ROUND(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS tfidf
       |FROM ranked WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin

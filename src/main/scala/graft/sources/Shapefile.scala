@@ -234,11 +234,11 @@ object Shapefile {
     """SELECT lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS cusec,
       |       lpad(CAST((n_nationkey * 7) % 100 AS VARCHAR), 5, '0') AS cumun,
       |       lpad(CAST(n_nationkey % 52 AS VARCHAR), 2, '0') AS cpro,
-      |       ROUND(w * h, 6) AS area,
+      |       CAST(ROUND(w * h, 6) AS DOUBLE) AS area,
       |       ROUND(lon0 + w / 2, 6) AS cx,
       |       ROUND(lat0 + h / 2, 6) AS cy,
-      |       ROUND(lon0, 6) AS xmin,
-      |       ROUND(lat0 + h, 6) AS ymax
+      |       CAST(ROUND(lon0, 6) AS DOUBLE) AS xmin,
+      |       CAST(ROUND(lat0 + h, 6) AS DOUBLE) AS ymax
       |FROM (SELECT n_nationkey,
       |             -9.0 + (n_nationkey % 10) * 1.5 AS lon0,
       |             36.0 + (n_nationkey % 7) * 1.1 AS lat0,

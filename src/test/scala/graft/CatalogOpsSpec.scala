@@ -82,6 +82,35 @@ class CatalogOpsSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth percentile contract: flag swaps exact buffer for GK sketch") {
+    // exact `percentile` is oracle-parity-only (it buffers the whole
+    // column in one aggregation buffer — sf-gated by contract); the
+    // -Dgraft.percentile.approx=true 100 TB mode must plan the mergeable
+    // approx_percentile instead, with the same downstream ladder
+    val exactPlan = CatalogOps.equidepthHist(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("percentile(") &&
+      !exactPlan.contains("approx_percentile"),
+      "default mode must use exact percentile for oracle parity")
+    System.setProperty("graft.percentile.approx", "true")
+    try {
+      val approx = CatalogOps.equidepthHist(spark, sfTiny)
+      assert(approx.queryExecution.optimizedPlan.toString
+        .contains("approx_percentile"),
+        "approx flag must swap the edge aggregate to the GK sketch")
+      // same downstream contract: 8 buckets partitioning the table
+      val rows = approx.collect()
+      val total = Tables.lineitem(spark, sfTiny).count()
+      assert(rows.map(_.getAs[Long]("n")).sum == total)
+      assert(rows.length == 8)
+    } finally System.clearProperty("graft.percentile.approx")
+    // the invariant twin holds at the sketch's accuracy
+    val inv = CatalogOps.equidepthHistApprox(spark, sfTiny).collect().head
+    assert(inv.getAs[Boolean]("depth_within_1pct"),
+      "GK-edged buckets must stay within 1% of n/8 per bucket")
+    assert(inv.getAs[Int]("n_buckets") == 8)
+  }
+
   test("join cardinality estimate: exact side equals the executed join") {
     val r = CatalogOps.joinCardEst(spark, sfTiny).collect().head
     val li = Tables.lineitem(spark, sfTiny).select(col("l_partkey"))

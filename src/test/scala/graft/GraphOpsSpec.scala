@@ -147,4 +147,39 @@ class GraphOpsSpec extends SparkSpec {
       .filter(_._2 > 0L)
       .foreach { case (n, c) => assert(c >= 2L && c <= 60L, s"node $n cost $c") }
   }
+
+  test("star contraction: O(log n) rounds on a path where min-label is O(n)") {
+    import spark.implicits._
+    // one 400-long path (diameter 400 — min-label propagation would
+    // need ~400 shuffle rounds), one 3-ring, one 2-clique, shuffled ids
+    val path = (0L until 400L).map(i => (i * 7 % 1000 + 2000, (i + 1) * 7 % 1000 + 2000))
+      .filter { case (a, b) => a != b }
+    val extra = Seq((9001L, 9002L), (9002L, 9003L), (9003L, 9001L), (9101L, 9102L))
+    val pairs = (path ++ extra).toDF("d1", "d2")
+    val (labels, rounds) = GraphOps.connectedComponentsStar(pairs)
+    // the whole point: a 400-diameter component in ≤ 2·log₂(n)+slack
+    // alternations, not ~400
+    assert(rounds <= 22, s"star contraction took $rounds rounds — lost the log bound")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: driver-side union-find over the same edges
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (path ++ extra).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    assert(got.keySet == want.keySet, "node sets differ")
+    // same component partition with the same min-id labels
+    assert(got == want.map { case (n, r) =>
+      n -> want.collect { case (m, rr) if rr == r => m }.min
+    }, "star labels differ from union-find components")
+    // (agreement with the min-label implementation is pinned by the
+    // oracle: q_cc_star and q_dedup_clusters share one recursive-CTE
+    // oracle over the real pair graph. Min-label can't run HERE — this
+    // path's diameter exceeds its iteration cap by design; that gap is
+    // exactly what this test demonstrates.)
+  }
 }

@@ -6,10 +6,32 @@ Verify-dumped parquet result against its oracleSql run by DuckDB over
 the same testdata parquet tables. Usage:
 
     python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
+
+Pass --strict-types to fail on ANY DuckDB-level column-type diff between
+the oracle result and the Spark parquet (not just the HUGEINT class).
 """
 import json, os, sys
 
 import duckdb
+
+# The driver's comparator rejects DuckDB HUGEINT (int128 — what SUM over
+# an integer column returns when uncast) against Spark's BIGINT even when
+# the values are identical, while tolerating INTEGER<->BIGINT and
+# DOUBLE<->DECIMAL widenings. Python fetchall() coerces all of these to
+# int/float, so the value compare below can never see the difference —
+# the type compare has to happen at the DuckDB type level.
+ALWAYS_FATAL_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def type_diffs(con, oracle_sql, spark_glob):
+    """[(col, oracle_type, spark_type)] for every column whose DuckDB type
+    differs between the oracle result and the Spark-written parquet."""
+    orel = con.sql(oracle_sql)
+    srel = con.sql(f"SELECT * FROM read_parquet('{spark_glob}')")
+    omap = dict(zip(orel.columns, [str(t) for t in orel.types]))
+    smap = dict(zip(srel.columns, [str(t) for t in srel.types]))
+    return [(c, omap[c], smap[c])
+            for c in sorted(set(omap) & set(smap)) if omap[c] != smap[c]]
 
 
 def canon(rows, cols):
@@ -34,8 +56,10 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--strict-types"]
+    strict_types = "--strict-types" in sys.argv
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -75,6 +99,18 @@ def main():
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
             fails += 1
             continue
+        tdiffs = type_diffs(con, sql, f"{spark_dir}/*.parquet")
+        fatal = [d for d in tdiffs if d[1] in ALWAYS_FATAL_TYPES
+                 or d[2] in ALWAYS_FATAL_TYPES]
+        if fatal or (strict_types and tdiffs):
+            kind = "FATAL" if fatal else "STRICT"
+            print(f"{name}: TYPE MISMATCH ({kind}) " + "; ".join(
+                f"{c}: oracle={ot} spark={st}" for c, ot, st in tdiffs))
+            fails += 1
+            continue
+        elif tdiffs:
+            print(f"{name}: type warn " + "; ".join(
+                f"{c}: oracle={ot} spark={st}" for c, ot, st in tdiffs))
         sc, oc = canon(srows, scols), canon(orows, ocols)
         if len(sc) != len(oc):
             print(f"{name}: ROWS MISMATCH spark={len(sc)} oracle={len(oc)}")
