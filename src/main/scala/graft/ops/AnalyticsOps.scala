@@ -469,8 +469,8 @@ object AnalyticsOps {
 
   private val histogramOracle =
     """WITH d AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
-      |SELECT LEAST(CAST(FLOOR((value - lo) * 20 / (hi - lo)) AS INTEGER),
-      |             19) AS INTEGER) AS bin,
+      |SELECT CAST(LEAST(CAST(FLOOR((value - lo) * 20 / (hi - lo)) AS INTEGER),
+      |                 19) AS INTEGER) AS bin,
       |       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
       |FROM events, d
       |GROUP BY 1 ORDER BY 1""".stripMargin

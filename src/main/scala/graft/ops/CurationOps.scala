@@ -505,7 +505,7 @@ object CurationOps {
        |           FROM documents),
        |assigned AS (
        |  SELECT tok,
-       |         (ROW_NUMBER() OVER (PARTITION BY lang
+       |         CAST((ROW_NUMBER() OVER (PARTITION BY lang
        |                             ORDER BY tok DESC, doc_id) - 1) % $Shards
        |              AS INTEGER) AS shard
        |  FROM d)
@@ -611,7 +611,7 @@ object CurationOps {
     s"""WITH lp AS (${TextOps.unigramLogprobOracle}),
        |scored AS (
        |  SELECT lp.doc_id, d.lang, lp.n_tok, lp.avg_logprob,
-       |         NTILE(4) OVER (PARTITION BY d.lang
+       |         CAST(NTILE(4) OVER (PARTITION BY d.lang
        |                        ORDER BY lp.avg_logprob DESC, lp.doc_id)
        |              AS INTEGER) AS phase
        |  FROM lp JOIN documents d ON lp.doc_id = d.doc_id)

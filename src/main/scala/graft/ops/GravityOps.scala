@@ -638,7 +638,7 @@ object GravityOps {
       |       CAST(ROUND(-9.0 + (n_nationkey % 10) * 1.5, 6) AS DOUBLE) AS jx,
       |       CAST(ROUND(36.0 + (n_nationkey % 7) * 1.1, 6) AS DOUBLE) AS jy,
       |       'Polygon' AS poly_type,
-      |       ROUND(36.0 + (n_nationkey % 7) * 1.1
+      |       CAST(ROUND(36.0 + (n_nationkey % 7) * 1.1
       |             + 0.5 + (n_nationkey % 5) * 0.1, 6) AS DOUBLE) AS ring_pt_y
       |FROM nation ORDER BY k""".stripMargin
 

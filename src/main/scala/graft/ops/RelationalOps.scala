@@ -573,7 +573,7 @@ object RelationalOps {
       |       ROUND(MIN(c_acctbal), 4) AS lo,
       |       ROUND(MAX(c_acctbal), 4) AS hi
       |FROM (SELECT c_mktsegment, c_acctbal,
-      |             NTILE(4) OVER (PARTITION BY c_mktsegment
+      |             CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
       |                            ORDER BY c_acctbal ASC, c_custkey ASC)
       |               AS INTEGER) AS quartile
       |      FROM customer)
