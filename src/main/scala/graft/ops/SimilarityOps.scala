@@ -987,7 +987,91 @@ object SimilarityOps {
        |ORDER BY o.label""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  /** SemDeDup — semantic deduplication via cluster-bounded embedding
+    * cosine (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): assign every
+    * vector to its nearest coarse centroid, compare pairs ONLY within
+    * a cell, and for each pair above the similarity threshold drop the
+    * member CLOSER to the centroid — keeping the more diverse example,
+    * the paper's keep-rule. Complements [[dedupEmbedding]] (sign-bucket
+    * LSH blocking, keep-neither) with the clustering-blocked,
+    * diversity-preserving variant an LLM curation pipeline actually
+    * deploys.
+    *
+    * Deterministic contract: a member is dropped iff SOME same-cell
+    * witness has ROUND(cos, 6) ≥ τ and strictly better diversity
+    * preference (lower centroid-cosine at 6 dp; vec_id tiebreak). The
+    * witness need not itself survive — on dup CHAINS this deletes
+    * conservatively (every member with a more-diverse near-duplicate
+    * goes), and the per-cell preference minimum is always kept, so
+    * n_kept ≥ 1 per cell by construction.
+    *
+    * Scale shape: the quadratic term is bounded per cell (the entire
+    * point of clustering-blocked SemDeDup — a 100 TB corpus with k
+    * cells pays Σ|cell|², never n²); the pair frame drops to
+    * (cell, xid) before the distinct+aggregate, so arrays never pass
+    * an exchange after scoring; assignment reuses [[assignWithCos]]'s
+    * narrow-triple argmax.
+    */
+  private val SemTau = "0.35"
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val assigned = assignWithCos(e, rawSeedCentroids(e))
+      .withColumn("sc6", round(col("ccos"), 6))
+    val x = assigned.select(col("cell"), col("vec_id").as("xid"),
+      col("embedding").as("xv"), col("norm").as("xn"), col("sc6").as("xsc"))
+    val y = assigned.select(col("cell"), col("vec_id").as("yid"),
+      col("embedding").as("yv"), col("norm").as("yn"), col("sc6").as("ysc"))
+    val dropped = x.join(y, Seq("cell"))
+      .filter(col("xid") =!= col("yid"))
+      .withColumn("c6", round(cosine("xv", "xn", "yv", "yn"), 6))
+      .filter(col("c6") >= expr(SemTau) &&
+        (col("ysc") < col("xsc") ||
+          (col("ysc") === col("xsc") && col("yid") < col("xid"))))
+      .select(col("cell"), col("xid")).distinct()
+    val drops = dropped.groupBy(col("cell"))
+      .agg(count(lit(1)).as("nd"), sum(col("xid")).as("ds"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+        coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val semDedupOracle =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+       |  WHERE vec_id % 61 = 0),
+       |a AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ROUND(${cosineSql("e.embedding", "s.sv")}, 6) AS sc6,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
+       |                    s.cell ASC) AS rk
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |cells AS (SELECT vec_id, embedding, cell, sc6 FROM a WHERE rk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT x.cell, x.vec_id AS xid
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE ROUND(${cosineSql("x.embedding", "y.embedding")}, 6) >= $SemTau
+       |    AND (y.sc6 < x.sc6 OR (y.sc6 = x.sc6 AND y.vec_id < x.vec_id))),
+       |drops AS (SELECT cell, COUNT(*) AS nd,
+       |                 CAST(SUM(xid) AS BIGINT) AS ds
+       |          FROM dropped GROUP BY cell)
+       |SELECT c.cell, COUNT(*) AS n_members,
+       |       COALESCE(MAX(d.nd), 0) AS n_dropped,
+       |       COUNT(*) - COALESCE(MAX(d.nd), 0) AS n_kept,
+       |       COALESCE(MAX(d.ds), 0) AS dropped_id_sum
+       |FROM cells c LEFT JOIN drops d ON d.cell = c.cell
+       |GROUP BY c.cell ORDER BY c.cell""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> (semDedup _),
     "q_embedding_drift" -> (embeddingDrift _),
     "q_random_projection" -> (randomProjection _),
     "q_knn_classify" -> (knnClassify _),
@@ -1004,6 +1088,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_semdedup" -> semDedupOracle,
     "q_embedding_drift" -> embeddingDriftOracle,
     "q_random_projection" -> randomProjectionOracle,
     "q_knn_classify" -> knnClassifyOracle,

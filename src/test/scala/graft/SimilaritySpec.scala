@@ -214,4 +214,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semdedup: partition conserved, one survivor per cell, drops witnessed") {
+    import graft.ops.SimilarityOps
+    val rows = SimilarityOps.semDedup(spark, sfTiny).collect()
+    val corpus = Tables.embeddings(spark, sfTiny).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus,
+      "cells must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") >= 1L,
+        s"cell ${r.getAs[Long]("cell")} kept nothing — the per-cell " +
+          "preference minimum is unbeatable by construction")
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_members"))
+    }
+    // driver-side witness check: recompute assignment + pairwise cosine
+    // and confirm every cell's drop COUNT matches the pairwise rule
+    val vecs = Tables.embeddings(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = vecs.filter(_._1 % 61 == 0)
+    val r6 = (x: Double) => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = vecs.map { case (id, v) =>
+      val best = seeds.map { case (sid, sv) => (cos(v, sv), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }
+      (id, v, best._2, r6(best._1))
+    }
+    val want = cells.groupBy(_._3).map { case (cell, ms) =>
+      val droppedIds = ms.filter { case (id, v, _, sc) =>
+        ms.exists { case (oid, ov, _, osc) =>
+          oid != id && r6(cos(v, ov)) >= 0.35 &&
+            (osc < sc || (osc == sc && oid < id)) }
+      }.map(_._1)
+      cell -> (ms.length.toLong, droppedIds.length.toLong, droppedIds.sum)
+    }
+    val got = rows.map(r => r.getAs[Long]("cell") ->
+      (r.getAs[Long]("n_members"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("dropped_id_sum"))).toMap
+    assert(got == want, s"semdedup drops differ from driver recompute:\n$got\n$want")
+  }
 }
