@@ -182,4 +182,31 @@ class GraphOpsSpec extends SparkSpec {
     // path's diameter exceeds its iteration cap by design; that gap is
     // exactly what this test demonstrates.)
   }
+
+  test("star contraction matches union-find on seeded random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rng.nextInt(60)
+      val m = n + rng.nextInt(2 * n)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (labels, rounds) = GraphOps.connectedComponentsStar(
+        edges.toDF("d1", "d2"))
+      assert(rounds <= 22, s"trial $trial: $rounds rounds on |V|<=$n")
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val roots = parent.keys.map(k => k -> find(k)).toMap
+      val minOfRoot = roots.groupBy(_._2).map { case (r, ms) => r -> ms.keys.min }
+      val want = roots.map { case (k, r) => k -> minOfRoot(r) }
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n m=$m): labels differ")
+    }
+  }
 }
