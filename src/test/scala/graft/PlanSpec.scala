@@ -470,4 +470,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: seeds broadcast for scoring, arrays dropped before the drop-set dedup") {
+    val df = graft.ops.SimilarityOps.semDedup(spark, sfTiny)
+    df.collect() // AQE finalizes join strategies at runtime
+    val plan = executed(df)
+    // centroid scoring must broadcast the (tiny) seed set — the corpus
+    // never shuffles to be scored
+    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"seed centroids must broadcast for assignment:\n$plan")
+    // the dup-pair frame must shed the embedding arrays BEFORE the
+    // distinct: the dedup aggregate keys on exactly (cell, xid), fed by
+    // a two-column projection — no array column crosses that boundary
+    assert("HashAggregate\\(keys=\\[cell#\\d+L, xid#\\d+L\\]".r
+      .findFirstIn(plan).isDefined,
+      s"drop-set distinct must key on (cell, xid) only:\n$plan")
+    assert("Project \\[cell#\\d+L, xid#\\d+L\\]".r.findFirstIn(plan).isDefined,
+      s"pair frame must project down to (cell, xid) before dedup:\n$plan")
+  }
+
 }
