@@ -600,6 +600,15 @@ object CatalogOps {
     * (1% is 100× headroom), and bucket counts must partition the table
     * exactly. A broken sketch, ladder, or merge fails the booleans; the
     * exact row total keeps the row hashable end-to-end.
+    *
+    * Ties assumption: the 1% depth bound presumes no single value of
+    * `l_extendedprice` carries ≳1% of all rows — equality ties cannot
+    * straddle a bucket edge, so a heavy tie piles its whole mass into
+    * one bucket regardless of sketch accuracy (the column is
+    * near-continuous in this data: ~every value distinct, so the bound
+    * has ~100× headroom). On a heavily-tied column the invariant is a
+    * data property, not a sketch property — re-derive the tolerance
+    * from max per-value frequency before reusing this oracle there.
     */
   def equidepthHistApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Tables.lineitem(spark, sfDir)

@@ -604,6 +604,17 @@ object GraphOps {
     * @return (labels, rounds) — rounds exposed so the scale spec can
     *         assert the O(log n) bound actually holds.
     */
+  /** Eagerly free a `localCheckpoint`ed frame's storage blocks.
+    * `Dataset.unpersist` is a CacheManager call and does NOT touch
+    * checkpoint blocks — those live on the internal RDD the checkpoint
+    * materialized, exposed as the plan's `LogicalRDD` leaf. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private[graft] def connectedComponentsStar(
       pairs0: DataFrame): (DataFrame, Int) = {
     // canonical undirected edges, self-loops dropped: (hi, lo)
@@ -650,6 +661,13 @@ object GraphOps {
       val cur = sig(afterSmall)
       converged = cur == last
       last = cur
+      // new round is materialized (sig ran on the checkpoint) — drop the
+      // superseded round's checkpointed blocks now, or up to maxRounds
+      // edge RDDs linger in storage memory at web-graph scale.
+      // Dataset.unpersist only clears CacheManager entries; a
+      // localCheckpoint's blocks belong to its underlying RDD, reachable
+      // through the LogicalRDD leaf the checkpoint planted.
+      freeCheckpoint(edges)
       edges = afterSmall
       rounds += 1
     }

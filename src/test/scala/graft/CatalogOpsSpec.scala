@@ -92,6 +92,11 @@ class CatalogOpsSpec extends SparkSpec {
     assert(exactPlan.contains("percentile(") &&
       !exactPlan.contains("approx_percentile"),
       "default mode must use exact percentile for oracle parity")
+    // JVM-global mutation: safe because this build runs suites
+    // sequentially (no parallel ScalaTest execution configured); a
+    // concurrent equidepthHist caller during this window would plan
+    // approx_percentile. If suites ever parallelize, thread the flag as
+    // a parameter read once at the query-registry boundary instead.
     System.setProperty("graft.percentile.approx", "true")
     try {
       val approx = CatalogOps.equidepthHist(spark, sfTiny)
