@@ -128,26 +128,69 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------
-  /** IVF-style ANN: vectors with vec_id % 61 == 0 serve as coarse
-    * centroids; every vector is assigned to its nearest centroid (the
-    * cell). Queries are MULTI-PROBE (nprobe=3): each query searches the
-    * members of its 3 nearest cells — the standard IVF recall/throughput
-    * dial (single-probe recall@5 measured 0.36 on the fixture; 3-probe
-    * lifts it while still scanning ~3/|cells| of the corpus). Assignment
-    * is a broadcast of the (tiny) seed set + argmax-by-window; the
-    * per-cell search joins on the cell id, so the candidate set never
-    * leaves its equi-join key. Recall vs. the exact scan is asserted in
-    * SimilaritySpec; the oracle mirrors the same two-stage plan in SQL.
+  /** IVF-style ANN with a TRAINED, corpus-sublinear coarse quantizer:
+    * nlist = min(⌈√n⌉, [[IvfKCap]]) centroids — the classic IVF sizing
+    * rule, hard-capped so the broadcast centroid set is ≤ ~2 MB at ANY
+    * corpus size — seeded from the first nlist vectors (fixed
+    * deterministic rule) and tuned by ONE Lloyd step over a bounded
+    * training sample (the first min(n, [[IvfTrainPerCell]]·nlist)
+    * vectors — faiss's ~40-points-per-centroid guidance; 40·√n is
+    * corpus-sublinear, so training cost never approaches a corpus
+    * pass at scale). Every vector is assigned to its nearest trained
+    * centroid (the cell). Queries are MULTI-PROBE (nprobe=3): each
+    * query searches the members of its 3 nearest cells — scanning
+    * ~nprobe/nlist of the corpus, the standard recall/throughput dial.
+    * Assignment broadcasts the (bounded) centroid set + a map-side
+    * argmax; the per-cell search joins on the cell id, so the
+    * candidate set never leaves its equi-join key.
+    *
+    * Round-8 fix: the previous quantizer kept every 61st vector as a
+    * centroid — n/61 centroids grow LINEARLY with the corpus, so the
+    * "tiny" broadcast was tens of GB at 10⁹ vectors and the assign
+    * stage n²/61 dot products. √n-capped trained centroids restore a
+    * bounded broadcast and cap assign flops at n·4096 — the same cure
+    * [[pqAnn]]'s fixed k=64 codebook already applied. Recall vs. the
+    * exact scan is asserted in SimilaritySpec (note the floor is
+    * scanned-fraction-relative: on the near-random fixture IVF recall
+    * ≈ nprobe/nlist); the oracle mirrors the same sizing + training +
+    * two-stage search in SQL.
     */
   private val NProbe = 3
+  /** Hard cap on the coarse-centroid count — bounds the broadcast. */
+  private[graft] val IvfKCap = 4096
+  /** Lloyd training points per centroid (faiss guidance ~39). */
+  private val IvfTrainPerCell = 40
 
-  private def seeds(e: DataFrame): DataFrame =
-    e.filter(pmod(col("vec_id"), lit(61)) === 0)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
-        col("norm").as("sn"))
+  /** nlist(n) = min(⌈√n⌉, cap) — corpus-sublinear, broadcast-bounded. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(1L,
+      math.min(math.ceil(math.sqrt(n.toDouble)).toLong, IvfKCap.toLong)).toInt
 
-  /** Nearest-`n` cell assignments for `vectors`: broadcast the (tiny)
-    * seed set, rank per vector by cosine. */
+  /** Trained coarse centroids (cell, cv) — materialized once per
+    * session+SF (the [[ivfIndex]] build-once lifecycle): fixed-rule
+    * seeds, one Lloyd step over the bounded sample, 6 dp-rounded
+    * double components (parquet round-trips them bit-exactly). Shared
+    * by [[annIvf]], [[ivfIndex]] and [[semDedup]]. */
+  private[graft] def coarseCentroids(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/ivf_centroids") {
+      val e = withNorm(spark, sfDir)
+      // one driver scalar per index BUILD (not per query) — the A6
+      // scalar-inject pattern; sizes both nlist and the Lloyd sample
+      val n = e.count()
+      val k = ivfK(n)
+      val train = e.filter(col("vec_id") < math.min(n, IvfTrainPerCell.toLong * k))
+      kmRecompute(assignWithCos(train, rawSeedCentroids(e, k)))
+    }
+
+  /** Centroids reshaped for multi-probe [[assign]]: precomputed norm. */
+  private def centroidsWithNorm(cents: DataFrame): DataFrame =
+    cents.select(col("cell").as("seed_id"), col("cv").as("sv"),
+      sqrt(expr("vec_dot(cv, cv)")).as("sn"))
+
+  /** Nearest-`n` cell assignments for `vectors`: broadcast the (bounded)
+    * centroid set, rank per vector by cosine. */
   private def assign(vectors: DataFrame, seedSet: DataFrame, n: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("seed_cos").desc, col("seed_id").asc)
@@ -156,6 +199,39 @@ object SimilarityOps {
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") <= n)
   }
+
+  /** Shared oracle fragment: the trained coarse quantizer in SQL —
+    * sizing (`kk`), fixed-rule seeds (`seeds0`), one Lloyd step over
+    * the bounded sample (`tr0`), trained centroids (`cents`). Mirrors
+    * [[coarseCentroids]] exactly: identical sizing arithmetic,
+    * identical sequential-fold cosines, identical 6 dp mean rounding.
+    */
+  private def coarseCentSql: String =
+    s"""kk AS (
+       |  SELECT CAST(LEAST(CEIL(SQRT(COUNT(*))), $IvfKCap) AS BIGINT) AS k,
+       |         CAST(LEAST(COUNT(*), $IvfTrainPerCell *
+       |              LEAST(CEIL(SQRT(COUNT(*))), $IvfKCap)) AS BIGINT) AS tn
+       |  FROM embeddings),
+       |seeds0 AS (
+       |  SELECT vec_id AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings, kk WHERE vec_id < kk.k),
+       |tr0 AS (
+       |  SELECT cell, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+       |                      c.cell ASC) AS arank
+       |    FROM embeddings e CROSS JOIN kk CROSS JOIN seeds0 c
+       |    WHERE e.vec_id < kk.tn)
+       |  WHERE arank = 1),
+       |cents AS (
+       |  SELECT cell, list(cval ORDER BY pos) AS cv FROM (
+       |    SELECT cell, i AS pos,
+       |           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS cval
+       |    FROM tr0, LATERAL unnest(range(0, len(embedding))) AS t(i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell)""".stripMargin
 
   /** IVF INDEX BUILD, materialized once per session+SF: every corpus
     * vector assigned to its nearest coarse cell, written to parquet and
@@ -170,8 +246,7 @@ object SimilarityOps {
       // arank=1 is an argmax: the narrow max_by form (no k× array
       // shuffle — see assignWithCos); the multi-probe window remains
       // only on the 5-row query side
-      assignWithCos(e,
-          seeds(e).select(col("seed_id").as("cell"), col("sv").as("cv")))
+      assignWithCos(e, coarseCentroids(spark, sfDir))
         .select(col("vec_id").as("cid"), col("embedding").as("cv"),
           col("norm").as("cn"), col("cell"))
     }
@@ -181,7 +256,8 @@ object SimilarityOps {
     // candidates come from the MATERIALIZED index; only the 5 query
     // vectors pay an assignment pass (multi-probe: NProbe nearest cells)
     val cands = ivfIndex(spark, sfDir)
-    val queries = assign(e.filter(col("vec_id") < 5), seeds(e), NProbe)
+    val queries = assign(e.filter(col("vec_id") < 5),
+        centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn"), col("seed_id").as("cell"))
     val w = Window.partitionBy(col("qid"))
@@ -198,17 +274,15 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  private val annIvfOracle =
-    s"""WITH seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
-       |  WHERE vec_id % 61 = 0),
+  private lazy val annIvfOracle =
+    s"""WITH $coarseCentSql,
        |cellranked AS (
-       |  SELECT e.vec_id, e.embedding, s.seed_id AS cell,
+       |  SELECT e.vec_id, e.embedding, s.cell,
        |         ROW_NUMBER() OVER (
        |           PARTITION BY e.vec_id
-       |           ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
-       |                    s.seed_id ASC) AS arank
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
        |cand AS (SELECT vec_id, embedding, cell FROM cellranked WHERE arank = 1),
        |q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM cellranked
        |      WHERE vec_id < 5 AND arank <= 3),
@@ -252,9 +326,16 @@ object SimilarityOps {
   private[graft] def normed(spark: SparkSession, sfDir: String): DataFrame =
     withNorm(spark, sfDir)
 
+  /** Fixed-rule raw seeds: the first `k` vectors as double centroids
+    * (k = nlist(n) when not given) — the deterministic, corpus-capped
+    * seed-pick every quantizer here starts from. */
+  private[graft] def rawSeedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+
   private[graft] def rawSeedCentroids(e: DataFrame): DataFrame =
-    seeds(e).select(col("seed_id").as("cell"),
-      expr("transform(sv, x -> CAST(x AS DOUBLE))").as("cv"))
+    rawSeedCentroids(e, ivfK(e.count()))
 
   private[graft] def refinedCentroids(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -348,7 +429,9 @@ object SimilarityOps {
     s"""WITH c0 AS (
        |  SELECT vec_id AS cell,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM embeddings WHERE vec_id % 61 = 0),
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT CAST(LEAST(CEIL(SQRT(COUNT(*))), $IvfKCap)
+       |                              AS BIGINT) FROM embeddings)),
        |${assignCte("c0", "a1")},
        |${recomputeCte("a1", "c1")},
        |${assignCte("c1", "a2")},
@@ -1009,28 +1092,52 @@ object SimilarityOps {
     *
     * Scale shape: the quadratic term is bounded per cell (the entire
     * point of clustering-blocked SemDeDup — a 100 TB corpus with k
-    * cells pays Σ|cell|², never n²); the pair frame drops to
-    * (cell, xid) before the distinct+aggregate, so arrays never pass
-    * an exchange after scoring; assignment reuses [[assignWithCos]]'s
-    * narrow-triple argmax.
+    * cells pays Σ|cell|², never n²) AND per-cell size is itself capped:
+    * cells larger than [[SemMaxCell]] split into ⌈|cell|/cap⌉
+    * deterministic subcells (vec_id mod — same arithmetic both
+    * engines), so even an adversarially hot cell pays ≤ |cell|·cap
+    * pairs, never |cell|² (the paper caps cluster sizes for the same
+    * reason; a subcell split deletes slightly more conservatively — a
+    * witness in a sibling subcell no longer kills — which only ever
+    * KEEPS extra diversity). The pair frame drops to (cell, xid)
+    * before the distinct+aggregate, so arrays never pass an exchange
+    * after scoring; assignment reuses [[assignWithCos]]'s
+    * narrow-triple argmax over the TRAINED √n-capped centroid set
+    * ([[coarseCentroids]] — round-8 fix, see [[annIvf]]).
     */
   private val SemTau = "0.35"
+  /** Per-(sub)cell membership cap — bounds the quadratic under skew. */
+  private[graft] val SemMaxCell = 256
 
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-    val assigned = assignWithCos(e, rawSeedCentroids(e))
-      .withColumn("sc6", round(col("ccos"), 6))
-    val x = assigned.select(col("cell"), col("vec_id").as("xid"),
+  /** The capped pairwise drop-set: `assigned` = (cell, vec_id,
+    * embedding, norm, sc6); returns the (cell, xid) members with a
+    * same-subcell witness that is ≥ τ similar and strictly preferred
+    * (more diverse). Oversized cells split by vec_id mod before the
+    * self-join — SimilaritySpec proves the pair bound on an
+    * adversarial one-cell fixture. */
+  private[graft] def semDropSet(assigned: DataFrame, maxCell: Int): DataFrame = {
+    val sized = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val sub = assigned.join(broadcast(sized), Seq("cell"))
+      .withColumn("sub", pmod(col("vec_id"),
+        ceil(col("n_c").cast("double") / maxCell).cast("long")))
+    val x = sub.select(col("cell"), col("sub"), col("vec_id").as("xid"),
       col("embedding").as("xv"), col("norm").as("xn"), col("sc6").as("xsc"))
-    val y = assigned.select(col("cell"), col("vec_id").as("yid"),
+    val y = sub.select(col("cell"), col("sub"), col("vec_id").as("yid"),
       col("embedding").as("yv"), col("norm").as("yn"), col("sc6").as("ysc"))
-    val dropped = x.join(y, Seq("cell"))
+    x.join(y, Seq("cell", "sub"))
       .filter(col("xid") =!= col("yid"))
       .withColumn("c6", round(cosine("xv", "xn", "yv", "yn"), 6))
       .filter(col("c6") >= expr(SemTau) &&
         (col("ysc") < col("xsc") ||
           (col("ysc") === col("xsc") && col("yid") < col("xid"))))
       .select(col("cell"), col("xid")).distinct()
+  }
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val assigned = assignWithCos(e, coarseCentroids(spark, sfDir))
+      .withColumn("sc6", round(col("ccos"), 6))
+    val dropped = semDropSet(assigned, SemMaxCell)
     val drops = dropped.groupBy(col("cell"))
       .agg(count(lit(1)).as("nd"), sum(col("xid")).as("ds"))
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
@@ -1043,21 +1150,25 @@ object SimilarityOps {
   }
 
   private lazy val semDedupOracle =
-    s"""WITH seeds AS (
-       |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
-       |  WHERE vec_id % 61 = 0),
+    s"""WITH $coarseCentSql,
        |a AS (
        |  SELECT e.vec_id, e.embedding, s.cell,
-       |         ROUND(${cosineSql("e.embedding", "s.sv")}, 6) AS sc6,
+       |         ROUND(${cosineSql("e.embedding", "s.cv")}, 6) AS sc6,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |           ORDER BY ${cosineSql("e.embedding", "s.sv")} DESC,
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
        |                    s.cell ASC) AS rk
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |  FROM embeddings e CROSS JOIN cents s),
        |cells AS (SELECT vec_id, embedding, cell, sc6 FROM a WHERE rk = 1),
+       |sized AS (SELECT cell, COUNT(*) AS n_c FROM cells GROUP BY 1),
+       |subbed AS (
+       |  SELECT c.vec_id, c.embedding, c.cell, c.sc6,
+       |         c.vec_id % CAST(CEIL(CAST(s.n_c AS DOUBLE) / $SemMaxCell)
+       |                          AS BIGINT) AS sub
+       |  FROM cells c JOIN sized s USING (cell)),
        |dropped AS (
        |  SELECT DISTINCT x.cell, x.vec_id AS xid
-       |  FROM cells x JOIN cells y
-       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  FROM subbed x JOIN subbed y
+       |    ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id <> y.vec_id
        |  WHERE ROUND(${cosineSql("x.embedding", "y.embedding")}, 6) >= $SemTau
        |    AND (y.sc6 < x.sc6 OR (y.sc6 = x.sc6 AND y.vec_id < x.vec_id))),
        |drops AS (SELECT cell, COUNT(*) AS nd,

@@ -219,6 +219,16 @@ class PlanSpec extends SparkSpec {
       s"dictionary join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus shuffled on the word key:\n$plan")
+    // the top-k cut must be a TakeOrdered (per-partition top-k + k-row
+    // merge), and the only Window — the id assigner — must sit ABOVE
+    // it, i.e. over ≤ VocabSize rows, never over the full
+    // distinct-token aggregate (a corpus-sized single-partition sort
+    // at web-scale vocabularies)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be TakeOrdered-shaped:\n$plan")
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && winAt < plan.indexOf("TakeOrderedAndProject"),
+      s"id-assignment window must consume the TakeOrdered output:\n$plan")
   }
 
   test("BPE pairs: the document is tokenized exactly once in the plan") {
