@@ -59,6 +59,8 @@ object Bench {
         sources.CsvSources.ineCsv(spark, sfDir)
       if (names.contains("q_shapefile_scan"))
         sources.Shapefile.fixture(spark, sfDir)
+      if (names.contains("q_image_meta"))
+        sources.ImageFiles.imagesDir(spark, sfDir)
       if (names.contains("q_schema_merge"))
         sources.SchemaEvolution.fixture(spark, sfDir)
     } catch { case _: Throwable => () }

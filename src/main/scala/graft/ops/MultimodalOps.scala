@@ -346,7 +346,86 @@ object MultimodalOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ image header decode
+  /** Byte-level image metadata decode — the FIRST real operator an
+    * image-corpus pipeline runs over crawled files: dispatch on magic
+    * bytes and parse width/height/format/bit-depth straight out of the
+    * header (PNG: big-endian IHDR fields behind the 8-byte signature;
+    * BMP: little-endian BITMAPINFOHEADER fields), with no codec
+    * dependency — headers are fixed-offset integer fields, so unlike
+    * [[decodeStub]]'s pixel stage this decode is NOT stubbed: it reads
+    * real, spec-valid files ([[graft.sources.ImageFiles]]) and returns
+    * their true dimensions. Runs in the same `mapPartitions` batch
+    * shape as [[phashNearDup]] — one iterator pass per partition, all
+    * executor-side — which is exactly where a full pixel codec would
+    * slot in after the header triage (header-parse-first lets a real
+    * pipeline drop corrupt/oversized files BEFORE paying decode).
+    *
+    * Scale shape: binaryFile parallelizes by file and the glob filter
+    * prunes at listing time; the parse touches ~30 bytes per row
+    * regardless of payload size; output is a narrow typed row per
+    * file. Oracle: the fixture is byte-specified by integer formulas
+    * (dimensions AND total file size — stored-mode zlib makes PNG
+    * sizes closed-form), so DuckDB recomputes every column from
+    * arithmetic over the id range, proving the parse against ground
+    * truth rather than against another parser.
+    */
+  def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.ImageFiles.imagesDir(spark, sfDir)
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "img_*.{png,bmp}")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp)$", 1)
+          .cast("long").as("img_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, n, b) =>
+        if (b.length >= 26 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+            b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+            b(14) == 'D' && b(15) == 'R')
+          (id, "png", be32(b, 16), be32(b, 20), b(24).toInt, n)
+        else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+          (id, "bmp", le32(b, 18), le32(b, 22),
+            (b(28) & 0xff) | ((b(29) & 0xff) << 8), n)
+        else (id, "unknown", -1, -1, -1, n)
+      })
+      .toDF("img_id", "format", "width", "height", "bit_depth", "n_bytes")
+      .orderBy(col("img_id"))
+  }
+
+  private val imageMetaOracle = {
+    import graft.sources.ImageFiles.NImages
+    // raw scanline bytes of the PNG: h rows of (filter byte + 3w pixels)
+    val raw = "(height * (1 + 3 * width))"
+    s"""WITH dims AS (
+       |  SELECT doc_id AS img_id,
+       |         CAST(16 + (doc_id * 7) % 240 AS INTEGER) AS width,
+       |         CAST(16 + (doc_id * 13) % 180 AS INTEGER) AS height
+       |  FROM documents WHERE doc_id < $NImages)
+       |SELECT img_id,
+       |       CASE WHEN img_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |       width, height,
+       |       CAST(CASE WHEN img_id % 2 = 0 THEN 8 ELSE 24 END AS INTEGER)
+       |         AS bit_depth,
+       |       -- png: sig 8 + IHDR 25 + IDAT wrapper 12 + zlib (2 hdr +
+       |       -- 5/block + raw + 4 adler) + IEND 12;  bmp: 54 + padded rows
+       |       CAST(CASE WHEN img_id % 2 = 0
+       |            THEN 8 + 25 + 12 + 2 + 5 * CEIL($raw / 65535.0) + $raw + 4 + 12
+       |            ELSE 54 + height * ((3 * width + 3) // 4 * 4)
+       |            END AS BIGINT) AS n_bytes
+       |FROM dims ORDER BY img_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
     "q_aspect_buckets" -> (aspectBuckets _),
     "q_media_meta" -> (mediaMeta _),
@@ -355,6 +434,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_aspect_buckets" -> aspectBucketsOracle,
     "q_media_meta" -> mediaMetaOracle,

