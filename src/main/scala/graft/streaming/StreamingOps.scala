@@ -108,6 +108,95 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
 
   // ------------------------------------------------------------------
+  /** Streaming SemDeDup — the SEMANTIC channel that completes the
+    * incremental-dedup ladder ([[incrementalDedupStream]] covers the
+    * exact-md5 and in-stream channels): each arriving embedding is
+    * assigned to its nearest coarse cell against the STATIC trained
+    * centroid index ([[graft.ops.SimilarityOps.coarseCentroids]] —
+    * broadcast, bounded by the √n cap), then judged by the SemDeDup
+    * keep-rule (cosine ≥ τ to a strictly-more-diverse witness — lower
+    * centroid-cosine at 6 dp, vec_id tiebreak) against (a) the
+    * standing per-cell member index and (b) its own micro-batch; every
+    * arrival then merges into the index (witnesses need not survive —
+    * the batch rule's contract), so later batches see it. `foreachBatch`
+    * because the per-vector argmax assignment and the pairwise
+    * same-cell probe are batch plans — Structured Streaming's
+    * stateful-aggregation matrix has no per-row argmax — and because
+    * the index merge is exactly the [[incrementalGold]] upsert shape.
+    *
+    * Emitted decisions are FINAL (append ledger): a more-diverse
+    * near-dup arriving later cannot retroactively evict an
+    * already-kept vector — the same latency-vs-completeness trade
+    * `dropDuplicatesWithinWatermark` makes. Under the in-order source
+    * contract (arrivals in diversity-preference order — the deployed
+    * shape: the standing corpus IS the most-diverse survivor set, and
+    * re-ingest feeds survivors before their duplicates) the ledger's
+    * drop-set equals batch [[graft.ops.SimilarityOps.semDedup]]'s
+    * EXACTLY, and for any order it is a subset — StreamingSpec pins
+    * the equality on preference-ordered batches of the real fixture.
+    * Cell-size cap note: the fixture's standing cells sit far below
+    * [[graft.ops.SimilarityOps.SemMaxCell]], so the probe joins on the
+    * cell key alone; an oversized standing cell would apply the same
+    * deterministic vec_id-mod subcell split using the INDEX's cell
+    * size before probing.
+    *
+    * Scale shape per micro-batch: centroid assignment is the batch
+    * op's broadcast + narrow argmax; the probe joins the (small) batch
+    * against only its own cells' index partitions (equi-join on cell —
+    * at 100 TB the index is bucketed by cell so the probe reads just
+    * the touched buckets); the index append is file-append, no
+    * rewrite.
+    */
+  def semDedupStream(vecs: DataFrame, centroids: DataFrame,
+      indexTbl: String, ledgerTbl: String, tau: Double = 0.35)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = centroids.localCheckpoint(true) // pin the static side once
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorExprs.register(spark)
+        val fs = new org.apache.hadoop.fs.Path(indexTbl)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val assigned = graft.ops.SimilarityOps.assignWithCos(
+            batch.toDF()
+              .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)"))),
+            cents)
+          .withColumn("sc6", round(col("ccos"), 6))
+          .select(col("cell"), col("vec_id"), col("embedding"), col("norm"),
+            col("sc6"))
+          .localCheckpoint(true) // read consistently for probe AND append
+        val standing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexTbl)))
+            spark.read.parquet(indexTbl)
+          else assigned.limit(0)
+        val witnesses = standing.unionByName(assigned)
+          .select(col("cell"), col("vec_id").as("yid"),
+            col("embedding").as("yv"), col("norm").as("yn"),
+            col("sc6").as("ysc"))
+        val x = assigned.select(col("cell"), col("vec_id").as("xid"),
+          col("embedding").as("xv"), col("norm").as("xn"),
+          col("sc6").as("xsc"))
+        val dropped = x.join(witnesses, Seq("cell"))
+          .filter(col("xid") =!= col("yid"))
+          .withColumn("c6",
+            round(expr("vec_dot(xv, yv)") / (col("xn") * col("yn")), 6))
+          .filter(col("c6") >= tau &&
+            (col("ysc") < col("xsc") ||
+              (col("ysc") === col("xsc") && col("yid") < col("xid"))))
+          .select(col("xid")).distinct().withColumn("hit", lit(1L))
+        assigned.select(col("vec_id"), col("cell"), col("sc6"))
+          .join(dropped, col("vec_id") === col("xid"), "left")
+          .select(col("vec_id"), col("cell"), col("sc6"),
+            col("hit").isNotNull.as("dropped"))
+          .write.mode("append").parquet(ledgerTbl)
+        // every arrival joins the index — witnesses need not survive
+        assigned.write.mode("append").parquet(indexTbl)
+      }
+      .start()
+  }
+
+  // ------------------------------------------------------------------
   /** Native `session_window` sessionization under Structured Streaming —
     * the declarative twin of both the typed [[sessionize]] (explicit
     * `flatMapGroupsWithState`) and the batch

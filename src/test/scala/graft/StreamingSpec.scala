@@ -621,4 +621,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semdedup: preference-ordered batches equal the batch drop-set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/semdedup_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    graft.functions.VectorExprs.register(spark)
+    val e = SimilarityOps.normed(spark, sfTiny)
+    val cents = SimilarityOps.coarseCentroids(spark, sfTiny)
+    val assigned = SimilarityOps.assignWithCos(e, cents)
+      .withColumn("sc6", round(col("ccos"), 6))
+    // the in-order source contract: arrivals in diversity-preference
+    // order (sc6 asc, vec_id asc) — any witness precedes its victims,
+    // so streaming's final-decision append must reproduce the
+    // order-free batch rule exactly
+    val ordered = assigned.orderBy(col("sc6"), col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semDedupStream(
+      input.toDF().toDF("vec_id", "embedding"),
+      cents, s"$base/index", s"$base/ledger")
+    try {
+      ordered.grouped(180).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val ledger = spark.read.parquet(s"$base/ledger")
+      assert(ledger.count() == ordered.length,
+        "every arrival must get exactly one final ledger row")
+      val streamDropped = ledger.filter(col("dropped")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val batchDropped = SimilarityOps
+        .semDropSet(assigned, SimilarityOps.SemMaxCell)
+        .collect().map(_.getAs[Long]("xid")).toSet
+      assert(streamDropped == batchDropped,
+        s"stream drop-set ${streamDropped.size} != batch ${batchDropped.size}")
+      // the standing index accumulated every arrival (witnesses need
+      // not survive — the batch rule's contract)
+      assert(spark.read.parquet(s"$base/index").count() == ordered.length)
+    } finally q.stop()
+  }
+
 }
