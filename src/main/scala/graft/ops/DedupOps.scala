@@ -1190,7 +1190,47 @@ object DedupOps {
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .orderBy(col("cluster"))
 
+  /** Community detection on the near-dup graph via synchronous label
+    * propagation ([[graft.ops.GraphOps.labelPropagation]], 4 rounds) —
+    * the third consumer of the materialized pair table and the
+    * SOFT-clustering counterpart of the two connected-components
+    * twins: CC says "transitively linked at all", LPA's majority rule
+    * says "densely linked together", splitting chains that CC glues
+    * through a single weak pair — which is what a curation pipeline
+    * wants when boilerplate bridges otherwise-unrelated doc families.
+    * The oracle replays the same 4 synchronous rounds as unrolled
+    * CTEs (the kmeansRefine unrolled-iterations precedent) with the
+    * identical (count desc, label asc) tiebreak. */
+  def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    GraphOps.labelPropagation(goldPairs(spark, sfDir))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_member"),
+        max(col("node")).as("max_member"))
+      .orderBy(col("community"))
+
+  private lazy val lpaCommunitiesOracle = {
+    def round(prev: String, n: Int): String =
+      s"""c$n AS (SELECT s.u, l.label AS lbl, COUNT(*) AS cnt
+         |        FROM sym s JOIN $prev l ON l.node = s.v GROUP BY 1, 2),
+         |l$n AS (SELECT u AS node, lbl AS label FROM (
+         |          SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+         |                   ORDER BY cnt DESC, lbl ASC) AS rn FROM c$n)
+         |        WHERE rn = 1)""".stripMargin
+    s"""WITH mh AS (SELECT d1, d2 FROM ($dedupMinhashOracle)),
+       |sym AS (SELECT d1 AS u, d2 AS v FROM mh UNION SELECT d2, d1 FROM mh),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |${round("l0", 1)},
+       |${round("l1", 2)},
+       |${round("l2", 3)},
+       |${round("l3", 4)}
+       |SELECT label AS community, COUNT(*) AS n_members,
+       |       MIN(node) AS min_member, MAX(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lpa_communities" -> (lpaCommunities _),
     "q_cc_star" -> (ccStar _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_repeated_substrings" -> (repeatedSubstrings _),
@@ -1210,6 +1250,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lpa_communities" -> lpaCommunitiesOracle,
     "q_cc_star" -> dedupClustersOracle,
     "q_lsh_tuning" -> lshTuningOracle,
     "q_repeated_substrings" -> repeatedSubstringsOracle,

@@ -680,6 +680,56 @@ object GraphOps {
     (labels, rounds)
   }
 
+  // ---------------------------------------- label propagation (LPA)
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * community-detection workhorse): labels init to node ids; each
+    * round EVERY node simultaneously adopts the most frequent label
+    * among its neighbors (ties → smallest label — the total order
+    * that makes synchronous LPA deterministic, hence cross-engine
+    * checkable; classic LPA randomizes, which an oracle cannot
+    * follow). A FIXED `rounds` budget rather than
+    * convergence-detection: synchronous LPA can 2-cycle on bipartite
+    * structure, so "state after R rounds" is the well-defined
+    * contract — and exactly R unrolled join+aggregate stages is what
+    * the DuckDB oracle replays.
+    *
+    * Round structure is [[connectedComponentsStar]]'s: per round one
+    * equi-join of the symmetrized edge frame to the label table, a
+    * (node, label) count hash-aggregate, and a narrow max_by argmax
+    * (count desc, label asc) — all partial-agg-friendly triples of
+    * longs, no window, no arrays; localCheckpoint truncates lineage
+    * and the superseded round's blocks are freed eagerly. At
+    * web-graph scale each round costs two narrow exchanges on the
+    * node key; R is a constant dial (default 4), so the whole run is
+    * O(R) shuffles independent of graph size or diameter.
+    */
+  private[graft] def labelPropagation(
+      pairs0: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = pairs0
+      .select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs0.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = sym
+        .join(labels.select(col("node").as("v"), col("label").as("lbl")),
+          Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(max_by(col("lbl"),
+          struct(col("cnt"), (-col("lbl")).as("neg"))).as("label"))
+        .localCheckpoint(true)
+      freeCheckpoint(labels)
+      labels = next
+    }
+    freeCheckpoint(sym)
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_modularity" -> (modularity _),
     "q_kcore" -> (kcore _),

@@ -209,4 +209,36 @@ class GraphOpsSpec extends SparkSpec {
       assert(got == want, s"trial $trial (n=$n m=$m): labels differ")
     }
   }
+
+  test("label propagation: majority rule splits a bridged pair of cliques") {
+    import spark.implicits._
+    // two 4-cliques {0..3} and {10..13} joined by the single bridge
+    // 3–10: connected components glue them into ONE component, but
+    // LPA's majority vote keeps two communities — each clique member
+    // hears 3 clique votes vs at most 1 bridge vote
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(0L to 3L) ++ clique(10L to 13L) ++ Seq((3L, 10L))
+    val pairs = edges.toDF("d1", "d2")
+    val lpa = GraphOps.labelPropagation(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == (0L to 3L).toSet ++ (10L to 13L).toSet)
+    assert((0L to 3L).map(lpa).toSet.size == 1, "left clique must agree")
+    assert((10L to 13L).map(lpa).toSet.size == 1, "right clique must agree")
+    assert(lpa(0L) != lpa(10L), "bridge must NOT merge the communities")
+    val (ccLabels, _) = GraphOps.connectedComponentsStar(pairs)
+    assert(ccLabels.collect().map(_.getLong(1)).toSet.size == 1,
+      "CC must see one component — the contrast LPA exists for")
+    // driver-side synchronous recompute: 4 rounds, (count desc, label
+    // asc) tiebreak, neighbors only
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lab = sym.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 4)
+      lab = sym.map { case (u, vs) =>
+        u -> vs.groupBy(lab).toSeq
+          .maxBy { case (l, ms) => (ms.length, -l) }._1
+      }
+    assert(lpa == lab, s"$lpa != driver recompute $lab")
+  }
 }
