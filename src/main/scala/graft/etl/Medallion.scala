@@ -696,7 +696,122 @@ object Medallion {
       |WHERE g.op = 'U'
       |ORDER BY l.user_id""".stripMargin
 
+  // ------------------------------------ CDC → SCD2 end-to-end maintenance
+  /** The full dimension-maintenance composition a lakehouse actually
+    * runs, end-to-end in ONE query: the CDC change log folds into an
+    * SCD2 VERSION HISTORY (each surviving upsert opens a version valid
+    * [lsn, next-change-lsn); a tombstone closes the open version
+    * without opening one; consecutive identical payloads collapse —
+    * the [[graft.ops.AnalyticsOps.scd2]] run-collapse rule applied to
+    * a (op, payload) change key so a delete always breaks a run and a
+    * re-insert after a delete re-opens), the history is probed POINT-
+    * IN-TIME at each key's mid-log LSN (the as-of read that is SCD2's
+    * reason to exist), and the open version is reconciled against the
+    * INDEPENDENT last-writer-wins snapshot ([[cdcApply]] — aggregate +
+    * join-back, no window): `cdc_match` must be TRUE on every row,
+    * null-safely (a tombstoned key has no open version AND no snapshot
+    * row). Two different algorithms arriving at the same current state
+    * inside one verified result — the cross-check shape of
+    * `q_cc_star` vs `q_dedup_clusters`, here for lakehouse
+    * maintenance.
+    *
+    * Scale shape: the history side is ONE exchange per key — both
+    * windows (run-collapse lag, expiry lead) and the rollup aggregate
+    * share the (user_id) partitioning, so Spark plans a single sort +
+    * shuffle for the whole SCD2 build; the probe frame and the LWW
+    * snapshot are |keys|-sized and broadcast. Hot-key skew rides the
+    * window sort (per-key history IS sequential — same contract as
+    * scd2); the snapshot side stays the skew-immune aggregate.
+    * Parity: integer cents, LSNs and `div 2` probe points — no floats
+    * anywhere; the change key is a string both engines render
+    * identically.
+    */
+  def cdcScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chg = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id").as("lsn"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        when(col("event_type") === "error", lit(null).cast("long"))
+          .otherwise(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("v_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("lsn"))
+    val ck = concat(col("op"), lit(":"),
+      coalesce(col("v_cents").cast("string"), lit("")))
+    val vers = chg.withColumn("ck", ck)
+      .withColumn("pck", lag(col("ck"), 1).over(w))
+      .filter(col("pck").isNull || col("pck") =!= col("ck"))
+      .withColumn("to_lsn", lead(col("lsn"), 1).over(w))
+    val probes = chg.groupBy(col("user_id"))
+      .agg(max(col("lsn")).as("last_lsn"))
+      .withColumn("pit_lsn", expr("last_lsn div 2"))
+    val hist = vers.join(broadcast(probes), Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_versions"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstones"),
+        max(col("last_lsn")).as("last_lsn"),
+        max(col("pit_lsn")).as("pit_lsn"),
+        max(when(col("op") === "U" && col("to_lsn").isNull, col("v_cents")))
+          .as("current_cents"),
+        max(when(col("op") === "U" && col("lsn") <= col("pit_lsn") &&
+          (col("to_lsn").isNull || col("to_lsn") > col("pit_lsn")),
+          col("v_cents"))).as("pit_cents"))
+    val snapshot = cdcApply(spark, sfDir)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cdc_cents"))
+    hist.join(broadcast(snapshot), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_versions"), col("n_tombstones"),
+        col("last_lsn"), col("current_cents"), col("pit_lsn"),
+        col("pit_cents"),
+        (col("current_cents") <=> col("cdc_cents")).as("cdc_match"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val cdcScd2Oracle =
+    s"""WITH chg AS (
+       |  SELECT user_id, event_id AS lsn,
+       |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       |         CASE WHEN event_type = 'error' THEN NULL
+       |              ELSE CAST(round(value * 100) AS BIGINT) END AS v_cents
+       |  FROM events),
+       |k0 AS (
+       |  SELECT *,
+       |         op || ':' || COALESCE(CAST(v_cents AS VARCHAR), '') AS ck,
+       |         LAG(op || ':' || COALESCE(CAST(v_cents AS VARCHAR), ''))
+       |           OVER (PARTITION BY user_id ORDER BY lsn) AS pck
+       |  FROM chg),
+       |vers AS (
+       |  SELECT user_id, lsn, op, v_cents,
+       |         LEAD(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS to_lsn
+       |  FROM k0 WHERE pck IS NULL OR pck <> ck),
+       |probes AS (SELECT user_id, MAX(lsn) AS last_lsn,
+       |                  MAX(lsn) // 2 AS pit_lsn
+       |           FROM chg GROUP BY 1),
+       |hist AS (
+       |  SELECT v.user_id,
+       |         CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_versions,
+       |         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_tombstones,
+       |         MAX(p.last_lsn) AS last_lsn, MAX(p.pit_lsn) AS pit_lsn,
+       |         MAX(CASE WHEN op = 'U' AND to_lsn IS NULL
+       |                  THEN v_cents END) AS current_cents,
+       |         MAX(CASE WHEN op = 'U' AND lsn <= p.pit_lsn AND
+       |                       (to_lsn IS NULL OR to_lsn > p.pit_lsn)
+       |                  THEN v_cents END) AS pit_cents
+       |  FROM vers v JOIN probes p USING (user_id)
+       |  GROUP BY v.user_id),
+       |cdc AS (
+       |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cdc_cents
+       |  FROM ($cdcApplyOracle))
+       |SELECT h.user_id, n_versions, n_tombstones, last_lsn,
+       |       current_cents, pit_lsn, pit_cents,
+       |       current_cents IS NOT DISTINCT FROM cdc_cents AS cdc_match
+       |FROM hist h LEFT JOIN cdc USING (user_id)
+       |ORDER BY h.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_scd2" -> (cdcScd2 _),
     "q_cdc_apply" -> (cdcApply _),
     "q_dpp_prune" -> (dppPrune _),
     "q_ivm_signed" -> (ivmSigned _),
@@ -710,6 +825,7 @@ object Medallion {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cdc_scd2" -> cdcScd2Oracle,
     "q_cdc_apply" -> cdcApplyOracle,
     "q_dpp_prune" -> dppPruneOracle,
     "q_ivm_signed" -> ivmSignedOracle,

@@ -124,4 +124,58 @@ class MedallionSpec extends SparkSpec {
     assert(got == expect.map { case (k, v) => k -> v.toLong },
       s"got $got, want $expect")
   }
+
+  test("cdc->scd2: history's open version reconciles with the LWW snapshot") {
+    val rows = Medallion.cdcScd2(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      // the entire point of the composition: two independent
+      // algorithms (versioned history vs aggregate+join-back LWW)
+      // must agree on current state, null-safely, for every key
+      assert(r.getAs[Boolean]("cdc_match"), s"user $uid: history != snapshot")
+      // a key's history can't close more versions than it opened + 1
+      // run of tombstones each
+      assert(r.getAs[Long]("n_versions") >= (if (r.isNullAt(r.fieldIndex("current_cents"))) 0L else 1L))
+      assert(r.getAs[Long]("pit_lsn") <= r.getAs[Long]("last_lsn"))
+      // point-in-time value, when present, comes from a version that
+      // existed at pit_lsn — recheck against the raw log driver-side
+      // for a couple of keys below
+    }
+    // driver-side witness on the 3 busiest keys: replay the log
+    val chg = Tables.events(spark, sfTiny)
+      .selectExpr("user_id", "event_id AS lsn",
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op",
+        "CASE WHEN event_type = 'error' THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS v_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .groupBy(_._1)
+    val busiest = chg.toSeq.sortBy(-_._2.length).take(3).map(_._1)
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    busiest.foreach { uid =>
+      val log = chg(uid).sortBy(_._2)
+      // replay: value in force at any lsn = payload of the last U at or
+      // before it, unless a D intervened after that U
+      def valueAt(p: Long): Option[Long] = {
+        val upto = log.takeWhile(_._2 <= p)
+        upto.lastOption.flatMap { _ =>
+          val lastOp = upto.last
+          if (lastOp._3 == "D") None
+          else upto.reverse.find(_._3 == "U").flatMap(_._4)
+        }
+      }
+      val r = byUser(uid)
+      val pit = r.getAs[Long]("pit_lsn")
+      val want = valueAt(pit)
+      val gotPit = if (r.isNullAt(r.fieldIndex("pit_cents"))) None
+        else Some(r.getAs[Long]("pit_cents"))
+      assert(gotPit == want, s"user $uid pit@$pit: $gotPit != $want")
+      val wantCur = valueAt(log.last._2)
+      val gotCur = if (r.isNullAt(r.fieldIndex("current_cents"))) None
+        else Some(r.getAs[Long]("current_cents"))
+      assert(gotCur == wantCur, s"user $uid current: $gotCur != $wantCur")
+    }
+  }
 }
