@@ -480,6 +480,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cdc->scd2: one exchange builds the whole history; key-sized sides broadcast") {
+    val df = graft.etl.Medallion.cdcScd2(spark, sfTiny)
+    df.collect() // AQE finalizes join strategies
+    // count nodes in the FINAL plan only — the AQE string appends the
+    // initial plan, which would double every count
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // probe frame and LWW snapshot are |keys|-sized — they must come in
+    // as broadcasts, never reshuffle the history side
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"key-sized frames must broadcast:\n$plan")
+    // the run-collapse lag and the expiry lead are exactly two Window
+    // nodes sharing ONE sort (same partitioning/ordering); the only
+    // other Sort is the key-sized output orderBy — so the full SCD2
+    // history build costs one exchange+sort however long the log
+    assert("Window\\b".r.findAllIn(plan).size == 2,
+      s"expected exactly the lag+lead windows:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).size == 2,
+      s"windows must share one sort (plus the output orderBy):\n$plan")
+  }
+
   test("semdedup: seeds broadcast for scoring, arrays dropped before the drop-set dedup") {
     val df = graft.ops.SimilarityOps.semDedup(spark, sfTiny)
     df.collect() // AQE finalizes join strategies at runtime
