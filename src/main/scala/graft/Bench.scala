@@ -61,6 +61,8 @@ object Bench {
         sources.Shapefile.fixture(spark, sfDir)
       if (names.contains("q_image_meta"))
         sources.ImageFiles.imagesDir(spark, sfDir)
+      if (names.contains("q_audio_meta"))
+        sources.AudioFiles.clipsDir(spark, sfDir)
       if (names.contains("q_schema_merge"))
         sources.SchemaEvolution.fixture(spark, sfDir)
     } catch { case _: Throwable => () }

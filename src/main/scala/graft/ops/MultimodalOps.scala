@@ -424,7 +424,74 @@ object MultimodalOps {
        |FROM dims ORDER BY img_id""".stripMargin
   }
 
+  // ------------------------------------------------ audio header decode
+  /** WAV/RIFF header triage — [[imageMeta]]'s audio sibling and the
+    * first pass of an audio-corpus pipeline (reject non-PCM and
+    * absurd rates/durations BEFORE paying a resample/feature stage):
+    * magic-check `RIFF….WAVE`, then the canonical fmt chunk's
+    * little-endian fields (format tag, channels, sample rate, bits)
+    * and the data chunk length, from which the exact duration in
+    * milliseconds derives as integer arithmetic (n_samples·1000 div
+    * rate — both engines floor-divide the same longs). Same
+    * `mapPartitions` batch shape, same fixture philosophy: the files
+    * ([[graft.sources.AudioFiles]]) are complete canonical PCM WAVs
+    * whose every field AND total size the oracle recomputes from the
+    * id formulas.
+    */
+  def audioMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.AudioFiles.clipsDir(spark, sfDir)
+    def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "clip_*.wav")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+          .cast("long").as("clip_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, n, b) =>
+        if (b.length >= 44 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE") &&
+            ascii(b, 12, "fmt ") && le16(b, 20) == 1) {
+          val ch = le16(b, 22)
+          val sr = le32(b, 24)
+          val bits = le16(b, 34)
+          val nSamples = le32(b, 40) / (ch * (bits / 8))
+          (id, "pcm_wav", ch, sr, bits, nSamples,
+            nSamples * 1000L / sr, n)
+        } else (id, "unknown", -1, -1L, -1, -1L, -1L, n)
+      })
+      .toDF("clip_id", "codec", "n_channels", "sample_rate", "bits",
+        "n_samples", "duration_ms", "n_bytes")
+      .orderBy(col("clip_id"))
+  }
+
+  private val audioMetaOracle = {
+    import graft.sources.AudioFiles.NClips
+    s"""WITH f AS (
+       |  SELECT doc_id AS clip_id,
+       |         8000 * (1 + doc_id % 3) AS sample_rate,
+       |         1 + doc_id % 2 AS n_channels,
+       |         500 + (doc_id * 37) % 2000 AS n_samples
+       |  FROM documents WHERE doc_id < $NClips)
+       |SELECT clip_id, 'pcm_wav' AS codec,
+       |       CAST(n_channels AS INTEGER) AS n_channels,
+       |       CAST(sample_rate AS BIGINT) AS sample_rate,
+       |       16 AS bits,
+       |       CAST(n_samples AS BIGINT) AS n_samples,
+       |       n_samples * 1000 // sample_rate AS duration_ms,
+       |       CAST(44 + n_samples * n_channels * 2 AS BIGINT) AS n_bytes
+       |FROM f ORDER BY clip_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_meta" -> (audioMeta _),
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
     "q_aspect_buckets" -> (aspectBuckets _),
@@ -434,6 +501,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_audio_meta" -> audioMetaOracle,
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_aspect_buckets" -> aspectBucketsOracle,

@@ -69,4 +69,24 @@ class MultimodalSpec extends SparkSpec {
       ((odd(18) & 0xff) << 8) | (odd(19) & 0xff)
     assert(ihdrW == 1021)
   }
+
+  test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
+    import graft.sources.AudioFiles
+    val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
+    assert(rows.length == AudioFiles.NClips,
+      "decoy must be glob-pruned and every clip parsed")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("clip_id")
+      val (sr, ch, ns) = (AudioFiles.sampleRateOf(id),
+        AudioFiles.channelsOf(id), AudioFiles.samplesOf(id))
+      assert(r.getAs[String]("codec") == "pcm_wav")
+      assert(r.getAs[Int]("n_channels") == ch, s"clip $id channels")
+      assert(r.getAs[Long]("sample_rate") == sr.toLong, s"clip $id rate")
+      assert(r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_samples") == ns.toLong, s"clip $id samples")
+      assert(r.getAs[Long]("duration_ms") == ns.toLong * 1000 / sr)
+      assert(r.getAs[Long]("n_bytes") == 44L + ns.toLong * ch * 2,
+        s"clip $id size")
+    }
+  }
 }
