@@ -674,10 +674,17 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  private val pqAnnOracle = {
-    def d2Sql(x: String, c: String) =
-      s"${dotSql(x, x)} - 2.0*${dotSql(x, c)} + ${dotSql(c, c)}"
-    s"""WITH parts AS (
+  private def pqD2Sql(x: String, c: String) =
+    s"${dotSql(x, x)} - 2.0*${dotSql(x, c)} + ${dotSql(c, c)}"
+
+  /** Shared oracle fragment: the PQ training + encode chain in SQL
+    * (subvector parts → fixed seeds → one Lloyd step → trained
+    * codebook `cb` → corpus `codes` → per-query ADC tables `dq`) —
+    * used by [[pqAnnOracle]] and [[ivfpqAnnOracle]]. Mirrors
+    * [[pqCodebook]]/[[pqCodes]] exactly. */
+  private lazy val pqCtesSql: String = {
+    def d2Sql(x: String, c: String) = pqD2Sql(x, c)
+    s"""parts AS (
        |  SELECT vec_id, s, embedding[s*$PqDim+1 : s*$PqDim+$PqDim] AS xv
        |  FROM embeddings, LATERAL unnest(range(0, $PqSub)) AS t(s)),
        |seeds AS (SELECT s, vec_id AS cw, xv AS sv FROM parts WHERE vec_id < $PqK),
@@ -705,7 +712,11 @@ object SimilarityOps {
        |dq AS (
        |  SELECT vec_id AS qid, s, cw,
        |         CAST(ROUND(d2 * 1000000.0) AS BIGINT) AS d_e6
-       |  FROM scored WHERE vec_id < 5),
+       |  FROM scored WHERE vec_id < 5)""".stripMargin
+  }
+
+  private lazy val pqAnnOracle = {
+    s"""WITH $pqCtesSql,
        |adc AS (
        |  SELECT dq.qid, codes.cid, CAST(SUM(d_e6) AS BIGINT) AS adc_e6
        |  FROM codes JOIN dq ON dq.s = codes.s AND dq.cw = codes.code
@@ -720,6 +731,94 @@ object SimilarityOps {
        |       ROUND(CAST(adc_e6 AS DOUBLE) / 1000000.0, 6) AS adc
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  /** IVF-PQ — the two verified index layers COMPOSED into the layout
+    * that actually serves billion-scale ANN (faiss's IndexIVFPQ): the
+    * trained √n-capped coarse quantizer prunes the candidate set to
+    * the query's nprobe cells, and the fixed-k=64 product-quantization
+    * codebook scores ONLY those candidates via ADC integer adds over
+    * their 4-int codes — so query cost is
+    * (nprobe/nlist)·n candidates × m table lookups, with NO float
+    * vector touched at scan time and NO corpus-wide ADC pass (the gap
+    * [[pqAnn]] alone leaves: it compresses but never prunes).
+    *
+    * Scale shape: the probed (qid, cid) pair frame is the only
+    * corpus-derived intermediate and it is already pruned by the cell
+    * equi-join (broadcast query side); the codes join touches m rows
+    * per surviving candidate; both broadcast sides (probe pairs at
+    * eval scale, ADC tables always — |Q|·m·k longs) are
+    * corpus-independent. At 10⁹ vectors the pair frame shards on cid
+    * across executors — same plan, no new shuffle classes.
+    *
+    * Parity: cells and codes re-derive through the same shared-CTE
+    * constructions as `q_ann_ivf` and `q_pq_ann`; the ADC sum runs on
+    * the e6 integer lattice (order-free), so the composition inherits
+    * bit-parity from its parts.
+    */
+  def ivfpqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val e = withNorm(spark, sfDir)
+    // stage 1 — IVF prune: probed (qid, cell) × materialized cell index
+    val qcells = assign(e.filter(col("vec_id") < 5),
+        centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
+      .select(col("vec_id").as("qid"), col("seed_id").as("cell"))
+    val pairs = broadcast(qcells)
+      .join(ivfIndex(spark, sfDir).select(col("cid"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    // stage 2 — ADC over the probed candidates' codes only
+    val dq = adcScore(pqParts(e.filter(col("vec_id") < 5)),
+        pqCodebook(spark, sfDir))
+      .select(col("vec_id").as("qid"), col("s"), col("cw"),
+        round(col("d2") * 1000000.0, 0).cast("long").as("d_e6"))
+    val dqr = dq.select(col("qid").as("dqid"), col("s").as("ds"),
+      col("cw"), col("d_e6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_e6"), col("cid"))
+    pqCodes(spark, sfDir).join(broadcast(pairs), Seq("cid"))
+      .join(broadcast(dqr),
+        col("qid") === col("dqid") && col("s") === col("ds") &&
+          col("code") === col("cw"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("d_e6")).as("adc_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(col("adc_e6").cast("double") / 1000000.0, 6).as("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private lazy val ivfpqAnnOracle =
+    s"""WITH $coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |ivfcand AS (SELECT vec_id AS cid, cell FROM cellranked WHERE arank = 1),
+       |probed AS (SELECT vec_id AS qid, cell FROM cellranked
+       |           WHERE vec_id < 5 AND arank <= $NProbe),
+       |pq_pairs AS (
+       |  SELECT p.qid, c.cid FROM probed p JOIN ivfcand c USING (cell)
+       |  WHERE p.qid <> c.cid),
+       |$pqCtesSql,
+       |adc AS (
+       |  SELECT pr.qid, codes.cid, CAST(SUM(d_e6) AS BIGINT) AS adc_e6
+       |  FROM codes JOIN pq_pairs pr ON pr.cid = codes.cid
+       |       JOIN dq ON dq.qid = pr.qid AND dq.s = codes.s
+       |              AND dq.cw = codes.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, cid, adc_e6,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY adc_e6, cid) AS rank
+       |  FROM adc)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
+       |       ROUND(CAST(adc_e6 AS DOUBLE) / 1000000.0, 6) AS adc
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------------------------
   /** ANN index quality evaluation — recall@5 of the IVF multi-probe
@@ -1182,6 +1281,7 @@ object SimilarityOps {
        |GROUP BY c.cell ORDER BY c.cell""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivfpq_ann" -> (ivfpqAnn _),
     "q_semdedup" -> (semDedup _),
     "q_embedding_drift" -> (embeddingDrift _),
     "q_random_projection" -> (randomProjection _),
@@ -1199,6 +1299,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ivfpq_ann" -> ivfpqAnnOracle,
     "q_semdedup" -> semDedupOracle,
     "q_embedding_drift" -> embeddingDriftOracle,
     "q_random_projection" -> randomProjectionOracle,

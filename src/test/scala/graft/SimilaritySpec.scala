@@ -271,6 +271,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"semdedup drops differ from driver recompute:\n$got\n$want")
   }
 
+  test("IVF-PQ composition: probed-cell subset of PQ scoring, recall holds") {
+    // exact squared-L2 top-5 ground truth (PQ approximates L2)
+    val vecs = Tables.embeddings(spark, sfSmall)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 5L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(vecs(q), v), id) }
+        .sorted.take(5).map { case (_, id) => (q, id) }
+    }.toSet
+    val ivfpq = SimilarityOps.ivfpqAnn(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.size == 25, s"expected 5 queries x top-5, got ${ivfpq.size}")
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5: ${(exact & ivfpq).size}/${exact.size} = $recall%.3f")
+    // measured 0.76 — ABOVE plain PQ's 0.68: the trained-cell prune
+    // (0.88 cell recall) removes more PQ false positives than true
+    // neighbors, so composing prune+compress beats compress alone on
+    // this fixture while scanning ~13% of the corpus. Shared 0.4 gate.
+    assert(recall >= 0.4, s"IVF-PQ recall $recall below 0.4")
+    // structural containment — the pruning contract: every returned
+    // candidate must live in one of its query's 3 probed cells
+    // (recomputed driver-side from the op's own centroids)
+    val cells = SimilarityOps.ivfIndex(spark, sfSmall)
+      .select(col("cid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = SimilarityOps.coarseCentroids(spark, sfSmall).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        r.getAs[collection.Seq[Double]]("cv").toArray)
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < b.length) {
+        d += a(i) * b(i); na += a(i).toDouble * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probedCells = (0L until 5L).map { q =>
+      q -> cents.map { case (cid, cv) => (cos(vecs(q), cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(3).map(_._2).toSet
+    }.toMap
+    ivfpq.foreach { case (q, c) =>
+      assert(probedCells(q).contains(cells(c)),
+        s"query $q returned candidate $c from unprobed cell ${cells(c)}")
+    }
+  }
+
   test("coarse quantizer: nlist is corpus-sublinear and hard-capped") {
     // the round-8 verdict's scale item: the broadcast centroid set must
     // NOT grow linearly with the corpus. nlist = min(ceil(sqrt(n)), cap)
