@@ -500,6 +500,19 @@ class PlanSpec extends SparkSpec {
       s"windows must share one sort (plus the output orderBy):\n$plan")
   }
 
+  test("ivf-pq: probe pairs and ADC tables broadcast — the code scan never shuffles to be scored") {
+    val df = graft.ops.SimilarityOps.ivfpqAnn(spark, sfTiny)
+    df.collect() // AQE finalizes join strategies
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // the corpus-derived side is the materialized PQ code table; both
+    // join inputs against it (pruned (qid,cid) pairs, per-query ADC
+    // lookup tables) are corpus-independent and must broadcast
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"scoring joins must broadcast:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected pair + ADC broadcasts:\n$plan")
+  }
+
   test("semdedup: seeds broadcast for scoring, arrays dropped before the drop-set dedup") {
     val df = graft.ops.SimilarityOps.semDedup(spark, sfTiny)
     df.collect() // AQE finalizes join strategies at runtime
