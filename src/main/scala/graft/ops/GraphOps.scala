@@ -607,8 +607,10 @@ object GraphOps {
   /** Eagerly free a `localCheckpoint`ed frame's storage blocks.
     * `Dataset.unpersist` is a CacheManager call and does NOT touch
     * checkpoint blocks — those live on the internal RDD the checkpoint
-    * materialized, exposed as the plan's `LogicalRDD` leaf. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * materialized, exposed as the plan's `LogicalRDD` leaf. Shared by
+    * the iterative graph loops here and the per-micro-batch checkpoint
+    * in [[graft.streaming.StreamingOps.semDedupStream]]. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)

@@ -192,6 +192,10 @@ object StreamingOps {
           .write.mode("append").parquet(ledgerTbl)
         // every arrival joins the index — witnesses need not survive
         assigned.write.mode("append").parquet(indexTbl)
+        // both consumers are written — free this batch's checkpoint
+        // blocks NOW, or a long-running stream accumulates one
+        // batch-sized RDD per trigger (the star-CC storage lesson)
+        graft.ops.GraphOps.freeCheckpoint(assigned)
       }
       .start()
   }
