@@ -682,6 +682,120 @@ object GraphOps {
     (labels, rounds)
   }
 
+  // ------------------------------- neighborhood function (HyperANF)
+  /** Neighborhood function / effective-diameter profile by bottom-k
+    * sketch propagation — HyperANF (Boldi, Rosa & Vigna, WWW 2011)
+    * with KMV bottom-k sketches in place of HyperLogLog counters:
+    * |ball(u, h)| is estimated from the k smallest reachable hashes,
+    * and each round every node's sketch becomes the bottom-k of the
+    * union of its own and its neighbors' sketches — bounded-size,
+    * mergeable, order-free state maintained by ONE equi-join + ONE
+    * hash aggregate per round (the star-contraction/LPA round shape;
+    * rounds = effective diameter, typically O(log n) on small-world
+    * graphs — vs per-source frontier BFS, which pays O(sources ×
+    * diameter) and cannot answer "reach of EVERY node" at all at
+    * scale). KMV instead of HLL is what makes the operator
+    * ORACLE-EXACT: both engines build identical injectively-hashed,
+    * deduped, sorted, truncated arrays (the mixBucket parity
+    * doctrine), so the whole profile hash-matches with no epsilon
+    * gate; the estimate (k−1)·2³² / h_k is an exact integer division.
+    *
+    * Per hop: node count, how many balls are still EXACT (|sketch| <
+    * k — the sketch IS the ball), and the summed reach estimate — the
+    * curve whose plateau locates the effective diameter.
+    *
+    * Memory discipline: per-hop rollups (1 row) are checkpointed
+    * EAGERLY so each superseded sketch frame's blocks can be freed
+    * immediately — only one |V|·(k+1)-long sketch generation is ever
+    * live (the round-9 star-CC lesson applied to fan-in state).
+    */
+  private[graft] def neighborhoodFunction(
+      half: DataFrame, hops: Int = 3, k: Int = 32): DataFrame = {
+    graft.functions.SketchExprs.register(half.sparkSession)
+    val est64 = (k - 1).toLong * 4294967296L
+    val sym = half.select(col("u"), col("v"))
+      .union(half.select(col("v").as("u"), col("u").as("v")))
+      .union(half.select(col("u"), col("u").as("v"))) // self-loops: ball includes u
+      .union(half.select(col("v").as("u"), col("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var sk = sym.select(col("u").as("node")).distinct()
+      .withColumn("sk",
+        array(Parity.mixBucket(col("node"), 2654435761L, 4294967296L)))
+      .localCheckpoint(true)
+    val hopAggs = (1 to hops).map { h =>
+      // the sketch frame is node-sized (|V|·(k+1) longs) — broadcast
+      // it so the edge frame never shuffles for the gather (the
+      // hits/pagerank "node-sized score frames broadcast" convention);
+      // at web scale where |V|·k outgrows a broadcast, swap to the
+      // bucketed-edge co-location the pagerank layout already builds
+      val next = sym
+        .join(broadcast(sk.select(col("node").as("v"), col("sk"))), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(expr(s"kmv_union(sk, $k)").as("sk"))
+        .localCheckpoint(true)
+      val agg = next
+        .select(lit(h).as("hop"), size(col("sk")).as("m"),
+          when(size(col("sk")) < k, size(col("sk")).cast("long"))
+            .otherwise(expr(s"$est64 div element_at(sk, $k)")).as("est"))
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("m") < k, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("est")).as("nf_est"))
+        .localCheckpoint(true) // 1 row, materialized NOW …
+      freeCheckpoint(sk) // … so the superseded sketches free safely
+      sk = next
+      agg
+    }
+    freeCheckpoint(sk)
+    freeCheckpoint(sym)
+    hopAggs.reduce(_.unionByName(_)).orderBy(col("hop"))
+  }
+
+  /** [[neighborhoodFunction]] over the co-purchase graph — the same
+    * graph `q_bfs_hops` walks with per-source frontiers; this answers
+    * the all-sources reach profile in `hops` sketch rounds. */
+  def hyperAnf(spark: SparkSession, sfDir: String): DataFrame =
+    neighborhoodFunction(
+      coPurchasePairs(spark, sfDir)
+        .select(col("p1").as("u"), col("p2").as("v")).distinct())
+
+  private val hyperAnfOracle = {
+    val h = graft.ops.Parity.mixBucketSql("u", 2654435761L, 4294967296L)
+    def round(prev: String, n: Int): String =
+      s"""r$n AS (
+         |  SELECT s.u AS node,
+         |         (list_sort(list_distinct(flatten(list(p$n.sk)))))[1:32] AS sk
+         |  FROM sym s JOIN $prev p$n ON p$n.node = s.v GROUP BY s.u)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (
+       |  SELECT l_orderkey FROM op GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a
+       |  JOIN op b ON a.l_orderkey = b.l_orderkey
+       |           AND a.l_partkey < b.l_partkey
+       |  JOIN sized s ON s.l_orderkey = a.l_orderkey),
+       |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e
+       |        UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e),
+       |s0 AS (SELECT DISTINCT u AS node, [$h] AS sk FROM sym),
+       |${round("s0", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)},
+       |allhops AS (
+       |  SELECT 1 AS hop, len(sk) AS m, sk FROM r1
+       |  UNION ALL SELECT 2, len(sk), sk FROM r2
+       |  UNION ALL SELECT 3, len(sk), sk FROM r3)
+       |SELECT hop, COUNT(*) AS n_nodes,
+       |       CAST(SUM(CASE WHEN m < 32 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_exact,
+       |       CAST(SUM(CASE WHEN m < 32 THEN m
+       |                     ELSE ${31L * 4294967296L} // sk[32] END) AS BIGINT)
+       |         AS nf_est
+       |FROM allhops GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   // ---------------------------------------- label propagation (LPA)
   /** Synchronous label propagation (Raghavan et al. 2007, the
     * community-detection workhorse): labels init to node ids; each
@@ -733,6 +847,7 @@ object GraphOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hyperanf" -> (hyperAnf _),
     "q_modularity" -> (modularity _),
     "q_kcore" -> (kcore _),
     "q_hits" -> (hits _),
@@ -744,6 +859,7 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_hyperanf" -> hyperAnfOracle,
     "q_modularity" -> modularityOracle,
     "q_kcore" -> kcoreOracle,
     "q_hits" -> hitsOracle,

@@ -210,6 +210,48 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hyperanf: sketch profile tracks exact reach within KMV error") {
+    val got = GraphOps.hyperAnf(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("hop") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("nf_est")))).toMap
+    assert(got.keySet == Set(1, 2, 3))
+    // exact balls by driver-side BFS over the same co-purchase graph
+    // (distinct order-part membership, order size 2..20)
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).values
+      .map(_.map(_._2).distinct).filter(ps => ps.size >= 2 && ps.size <= 20)
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    byOrder.foreach { ps =>
+      for (a <- ps; b <- ps if a != b)
+        adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+    }
+    val nodes = adj.keySet
+    val exactSum = (1 to 3).map { h =>
+      h -> nodes.toSeq.map { s =>
+        var ball = Set(s)
+        var frontier = Set(s)
+        for (_ <- 1 to h) {
+          frontier = frontier.flatMap(adj(_).toSet) -- ball
+          ball ++= frontier
+        }
+        ball.size.toLong
+      }.sum
+    }.toMap
+    (1 to 3).foreach { h =>
+      val (n, _, est) = got(h)
+      assert(n == nodes.size.toLong, s"hop $h node count")
+      // k=32 KMV per-ball std error ≈ 1/sqrt(k-2) ≈ 18%; summing over
+      // ~|V| balls averages it far down — 10% is generous headroom
+      val rel = math.abs(est - exactSum(h)).toDouble / exactSum(h)
+      assert(rel <= 0.10, s"hop $h: est $est vs exact ${exactSum(h)} ($rel)")
+    }
+    // the profile is nondecreasing — balls only grow with hops
+    assert(got(1)._3 <= got(2)._3 && got(2)._3 <= got(3)._3)
+  }
+
   test("label propagation: majority rule splits a bridged pair of cliques") {
     import spark.implicits._
     // two 4-cliques {0..3} and {10..13} joined by the single bridge
