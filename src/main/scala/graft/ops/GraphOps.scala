@@ -709,6 +709,21 @@ object GraphOps {
     * immediately — only one |V|·(k+1)-long sketch generation is ever
     * live (the round-9 star-CC lesson applied to fan-in state).
     */
+  /** One HyperANF round, uncheckpointed (PlanSpec pins this exact
+    * frame's physical plan): the sketch frame is node-sized
+    * (|V|·(k+1) longs) — broadcast it so the edge frame never
+    * shuffles for the gather (the hits/pagerank "node-sized score
+    * frames broadcast" convention; at web scale where |V|·k outgrows
+    * a broadcast, swap to the bucketed-edge co-location the pagerank
+    * layout already builds), then fold the per-node union through the
+    * bounded typed-imperative `kmv_union` kernel. */
+  private[graft] def nfRound(sym: DataFrame, sk: DataFrame, k: Int): DataFrame = {
+    graft.functions.SketchExprs.register(sym.sparkSession)
+    sym.join(broadcast(sk.select(col("node").as("v"), col("sk"))), Seq("v"))
+      .groupBy(col("u").as("node"))
+      .agg(expr(s"kmv_union(sk, $k)").as("sk"))
+  }
+
   private[graft] def neighborhoodFunction(
       half: DataFrame, hops: Int = 3, k: Int = 32): DataFrame = {
     graft.functions.SketchExprs.register(half.sparkSession)
@@ -724,16 +739,7 @@ object GraphOps {
         array(Parity.mixBucket(col("node"), 2654435761L, 4294967296L)))
       .localCheckpoint(true)
     val hopAggs = (1 to hops).map { h =>
-      // the sketch frame is node-sized (|V|·(k+1) longs) — broadcast
-      // it so the edge frame never shuffles for the gather (the
-      // hits/pagerank "node-sized score frames broadcast" convention);
-      // at web scale where |V|·k outgrows a broadcast, swap to the
-      // bucketed-edge co-location the pagerank layout already builds
-      val next = sym
-        .join(broadcast(sk.select(col("node").as("v"), col("sk"))), Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(expr(s"kmv_union(sk, $k)").as("sk"))
-        .localCheckpoint(true)
+      val next = nfRound(sym, sk, k).localCheckpoint(true)
       val agg = next
         .select(lit(h).as("hop"), size(col("sk")).as("m"),
           when(size(col("sk")) < k, size(col("sk")).cast("long"))

@@ -500,6 +500,29 @@ class PlanSpec extends SparkSpec {
       s"windows must share one sort (plus the output orderBy):\n$plan")
   }
 
+  test("hyperanf: sketch gather broadcasts node state; union folds in object hash agg") {
+    import spark.implicits._
+    // pin the ROUND plan itself — the op checkpoints each round
+    // eagerly, so the returned profile frame only shows checkpoint
+    // scans; nfRound is the frame every round executes
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)).toDF("u", "v")
+    val sk = Seq((1L, Array(11L)), (2L, Array(22L))).toDF("node", "sk")
+    val df = graft.ops.GraphOps.nfRound(sym, sk, 32)
+    df.collect()
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // the per-round gather joins edges to the node-sized sketch frame —
+    // that frame must broadcast (the hits/pagerank score convention),
+    // and the bounded kmv_union state must aggregate typed-imperative
+    // (ObjectHashAggregate), partial+final, never a sort or collect
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"sketch gather must broadcast:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("kmv_union"),
+      s"union must fold through the typed-imperative kernel:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"no unbounded collect buffer may appear:\n$plan")
+  }
+
   test("ivf-pq: probe pairs and ADC tables broadcast — the code scan never shuffles to be scored") {
     val df = graft.ops.SimilarityOps.ivfpqAnn(spark, sfTiny)
     df.collect() // AQE finalizes join strategies
