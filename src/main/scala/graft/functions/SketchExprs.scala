@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `BloomFilterAggregate` (already registered here as the repo's
   * runtime-filter precedent) is typed-imperative. Each update is one
   * O(k) two-pointer merge; partial aggregation combines map-side, so
-  * the exchange ships one ≤k array per (group, mapper).
+  * the exchange ships one ≤k array per (group, mapper). Full measured
+  * progression of the HyperANF round at sf0.1: 13.3 s (relational
+  * flatten-sort) → 9.8 s (broadcast gather + udaf) → 5.3 s (this
+  * kernel) → 3.1 s (plus raising ObjectHashAggregate's 128-key
+  * sort-fallback threshold, which silently degraded every round to a
+  * full sort — see neighborhoodFunction).
   *
   * Contract: inputs must be sorted ascending and duplicate-free (the
   * construction invariant of every sketch this folds — single-hash

@@ -727,6 +727,23 @@ object GraphOps {
   private[graft] def neighborhoodFunction(
       half: DataFrame, hops: Int = 3, k: Int = 32): DataFrame = {
     graft.functions.SketchExprs.register(half.sparkSession)
+    // ObjectHashAggregate's sort-based fallback triggers at 128 (!)
+    // distinct keys per task by default — with |V| ≫ 128 nodes every
+    // round would silently sort the whole |E|-row gather instead of
+    // hash-folding it. Raise it for the eager round executions below
+    // (|V|·(k+1) longs per task of hash-map state is a few MB), then
+    // restore: the rounds run INSIDE this call via their checkpoints.
+    val conf = half.sparkSession.conf
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = conf.get(fallbackKey, "128")
+    conf.set(fallbackKey, "16777216")
+    try {
+      neighborhoodFunctionRounds(half, hops, k)
+    } finally conf.set(fallbackKey, prevFallback)
+  }
+
+  private def neighborhoodFunctionRounds(
+      half: DataFrame, hops: Int, k: Int): DataFrame = {
     val est64 = (k - 1).toLong * 4294967296L
     val sym = half.select(col("u"), col("v"))
       .union(half.select(col("v").as("u"), col("u").as("v")))
