@@ -146,6 +146,15 @@ object StreamingOps {
     * at 100 TB the index is bucketed by cell so the probe reads just
     * the touched buckets); the index append is file-append, no
     * rewrite.
+    *
+    * Crash ordering: the ledger append lands BEFORE the index append,
+    * so a crash between them can leave a batch's decisions recorded
+    * with its vectors missing from the index — replaying the batch
+    * (foreachBatch's redelivery contract) re-appends both; decisions
+    * are deterministic, so the re-appended ledger rows are identical
+    * duplicates a reader dedups on (vec_id). For exactly-once ledger
+    * semantics swap the two appends into [[mergeIntoGold]]'s
+    * park-and-swap rename dance.
     */
   def semDedupStream(vecs: DataFrame, centroids: DataFrame,
       indexTbl: String, ledgerTbl: String, tau: Double = 0.35)
