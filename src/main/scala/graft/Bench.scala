@@ -69,24 +69,30 @@ object Bench {
     val rounds = (1 to repeat).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Drop cached blocks a query left behind (several dedup/gravity
         // plans cache intermediates) so 40+ queries in one session don't
         // accumulate storage-memory pressure that skews later timings —
         // AFTER the clock stops, so eviction isn't charged to the query.
         spark.catalog.clearCache()
-        name -> elapsed
+        name -> (elapsed, ok)
       }.toMap
     }
-    // Per-query MIN over the post-warmup rounds (round 1 is warmup unless
-    // REPEAT=1): on a contended host a single round can charge an
-    // unrelated 5× noise spike to whichever query was running; min over
-    // rounds is robust to one bad round while steady-state JIT/codegen
-    // still holds (warmup round excluded so cold-start isn't eligible).
+    // Per-query MIN over the SUCCESSFUL post-warmup rounds (round 1 is
+    // warmup unless REPEAT=1): on a contended host a single round can
+    // charge an unrelated 5× noise spike to whichever query was
+    // running; min over rounds is robust to one bad round while
+    // steady-state JIT/codegen still holds. A crashed round's
+    // fast-failure time must NOT win the min (a missing fixture would
+    // read as a speedup) — failed rounds are excluded, and a query
+    // with no successful round reports -1 so breakage stays visible.
     val measured = if (rounds.size > 1) rounds.tail else rounds
     val results = measured.head.keys.map { name =>
-      name -> measured.map(_(name)).min
+      val good = measured.map(_(name)).filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     // Tail-survivable output: one small JSON line per query FIRST, the
     // full contract line LAST. The driver captures only the tail of

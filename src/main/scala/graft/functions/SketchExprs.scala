@@ -49,6 +49,19 @@ case class KmvUnionAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_union"
 
+  /** Analysis-time validation (the VecDot convention): only long
+    * arrays fold — anything else would ClassCastException per row in
+    * the executor instead of failing the query at planning. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_union requires array<bigint>, got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   /** Two-pointer merge of sorted distinct arrays, keeping the k
@@ -115,8 +128,13 @@ object SketchExprs {
         require(exprs.length == 2,
           s"kmv_union requires (sketch, k), got ${exprs.length} args")
         require(exprs(1).foldable, "kmv_union's k must be a literal")
-        KmvUnionAgg(exprs.head,
-          exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+        val k = exprs(1).eval(InternalRow.empty) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"kmv_union's k must be an integer literal, got $other")
+        }
+        require(k > 0, s"kmv_union's k must be positive, got $k")
+        KmvUnionAgg(exprs.head, k)
       }, "built-in")
     spark
   }

@@ -732,7 +732,12 @@ object GraphOps {
     // round would silently sort the whole |E|-row gather instead of
     // hash-folding it. Raise it for the eager round executions below
     // (|V|·(k+1) longs per task of hash-map state is a few MB), then
-    // restore: the rounds run INSIDE this call via their checkpoints.
+    // restore. SESSION-GLOBAL mutation, same contract as the
+    // percentile sys-prop (CatalogOpsSpec note): safe because this
+    // repo's query paths run sequentially per session (Verify, Bench,
+    // sequential ScalaTest); a concurrently-executing query on the
+    // same session would plan its object aggregates under the raised
+    // threshold for the duration of this call.
     val conf = half.sparkSession.conf
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevFallback = conf.get(fallbackKey, "128")

@@ -457,11 +457,20 @@ object MultimodalOps {
         col("length").as("n_bytes"), col("content"))
       .as[(Long, Long, Array[Byte])]
       .mapPartitions(_.map { case (id, n, b) =>
+        // triage guards, not just magic bytes: a malformed-but-
+        // RIFF-tagged file must classify "unknown", never divide by a
+        // zero block-align or read a absent data chunk as garbage —
+        // rejecting BEFORE decode is the operator's whole contract.
+        // Canonical-layout check (`data` at 36) scopes the parse to
+        // the fixed offsets it reads; extended-fmt/LIST layouts fall
+        // to "unknown" rather than silently misparsing.
+        lazy val ch = le16(b, 22)
+        lazy val sr = le32(b, 24)
+        lazy val bits = le16(b, 34)
         if (b.length >= 44 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE") &&
-            ascii(b, 12, "fmt ") && le16(b, 20) == 1) {
-          val ch = le16(b, 22)
-          val sr = le32(b, 24)
-          val bits = le16(b, 34)
+            ascii(b, 12, "fmt ") && ascii(b, 36, "data") &&
+            le16(b, 20) == 1 && ch > 0 && sr > 0 &&
+            bits >= 8 && bits % 8 == 0) {
           val nSamples = le32(b, 40) / (ch * (bits / 8))
           (id, "pcm_wav", ch, sr, bits, nSamples,
             nSamples * 1000L / sr, n)

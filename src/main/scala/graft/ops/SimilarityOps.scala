@@ -1193,32 +1193,56 @@ object SimilarityOps {
     * point of clustering-blocked SemDeDup — a 100 TB corpus with k
     * cells pays Σ|cell|², never n²) AND per-cell size is itself capped:
     * cells larger than [[SemMaxCell]] split into ⌈|cell|/cap⌉
-    * deterministic subcells (vec_id mod — same arithmetic both
-    * engines), so even an adversarially hot cell pays ≤ |cell|·cap
-    * pairs, never |cell|² (the paper caps cluster sizes for the same
-    * reason; a subcell split deletes slightly more conservatively — a
-    * witness in a sibling subcell no longer kills — which only ever
-    * KEEPS extra diversity). The pair frame drops to (cell, xid)
+    * deterministic subcells (within-cell rank dealt round-robin —
+    * [[semSubbed]] — identical window arithmetic both engines), so
+    * even an adversarially hot cell pays ≤ |cell|·cap pairs, never
+    * |cell|² (the paper caps cluster sizes for the same reason; a
+    * subcell split deletes slightly more conservatively — a witness
+    * in a sibling subcell no longer kills — which only ever KEEPS
+    * extra diversity). The pair frame drops to (cell, xid)
     * before the distinct+aggregate, so arrays never pass an exchange
     * after scoring; assignment reuses [[assignWithCos]]'s
     * narrow-triple argmax over the TRAINED √n-capped centroid set
     * ([[coarseCentroids]] — round-8 fix, see [[annIvf]]).
     */
-  private val SemTau = "0.35"
+  /** Shared with [[graft.streaming.StreamingOps.semDedupStream]] so the
+    * stream/batch twins can never drift on the threshold. */
+  private[graft] val SemTau = "0.35"
   /** Per-(sub)cell membership cap — bounds the quadratic under skew. */
   private[graft] val SemMaxCell = 256
+
+  /** Deterministic subcell assignment for the cap: rank members
+    * within their cell by vec_id (a window over the NARROW (cell,
+    * vec_id) projection — arrays never enter the sort; span-dedup's
+    * narrow-then-join-back doctrine) and deal ranks round-robin over
+    * nsub = ⌈|cell|/cap⌉ subcells, so every subcell holds
+    * ⌈|cell|/nsub⌉ ≤ cap members BY CONSTRUCTION. A plain
+    * `vec_id mod nsub` split — the first draft — has no such bound:
+    * a hot cell whose ids share a residue class (all-even ids, say)
+    * lands entirely in one subcell and the quadratic returns;
+    * SimilaritySpec's adversarial fixture uses exactly that id
+    * pattern to pin the fix. */
+  private[graft] def semSubbed(assigned: DataFrame, maxCell: Int): DataFrame = {
+    val sized = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val subs = assigned.select(col("cell"), col("vec_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .join(broadcast(sized), Seq("cell"))
+      .withColumn("sub", pmod(col("rk") - 1,
+        ceil(col("n_c").cast("double") / maxCell).cast("long")))
+      .select(col("vec_id"), col("sub"))
+    assigned.join(subs, Seq("vec_id"))
+  }
 
   /** The capped pairwise drop-set: `assigned` = (cell, vec_id,
     * embedding, norm, sc6); returns the (cell, xid) members with a
     * same-subcell witness that is ≥ τ similar and strictly preferred
-    * (more diverse). Oversized cells split by vec_id mod before the
-    * self-join — SimilaritySpec proves the pair bound on an
-    * adversarial one-cell fixture. */
+    * (more diverse). Oversized cells split by [[semSubbed]]'s
+    * rank-round-robin before the self-join — SimilaritySpec proves
+    * the hard pair bound on an adversarial one-cell, one-residue
+    * fixture. */
   private[graft] def semDropSet(assigned: DataFrame, maxCell: Int): DataFrame = {
-    val sized = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
-    val sub = assigned.join(broadcast(sized), Seq("cell"))
-      .withColumn("sub", pmod(col("vec_id"),
-        ceil(col("n_c").cast("double") / maxCell).cast("long")))
+    val sub = semSubbed(assigned, maxCell)
     val x = sub.select(col("cell"), col("sub"), col("vec_id").as("xid"),
       col("embedding").as("xv"), col("norm").as("xn"), col("sc6").as("xsc"))
     val y = sub.select(col("cell"), col("sub"), col("vec_id").as("yid"),
@@ -1259,11 +1283,16 @@ object SimilarityOps {
        |  FROM embeddings e CROSS JOIN cents s),
        |cells AS (SELECT vec_id, embedding, cell, sc6 FROM a WHERE rk = 1),
        |sized AS (SELECT cell, COUNT(*) AS n_c FROM cells GROUP BY 1),
+       |ranked2 AS (
+       |  SELECT cell, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS crk
+       |  FROM cells),
        |subbed AS (
        |  SELECT c.vec_id, c.embedding, c.cell, c.sc6,
-       |         c.vec_id % CAST(CEIL(CAST(s.n_c AS DOUBLE) / $SemMaxCell)
-       |                          AS BIGINT) AS sub
-       |  FROM cells c JOIN sized s USING (cell)),
+       |         (r.crk - 1) % CAST(CEIL(CAST(s.n_c AS DOUBLE) / $SemMaxCell)
+       |                            AS BIGINT) AS sub
+       |  FROM cells c JOIN ranked2 r ON r.vec_id = c.vec_id
+       |       JOIN sized s ON s.cell = c.cell),
        |dropped AS (
        |  SELECT DISTINCT x.cell, x.vec_id AS xid
        |  FROM subbed x JOIN subbed y

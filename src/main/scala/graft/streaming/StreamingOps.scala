@@ -134,11 +134,13 @@ object StreamingOps {
     * drop-set equals batch [[graft.ops.SimilarityOps.semDedup]]'s
     * EXACTLY, and for any order it is a subset — StreamingSpec pins
     * the equality on preference-ordered batches of the real fixture.
-    * Cell-size cap note: the fixture's standing cells sit far below
-    * [[graft.ops.SimilarityOps.SemMaxCell]], so the probe joins on the
-    * cell key alone; an oversized standing cell would apply the same
-    * deterministic vec_id-mod subcell split using the INDEX's cell
-    * size before probing.
+    * Cell-size cap: each batch recomputes the batch op's
+    * rank-round-robin subcell split over the CURRENT population
+    * (standing index ∪ batch) and probes on (cell, sub), so an
+    * oversized standing cell stays |cell|·cap-bounded here exactly as
+    * in batch [[graft.ops.SimilarityOps.semDedup]] (on the fixture
+    * every cell sits far below the cap, so nsub = 1 and the split is
+    * the identity).
     *
     * Scale shape per micro-batch: centroid assignment is the batch
     * op's broadcast + narrow argmax; the probe joins the (small) batch
@@ -157,7 +159,8 @@ object StreamingOps {
     * park-and-swap rename dance.
     */
   def semDedupStream(vecs: DataFrame, centroids: DataFrame,
-      indexTbl: String, ledgerTbl: String, tau: Double = 0.35)
+      indexTbl: String, ledgerTbl: String,
+      tau: Double = graft.ops.SimilarityOps.SemTau.toDouble)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = centroids.localCheckpoint(true) // pin the static side once
     vecs.writeStream
@@ -179,14 +182,27 @@ object StreamingOps {
           if (fs.exists(new org.apache.hadoop.fs.Path(indexTbl)))
             spark.read.parquet(indexTbl)
           else assigned.limit(0)
-        val witnesses = standing.unionByName(assigned)
-          .select(col("cell"), col("vec_id").as("yid"),
+        // the batch op's cell-size cap, applied to the CURRENT
+        // population (standing ∪ batch): the same rank-round-robin
+        // subcell split, recomputed per batch, keeps an oversized
+        // standing cell's probe at ≤ |cell|·cap pairs instead of
+        // quadratic — and keeps the stream's keep-rule the exact
+        // per-batch rendition of batch semDedup's. (Splits can shift
+        // as the population grows; emitted decisions stay final — the
+        // documented streaming trade.)
+        val subbed = graft.ops.SimilarityOps.semSubbed(
+          standing.unionByName(assigned),
+          graft.ops.SimilarityOps.SemMaxCell)
+        val witnesses = subbed
+          .select(col("cell"), col("sub"), col("vec_id").as("yid"),
             col("embedding").as("yv"), col("norm").as("yn"),
             col("sc6").as("ysc"))
-        val x = assigned.select(col("cell"), col("vec_id").as("xid"),
-          col("embedding").as("xv"), col("norm").as("xn"),
-          col("sc6").as("xsc"))
-        val dropped = x.join(witnesses, Seq("cell"))
+        val x = subbed
+          .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("cell"), col("sub"), col("vec_id").as("xid"),
+            col("embedding").as("xv"), col("norm").as("xn"),
+            col("sc6").as("xsc"))
+        val dropped = x.join(witnesses, Seq("cell", "sub"))
           .filter(col("xid") =!= col("yid"))
           .withColumn("c6",
             round(expr("vec_dot(xv, yv)") / (col("xn") * col("yn")), 6))

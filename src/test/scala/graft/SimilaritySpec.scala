@@ -254,12 +254,14 @@ class SimilaritySpec extends SparkSpec {
       (id, v, best._2, r6(best._1))
     }
     val want = cells.groupBy(_._3).map { case (cell, ms) =>
-      // the cap's deterministic subcell split (vec_id mod), then the
-      // pairwise keep-rule WITHIN each subcell
+      // the cap's deterministic subcell split (within-cell rank dealt
+      // round-robin), then the pairwise keep-rule WITHIN each subcell
       val nsub = math.ceil(ms.length.toDouble / SimilarityOps.SemMaxCell).toLong
+      val subOf = ms.map(_._1).sorted.zipWithIndex
+        .map { case (id, rk) => id -> (rk.toLong % nsub) }.toMap
       val droppedIds = ms.filter { case (id, v, _, sc) =>
         ms.exists { case (oid, ov, _, osc) =>
-          oid != id && oid % nsub == id % nsub &&
+          oid != id && subOf(oid) == subOf(id) &&
             r6(cos(v, ov)) >= 0.35 &&
             (osc < sc || (osc == sc && oid < id)) }
       }.map(_._1)
@@ -338,29 +340,33 @@ class SimilaritySpec extends SparkSpec {
       s"centroid frame has $k rows, nlist bound is ${SimilarityOps.ivfK(n)}")
   }
 
-  test("semdedup cell cap: adversarial one-cell corpus stays n·cap-bounded") {
+  test("semdedup cell cap: adversarial one-cell one-residue corpus stays n·cap-bounded") {
     graft.functions.VectorExprs.register(spark)
     import spark.implicits._
     val n = 1000
     val maxCell = 50
-    // every vector identical -> pairwise cosine 1.0, ALL in one cell:
-    // the worst case that degenerates Sum(|cell|^2) toward n^2
-    val assigned = (0 until n).map { i =>
-      (0L, i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f), 1.0, 0.5)
+    // every vector identical -> pairwise cosine 1.0, ALL in one cell,
+    // and all ids EVEN: a vec_id-mod split (the first draft) would
+    // put every member in one subcell and re-derive the n^2 blowup;
+    // the rank-round-robin split must stay bounded regardless of id
+    // structure
+    val ids = (0 until n).map(_.toLong * 2)
+    val assigned = ids.map { id =>
+      (0L, id, Array(1.0f, 0.0f, 0.0f, 0.0f), 1.0, 0.5)
     }.toDF("cell", "vec_id", "embedding", "norm", "sc6")
+    // the split itself: nsub = 20 subcells of exactly 50 members
+    val nsub = math.ceil(n.toDouble / maxCell).toInt
+    val subSizes = SimilarityOps.semSubbed(assigned, maxCell)
+      .groupBy(col("sub")).count().collect().map(_.getLong(1))
+    assert(subSizes.length == nsub && subSizes.forall(_ <= maxCell),
+      s"subcell sizes ${subSizes.toSeq} violate the $maxCell cap")
+    // each subcell keeps its preference minimum (the lowest id among
+    // ranks ≡ r mod nsub, i.e. id 2·r) and drops the other 49
     val dropped = SimilarityOps.semDropSet(assigned, maxCell).collect()
       .map(_.getAs[Long]("xid")).toSet
-    // nsub = ceil(1000/50) = 20 residue subcells of exactly 50; each
-    // keeps its preference minimum (lowest id) and drops the other 49
-    val nsub = math.ceil(n.toDouble / maxCell).toInt
     assert(dropped.size == n - nsub,
       s"expected ${n - nsub} drops, got ${dropped.size}")
-    assert((0L until n.toLong).toSet -- dropped ==
-      (0 until nsub).map(_.toLong).toSet,
-      "survivors must be each residue subcell's minimum id")
-    // the scale bound: no subcell exceeds the cap, so the self-join
-    // emits at most n·cap pairs (5e4 here) instead of n^2 (1e6)
-    val sizes = (0 until n).groupBy(_ % nsub).values.map(_.size)
-    assert(sizes.max <= maxCell)
+    assert(ids.toSet -- dropped == (0 until nsub).map(_.toLong * 2).toSet,
+      "survivors must be each round-robin subcell's minimum id")
   }
 }
