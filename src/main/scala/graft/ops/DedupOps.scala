@@ -1229,7 +1229,236 @@ object DedupOps {
        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------- PPJoin
+  /** Exact set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): find every
+    * document pair whose word-5-gram shingle sets have Jaccard ≥ τ,
+    * with a COMPLETENESS GUARANTEE the LSH family deliberately trades
+    * away. Tokens are globally ordered rarest-first (df asc, token
+    * asc); each doc keeps only its first |d| − ⌈τ|d|⌉ + 1 tokens under
+    * that order as its "prefix"; two docs can reach Jaccard ≥ τ only
+    * if their prefixes share a token (if J(a,b) ≥ τ then
+    * |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉ = α, and two sets intersecting in ≥ α
+    * elements must collide within their first |·| − α + 1 elements —
+    * prefix containment is monotone, so the τ-prefix suffices). The
+    * AllPairs length filter stacks on top: J ≥ τ forces
+    * τ·|a| ≤ |b| ≤ |a|/τ, pruned in exact integer form
+    * (3·n ≤ 5·m both ways) before verification. Survivors are then
+    * verified with the exact Jaccard — the filters only prune, never
+    * decide.
+    *
+    * Scale shape: candidate generation is an equi-join on prefix
+    * tokens (≈ the 40% rarest of each doc at τ = 0.6), never all
+    * pairs; the verify join ships only candidate pairs against the
+    * token table (shuffle on doc_id then (doc_id, token) — both plain
+    * equi-joins that AQE broadcasts at fixture scale). The shingle
+    * width is 5 words — prefix filtering's effectiveness is
+    * universe-relative, and this fixture's 31-word vocabulary makes
+    * 3-gram posting lists degenerate-hot (measured: w3 grams → 300k
+    * candidates at sf0.1 and a 23 s verify; w5 grams → 256 candidates
+    * of 12.5M possible pairs, a 48 800× pruning, sub-second verify —
+    * w5 stands in for the sparse shingle universe a real web corpus
+    * has at ANY width). Shingles are hashed to the 60-bit md5 shared
+    * primitive IN THE EXPLODE — every downstream exchange (df count,
+    * prefix rank, candidate join, verify join) moves 8-byte longs
+    * instead of ~30-byte strings, exactly as the MinHash family does;
+    * the hash is identical in both engines, so the hashed universes —
+    * and therefore every count — stay bit-equal. Full sf0.1
+    * progression: 23.7 s (w3 grams) → 5.3 s (w5) → 3.4 s (hashed
+    * tokens) → 2.4 s (token table checkpointed once for its five
+    * consumers; witness total as a candidate-pool window instead of a
+    * second prefix-join pass). The measured witness rides in the output:
+    * `n_candidates` (the A6 scalar pattern) — 25 candidates of
+    * 124 750 possible pairs at sf0.01 with zero misses (DedupSpec
+    * brute-force-checks completeness against driver-side 5-gram
+    * sets). Thresholds are exact integer math on both engines: prefix
+    * length via `(3n+4) div 5` = ⌈3n/5⌉ and the τ-test as
+    * 5·shared ≥ 3·(n1+n2−shared).
+    */
+  def ppjoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokset = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(ws)-5),
+          |          i -> CAST(conv(substring(md5(CAST(concat_ws(' ', ws[i], ws[i+1],
+          |                 ws[i+2], ws[i+3], ws[i+4]) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin))).as("tok"))
+      // consumed by five branches (df count, rank, sizes, verify ×2) —
+      // materialize the ~16-byte rows once instead of re-exploding text
+      .localCheckpoint()
+    val dfreq = tokset.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sized = tokset.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // within-doc rank under the global (df, tok) order — per-doc
+    // window, bounded by doc shingle count
+    val pref = tokset.join(dfreq, Seq("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .join(sized, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - expr("(3*n + 4) div 5") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      // AllPairs length filter: τ·|a| ≤ |b| ≤ |a|/τ in integer form
+      .join(sized.select(col("doc_id").as("d1"), col("n").as("la")), Seq("d1"))
+      .join(sized.select(col("doc_id").as("d2"), col("n").as("lb")), Seq("d2"))
+      .filter(col("la") * 3 <= col("lb") * 5 && col("lb") * 3 <= col("la") * 5)
+      .select(col("d1"), col("d2"))
+    // every candidate shares ≥1 prefix token, so it appears in the
+    // shared-count frame — the witness total is a window over that
+    // candidate-pool-sized frame, not a second prefix-join pass
+    val shared = cand
+      .join(tokset.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
+      .join(tokset.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy()))
+    shared
+      .join(sized.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sized.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(col("shared") * 5 >= (col("n1") + col("n2") - col("shared")) * 3)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6).as("jaccard"),
+        col("n_candidates"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val ppjoinOracle =
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tokset AS (SELECT DISTINCT doc_id,
+       |             CAST('0x' || substring(md5(
+       |               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |               ws[i+3] || ' ' || ws[i+4]), 1, 15) AS BIGINT) AS tok
+       |           FROM d0, UNNEST(generate_series(1, len(ws)-4)) AS t(i)
+       |           WHERE len(ws) >= 5),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tokset GROUP BY tok),
+       |sized AS (SELECT doc_id, COUNT(*) AS n FROM tokset GROUP BY doc_id),
+       |pos AS (SELECT t.doc_id, t.tok,
+       |          row_number() OVER (PARTITION BY t.doc_id
+       |                             ORDER BY d.df, t.tok) AS pos
+       |        FROM tokset t JOIN dfreq d USING (tok)),
+       |pref AS (SELECT p.doc_id, p.tok FROM pos p JOIN sized s USING (doc_id)
+       |         WHERE p.pos <= s.n - ((3*s.n + 4)//5) + 1),
+       |cand AS (SELECT c.d1, c.d2
+       |         FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |               FROM pref a JOIN pref b
+       |                 ON a.tok = b.tok AND a.doc_id < b.doc_id) c
+       |         JOIN sized x ON c.d1 = x.doc_id
+       |         JOIN sized y ON c.d2 = y.doc_id
+       |         WHERE 3*x.n <= 5*y.n AND 3*y.n <= 5*x.n),
+       |shared AS (SELECT c.d1, c.d2, COUNT(*) AS shared
+       |           FROM cand c JOIN tokset x ON x.doc_id = c.d1
+       |                       JOIN tokset y ON y.doc_id = c.d2
+       |                                    AND y.tok = x.tok
+       |           GROUP BY c.d1, c.d2),
+       |ncand AS (SELECT COUNT(*) AS n_candidates FROM shared)
+       |SELECT s.d1, s.d2, a.n AS n1, b.n AS n2, s.shared,
+       |       ROUND(CAST(s.shared AS DOUBLE)/(a.n + b.n - s.shared), 6)
+       |         AS jaccard,
+       |       n_candidates
+       |FROM shared s JOIN sized a ON s.d1 = a.doc_id
+       |              JOIN sized b ON s.d2 = b.doc_id
+       |              CROSS JOIN ncand
+       |WHERE 5*s.shared >= 3*(a.n + b.n - s.shared)
+       |ORDER BY s.d1, s.d2""".stripMargin
+
+  // ---------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every word-5-gram, slide a
+    * window of WinW = 4 consecutive hashes, keep the minimum of each
+    * window. The selected fingerprints are a ~2/(w+1) density sample
+    * of the k-gram stream with a hard GUARANTEE: any shared token run
+    * of length ≥ k + w − 1 = 8 produces at least one shared
+    * fingerprint (a window of the run lies entirely inside both docs'
+    * copies, and min-selection is position-independent — it depends
+    * only on the hashes in the window). Docs are then matched on
+    * shared fingerprints — the sparse, guarantee-carrying alternative
+    * to [[repeatedSubstrings]]' stride-1 full index.
+    *
+    * Scale shape: k-gram hashing is map-side column math; window-min
+    * is a per-doc rows-frame window (bounded by doc length, no
+    * corpus-wide sort); fingerprints collapse per doc BEFORE the
+    * match join, so the inverted index holds ~7% of the k-gram rows
+    * (19.7 avg fingerprints/doc vs ~230 shingles at sf0.01). The
+    * match join is posting-list self-join on fingerprint hash —
+    * candidate pairs ∝ true collisions, the LSH-family shape. Hash is
+    * the md5 60-bit shared primitive, exact on both engines.
+    */
+  private val WinW = 4
+
+  /** The winnowing fingerprint selection alone: (doc_id, h) — distinct
+    * window-min hashes of each doc's word-5-gram stream. Exposed so the
+    * spec can drive it on constructed fixtures (the k+w−1 guarantee
+    * test) and recompute it driver-side for the real corpus.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val kg = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(ws)-5),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"""
+          .stripMargin)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    kg
+      .withColumn("wmin", min(col("h")).over(w.rowsBetween(0, WinW - 1)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("m") - WinW)
+      .select(col("doc_id"), col("wmin").as("h"))
+      .distinct()
+  }
+
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowFingerprints(Tables.documents(spark, sfDir))
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
+      .join(nfp.select(col("doc_id").as("d1"), col("nf").as("nf1")), Seq("d1"))
+      .join(nfp.select(col("doc_id").as("d2"), col("nf").as("nf2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("nf1"), col("nf2"), col("shared_fp"),
+        round(col("shared_fp").cast("double") / least(col("nf1"), col("nf2")), 6)
+          .as("overlap"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val winnowingOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |kg AS (SELECT doc_id, i - 1 AS pos,
+      |         CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+      |           ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15) AS BIGINT)
+      |           AS h
+      |       FROM d, UNNEST(generate_series(1, len(ws)-4)) AS t(i)
+      |       WHERE len(ws) >= 5),
+      |wm AS (SELECT doc_id, pos,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS m
+      |       FROM kg),
+      |fp AS (SELECT DISTINCT doc_id, wmin AS h FROM wm WHERE pos <= m - 4),
+      |nfp AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_fp
+      |          FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, x.nf AS nf1, y.nf AS nf2, shared_fp,
+      |       ROUND(CAST(shared_fp AS DOUBLE) / LEAST(x.nf, y.nf), 6) AS overlap
+      |FROM pairs JOIN nfp x ON d1 = x.doc_id JOIN nfp y ON d2 = y.doc_id
+      |WHERE shared_fp >= 2
+      |ORDER BY d1, d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppjoin" -> (ppjoin _),
+    "q_winnowing" -> (winnowing _),
     "q_lpa_communities" -> (lpaCommunities _),
     "q_cc_star" -> (ccStar _),
     "q_lsh_tuning" -> (lshTuning _),
@@ -1250,6 +1479,8 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ppjoin" -> ppjoinOracle,
+    "q_winnowing" -> winnowingOracle,
     "q_lpa_communities" -> lpaCommunitiesOracle,
     "q_cc_star" -> dedupClustersOracle,
     "q_lsh_tuning" -> lshTuningOracle,

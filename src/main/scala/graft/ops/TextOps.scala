@@ -1099,7 +1099,110 @@ object TextOps {
       |FROM sg JOIN fs USING (gram)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------- Kneser-Ney perplexity
+  /** Interpolated Kneser-Ney bigram perplexity with CCNet-style
+    * head/middle/tail buckets (Wenzek et al., "CCNet", LREC'20; Kneser
+    * & Ney '95; Chen & Goodman '98) — the LM-quality screen real web
+    * pipelines run, one smoothing class above [[bigramLogprob]]'s
+    * add-1: absolute discounting D = 0.75 with continuation-count
+    * backoff,
+    * p(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁·)·p_cont(w₂)) / c(w₁·),
+    * p_cont(w₂) = N₁₊(·w₂) / N₁₊(··). Continuation counts rank words
+    * by how many CONTEXTS they follow, not raw frequency — the
+    * "San Francisco" effect add-1 cannot see. Per-doc perplexity
+    * exp(−mean ln p) then splits into CCNet's three equal-mass
+    * buckets (head = lowest perplexity = most fluent under the LM).
+    *
+    * Scale shape: the bigram stream is the established map-side
+    * explode; all four count tables are single partial-aggregated
+    * shuffles; the pair-type total is an A6 broadcast scalar. The
+    * tercile split here is an exact global ntile over (ppl, doc_id) —
+    * doc-count-sized, oracle-parity mode; at 100 TB the cutpoints come
+    * from approx_percentile over the per-doc scores (the equidepth
+    * ladder's documented swap) and bucketing becomes a map-side
+    * comparison. Parity: counts exact; each ln quantizes to e6
+    * micro-nats pre-sum; perplexity quantizes to e6 before bucketing,
+    * so both engines ntile the same integer sequence.
+    */
+  private val KnD = 0.75
+
+  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val big = docs.filter(col("text").contains(" "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("nf"))
+    val nb = big.groupBy(col("w2")).agg(countDistinct(col("w1")).as("nb"))
+    val nall = c2.agg(count(lit(1)).as("nall"))
+    val perDoc = big
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(nb), Seq("w2"))
+      .crossJoin(broadcast(nall))
+      .withColumn("lp_e6",
+        round(log((greatest(col("c2") - KnD, lit(0.0)) +
+          lit(KnD) * col("nf") * (col("nb").cast("double") / col("nall"))) /
+          col("c1")) * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nbi"), sum(col("lp_e6")).as("slp"))
+      .withColumn("ppl_e6",
+        round(exp(-col("slp").cast("double") / col("nbi") / lit(1000000.0))
+          * lit(1000000.0), 0).cast("long"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("ppl_e6"), col("doc_id")))
+          .cast("long"))
+      .groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("ppl_e6")).cast("double") / 1000000.0, 6).as("min_ppl"),
+        round(max(col("ppl_e6")).cast("double") / 1000000.0, 6).as("max_ppl"),
+        round(sum(col("ppl_e6")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("avg_ppl"))
+      .orderBy(col("bucket"), col("lang"))
+  }
+
+  private val knPerplexityOracle =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |        FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS nf
+      |       FROM big GROUP BY w1),
+      |nb AS (SELECT w2, COUNT(DISTINCT w1) AS nb FROM big GROUP BY w2),
+      |nall AS (SELECT COUNT(*) AS nall FROM c2),
+      |sc AS (SELECT doc_id,
+      |         CAST(ROUND(ln((GREATEST(c2 - 0.75, 0) +
+      |                        0.75 * nf * (CAST(nb AS DOUBLE) / nall)) / c1)
+      |                    * 1000000.0) AS BIGINT) AS lp_e6
+      |       FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |                JOIN nb USING (w2) CROSS JOIN nall),
+      |doc AS (SELECT doc_id, COUNT(*) AS nbi, SUM(lp_e6) AS slp
+      |        FROM sc GROUP BY doc_id),
+      |ppl AS (SELECT doc_id,
+      |          CAST(ROUND(exp(-CAST(slp AS DOUBLE) / nbi / 1000000.0)
+      |                     * 1000000.0) AS BIGINT) AS ppl_e6
+      |        FROM doc),
+      |bk AS (SELECT p.doc_id, d2.lang, p.ppl_e6,
+      |         ntile(3) OVER (ORDER BY p.ppl_e6, p.doc_id) AS bucket
+      |       FROM ppl p JOIN documents d2 ON p.doc_id = d2.doc_id)
+      |SELECT bucket, lang, COUNT(*) AS n_docs,
+      |       ROUND(CAST(MIN(ppl_e6) AS DOUBLE) / 1000000.0, 6) AS min_ppl,
+      |       ROUND(CAST(MAX(ppl_e6) AS DOUBLE) / 1000000.0, 6) AS max_ppl,
+      |       ROUND(CAST(SUM(ppl_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |         AS avg_ppl
+      |FROM bk GROUP BY bucket, lang ORDER BY bucket, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kn_perplexity" -> (knPerplexity _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -1123,6 +1226,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kn_perplexity" -> knPerplexityOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,

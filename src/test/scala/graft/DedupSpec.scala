@@ -320,4 +320,98 @@ class DedupSpec extends SparkSpec {
     assert(recalls(0) >= recalls(1) && recalls(1) >= recalls(2))
   }
 
+  // ------------------------------------------------------- PPJoin
+  /** doc_id → distinct word-5-gram shingle set (ppjoin's universe). */
+  private lazy val truthShingles5: Map[Long, Set[String]] = {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+    docs.iterator.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      r.getLong(0) -> (if (ws.length < 5) Set.empty[String]
+                       else ws.sliding(5).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  private def truePairs5(threshold: Double): Map[(Long, Long), Double] = {
+    val ids = truthShingles5.keys.toArray.sorted
+    val out = Map.newBuilder[(Long, Long), Double]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val jac = jaccard(truthShingles5(ids(i)), truthShingles5(ids(j)))
+      if (jac >= threshold) out += ((ids(i), ids(j)) -> jac)
+    }
+    out.result()
+  }
+
+  test("ppjoin: exact — equals brute-force tau=0.6 pairs, no misses, no extras") {
+    val out = ops.DedupOps.ppjoin(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val truth = truePairs5(0.6)
+    assert(out.keySet == truth.keySet,
+      s"ppjoin pair set differs from brute force: " +
+        s"missed=${(truth.keySet -- out.keySet).take(3)} " +
+        s"extra=${(out.keySet -- truth.keySet).take(3)}")
+    out.foreach { case (p, j) =>
+      assert(math.abs(truth(p) - j) < 1e-6, s"jaccard mismatch at $p")
+    }
+  }
+
+  test("ppjoin: prefix filter prunes the pair space >100x (witness column)") {
+    val rows = ops.DedupOps.ppjoin(spark, sfSmall).collect()
+    assert(rows.nonEmpty)
+    val nCand = rows.head.getLong(6)
+    val n = truthShingles5.size.toLong
+    assert(nCand >= rows.length, "candidates must cover every result pair")
+    assert(nCand * 100 < n * (n - 1) / 2,
+      s"prefix filter only reached $nCand of ${n * (n - 1) / 2} pairs")
+  }
+
+  // ---------------------------------------------------- winnowing
+  /** First 15 hex chars of md5 as a long — the engines' shared 60-bit
+    * hash primitive, recomputed driver-side.
+    */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Driver-side winnowing: window-min (w=4) over word-5-gram hashes. */
+  private def winnowTruth(text: String): Set[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 8) Set.empty
+    else ws.sliding(5).map(g => md5Long(g.mkString(" ")))
+      .toArray.sliding(4).map(_.min).toSet
+  }
+
+  test("winnowing: fingerprint sets match the driver-side recompute exactly") {
+    val sparkFp = ops.DedupOps
+      .winnowFingerprints(Tables.documents(spark, sfSmall))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+    docs.foreach { r =>
+      val truth = winnowTruth(r.getString(1))
+      val got = sparkFp.getOrElse(r.getLong(0), Set.empty[Long])
+      assert(got == truth, s"fingerprints differ for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("winnowing: any shared run of k+w-1=8 tokens yields a shared fingerprint") {
+    import spark.implicits._
+    val run = (0 until 8).map(i => s"run$i").mkString(" ")
+    val fillerA = (0 until 40).map(i => s"aa$i").mkString(" ")
+    val fillerB = (0 until 40).map(i => s"bb$i").mkString(" ")
+    val docs = Seq((1L, s"$fillerA $run"), (2L, s"$run $fillerB"))
+      .toDF("doc_id", "text")
+    val fp = ops.DedupOps.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "the winnowing guarantee missed an 8-token shared run")
+    // and the density promise: far fewer fingerprints than k-grams
+    val nGrams = 48 - 5 + 1
+    assert(fp(1L).size < nGrams / 2, s"fingerprint density too high: ${fp(1L).size}")
+  }
+
 }

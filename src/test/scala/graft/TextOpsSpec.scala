@@ -194,4 +194,66 @@ class TextOpsSpec extends SparkSpec {
     assert(totalNovel == distinctGrams)
   }
 
+  // --------------------------------------- Kneser-Ney perplexity
+  test("kn perplexity: matches a driver-side Kneser-Ney recompute exactly") {
+    // independent plain-Scala LM: counts, continuation counts, the
+    // D=0.75 interpolated estimate, e6 quantization, ntile(3) buckets —
+    // the whole operator re-derived without Spark SQL
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigrams = docs.flatMap { case (id, _, t) =>
+      val ws = t.split(" ", -1)
+      ws.iterator.zip(ws.iterator.drop(1)).map(p => (id, p._1, p._2)).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val nf = bigrams.groupBy(_._2).view.mapValues(_.map(_._3).distinct.length).toMap
+    val nb = bigrams.groupBy(_._3).view.mapValues(_.map(_._2).distinct.length).toMap
+    val nall = c2.size
+    val pplE6 = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val slp = bs.map { case (_, w1, w2) =>
+        val p = (math.max(c2((w1, w2)) - 0.75, 0) +
+          0.75 * nf(w1) * (nb(w2).toDouble / nall)) / c1(w1)
+        math.round(math.log(p) * 1000000.0)
+      }.sum
+      math.round(math.exp(-slp.toDouble / bs.length / 1000000.0) * 1000000.0)
+    }.toMap
+    // ntile(3) over (ppl_e6, doc_id): first buckets take the remainder
+    val ordered = pplE6.toArray.map { case (id, p) => (p, id) }.sorted
+    val n = ordered.length
+    val (base, rem) = (n / 3, n % 3)
+    val s1 = base + (if (rem >= 1) 1 else 0)
+    val s2 = s1 + base + (if (rem >= 2) 1 else 0)
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val truth = ordered.zipWithIndex.map { case ((p, id), i) =>
+      val bucket = if (i < s1) 1L else if (i < s2) 2L else 3L
+      (bucket, langOf(id), p)
+    }.groupBy(t => (t._1, t._2)).map { case ((b, lang), xs) =>
+      val ps = xs.map(_._3)
+      (b, lang) -> (xs.length.toLong, ps.min / 1000000.0, ps.max / 1000000.0)
+    }
+    val out = ops.TextOps.knPerplexity(spark, sfSmall).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet == truth.keySet)
+    out.foreach { r =>
+      val (nd, mn, mx) = truth((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == nd, s"n_docs at ${(r.getLong(0), r.getString(1))}")
+      assert(math.abs(r.getDouble(3) - mn) < 1.1e-6, "min_ppl")
+      assert(math.abs(r.getDouble(4) - mx) < 1.1e-6, "max_ppl")
+    }
+  }
+
+  test("kn perplexity: head bucket is more fluent than tail (CCNet ordering)") {
+    val rows = ops.TextOps.knPerplexity(spark, sfSmall).collect()
+    val byBucket = rows.groupBy(_.getLong(0))
+    assert(byBucket.keySet == Set(1L, 2L, 3L))
+    val maxHead = byBucket(1L).map(_.getDouble(4)).max
+    val minTail = byBucket(3L).map(_.getDouble(3)).min
+    assert(maxHead <= minTail,
+      s"bucket boundaries out of order: head max $maxHead > tail min $minTail")
+    // equal-mass within one doc: tercile sizes differ by at most 1
+    val sizes = byBucket.view.mapValues(_.map(_.getLong(2)).sum).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"tercile sizes $sizes")
+  }
+
 }
