@@ -47,7 +47,7 @@ object Bench {
       // the co-located join the query demonstrates
       if (names.contains("q_bucketed_join"))
         etl.Bucketing.ensureBucketed(spark, sfDir)
-      if (names.contains("q_pagerank"))
+      if (names.contains("q_pagerank") || names.contains("q_ppr"))
         etl.Bucketing.ensurePagerankEdges(spark, sfDir)
       // CSV/shapefile fixtures likewise: generated once per SF
       // (driver-side collect + gz/shapefile encode), reused forever —

@@ -1051,7 +1051,94 @@ object CurationOps {
        |ORDER BY gamma""".stripMargin
   }
 
+  // ------------------------------------- fasttext-style classifier
+  /** Linear text-classifier INFERENCE in the fastText bag-of-hashed-
+    * features shape (Joulin et al. '16) — how FineWeb-Edu / DataComp
+    * style quality filters actually run at corpus scale: every doc's
+    * unigram + bigram features hash into 2¹² buckets, the per-bucket
+    * model weights join in, the doc score is the feature-weight mean
+    * through a sigmoid, and the corpus splits on p ≥ ½. The weight
+    * table stands in for a trained model with a deterministic
+    * md5-lattice fill (integer milli-units in [−1, 1]) — the engine
+    * contract is the inference PLAN, not the training: the model is
+    * O(buckets) regardless of corpus size, broadcasts whole, and the
+    * corpus never shuffles except the per-doc partial-aggregated mean.
+    * Parity: per-doc weight sums are exact e3-lattice integers; only
+    * the final sigmoid touches floats, quantized to e6 before any
+    * aggregate (the ln/exp precedent); per-group average re-uses the
+    * integer-sum-then-divide form.
+    */
+  private val FtBuckets = 4096L
+
+  def fasttextScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // the "model": bucket → weight in exact milli-units
+    val weights = spark.range(0, FtBuckets).select(
+      col("id").as("bucket"),
+      (expr("CAST(conv(substring(md5(CAST(concat('w:', CAST(id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+        % 2001 - 1000).as("w_e3"))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    // bag of features: every unigram token + every adjacent bigram;
+    // lang rides the narrow feature rows so the doc table scans ONCE
+    val feats = docs.select(col("doc_id"), col("lang"), explode(expr(
+      """concat(transform(ws, w -> concat('u:', w)),
+        |       transform(sequence(1, greatest(size(ws) - 1, 0)),
+        |                 i -> concat('b:', element_at(ws, i), ' ',
+        |                             element_at(ws, i + 1))))""".stripMargin))
+      .as("feat"))
+      .select(col("doc_id"), col("lang"),
+        (expr("CAST(conv(substring(md5(CAST(feat AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          % FtBuckets).as("bucket"))
+    val scored = feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_e3")).as("s_e3"))
+      .withColumn("p_e6",
+        round(lit(1000000.0) /
+          (lit(1.0) + exp(-col("s_e3").cast("double") /
+            (col("n_feats") * lit(1000.0)))), 0).cast("long"))
+    scored
+      .groupBy(col("lang"), (col("p_e6") >= 500000L).as("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("p_e6")).cast("double") / 1000000.0, 6).as("min_p"),
+        round(max(col("p_e6")).cast("double") / 1000000.0, 6).as("max_p"),
+        round(sum(col("p_e6")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("avg_p"))
+      .orderBy(col("lang"), col("kept"))
+  }
+
+  private val fasttextScoreOracle =
+    """WITH w AS (SELECT i AS bucket,
+      |             CAST('0x' || substring(md5('w:' || i), 1, 15) AS BIGINT)
+      |               % 2001 - 1000 AS w_e3
+      |           FROM generate_series(0, 4095) t(i)),
+      |d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |feats AS (
+      |  SELECT doc_id, 'u:' || w AS feat FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+      |  UNION ALL
+      |  SELECT doc_id, 'b:' || ws[i] || ' ' || ws[i+1] AS feat
+      |  FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+      |fb AS (SELECT doc_id,
+      |         CAST('0x' || substring(md5(feat), 1, 15) AS BIGINT) % 4096
+      |           AS bucket
+      |       FROM feats),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w_e3) AS s_e3
+      |       FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+      |p AS (SELECT doc_id,
+      |        CAST(ROUND(1000000.0 /
+      |          (1.0 + exp(-CAST(s_e3 AS DOUBLE) / (n_feats * 1000.0))))
+      |          AS BIGINT) AS p_e6
+      |      FROM sc)
+      |SELECT lang, p_e6 >= 500000 AS kept, COUNT(*) AS n_docs,
+      |       ROUND(CAST(MIN(p_e6) AS DOUBLE) / 1000000.0, 6) AS min_p,
+      |       ROUND(CAST(MAX(p_e6) AS DOUBLE) / 1000000.0, 6) AS max_p,
+      |       ROUND(CAST(SUM(p_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |         AS avg_p
+      |FROM p JOIN d USING (doc_id)
+      |GROUP BY lang, kept ORDER BY lang, kept""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fasttext_score" -> (fasttextScore _),
     "q_record_linkage" -> (recordLinkage _),
     "q_feature_hash" -> (featureHash _),
     "q_quantile_norm" -> (quantileNorm _),
@@ -1071,6 +1158,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_fasttext_score" -> fasttextScoreOracle,
     "q_record_linkage" -> recordLinkageOracle,
     "q_feature_hash" -> featureHashOracle,
     "q_quantile_norm" -> quantileNormOracle,

@@ -95,6 +95,72 @@ object GraphOps {
       |FROM edges e JOIN c1 USING (c) JOIN deg_c d USING (c)
       |GROUP BY e.s ORDER BY e.s""".stripMargin
 
+  // ----------------------------------------------------------------- ppr
+  /** Personalized PageRank from a seed set (Page et al. '99 §6; the
+    * recsys/candidate-generation localization of [[pagerank]]): the
+    * teleport vector concentrates on seed customers (custkey ≡ 0
+    * mod 97) instead of spreading uniformly, so scores measure
+    * proximity TO THE SEEDS — mass never materializes outside the
+    * seeds' 3-hop ball, which is why engines run PPR per-user at scale
+    * where global PageRank would be noise. Same bipartite half-step
+    * structure, same bucketed edge reads as [[pagerank]] (the edge
+    * table still never shuffles — one build, two consumers), same A6
+    * scalar injection for 1/|seeds|; the only deltas are the seed
+    * indicator in the start vector and the seed-restricted teleport
+    * term on the customer half-step. Float parity mirrors the
+    * pagerank oracle: identical op order, 6 dp quantization, engine
+    * differences confined to summation order far below the rounding.
+    */
+  def ppr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eC, eS) = graft.etl.Bucketing.ensurePagerankEdges(spark, sfDir)
+    val degC = eC.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    val degS = eS.groupBy(col("s")).agg(count(lit(1)).as("deg_s"))
+    val nSeeds = eC.filter(col("c") % 97 === 0)
+      .agg(countDistinct(col("c"))).collect()(0).getLong(0)
+    // s1 = 0.85 · Σ_{seed c ~ s} (1/|seeds|)/deg_c
+    val s1 = eC.filter(col("c") % 97 === 0).join(degC, "c")
+      .groupBy(col("s"))
+      .agg(sum(lit(1.0 / nSeeds) / col("deg_c")).as("contrib"))
+      .select(col("s"), (lit(0.85) * col("contrib")).as("s1"))
+    // c1 = 0.15/|seeds|·[c seed] + 0.85 · Σ_{s ~ c} s1/deg_s
+    val c1 = eS.join(s1, "s").join(degS, "s")
+      .groupBy(col("c"))
+      .agg(sum(col("s1") / col("deg_s")).as("contrib"))
+      .select(col("c"),
+        (when(col("c") % 97 === 0, lit(0.15 / nSeeds)).otherwise(lit(0.0)) +
+          lit(0.85) * col("contrib")).as("c1"))
+    // s2 = 0.85 · Σ_{c ~ s} c1/deg_c — localized supplier affinity
+    eC.join(c1, "c").join(degC, "c")
+      .groupBy(col("s"))
+      .agg(sum(col("c1") / col("deg_c")).as("contrib"))
+      .select(col("s"), round(lit(0.85) * col("contrib"), 6).as("score"))
+      .orderBy(col("s"))
+  }
+
+  private val pprOracle =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg_c AS (SELECT c, COUNT(*) AS deg_c FROM edges GROUP BY c),
+      |deg_s AS (SELECT s, COUNT(*) AS deg_s FROM edges GROUP BY s),
+      |n AS (SELECT COUNT(*) AS nseeds FROM deg_c WHERE c % 97 = 0),
+      |s1 AS (SELECT e.s,
+      |              CAST(0.85 AS DOUBLE) *
+      |                SUM((CAST(1.0 AS DOUBLE) / (SELECT nseeds FROM n))
+      |                    / d.deg_c) AS s1
+      |       FROM edges e JOIN deg_c d USING (c)
+      |       WHERE e.c % 97 = 0 GROUP BY e.s),
+      |c1 AS (SELECT e.c,
+      |              (CASE WHEN e.c % 97 = 0
+      |                    THEN CAST(0.15 AS DOUBLE) / (SELECT nseeds FROM n)
+      |                    ELSE CAST(0.0 AS DOUBLE) END) +
+      |              CAST(0.85 AS DOUBLE) * SUM(s1.s1 / d.deg_s) AS c1
+      |       FROM edges e JOIN s1 USING (s) JOIN deg_s d USING (s)
+      |       GROUP BY e.c)
+      |SELECT e.s,
+      |       ROUND(CAST(0.85 AS DOUBLE) * SUM(c1.c1 / d.deg_c), 6) AS score
+      |FROM edges e JOIN c1 USING (c) JOIN deg_c d USING (c)
+      |GROUP BY e.s ORDER BY e.s""".stripMargin
+
   // ------------------------------------------------------------ triangles
   /** Triangle counting over the SimHash near-dup graph — the density
     * diagnostic of a dedup pipeline: triangles are documents whose
@@ -882,6 +948,7 @@ object GraphOps {
     "q_shortest_path" -> (shortestPath _),
     "q_bfs_hops" -> (bfsHops _),
     "q_pagerank" -> (pagerank _),
+    "q_ppr" -> (ppr _),
     "q_triangle_count" -> (triangleCount _),
     "q_clustering_coeff" -> (clusteringCoeff _)
   )
@@ -894,6 +961,7 @@ object GraphOps {
     "q_shortest_path" -> shortestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_ppr" -> pprOracle,
     "q_triangle_count" -> triangleCountOracle,
     "q_clustering_coeff" -> clusteringCoeffOracle
   )

@@ -392,4 +392,41 @@ class CurationOpsSpec extends SparkSpec {
     for (hi <- byGamma.get(15); lo <- byGamma.get(0)) assert(hi > lo)
   }
 
+  test("fasttext score: matches a driver-side bag-of-hashed-features recompute") {
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val weight = (0L until 4096L).map(b =>
+      b -> (md5Long(s"w:$b") % 2001 - 1000)).toMap
+    val perDoc = docs.map { case (id, lang, t) =>
+      val ws = t.split(" ", -1)
+      val feats = ws.map("u:" + _) ++
+        ws.iterator.zip(ws.iterator.drop(1)).map(p => s"b:${p._1} ${p._2}")
+      val buckets = feats.map(f => md5Long(f) % 4096)
+      val sE3 = buckets.map(weight).sum
+      val pE6 = math.round(1000000.0 /
+        (1.0 + math.exp(-sE3.toDouble / (buckets.length * 1000.0))))
+      (lang, pE6 >= 500000L, pE6)
+    }
+    val truth = perDoc.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).min, xs.map(_._3).max)
+    }
+    val got = ops.CurationOps.fasttextScore(spark, sfSmall).collect()
+    assert(got.map(r => (r.getString(0), r.getBoolean(1))).toSet == truth.keySet)
+    got.foreach { r =>
+      val (n, mn, mx) = truth((r.getString(0), r.getBoolean(1)))
+      assert(r.getLong(2) == n, s"n_docs for ${(r.getString(0), r.getBoolean(1))}")
+      assert(math.abs(r.getDouble(3) - mn / 1000000.0) < 1.1e-6, "min_p")
+      assert(math.abs(r.getDouble(4) - mx / 1000000.0) < 1.1e-6, "max_p")
+    }
+    // the lattice weights really do split the corpus: both labels occur
+    assert(got.map(_.getBoolean(1)).toSet == Set(true, false),
+      "classifier must produce both kept and dropped docs")
+  }
+
 }

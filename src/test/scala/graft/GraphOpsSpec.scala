@@ -283,4 +283,43 @@ class GraphOpsSpec extends SparkSpec {
       }
     assert(lpa == lab, s"$lpa != driver recompute $lab")
   }
+
+  test("ppr: localized to the seed 3-hop ball, recompute-exact, mass bounded") {
+    val edges = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, sfTiny)
+        .select(col("o_orderkey").as("lo"), col("o_custkey").as("c")), "lo")
+      .select("c", "s").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degC = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val degS = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val seeds = degC.keySet.filter(_ % 97 == 0)
+    assert(seeds.nonEmpty, "fixture must contain at least one seed customer")
+    val nSeeds = seeds.size
+    val s1 = edges.filter(e => seeds(e._1)).groupBy(_._2).view.mapValues(
+      _.map { case (c, _) => (1.0 / nSeeds) / degC(c) }.sum)
+      .toMap.map { case (s, m) => s -> 0.85 * m }
+    val c1 = edges.filter(e => s1.contains(e._2)).groupBy(_._1).view.mapValues(
+      _.map { case (_, s) => s1(s) / degS(s) }.sum)
+      .toMap.map { case (c, m) =>
+        c -> ((if (seeds(c)) 0.15 / nSeeds else 0.0) + 0.85 * m)
+      }
+    val s2 = edges.filter(e => c1.contains(e._1)).groupBy(_._2).view.mapValues(
+      _.map { case (c, _) => c1(c) / degC(c) }.sum)
+      .toMap.map { case (s, m) => s -> 0.85 * m }
+
+    val got = GraphOps.ppr(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // support == exactly the suppliers adjacent to the seeds' 2-hop
+    // customer ball — the localization that makes PPR per-user-feasible
+    assert(got.keySet == s2.keySet,
+      s"ppr support differs from the seed ball: ${got.keySet.size} vs ${s2.keySet.size}")
+    got.foreach { case (s, score) =>
+      val want = BigDecimal(s2(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - want) <= 1e-9, s"supplier $s: $score vs $want")
+    }
+    val total = s2.values.sum
+    assert(total > 0.0 && total <= 1.0 + 1e-9, s"ppr mass $total out of range")
+  }
 }

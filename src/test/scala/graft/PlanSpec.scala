@@ -554,4 +554,37 @@ class PlanSpec extends SparkSpec {
       s"pair frame must project down to (cell, xid) before dedup:\n$plan")
   }
 
+  test("ppjoin: every join is an equi-join; the only global window is the candidate-pool witness") {
+    val df = graft.ops.DedupOps.ppjoin(spark, sfTiny)
+    df.collect() // AQE finalizes join strategies
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // prefix filtering exists so the pair space NEVER materializes as
+    // a product — candidate generation and verification must both be
+    // key joins
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ppjoin must never plan a product join:\n$plan")
+    // the doc-rank windows partition by doc_id; the single
+    // unpartitioned window is the n_candidates witness, which runs on
+    // the candidate-pool-sized shared frame (bounded by construction)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"expected at most the witness-pool single-partition exchange, got $single:\n$plan")
+  }
+
+  test("winnowing: fingerprint selection windows stay per-document — no global sort before the final orderBy") {
+    val df = graft.ops.DedupOps.winnowing(spark, sfTiny)
+    df.collect()
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint match must be an equi-join:\n$plan")
+    // window-min and per-doc counts both hash-partition on doc_id;
+    // nothing funnels to a single partition
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"winnowing must not plan a single-partition stage:\n$plan")
+    // the final orderBy is the only range exchange
+    val ranges = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(ranges <= 1, s"expected only the output sort, got $ranges:\n$plan")
+  }
+
 }
