@@ -226,6 +226,70 @@ object StreamingOps {
   }
 
   // ------------------------------------------------------------------
+  /** Streaming winnowing dedup — the SUBSTRING-RUN channel completing
+    * the incremental-dedup ladder ([[incrementalDedupStream]] = exact
+    * md5 + in-stream; [[semDedupStream]] = semantic): each arriving
+    * document's winnowing fingerprints
+    * ([[graft.ops.DedupOps.winnowFingerprints]] — per-doc window math,
+    * so the stream side stays map-parallel and carries the k+w−1 = 8
+    * token detection guarantee) probe the STANDING fingerprint index;
+    * a doc sharing ≥ 2 fingerprints with ANY earlier document
+    * (standing, or lower doc_id in the same micro-batch) is dropped.
+    * ALL arrivals' fingerprints then merge into the index —
+    * "dominated-by-any-earlier", the deterministic order-free rule, so
+    * a chain A←B←C drops both B and C even though B never survived
+    * (one more drop than a greedy kept-only probe would make: the
+    * conservative direction for training-data hygiene, and the rule a
+    * batch recompute can replay exactly). Decisions are FINAL (append
+    * ledger), the same trade as the other channels; under in-order
+    * ingest (doc_id order) the ledger's drop-set equals the batch
+    * [[graft.ops.DedupOps.winnowing]] pair table's d2 side exactly —
+    * StreamingSpec pins that equality plus a driver recompute.
+    *
+    * Scale shape per micro-batch: fingerprinting is per-doc map math
+    * (~7% of k-gram rows survive selection); the probe is a posting-
+    * list equi-join of the batch's fingerprints against the index
+    * (bucketed by hash at 100 TB so only touched buckets read); the
+    * index append is file-append, no rewrite.
+    */
+  def winnowStream(docs: DataFrame, indexTbl: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexTbl)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fps = graft.ops.DedupOps.winnowFingerprints(batch.toDF())
+          .localCheckpoint(true) // probe AND append read one snapshot
+        val standing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexTbl)))
+            spark.read.parquet(indexTbl)
+          else fps.limit(0)
+        val pairsStanding = fps.as("x")
+          .join(standing.as("y"), col("x.h") === col("y.h"))
+          .groupBy(col("x.doc_id").as("d"), col("y.doc_id").as("o"))
+          .agg(count(lit(1)).as("sh"))
+        val pairsBatch = fps.as("x")
+          .join(fps.as("y"),
+            col("x.h") === col("y.h") && col("y.doc_id") < col("x.doc_id"))
+          .groupBy(col("x.doc_id").as("d"), col("y.doc_id").as("o"))
+          .agg(count(lit(1)).as("sh"))
+        val dropped = pairsStanding.unionByName(pairsBatch)
+          .filter(col("sh") >= 2)
+          .select(col("d")).distinct().withColumn("hit", lit(1L))
+        // every arrival gets exactly one final row — docs too short to
+        // fingerprint (< 8 tokens) are trivially kept
+        batch.toDF().select(col("doc_id")).distinct()
+          .join(dropped, col("doc_id") === col("d"), "left")
+          .select(col("doc_id"), col("hit").isNotNull.as("dropped"))
+          .write.mode("append").parquet(ledgerTbl)
+        fps.write.mode("append").parquet(indexTbl)
+        graft.ops.GraphOps.freeCheckpoint(fps)
+      }
+      .start()
+
+  // ------------------------------------------------------------------
   /** Native `session_window` sessionization under Structured Streaming —
     * the declarative twin of both the typed [[sessionize]] (explicit
     * `flatMapGroupsWithState`) and the batch

@@ -571,6 +571,22 @@ class PlanSpec extends SparkSpec {
     assert(single <= 1, s"expected at most the witness-pool single-partition exchange, got $single:\n$plan")
   }
 
+  test("fasttext score: the model broadcasts; the corpus shuffles only for the per-doc mean") {
+    val df = graft.ops.CurationOps.fasttextScore(spark, sfTiny)
+    df.collect() // AQE finalizes join strategies
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // the O(buckets) weight table must broadcast — inference never
+    // ships the corpus to the model
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-sized join may shuffle:\n$plan")
+    // one hash exchange for the (doc_id, lang) aggregate, one for the
+    // (lang, kept) regroup; the final orderBy adds the range exchange
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashes <= 2, s"expected at most 2 hash exchanges, got $hashes:\n$plan")
+  }
+
   test("winnowing: fingerprint selection windows stay per-document — no global sort before the final orderBy") {
     val df = graft.ops.DedupOps.winnowing(spark, sfTiny)
     df.collect()

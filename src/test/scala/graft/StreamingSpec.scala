@@ -669,4 +669,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnowing: in-order batches equal the batch pair table's d2 side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/winnow_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.winnowStream(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ledger")
+    try {
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val ledger = spark.read.parquet(s"$base/ledger")
+      assert(ledger.count() == docs.length,
+        "every arrival must get exactly one final ledger row")
+      val streamDropped = ledger.filter(col("dropped")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+      // batch cross-check: dominated-by-earlier == the (d1 < d2) pair
+      // table's d2 side at the same shared>=2 threshold
+      val batchDropped = graft.ops.DedupOps.winnowing(spark, sfSmall)
+        .select(col("d2")).collect().map(_.getLong(0)).toSet
+      assert(streamDropped == batchDropped,
+        s"stream drop-set ${streamDropped.size} != batch ${batchDropped.size}")
+
+      // independent driver recompute of the same rule
+      def md5Long(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+      }
+      def fp(text: String): Set[Long] = {
+        val ws = text.split(" ", -1)
+        if (ws.length < 8) Set.empty
+        else ws.sliding(5).map(g => md5Long(g.mkString(" ")))
+          .toArray.sliding(4).map(_.min).toSet
+      }
+      val fpMap = docs.map { case (id, t) => id -> fp(t) }
+      val truthDropped = fpMap.filter { case (id, f) =>
+        fpMap.exists { case (o, g) => o < id && (f & g).size >= 2 }
+      }.map(_._1).toSet
+      assert(streamDropped == truthDropped,
+        s"stream drop-set differs from driver recompute")
+    } finally q.stop()
+  }
+
 }
