@@ -188,13 +188,69 @@ object Layout {
       spark: SparkSession, dir: String): Seq[(Long, Long)] =
     fileColumnRanges(spark, dir, "zval")
 
+  // ------------------------------------------------------------------
+  /** Hilbert-curve clustering — the same rectangle-probe workload as
+    * [[zorderProbe]] (identical keys, identical probe window, so
+    * LayoutSpec compares the two layouts head-to-head) written in
+    * Hilbert order via the codegen'd
+    * [[graft.functions.HilbertIndex]] expression. The Hilbert curve is
+    * NOT coordinate-monotone (no corner-bound z-interval), but every
+    * unit step is 4-adjacent, so the probe rectangle decomposes into
+    * about half the contiguous curve runs Z-order needs (95 vs 188 on
+    * this window — a pure property of the two curves, pinned by
+    * LayoutSpec): fewer, longer scan ranges against file/row-group
+    * stats. Skip decisions use the EXACT h-set of the window (the
+    * point-level test a page index enables) rather than a corner
+    * interval; LayoutSpec runs that test from the real parquet
+    * footers. The aggregate result is layout-independent by
+    * construction — the oracle is the same filtered aggregate as
+    * Z-order's, which is exactly the point: clustering changes the I/O
+    * shape, never the answer.
+    */
+  private[graft] def hScatteredPath(sfDir: String): String =
+    s"${Medallion.warehouse(sfDir)}/lineitem_hscatter"
+  private[graft] def hClusteredPath(sfDir: String): String =
+    s"${Medallion.warehouse(sfDir)}/lineitem_hilbert"
+
+  def hilbertProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.LayoutExprs.register(spark)
+    rmTree(spark, hScatteredPath(sfDir)); rmTree(spark, hClusteredPath(sfDir))
+    val ((xLo, xHi), (yLo, yHi)) = ZProbe
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        graft.ops.Parity.mixBucket(col("l_orderkey"), 2654435761L, 1024)
+          .as("px"),
+        graft.ops.Parity.mixBucket(col("l_partkey"), 2246822519L, 1024)
+          .as("py"))
+      .withColumn("hval", expr("hilbert_d(px, py)"))
+    keyed.repartition(8).write.mode("overwrite").parquet(hScatteredPath(sfDir))
+    keyed.repartitionByRange(8, col("hval")).sortWithinPartitions(col("hval"))
+      .write.mode("overwrite").parquet(hClusteredPath(sfDir))
+
+    spark.read.parquet(hClusteredPath(sfDir))
+      .filter(col("px").between(xLo, xHi) && col("py").between(yLo, yHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-file (min, max) of `hval` from the footers. */
+  private[graft] def fileHRanges(
+      spark: SparkSession, dir: String): Seq[(Long, Long)] =
+    fileColumnRanges(spark, dir, "hval")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_probe" -> (layoutProbe _),
-    "q_zorder_probe" -> (zorderProbe _)
+    "q_zorder_probe" -> (zorderProbe _),
+    "q_hilbert_probe" -> (hilbertProbe _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_layout_probe" -> layoutProbeOracle,
-    "q_zorder_probe" -> zorderProbeOracle
+    "q_zorder_probe" -> zorderProbeOracle,
+    // layout-independence: the Hilbert write answers the identical
+    // rectangle aggregate — same oracle by design
+    "q_hilbert_probe" -> zorderProbeOracle
   )
 }

@@ -50,4 +50,60 @@ class LayoutSpec extends SparkSpec {
     assert(skippable(zorder) >= 4,
       s"z-order should make most files skippable, got ${skippable(zorder)}/8")
   }
+
+  test("hilbert: expression matches the driver fold; fewer curve runs than z-order; footer skipping works") {
+    import graft.functions.LayoutExprs
+
+    // expression == driver-side xy2d on a deterministic sample, through
+    // the codegen path (whole-stage codegen compiles the emitted loop)
+    LayoutExprs.register(spark)
+    import spark.implicits._
+    val sample = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x * 16 + 7, y * 16 + 3)
+    val got = sample.toDF("x", "y")
+      .selectExpr("x", "y", "hilbert_d(x, y) AS h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sample.foreach { case (x, y) =>
+      assert(got((x, y)) == LayoutExprs.xy2d(x, y), s"hilbert_d($x,$y)")
+    }
+    // bijectivity on the sample: distinct cells -> distinct positions
+    assert(got.values.toSet.size == sample.size, "hilbert_d must be injective")
+
+    // the locality claim, as pure curve math on the probe window:
+    // adjacency (every Hilbert step is 4-adjacent) halves the number of
+    // contiguous curve runs the rectangle decomposes into
+    val ((xLo, xHi), (yLo, yHi)) = Layout.ZProbe
+    def runs(vals: Seq[Long]): Int = {
+      val s = vals.sorted
+      1 + s.zip(s.tail).count { case (a, b) => b != a + 1 }
+    }
+    val window = for (x <- xLo to xHi; y <- yLo to yHi) yield (x, y)
+    val hRuns = runs(window.map { case (x, y) => LayoutExprs.xy2d(x, y) })
+    val zRuns = runs(window.map { case (x, y) => Layout.zValue(x, y) })
+    assert(hRuns < zRuns,
+      s"hilbert should fragment the window less: $hRuns vs $zRuns runs")
+    assert(hRuns * 3 < zRuns * 2, // measured 95 vs 188 — pin real margin
+      s"expected a ≥1.5x run reduction: $hRuns vs $zRuns")
+
+    // footer-level skipping with the exact window h-set (the page-index
+    // test — Hilbert has no corner-interval bound, so point-level is
+    // the sound decision procedure)
+    Layout.hilbertProbe(spark, sfTiny).collect() // writes both layouts
+    val winH = window.map { case (x, y) => LayoutExprs.xy2d(x, y) }.sorted
+    def skippableExact(ranges: Seq[(Long, Long)]): Int =
+      ranges.count { case (lo, hi) =>
+        import scala.collection.Searching._
+        winH.search(lo) match {
+          case Found(_) => false
+          case InsertionPoint(i) => i >= winH.length || winH(i) > hi
+        }
+      }
+    val scatter = Layout.fileHRanges(spark, Layout.hScatteredPath(sfTiny))
+    val hilbert = Layout.fileHRanges(spark, Layout.hClusteredPath(sfTiny))
+    assert(scatter.size == 8 && hilbert.size == 8)
+    assert(skippableExact(scatter) == 0,
+      "scatter files should all contain some window cell")
+    assert(skippableExact(hilbert) >= 4,
+      s"hilbert should make most files skippable, got ${skippableExact(hilbert)}/8")
+  }
 }
