@@ -1416,7 +1416,10 @@ object DedupOps {
   }
 
   def winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    // three consumers (both self-join sides + the size table) — pay the
+    // per-doc window selection once, like ppjoin's token table
     val fp = winnowFingerprints(Tables.documents(spark, sfDir))
+      .localCheckpoint()
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     fp.as("a")
       .join(fp.as("b"),

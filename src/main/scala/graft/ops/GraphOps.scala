@@ -438,6 +438,75 @@ object GraphOps {
        |SELECT node AS part, MIN(cost) AS cost
        |FROM walk GROUP BY node ORDER BY part""".stripMargin
 
+  // ------------------------------------------------- widest path
+  /** Widest-path (max-bottleneck) from the same source set over the
+    * same capped co-purchase graph as [[shortestPath]], with edge
+    * CAPACITY = the number of orders the pair co-occurred in: a path
+    * is as strong as its weakest co-purchase link, and a node's width
+    * is the strongest such guarantee any ≤3-hop path offers — the
+    * supply-reliability / max-flow-single-path question. The point of
+    * the twin is the SEMIRING SWAP: Bellman-Ford relaxation is generic
+    * over (⊕ = merge, ⊗ = extend); shortest path runs (min, +), widest
+    * path runs (max, min) — the identical per-round join + partial-
+    * aggregated merge plan, the same localCheckpoint discipline, the
+    * same single shuffle key per round, nothing else changes. The
+    * oracle replays it as the same recursive-CTE walk enumeration with
+    * LEAST/​MAX in place of +/MIN, state bounded by the capacity
+    * lattice exactly as the (min, +) twin is by its cost lattice.
+    */
+  private val WpInf = 999999L // above any pair capacity at every SF
+
+  def widestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = coPurchasePairs(spark, sfDir)
+      .filter(col("p1") <= SpCap && col("p2") <= SpCap)
+      // the materialized pair frame is grouped by (p1, p2, sz) with n =
+      // co-occurrence orders of that size — capacity is the total
+      .groupBy(col("p1"), col("p2")).agg(sum(col("n")).as("w"))
+    val edges = w.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionByName(w.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+      .cache()
+    var width = Tables.part(spark, sfDir).filter(col("p_partkey") <= 3)
+      .select(col("p_partkey").as("part"), lit(WpInf).as("width"))
+      .localCheckpoint(eager = true)
+    (1 to SpHops).foreach { _ =>
+      val relaxed = width.join(edges, col("part") === col("src"))
+        .select(col("dst").as("part"),
+          least(col("width"), col("w")).as("width"))
+      width = width.unionByName(relaxed)
+        .groupBy(col("part")).agg(max(col("width")).as("width"))
+        .localCheckpoint(eager = true)
+    }
+    val out = width.orderBy(col("part")).localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val widestPathOracle =
+    s"""WITH RECURSIVE
+       |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (
+       |  SELECT l_orderkey, COUNT(*) AS sz FROM op GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |pw AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
+       |  FROM op a
+       |  JOIN op b ON a.l_orderkey = b.l_orderkey
+       |           AND a.l_partkey < b.l_partkey
+       |  JOIN sized s ON s.l_orderkey = a.l_orderkey
+       |  WHERE a.l_partkey <= $SpCap AND b.l_partkey <= $SpCap
+       |  GROUP BY 1, 2),
+       |e AS (SELECT p1 AS src, p2 AS dst, w FROM pw
+       |      UNION ALL SELECT p2, p1, w FROM pw),
+       |walk AS (
+       |  SELECT p_partkey AS node, CAST($WpInf AS BIGINT) AS width, 0 AS h
+       |  FROM part WHERE p_partkey <= 3
+       |  UNION
+       |  SELECT e.dst, LEAST(walk.width, e.w), walk.h + 1
+       |  FROM walk JOIN e ON e.src = walk.node
+       |  WHERE walk.h < $SpHops)
+       |SELECT node AS part, MAX(width) AS width
+       |FROM walk GROUP BY node ORDER BY part""".stripMargin
+
   // ---------------------------------------------------------------- HITS
   /** HITS hubs-and-authorities (Kleinberg) on the customer–supplier
     * purchase bipartite graph — customers are hubs, suppliers are
@@ -946,6 +1015,7 @@ object GraphOps {
     "q_kcore" -> (kcore _),
     "q_hits" -> (hits _),
     "q_shortest_path" -> (shortestPath _),
+    "q_widest_path" -> (widestPath _),
     "q_bfs_hops" -> (bfsHops _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
@@ -959,6 +1029,7 @@ object GraphOps {
     "q_kcore" -> kcoreOracle,
     "q_hits" -> hitsOracle,
     "q_shortest_path" -> shortestPathOracle,
+    "q_widest_path" -> widestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,

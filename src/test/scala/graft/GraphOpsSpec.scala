@@ -148,6 +148,45 @@ class GraphOpsSpec extends SparkSpec {
       .foreach { case (n, c) => assert(c >= 2L && c <= 60L, s"node $n cost $c") }
   }
 
+  test("widest path == driver-side (max, min) semiring relaxation") {
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, 20))
+      .select(col("l_orderkey").as("ok"))
+    val pairs = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .join(sized, col("a.l_orderkey") === col("ok"))
+      .filter(col("a.l_partkey") <= 400 && col("b.l_partkey") <= 400)
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1, p._3))).groupBy(_._1)
+    var width = Tables.part(spark, sfTiny).filter(col("p_partkey") <= 3)
+      .select(col("p_partkey")).collect().map(_.getLong(0) -> 999999L).toMap
+    (1 to 3).foreach { _ =>
+      val relaxed = width.toSeq.flatMap { case (u, wd) =>
+        adj.getOrElse(u, Array.empty).map(e => e._2 -> math.min(wd, e._3)) }
+      width = (width.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ws) => n -> ws.map(_._2).max }
+    }
+    val got = GraphOps.widestPath(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == width, "widths differ from driver (max, min) relaxation")
+    // seeds stay at the infinite sentinel; every reached node's width is
+    // a genuine edge capacity (1..#orders) — never the sentinel leaked
+    assert(got(1L) == 999999L && got(2L) == 999999L && got(3L) == 999999L)
+    got.filterNot { case (n, _) => n <= 3L }.foreach { case (n, wd) =>
+      assert(wd >= 1L && wd < 999999L, s"node $n width $wd")
+    }
+    // semiring sanity vs the (min, +) twin: both reach exactly the
+    // 3-hop ball of the same seeds
+    val sp = GraphOps.shortestPath(spark, sfTiny).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.keySet == sp, "the two semirings must reach the same ball")
+  }
+
   test("star contraction: O(log n) rounds on a path where min-label is O(n)") {
     import spark.implicits._
     // one 400-long path (diameter 400 — min-label propagation would
