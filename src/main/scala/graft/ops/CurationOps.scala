@@ -1051,6 +1051,98 @@ object CurationOps {
        |ORDER BY gamma""".stripMargin
   }
 
+  // ------------------------------------- greedy coverage selection
+  /** Greedy maximum-coverage corpus selection (the Nemhauser–Wolsey–
+    * Fisher '78 greedy on a submodular objective — the classic
+    * "pick k documents that cover the most distinct content"
+    * curation rule, with its (1−1/e) guarantee): five rounds, each
+    * selecting the document adding the most word-3-gram shingles not
+    * yet covered (ties → lowest doc_id), then folding its shingles
+    * into the covered set. Output: one row per round with the
+    * winner's marginal gain and the running coverage — the
+    * diminishing-returns curve a curation pipeline reads the budget
+    * off of.
+    *
+    * Scale shape: per round one anti-join of the token table against
+    * the covered set (equi-join on shingle — the covered side is
+    * bounded by the universe, broadcast at fixture scale, bucketed at
+    * 100 TB), one partial-aggregated per-doc count, and a 1-row
+    * argmax collected to the driver (the A6 scalar two-phase shape —
+    * k driver round-trips for k selections, exactly how distributed
+    * submodular greedy runs in practice; for large k switch to the
+    * GREEDI two-level partition scheme, same per-round plan). The
+    * oracle unrolls the same five rounds as CTEs with the identical
+    * (gain DESC, doc_id) tiebreak.
+    */
+  private val CoverRounds = 5
+
+  def greedyCover(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokset = graft.ops.DedupOps
+      .shingleArrays(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .localCheckpoint()
+    var covered: DataFrame = tokset.select(col("tok")).limit(0)
+    var chosen = List.empty[(Int, Long, Long)]
+    (1 to CoverRounds).foreach { r =>
+      val gains = tokset
+        .filter(!col("doc_id").isInCollection(
+          chosen.map(_._2) match { case Nil => Seq(-1L); case ds => ds }))
+        .join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      val w = gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect()(0)
+      chosen = chosen :+ ((r, w.getLong(0), w.getLong(1)))
+      covered = covered
+        .unionByName(tokset.filter(col("doc_id") === w.getLong(0))
+          .select(col("tok")))
+        .distinct()
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    chosen.toDF("round", "doc_id", "gain")
+      .withColumn("round", col("round").cast("long"))
+      .withColumn("covered_cum",
+        sum(col("gain")).over(Window.orderBy(col("round"))))
+      .orderBy(col("round"))
+  }
+
+  private lazy val greedyCoverOracle = {
+    def round(k: Int): String = {
+      val prevWinners =
+        (1 until k).map(j => s"SELECT doc_id FROM w$j").mkString(" UNION ALL ")
+      val exclude =
+        if (k == 1) ""
+        else s"WHERE t.doc_id NOT IN ($prevWinners)"
+      val anti =
+        if (k == 1) ""
+        else s"ANTI JOIN c${k - 1} USING (tok)"
+      s"""r$k AS (SELECT t.doc_id, COUNT(*) AS gain
+         |        FROM tokset t $anti $exclude GROUP BY t.doc_id),
+         |w$k AS (SELECT doc_id, gain FROM r$k
+         |        ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$k AS (SELECT DISTINCT tok FROM tokset
+         |        WHERE doc_id IN (SELECT doc_id FROM w$k)
+         |        ${if (k == 1) "" else s"UNION SELECT tok FROM c${k - 1}"})"""
+        .stripMargin
+    }
+    val rounds = (1 to CoverRounds).map(round).mkString(",\n")
+    val union = (1 to CoverRounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, doc_id, gain FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""WITH tokset AS (
+       |  SELECT doc_id, shingle AS tok
+       |  FROM (SELECT DISTINCT doc_id,
+       |          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |              FROM documents),
+       |             LATERAL unnest(generate_series(1, len(words)-2)) AS t(i)
+       |        WHERE len(words) >= 3)),
+       |$rounds
+       |SELECT round, doc_id, gain,
+       |       CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   // ------------------------------------- fasttext-style classifier
   /** Linear text-classifier INFERENCE in the fastText bag-of-hashed-
     * features shape (Joulin et al. '16) — how FineWeb-Edu / DataComp
@@ -1138,6 +1230,7 @@ object CurationOps {
       |GROUP BY lang, kept ORDER BY lang, kept""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_greedy_cover" -> (greedyCover _),
     "q_fasttext_score" -> (fasttextScore _),
     "q_record_linkage" -> (recordLinkage _),
     "q_feature_hash" -> (featureHash _),
@@ -1158,6 +1251,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_greedy_cover" -> greedyCoverOracle,
     "q_fasttext_score" -> fasttextScoreOracle,
     "q_record_linkage" -> recordLinkageOracle,
     "q_feature_hash" -> featureHashOracle,

@@ -392,6 +392,39 @@ class CurationOpsSpec extends SparkSpec {
     for (hi <- byGamma.get(15); lo <- byGamma.get(0)) assert(hi > lo)
   }
 
+  test("greedy cover: matches driver greedy, gains never increase (submodularity)") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shingles = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> (if (ws.length < 3) Set.empty[String]
+             else ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty).toMap
+    var covered = Set.empty[String]
+    var picked = Set.empty[Long]
+    val truth = (1 to 5).map { r =>
+      val (doc, gain) = shingles.view.filterKeys(!picked(_))
+        .mapValues(s => (s -- covered).size).toSeq
+        .maxBy { case (id, g) => (g, -id) }
+      covered ++= shingles(doc); picked += doc
+      (r.toLong, doc, gain.toLong)
+    }
+    val got = ops.CurationOps.greedyCover(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == truth.toSeq,
+      s"greedy selections differ: ${got.toSeq} vs $truth")
+    // submodularity: marginal gains are non-increasing round over round
+    val gains = got.map(_._3)
+    gains.zip(gains.tail).foreach { case (a, b) =>
+      assert(b <= a, s"gain increased: $gains")
+    }
+    // running coverage in the output is the gain prefix sum
+    val cum = ops.CurationOps.greedyCover(spark, sfSmall).collect()
+      .map(_.getLong(3))
+    assert(cum.toSeq == gains.scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("fasttext score: matches a driver-side bag-of-hashed-features recompute") {
     def md5Long(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
