@@ -351,7 +351,8 @@ object MultimodalOps {
     * image-corpus pipeline runs over crawled files: dispatch on magic
     * bytes and parse width/height/format/bit-depth straight out of the
     * header (PNG: big-endian IHDR fields behind the 8-byte signature;
-    * BMP: little-endian BITMAPINFOHEADER fields), with no codec
+    * BMP: little-endian BITMAPINFOHEADER fields; GIF: little-endian
+    * logical-screen-descriptor fields behind `GIF89a`), with no codec
     * dependency — headers are fixed-offset integer fields, so unlike
     * [[decodeStub]]'s pixel stage this decode is NOT stubbed: it reads
     * real, spec-valid files ([[graft.sources.ImageFiles]]) and returns
@@ -380,10 +381,10 @@ object MultimodalOps {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "img_*.{png,bmp}")
+      .option("pathGlobFilter", "img_*.{png,bmp,gif}")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp)$", 1)
+        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp|gif)$", 1)
           .cast("long").as("img_id"),
         col("length").as("n_bytes"), col("content"))
       .as[(Long, Long, Array[Byte])]
@@ -395,6 +396,13 @@ object MultimodalOps {
         else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
           (id, "bmp", le32(b, 18), le32(b, 22),
             (b(28) & 0xff) | ((b(29) & 0xff) << 8), n)
+        else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' &&
+            b(2) == 'F' && b(3) == '8' &&
+            (b(4) == '9' || b(4) == '7') && b(5) == 'a')
+          // logical screen descriptor: w/h le16; bit depth = GCT size
+          // bits + 1 (bits/pixel of the global palette)
+          (id, "gif", (b(6) & 0xff) | ((b(7) & 0xff) << 8),
+            (b(8) & 0xff) | ((b(9) & 0xff) << 8), (b(10) & 7) + 1, n)
         else (id, "unknown", -1, -1, -1, n)
       })
       .toDF("img_id", "format", "width", "height", "bit_depth", "n_bytes")
@@ -405,21 +413,28 @@ object MultimodalOps {
     import graft.sources.ImageFiles.NImages
     // raw scanline bytes of the PNG: h rows of (filter byte + 3w pixels)
     val raw = "(height * (1 + 3 * width))"
+    // gif LZW data bytes: 3 bits per code, (CC, idx) per pixel + EOI
+    val gifData = "((3 * (2 * width * height + 1) + 7) // 8)"
     s"""WITH dims AS (
        |  SELECT doc_id AS img_id,
        |         CAST(16 + (doc_id * 7) % 240 AS INTEGER) AS width,
        |         CAST(16 + (doc_id * 13) % 180 AS INTEGER) AS height
        |  FROM documents WHERE doc_id < $NImages)
        |SELECT img_id,
-       |       CASE WHEN img_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |       CASE WHEN img_id % 3 = 0 THEN 'png'
+       |            WHEN img_id % 3 = 1 THEN 'bmp' ELSE 'gif' END AS format,
        |       width, height,
-       |       CAST(CASE WHEN img_id % 2 = 0 THEN 8 ELSE 24 END AS INTEGER)
+       |       CAST(CASE WHEN img_id % 3 = 0 THEN 8
+       |                 WHEN img_id % 3 = 1 THEN 24 ELSE 1 END AS INTEGER)
        |         AS bit_depth,
        |       -- png: sig 8 + IHDR 25 + IDAT wrapper 12 + zlib (2 hdr +
-       |       -- 5/block + raw + 4 adler) + IEND 12;  bmp: 54 + padded rows
-       |       CAST(CASE WHEN img_id % 2 = 0
+       |       -- 5/block + raw + 4 adler) + IEND 12;  bmp: 54 + padded
+       |       -- rows;  gif: 32 fixed + LZW data + sub-block length bytes
+       |       CAST(CASE WHEN img_id % 3 = 0
        |            THEN 8 + 25 + 12 + 2 + 5 * CEIL($raw / 65535.0) + $raw + 4 + 12
-       |            ELSE 54 + height * ((3 * width + 3) // 4 * 4)
+       |            WHEN img_id % 3 = 1
+       |            THEN 54 + height * ((3 * width + 3) // 4 * 4)
+       |            ELSE 32 + $gifData + ($gifData + 254) // 255
        |            END AS BIGINT) AS n_bytes
        |FROM dims ORDER BY img_id""".stripMargin
   }

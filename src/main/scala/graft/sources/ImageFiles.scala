@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ImageFiles {
 
-  private val FixtureVersion = 1
+  private val FixtureVersion = 2
   private[graft] val NImages = 48
 
   /** Dimension formulas — the oracle's ground truth. */
@@ -110,8 +110,56 @@ object ImageFiles {
     out
   }
 
-  /** Fixture dir: `img_NNNNN.png`/`.bmp` per id < [[NImages]] plus a
-    * decoy the glob filter must skip. */
+  /** Complete GIF89a: 2-entry global color table, every pixel index 0,
+    * and an LZW stream that interleaves a CLEAR code before every pixel
+    * code — the clear resets the decoder's table each step, so the code
+    * width is pinned at minCodeSize+1 = 3 bits for the whole stream
+    * (decoder-valid, maximally naive — the GIF twin of the PNG's
+    * stored-mode zlib). LSB-first bit packing per the spec; data bytes
+    * wrap in ≤255-byte sub-blocks.
+    * Size = 32 + data + ⌈data/255⌉, data = ⌈3·(2wh+1)/8⌉
+    * (32 = 6 header + 7 LSD + 6 GCT + 10 image descriptor +
+    * 1 minCodeSize + 1 block terminator + 1 trailer). */
+  private[graft] def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val n = w.toLong * h
+    val totalBits = 3L * (2 * n + 1) // (CC, idx0) per pixel + EOI
+    val dataLen = ((totalBits + 7) / 8).toInt
+    val data = new Array[Byte](dataLen)
+    var bit = 0L
+    def put3(code: Int): Unit = {
+      var i = 0
+      while (i < 3) {
+        if (((code >> i) & 1) != 0) {
+          val at = (bit >> 3).toInt
+          data(at) = (data(at) | (1 << (bit & 7).toInt)).toByte
+        }
+        bit += 1; i += 1
+      }
+    }
+    var p = 0L
+    while (p < n) { put3(4); put3(0); p += 1 } // clear, pixel
+    put3(5) // end-of-information
+    val out = new java.io.ByteArrayOutputStream(dataLen + 64)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80); out.write(0); out.write(0) // GCT(2 entries), bg, aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // palette: black, white
+    out.write(0x2c); out.write(le16(0)); out.write(le16(0))
+    out.write(le16(w)); out.write(le16(h)); out.write(0) // image descriptor
+    out.write(2) // LZW min code size
+    var off = 0
+    while (off < dataLen) {
+      val len = math.min(255, dataLen - off)
+      out.write(len)
+      out.write(data, off, len)
+      off += len
+    }
+    out.write(0); out.write(0x3b) // block terminator, trailer
+    out.toByteArray
+  }
+
+  /** Fixture dir: `img_NNNNN.png`/`.bmp`/`.gif` per id < [[NImages]]
+    * (format = id mod 3) plus a decoy the glob filter must skip. */
   private[graft] def imagesDir(spark: SparkSession, sfDir: String): String = {
     val dir = new File(
       s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}" +
@@ -121,10 +169,14 @@ object ImageFiles {
       dir.mkdirs()
       (0L until NImages.toLong).foreach { id =>
         val (w, h) = (widthOf(id), heightOf(id))
-        if (id % 2 == 0)
-          Files.write(Paths.get(dir.getPath, f"img_$id%05d.png"), pngBytes(w, h))
-        else
-          Files.write(Paths.get(dir.getPath, f"img_$id%05d.bmp"), bmpBytes(w, h))
+        id % 3 match {
+          case 0 => Files.write(
+            Paths.get(dir.getPath, f"img_$id%05d.png"), pngBytes(w, h))
+          case 1 => Files.write(
+            Paths.get(dir.getPath, f"img_$id%05d.bmp"), bmpBytes(w, h))
+          case _ => Files.write(
+            Paths.get(dir.getPath, f"img_$id%05d.gif"), gifBytes(w, h))
+        }
       }
       Files.write(Paths.get(dir.getPath, "notes.txt"),
         "decoy: the pathGlobFilter must never read this".getBytes("UTF-8"))

@@ -48,18 +48,25 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("img_id")
       val (w, h) = (ImageFiles.widthOf(id), ImageFiles.heightOf(id))
-      assert(r.getAs[String]("format") == (if (id % 2 == 0) "png" else "bmp"))
+      val fmt = (id % 3) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+      }
+      assert(r.getAs[String]("format") == fmt)
       assert(r.getAs[Int]("width") == w, s"img $id width")
       assert(r.getAs[Int]("height") == h, s"img $id height")
-      assert(r.getAs[Int]("bit_depth") == (if (id % 2 == 0) 8 else 24))
+      assert(r.getAs[Int]("bit_depth") ==
+        ((id % 3) match { case 0 => 8; case 1 => 24; case _ => 1 }))
       // file sizes obey the closed-form construction (PNG stored-zlib
-      // block math; BMP 4-byte row padding) — proving the fixture is a
-      // complete image, not a bare header
+      // block math; BMP 4-byte row padding; GIF constant-width LZW with
+      // per-pixel clears) — proving each fixture is a complete image,
+      // not a bare header
       val raw = h * (1 + 3 * w)
-      val want =
-        if (id % 2 == 0)
-          8L + 25 + 12 + 2 + 5 * ((raw + 65534) / 65535) + raw + 4 + 12
-        else 54L + h.toLong * ((3 * w + 3) / 4 * 4)
+      val gifData = (3L * (2L * w * h + 1) + 7) / 8
+      val want = (id % 3) match {
+        case 0 => 8L + 25 + 12 + 2 + 5 * ((raw + 65534) / 65535) + raw + 4 + 12
+        case 1 => 54L + h.toLong * ((3 * w + 3) / 4 * 4)
+        case _ => 32L + gifData + (gifData + 254) / 255
+      }
       assert(r.getAs[Long]("n_bytes") == want, s"img $id size")
     }
     // the parser is not fixture-bound: a PNG with dims the formulas
@@ -68,6 +75,26 @@ class MultimodalSpec extends SparkSpec {
     val ihdrW = ((odd(16) & 0xff) << 24) | ((odd(17) & 0xff) << 16) |
       ((odd(18) & 0xff) << 8) | (odd(19) & 0xff)
     assert(ihdrW == 1021)
+  }
+
+  test("generated images decode with the JDK's own ImageIO — external spec-validity proof") {
+    import graft.sources.ImageFiles
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    // dims deliberately outside the fixture formulas
+    for ((bytes, w, h, fmt) <- Seq(
+        (ImageFiles.pngBytes(33, 21), 33, 21, "png"),
+        (ImageFiles.gifBytes(33, 21), 33, 21, "gif"),
+        (ImageFiles.gifBytes(300, 2), 300, 2, "gif"))) {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the generated $fmt")
+      assert(img.getWidth == w && img.getHeight == h,
+        s"$fmt decoded ${img.getWidth}x${img.getHeight}, want ${w}x$h")
+      // every pixel is the palette's black — the LZW/zlib streams carry
+      // real pixel data an independent decoder reproduces
+      for (x <- 0 until w; y <- 0 until h)
+        assert((img.getRGB(x, y) & 0xffffff) == 0, s"$fmt pixel ($x,$y)")
+    }
   }
 
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
