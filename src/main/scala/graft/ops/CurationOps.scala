@@ -1083,20 +1083,30 @@ object CurationOps {
       .localCheckpoint()
     var covered: DataFrame = tokset.select(col("tok")).limit(0)
     var chosen = List.empty[(Int, Long, Long)]
+    var exhausted = false
     (1 to CoverRounds).foreach { r =>
-      val gains = tokset
-        .filter(!col("doc_id").isInCollection(
-          chosen.map(_._2) match { case Nil => Seq(-1L); case ds => ds }))
-        .join(covered, Seq("tok"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
-      val w = gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
-        .collect()(0)
-      chosen = chosen :+ ((r, w.getLong(0), w.getLong(1)))
-      covered = covered
-        .unionByName(tokset.filter(col("doc_id") === w.getLong(0))
-          .select(col("tok")))
-        .distinct()
-        .localCheckpoint()
+      if (!exhausted) {
+        val gains = tokset
+          .filter(!col("doc_id").isInCollection(
+            chosen.map(_._2) match { case Nil => Seq(-1L); case ds => ds }))
+          .join(covered, Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        val rows = gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect()
+        // universe fully covered (or no unselected docs): stop early
+        // with the rounds achieved — the oracle's w_k CTEs go empty the
+        // same way and the two sides stay row-for-row equal
+        if (rows.isEmpty) exhausted = true
+        else {
+          val w = rows(0)
+          chosen = chosen :+ ((r, w.getLong(0), w.getLong(1)))
+          covered = covered
+            .unionByName(tokset.filter(col("doc_id") === w.getLong(0))
+              .select(col("tok")))
+            .distinct()
+            .localCheckpoint()
+        }
+      }
     }
     import spark.implicits._
     chosen.toDF("round", "doc_id", "gain")
@@ -1162,6 +1172,18 @@ object CurationOps {
     */
   private val FtBuckets = 4096L
 
+  /** Unigram + adjacent-bigram feature bag over a `ws` token array. The
+    * bigram index list is filter(i < size) — NOT sequence(1, n−1),
+    * which Spark evaluates as the DESCENDING [1, 0] on single-token
+    * docs and then faults on element_at(ws, 0). Exposed for the spec's
+    * single-token regression pin.
+    */
+  private[graft] val FtFeatureExpr =
+    """concat(transform(ws, w -> concat('u:', w)),
+      |       transform(filter(sequence(1, size(ws)), i -> i < size(ws)),
+      |                 i -> concat('b:', element_at(ws, i), ' ',
+      |                             element_at(ws, i + 1))))""".stripMargin
+
   def fasttextScore(spark: SparkSession, sfDir: String): DataFrame = {
     // the "model": bucket → weight in exact milli-units
     val weights = spark.range(0, FtBuckets).select(
@@ -1172,12 +1194,8 @@ object CurationOps {
       .withColumn("ws", split(col("text"), " "))
     // bag of features: every unigram token + every adjacent bigram;
     // lang rides the narrow feature rows so the doc table scans ONCE
-    val feats = docs.select(col("doc_id"), col("lang"), explode(expr(
-      """concat(transform(ws, w -> concat('u:', w)),
-        |       transform(sequence(1, greatest(size(ws) - 1, 0)),
-        |                 i -> concat('b:', element_at(ws, i), ' ',
-        |                             element_at(ws, i + 1))))""".stripMargin))
-      .as("feat"))
+    val feats = docs.select(col("doc_id"), col("lang"),
+      explode(expr(FtFeatureExpr)).as("feat"))
       .select(col("doc_id"), col("lang"),
         (expr("CAST(conv(substring(md5(CAST(feat AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
           % FtBuckets).as("bucket"))

@@ -233,18 +233,25 @@ object StreamingOps {
     * ([[graft.ops.DedupOps.winnowFingerprints]] — per-doc window math,
     * so the stream side stays map-parallel and carries the k+w−1 = 8
     * token detection guarantee) probe the STANDING fingerprint index;
-    * a doc sharing ≥ 2 fingerprints with ANY earlier document
-    * (standing, or lower doc_id in the same micro-batch) is dropped.
-    * ALL arrivals' fingerprints then merge into the index —
-    * "dominated-by-any-earlier", the deterministic order-free rule, so
-    * a chain A←B←C drops both B and C even though B never survived
-    * (one more drop than a greedy kept-only probe would make: the
-    * conservative direction for training-data hygiene, and the rule a
-    * batch recompute can replay exactly). Decisions are FINAL (append
-    * ledger), the same trade as the other channels; under in-order
-    * ingest (doc_id order) the ledger's drop-set equals the batch
-    * [[graft.ops.DedupOps.winnowing]] pair table's d2 side exactly —
-    * StreamingSpec pins that equality plus a driver recompute.
+    * a doc sharing ≥ 2 DISTINCT fingerprints with any LOWER-doc_id
+    * document in the current population (standing index ∪ own
+    * micro-batch) is dropped. ALL arrivals' fingerprints then merge
+    * into the index — "dominated-by-lower-id", the deterministic
+    * order-free rule, so a chain A←B←C drops both B and C even though
+    * B never survived (one more drop than a greedy kept-only probe
+    * would make: the conservative direction for training-data
+    * hygiene, and the rule a batch recompute can replay exactly).
+    * Decisions are FINAL (append ledger) and REPLAY-IDEMPOTENT: the
+    * lower-id predicate applies to the standing probe too (a doc
+    * never matches its own index rows after a crash-replay
+    * re-delivery), and shared counts are per-DISTINCT-hash (duplicate
+    * index rows from a replayed append cannot double a count past the
+    * threshold) — a redelivered batch re-appends byte-identical
+    * ledger rows a reader dedups on doc_id, the semDedupStream crash
+    * contract. Under in-order ingest (doc_id order) the ledger's
+    * drop-set equals the batch [[graft.ops.DedupOps.winnowing]] pair
+    * table's d2 side exactly — StreamingSpec pins that equality plus
+    * a driver recompute.
     *
     * Scale shape per micro-batch: fingerprinting is per-doc map math
     * (~7% of k-gram rows survive selection); the probe is a posting-
@@ -266,15 +273,21 @@ object StreamingOps {
           if (fs.exists(new org.apache.hadoop.fs.Path(indexTbl)))
             spark.read.parquet(indexTbl)
           else fps.limit(0)
+        // lower-id predicate on BOTH probes (replay idempotence: after
+        // a crash re-delivery the standing index contains this very
+        // batch — self- and higher-id matches must not flip decisions),
+        // and countDistinct (duplicate index rows from a replayed
+        // append must not double a shared count past the threshold)
         val pairsStanding = fps.as("x")
-          .join(standing.as("y"), col("x.h") === col("y.h"))
+          .join(standing.as("y"),
+            col("x.h") === col("y.h") && col("y.doc_id") < col("x.doc_id"))
           .groupBy(col("x.doc_id").as("d"), col("y.doc_id").as("o"))
-          .agg(count(lit(1)).as("sh"))
+          .agg(countDistinct(col("x.h")).as("sh"))
         val pairsBatch = fps.as("x")
           .join(fps.as("y"),
             col("x.h") === col("y.h") && col("y.doc_id") < col("x.doc_id"))
           .groupBy(col("x.doc_id").as("d"), col("y.doc_id").as("o"))
-          .agg(count(lit(1)).as("sh"))
+          .agg(countDistinct(col("x.h")).as("sh"))
         val dropped = pairsStanding.unionByName(pairsBatch)
           .filter(col("sh") >= 2)
           .select(col("d")).distinct().withColumn("hit", lit(1L))

@@ -410,8 +410,8 @@ class CurationOpsSpec extends SparkSpec {
       covered ++= shingles(doc); picked += doc
       (r.toLong, doc, gain.toLong)
     }
-    val got = ops.CurationOps.greedyCover(spark, sfSmall).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = ops.CurationOps.greedyCover(spark, sfSmall).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == truth.toSeq,
       s"greedy selections differ: ${got.toSeq} vs $truth")
     // submodularity: marginal gains are non-increasing round over round
@@ -420,17 +420,22 @@ class CurationOpsSpec extends SparkSpec {
       assert(b <= a, s"gain increased: $gains")
     }
     // running coverage in the output is the gain prefix sum
-    val cum = ops.CurationOps.greedyCover(spark, sfSmall).collect()
-      .map(_.getLong(3))
+    val cum = rows.map(_.getLong(3))
     assert(cum.toSeq == gains.scanLeft(0L)(_ + _).tail.toSeq)
   }
 
+  test("fasttext features: single-token docs get unigrams only, no fault") {
+    import spark.implicits._
+    val out = Seq("solo", "two words").toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(expr(ops.CurationOps.FtFeatureExpr).as("feats"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("u:solo"),
+      s"single-token doc must yield just its unigram, got ${out(0)}")
+    assert(out(1) == List("u:two", "u:words", "b:two words"))
+  }
+
   test("fasttext score: matches a driver-side bag-of-hashed-features recompute") {
-    def md5Long(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
-    }
     val docs = Tables.documents(spark, sfSmall)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -366,23 +366,8 @@ class DedupSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------- winnowing
-  /** First 15 hex chars of md5 as a long — the engines' shared 60-bit
-    * hash primitive, recomputed driver-side.
-    */
-  private def md5Long(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.map(b => f"$b%02x").mkString.take(15), 16)
-  }
-
-  /** Driver-side winnowing: window-min (w=4) over word-5-gram hashes. */
-  private def winnowTruth(text: String): Set[Long] = {
-    val ws = text.split(" ", -1)
-    if (ws.length < 8) Set.empty
-    else ws.sliding(5).map(g => md5Long(g.mkString(" ")))
-      .toArray.sliding(4).map(_.min).toSet
-  }
+  // md5Long / winnowTruth come from SparkSpec — shared with the
+  // streaming twin's suite so both test the same ground truth
 
   test("winnowing: fingerprint sets match the driver-side recompute exactly") {
     val sparkFp = ops.DedupOps

@@ -21,6 +21,28 @@ trait SparkSpec extends AnyFunSuite {
   val sfTiny = "/root/testdata/sf0.001"
   val sfSmall = "/root/testdata/sf0.01"
 
+  /** First 15 hex chars of md5 as a long — the engines' shared 60-bit
+    * hash primitive, recomputed driver-side for ground truths (the
+    * Spark `conv(substring(md5(x),1,15),16,10)` == DuckDB
+    * `'0x' || substring(md5(x),1,15)` convention).
+    */
+  protected def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Driver-side winnowing fingerprints (window-min w=4 over word-5-gram
+    * 60-bit hashes) — the shared ground truth for the batch operator and
+    * its streaming twin.
+    */
+  protected def winnowTruth(text: String): Set[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 8) Set.empty
+    else ws.sliding(5).map(g => md5Long(g.mkString(" ")))
+      .toArray.sliding(4).map(_.min).toSet
+  }
+
   /** Exact equality of two frames (schema-order-insensitive, row-order
     * sensitive — our queries all end in orderBy).
     */

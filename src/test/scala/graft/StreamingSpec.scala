@@ -704,19 +704,9 @@ class StreamingSpec extends SparkSpec {
       assert(streamDropped == batchDropped,
         s"stream drop-set ${streamDropped.size} != batch ${batchDropped.size}")
 
-      // independent driver recompute of the same rule
-      def md5Long(s: String): Long = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8"))
-        java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
-      }
-      def fp(text: String): Set[Long] = {
-        val ws = text.split(" ", -1)
-        if (ws.length < 8) Set.empty
-        else ws.sliding(5).map(g => md5Long(g.mkString(" ")))
-          .toArray.sliding(4).map(_.min).toSet
-      }
-      val fpMap = docs.map { case (id, t) => id -> fp(t) }
+      // independent driver recompute of the same rule (winnowTruth is
+      // the SparkSpec-shared ground truth, same as DedupSpec's)
+      val fpMap = docs.map { case (id, t) => id -> winnowTruth(t) }
       val truthDropped = fpMap.filter { case (id, f) =>
         fpMap.exists { case (o, g) => o < id && (f & g).size >= 2 }
       }.map(_._1).toSet
