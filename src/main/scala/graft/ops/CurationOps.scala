@@ -1077,9 +1077,16 @@ object CurationOps {
   private val CoverRounds = 5
 
   def greedyCover(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingles hash to the 60-bit md5 primitive in the explode (the
+    // ppjoin lesson): every downstream anti-join/aggregate/checkpoint
+    // moves 8-byte longs, and the hashed universes are identical in
+    // both engines so all coverage counts stay bit-equal
     val tokset = graft.ops.DedupOps
       .shingleArrays(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sh, s ->
+          |  CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("tok"))
       .localCheckpoint()
     var covered: DataFrame = tokset.select(col("tok")).limit(0)
     var chosen = List.empty[(Int, Long, Long)]
@@ -1100,11 +1107,14 @@ object CurationOps {
         else {
           val w = rows(0)
           chosen = chosen :+ ((r, w.getLong(0), w.getLong(1)))
+          // no distinct, no checkpoint: left_anti is insensitive to
+          // duplicate right-side rows, and the lineage is ≤ k unions of
+          // narrow filters over the already-checkpointed token table —
+          // dropping the per-round dedup shuffle + materialization job
+          // measured 6.1 s → ~3 s at sf0.1
           covered = covered
             .unionByName(tokset.filter(col("doc_id") === w.getLong(0))
               .select(col("tok")))
-            .distinct()
-            .localCheckpoint()
         }
       }
     }
@@ -1140,7 +1150,8 @@ object CurationOps {
       .map(k => s"SELECT CAST($k AS BIGINT) AS round, doc_id, gain FROM w$k")
       .mkString(" UNION ALL ")
     s"""WITH tokset AS (
-       |  SELECT doc_id, shingle AS tok
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS tok
        |  FROM (SELECT DISTINCT doc_id,
        |          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
        |        FROM (SELECT doc_id, string_split(text, ' ') AS words
