@@ -1309,7 +1309,92 @@ object SimilarityOps {
        |FROM cells c LEFT JOIN drops d ON d.cell = c.cell
        |GROUP BY c.cell ORDER BY c.cell""".stripMargin
 
+  // ------------------------------------------------- k-center seeding
+  /** Farthest-first traversal (Gonzalez '85 — the 2-approximation to
+    * metric k-center) over the embedding corpus in cosine distance:
+    * the DIVERSITY-sampling primitive of an embedding pipeline
+    * (k-means±± seeding, diverse eval-set selection, coreset
+    * construction) and the metric twin of
+    * [[graft.ops.CurationOps.greedyCover]]'s set-coverage greedy.
+    * Start from the min-id vector; k−1 times select the vector whose
+    * distance to its NEAREST already-chosen center is largest
+    * (max-min, e6-quantized, vec_id tiebreak). The emitted selection
+    * distances are the Gonzalez radius ladder — non-increasing, and
+    * the k-th value 2-approximates the optimal k-center radius
+    * (SimilaritySpec pins both the ladder and a recompute).
+    *
+    * Scale shape: each round is one broadcast of ≤ k center vectors
+    * against a linear corpus scan — a narrow (vec_id, min_dist)
+    * partial-aggregated reduction and a 1-row A6 argmax; k passes
+    * total, never a pairwise materialization. Distances re-derive per
+    * round from the checkpointed norm frame (at large k keep a
+    * running min column instead — same plan per round, documented
+    * swap). Parity: each pairwise distance quantizes to e6 BEFORE any
+    * min/max, so both engines reduce identical integers; the dot
+    * products are the pinned left-to-right folds ([[dotSql]]/VecDot).
+    */
+  private val KcRounds = 4
+
+  def kcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .localCheckpoint()
+    val seed = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    var chosen = List[(Long, java.lang.Double)]((seed, null))
+    (2 to KcRounds).foreach { _ =>
+      val centers = e.filter(col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("norm").as("cn"))
+      val far = e
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .crossJoin(broadcast(centers))
+        .withColumn("d6",
+          round(lit(1.0) - cosine("embedding", "norm", "cv", "cn"), 6))
+        .groupBy(col("vec_id")).agg(min(col("d6")).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      chosen = chosen :+ ((far.getLong(0), Double.box(far.getDouble(1))))
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("round", "vec_id", "radius")
+      .withColumn("radius", col("radius").cast("double"))
+      .orderBy(col("round"))
+  }
+
+  private lazy val kcenterOracle = {
+    def centerSql(k: Int): String =
+      if (k == 1)
+        """c1 AS (SELECT vec_id, embedding FROM embeddings
+          |       WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"""
+          .stripMargin
+      else
+        s"""d$k AS (SELECT e.vec_id,
+           |          MIN(ROUND(1.0 - ${cosineSql("e.embedding", "c.embedding")}, 6))
+           |            AS dist
+           |        FROM embeddings e CROSS JOIN c${k - 1} c
+           |        WHERE e.vec_id NOT IN (SELECT vec_id FROM c${k - 1})
+           |        GROUP BY e.vec_id),
+           |w$k AS (SELECT vec_id, dist FROM d$k
+           |        ORDER BY dist DESC, vec_id LIMIT 1),
+           |c$k AS (SELECT vec_id, embedding FROM c${k - 1}
+           |        UNION ALL
+           |        SELECT e.vec_id, e.embedding FROM embeddings e
+           |        WHERE e.vec_id IN (SELECT vec_id FROM w$k))""".stripMargin
+    val rounds = (1 to KcRounds).map(centerSql).mkString(",\n")
+    val union = (
+      s"SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+        +: (2 to KcRounds).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS round, vec_id, dist AS radius FROM w$k")
+    ).mkString(" UNION ALL ")
+    s"""WITH $rounds
+       |SELECT round, vec_id, radius FROM ($union) ORDER BY round"""
+      .stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcenter" -> (kcenter _),
     "q_ivfpq_ann" -> (ivfpqAnn _),
     "q_semdedup" -> (semDedup _),
     "q_embedding_drift" -> (embeddingDrift _),
@@ -1328,6 +1413,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kcenter" -> kcenterOracle,
     "q_ivfpq_ann" -> ivfpqAnnOracle,
     "q_semdedup" -> semDedupOracle,
     "q_embedding_drift" -> embeddingDriftOracle,

@@ -369,4 +369,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.toSet -- dropped == (0 until nsub).map(_.toLong * 2).toSet,
       "survivors must be each round-robin subcell's minimum id")
   }
+
+  test("kcenter: matches driver farthest-first, radius ladder non-increasing") {
+    val vecs = Tables.embeddings(spark, sfSmall)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same arithmetic as VecDot: float products exact in double,
+    // sequential left-to-right accumulation
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d6(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var chosen = List(vecs.keys.min)
+    val radii = scala.collection.mutable.ListBuffer[Double]()
+    (2 to 4).foreach { _ =>
+      val (far, dist) = vecs.view.filterKeys(!chosen.contains(_))
+        .map { case (id, v) => id -> chosen.map(c => d6(v, vecs(c))).min }
+        .toSeq.maxBy { case (id, d) => (d, -id) }
+      chosen = chosen :+ far; radii += dist
+    }
+    val got = SimilarityOps.kcenter(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._2).toList == chosen, s"${got.toSeq} vs $chosen")
+    assert(got.head._3.isEmpty, "seed row has no radius")
+    got.tail.map(_._3.get).zip(radii).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"radius $a vs $b")
+    }
+    // the Gonzalez ladder never increases (each new center can only
+    // shrink every point's distance-to-nearest-center)
+    val ladder = got.tail.map(_._3.get)
+    ladder.zip(ladder.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-12, s"radius ladder increased: $ladder")
+    }
+  }
 }
