@@ -365,6 +365,39 @@ class DedupSpec extends SparkSpec {
       s"prefix filter only reached $nCand of ${n * (n - 1) / 2} pairs")
   }
 
+  // ------------------------------------------------ edit-distance join
+  test("edit join: exact — equals brute-force levenshtein<=2 on prefixes") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pre = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).take(24)))
+    val truth = (for {
+      i <- pre.indices.iterator
+      j <- (i + 1) until pre.length
+      ed = lev(pre(i)._2, pre(j)._2) if ed <= 2
+    } yield {
+      val (a, b) = (pre(i)._1, pre(j)._1)
+      (math.min(a, b), math.max(a, b)) -> ed.toLong
+    }).toMap
+    val got = ops.DedupOps.editJoin(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet == truth.keySet,
+      s"edit-join pair set differs from brute force: " +
+        s"missed=${(truth.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- truth.keySet).take(3)}")
+    got.foreach { case (p, ed) =>
+      assert(ed == truth(p), s"edit distance mismatch at $p")
+    }
+  }
+
   // ---------------------------------------------------- winnowing
   // md5Long / winnowTruth come from SparkSpec — shared with the
   // streaming twin's suite so both test the same ground truth
