@@ -12,8 +12,8 @@ import graft.geo.GeoFunctions
   *
   *  - `spark.sql.extensions=graft.GraftExtensions` injects the native
   *    Catalyst expressions (`vec_dot`, `roll_hash`, `minhash_sigs`,
-  *    `simhash_sig`) and the [[graft.plans.RangeJoinRewrite]] optimizer
-  *    rule at session build — the canonical plug-in point, so they
+  *    `simhash_sig`) and the [[graft.plans.RangeJoinRewrite]] +
+  *    [[graft.plans.EditJoinRewrite]] optimizer rules at session build — the canonical plug-in point, so they
   *    exist in every session (including thrift/connect ones) without
   *    user code.
   *  - [[GraftFunctions.registerAll]] registers the full function
@@ -24,6 +24,7 @@ import graft.geo.GeoFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
+    ext.injectOptimizerRule(graft.plans.EditJoinRewrite(_))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

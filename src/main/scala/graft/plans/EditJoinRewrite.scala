@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Catalyst optimizer rule: rewrite `levenshtein(a, b) <= k` theta
+  * joins into the positional q-gram count-filter plan.
+  *
+  * An inner join whose only cross-side predicate is an edit-distance
+  * bound has no equi key, so Spark plans BroadcastNestedLoopJoin —
+  * O(|L|·|R|) Levenshtein DPs, each O(|a|·|b|) itself. This rule
+  * applies Gravano et al. (VLDB'01) mechanically, the same shape
+  * [[graft.ops.DedupOps.editJoin]] writes by hand:
+  *
+  *  - each side's DISTINCT strings explode into positional q-grams,
+  *  - candidate value pairs are gram-equal matches within position
+  *    distance k, count-filtered at the theorem's bound
+  *    (ed ≤ k ⇒ matches ≥ max(|a|,|b|) − q + 1 − k·q),
+  *  - the original join re-assembles as two hash joins through the
+  *    candidate pair table (left ⋈ sl, then ⋈ right on sr), with the
+  *    ORIGINAL condition kept as the residual — the filter only
+  *    prunes, the Levenshtein verify still decides, so any further
+  *    conjuncts in the condition ride along untouched.
+  *
+  * Strings shorter than (k+1)·q make the count bound vacuous (T ≤ 0 —
+  * a true pair may share zero q-grams), so the rule length-splits each
+  * side and routes the short-string slices through the original
+  * nested-loop join: at corpus scale those slices are small, the
+  * quadratic stays confined to them, and the union of the three
+  * disjoint legs is exactly the original join's row set.
+  *
+  * The rule never re-fires on its own output: every join it emits
+  * carries an equi conjunct, which the no-equi guard excludes — safe
+  * in the fixed-point optimizer batch `injectOptimizerRule` lands in.
+  */
+case class EditJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** q-gram width; 5 keeps posting lists sparse on small alphabets.
+    * Overridable per session; malformed conf falls back (an optimizer
+    * rule must never throw on user conf). */
+  private def q: Int =
+    spark.conf.getOption("graft.editJoin.q")
+      .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(5)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // one rewrite per query: once marker attributes exist anywhere, the
+    // plan is already in rewritten form — later fixed-point iterations
+    // (where other rules may have dropped node tags) must not re-fire
+    // on the preserved short-string legs
+    if (plan.exists(_.expressions.exists(_.exists {
+      case a: Attribute => a.name.startsWith("__graft_ej")
+      case _ => false
+    }))) plan
+    else plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.getTagValue(EditJoinRewrite.Rewritten).isEmpty =>
+      val conjuncts = {
+        def split(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => split(a) ++ split(b)
+          case other => Seq(other)
+        }
+        split(cond)
+      }
+      val crossSide = conjuncts.filter(c =>
+        c.references.intersect(left.outputSet).nonEmpty &&
+          c.references.intersect(right.outputSet).nonEmpty)
+      val hasEqui = crossSide.exists {
+        case _: EqualTo => true
+        case _: EqualNullSafe => true
+        case _ => false
+      }
+      extractEditBound(crossSide, left, right) match {
+        case Some((aL, aR, k)) if !hasEqui =>
+          rewrite(j, left, right, cond, hint, aL, aR, k)
+        case _ => j
+      }
+  }
+
+  /** Find `levenshtein(a, b) <= k` (either operand order, either
+    * comparison orientation) with the string expressions bound to
+    * opposite sides and k a positive int literal. Returns the
+    * left-bound expression, the right-bound expression, and k. */
+  private def extractEditBound(
+      crossSide: Seq[Expression],
+      left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Int)] = {
+    def bound(e: Expression): Option[(Expression, Expression, Int)] = e match {
+      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) =>
+        Some((a, b, k))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) =>
+        Some((a, b, k))
+      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) =>
+        Some((a, b, k - 1))
+      case _ => None
+    }
+    (for {
+      c <- crossSide
+      (a, b, k) <- bound(c)
+      if k >= 1 && a.dataType == StringType && b.dataType == StringType
+      if a.deterministic && b.deterministic
+      aOnLeft =
+        if (a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) Some(true)
+        else if (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet)) Some(false)
+        else None
+      side <- aOnLeft
+    } yield if (side) (a, b, k) else (b, a, k)).headOption
+  }
+
+  private def rewrite(
+      j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
+      hint: JoinHint, aL: Expression, aR: Expression, k: Int): LogicalPlan = {
+    val minLen = (k + 1) * q // below this, T <= 0 and the filter is vacuous
+    def longF(side: LogicalPlan, a: Expression) =
+      Filter(GreaterThanOrEqual(Length(a), Literal(minLen)), side)
+    def shortF(side: LogicalPlan, a: Expression) =
+      Filter(LessThan(Length(a), Literal(minLen)), side)
+
+    // distinct strings of one side, then positional q-grams
+    def grams(side: LogicalPlan, a: Expression, tag: String)
+        : (LogicalPlan, Attribute, Attribute, Attribute) = {
+      val sAlias = Alias(a, s"__graft_ej_s$tag")()
+      val dedup = Aggregate(Seq(sAlias.toAttribute), Seq(sAlias.toAttribute),
+        Project(Seq(sAlias), longF(side, a)))
+      val s = sAlias.toAttribute
+      val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+      val seq = new Sequence(Literal(1),
+        Subtract(Length(s), Literal(q - 1)), Literal(1))
+        .withTimeZone(conf.sessionLocalTimeZone)
+      val arr = ArrayTransform(seq,
+        LambdaFunction(Substring(s, i, Literal(q)), Seq(i)))
+      val pos = AttributeReference(s"__graft_ej_pos$tag", IntegerType)()
+      val g = AttributeReference(s"__graft_ej_g$tag", StringType)()
+      val gen = Generate(PosExplode(arr), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None,
+        generatorOutput = Seq(pos, g), child = dedup)
+      (gen, s, pos, g)
+    }
+
+    val (genL, sl, posL, gL) = grams(left, aL, "l")
+    val (genR, sr, posR, gR) = grams(right, aR, "r")
+    val gramJoin = Join(genL, genR, Inner,
+      Some(And(EqualTo(gL, gR),
+        LessThanOrEqual(Abs(Subtract(posL, posR)), Literal(k)))), JoinHint.NONE)
+    val cnt = Alias(Count(Seq(Literal(1))).toAggregateExpression(),
+      "__graft_ej_cnt")()
+    val candAgg = Aggregate(Seq(sl, sr), Seq(sl, sr, cnt), gramJoin)
+    // T = max(|sl|, |sr|) - q + 1 - k·q, exact integer arithmetic
+    val threshold = Cast(
+      Subtract(Add(Greatest(Seq(Length(sl), Length(sr))), Literal(1)),
+        Literal(q + k * q)), LongType)
+    val cand = Project(Seq(sl, sr),
+      Filter(GreaterThanOrEqual(cnt.toAttribute, threshold), candAgg))
+
+    // long ⋈ long through the candidate pairs; original cond = residual
+    def tagged(join: Join): Join = {
+      join.setTagValue(EditJoinRewrite.Rewritten, true)
+      join
+    }
+    val longLeg = Project(j.output,
+      tagged(Join(
+        tagged(Join(longF(left, aL), cand, Inner,
+          Some(EqualTo(aL, sl)), JoinHint.NONE)),
+        longF(right, aR), Inner, Some(And(EqualTo(aR, sr), cond)), hint)))
+    // short slices keep the original nested-loop join — disjoint legs,
+    // so the union is exactly the original row set (tagged so this very
+    // rule's in-pass descent cannot re-split them forever)
+    val shortLeft = Project(j.output,
+      tagged(Join(shortF(left, aL), right, Inner, Some(cond), hint)))
+    val shortRight = Project(j.output,
+      tagged(Join(longF(left, aL), shortF(right, aR), Inner, Some(cond), hint)))
+    Union(Seq(longLeg, shortLeft, shortRight))
+  }
+}
+
+object EditJoinRewrite {
+  /** Marks joins this rule emitted (the preserved short-string legs
+    * still contain the raw edit-distance condition). */
+  private[plans] val Rewritten =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.editJoinRewritten")
+
+  /** Attach the rule to a live session (idempotent). */
+  def install(spark: SparkSession): SparkSession = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[EditJoinRewrite]))
+      spark.experimental.extraOptimizations = existing :+ EditJoinRewrite(spark)
+    spark
+  }
+}
