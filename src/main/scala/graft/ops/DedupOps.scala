@@ -1552,7 +1552,39 @@ object DedupOps {
        |WHERE levenshtein(x.p, y.p) <= $EjK
        |ORDER BY c.d1, c.d2""".stripMargin
 
+  /** The SAME edit-distance join written as the naive theta join a
+    * user would type — `levenshtein(s, t) <= 2 AND d1 < d2`, no equi
+    * key — executed with [[graft.plans.EditJoinRewrite]] installed, so
+    * the OPTIMIZER supplies the q-gram count-filter plan that
+    * [[editJoin]] writes by hand. The oracle is the literal theta join
+    * (DuckDB evaluates it naively), which puts the rewrite rule itself
+    * under the driver's hash-match gate: any row the rule loses or
+    * invents fails CORRECTNESS, not just a spec. Cross-checks
+    * [[editJoin]] pair-for-pair (same threshold, same prefixes —
+    * q_edit_join additionally reports the filter's shared counts).
+    */
+  def editJoinRule(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.EditJoinRewrite.install(spark)
+    val pre = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, EjLen).as("p"))
+    val l = pre.select(col("doc_id").as("d1"), col("p").as("s"))
+    val r = pre.select(col("doc_id").as("d2"), col("p").as("t"))
+    l.join(r, levenshtein(col("s"), col("t")) <= EjK && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("s"), col("t")).cast("long").as("edit_dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val editJoinRuleOracle =
+    s"""WITH pre AS (SELECT doc_id, substr(text, 1, $EjLen) AS p FROM documents)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+       |FROM pre a JOIN pre b
+       |  ON levenshtein(a.p, b.p) <= $EjK AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_join_rule" -> (editJoinRule _),
     "q_edit_join" -> (editJoin _),
     "q_ppjoin" -> (ppjoin _),
     "q_winnowing" -> (winnowing _),
@@ -1576,6 +1608,7 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_edit_join_rule" -> editJoinRuleOracle,
     "q_edit_join" -> editJoinOracle,
     "q_ppjoin" -> ppjoinOracle,
     "q_winnowing" -> winnowingOracle,
