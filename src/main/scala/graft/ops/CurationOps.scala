@@ -37,7 +37,8 @@ object CurationOps {
     * counts target and corpus occurrences in the same pass (conditional
     * aggregation — no second scan); totals are a one-row aggregate OF
     * the vocab table, not the stream. The per-term log-ratio is
-    * quantized to integer micro-nats and broadcast back, so the per-doc
+    * quantized to integer micro-nats and joined back unhinted (AQE
+    * broadcasts the vocab table at small SF only), so the per-doc
     * reduction is an exact integer sum — order-free, partial-agg'd,
     * skew-irrelevant. The corpus shuffles once (doc_id), the vocab twice
     * (tiny). Parity: both engines evaluate the same two-ln expression
@@ -64,7 +65,10 @@ object CurationOps {
             (col("n_all") + col("vocab")))) * lit(1000000.0), 0)
           .cast("long"))
       .select(col("term"), col("lr_e6"))
-    toks.join(broadcast(lr), Seq("term"))
+    // lr is vocab-sized — unhinted (AQE broadcasts at small SF,
+    // shuffle-joins on the term key at 100 TB; a forced hint would
+    // hard-fail at the 8 GB broadcast limit).
+    toks.join(lr, Seq("term"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lr_e6")).as("slr"))
       .select(col("doc_id"), col("lang"), col("n_tok"),

@@ -1308,14 +1308,17 @@ object DedupOps {
       .filter(col("la") * 3 <= col("lb") * 5 && col("lb") * 3 <= col("la") * 5)
       .select(col("d1"), col("d2"))
     // every candidate shares ≥1 prefix token, so it appears in the
-    // shared-count frame — the witness total is a window over that
-    // candidate-pool-sized frame, not a second prefix-join pass
-    val shared = cand
+    // shared-count frame — the witness total is the A6 two-phase
+    // scalar (partial-aggregated count, broadcast back by crossJoin):
+    // the candidate frame is the LARGEST intermediate of the whole
+    // operator at corpus scale, so it must stay parallel — an
+    // unpartitioned window here would funnel it through one task
+    val sharedCounts = cand
       .join(tokset.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
       .join(tokset.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-      .withColumn("n_candidates",
-        count(lit(1)).over(Window.partitionBy()))
+    val shared = sharedCounts.crossJoin(
+      broadcast(sharedCounts.agg(count(lit(1)).as("n_candidates"))))
     shared
       .join(sized.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sized.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
@@ -1472,6 +1475,10 @@ object DedupOps {
     * count at T = 20 − 2·5 = 10 can only ADMIT extra candidates —
     * never lose a true pair — and the survivors are verified with the
     * exact `levenshtein`. The filter only prunes; the verify decides.
+    * Precondition (spec-pinned): every prefix is ≥ (k+1)·q = 15 chars
+    * — below that T ≤ 0 and the bound is vacuous; general data goes
+    * through [[graft.plans.EditJoinRewrite]], which length-splits and
+    * routes short strings through a direct levenshtein leg.
     *
     * Scale shape: the q-gram stream is a map-side explode of hashed
     * 8-byte grams (the ppjoin lesson); candidate generation is an
@@ -1564,15 +1571,27 @@ object DedupOps {
     * q_edit_join additionally reports the filter's shared counts).
     */
   def editJoinRule(spark: SparkSession, sfDir: String): DataFrame = {
+    // Install the rule for THIS query only and restore the session's
+    // optimizer environment afterwards (the RangeJoinRewriteSpec
+    // save/restore discipline): a permanent install would make every
+    // later query's optimizer depend on execution ORDER — any other
+    // no-equi levenshtein join in the same session would silently take
+    // the rewritten plan. The join executes eagerly (localCheckpoint)
+    // inside the window so the rewrite provably ran; the returned
+    // frame is the materialized result, optimizer-inert.
+    val saved = spark.experimental.extraOptimizations
     graft.plans.EditJoinRewrite.install(spark)
-    val pre = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), substring(col("text"), 1, EjLen).as("p"))
-    val l = pre.select(col("doc_id").as("d1"), col("p").as("s"))
-    val r = pre.select(col("doc_id").as("d2"), col("p").as("t"))
-    l.join(r, levenshtein(col("s"), col("t")) <= EjK && col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        levenshtein(col("s"), col("t")).cast("long").as("edit_dist"))
-      .orderBy(col("d1"), col("d2"))
+    val joined = try {
+      val pre = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), substring(col("text"), 1, EjLen).as("p"))
+      val l = pre.select(col("doc_id").as("d1"), col("p").as("s"))
+      val r = pre.select(col("doc_id").as("d2"), col("p").as("t"))
+      l.join(r, levenshtein(col("s"), col("t")) <= EjK && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("s"), col("t")).cast("long").as("edit_dist"))
+        .localCheckpoint()
+    } finally spark.experimental.extraOptimizations = saved
+    joined.orderBy(col("d1"), col("d2"))
   }
 
   private val editJoinRuleOracle =

@@ -277,7 +277,11 @@ object TextOps {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfT), Seq("term"))
+    // dfT is bounded by the 3-term query list here, but the join is
+    // left UNHINTED on principle: a forced broadcast() on a df table
+    // would hard-fail past the 8 GB limit if the term list ever grew
+    // corpus-sized; AQE broadcasts the tiny side automatically.
+    val scored = tf.join(dfT, Seq("term"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -399,7 +403,8 @@ object TextOps {
     * per-doc average of ln p(token) under corpus-wide frequencies.
     *
     * Scale shape: term frequencies are one aggregation over the token
-    * stream, broadcast back (vocab-sized); the per-doc reduction is the
+    * stream, joined back UNHINTED (vocab-sized — AQE broadcasts at
+    * small SF, shuffle-joins at scale); the per-doc reduction is the
     * only corpus shuffle. Parity: each token's ln p is QUANTIZED to
     * integer micro-nats before the per-doc sum, so the reduction is
     * exact integer arithmetic — order-free by construction, immune to
@@ -412,7 +417,12 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tot = toks.agg(count(lit(1)).as("n_tot"))
     val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    toks.join(broadcast(freqs), Seq("term"))
+    // freqs is corpus-VOCABULARY-sized (~1e8 terms at 100 TB): no
+    // broadcast() hint — a forced hint overrides all size logic and
+    // dies past Spark's 8 GB broadcast limit. AQE's runtime stats
+    // pick broadcast at small SF and a shuffle join on the uniform
+    // high-cardinality term key at scale.
+    toks.join(freqs, Seq("term"))
       .crossJoin(broadcast(tot))
       .withColumn("lp_e6",
         round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0), 0)
@@ -568,11 +578,12 @@ object TextOps {
     *
     * Scale shape: the bigram stream is the same map-side bound-array
     * explode as [[bpePairs]]; both count tables are partial-aggregated
-    * single shuffles. The count joins broadcast here (bigram vocab is
-    * tiny at fixture scale); at web scale c₂ is Zipf-heavy but large —
-    * the joins become ordinary shuffle equi-joins on (w1[,w2]), or the
-    * LM ships as a bucketed standing table, with the plan otherwise
-    * unchanged. Parity: counts and V are exact integers, the smoothed
+    * single shuffles. The count joins are UNHINTED: AQE broadcasts
+    * them at fixture scale (bigram vocab is tiny there), while at web
+    * scale c₂ is Zipf-heavy but large and the same plan degrades
+    * gracefully to ordinary shuffle equi-joins on (w1[,w2]) — or the
+    * LM ships as a bucketed standing table — with no 8 GB broadcast
+    * cliff. Parity: counts and V are exact integers, the smoothed
     * ratio is one correctly-rounded double division, and each ln is
     * quantized to integer micro-nats BEFORE the per-doc sum (the
     * unigram scorer's order-free-reduction doctrine).
@@ -594,8 +605,11 @@ object TextOps {
     val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = docs.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    big.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // c2/c1 are vocab-sized (bigram types: billions of rows at
+    // 100 TB) — unhinted, so AQE broadcasts at small SF and shuffle-
+    // joins at scale; only the one-row V scalar keeps its hint.
+    big.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("lp_e6",
         round(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
@@ -658,9 +672,12 @@ object TextOps {
     val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val totals = big.agg(count(lit(1)).as("n2"))
       .crossJoin(toks.agg(count(lit(1)).as("n1")))
+    // c1 is vocab-sized — unhinted (AQE broadcasts at fixture scale,
+    // shuffle-joins on the term key at corpus scale); only the one-row
+    // totals scalar keeps its hint.
     c2.filter(col("c2") >= PmiMinSupport)
-      .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("ca"))), Seq("w1"))
-      .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("cb"))), Seq("w2"))
+      .join(c1.select(col("w").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c1").as("cb")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("pmi_e6",
         round(log((col("c2").cast("double") / col("n2")) /
@@ -931,7 +948,8 @@ object TextOps {
     * multiplied by the exact integer tf — score_e6 is an exact long,
     * so ranking and the hash are exact; only the display column
     * divides back to a double. Scale shape: one token-stream groupBy
-    * to (source, term), a vocab-sized df aggregate broadcast back,
+    * to (source, term), a vocab-sized df aggregate joined back
+    * unhinted (AQE broadcasts at small SF, shuffle-joins at scale),
     * and a per-source top-k window over vocab-sized partitions.
     */
   def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
@@ -948,7 +966,10 @@ object TextOps {
       .select(col("term"), col("df"), col("idf_e6"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_e6").desc, col("term"))
-    tf.join(broadcast(dfT), Seq("term"))
+    // dfT is vocab-sized — unhinted; AQE picks broadcast at small SF,
+    // a shuffle equi-join on the term key at 100 TB (a forced hint
+    // would exceed the 8 GB broadcast limit and hard-fail).
+    tf.join(dfT, Seq("term"))
       .withColumn("score_e6", col("tf") * col("idf_e6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -1115,7 +1136,9 @@ object TextOps {
     *
     * Scale shape: the bigram stream is the established map-side
     * explode; all four count tables are single partial-aggregated
-    * shuffles; the pair-type total is an A6 broadcast scalar. The
+    * shuffles joined back UNHINTED (vocab-/bigram-type-sized — AQE
+    * broadcasts at small SF, shuffle-joins at scale, no 8 GB
+    * broadcast cliff); the pair-type total is an A6 broadcast scalar. The
     * tercile split here is an exact global ntile over (ppl, doc_id) —
     * doc-count-sized, oracle-parity mode; at 100 TB the cutpoints come
     * from approx_percentile over the per-doc scores (the equidepth
@@ -1141,10 +1164,17 @@ object TextOps {
       .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("nf"))
     val nb = big.groupBy(col("w2")).agg(countDistinct(col("w1")).as("nb"))
     val nall = c2.agg(count(lit(1)).as("nall"))
+    // c2/c1/nb are corpus-vocabulary-sized (the bigram-type table is
+    // billions of rows at 100 TB) — NO broadcast() hints: a forced
+    // hint overrides every size check and dies at Spark's 8 GB
+    // broadcast hard limit. Unhinted, AQE's runtime stats broadcast
+    // them at small SF (PlanSpec-pinned) and fall back to shuffle
+    // equi-joins on the uniform token keys at scale. Only the one-row
+    // nall scalar keeps its hint (A6 pattern).
     val perDoc = big
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .join(broadcast(nb), Seq("w2"))
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(nb, Seq("w2"))
       .crossJoin(broadcast(nall))
       .withColumn("lp_e6",
         round(log((greatest(col("c2") - KnD, lit(0.0)) +

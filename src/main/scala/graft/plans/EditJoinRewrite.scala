@@ -34,9 +34,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * quadratic stays confined to them, and the union of the three
   * disjoint legs is exactly the original join's row set.
   *
-  * The rule never re-fires on its own output: every join it emits
-  * carries an equi conjunct, which the no-equi guard excludes — safe
-  * in the fixed-point optimizer batch `injectOptimizerRule` lands in.
+  * The rule never re-fires on its own output: the long leg's joins
+  * all carry equi conjuncts (excluded by the no-equi guard) and
+  * reference the rule's `__graft_ej*` marker attributes (excluded by
+  * a subtree-scoped marker check); the preserved short legs are
+  * tagged, and — because TreeNode tags do not survive every
+  * fixed-point transform — additionally recognized STRUCTURALLY by
+  * the rule's own length-split filters on the edit-bound operands.
+  * Safe in the fixed-point optimizer batch `injectOptimizerRule`
+  * lands in.
   *
   * Measured at sf0.1 (5 000 × 5 000 24-char prefixes, local[32]): the
   * naive nested loop runs 126.4 s; this rewrite runs 8.5 s (15×, and
@@ -58,18 +64,10 @@ case class EditJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("graft.editJoin.q")
       .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(5)
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    // one rewrite per query: once marker attributes exist anywhere, the
-    // plan is already in rewritten form — later fixed-point iterations
-    // (where other rules may have dropped node tags) must not re-fire
-    // on the preserved short-string legs
-    if (plan.exists(_.expressions.exists(_.exists {
-      case a: Attribute => a.name.startsWith("__graft_ej")
-      case _ => false
-    }))) plan
-    else plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.getTagValue(EditJoinRewrite.Rewritten).isEmpty =>
+        if j.getTagValue(EditJoinRewrite.Rewritten).isEmpty &&
+          !hasMarker(j) =>
       val conjuncts = {
         def split(e: Expression): Seq[Expression] = e match {
           case And(a, b) => split(a) ++ split(b)
@@ -86,10 +84,59 @@ case class EditJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       }
       extractEditBound(crossSide, left, right) match {
-        case Some((aL, aR, k)) if !hasEqui =>
+        case Some((aL, aR, k)) if !hasEqui &&
+            !isOwnShortLeg(left, right, aL, aR, k) =>
           rewrite(j, left, right, cond, hint, aL, aR, k)
         case _ => j
       }
+  }
+
+  /** Re-fire guard 1, scoped to THIS join's subtree (not the whole
+    * plan, so a user column coincidentally named `__graft_ej*`
+    * elsewhere in the query cannot disable the rewrite): the long leg's
+    * joins reference the rule's own alias/attribute names. (They also
+    * all carry equi conjuncts, which the no-equi guard excludes — this
+    * is the belt to that suspender.) */
+  private def hasMarker(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists {
+      case a: Attribute => a.name.startsWith("__graft_ej")
+      case _ => false
+    }))
+
+  /** Re-fire guard 2, STRUCTURAL (survives tag loss across fixed-point
+    * iterations — TreeNode tags are not preserved by every transform):
+    * the preserved short-string legs are exactly
+    * `short(left) ⋈ right` and `long(left) ⋈ short(right)`, where
+    * short/long are the rule's own `Length(a) </>= (k+1)·q` filters on
+    * the SAME edit-bound operand expressions. A join whose sides carry
+    * those filters in that configuration is one of our legs — re-
+    * splitting it each iteration would never converge. (A user's own
+    * identical length pre-filter matches too, but then the slice is
+    * all-short — the quadratic is already confined and the rewrite
+    * would be vacuous — or explicitly long-only on one side, where
+    * declining costs only the optimization, never correctness.) */
+  private def isOwnShortLeg(
+      left: LogicalPlan, right: LogicalPlan,
+      aL: Expression, aR: Expression, k: Int): Boolean = {
+    val minLen = (k + 1) * q
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(x, y) => conj(x) ++ conj(y)
+      case other => Seq(other)
+    }
+    def hasLenFilter(side: LogicalPlan, a: Expression, short: Boolean): Boolean =
+      side.exists {
+        case Filter(c, _) => conj(c).exists {
+          case LessThan(Length(e), Literal(m: Int, IntegerType)) =>
+            short && m == minLen && e.semanticEquals(a)
+          case GreaterThanOrEqual(Length(e), Literal(m: Int, IntegerType)) =>
+            !short && m == minLen && e.semanticEquals(a)
+          case _ => false
+        }
+        case _ => false
+      }
+    hasLenFilter(left, aL, short = true) ||
+      (hasLenFilter(left, aL, short = false) &&
+        hasLenFilter(right, aR, short = true))
   }
 
   /** Find `levenshtein(a, b) <= k` (either operand order, either

@@ -398,6 +398,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("edit join: fixture precondition — no prefix below (k+1)·q chars") {
+    // editJoin applies the Gravano count threshold T = (L−q+1) − k·q
+    // uniformly; for prefixes shorter than (k+1)·q = 15 the bound is
+    // vacuous (T ≤ 0) and a true pair could share zero q-grams. The
+    // general-data path is EditJoinRewrite, which length-splits and
+    // routes short strings through a direct levenshtein leg
+    // (EditJoinRewriteSpec proves that with sub-15-char rows); the
+    // hand-specialized query instead carries this documented
+    // precondition — pin it so a testdata regeneration that introduces
+    // short documents turns a silent completeness loss into a red spec.
+    for (sf <- Seq(sfTiny, sfSmall)) {
+      val nShort = Tables.documents(spark, sf)
+        .filter(length(substring(col("text"), 1, 24)) < 15).count()
+      assert(nShort == 0,
+        s"$sf has $nShort documents with sub-15-char prefixes — " +
+          "editJoin's count filter is vacuous for them; route them " +
+          "through a direct levenshtein leg (see EditJoinRewrite)")
+    }
+  }
+
   // ---------------------------------------------------- winnowing
   // md5Long / winnowTruth come from SparkSpec — shared with the
   // streaming twin's suite so both test the same ground truth

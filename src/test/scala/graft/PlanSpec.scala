@@ -554,21 +554,25 @@ class PlanSpec extends SparkSpec {
       s"pair frame must project down to (cell, xid) before dedup:\n$plan")
   }
 
-  test("ppjoin: every join is an equi-join; the only global window is the candidate-pool witness") {
+  test("ppjoin: every join is an equi-join; witness scalar is the only single-partition stage") {
     val df = graft.ops.DedupOps.ppjoin(spark, sfTiny)
     df.collect() // AQE finalizes join strategies
     val plan = executed(df).split("== Initial Plan ==")(0)
     // prefix filtering exists so the pair space NEVER materializes as
     // a product — candidate generation and verification must both be
-    // key joins
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"ppjoin must never plan a product join:\n$plan")
-    // the doc-rank windows partition by doc_id; the single
-    // unpartitioned window is the n_candidates witness, which runs on
-    // the candidate-pool-sized shared frame (bounded by construction)
+    // key joins... except the witness scalar's sanctioned broadcast
+    // crossJoin (A6: a one-row frame joined to everything)
+    assert(!plan.contains("CartesianProduct"),
+      s"ppjoin must never plan a cartesian product:\n$plan")
+    // the A6 witness may plan at most one nested-loop join, and only
+    // for the broadcast one-row count
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the one-row witness crossJoin may nested-loop:\n$plan")
+    // the doc-rank windows partition by doc_id; the only
+    // single-partition stage is the witness count's final 1-row
+    // aggregate (A6) — the candidate frame itself stays parallel
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single <= 1, s"expected at most the witness-pool single-partition exchange, got $single:\n$plan")
+    assert(single <= 1, s"expected at most the witness-scalar single-partition exchange, got $single:\n$plan")
   }
 
   test("fasttext score: the model broadcasts; the corpus shuffles only for the per-doc mean") {
@@ -601,6 +605,36 @@ class PlanSpec extends SparkSpec {
     // the final orderBy is the only range exchange
     val ranges = "Exchange rangepartitioning".r.findAllIn(plan).size
     assert(ranges <= 1, s"expected only the output sort, got $ranges:\n$plan")
+  }
+
+  test("unhinted vocab count-table joins: AQE still broadcasts them at fixture scale") {
+    // The LM-family count tables (KN bigram types, unigram freqs, df
+    // tables) are corpus-vocabulary-sized, so they carry NO broadcast()
+    // hint — a forced hint would hard-fail at Spark's 8 GB broadcast
+    // limit at 100 TB. This pins the flip side: at small SF, AQE's
+    // runtime shuffle stats must still pick broadcast joins, so
+    // dropping the hints costs nothing where broadcast is right.
+    val df = graft.ops.TextOps.knPerplexity(spark, sfTiny)
+    df.collect() // AQE decides from runtime stats — must execute first
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBhj >= 3,
+      s"expected the c2/c1/nb joins to broadcast under AQE, got $nBhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no count-table join may stay sort-merge at fixture scale:\n$plan")
+  }
+
+  test("ppjoin: candidate frame stays parallel — no unpartitioned window anywhere") {
+    // The n_candidates witness is the A6 two-phase scalar (aggregate +
+    // broadcast crossJoin); an unpartitioned window would serialize the
+    // operator's largest intermediate through one task.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.ops.DedupOps.ppjoin(spark, sfTiny)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"ppjoin plans ${bad.size} unpartitioned window(s):\n${bad.mkString}")
   }
 
 }
