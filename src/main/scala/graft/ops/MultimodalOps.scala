@@ -352,8 +352,10 @@ object MultimodalOps {
     * bytes and parse width/height/format/bit-depth straight out of the
     * header (PNG: big-endian IHDR fields behind the 8-byte signature;
     * BMP: little-endian BITMAPINFOHEADER fields; GIF: little-endian
-    * logical-screen-descriptor fields behind `GIF89a`), with no codec
-    * dependency — headers are fixed-offset integer fields, so unlike
+    * logical-screen-descriptor fields behind `GIF89a`; JPEG — the
+    * dominant format of any web-crawled corpus — a marker-stream walk
+    * to the SOF frame header, since JFIF has no fixed-offset
+    * dimension field), with no codec dependency — headers are fixed-offset integer fields, so unlike
     * [[decodeStub]]'s pixel stage this decode is NOT stubbed: it reads
     * real, spec-valid files ([[graft.sources.ImageFiles]]) and returns
     * their true dimensions. Runs in the same `mapPartitions` batch
@@ -380,11 +382,43 @@ object MultimodalOps {
     def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    // JPEG has no fixed-offset dimension field: SOF sits behind a
+    // variable run of length-prefixed segments (APPn/DQT/DHT/…), so
+    // the parse WALKS the marker stream — skip each segment by its
+    // big-endian length, tolerate 0xFF fill bytes, stop at any
+    // SOF0/1/2 (baseline/extended/progressive share the frame-header
+    // layout) and read precision/height/width there. Stopping at SOS
+    // without a SOF classifies "unknown" rather than scanning
+    // entropy-coded data for false markers.
+    def jpegSof(b: Array[Byte]): (Int, Int, Int) = {
+      var o = 2
+      var res: (Int, Int, Int) = null
+      var done = false
+      while (!done && res == null && o + 3 < b.length) {
+        if ((b(o) & 0xff) != 0xff) done = true
+        else if ((b(o + 1) & 0xff) == 0xff) o += 1 // fill byte
+        else {
+          val m = b(o + 1) & 0xff
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) o += 2 // standalone
+          else if (m == 0xda || m == 0xd9) done = true // SOS/EOI: no SOF seen
+          else {
+            val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+            if (m >= 0xc0 && m <= 0xc2 && o + 8 < b.length)
+              res = (((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff), // width
+                ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff), // height
+                b(o + 4) & 0xff) // precision
+            else if (len < 2) done = true // malformed length
+            else o += 2 + len
+          }
+        }
+      }
+      res
+    }
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "img_*.{png,bmp,gif}")
+      .option("pathGlobFilter", "img_*.{png,bmp,gif,jpg}")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp|gif)$", 1)
+        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp|gif|jpg)$", 1)
           .cast("long").as("img_id"),
         col("length").as("n_bytes"), col("content"))
       .as[(Long, Long, Array[Byte])]
@@ -403,6 +437,12 @@ object MultimodalOps {
           // bits + 1 (bits/pixel of the global palette)
           (id, "gif", (b(6) & 0xff) | ((b(7) & 0xff) << 8),
             (b(8) & 0xff) | ((b(9) & 0xff) << 8), (b(10) & 7) + 1, n)
+        else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+            (b(1) & 0xff) == 0xd8) {
+          val sof = jpegSof(b)
+          if (sof != null) (id, "jpeg", sof._1, sof._2, sof._3, n)
+          else (id, "unknown", -1, -1, -1, n)
+        }
         else (id, "unknown", -1, -1, -1, n)
       })
       .toDF("img_id", "format", "width", "height", "bit_depth", "n_bytes")
@@ -415,26 +455,33 @@ object MultimodalOps {
     val raw = "(height * (1 + 3 * width))"
     // gif LZW data bytes: 3 bits per code, (CC, idx) per pixel + EOI
     val gifData = "((3 * (2 * width * height + 1) + 7) // 8)"
+    // jpeg 8x8 blocks: 2 entropy bits each (DC cat-0 + EOB)
+    val jpgBlocks = "(((width + 7) // 8) * ((height + 7) // 8))"
     s"""WITH dims AS (
        |  SELECT doc_id AS img_id,
        |         CAST(16 + (doc_id * 7) % 240 AS INTEGER) AS width,
        |         CAST(16 + (doc_id * 13) % 180 AS INTEGER) AS height
        |  FROM documents WHERE doc_id < $NImages)
        |SELECT img_id,
-       |       CASE WHEN img_id % 3 = 0 THEN 'png'
-       |            WHEN img_id % 3 = 1 THEN 'bmp' ELSE 'gif' END AS format,
+       |       CASE WHEN img_id % 4 = 0 THEN 'png'
+       |            WHEN img_id % 4 = 1 THEN 'bmp'
+       |            WHEN img_id % 4 = 2 THEN 'gif' ELSE 'jpeg' END AS format,
        |       width, height,
-       |       CAST(CASE WHEN img_id % 3 = 0 THEN 8
-       |                 WHEN img_id % 3 = 1 THEN 24 ELSE 1 END AS INTEGER)
+       |       CAST(CASE WHEN img_id % 4 = 0 THEN 8
+       |                 WHEN img_id % 4 = 1 THEN 24
+       |                 WHEN img_id % 4 = 2 THEN 1 ELSE 8 END AS INTEGER)
        |         AS bit_depth,
        |       -- png: sig 8 + IHDR 25 + IDAT wrapper 12 + zlib (2 hdr +
        |       -- 5/block + raw + 4 adler) + IEND 12;  bmp: 54 + padded
-       |       -- rows;  gif: 32 fixed + LZW data + sub-block length bytes
-       |       CAST(CASE WHEN img_id % 3 = 0
+       |       -- rows;  gif: 32 fixed + LZW data + sub-block length
+       |       -- bytes;  jpeg: 158 fixed segments + ceil(2·blocks/8)
+       |       CAST(CASE WHEN img_id % 4 = 0
        |            THEN 8 + 25 + 12 + 2 + 5 * CEIL($raw / 65535.0) + $raw + 4 + 12
-       |            WHEN img_id % 3 = 1
+       |            WHEN img_id % 4 = 1
        |            THEN 54 + height * ((3 * width + 3) // 4 * 4)
-       |            ELSE 32 + $gifData + ($gifData + 254) // 255
+       |            WHEN img_id % 4 = 2
+       |            THEN 32 + $gifData + ($gifData + 254) // 255
+       |            ELSE 158 + ($jpgBlocks + 3) // 4
        |            END AS BIGINT) AS n_bytes
        |FROM dims ORDER BY img_id""".stripMargin
   }

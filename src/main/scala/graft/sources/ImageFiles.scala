@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Deterministic image-file fixture for the multimodal header-decode
   * operator ([[graft.ops.MultimodalOps.imageMeta]]): one REAL image
-  * file per id — even ids a complete, spec-valid PNG (signature +
-  * IHDR + stored-deflate IDAT + IEND, CRCs and Adler32 included; any
-  * viewer opens it as a black truecolor image), odd ids a complete
-  * 24 bpp `BI_RGB` BMP — with dimensions derived from the id by fixed
+  * file per id, format cycling by id mod 4 — a complete, spec-valid
+  * PNG (signature + IHDR + stored-deflate IDAT + IEND, CRCs and
+  * Adler32 included; any viewer opens it as a black truecolor image),
+  * a complete 24 bpp `BI_RGB` BMP, a complete GIF89a, or a complete
+  * baseline JFIF JPEG — with dimensions derived from the id by fixed
   * integer formulas. Because every byte is specified by construction
   * (stored-mode zlib blocks are hand-emitted, never delegated to a
   * library's block-segmentation heuristics), the DuckDB oracle can
@@ -28,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ImageFiles {
 
-  private val FixtureVersion = 2
+  private val FixtureVersion = 3
   private[graft] val NImages = 48
 
   /** Dimension formulas — the oracle's ground truth. */
@@ -158,8 +159,61 @@ object ImageFiles {
     out.toByteArray
   }
 
-  /** Fixture dir: `img_NNNNN.png`/`.bmp`/`.gif` per id < [[NImages]]
-    * (format = id mod 3) plus a decoy the glob filter must skip. */
+  /** Complete baseline-sequential JFIF (ITU T.81), grayscale, flat
+    * mid-gray: one 8-bit component with 1×1 sampling, an all-ones
+    * quantization table, and MINIMAL custom Huffman tables — one
+    * length-1 code each (DC: symbol 0 = "difference category 0"; AC:
+    * symbol 0x00 = EOB) — so every 8×8 block encodes as exactly two
+    * zero BITS ("0" DC-no-change + "0" EOB) and the entropy stream is
+    * closed-form: ⌈2·blocks/8⌉ bytes, zero everywhere except the
+    * final byte's 1-bit padding (T.81 F.1.2.3). No byte stuffing can
+    * occur (a stuffed 0xFF needs eight 1-bits; the stream has at most
+    * the trailing 7). Decoded, DC = 0 ⇒ flat block of 0 + 128 level
+    * shift = mid-gray 0x808080 — the ImageIO round-trip spec proves
+    * the stream is a real decodable image, the [[gifBytes]]
+    * discipline. Size = 158 + ⌈blocks/4⌉ with
+    * blocks = ⌈w/8⌉·⌈h/8⌉ (158 = SOI 2 + APP0 18 + DQT 69 + SOF0 13 +
+    * 2 DHT · 22 + SOS 10 + EOI 2). */
+  private[graft] def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) } // JPEG fields are BE
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1) // version 1.1
+    u8(0); u16(1); u16(1) // aspect-ratio units, 1:1 density
+    u8(0); u8(0) // no thumbnail
+    marker(0xdb); u16(67); u8(0x00) // DQT: 8-bit table 0…
+    var i = 0
+    while (i < 64) { u8(1); i += 1 } // …all ones (identity-ish)
+    marker(0xc0); u16(11) // SOF0: baseline DCT
+    u8(8); u16(h); u16(w); u8(1) // 8-bit precision, dims, 1 component
+    u8(1); u8(0x11); u8(0) // component 1, 1x1 sampling, qtable 0
+    def dht(classId: Int): Unit = { // one length-1 code -> symbol 0
+      marker(0xc4); u16(20); u8(classId)
+      u8(1); (2 to 16).foreach(_ => u8(0)); u8(0)
+    }
+    dht(0x00) // DC table 0
+    dht(0x10) // AC table 0
+    marker(0xda); u16(8) // SOS
+    u8(1); u8(1); u8(0x00) // 1 component, id 1, DC/AC table 0
+    u8(0); u8(63); u8(0) // full spectral range, no approximation
+    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+    val totalBits = 2L * blocks
+    val nBytes = ((totalBits + 7) / 8).toInt
+    val pad = (nBytes * 8 - totalBits).toInt
+    i = 0
+    while (i < nBytes - 1) { u8(0); i += 1 }
+    if (nBytes > 0) u8((1 << pad) - 1) // data bits 0, padding bits 1
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture dir: `img_NNNNN.png`/`.bmp`/`.gif`/`.jpg` per id <
+    * [[NImages]] (format = id mod 4) plus a decoy the glob filter must
+    * skip. */
   private[graft] def imagesDir(spark: SparkSession, sfDir: String): String = {
     val dir = new File(
       s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}" +
@@ -169,13 +223,15 @@ object ImageFiles {
       dir.mkdirs()
       (0L until NImages.toLong).foreach { id =>
         val (w, h) = (widthOf(id), heightOf(id))
-        id % 3 match {
+        id % 4 match {
           case 0 => Files.write(
             Paths.get(dir.getPath, f"img_$id%05d.png"), pngBytes(w, h))
           case 1 => Files.write(
             Paths.get(dir.getPath, f"img_$id%05d.bmp"), bmpBytes(w, h))
-          case _ => Files.write(
+          case 2 => Files.write(
             Paths.get(dir.getPath, f"img_$id%05d.gif"), gifBytes(w, h))
+          case _ => Files.write(
+            Paths.get(dir.getPath, f"img_$id%05d.jpg"), jpegBytes(w, h))
         }
       }
       Files.write(Paths.get(dir.getPath, "notes.txt"),

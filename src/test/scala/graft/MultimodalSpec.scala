@@ -48,24 +48,26 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("img_id")
       val (w, h) = (ImageFiles.widthOf(id), ImageFiles.heightOf(id))
-      val fmt = (id % 3) match {
-        case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+      val fmt = (id % 4) match {
+        case 0 => "png"; case 1 => "bmp"; case 2 => "gif"; case _ => "jpeg"
       }
       assert(r.getAs[String]("format") == fmt)
       assert(r.getAs[Int]("width") == w, s"img $id width")
       assert(r.getAs[Int]("height") == h, s"img $id height")
       assert(r.getAs[Int]("bit_depth") ==
-        ((id % 3) match { case 0 => 8; case 1 => 24; case _ => 1 }))
+        ((id % 4) match { case 0 => 8; case 1 => 24; case 2 => 1; case _ => 8 }))
       // file sizes obey the closed-form construction (PNG stored-zlib
       // block math; BMP 4-byte row padding; GIF constant-width LZW with
-      // per-pixel clears) — proving each fixture is a complete image,
-      // not a bare header
+      // per-pixel clears; JPEG 2-bit-per-block entropy stream) —
+      // proving each fixture is a complete image, not a bare header
       val raw = h * (1 + 3 * w)
       val gifData = (3L * (2L * w * h + 1) + 7) / 8
-      val want = (id % 3) match {
+      val jpgBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+      val want = (id % 4) match {
         case 0 => 8L + 25 + 12 + 2 + 5 * ((raw + 65534) / 65535) + raw + 4 + 12
         case 1 => 54L + h.toLong * ((3 * w + 3) / 4 * 4)
-        case _ => 32L + gifData + (gifData + 254) / 255
+        case 2 => 32L + gifData + (gifData + 254) / 255
+        case _ => 158L + (jpgBlocks + 3) / 4
       }
       assert(r.getAs[Long]("n_bytes") == want, s"img $id size")
     }
@@ -81,19 +83,32 @@ class MultimodalSpec extends SparkSpec {
     import graft.sources.ImageFiles
     import javax.imageio.ImageIO
     import java.io.ByteArrayInputStream
-    // dims deliberately outside the fixture formulas
+    // dims deliberately outside the fixture formulas; the JPEG cases
+    // include non-multiple-of-8 dims (partial edge blocks) and a
+    // single-block image
     for ((bytes, w, h, fmt) <- Seq(
         (ImageFiles.pngBytes(33, 21), 33, 21, "png"),
         (ImageFiles.gifBytes(33, 21), 33, 21, "gif"),
-        (ImageFiles.gifBytes(300, 2), 300, 2, "gif"))) {
+        (ImageFiles.gifBytes(300, 2), 300, 2, "gif"),
+        (ImageFiles.jpegBytes(33, 21), 33, 21, "jpeg"),
+        (ImageFiles.jpegBytes(8, 8), 8, 8, "jpeg"),
+        (ImageFiles.jpegBytes(301, 3), 301, 3, "jpeg"))) {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       assert(img != null, s"ImageIO rejected the generated $fmt")
       assert(img.getWidth == w && img.getHeight == h,
         s"$fmt decoded ${img.getWidth}x${img.getHeight}, want ${w}x$h")
-      // every pixel is the palette's black — the LZW/zlib streams carry
-      // real pixel data an independent decoder reproduces
+      // every pixel carries the constructed value — black for the
+      // palette/truecolor streams, mid-gray sample 128 for the JPEG
+      // (DC = 0 plus the T.81 +128 level shift) — so the entropy
+      // streams hold real pixel data an independent decoder
+      // reproduces. Read raster SAMPLES, not getRGB: ImageIO maps the
+      // JPEG's gray colorspace through a gamma curve on the way to
+      // sRGB (128 → 0xBC), which would test the color pipeline, not
+      // the decode.
+      val wantSample = if (fmt == "jpeg") 128 else 0
       for (x <- 0 until w; y <- 0 until h)
-        assert((img.getRGB(x, y) & 0xffffff) == 0, s"$fmt pixel ($x,$y)")
+        assert(img.getRaster.getSample(x, y, 0) == wantSample,
+          s"$fmt sample ($x,$y) = ${img.getRaster.getSample(x, y, 0)}")
     }
   }
 
