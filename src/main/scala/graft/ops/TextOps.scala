@@ -1140,16 +1140,20 @@ object TextOps {
     * broadcasts at small SF, shuffle-joins at scale, no 8 GB
     * broadcast cliff); the pair-type total is an A6 broadcast scalar. The
     * tercile split here is an exact global ntile over (ppl, doc_id) —
-    * doc-count-sized, oracle-parity mode; at 100 TB the cutpoints come
-    * from approx_percentile over the per-doc scores (the equidepth
-    * ladder's documented swap) and bucketing becomes a map-side
-    * comparison. Parity: counts exact; each ln quantizes to e6
+    * doc-count-sized, oracle-parity mode; `-Dgraft.percentile.approx=
+    * true` swaps in approx_percentile cutpoints + map-side bucketing
+    * (the equidepth ladder's flag contract), and
+    * [[knPerplexityApprox]] keeps that path oracle-checked via the
+    * equal-mass invariant. Parity: counts exact; each ln quantizes to e6
     * micro-nats pre-sum; perplexity quantizes to e6 before bucketing,
     * so both engines ntile the same integer sequence.
     */
   private val KnD = 0.75
 
-  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc interpolated-KN perplexity (doc_id, lang, ppl_e6) —
+    * shared by the exact-tercile flagship and the approx-cutpoint
+    * scale twin. */
+  private def knPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ws", split(col("text"), " "))
     val big = docs.filter(col("text").contains(" "))
@@ -1185,11 +1189,38 @@ object TextOps {
       .withColumn("ppl_e6",
         round(exp(-col("slp").cast("double") / col("nbi") / lit(1000000.0))
           * lit(1000000.0), 0).cast("long"))
-    perDoc
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    perDoc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("ppl_e6"))
+  }
+
+  /** CCNet tercile cutpoints from the mergeable GK sketch — the 100 TB
+    * bucketing path: a one-row aggregate broadcast back, then a
+    * map-side comparison, replacing the doc-count-sized global ntile. */
+  private def knApproxBuckets(perDoc: DataFrame): DataFrame = {
+    val cuts = perDoc.agg(expr(
+      "approx_percentile(ppl_e6, array(0.3333333333333333, " +
+        "0.6666666666666667), 10000)").as("cs"))
+    perDoc.crossJoin(broadcast(cuts))
       .withColumn("bucket",
+        when(col("ppl_e6") <= col("cs").getItem(0), 1L)
+          .when(col("ppl_e6") <= col("cs").getItem(1), 2L)
+          .otherwise(3L))
+  }
+
+  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    // -Dgraft.percentile.approx=true swaps the exact global ntile for
+    // GK-sketch cutpoints + map-side bucketing (the equidepthHist
+    // flag contract): exact is the oracle-parity mode, approx is what
+    // a 100 TB deployment sets. TextOpsSpec pins that the flag really
+    // removes the global window from the plan.
+    val exact = !sys.props.get("graft.percentile.approx").contains("true")
+    val perDoc = knPerDoc(spark, sfDir)
+    val bucketed =
+      if (exact) perDoc.withColumn("bucket",
         ntile(3).over(Window.orderBy(col("ppl_e6"), col("doc_id")))
           .cast("long"))
+      else knApproxBuckets(perDoc)
+    bucketed
       .groupBy(col("bucket"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(min(col("ppl_e6")).cast("double") / 1000000.0, 6).as("min_ppl"),
@@ -1231,8 +1262,48 @@ object TextOps {
       |         AS avg_ppl
       |FROM bk GROUP BY bucket, lang ORDER BY bucket, lang""".stripMargin
 
+  /** The 100 TB mode of [[knPerplexity]] exercised for real (the
+    * [[graft.ops.CatalogOps.equidepthHistApprox]] pattern): tercile
+    * cutpoints from the mergeable GK `approx_percentile` sketch
+    * (accuracy 10000 → rank error ≤ 0.01%), map-side bucketing, and an
+    * oracle on the property that DEFINES the CCNet split rather than
+    * on sketch internals — each of the 3 buckets holds n/3 docs within
+    * a tolerance dominated by cutpoint discretization (buckets split
+    * at an actual data value, so deviation = tie mass + rank error;
+    * measured max ppl-tie is 1–2 docs against a 5% bound → ≥10×
+    * headroom), and the bucket counts partition the scored docs
+    * exactly. A broken sketch, bucketing ladder, or merge flips the
+    * boolean; the exact doc total keeps the row hashable.
+    *
+    * Ties assumption (the equidepth doctrine): the 5% depth bound
+    * presumes no single ppl_e6 value carries ≳5% of docs — e6
+    * quantization of per-doc perplexities keeps values near-distinct
+    * here; on a corpus of mass-duplicated texts, dedup FIRST (which a
+    * real pipeline does anyway) or re-derive the tolerance from max
+    * per-value frequency.
+    */
+  def knPerplexityApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = knPerDoc(spark, sfDir)
+    knApproxBuckets(perDoc)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_docs_total"),
+        count(lit(1)).cast("int").as("n_buckets"),
+        max(col("n")).as("n_max"), min(col("n")).as("n_min"))
+      .select(col("n_docs_total"), col("n_buckets"),
+        (greatest(col("n_max") - col("n_docs_total") / 3.0,
+          col("n_docs_total") / 3.0 - col("n_min")) <=
+          col("n_docs_total") * 0.05).as("depth_within_5pct"))
+  }
+
+  private val knPerplexityApproxOracle =
+    """SELECT COUNT(*) AS n_docs_total, 3 AS n_buckets,
+      |       TRUE AS depth_within_5pct
+      |FROM documents WHERE contains(text, ' ')""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kn_perplexity" -> (knPerplexity _),
+    "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -1257,6 +1328,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_kn_perplexity" -> knPerplexityOracle,
+    "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,
