@@ -567,6 +567,103 @@ object TextOps {
       |SELECT pair, COUNT(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------- BPE training
+  /** The ACTUAL BPE tokenizer-training loop (Sennrich, Haddow & Birch,
+    * ACL'16 "Neural Machine Translation of Rare Words with Subword
+    * Units"), 3 merge rounds unrolled: count symbol pairs → take the
+    * argmax pair → re-segment with the merged symbol → recount.
+    * Trains on the WORD-FREQUENCY table, as the reference algorithm
+    * does — the corpus is touched exactly once (one word-count
+    * shuffle); every merge round then runs over the vocab-sized
+    * (word, freq, segmentation) table, so 3 rounds at 100 TB cost one
+    * corpus pass plus 3 tiny vocab passes, not 3 corpus scans.
+    *
+    * Segmentations ride in an UNAMBIGUOUS string encoding — every
+    * symbol wrapped in parens, `(h)(a)(s)(h)` — chosen because both
+    * engines' literal `replace(str, find, repl)` is exactly BPE's
+    * greedy LEFT-TO-RIGHT NON-OVERLAPPING merge when applied to it:
+    * `replace('(a)(a)(a)', '(a)(a)', '(aa)')` = `(aa)(a)` (scan
+    * resumes after each replacement — the [a,a,a] → [aa,a] case), and
+    * symbol boundaries can't false-match (`(l)(lo)` never matches
+    * inside `(al)(lo)`; the alphabet is paren-free by construction).
+    * Pair counts weight by word freq and COUNT OVERLAPS (adjacent
+    * zip, the reference's get_stats) while merges don't — faithful to
+    * the algorithm. Each round's argmax is a 1-row A6 scalar
+    * collect→re-inject (ties broken count DESC, then pair ASC);
+    * per-round localCheckpoint cuts the deepening lineage (the
+    * iterative-loop doctrine). The oracle replays all 3 rounds as an
+    * unrolled CTE chain (the greedyCover style) with the same
+    * replace-based merge, so winner choice, counts, AND the greedy
+    * re-segmentation are all hash-gated.
+    */
+  private val BpeRounds = 3
+
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    var seg = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("w"), "(.)", "($1)").as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val win = seg
+        .withColumn("syms",
+          split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
+        .filter(size(col("syms")) >= 2) // fully-merged words pair nothing
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |          i -> struct(element_at(syms, i) AS a,
+            |                      element_at(syms, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((r, a, b, n))
+      seg = seg
+        .select(col("freq"),
+          expr(s"replace(seg, '($a)($b)', '($a$b)')").as("seg"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("round", "sym_a", "sym_b", "n_pair")
+      .select(col("round"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("new_symbol"), col("n_pair"))
+      .orderBy(col("round"))
+  }
+
+  private val bpeTrainOracle = {
+    // one merge round as CTE text: pair counts over the previous
+    // segmentation, argmax winner, replace-based greedy re-segmentation
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b,
+         |         CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq,
+         |          string_split(substr(seg, 2, length(seg) - 2), ')(') AS syms
+         |        FROM seg$r),
+         |       UNNEST(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |seg${r + 1} AS (
+         |  SELECT s.freq,
+         |         replace(s.seg, '(' || w.a || ')(' || w.b || ')',
+         |                 '(' || w.a || w.b || ')') AS seg
+         |  FROM seg$r s CROSS JOIN w$r w)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |seg1 AS (SELECT freq, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+       |         FROM words),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(r =>
+        s"SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS new_symbol, " +
+          s"n AS n_pair FROM w$r").mkString("\nUNION ALL ")}
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------- bigram LM
   /** Bigram language-model quality scoring with add-1 smoothing — the
     * CCNet-style LM filter signal one order up from
@@ -1304,6 +1401,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -1329,6 +1427,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,

@@ -289,4 +289,43 @@ class TextOpsSpec extends SparkSpec {
     assert(inv.getAs[Int]("n_buckets") == 3)
   }
 
+  test("bpe train: 3 merge rounds match a driver-side reference trainer") {
+    // independent ground truth: the Sennrich reference algorithm run
+    // driver-side on the collected word-frequency dict — overlapping
+    // pair counts (zip with tail), greedy non-overlapping left-to-right
+    // merge, ties count DESC then pair ASC
+    val freqs = Tables.documents(spark, sfSmall)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+    var vocab = freqs
+    val want = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, a, b, a + b, n)
+    }
+    val got = ops.TextOps.bpeTrain(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == want, s"merge table mismatch:\n got=$got\nwant=$want")
+    // the merged symbols must actually compound (round >1 should merge
+    // into, or out of, an earlier round's product at least once across
+    // the table — otherwise the loop degenerated to independent counts)
+    assert(want.map(_._5).sliding(2).forall { case Seq(x, y) => x >= y },
+      "pair counts must be non-increasing across merge rounds")
+  }
+
 }
