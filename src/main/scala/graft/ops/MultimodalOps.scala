@@ -205,17 +205,27 @@ object MultimodalOps {
   private val RatioLadderE3 = Seq(500L, 750L, 1000L, 1333L, 2000L)
   private val PixelBudget = 224L * 224L
 
-  def aspectBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    // synthetic dims: the ×7/×13 multipliers spread the derived
-    // ratios across the whole ladder (the plain mods collapse to
-    // ratio 1.0 for every short doc, leaving the ladder untested)
-    val meta = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        length(col("text").cast("binary")).as("blen"))
-      .select(col("doc_id"),
-        (col("blen") * 7 % 640 + 1).cast("long").as("width"),
-        (col("blen") * 13 % 480 + 1).cast("long").as("height"))
+  /** Synthetic per-doc image geometry (width, height, e3 aspect ratio)
+    * from the payload byte length — the ×7/×13 multipliers spread the
+    * derived ratios across the whole ladder (plain mods collapse to
+    * ratio 1.0 for every short doc). Factored so [[aspectBuckets]] and
+    * [[pairCuration]] gate on the IDENTICAL projection, with
+    * [[synthGeometrySql]] its oracle rendering. */
+  private[ops] def synthGeometry(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("width",
+        (length(col("text").cast("binary")) * 7 % 640 + 1).cast("long"))
+      .withColumn("height",
+        (length(col("text").cast("binary")) * 13 % 480 + 1).cast("long"))
       .withColumn("r_e3", expr("CAST(width * 1000 div height AS BIGINT)"))
+
+  private[ops] val synthGeometrySql: String =
+    "octet_length(CAST(text AS BLOB)) * 7 % 640 + 1 AS width, " +
+      "octet_length(CAST(text AS BLOB)) * 13 % 480 + 1 AS height"
+
+  def aspectBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = synthGeometry(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("width"), col("height"), col("r_e3"))
     // integer argmin over the 5-rung ladder; ties break to the WIDER
     // ratio (the later rung) via strict < on the best-so-far distance
     val bucket = RatioLadderE3.tail.foldLeft(
@@ -290,9 +300,13 @@ object MultimodalOps {
     * text by character arithmetic and finds pairs with a literal
     * OR-of-bands join — different algorithm, same pairs.
     */
-  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc 27-bit perceptual hash over the payload bytes — the
+    * mapPartitions histogram hash [[phashNearDup]] documents, factored
+    * so [[pairCuration]]'s image-dedup stage reuses the IDENTICAL
+    * signature; [[ahashSqlExpr]] is its oracle rendering. */
+  private[ops] def withAhash(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashed = Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
@@ -307,6 +321,20 @@ object MultimodalOps {
         }
         (id, h)
       }).toDF("doc_id", "ahash")
+  }
+
+  /** DuckDB rendering of the 27-bit histogram hash: bin per byte%32 —
+    * ' '→0, 'a'..'z'→1..26, one character each for this corpus. */
+  private[ops] val ahashSqlExpr: String = {
+    val alphabet = ' ' +: ('a' to 'z')
+    alphabet.zipWithIndex.map { case (ch, b) =>
+      s"(CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, '$ch', ''))) * 27 " +
+        s"> LENGTH(text) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = withAhash(spark, Tables.documents(spark, sfDir))
     val bands = hashed.select(col("doc_id"), col("ahash"),
       explode(expr("array(struct(0 AS bi, ahash % 16384 AS bv), " +
         "struct(1 AS bi, shiftright(ahash, 14) AS bv))")).as("x"))
@@ -326,12 +354,7 @@ object MultimodalOps {
   }
 
   private val phashNearDupOracle: String = {
-    // bin per byte%32: ' '->0, 'a'..'z'->1..26 — one character each
-    val alphabet = ' ' +: ('a' to 'z')
-    val hashExpr = alphabet.zipWithIndex.map { case (ch, b) =>
-      s"(CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, '$ch', ''))) * 27 " +
-        s"> LENGTH(text) THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    val hashExpr = ahashSqlExpr
     s"""WITH h AS (SELECT doc_id, $hashExpr AS ahash FROM documents),
        |cand AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
@@ -345,6 +368,94 @@ object MultimodalOps {
        |WHERE bit_count(xor(h1, h2)) <= 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ------------------------------------------------ pair curation
+  /** Cross-modal image–text pair curation funnel — the LAION-style
+    * filter ladder (Schuhmann et al., NeurIPS'22) over (caption,
+    * image) pairs, as a stage ledger like
+    * [[graft.ops.CurationOps.pipelineLedger]]: raw pairs → caption
+    * quality gate → image geometry gate (minimum dimension + aspect
+    * ratio within the trainable bucket ladder's span) → image
+    * near-dup removal (keeper = min doc_id per perceptual hash among
+    * survivors). Every gate REUSES the factored predicate its
+    * standalone operator reports on — [[graft.ops.TextOps.qualityKeep]]
+    * verbatim, [[synthGeometry]]'s projection and [[aspectBuckets]]'
+    * ladder constants, [[withAhash]]'s signature — so the funnel is
+    * the composition of already-verified stages, not re-implementations.
+    *
+    * Scale shape: the caption and geometry gates are map-side column
+    * math; the dedup stage is one hash groupBy + a semi-join back on
+    * doc_id; stage totals are one-row aggregates unioned and the raw
+    * total rides the A6 broadcast crossJoin. Fractions are IEEE-exact
+    * long/long doubles rounded at 6 dp.
+    */
+  private val PairMinDim = 64L
+
+  def pairCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = synthGeometry(Tables.documents(spark, sfDir))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("keep_q", TextOps.qualityKeep)
+    val q = base.filter(col("keep_q"))
+    val g = q.filter(col("width") >= PairMinDim &&
+      col("height") >= PairMinDim &&
+      col("r_e3").between(RatioLadderE3.head, RatioLadderE3.last))
+    val keepers = withAhash(spark, g)
+      .groupBy(col("ahash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d = g.join(keepers, Seq("doc_id"), "left_semi")
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_tok")).as("caption_tokens"))
+        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+          col("n_pairs"), col("caption_tokens"))
+    val rawTot = base.agg(count(lit(1)).as("raw_pairs"),
+      sum(col("n_tok")).as("raw_tokens"))
+    stage(base, 0, "raw")
+      .unionAll(stage(q, 1, "caption_quality"))
+      .unionAll(stage(g, 2, "image_geometry"))
+      .unionAll(stage(d, 3, "image_dedup"))
+      .crossJoin(broadcast(rawTot))
+      .select(col("stage"), col("stage_name"), col("n_pairs"),
+        col("caption_tokens"),
+        round(col("n_pairs").cast("double") / col("raw_pairs"), 6)
+          .as("pair_frac"),
+        round(col("caption_tokens").cast("double") / col("raw_tokens"), 6)
+          .as("token_frac"))
+      .orderBy(col("stage"))
+  }
+
+  private lazy val pairCurationOracle =
+    s"""WITH b0 AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${TextOps.qualityKeepSql} AS keep_q,
+       |         $synthGeometrySql
+       |  FROM documents),
+       |base AS (SELECT *, width * 1000 // height AS r_e3 FROM b0),
+       |q AS (SELECT * FROM base WHERE keep_q),
+       |g AS (SELECT * FROM q
+       |      WHERE width >= $PairMinDim AND height >= $PairMinDim
+       |        AND r_e3 BETWEEN ${RatioLadderE3.head} AND ${RatioLadderE3.last}),
+       |hk AS (SELECT MIN(doc_id) AS doc_id
+       |       FROM (SELECT doc_id, $ahashSqlExpr AS ahash FROM g)
+       |       GROUP BY ahash),
+       |d AS (SELECT g.* FROM g JOIN hk USING (doc_id)),
+       |raw_tot AS (SELECT COUNT(*) AS raw_pairs,
+       |                   CAST(SUM(n_tok) AS BIGINT) AS raw_tokens FROM base),
+       |stages AS (
+       |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_pairs,
+       |         CAST(SUM(n_tok) AS BIGINT) AS caption_tokens FROM base
+       |  UNION ALL SELECT 1, 'caption_quality', COUNT(*),
+       |         CAST(SUM(n_tok) AS BIGINT) FROM q
+       |  UNION ALL SELECT 2, 'image_geometry', COUNT(*),
+       |         CAST(SUM(n_tok) AS BIGINT) FROM g
+       |  UNION ALL SELECT 3, 'image_dedup', COUNT(*),
+       |         CAST(SUM(n_tok) AS BIGINT) FROM d)
+       |SELECT stage, stage_name, n_pairs, caption_tokens,
+       |       ROUND(CAST(n_pairs AS DOUBLE) / raw_pairs, 6) AS pair_frac,
+       |       ROUND(CAST(caption_tokens AS DOUBLE) / raw_tokens, 6)
+       |         AS token_frac
+       |FROM stages CROSS JOIN raw_tot ORDER BY stage""".stripMargin
 
   // ------------------------------------------------ image header decode
   /** Byte-level image metadata decode — the FIRST real operator an
@@ -565,6 +676,7 @@ object MultimodalOps {
     "q_audio_meta" -> (audioMeta _),
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
+    "q_pair_curation" -> (pairCuration _),
     "q_aspect_buckets" -> (aspectBuckets _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
@@ -575,6 +687,7 @@ object MultimodalOps {
     "q_audio_meta" -> audioMetaOracle,
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
+    "q_pair_curation" -> pairCurationOracle,
     "q_aspect_buckets" -> aspectBucketsOracle,
     "q_media_meta" -> mediaMetaOracle,
     "q_media_decode" -> mediaDecodeOracle,

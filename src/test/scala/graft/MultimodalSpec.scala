@@ -112,6 +112,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pair curation: funnel is monotone and composes the factored gates") {
+    val rows = MultimodalOps.pairCuration(spark, sfSmall).collect()
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "caption_quality", "image_geometry", "image_dedup"))
+    val counts = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(counts.sliding(2).forall { case Seq(a, b) => a >= b },
+      s"stage counts must be non-increasing: $counts")
+    assert(counts.head ==
+      Tables.documents(spark, sfSmall).count(), "raw = all pairs")
+    assert(counts.last > 0 && counts.last < counts.head,
+      "the funnel must actually drop pairs on this fixture")
+    // stage 1 is EXACTLY the standalone quality gate's survivor count —
+    // the composition reuses the factored predicate, not a lookalike
+    val q = Tables.documents(spark, sfSmall)
+      .filter(graft.ops.TextOps.qualityKeep).count()
+    assert(counts(1) == q, s"caption_quality ${counts(1)} != standalone $q")
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
