@@ -123,11 +123,13 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, sfSmall).count(), "raw = all pairs")
     assert(counts.last > 0 && counts.last < counts.head,
       "the funnel must actually drop pairs on this fixture")
-    // stage 1 is EXACTLY the standalone quality gate's survivor count —
-    // the composition reuses the factored predicate, not a lookalike
-    val q = Tables.documents(spark, sfSmall)
-      .filter(graft.ops.TextOps.qualityKeep).count()
-    assert(counts(1) == q, s"caption_quality ${counts(1)} != standalone $q")
+    // stage 1 is EXACTLY the text pipeline's quality-stage survivor
+    // count — both funnels gate on the one factored predicate
+    // (TextOps.qualityKeep), so the counts must agree to the row
+    val q = graft.ops.CurationOps.pipelineLedger(spark, sfSmall).collect()
+      .find(_.getAs[String]("stage_name") == "quality").get
+      .getAs[Long]("n_docs")
+    assert(counts(1) == q, s"caption_quality ${counts(1)} != ledger $q")
   }
 
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
