@@ -69,6 +69,14 @@ case class KmvUnionAgg(
   private def mergeK(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return if (b.length <= k) b else java.util.Arrays.copyOf(b, k)
     if (b.isEmpty) return if (a.length <= k) a else java.util.Arrays.copyOf(a, k)
+    // Convergence fast paths (profiled in round 10: once the sketch
+    // iteration plateaus most unions are no-ops, and the per-row
+    // output allocation dominated the aggregate's GC churn): a full
+    // buffer absorbs nothing from an input whose minimum is at or
+    // past its maximum (values ≥ a(k-1) either dedup into it or rank
+    // after k), and an identical input changes nothing.
+    if (a.length == k && b(0) >= a(k - 1)) return a
+    if (a.length == b.length && java.util.Arrays.equals(a, b)) return a
     val cap = math.min(k, a.length + b.length)
     val out = new Array[Long](cap)
     var i = 0

@@ -839,10 +839,29 @@ object GraphOps {
     * k — the sketch IS the ball), and the summed reach estimate — the
     * curve whose plateau locates the effective diameter.
     *
-    * Memory discipline: per-hop rollups (1 row) are checkpointed
-    * EAGERLY so each superseded sketch frame's blocks can be freed
-    * immediately — only one |V|·(k+1)-long sketch generation is ever
-    * live (the round-9 star-CC lesson applied to fan-in state).
+    * Memory discipline: per-hop rollups (1 row) are collected
+    * EAGERLY (A6 scalars) so each superseded sketch frame's blocks can
+    * be freed immediately — only one |V|·(k+1)-long sketch generation
+    * is ever live (the round-9 star-CC lesson applied to fan-in
+    * state), and no checkpoint blocks outlive the call.
+    *
+    * Runtime profile (round-10 pass, sf0.1, local[32], 10 back-to-back
+    * executions instrumented for GC and storage): steady state is
+    * ~3.5 s; the FIRST execution in a JVM pays ~15–20 s of
+    * codegen+JIT warmup (the typed-imperative kmv_union path and the
+    * co-purchase join pipeline compile on first use — Bench's
+    * untimed warmup round absorbs this); occasional executions
+    * inflate 2–5× with near-zero GC delta, i.e. the documented roving
+    * host windows, not this operator (per-phase timing shows graph
+    * build, init, and every round inflating TOGETHER in those
+    * windows). Worst observed GC share was 3 s in a 22 s execution.
+    * Fixed in the same pass: the old per-hop rollup checkpoints
+    * leaked 3 one-row blocks per execution into the shared session
+    * (now collected, `getPersistentRDDs` stays empty), and kmv_union
+    * gained convergence fast paths (a full buffer absorbing nothing,
+    * or an identical input, returns without allocating). Isolated
+    * re-measure discipline: REPEAT≥3 min-of-rounds recovers 3.5–9 s
+    * depending on host weather.
     */
   /** One HyperANF round, uncheckpointed (PlanSpec pins this exact
     * frame's physical plan): the sketch frame is node-sized
@@ -895,24 +914,32 @@ object GraphOps {
       .withColumn("sk",
         array(Parity.mixBucket(col("node"), 2654435761L, 4294967296L)))
       .localCheckpoint(true)
-    val hopAggs = (1 to hops).map { h =>
+    // each hop's rollup is ONE row — collect it driver-side (the A6
+    // scalar pattern) instead of checkpointing it: the superseded
+    // sketch generation still frees immediately, no per-execution
+    // 1-row checkpoint blocks leak into the shared session (profiled
+    // in round 10: the old unionByName-of-checkpoints left 3 blocks
+    // per execution alive forever), and the returned frame is a plain
+    // 3-row local relation
+    val rows = (1 to hops).map { h =>
       val next = nfRound(sym, sk, k).localCheckpoint(true)
       val agg = next
-        .select(lit(h).as("hop"), size(col("sk")).as("m"),
+        .select(size(col("sk")).as("m"),
           when(size(col("sk")) < k, size(col("sk")).cast("long"))
             .otherwise(expr(s"$est64 div element_at(sk, $k)")).as("est"))
-        .groupBy(col("hop"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(when(col("m") < k, 1L).otherwise(0L)).as("n_exact"),
           sum(col("est")).as("nf_est"))
-        .localCheckpoint(true) // 1 row, materialized NOW …
+        .collect()(0) // 1 row, materialized NOW …
       freeCheckpoint(sk) // … so the superseded sketches free safely
       sk = next
-      agg
+      (h, agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }
     freeCheckpoint(sk)
     freeCheckpoint(sym)
-    hopAggs.reduce(_.unionByName(_)).orderBy(col("hop"))
+    val session = half.sparkSession
+    import session.implicits._
+    rows.toDF("hop", "n_nodes", "n_exact", "nf_est").orderBy(col("hop"))
   }
 
   /** [[neighborhoodFunction]] over the co-purchase graph — the same
