@@ -123,17 +123,47 @@ case class EditJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(x, y) => conj(x) ++ conj(y)
       case other => Seq(other)
     }
-    def hasLenFilter(side: LogicalPlan, a: Expression, short: Boolean): Boolean =
+    // Predicate pushdown rewrites the legs' `Length(a) < minLen`
+    // filters through projections (length(s) becomes
+    // length(substring(text, …)) below the aliasing Project), so
+    // compare MODULO the side's alias definitions: substitute
+    // attribute → alias child to a bounded fixpoint on both the
+    // filter operand and the join's edit-bound operand.
+    def aliasDefs(p: LogicalPlan): AttributeMap[Expression] =
+      AttributeMap(p.collect {
+        case Project(list, _) =>
+          list.collect { case al: Alias => al.toAttribute -> al.child }
+      }.flatten)
+    def normalize(e: Expression, d: AttributeMap[Expression]): Expression = {
+      var cur = e
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 4) {
+        val next = cur.transformUp {
+          case a: Attribute if d.contains(a) => d(a)
+        }
+        changed = !next.fastEquals(cur)
+        cur = next
+        rounds += 1
+      }
+      cur
+    }
+    def hasLenFilter(side: LogicalPlan, a: Expression, short: Boolean): Boolean = {
+      val d = aliasDefs(side)
+      val na = normalize(a, d)
+      def sameOperand(e: Expression): Boolean =
+        e.semanticEquals(a) || normalize(e, d).semanticEquals(na)
       side.exists {
         case Filter(c, _) => conj(c).exists {
           case LessThan(Length(e), Literal(m: Int, IntegerType)) =>
-            short && m == minLen && e.semanticEquals(a)
+            short && m == minLen && sameOperand(e)
           case GreaterThanOrEqual(Length(e), Literal(m: Int, IntegerType)) =>
-            !short && m == minLen && e.semanticEquals(a)
+            !short && m == minLen && sameOperand(e)
           case _ => false
         }
         case _ => false
       }
+    }
     hasLenFilter(left, aL, short = true) ||
       (hasLenFilter(left, aL, short = false) &&
         hasLenFilter(right, aR, short = true))

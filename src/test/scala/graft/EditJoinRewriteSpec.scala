@@ -88,6 +88,71 @@ class EditJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("marker guard is subtree-scoped: a user __graft_ej* column elsewhere doesn't disable the rewrite") {
+    EditJoinRewrite.install(spark)
+    try {
+      // a SEPARATE branch of the query carries a user column that
+      // happens to collide with the rule's marker prefix — the old
+      // whole-plan guard silently disabled the rewrite for the entire
+      // query; the subtree-scoped guard must still fire on the join
+      val decoy = leftDf.select(col("doc_id").as("__graft_ej_fake"))
+        .groupBy().count().select(col("count").as("n_decoy"))
+      val joined = thetaJoin.crossJoin(decoy)
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_ej_s"),
+        s"rewrite must fire despite the decoy column:\n$opt")
+      assert(opt.contains("Union"), s"expected the 3-leg union:\n$opt")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[EditJoinRewrite])
+    }
+  }
+
+  test("structural short-leg guard: the rule's own legs are not re-split without tags") {
+    // Feed the rule the SHAPE of its own short-left leg (a fresh plan,
+    // so no TreeNode tags exist — exactly the tag-loss scenario): the
+    // structural guard must decline, and the long-mass-only pre-filter
+    // variant must still rewrite (declining there costs correctness
+    // nothing, only the optimization — but it must not loop either).
+    EditJoinRewrite.install(spark)
+    try {
+      val minLen = 15 // (k+1)·q for k=2, q=5
+      val shortLeft = leftDf.filter(length(col("s")) < minLen)
+        .join(rightDf, levenshtein(col("s"), col("t")) <= 2)
+      val optShort = shortLeft.queryExecution.optimizedPlan.toString
+      assert(!optShort.contains("__graft_ej"),
+        s"rule re-split its own short-left leg shape:\n$optShort")
+      // and the result is still correct through the naive plan
+      assert(shortLeft.count() ==
+        leftDf.filter(length(col("s")) < minLen).collect().map(_.getString(1))
+          .map(s => rightDf.collect().map(_.getString(1))
+            .count(t => levDriver(s, t) <= 2)).sum,
+        "short-leg naive result mismatch")
+      // the long/short two-sided leg shape also declines
+      val shortRight = leftDf.filter(length(col("s")) >= minLen)
+        .join(rightDf.filter(length(col("t")) < minLen),
+          levenshtein(col("s"), col("t")) <= 2)
+      assert(!shortRight.queryExecution.optimizedPlan.toString
+        .contains("__graft_ej"),
+        "rule re-split its own short-right leg shape")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[EditJoinRewrite])
+    }
+  }
+
+  private def levDriver(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("rule leaves equi joins and non-edit theta joins untouched") {
     EditJoinRewrite.install(spark)
     try {
