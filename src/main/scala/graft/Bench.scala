@@ -59,7 +59,7 @@ object Bench {
         sources.CsvSources.ineCsv(spark, sfDir)
       if (names.contains("q_shapefile_scan"))
         sources.Shapefile.fixture(spark, sfDir)
-      if (names.contains("q_image_meta"))
+      if (names.contains("q_image_meta") || names.contains("q_pixel_stats"))
         sources.ImageFiles.imagesDir(spark, sfDir)
       if (names.contains("q_audio_meta"))
         sources.AudioFiles.clipsDir(spark, sfDir)

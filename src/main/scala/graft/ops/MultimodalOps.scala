@@ -7,12 +7,17 @@ import graft.Tables
 
 /** Multimodal-column plumbing: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata, exactly how image/audio
-  * blobs travel in a lakehouse training pipeline. The decode step itself
-  * is STUBBED with a deterministic fake (this container ships no image
-  * libs — see the builder brief) but everything Spark-side is real and
-  * tested: the schema, the binary encoding, the partition-parallel
-  * `mapPartitions` batch shape a JNI/FFI decoder would plug into, and the
-  * metadata aggregation.
+  * blobs travel in a lakehouse training pipeline. Header decode
+  * ([[imageMeta]], [[audioMeta]]) and full pixel decode
+  * ([[pixelStats]], via the JDK's own ImageIO) are REAL — they parse
+  * actual spec-valid PNG/BMP/GIF/JPEG/WAV bytes with no external codec
+  * dependency. Only the generic feature-extraction stage
+  * ([[decodeStub]]) remains a deterministic fake standing in for
+  * codecs beyond the JDK (this container ships no image libs — see the
+  * builder brief); everything Spark-side is real and tested: the
+  * schema, the binary encoding, the partition-parallel `mapPartitions`
+  * batch shape a JNI/FFI decoder would plug into, and the metadata
+  * aggregation.
   */
 object MultimodalOps {
 
@@ -597,6 +602,80 @@ object MultimodalOps {
        |FROM dims ORDER BY img_id""".stripMargin
   }
 
+  // ------------------------------------------------ full pixel decode
+  /** REAL full-frame pixel decode — the stage after [[imageMeta]]'s
+    * header triage, actually performed: every fixture file is decoded
+    * to pixels executor-side with the JDK's own ImageIO (javax.imageio
+    * ships in the base JVM — no external codec dependency), in the
+    * same per-partition batch shape the header pass uses. Reports the
+    * decoded dimensions (cross-checking the header parse against an
+    * INDEPENDENT decoder, not our own arithmetic) and the raster
+    * band-0 sample sum over every pixel. The fixture makes that sum
+    * closed-form — black PNG/BMP/GIF frames sum to 0, the JPEG's
+    * DC-0-plus-level-shift gray sums to 128·w·h — so the oracle
+    * proves the ENTIRE frame decoded (a decoder that dropped rows,
+    * misread stride/padding, or mis-expanded the LZW/zlib/entropy
+    * stream shifts the sum), byte-stream to pixels, against
+    * arithmetic rather than against another run of the same parser.
+    *
+    * Scale shape: binaryFile parallelizes by file and prunes at
+    * listing time; decode is per-file CPU with no shuffle until the
+    * final narrow rollup; this mapPartitions slot is exactly where a
+    * libjpeg-turbo/ffmpeg FFI binding plugs in for codecs beyond the
+    * JDK's (the [[decodeStub]] contract, here fulfilled for real on
+    * the four fixture formats).
+    */
+  def pixelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.ImageFiles.imagesDir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "img_*.{png,bmp,gif,jpg}")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.(png|bmp|gif|jpg)$", 1)
+          .cast("long").as("img_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (id, false, -1, -1, -1L, -1L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val row = new Array[Int](w)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, 0, row)
+            var x = 0
+            while (x < w) { sum += row(x); x += 1 }
+            y += 1
+          }
+          (id, true, w, h, w.toLong * h, sum)
+        }
+      })
+      .toDF("img_id", "decode_ok", "width", "height", "n_pixels",
+        "sample_sum")
+      .orderBy(col("img_id"))
+  }
+
+  private val pixelStatsOracle = {
+    import graft.sources.ImageFiles.NImages
+    s"""WITH dims AS (
+       |  SELECT doc_id AS img_id,
+       |         16 + (doc_id * 7) % 240 AS w,
+       |         16 + (doc_id * 13) % 180 AS h
+       |  FROM documents WHERE doc_id < $NImages)
+       |SELECT img_id, TRUE AS decode_ok,
+       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(w * h AS BIGINT) AS n_pixels,
+       |       CAST(CASE WHEN img_id % 4 = 3 THEN 128 * w * h ELSE 0 END
+       |            AS BIGINT) AS sample_sum
+       |FROM dims ORDER BY img_id""".stripMargin
+  }
+
   // ------------------------------------------------ audio header decode
   /** WAV/RIFF header triage — [[imageMeta]]'s audio sibling and the
     * first pass of an audio-corpus pipeline (reject non-PCM and
@@ -677,6 +756,7 @@ object MultimodalOps {
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
     "q_pair_curation" -> (pairCuration _),
+    "q_pixel_stats" -> (pixelStats _),
     "q_aspect_buckets" -> (aspectBuckets _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
@@ -688,6 +768,7 @@ object MultimodalOps {
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_pair_curation" -> pairCurationOracle,
+    "q_pixel_stats" -> pixelStatsOracle,
     "q_aspect_buckets" -> aspectBucketsOracle,
     "q_media_meta" -> mediaMetaOracle,
     "q_media_decode" -> mediaDecodeOracle,
