@@ -598,12 +598,17 @@ object TextOps {
     */
   private val BpeRounds = 3
 
-  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The shared merge loop: returns the per-round merge table and the
+    * final (w, freq, seg) segmentation — [[bpeTrain]] reports the
+    * former, [[bpeApply]] encodes the corpus with the latter. */
+  private def bpeMergeLoop(
+      spark: SparkSession,
+      sfDir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
     var seg = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), regexp_replace(col("w"), "(.)", "($1)").as("seg"))
+      .select(col("w"), col("freq"),
+        regexp_replace(col("w"), "(.)", "($1)").as("seg"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -623,46 +628,98 @@ object TextOps {
       val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
       merges += ((r, a, b, n))
       seg = seg
-        .select(col("freq"),
+        .select(col("w"), col("freq"),
           expr(s"replace(seg, '($a)($b)', '($a$b)')").as("seg"))
         .localCheckpoint()
     }
-    merges.result().toDF("round", "sym_a", "sym_b", "n_pair")
+    (merges.result(), seg)
+  }
+
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeLoop(spark, sfDir)._1.toDF("round", "sym_a", "sym_b", "n_pair")
       .select(col("round"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("new_symbol"), col("n_pair"))
       .orderBy(col("round"))
   }
 
-  private val bpeTrainOracle = {
-    // one merge round as CTE text: pair counts over the previous
-    // segmentation, argmax winner, replace-based greedy re-segmentation
-    def round(r: Int): String =
-      s"""p$r AS (
-         |  SELECT syms[i] AS a, syms[i+1] AS b,
-         |         CAST(SUM(freq) AS BIGINT) AS n
-         |  FROM (SELECT freq,
-         |          string_split(substr(seg, 2, length(seg) - 2), ')(') AS syms
-         |        FROM seg$r),
-         |       UNNEST(range(1, len(syms))) AS t(i)
-         |  GROUP BY 1, 2),
-         |w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |seg${r + 1} AS (
-         |  SELECT s.freq,
-         |         replace(s.seg, '(' || w.a || ')(' || w.b || ')',
-         |                 '(' || w.a || w.b || ')') AS seg
-         |  FROM seg$r s CROSS JOIN w$r w)""".stripMargin
-    s"""WITH words AS (
+  // one merge round as CTE text: pair counts over the previous
+  // segmentation, argmax winner, replace-based greedy re-segmentation;
+  // shared by the train and apply oracles (both replay the SAME loop)
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS (
+       |  SELECT syms[i] AS a, syms[i+1] AS b,
+       |         CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq,
+       |          string_split(substr(seg, 2, length(seg) - 2), ')(') AS syms
+       |        FROM seg$r),
+       |       UNNEST(range(1, len(syms))) AS t(i)
+       |  GROUP BY 1, 2),
+       |w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+       |seg${r + 1} AS (
+       |  SELECT s.w, s.freq,
+       |         replace(s.seg, '(' || w.a || ')(' || w.b || ')',
+       |                 '(' || w.a || w.b || ')') AS seg
+       |  FROM seg$r s CROSS JOIN w$r w)""".stripMargin
+
+  private val bpeCommonSql: String =
+    s"""words AS (
        |  SELECT w, COUNT(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w),
-       |seg1 AS (SELECT freq, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+       |seg1 AS (SELECT w, freq, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
        |         FROM words),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}""".stripMargin
+
+  private val bpeTrainOracle =
+    s"""WITH $bpeCommonSql
        |${(1 to BpeRounds).map(r =>
         s"SELECT $r AS round, a AS sym_a, b AS sym_b, a || b AS new_symbol, " +
           s"n AS n_pair FROM w$r").mkString("\nUNION ALL ")}
        |ORDER BY round""".stripMargin
+
+  /** Encode the corpus with the trained merges — the APPLY half of the
+    * tokenizer loop, and the measurement that justifies it: per-lang
+    * subword fertility (subwords emitted per word) under the
+    * [[bpeTrain]] model. The merge loop runs once (vocab-sized); the
+    * final segmentation joins back to the token stream UNHINTED
+    * (vocab-sized table — AQE broadcasts at small SF, shuffle-joins on
+    * the word key at corpus scale), so encoding costs one corpus
+    * explode + one equi-join + one aggregate regardless of merge
+    * count. Oracle replays the identical 3-round CTE chain to seg4 and
+    * re-derives every per-word subword count. Fertility is a long/long
+    * division rounded at 6 dp (the pipelineLedger fraction pattern).
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, seg) = bpeMergeLoop(spark, sfDir)
+    val subw = seg.select(col("w"),
+      size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
+        .cast("long").as("n_sub"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(subw, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"))
+      .orderBy(col("lang"))
   }
+
+  private val bpeApplyOracle =
+    s"""WITH $bpeCommonSql,
+       |sub AS (
+       |  SELECT w,
+       |         CAST(len(string_split(substr(seg, 2, length(seg) - 2), ')('))
+       |              AS BIGINT) AS n_sub
+       |  FROM seg${BpeRounds + 1}),
+       |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |SELECT lang, COUNT(*) AS n_words,
+       |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |       ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM tok JOIN sub USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------- bigram LM
   /** Bigram language-model quality scoring with add-1 smoothing — the
@@ -1402,6 +1459,7 @@ object TextOps {
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_apply" -> (bpeApply _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -1428,6 +1486,7 @@ object TextOps {
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_apply" -> bpeApplyOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,
