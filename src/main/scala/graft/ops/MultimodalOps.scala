@@ -489,6 +489,42 @@ object MultimodalOps {
     * arithmetic over the id range, proving the parse against ground
     * truth rather than against another parser.
     */
+  // JPEG has no fixed-offset dimension field: SOF sits behind a
+  // variable run of length-prefixed segments (APPn/DQT/DHT/…), so
+  // the parse WALKS the marker stream — skip each segment by its
+  // big-endian length, tolerate 0xFF fill bytes, stop at any
+  // SOF0/1/2 (baseline/extended/progressive share the frame-header
+  // layout) and read precision/height/width there. Stopping at SOS
+  // without a SOF classifies "unknown" rather than scanning
+  // entropy-coded data for false markers; every bound check keeps the
+  // walk total on arbitrary truncated/corrupt bytes (fuzz-spec'd over
+  // every prefix of a valid file). Returns (width, height, precision)
+  // or null.
+  private[graft] def jpegSof(b: Array[Byte]): (Int, Int, Int) = {
+    var o = 2
+    var res: (Int, Int, Int) = null
+    var done = false
+    while (!done && res == null && o + 3 < b.length) {
+      if ((b(o) & 0xff) != 0xff) done = true
+      else if ((b(o + 1) & 0xff) == 0xff) o += 1 // fill byte
+      else {
+        val m = b(o + 1) & 0xff
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) o += 2 // standalone
+        else if (m == 0xda || m == 0xd9) done = true // SOS/EOI: no SOF seen
+        else {
+          val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          if (m >= 0xc0 && m <= 0xc2 && o + 8 < b.length)
+            res = (((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff), // width
+              ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff), // height
+              b(o + 4) & 0xff) // precision
+          else if (len < 2) done = true // malformed length
+          else o += 2 + len
+        }
+      }
+    }
+    res
+  }
+
   def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.sources.ImageFiles.imagesDir(spark, sfDir)
@@ -498,38 +534,6 @@ object MultimodalOps {
     def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    // JPEG has no fixed-offset dimension field: SOF sits behind a
-    // variable run of length-prefixed segments (APPn/DQT/DHT/…), so
-    // the parse WALKS the marker stream — skip each segment by its
-    // big-endian length, tolerate 0xFF fill bytes, stop at any
-    // SOF0/1/2 (baseline/extended/progressive share the frame-header
-    // layout) and read precision/height/width there. Stopping at SOS
-    // without a SOF classifies "unknown" rather than scanning
-    // entropy-coded data for false markers.
-    def jpegSof(b: Array[Byte]): (Int, Int, Int) = {
-      var o = 2
-      var res: (Int, Int, Int) = null
-      var done = false
-      while (!done && res == null && o + 3 < b.length) {
-        if ((b(o) & 0xff) != 0xff) done = true
-        else if ((b(o + 1) & 0xff) == 0xff) o += 1 // fill byte
-        else {
-          val m = b(o + 1) & 0xff
-          if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) o += 2 // standalone
-          else if (m == 0xda || m == 0xd9) done = true // SOS/EOI: no SOF seen
-          else {
-            val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-            if (m >= 0xc0 && m <= 0xc2 && o + 8 < b.length)
-              res = (((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff), // width
-                ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff), // height
-                b(o + 4) & 0xff) // precision
-            else if (len < 2) done = true // malformed length
-            else o += 2 + len
-          }
-        }
-      }
-      res
-    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "img_*.{png,bmp,gif,jpg}")
       .load(dir)

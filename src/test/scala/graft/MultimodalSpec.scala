@@ -132,6 +132,36 @@ class MultimodalSpec extends SparkSpec {
     assert(counts(1) == q, s"caption_quality ${counts(1)} != ledger $q")
   }
 
+  test("jpeg marker walk: total and correct on every prefix of a valid file") {
+    import graft.sources.ImageFiles
+    val full = ImageFiles.jpegBytes(77, 41)
+    // the SOF segment's last byte is at a known offset; once the walk
+    // can reach it, dims parse — before that, null, never a throw
+    val sofEnd = {
+      // find FFC0, segment spans marker(2) + len(11)
+      val i = full.indices.find(i =>
+        (full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xc0).get
+      i + 2 + 11
+    }
+    for (n <- 0 to full.length) {
+      val prefix = java.util.Arrays.copyOf(full, n)
+      val res = graft.ops.MultimodalOps.jpegSof(prefix) // must not throw
+      if (n >= sofEnd)
+        assert(res == ((77, 41, 8)), s"prefix $n parsed $res")
+    }
+    // corrupt variants: zeroed length fields, truncated marker, junk —
+    // all classify as null (unknown), never throw or loop
+    val zeroLen = full.clone()
+    val dqt = full.indices.find(i =>
+      (full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xdb).get
+    zeroLen(dqt + 2) = 0; zeroLen(dqt + 3) = 0
+    assert(graft.ops.MultimodalOps.jpegSof(zeroLen) == null,
+      "zero-length segment must classify unknown, not loop")
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte
+    graft.ops.MultimodalOps.jpegSof(junk) // total on junk
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
