@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -216,7 +216,7 @@ object MultimodalOps {
     * ratio 1.0 for every short doc). Factored so [[aspectBuckets]] and
     * [[pairCuration]] gate on the IDENTICAL projection, with
     * [[synthGeometrySql]] its oracle rendering. */
-  private[ops] def synthGeometry(docs: DataFrame): DataFrame =
+  private[graft] def synthGeometry(docs: DataFrame): DataFrame =
     docs
       .withColumn("width",
         (length(col("text").cast("binary")) * 7 % 640 + 1).cast("long"))
@@ -309,7 +309,7 @@ object MultimodalOps {
     * mapPartitions histogram hash [[phashNearDup]] documents, factored
     * so [[pairCuration]]'s image-dedup stage reuses the IDENTICAL
     * signature; [[ahashSqlExpr]] is its oracle rendering. */
-  private[ops] def withAhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def withAhash(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -396,18 +396,38 @@ object MultimodalOps {
     */
   private val PairMinDim = 64L
 
-  def pairCuration(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The image-geometry gate, factored so the batch funnel and the
+    * streaming twin apply the IDENTICAL predicate. */
+  private def pairGeomOk: Column =
+    col("width") >= PairMinDim && col("height") >= PairMinDim &&
+      col("r_e3").between(RatioLadderE3.head, RatioLadderE3.last)
+
+  /** Gate annotation for the streaming twin: the funnel's caption and
+    * geometry predicates as boolean columns over arriving pairs. */
+  private[graft] def pairGated(docs: DataFrame): DataFrame =
+    synthGeometry(docs)
+      .withColumn("keep_q", TextOps.qualityKeep)
+      .withColumn("geom_ok", pairGeomOk)
+
+  /** The funnel's four stage frames (raw, caption-gated,
+    * geometry-gated, deduped) — [[pairCuration]] reports their sizes;
+    * the streaming spec replays against them. */
+  private[graft] def pairStages(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = synthGeometry(Tables.documents(spark, sfDir))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("keep_q", TextOps.qualityKeep)
     val q = base.filter(col("keep_q"))
-    val g = q.filter(col("width") >= PairMinDim &&
-      col("height") >= PairMinDim &&
-      col("r_e3").between(RatioLadderE3.head, RatioLadderE3.last))
+    val g = q.filter(pairGeomOk)
     val keepers = withAhash(spark, g)
       .groupBy(col("ahash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val d = g.join(keepers, Seq("doc_id"), "left_semi")
+    (base, q, g, d)
+  }
+
+  def pairCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, q, g, d) = pairStages(spark, sfDir)
     def stage(df: DataFrame, ord: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_pairs"),
         sum(col("n_tok")).as("caption_tokens"))

@@ -303,6 +303,87 @@ object StreamingOps {
       .start()
 
   // ------------------------------------------------------------------
+  /** Streaming cross-modal pair curation — the incremental twin of
+    * [[graft.ops.MultimodalOps.pairCuration]]'s LAION-style funnel,
+    * completing the ladder for image–text pairs: the caption-quality
+    * and image-geometry gates are STATELESS map-side predicates
+    * (applied per arrival via the batch op's own factored
+    * [[graft.ops.MultimodalOps.pairGated]] — no re-implementation);
+    * the only state is the perceptual-hash dedup, which probes the
+    * STANDING index of kept pairs' hashes and the arrival's own
+    * micro-batch (min-doc_id keeper), then appends the batch's KEPT
+    * hashes. One final ledger row per arrival records where the
+    * funnel dropped it (or `kept`).
+    *
+    * Replay idempotence (the winnowStream discipline): the index
+    * stores (ahash, doc_id) of keepers and both probes apply the
+    * LOWER-doc_id predicate, so a crash-redelivered keeper never
+    * matches its own index row and re-appends byte-identical ledger
+    * rows a reader dedups on doc_id. Under in-order ingest (doc_id
+    * order) the ledger's kept set equals batch
+    * [[graft.ops.MultimodalOps.pairCuration]]'s final-stage survivors
+    * EXACTLY, and each stage's drop count equals the batch funnel's
+    * stage delta — StreamingSpec pins both.
+    *
+    * Scale shape per micro-batch: gates are column math on the batch;
+    * the dedup probe is an equi-join of the (small) batch's hashes
+    * against the index (bucketed by hash at 100 TB so only touched
+    * buckets read); appends are file-appends, no rewrite.
+    */
+  def pairCurationStream(pairs: DataFrame, indexTbl: String,
+      ledgerTbl: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexTbl)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val gated = graft.ops.MultimodalOps.pairGated(batch.toDF())
+          .select(col("doc_id"), col("text"), col("keep_q"), col("geom_ok"))
+          .localCheckpoint(true) // ledger AND probe read one snapshot
+        val pass = gated.filter(col("keep_q") && col("geom_ok"))
+        val hashed = graft.ops.MultimodalOps.withAhash(spark, pass)
+          .localCheckpoint(true)
+        val standing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexTbl)))
+            spark.read.parquet(indexTbl)
+          else hashed.limit(0)
+        // lower-id predicate on BOTH probes (replay idempotence: a
+        // redelivered keeper's own index row has an EQUAL doc_id and
+        // must not flip its decision)
+        val dupStanding = hashed.as("x")
+          .join(standing.as("y"),
+            col("x.ahash") === col("y.ahash") &&
+              col("y.doc_id") < col("x.doc_id"))
+          .select(col("x.doc_id"))
+        val dupBatch = hashed.as("x")
+          .join(hashed.as("y"),
+            col("x.ahash") === col("y.ahash") &&
+              col("y.doc_id") < col("x.doc_id"))
+          .select(col("x.doc_id"))
+        val dropped = dupStanding.unionByName(dupBatch)
+          .distinct().withColumn("hit", lit(1L))
+        val ledger = gated
+          .join(dropped, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(!col("keep_q"), "caption_quality")
+              .when(!col("geom_ok"), "image_geometry")
+              .when(col("hit").isNotNull, "image_dedup")
+              .otherwise("kept").as("disposition"))
+          .withColumn("kept", col("disposition") === "kept")
+          .localCheckpoint(true) // index append filters through it
+        ledger.write.mode("append").parquet(ledgerTbl)
+        // only KEPT pairs join the index: the keeper IS the standing
+        // representative every later duplicate must match (lower id)
+        hashed.join(ledger.filter(col("kept")), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(indexTbl)
+        graft.ops.GraphOps.freeCheckpoint(gated)
+        graft.ops.GraphOps.freeCheckpoint(hashed)
+        graft.ops.GraphOps.freeCheckpoint(ledger)
+      }
+      .start()
+
+  // ------------------------------------------------------------------
   /** Native `session_window` sessionization under Structured Streaming —
     * the declarative twin of both the typed [[sessionize]] (explicit
     * `flatMapGroupsWithState`) and the batch

@@ -669,6 +669,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pair curation: ledger replays the batch funnel stage-for-stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/pair_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.pairCurationStream(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/ledger")
+    try {
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val ledger = spark.read.parquet(s"$base/ledger")
+      assert(ledger.count() == docs.length,
+        "every arrival must get exactly one final ledger row")
+      val kept = ledger.filter(col("kept")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // in-order ingest: kept set equals the batch funnel's survivors
+      val (b, qq, g, d) = graft.ops.MultimodalOps.pairStages(spark, sfSmall)
+      val batchKept = d.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == batchKept,
+        s"stream kept ${kept.size} != batch ${batchKept.size}")
+      // per-stage drop counts equal the batch funnel's stage deltas
+      val drops = ledger.groupBy("disposition").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nb, nq, ng, nd) = (b.count(), qq.count(), g.count(), d.count())
+      assert(drops.getOrElse("caption_quality", 0L) == nb - nq)
+      assert(drops.getOrElse("image_geometry", 0L) == nq - ng)
+      assert(drops.getOrElse("image_dedup", 0L) == ng - nd)
+      assert(drops.getOrElse("kept", 0L) == nd)
+    } finally q.stop()
+  }
+
   test("streaming winnowing: in-order batches equal the batch pair table's d2 side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
