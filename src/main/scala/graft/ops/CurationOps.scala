@@ -784,15 +784,38 @@ object CurationOps {
     * Lift > 1 in the top deciles is the evidence that the score
     * actually concentrates the target — the table every
     * classifier/heuristic selection ships with. Deciling is one
-    * narrow-row ntile window; rates and lift are exact-count IEEE
-    * divisions rounded at 6 dp; the corpus-scale work is the composed
-    * weight operator's one pass.
+    * narrow-row ntile window in the default oracle-parity mode; rates
+    * and lift are exact-count IEEE divisions rounded at 6 dp; the
+    * corpus-scale work is the composed weight operator's one pass.
+    * `-Dgraft.percentile.approx=true` (the equidepth/knPerplexity flag
+    * contract) swaps the doc-count-sized global ntile for GK-sketch
+    * decile cutpoints broadcast back + a map-side comparison ladder —
+    * the 100 TB bucketing path, oracle-exercised by
+    * [[liftTableApprox]] through the equal-mass invariant.
     */
+  private def decileApprox(scored: DataFrame): DataFrame = {
+    // cutpoints at the 90th..10th percentile of dsir_w: decile 1 = the
+    // HIGHEST weights (ntile over weight DESC), so bucket by >= from
+    // the top cut downwards
+    val cuts = scored.agg(expr(
+      "approx_percentile(dsir_w, array(0.9, 0.8, 0.7, 0.6, 0.5, " +
+        "0.4, 0.3, 0.2, 0.1), 10000)").as("cs"))
+    val bucket = (9 to 1 by -1).foldLeft(lit(10)) { (acc, i) =>
+      // fold builds inside-out from the lowest cut, so the OUTERMOST
+      // test is the highest cut and the first satisfied >= wins
+      when(col("dsir_w") >= col("cs").getItem(i - 1), lit(i)).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(cuts)).withColumn("decile", bucket)
+  }
+
   def liftTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = !sys.props.get("graft.percentile.approx").contains("true")
     val scored = importanceWeights(spark, sfDir)
       .withColumn("pos", when(col("lang") === DsirTarget, 1L).otherwise(0L))
     val w = Window.orderBy(col("dsir_w").desc, col("doc_id"))
-    val deciled = scored.withColumn("decile", ntile(10).over(w))
+    val deciled =
+      if (exact) scored.withColumn("decile", ntile(10).over(w))
+      else decileApprox(scored)
     val base = scored.agg(count(lit(1)).as("n_all"), sum(col("pos")).as("p_all"))
     deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"))
@@ -837,6 +860,37 @@ object CurationOps {
        |             (CAST(p_all AS DOUBLE) / n_all), 6) AS lift
        |FROM deciled CROSS JOIN base
        |GROUP BY decile, p_all, n_all ORDER BY decile""".stripMargin
+
+  /** The 100 TB mode of [[liftTable]] exercised for real (the
+    * equidepth/knPerplexity approx-twin pattern): decile cutpoints
+    * from the mergeable GK sketch, map-side bucketing, and an oracle
+    * on the property that DEFINES a decile split — each of the 10
+    * buckets holds n/10 docs within a tolerance dominated by cutpoint
+    * discretization (buckets split at actual data values; dsir_w is a
+    * 6 dp-rounded per-doc average, near-distinct on this corpus), and
+    * counts partition the scored docs exactly. Tolerance 5% of n =
+    * 5× the decile mass's discretization grain at verify SF; the
+    * equidepth ties doctrine applies (a mass-duplicated corpus needs
+    * dedup first or a re-derived bound).
+    */
+  def liftTableApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = importanceWeights(spark, sfDir)
+    decileApprox(scored)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_docs_total"),
+        count(lit(1)).cast("int").as("n_deciles"),
+        max(col("n")).as("n_max"), min(col("n")).as("n_min"))
+      .select(col("n_docs_total"), col("n_deciles"),
+        (greatest(col("n_max") - col("n_docs_total") / 10.0,
+          col("n_docs_total") / 10.0 - col("n_min")) <=
+          col("n_docs_total") * 0.05).as("depth_within_5pct"))
+  }
+
+  private val liftTableApproxOracle =
+    """SELECT COUNT(*) AS n_docs_total, 10 AS n_deciles,
+      |       TRUE AS depth_within_5pct
+      |FROM documents""".stripMargin
 
   // -------------------------------------------- quantile normalization
   /** Per-source empirical-CDF transform: each document's length score
@@ -1269,6 +1323,7 @@ object CurationOps {
     "q_feature_hash" -> (featureHash _),
     "q_quantile_norm" -> (quantileNorm _),
     "q_lift_table" -> (liftTable _),
+    "q_lift_table_approx" -> (liftTableApprox _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cv_leakage" -> (cvLeakage _),
     "q_curriculum" -> (curriculum _),
@@ -1290,6 +1345,7 @@ object CurationOps {
     "q_feature_hash" -> featureHashOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_lift_table" -> liftTableOracle,
+    "q_lift_table_approx" -> liftTableApproxOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_cv_leakage" -> cvLeakageOracle,
     "q_curriculum" -> curriculumOracle,

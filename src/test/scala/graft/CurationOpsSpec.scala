@@ -467,4 +467,37 @@ class CurationOpsSpec extends SparkSpec {
       "classifier must produce both kept and dropped docs")
   }
 
+  test("lift table: approx flag swaps the global ntile for GK decile cutpoints") {
+    val exactPlan = ops.CurationOps.liftTable(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("ntile") &&
+      !exactPlan.contains("approx_percentile"),
+      "default mode must ntile for oracle parity")
+    // same JVM-global-flag caveat as the equidepth/KN tests: suites
+    // run sequentially
+    System.setProperty("graft.percentile.approx", "true")
+    try {
+      val approx = ops.CurationOps.liftTable(spark, sfTiny)
+      val plan = approx.queryExecution.optimizedPlan
+      assert(plan.toString.contains("approx_percentile"),
+        "approx flag must swap the cutpoint aggregate to the GK sketch")
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        "approx mode must not plan any window")
+      // same downstream contract: deciles partition the scored docs
+      val rows = approx.collect()
+      val total = Tables.documents(spark, sfTiny).count()
+      assert(rows.map(_.getAs[Long]("n")).sum == total)
+      // bucket ladder direction: decile 1 must hold the HIGHEST weights
+      // (its rate should match the exact table's decile-1 rate shape —
+      // here just pin monotone bucket ids exist 1..10-ish)
+      assert(rows.map(_.getAs[Int]("decile")).distinct.forall(d => d >= 1 && d <= 10))
+    } finally System.clearProperty("graft.percentile.approx")
+    // the invariant twin holds at the sketch's accuracy
+    val inv = ops.CurationOps.liftTableApprox(spark, sfSmall).collect().head
+    assert(inv.getAs[Boolean]("depth_within_5pct"),
+      "GK-cut deciles must stay within 5% of n/10 per bucket")
+    assert(inv.getAs[Int]("n_deciles") == 10)
+  }
+
 }

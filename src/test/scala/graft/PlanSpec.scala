@@ -607,6 +607,23 @@ class PlanSpec extends SparkSpec {
     assert(ranges <= 1, s"expected only the output sort, got $ranges:\n$plan")
   }
 
+  test("rrf fusion: global rank windows push a per-partition limit below the sort") {
+    // row_number().over(Window.orderBy(...)) + filter(rank <= k) with an
+    // EMPTY partition spec is rewritten by LimitPushDownThroughWindow
+    // into GlobalLimit/LocalLimit/Sort — each map partition keeps only
+    // k rows, so the single-partition window input is k·partitions
+    // rows, not the corpus. Pin it for both of rrfFusion's ranking legs
+    // (the lex top-k over every scored doc and the sem top-k over every
+    // embedding) — if a refactor broke the rewrite (e.g. by filtering
+    // on a derived column), the full corpus would funnel through one
+    // sort.
+    val plan = graft.ops.RetrievalOps.rrfFusion(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    val locals = "LocalLimit".r.findAllIn(plan).size
+    assert(locals >= 2,
+      s"expected both ranking legs to push LocalLimit below their sorts, got $locals:\n$plan")
+  }
+
   test("unhinted vocab count-table joins: AQE still broadcasts them at fixture scale") {
     // The LM-family count tables (KN bigram types, unigram freqs, df
     // tables) are corpus-vocabulary-sized, so they carry NO broadcast()
