@@ -321,6 +321,58 @@ object CatalogOps {
        |FROM s ORDER BY bin""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Release-prep PII scrub — the ENFORCEMENT half of the privacy
+    * family ([[kAnonymity]]/[[lDiversity]]/[[tCloseness]] are the
+    * audits): produce the publishable customer table by (a)
+    * PSEUDONYMIZING the direct identifier (md5-prefix stand-in for a
+    * keyed HMAC at deploy — deterministic, so internal linkage across
+    * releases survives), (b) GENERALIZING the sensitive numeric to
+    * 100-unit bands, and (c) SUPPRESSING the quasi-identifier value
+    * (segment → '*') for every row whose (nation, segment) equivalence
+    * class falls below k = [[AnonK]] — exactly the worklist
+    * [[kAnonymity]] reports, applied. The released rows carry the
+    * suppression flag so downstream consumers can weight accordingly.
+    * (AnonK is declared here — above both its val-initialized oracles —
+    * because Scala object vals initialize in declaration order.)
+    *
+    * Scale shape: the class histogram is dimension-sized
+    * (nations × segments — genuinely bounded, so its broadcast hint is
+    * legitimate, the fastText-model pattern); everything else is
+    * map-side column math over one pass. Output is ordered by the full
+    * column set so pseudonym-prefix collisions cannot destabilize the
+    * hash compare.
+    */
+  private val AnonK = 8L
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_n"))
+    c.join(broadcast(classes), Seq("c_nationkey", "c_mktsegment"))
+      .select(
+        concat(lit("cust_"),
+          substring(md5(col("c_name").cast("binary")), 1, 8)).as("pseudonym"),
+        col("c_nationkey"),
+        (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"),
+        when(col("class_n") < AnonK, lit("*"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        (col("class_n") < AnonK).as("suppressed"))
+      .orderBy(col("pseudonym"), col("c_nationkey"), col("bal_band"),
+        col("segment"))
+  }
+
+  private val piiScrubOracle =
+    s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_n
+       |             FROM customer GROUP BY 1, 2)
+       |SELECT 'cust_' || substring(md5(c_name), 1, 8) AS pseudonym,
+       |       c_nationkey,
+       |       CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+       |       CASE WHEN class_n < $AnonK THEN '*' ELSE c_mktsegment END
+       |         AS segment,
+       |       class_n < $AnonK AS suppressed
+       |FROM customer JOIN cls USING (c_nationkey, c_mktsegment)
+       |ORDER BY pseudonym, c_nationkey, bal_band, segment""".stripMargin
+
   /** k-anonymity audit — the privacy-release check that complements
     * PII redaction: before publishing a table, every equivalence class
     * of the quasi-identifier tuple (here nation × market segment) must
@@ -333,8 +385,6 @@ object CatalogOps {
     * re-aggregate — the same two-level shape as [[dqChecks]]. Exact
     * integers everywhere.
     */
-  private val AnonK = 8L
-
   def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey"))
@@ -864,6 +914,7 @@ object CatalogOps {
     "q_equidepth_hist_approx" -> (equidepthHistApprox _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_k_anonymity" -> (kAnonymity _),
+    "q_pii_scrub" -> (piiScrub _),
     "q_l_diversity" -> (lDiversity _),
     "q_psi_drift" -> (psiDrift _),
     "q_catalog_dump" -> (catalogDump _),
@@ -882,6 +933,7 @@ object CatalogOps {
     "q_equidepth_hist_approx" -> equidepthHistApproxOracle,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_k_anonymity" -> kAnonymityOracle,
+    "q_pii_scrub" -> piiScrubOracle,
     "q_l_diversity" -> lDiversityOracle,
     "q_psi_drift" -> psiDriftOracle,
     "q_catalog_dump" -> catalogDumpOracle,

@@ -567,6 +567,74 @@ object TextOps {
       |SELECT pair, COUNT(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  // ------------------------------------------- within-doc repetition
+  /** Within-document repetition signals — the Gopher repetition screen
+    * (Rae et al. 2021, "Scaling Language Models", Table A1): the
+    * fraction of duplicated word bigrams per document plus the count
+    * of immediately-repeated tokens ("the the"), rolled up per source
+    * with a flag rate at >10% duplicate bigrams. Boilerplate, looping
+    * generation artifacts, and template spam all light these up while
+    * passing length/stopword gates — the complement to
+    * [[qualityFilter]]'s surface statistics.
+    *
+    * Scale shape: the best one in the file — pure per-row map-side
+    * array math (the bigram list stays PACKED in its row: built,
+    * deduped, and measured with array functions, never exploded), so
+    * the only exchange is the final source-sized rollup. A 10¹²-doc
+    * corpus pays one pass and one tiny shuffle. Parity: the fraction
+    * quantizes to e6 from exact integer counts before any aggregation;
+    * the rollup average divides exact longs (the unigramLogprob
+    * doctrine); single-token docs contribute 0/0 guarded to 0.
+    */
+  private val RepFlagE6 = 100000L // dup-bigram fraction > 10%
+
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("g2", expr(
+        """IF(size(ws) >= 2,
+          |   transform(sequence(1, size(ws) - 1),
+          |             i -> concat_ws(' ', element_at(ws, i),
+          |                            element_at(ws, i + 1))),
+          |   array())""".stripMargin))
+      .withColumn("adj", expr(
+        """IF(size(ws) >= 2,
+          |   size(filter(sequence(1, size(ws) - 1),
+          |               i -> element_at(ws, i) = element_at(ws, i + 1))),
+          |   0)""".stripMargin).cast("long"))
+      .withColumn("dup_e6", expr(
+        """IF(size(ws) >= 2,
+          |   CAST(round((size(ws) - 1 - size(array_distinct(g2)))
+          |              * 1000000.0 / (size(ws) - 1), 0) AS BIGINT),
+          |   CAST(0 AS BIGINT))""".stripMargin))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("dup_e6")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("avg_dup2_frac"),
+        sum(when(col("dup_e6") > RepFlagE6, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("adj")).as("adj_dup_tokens"))
+      .orderBy(col("source"))
+
+  private val docRepetitionOracle =
+    s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT source,
+       |        CASE WHEN len(ws) >= 2
+       |             THEN CAST(ROUND((len(ws) - 1 - len(list_distinct(
+       |                    [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])))
+       |                  * 1000000.0 / (len(ws) - 1)) AS BIGINT)
+       |             ELSE 0 END AS dup_e6,
+       |        CASE WHEN len(ws) >= 2
+       |             THEN len([i FOR i IN range(1, len(ws)) IF ws[i] = ws[i+1]])
+       |             ELSE 0 END AS adj
+       |      FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       ROUND(CAST(SUM(dup_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |         AS avg_dup2_frac,
+       |       CAST(SUM(CASE WHEN dup_e6 > $RepFlagE6 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_flagged,
+       |       CAST(SUM(adj) AS BIGINT) AS adj_dup_tokens
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- BPE training
   /** The ACTUAL BPE tokenizer-training loop (Sennrich, Haddow & Birch,
     * ACL'16 "Neural Machine Translation of Rare Words with Subword
@@ -1460,6 +1528,7 @@ object TextOps {
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_apply" -> (bpeApply _),
+    "q_doc_repetition" -> (docRepetition _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_tfidf_terms" -> (tfidfTerms _),
@@ -1487,6 +1556,7 @@ object TextOps {
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_apply" -> bpeApplyOracle,
+    "q_doc_repetition" -> docRepetitionOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,
     "q_tfidf_terms" -> tfidfTermsOracle,
