@@ -9,6 +9,33 @@ import graft.ops.CatalogOps
   */
 class CatalogOpsSpec extends SparkSpec {
 
+  test("pii scrub: release is k-anonymous where unsuppressed, pseudonyms are stable") {
+    val rel = CatalogOps.piiScrub(spark, sfSmall).collect()
+    val src = Tables.customer(spark, sfSmall).collect()
+    assert(rel.length == src.length, "scrub must release every row")
+    // no direct identifier survives; pseudonyms are md5-prefix-shaped
+    assert(rel.forall(_.getString(0).matches("cust_[0-9a-f]{8}")))
+    // deterministic pseudonymization: same run, same mapping (linkage
+    // across releases) — recompute one row's pseudonym driver-side
+    val one = src.head
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(one.getAs[String]("c_name").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    assert(rel.exists(_.getString(0) == s"cust_$md5"))
+    // every UNSUPPRESSED (nation, segment) class in the release holds
+    // >= k rows — the property the scrub exists to enforce
+    val classes = rel.filter(!_.getBoolean(4))
+      .groupBy(r => (r.getInt(1), r.getString(3)))
+    assert(classes.forall(_._2.length >= 8),
+      s"released class below k: ${classes.minBy(_._2.length)._1}")
+    // suppression only happens when needed: some rows suppressed on
+    // this fixture, and all suppressed rows show the '*' segment
+    val sup = rel.filter(_.getBoolean(4))
+    assert(sup.nonEmpty && sup.forall(_.getString(3) == "*"))
+    // acctbal never appears raw: bands are multiples of 100
+    assert(rel.forall(_.getLong(2) % 100 == 0))
+  }
+
   test("l-diversity classes mirror k-anonymity's partition") {
     val ld = CatalogOps.lDiversity(spark, sfTiny).collect()
     val ka = CatalogOps.kAnonymity(spark, sfTiny).collect()

@@ -328,4 +328,42 @@ class TextOpsSpec extends SparkSpec {
       "pair counts must be non-increasing across merge rounds")
   }
 
+  test("doc repetition: per-source rollup matches a driver recompute") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perDoc = docs.map { case (src, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) (src, 0L, 0L)
+      else {
+        val g2 = ws.sliding(2).map(_.mkString(" ")).toSeq
+        val dupE6 = math.round(
+          (g2.length - g2.distinct.length) * 1000000.0 / g2.length)
+        val adj = ws.sliding(2).count(p => p(0) == p(1)).toLong
+        (src, dupE6, adj)
+      }
+    }
+    val want = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.map(_._2).sum, // summed e6 fractions (pre-division)
+        xs.count(_._2 > 100000L).toLong,
+        xs.map(_._3).sum)
+    }
+    val got = ops.TextOps.docRepetition(spark, sfSmall).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, sumE6, flagged, adj) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"n_docs for ${r.getString(0)}")
+      val wantAvg = math.rint(sumE6.toDouble / n) / 1000000.0
+      assert(math.abs(r.getDouble(2) - wantAvg) < 1.1e-6,
+        s"avg_dup2_frac for ${r.getString(0)}")
+      assert(r.getLong(3) == flagged, s"n_flagged for ${r.getString(0)}")
+      assert(r.getLong(4) == adj, s"adj_dup_tokens for ${r.getString(0)}")
+    }
+    // the signal is live on this fixture: some docs flag, most don't
+    assert(got.map(_.getLong(3)).sum > 0, "no doc flagged — threshold dead")
+    assert(got.map(_.getLong(3)).sum < docs.length / 2,
+      "most docs flagged — threshold degenerate")
+  }
+
 }
