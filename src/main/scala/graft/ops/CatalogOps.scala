@@ -321,9 +321,12 @@ object CatalogOps {
        |FROM s ORDER BY bin""".stripMargin
 
   // ------------------------------------------------------------------
-  /** Release-prep PII scrub — the ENFORCEMENT half of the privacy
-    * family ([[kAnonymity]]/[[lDiversity]]/[[tCloseness]] are the
-    * audits): produce the publishable customer table by (a)
+  /** Release-prep PII scrub for STRUCTURED data — the ENFORCEMENT half
+    * of the privacy family ([[kAnonymity]]/[[lDiversity]]/
+    * [[tCloseness]] are the audits; the free-TEXT channel — regex
+    * redaction of emails/phones inside document bodies — is
+    * [[graft.ops.PipelineOps.piiRedact]]): produce the publishable
+    * customer table by (a)
     * PSEUDONYMIZING the direct identifier (md5-prefix stand-in for a
     * keyed HMAC at deploy — deterministic, so internal linkage across
     * releases survives), (b) GENERALIZING the sensitive numeric to

@@ -188,7 +188,10 @@ object PipelineOps {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------ PII redaction
-  /** PII redaction — regex scrub of emails and 9-digit phone numbers.
+  /** PII redaction — regex scrub of emails and 9-digit phone numbers
+    * inside free TEXT (the structured-release channel —
+    * pseudonymize/generalize/k-suppress — is
+    * [[graft.ops.CatalogOps.piiScrub]]).
     * The fixture corpus is digit-free, so deterministic PII is first
     * synthesized (emails on doc_id%3, phones on doc_id%5 — both in the
     * oracle verbatim), then redacted with `regexp_replace`; the report
@@ -308,6 +311,8 @@ object PipelineOps {
   /** Repetition-based quality stats (the Gopher repetition rules):
     * duplicate-word and duplicate-bigram fractions per document, a drop
     * verdict at >0.55 duplicate words, and corpus-level fractions from
+    * the per-doc view ([[graft.ops.TextOps.docRepetition]] is the
+    * per-SOURCE rollup twin with the adjacent-repeat signal) —
     * EXACT integer sums (sum of distinct counts over sum of totals — no
     * float-accumulation order sensitivity). All in-row array math:
     * `array_distinct` on the word array and a `transform`-built bigram

@@ -568,14 +568,16 @@ object TextOps {
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
   // ------------------------------------------- within-doc repetition
-  /** Within-document repetition signals — the Gopher repetition screen
-    * (Rae et al. 2021, "Scaling Language Models", Table A1): the
-    * fraction of duplicated word bigrams per document plus the count
-    * of immediately-repeated tokens ("the the"), rolled up per source
-    * with a flag rate at >10% duplicate bigrams. Boilerplate, looping
-    * generation artifacts, and template spam all light these up while
-    * passing length/stopword gates — the complement to
-    * [[qualityFilter]]'s surface statistics.
+  /** Per-SOURCE repetition screen — the rollup view of the Gopher
+    * repetition rules (Rae et al. 2021, Table A1) that complements
+    * [[graft.ops.PipelineOps.repetitionStats]] (which emits PER-DOC
+    * duplicate-word/bigram verdicts and corpus totals): here each
+    * source gets its duplicate-bigram flag RATE (>10% of bigrams
+    * duplicated) plus a signal that operator doesn't compute — the
+    * count of immediately-repeated tokens ("the the"), the looping-
+    * generation artifact adjacent-pair check. A source whose flag rate
+    * spikes is a crawl slice to quarantine wholesale, which the
+    * per-doc view can't say directly.
     *
     * Scale shape: the best one in the file — pure per-row map-side
     * array math (the bigram list stays PACKED in its row: built,
