@@ -607,6 +607,38 @@ class PlanSpec extends SparkSpec {
     assert(ranges <= 1, s"expected only the output sort, got $ranges:\n$plan")
   }
 
+  test("round-10 operators: map-side gates, no cartesian products, no global windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // pair curation: gates are column math; the one nested-loop join
+    // allowed is the A6 one-row raw-total crossJoin
+    val pc = graft.ops.MultimodalOps.pairCuration(spark, sfTiny)
+    pc.collect()
+    val pcPlan = executed(pc).split("== Initial Plan ==")(0)
+    assert(!pcPlan.contains("CartesianProduct"),
+      s"pair curation must not plan a cartesian product:\n$pcPlan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pcPlan).size <= 1,
+      s"only the raw-total scalar crossJoin may nested-loop:\n$pcPlan")
+    // doc repetition: the bigram list stays packed — no Generate
+    // (explode) anywhere, no window; one aggregate pair
+    val dr = graft.ops.TextOps.docRepetition(spark, sfTiny)
+    val drPlan = executed(dr).split("== Initial Plan ==")(0)
+    assert(!drPlan.contains("Generate"),
+      s"repetition screen must not explode the bigram list:\n$drPlan")
+    assert(dr.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty,
+      "repetition screen must not plan a window")
+    // bpe apply: the encode join carries no forced broadcast (the
+    // vocab-sized-table doctrine) yet AQE still broadcasts at fixture
+    // scale
+    val ba = graft.ops.TextOps.bpeApply(spark, sfTiny)
+    ba.collect()
+    val baPlan = executed(ba).split("== Initial Plan ==")(0)
+    assert(baPlan.contains("BroadcastHashJoin"),
+      s"encode join should broadcast under AQE at fixture scale:\n$baPlan")
+    assert(!baPlan.contains("SortMergeJoin"),
+      s"vocab join must not stay sort-merge at fixture scale:\n$baPlan")
+  }
+
   test("rrf fusion: global rank windows push a per-partition limit below the sort") {
     // row_number().over(Window.orderBy(...)) + filter(rank <= k) with an
     // EMPTY partition spec is rewritten by LimitPushDownThroughWindow
