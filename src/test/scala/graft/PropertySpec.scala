@@ -67,4 +67,27 @@ class PropertySpec extends AnyFunSuite {
       ac <= ab + bc + 1e-3
     })
   }
+
+  test("jpegBytes: arbitrary dims decode via ImageIO with exact size, dims, and pixels") {
+    // the whole codec contract as a property: for ANY w×h (not just
+    // the fixture formulas) the generated baseline JFIF (a) decodes
+    // with the JDK's independent decoder, (b) at the stated dims,
+    // (c) at the closed-form byte size 158 + ceil(blocks/4), and
+    // (d) to a uniform mid-gray raster (DC 0 + T.81 level shift) —
+    // spot-checked at the corners where partial edge blocks live
+    val dim = Gen.choose(1, 200)
+    check(Prop.forAll(dim, dim) { (w, h) =>
+      val bytes = graft.sources.ImageFiles.jpegBytes(w, h)
+      val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      img != null &&
+        bytes.length == 158 + (blocks + 3) / 4 &&
+        img.getWidth == w && img.getHeight == h &&
+        img.getRaster.getSample(0, 0, 0) == 128 &&
+        img.getRaster.getSample(w - 1, h - 1, 0) == 128 &&
+        img.getRaster.getSample(w - 1, 0, 0) == 128 &&
+        img.getRaster.getSample(0, h - 1, 0) == 128
+    })
+  }
 }
