@@ -326,55 +326,90 @@ object CatalogOps {
     * [[tCloseness]] are the audits; the free-TEXT channel — regex
     * redaction of emails/phones inside document bodies — is
     * [[graft.ops.PipelineOps.piiRedact]]): produce the publishable
-    * customer table by (a)
-    * PSEUDONYMIZING the direct identifier (md5-prefix stand-in for a
+    * customer table by (a) PSEUDONYMIZING the direct identifier (the
+    * FULL md5 digest — a truncated prefix would birthday-collide at
+    * corpus scale and silently merge identities; md5 stands in for a
     * keyed HMAC at deploy — deterministic, so internal linkage across
     * releases survives), (b) GENERALIZING the sensitive numeric to
-    * 100-unit bands, and (c) SUPPRESSING the quasi-identifier value
-    * (segment → '*') for every row whose (nation, segment) equivalence
-    * class falls below k = [[AnonK]] — exactly the worklist
-    * [[kAnonymity]] reports, applied. The released rows carry the
-    * suppression flag so downstream consumers can weight accordingly.
+    * 100-unit bands, and (c) enforcing k = [[AnonK]] with a
+    * GENERALIZATION LADDER, not one suppression pass: segment → '*'
+    * for rows whose (nation, segment) class is below k; then nation
+    * → −1 for rows whose RESULTING (nation, segment-out) class is
+    * still below k (the suppressed rows of a small nation would
+    * otherwise form a sub-k ('*', nation) class — re-identifiable by
+    * nation alone, the exact linkage attack the audit flags); then
+    * DROP any row whose final class still falls short (possible only
+    * on degenerate inputs; zero rows on this fixture, and the ledger
+    * column `supp_level` makes a drop visible as a count delta). The
+    * release is k-anonymous on its FULL quasi-identifier tuple by
+    * construction — CatalogOpsSpec asserts it class by class.
     * (AnonK is declared here — above both its val-initialized oracles —
     * because Scala object vals initialize in declaration order.)
     *
-    * Scale shape: the class histogram is dimension-sized
-    * (nations × segments — genuinely bounded, so its broadcast hint is
-    * legitimate, the fastText-model pattern); everything else is
-    * map-side column math over one pass. Output is ordered by the full
-    * column set so pseudonym-prefix collisions cannot destabilize the
-    * hash compare.
+    * Scale shape: each ladder rung's class histogram is
+    * dimension-sized (bounded by nations × segments — genuinely
+    * bounded, so the broadcast hints are legitimate, the
+    * fastText-model pattern); everything else is map-side column math
+    * over one pass. Output is ordered by the full column set so that
+    * equal released rows cannot destabilize the hash compare.
     */
   private val AnonK = 8L
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
-    val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("class_n"))
-    c.join(broadcast(classes), Seq("c_nationkey", "c_mktsegment"))
+    val cls1 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n1"))
+    val r1 = c.join(broadcast(cls1), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_name"), col("c_acctbal"),
+        col("c_nationkey").as("nat1"),
+        when(col("n1") < AnonK, lit("*"))
+          .otherwise(col("c_mktsegment")).as("seg_out"),
+        when(col("n1") < AnonK, 1).otherwise(0).as("lvl1"))
+    val cls2 = r1.groupBy(col("nat1"), col("seg_out"))
+      .agg(count(lit(1)).as("n2"))
+    val r2 = r1.join(broadcast(cls2), Seq("nat1", "seg_out"))
+      .select(col("c_name"), col("c_acctbal"), col("seg_out"),
+        when(col("n2") < AnonK, lit(-1)).otherwise(col("nat1")).as("nat_out"),
+        when(col("n2") < AnonK, 2).otherwise(col("lvl1")).as("supp_level"))
+    val cls3 = r2.groupBy(col("nat_out"), col("seg_out"))
+      .agg(count(lit(1)).as("n3"))
+    r2.join(broadcast(cls3), Seq("nat_out", "seg_out"))
+      .filter(col("n3") >= AnonK) // degenerate residue: drop, visibly
       .select(
-        concat(lit("cust_"),
-          substring(md5(col("c_name").cast("binary")), 1, 8)).as("pseudonym"),
-        col("c_nationkey"),
+        concat(lit("cust_"), md5(col("c_name").cast("binary")))
+          .as("pseudonym"),
+        col("nat_out"),
         (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"),
-        when(col("class_n") < AnonK, lit("*"))
-          .otherwise(col("c_mktsegment")).as("segment"),
-        (col("class_n") < AnonK).as("suppressed"))
-      .orderBy(col("pseudonym"), col("c_nationkey"), col("bal_band"),
-        col("segment"))
+        col("seg_out").as("segment"),
+        col("supp_level"))
+      .orderBy(col("pseudonym"), col("nat_out"), col("bal_band"),
+        col("segment"), col("supp_level"))
   }
 
   private val piiScrubOracle =
-    s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_n
-       |             FROM customer GROUP BY 1, 2)
-       |SELECT 'cust_' || substring(md5(c_name), 1, 8) AS pseudonym,
-       |       c_nationkey,
+    s"""WITH cls1 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n1
+       |              FROM customer GROUP BY 1, 2),
+       |r1 AS (SELECT c_name, c_acctbal, c_nationkey AS nat1,
+       |              CASE WHEN n1 < $AnonK THEN '*' ELSE c_mktsegment END
+       |                AS seg_out,
+       |              CASE WHEN n1 < $AnonK THEN 1 ELSE 0 END AS lvl1
+       |       FROM customer JOIN cls1 USING (c_nationkey, c_mktsegment)),
+       |cls2 AS (SELECT nat1, seg_out, COUNT(*) AS n2
+       |         FROM r1 GROUP BY 1, 2),
+       |r2 AS (SELECT c_name, c_acctbal, seg_out,
+       |              CASE WHEN n2 < $AnonK THEN -1 ELSE nat1 END AS nat_out,
+       |              CASE WHEN n2 < $AnonK THEN 2 ELSE lvl1 END AS supp_level
+       |       FROM r1 JOIN cls2 USING (nat1, seg_out)),
+       |cls3 AS (SELECT nat_out, seg_out, COUNT(*) AS n3
+       |         FROM r2 GROUP BY 1, 2)
+       |SELECT 'cust_' || md5(c_name) AS pseudonym,
+       |       nat_out,
        |       CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
-       |       CASE WHEN class_n < $AnonK THEN '*' ELSE c_mktsegment END
-       |         AS segment,
-       |       class_n < $AnonK AS suppressed
-       |FROM customer JOIN cls USING (c_nationkey, c_mktsegment)
-       |ORDER BY pseudonym, c_nationkey, bal_band, segment""".stripMargin
+       |       seg_out AS segment,
+       |       supp_level
+       |FROM r2 JOIN cls3 USING (nat_out, seg_out)
+       |WHERE n3 >= $AnonK
+       |ORDER BY pseudonym, nat_out, bal_band, segment, supp_level""".stripMargin
 
   /** k-anonymity audit — the privacy-release check that complements
     * PII redaction: before publishing a table, every equivalence class

@@ -414,11 +414,12 @@ object MultimodalOps {
     * the streaming spec replays against them. */
   private[graft] def pairStages(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val base = synthGeometry(Tables.documents(spark, sfDir))
+    // compose pairGated — the ONE definition of the gates, shared with
+    // the streaming twin — rather than re-deriving the predicates
+    val base = pairGated(Tables.documents(spark, sfDir))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("keep_q", TextOps.qualityKeep)
     val q = base.filter(col("keep_q"))
-    val g = q.filter(pairGeomOk)
+    val g = q.filter(col("geom_ok"))
     val keepers = withAhash(spark, g)
       .groupBy(col("ahash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

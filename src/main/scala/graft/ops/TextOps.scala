@@ -697,17 +697,25 @@ object TextOps {
         .limit(1).collect()(0)
       val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
       merges += ((r, a, b, n))
-      seg = seg
+      val next = seg
         .select(col("w"), col("freq"),
           expr(s"replace(seg, '($a)($b)', '($a$b)')").as("seg"))
-        .localCheckpoint()
+        .localCheckpoint(true) // materialized NOW …
+      // … so the superseded generation's blocks free safely (the
+      // hyperAnf checkpoint-lifecycle discipline: only ONE vocab-sized
+      // generation is ever live; callers must free the returned final
+      // generation themselves once done with it)
+      graft.ops.GraphOps.freeCheckpoint(seg)
+      seg = next
     }
     (merges.result(), seg)
   }
 
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    bpeMergeLoop(spark, sfDir)._1.toDF("round", "sym_a", "sym_b", "n_pair")
+    val (merges, seg) = bpeMergeLoop(spark, sfDir)
+    graft.ops.GraphOps.freeCheckpoint(seg) // merge table is driver-side
+    merges.toDF("round", "sym_a", "sym_b", "n_pair")
       .select(col("round"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("new_symbol"), col("n_pair"))
       .orderBy(col("round"))
@@ -761,15 +769,26 @@ object TextOps {
     * division rounded at 6 dp (the pipelineLedger fraction pattern).
     */
   def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val (_, seg) = bpeMergeLoop(spark, sfDir)
     val subw = seg.select(col("w"),
       size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
         .cast("long").as("n_sub"))
-    Tables.documents(spark, sfDir)
+    // the lang-sized rollup is collected eagerly (A6 scalars, the
+    // hyperAnf rollup shape) so the final segmentation's checkpoint
+    // blocks can be freed before returning — no vocab-sized block set
+    // outlives the call — and the returned frame is a plain local
+    // relation
+    val rows = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .join(subw, Seq("w"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    graft.ops.GraphOps.freeCheckpoint(seg)
+    rows.toDF("lang", "n_words", "n_subwords")
       .select(col("lang"), col("n_words"), col("n_subwords"),
         round(col("n_subwords").cast("double") / col("n_words"), 6)
           .as("fertility"))

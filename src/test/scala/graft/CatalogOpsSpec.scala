@@ -9,29 +9,37 @@ import graft.ops.CatalogOps
   */
 class CatalogOpsSpec extends SparkSpec {
 
-  test("pii scrub: release is k-anonymous where unsuppressed, pseudonyms are stable") {
+  test("pii scrub: the RELEASE is k-anonymous class by class, pseudonyms are stable") {
     val rel = CatalogOps.piiScrub(spark, sfSmall).collect()
     val src = Tables.customer(spark, sfSmall).collect()
-    assert(rel.length == src.length, "scrub must release every row")
-    // no direct identifier survives; pseudonyms are md5-prefix-shaped
-    assert(rel.forall(_.getString(0).matches("cust_[0-9a-f]{8}")))
+    assert(rel.length == src.length,
+      "no row may need the drop rung on this fixture")
+    // no direct identifier survives; pseudonyms carry the FULL digest
+    // (a truncated prefix would birthday-collide at corpus scale)
+    assert(rel.forall(_.getString(0).matches("cust_[0-9a-f]{32}")))
     // deterministic pseudonymization: same run, same mapping (linkage
     // across releases) — recompute one row's pseudonym driver-side
     val one = src.head
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(one.getAs[String]("c_name").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(8)
+      .map(b => f"$b%02x").mkString
     assert(rel.exists(_.getString(0) == s"cust_$md5"))
-    // every UNSUPPRESSED (nation, segment) class in the release holds
-    // >= k rows — the property the scrub exists to enforce
-    val classes = rel.filter(!_.getBoolean(4))
-      .groupBy(r => (r.getInt(1), r.getString(3)))
+    // THE contract: every released (nation, segment) class — the full
+    // quasi-identifier tuple, suppressed rows included — holds >= k
+    // rows. (The one-pass version failed exactly here: a small
+    // nation's suppressed rows formed a sub-k (nation, '*') class.)
+    val classes = rel.groupBy(r => (r.getInt(1), r.getString(3)))
     assert(classes.forall(_._2.length >= 8),
-      s"released class below k: ${classes.minBy(_._2.length)._1}")
-    // suppression only happens when needed: some rows suppressed on
-    // this fixture, and all suppressed rows show the '*' segment
-    val sup = rel.filter(_.getBoolean(4))
-    assert(sup.nonEmpty && sup.forall(_.getString(3) == "*"))
+      s"released class below k: ${classes.minBy(_._2.length)._1} -> " +
+        s"${classes.minBy(_._2.length)._2.length}")
+    // the ladder is live and consistent: level-1 rows show '*', level-2
+    // rows additionally generalize the nation to -1
+    val lvl = rel.groupBy(_.getInt(4))
+    assert(lvl.keySet.contains(1), "fixture must exercise rung 1")
+    assert(lvl.getOrElse(1, Array.empty[org.apache.spark.sql.Row])
+      .forall(r => r.getString(3) == "*" && r.getInt(1) != -1))
+    lvl.get(2).foreach(rows => assert(rows.forall(r =>
+      r.getString(3) == "*" && r.getInt(1) == -1)))
     // acctbal never appears raw: bands are multiples of 100
     assert(rel.forall(_.getLong(2) % 100 == 0))
   }
