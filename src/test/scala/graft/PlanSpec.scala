@@ -627,16 +627,19 @@ class PlanSpec extends SparkSpec {
     assert(dr.queryExecution.optimizedPlan.collect {
       case w: LWindow => w }.isEmpty,
       "repetition screen must not plan a window")
-    // bpe apply: the encode join carries no forced broadcast (the
-    // vocab-sized-table doctrine) yet AQE still broadcasts at fixture
-    // scale
+    // bpe apply: the corpus encode runs EAGERLY inside the call (so
+    // the vocab checkpoints can be freed — the round's lifecycle
+    // discipline) and the returned frame is a plain lang-sized local
+    // relation: no join, no scan, no leftover checkpoint blocks
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val ba = graft.ops.TextOps.bpeApply(spark, sfTiny)
-    ba.collect()
     val baPlan = executed(ba).split("== Initial Plan ==")(0)
-    assert(baPlan.contains("BroadcastHashJoin"),
-      s"encode join should broadcast under AQE at fixture scale:\n$baPlan")
-    assert(!baPlan.contains("SortMergeJoin"),
-      s"vocab join must not stay sort-merge at fixture scale:\n$baPlan")
+    assert(baPlan.contains("LocalTableScan"),
+      s"bpeApply must return a collected local relation:\n$baPlan")
+    assert(!baPlan.contains("Join") && !baPlan.contains("FileScan"),
+      s"no corpus work may hide in the returned plan:\n$baPlan")
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "bpeApply leaked checkpoint blocks into the shared session")
   }
 
   test("rrf fusion: global rank windows push a per-partition limit below the sort") {
