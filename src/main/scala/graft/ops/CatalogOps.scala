@@ -327,10 +327,13 @@ object CatalogOps {
     * redaction of emails/phones inside document bodies — is
     * [[graft.ops.PipelineOps.piiRedact]]): produce the publishable
     * customer table by (a) PSEUDONYMIZING the direct identifier (the
-    * FULL md5 digest — a truncated prefix would birthday-collide at
-    * corpus scale and silently merge identities; md5 stands in for a
-    * keyed HMAC at deploy — deterministic, so internal linkage across
-    * releases survives), (b) GENERALIZING the sensitive numeric to
+    * FULL md5 digest of salt‖name — a truncated prefix would
+    * birthday-collide at corpus scale and silently merge identities;
+    * the salt (`graft.pii.salt` conf, default [[PiiSaltDefault]])
+    * keys the digest so an enumerable identifier space can't be
+    * dictionary-reversed; deterministic for a fixed salt, so internal
+    * linkage across releases survives), (b) GENERALIZING the
+    * sensitive numeric to
     * 100-unit bands, and (c) enforcing k = [[AnonK]] with a
     * GENERALIZATION LADDER, not one suppression pass: segment → '*'
     * for rows whose (nation, segment) class is below k; then nation
@@ -355,7 +358,16 @@ object CatalogOps {
     */
   private val AnonK = 8L
 
+  /** Default pseudonymization salt. TPC-H customer names are enumerable
+    * ("Customer#000000001"), so an UNKEYED digest is trivially
+    * dictionary-reversible — the salt makes the dictionary attack
+    * require the key. Production deployments must override it with a
+    * real secret via `graft.pii.salt`; the default exists only so the
+    * DuckDB oracle (static SQL) can replay the digest. */
+  private val PiiSaltDefault = "graft.pii.salt.v1|"
+
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val salt = spark.conf.get("graft.pii.salt", PiiSaltDefault)
     val c = Tables.customer(spark, sfDir)
     val cls1 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n1"))
@@ -376,7 +388,8 @@ object CatalogOps {
     r2.join(broadcast(cls3), Seq("nat_out", "seg_out"))
       .filter(col("n3") >= AnonK) // degenerate residue: drop, visibly
       .select(
-        concat(lit("cust_"), md5(col("c_name").cast("binary")))
+        concat(lit("cust_"),
+          md5(concat(lit(salt), col("c_name")).cast("binary")))
           .as("pseudonym"),
         col("nat_out"),
         (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"),
@@ -402,7 +415,7 @@ object CatalogOps {
        |       FROM r1 JOIN cls2 USING (nat1, seg_out)),
        |cls3 AS (SELECT nat_out, seg_out, COUNT(*) AS n3
        |         FROM r2 GROUP BY 1, 2)
-       |SELECT 'cust_' || md5(c_name) AS pseudonym,
+       |SELECT 'cust_' || md5('$PiiSaltDefault' || c_name) AS pseudonym,
        |       nat_out,
        |       CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
        |       seg_out AS segment,

@@ -1571,26 +1571,33 @@ object DedupOps {
     * q_edit_join additionally reports the filter's shared counts).
     */
   def editJoinRule(spark: SparkSession, sfDir: String): DataFrame = {
-    // Install the rule for THIS query only and restore the session's
-    // optimizer environment afterwards (the RangeJoinRewriteSpec
-    // save/restore discipline): a permanent install would make every
-    // later query's optimizer depend on execution ORDER — any other
-    // no-equi levenshtein join in the same session would silently take
-    // the rewritten plan. The join executes eagerly (localCheckpoint)
-    // inside the window so the rewrite provably ran; the returned
-    // frame is the materialized result, optimizer-inert.
-    val saved = spark.experimental.extraOptimizations
-    graft.plans.EditJoinRewrite.install(spark)
-    val joined = try {
-      val pre = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), substring(col("text"), 1, EjLen).as("p"))
-      val l = pre.select(col("doc_id").as("d1"), col("p").as("s"))
-      val r = pre.select(col("doc_id").as("d2"), col("p").as("t"))
+    // Scope the rule to a CLONED session instead of mutating the
+    // caller's: the old save/restore of
+    // `spark.experimental.extraOptimizations` was an unsynchronized
+    // read-modify-write on session-global state — a concurrent query
+    // on the same session could have its rule set clobbered, or
+    // observe EditJoinRewrite unexpectedly active during the window.
+    // `newSession()` shares the SparkContext (and cached blocks) but
+    // has its OWN SessionState, so the install is invisible outside
+    // this call; builder-time options (shuffle.partitions, timeZone)
+    // propagate via initialSessionOptions, and we copy the runtime
+    // conf best-effort in case the caller changed anything since. The
+    // join executes eagerly (localCheckpoint) inside the scoped
+    // session so the rewrite provably ran; the returned frame is the
+    // materialized result, optimizer-inert.
+    val scoped = spark.newSession()
+    for ((k, v) <- spark.conf.getAll)
+      try scoped.conf.set(k, v) catch { case _: Exception => () } // static confs
+    graft.plans.EditJoinRewrite.install(scoped)
+    val pre = Tables.documents(scoped, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, EjLen).as("p"))
+    val l = pre.select(col("doc_id").as("d1"), col("p").as("s"))
+    val r = pre.select(col("doc_id").as("d2"), col("p").as("t"))
+    val joined =
       l.join(r, levenshtein(col("s"), col("t")) <= EjK && col("d1") < col("d2"))
         .select(col("d1"), col("d2"),
           levenshtein(col("s"), col("t")).cast("long").as("edit_dist"))
         .localCheckpoint()
-    } finally spark.experimental.extraOptimizations = saved
     joined.orderBy(col("d1"), col("d2"))
   }
 

@@ -928,8 +928,11 @@ object GraphOps {
           when(size(col("sk")) < k, size(col("sk")).cast("long"))
             .otherwise(expr(s"$est64 div element_at(sk, $k)")).as("est"))
         .agg(count(lit(1)).as("n_nodes"),
-          sum(when(col("m") < k, 1L).otherwise(0L)).as("n_exact"),
-          sum(col("est")).as("nf_est"))
+          // coalesce: an EMPTY node set yields count=0 with NULL sums —
+          // degrade to a zero row instead of a driver-side NPE on getLong
+          coalesce(sum(when(col("m") < k, 1L).otherwise(0L)), lit(0L))
+            .as("n_exact"),
+          coalesce(sum(col("est")), lit(0L)).as("nf_est"))
         .collect()(0) // 1 row, materialized NOW …
       freeCheckpoint(sk) // … so the superseded sketches free safely
       sk = next

@@ -696,10 +696,19 @@ object TextOps {
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()(0)
       val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
+      // The paren-encoding invariant: symbols must never contain the
+      // structural characters, or replace() would merge across symbol
+      // boundaries. Enforced loudly rather than assumed — a corpus that
+      // violates it fails here instead of producing silently-wrong
+      // merges. (Quotes/backslashes are safe because the patterns go
+      // through lit(), not SQL-string interpolation.)
+      for (s <- Seq(a, b); bad <- Seq('(', ')'))
+        require(!s.contains(bad),
+          s"BPE symbol '$s' contains '$bad' — violates the paren-encoding invariant")
       merges += ((r, a, b, n))
       val next = seg
         .select(col("w"), col("freq"),
-          expr(s"replace(seg, '($a)($b)', '($a$b)')").as("seg"))
+          replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")).as("seg"))
         .localCheckpoint(true) // materialized NOW …
       // … so the superseded generation's blocks free safely (the
       // hyperAnf checkpoint-lifecycle discipline: only ONE vocab-sized

@@ -18,12 +18,20 @@ class CatalogOpsSpec extends SparkSpec {
     // (a truncated prefix would birthday-collide at corpus scale)
     assert(rel.forall(_.getString(0).matches("cust_[0-9a-f]{32}")))
     // deterministic pseudonymization: same run, same mapping (linkage
-    // across releases) — recompute one row's pseudonym driver-side
+    // across releases) — recompute one row's SALTED pseudonym
+    // driver-side. The salt matters: the UNKEYED digest of an
+    // enumerable name ("Customer#000000001") is dictionary-reversible.
     val one = src.head
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(one.getAs[String]("c_name").getBytes("UTF-8"))
+      .digest(("graft.pii.salt.v1|" + one.getAs[String]("c_name"))
+        .getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     assert(rel.exists(_.getString(0) == s"cust_$md5"))
+    // …and the unkeyed digest must NOT appear (the salt is live)
+    val unkeyed = java.security.MessageDigest.getInstance("MD5")
+      .digest(one.getAs[String]("c_name").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(!rel.exists(_.getString(0) == s"cust_$unkeyed"))
     // THE contract: every released (nation, segment) class — the full
     // quasi-identifier tuple, suppressed rows included — holds >= k
     // rows. (The one-pass version failed exactly here: a small
