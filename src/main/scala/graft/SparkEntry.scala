@@ -22,7 +22,8 @@ object SparkEntry {
       "typical_day" -> (gold.TypicalDay.query _),
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
-    ) ++ ops.RelationalOps.queries ++
+    ) ++ ops.HtmlOps.queries ++
+      ops.RelationalOps.queries ++
       ops.SketchOps.queries ++
       ops.StatsOps.queries ++
       ops.CurationOps.queries ++
@@ -64,7 +65,8 @@ object SparkEntry {
       "typical_day" -> gold.TypicalDay.oracle,
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
-    ) ++ ops.RelationalOps.oracles ++
+    ) ++ ops.HtmlOps.oracles ++
+      ops.RelationalOps.oracles ++
       ops.SketchOps.oracles ++
       ops.StatsOps.oracles ++
       ops.CurationOps.oracles ++

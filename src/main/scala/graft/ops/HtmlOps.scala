@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HTML → text extraction — the web-crawl FRONT DOOR every text
+  * pipeline runs before langId/quality/dedup ever see a document:
+  * tag-strip, script/style exclusion, entity decode, and
+  * jusText-style boilerplate-block rejection (link-density + minimum
+  * word count). The reference's corpus is tabular
+  * (`dags/mitma/fetch_url_mitma.py:18-63` downloads ready-made CSVs),
+  * so it never needed this; a crawled-text corpus cannot skip it —
+  * the text battery ([[TextOps]]) starts from already-clean
+  * `documents.text`, and this operator is what PRODUCES that clean
+  * text from markup.
+  *
+  * Verification follows the [[graft.sources.ImageFiles]] codec
+  * discipline — generator and parser proven against each other, with
+  * the ORIGINAL text as the closed-form ground truth: [[synthPage]]
+  * deterministically wraps each document's text in a full HTML page
+  * (head/title, a script block that itself contains decoy `<p>`
+  * markup, a style block, a link-only nav, a 2-word h1, the text as
+  * two entity-encoded paragraphs — every 'a' becomes `&#97;`, so
+  * numeric-entity decode is exercised on every row — a link-only
+  * related list, a link-dense footer), and [[parseHtml]] +
+  * [[htmlExtract]]'s keep rules must recover EXACTLY the original
+  * text plus closed-form block tallies. Any parser defect — a tag
+  * boundary missed, an entity mis-decoded, a script byte leaking, a
+  * boilerplate block kept — shifts `extracted` or a tally and fails
+  * the driver hash. The extracted text then flows through the
+  * FACTORED [[TextOps.qualityKeep]] gate (the pairCuration
+  * composition discipline: one predicate definition, reused), so the
+  * crawl front door provably composes with the existing battery.
+  *
+  * Scale shape: pure map-side — one `mapPartitions` pass builds and
+  * parses per row with zero shuffle (the only exchange is the final
+  * presentation sort); the parser is a single-pass character walk
+  * (no backtracking, no regex catastrophes), total on arbitrary
+  * truncated/corrupt input (fuzz-spec'd over every prefix, the
+  * jpegSof discipline). At 100 TB this is exactly the first stage of
+  * the crawl DAG: embarrassingly parallel, bounded memory per row,
+  * no driver involvement.
+  */
+object HtmlOps {
+
+  /** One extracted block: whitespace-normalized text, word count,
+    * non-space character count, and non-space characters that were
+    * inside `<a>` (the link-density numerator). */
+  private[graft] final case class Block(
+      text: String, words: Int, chars: Int, linkChars: Int)
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "nav", "footer", "header", "title", "head", "body", "html",
+    "table", "tr", "td", "th", "blockquote", "section", "article",
+    "pre", "br")
+
+  /** Single-pass HTML walk → candidate blocks. Semantics:
+    *  - `<script>`/`<style>` elements are skipped WHOLE (content
+    *    included — a script may contain decoy markup);
+    *  - any block-level tag (open or close) is a block boundary;
+    *  - inline tags contribute no text but no boundary either
+    *    (`<b>wor<i>ld</i></b>` stays one word);
+    *  - entities decode where recognized (`&amp; &lt; &gt; &quot;
+    *    &apos; &#NN; &#xHH;`), pass through literally otherwise — a
+    *    stray '&' is content, not an error;
+    *  - a '<' not opening a tag name is content (total on junk);
+    *  - whitespace runs collapse, blocks trim, empty blocks drop.
+    * Total on EVERY input — truncated tags/entities/scripts parse to
+    * whatever text precedes them (prefix-fuzz-spec'd).
+    */
+  private[graft] def parseHtml(html: String): Vector[Block] = {
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val n = html.length
+    val out = Vector.newBuilder[Block]
+    val cur = new java.lang.StringBuilder
+    var curLink = 0
+    var lastSpace = true // leading-trim + run-collapse state
+    var aDepth = 0
+    def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (!lastSpace) { cur.append(' '); lastSpace = true }
+      } else {
+        cur.append(c); lastSpace = false
+        if (aDepth > 0) curLink += 1
+      }
+    }
+    def flush(): Unit = {
+      var t = cur.toString
+      if (t.nonEmpty && t.charAt(t.length - 1) == ' ')
+        t = t.substring(0, t.length - 1)
+      if (t.nonEmpty) {
+        var words = 1; var i = 0
+        while (i < t.length) { if (t.charAt(i) == ' ') words += 1; i += 1 }
+        out += Block(t, words, t.length - (words - 1), curLink)
+      }
+      cur.setLength(0); curLink = 0; lastSpace = true
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        var j = i + 1
+        var closing = false
+        if (j < n && html.charAt(j) == '/') { closing = true; j += 1 }
+        val start = j
+        while (j < n && (html.charAt(j).isLetter || html.charAt(j).isDigit))
+          j += 1
+        if (j == start) { emit(c); i += 1 } // '<' not a tag: content
+        else {
+          val name = lower.substring(start, j)
+          var k = j
+          while (k < n && html.charAt(k) != '>') k += 1 // tag body
+          if (!closing && (name == "script" || name == "style")) {
+            val close = lower.indexOf("</" + name, k)
+            if (close < 0) i = n // unterminated: rest is script, drop
+            else {
+              var e = close + 2 + name.length
+              while (e < n && html.charAt(e) != '>') e += 1
+              i = if (e < n) e + 1 else n
+            }
+          } else {
+            if (BlockTags.contains(name)) flush()
+            if (name == "a") {
+              if (closing) { if (aDepth > 0) aDepth -= 1 }
+              else aDepth += 1
+            }
+            i = if (k < n) k + 1 else n
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        var dec = -1
+        if (semi > i && semi - i <= 10) {
+          val ent = html.substring(i + 1, semi)
+          dec = ent match {
+            case "amp" => '&'.toInt
+            case "lt" => '<'.toInt
+            case "gt" => '>'.toInt
+            case "quot" => '"'.toInt
+            case "apos" => '\''.toInt
+            case e if e.length > 2 && (e.charAt(0) == '#') &&
+                (e.charAt(1) == 'x' || e.charAt(1) == 'X') &&
+                e.drop(2).forall(ch => Character.digit(ch, 16) >= 0) =>
+              try Integer.parseInt(e.drop(2), 16) catch { case _: Exception => -1 }
+            case e if e.length > 1 && e.charAt(0) == '#' &&
+                e.drop(1).forall(_.isDigit) =>
+              try e.drop(1).toInt catch { case _: Exception => -1 }
+            case _ => -1
+          }
+        }
+        if (dec >= 0 && dec <= 0xffff) { emit(dec.toChar); i = semi + 1 }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  /** jusText-lite keep rules over [[parseHtml]]'s blocks. */
+  private val MinWords = 3
+  private val MaxLinkDensity = 0.4
+
+  /** Entity-encode content for [[synthPage]]: single pass, so the
+    * `&amp;`-contains-'a' ordering trap of chained replace() can't
+    * fire. Every 'a' becomes a NUMERIC entity — the decoder is
+    * exercised on every document, not just on hand fixtures. */
+  private[graft] def enc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case 'a' => sb.append("&#97;")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic page for doc (id, text): full head (title, script
+    * WITH decoy `<p>` markup inside, style), link-only nav, 2-word h1,
+    * the text as two nested-tag entity-encoded paragraphs, link-only
+    * related list, link-dense footer. Non-empty blocks: title, nav,
+    * h1, p1, p2, li, li, footer = 8; keep rules retain exactly p1+p2. */
+  private[graft] def synthPage(id: Long, text: String): String = {
+    val ws = text.split(" ")
+    val half = (ws.length + 1) / 2
+    val p1 = enc(ws.take(half).mkString(" "))
+    val p2 = enc(ws.drop(half).mkString(" "))
+    s"""<html><head><title>Doc $id</title>""" +
+      s"""<script type="text/javascript">var n = $id; if (n < 10) { document.write("<p>ghost words that must never leak into the extraction</p>"); }</script>""" +
+      """<style>p { color: #333; } .related a { font-weight: bold; }</style></head>""" +
+      """<body><nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>""" +
+      s"""<h1>Doc $id</h1>""" +
+      s"""<p><b>$p1</b></p>""" +
+      s"""<div class="content"><p>$p2</p></div>""" +
+      """<ul class="related"><li><a href="/r/1">read more about this</a></li><li><a href="/r/2">also see that page</a></li></ul>""" +
+      """<footer><a href="/privacy">Privacy</a> · <a href="/terms">Terms</a></footer></body></html>"""
+  }
+
+  /** The crawl front door as a query: synthesize each document's page,
+    * extract, tally the block triage, and run the FACTORED
+    * [[TextOps.qualityKeep]] gate over the extracted text — markup →
+    * clean text → quality verdict in one composed map-side pass. The
+    * oracle reconstructs every column from the original `documents`
+    * row (extracted text == the original text BY CONSTRUCTION of the
+    * generator/parser pair; tallies are page-layout constants; the
+    * keep flag is [[TextOps.qualityKeepSql]] verbatim), so the whole
+    * loop is proven against ground truth, not against a second run of
+    * the same parser.
+    */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val blocks = parseHtml(synthPage(id, text))
+        var nShort = 0; var nLink = 0
+        val kept = blocks.filter { b =>
+          if (b.words < MinWords) { nShort += 1; false }
+          else if (b.linkChars.toDouble / b.chars > MaxLinkDensity) {
+            nLink += 1; false
+          } else true
+        }
+        (id, blocks.size, kept.size, nLink, nShort,
+          kept.map(_.text).mkString(" "))
+      })
+      .toDF("doc_id", "n_blocks", "n_kept", "n_link_dropped",
+        "n_short_dropped", "text")
+      .withColumn("keep", TextOps.qualityKeep)
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("n_link_dropped"), col("n_short_dropped"),
+        col("text").as("extracted"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val htmlExtractOracle =
+    s"""SELECT doc_id,
+       |       CAST(8 AS INTEGER) AS n_blocks,
+       |       CAST(2 AS INTEGER) AS n_kept,
+       |       CAST(4 AS INTEGER) AS n_link_dropped,
+       |       CAST(2 AS INTEGER) AS n_short_dropped,
+       |       text AS extracted,
+       |       ${TextOps.qualityKeepSql} AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> (htmlExtract _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_html_extract" -> htmlExtractOracle
+  )
+}

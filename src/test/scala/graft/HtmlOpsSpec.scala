@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.HtmlOps
+
+/** HTML extraction semantics — the parser half of the generator/parser
+  * pair (the DuckDB oracle proves the round trip corpus-wide; these pin
+  * the parser's behavior on adversarial markup the corpus can't carry).
+  */
+class HtmlOpsSpec extends SparkSpec {
+
+  private def texts(html: String): Vector[String] =
+    HtmlOps.parseHtml(html).map(_.text)
+
+  test("nested inline tags stay one block, one word where glued") {
+    assert(texts("<p>Hello <b>wor<i>ld</i></b> again today</p>") ==
+      Vector("Hello world again today"))
+    // block tags DO split; inline b/i/em/span/a do not
+    assert(texts("<div>one two three</div><div>four five six</div>") ==
+      Vector("one two three", "four five six"))
+    assert(texts("<p>x <em>y</em> <span>z</span> w</p>") ==
+      Vector("x y z w"))
+  }
+
+  test("script and style content is excluded WHOLE, decoy markup included") {
+    assert(texts(
+      "<p>before now</p><script>var s = \"<p>ghost block here</p>\"; if (1 < 2) {}</script><p>after words too</p>") ==
+      Vector("before now", "after words too"))
+    assert(texts("<style>p { color: red; } /* <p>nope</p> */</style><p>kept text here</p>") ==
+      Vector("kept text here"))
+    // unterminated script swallows the rest (total, no exception)
+    assert(texts("<p>seen here now</p><script>var x = 1;") ==
+      Vector("seen here now"))
+  }
+
+  test("entity decode: named, decimal, hex; junk passes through literally") {
+    assert(texts("<p>salt &amp; pepper</p>") == Vector("salt & pepper"))
+    assert(texts("<p>1 &lt; 2 &gt; 0 &quot;q&quot; &apos;a&apos;</p>") ==
+      Vector("1 < 2 > 0 \"q\" 'a'"))
+    assert(texts("<p>&#97;bc &#x41;BC</p>") == Vector("abc ABC"))
+    // unknown entity, bare ampersand, unterminated entity: literal
+    assert(texts("<p>&nope; AT&T tom &amp jerry</p>") ==
+      Vector("&nope; AT&T tom &amp jerry"))
+    // the generator's encoder round-trips through the parser
+    val s = "a man and a plan and a canal"
+    assert(texts("<p>" + HtmlOps.enc(s) + "</p>") == Vector(s))
+    assert(HtmlOps.enc("a&b<c>d") == "&#97;&amp;b&lt;c&gt;d")
+  }
+
+  test("boilerplate triage: link density and min words") {
+    val blocks = HtmlOps.parseHtml(
+      "<nav><a href='/'>Home</a> <a href='/d'>Docs</a></nav>" +
+        "<h1>Hi</h1>" +
+        "<p>real content words here with <a href='/x'>one link</a> inside</p>")
+    val nav = blocks(0); val h1 = blocks(1); val p = blocks(2)
+    assert(nav.linkChars == nav.chars) // pure links -> density 1.0
+    assert(h1.words == 1)
+    assert(p.words == 8 && p.linkChars == "onelink".length)
+    assert(p.linkChars.toDouble / p.chars < 0.4) // mixed block survives
+  }
+
+  test("stray '<' and junk tags are content, parse stays total") {
+    assert(texts("<p>2 < 3 and x <= y</p>") == Vector("2 < 3 and x <= y"))
+    assert(texts("a < b") == Vector("a < b"))
+  }
+
+  test("prefix totality: every prefix of a full page parses (jpegSof discipline)") {
+    val page = HtmlOps.synthPage(7L,
+      "the quick brown fox jumps over the lazy dog again and again")
+    (0 to page.length).foreach { n =>
+      HtmlOps.parseHtml(page.substring(0, n)) // must not throw
+    }
+  }
+
+  test("generator/parser round trip recovers the text, tallies are the page constants") {
+    val text = "the quick brown fox jumps over the lazy dog once more today"
+    val blocks = HtmlOps.parseHtml(HtmlOps.synthPage(3L, text))
+    assert(blocks.size == 8) // title nav h1 p1 p2 li li footer
+    val kept = blocks.filter(b =>
+      b.words >= 3 && b.linkChars.toDouble / b.chars <= 0.4)
+    assert(kept.size == 2)
+    assert(kept.map(_.text).mkString(" ") == text)
+    // nothing from the script's decoy paragraph leaks anywhere
+    assert(blocks.forall(!_.text.contains("ghost")))
+  }
+
+  test("q_html_extract composes with the factored qualityKeep gate") {
+    val rows = HtmlOps.htmlExtract(spark, sfTiny).collect()
+    val src = Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty && rows.length == src.size)
+    rows.foreach { r =>
+      assert(r.getString(5) == src(r.getLong(0))) // extracted == original
+      assert(r.getInt(1) == 8 && r.getInt(2) == 2 &&
+        r.getInt(3) == 4 && r.getInt(4) == 2)
+    }
+  }
+}
