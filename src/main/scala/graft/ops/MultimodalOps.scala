@@ -776,7 +776,146 @@ object MultimodalOps {
        |FROM f ORDER BY clip_id""".stripMargin
   }
 
+  // ------------------------------------------------ video container triage
+  /** MP4/ISO-BMFF container triage — the video corner of the
+    * image/audio/video modality triple, and the first pass of a video
+    * corpus pipeline (reject corrupt containers and absurd
+    * durations/dimensions BEFORE paying a frame-decode stage).
+    * ISO-BMFF is a length-prefixed box tree: u32 BE size + 4CC type,
+    * with container boxes (`moov`/`trak`/`mdia`) nesting further
+    * boxes — so the parse is a recursive box WALK (simpler than
+    * [[jpegSof]]'s marker stream: sizes are explicit, no entropy data
+    * to avoid). Extracted: brand from `ftyp`; movie timescale and
+    * duration from `mvhd` (version 0 AND 1 layouts — v1 widens the
+    * times to u64); track id and 16.16 fixed-point width/height from
+    * `tkhd` (v0/v1); handler 4CC from `mdia/hdlr`; `mdat` payload
+    * size. Every bound is checked so the walk is TOTAL on arbitrary
+    * truncated/corrupt bytes (prefix-fuzz-spec'd, the jpegSof
+    * discipline); a box whose declared size overruns the buffer, or
+    * runs backwards, classifies "unknown" instead of looping or
+    * throwing.
+    *
+    * Scale shape: binaryFile parallelizes by file, glob prunes at
+    * listing; the walk touches only box headers + three fixed-layout
+    * payloads per file (never the media data); narrow typed row out.
+    * Oracle: the fixture ([[graft.sources.VideoFiles]]) is
+    * byte-specified by integer formulas, so DuckDB recomputes every
+    * field AND the exact file size from arithmetic — generator and
+    * parser proven against each other, the codec-family discipline.
+    */
+  private[graft] def mp4Meta(b: Array[Byte]):
+      (String, Long, Long, Long, Int, Int, String, Long) = {
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var trackId = -1L; var w = -1; var h = -1
+    var handler: String = null
+    var mdat = -1L
+    // returns false if the region is structurally broken (overrun /
+    // non-advancing box) — the caller classifies "unknown"
+    def walk(from: Long, to: Long): Boolean = {
+      var o = from
+      var ok = true
+      while (ok && o + 8 <= to) {
+        val declared = be32(o.toInt)
+        val typ = cc(o.toInt + 4)
+        var body = o + 8
+        val size =
+          if (declared == 1L && o + 16 <= to) { // 64-bit largesize
+            body = o + 16; be64(o.toInt + 8)
+          } else if (declared == 0L) to - o // box runs to end of region
+          else declared
+        val end = o + size
+        if (size < (body - o) || end > to) ok = false // overrun/backwards
+        else {
+          typ match {
+            case "ftyp" if body + 4 <= end => brand = cc(body.toInt)
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              ok = walk(body, end) // containers: recurse
+            case "mvhd" if body + 4 <= end =>
+              val v = b(body.toInt) & 0xff
+              if (v == 1 && body + 32 <= end) {
+                timescale = be32(body.toInt + 20)
+                duration = be64(body.toInt + 24)
+              } else if (v == 0 && body + 20 <= end) {
+                timescale = be32(body.toInt + 12)
+                duration = be32(body.toInt + 16)
+              }
+            case "tkhd" if body + 4 <= end =>
+              val v = b(body.toInt) & 0xff
+              // width/height sit at the payload TAIL (after the
+              // matrix), same offset from the end in v0 and v1
+              if (end - 8 >= body && ((v == 0 && body + 16 <= end) ||
+                  (v == 1 && body + 24 <= end))) {
+                trackId = be32(body.toInt + (if (v == 1) 20 else 12))
+                w = (be32(end.toInt - 8) >> 16).toInt
+                h = (be32(end.toInt - 4) >> 16).toInt
+              }
+            case "hdlr" if body + 12 <= end => handler = cc(body.toInt + 8)
+            case "mdat" => mdat = end - body
+            case _ => () // free/skip/unknown boxes: step over
+          }
+          if (end <= o) ok = false else o = end // must advance
+        }
+      }
+      ok && o == to // a trailing partial header is also structural damage
+    }
+    if (b.length >= 12 && cc(4) == "ftyp" && walk(0L, b.length.toLong) &&
+        brand != null && timescale > 0)
+      (brand, timescale, duration,
+        if (duration >= 0) duration * 1000L / timescale else -1L,
+        w, h, if (handler == null) "none" else handler, mdat)
+    else ("unknown", -1L, -1L, -1L, -1, -1, "none", -1L)
+  }
+
+  def videoMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.VideoFiles.videosDir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "vid_*.mp4")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.mp4$", 1)
+          .cast("long").as("video_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, n, b) =>
+        val m = mp4Meta(b)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6, m._7, m._8, n)
+      })
+      .toDF("video_id", "brand", "timescale", "duration_ticks",
+        "duration_ms", "width", "height", "handler", "mdat_bytes",
+        "n_bytes")
+      .orderBy(col("video_id"))
+  }
+
+  private val videoMetaOracle = {
+    import graft.sources.VideoFiles.{NVideos, Timescale, FixedBytes}
+    s"""WITH f AS (
+       |  SELECT doc_id AS video_id,
+       |         (5 + doc_id * 3) * $Timescale AS dur,
+       |         160 + (doc_id * 8) % 1120 AS width,
+       |         90 + (doc_id * 6) % 630 AS height,
+       |         16 + (doc_id * 37) % 256 AS mdat
+       |  FROM documents WHERE doc_id < $NVideos)
+       |SELECT video_id, 'isom' AS brand,
+       |       CAST($Timescale AS BIGINT) AS timescale,
+       |       CAST(dur AS BIGINT) AS duration_ticks,
+       |       dur * 1000 // $Timescale AS duration_ms,
+       |       CAST(width AS INTEGER) AS width,
+       |       CAST(height AS INTEGER) AS height,
+       |       'vide' AS handler,
+       |       CAST(mdat AS BIGINT) AS mdat_bytes,
+       |       CAST($FixedBytes + mdat AS BIGINT) AS n_bytes
+       |FROM f ORDER BY video_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_video_meta" -> (videoMeta _),
     "q_audio_meta" -> (audioMeta _),
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
@@ -789,6 +928,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_video_meta" -> videoMetaOracle,
     "q_audio_meta" -> audioMetaOracle,
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,

@@ -162,6 +162,76 @@ class MultimodalSpec extends SparkSpec {
     graft.ops.MultimodalOps.jpegSof(junk) // total on junk
   }
 
+  test("mp4 box walk: total and correct on every prefix, v1 layout, corrupt sizes") {
+    import graft.sources.VideoFiles
+    val full = VideoFiles.mp4Bytes(7L)
+    // every prefix parses without a throw; only the COMPLETE file is
+    // structurally whole (a truncated box tree classifies unknown —
+    // triage must reject damage, not half-parse it)
+    // the only whole proper prefixes end exactly at a top-level box
+    // boundary past moov: ftyp-only (n=24) lacks a timescale, so it
+    // still classifies unknown; ftyp+moov (all headers, no mdat) is
+    // legitimately parseable
+    val moovEnd = full.length - (8 + VideoFiles.mdatBytesOf(7L).toInt)
+    for (n <- 0 to full.length) {
+      val prefix = java.util.Arrays.copyOf(full, n)
+      val m = MultimodalOps.mp4Meta(prefix) // must not throw
+      if (n < full.length && n != moovEnd)
+        assert(m._1 == "unknown", s"prefix $n parsed $m")
+    }
+    val whole = MultimodalOps.mp4Meta(full)
+    assert(whole == (("isom", 600L, VideoFiles.durationTicksOf(7L),
+      VideoFiles.durationTicksOf(7L) * 1000L / 600L,
+      VideoFiles.widthOf(7L), VideoFiles.heightOf(7L), "vide",
+      VideoFiles.mdatBytesOf(7L))))
+    // corrupt size fields: overrun, zero-size loop bait, backwards box
+    val overrun = full.clone(); overrun(0) = 0x7f.toByte
+    assert(MultimodalOps.mp4Meta(overrun)._1 == "unknown")
+    val zeroFirst = full.clone()
+    zeroFirst(0) = 0; zeroFirst(1) = 0; zeroFirst(2) = 0; zeroFirst(3) = 0
+    MultimodalOps.mp4Meta(zeroFirst) // size-0 = to-end-of-region: total
+    val tiny = full.clone(); tiny(3) = 4 // size 4 < header: backwards
+    assert(MultimodalOps.mp4Meta(tiny)._1 == "unknown")
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    MultimodalOps.mp4Meta(junk) // total on junk
+    // version-1 mvhd (64-bit times): hand-build a minimal tree
+    val v1 = {
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+      def box(t: String, body: Array[Byte]) =
+        be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+      box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes) ++
+        box("moov", box("mvhd",
+          Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+            be32(90000L) ++ be64(123456789L)))
+    }
+    val mv1 = MultimodalOps.mp4Meta(v1)
+    assert(mv1._1 == "isom" && mv1._2 == 90000L && mv1._3 == 123456789L,
+      s"v1 mvhd misparsed: $mv1")
+  }
+
+  test("video meta: box walk recovers generator fields byte-for-byte") {
+    import graft.sources.VideoFiles
+    val rows = MultimodalOps.videoMeta(spark, sfTiny).collect()
+    assert(rows.length == VideoFiles.NVideos,
+      "decoy must be glob-pruned and every video parsed")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("video_id")
+      assert(r.getAs[String]("brand") == "isom")
+      assert(r.getAs[Long]("timescale") == 600L)
+      assert(r.getAs[Long]("duration_ticks") == VideoFiles.durationTicksOf(id))
+      assert(r.getAs[Long]("duration_ms") ==
+        VideoFiles.durationTicksOf(id) * 1000L / 600L)
+      assert(r.getAs[Int]("width") == VideoFiles.widthOf(id), s"vid $id w")
+      assert(r.getAs[Int]("height") == VideoFiles.heightOf(id), s"vid $id h")
+      assert(r.getAs[String]("handler") == "vide")
+      assert(r.getAs[Long]("mdat_bytes") == VideoFiles.mdatBytesOf(id))
+      assert(r.getAs[Long]("n_bytes") ==
+        VideoFiles.FixedBytes + VideoFiles.mdatBytesOf(id), s"vid $id size")
+    }
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
