@@ -402,33 +402,94 @@ object MultimodalOps {
     col("width") >= PairMinDim && col("height") >= PairMinDim &&
       col("r_e3").between(RatioLadderE3.head, RatioLadderE3.last)
 
-  /** Gate annotation for the streaming twin: the funnel's caption and
-    * geometry predicates as boolean columns over arriving pairs. */
+  /** Deterministic per-doc image AND caption embeddings (dim 4,
+    * integer components in −4..5 cast to float) — the synthetic stand-
+    * in for a CLIP encoder pair, key-derived like [[synthGeometry]]:
+    * the image side from doc_id, the caption side from the text's
+    * char/token counts, so the two sides AGREE for some docs and
+    * disagree for others and the cosine gate has real selectivity.
+    * Small integer components keep every float op exact (ints ≪ 2²⁴),
+    * which is what lets the threshold compare run on an integer
+    * lattice with zero cross-engine float risk. */
+  private[graft] def synthEmbedding(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val nTok = size(split(col("text"), " "))
+    val img = array(Seq(3, 5, 7, 11).zipWithIndex.map { case (p, i) =>
+      ((col("doc_id") * p + i) % 10 - 4).cast("float")
+    }: _*)
+    val cap = array((0 until 4).map { i =>
+      ((length(col("text")) * (i + 2) + nTok * 3 + i) % 10 - 4)
+        .cast("float")
+    }: _*)
+    docs.withColumn("img_vec", img).withColumn("cap_vec", cap)
+  }
+
+  /** Oracle rendering of [[synthEmbedding]]'s components (expects
+    * doc_id, text, n_tok in scope): i0..i3 image, c0..c3 caption. */
+  private[ops] val synthEmbeddingSql: String = {
+    val img = Seq(3, 5, 7, 11).zipWithIndex.map { case (p, i) =>
+      s"(doc_id * $p + $i) % 10 - 4 AS i$i"
+    }
+    val cap = (0 until 4).map { i =>
+      s"(length(text) * ${i + 2} + n_tok * 3 + $i) % 10 - 4 AS c$i"
+    }
+    (img ++ cap).mkString(", ")
+  }
+
+  /** CLIP-style image↔caption agreement gate: cosine(img, cap) ≥ τ
+    * with τ = 0.28 (the LAION-400M English-filter operating point),
+    * decided WITHOUT float division on the integer lattice:
+    * dot > 0 ∧ dot²·10⁴ ≥ 784·|i|²·|c|² (784 = τ²·10⁴). The dots are
+    * [[graft.functions.VectorExprs]]' `vec_dot` over the float
+    * vectors — the same codegen kernel the retrieval family ranks
+    * with — exact here because the components are small integers. */
+  private val ClipTauE4Sq = 784L
+
+  private def pairClipOk: Column = {
+    val dot = expr("CAST(vec_dot(img_vec, cap_vec) AS BIGINT)")
+    val ni = expr("CAST(vec_dot(img_vec, img_vec) AS BIGINT)")
+    val nc = expr("CAST(vec_dot(cap_vec, cap_vec) AS BIGINT)")
+    dot > 0 && dot * dot * lit(10000L) >= ni * nc * lit(ClipTauE4Sq)
+  }
+
+  /** [[pairClipOk]] in DuckDB terms (expects i0..i3/c0..c3 in scope). */
+  private[ops] val pairClipOkSql: String = {
+    val dot = (0 until 4).map(i => s"i$i*c$i").mkString(" + ")
+    val ni = (0 until 4).map(i => s"i$i*i$i").mkString(" + ")
+    val nc = (0 until 4).map(i => s"c$i*c$i").mkString(" + ")
+    s"(($dot) > 0 AND ($dot)*($dot)*10000 >= ($ni)*($nc)*$ClipTauE4Sq)"
+  }
+
+  /** Gate annotation for the streaming twin: the funnel's caption,
+    * geometry, and CLIP-agreement predicates as boolean columns over
+    * arriving pairs. */
   private[graft] def pairGated(docs: DataFrame): DataFrame =
-    synthGeometry(docs)
+    synthEmbedding(synthGeometry(docs))
       .withColumn("keep_q", TextOps.qualityKeep)
       .withColumn("geom_ok", pairGeomOk)
+      .withColumn("clip_ok", pairClipOk)
 
-  /** The funnel's four stage frames (raw, caption-gated,
-    * geometry-gated, deduped) — [[pairCuration]] reports their sizes;
-    * the streaming spec replays against them. */
+  /** The funnel's five stage frames (raw, caption-gated,
+    * geometry-gated, CLIP-gated, deduped) — [[pairCuration]] reports
+    * their sizes; the streaming spec replays against them. */
   private[graft] def pairStages(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     // compose pairGated — the ONE definition of the gates, shared with
     // the streaming twin — rather than re-deriving the predicates
     val base = pairGated(Tables.documents(spark, sfDir))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
     val q = base.filter(col("keep_q"))
     val g = q.filter(col("geom_ok"))
-    val keepers = withAhash(spark, g)
+    val c = g.filter(col("clip_ok"))
+    val keepers = withAhash(spark, c)
       .groupBy(col("ahash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val d = g.join(keepers, Seq("doc_id"), "left_semi")
-    (base, q, g, d)
+    val d = c.join(keepers, Seq("doc_id"), "left_semi")
+    (base, q, g, c, d)
   }
 
   def pairCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val (base, q, g, d) = pairStages(spark, sfDir)
+    val (base, q, g, c, d) = pairStages(spark, sfDir)
     def stage(df: DataFrame, ord: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_pairs"),
         sum(col("n_tok")).as("caption_tokens"))
@@ -439,7 +500,8 @@ object MultimodalOps {
     stage(base, 0, "raw")
       .unionAll(stage(q, 1, "caption_quality"))
       .unionAll(stage(g, 2, "image_geometry"))
-      .unionAll(stage(d, 3, "image_dedup"))
+      .unionAll(stage(c, 3, "clip_agreement"))
+      .unionAll(stage(d, 4, "image_dedup"))
       .crossJoin(broadcast(rawTot))
       .select(col("stage"), col("stage_name"), col("n_pairs"),
         col("caption_tokens"),
@@ -462,10 +524,12 @@ object MultimodalOps {
        |g AS (SELECT * FROM q
        |      WHERE width >= $PairMinDim AND height >= $PairMinDim
        |        AND r_e3 BETWEEN ${RatioLadderE3.head} AND ${RatioLadderE3.last}),
+       |e AS (SELECT *, $synthEmbeddingSql FROM g),
+       |c AS (SELECT * FROM e WHERE $pairClipOkSql),
        |hk AS (SELECT MIN(doc_id) AS doc_id
-       |       FROM (SELECT doc_id, $ahashSqlExpr AS ahash FROM g)
+       |       FROM (SELECT doc_id, $ahashSqlExpr AS ahash FROM c)
        |       GROUP BY ahash),
-       |d AS (SELECT g.* FROM g JOIN hk USING (doc_id)),
+       |d AS (SELECT c.* FROM c JOIN hk USING (doc_id)),
        |raw_tot AS (SELECT COUNT(*) AS raw_pairs,
        |                   CAST(SUM(n_tok) AS BIGINT) AS raw_tokens FROM base),
        |stages AS (
@@ -475,7 +539,9 @@ object MultimodalOps {
        |         CAST(SUM(n_tok) AS BIGINT) FROM q
        |  UNION ALL SELECT 2, 'image_geometry', COUNT(*),
        |         CAST(SUM(n_tok) AS BIGINT) FROM g
-       |  UNION ALL SELECT 3, 'image_dedup', COUNT(*),
+       |  UNION ALL SELECT 3, 'clip_agreement', COUNT(*),
+       |         CAST(SUM(n_tok) AS BIGINT) FROM c
+       |  UNION ALL SELECT 4, 'image_dedup', COUNT(*),
        |         CAST(SUM(n_tok) AS BIGINT) FROM d)
        |SELECT stage, stage_name, n_pairs, caption_tokens,
        |       ROUND(CAST(n_pairs AS DOUBLE) / raw_pairs, 6) AS pair_frac,

@@ -305,8 +305,8 @@ object StreamingOps {
   // ------------------------------------------------------------------
   /** Streaming cross-modal pair curation — the incremental twin of
     * [[graft.ops.MultimodalOps.pairCuration]]'s LAION-style funnel,
-    * completing the ladder for image–text pairs: the caption-quality
-    * and image-geometry gates are STATELESS map-side predicates
+    * completing the ladder for image–text pairs: the caption-quality,
+    * image-geometry, and CLIP-agreement gates are STATELESS map-side predicates
     * (applied per arrival via the batch op's own factored
     * [[graft.ops.MultimodalOps.pairGated]] — no re-implementation);
     * the only state is the perceptual-hash dedup, which probes the
@@ -339,9 +339,11 @@ object StreamingOps {
         val fs = new org.apache.hadoop.fs.Path(indexTbl)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val gated = graft.ops.MultimodalOps.pairGated(batch.toDF())
-          .select(col("doc_id"), col("text"), col("keep_q"), col("geom_ok"))
+          .select(col("doc_id"), col("text"), col("keep_q"),
+            col("geom_ok"), col("clip_ok"))
           .localCheckpoint(true) // ledger AND probe read one snapshot
-        val pass = gated.filter(col("keep_q") && col("geom_ok"))
+        val pass = gated.filter(
+          col("keep_q") && col("geom_ok") && col("clip_ok"))
         val hashed = graft.ops.MultimodalOps.withAhash(spark, pass)
           .localCheckpoint(true)
         val standing =
@@ -368,6 +370,7 @@ object StreamingOps {
           .select(col("doc_id"),
             when(!col("keep_q"), "caption_quality")
               .when(!col("geom_ok"), "image_geometry")
+              .when(!col("clip_ok"), "clip_agreement")
               .when(col("hit").isNotNull, "image_dedup")
               .otherwise("kept").as("disposition"))
           .withColumn("kept", col("disposition") === "kept")

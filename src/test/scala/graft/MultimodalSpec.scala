@@ -115,7 +115,8 @@ class MultimodalSpec extends SparkSpec {
   test("pair curation: funnel is monotone and composes the factored gates") {
     val rows = MultimodalOps.pairCuration(spark, sfSmall).collect()
     assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
-      Seq("raw", "caption_quality", "image_geometry", "image_dedup"))
+      Seq("raw", "caption_quality", "image_geometry", "clip_agreement",
+        "image_dedup"))
     val counts = rows.map(_.getAs[Long]("n_pairs")).toSeq
     assert(counts.sliding(2).forall { case Seq(a, b) => a >= b },
       s"stage counts must be non-increasing: $counts")
@@ -123,6 +124,11 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, sfSmall).count(), "raw = all pairs")
     assert(counts.last > 0 && counts.last < counts.head,
       "the funnel must actually drop pairs on this fixture")
+    // the CLIP gate has real selectivity: it drops some geometry
+    // survivors and keeps some — a vacuous threshold would make the
+    // stage decorative
+    assert(counts(3) < counts(2) && counts(3) > 0,
+      s"clip_agreement must bite: $counts")
     // stage 1 is EXACTLY the text pipeline's quality-stage survivor
     // count — both funnels gate on the one factored predicate
     // (TextOps.qualityKeep), so the counts must agree to the row

@@ -697,17 +697,20 @@ class StreamingSpec extends SparkSpec {
       val kept = ledger.filter(col("kept")).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       // in-order ingest: kept set equals the batch funnel's survivors
-      val (b, qq, g, d) = graft.ops.MultimodalOps.pairStages(spark, sfSmall)
+      val (b, qq, g, c, d) =
+        graft.ops.MultimodalOps.pairStages(spark, sfSmall)
       val batchKept = d.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == batchKept,
         s"stream kept ${kept.size} != batch ${batchKept.size}")
       // per-stage drop counts equal the batch funnel's stage deltas
       val drops = ledger.groupBy("disposition").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val (nb, nq, ng, nd) = (b.count(), qq.count(), g.count(), d.count())
+      val (nb, nq, ng, nc, nd) =
+        (b.count(), qq.count(), g.count(), c.count(), d.count())
       assert(drops.getOrElse("caption_quality", 0L) == nb - nq)
       assert(drops.getOrElse("image_geometry", 0L) == nq - ng)
-      assert(drops.getOrElse("image_dedup", 0L) == ng - nd)
+      assert(drops.getOrElse("clip_agreement", 0L) == ng - nc)
+      assert(drops.getOrElse("image_dedup", 0L) == nc - nd)
       assert(drops.getOrElse("kept", 0L) == nd)
     } finally q.stop()
   }
