@@ -1391,7 +1391,167 @@ object CurationOps {
       |FROM p JOIN d USING (doc_id)
       |GROUP BY lang, kept ORDER BY lang, kept""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Multinomial Naive Bayes TRAINING — the trainer the curation
+    * family was missing: [[fasttextScore]] infers with fixed hashed
+    * weights, but a real pipeline trains its quality/language
+    * classifier on its own labeled corpus. This closes the
+    * train→infer loop the way `bpeTrain`→`bpeApply` closed it for
+    * tokenization: train per-class token counts with add-1 smoothing
+    * on the e6 log lattice (the [[graft.ops.TextOps.unigramLogprob]]
+    * quantization — integer micro-nats per token, so every downstream
+    * sum is exact and order-free), report the model head
+    * (top-[[NbTopK]] terms per class by count, tie term-asc) plus the
+    * class priors/hyperparameters; [[nbInfer]] then scores the
+    * HELD-OUT split (doc_id mod [[NbHoldMod]]) with exactly these
+    * counts and reports the confusion matrix.
+    *
+    * Scale shape (train): one explode + two hash aggregates (per-class
+    * token counts are (classes × vocab)-sized; the per-class top-k
+    * window partitions BY CLASS, never global); class stats and vocab
+    * size are 1-row/dimension-sized A6 broadcasts. (Infer): held-out
+    * tokens cross the 5-row class dimension (bounded broadcast — the
+    * fastText-model pattern) and join the count table UNHINTED
+    * ((classes×vocab)-sized — AQE broadcasts at small SF, shuffle
+    * equi-joins at corpus scale; a forced hint would die at the 8 GB
+    * cliff); the per-doc argmax is a 5-row-per-doc keyed window.
+    */
+  private val NbHoldMod = 5L // doc_id % 5 == 4 → held-out
+  private val NbTopK = 5
+
+  /** The shared trained state: per-class doc/token stats, per-
+    * (class, term) counts, and the train vocab size — [[nbTrain]]
+    * reports them, [[nbInfer]] scores with them (ONE derivation). */
+  private def nbCounts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod =!= NbHoldMod - 1)
+    val toks = train.select(col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val classStats = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens")),
+        Seq("lang"))
+    val counts = toks.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    (classStats, counts, vocab)
+  }
+
+  private val nbTrainSqlCommon =
+    s"""train AS (SELECT * FROM documents WHERE doc_id % $NbHoldMod <> ${NbHoldMod - 1}),
+       |toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+       |         FROM train),
+       |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+       |ctok AS (SELECT lang, COUNT(*) AS n_tokens FROM toks GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM cls),
+       |voc AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+       |cnts AS (SELECT lang, term, COUNT(*) AS cnt FROM toks
+       |         GROUP BY 1, 2)""".stripMargin
+
+  def nbTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (classStats, counts, vocab) = nbCounts(spark, sfDir)
+    val tot = classStats.agg(sum(col("n_docs")).as("n_all"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= NbTopK)
+      .join(classStats, Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vocab))
+      .select(col("lang"), col("rk"), col("term"), col("cnt"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("n_tokens") + col("v"))) * lit(1000000.0), 0)
+          .cast("long").as("lp_e6"),
+        col("n_docs"), col("n_tokens"), col("v").as("vocab"),
+        round(log(col("n_docs").cast("double") / col("n_all")) *
+          lit(1000000.0), 0).cast("long").as("prior_e6"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val nbTrainOracle =
+    s"""WITH $nbTrainSqlCommon,
+       |rk AS (SELECT lang, term, cnt,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY cnt DESC, term) AS rk
+       |       FROM cnts)
+       |SELECT r.lang, CAST(r.rk AS INTEGER) AS rk, r.term, r.cnt,
+       |       CAST(ROUND(ln(CAST(r.cnt + 1 AS DOUBLE)
+       |                     / (ct.n_tokens + voc.v)) * 1000000.0)
+       |            AS BIGINT) AS lp_e6,
+       |       c.n_docs, ct.n_tokens, CAST(voc.v AS BIGINT) AS vocab,
+       |       CAST(ROUND(ln(CAST(c.n_docs AS DOUBLE) / tot.n_all)
+       |                  * 1000000.0) AS BIGINT) AS prior_e6
+       |FROM rk r JOIN cls c USING (lang) JOIN ctok ct USING (lang)
+       |CROSS JOIN tot CROSS JOIN voc
+       |WHERE r.rk <= $NbTopK
+       |ORDER BY lang, rk""".stripMargin
+
+  /** Score the held-out split with [[nbTrain]]'s counts (argmax class
+    * per doc, ties class-asc) → confusion matrix. See [[nbTrain]]. */
+  def nbInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val (classStats, counts, vocab) = nbCounts(spark, sfDir)
+    val tot = classStats.agg(sum(col("n_docs")).as("n_all"))
+    val model = classStats.crossJoin(tot).crossJoin(vocab)
+      .select(col("lang").as("cls"), col("n_tokens"), col("v"),
+        round(log(col("n_docs").cast("double") / col("n_all")) *
+          lit(1000000.0), 0).cast("long").as("prior_e6"))
+    val toks = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+    // counts is (classes × vocab)-sized: UNHINTED join (AQE broadcasts
+    // at small SF, shuffle equi-join at corpus scale); the class
+    // dimension itself is genuinely bounded → broadcast
+    val scored = toks.crossJoin(broadcast(model))
+      .join(counts.select(col("lang").as("cls"), col("term"), col("cnt")),
+        Seq("cls", "term"), "left")
+      .withColumn("lp_e6",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_tokens") + col("v"))) * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"), col("prior_e6"))
+      .agg(sum(col("lp_e6")).as("s"))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("prior_e6") + col("s")).as("slp"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("slp").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val nbInferOracle =
+    s"""WITH $nbTrainSqlCommon,
+       |test AS (SELECT * FROM documents WHERE doc_id % $NbHoldMod = ${NbHoldMod - 1}),
+       |ttoks AS (SELECT doc_id, lang,
+       |                 unnest(string_split(text, ' ')) AS term FROM test),
+       |model AS (SELECT c.lang AS cls, ct.n_tokens, voc.v,
+       |            CAST(ROUND(ln(CAST(c.n_docs AS DOUBLE) / tot.n_all)
+       |                       * 1000000.0) AS BIGINT) AS prior_e6
+       |          FROM cls c JOIN ctok ct USING (lang)
+       |          CROSS JOIN tot CROSS JOIN voc),
+       |st AS (SELECT t.doc_id, t.lang, m.cls, m.prior_e6,
+       |         CAST(ROUND(ln(CAST(COALESCE(cn.cnt, 0) + 1 AS DOUBLE)
+       |                       / (m.n_tokens + m.v)) * 1000000.0)
+       |              AS BIGINT) AS lp_e6
+       |       FROM ttoks t CROSS JOIN model m
+       |       LEFT JOIN cnts cn ON cn.lang = m.cls AND cn.term = t.term),
+       |sc AS (SELECT doc_id, lang, cls,
+       |              prior_e6 + CAST(SUM(lp_e6) AS BIGINT) AS slp
+       |       FROM st GROUP BY doc_id, lang, cls, prior_e6),
+       |pred AS (SELECT doc_id, lang, cls AS predicted,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                              ORDER BY slp DESC, cls) AS rn
+       |         FROM sc)
+       |SELECT lang, predicted, COUNT(*) AS n_docs
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_train" -> (nbTrain _),
+    "q_nb_infer" -> (nbInfer _),
     "q_greedy_cover" -> (greedyCover _),
     "q_fasttext_score" -> (fasttextScore _),
     "q_record_linkage" -> (recordLinkage _),
@@ -1415,6 +1575,8 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_nb_train" -> nbTrainOracle,
+    "q_nb_infer" -> nbInferOracle,
     "q_greedy_cover" -> greedyCoverOracle,
     "q_fasttext_score" -> fasttextScoreOracle,
     "q_record_linkage" -> recordLinkageOracle,

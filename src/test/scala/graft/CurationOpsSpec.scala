@@ -518,4 +518,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(inv.getAs[Int]("n_deciles") == 10)
   }
 
+  test("naive bayes: smoothing arithmetic, priors, and a total-coverage inference") {
+    val model = ops.CurationOps.nbTrain(spark, sfTiny).collect()
+    val langs = model.map(_.getAs[String]("lang")).distinct.sorted
+    assert(langs.nonEmpty && model.length == langs.length * 5,
+      "top-5 rows per class")
+    // recompute one row's smoothed log-likelihood driver-side: the e6
+    // lattice value must be exactly round(ln((cnt+1)/(n_tokens+V))·1e6)
+    model.foreach { r =>
+      val expLp = math.round(math.log(
+        (r.getAs[Long]("cnt") + 1).toDouble /
+          (r.getAs[Long]("n_tokens") + r.getAs[Long]("vocab"))) * 1e6)
+      assert(r.getAs[Long]("lp_e6") == expLp, s"lp mismatch: $r")
+    }
+    // priors exponentiate back to a distribution over the train split
+    val priors = model.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.head.getAs[Long]("prior_e6")).toMap
+    val mass = priors.values.map(p => math.exp(p / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"priors sum to $mass")
+    // ranks are 1..5 per class, counts non-increasing within a class
+    model.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3, 4, 5))
+      val cnts = sorted.map(_.getAs[Long]("cnt")).toSeq
+      assert(cnts.sliding(2).forall { case Seq(a, b) => a >= b })
+    }
+    // inference covers every held-out doc exactly once, and only
+    // TRAINED classes are ever predicted
+    val conf = ops.CurationOps.nbInfer(spark, sfTiny).collect()
+    val heldOut = Tables.documents(spark, sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4).count()
+    assert(conf.map(_.getAs[Long]("n_docs")).sum == heldOut)
+    assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
+  }
+
 }
