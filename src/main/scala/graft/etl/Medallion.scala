@@ -368,11 +368,56 @@ object Medallion {
     * audits pin the exact table a report was built from.
     */
   private[graft] def snapshotWrite(
-      spark: SparkSession, base: String, df: DataFrame): Int = {
+      spark: SparkSession, base: String, df: DataFrame): Int =
+    snapshotCommit(spark, base, df, latestVersion(spark, base))
+
+  /** A commit lost the optimistic-concurrency race: the `_LATEST`
+    * generation the writer based its write on is no longer current
+    * (or another writer claimed the next generation first). The loser
+    * must RE-READ the current snapshot, re-derive its write, and
+    * retry — blindly re-flipping the pointer would silently discard
+    * the winner's rows (the lost-update anomaly). */
+  private[graft] final case class SnapshotConflict(
+      base: String, expected: Option[Int], found: Option[Int])
+      extends RuntimeException(
+        s"snapshot conflict on $base: based on $expected, found $found")
+
+  /** Optimistic-concurrency snapshot commit — the multi-writer
+    * semantics [[snapshotWrite]]'s single-writer flow lacked: the
+    * writer states the generation its write was DERIVED from
+    * (`basedOn`); the commit (a) pre-checks the pointer still reads
+    * that generation, (b) stages the data into a private directory,
+    * and (c) claims the next generation by creating `v<N>._claim`
+    * with overwrite=false — an atomic create-if-absent on HDFS
+    * (object-store ports use the same primitive: S3 conditional PUT,
+    * GCS if-generation-match), so of two racing writers EXACTLY ONE
+    * wins the generation; the loser's claim throws, its staging is
+    * cleaned up, and it surfaces [[SnapshotConflict]] to retry
+    * against the new state. Readers are untouched: the version
+    * directory is complete before the pointer moves, same as before.
+    */
+  private[graft] def snapshotCommit(
+      spark: SparkSession, base: String, df: DataFrame,
+      basedOn: Option[Int]): Int = {
     val basePath = new Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = latestVersion(spark, base).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$base/v$next")
+    val cur = latestVersion(spark, base)
+    if (cur != basedOn) throw SnapshotConflict(base, basedOn, cur)
+    val next = cur.getOrElse(0) + 1
+    val staged = new Path(
+      s"$base/_staged_${java.util.UUID.randomUUID().toString}")
+    df.write.mode("overwrite").parquet(staged.toString)
+    val claim = new Path(s"$base/v$next._claim")
+    try {
+      val out = fs.create(claim, false) // atomic create-if-absent
+      out.write(next.toString.getBytes("UTF-8")); out.close()
+    } catch {
+      case _: java.io.IOException =>
+        fs.delete(staged, true) // lost the race: clean the orphan up
+        throw SnapshotConflict(base, basedOn, latestVersion(spark, base))
+    }
+    if (!fs.rename(staged, new Path(s"$base/v$next")))
+      throw new java.io.IOException(s"staging rename failed for $base/v$next")
     // pointer flip: tmp + delete + rename (HDFS rename won't overwrite);
     // a crash between delete and rename leaves the pointer missing, and
     // latestVersion falls back to directory listing — never a torn read
@@ -384,6 +429,25 @@ object Medallion {
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"pointer flip failed for $base")
     next
+  }
+
+  /** Retry loop for the LOSER side of [[snapshotCommit]]: re-derive
+    * the write from the now-current snapshot and try again — the
+    * standard optimistic-concurrency client shape. `derive` receives
+    * the current latest version (None for an empty table) and returns
+    * the full next-generation table. */
+  private[graft] def snapshotCommitRetry(
+      spark: SparkSession, base: String,
+      derive: Option[Int] => DataFrame, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    var committed: Option[Int] = None
+    while (committed.isEmpty) {
+      attempt += 1
+      val basedOn = latestVersion(spark, base)
+      try committed = Some(snapshotCommit(spark, base, derive(basedOn), basedOn))
+      catch { case _: SnapshotConflict if attempt < maxAttempts => () }
+    }
+    committed.get
   }
 
   private[graft] def latestVersion(

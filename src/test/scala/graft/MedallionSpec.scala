@@ -89,6 +89,62 @@ class MedallionSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("snapshot optimistic concurrency: two interleaved writers, one wins, no lost update") {
+    import spark.implicits._
+    val base = s"${Medallion.warehouseBase}/test/snap_occ"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+
+    // generation 1: the shared starting state both writers read
+    Medallion.snapshotWrite(spark, base, Seq((1, "base")).toDF("k", "x"))
+    val readA = Medallion.latestVersion(spark, base)
+    val readB = Medallion.latestVersion(spark, base) // B reads the SAME gen
+    assert(readA.contains(1) && readB.contains(1))
+
+    // writer A commits first: its write = state-it-read + its row
+    def withRow(basedOn: Option[Int], k: Int, x: String) = {
+      val cur = Medallion.snapshotRead(spark, base, basedOn)
+      cur.unionByName(Seq((k, x)).toDF("k", "x"))
+    }
+    assert(Medallion.snapshotCommit(spark, base,
+      withRow(readA, 2, "from_A"), readA) == 2)
+
+    // writer B commits against its STALE read: must lose VISIBLY —
+    // blindly applying it would drop A's row (the lost update)
+    val conflict = intercept[Medallion.SnapshotConflict] {
+      Medallion.snapshotCommit(spark, base, withRow(readB, 3, "from_B"), readB)
+    }
+    assert(conflict.expected.contains(1) && conflict.found.contains(2))
+    // the loser left no half-committed generation behind: pointer and
+    // table still read A's commit, no staging orphans
+    assert(Medallion.latestVersion(spark, base).contains(2))
+    assert(fs.listStatus(p).map(_.getPath.getName)
+      .forall(n => !n.startsWith("_staged_")), "loser staging must be cleaned")
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSet == Set(1, 2))
+
+    // B retries through the standard loop: re-derives from the CURRENT
+    // state, so the final table carries BOTH writers' rows
+    assert(Medallion.snapshotCommitRetry(spark, base,
+      basedOn => withRow(basedOn, 3, "from_B")) == 3)
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSet == Set(1, 2, 3),
+      "after retry no update may be lost")
+
+    // claim-file arbiter: even with an EQUAL basedOn, the second
+    // claimant of the same generation loses (the pre-check race window)
+    val cur = Medallion.latestVersion(spark, base)
+    val claim = new org.apache.hadoop.fs.Path(s"$base/v${cur.get + 1}._claim")
+    val out = fs.create(claim, false) // an in-flight rival's claim
+    out.write("rival".getBytes("UTF-8")); out.close()
+    intercept[Medallion.SnapshotConflict] {
+      Medallion.snapshotCommit(spark, base, withRow(cur, 4, "late"), cur)
+    }
+    assert(Medallion.latestVersion(spark, base) == cur,
+      "a lost claim race must not move the pointer")
+  }
+
   test("snapshot vacuum drops old versions but never the pointer target") {
     import spark.implicits._
     val base = s"${Medallion.warehouseBase}/test/snapvac"
