@@ -63,6 +63,8 @@ object Bench {
         sources.ImageFiles.imagesDir(spark, sfDir)
       if (names.contains("q_audio_meta"))
         sources.AudioFiles.clipsDir(spark, sfDir)
+      if (names.contains("q_video_meta"))
+        sources.VideoFiles.videosDir(spark, sfDir)
       if (names.contains("q_schema_merge"))
         sources.SchemaEvolution.fixture(spark, sfDir)
     } catch { case _: Throwable => () }

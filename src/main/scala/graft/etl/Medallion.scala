@@ -431,6 +431,41 @@ object Medallion {
     next
   }
 
+  /** Janitor for ORPHANED claims — the recovery half of
+    * [[snapshotCommit]]'s arbiter: a writer that crashed between
+    * claiming a generation and renaming its staging leaves
+    * `v<N>._claim` with no `v<N>` directory, and every later claimant
+    * of N then loses the race forever (the table wedges). Deleting
+    * the claim is safe only once the claimant is provably dead;
+    * absent leases, this operator-run janitor uses a
+    * modification-time grace period (the Delta/Iceberg orphan-cleanup
+    * shape — a healthy winner goes claim→rename→flip in well under
+    * any sane grace). Stranded `_staged_*` directories past the grace
+    * are swept too. Returns the reclaimed generation numbers. */
+  private[graft] def snapshotRecover(
+      spark: SparkSession, base: String,
+      graceMs: Long = 3600000L): Seq[Int] = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val entries = fs.listStatus(basePath)
+    val reclaimed = entries.toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith("._claim")) {
+        val gen = n.stripPrefix("v").stripSuffix("._claim").toIntOption
+        val orphan = gen.exists(g => !fs.exists(new Path(s"$base/v$g")))
+        if (orphan && now - st.getModificationTime > graceMs) {
+          fs.delete(st.getPath, false); gen
+        } else None
+      } else None
+    }
+    entries.filter(_.getPath.getName.startsWith("_staged_"))
+      .filter(st => now - st.getModificationTime > graceMs)
+      .foreach(st => fs.delete(st.getPath, true))
+    reclaimed
+  }
+
   /** Retry loop for the LOSER side of [[snapshotCommit]]: re-derive
     * the write from the now-current snapshot and try again — the
     * standard optimistic-concurrency client shape. `derive` receives
@@ -483,7 +518,13 @@ object Medallion {
       .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption).sorted
     val pinned = latestVersion(spark, base)
     val drop = versions.dropRight(keep).filterNot(pinned.contains).toSeq
-    drop.foreach(v => fs.delete(new Path(s"$base/v$v"), true))
+    drop.foreach { v =>
+      fs.delete(new Path(s"$base/v$v"), true)
+      // the generation's claim guards a LIVE version; once the version
+      // is vacuumed the claim is trash (snapshotRecover's orphan rule
+      // would otherwise have to age it out)
+      fs.delete(new Path(s"$base/v$v._claim"), false)
+    }
     drop
   }
 

@@ -215,30 +215,49 @@ object HtmlOps {
     * loop is proven against ground truth, not against a second run of
     * the same parser.
     */
-  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
+  /** Extract one page: triage tallies + surviving text. The ONE
+    * extraction definition the batch query and the streaming twin
+    * both run (the pairGated factoring discipline). */
+  private[graft] def extractDoc(id: Long, html: String)
+      : (Long, Int, Int, Int, Int, String) = {
+    val blocks = parseHtml(html)
+    var nShort = 0; var nLink = 0
+    val kept = blocks.filter { b =>
+      if (b.words < MinWords) { nShort += 1; false }
+      else if (b.linkChars.toDouble / b.chars > MaxLinkDensity) {
+        nLink += 1; false
+      } else true
+    }
+    (id, blocks.size, kept.size, nLink, nShort,
+      kept.map(_.text).mkString(" "))
+  }
+
+  /** (doc_id, html) frame → extraction + the factored
+    * [[TextOps.qualityKeep]] verdict over the EXTRACTED text — works
+    * identically on a batch frame and a streaming micro-batch
+    * (stateless map-side, so the twin needs no state at all). */
+  private[graft] def extractFrame(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .select(col("doc_id"), col("html"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val blocks = parseHtml(synthPage(id, text))
-        var nShort = 0; var nLink = 0
-        val kept = blocks.filter { b =>
-          if (b.words < MinWords) { nShort += 1; false }
-          else if (b.linkChars.toDouble / b.chars > MaxLinkDensity) {
-            nLink += 1; false
-          } else true
-        }
-        (id, blocks.size, kept.size, nLink, nShort,
-          kept.map(_.text).mkString(" "))
-      })
+      .mapPartitions(_.map { case (id, html) => extractDoc(id, html) })
       .toDF("doc_id", "n_blocks", "n_kept", "n_link_dropped",
         "n_short_dropped", "text")
       .withColumn("keep", TextOps.qualityKeep)
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         col("n_link_dropped"), col("n_short_dropped"),
         col("text").as("extracted"), col("keep"))
-      .orderBy(col("doc_id"))
+  }
+
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, synthPage(id, text)) })
+      .toDF("doc_id", "html")
+    extractFrame(pages).orderBy(col("doc_id"))
   }
 
   private val htmlExtractOracle =

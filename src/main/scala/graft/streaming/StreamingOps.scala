@@ -26,6 +26,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Streaming HTML → text extraction — the crawl front door
+    * ([[graft.ops.HtmlOps.htmlExtract]]) as pages ARRIVE, which is how
+    * a crawl actually delivers them: the extraction + triage +
+    * quality verdict are completely STATELESS map-side work, so the
+    * twin is the batch op's own factored
+    * [[graft.ops.HtmlOps.extractFrame]] applied per micro-batch — no
+    * state store, no watermark, nothing to replay; exactly-once comes
+    * free from the sink. Input schema: (doc_id, html).
+    *
+    * Scale shape: this is the ideal streaming operator — per-arrival
+    * CPU with zero shuffle; at 100 TB the crawl frontier fans into
+    * partitions and every executor extracts independently.
+    */
+  def htmlExtractStream(pages: DataFrame):
+      DataFrame =
+    graft.ops.HtmlOps.extractFrame(pages)
+
   /** Watermarked event-time hourly OD aggregation — the streaming twin
     * of the silver hourly rollup. Append-mode emits a (window, zone) row
     * exactly once, after the watermark passes the window end. */

@@ -143,6 +143,19 @@ class MedallionSpec extends SparkSpec {
     }
     assert(Medallion.latestVersion(spark, base) == cur,
       "a lost claim race must not move the pointer")
+
+    // the orphan claim has WEDGED the table (every claimant of gen 4
+    // now loses); the janitor reclaims it past the grace and commits
+    // flow again — but a fresh claim inside the grace is left alone
+    assert(Medallion.snapshotRecover(spark, base, graceMs = 3600000L).isEmpty,
+      "a claim inside the grace period must survive the janitor")
+    assert(Medallion.snapshotRecover(spark, base, graceMs = 0L) == Seq(4))
+    assert(Medallion.snapshotCommitRetry(spark, base,
+      basedOn => withRow(basedOn, 4, "late")) == 4)
+    assert(Medallion.snapshotRead(spark, base)
+      .collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 4))
+    // committed generations' claims are NOT orphans: nothing to reclaim
+    assert(Medallion.snapshotRecover(spark, base, graceMs = 0L).isEmpty)
   }
 
   test("snapshot vacuum drops old versions but never the pointer target") {

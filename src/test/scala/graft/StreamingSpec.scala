@@ -401,6 +401,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HTML extraction equals the batch front door per arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val pages = input.toDF().toDF("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, graft.ops.HtmlOps.synthPage(id, t))
+      })
+      .toDF("doc_id", "html")
+    val q = StreamingOps.htmlExtractStream(pages)
+      .writeStream.format("memory").queryName("html_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(7).foreach { chunk => // several micro-batches
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("html_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      val batch = graft.ops.HtmlOps.htmlExtract(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.size == docs.length)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
