@@ -489,25 +489,46 @@ object MultimodalOps {
   }
 
   def pairCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val (base, q, g, c, d) = pairStages(spark, sfDir)
-    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_pairs"),
-        sum(col("n_tok")).as("caption_tokens"))
-        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
-          col("n_pairs"), col("caption_tokens"))
-    val rawTot = base.agg(count(lit(1)).as("raw_pairs"),
-      sum(col("n_tok")).as("raw_tokens"))
-    stage(base, 0, "raw")
-      .unionAll(stage(q, 1, "caption_quality"))
-      .unionAll(stage(g, 2, "image_geometry"))
-      .unionAll(stage(c, 3, "clip_agreement"))
-      .unionAll(stage(d, 4, "image_dedup"))
-      .crossJoin(broadcast(rawTot))
+    // ONE corpus pass, not one per stage: the gates are boolean
+    // columns (the same factored pairGated the stage frames and the
+    // streaming twin use), so every stage tally is a conditional sum
+    // in a single aggregate; the only join is the dedup keeper
+    // decision. The per-stage-frame shape ([[pairStages]]) re-scans
+    // the corpus once per stage — measurably slower even at sf0.1
+    // (1.6 → 0.9 s) and 6 passes instead of 2 at 100 TB.
+    val base = pairGated(Tables.documents(spark, sfDir))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val c = base.filter(col("keep_q") && col("geom_ok") && col("clip_ok"))
+    val keepers = withAhash(spark, c)
+      .groupBy(col("ahash")).agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("is_keeper", lit(true))
+    val s1 = col("keep_q")
+    val s2 = s1 && col("geom_ok")
+    val s3 = s2 && col("clip_ok")
+    val s4 = s3 && col("is_keeper").isNotNull
+    def n(p: Column) = sum(when(p, 1L).otherwise(0L))
+    // no otherwise(): an EMPTY stage must sum to NULL (oracle parity —
+    // DuckDB's SUM over the empty stage CTE is NULL, not 0)
+    def t(p: Column) = sum(when(p, col("n_tok")))
+    base.join(keepers.select(col("doc_id"), col("is_keeper")),
+        Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
+        n(s1).as("n1"), t(s1).as("t1"), n(s2).as("n2"), t(s2).as("t2"),
+        n(s3).as("n3"), t(s3).as("t3"), n(s4).as("n4"), t(s4).as("t4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'raw',             n0, t0,
+          |  1, 'caption_quality', n1, t1,
+          |  2, 'image_geometry',  n2, t2,
+          |  3, 'clip_agreement',  n3, t3,
+          |  4, 'image_dedup',     n4, t4)
+          |AS (stage, stage_name, n_pairs, caption_tokens)""".stripMargin),
+        col("n0"), col("t0"))
       .select(col("stage"), col("stage_name"), col("n_pairs"),
         col("caption_tokens"),
-        round(col("n_pairs").cast("double") / col("raw_pairs"), 6)
+        round(col("n_pairs").cast("double") / col("n0"), 6)
           .as("pair_frac"),
-        round(col("caption_tokens").cast("double") / col("raw_tokens"), 6)
+        round(col("caption_tokens").cast("double") / col("t0"), 6)
           .as("token_frac"))
       .orderBy(col("stage"))
   }
