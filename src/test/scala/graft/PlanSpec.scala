@@ -609,15 +609,16 @@ class PlanSpec extends SparkSpec {
 
   test("round-10 operators: map-side gates, no cartesian products, no global windows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // pair curation: gates are column math; the one nested-loop join
-    // allowed is the A6 one-row raw-total crossJoin
+    // pair curation: gates are column math; since the round-11
+    // single-pass rework nothing needs to nested-loop at all (the
+    // raw totals ride the one conditional aggregate)
     val pc = graft.ops.MultimodalOps.pairCuration(spark, sfTiny)
     pc.collect()
     val pcPlan = executed(pc).split("== Initial Plan ==")(0)
     assert(!pcPlan.contains("CartesianProduct"),
       s"pair curation must not plan a cartesian product:\n$pcPlan")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(pcPlan).size <= 1,
-      s"only the raw-total scalar crossJoin may nested-loop:\n$pcPlan")
+    assert(!pcPlan.contains("BroadcastNestedLoopJoin"),
+      s"single-pass funnel needs no nested-loop join:\n$pcPlan")
     // doc repetition: the bigram list stays packed — no Generate
     // (explode) anywhere, no window; one aggregate pair
     val dr = graft.ops.TextOps.docRepetition(spark, sfTiny)
@@ -687,6 +688,48 @@ class PlanSpec extends SparkSpec {
     }
     assert(bad.isEmpty,
       s"ppjoin plans ${bad.size} unpartitioned window(s):\n${bad.mkString}")
+  }
+
+  test("round-11 operators: map-side front door, single-pass funnel, group-limited argmax") {
+    // html extract: the crawl front door is PURE map-side — no join,
+    // no aggregate, no window; the only exchange is the presentation
+    // sort (at 100 TB every executor extracts independently)
+    val he = graft.ops.HtmlOps.htmlExtract(spark, sfTiny)
+    he.collect()
+    val hePlan = executed(he).split("== Initial Plan ==")(0)
+    assert(!hePlan.contains("Join") && !hePlan.contains("HashAggregate") &&
+      !hePlan.contains("Window"),
+      s"front door must stay map-side:\n$hePlan")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(hePlan).size == 1,
+      s"only the presentation sort may exchange:\n$hePlan")
+    // video meta: same contract — binaryFile scan + box walk + sort
+    val vm = graft.ops.MultimodalOps.videoMeta(spark, sfTiny)
+    vm.collect()
+    val vmPlan = executed(vm).split("== Initial Plan ==")(0)
+    assert(!vmPlan.contains("Join") && !vmPlan.contains("HashAggregate"),
+      s"video triage must stay map-side:\n$vmPlan")
+    // pair curation post-rework: ONE corpus conditional aggregate +
+    // the keeper groupBy — never a per-stage re-aggregation (each
+    // aggregate contributes a partial+final HashAggregate pair, so a
+    // 5-stage re-scan shape would show ≥10)
+    val pc = graft.ops.MultimodalOps.pairCuration(spark, sfTiny)
+    pc.collect()
+    val pcPlan = executed(pc).split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(pcPlan).size <= 4,
+      s"funnel must tally all stages in one corpus pass:\n$pcPlan")
+    assert(pcPlan.contains("Generate"), // the 1-row stack fan-out
+      s"stage rows must come from the stack generator:\n$pcPlan")
+    // nb infer: the per-doc argmax must push a group limit below its
+    // sort (rn=1 never materializes all 5 class rows per doc past the
+    // exchange), and nothing may plan a cartesian product — the
+    // class-dimension cross rides a broadcast nested loop
+    val ni = graft.ops.CurationOps.nbInfer(spark, sfTiny)
+    ni.collect()
+    val niPlan = executed(ni).split("== Initial Plan ==")(0)
+    assert(niPlan.contains("WindowGroupLimit"),
+      s"per-doc argmax must group-limit below the sort:\n$niPlan")
+    assert(!niPlan.contains("CartesianProduct"),
+      s"nb infer must not plan a cartesian product:\n$niPlan")
   }
 
 }
