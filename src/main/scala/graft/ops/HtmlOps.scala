@@ -51,6 +51,12 @@ object HtmlOps {
   private[graft] final case class Block(
       text: String, words: Int, chars: Int, linkChars: Int)
 
+  /** A parsed page: content blocks plus the raw `href` values of its
+    * `<a>` tags in document order (the crawl-frontier half of the
+    * front door — [[linkExtract]] normalizes and aggregates them). */
+  private[graft] final case class Page(
+      blocks: Vector[Block], links: Vector[String])
+
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "nav", "footer", "header", "title", "head", "body", "html",
@@ -71,10 +77,36 @@ object HtmlOps {
     * Total on EVERY input — truncated tags/entities/scripts parse to
     * whatever text precedes them (prefix-fuzz-spec'd).
     */
-  private[graft] def parseHtml(html: String): Vector[Block] = {
+  private[graft] def parseHtml(html: String): Page = {
     val lower = html.toLowerCase(java.util.Locale.ROOT)
     val n = html.length
     val out = Vector.newBuilder[Block]
+    val links = Vector.newBuilder[String]
+    // href scan inside an <a> tag body [from, until): double-, single-,
+    // or un-quoted values; total on truncation (missing quote/value
+    // reads to the region end)
+    def hrefOf(from: Int, until: Int): Unit = {
+      val h = lower.indexOf("href", from)
+      if (h >= 0 && h < until) {
+        var p = h + 4
+        while (p < until && html.charAt(p).isWhitespace) p += 1
+        if (p < until && html.charAt(p) == '=') {
+          p += 1
+          while (p < until && html.charAt(p).isWhitespace) p += 1
+          if (p < until) {
+            val q = html.charAt(p)
+            if (q == '"' || q == '\'') {
+              val e = html.indexOf(q, p + 1)
+              links += html.substring(p + 1, if (e >= 0 && e < until) e else until)
+            } else {
+              var e = p
+              while (e < until && !html.charAt(e).isWhitespace) e += 1
+              links += html.substring(p, e)
+            }
+          }
+        }
+      }
+    }
     val cur = new java.lang.StringBuilder
     var curLink = 0
     var lastSpace = true // leading-trim + run-collapse state
@@ -125,7 +157,7 @@ object HtmlOps {
             if (BlockTags.contains(name)) flush()
             if (name == "a") {
               if (closing) { if (aDepth > 0) aDepth -= 1 }
-              else aDepth += 1
+              else { aDepth += 1; hrefOf(j, k) }
             }
             i = if (k < n) k + 1 else n
           }
@@ -156,7 +188,7 @@ object HtmlOps {
       } else { emit(c); i += 1 }
     }
     flush()
-    out.result()
+    Page(out.result(), links.result())
   }
 
   /** jusText-lite keep rules over [[parseHtml]]'s blocks. */
@@ -200,8 +232,8 @@ object HtmlOps {
       s"""<h1>Doc $id</h1>""" +
       s"""<p><b>$p1</b></p>""" +
       s"""<div class="content"><p>$p2</p></div>""" +
-      """<ul class="related"><li><a href="/r/1">read more about this</a></li><li><a href="/r/2">also see that page</a></li></ul>""" +
-      """<footer><a href="/privacy">Privacy</a> · <a href="/terms">Terms</a></footer></body></html>"""
+      s"""<ul class="related"><li><a href="/r/1">read more about this</a></li><li><a href="/r/${id % 7}">also see that page</a></li></ul>""" +
+      """<footer><a href="/privacy">Privacy</a> · <a href="/terms">Terms</a> · <a href='legal/cookies#s1'>Cookie Policy</a> · <a href=https://cdn.example.org/brand.png?v=2#top>Brand</a></footer></body></html>"""
   }
 
   /** The crawl front door as a query: synthesize each document's page,
@@ -220,7 +252,7 @@ object HtmlOps {
     * both run (the pairGated factoring discipline). */
   private[graft] def extractDoc(id: Long, html: String)
       : (Long, Int, Int, Int, Int, String) = {
-    val blocks = parseHtml(html)
+    val blocks = parseHtml(html).blocks
     var nShort = 0; var nLink = 0
     val kept = blocks.filter { b =>
       if (b.words < MinWords) { nShort += 1; false }
@@ -270,11 +302,103 @@ object HtmlOps {
        |       ${TextOps.qualityKeepSql} AS keep
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** RFC-3986-lite reference resolution for the crawl frontier:
+    * fragment stripped (same-document reference, never fetched);
+    * absolute URLs pass through; "/rooted" joins the base origin;
+    * relative paths join the base DIRECTORY; "." and ".." segments
+    * squash against a segment stack (".." at root is a no-op, the
+    * RFC's remove_dot_segments behavior). Hand-rolled, not
+    * `java.net.URI.resolve`, for the codec-family reason: every rule
+    * the engine applies is stated here and spec-pinned, not inherited
+    * from an opaque library's edge cases. Queries are preserved —
+    * they address different resources. */
+  private[graft] def resolveUrl(base: String, href0: String): String = {
+    val hash = href0.indexOf('#')
+    val href = if (hash >= 0) href0.substring(0, hash) else href0
+    def squash(path: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      // split keeps no empty tail marker; re-add a trailing slash below
+      path.split("/", -1).drop(1).foreach {
+        case "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s => out += s
+      }
+      "/" + out.mkString("/")
+    }
+    if (href.isEmpty) base // pure-fragment link: the page itself
+    else if (href.matches("[a-zA-Z][a-zA-Z0-9+.-]*://.*")) href
+    else {
+      val schemeEnd = base.indexOf("://") + 3
+      val pathStart = base.indexOf('/', schemeEnd)
+      val origin = if (pathStart < 0) base else base.substring(0, pathStart)
+      if (href.startsWith("/")) origin + squash(href)
+      else {
+        val path = if (pathStart < 0) "/" else base.substring(pathStart)
+        val dir = path.substring(0, path.lastIndexOf('/') + 1)
+        origin + squash(dir + href)
+      }
+    }
+  }
+
+  /** Outlink extraction + normalization — the crawl-FRONTIER half of
+    * the front door ([[htmlExtract]] is the content half): every
+    * `<a href>` in the page (double-, single-, and un-quoted forms),
+    * resolved against the page's own URL by [[resolveUrl]], rolled up
+    * to per-URL reference counts — the table a frontier scheduler
+    * prioritizes from. The generator plants all three quote styles, a
+    * doc-dependent target (id mod 7 — so reference counts actually
+    * vary), a dot-segment-free relative path, and an off-site
+    * absolute URL with query + fragment; the oracle reconstructs the
+    * exact normalized URL multiset per doc from the id formulas, so
+    * the attribute scan AND every resolution rule sit under the
+    * driver hash.
+    *
+    * Scale shape: map-side parse + one hash aggregate on the URL key
+    * — the same two-stage shape as every frequency rollup here; at
+    * 100 TB the URL key is high-cardinality and uniform-ish (hash
+    * aggregate, no skew pathology; a hot URL is exactly what the
+    * frontier WANTS surfaced). */
+  def linkExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val base = s"https://example.com/docs/$id"
+        parseHtml(synthPage(id, text)).links
+          .map(h => (id, resolveUrl(base, h)))
+      })
+      .toDF("doc_id", "url")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("url"))
+  }
+
+  private val linkExtractOracle =
+    """WITH l AS (
+      |  SELECT doc_id, unnest([
+      |    'https://example.com/',
+      |    'https://example.com/docs',
+      |    'https://example.com/about',
+      |    'https://example.com/r/1',
+      |    'https://example.com/r/' || (doc_id % 7),
+      |    'https://example.com/privacy',
+      |    'https://example.com/terms',
+      |    'https://example.com/docs/legal/cookies',
+      |    'https://cdn.example.org/brand.png?v=2']) AS url
+      |  FROM documents)
+      |SELECT url, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM l GROUP BY url ORDER BY url""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_html_extract" -> (htmlExtract _)
+    "q_html_extract" -> (htmlExtract _),
+    "q_link_extract" -> (linkExtract _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_html_extract" -> htmlExtractOracle
+    "q_html_extract" -> htmlExtractOracle,
+    "q_link_extract" -> linkExtractOracle
   )
 }

@@ -9,7 +9,7 @@ import graft.ops.HtmlOps
 class HtmlOpsSpec extends SparkSpec {
 
   private def texts(html: String): Vector[String] =
-    HtmlOps.parseHtml(html).map(_.text)
+    HtmlOps.parseHtml(html).blocks.map(_.text)
 
   test("nested inline tags stay one block, one word where glued") {
     assert(texts("<p>Hello <b>wor<i>ld</i></b> again today</p>") ==
@@ -51,6 +51,7 @@ class HtmlOpsSpec extends SparkSpec {
       "<nav><a href='/'>Home</a> <a href='/d'>Docs</a></nav>" +
         "<h1>Hi</h1>" +
         "<p>real content words here with <a href='/x'>one link</a> inside</p>")
+      .blocks
     val nav = blocks(0); val h1 = blocks(1); val p = blocks(2)
     assert(nav.linkChars == nav.chars) // pure links -> density 1.0
     assert(h1.words == 1)
@@ -73,7 +74,7 @@ class HtmlOpsSpec extends SparkSpec {
 
   test("generator/parser round trip recovers the text, tallies are the page constants") {
     val text = "the quick brown fox jumps over the lazy dog once more today"
-    val blocks = HtmlOps.parseHtml(HtmlOps.synthPage(3L, text))
+    val blocks = HtmlOps.parseHtml(HtmlOps.synthPage(3L, text)).blocks
     assert(blocks.size == 8) // title nav h1 p1 p2 li li footer
     val kept = blocks.filter(b =>
       b.words >= 3 && b.linkChars.toDouble / b.chars <= 0.4)
@@ -81,6 +82,31 @@ class HtmlOpsSpec extends SparkSpec {
     assert(kept.map(_.text).mkString(" ") == text)
     // nothing from the script's decoy paragraph leaks anywhere
     assert(blocks.forall(!_.text.contains("ghost")))
+  }
+
+  test("href capture: all three quote styles, region-bounded, total on truncation") {
+    val links = HtmlOps.parseHtml(
+      """<a href="/dq">x</a><a href='/sq'>y</a><a href=/uq>z</a>""" +
+        """<a class="k" href = "/sp">w</a><a>none</a><a href="/unterm""").links
+    assert(links == Vector("/dq", "/sq", "/uq", "/sp", "/unterm"))
+    // the synthetic page plants exactly 9 links in document order
+    val page = HtmlOps.parseHtml(HtmlOps.synthPage(10L, "ten words here"))
+    assert(page.links == Vector("/", "/docs", "/about", "/r/1", "/r/3",
+      "/privacy", "/terms", "legal/cookies#s1",
+      "https://cdn.example.org/brand.png?v=2#top"))
+  }
+
+  test("url resolution: absolute, rooted, relative, dot-segments, fragments") {
+    val base = "https://example.com/docs/42"
+    def r(h: String) = HtmlOps.resolveUrl(base, h)
+    assert(r("https://other.org/x#y") == "https://other.org/x")
+    assert(r("/rooted/path") == "https://example.com/rooted/path")
+    assert(r("rel/page") == "https://example.com/docs/rel/page")
+    assert(r("../up/one") == "https://example.com/up/one")
+    assert(r("./same/dir") == "https://example.com/docs/same/dir")
+    assert(r("../../../past/root") == "https://example.com/past/root")
+    assert(r("#frag") == base)
+    assert(r("a?q=1#frag") == "https://example.com/docs/a?q=1")
   }
 
   test("q_html_extract composes with the factored qualityKeep gate") {
