@@ -1487,25 +1487,45 @@ object CurationOps {
        |WHERE r.rk <= $NbTopK
        |ORDER BY lang, rk""".stripMargin
 
-  /** Score the held-out split with [[nbTrain]]'s counts (argmax class
-    * per doc, ties class-asc) → confusion matrix. See [[nbTrain]]. */
-  def nbInfer(spark: SparkSession, sfDir: String): DataFrame = {
-    val (classStats, counts, vocab) = nbCounts(spark, sfDir)
-    val tot = classStats.agg(sum(col("n_docs")).as("n_all"))
-    val model = classStats.crossJoin(tot).crossJoin(vocab)
-      .select(col("lang").as("cls"), col("n_tokens"), col("v"),
-        round(log(col("n_docs").cast("double") / col("n_all")) *
-          lit(1000000.0), 0).cast("long").as("prior_e6"))
-    val toks = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
+  /** The TRAINED artifact, materialized once per session+SF — the
+    * model a serving path LOADS rather than re-derives: the 5-row
+    * class model (per-class token totals, vocab size, prior) and the
+    * (class, term) count table, both parquet (the gravity-gold /
+    * ngram-pair-frame convention). Batch inference and the streaming
+    * scoring twin read the same files, so train-once/serve-many is
+    * structural, not aspirational. */
+  private[graft] def nbModel(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val base = s"${graft.etl.Medallion.warehouse(sfDir)}/nb_model"
+    val model = graft.etl.Medallion.materializeOnce(spark, s"$base/classes") {
+      val (classStats, _, vocab) = nbCounts(spark, sfDir)
+      val tot = classStats.agg(sum(col("n_docs")).as("n_all"))
+      classStats.crossJoin(tot).crossJoin(vocab)
+        .select(col("lang").as("cls"), col("n_tokens"), col("v"),
+          round(log(col("n_docs").cast("double") / col("n_all")) *
+            lit(1000000.0), 0).cast("long").as("prior_e6"))
+    }
+    val counts = graft.etl.Medallion.materializeOnce(spark, s"$base/counts") {
+      nbCounts(spark, sfDir)._2
+        .select(col("lang").as("cls"), col("term"), col("cnt"))
+    }
+    (model, counts)
+  }
+
+  /** Score a (doc_id, lang, text) frame with the trained model:
+    * per-token smoothed log-likelihoods on the e6 lattice, per-
+    * (doc, class) exact sums, argmax class (ties class-asc). The ONE
+    * scoring definition — [[nbInfer]] aggregates it into the
+    * confusion matrix, the streaming twin appends it per micro-batch. */
+  private[graft] def nbScoreFrame(
+      docs: DataFrame, model: DataFrame, counts: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
     // counts is (classes × vocab)-sized: UNHINTED join (AQE broadcasts
     // at small SF, shuffle equi-join at corpus scale); the class
     // dimension itself is genuinely bounded → broadcast
     val scored = toks.crossJoin(broadcast(model))
-      .join(counts.select(col("lang").as("cls"), col("term"), col("cnt")),
-        Seq("cls", "term"), "left")
+      .join(counts, Seq("cls", "term"), "left")
       .withColumn("lp_e6",
         round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
           (col("n_tokens") + col("v"))) * lit(1000000.0), 0).cast("long"))
@@ -1517,9 +1537,27 @@ object CurationOps {
       .orderBy(col("slp").desc, col("cls"))
     scored.withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("cls").as("predicted"))
+      .select(col("doc_id"), col("lang"), col("cls").as("predicted"))
+  }
+
+  /** Score the held-out split with [[nbTrain]]'s counts (argmax class
+    * per doc, ties class-asc) → confusion matrix. See [[nbTrain]]. */
+  def nbInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    nbScoreFrame(heldOut, model, counts)
+      .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** [[nbScoreFrame]] against the materialized model — the per-batch
+    * body of the streaming scoring twin. */
+  private[graft] def nbScoreBatch(
+      docs: DataFrame, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(docs.sparkSession, sfDir)
+    nbScoreFrame(docs, model, counts)
   }
 
   private val nbInferOracle =

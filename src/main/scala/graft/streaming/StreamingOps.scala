@@ -43,6 +43,32 @@ object StreamingOps {
       DataFrame =
     graft.ops.HtmlOps.extractFrame(pages)
 
+  /** Streaming Naive-Bayes scoring — the SERVE leg of the
+    * train→infer→serve loop ([[graft.ops.CurationOps.nbTrain]] trains,
+    * `nbInfer` evaluates, this scores arrivals): each micro-batch is
+    * scored by the batch op's own factored
+    * [[graft.ops.CurationOps.nbScoreBatch]] against the MATERIALIZED
+    * trained artifact (parquet written once per session+SF — the model
+    * is loaded, never re-derived per batch), and per-doc predictions
+    * append to a ledger. Stateless per arrival: replay just re-appends
+    * byte-identical rows a reader dedups on doc_id.
+    *
+    * Scale shape per micro-batch: one explode + the bounded class
+    * broadcast + the unhinted count-table equi-join + a per-doc keyed
+    * window — identical to batch inference, because it IS the batch
+    * scoring definition.
+    */
+  def nbScoreStream(docs: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.CurationOps.nbScoreBatch(batch.toDF(), sfDir)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Watermarked event-time hourly OD aggregation — the streaming twin
     * of the silver hourly rollup. Append-mode emits a (window, zone) row
     * exactly once, after the watermark passes the window end. */

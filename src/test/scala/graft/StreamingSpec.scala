@@ -435,6 +435,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB scoring equals batch inference against the materialized model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/nb_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val heldOut = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.nbScoreStream(
+      input.toDF().toDF("doc_id", "lang", "text"), sfTiny, s"$base/ledger")
+    try {
+      heldOut.grouped(9).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(s"$base/ledger").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      // batch twin: the same scoring definition over the same split,
+      // aggregated — so per-doc predictions must agree row-for-row
+      val (model, counts) = graft.ops.CurationOps.nbModel(spark, sfTiny)
+      val batch = graft.ops.CurationOps.nbScoreFrame(
+        Tables.documents(spark, sfTiny).filter(col("doc_id") % 5 === 4),
+        model, counts).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} predictions != batch ${batch.size}")
+      assert(streamed.size == heldOut.length)
+      // and the ledger's confusion rollup equals q_nb_infer exactly
+      val conf = streamed.groupBy(t => (t._2, t._3)).view
+        .mapValues(_.size.toLong).toMap
+      val infer = graft.ops.CurationOps.nbInfer(spark, sfTiny).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(conf == infer)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
