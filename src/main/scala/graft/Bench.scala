@@ -65,6 +65,8 @@ object Bench {
         sources.AudioFiles.clipsDir(spark, sfDir)
       if (names.contains("q_video_meta"))
         sources.VideoFiles.videosDir(spark, sfDir)
+      if (names.contains("q_webp_meta"))
+        sources.WebpFiles.webpDir(spark, sfDir)
       if (names.contains("q_schema_merge"))
         sources.SchemaEvolution.fixture(spark, sfDir)
     } catch { case _: Throwable => () }

@@ -1001,7 +1001,108 @@ object MultimodalOps {
        |FROM f ORDER BY video_id""".stripMargin
   }
 
+  // ------------------------------------------------ webp triage
+  /** WebP container triage — the FIFTH image codec (the dominant
+    * modern web format; a 2020s crawl serves more WebP than GIF+BMP
+    * combined): RIFF chunk walk (the WAV discipline — le32 sizes,
+    * odd-size pad bytes), then per-codec header parse: VP8L lossless
+    * streams carry 14-bit dims LSB-first behind the 0x2f signature;
+    * VP8X extended containers carry a 24-bit LE canvas; VP8 lossy
+    * frames carry the 0x9d012a sync code and 14-bit le16 dims.
+    * Extended files are CROSS-CHECKED: the VP8X canvas must equal the
+    * inner VP8L stream's dims (`canvas_match` rides the output — a
+    * mismatched container is exactly what triage must surface).
+    * Bounds-checked total walk (prefix-fuzz-spec'd); fixture
+    * ([[graft.sources.WebpFiles]]) is byte-specified, so the oracle
+    * recomputes every field and both closed-form file sizes.
+    */
+  private[graft] def webpMeta(b: Array[Byte])
+      : (String, String, Int, Int, Int, Boolean) = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le24(o: Int): Int = le16(o) | ((b(o + 2) & 0xff) << 16)
+    def le32(o: Int): Long = (le24(o) & 0xffffffL) | ((b(o + 3) & 0xffL) << 24)
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "WEBP")
+      return ("unknown", "none", -1, -1, 0, false)
+    var container = "simple"
+    var codec = "none"
+    var w = -1; var h = -1
+    var cw = -1; var ch = -1 // VP8X canvas
+    var nChunks = 0
+    var o = 12
+    var ok = true
+    while (ok && o + 8 <= b.length) {
+      val tag = cc(o)
+      val len = le32(o + 4)
+      val body = o + 8
+      val end = body + len + (len % 2) // odd chunks pad one byte
+      if (end > b.length || len < 0) ok = false
+      else {
+        nChunks += 1
+        tag match {
+          case "VP8X" if len >= 10 =>
+            container = "extended"
+            cw = le24(body + 4) + 1
+            ch = le24(body + 7) + 1
+          case "VP8L" if len >= 5 && (b(body) & 0xff) == 0x2f =>
+            codec = "vp8l"
+            val b0 = b(body + 1) & 0xff; val b1 = b(body + 2) & 0xff
+            val b2 = b(body + 3) & 0xff; val b3 = b(body + 4) & 0xff
+            w = ((b0 | (b1 << 8)) & 0x3fff) + 1
+            h = (((b1 >> 6) | (b2 << 2) | (b3 << 10)) & 0x3fff) + 1
+          case "VP8 " if len >= 10 && (b(body + 3) & 0xff) == 0x9d &&
+              (b(body + 4) & 0xff) == 0x01 && (b(body + 5) & 0xff) == 0x2a =>
+            codec = "vp8"
+            w = le16(body + 6) & 0x3fff
+            h = le16(body + 8) & 0x3fff
+          case _ => () // ALPH/ANIM/EXIF/…: step over
+        }
+        o = end.toInt
+      }
+    }
+    if (!ok || codec == "none") ("unknown", "none", -1, -1, nChunks, false)
+    else ("webp", codec + (if (container == "extended") "_x" else ""),
+      w, h, nChunks,
+      container == "simple" || (cw == w && ch == h))
+  }
+
+  def webpMetaScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.WebpFiles.webpDir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "web_*.webp")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "web_(\\d+)\\.webp$", 1)
+          .cast("long").as("web_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, n, b) =>
+        val m = webpMeta(b)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6, n)
+      })
+      .toDF("web_id", "format", "codec", "width", "height", "n_chunks",
+        "canvas_match", "n_bytes")
+      .orderBy(col("web_id"))
+  }
+
+  private val webpMetaOracle = {
+    import graft.sources.WebpFiles.{NWebp, SimpleBytes, ExtendedBytes}
+    s"""SELECT doc_id AS web_id, 'webp' AS format,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'vp8l' ELSE 'vp8l_x' END
+       |         AS codec,
+       |       CAST(16 + (doc_id * 11) % 1000 AS INTEGER) AS width,
+       |       CAST(16 + (doc_id * 17) % 800 AS INTEGER) AS height,
+       |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+       |         AS n_chunks,
+       |       TRUE AS canvas_match,
+       |       CAST(CASE WHEN doc_id % 2 = 0 THEN $SimpleBytes
+       |            ELSE $ExtendedBytes END AS BIGINT) AS n_bytes
+       |FROM documents WHERE doc_id < $NWebp ORDER BY web_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_webp_meta" -> (webpMetaScan _),
     "q_video_meta" -> (videoMeta _),
     "q_audio_meta" -> (audioMeta _),
     "q_image_meta" -> (imageMeta _),
@@ -1015,6 +1116,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_webp_meta" -> webpMetaOracle,
     "q_video_meta" -> videoMetaOracle,
     "q_audio_meta" -> audioMetaOracle,
     "q_image_meta" -> imageMetaOracle,

@@ -238,6 +238,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("webp: VP8L bit parse, VP8X cross-check, lossy VP8 path, prefix totality") {
+    import graft.sources.WebpFiles
+    // simple and extended fixtures parse to the formula dims
+    for (id <- Seq(4L, 7L)) {
+      val m = MultimodalOps.webpMeta(WebpFiles.webpBytes(id))
+      assert(m._1 == "webp")
+      assert(m._2 == (if (id % 2 == 0) "vp8l" else "vp8l_x"))
+      assert(m._3 == WebpFiles.widthOf(id) && m._4 == WebpFiles.heightOf(id))
+      assert(m._6, s"canvas must match for id=$id")
+    }
+    // a TAMPERED canvas must be surfaced, not silently preferred
+    val ext = WebpFiles.webpBytes(1L)
+    val bad = ext.clone()
+    bad(12 + 8 + 4) = (bad(12 + 8 + 4) + 1).toByte // VP8X canvas w byte
+    val mBad = MultimodalOps.webpMeta(bad)
+    assert(mBad._1 == "webp" && !mBad._6,
+      "a canvas/stream dim mismatch must clear canvas_match")
+    // hand-built LOSSY VP8 header (the generator only emits VP8L, the
+    // parser must still triage the lossy family)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    val vp8body = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(320) ++ le16(240) ++ Array[Byte](0, 0)
+    val lossy = "RIFF".getBytes ++ le32b(4 + 8 + vp8body.length) ++
+      "WEBP".getBytes ++ "VP8 ".getBytes ++ le32b(vp8body.length) ++ vp8body
+    val mL = MultimodalOps.webpMeta(lossy)
+    assert(mL == (("webp", "vp8", 320, 240, 1, true)), s"lossy parsed $mL")
+    // prefix totality: every prefix parses without a throw; only
+    // chunk-boundary prefixes can be structurally whole
+    val full = WebpFiles.webpBytes(3L)
+    for (n <- 0 to full.length) {
+      MultimodalOps.webpMeta(java.util.Arrays.copyOf(full, n)) // no throw
+    }
+    // junk after the magic: total, classifies unknown
+    val junk = "RIFF".getBytes ++ le32b(100) ++ "WEBP".getBytes ++
+      Array.tabulate[Byte](16)(i => (i * 37).toByte)
+    MultimodalOps.webpMeta(junk)
+    assert(MultimodalOps.webpMeta("notawebpfile".getBytes)._1 == "unknown")
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
