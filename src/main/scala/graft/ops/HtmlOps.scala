@@ -51,11 +51,17 @@ object HtmlOps {
   private[graft] final case class Block(
       text: String, words: Int, chars: Int, linkChars: Int)
 
-  /** A parsed page: content blocks plus the raw `href` values of its
-    * `<a>` tags in document order (the crawl-frontier half of the
-    * front door — [[linkExtract]] normalizes and aggregates them). */
+  /** One captured outlink: the raw href plus whether the anchor
+    * carried `rel=nofollow` (the per-link crawl-policy signal). */
+  private[graft] final case class Link(href: String, nofollow: Boolean)
+
+  /** A parsed page: content blocks, the `<a>` outlinks in document
+    * order ([[linkExtract]] normalizes and aggregates them), and any
+    * `<meta name=robots>` content values ([[robotsGate]] enforces
+    * them). */
   private[graft] final case class Page(
-      blocks: Vector[Block], links: Vector[String])
+      blocks: Vector[Block], links: Vector[Link],
+      robotsMeta: Vector[String])
 
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
@@ -81,31 +87,37 @@ object HtmlOps {
     val lower = html.toLowerCase(java.util.Locale.ROOT)
     val n = html.length
     val out = Vector.newBuilder[Block]
-    val links = Vector.newBuilder[String]
-    // href scan inside an <a> tag body [from, until): double-, single-,
-    // or un-quoted values; total on truncation (missing quote/value
-    // reads to the region end)
-    def hrefOf(from: Int, until: Int): Unit = {
-      val h = lower.indexOf("href", from)
-      if (h >= 0 && h < until) {
-        var p = h + 4
+    val links = Vector.newBuilder[Link]
+    val robots = Vector.newBuilder[String]
+    // attribute scan inside a tag body [from, until): double-,
+    // single-, or un-quoted values; the name must start a token
+    // (preceded by whitespace — `class="related"` must not satisfy a
+    // "rel" probe) and be followed by '='; total on truncation
+    // (missing quote/value reads to the region end)
+    def attrOf(from: Int, until: Int, name: String): Option[String] = {
+      var h = lower.indexOf(name, from)
+      while (h >= 0 && h < until) {
+        val tokenStart = h == from || html.charAt(h - 1).isWhitespace
+        var p = h + name.length
         while (p < until && html.charAt(p).isWhitespace) p += 1
-        if (p < until && html.charAt(p) == '=') {
+        if (tokenStart && p < until && html.charAt(p) == '=') {
           p += 1
           while (p < until && html.charAt(p).isWhitespace) p += 1
-          if (p < until) {
-            val q = html.charAt(p)
-            if (q == '"' || q == '\'') {
-              val e = html.indexOf(q, p + 1)
-              links += html.substring(p + 1, if (e >= 0 && e < until) e else until)
-            } else {
-              var e = p
-              while (e < until && !html.charAt(e).isWhitespace) e += 1
-              links += html.substring(p, e)
-            }
+          if (p >= until) return Some("")
+          val q = html.charAt(p)
+          if (q == '"' || q == '\'') {
+            val e = html.indexOf(q, p + 1)
+            return Some(html.substring(p + 1,
+              if (e >= 0 && e < until) e else until))
+          } else {
+            var e = p
+            while (e < until && !html.charAt(e).isWhitespace) e += 1
+            return Some(html.substring(p, e))
           }
         }
+        h = lower.indexOf(name, h + 1)
       }
+      None
     }
     val cur = new java.lang.StringBuilder
     var curLink = 0
@@ -157,7 +169,20 @@ object HtmlOps {
             if (BlockTags.contains(name)) flush()
             if (name == "a") {
               if (closing) { if (aDepth > 0) aDepth -= 1 }
-              else { aDepth += 1; hrefOf(j, k) }
+              else {
+                aDepth += 1
+                attrOf(j, k, "href").foreach { h =>
+                  val nf = attrOf(j, k, "rel").exists(
+                    _.toLowerCase(java.util.Locale.ROOT).contains("nofollow"))
+                  links += Link(h, nf)
+                }
+              }
+            } else if (name == "meta" && !closing) {
+              // <meta name=robots content=...>: the page-level crawl
+              // policy; other metas (charset, viewport) are ignored
+              if (attrOf(j, k, "name").exists(
+                  _.toLowerCase(java.util.Locale.ROOT) == "robots"))
+                attrOf(j, k, "content").foreach(robots += _)
             }
             i = if (k < n) k + 1 else n
           }
@@ -188,7 +213,7 @@ object HtmlOps {
       } else { emit(c); i += 1 }
     }
     flush()
-    Page(out.result(), links.result())
+    Page(out.result(), links.result(), robots.result())
   }
 
   /** jusText-lite keep rules over [[parseHtml]]'s blocks. */
@@ -226,13 +251,16 @@ object HtmlOps {
     val p1 = enc(ws.take(half).mkString(" "))
     val p2 = enc(ws.drop(half).mkString(" "))
     s"""<html><head><title>Doc $id</title>""" +
+      """<meta charset="utf-8"><meta name="viewport" content="width=device-width">""" +
+      (if (id % 11 == 0) """<meta name="robots" content="noindex, follow">"""
+       else "") +
       s"""<script type="text/javascript">var n = $id; if (n < 10) { document.write("<p>ghost words that must never leak into the extraction</p>"); }</script>""" +
       """<style>p { color: #333; } .related a { font-weight: bold; }</style></head>""" +
       """<body><nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>""" +
       s"""<h1>Doc $id</h1>""" +
       s"""<p><b>$p1</b></p>""" +
       s"""<div class="content"><p>$p2</p></div>""" +
-      s"""<ul class="related"><li><a href="/r/1">read more about this</a></li><li><a href="/r/${id % 7}">also see that page</a></li></ul>""" +
+      s"""<ul class="related"><li><a${if (id % 3 == 0) " rel=\"nofollow\"" else ""} href="/r/1">read more about this</a></li><li><a href="/r/${id % 7}">also see that page</a></li></ul>""" +
       """<footer><a href="/privacy">Privacy</a> · <a href="/terms">Terms</a> · <a href='legal/cookies#s1'>Cookie Policy</a> · <a href=https://cdn.example.org/brand.png?v=2#top>Brand</a></footer></body></html>"""
   }
 
@@ -367,7 +395,7 @@ object HtmlOps {
       .mapPartitions(_.flatMap { case (id, text) =>
         val base = s"https://example.com/docs/$id"
         parseHtml(synthPage(id, text)).links
-          .map(h => (id, resolveUrl(base, h)))
+          .map(l => (id, resolveUrl(base, l.href)))
       })
       .toDF("doc_id", "url")
       .groupBy(col("url"))
@@ -392,13 +420,73 @@ object HtmlOps {
       |SELECT url, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs
       |FROM l GROUP BY url ORDER BY url""".stripMargin
 
+  // ------------------------------------------------------------------
+  /** Crawl-policy gate — the governance the front door must enforce
+    * before a page's text or links enter the corpus: `<meta
+    * name=robots>` directives decide whether the page is INDEXABLE
+    * (a `noindex` token zeroes its contribution to the training
+    * corpus), and per-link `rel=nofollow` marks which outlinks may
+    * NOT feed the frontier (C4/CCNet-class pipelines honor both).
+    * The directive parse is token-exact (`noindex` must appear as a
+    * comma-separated token, case-insensitive — a hypothetical
+    * `nosnippet,index` page stays indexable), and the link split
+    * reuses the [[Link]] capture [[linkExtract]] already walks — one
+    * parse, two policy views.
+    *
+    * The generator plants `noindex, follow` on every 11th doc and
+    * `rel="nofollow"` on one related link of every 3rd doc (plus
+    * charset/viewport metas that must NOT trip the robots probe), so
+    * the oracle reconstructs every verdict from the id formulas.
+    * Scale shape: pure map-side + the presentation sort, like the
+    * rest of the front door.
+    */
+  def robotsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val page = parseHtml(synthPage(id, text))
+        val noindex = page.robotsMeta.exists(
+          _.toLowerCase(java.util.Locale.ROOT)
+            .split(",").map(_.trim).contains("noindex"))
+        val nNo = page.links.count(_.nofollow)
+        val toks =
+          if (noindex) 0L
+          else {
+            val extracted = extractDoc(id, synthPage(id, text))._6
+            if (extracted.isEmpty) 0L
+            else extracted.count(_ == ' ').toLong + 1L
+          }
+        (id, noindex, page.links.size, page.links.size - nNo, nNo, toks)
+      })
+      .toDF("doc_id", "noindex", "n_links", "n_follow", "n_nofollow",
+        "indexable_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  private val robotsGateOracle =
+    """SELECT doc_id,
+      |       doc_id % 11 = 0 AS noindex,
+      |       CAST(9 AS INTEGER) AS n_links,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 9 END AS INTEGER)
+      |         AS n_follow,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |         AS n_nofollow,
+      |       CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+      |            ELSE len(string_split(text, ' ')) END AS BIGINT)
+      |         AS indexable_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (htmlExtract _),
-    "q_link_extract" -> (linkExtract _)
+    "q_link_extract" -> (linkExtract _),
+    "q_robots_gate" -> (robotsGate _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_html_extract" -> htmlExtractOracle,
-    "q_link_extract" -> linkExtractOracle
+    "q_link_extract" -> linkExtractOracle,
+    "q_robots_gate" -> robotsGateOracle
   )
 }

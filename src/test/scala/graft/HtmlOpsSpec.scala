@@ -88,12 +88,43 @@ class HtmlOpsSpec extends SparkSpec {
     val links = HtmlOps.parseHtml(
       """<a href="/dq">x</a><a href='/sq'>y</a><a href=/uq>z</a>""" +
         """<a class="k" href = "/sp">w</a><a>none</a><a href="/unterm""").links
-    assert(links == Vector("/dq", "/sq", "/uq", "/sp", "/unterm"))
+    assert(links.map(_.href) ==
+      Vector("/dq", "/sq", "/uq", "/sp", "/unterm"))
     // the synthetic page plants exactly 9 links in document order
     val page = HtmlOps.parseHtml(HtmlOps.synthPage(10L, "ten words here"))
-    assert(page.links == Vector("/", "/docs", "/about", "/r/1", "/r/3",
-      "/privacy", "/terms", "legal/cookies#s1",
+    assert(page.links.map(_.href) == Vector("/", "/docs", "/about",
+      "/r/1", "/r/3", "/privacy", "/terms", "legal/cookies#s1",
       "https://cdn.example.org/brand.png?v=2#top"))
+  }
+
+  test("crawl policy: robots tokens and rel=nofollow, attribute probes token-anchored") {
+    // rel=nofollow marks the link; class="related" must NOT satisfy a
+    // "rel" probe (token-anchored attribute scan)
+    val p = HtmlOps.parseHtml(
+      """<a class="related" href="/a">x</a>""" +
+        """<a rel="nofollow" href="/b">y</a>""" +
+        """<a rel="noopener NOFOLLOW" href="/c">z</a>""")
+    assert(p.links.map(l => (l.href, l.nofollow)) ==
+      Vector(("/a", false), ("/b", true), ("/c", true)))
+    // robots meta is name-gated and token-exact; charset/viewport
+    // metas and non-robots names never register
+    val m = HtmlOps.parseHtml(
+      """<meta charset="utf-8"><meta name="viewport" content="w">""" +
+        """<meta name="robots" content="noindex, follow">""" +
+        """<meta name="description" content="noindex">""")
+    assert(m.robotsMeta == Vector("noindex, follow"))
+    // token-exactness: nosnippet/index must not read as noindex
+    def noindexOf(content: String) = content.toLowerCase
+      .split(",").map(_.trim).contains("noindex")
+    assert(noindexOf("noindex, follow") && noindexOf("NOINDEX"))
+    assert(!noindexOf("nosnippet,index"))
+    // generator: id 0 is noindex+nofollow, id 9 only nofollow, id 10 neither
+    val p0 = HtmlOps.parseHtml(HtmlOps.synthPage(0L, "a b c"))
+    assert(p0.robotsMeta.nonEmpty && p0.links.count(_.nofollow) == 1)
+    val p9 = HtmlOps.parseHtml(HtmlOps.synthPage(9L, "a b c"))
+    assert(p9.robotsMeta.isEmpty && p9.links.count(_.nofollow) == 1)
+    val p10 = HtmlOps.parseHtml(HtmlOps.synthPage(10L, "a b c"))
+    assert(p10.robotsMeta.isEmpty && p10.links.count(_.nofollow) == 0)
   }
 
   test("url resolution: absolute, rooted, relative, dot-segments, fragments") {
