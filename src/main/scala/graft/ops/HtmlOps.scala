@@ -478,15 +478,183 @@ object HtmlOps {
       |         AS indexable_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Charset detection + mojibake repair — the byte-level stage that
+  // runs BEFORE the HTML parse (CCNet/C4 pipelines normalize bytes to
+  // UTF-8 first; a crawl delivers a mix of true UTF-8, legacy
+  // Windows-1252, double-encoded UTF-8 mojibake, and mid-response
+  // truncations). Everything below detects from BYTES ONLY — the
+  // class formulas live only in the generator and oracle.
+
+  /** Result of one structural UTF-8 scan: `valid` = the whole buffer
+    * is well-formed; `truncatedAt` ≥ 0 marks a buffer whose ONLY
+    * defect is an incomplete final sequence (its lead byte offset —
+    * the repair point); `nMulti` counts complete multibyte
+    * sequences. */
+  private[graft] final case class Utf8Scan(
+      valid: Boolean, truncatedAt: Int, nMulti: Int)
+
+  /** Hand-rolled structural UTF-8 validator (RFC 3629 table): rejects
+    * overlongs (C0/C1, E0 80-9F, F0 80-8F leads), UTF-16 surrogates
+    * (ED A0-BF), planes above U+10FFFF (F4 90+, F5-FF), and stray or
+    * missing continuation bytes. Hand-rolled for the codec-family
+    * reason — `CharsetDecoder` reports *that* bytes are malformed,
+    * not *where/why*, and the truncation-vs-corruption distinction
+    * below is exactly the "where" (a dangling final lead is a cut-off
+    * response worth salvaging; a mid-stream defect means the bytes
+    * were never UTF-8). */
+  private[graft] def utf8Scan(b: Array[Byte]): Utf8Scan = {
+    var i = 0; var nMulti = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val need =
+          if (c >= 0xc2 && c <= 0xdf) 1
+          else if (c >= 0xe0 && c <= 0xef) 2
+          else if (c >= 0xf0 && c <= 0xf4) 3
+          else return Utf8Scan(valid = false, -1, nMulti)
+        def contOk(j: Int): Boolean = {
+          val x = b(j) & 0xff
+          val lo = (c, j - i) match {
+            case (0xe0, 1) => 0xa0 // overlong 3-byte
+            case (0xed, 1) => 0x80 // (hi bound below) surrogate block
+            case (0xf0, 1) => 0x90 // overlong 4-byte
+            case _ => 0x80
+          }
+          val hi = (c, j - i) match {
+            case (0xed, 1) => 0x9f // ED A0-BF = surrogates
+            case (0xf4, 1) => 0x8f // above U+10FFFF
+            case _ => 0xbf
+          }
+          x >= lo && x <= hi
+        }
+        if (i + need >= n) {
+          // ran off the end: truncation ONLY if every present
+          // continuation byte is in range — else it's corruption
+          var j = i + 1
+          while (j < n && contOk(j)) j += 1
+          return Utf8Scan(valid = false, if (j == n) i else -1, nMulti)
+        }
+        var j = i + 1
+        while (j <= i + need) {
+          if (!contOk(j)) return Utf8Scan(valid = false, -1, nMulti)
+          j += 1
+        }
+        nMulti += 1
+        i += need + 1
+      }
+    }
+    Utf8Scan(valid = true, -1, nMulti)
+  }
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Detect + repair one byte buffer. Decision procedure (bytes
+    * only): (1) structurally valid UTF-8 whose decoded text
+    * round-trips through windows-1252 back into VALID UTF-8 bytes
+    * with at least one multibyte sequence → `double_utf8` (the
+    * classic `Ã©` mojibake: some upstream read UTF-8 bytes as 1252
+    * and re-encoded); repair = that round-trip, undoing one layer.
+    * Plain ASCII never trips the probe (zero multibyte after
+    * re-encode), and genuine UTF-8 accents don't either (their 1252
+    * re-encode is a bare ≥0x80 byte — structurally invalid). (2)
+    * valid otherwise → `utf8` as-is. (3) invalid only by an
+    * incomplete FINAL sequence → `truncated_utf8`; repair = decode up
+    * to the dangling lead (salvage a cut-off response). (4) invalid
+    * mid-stream → `cp1252`, the crawl world's dominant legacy
+    * fallback (every byte maps, so the decode is total); repair =
+    * 1252 decode. */
+  private[graft] def detectRepair(b: Array[Byte]): (String, String) = {
+    val scan = utf8Scan(b)
+    if (scan.valid) {
+      val t = new String(b, Utf8)
+      if (scan.nMulti > 0 && t.forall(Cp1252.newEncoder.canEncode)) {
+        val undone = t.getBytes(Cp1252)
+        val inner = utf8Scan(undone)
+        if (inner.valid && inner.nMulti > 0)
+          return ("double_utf8", new String(undone, Utf8))
+      }
+      ("utf8", t)
+    } else if (scan.truncatedAt >= 0)
+      ("truncated_utf8",
+        new String(b, 0, scan.truncatedAt, Utf8))
+    else ("cp1252", new String(b, Cp1252))
+  }
+
+  /** The planted accent prefix: 5 chars, no ASCII-only degenerate
+    * case, exercising every class's byte arithmetic. */
+  private val EncPrefix = "café "
+
+  /** Deterministic raw-bytes generator — the wire bytes a crawler
+    * would hand the pipeline, class chosen by `id % 4` (the formulas
+    * the oracle restates; the DETECTOR never sees the id): 0 = true
+    * UTF-8; 1 = windows-1252 (é = single 0xE9 — structurally invalid
+    * mid-stream); 2 = double-encoded UTF-8 (the UTF-8 bytes
+    * re-read as 1252 and re-encoded — é becomes Ã© on the wire); 3 =
+    * UTF-8 cut mid-sequence (a dangling 0xC3 lead). */
+  private[graft] def encBytes(id: Long, text: String): Array[Byte] = {
+    val s = EncPrefix + text
+    (id % 4) match {
+      case 0 => s.getBytes(Utf8)
+      case 1 => s.getBytes(Cp1252)
+      case 2 => new String(s.getBytes(Utf8), Cp1252).getBytes(Utf8)
+      case _ => s.getBytes(Utf8) :+ 0xc3.toByte
+    }
+  }
+
+  /** Charset triage + repair over the synthetic wire bytes: per doc,
+    * the detected class, wire byte count, repaired char count, and
+    * the repaired text itself — which for every class must equal the
+    * planted `café ` prefix + the ORIGINAL document text, so
+    * all four repair paths sit under the driver hash (the htmlExtract
+    * ground-truth discipline). Scale shape: pure map-side byte walk,
+    * zero shuffle before the presentation sort — stage zero of the
+    * crawl DAG, upstream even of [[htmlExtract]]. */
+  def encodingRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = encBytes(id, text)
+        val (detected, repaired) = detectRepair(b)
+        (id, detected, b.length, repaired.length, repaired)
+      })
+      .toDF("doc_id", "detected", "n_bytes", "n_chars", "repaired")
+      .orderBy(col("doc_id"))
+  }
+
+  // Byte arithmetic per class, prefix "café " (5 chars): UTF-8 = 6
+  // bytes (é is C3 A9); 1252 = 5 (é is E9); double = 8 (C3→C3 83,
+  // A9→C2 A9); truncated = UTF-8 + 1 dangling lead. The é literal is
+  // spelled chr(233) so the oracle survives any SQL-transport
+  // encoding ambiguity.
+  private val encodingRepairOracle =
+    """SELECT doc_id,
+      |       CASE doc_id % 4 WHEN 0 THEN 'utf8' WHEN 1 THEN 'cp1252'
+      |            WHEN 2 THEN 'double_utf8' ELSE 'truncated_utf8'
+      |       END AS detected,
+      |       CAST(length(text) + CASE doc_id % 4 WHEN 0 THEN 6
+      |            WHEN 1 THEN 5 WHEN 2 THEN 8 ELSE 7 END
+      |         AS INTEGER) AS n_bytes,
+      |       CAST(length(text) + 5 AS INTEGER) AS n_chars,
+      |       'caf' || chr(233) || ' ' || text AS repaired
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
-    "q_robots_gate" -> (robotsGate _)
+    "q_robots_gate" -> (robotsGate _),
+    "q_encoding_repair" -> (encodingRepair _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
-    "q_robots_gate" -> robotsGateOracle
+    "q_robots_gate" -> robotsGateOracle,
+    "q_encoding_repair" -> encodingRepairOracle
   )
 }

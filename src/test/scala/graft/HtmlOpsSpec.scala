@@ -140,6 +140,61 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r("a?q=1#frag") == "https://example.com/docs/a?q=1")
   }
 
+  test("utf8 structural scan: overlongs, surrogates, planes, truncation") {
+    import HtmlOps.utf8Scan
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // valid: ASCII, 2/3/4-byte sequences at the boundaries
+    assert(utf8Scan("plain ascii".getBytes("UTF-8")).valid)
+    assert(utf8Scan(bs(0xc2, 0x80)).valid)            // U+0080
+    assert(utf8Scan(bs(0xe0, 0xa0, 0x80)).valid)      // U+0800
+    assert(utf8Scan(bs(0xed, 0x9f, 0xbf)).valid)      // U+D7FF
+    assert(utf8Scan(bs(0xf0, 0x90, 0x80, 0x80)).valid) // U+10000
+    assert(utf8Scan(bs(0xf4, 0x8f, 0xbf, 0xbf)).valid) // U+10FFFF
+    // invalid mid-stream: overlongs, surrogates, above-plane, strays
+    assert(!utf8Scan(bs(0xc0, 0xaf)).valid)           // overlong '/'
+    assert(!utf8Scan(bs(0xe0, 0x9f, 0xbf)).valid)     // overlong 3-byte
+    assert(!utf8Scan(bs(0xf0, 0x8f, 0xbf, 0xbf)).valid) // overlong 4-byte
+    assert(!utf8Scan(bs(0xed, 0xa0, 0x80)).valid)     // surrogate D800
+    assert(!utf8Scan(bs(0xf4, 0x90, 0x80, 0x80)).valid) // > U+10FFFF
+    assert(!utf8Scan(bs(0xf5, 0x80, 0x80, 0x80)).valid)
+    assert(!utf8Scan(bs(0x80)).valid)                 // stray continuation
+    assert(utf8Scan(bs(0xc0, 0xaf)).truncatedAt == -1)
+    // truncation: ONLY defect is an incomplete final sequence
+    val t2 = utf8Scan("ab".getBytes("UTF-8") ++ bs(0xc3))
+    assert(!t2.valid && t2.truncatedAt == 2)
+    val t3 = utf8Scan(bs(0xe0, 0xa0)) // half a 3-byte seq
+    assert(!t3.valid && t3.truncatedAt == 0)
+    // a bad continuation before the cut is corruption, not truncation
+    assert(utf8Scan(bs(0xe0, 0x20)).truncatedAt == -1)
+    // multibyte tally drives the double-encode probe
+    assert(utf8Scan("café é".getBytes("UTF-8")).nMulti == 2)
+  }
+
+  test("charset detect+repair: all four classes, probes don't misfire") {
+    import HtmlOps.{detectRepair, encBytes}
+    // the four generator classes all repair to the same text
+    val text = "plain words follow the accent"
+    for (id <- 0L to 7L) {
+      val (cls, rep) = detectRepair(encBytes(id, text))
+      val want = Seq("utf8", "cp1252", "double_utf8",
+        "truncated_utf8")((id % 4).toInt)
+      assert(cls == want, s"id=$id")
+      assert(rep == "café " + text, s"id=$id")
+    }
+    // plain ASCII must stay utf8 (zero multibyte → probe skipped)
+    assert(detectRepair("no accents at all".getBytes("UTF-8"))._1 == "utf8")
+    // a genuine UTF-8 accent must NOT read as double-encoded (its
+    // 1252 re-encode is a bare 0xE9 — structurally invalid)
+    assert(detectRepair("café".getBytes("UTF-8"))._1 == "utf8")
+    // real double mojibake round-trips: Ã© on the wire → é repaired
+    val wire = new String("é".getBytes("UTF-8"), "windows-1252")
+      .getBytes("UTF-8")
+    assert(detectRepair(wire) == (("double_utf8", "é")))
+    // astral chars (outside 1252) never trip the probe
+    assert(detectRepair("emoji 😀 tail".getBytes("UTF-8"))._1
+      == "utf8")
+  }
+
   test("q_html_extract composes with the factored qualityKeep gate") {
     val rows = HtmlOps.htmlExtract(spark, sfTiny).collect()
     val src = Tables.documents(spark, sfTiny)
