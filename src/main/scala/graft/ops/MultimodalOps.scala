@@ -1101,7 +1101,112 @@ object MultimodalOps {
        |FROM documents WHERE doc_id < $NWebp ORDER BY web_id""".stripMargin
   }
 
+  // ------------------------------------------------ FLAC metadata triage
+  /** FLAC STREAMINFO triage — the lossless-archival corner of the
+    * audio family ([[audioMeta]]'s WAV is the raw-PCM corner): magic
+    * `fLaC`, then a length-prefixed metadata block WALK (1-byte
+    * last-flag+type, u24 BE length — the MP4 box discipline, but
+    * big-endian and with an explicit last-block bit), and the
+    * STREAMINFO payload's bit-packed core: ONE 64-bit big-endian
+    * field holding sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5), total samples (36) — from which exact
+    * duration derives as integer floor-division, both engines on the
+    * same longs. Every bound is checked so the walk is TOTAL on
+    * truncated/corrupt bytes (prefix-fuzz-spec'd, the jpegSof
+    * discipline): a block overrunning the buffer, a stream whose
+    * FIRST block is not STREAMINFO (spec-mandatory), or a zero rate
+    * classifies "unknown" instead of throwing.
+    *
+    * Scale shape: binaryFile parallelizes by file, glob prunes at
+    * listing; the walk reads block headers + one 34-byte payload —
+    * never audio frames; narrow typed row out, presentation sort
+    * only. Oracle: [[graft.sources.FlacFiles]] is byte-specified by
+    * id formulas, so DuckDB recomputes every field and the exact
+    * file size — generator and parser proven against each other.
+    */
+  private[graft] def flacMeta(b: Array[Byte])
+      : (String, Int, Long, Int, Long, Long, Int, Int) = {
+    def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def be24(o: Int): Int = (be16(o) << 8) | (b(o + 2) & 0xff)
+    val unknown = ("unknown", -1, -1L, -1, -1L, -1L, -1, 0)
+    if (b.length < 8 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+        b(3) != 'C') return unknown
+    var o = 4
+    var nBlocks = 0
+    var last = false
+    var si = -1 // STREAMINFO payload offset
+    while (!last && o + 4 <= b.length) {
+      val h = b(o) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = be24(o + 1)
+      if (o + 4 + len > b.length || typ == 0x7f) return unknown
+      // STREAMINFO must be the FIRST block (spec) and 34 bytes
+      if (nBlocks == 0) {
+        if (typ != 0 || len != 34) return unknown
+        si = o + 4
+      }
+      nBlocks += 1
+      o += 4 + len
+    }
+    if (si < 0 || !last) return unknown // ran out before a last block
+    var packed = 0L
+    var i = 0
+    while (i < 8) { packed = (packed << 8) | (b(si + 10 + i) & 0xffL); i += 1 }
+    val rate = ((packed >>> 44) & 0xfffff).toInt
+    val ch = (((packed >>> 41) & 0x7) + 1).toInt
+    val bits = (((packed >>> 36) & 0x1f) + 1).toInt
+    val total = packed & 0xfffffffffL
+    if (rate == 0) return unknown
+    ("flac", ch, rate.toLong, bits, total, total * 1000L / rate,
+      be24(si + 4), nBlocks)
+  }
+
+  def flacMetaScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.FlacFiles.flacDir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "track_*.flac")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "track_(\\d+)\\.flac$", 1)
+          .cast("long").as("track_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, n, b) =>
+        val m = flacMeta(b)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6, m._7, m._8, n)
+      })
+      .toDF("track_id", "codec", "n_channels", "sample_rate", "bits",
+        "n_samples", "duration_ms", "min_frame", "n_blocks", "n_bytes")
+      .orderBy(col("track_id"))
+  }
+
+  private val flacMetaOracle = {
+    import graft.sources.FlacFiles.NFlac
+    s"""WITH f AS (
+       |  SELECT doc_id AS track_id,
+       |         CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 32000
+       |              WHEN 4 THEN 44100 ELSE 48000 END AS sample_rate,
+       |         10000 + (doc_id * 997) % 100000 AS n_samples
+       |  FROM documents WHERE doc_id < $NFlac)
+       |SELECT track_id, 'flac' AS codec,
+       |       CAST(1 + track_id % 4 AS INTEGER) AS n_channels,
+       |       CAST(sample_rate AS BIGINT) AS sample_rate,
+       |       CAST(16 + 8 * (track_id % 2) AS INTEGER) AS bits,
+       |       CAST(n_samples AS BIGINT) AS n_samples,
+       |       n_samples * 1000 // sample_rate AS duration_ms,
+       |       CAST(100 + (track_id * 7) % 900 AS INTEGER) AS min_frame,
+       |       CAST(1 + track_id % 2 AS INTEGER) AS n_blocks,
+       |       CAST(42 + CASE WHEN track_id % 2 = 1
+       |            THEN 4 + (track_id * 13) % 64 ELSE 0 END AS BIGINT)
+       |         AS n_bytes
+       |FROM f ORDER BY track_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_flac_meta" -> (flacMetaScan _),
     "q_webp_meta" -> (webpMetaScan _),
     "q_video_meta" -> (videoMeta _),
     "q_audio_meta" -> (audioMeta _),
@@ -1116,6 +1221,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_flac_meta" -> flacMetaOracle,
     "q_webp_meta" -> webpMetaOracle,
     "q_video_meta" -> videoMetaOracle,
     "q_audio_meta" -> audioMetaOracle,

@@ -278,6 +278,38 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.webpMeta("notawebpfile".getBytes)._1 == "unknown")
   }
 
+  test("flac: STREAMINFO bit unpack, block walk, prefix totality") {
+    import graft.sources.FlacFiles
+    // generator fields recovered byte-for-byte on every id
+    for (id <- 0L until FlacFiles.NFlac.toLong) {
+      val m = MultimodalOps.flacMeta(FlacFiles.flacBytes(id))
+      assert(m._1 == "flac", s"id $id")
+      assert(m._2 == FlacFiles.channelsOf(id), s"id $id channels")
+      assert(m._3 == FlacFiles.rateOf(id).toLong, s"id $id rate")
+      assert(m._4 == FlacFiles.bitsOf(id), s"id $id bits")
+      assert(m._5 == FlacFiles.samplesOf(id), s"id $id samples")
+      assert(m._6 == FlacFiles.samplesOf(id) * 1000 / FlacFiles.rateOf(id))
+      assert(m._7 == FlacFiles.minFrameOf(id), s"id $id minFrame")
+      assert(m._8 == (1 + id % 2).toInt, s"id $id blocks")
+    }
+    // totality: every prefix parses without a throw; only complete
+    // files (last block present and in-bounds) classify "flac"
+    val full = FlacFiles.flacBytes(7L) // has the PADDING second block
+    for (n <- 0 to full.length) {
+      val m = MultimodalOps.flacMeta(java.util.Arrays.copyOf(full, n))
+      if (n < full.length) assert(m._1 == "unknown", s"prefix $n: $m")
+    }
+    // first block must be STREAMINFO (spec-mandatory)
+    val wrongFirst = "fLaC".getBytes ++
+      Array[Byte](0x81.toByte, 0, 0, 2) ++ Array[Byte](0, 0)
+    assert(MultimodalOps.flacMeta(wrongFirst)._1 == "unknown")
+    // a block length overrunning the buffer: unknown, no throw
+    val overrun = FlacFiles.flacBytes(1L)
+    overrun(6) = 0x7f.toByte // inflate STREAMINFO length
+    assert(MultimodalOps.flacMeta(overrun)._1 == "unknown")
+    assert(MultimodalOps.flacMeta("notaflacfile".getBytes)._1 == "unknown")
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
