@@ -1205,7 +1205,121 @@ object MultimodalOps {
        |FROM f ORDER BY track_id""".stripMargin
   }
 
+  // ------------------------------------------------ MP3 frame-walk triage
+  /** MP3 frame-sync walk — the lossy-web corner of the audio family,
+    * completing the WAV/FLAC/MP3 triple the way WebP completed the
+    * image five: skip an optional ID3v2 tag (10-byte header + u28
+    * SYNCSAFE length — 7 bits per byte, the format's guard against
+    * false sync), then walk MPEG-1 Layer III frames: 11-bit sync,
+    * version/layer bits, bitrate and sample-rate table indices, the
+    * padding bit, and the public frame-length formula 144·bitrate/rate
+    * + padding that strides header to header WITHOUT reading payload
+    * bytes (there is no frame-count field anywhere — duration only
+    * exists by walking, 1152 samples per frame). The walk is strict
+    * and TOTAL: free-format (index 0) and invalid (15) bitrates,
+    * reserved rate index 3, non-MPEG1/Layer-III headers, a stride
+    * overrunning the buffer, or trailing bytes after the last frame
+    * all classify "unknown" (prefix-fuzz-spec'd) — a triage gate must
+    * reject odd streams, not guess at them.
+    *
+    * Scale shape: binaryFile parallelizes by file, glob prunes at
+    * listing, headers-only touch, narrow typed row, presentation sort
+    * only. Oracle: [[graft.sources.Mp3Files]] is byte-specified by id
+    * formulas — DuckDB recomputes bitrate/rate from the table CASEs,
+    * duration from the frame count, and the exact file size.
+    */
+  private[graft] def mp3Meta(b: Array[Byte])
+      : (String, Int, Long, Int, Long, Boolean, Int) = {
+    import graft.sources.Mp3Files.{BitrateKbps, SampleRates}
+    val unknown = ("unknown", -1, -1L, -1, -1L, false, -1)
+    val n = b.length
+    var o = 0
+    var id3 = false
+    var id3Len = -1
+    if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      id3 = true
+      id3Len = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + id3Len
+    }
+    var nFrames = 0
+    var kbps = -1
+    var rate = -1
+    while (o < n) {
+      if (o + 4 > n || (b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0)
+        return unknown
+      val version = (b(o + 1) >> 3) & 0x3
+      val layer = (b(o + 1) >> 1) & 0x3
+      if (version != 3 || layer != 1) return unknown // MPEG-1 Layer III only
+      val bIdx = (b(o + 2) >> 4) & 0xf
+      val sIdx = (b(o + 2) >> 2) & 0x3
+      if (bIdx == 0 || bIdx == 15 || sIdx == 3) return unknown
+      val k = BitrateKbps(bIdx)
+      val r = SampleRates(sIdx)
+      if (nFrames == 0) { kbps = k; rate = r }
+      else if (k != kbps || r != rate) return unknown // CBR triage only
+      val stride = 144000 * k / r + ((b(o + 2) >> 1) & 0x1)
+      if (o + stride > n) return unknown // truncated final frame
+      o += stride
+      nFrames += 1
+    }
+    if (nFrames == 0) return unknown
+    ("mp3", nFrames, nFrames.toLong * 1152L * 1000L / rate, kbps,
+      rate.toLong, id3, id3Len)
+  }
+
+  def mp3MetaScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.Mp3Files.mp3Dir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "song_*.mp3")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "song_(\\d+)\\.mp3$", 1)
+          .cast("long").as("song_id"),
+        col("length").as("n_bytes"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, nb, b) =>
+        val m = mp3Meta(b)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6, m._7, nb)
+      })
+      .toDF("song_id", "codec", "n_frames", "duration_ms", "bitrate_kbps",
+        "sample_rate", "has_id3", "id3_len", "n_bytes")
+      .orderBy(col("song_id"))
+  }
+
+  private val mp3MetaOracle = {
+    import graft.sources.Mp3Files.NMp3
+    s"""WITH f AS (
+       |  SELECT doc_id AS song_id,
+       |         CASE 1 + doc_id % 14
+       |              WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+       |              WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+       |              WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+       |              WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+       |              WHEN 13 THEN 256 ELSE 320 END AS kbps,
+       |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |              ELSE 32000 END AS rate,
+       |         3 + doc_id % 5 AS n_frames,
+       |         doc_id % 4 = 0 AS has_id3,
+       |         20 + (doc_id * 3) % 40 AS id3_len
+       |  FROM documents WHERE doc_id < $NMp3)
+       |SELECT song_id, 'mp3' AS codec,
+       |       CAST(n_frames AS INTEGER) AS n_frames,
+       |       n_frames * 1152 * 1000 // rate AS duration_ms,
+       |       CAST(kbps AS INTEGER) AS bitrate_kbps,
+       |       CAST(rate AS BIGINT) AS sample_rate,
+       |       has_id3,
+       |       CAST(CASE WHEN has_id3 THEN id3_len ELSE -1 END AS INTEGER)
+       |         AS id3_len,
+       |       CAST(CASE WHEN has_id3 THEN 10 + id3_len ELSE 0 END
+       |            + n_frames * (144000 * kbps // rate) AS BIGINT)
+       |         AS n_bytes
+       |FROM f ORDER BY song_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mp3_meta" -> (mp3MetaScan _),
     "q_flac_meta" -> (flacMetaScan _),
     "q_webp_meta" -> (webpMetaScan _),
     "q_video_meta" -> (videoMeta _),
@@ -1221,6 +1335,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mp3_meta" -> mp3MetaOracle,
     "q_flac_meta" -> flacMetaOracle,
     "q_webp_meta" -> webpMetaOracle,
     "q_video_meta" -> videoMetaOracle,

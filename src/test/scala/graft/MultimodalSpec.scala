@@ -310,6 +310,50 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.flacMeta("notaflacfile".getBytes)._1 == "unknown")
   }
 
+  test("mp3: frame walk, ID3v2 syncsafe skip, strict rejects, prefix totality") {
+    import graft.sources.Mp3Files
+    for (id <- 0L until Mp3Files.NMp3.toLong) {
+      val m = MultimodalOps.mp3Meta(Mp3Files.mp3Bytes(id))
+      assert(m._1 == "mp3", s"id $id")
+      assert(m._2 == Mp3Files.framesOf(id), s"id $id frames")
+      assert(m._4 == Mp3Files.BitrateKbps(Mp3Files.bitrateIdxOf(id)))
+      assert(m._5 == Mp3Files.SampleRates(Mp3Files.srIdxOf(id)).toLong)
+      assert(m._6 == Mp3Files.hasId3(id), s"id $id id3")
+      assert(m._7 == (if (Mp3Files.hasId3(id)) Mp3Files.id3LenOf(id) else -1))
+    }
+    // prefix totality: no prefix throws; the only proper prefixes
+    // that still classify "mp3" are those ending EXACTLY at a frame
+    // boundary (a shorter-but-complete stream — frame count tells
+    // them apart), everything else is unknown
+    val full = Mp3Files.mp3Bytes(4L) // has the ID3v2 tag
+    val id3Part = 10 + Mp3Files.id3LenOf(4L)
+    val fLen = Mp3Files.frameLenOf(4L)
+    for (n <- 0 to full.length) {
+      val m = MultimodalOps.mp3Meta(java.util.Arrays.copyOf(full, n))
+      val atBoundary = n > id3Part && (n - id3Part) % fLen == 0
+      if (atBoundary)
+        assert(m._1 == "mp3" && m._2 == (n - id3Part) / fLen,
+          s"prefix $n: $m")
+      else if (n < full.length) assert(m._1 == "unknown", s"prefix $n: $m")
+    }
+    def hdr(b2: Int, b1: Int = 0xfb): Array[Byte] = {
+      val f = new Array[Byte](144000 * 32 / 44100) // stride for idx1@44100
+      f(0) = 0xff.toByte; f(1) = b1.toByte; f(2) = b2.toByte
+      f
+    }
+    // free-format (idx 0) and invalid (15) bitrates, reserved rate 3
+    assert(MultimodalOps.mp3Meta(hdr(0x00))._1 == "unknown")
+    assert(MultimodalOps.mp3Meta(hdr(0xf0))._1 == "unknown")
+    assert(MultimodalOps.mp3Meta(hdr(0x1c))._1 == "unknown")
+    // MPEG-2 (version bits 10) and Layer II (bits 10) rejected
+    assert(MultimodalOps.mp3Meta(hdr(0x10, b1 = 0xf3))._1 == "unknown")
+    assert(MultimodalOps.mp3Meta(hdr(0x10, b1 = 0xfd))._1 == "unknown")
+    // trailing garbage after a valid frame: unknown (strict walk)
+    assert(MultimodalOps.mp3Meta(hdr(0x10) :+ 0x00.toByte)._1 == "unknown")
+    assert(MultimodalOps.mp3Meta("notanmp3".getBytes)._1 == "unknown")
+    assert(MultimodalOps.mp3Meta(Array.empty[Byte])._1 == "unknown")
+  }
+
   test("audio meta: RIFF parse recovers generator fields byte-for-byte") {
     import graft.sources.AudioFiles
     val rows = MultimodalOps.audioMeta(spark, sfTiny).collect()
