@@ -644,7 +644,205 @@ object HtmlOps {
       |       'caf' || chr(233) || ' ' || text AS repaired
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // robots.txt — the DOMAIN-level crawl policy ([[robotsGate]] is the
+  // page-level half): RFC 9309 group selection + longest-match rule
+  // evaluation, with the Googlebot wildcard extensions (`*` matches
+  // any run, `$` anchors the pattern end) every production crawler
+  // honors. Everything below parses TEXT ONLY — the domain formulas
+  // live only in the generator and oracle.
+
+  /** One access rule: allow/disallow + its raw path pattern. */
+  private[graft] final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** One user-agent group: the (lowercased) agent tokens naming it,
+    * its rules in file order, and its crawl-delay if any. */
+  private[graft] final case class RobotsGroup(
+      agents: Vector[String], rules: Vector[RobotsRule], delay: Int)
+
+  /** Line-based robots.txt parse (RFC 9309 §2.2): `#` comments
+    * stripped; directive names case-insensitive; consecutive
+    * `User-agent` lines open ONE group they all name; rules and
+    * crawl-delay attach to the open group; rules before any group
+    * header are ignored (spec: rules belong to groups); an empty
+    * Disallow value means allow-everything and is dropped (it can
+    * never match, so keeping it would only distort longest-match). */
+  private[graft] def parseRobots(txt: String): Vector[RobotsGroup] = {
+    val groups = Vector.newBuilder[RobotsGroup]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[RobotsRule]
+    var delay = -1
+    var inHeader = false // consecutive User-agent lines accumulate
+    var open = false
+    def flush(): Unit = {
+      if (open) groups += RobotsGroup(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = -1
+    }
+    txt.split("\n", -1).foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inHeader) { flush(); open = true }
+            inHeader = true
+            agents :+= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if open =>
+            inHeader = false
+            if (value.nonEmpty || key == "allow")
+              rules :+= RobotsRule(key == "allow", value)
+          case "crawl-delay" if open =>
+            inHeader = false
+            delay = try { value.toInt } catch { case _: NumberFormatException => delay }
+          case _ => inHeader = false // sitemap/unknown: group continues
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** Pattern match per RFC 9309 §2.2.3: literal prefix, `*` matches
+    * any character run, a trailing `$` anchors the end. Iterative
+    * greedy-with-backtrack over segments (no regex — the pattern
+    * grammar is tiny and a crawler runs this per URL × rule). */
+  private[graft] def robotsMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    val segs = p.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (i == 0) {
+        if (!path.startsWith(s)) return false
+        pos = s.length
+      } else if (i == segs.length - 1 && anchored) {
+        // last segment must END the path (at or after pos)
+        return path.length - s.length >= pos && path.endsWith(s)
+      } else {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** Group selection + longest-match verdict for one agent × path:
+    * the group naming the agent specifically wins over `*` (RFC
+    * §2.2.1); among matching rules the LONGEST pattern wins,
+    * allow winning length ties (§2.2.2); no match = allowed.
+    * Returns (allowed, winning pattern or "", group delay). */
+  private[graft] def robotsVerdict(
+      groups: Vector[RobotsGroup], agent: String, path: String)
+      : (Boolean, String, Int) = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val named = groups.filter(_.agents.contains(a))
+    val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+    if (chosen.isEmpty) return (true, "", -1)
+    val hits = chosen.flatMap(_.rules).filter(r => robotsMatch(r.pattern, path))
+    val delay = chosen.map(_.delay).max
+    if (hits.isEmpty) (true, "", delay)
+    else {
+      val best = hits.maxBy(r => (r.pattern.length, r.allow))
+      (best.allow, best.pattern, delay)
+    }
+  }
+
+  /** The candidate paths every domain is probed with — chosen to hit
+    * every rule class the generator plants. */
+  private[graft] val RobotsPaths: Vector[String] = Vector(
+    "/", "/page", "/private/x", "/private/public/y", "/tmp/z",
+    "/data.json", "/data.json5")
+
+  private[graft] val NRobotsDomains = 30
+
+  /** Deterministic robots.txt per domain — the formulas the oracle
+    * restates: every domain disallows `/private/` and `/tmp` for `*`;
+    * even domains carve back `Allow: /private/public/`
+    * (longest-match must beat the shorter Disallow); every 3rd
+    * domain sets a crawl-delay; every 7th plants the wildcard rule
+    * disallowing star-dot-json-anchored paths (the `$` must NOT
+    * catch `/data.json5`);
+    * every 5th adds a `graftbot` group disallowing everything — the
+    * specific-agent group must FULLY SHADOW the `*` group, including
+    * its crawl-delay. */
+  private[graft] def synthRobots(id: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"# robots for domain $id\n"
+    sb ++= "User-agent: *\n"
+    sb ++= "Disallow: /private/\n"
+    if (id % 2 == 0) sb ++= "Allow: /private/public/\n"
+    sb ++= "Disallow: /tmp # temp trees never indexed\n"
+    if (id % 7 == 0) sb ++= "Disallow: /*.json$\n"
+    if (id % 3 == 0) sb ++= s"Crawl-delay: ${1 + id % 10}\n"
+    if (id % 5 == 0) {
+      sb ++= "\nUser-agent: graftbot\n"
+      sb ++= "Disallow: /\n"
+    }
+    sb.result()
+  }
+
+  /** Domain-policy evaluation for agent `graftbot` over every
+    * candidate path: parse each domain's robots.txt, select the
+    * governing group, apply longest-match. Scale shape: pure
+    * map-side — a crawler evaluates policy per (domain, URL) with
+    * the parsed rule set in hand; here the parse rides in the same
+    * row pass (domains × a bounded path list, flatMap — zero
+    * shuffle before the presentation sort). */
+  def robotsTxt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .where(col("doc_id") < NRobotsDomains)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val groups = parseRobots(synthRobots(id))
+        RobotsPaths.map { p =>
+          val (ok, rule, delay) = robotsVerdict(groups, "graftbot", p)
+          (id, p, ok, rule, delay)
+        }
+      })
+      .toDF("domain_id", "path", "allowed", "rule", "crawl_delay")
+      .orderBy(col("domain_id"), col("path"))
+  }
+
+  private val robotsTxtOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id AS domain_id FROM documents
+       |  WHERE doc_id < $NRobotsDomains),
+       |p AS (SELECT * FROM (VALUES ('/'), ('/page'), ('/private/x'),
+       |  ('/private/public/y'), ('/tmp/z'), ('/data.json'),
+       |  ('/data.json5')) AS t(path)),
+       |v AS (
+       |  SELECT domain_id, path,
+       |    domain_id % 5 = 0 AS bot_blocked,
+       |    CASE path
+       |      WHEN '/private/x' THEN '/private/'
+       |      WHEN '/private/public/y' THEN
+       |        CASE WHEN domain_id % 2 = 0 THEN '/private/public/'
+       |             ELSE '/private/' END
+       |      WHEN '/tmp/z' THEN '/tmp'
+       |      WHEN '/data.json' THEN
+       |        CASE WHEN domain_id % 7 = 0 THEN '/*.json$$' ELSE '' END
+       |      ELSE '' END AS star_rule
+       |  FROM d CROSS JOIN p)
+       |SELECT domain_id, path,
+       |       CASE WHEN bot_blocked THEN FALSE
+       |            WHEN star_rule = '' THEN TRUE
+       |            ELSE star_rule = '/private/public/' END AS allowed,
+       |       CASE WHEN bot_blocked THEN '/' ELSE star_rule END AS rule,
+       |       CAST(CASE WHEN bot_blocked THEN -1
+       |            WHEN domain_id % 3 = 0 THEN 1 + domain_id % 10
+       |            ELSE -1 END AS INTEGER) AS crawl_delay
+       |FROM v ORDER BY domain_id, path""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robotstxt" -> (robotsTxt _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
     "q_robots_gate" -> (robotsGate _),
@@ -652,6 +850,7 @@ object HtmlOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_robotstxt" -> robotsTxtOracle,
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
     "q_robots_gate" -> robotsGateOracle,

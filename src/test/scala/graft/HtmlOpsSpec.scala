@@ -140,6 +140,50 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r("a?q=1#frag") == "https://example.com/docs/a?q=1")
   }
 
+  test("robots.txt: grouping, longest-match, wildcards, agent shadowing") {
+    import HtmlOps.{parseRobots, robotsMatch, robotsVerdict}
+    // pattern matcher: prefix, mid-run wildcard, end anchor
+    assert(robotsMatch("/", "/anything"))
+    assert(robotsMatch("/a/*/c", "/a/b/c") && robotsMatch("/a/*/c", "/a/x/y/cz"))
+    assert(!robotsMatch("/a/*/c", "/a/b/d"))
+    assert(robotsMatch("/*.json$", "/data.json") &&
+      !robotsMatch("/*.json$", "/data.json5"))
+    assert(robotsMatch("/tmp$", "/tmp") && !robotsMatch("/tmp$", "/tmp/z"))
+    assert(!robotsMatch("/priv", "/x/priv")) // prefix, not substring
+    // parse: comments, case-insensitive keys, consecutive UA lines
+    // sharing one group, rules-before-any-group dropped
+    val g = parseRobots(
+      "Disallow: /orphan # no group yet — dropped\n" +
+        "USER-AGENT: Alpha\nuser-agent: beta\n" +
+        "DISALLOW: /x # comment\nAllow: /x/pub\nCrawl-Delay: 4\n" +
+        "User-agent: *\nDisallow: /y\nDisallow:\n")
+    assert(g.length == 2)
+    assert(g(0).agents == Vector("alpha", "beta") && g(0).delay == 4)
+    assert(g(0).rules == Vector(HtmlOps.RobotsRule(false, "/x"),
+      HtmlOps.RobotsRule(true, "/x/pub")))
+    assert(g(1).rules == Vector(HtmlOps.RobotsRule(false, "/y")),
+      "empty Disallow must be dropped")
+    // verdicts: longest match wins; allow wins a length tie; the
+    // specific-agent group fully shadows * (including crawl-delay)
+    assert(robotsVerdict(g, "BETA", "/x/pub/file") ==
+      ((true, "/x/pub", 4)))
+    assert(robotsVerdict(g, "beta", "/x/other") == ((false, "/x", 4)))
+    assert(robotsVerdict(g, "other", "/y/z") == ((false, "/y", -1)))
+    assert(robotsVerdict(g, "other", "/free") == ((true, "", -1)))
+    val tie = parseRobots(
+      "User-agent: *\nDisallow: /ab\nAllow: /ab\n")
+    assert(robotsVerdict(tie, "bot", "/abc")._1,
+      "allow must win an equal-length tie")
+    // generator classes: blocked-bot domain, carve-back, json anchor
+    val blocked = parseRobots(HtmlOps.synthRobots(15L))
+    assert(robotsVerdict(blocked, "graftbot", "/page") == ((false, "/", -1)))
+    assert(robotsVerdict(blocked, "otherbot", "/page") == ((true, "", 6)))
+    val carve = parseRobots(HtmlOps.synthRobots(14L))
+    assert(robotsVerdict(carve, "graftbot", "/private/public/y")._1)
+    assert(!robotsVerdict(carve, "graftbot", "/data.json")._1)
+    assert(robotsVerdict(carve, "graftbot", "/data.json5")._1)
+  }
+
   test("utf8 structural scan: overlongs, surrogates, planes, truncation") {
     import HtmlOps.utf8Scan
     def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
