@@ -613,18 +613,32 @@ object HtmlOps {
     * ground-truth discipline). Scale shape: pure map-side byte walk,
     * zero shuffle before the presentation sort — stage zero of the
     * crawl DAG, upstream even of [[htmlExtract]]. */
-  def encodingRepair(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val b = encBytes(id, text)
+  /** (doc_id, raw bytes) frame → charset triage + repair — works
+    * identically on a batch frame and a streaming micro-batch
+    * (stateless map-side, the [[extractFrame]] discipline), so the
+    * byte-level front door and the HTML front door CHAIN into one
+    * definition both engines share
+    * ([[graft.streaming.StreamingOps.frontDoorStream]]). */
+  private[graft] def repairFrame(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    raw
+      .select(col("doc_id"), col("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
         val (detected, repaired) = detectRepair(b)
         (id, detected, b.length, repaired.length, repaired)
       })
       .toDF("doc_id", "detected", "n_bytes", "n_chars", "repaired")
-      .orderBy(col("doc_id"))
+  }
+
+  def encodingRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encBytes(id, text)) })
+      .toDF("doc_id", "raw")
+    repairFrame(raw).orderBy(col("doc_id"))
   }
 
   // Byte arithmetic per class, prefix "café " (5 chars): UTF-8 = 6

@@ -43,6 +43,21 @@ object StreamingOps {
       DataFrame =
     graft.ops.HtmlOps.extractFrame(pages)
 
+  /** The WHOLE crawl front door as one streaming chain — wire bytes
+    * in, quality-gated text out: charset triage + mojibake repair
+    * ([[graft.ops.HtmlOps.repairFrame]]) feeding HTML extraction +
+    * the factored quality verdict
+    * ([[graft.ops.HtmlOps.extractFrame]]). Both stages are the batch
+    * ops' own factored frame functions — one definition per stage,
+    * composed here exactly as a crawler's ingest path would run them;
+    * stateless map-side end to end, so no state store, no watermark,
+    * and exactly-once from the sink. Input schema: (doc_id, raw
+    * binary). */
+  def frontDoorStream(raw: DataFrame): DataFrame =
+    graft.ops.HtmlOps.extractFrame(
+      graft.ops.HtmlOps.repairFrame(raw)
+        .select(col("doc_id"), col("repaired").as("html")))
+
   /** Streaming Naive-Bayes scoring — the SERVE leg of the
     * train→infer→serve loop ([[graft.ops.CurationOps.nbTrain]] trains,
     * `nbInfer` evaluates, this scores arrivals): each micro-batch is

@@ -435,6 +435,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming front door: wire bytes to quality-gated text in one chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // wire bytes: the full synthetic page, class-mangled per id by the
+    // SAME generator q_encoding_repair pins (an ASCII page means every
+    // class must repair to the identical page — truncation drops only
+    // the dangling lead)
+    val input = MemoryStream[(Long, String)]
+    val raw = input.toDF().toDF("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val page = graft.ops.HtmlOps.synthPage(id, t)
+        val b = (id % 4) match {
+          case 3 => page.getBytes("UTF-8") :+ 0xc3.toByte
+          case _ => page.getBytes("UTF-8")
+        }
+        (id, b)
+      })
+      .toDF("doc_id", "raw")
+    val q = StreamingOps.frontDoorStream(raw)
+      .writeStream.format("memory").queryName("front_door_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(7).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("front_door_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      val batch = graft.ops.HtmlOps.htmlExtract(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.size == docs.length)
+    } finally q.stop()
+  }
+
   test("streaming NB scoring equals batch inference against the materialized model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
