@@ -1318,39 +1318,51 @@ object TextOps {
     * what the corpus already holds — the batch-level complement of the
     * document-level dedup family.
     *
-    * Scale shape: one distinct over (source, gram), then the
-    * first-seen owner per gram is a PARTIAL-AGGREGABLE numeric min,
-    * so a boilerplate gram repeated 10⁸ times collapses map-side (the
-    * span-dedup skew lesson applied at birth, not retrofitted) —
-    * joined back on the gram key and rolled up per source. The min
-    * runs over a numeric RANK of the source (a broadcast 20-row
-    * dimension), not the source string itself: `min(string)` carries
-    * a varlen buffer and plans as SortAggregate (the round-4/5 trap,
-    * pinned in PlanSpec), while `min(int)` stays in hash aggregation.
-    * Gram strings ride the shuffles; at 100 TB swap them for their
-    * 60-bit md5 prefix (the [[graft.ops.DedupOps]] idiom) and the
-    * plan shape is unchanged.
+    * Scale shape: ONE corpus-sized shuffle, no gram-keyed join. The
+    * exploded (src_rank, gram) stream aggregates straight to
+    * per-gram source SETS — `collect_set(src_rank)` is bounded by
+    * the 20-row source dimension and partial-aggregates map-side, so
+    * a boilerplate gram repeated 10⁸ times collapses to one ≤20-int
+    * set before the exchange (the span-dedup skew lesson applied at
+    * birth) and the separate distinct pass the first cut ran is
+    * subsumed. Each gram's set then yields its owner
+    * (`array_min` = first-seen rank) and one (rank, is_first) row
+    * per member — a dimension-bounded explode — rolled up per rank
+    * and joined to the broadcast 20-row dimension for the name. The
+    * set holds numeric RANKS, not source strings: varlen buffers in
+    * an aggregate plan as SortAggregate (the round-4/5 trap, pinned
+    * in PlanSpec). The earlier shape (distinct, then min-per-gram,
+    * then a JOIN BACK ON THE GRAM STRING, then re-aggregate) paid
+    * three corpus-sized exchanges carrying ~50-char gram keys; this
+    * one pays one. At sf0.1 the two measure within noise (1.52 vs
+    * 1.56 s isolated mins — the explode's gram-string construction
+    * dominates at this scale); the exchange-count difference is the
+    * 100 TB argument, where shuffle bytes, not map CPU, set the
+    * wall. Gram strings ride that single shuffle; at 100 TB swap
+    * them for their 60-bit md5 prefix (the [[graft.ops.DedupOps]]
+    * idiom) and the plan shape is unchanged.
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val srcDim = docs.select(col("source")).distinct()
       .withColumn("src_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("source"))))
-    val sg = docs
+    val perGram = docs
+      .join(broadcast(srcDim), Seq("source"))
       .withColumn("w", split(col("text"), " "))
-      .select(col("source"), explode(
+      .select(col("src_rank"), explode(
         when(size(col("w")) >= 8,
           expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
           .otherwise(array().cast("array<string>"))).as("gram"))
-      .distinct()
-      .join(broadcast(srcDim), Seq("source"))
-    val firstSeen = sg.groupBy(col("gram"))
-      .agg(min(col("src_rank")).as("first_rank"))
-    sg.join(firstSeen, Seq("gram"))
-      .groupBy(col("source"))
+      .groupBy(col("gram"))
+      .agg(collect_set(col("src_rank")).as("ranks"))
+    perGram
+      .select(explode(col("ranks")).as("src_rank"),
+        (array_min(col("ranks")) === col("src_rank")).as("is_first"))
+      .groupBy(col("src_rank"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_rank") === col("src_rank"), 1L).otherwise(0L))
-          .as("n_novel"))
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_novel"))
+      .join(broadcast(srcDim), Seq("src_rank"))
       .select(col("source"), col("n_grams"), col("n_novel"),
         expr("n_novel * 1000000 DIV n_grams").as("novelty_e6"))
       .orderBy(col("source"))

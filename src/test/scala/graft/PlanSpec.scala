@@ -325,6 +325,11 @@ class PlanSpec extends SparkSpec {
     // may window over the gram key
     assert(!"Window \\[[^\\]]*gram".r.findFirstIn(plan).isDefined,
       s"no window over grams allowed:\n$plan")
+    // the per-gram source-set shape: grams cross ONE exchange into the
+    // set aggregate and never a join — a gram-keyed SortMergeJoin is
+    // the corpus-sized-exchange regression this pin exists to catch
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized join allowed — only broadcast dim joins:\n$plan")
   }
 
   test("target encoding: single fact scan, no window, broadcast stat joins") {
