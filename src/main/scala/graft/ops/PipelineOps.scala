@@ -187,6 +187,127 @@ object PipelineOps {
       |WHERE w.doc_id % 97 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ graded decontamination
+  /** Graded benchmark decontamination — the PaLM-style refinement of
+    * [[decontaminate]]'s binary any-8-gram drop (which is brutally
+    * aggressive: one quoted benchmark sentence condemns a whole
+    * document). Production pipelines (PaLM app. C, Llama 2 §A.6)
+    * instead grade each training doc by its DIRTY-GRAM RATIO and keep
+    * the lightly-touched tail. Two deliberate contrasts with the binary
+    * sibling: (1) the eval surface is each held-out doc's first
+    * [[DecontamSnip]] tokens — benchmark PROMPTS are short, and the
+    * whole-doc surface would only re-find the near-dup detector's
+    * pairs (that audit is [[graft.ops.CurationOps.cvLeakage]]); (2) the
+    * verdict is three-way on the e6 lattice — dirty/total 8-grams = 0 →
+    * `clean`, under [[DecontamThreshE6]] → `partial` (quote-level
+    * overlap: kept but reported), at/over → `contaminated` (dropped).
+    * Held-out set: `doc_id % 10 == 7`.
+    *
+    * Scale shape: per-doc gram totals are computed map-side from the
+    * split array BEFORE the explode, so clean grams never carry doc
+    * payload through the match; the gram match itself is the exploded
+    * stream inner-joined UNHINTED against the distinct eval grams —
+    * bounded in practice (benchmark suites are MBs against a 100 TB
+    * corpus), so AQE broadcasts it at any realistic eval size (PlanSpec
+    * pins the BroadcastHashJoin at fixture scale) while a pathological
+    * suite degrades to a shuffle join instead of dying at the 8 GB
+    * broadcast cliff — the [[graft.ops.TextOps]] LM-count-table
+    * discipline. Only per-doc dirty COUNTS (≤ one row per matched doc)
+    * reach an exchange. At 100 TB swap gram strings for their 60-bit
+    * md5 prefix (the [[graft.ops.DedupOps]] idiom) — plan unchanged.
+    * The eval-gram count rides along as an A6 witness scalar.
+    */
+  private val DecontamN = 8
+  private val DecontamSnip = 30
+  private val DecontamThreshE6 = 500000L
+
+  def decontamGraded(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 10 === 7
+    // sequence(0, size-N) is DESCENDING when size < N (the TextOps
+    // phantom-gram trap) — guard the short-doc case to an empty array.
+    val gramsOf = (arr: String) => expr(
+      s"""CASE WHEN size($arr) >= $DecontamN THEN
+         |  transform(sequence(0, size($arr) - $DecontamN),
+         |    i -> array_join(slice($arr, i + 1, $DecontamN), ' '))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val evalGrams = docs.filter(isEval)
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(gramsOf(s"slice(w, 1, $DecontamSnip)")).as("gram"))
+      .distinct()
+    val train = docs.filter(!isEval)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        greatest(size(col("w")) - lit(DecontamN - 1), lit(0))
+          .cast("long").as("n_grams"),
+        gramsOf("w").as("grams"))
+    // deliberately UNHINTED: eval grams are bounded in practice but an
+    // explicit broadcast() would hard-fail past the 8 GB cliff on a
+    // pathological suite; AQE picks the broadcast whenever it fits.
+    val dirty = train
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dirty"))
+    val classed = train.drop("grams")
+      .join(dirty, Seq("doc_id"), "left")
+      .withColumn("dirty", coalesce(col("dirty"), lit(0L)))
+      .withColumn("dirty_e6",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("dirty * 1000000 DIV n_grams")))
+      .withColumn("class",
+        when(col("dirty") === 0L, lit("clean"))
+          .when(col("dirty_e6") >= DecontamThreshE6, lit("contaminated"))
+          .otherwise(lit("partial")))
+    classed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("class") === "clean", 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("class") === "partial", 1L).otherwise(0L)).as("n_partial"),
+        sum(when(col("class") === "contaminated", 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("dirty_e6")).as("max_dirty_e6"))
+      .crossJoin(broadcast(evalGrams.agg(count(lit(1)).as("n_eval_grams"))))
+      .orderBy(col("source"))
+  }
+
+  private val decontamGradedOracle =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents),
+       |ev AS (SELECT DISTINCT unnest(list_transform(
+       |         range(0, greatest(len(w[1:$DecontamSnip]) - ${DecontamN - 1}, 0)),
+       |         i -> array_to_string(w[i+1:i+$DecontamN], ' '))) AS gram
+       |       FROM d WHERE doc_id % 10 = 7),
+       |tg AS (SELECT doc_id, unnest(list_transform(
+       |                range(0, greatest(len(w) - ${DecontamN - 1}, 0)),
+       |                i -> array_to_string(w[i+1:i+$DecontamN], ' '))) AS gram
+       |       FROM d WHERE doc_id % 10 <> 7),
+       |dirty AS (SELECT doc_id, COUNT(*) AS dirty FROM tg
+       |          WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+       |tr AS (SELECT doc_id, source,
+       |              CAST(greatest(len(w) - ${DecontamN - 1}, 0) AS BIGINT)
+       |                AS n_grams
+       |       FROM d WHERE doc_id % 10 <> 7),
+       |cls AS (
+       |  SELECT tr.source,
+       |         COALESCE(dirty.dirty, 0) AS dirty,
+       |         CASE WHEN tr.n_grams = 0 THEN 0
+       |              ELSE COALESCE(dirty.dirty, 0) * 1000000 // tr.n_grams
+       |         END AS dirty_e6
+       |  FROM tr LEFT JOIN dirty USING (doc_id)),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(CASE WHEN dirty = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_clean,
+       |         CAST(SUM(CASE WHEN dirty > 0 AND dirty_e6 < $DecontamThreshE6
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+       |         CAST(SUM(CASE WHEN dirty_e6 >= $DecontamThreshE6
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |         CAST(MAX(dirty_e6) AS BIGINT) AS max_dirty_e6
+       |  FROM cls GROUP BY source)
+       |SELECT source, n_docs, n_clean, n_partial, n_contaminated,
+       |       max_dirty_e6, (SELECT COUNT(*) FROM ev) AS n_eval_grams
+       |FROM agg ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ PII redaction
   /** PII redaction — regex scrub of emails and 9-digit phone numbers
     * inside free TEXT (the structured-release channel —
@@ -1159,6 +1280,7 @@ object PipelineOps {
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontam_graded" -> (decontamGraded _),
     "q_pii_redact" -> (piiRedact _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_repetition_stats" -> (repetitionStats _),
@@ -1182,6 +1304,7 @@ object PipelineOps {
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_decontam_graded" -> decontamGradedOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_repetition_stats" -> repetitionStatsOracle,

@@ -89,6 +89,47 @@ class PipelineOpsSpec extends SparkSpec {
       s"contaminated count: spark=$reported truth=${truthDirty.size}")
   }
 
+  test("graded decontamination == brute-force dirty-ratio classes") {
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    def grams(ws: Array[String]): Seq[String] =
+      if (ws.length < 8) Seq.empty else ws.sliding(8).map(_.mkString(" ")).toSeq
+    // eval surface: first 30 tokens of each held-out doc
+    val evalGrams = docs.collect {
+      case (id, _, ws) if id % 10 == 7 => grams(ws.take(30)).toSet
+    }.fold(Set.empty)(_ ++ _)
+    val classes = docs.collect { case (id, src, ws) if id % 10 != 7 =>
+      val g = grams(ws)
+      val dirty = g.count(evalGrams)
+      val e6 = if (g.isEmpty) 0L else dirty.toLong * 1000000L / g.size
+      val cls = if (dirty == 0) "clean"
+        else if (e6 >= 500000L) "contaminated" else "partial"
+      (src, cls, e6)
+    }
+    val want = classes.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong,
+        g.count(_._2 == "clean").toLong,
+        g.count(_._2 == "partial").toLong,
+        g.count(_._2 == "contaminated").toLong,
+        g.map(_._3).max)
+    }.toMap
+    val got = PipelineOps.decontamGraded(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"per-source classes diverge: got $got want $want")
+    // the fixture must actually exercise BOTH nonclean classes — a
+    // threshold bug that collapses partial into contaminated (or the
+    // reverse) must not pass vacuously
+    assert(want.values.map(_._3).sum > 0, "no partial docs in fixture")
+    assert(want.values.map(_._4).sum > 0, "no contaminated docs in fixture")
+    // witness: every row carries the same eval-gram count
+    val nEval = PipelineOps.decontamGraded(spark, sfSmall).collect()
+      .map(_.getLong(6)).toSet
+    assert(nEval == Set(evalGrams.size.toLong),
+      s"eval-gram witness $nEval != ${evalGrams.size}")
+  }
+
   test("stratified sample: achieved rates are within 15pp of targets at sf0.01") {
     val rows = PipelineOps.stratifiedSample(spark, sfSmall).collect()
     assert(rows.length == 5)

@@ -59,6 +59,19 @@ class PlanSpec extends SparkSpec {
       s"unexpected nested-loop join:\n$plan")
   }
 
+  test("graded decontamination: UNHINTED eval-gram join still broadcasts via AQE") {
+    // the gram-match join carries no broadcast() hint (8 GB-cliff
+    // rationale in the doc comment) — AQE must still pick the
+    // broadcast at fixture scale, proving the hint was redundant
+    val plan = executed(PipelineOps.decontamGraded(spark, sfTiny))
+    assert("BroadcastHashJoin \\[gram".r.findFirstIn(plan).isDefined,
+      s"AQE did not broadcast the eval-gram join:\n$plan")
+    // the only nested-loop is the sanctioned 1-row witness cross join
+    // (A6 scalar); a data-sized cartesian would be CartesianProduct
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian join:\n$plan")
+  }
+
   test("salted skew join plans a shuffled hash join on (key, salt)") {
     val plan = executed(PipelineOps.skewJoin(spark, sfTiny))
     assert(plan.contains("ShuffledHashJoin"),
