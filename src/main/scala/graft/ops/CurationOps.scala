@@ -518,6 +518,98 @@ object CurationOps {
        |         AS token_share
        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------ sequence packing
+  /** Contiguous sequence packing — the LAST assembly step before a
+    * training run: the tokenized corpus is concatenated in a
+    * deterministic order (doc_id) and chunked into fixed
+    * [[SeqPackCtx]]-token context windows, documents spanning window
+    * boundaries split across them (the GPT-2/3 recipe — no padding
+    * except the final window's tail). Where [[shardBalance]] balances
+    * whole DOCS across delivery shards, this accounts the TOKEN
+    * stream's cut points: per source, how many docs get split by a
+    * window boundary (their loss spans an attention reset) and the
+    * worst-case span width; globally, the window count and tail
+    * padding. The per-doc math is pure integer interval arithmetic on
+    * the global token offset: first window = start DIV ctx, last =
+    * (start + tok − 1) DIV ctx.
+    *
+    * Scale shape: the only nontrivial piece is the GLOBAL prefix sum
+    * of token counts — the scalable two-phase form ([[dsirResample]]'s
+    * construction, adjudicated round 9): per-chunk window cumsums run
+    * in parallel (chunk = doc_id div [[SeqPackChunk]]), then the
+    * (|corpus|/chunk)-row offset table cumsums once and broadcasts
+    * back. Everything after is map-side; the rollup is one
+    * source-sized aggregate plus the A6 witness scalar (window count,
+    * tail pad).
+    */
+  private val SeqPackCtx = 512L
+  private val SeqPackChunk = 100L
+
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("chunk", expr(s"doc_id div $SeqPackChunk"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inChunk = d.withColumn("tcum", sum(col("tok")).over(wIn))
+    val chunkTot = d.groupBy(col("chunk")).agg(sum(col("tok")).as("csum"))
+    val wCh = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = chunkTot
+      .withColumn("coff", sum(col("csum")).over(wCh) - col("csum"))
+      .select(col("chunk"), col("coff"))
+    val witness = chunkTot.agg(sum(col("csum")).as("total_tokens"))
+      .withColumn("n_windows",
+        expr(s"(total_tokens + $SeqPackCtx - 1) DIV $SeqPackCtx"))
+      .withColumn("tail_pad",
+        expr(s"n_windows * $SeqPackCtx - total_tokens"))
+    val spans = inChunk
+      .join(broadcast(offsets), Seq("chunk"))
+      .withColumn("start", col("coff") + col("tcum") - col("tok"))
+      .withColumn("spans",
+        expr(s"(start + tok - 1) DIV $SeqPackCtx - start DIV $SeqPackCtx + 1"))
+    spans.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens"),
+        sum(when(col("spans") > 1L, 1L).otherwise(0L)).as("n_split"),
+        max(col("spans")).as("max_spans"))
+      .withColumn("split_e6", expr("n_split * 1000000 DIV n_docs"))
+      .crossJoin(broadcast(witness))
+      .orderBy(col("source"))
+  }
+
+  private val seqPackOracle =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |           FROM documents),
+       |p AS (SELECT doc_id, source, tok,
+       |             COALESCE(SUM(tok) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |               AS start
+       |      FROM d),
+       |s AS (SELECT source, tok,
+       |             (start + tok - 1) // $SeqPackCtx - start // $SeqPackCtx + 1
+       |               AS spans
+       |      FROM p),
+       |w AS (SELECT (SUM(tok) + $SeqPackCtx - 1) // $SeqPackCtx AS n_windows,
+       |             ((SUM(tok) + $SeqPackCtx - 1) // $SeqPackCtx) * $SeqPackCtx
+       |               - SUM(tok) AS tail_pad,
+       |             SUM(tok) AS total_tokens
+       |      FROM d)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens,
+       |       CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_split,
+       |       CAST(MAX(spans) AS BIGINT) AS max_spans,
+       |       CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // COUNT(*) AS split_e6,
+       |       CAST(total_tokens AS BIGINT) AS total_tokens,
+       |       CAST(n_windows AS BIGINT) AS n_windows,
+       |       CAST(tail_pad AS BIGINT) AS tail_pad
+       |FROM s CROSS JOIN w
+       |GROUP BY source, total_tokens, n_windows, tail_pad
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------- pipeline ledger
   /** End-to-end curation funnel — the stage ledger a pipeline run
     * publishes: raw corpus → Gopher-style quality gate (the IDENTICAL
@@ -1605,6 +1697,7 @@ object CurationOps {
     "q_pipeline_ledger" -> (pipelineLedger _),
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
+    "q_seq_pack" -> (seqPack _),
     "q_importance_weights" -> (importanceWeights _),
     "q_nucleus_filter" -> (nucleusFilter _),
     "q_cms_freq" -> (cmsFreq _),
@@ -1630,6 +1723,7 @@ object CurationOps {
     "q_pipeline_ledger" -> pipelineLedgerOracle,
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,
+    "q_seq_pack" -> seqPackOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_nucleus_filter" -> nucleusFilterOracle,
     "q_cms_freq" -> cmsFreqOracle,

@@ -552,4 +552,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
   }
 
+  test("seq pack == brute-force offset walk; window accounting conserves") {
+    val ctx = 512L
+    val docs = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    // brute force: walk the concatenated token stream doc by doc
+    var off = 0L
+    val walked = docs.map { case (_, src, tok) =>
+      val spans = (off + tok - 1) / ctx - off / ctx + 1
+      off += tok
+      (src, tok, spans)
+    }
+    val want = walked.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum,
+        g.count(_._3 > 1).toLong, g.map(_._3).max)
+    }.toMap
+    val total = walked.map(_._2).sum
+    val nWindows = (total + ctx - 1) / ctx
+    val rows = CurationOps.seqPack(spark, sfSmall).collect()
+    val got = rows.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("n_split"), r.getAs[Long]("max_spans")))).toMap
+    assert(got == want, s"per-source packing diverges: got $got want $want")
+    // witness: window count and tail pad are the closed-form values,
+    // identical on every row
+    assert(rows.map(_.getAs[Long]("n_windows")).toSet == Set(nWindows))
+    assert(rows.map(_.getAs[Long]("tail_pad")).toSet ==
+      Set(nWindows * ctx - total))
+    // the fixture must actually split docs across windows — otherwise
+    // the span arithmetic is untested
+    assert(want.values.map(_._3).sum > 0, "no boundary-split docs in fixture")
+    // conservation: token mass in windows == corpus mass + tail pad
+    assert(rows.map(_.getAs[Long]("tokens")).sum == total)
+  }
+
 }

@@ -283,6 +283,17 @@ class PlanSpec extends SparkSpec {
       s"no chunk-partitioned window — two-phase prefix sum lost:\n$plan")
   }
 
+  test("seq pack: token prefix sum is two-phase — cumsum windows by chunk") {
+    // same discipline as the DSIR weight line: the corpus-wide token
+    // offset must come from per-chunk parallel windows + a broadcast
+    // chunk-offset table, never one global-sort window
+    val plan = executed(graft.ops.CurationOps.seqPack(spark, sfTiny))
+    assert("windowspecdefinition\\(chunk".r.findFirstIn(plan).isDefined,
+      s"no chunk-partitioned window — two-phase prefix sum lost:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk-offset table must broadcast back:\n$plan")
+  }
+
   test("rfm: scalar hops broadcast — no global sort, no ntile window") {
     // The segmentation must stay two hash aggregates plus broadcast
     // 1-row joins; an ntile/percentile formulation would global-sort
