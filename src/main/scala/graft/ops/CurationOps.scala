@@ -1679,9 +1679,150 @@ object CurationOps {
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- Bradley-Terry ranking
+  /** Bradley–Terry strength estimation from pairwise preferences — the
+    * PREFERENCE-side trainer, completing the training triptych: [[nbTrain]]
+    * learns from labels, [[graft.ops.TextOps]]' bpeTrain from raw text,
+    * this from comparisons (Bradley & Terry '52; Zermelo '29; the MM
+    * form is Hunter '04) — the aggregation an RLHF/arena pipeline runs
+    * over millions of "A beats B" judgments to rank models or grade
+    * response quality before reward-model training. Comparison stream:
+    * one event per lineitem row between items `l_partkey % 12` and
+    * `l_suppkey % 12` (self-pairs dropped); the outcome is a
+    * deterministic BT-distributed draw against latent strengths
+    * s_i = i+1 (the [[graft.ops.Parity.mixBucket]] arithmetic with a
+    * per-row modulus s_i+s_j, so a draw below s_i is a win for i) —
+    * giving the spec a GROUND-TRUTH ordering the estimator must
+    * recover. Estimation is [[BtIters]] Zermelo/MM rounds on the e12
+    * integer lattice (every division a floor DIV, every sum over
+    * integers — order-free, so the DuckDB oracle replays the identical
+    * unrolled loop to the exact bit): s_i ← W_i·C DIV Σ_j n_ij·C DIV
+    * (s_i+s_j), renormalized to mean 1e6 each round, floored at 1.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregated
+    * groupBy from the comparison stream down to the unordered pair
+    * matrix — bounded by the ITEM dimension squared (you rank dozens
+    * of models, not millions), so the matrix collects as an A6
+    * bounded frame and the iterations are driver-side integer
+    * arithmetic on ≤66 rows; the result re-injects as a local
+    * relation ([[graft.ops.TextOps]] bpeApply's LocalTableScan
+    * precedent). C = 1e12 leaves headroom to ~9×10⁶ comparisons per
+    * directed pair before Long overflow — raise the lattice to
+    * BigInt (driver) / HUGEINT (oracle) past that.
+    */
+  private val BtItems = 12
+  private val BtIters = 8
+  private val BtC = 1000000000000L
+
+  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") % BtItems).cast("long").as("i"),
+        (col("l_suppkey") % BtItems).cast("long").as("j"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("key"))
+      .filter(col("i") =!= col("j"))
+      .withColumn("draw",
+        pmod(pmod(pmod(col("key"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), col("i") + col("j") + 2))
+      .withColumn("win_i", (col("draw") < col("i") + 1).cast("long"))
+    val matrix = li
+      .select(least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"),
+        when(col("i") < col("j"), col("win_i"))
+          .otherwise(lit(1L) - col("win_i")).as("wa"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("wa")).as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // directed view: (i, j, n_ij, wins of i over j)
+    val directed = matrix.flatMap { case (a, b, n, wa) =>
+      Seq((a, b, n, wa), (b, a, n, n - wa)) }
+    val items = (0L until BtItems.toLong).toArray
+    var s = items.map(_ => 1000000L)
+    for (_ <- 1 to BtIters) {
+      val u = items.map { i =>
+        val rows = directed.filter(_._1 == i)
+        val d = rows.map { case (_, j, n, _) =>
+          n * BtC / (s(i.toInt) + s(j.toInt)) }.sum
+        val wi = rows.map(_._4).sum
+        if (d == 0L) s(i.toInt) else math.max(1L, wi * BtC / d)
+      }
+      val tot = u.sum
+      s = u.map(v => math.max(1L, v * (BtItems * 1000000L) / tot))
+    }
+    val perItem = directed.groupBy(_._1).map { case (i, rows) =>
+      (i, (rows.map(_._3).sum, rows.map(_._4).sum))
+    }
+    val out = items.map { i =>
+      val (n, w) = perItem.getOrElse(i, (0L, 0L))
+      (i, n, w, n - w, s(i.toInt))
+    }
+    val ranked = out.sortBy { case (i, _, _, _, st) => (-st, i) }
+      .zipWithIndex
+      .map { case ((i, n, w, l, st), r) => (i, n, w, l, st, (r + 1).toLong) }
+      .sortBy(_._1)
+    spark.createDataFrame(ranked.toSeq)
+      .toDF("item", "n_comps", "wins", "losses", "strength_e6", "bt_rank")
+  }
+
+  private val bradleyTerryOracle: String = {
+    // every s$k is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references the previous one three
+    // times — unmaterialized, the 8-round unroll re-expands the
+    // lineitem scan exponentially (observed as fd exhaustion)
+    val iters = (1 to BtIters).map { k =>
+      s"""u$k AS (SELECT t.item,
+         |          CASE WHEN t.d = 0 THEN sp.s
+         |               ELSE GREATEST(1, t.wi * $BtC // t.d) END AS s
+         |        FROM (SELECT md.i AS item,
+         |                SUM(md.n * $BtC // (si.s + sj.s)) AS d,
+         |                SUM(md.w) AS wi
+         |              FROM md JOIN s${k - 1} si ON si.item = md.i
+         |                      JOIN s${k - 1} sj ON sj.item = md.j
+         |              GROUP BY md.i) t
+         |        JOIN s${k - 1} sp ON sp.item = t.item),
+         |s$k AS MATERIALIZED (
+         |        SELECT item, GREATEST(1, s * ${BtItems}000000
+         |          // (SELECT SUM(s) FROM u$k)) AS s
+         |        FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_partkey % $BtItems AS i, l_suppkey % $BtItems AS j,
+       |         l_orderkey * 8 + l_linenumber AS key
+       |  FROM lineitem WHERE l_partkey % $BtItems <> l_suppkey % $BtItems),
+       |drawn AS (
+       |  SELECT i, j,
+       |         CASE WHEN ((key % 2147483648) * 2654435761) % 4294967296
+       |                   % (i + j + 2) < i + 1
+       |              THEN 1 ELSE 0 END AS win_i
+       |  FROM li),
+       |m AS (
+       |  SELECT LEAST(i, j) AS a, GREATEST(i, j) AS b, COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN i < j THEN win_i ELSE 1 - win_i END)
+       |              AS BIGINT) AS wa
+       |  FROM drawn GROUP BY 1, 2),
+       |md AS MATERIALIZED (
+       |       SELECT a AS i, b AS j, n, wa AS w FROM m
+       |       UNION ALL SELECT b, a, n, n - wa FROM m),
+       |s0 AS MATERIALIZED (
+       |       SELECT unnest(range(0, $BtItems)) AS item, 1000000 AS s),
+       |$iters,
+       |agg AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS n_comps,
+       |               CAST(SUM(w) AS BIGINT) AS wins
+       |        FROM md GROUP BY i)
+       |SELECT f.item, COALESCE(agg.n_comps, 0) AS n_comps,
+       |       COALESCE(agg.wins, 0) AS wins,
+       |       COALESCE(agg.n_comps, 0) - COALESCE(agg.wins, 0) AS losses,
+       |       CAST(f.s AS BIGINT) AS strength_e6,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY f.s DESC, f.item) AS BIGINT)
+       |         AS bt_rank
+       |FROM s$BtIters f LEFT JOIN agg USING (item)
+       |ORDER BY item""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
+    "q_bradley_terry" -> (bradleyTerry _),
     "q_greedy_cover" -> (greedyCover _),
     "q_fasttext_score" -> (fasttextScore _),
     "q_record_linkage" -> (recordLinkage _),
@@ -1708,6 +1849,7 @@ object CurationOps {
   def oracles: Map[String, String] = Map(
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
+    "q_bradley_terry" -> bradleyTerryOracle,
     "q_greedy_cover" -> greedyCoverOracle,
     "q_fasttext_score" -> fasttextScoreOracle,
     "q_record_linkage" -> recordLinkageOracle,

@@ -552,6 +552,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
   }
 
+  test("Bradley-Terry recovers the latent strength ordering exactly") {
+    val rows = CurationOps.bradleyTerry(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.length == 12)
+    // conservation: every comparison produced one win and one loss
+    rows.foreach { case (i, n, w, l, _, _) =>
+      assert(w + l == n, s"item $i: wins+losses != comps") }
+    assert(rows.map(_._3).sum == rows.map(_._4).sum,
+      "global wins must equal global losses")
+    // the whole point: with BT-distributed outcomes against latent
+    // strengths s_i = i+1, the MM estimator must recover the exact
+    // latent ORDER (rank 1 = strongest = item 11)
+    rows.foreach { case (i, _, _, _, _, rk) =>
+      assert(rk == 12 - i, s"item $i ranked $rk, want ${12 - i}") }
+    // and the estimates track the TRUE normalized strengths
+    // (s_i·12e6/78) within 10% — the MM fixed point, not just ordering
+    rows.foreach { case (i, _, _, _, st, _) =>
+      val truth = (i + 1) * 12000000L / 78L
+      assert(math.abs(st - truth).toDouble / truth < 0.10,
+        s"item $i strength $st strays >10% from latent $truth") }
+    // normalization: mean strength pinned to the 1e6 lattice (floor
+    // rounding can only lose <1 per item)
+    val tot = rows.map(_._5).sum
+    assert(tot <= 12000000L && tot > 12000000L - 24L,
+      s"strength mass $tot off the 12e6 normalization")
+  }
+
   test("seq pack == brute-force offset walk; window accounting conserves") {
     val ctx = 512L
     val docs = Tables.documents(spark, sfSmall)
