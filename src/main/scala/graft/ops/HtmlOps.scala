@@ -330,6 +330,93 @@ object HtmlOps {
        |       ${TextOps.qualityKeepSql} AS keep
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- WARC scan
+  /** WARC container scan — the layer BELOW [[htmlExtract]], completing
+    * the crawl front door from the bytes up: real pipelines don't
+    * receive per-page HTML, they receive WARC files (ISO 28500 — the
+    * Common Crawl distribution format) holding thousands of
+    * concatenated request/response/metadata records. This operator
+    * drives the [[graft.sources.WarcFiles]] codec end-to-end: docs
+    * batch into one synthetic WARC per [[WarcDocsPerFile]]-doc group
+    * (warcinfo + request/response pairs + revisit markers), the TOTAL
+    * record walk parses them back, `response` records split off their
+    * HTTP headers, and the recovered HTML runs the SAME [[extractDoc]]
+    * + [[TextOps.qualityKeep]] chain as `q_html_extract` — container →
+    * record → HTTP → markup → clean text → quality verdict, one
+    * composed query. The oracle reconstructs every column from
+    * `documents` alone (record counts are closed-form in the id
+    * formulas; extracted text == original text BY CONSTRUCTION of the
+    * generator/parser pairs), so the whole stack is proven against
+    * ground truth, and the `clean` flag witnesses that the walk
+    * consumed every byte of every file.
+    *
+    * Scale shape: one hash exchange groups docs into their file
+    * (collect_list over [[WarcDocsPerFile]]-sized bounded groups —
+    * in production this stage is the parquet-ified raw-bytes scan
+    * itself, one WARC per row), then assembly/parse/extract run
+    * map-side per file; the rollup re-aggregates the per-response
+    * rows by file_id (partial-aggregated, rows are a handful of
+    * longs). No driver involvement, bounded memory per file.
+    */
+  private val WarcDocsPerFile = 25L
+
+  def warcScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.WarcFiles
+    val files = Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+    val perResponse = files.mapPartitions(_.flatMap { case (fid, docs) =>
+      val warc = WarcFiles.synthWarc(fid, docs.map { case (id, t) =>
+        (id, synthPage(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      val scan = WarcFiles.parseWarc(warc)
+      val byType = scan.records.groupBy(_.recType)
+      def n(t: String): Long = byType.get(t).map(_.size.toLong).getOrElse(0L)
+      val clean = scan.clean && scan.trailing == 0
+      scan.records.filter(_.recType == "response").map { r =>
+        val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+        val html = WarcFiles.httpBody(r.body)
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+          .getOrElse("")
+        val (_, _, _, _, _, text) = extractDoc(id, html)
+        (fid, scan.records.size.toLong, n("warcinfo"), n("request"),
+          n("response"), n("revisit"), clean, id, text)
+      }
+    }).toDF("file_id", "n_records", "n_warcinfo", "n_requests",
+      "n_responses", "n_revisits", "clean", "doc_id", "text")
+    perResponse
+      .withColumn("keep", TextOps.qualityKeep)
+      .groupBy(col("file_id"), col("n_records"), col("n_warcinfo"),
+        col("n_requests"), col("n_responses"), col("n_revisits"),
+        col("clean"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(length(col("text")).cast("long")).as("extracted_chars"))
+      .orderBy(col("file_id"))
+  }
+
+  private val warcScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       CAST(1 + 2 * COUNT(*)
+       |            + SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_records,
+       |       CAST(1 AS BIGINT) AS n_warcinfo,
+       |       COUNT(*) AS n_requests,
+       |       COUNT(*) AS n_responses,
+       |       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_revisits,
+       |       TRUE AS clean,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN ${TextOps.qualityKeepSql} THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_kept,
+       |       CAST(SUM(length(text)) AS BIGINT) AS extracted_chars
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -860,7 +947,8 @@ object HtmlOps {
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
     "q_robots_gate" -> (robotsGate _),
-    "q_encoding_repair" -> (encodingRepair _)
+    "q_encoding_repair" -> (encodingRepair _),
+    "q_warc_scan" -> (warcScan _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -868,6 +956,7 @@ object HtmlOps {
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
     "q_robots_gate" -> robotsGateOracle,
-    "q_encoding_repair" -> encodingRepairOracle
+    "q_encoding_repair" -> encodingRepairOracle,
+    "q_warc_scan" -> warcScanOracle
   )
 }

@@ -251,4 +251,57 @@ class HtmlOpsSpec extends SparkSpec {
         r.getInt(3) == 4 && r.getInt(4) == 2)
     }
   }
+
+  test("warc codec: synth → parse round-trips records, bodies, and uris") {
+    import graft.sources.WarcFiles
+    val docs = Seq(
+      (13L, "<html><body><p>alpha beta</p></body></html>"),
+      (14L, "<html><body><p>gamma</p></body></html>"),
+      (26L, "<html><body><p>delta</p></body></html>"))
+      .map { case (id, h) => (id, h.getBytes("UTF-8")) }
+    val warc = WarcFiles.synthWarc(7L, docs)
+    val scan = WarcFiles.parseWarc(warc)
+    assert(scan.clean && scan.trailing == 0)
+    // 1 warcinfo + 3 requests + 3 responses + 2 revisits (13, 26)
+    val byType = scan.records.groupBy(_.recType).view.mapValues(_.size).toMap
+    assert(byType == Map("warcinfo" -> 1, "request" -> 3,
+      "response" -> 3, "revisit" -> 2), s"got $byType")
+    // response bodies recover the exact HTML through the HTTP split
+    val resp = scan.records.filter(_.recType == "response")
+    assert(resp.map(_.targetUri) ==
+      docs.map { case (id, _) => s"https://example.org/doc/$id" })
+    resp.zip(docs).foreach { case (r, (_, html)) =>
+      val body = WarcFiles.httpBody(r.body)
+      assert(body.exists(_.sameElements(html)), "HTTP body mismatch")
+    }
+    // a non-200 payload is rejected, not half-parsed
+    assert(WarcFiles.httpBody(
+      "HTTP/1.1 404 Not Found\r\n\r\nnope".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("warc record walk: total and monotone on every prefix") {
+    import graft.sources.WarcFiles
+    val docs = Seq((0L, "<p>a</p>"), (5L, "<p>bb</p>"))
+      .map { case (id, h) => (id, h.getBytes("UTF-8")) }
+    val full = WarcFiles.synthWarc(0L, docs)
+    var prev = 0
+    (0 to full.length).foreach { n =>
+      val scan = WarcFiles.parseWarc(java.util.Arrays.copyOf(full, n))
+      // never throws (reaching here), never loses a previously
+      // complete record, and consumed + trailing == n always
+      assert(scan.records.size >= prev || scan.records.size == prev,
+        s"prefix $n lost records")
+      prev = math.max(prev, scan.records.size)
+      assert(scan.trailing >= 0 && scan.trailing <= n)
+      if (n < full.length) assert(!scan.clean || scan.trailing == 0)
+    }
+    val whole = WarcFiles.parseWarc(full)
+    assert(whole.clean && whole.records.size == 6) // info + 2×(req+resp) + rev-0
+    // corrupt Content-Length: walk stops cleanly at the bad record
+    val corrupt = full.clone()
+    val cl = new String(full, "UTF-8").indexOf("Content-Length: ")
+    corrupt(cl + 16) = 'x'.toByte
+    val cs = WarcFiles.parseWarc(corrupt)
+    assert(!cs.clean && cs.records.isEmpty && cs.trailing == corrupt.length)
+  }
 }
