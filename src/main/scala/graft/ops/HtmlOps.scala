@@ -360,34 +360,68 @@ object HtmlOps {
     */
   private val WarcDocsPerFile = 25L
 
-  def warcScan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (file_id, warc binary) → one row per `response` record, carrying
+    * the file-level triage (record counts by type, clean-walk flag)
+    * beside the response's doc_id and raw HTTP body bytes. The ONE
+    * record-split definition the batch query and the streaming
+    * container chain both run (the extractFrame factoring
+    * discipline); stateless map-side, so the twin needs no state. */
+  private[graft] def warcSplitFrame(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    import graft.sources.WarcFiles
+    files.select(col("file_id"), col("warc"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, bytes) =>
+        val scan = WarcFiles.parseWarc(bytes)
+        val byType = scan.records.groupBy(_.recType)
+        def n(t: String): Long =
+          byType.get(t).map(_.size.toLong).getOrElse(0L)
+        val clean = scan.clean && scan.trailing == 0
+        scan.records.filter(_.recType == "response").map { r =>
+          val id = r.targetUri
+            .substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          val body = WarcFiles.httpBody(r.body).getOrElse(Array.emptyByteArray)
+          (fid, scan.records.size.toLong, n("warcinfo"), n("request"),
+            n("response"), n("revisit"), clean, id, body)
+        }
+      })
+      .toDF("file_id", "n_records", "n_warcinfo", "n_requests",
+        "n_responses", "n_revisits", "clean", "doc_id", "raw")
+  }
+
+  /** Synthesize one WARC per [[WarcDocsPerFile]]-doc group from the
+    * documents table — the fixture frame [[warcScan]] and the
+    * streaming twin both start from. */
+  private[graft] def synthWarcFrame(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     import graft.sources.WarcFiles
-    val files = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
       .groupBy(col("file_id"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
         .as("docs"))
       .as[(Long, Seq[(Long, String)])]
-    val perResponse = files.mapPartitions(_.flatMap { case (fid, docs) =>
-      val warc = WarcFiles.synthWarc(fid, docs.map { case (id, t) =>
-        (id, synthPage(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .mapPartitions(_.map { case (fid, docs) =>
+        (fid, WarcFiles.synthWarc(fid, docs.map { case (id, t) =>
+          (id,
+            synthPage(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }))
       })
-      val scan = WarcFiles.parseWarc(warc)
-      val byType = scan.records.groupBy(_.recType)
-      def n(t: String): Long = byType.get(t).map(_.size.toLong).getOrElse(0L)
-      val clean = scan.clean && scan.trailing == 0
-      scan.records.filter(_.recType == "response").map { r =>
-        val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
-        val html = WarcFiles.httpBody(r.body)
-          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
-          .getOrElse("")
-        val (_, _, _, _, _, text) = extractDoc(id, html)
-        (fid, scan.records.size.toLong, n("warcinfo"), n("request"),
-          n("response"), n("revisit"), clean, id, text)
-      }
-    }).toDF("file_id", "n_records", "n_warcinfo", "n_requests",
-      "n_responses", "n_revisits", "clean", "doc_id", "text")
+      .toDF("file_id", "warc")
+  }
+
+  def warcScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perResponse = warcSplitFrame(synthWarcFrame(spark, sfDir))
+      .withColumn("html", col("raw").cast("string"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean, Long, Array[Byte],
+        String)]
+      .mapPartitions(_.map { case (fid, nr, ni, nq, ns, nv, cl, id, _, html) =>
+        (fid, nr, ni, nq, ns, nv, cl, id, extractDoc(id, html)._6)
+      })
+      .toDF("file_id", "n_records", "n_warcinfo", "n_requests",
+        "n_responses", "n_revisits", "clean", "doc_id", "text")
     perResponse
       .withColumn("keep", TextOps.qualityKeep)
       .groupBy(col("file_id"), col("n_records"), col("n_warcinfo"),

@@ -58,6 +58,21 @@ object StreamingOps {
       graft.ops.HtmlOps.repairFrame(raw)
         .select(col("doc_id"), col("repaired").as("html")))
 
+  /** The crawl chain from the CONTAINER up — WARC files in,
+    * quality-gated text out: the record walk + HTTP split
+    * ([[graft.ops.HtmlOps.warcSplitFrame]], the batch `q_warc_scan`'s
+    * own splitter) fans each arriving WARC into its response bodies,
+    * which then ride the [[frontDoorStream]] chain unchanged (charset
+    * repair → extraction → quality). Four stages, one definition
+    * each, all stateless map-side — this is the shape of a crawler's
+    * live ingest: Common Crawl segments land as files, and every
+    * downstream operator sees per-document rows without a batch
+    * re-spool. Input schema: (file_id, warc binary). */
+  def warcFrontDoorStream(files: DataFrame): DataFrame =
+    frontDoorStream(
+      graft.ops.HtmlOps.warcSplitFrame(files)
+        .select(col("doc_id"), col("raw")))
+
   /** Streaming Naive-Bayes scoring — the SERVE leg of the
     * train→infer→serve loop ([[graft.ops.CurationOps.nbTrain]] trains,
     * `nbInfer` evaluates, this scores arrivals): each micro-batch is

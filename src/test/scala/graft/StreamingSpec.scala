@@ -478,6 +478,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC chain: container files to quality-gated text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // one WARC per 25-doc group, built by the batch fixture generator
+    val files = graft.ops.HtmlOps.synthWarcFrame(spark, sfTiny)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.warcFrontDoorStream(
+      input.toDF().toDF("file_id", "warc"))
+      .writeStream.format("memory").queryName("warc_front_out")
+      .outputMode("append").start()
+    try {
+      files.grouped(3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("warc_front_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      // the container chain must land EXACTLY where the page-level
+      // batch front door lands: same docs, same tallies, same text,
+      // same verdicts
+      val batch = graft.ops.HtmlOps.htmlExtract(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming NB scoring equals batch inference against the materialized model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
