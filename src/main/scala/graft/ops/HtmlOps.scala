@@ -976,13 +976,102 @@ object HtmlOps {
        |            ELSE -1 END AS INTEGER) AS crawl_delay
        |FROM v ORDER BY domain_id, path""".stripMargin
 
+  // -------------------------------------------------- crawl frontier
+  /** Crawl-frontier scheduling — what a crawler DOES with the outlinks
+    * once [[linkExtract]] has normalized them: dedup the frontier
+    * (distinct URL — the seen-set), shard it BY HOST (the unit of
+    * politeness: every real crawler serializes fetches per host),
+    * prioritize within each host by in-link count (the frontier's
+    * cheapest usefulness signal), and space fetches by the host's
+    * crawl delay — so the per-host makespan, not the URL count, is
+    * the completion metric. Here each doc's site lives on its
+    * source's host (`{source}.example.org`), giving a multi-host
+    * frontier; the per-host delay uses a closed-form stand-in
+    * (1 + len(host) % 5 s) for the robots.txt `Crawl-delay` the full
+    * RFC 9309 interpreter ([[robotsTxt]]) supplies — the formula
+    * keeps the oracle arithmetic while the interpreter's semantics
+    * stay pinned by `q_robotstxt`.
+    *
+    * Scale shape: link emission is the map-side [[parseHtml]] walk;
+    * the frontier dedup is one (host,url)-keyed partial-aggregated
+    * exchange; prioritization is a host-PARTITIONED window (rank-1
+    * filter → WindowGroupLimit pushes a per-partition limit below the
+    * sort, the rrfFusion pin) — hosts are the natural shard key, so
+    * the frontier parallelizes exactly as the fetch fleet does; the
+    * rollup is host-sized. No global sort, no driver state.
+    */
+  def crawlFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val links = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        val base = s"https://$src.example.org/docs/$id"
+        parseHtml(synthPage(id, text)).links
+          .map(l => resolveUrl(base, l.href))
+      })
+      .toDF("url")
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)", 1))
+    val urls = links.groupBy(col("host"), col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_refs").desc, col("url"))
+    val first = urls.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("host"), col("url").as("first_fetch"))
+    urls.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("n_refs"))
+      .join(first, Seq("host"))
+      .withColumn("crawl_delay_s", lit(1L) + length(col("host")) % 5)
+      .withColumn("makespan_s",
+        (col("n_urls") - 1) * col("crawl_delay_s"))
+      .select(col("host"), col("n_urls"), col("n_refs"),
+        col("crawl_delay_s").cast("long").as("crawl_delay_s"),
+        col("makespan_s").cast("long").as("makespan_s"),
+        col("first_fetch"))
+      .orderBy(col("host"))
+  }
+
+  private val crawlFrontierOracle =
+    """WITH l AS (
+      |  SELECT unnest([
+      |    'https://' || source || '.example.org/',
+      |    'https://' || source || '.example.org/docs',
+      |    'https://' || source || '.example.org/about',
+      |    'https://' || source || '.example.org/r/1',
+      |    'https://' || source || '.example.org/r/' || (doc_id % 7),
+      |    'https://' || source || '.example.org/privacy',
+      |    'https://' || source || '.example.org/terms',
+      |    'https://' || source || '.example.org/docs/legal/cookies',
+      |    'https://cdn.example.org/brand.png?v=2']) AS url
+      |  FROM documents),
+      |u AS (SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host,
+      |             url, COUNT(*) AS n_refs
+      |      FROM l GROUP BY 1, 2),
+      |f AS (SELECT host, url AS first_fetch,
+      |             ROW_NUMBER() OVER (PARTITION BY host
+      |                                ORDER BY n_refs DESC, url) AS rk
+      |      FROM u),
+      |h AS (SELECT host, COUNT(*) AS n_urls,
+      |             CAST(SUM(n_refs) AS BIGINT) AS n_refs
+      |      FROM u GROUP BY host)
+      |SELECT h.host, h.n_urls, h.n_refs,
+      |       CAST(1 + length(h.host) % 5 AS BIGINT) AS crawl_delay_s,
+      |       CAST((h.n_urls - 1) * (1 + length(h.host) % 5) AS BIGINT)
+      |         AS makespan_s,
+      |       f.first_fetch
+      |FROM h JOIN f ON f.host = h.host AND f.rk = 1
+      |ORDER BY h.host""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robotstxt" -> (robotsTxt _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
-    "q_warc_scan" -> (warcScan _)
+    "q_warc_scan" -> (warcScan _),
+    "q_crawl_frontier" -> (crawlFrontier _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -991,6 +1080,7 @@ object HtmlOps {
     "q_link_extract" -> linkExtractOracle,
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,
-    "q_warc_scan" -> warcScanOracle
+    "q_warc_scan" -> warcScanOracle,
+    "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

@@ -252,6 +252,38 @@ class HtmlOpsSpec extends SparkSpec {
     }
   }
 
+  test("crawl frontier == brute-force per-host schedule") {
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute force: re-emit every outlink through the same page walk
+    val urls = docs.flatMap { case (id, src, _) =>
+      Seq(s"https://$src.example.org/", s"https://$src.example.org/docs",
+        s"https://$src.example.org/about", s"https://$src.example.org/r/1",
+        s"https://$src.example.org/r/${id % 7}",
+        s"https://$src.example.org/privacy", s"https://$src.example.org/terms",
+        s"https://$src.example.org/docs/legal/cookies",
+        "https://cdn.example.org/brand.png?v=2")
+    }
+    val byHost = urls.groupBy(u => u.drop("https://".length).takeWhile(_ != '/'))
+    val rows = graft.ops.HtmlOps.crawlFrontier(spark, sfTiny).collect()
+    assert(rows.length == byHost.size, "host shard count diverges")
+    rows.foreach { r =>
+      val host = r.getString(0)
+      val hostUrls = byHost(host)
+      val distinct = hostUrls.distinct
+      val delay = 1L + host.length % 5
+      assert(r.getLong(1) == distinct.length, s"$host n_urls")
+      assert(r.getLong(2) == hostUrls.length, s"$host n_refs")
+      assert(r.getLong(3) == delay, s"$host delay")
+      assert(r.getLong(4) == (distinct.length - 1) * delay, s"$host makespan")
+      // first fetch = most-referenced URL, lexicographic tiebreak
+      val counts = hostUrls.groupBy(identity).view.mapValues(_.length).toMap
+      val want = distinct.sortBy(u => (-counts(u), u)).head
+      assert(r.getString(5) == want, s"$host first_fetch")
+    }
+  }
+
   test("warc codec: synth → parse round-trips records, bodies, and uris") {
     import graft.sources.WarcFiles
     val docs = Seq(

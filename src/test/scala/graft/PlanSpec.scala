@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.ops.{PipelineOps, RelationalOps}
+import graft.ops.{HtmlOps, PipelineOps, RelationalOps}
 
 /** Physical-plan shape assertions — the properties that make these
   * operators survive a 100× scale-up, pinned so a refactor can't
@@ -57,6 +57,16 @@ class PlanSpec extends SparkSpec {
       s"eval-gram semi join must broadcast:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"unexpected nested-loop join:\n$plan")
+  }
+
+  test("crawl frontier: host-partitioned rank pushes a WindowGroupLimit") {
+    // the first-fetch pick must stay a per-host partial limit below
+    // the sort — never a global sort of the frontier
+    val plan = executed(HtmlOps.crawlFrontier(spark, sfTiny))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 filter did not become a WindowGroupLimit:\n$plan")
+    assert("windowspecdefinition\\(host".r.findFirstIn(plan).isDefined,
+      s"window not partitioned by host:\n$plan")
   }
 
   test("graded decontamination: UNHINTED eval-gram join still broadcasts via AQE") {
