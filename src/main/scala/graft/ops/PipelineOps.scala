@@ -221,21 +221,29 @@ object PipelineOps {
   private val DecontamSnip = 30
   private val DecontamThreshE6 = 500000L
 
-  def decontamGraded(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val isEval = col("doc_id") % 10 === 7
-    // sequence(0, size-N) is DESCENDING when size < N (the TextOps
-    // phantom-gram trap) — guard the short-doc case to an empty array.
-    val gramsOf = (arr: String) => expr(
-      s"""CASE WHEN size($arr) >= $DecontamN THEN
-         |  transform(sequence(0, size($arr) - $DecontamN),
-         |    i -> array_join(slice($arr, i + 1, $DecontamN), ' '))
-         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
-    val evalGrams = docs.filter(isEval)
+  // sequence(0, size-N) is DESCENDING when size < N (the TextOps
+  // phantom-gram trap) — guard the short-doc case to an empty array.
+  private def gramsOf(arr: String) = expr(
+    s"""CASE WHEN size($arr) >= $DecontamN THEN
+       |  transform(sequence(0, size($arr) - $DecontamN),
+       |    i -> array_join(slice($arr, i + 1, $DecontamN), ' '))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** The benchmark's matchable surface: distinct 8-grams of each eval
+    * doc's first [[DecontamSnip]] tokens. */
+  private[graft] def decontamEvalGrams(evalDocs: DataFrame): DataFrame =
+    evalDocs
       .withColumn("w", split(col("text"), " "))
       .select(explode(gramsOf(s"slice(w, 1, $DecontamSnip)")).as("gram"))
       .distinct()
-    val train = docs.filter(!isEval)
+
+  /** Per-doc graded verdict for a (doc_id, source, text) frame against
+    * an eval-gram set — the ONE classification definition the batch
+    * query and the streaming screen both run (the extractFrame
+    * factoring discipline); works identically on a micro-batch. */
+  private[graft] def decontamClassFrame(docs: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val train = docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
         greatest(size(col("w")) - lit(DecontamN - 1), lit(0))
@@ -249,7 +257,7 @@ object PipelineOps {
       .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dirty"))
-    val classed = train.drop("grams")
+    train.drop("grams")
       .join(dirty, Seq("doc_id"), "left")
       .withColumn("dirty", coalesce(col("dirty"), lit(0L)))
       .withColumn("dirty_e6",
@@ -259,6 +267,15 @@ object PipelineOps {
         when(col("dirty") === 0L, lit("clean"))
           .when(col("dirty_e6") >= DecontamThreshE6, lit("contaminated"))
           .otherwise(lit("partial")))
+  }
+
+  def decontamGraded(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 10 === 7
+    val evalGrams = decontamEvalGrams(docs.filter(isEval))
+    val classed = decontamClassFrame(
+      docs.filter(!isEval).select(col("doc_id"), col("source"), col("text")),
+      evalGrams)
     classed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("class") === "clean", 1L).otherwise(0L)).as("n_clean"),

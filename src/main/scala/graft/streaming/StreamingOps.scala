@@ -73,6 +73,32 @@ object StreamingOps {
       graft.ops.HtmlOps.warcSplitFrame(files)
         .select(col("doc_id"), col("raw")))
 
+  /** Streaming benchmark decontamination — the graded screen
+    * (`q_decontam_graded`) run the way ingestion actually needs it:
+    * every ARRIVING document graded against the STANDING eval-gram
+    * set before it may enter the corpus. Each micro-batch runs the
+    * batch op's own factored
+    * [[graft.ops.PipelineOps.decontamClassFrame]] (one classification
+    * definition) against the static eval frame — a stream-static
+    * equi-join on the gram stream, stateless (the benchmark is fixed;
+    * no state store), so the per-doc verdicts append to a ledger and
+    * replay just re-appends byte-identical rows a reader dedups on
+    * doc_id (the winnowStream crash contract).
+    *
+    * Scale shape per micro-batch: identical to batch — map-side gram
+    * explode, the UNHINTED bounded eval join (AQE broadcasts it), one
+    * doc-keyed count; the eval set loads once, not per batch. */
+  def decontamStream(docs: DataFrame, evalGrams: DataFrame,
+      ledgerTbl: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.PipelineOps.decontamClassFrame(batch.toDF(), evalGrams)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming Naive-Bayes scoring — the SERVE leg of the
     * train→infer→serve loop ([[graft.ops.CurationOps.nbTrain]] trains,
     * `nbInfer` evaluates, this scores arrivals): each micro-batch is

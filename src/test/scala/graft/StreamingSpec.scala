@@ -509,6 +509,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination ledger equals the batch graded screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/decontam_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val docs = Tables.documents(spark, sfTiny)
+    val evalGrams = graft.ops.PipelineOps
+      .decontamEvalGrams(docs.filter(col("doc_id") % 10 === 7))
+      .localCheckpoint(true)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.decontamStream(
+      input.toDF().toDF("doc_id", "source", "text"), evalGrams, base)
+    try {
+      val arrivals = train.as[(Long, String, String)].collect().sortBy(_._1)
+      arrivals.grouped(97).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val ledger = spark.read.parquet(base).collect()
+        .map(r => (r.getLong(0), r.getString(5))).sorted.toSeq
+      val batch = graft.ops.PipelineOps
+        .decontamClassFrame(train, evalGrams).collect()
+        .map(r => (r.getLong(0), r.getString(5))).sorted.toSeq
+      assert(ledger == batch,
+        s"ledger ${ledger.size} rows != batch ${batch.size}")
+      // the stream actually saw both nonclean classes
+      assert(ledger.map(_._2).toSet == Set("clean", "partial", "contaminated"))
+    } finally q.stop()
+  }
+
   test("streaming NB scoring equals batch inference against the materialized model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
