@@ -1679,6 +1679,105 @@ object CurationOps {
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- DoReMi domain mixture
+  /** DoReMi-style LEARNED domain mixture (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    * the third leg of the mixture family: [[graft.ops.TextOps]]'
+    * temperatureMix is the HEURISTIC α-sampling rule,
+    * [[importanceWeights]] (DSIR) picks per-DOCUMENT, this LEARNS
+    * per-DOMAIN weights from model feedback. The proxy signal is each
+    * source's cross-entropy under the corpus unigram LM (the
+    * [[graft.ops.TextOps]] unigramLogprob lattice — micro-nat
+    * quantization before any sum, so the corpus reduction is exact
+    * integer arithmetic); the reference loss is the corpus-wide CE;
+    * a domain's EXCESS loss (clipped at 0, the DoReMi rule) drives an
+    * exponentiated-gradient step w ∝ exp(η·excess) with η = 1,
+    * normalized on the integer lattice and smoothed 4:1 with uniform
+    * (DoReMi's c-mixing) so no domain starves. The upsample column is
+    * the allocation consequence: weight ÷ natural token share — how
+    * many effective epochs the mixture asks of each domain.
+    *
+    * Scale shape: one corpus token explode + the UNHINTED vocab join
+    * (the unigramLogprob discipline — AQE broadcasts at small SF,
+    * shuffle-joins at scale), then ONE source-keyed rollup; everything
+    * after runs on the cached source-sized frame (two A6 broadcast
+    * scalars: reference loss, normalizer). exp/ln parity follows the
+    * dsirResample/unigramLogprob precedent: both engines evaluate the
+    * transcendental on the IDENTICAL rational and quantize to e6.
+    */
+  def doremiMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    // corpus-vocabulary-sized: deliberately UNHINTED (8 GB-cliff
+    // rationale at TextOps.unigramLogprob)
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val dom = toks.join(freqs, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lp_e6")).as("slp"))
+      .cache() // source-sized; the corpus explode must not run 3×
+    val ref = dom.agg(sum(col("slp")).as("slp_all"),
+      sum(col("n_toks")).as("n_all"))
+      .select(expr("(-slp_all) DIV n_all").as("ref_e6"), col("n_all"))
+    val stepped = dom.crossJoin(broadcast(ref))
+      .withColumn("loss_e6", expr("(-slp) DIV n_toks"))
+      .withColumn("excess_e6",
+        greatest(lit(0L), col("loss_e6") - col("ref_e6")))
+      .withColumn("w_raw_e6",
+        greatest(lit(1L),
+          round(exp(col("excess_e6").cast("double") / lit(1000000.0)) *
+            lit(1000000.0), 0).cast("long")))
+    val norm = stepped.agg(sum(col("w_raw_e6")).as("w_tot"),
+      count(lit(1)).as("n_dom"))
+    stepped.crossJoin(broadcast(norm))
+      .withColumn("soft_e6", expr("w_raw_e6 * 1000000 DIV w_tot"))
+      .withColumn("weight_e6",
+        expr("(4 * soft_e6 + 1000000 DIV n_dom) DIV 5"))
+      .select(col("source"), col("n_toks"), col("loss_e6"),
+        col("excess_e6"), col("weight_e6"),
+        expr("weight_e6 * n_all DIV n_toks").as("upsample_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val doremiMixOracle =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+      |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+      |dom AS (
+      |  SELECT source, COUNT(*) AS n_toks,
+      |         CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot)
+      |                 * 1000000.0) AS BIGINT)) AS BIGINT) AS slp
+      |  FROM toks JOIN freqs USING (term) CROSS JOIN tot
+      |  GROUP BY source),
+      |ref AS (SELECT (-SUM(slp)) // SUM(n_toks) AS ref_e6,
+      |               CAST(SUM(n_toks) AS BIGINT) AS n_all
+      |        FROM dom),
+      |stepped AS (
+      |  SELECT source, n_toks, (-slp) // n_toks AS loss_e6,
+      |         GREATEST(0, (-slp) // n_toks - ref_e6) AS excess_e6,
+      |         GREATEST(1, CAST(ROUND(exp(CAST(GREATEST(0,
+      |             (-slp) // n_toks - ref_e6) AS DOUBLE) / 1000000.0)
+      |             * 1000000.0) AS BIGINT)) AS w_raw_e6,
+      |         n_all
+      |  FROM dom CROSS JOIN ref),
+      |norm AS (SELECT CAST(SUM(w_raw_e6) AS BIGINT) AS w_tot,
+      |                COUNT(*) AS n_dom
+      |         FROM stepped)
+      |SELECT source, n_toks,
+      |       CAST(loss_e6 AS BIGINT) AS loss_e6,
+      |       CAST(excess_e6 AS BIGINT) AS excess_e6,
+      |       CAST((4 * (w_raw_e6 * 1000000 // w_tot) + 1000000 // n_dom) // 5
+      |            AS BIGINT) AS weight_e6,
+      |       CAST(((4 * (w_raw_e6 * 1000000 // w_tot) + 1000000 // n_dom) // 5)
+      |            * n_all // n_toks AS BIGINT) AS upsample_e6
+      |FROM stepped CROSS JOIN norm
+      |ORDER BY source""".stripMargin
+
   // --------------------------------------------- Bradley-Terry ranking
   /** Bradley–Terry strength estimation from pairwise preferences — the
     * PREFERENCE-side trainer, completing the training triptych: [[nbTrain]]
@@ -1823,6 +1922,7 @@ object CurationOps {
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_bradley_terry" -> (bradleyTerry _),
+    "q_doremi_mix" -> (doremiMix _),
     "q_greedy_cover" -> (greedyCover _),
     "q_fasttext_score" -> (fasttextScore _),
     "q_record_linkage" -> (recordLinkage _),
@@ -1850,6 +1950,7 @@ object CurationOps {
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
+    "q_doremi_mix" -> doremiMixOracle,
     "q_greedy_cover" -> greedyCoverOracle,
     "q_fasttext_score" -> fasttextScoreOracle,
     "q_record_linkage" -> recordLinkageOracle,

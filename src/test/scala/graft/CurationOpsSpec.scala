@@ -552,6 +552,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
   }
 
+  test("DoReMi mixture: learned weights track excess loss, smoothing floors hold") {
+    val rows = CurationOps.doremiMix(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDom = rows.length
+    assert(nDom == 20)
+    // brute-force the per-source CE on the same integer lattice
+    val docs = Tables.documents(spark, sfSmall)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val all = docs.flatMap(_._2)
+    val nTot = all.length.toLong
+    val tf = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val truth = docs.groupBy(_._1).view.mapValues { g =>
+      val toks = g.flatMap(_._2)
+      val slp = toks.map(t =>
+        math.round(math.log(tf(t).toDouble / nTot) * 1000000.0)).sum
+      (toks.length.toLong, -slp / toks.length)
+    }.toMap
+    rows.foreach { case (src, nToks, loss, excess, _, _) =>
+      assert((nToks, loss) == truth(src), s"$src CE lattice diverges")
+      assert(excess >= 0L, s"$src excess not clipped")
+    }
+    // monotone: more excess loss never gets LESS weight
+    rows.sortBy(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5, s"weight order breaks excess order: $a vs $b")
+    }
+    // normalization (floor rounding loses < 2 per domain) and the
+    // 20%-of-uniform smoothing floor that keeps every domain alive
+    val wSum = rows.map(_._5).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - 2L * nDom, s"mass $wSum")
+    val floor = (1000000L / nDom) / 5
+    rows.foreach { case (src, _, _, _, w, _) =>
+      assert(w >= floor, s"$src weight $w under the smoothing floor $floor") }
+  }
+
   test("Bradley-Terry recovers the latent strength ordering exactly") {
     val rows = CurationOps.bradleyTerry(spark, sfSmall).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
