@@ -101,6 +101,118 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------- bitext mining
+  /** Margin-based bitext mining (Artetxe & Schwenk '19; the LASER/
+    * CCMatrix construction behind every large multilingual parallel
+    * corpus): candidate translation pairs are NOT the raw cosine
+    * top-1 — hubness makes some vectors everyone's neighbor — but the
+    * pairs whose cosine stands out against each side's own
+    * neighborhood: margin(x,y) = cos(x,y) / ((Σ_{NN_k(x)} cos)/2k +
+    * (Σ_{NN_k(y)} cos)/2k), kept when the FORWARD and BACKWARD best
+    * matches agree (the "max" strategy's mutual filter) and the
+    * margin clears [[BitextThreshE6]]. Sides: even/odd vec_id (the
+    * stand-in for two languages' encoder outputs; the machinery —
+    * margin scoring, mutual-best join — is side-agnostic). Parity:
+    * each cosine quantizes to the e9 lattice ONCE, so the kNN sums
+    * and the margin (cos·2k·1e6 DIV (sa+sb)) are exact integer
+    * arithmetic — order-free, no float sums cross engines.
+    *
+    * Scale shape: the dense A×B scoring here is the fixture-scale
+    * stand-in for the IVF-probed candidate set ([[annIvf]]'s layout —
+    * swap the crossJoin for the probe and everything downstream is
+    * unchanged); the scored frame is cached (one dot-product pass,
+    * not four — the dsirResample narrow-frame discipline), vectors
+    * are DROPPED before any exchange (the round-5 array-shuffle
+    * lesson), per-side windows partition by the side's id (parallel,
+    * never global), and the mutual filter is two keyed equi-joins.
+    */
+  private val BitextK = 4
+  private val BitextThreshE6 = 1050000L
+
+  def bitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val aSide = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("norm").as("an"), col("label").as("a_label"))
+    val bSide = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        col("norm").as("bn"), col("label").as("b_label"))
+    val pairs = aSide.crossJoin(bSide)
+      .withColumn("cos_e9",
+        round(cosine("av", "an", "bv", "bn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
+        col("cos_e9"))
+      .cache() // one dot-product pass feeds four consumers
+    val wA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_e9").desc, col("b_id"))
+    val wB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_e9").desc, col("a_id"))
+    val sumA = pairs.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("a_id")).agg(sum(col("cos_e9")).as("sa"))
+    val sumB = pairs.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("b_id")).agg(sum(col("cos_e9")).as("sb"))
+    val margins = pairs
+      .join(sumA, Seq("a_id")).join(sumB, Seq("b_id"))
+      .withColumn("margin_e6",
+        expr(s"cos_e9 * ${2 * BitextK} * 1000000 DIV (sa + sb)"))
+    val bestA = margins.withColumn("r", row_number().over(
+      Window.partitionBy(col("a_id"))
+        .orderBy(col("margin_e6").desc, col("b_id"))))
+      .filter(col("r") === 1).drop("r")
+    val bestB = margins.withColumn("r", row_number().over(
+      Window.partitionBy(col("b_id"))
+        .orderBy(col("margin_e6").desc, col("a_id"))))
+      .filter(col("r") === 1)
+      .select(col("b_id"), col("a_id").as("back_a"))
+    bestA.join(bestB, Seq("b_id"))
+      .filter(col("a_id") === col("back_a") &&
+        col("margin_e6") >= BitextThreshE6)
+      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
+        col("cos_e9"), col("margin_e6"))
+      .orderBy(col("a_id"))
+  }
+
+  private val bitextMineOracle =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS a_label
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS b_id, embedding AS bv, label AS b_label
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |pairs AS (
+       |  SELECT a_id, b_id, a_label, b_label,
+       |         CAST(ROUND(${cosineSql("av", "bv")} * 1000000000.0)
+       |              AS BIGINT) AS cos_e9
+       |  FROM a CROSS JOIN b),
+       |sa AS (SELECT a_id, CAST(SUM(cos_e9) AS BIGINT) AS sa
+       |       FROM (SELECT a_id, cos_e9,
+       |               ROW_NUMBER() OVER (PARTITION BY a_id
+       |                 ORDER BY cos_e9 DESC, b_id) AS r FROM pairs)
+       |       WHERE r <= $BitextK GROUP BY a_id),
+       |sb AS (SELECT b_id, CAST(SUM(cos_e9) AS BIGINT) AS sb
+       |       FROM (SELECT b_id, cos_e9,
+       |               ROW_NUMBER() OVER (PARTITION BY b_id
+       |                 ORDER BY cos_e9 DESC, a_id) AS r FROM pairs)
+       |       WHERE r <= $BitextK GROUP BY b_id),
+       |m AS (
+       |  SELECT pairs.*, cos_e9 * ${2 * BitextK} * 1000000 // (sa + sb)
+       |           AS margin_e6
+       |  FROM pairs JOIN sa USING (a_id) JOIN sb USING (b_id)),
+       |ba AS (SELECT * FROM (
+       |         SELECT m.*, ROW_NUMBER() OVER (PARTITION BY a_id
+       |           ORDER BY margin_e6 DESC, b_id) AS r FROM m)
+       |       WHERE r = 1),
+       |bb AS (SELECT b_id, a_id AS back_a FROM (
+       |         SELECT m.*, ROW_NUMBER() OVER (PARTITION BY b_id
+       |           ORDER BY margin_e6 DESC, a_id) AS r FROM m)
+       |       WHERE r = 1)
+       |SELECT ba.a_id, ba.b_id, ba.a_label, ba.b_label, ba.cos_e9,
+       |       CAST(ba.margin_e6 AS BIGINT) AS margin_e6
+       |FROM ba JOIN bb USING (b_id)
+       |WHERE ba.a_id = bb.back_a AND ba.margin_e6 >= $BitextThreshE6
+       |ORDER BY ba.a_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** Embedding near-dup pairs with a sign-LSH prefilter: vectors bucket
     * by the sign pattern of their first 6 dimensions (a quadrant hash);
@@ -1405,6 +1517,7 @@ object SimilarityOps {
     "q_ann_recall" -> (annRecall _),
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
+    "q_bitext_mine" -> (bitextMine _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
     "q_kmeans" -> (kmeansRefine _),
@@ -1424,6 +1537,7 @@ object SimilarityOps {
     "q_ann_recall" -> annRecallOracle,
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,
+    "q_bitext_mine" -> bitextMineOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_kmeans" -> kmeansRefineOracle,

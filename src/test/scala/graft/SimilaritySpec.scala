@@ -407,4 +407,59 @@ class SimilaritySpec extends SparkSpec {
       assert(b <= a + 1e-12, s"radius ladder increased: $ladder")
     }
   }
+
+  test("bitext mining == brute-force margin + mutual-best recompute") {
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val aS = vecs.filter(_._1 % 2 == 0)
+    val bS = vecs.filter(_._1 % 2 == 1)
+    def cosE9(x: Array[Double], y: Array[Double]): Long = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i)
+        ny += y(i) * y(i); i += 1 }
+      math.round(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e9)
+    }
+    val cos = (for { (ai, av, _) <- aS; (bi, bv, _) <- bS }
+      yield ((ai, bi), cosE9(av, bv))).toMap
+    val k = 4
+    val sa = aS.map { case (ai, _, _) =>
+      ai -> bS.map(b => (cos((ai, b._1)), b._1)).sortBy(t => (-t._1, t._2))
+        .take(k).map(_._1).sum }.toMap
+    val sb = bS.map { case (bi, _, _) =>
+      bi -> aS.map(a => (cos((a._1, bi)), a._1)).sortBy(t => (-t._1, t._2))
+        .take(k).map(_._1).sum }.toMap
+    def margin(ai: Long, bi: Long): Long =
+      cos((ai, bi)) * (2 * k) * 1000000L / (sa(ai) + sb(bi))
+    val bestA = aS.map { case (ai, _, _) =>
+      ai -> bS.map(b => (margin(ai, b._1), b._1))
+        .sortBy(t => (-t._1, t._2)).head._2 }.toMap
+    val bestB = bS.map { case (bi, _, _) =>
+      bi -> aS.map(a => (margin(a._1, bi), a._1))
+        .sortBy(t => (-t._1, t._2)).head._2 }.toMap
+    val want = bestA.toSeq.collect {
+      case (ai, bi) if bestB(bi) == ai && margin(ai, bi) >= 1050000L =>
+        (ai, bi, margin(ai, bi))
+    }.sortBy(_._1)
+    val got = ops.SimilarityOps.bitextMine(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+    assert(got == want, s"mined ${got.size} pairs, truth ${want.size}")
+    // mutuality: no id appears twice on either side
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.nonEmpty && got.map(_._2).distinct.size == got.size)
+    // every mined pair clears the margin threshold
+    assert(got.forall(_._3 >= 1050000L))
+    // the margin's reason to exist: it must actually RERANK — for some
+    // queries the margin-best differs from the raw-cosine-best (a
+    // hubby neighbor with an inflated neighborhood gets discounted);
+    // if this never fires the margin is a no-op on the fixture
+    val rerank = aS.count { case (ai, _, _) =>
+      val cosBest = bS.map(b => (cos((ai, b._1)), b._1))
+        .sortBy(t => (-t._1, t._2)).head._2
+      bestA(ai) != cosBest
+    }
+    assert(rerank > 0, "margin never disagreed with raw cosine")
+  }
 }
