@@ -23,6 +23,8 @@ object SparkEntry {
       "q_peak_hour" -> (gold.TypicalDay.peakHour _),
       "q_bq1_report" -> (gold.Report.bq1Report _)
     ) ++ ops.HtmlOps.queries ++
+      ops.EvalOps.queries ++
+      ops.ChatOps.queries ++
       ops.RelationalOps.queries ++
       ops.SketchOps.queries ++
       ops.StatsOps.queries ++
@@ -66,6 +68,8 @@ object SparkEntry {
       "q_peak_hour" -> gold.TypicalDay.peakHourOracle,
       "q_bq1_report" -> gold.Report.bq1ReportOracle
     ) ++ ops.HtmlOps.oracles ++
+      ops.EvalOps.oracles ++
+      ops.ChatOps.oracles ++
       ops.RelationalOps.oracles ++
       ops.SketchOps.oracles ++
       ops.StatsOps.oracles ++

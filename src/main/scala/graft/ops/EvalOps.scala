@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generation-eval metrics — the text-generation counterpart of the
+  * retrieval ([[RetrievalOps.ndcg]]) and classifier
+  * ([[CurationOps.nbInfer]] confusion) evaluation families: corpus-level
+  * BLEU (Papineni et al. ACL'02) and ROUGE-N recall (Lin 2004) between a
+  * deterministic synthetic "model output" and its reference.
+  *
+  * The reference repo has no generation eval (its domain is mobility
+  * analytics, reference README.md:1); this family exists because an
+  * LLM-data platform that trains models needs the same engine to score
+  * their outputs — the eval loop is a corpus-scale n-gram join, exactly
+  * this library's bread and butter.
+  */
+object EvalOps {
+
+  /** Every [[SubEvery]]-th candidate position is corrupted to this
+    * token — a deterministic stand-in for generation noise, so the
+    * metrics land strictly inside (0, 1) and clipping is exercised
+    * (the substituted token collides with real occurrences of "the"). */
+  private val SubTok = "the"
+  private val SubEvery = 7
+
+  // ------------------------------------------------------ gen eval
+  /** Corpus-level BLEU-2 + ROUGE-1/2 per language.
+    *
+    * Candidate construction (identical formula in both engines): the
+    * first ⌈0.8·n⌉ tokens of each document, with every 7th position
+    * (1-based) replaced by "the" — an 80%-length, ~86%-fidelity
+    * "generation" whose scores are nontrivial in every direction
+    * (brevity penalty < 1, clipped precisions < 1, recalls < 1).
+    *
+    * Semantics: modified n-gram precision with PER-DOCUMENT clipping
+    * (match(g) = min(count_cand(g), count_ref(g)) within the doc — the
+    * BLEU rule that defeats "the the the" gaming), corpus-level
+    * aggregation of matches and totals (micro-average, as BLEU
+    * specifies), brevity penalty exp(1 − r/c) for c < r, and BLEU-2 =
+    * BP · exp(½ ln p₁ + ½ ln p₂). ROUGE-N = Σ match / Σ ref-grams —
+    * the recall twin read off the same per-gram frame.
+    *
+    * Parity: matches/totals are exact integer sums. The BP exponent is
+    * a half-up e6 integer division of exact longs; ln p_n quantizes to
+    * e6 micro-nats from one IEEE division (the established micro-nat
+    * convention); BLEU reassembles by exp over the summed integer
+    * lattice. ROUGE is the stableAvg-idiom half-up e6 ratio — no float
+    * until the final rendering.
+    *
+    * Scale shape: ONE corpus-sized exchange — the union of tagged
+    * (doc, ord, gram) streams partial-aggregates into per-doc-per-gram
+    * counts (clipping is per doc, so the min is computable after one
+    * groupBy), then rolls up to a lang×2 frame. The bigram streams are
+    * built by per-doc lead() windows (bounded by document length —
+    * the winnowing discipline); nothing corpus-sized ever sorts
+    * globally or reaches the driver. At 100 TB: same plan, the
+    * (doc_id, gram) aggregate is the shuffle, partial map-side combine
+    * absorbs the token fan-out.
+    */
+  def genEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), size(col("ws")).as("n"),
+        posexplode(col("ws")))
+      .select(col("doc_id"), col("lang"), col("n"),
+        (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+
+    def tagged(ord: Int, gram: Column, isCand: Boolean)(df: DataFrame) =
+      df.select(col("doc_id"), col("lang"), lit(ord).as("ord"),
+        gram.as("gram"),
+        lit(if (isCand) 1L else 0L).as("is_cand"),
+        lit(if (isCand) 0L else 1L).as("is_ref"))
+
+    val ref1 = tagged(1, col("tok"), isCand = false)(toks)
+    val ref2 = tagged(2, concat_ws(" ", col("tok"), col("nxt")),
+      isCand = false)(
+      toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .filter(col("nxt").isNotNull))
+
+    // candidate prefix: pos ≤ ceil(0.8 n) = (4n+4) div 5, every 7th
+    // position substituted; positive operands, so div == // exactly
+    val cand = toks.filter(col("pos") <= expr("(4 * n + 4) div 5"))
+      .withColumn("tokm",
+        when(pmod(col("pos"), lit(SubEvery)) === 0, lit(SubTok))
+          .otherwise(col("tok")))
+    val cand1 = tagged(1, col("tokm"), isCand = true)(cand)
+    val cand2 = tagged(2, concat_ws(" ", col("tokm"), col("nxt")),
+      isCand = true)(
+      cand.withColumn("nxt", lead(col("tokm"), 1).over(wDoc))
+        .filter(col("nxt").isNotNull))
+
+    val perGram = ref1.unionByName(ref2).unionByName(cand1).unionByName(cand2)
+      .groupBy(col("doc_id"), col("lang"), col("ord"), col("gram"))
+      .agg(sum(col("is_cand")).as("c"), sum(col("is_ref")).as("r"))
+    val perOrd = perGram.groupBy(col("lang"), col("ord"))
+      .agg(sum(least(col("c"), col("r"))).cast("long").as("m"),
+        sum(col("c")).cast("long").as("c"),
+        sum(col("r")).cast("long").as("r"))
+    val wide = perOrd.groupBy(col("lang")).agg(
+      sum(when(col("ord") === 1, col("m")).otherwise(0L)).cast("long").as("m1"),
+      sum(when(col("ord") === 1, col("c")).otherwise(0L)).cast("long").as("c1"),
+      sum(when(col("ord") === 1, col("r")).otherwise(0L)).cast("long").as("r1"),
+      sum(when(col("ord") === 2, col("m")).otherwise(0L)).cast("long").as("m2"),
+      sum(when(col("ord") === 2, col("c")).otherwise(0L)).cast("long").as("c2"),
+      sum(when(col("ord") === 2, col("r")).otherwise(0L)).cast("long").as("r2"))
+
+    // exact-multiple floor division (the stableAvg idiom; nonneg here)
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den)
+    def halfUpRatioE6(num: Column, den: Column): Column = {
+      val n2 = num * 2000000L + den
+      floorDiv(n2, den * 2).cast("double") / 1000000.0
+    }
+    val lnP1 = round(log(greatest(col("m1"), lit(1L)).cast("double") /
+      col("c1").cast("double")) * 1000000.0, 0).cast("long")
+    val lnP2 = round(log(greatest(col("m2"), lit(1L)).cast("double") /
+      greatest(col("c2"), lit(1L)).cast("double")) * 1000000.0, 0).cast("long")
+    // BP deficit (r−c)/c ≥ 0 on the half-up e6 lattice — stays integer
+    val defN = (col("r1") - col("c1")) * 2000000L + col("c1")
+    val defE6 = floorDiv(defN, col("c1") * 2)
+    wide
+      .withColumn("lnp1_e6", lnP1)
+      .withColumn("lnp2_e6", lnP2)
+      .withColumn("def_e6", defE6)
+      .select(
+        col("lang"),
+        col("c1").as("cand_tokens"),
+        col("r1").as("ref_tokens"),
+        col("m1"), col("m2"),
+        halfUpRatioE6(col("m1"), col("r1")).as("rouge1"),
+        halfUpRatioE6(col("m2"), greatest(col("r2"), lit(1L))).as("rouge2"),
+        round(exp((col("lnp1_e6") + col("lnp2_e6") - col("def_e6") * 2L)
+          .cast("double") / 2000000.0) * 1000000.0, 0).cast("long")
+          .as("bleu2_e6"))
+      .orderBy(col("lang"))
+  }
+
+  private def halfUpRatioE6Sql(num: String, den: String): String =
+    s"CAST(((2000000*$num + $den) - (2000000*$num + $den) % (2*($den))) " +
+      s"// (2*($den)) AS DOUBLE) / 1000000.0"
+
+  private val genEvalOracle = {
+    val candLen = "(4 * len(ws) + 4) // 5"
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |ref1 AS (SELECT doc_id, lang, 1 AS ord, ws[i] AS gram,
+       |                0 AS is_cand, 1 AS is_ref
+       |         FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |ref2 AS (SELECT doc_id, lang, 2, ws[i] || ' ' || ws[i+1], 0, 1
+       |         FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+       |cand1 AS (SELECT doc_id, lang, 1,
+       |                 CASE WHEN i % $SubEvery = 0 THEN '$SubTok'
+       |                      ELSE ws[i] END, 1, 0
+       |          FROM d, UNNEST(range(1, $candLen + 1)) AS t(i)),
+       |cand2 AS (SELECT doc_id, lang, 2,
+       |                 (CASE WHEN i % $SubEvery = 0 THEN '$SubTok'
+       |                       ELSE ws[i] END) || ' ' ||
+       |                 (CASE WHEN (i+1) % $SubEvery = 0 THEN '$SubTok'
+       |                       ELSE ws[i+1] END), 1, 0
+       |          FROM d, UNNEST(range(1, $candLen)) AS t(i)),
+       |g AS (SELECT * FROM ref1 UNION ALL SELECT * FROM ref2
+       |      UNION ALL SELECT * FROM cand1 UNION ALL SELECT * FROM cand2),
+       |pg AS (SELECT doc_id, lang, ord, gram,
+       |              SUM(is_cand) AS c, SUM(is_ref) AS r
+       |       FROM g GROUP BY doc_id, lang, ord, gram),
+       |po AS (SELECT lang, ord,
+       |              CAST(SUM(LEAST(c, r)) AS BIGINT) AS m,
+       |              CAST(SUM(c) AS BIGINT) AS c,
+       |              CAST(SUM(r) AS BIGINT) AS r
+       |       FROM pg GROUP BY lang, ord),
+       |wide AS (SELECT lang,
+       |    CAST(SUM(CASE WHEN ord = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+       |    CAST(SUM(CASE WHEN ord = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN ord = 1 THEN r ELSE 0 END) AS BIGINT) AS r1,
+       |    CAST(SUM(CASE WHEN ord = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+       |    CAST(SUM(CASE WHEN ord = 2 THEN c ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(SUM(CASE WHEN ord = 2 THEN r ELSE 0 END) AS BIGINT) AS r2
+       |  FROM po GROUP BY lang),
+       |f AS (SELECT *,
+       |    CAST(ROUND(ln(CAST(GREATEST(m1, 1) AS DOUBLE) / c1)
+       |               * 1000000.0) AS BIGINT) AS lnp1_e6,
+       |    CAST(ROUND(ln(CAST(GREATEST(m2, 1) AS DOUBLE) / GREATEST(c2, 1))
+       |               * 1000000.0) AS BIGINT) AS lnp2_e6,
+       |    ((2000000*(r1 - c1) + c1) - (2000000*(r1 - c1) + c1) % (2*c1))
+       |      // (2*c1) AS def_e6
+       |  FROM wide)
+       |SELECT lang, c1 AS cand_tokens, r1 AS ref_tokens, m1, m2,
+       |       ${halfUpRatioE6Sql("m1", "r1")} AS rouge1,
+       |       ${halfUpRatioE6Sql("m2", "GREATEST(r2, 1)")} AS rouge2,
+       |       CAST(ROUND(exp(CAST(lnp1_e6 + lnp2_e6 - 2*def_e6 AS DOUBLE)
+       |                      / 2000000.0) * 1000000.0) AS BIGINT)
+       |         AS bleu2_e6
+       |FROM f ORDER BY lang""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gen_eval" -> (genEval _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_gen_eval" -> genEvalOracle
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.EvalOps
+
+/** Ground-truth check for the generation-eval family: a full driver-side
+  * BLEU-2/ROUGE recompute (independent code path — plain Scala maps over
+  * the collected corpus, no SQL) must equal the operator's output
+  * column-for-column on the integer lattice, plus the metric-range
+  * invariants a scorer must satisfy.
+  */
+class EvalOpsSpec extends SparkSpec {
+
+  private def truth(): Map[String, (Long, Long, Long, Long, Long, Long)] = {
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // per (lang, ord): (m, c, r)
+    val acc = scala.collection.mutable.Map[(String, Int), (Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L))
+    for ((_, lang, text) <- docs) {
+      val ws = text.split(" ")
+      val n = ws.length
+      val candLen = (4 * n + 4) / 5
+      val cand = (1 to candLen).map(i => if (i % 7 == 0) "the" else ws(i - 1))
+      def grams(ts: Seq[String], ord: Int): Map[String, Long] =
+        (if (ord == 1) ts else ts.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq)
+          .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+      for (ord <- 1 to 2) {
+        val cg = grams(cand, ord); val rg = grams(ws.toSeq, ord)
+        val m = (cg.keySet ++ rg.keySet).toSeq
+          .map(g => math.min(cg.getOrElse(g, 0L), rg.getOrElse(g, 0L))).sum
+        val (pm, pc, pr) = acc((lang, ord))
+        acc((lang, ord)) = (pm + m, pc + cg.values.sum, pr + rg.values.sum)
+      }
+    }
+    acc.keys.map(_._1).toSet.map { (l: String) =>
+      val (m1, c1, r1) = acc((l, 1)); val (m2, c2, r2) = acc((l, 2))
+      l -> (m1, c1, r1, m2, c2, r2)
+    }.toMap
+  }
+
+  private def halfUpE6(num: Long, den: Long): Long = {
+    val n2 = num * 2000000L + den
+    Math.floorDiv(n2, den * 2)
+  }
+
+  test("genEval equals a driver-side BLEU/ROUGE recompute per language") {
+    val out = EvalOps.genEval(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = truth()
+    assert(out.keySet == t.keySet)
+    for ((lang, (m1, c1, r1, m2, c2, r2)) <- t) {
+      val row = out(lang)
+      assert(row.getLong(1) == c1 && row.getLong(2) == r1)
+      assert(row.getLong(3) == m1 && row.getLong(4) == m2)
+      assert(row.getDouble(5) == halfUpE6(m1, r1) / 1000000.0)
+      assert(row.getDouble(6) == halfUpE6(m2, math.max(r2, 1L)) / 1000000.0)
+      val lnp1 = math.round(math.log(math.max(m1, 1L).toDouble / c1) * 1e6)
+      val lnp2 = math.round(
+        math.log(math.max(m2, 1L).toDouble / math.max(c2, 1L)) * 1e6)
+      val defE6 = halfUpE6(r1 - c1, c1)
+      val bleu = math.round(
+        math.exp((lnp1 + lnp2 - 2 * defE6).toDouble / 2000000.0) * 1e6)
+      assert(row.getLong(7) == bleu)
+    }
+  }
+
+  test("genEval metric invariants: clipped precision/recall bounds") {
+    for (r <- EvalOps.genEval(spark, sfTiny).collect()) {
+      val (c1, r1, m1, m2) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m1 <= math.min(c1, r1)) // clipping caps matches both ways
+      assert(m2 <= m1)               // bigram matches can't beat unigram
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+      // BP < 1 (candidate is a strict ≤80% prefix at any n > 5) and
+      // precisions ≤ 1 ⇒ BLEU strictly below 1e6
+      assert(r.getLong(7) > 0 && r.getLong(7) < 1000000L)
+    }
+  }
+}
