@@ -452,4 +452,56 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L).size < nGrams / 2, s"fingerprint density too high: ${fp(1L).size}")
   }
 
+  /** Driver-side replay of the CDC cut rule (boundary after word i iff
+    * md5-60bit of the trailing 3-gram ≡ 0 mod 8, i ≥ 3). */
+  private def cdcChunks(ws: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[Seq[String]]()
+    var cur = scala.collection.mutable.Buffer[String]()
+    for (i <- 1 to ws.length) {
+      cur += ws(i - 1)
+      if (i >= 3 && md5Long(s"${ws(i - 3)} ${ws(i - 2)} ${ws(i - 1)}") % 8 == 0) {
+        out += cur.toSeq; cur = scala.collection.mutable.Buffer[String]()
+      }
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq.map(_.mkString(" "))
+  }
+
+  test("cdcChunk: boundaries re-align after a prefix insertion (the CDC property)") {
+    // a long stream (several docs concatenated) so many cuts exist
+    val ws = Tables.documents(spark, sfSmall)
+      .orderBy(col("doc_id")).limit(8).collect()
+      .flatMap(_.getAs[String]("text").split(" ")).toSeq
+    val orig = cdcChunks(ws)
+    val edited = cdcChunks(Seq("inserted", "prefix", "words") ++ ws)
+    // fixed-size blocks would shift EVERY block; content-defined cuts
+    // re-align at the first post-insertion boundary, so the two chunk
+    // sequences share their entire tail
+    val shared = orig.reverse.zip(edited.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(orig.size > 3, s"fixture doc chunked into only ${orig.size}")
+    assert(shared >= orig.size - 2,
+      s"CDC re-alignment failed: only $shared of ${orig.size} tail chunks survive a prefix edit")
+  }
+
+  test("cdcChunk: per-source census conserves the global chunk store") {
+    val rows = ops.DedupOps.cdcChunk(spark, sfSmall).collect()
+    val toks = Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).split(" ").toSeq)
+    val all = toks.flatMap(cdcChunks)
+    assert(rows.map(_.getAs[Long]("chunks")).sum == all.length)
+    assert(rows.map(_.getAs[Long]("bytes_logical")).sum ==
+      all.map(_.length.toLong).sum)
+    // owned chunks partition the distinct store: every distinct chunk
+    // owned exactly once, and stored bytes count each text once
+    assert(rows.map(_.getAs[Long]("chunks_owned")).sum == all.distinct.length)
+    assert(rows.map(_.getAs[Long]("bytes_stored")).sum ==
+      all.distinct.map(_.length.toLong).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_stored") <= r.getAs[Long]("bytes_logical"))
+      val share = r.getAs[Double]("stored_share")
+      assert(share >= 0 && share <= 1)
+    }
+  }
+
 }
