@@ -1505,7 +1505,123 @@ object SimilarityOps {
       .stripMargin
   }
 
+  // ------------------------------------------------- PCA power iteration
+  /** Embedding dimensionality (the testdata layout [[pqAnn]] also pins:
+    * m=16 × 4-dim subvectors). */
+  private val PcaDim = 64
+  private val PcaRounds = 3
+
+  /** Top principal component of the embedding cloud by power iteration —
+    * the whitening/rotation primitive every serious ANN stack runs
+    * before quantization (OPQ's R, PCA-reduction before IVF; Jégou
+    * et al. TPAMI'11): the dominant covariance direction is where
+    * quantizers misallocate bits, and centering+rotating by it is the
+    * cheapest fix. Three unrolled iterations v ← S·v / ‖S·v‖∞ from the
+    * all-ones start, each round's vector reported (v1/v2/v3 columns) so
+    * convergence is visible in the output itself.
+    *
+    * Exact arithmetic end to end: components quantize once to the e6
+    * lattice (ROUND half-away-from-zero — identical both engines);
+    * the scatter matrix is the exact integer n·Σxᵢxⱼ − (Σxᵢ)(Σxⱼ)
+    * (scaled covariance — no division, so no lattice loss; magnitudes
+    * ≤ ~2.3e18 at sf0.1, within long, with the DECIMAL(38) swap one
+    * cast away at corpus scale); the mat-vec accumulates in
+    * DECIMAL(38,0)/HUGEINT (≤ ~1.4e26) and renormalizes by the max
+    * component on the signed half-up e6 lattice. No float enters the
+    * iteration, so Spark and DuckDB agree bit-for-bit — eigensolvers
+    * are exactly where last-ulp drift compounds round over round.
+    *
+    * Scale shape: the corpus-sized work is ONE pass building 4096
+    * moment cells (second explode → map-side partial aggregation;
+    * nothing wider than (i, j, xi·xj) ever shuffles, and the cell
+    * frame is localCheckpointed once for its three consumers). The
+    * iteration itself runs on dim-sized frames (64 rows) with
+    * broadcast joins and 1-row max aggregates — free at any corpus
+    * size, which is why power iteration (not full eigendecomposition)
+    * is the 100 TB method of choice.
+    */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000.0, 0).cast("long")).as("xq"))
+    val ex1 = e.select(col("xq"), posexplode(col("xq")))
+      .select(col("xq"), (col("pos") + 1).as("i"), col("col").as("xi"))
+    val cells = ex1.select(col("i"), col("xi"), posexplode(col("xq")))
+      .select(col("i"), col("xi"), (col("pos") + 1).as("j"), col("col").as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxx"))
+    val s1 = e.select(posexplode(col("xq")))
+      .select((col("pos") + 1).as("i"), col("col").as("xi"))
+      .groupBy(col("i")).agg(sum(col("xi")).as("sx"))
+    val nRow = e.agg(count(lit(1)).as("n"))
+    // scatter = n·Σxixj − Σxi·Σxj, exact; one corpus pass, then 4096 rows
+    val scat = cells
+      .join(broadcast(s1), Seq("i"))
+      .join(broadcast(s1.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("n") * col("sxx") - col("sx") * col("sx_j")).as("s"))
+      .localCheckpoint()
+
+    def signedHalfUpE6Dec(num: Column, den: Column): Column = {
+      val a = abs(num) * lit(2000000L)
+      val h = call_function("div", a + den - pmod(a + den, den * 2), den * 2)
+      when(num < 0, -h).otherwise(h).cast("long")
+    }
+    def step(v: DataFrame): DataFrame = {
+      val u = scat.join(broadcast(v), col("j") === col("d"))
+        .groupBy(col("i"))
+        .agg(sum(col("s").cast("decimal(38,0)") * col("v")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      u.crossJoin(broadcast(m))
+        .select(col("i").as("d"), signedHalfUpE6Dec(col("u"), col("m")).as("v"))
+    }
+    val v0 = spark.range(1, PcaDim + 1)
+      .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
+    val v1 = step(v0).localCheckpoint()
+    val v2 = step(v1).localCheckpoint()
+    val v3 = step(v2).localCheckpoint()
+    v1.select(col("d"), col("v").as("v1_e6"))
+      .join(v2.select(col("d"), col("v").as("v2_e6")), Seq("d"))
+      .join(v3.select(col("d"), col("v").as("v3_e6")), Seq("d"))
+      .orderBy(col("d"))
+  }
+
+  private val pcaPowerOracle = {
+    val rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""u$k AS (SELECT S.i, SUM(CAST(S.s AS HUGEINT) * v.v) AS u
+         |        FROM S JOIN $prev v ON v.d = S.j GROUP BY S.i),
+         |m$k AS (SELECT MAX(ABS(u)) AS m FROM u$k),
+         |v$k AS (SELECT i AS d, CASE WHEN u < 0 THEN -h ELSE h END AS v
+         |        FROM (SELECT i, u,
+         |                ((ABS(u)*2000000 + m) - (ABS(u)*2000000 + m) % (2*m))
+         |                  // (2*m) AS h
+         |              FROM u$k CROSS JOIN m$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+       |             AS xq FROM embeddings),
+       |n AS (SELECT COUNT(*) AS n FROM e),
+       |cells AS (SELECT i, j, CAST(SUM(xq[i] * xq[j]) AS BIGINT) AS sxx
+       |          FROM e, UNNEST(range(1, ${PcaDim + 1})) t1(i),
+       |               UNNEST(range(1, ${PcaDim + 1})) t2(j)
+       |          GROUP BY i, j),
+       |s1 AS (SELECT i, CAST(SUM(xq[i]) AS BIGINT) AS sx
+       |       FROM e, UNNEST(range(1, ${PcaDim + 1})) t1(i) GROUP BY i),
+       |S AS (SELECT c.i, c.j, n.n * c.sxx - a.sx * b.sx AS s
+       |      FROM cells c JOIN s1 a ON a.i = c.i JOIN s1 b ON b.i = c.j
+       |      CROSS JOIN n),
+       |v0 AS (SELECT CAST(i AS INTEGER) AS d, CAST(1000000 AS HUGEINT) AS v
+       |       FROM UNNEST(range(1, ${PcaDim + 1})) t(i)),
+       |$rounds
+       |SELECT CAST(v1.d AS INTEGER) AS d, CAST(v1.v AS BIGINT) AS v1_e6,
+       |       CAST(v2.v AS BIGINT) AS v2_e6, CAST(v3.v AS BIGINT) AS v3_e6
+       |FROM v1 JOIN v2 USING (d) JOIN v3 USING (d) ORDER BY d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_power" -> (pcaPower _),
     "q_kcenter" -> (kcenter _),
     "q_ivfpq_ann" -> (ivfpqAnn _),
     "q_semdedup" -> (semDedup _),
@@ -1526,6 +1642,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pca_power" -> pcaPowerOracle,
     "q_kcenter" -> kcenterOracle,
     "q_ivfpq_ann" -> ivfpqAnnOracle,
     "q_semdedup" -> semDedupOracle,

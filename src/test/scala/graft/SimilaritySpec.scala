@@ -462,4 +462,51 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rerank > 0, "margin never disagreed with raw cosine")
   }
+
+  test("pcaPower equals a driver-side BigInt power iteration exactly") {
+    val xs = Tables.embeddings(spark, sfTiny)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.round(x.toDouble * 1e6)).toArray)
+    val dim = xs.head.length
+    val n = BigInt(xs.length)
+    val sxx = Array.ofDim[BigInt](dim, dim)
+    val sx = Array.fill[BigInt](dim)(0)
+    for (i <- 0 until dim; j <- 0 until dim)
+      sxx(i)(j) = xs.map(v => BigInt(v(i)) * v(j)).sum
+    for (i <- 0 until dim) sx(i) = xs.map(v => BigInt(v(i))).sum
+    val s = Array.tabulate(dim, dim)((i, j) => n * sxx(i)(j) - sx(i) * sx(j))
+    def stepV(v: Array[BigInt]): Array[BigInt] = {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => s(i)(j) * v(j)).sum)
+      val m = u.map(_.abs).max
+      u.map { ui =>
+        val h = (ui.abs * 2000000 + m) / (m * 2) // floor of half-up form
+        if (ui < 0) -h else h
+      }
+    }
+    val v1 = stepV(Array.fill[BigInt](dim)(1000000))
+    val v2 = stepV(v1); val v3 = stepV(v2)
+    val rows = SimilarityOps.pcaPower(spark, sfTiny).collect()
+    assert(rows.length == dim)
+    for (r <- rows) {
+      val d = r.getInt(0) - 1
+      assert(BigInt(r.getLong(1)) == v1(d) && BigInt(r.getLong(2)) == v2(d) &&
+        BigInt(r.getLong(3)) == v3(d), s"round vectors differ at dim $d")
+    }
+    // power iteration must actually converge toward the dominant
+    // eigenvector: successive cosines increase, Rayleigh quotient rises
+    def cosv(a: Array[BigInt], b: Array[BigInt]): Double = {
+      val num = (0 until dim).map(i => a(i) * b(i)).sum
+      val na = math.sqrt((0 until dim).map(i => a(i) * a(i)).sum.toDouble)
+      val nb = math.sqrt((0 until dim).map(i => b(i) * b(i)).sum.toDouble)
+      num.toDouble / (na * nb)
+    }
+    def rayleigh(v: Array[BigInt]): Double = {
+      val num = (0 until dim).flatMap(i =>
+        (0 until dim).map(j => v(i) * s(i)(j) * v(j))).sum
+      val den = (0 until dim).map(i => v(i) * v(i)).sum
+      (num / den).toDouble
+    }
+    assert(cosv(v2, v3) > cosv(v1, v2))
+    assert(rayleigh(v3) >= rayleigh(v1))
+  }
 }
