@@ -1565,7 +1565,251 @@ object TextOps {
       |       TRUE AS depth_within_5pct
       |FROM documents WHERE contains(text, ' ')""".stripMargin
 
+  // ------------------------------------------- unigram-LM tokenizer
+  /** Unigram-LM (SentencePiece) training bounds: words above [[UniMaxL]]
+    * chars are excluded from training (none exist in the fixture; at
+    * corpus scale the exclusion is the standard rare-long-word cutoff),
+    * candidate pieces run 1..[[UniPLen]] chars, [[UniK]] multi-char
+    * seeds enter round 1 and [[UniKeep]] survive the prune. */
+  private val UniMaxL = 8
+  private val UniPLen = 4
+  private val UniK = 48
+  private val UniKeep = 16
+
+  /** Unigram-LM tokenizer training (Kudo ACL'18 — the SentencePiece
+    * algorithm; the subword-regularization paper's hard-EM/Viterbi
+    * variant), closing the tokenizer-trainer pair begun by [[bpeTrain]]:
+    * where BPE grows a vocabulary bottom-up by greedy merges, unigram-LM
+    * starts from an overcomplete candidate set and SHRINKS it — seed
+    * scores ∝ count·len (the suffix-array seeding), Viterbi-segment
+    * every distinct word under the current piece scores, re-estimate
+    * scores from usage (M-step), prune the worst pieces, re-segment.
+    * Single-character pieces are never pruned, so every word stays
+    * segmentable — the algorithm's own closure guarantee.
+    *
+    * The Viterbi E-step is the charter's sanctioned typed-DP case (the
+    * [[StatsOps.dtw]] precedent — sequential in both dimensions, O(L)
+    * state): per WORD, a `flatMapGroups` fold runs the forward DP
+    * (b(0)=0, b(j) = max b(i) + s(piece i→j)) and the backward argmax
+    * walk with a deterministic tiebreak (longest piece, then
+    * lexicographic) over that word's ≤ L·[[UniPLen]] edges. The oracle
+    * replays the SAME recursion relationally — [[UniMaxL]] unrolled
+    * relax rounds + [[UniMaxL]] walk rounds as CTEs — so the typed fold
+    * is cross-checked by a set-based second implementation, query for
+    * query. Scores live on the e6 micro-nat integer lattice: DP maxima
+    * are exact integer comparisons, no float ever enters the recursion
+    * (eigensolver discipline — iterated float drift compounds).
+    *
+    * Scale shape: ONE corpus-sized pass (word counting); everything
+    * after is vocab-sized — the distinct-word table is the DP's data
+    * (words are the parallel unit, one shuffle per E-step), the
+    * piece/score tables are model-sized broadcasts, and the final
+    * vocab-sized result is collected to a LocalRelation so every
+    * checkpoint frees before return (the [[bpeApply]] lifecycle).
+    */
+  def unigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val live = scala.collection.mutable.Buffer[DataFrame]()
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); live += c; c
+    }
+    try {
+      val wf = ck(Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("w")) <= UniMaxL))
+      val sub = ck(wf
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), lit(UniMaxL))).as("i"))
+        .filter(col("i") <= length(col("w")))
+        .select(col("w"), col("freq"), col("i"),
+          explode(sequence(lit(1), lit(UniPLen))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("w")))
+        .withColumn("p", expr("substring(w, i, l)")))
+      val cnt0 = sub.groupBy(col("p")).agg(sum(col("freq")).as("c"))
+      val vocab0 = ck(cnt0.filter(length(col("p")) >= 2)
+        .orderBy(col("c").desc, col("p")).limit(UniK)
+        .unionByName(cnt0.filter(length(col("p")) === 1)))
+      // seed scores ∝ count·len on the e6 micro-nat lattice
+      val tot0 = vocab0.agg(sum(col("c") * length(col("p"))).as("t"))
+      val sc0 = vocab0.crossJoin(broadcast(tot0))
+        .select(col("p"), round(log((col("c") * length(col("p")))
+          .cast("double") / col("t")) * 1000000.0, 0).cast("long").as("s"))
+
+      /** Viterbi E-step: per-word piece usage counts under score table
+        * `sc` — the typed per-word DP fold (see scaladoc above). */
+      def viterbi(sc: DataFrame): DataFrame = {
+        // the score table is the trained MODEL — vocab-bounded by
+        // construction, a legitimate broadcast at any corpus size
+        val ed = sub.join(broadcast(sc), Seq("p"))
+          .select(col("w"), col("freq"), (col("i") - 1).as("i0"),
+            (col("i") + col("l") - 1).as("j"), col("p"), col("s"))
+          .as[(String, Long, Int, Int, String, Long)]
+        ed.groupByKey(_._1)
+          .flatMapGroups { (w: String, it: Iterator[(String, Long, Int, Int, String, Long)]) =>
+            val edges = it.toArray // ≤ L·UniPLen rows, O(L) state
+            val freq = edges.head._2
+            val L = w.length
+            val best = Array.fill(L + 1)(Long.MinValue); best(0) = 0L
+            for (j <- 1 to L; e <- edges if e._4 == j)
+              if (best(e._3) != Long.MinValue &&
+                best(e._3) + e._6 > best(j)) best(j) = best(e._3) + e._6
+            val out = scala.collection.mutable.Buffer[(String, Long)]()
+            var cur = L
+            while (cur > 0) {
+              // argmax edge into `cur`: longest piece, then lexicographic
+              var pick: (String, Int) = null
+              for (e <- edges if e._4 == cur &&
+                best(e._3) != Long.MinValue &&
+                best(e._3) + e._6 == best(cur)) {
+                val len = e._4 - e._3
+                if (pick == null || len > cur - pick._2 ||
+                  (len == cur - pick._2 && e._5 < pick._1))
+                  pick = (e._5, e._3)
+              }
+              out += ((pick._1, freq)); cur = pick._2
+            }
+            out
+          }
+          .toDF("p", "freq")
+          .groupBy(col("p")).agg(sum(col("freq")).as("cu"))
+      }
+
+      val cnt1 = ck(viterbi(sc0))
+      val v1all = vocab0.join(cnt1, Seq("p"), "left")
+        .select(col("p"), coalesce(col("cu"), lit(0L)).as("c1"))
+      // prune: worst multi-char pieces leave; single chars never do
+      val v1 = ck(v1all.filter(length(col("p")) >= 2)
+        .orderBy(col("c1").desc, col("p")).limit(UniKeep)
+        .unionByName(v1all.filter(length(col("p")) === 1)))
+      val tot1 = v1.agg(sum(col("c1")).as("t"), count(lit(1)).as("nv"))
+      val sc1 = v1.crossJoin(broadcast(tot1))
+        .select(col("p"), round(log((col("c1") + 1.0) /
+          (col("t") + col("nv"))) * 1000000.0, 0).cast("long").as("s"))
+      val cnt2 = ck(viterbi(sc1))
+
+      val v2 = vocab0
+        .join(cnt1.select(col("p"), col("cu").as("c1")), Seq("p"), "left")
+        .join(v1.select(col("p"), lit(0L).as("kept")), Seq("p"), "left")
+        .join(cnt2.select(col("p"), col("cu").as("c2")), Seq("p"), "left")
+        .select(col("p"), col("c").as("c_init"),
+          coalesce(col("c1"), lit(0L)).as("used_r1"),
+          when(col("kept").isNull, 1L).otherwise(0L).as("pruned"),
+          coalesce(col("c2"), lit(0L)).as("used_r2"))
+      val tot2 = v2.agg(sum(col("used_r2")).as("t"), count(lit(1)).as("nv"))
+      val out = v2.crossJoin(broadcast(tot2))
+        .select(col("p").as("piece"), col("c_init"), col("used_r1"),
+          col("pruned"), col("used_r2"),
+          round(log((col("used_r2") + 1.0) / (col("t") + col("nv")))
+            * 1000000.0, 0).cast("long").as("score_e6"))
+        .orderBy(col("used_r1").desc, col("piece"))
+      // eager vocab-sized collect → LocalRelation (the bpeApply shape),
+      // so every checkpoint frees before the frame is returned
+      out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        .toDF("piece", "c_init", "used_r1", "pruned", "used_r2", "score_e6")
+        .orderBy(col("used_r1").desc, col("piece"))
+    } finally live.foreach(graft.ops.GraphOps.freeCheckpoint)
+  }
+
+  /** One forward-DP relaxation round as CTE text. */
+  private def uniFwdSql(tag: String, r: Int): String =
+    s"""b$tag$r AS MATERIALIZED (
+       |  SELECT w, j, MAX(b) AS b FROM (
+       |    SELECT w, j, b FROM b$tag${r - 1}
+       |    UNION ALL
+       |    SELECT e.w, e.j, p.b + e.s AS b
+       |    FROM ed$tag e JOIN b$tag${r - 1} p ON p.w = e.w AND p.j = e.i0
+       |  ) GROUP BY w, j)""".stripMargin
+
+  /** One backward-walk round (argmax-path recovery) as CTE text. */
+  private def uniBwdSql(tag: String, r: Int): String =
+    s"""pk$tag$r AS (
+       |  SELECT f.w, f.freq, f.cur, e.p, e.i0,
+       |         ROW_NUMBER() OVER (PARTITION BY f.w, f.cur
+       |                            ORDER BY (e.j - e.i0) DESC, e.p) AS rn
+       |  FROM f$tag${r - 1} f
+       |  JOIN ed$tag e ON e.w = f.w AND e.j = f.cur
+       |  JOIN b$tag$UniMaxL bi ON bi.w = f.w AND bi.j = e.i0
+       |  JOIN b$tag$UniMaxL bc ON bc.w = f.w AND bc.j = f.cur
+       |  WHERE f.cur > 0 AND bi.b + e.s = bc.b),
+       |em$tag$r AS MATERIALIZED (SELECT w, freq, p, i0 FROM pk$tag$r WHERE rn = 1),
+       |f$tag$r AS (SELECT w, freq, i0 AS cur FROM em$tag$r WHERE i0 > 0)"""
+      .stripMargin
+
+  /** Full Viterbi (forward DP + backward walk) over edges `ed$tag`. */
+  private def uniViterbiSql(tag: String): String = {
+    val fwd = (s"b${tag}0 AS (SELECT w, 0 AS j, CAST(0 AS BIGINT) AS b FROM wf)"
+      +: (1 to UniMaxL).map(uniFwdSql(tag, _))).mkString(",\n")
+    val bwd = (s"f${tag}0 AS (SELECT w, freq, length(w) AS cur FROM wf)"
+      +: (1 to UniMaxL).map(uniBwdSql(tag, _))).mkString(",\n")
+    val emits = (1 to UniMaxL)
+      .map(r => s"SELECT w, freq, p FROM em$tag$r").mkString(" UNION ALL ")
+    s"$fwd,\n$bwd,\nseg$tag AS ($emits)"
+  }
+
+  private val unigramLmOracle =
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) <= $UniMaxL GROUP BY w),
+       |sub AS MATERIALIZED (SELECT w, freq, i, l, substr(w, i, l) AS p
+       |        FROM wf, UNNEST(range(1, ${UniMaxL + 1})) t1(i),
+       |             UNNEST(range(1, ${UniPLen + 1})) t2(l)
+       |        WHERE i + l - 1 <= length(w)),
+       |cnt0 AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS c
+       |                      FROM sub GROUP BY p),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT p, c FROM (SELECT p, c FROM cnt0 WHERE length(p) >= 2
+       |                    QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, p)
+       |                            <= $UniK)
+       |  UNION ALL SELECT p, c FROM cnt0 WHERE length(p) = 1),
+       |tot0 AS (SELECT CAST(SUM(c * length(p)) AS BIGINT) AS t FROM vocab0),
+       |sc0 AS (SELECT p, CAST(ROUND(ln(CAST(c * length(p) AS DOUBLE) / t)
+       |                        * 1000000.0) AS BIGINT) AS s
+       |        FROM vocab0 CROSS JOIN tot0),
+       |edA AS MATERIALIZED (
+       |  SELECT s.w, s.freq, s.i - 1 AS i0, s.i + s.l - 1 AS j, s.p, sc.s
+       |  FROM sub s JOIN sc0 sc ON sc.p = s.p),
+       |${uniViterbiSql("A")},
+       |cnt1 AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS c1
+       |                      FROM segA GROUP BY p),
+       |v1all AS (SELECT v.p, COALESCE(cnt1.c1, 0) AS c1
+       |          FROM vocab0 v LEFT JOIN cnt1 USING (p)),
+       |v1 AS MATERIALIZED (
+       |  SELECT p, c1 FROM (SELECT p, c1 FROM v1all WHERE length(p) >= 2
+       |                     QUALIFY ROW_NUMBER() OVER (ORDER BY c1 DESC, p)
+       |                             <= $UniKeep)
+       |  UNION ALL SELECT p, c1 FROM v1all WHERE length(p) = 1),
+       |tot1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS t,
+       |                CAST(COUNT(*) AS BIGINT) AS nv FROM v1),
+       |sc1 AS (SELECT p, CAST(ROUND(ln((c1 + 1.0) / (t + nv)) * 1000000.0)
+       |                       AS BIGINT) AS s
+       |        FROM v1 CROSS JOIN tot1),
+       |edB AS MATERIALIZED (
+       |  SELECT s.w, s.freq, s.i - 1 AS i0, s.i + s.l - 1 AS j, s.p, sc.s
+       |  FROM sub s JOIN sc1 sc ON sc.p = s.p),
+       |${uniViterbiSql("B")},
+       |cnt2 AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS c2
+       |                      FROM segB GROUP BY p),
+       |v2 AS (SELECT v.p, v.c AS c_init, COALESCE(cnt1.c1, 0) AS used_r1,
+       |              CASE WHEN s.p IS NULL THEN 1 ELSE 0 END AS pruned,
+       |              COALESCE(cnt2.c2, 0) AS used_r2
+       |       FROM vocab0 v LEFT JOIN cnt1 USING (p)
+       |            LEFT JOIN (SELECT p FROM v1) s ON s.p = v.p
+       |            LEFT JOIN cnt2 USING (p)),
+       |tot2 AS (SELECT CAST(SUM(used_r2) AS BIGINT) AS t,
+       |                CAST(COUNT(*) AS BIGINT) AS nv FROM v2)
+       |SELECT p AS piece, c_init, used_r1, CAST(pruned AS BIGINT) AS pruned,
+       |       used_r2,
+       |       CAST(ROUND(ln((used_r2 + 1.0) / (t + nv)) * 1000000.0)
+       |            AS BIGINT) AS score_e6
+       |FROM v2 CROSS JOIN tot2
+       |ORDER BY used_r1 DESC, piece""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_lm" -> (unigramLm _),
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_bpe_train" -> (bpeTrain _),
@@ -1594,6 +1838,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_unigram_lm" -> unigramLmOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_bpe_train" -> bpeTrainOracle,

@@ -366,4 +366,83 @@ class TextOpsSpec extends SparkSpec {
       "most docs flagged — threshold degenerate")
   }
 
+  test("unigramLm equals a driver-side hard-EM recompute, prune included") {
+    val (maxL, pLen, k0, keep) = (8, 4, 48, 16)
+    val wf = Tables.documents(spark, sfTiny)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._1.length <= maxL)
+    // seed candidate counts: one per (word, start, len) occurrence
+    val subC = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- wf; i <- 1 to w.length; l <- 1 to math.min(pLen, w.length - i + 1))
+      subC(w.substring(i - 1, i - 1 + l)) += f
+    val vocab0 = subC.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(k0) ++
+      subC.filter(_._1.length == 1).toSeq
+    val v0set = vocab0.map(_._1).toSet
+
+    def viterbi(score: Map[String, Long]): Map[String, Long] = {
+      val used = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, f) <- wf) {
+        val L = w.length
+        val best = Array.fill(L + 1)(Long.MinValue); best(0) = 0L
+        for (j <- 1 to L; l <- 1 to math.min(pLen, j)) {
+          val p = w.substring(j - l, j)
+          if (score.contains(p) && best(j - l) != Long.MinValue)
+            best(j) = math.max(best(j), best(j - l) + score(p))
+        }
+        var cur = L
+        while (cur > 0) {
+          val cands = for {
+            l <- 1 to math.min(pLen, cur)
+            p = w.substring(cur - l, cur)
+            if score.contains(p) && best(cur - l) != Long.MinValue &&
+              best(cur - l) + score(p) == best(cur)
+          } yield (l, p)
+          val (l, p) = cands.sortBy { case (cl, cp) => (-cl, cp) }.head
+          used(p) += f; cur -= l
+        }
+      }
+      used.toMap.withDefaultValue(0L)
+    }
+
+    val t0 = vocab0.map { case (p, c) => c * p.length }.sum
+    val sc0 = vocab0.map { case (p, c) =>
+      p -> math.round(math.log(c.toDouble * p.length / t0) * 1e6) }.toMap
+    val c1 = viterbi(sc0)
+    val v1 = vocab0.filter(_._1.length >= 2)
+      .map { case (p, _) => p -> c1(p) }
+      .sortBy { case (p, c) => (-c, p) }.take(keep) ++
+      vocab0.filter(_._1.length == 1).map { case (p, _) => p -> c1(p) }
+    val t1 = v1.map(_._2).sum; val nv1 = v1.size
+    val sc1 = v1.map { case (p, c) =>
+      p -> math.round(math.log((c + 1.0) / (t1 + nv1)) * 1e6) }.toMap
+    val c2 = viterbi(sc1)
+    val nv = vocab0.size
+    val t2 = vocab0.map { case (p, _) => c2(p) }.sum
+    val v1set = v1.map(_._1).toSet
+
+    val rows = TextOps.unigramLm(spark, sfTiny).collect()
+    assert(rows.length == nv)
+    for (r <- rows) {
+      val p = r.getString(0)
+      assert(v0set(p))
+      assert(r.getLong(1) == subC(p), s"c_init for '$p'")
+      assert(r.getLong(2) == c1(p), s"used_r1 for '$p'")
+      assert(r.getLong(3) == (if (v1set(p)) 0L else 1L), s"pruned for '$p'")
+      assert(r.getLong(4) == c2(p), s"used_r2 for '$p'")
+      assert(r.getLong(5) ==
+        math.round(math.log((c2(p) + 1.0) / (t2 + nv)) * 1e6),
+        s"score for '$p'")
+      // closure guarantee: single chars are never pruned
+      if (p.length == 1) assert(r.getLong(3) == 0L)
+      // a pruned piece cannot be used after the prune
+      if (r.getLong(3) == 1L) assert(r.getLong(4) == 0L)
+    }
+    // the prune actually moved usage: some surviving piece's count grew
+    assert(rows.exists(r => r.getLong(3) == 0L && r.getLong(4) > r.getLong(2)),
+      "re-segmentation after the prune changed nothing — EM loop inert")
+  }
+
 }
