@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1609,14 +1609,17 @@ object CurationOps {
     * (doc, class) exact sums, argmax class (ties class-asc). The ONE
     * scoring definition — [[nbInfer]] aggregates it into the
     * confusion matrix, the streaming twin appends it per micro-batch. */
-  private[graft] def nbScoreFrame(
+  /** Per-(doc, class) total log-posterior — the shared scoring core of
+    * [[nbScoreFrame]] (argmax inference) and [[nbCalibration]]
+    * (softmax confidence): ONE derivation, two consumers. */
+  private[ops] def nbClassScores(
       docs: DataFrame, model: DataFrame, counts: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("term"))
     // counts is (classes × vocab)-sized: UNHINTED join (AQE broadcasts
     // at small SF, shuffle equi-join at corpus scale); the class
     // dimension itself is genuinely bounded → broadcast
-    val scored = toks.crossJoin(broadcast(model))
+    toks.crossJoin(broadcast(model))
       .join(counts, Seq("cls", "term"), "left")
       .withColumn("lp_e6",
         round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
@@ -1625,9 +1628,14 @@ object CurationOps {
       .agg(sum(col("lp_e6")).as("s"))
       .select(col("doc_id"), col("lang"), col("cls"),
         (col("prior_e6") + col("s")).as("slp"))
+  }
+
+  private[graft] def nbScoreFrame(
+      docs: DataFrame, model: DataFrame, counts: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("slp").desc, col("cls"))
-    scored.withColumn("rn", row_number().over(wd))
+    nbClassScores(docs, model, counts)
+      .withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cls").as("predicted"))
   }
@@ -1652,8 +1660,11 @@ object CurationOps {
     nbScoreFrame(docs, model, counts)
   }
 
-  private val nbInferOracle =
-    s"""WITH $nbTrainSqlCommon,
+  /** Oracle CTEs from the trained counts through the per-(doc, class)
+    * total log-posterior `sc` — shared by the inference and
+    * calibration oracles (the [[nbClassScores]] factoring, SQL side). */
+  private val nbScoreSqlCommon =
+    s"""$nbTrainSqlCommon,
        |test AS (SELECT * FROM documents WHERE doc_id % $NbHoldMod = ${NbHoldMod - 1}),
        |ttoks AS (SELECT doc_id, lang,
        |                 unnest(string_split(text, ' ')) AS term FROM test),
@@ -1670,7 +1681,10 @@ object CurationOps {
        |       LEFT JOIN cnts cn ON cn.lang = m.cls AND cn.term = t.term),
        |sc AS (SELECT doc_id, lang, cls,
        |              prior_e6 + CAST(SUM(lp_e6) AS BIGINT) AS slp
-       |       FROM st GROUP BY doc_id, lang, cls, prior_e6),
+       |       FROM st GROUP BY doc_id, lang, cls, prior_e6)""".stripMargin
+
+  private val nbInferOracle =
+    s"""WITH $nbScoreSqlCommon,
        |pred AS (SELECT doc_id, lang, cls AS predicted,
        |           ROW_NUMBER() OVER (PARTITION BY doc_id
        |                              ORDER BY slp DESC, cls) AS rn
@@ -1678,6 +1692,117 @@ object CurationOps {
        |SELECT lang, predicted, COUNT(*) AS n_docs
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- NB calibration
+  /** Reliability/calibration audit of the trained NB classifier — the
+    * third leg of train → infer → CALIBRATE (DeGroot–Fienberg
+    * reliability diagrams; Guo et al. ICML'17 made the check standard
+    * for modern classifiers): per held-out doc, softmax the class
+    * log-posteriors into a confidence, bucket docs by confidence
+    * decile, and compare each bucket's mean confidence against its
+    * empirical accuracy; the multiclass Brier score rides along as the
+    * single-number proper scoring rule. A quality filter that is
+    * CONFIDENTLY wrong poisons a corpus faster than one that is
+    * merely wrong — this table is where that shows.
+    *
+    * Parity: softmax leaves float immediately — each class's
+    * exp((slp−max)/1e6) quantizes to e6 BEFORE the normalizing sum, so
+    * Z is an exact integer (a 5-term float sum would be
+    * accumulation-order-sensitive), per-class probabilities are
+    * half-up e6 ratios of exact integers, and the per-doc Brier
+    * Σ(q−y)² is exact integer e12 arithmetic. One exp and one ln
+    * per (doc, class) are the only transcendentals.
+    *
+    * Scale shape: inherits [[nbClassScores]]' plan (bounded model
+    * broadcast + unhinted count join); everything after is 5 rows per
+    * doc — two per-doc windows (max, sum — both over the 5-row class
+    * frame), then a 10-row bucket aggregate and an A6 scalar for the
+    * corpus Brier. Nothing new shuffles at corpus scale.
+    */
+  def nbCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val wd = Window.partitionBy(col("doc_id"))
+    val wr = wd.orderBy(col("slp").desc, col("cls"))
+    def halfUpL(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val per = nbClassScores(heldOut, model, counts)
+      .withColumn("m", max(col("slp")).over(wd))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("p_e6", round(exp((col("slp") - col("m")).cast("double")
+        / 1000000.0) * 1000000.0, 0).cast("long"))
+      .withColumn("z_e6", sum(col("p_e6")).over(wd))
+      .withColumn("q_e6", halfUpL(col("p_e6") * 1000000L, col("z_e6")))
+      .withColumn("y", when(col("cls") === col("lang"), 1000000L)
+        .otherwise(0L))
+    val docs = per.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("rn") === 1, col("q_e6"))).cast("long").as("conf_e6"),
+        max(when(col("rn") === 1, col("cls"))).as("pred"),
+        sum((col("q_e6") - col("y")) * (col("q_e6") - col("y")))
+          .cast("long").as("brier_doc"))
+      .withColumn("correct",
+        when(col("pred") === col("lang"), 1L).otherwise(0L))
+      .withColumn("bin",
+        least(call_function("div", col("conf_e6") * 10L, lit(1000000L)),
+          lit(9L)))
+    val g = docs.agg(count(lit(1)).as("n_all"),
+      sum(col("brier_doc")).cast("long").as("sb"))
+    docs.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct")).cast("long").as("n_correct"),
+        sum(col("conf_e6")).cast("long").as("sc_e6"))
+      .crossJoin(broadcast(g))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        halfUpL(col("n_correct") * 1000000L, col("n_docs"))
+          .cast("double").divide(1000000.0).as("accuracy"),
+        halfUpL(col("sc_e6"), col("n_docs"))
+          .cast("double").divide(1000000.0).as("avg_conf"),
+        halfUpL(col("sb"), col("n_all") * 1000000L).as("brier_e6"))
+      .orderBy(col("bin"))
+  }
+
+  private val nbCalibrationOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |per AS (SELECT doc_id, lang, cls, slp,
+       |          MAX(slp) OVER (PARTITION BY doc_id) AS m,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                             ORDER BY slp DESC, cls) AS rn
+       |        FROM sc),
+       |pe AS (SELECT *, CAST(ROUND(exp(CAST(slp - m AS DOUBLE) / 1000000.0)
+       |                            * 1000000.0) AS BIGINT) AS p_e6 FROM per),
+       |pz AS (SELECT *, CAST(SUM(p_e6) OVER (PARTITION BY doc_id) AS BIGINT)
+       |                   AS z_e6 FROM pe),
+       |pq AS (SELECT *,
+       |         ((2*p_e6*1000000 + z_e6) - (2*p_e6*1000000 + z_e6)
+       |            % (2*z_e6)) // (2*z_e6) AS q_e6,
+       |         CASE WHEN cls = lang THEN 1000000 ELSE 0 END AS y
+       |       FROM pz),
+       |docs AS (SELECT doc_id, lang,
+       |           CAST(SUM(CASE WHEN rn = 1 THEN q_e6 END) AS BIGINT)
+       |             AS conf_e6,
+       |           MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
+       |           CAST(SUM((q_e6 - y) * (q_e6 - y)) AS BIGINT) AS brier_doc
+       |         FROM pq GROUP BY doc_id, lang),
+       |d2 AS (SELECT *, CASE WHEN pred = lang THEN 1 ELSE 0 END AS correct,
+       |              LEAST(conf_e6 * 10 // 1000000, 9) AS bin FROM docs),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+       |             CAST(SUM(brier_doc) AS BIGINT) AS sb FROM d2)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       |       CAST(((2*SUM(correct)*1000000 + COUNT(*))
+       |             - (2*SUM(correct)*1000000 + COUNT(*)) % (2*COUNT(*)))
+       |            // (2*COUNT(*)) AS DOUBLE) / 1000000.0 AS accuracy,
+       |       CAST(((2*SUM(conf_e6) + COUNT(*))
+       |             - (2*SUM(conf_e6) + COUNT(*)) % (2*COUNT(*)))
+       |            // (2*COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_conf,
+       |       CAST(((2*sb + n_all*1000000)
+       |             - (2*sb + n_all*1000000) % (2*n_all*1000000))
+       |            // (2*n_all*1000000) AS BIGINT) AS brier_e6
+       |FROM d2 CROSS JOIN g
+       |GROUP BY bin, g.n_all, g.sb ORDER BY bin""".stripMargin
 
   // ---------------------------------------------- DoReMi domain mixture
   /** DoReMi-style LEARNED domain mixture (Xie et al. 2023, "DoReMi:
@@ -1921,6 +2046,7 @@ object CurationOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
+    "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
     "q_greedy_cover" -> (greedyCover _),
@@ -1949,6 +2075,7 @@ object CurationOps {
   def oracles: Map[String, String] = Map(
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
+    "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,
     "q_greedy_cover" -> greedyCoverOracle,

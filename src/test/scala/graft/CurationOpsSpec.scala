@@ -552,6 +552,67 @@ class CurationOpsSpec extends SparkSpec {
     assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
   }
 
+  test("nbCalibration equals a driver-side softmax/Brier recompute") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(_._1 % 5 != 4)
+    val testD = docs.filter(_._1 % 5 == 4)
+    val toks = train.flatMap { case (_, l, t) => t.split(" ").map(l -> _) }
+    val nTok = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nDoc = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nAll = train.size.toLong
+    val v = toks.map(_._2).distinct.size.toLong
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val classes = nDoc.keys.toSeq.sorted
+    def lp(c: String, t: String): Long = math.round(math.log(
+      (cnt.getOrElse((c, t), 0L) + 1).toDouble / (nTok(c) + v)) * 1e6)
+    def prior(c: String): Long =
+      math.round(math.log(nDoc(c).toDouble / nAll) * 1e6)
+    def halfUp(num: BigInt, den: BigInt): Long =
+      ((num * 2 + den) / (den * 2)).toLong
+
+    case class D(conf: Long, correct: Long, brier: Long)
+    val perDoc = testD.map { case (_, lang, text) =>
+      val slp = classes.map(c =>
+        c -> (prior(c) + text.split(" ").map(t => lp(c, t)).sum)).toMap
+      val m = slp.values.max
+      val pE6 = classes.map(c =>
+        c -> math.round(math.exp((slp(c) - m).toDouble / 1e6) * 1e6)).toMap
+      val z = pE6.values.sum
+      val q = classes.map(c => c -> halfUp(BigInt(pE6(c)) * 1000000, z)).toMap
+      val pred = classes.sortBy(c => (-slp(c), c)).head
+      val brier = classes.map { c =>
+        val y = if (c == lang) 1000000L else 0L
+        val d = q(c) - y; d * d
+      }.sum
+      D(q(pred), if (pred == lang) 1L else 0L, brier)
+    }
+    val nA = perDoc.size.toLong
+    val sb = perDoc.map(d => BigInt(d.brier)).sum
+    val brierE6 = halfUp(sb, BigInt(nA) * 1000000)
+    val want = perDoc.groupBy(d => math.min(d.conf * 10 / 1000000, 9L))
+      .map { case (bin, ds) =>
+        bin -> (ds.size.toLong, ds.map(_.correct).sum,
+          halfUp(ds.map(d => BigInt(d.correct)).sum * 1000000, ds.size),
+          halfUp(ds.map(d => BigInt(d.conf)).sum, ds.size))
+      }
+    val rows = ops.CurationOps.nbCalibration(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nA)
+    assert(rows.map(_.getLong(0)).toSet == want.keySet)
+    for (r <- rows) {
+      val (n, nc, acc, avgc) = want(r.getLong(0))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_correct") == nc)
+      assert(r.getAs[Double]("accuracy") == acc / 1e6)
+      assert(r.getAs[Double]("avg_conf") == avgc / 1e6)
+      assert(r.getAs[Long]("brier_e6") == brierE6)
+      // reliability-table sanity: confidences live inside the bin
+      val bin = r.getLong(0)
+      assert(avgc / 1e6 >= bin / 10.0 - 1e-6 &&
+        avgc / 1e6 < (bin + 1) / 10.0 + 1e-6)
+    }
+  }
+
   test("DoReMi mixture: learned weights track excess loss, smoothing floors hold") {
     val rows = CurationOps.doremiMix(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
