@@ -100,6 +100,122 @@ object RetrievalOps {
        |  SELECT ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS frank, *
        |  FROM fused) WHERE frank <= $OutK ORDER BY frank""".stripMargin
 
+  // -------------------------------------------- PRF query expansion
+  private val PrfQ = Seq("spark", "join", "window")
+  private val PrfFb = 10   // feedback depth (top docs mined for terms)
+  private val PrfExpK = 5  // expansion terms adopted
+  private val PrfOut = 15  // final ranking depth
+  private val PrfTfCap = 3 // capped term frequency (lattice BM15-style)
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 / the
+    * RM-style PRF every Lucene/Terrier deployment ships): retrieve with
+    * the base query, assume the top [[PrfFb]] docs are relevant, mine
+    * them for the [[PrfExpK]] highest-weight non-query terms
+    * (idf × feedback-frequency — the Rocchio centroid on a count
+    * lattice), re-retrieve with the expanded query (original terms at
+    * weight 2, expansion terms at weight 1), and report the final
+    * top-[[PrfOut]] with BOTH ranks so the re-ranking is visible in
+    * the output itself.
+    *
+    * Scoring is the EXACT-lattice retrieval variant: idf quantizes
+    * once per term to e6 micro-nats, tf is capped at [[PrfTfCap]]
+    * (BM15-style saturation — the float-pipeline flagship lives in
+    * [[TextOps.bm25]]; two chained float rankings would compound ulp
+    * drift, exactly what a two-round pipeline can't afford), so every
+    * score is an exact integer sum and both rankings are total orders.
+    *
+    * Scale shape: one (doc, term) tf aggregate feeds everything; df is
+    * its term-rollup (UNHINTED join — vocab-sized); the two global
+    * rank windows are the [[rrfFusion]] WindowGroupLimit shape (a
+    * per-partition limit runs below the sort, ≤ list-k rows cross);
+    * the feedback term mine is a [[PrfFb]]-doc semi-join and the
+    * expanded query is a ≤ 8-row broadcast. At 100 TB the tf table is
+    * the index — this is two index probes and a bounded mine.
+    */
+  def prfExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("tfc", least(col("tf"), lit(PrfTfCap.toLong)))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfT.crossJoin(broadcast(n))
+      .select(col("term"), round(log((col("n") + 1.0) / (col("df") + 1.0))
+        * 1000000.0, 0).cast("long").as("idf_e6"))
+    val s1 = tf.filter(col("term").isin(PrfQ: _*))
+      .join(idf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_e6") * col("tfc")).as("s1_e6"))
+    val rank1 = s1.withColumn("rank_base", row_number().over(
+      Window.orderBy(col("s1_e6").desc, col("doc_id"))))
+    val fb = rank1.filter(col("rank_base") <= PrfFb).select(col("doc_id"))
+    val expTerms = tf.join(fb, Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(PrfQ: _*))
+      .groupBy(col("term")).agg(sum(col("tfc")).as("cf_fb"))
+      .join(idf, Seq("term"))
+      .select(col("term"), (col("idf_e6") * col("cf_fb")).as("wt"))
+      .orderBy(col("wt").desc, col("term")).limit(PrfExpK)
+      .select(col("term"), lit(1L).as("qw"))
+    val baseTerms = {
+      import spark.implicits._
+      PrfQ.map(t => (t, 2L)).toDF("term", "qw")
+    }
+    val q1 = expTerms.unionByName(baseTerms)
+    val s2 = tf.join(broadcast(q1), Seq("term"))
+      .join(idf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qw") * col("idf_e6") * col("tfc")).as("s2_e6"))
+    s2.withColumn("rank_exp", row_number().over(
+      Window.orderBy(col("s2_e6").desc, col("doc_id"))))
+      .filter(col("rank_exp") <= PrfOut)
+      .join(rank1.filter(col("rank_base") <= ListK)
+        .select(col("doc_id"), col("rank_base"), col("s1_e6")), Seq("doc_id"), "left")
+      .select(col("rank_exp"), col("doc_id"), col("s2_e6"),
+        col("rank_base"), col("s1_e6"))
+      .orderBy(col("rank_exp"))
+  }
+
+  private val prfExpandOracle = {
+    val qIn = PrfQ.map(t => s"'$t'").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+       |              LEAST(COUNT(*), $PrfTfCap) AS tfc
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents)
+       |       GROUP BY doc_id, term),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT term, CAST(ROUND(ln((n + 1.0) / (df + 1.0))
+       |                          * 1000000.0) AS BIGINT) AS idf_e6
+       |        FROM dfx CROSS JOIN n),
+       |s1 AS (SELECT doc_id, CAST(SUM(idf_e6 * tfc) AS BIGINT) AS s1_e6
+       |       FROM tf JOIN idf USING (term) WHERE term IN ($qIn)
+       |       GROUP BY doc_id),
+       |r1 AS (SELECT doc_id, s1_e6, ROW_NUMBER() OVER
+       |         (ORDER BY s1_e6 DESC, doc_id) AS rank_base FROM s1),
+       |fb AS (SELECT doc_id FROM r1 WHERE rank_base <= $PrfFb),
+       |expt AS (SELECT term, 1 AS qw FROM (
+       |    SELECT t.term, CAST(SUM(t.tfc) AS BIGINT) * i.idf_e6 AS wt
+       |    FROM tf t JOIN idf i USING (term)
+       |    WHERE t.doc_id IN (SELECT doc_id FROM fb)
+       |      AND t.term NOT IN ($qIn)
+       |    GROUP BY t.term, i.idf_e6)
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY wt DESC, term) <= $PrfExpK),
+       |q1 AS (SELECT * FROM expt
+       |       UNION ALL SELECT unnest([$qIn]) AS term, 2 AS qw),
+       |s2 AS (SELECT doc_id, CAST(SUM(q.qw * i.idf_e6 * t.tfc) AS BIGINT)
+       |                        AS s2_e6
+       |       FROM tf t JOIN q1 q USING (term) JOIN idf i USING (term)
+       |       GROUP BY doc_id),
+       |r2 AS (SELECT doc_id, s2_e6, ROW_NUMBER() OVER
+       |         (ORDER BY s2_e6 DESC, doc_id) AS rank_exp FROM s2)
+       |SELECT CAST(r2.rank_exp AS INTEGER) AS rank_exp, r2.doc_id, r2.s2_e6,
+       |       CAST(b.rank_base AS INTEGER) AS rank_base, b.s1_e6
+       |FROM r2 LEFT JOIN (SELECT * FROM r1 WHERE rank_base <= $ListK) b
+       |  USING (doc_id)
+       |WHERE r2.rank_exp <= $PrfOut
+       |ORDER BY r2.rank_exp""".stripMargin
+  }
+
   // ------------------------------------------------------- nDCG eval
   /** Retrieval-quality evaluation of the fused ranking — nDCG@20
     * against label ground truth (a candidate is relevant iff it shares
@@ -312,12 +428,14 @@ object RetrievalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> (rrfFusion _),
+    "q_prf_expand" -> (prfExpand _),
     "q_ndcg" -> (ndcg _),
     "q_mmr_rerank" -> (mmrRerank _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_rrf_fusion" -> rrfFusionOracle,
+    "q_prf_expand" -> prfExpandOracle,
     "q_ndcg" -> ndcgOracle,
     "q_mmr_rerank" -> mmrRerankOracle
   )

@@ -552,6 +552,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(conf.map(_.getAs[String]("predicted")).forall(langs.contains))
   }
 
+  test("prfExpand: driver recompute of both rankings, expansion really reranks") {
+    val q0 = Seq("spark", "join", "window")
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (t, o) =>
+        (d, t, math.min(o.size.toLong, 3L)) }
+    }
+    val dfT = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def idf(t: String): Long =
+      math.round(math.log((n + 1.0) / (dfT(t) + 1.0)) * 1e6)
+    def rankOf(scores: Map[Long, Long]): Seq[(Long, Long, Int)] =
+      scores.toSeq.sortBy { case (d, s) => (-s, d) }
+        .zipWithIndex.map { case ((d, s), i) => (d, s, i + 1) }
+    val s1 = tf.filter(e => q0.contains(e._2))
+      .groupBy(_._1).view.mapValues(_.map(e => idf(e._2) * e._3).sum).toMap
+    val r1 = rankOf(s1)
+    val fbSet = r1.take(10).map(_._1).toSet
+    val expTerms = tf.filter(e => fbSet(e._1) && !q0.contains(e._2))
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case (t, cf) => (t, idf(t) * cf) }
+      .sortBy { case (t, w) => (-w, t) }.take(5).map(_._1)
+    val qw = (q0.map(_ -> 2L) ++ expTerms.map(_ -> 1L)).toMap
+    val s2 = tf.filter(e => qw.contains(e._2))
+      .groupBy(_._1).view
+      .mapValues(_.map(e => qw(e._2) * idf(e._2) * e._3).sum).toMap
+    val r2 = rankOf(s2).take(15)
+    val rows = ops.RetrievalOps.prfExpand(spark, sfTiny).collect()
+    assert(rows.length == 15)
+    val r1rank = r1.take(50).map(t => t._1 -> t._3).toMap
+    for ((r, want) <- rows.zip(r2)) {
+      assert(r.getInt(0) == want._3 && r.getLong(1) == want._1 &&
+        r.getLong(2) == want._2, s"exp ranking differs at ${want._3}")
+      val wantBase = r1rank.get(want._1)
+      assert(Option(r.get(3)).map(_.asInstanceOf[Int]) == wantBase)
+    }
+    // the PRF loop must DO something: final order differs from base
+    val baseTop = r1.take(15).map(_._1)
+    assert(r2.map(_._1) != baseTop, "expansion left the ranking unchanged")
+    assert(expTerms.toSet.intersect(q0.toSet).isEmpty)
+  }
+
   test("nbCalibration equals a driver-side softmax/Brier recompute") {
     val docs = Tables.documents(spark, sfTiny)
       .select("doc_id", "lang", "text").collect()
