@@ -190,6 +190,53 @@ object ChatOps {
        |            LEFT JOIN ld USING (user_id, day)
        |ORDER BY c.user_id, c.day""".stripMargin
 
+  /** One assembled conversation — the streaming twin's output row and
+    * the shared shape of the batch result. */
+  final case class ConvOut(user_id: Long, day: java.sql.Date,
+    raw_turns: Long, merged_turns: Long, total_tokens: Long,
+    kept_turns: Long, kept_tokens: Long, loss_tokens: Long,
+    lead_dropped: Long, template_md5: Option[String])
+
+  /** The assembly rules as a pure fold over (ts, event_id)-ordered raw
+    * messages — the SAME semantics as the relational [[sftAssembly]]
+    * (thread → run-merge → suffix-truncate → role-repair → account),
+    * executed per conversation. The streaming twin folds THIS; the
+    * batch op stays windows-and-joins; StreamingSpec pins the two
+    * implementations equal — a genuine two-algorithm cross-check.
+    */
+  private[graft] def assemble(userId: Long, day: java.sql.Date,
+      msgs: Seq[(String, Long)]): ConvOut = {
+    val typed = msgs.map { case (tpe, cents) =>
+      (if (UserTypes.contains(tpe)) "user" else "assistant", s"$tpe v$cents")
+    }
+    val runs = typed.foldLeft(Vector.empty[(String, Vector[String])]) {
+      case (acc, (role, c)) =>
+        if (acc.nonEmpty && acc.last._1 == role)
+          acc.init :+ ((role, acc.last._2 :+ c))
+        else acc :+ ((role, Vector(c)))
+    }
+    val turns = runs.map { case (role, cs) => (role, cs.mkString(" | ")) }
+    val toks = turns.map(_._2.length.toLong)
+    var s = 0L; var start = turns.size
+    while (start > 0 && s + toks(start - 1) <= Budget) {
+      start -= 1; s += toks(start)
+    }
+    var kept = turns.drop(start)
+    val leadDropped = kept.headOption.exists(_._1 == "assistant")
+    if (leadDropped) kept = kept.tail
+    // batch parity: the template aggregate only exists when at least
+    // one turn survives role repair — otherwise the left join is NULL
+    val md5 =
+      if (kept.isEmpty) None
+      else Some(java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.map { case (r, c) => s"<$r>$c" }.mkString
+          .getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+    ConvOut(userId, day, typed.size.toLong, turns.size.toLong, toks.sum,
+      kept.size.toLong, kept.map(_._2.length.toLong).sum,
+      kept.filter(_._1 == "assistant").map(_._2.length.toLong).sum,
+      if (leadDropped) 1L else 0L, md5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sft_assembly" -> (sftAssembly _)
   )

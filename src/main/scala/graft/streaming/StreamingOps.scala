@@ -643,6 +643,50 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class ChatEv(user_id: Long, ts: Timestamp,
+      event_id: Long, event_type: String, value: Double)
+  final case class ChatMsg(tsMs: Long, eventId: Long,
+      eventType: String, cents: Long)
+  final case class ChatAsmState(msgs: Seq[ChatMsg])
+
+  /** Streaming SFT-conversation assembly — the stateful twin of
+    * [[graft.ops.ChatOps.sftAssembly]]: messages arrive per
+    * conversation key (user, UTC day) in ANY order across
+    * micro-batches; the state is the accumulated raw message buffer
+    * (bounded by conversation length), and each update re-runs the
+    * full assembly fold (thread → run-merge → budget left-truncation →
+    * role repair → loss-token accounting) over the sorted buffer, so
+    * the emitted row is always the conversation's CURRENT assembly —
+    * what an online SFT data service serves while the day is open.
+    * Late arrivals naturally re-flow the truncation (a turn arriving
+    * out of order can change which suffix fits), which is exactly why
+    * the state must hold raw messages, not the folded result.
+    *
+    * The fold is [[graft.ops.ChatOps.assemble]]; the batch op computes
+    * the same rules relationally (windows + joins), and StreamingSpec
+    * pins the two implementations equal on the full fixture — a
+    * two-algorithm cross-check, not a shared code path.
+    */
+  def sftAssemblyStream(events: Dataset[ChatEv])
+      : Dataset[graft.ops.ChatOps.ConvOut] = {
+    import events.sparkSession.implicits._
+    def dayOf(ts: Timestamp): java.sql.Date =
+      java.sql.Date.valueOf(java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    def update(key: (Long, java.sql.Date), evs: Iterator[ChatEv],
+        state: GroupState[ChatAsmState]): graft.ops.ChatOps.ConvOut = {
+      val prev = state.getOption.map(_.msgs).getOrElse(Seq.empty)
+      val next = prev ++ evs.map(e => ChatMsg(e.ts.getTime, e.event_id,
+        e.event_type, math.round(e.value * 100)))
+      state.update(ChatAsmState(next))
+      val ordered = next.sortBy(m => (m.tsMs, m.eventId))
+        .map(m => (m.eventType, m.cents))
+      graft.ops.ChatOps.assemble(key._1, key._2, ordered)
+    }
+    events.groupByKey(e => (e.user_id, dayOf(e.ts)))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class TbEv(user_id: Long, ts: Timestamp,
       event_id: Long, event_type: String, value: Double)
 

@@ -177,6 +177,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SFT assembly converges to the batch relational assembler") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.ChatEv
+    import graft.ops.ChatOps
+
+    // the full sfTiny event log, split into 3 arrival waves by
+    // event_id % 3 — every conversation's messages arrive OUT of
+    // event order across micro-batches
+    val evs = Tables.events(spark, sfTiny)
+      .selectExpr("user_id", "ts", "event_id", "event_type", "value")
+      .as[ChatEv].collect()
+    val input = MemoryStream[ChatEv]
+    val q = StreamingOps.sftAssemblyStream(input.toDS())
+      .writeStream.format("memory").queryName("sft_out")
+      .outputMode("update").start()
+    try {
+      for (wave <- 0 until 3) {
+        input.addData(evs.filter(_.event_id % 3 == wave).toSeq)
+        q.processAllAvailable()
+      }
+      // last update per conversation == the batch assembler's row
+      val got = spark.table("sft_out").as[ChatOps.ConvOut].collect()
+        .groupBy(c => (c.user_id, c.day.toString))
+        .map { case (k, cs) => k -> cs.maxBy(_.raw_turns) } // state only grows
+      val want = ChatOps.sftAssembly(spark, sfTiny).collect()
+        .map(r => ((r.getLong(0), r.getDate(1).toString), r)).toMap
+      assert(got.keySet == want.keySet,
+        s"conversation sets differ: ${got.size} vs ${want.size}")
+      for ((k, g) <- got) {
+        val w = want(k)
+        assert(g.raw_turns == w.getLong(2) && g.merged_turns == w.getLong(3)
+          && g.total_tokens == w.getLong(4), s"census at $k")
+        assert(g.kept_turns == w.getLong(5) && g.kept_tokens == w.getLong(6)
+          && g.loss_tokens == w.getLong(7), s"kept at $k")
+        assert(g.lead_dropped == w.getLong(8), s"lead-drop at $k")
+        assert(g.template_md5 == Option(w.getString(9)), s"template at $k")
+      }
+      // mid-stream updates were genuinely partial: at least one
+      // conversation's final row differs from an earlier update
+      val anyEvolved = spark.table("sft_out").as[ChatOps.ConvOut].collect()
+        .groupBy(c => (c.user_id, c.day.toString))
+        .exists(_._2.map(_.raw_turns).distinct.size > 1)
+      assert(anyEvolved, "no conversation grew across waves")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: majority survives across batches within the MG bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
