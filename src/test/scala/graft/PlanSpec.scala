@@ -771,4 +771,46 @@ class PlanSpec extends SparkSpec {
       s"nb infer must not plan a cartesian product:\n$niPlan")
   }
 
+  test("round-11 session-2 plan shapes: gen-eval, PRF ranks, PCA moments, CDC windows") {
+    // gen-eval: the clipped-match frame is ONE (doc, ord, gram)
+    // aggregate over the tagged union — per-doc lead() windows are the
+    // only other exchanges; no join may touch the corpus-sized stream
+    val ge = graft.ops.EvalOps.genEval(spark, sfTiny)
+    ge.collect()
+    val gePlan = executed(ge).split("== Initial Plan ==")(0)
+    assert(!gePlan.contains("SortMergeJoin") &&
+      !gePlan.contains("CartesianProduct"),
+      s"gen-eval must not join corpus-sized streams:\n$gePlan")
+    assert(gePlan.contains("Union"), s"tagged-union shape lost:\n$gePlan")
+    // PRF: both global rankings must push a group limit below their
+    // sorts (the rrfFusion discipline — ≤ list-k rows ever cross)
+    val pr = graft.ops.RetrievalOps.prfExpand(spark, sfTiny)
+    pr.collect()
+    val prPlan = executed(pr).split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit|TakeOrderedAndProject".r.findAllIn(prPlan).size >= 2,
+      s"both PRF rank windows must push a limit below the sort " +
+        s"(WindowGroupLimit or TakeOrdered):\n$prPlan")
+    assert(!prPlan.contains("CartesianProduct"),
+      s"PRF must not plan a cartesian product:\n$prPlan")
+    // PCA: the corpus-sized moment pass partial-aggregates map-side —
+    // the 4096-cell aggregate must be hash (never sort) aggregation,
+    // and the power iteration must only broadcast-join the dim frames
+    val pp = graft.ops.SimilarityOps.pcaPower(spark, sfTiny)
+    pp.collect()
+    val ppPlan = executed(pp).split("== Initial Plan ==")(0)
+    assert(!ppPlan.contains("SortAggregate"),
+      s"moment cells must hash-aggregate:\n$ppPlan")
+    assert(!ppPlan.contains("SortMergeJoin"),
+      s"iteration joins are dim-sized and must broadcast:\n$ppPlan")
+    // CDC chunking: boundary flags and chunk ids are per-doc windows
+    // (one doc exchange), the store rollup is hash aggregation, and
+    // the owner join rides the bounded source-rank broadcast
+    val cc = graft.ops.DedupOps.cdcChunk(spark, sfTiny)
+    cc.collect()
+    val ccPlan = executed(cc).split("== Initial Plan ==")(0)
+    assert(!ccPlan.contains("SortMergeJoin") &&
+      !ccPlan.contains("CartesianProduct"),
+      s"cdc owner joins must broadcast:\n$ccPlan")
+  }
+
 }
