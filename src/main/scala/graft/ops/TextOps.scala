@@ -1607,6 +1607,92 @@ object TextOps {
     * vocab-sized result is collected to a LocalRelation so every
     * checkpoint frees before return (the [[bpeApply]] lifecycle).
     */
+  /** The trainer's derived state, shared by [[unigramLm]] (model
+    * report) and [[unigramApply]] (corpus segmentation): seed vocab,
+    * round-1 usage, pruned vocab, and the round-2 FLAT segmentation
+    * (one row per piece instance per distinct word). */
+  private final case class UniFit(wf: DataFrame, vocab0: DataFrame,
+    cnt1: DataFrame, v1: DataFrame, segB: DataFrame)
+
+  private def unigramFit(spark: SparkSession, sfDir: String,
+      ck: DataFrame => DataFrame): UniFit = {
+    import spark.implicits._
+    val wf = ck(Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) <= UniMaxL))
+    val sub = ck(wf
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), lit(UniMaxL))).as("i"))
+      .filter(col("i") <= length(col("w")))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1), lit(UniPLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .withColumn("p", expr("substring(w, i, l)")))
+    val cnt0 = sub.groupBy(col("p")).agg(sum(col("freq")).as("c"))
+    val vocab0 = ck(cnt0.filter(length(col("p")) >= 2)
+      .orderBy(col("c").desc, col("p")).limit(UniK)
+      .unionByName(cnt0.filter(length(col("p")) === 1)))
+    // seed scores ∝ count·len on the e6 micro-nat lattice
+    val tot0 = vocab0.agg(sum(col("c") * length(col("p"))).as("t"))
+    val sc0 = vocab0.crossJoin(broadcast(tot0))
+      .select(col("p"), round(log((col("c") * length(col("p")))
+        .cast("double") / col("t")) * 1000000.0, 0).cast("long").as("s"))
+
+    /** Viterbi E-step: the FLAT (word, piece, freq) segmentation under
+      * score table `sc` — the typed per-word DP fold (see scaladoc). */
+    def viterbiSeg(sc: DataFrame): DataFrame = {
+      // the score table is the trained MODEL — vocab-bounded by
+      // construction, a legitimate broadcast at any corpus size
+      val ed = sub.join(broadcast(sc), Seq("p"))
+        .select(col("w"), col("freq"), (col("i") - 1).as("i0"),
+          (col("i") + col("l") - 1).as("j"), col("p"), col("s"))
+        .as[(String, Long, Int, Int, String, Long)]
+      ed.groupByKey(_._1)
+        .flatMapGroups { (w: String, it: Iterator[(String, Long, Int, Int, String, Long)]) =>
+          val edges = it.toArray // ≤ L·UniPLen rows, O(L) state
+          val freq = edges.head._2
+          val L = w.length
+          val best = Array.fill(L + 1)(Long.MinValue); best(0) = 0L
+          for (j <- 1 to L; e <- edges if e._4 == j)
+            if (best(e._3) != Long.MinValue &&
+              best(e._3) + e._6 > best(j)) best(j) = best(e._3) + e._6
+          val out = scala.collection.mutable.Buffer[(String, String, Long)]()
+          var cur = L
+          while (cur > 0) {
+            // argmax edge into `cur`: longest piece, then lexicographic
+            var pick: (String, Int) = null
+            for (e <- edges if e._4 == cur &&
+              best(e._3) != Long.MinValue &&
+              best(e._3) + e._6 == best(cur)) {
+              val len = e._4 - e._3
+              if (pick == null || len > cur - pick._2 ||
+                (len == cur - pick._2 && e._5 < pick._1))
+                pick = (e._5, e._3)
+            }
+            out += ((w, pick._1, freq)); cur = pick._2
+          }
+          out
+        }
+        .toDF("w", "p", "freq")
+    }
+
+    val cnt1 = ck(viterbiSeg(sc0)
+      .groupBy(col("p")).agg(sum(col("freq")).as("cu")))
+    val v1all = vocab0.join(cnt1, Seq("p"), "left")
+      .select(col("p"), coalesce(col("cu"), lit(0L)).as("c1"))
+    // prune: worst multi-char pieces leave; single chars never do
+    val v1 = ck(v1all.filter(length(col("p")) >= 2)
+      .orderBy(col("c1").desc, col("p")).limit(UniKeep)
+      .unionByName(v1all.filter(length(col("p")) === 1)))
+    val tot1 = v1.agg(sum(col("c1")).as("t"), count(lit(1)).as("nv"))
+    val sc1 = v1.crossJoin(broadcast(tot1))
+      .select(col("p"), round(log((col("c1") + 1.0) /
+        (col("t") + col("nv"))) * 1000000.0, 0).cast("long").as("s"))
+    val segB = ck(viterbiSeg(sc1))
+    UniFit(wf, vocab0, cnt1, v1, segB)
+  }
+
   def unigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -1615,83 +1701,11 @@ object TextOps {
       val c = df.localCheckpoint(true); live += c; c
     }
     try {
-      val wf = ck(Tables.documents(spark, sfDir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .filter(length(col("w")) <= UniMaxL))
-      val sub = ck(wf
-        .select(col("w"), col("freq"),
-          explode(sequence(lit(1), lit(UniMaxL))).as("i"))
-        .filter(col("i") <= length(col("w")))
-        .select(col("w"), col("freq"), col("i"),
-          explode(sequence(lit(1), lit(UniPLen))).as("l"))
-        .filter(col("i") + col("l") - 1 <= length(col("w")))
-        .withColumn("p", expr("substring(w, i, l)")))
-      val cnt0 = sub.groupBy(col("p")).agg(sum(col("freq")).as("c"))
-      val vocab0 = ck(cnt0.filter(length(col("p")) >= 2)
-        .orderBy(col("c").desc, col("p")).limit(UniK)
-        .unionByName(cnt0.filter(length(col("p")) === 1)))
-      // seed scores ∝ count·len on the e6 micro-nat lattice
-      val tot0 = vocab0.agg(sum(col("c") * length(col("p"))).as("t"))
-      val sc0 = vocab0.crossJoin(broadcast(tot0))
-        .select(col("p"), round(log((col("c") * length(col("p")))
-          .cast("double") / col("t")) * 1000000.0, 0).cast("long").as("s"))
-
-      /** Viterbi E-step: per-word piece usage counts under score table
-        * `sc` — the typed per-word DP fold (see scaladoc above). */
-      def viterbi(sc: DataFrame): DataFrame = {
-        // the score table is the trained MODEL — vocab-bounded by
-        // construction, a legitimate broadcast at any corpus size
-        val ed = sub.join(broadcast(sc), Seq("p"))
-          .select(col("w"), col("freq"), (col("i") - 1).as("i0"),
-            (col("i") + col("l") - 1).as("j"), col("p"), col("s"))
-          .as[(String, Long, Int, Int, String, Long)]
-        ed.groupByKey(_._1)
-          .flatMapGroups { (w: String, it: Iterator[(String, Long, Int, Int, String, Long)]) =>
-            val edges = it.toArray // ≤ L·UniPLen rows, O(L) state
-            val freq = edges.head._2
-            val L = w.length
-            val best = Array.fill(L + 1)(Long.MinValue); best(0) = 0L
-            for (j <- 1 to L; e <- edges if e._4 == j)
-              if (best(e._3) != Long.MinValue &&
-                best(e._3) + e._6 > best(j)) best(j) = best(e._3) + e._6
-            val out = scala.collection.mutable.Buffer[(String, Long)]()
-            var cur = L
-            while (cur > 0) {
-              // argmax edge into `cur`: longest piece, then lexicographic
-              var pick: (String, Int) = null
-              for (e <- edges if e._4 == cur &&
-                best(e._3) != Long.MinValue &&
-                best(e._3) + e._6 == best(cur)) {
-                val len = e._4 - e._3
-                if (pick == null || len > cur - pick._2 ||
-                  (len == cur - pick._2 && e._5 < pick._1))
-                  pick = (e._5, e._3)
-              }
-              out += ((pick._1, freq)); cur = pick._2
-            }
-            out
-          }
-          .toDF("p", "freq")
-          .groupBy(col("p")).agg(sum(col("freq")).as("cu"))
-      }
-
-      val cnt1 = ck(viterbi(sc0))
-      val v1all = vocab0.join(cnt1, Seq("p"), "left")
-        .select(col("p"), coalesce(col("cu"), lit(0L)).as("c1"))
-      // prune: worst multi-char pieces leave; single chars never do
-      val v1 = ck(v1all.filter(length(col("p")) >= 2)
-        .orderBy(col("c1").desc, col("p")).limit(UniKeep)
-        .unionByName(v1all.filter(length(col("p")) === 1)))
-      val tot1 = v1.agg(sum(col("c1")).as("t"), count(lit(1)).as("nv"))
-      val sc1 = v1.crossJoin(broadcast(tot1))
-        .select(col("p"), round(log((col("c1") + 1.0) /
-          (col("t") + col("nv"))) * 1000000.0, 0).cast("long").as("s"))
-      val cnt2 = ck(viterbi(sc1))
-
-      val v2 = vocab0
-        .join(cnt1.select(col("p"), col("cu").as("c1")), Seq("p"), "left")
-        .join(v1.select(col("p"), lit(0L).as("kept")), Seq("p"), "left")
+      val fit = unigramFit(spark, sfDir, ck)
+      val cnt2 = fit.segB.groupBy(col("p")).agg(sum(col("freq")).as("cu"))
+      val v2 = fit.vocab0
+        .join(fit.cnt1.select(col("p"), col("cu").as("c1")), Seq("p"), "left")
+        .join(fit.v1.select(col("p"), lit(0L).as("kept")), Seq("p"), "left")
         .join(cnt2.select(col("p"), col("cu").as("c2")), Seq("p"), "left")
         .select(col("p"), col("c").as("c_init"),
           coalesce(col("c1"), lit(0L)).as("used_r1"),
@@ -1710,6 +1724,48 @@ object TextOps {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
         .toDF("piece", "c_init", "used_r1", "pruned", "used_r2", "score_e6")
         .orderBy(col("used_r1").desc, col("piece"))
+    } finally live.foreach(graft.ops.GraphOps.freeCheckpoint)
+  }
+
+  /** Corpus segmentation under the trained unigram model — the APPLY
+    * half closing [[unigramLm]]'s loop exactly as [[bpeApply]] closes
+    * [[bpeTrain]]'s, and in the SAME output shape, so the two trained
+    * tokenizers' per-language subword fertility is directly comparable
+    * row for row (the comparison a tokenizer bake-off actually reads).
+    * The round-2 Viterbi segmentation already covers every distinct
+    * word, so apply is one per-word piece-count rollup joined back to
+    * the corpus token stream — no third E-step. Words above
+    * [[UniMaxL]] chars are outside the trained model and drop from the
+    * fertility census (none exist in the fixture; the standard
+    * rare-long-word cutoff at corpus scale).
+    *
+    * Scale shape: [[unigramFit]]'s one corpus pass + vocab-sized
+    * training, then ONE unhinted vocab-sized join onto the token
+    * stream and a lang-sized rollup, collected eagerly so the trainer
+    * checkpoints free before return (the [[bpeApply]] lifecycle).
+    */
+  def unigramApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val live = scala.collection.mutable.Buffer[DataFrame]()
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); live += c; c
+    }
+    try {
+      val fit = unigramFit(spark, sfDir, ck)
+      val nsub = fit.segB.groupBy(col("w"))
+        .agg(count(lit(1)).cast("long").as("n_sub"))
+      val rows = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .join(nsub, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      rows.toDF("lang", "n_words", "n_subwords")
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy(col("lang"))
     } finally live.foreach(graft.ops.GraphOps.freeCheckpoint)
   }
 
@@ -1749,8 +1805,11 @@ object TextOps {
     s"$fwd,\n$bwd,\nseg$tag AS ($emits)"
   }
 
-  private val unigramLmOracle =
-    s"""WITH wf AS MATERIALIZED (
+  /** Oracle WITH-body from the corpus through the round-2 flat
+    * segmentation `segB` — shared by the trainer and apply oracles
+    * (the [[unigramFit]] factoring, SQL side). */
+  private lazy val uniChainSql =
+    s"""wf AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) <= $UniMaxL GROUP BY w),
@@ -1790,7 +1849,10 @@ object TextOps {
        |edB AS MATERIALIZED (
        |  SELECT s.w, s.freq, s.i - 1 AS i0, s.i + s.l - 1 AS j, s.p, sc.s
        |  FROM sub s JOIN sc1 sc ON sc.p = s.p),
-       |${uniViterbiSql("B")},
+       |${uniViterbiSql("B")}""".stripMargin
+
+  private lazy val unigramLmOracle =
+    s"""WITH $uniChainSql,
        |cnt2 AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS c2
        |                      FROM segB GROUP BY p),
        |v2 AS (SELECT v.p, v.c AS c_init, COALESCE(cnt1.c1, 0) AS used_r1,
@@ -1808,8 +1870,21 @@ object TextOps {
        |FROM v2 CROSS JOIN tot2
        |ORDER BY used_r1 DESC, piece""".stripMargin
 
+  private lazy val unigramApplyOracle =
+    s"""WITH $uniChainSql,
+       |nsub AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+       |         FROM segB GROUP BY w),
+       |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |SELECT lang, COUNT(*) AS n_words,
+       |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |       ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM tok JOIN nsub USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_lm" -> (unigramLm _),
+    "q_unigram_apply" -> (unigramApply _),
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_bpe_train" -> (bpeTrain _),
@@ -1839,6 +1914,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_unigram_lm" -> unigramLmOracle,
+    "q_unigram_apply" -> unigramApplyOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_bpe_train" -> bpeTrainOracle,

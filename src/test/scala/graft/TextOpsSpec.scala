@@ -382,9 +382,11 @@ class TextOpsSpec extends SparkSpec {
       subC.filter(_._1.length == 1).toSeq
     val v0set = vocab0.map(_._1).toSet
 
-    def viterbi(score: Map[String, Long]): Map[String, Long] = {
+    val segLen = scala.collection.mutable.Map[String, Long]() // under the FINAL (pruned) scores
+    def viterbi(score: Map[String, Long], recordLen: Boolean = false): Map[String, Long] = {
       val used = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
       for ((w, f) <- wf) {
+        var nPieces = 0L
         val L = w.length
         val best = Array.fill(L + 1)(Long.MinValue); best(0) = 0L
         for (j <- 1 to L; l <- 1 to math.min(pLen, j)) {
@@ -401,8 +403,9 @@ class TextOpsSpec extends SparkSpec {
               best(cur - l) + score(p) == best(cur)
           } yield (l, p)
           val (l, p) = cands.sortBy { case (cl, cp) => (-cl, cp) }.head
-          used(p) += f; cur -= l
+          used(p) += f; cur -= l; nPieces += 1
         }
+        if (recordLen) segLen(w) = nPieces
       }
       used.toMap.withDefaultValue(0L)
     }
@@ -418,7 +421,7 @@ class TextOpsSpec extends SparkSpec {
     val t1 = v1.map(_._2).sum; val nv1 = v1.size
     val sc1 = v1.map { case (p, c) =>
       p -> math.round(math.log((c + 1.0) / (t1 + nv1)) * 1e6) }.toMap
-    val c2 = viterbi(sc1)
+    val c2 = viterbi(sc1, recordLen = true)
     val nv = vocab0.size
     val t2 = vocab0.map { case (p, _) => c2(p) }.sum
     val v1set = v1.map(_._1).toSet
@@ -443,6 +446,26 @@ class TextOpsSpec extends SparkSpec {
     // the prune actually moved usage: some surviving piece's count grew
     assert(rows.exists(r => r.getLong(3) == 0L && r.getLong(4) > r.getLong(2)),
       "re-segmentation after the prune changed nothing — EM loop inert")
+
+    // APPLY half: per-lang fertility equals the driver segmentation
+    val perLang = Tables.documents(spark, sfTiny)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.length <= maxL)
+      .groupBy(_._1).view.mapValues { ws =>
+        (ws.size.toLong, ws.map(t => segLen(t._2)).sum)
+      }.toMap
+    val ap = ops.TextOps.unigramApply(spark, sfTiny).collect()
+    assert(ap.map(_.getString(0)).toSet == perLang.keySet)
+    for (r <- ap) {
+      val (nw, ns) = perLang(r.getString(0))
+      assert(r.getLong(1) == nw && r.getLong(2) == ns,
+        s"apply census for ${r.getString(0)}")
+      val fert = BigDecimal(ns.toDouble / nw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == fert, s"fertility for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 1.0, "fertility below 1 is impossible")
+    }
   }
 
 }
