@@ -1763,7 +1763,132 @@ object StatsOps {
       |         AS mi_nats
       |FROM t ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------- WoE / IV
+  /** Weight-of-evidence + information value feature screening (the
+    * credit-scoring standard, Siddiqi 2006 — the categorical-feature
+    * triage step before any classifier training, and the
+    * interpretable sibling of [[PipelineOps.targetEncode]]: WoE is
+    * the encoding, IV ranks the feature): target = customer placed at
+    * least one 1-URGENT order; features = market segment and nation.
+    * Per category: WoE = ln((pos_share)/(neg_share)) with ±0.5
+    * Laplace smoothing, IV contribution = (pos_share − neg_share)·WoE,
+    * and the per-feature IV total repeated per row (the screening
+    * number: < 0.02 useless, > 0.3 strong).
+    *
+    * Parity: one ln per category quantized to e6 micro-nats from a
+    * single IEEE ratio of exact counts; shares quantize half-up to e6
+    * BEFORE the IV multiply, so every IV term is exact integer e12
+    * arithmetic and the feature total an exact sum.
+    *
+    * Scale shape: the target flag is one semi-join-shaped aggregate on
+    * the orders fact (conditional max — no distinct), features join
+    * through the bounded nation broadcast, and everything after the
+    * per-category rollup is ≤ 30 rows. One fact exchange total.
+    */
+  def woeIv(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("y"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val long = cust.select(lit("mktsegment").as("feature"),
+      col("c_mktsegment").as("category"), col("y"))
+      .unionByName(cust.select(lit("nation").as("feature"),
+        col("n_name").as("category"), col("y")))
+    val perCat = long.groupBy(col("feature"), col("category"))
+      .agg(sum(col("y")).cast("long").as("pos"),
+        sum(lit(1L) - col("y")).cast("long").as("neg"))
+    val wf = Window.partitionBy(col("feature"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def halfUpE6(num: Column, den: Column): Column = {
+      val n2 = num * 2000000L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val scored = perCat
+      .withColumn("tp", sum(col("pos")).over(wf))
+      .withColumn("tn", sum(col("neg")).over(wf))
+      .withColumn("woe_e6", round(log(
+        ((col("pos") + 0.5) / (col("tp") + 0.5)) /
+          ((col("neg") + 0.5) / (col("tn") + 0.5))) * 1000000.0, 0)
+        .cast("long"))
+      .withColumn("dshare_e6",
+        halfUpE6(col("pos"), col("tp")) - halfUpE6(col("neg"), col("tn")))
+      .withColumn("iv_term_e12", col("dshare_e6") * col("woe_e6"))
+    // signed half-up (half away from zero): IV terms can dip negative
+    // under smoothing+rounding, and DuckDB's % is C-style on negatives
+    // while pmod is not — abs/negate sidesteps the convention split
+    def signedHalfUpE6(num: Column, den: Column): Column = {
+      val a = abs(num) * 2L + den
+      val h = call_function("div", a - pmod(a, den * 2), den * 2)
+      when(num < 0, -h).otherwise(h)
+    }
+    scored
+      .withColumn("iv_e6_sum", sum(col("iv_term_e12")).over(wf))
+      .select(col("feature"), col("category"), col("pos"), col("neg"),
+        col("woe_e6"),
+        signedHalfUpE6(col("iv_term_e12"),
+          lit(1000000L)).as("iv_term_e6"),
+        signedHalfUpE6(col("iv_e6_sum"),
+          lit(1000000L)).as("feature_iv_e6"))
+      .orderBy(col("feature"), col("category"))
+  }
+
+  private def woeHalfUpSql(num: String, den: String): String =
+    s"((2000000*($num) + $den) - (2000000*($num) + $den) % (2*($den))) " +
+      s"// (2*($den))"
+
+  private val woeIvOracle = {
+    // signed half-up e6 of n/d (d = 1e12 scale drop): half away from
+    // zero via ABS, matching the Spark side's pmod-free form
+    val hup = (n: String, d: String) =>
+      s"(CASE WHEN ($n) < 0 THEN -1 ELSE 1 END) * " +
+        s"(((2*ABS($n) + $d) - (2*ABS($n) + $d) % (2*($d))) // (2*($d)))"
+    s"""WITH urgent AS (
+       |  SELECT o_custkey,
+       |         MAX(CASE WHEN o_orderpriority = '1-URGENT'
+       |                  THEN 1 ELSE 0 END) AS y
+       |  FROM orders GROUP BY o_custkey),
+       |cust AS (SELECT c.c_custkey, c.c_mktsegment, n.n_name,
+       |                COALESCE(u.y, 0) AS y
+       |         FROM customer c
+       |         JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |         LEFT JOIN urgent u ON u.o_custkey = c.c_custkey),
+       |long AS (SELECT 'mktsegment' AS feature, c_mktsegment AS category, y
+       |         FROM cust
+       |         UNION ALL
+       |         SELECT 'nation', n_name, y FROM cust),
+       |pc AS (SELECT feature, category,
+       |              CAST(SUM(y) AS BIGINT) AS pos,
+       |              CAST(SUM(1 - y) AS BIGINT) AS neg
+       |       FROM long GROUP BY feature, category),
+       |tot AS (SELECT *,
+       |          CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+       |          CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT) AS tn
+       |        FROM pc),
+       |sc AS (SELECT *,
+       |         CAST(ROUND(ln(((pos + 0.5) / (tp + 0.5)) /
+       |                       ((neg + 0.5) / (tn + 0.5))) * 1000000.0)
+       |              AS BIGINT) AS woe_e6,
+       |         ${woeHalfUpSql("pos", "tp")} -
+       |           ${woeHalfUpSql("neg", "tn")} AS dshare_e6
+       |       FROM tot),
+       |iv AS (SELECT *, dshare_e6 * woe_e6 AS iv_term_e12,
+       |         CAST(SUM(dshare_e6 * woe_e6) OVER (PARTITION BY feature)
+       |              AS BIGINT) AS iv_sum_e12
+       |       FROM sc)
+       |SELECT feature, category, pos, neg, woe_e6,
+       |       ${hup("iv_term_e12", "1000000")} AS iv_term_e6,
+       |       ${hup("iv_sum_e12", "1000000")} AS feature_iv_e6
+       |FROM iv ORDER BY feature, category""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_iv" -> (woeIv _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -1795,6 +1920,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_woe_iv" -> woeIvOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,

@@ -31,6 +31,57 @@ class StatsOpsSpec extends SparkSpec {
     assert(labels.forall(_.matches("[R-][F-][M-]")))
   }
 
+  test("woeIv equals a driver-side recompute; IV ranks the features sanely") {
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val urgent = orders.groupBy(_._1).view
+      .mapValues(os => if (os.exists(_._2 == "1-URGENT")) 1L else 0L).toMap
+    val nation = Tables.nation(spark, sfTiny)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, sfTiny)
+      .select("c_custkey", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), nation(r.getInt(1)), r.getString(2)))
+    val long = cust.flatMap { case (k, nat, seg) =>
+      val y = urgent.getOrElse(k, 0L)
+      Seq(("mktsegment", seg, y), ("nation", nat, y))
+    }
+    def hupE6(num: Long, den: Long): Long = (num * 2000000L + den) / (den * 2)
+    def shupE6(num: Long, den: Long): Long = {
+      val h = (math.abs(num) * 2 + den) / (den * 2)
+      if (num < 0) -h else h
+    }
+    val want = long.groupBy(t => (t._1, t._2)).map { case ((f, c), ts) =>
+      (f, c) -> (ts.map(_._3).sum, ts.size - ts.map(_._3).sum)
+    }
+    val totals = want.groupBy(_._1._1).view.mapValues { m =>
+      (m.values.map(_._1).sum, m.values.map(_._2.toLong).sum)
+    }.toMap
+    val rows = ops.StatsOps.woeIv(spark, sfTiny).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == want.keySet)
+    val ivSums = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (r <- rows) {
+      val key = (r.getString(0), r.getString(1))
+      val (pos, neg) = want(key)
+      val (tp, tn) = totals(key._1)
+      assert(r.getLong(2) == pos && r.getLong(3) == neg, s"counts at $key")
+      val woe = math.round(math.log(((pos + 0.5) / (tp + 0.5)) /
+        ((neg + 0.5) / (tn + 0.5))) * 1e6)
+      assert(r.getLong(4) == woe, s"woe at $key")
+      val dshare = hupE6(pos, tp) - hupE6(neg, tn)
+      assert(r.getLong(5) == shupE6(dshare * woe, 1000000L), s"iv term at $key")
+      ivSums(key._1) += dshare * woe
+    }
+    for (r <- rows)
+      assert(r.getLong(6) == shupE6(ivSums(r.getString(0)), 1000000L),
+        s"feature IV at ${r.getString(0)}")
+    // screening sanity: nation (25 cells) must out-inform mktsegment (5)
+    val iv = rows.map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(iv("nation") > iv("mktsegment"),
+      "feature ranking inverted — IV screen useless on the fixture")
+  }
+
   test("attribution conserves conversions") {
     val at = StatsOps.attribution(spark, sfTiny).collect()
     val purchases = Tables.events(spark, sfTiny)
