@@ -451,6 +451,69 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------------- tar scan
+  /** POSIX-ustar member walk over synthesized corpus shards — the
+    * other container front door beside [[warcScan]]: WARC is how the
+    * web ARRIVES, tar is how corpora are SHIPPED (The Pile's shards,
+    * WebDataset archives, dataset-hub exports). Same shape: pack each
+    * [[WarcDocsPerFile]]-doc group into one tar via the
+    * [[graft.sources.TarFiles]] codec (every 17th member's header
+    * checksum deliberately broken — synthetic bit-rot), walk it back
+    * with the total parser, and prove the member census, payload
+    * byte total, 512-block padding arithmetic, and triage counts
+    * against the documents table in closed form.
+    *
+    * Scale shape: synth and parse are both map-side over bounded
+    * 25-doc groups (one fact exchange to group); the rollup output is
+    * file-count-sized. On a real dump the synth stage is replaced by
+    * `spark.read.format("binaryFile")` and the walk is unchanged —
+    * archives stream through executors, nothing driver-side.
+    */
+  def tarScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TarFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val tar = TarFiles.synthTar(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = TarFiles.parseTar(tar)
+        val files = scan.members.filter(_.typeflag == '0')
+        (fid, scan.members.size.toLong, files.size.toLong,
+          scan.members.count(_.typeflag == '5').toLong,
+          scan.members.count(!_.checksumOk).toLong,
+          files.map(_.size).sum, tar.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_members", "n_files", "n_dirs", "n_badsum",
+        "payload_bytes", "tar_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: member/dir/file counts, the 17-stride broken
+    * checksums, payload bytes (strlen = UTF-8 octets, matching the
+    * synth's getBytes), and the full block arithmetic — per member
+    * 512 header + ⌈size/512⌉ payload blocks, plus the dir header and
+    * the 1024-byte end marker. A one-byte padding slip anywhere in
+    * the codec breaks the tar_bytes column. */
+  private val tarScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       CAST(COUNT(*) + 1 AS BIGINT) AS n_members,
+       |       COUNT(*) AS n_files,
+       |       CAST(1 AS BIGINT) AS n_dirs,
+       |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_badsum,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS payload_bytes,
+       |       CAST(1536 + SUM(512 + 512 * ((strlen(text) + 511) // 512))
+       |            AS BIGINT) AS tar_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1071,6 +1134,7 @@ object HtmlOps {
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
     "q_warc_scan" -> (warcScan _),
+    "q_tar_scan" -> (tarScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1081,6 +1145,7 @@ object HtmlOps {
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,
     "q_warc_scan" -> warcScanOracle,
+    "q_tar_scan" -> tarScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

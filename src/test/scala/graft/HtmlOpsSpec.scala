@@ -336,4 +336,50 @@ class HtmlOpsSpec extends SparkSpec {
     val cs = WarcFiles.parseWarc(corrupt)
     assert(!cs.clean && cs.records.isEmpty && cs.trailing == corrupt.length)
   }
+
+  test("tar codec: roundtrip, block arithmetic, checksum triage") {
+    import graft.sources.TarFiles
+    // sizes straddle the padding corners: 0, <512, exactly 512, >512
+    val docs = Seq((1L, "x" * 100), (17L, "y" * 512), (18L, ""),
+      (40L, "z" * 513)).map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val tar = TarFiles.synthTar(docs)
+    // closed-form size: dir hdr + Σ(hdr + padded payload) + end marker
+    val expectBytes = 512 +
+      docs.map { case (_, b) => 512 + 512 * ((b.length + 511) / 512) }.sum +
+      1024
+    assert(tar.length == expectBytes, s"${tar.length} != $expectBytes")
+    val scan = TarFiles.parseTar(tar)
+    assert(scan.clean && scan.trailing == 0)
+    assert(scan.members.map(_.name) ==
+      Vector("docs/") ++ docs.map { case (id, _) => s"docs/doc_$id.txt" })
+    assert(scan.members.map(_.typeflag) == Vector('5', '0', '0', '0', '0'))
+    assert(scan.members.drop(1).map(_.size) ==
+      docs.map(_._2.length.toLong))
+    // exactly doc 17's member carries the broken checksum; the walk
+    // still recovers every member after it
+    assert(scan.members.filterNot(_.checksumOk).map(_.name) ==
+      Vector("docs/doc_17.txt"))
+  }
+
+  test("tar member walk: total and monotone on every prefix") {
+    import graft.sources.TarFiles
+    val docs = Seq((2L, "aa"), (3L, "b" * 600))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val full = TarFiles.synthTar(docs)
+    var prev = 0
+    (0 to full.length).foreach { n =>
+      val scan = TarFiles.parseTar(java.util.Arrays.copyOf(full, n))
+      assert(scan.members.size >= prev, s"prefix $n lost members")
+      prev = math.max(prev, scan.members.size)
+      assert(scan.trailing >= 0 && scan.trailing <= n)
+      if (n < full.length) assert(!scan.clean)
+    }
+    // malformed size field: walk stops cleanly at the bad header,
+    // keeping everything before it
+    val corrupt = full.clone()
+    corrupt(512 + 124) = 'x'.toByte // second header's size field
+    val cs = TarFiles.parseTar(corrupt)
+    assert(!cs.clean && cs.members.map(_.name) == Vector("docs/") &&
+      cs.trailing == corrupt.length - 512)
+  }
 }
