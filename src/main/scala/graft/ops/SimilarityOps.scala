@@ -213,6 +213,87 @@ object SimilarityOps {
        |WHERE ba.a_id = bb.back_a AND ba.margin_e6 >= $BitextThreshE6
        |ORDER BY ba.a_id""".stripMargin
 
+  // ------------------------------------------- late interaction (MaxSim)
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    * SIGIR'20): query and document are BAGS of token vectors, not one
+    * pooled vector, and score(q,d) = Σ_{i∈q} max_{j∈d} cos(q_i, d_j)
+    * — each query token aligns to its best document token, so the
+    * score keeps term-level matching that single-vector cosine pools
+    * away. Fixture multi-vector layout: every [[MaxSimToksPerDoc]]
+    * consecutive embedding rows form one pseudo-document's token bag
+    * (`doc = vec_id div 8`); the first [[MaxSimQueryDocs]] docs are
+    * the query bags, the rest the corpus. Top-[[MaxSimTopK]] docs per
+    * query, with the winning single-token alignment (`best_e9`)
+    * carried beside the score.
+    *
+    * Parity: each token-pair cosine quantizes to the e9 lattice ONCE
+    * (the bitextMine discipline); max and Σ are then exact integer
+    * ops — no float crosses engines after the quantize.
+    *
+    * Scale shape: the dense corpus×query-token scoring is the
+    * fixture-scale stand-in for an IVF-probed candidate set (swap the
+    * crossJoin for [[annIvf]]'s probe — everything downstream is
+    * unchanged); query bags broadcast (queries are the small side BY
+    * DEFINITION in retrieval); vectors are dropped before any
+    * exchange (round-5 lesson) — the per-token max reduces map-side
+    * under partial aggregation, so only (qtok × doc) maxima cross the
+    * wire, then doc-pair-sized sums; the final per-query rank is a
+    * WindowGroupLimit top-k, never a global sort.
+    */
+  private val MaxSimToksPerDoc = 8
+  private val MaxSimQueryDocs = 2
+  private val MaxSimTopK = 5
+
+  def maxSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = withNorm(spark, sfDir)
+      .withColumn("doc", expr(s"vec_id div $MaxSimToksPerDoc"))
+    val qtoks = tok.filter(col("doc") < MaxSimQueryDocs)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qtok"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val dtoks = tok.filter(col("doc") >= MaxSimQueryDocs)
+      .select(col("doc").as("cdoc"), col("embedding").as("cv"),
+        col("norm").as("cn"))
+    val aligned = dtoks.crossJoin(broadcast(qtoks))
+      .withColumn("cos_e9",
+        round(cosine("qv", "qn", "cv", "cn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .groupBy(col("qdoc"), col("cdoc"), col("qtok"))
+      .agg(max(col("cos_e9")).as("m"))
+    val scored = aligned.groupBy(col("qdoc"), col("cdoc"))
+      .agg(sum(col("m")).as("score_e9"), max(col("m")).as("best_e9"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("score_e9").desc, col("cdoc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MaxSimTopK)
+      .select(col("qdoc"), col("rank"), col("cdoc"), col("score_e9"),
+        col("best_e9"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  private val maxSimOracle =
+    s"""WITH tok AS (SELECT vec_id, vec_id // $MaxSimToksPerDoc AS doc,
+       |                    embedding
+       |             FROM embeddings),
+       |q AS (SELECT doc AS qdoc, vec_id AS qtok, embedding AS qv
+       |      FROM tok WHERE doc < $MaxSimQueryDocs),
+       |mx AS (
+       |  SELECT qdoc, t.doc AS cdoc, qtok,
+       |         MAX(CAST(ROUND(${cosineSql("qv", "embedding")}
+       |                        * 1000000000.0) AS BIGINT)) AS m
+       |  FROM tok t CROSS JOIN q
+       |  WHERE t.doc >= $MaxSimQueryDocs
+       |  GROUP BY qdoc, t.doc, qtok),
+       |sc AS (SELECT qdoc, cdoc, CAST(SUM(m) AS BIGINT) AS score_e9,
+       |              MAX(m) AS best_e9
+       |       FROM mx GROUP BY qdoc, cdoc),
+       |ranked AS (
+       |  SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY qdoc
+       |           ORDER BY score_e9 DESC, cdoc) AS rank
+       |  FROM sc)
+       |SELECT qdoc, CAST(rank AS INTEGER) AS rank, cdoc, score_e9, best_e9
+       |FROM ranked WHERE rank <= $MaxSimTopK
+       |ORDER BY qdoc, rank""".stripMargin
+
   // ------------------------------------------------------------------
   /** Embedding near-dup pairs with a sign-LSH prefilter: vectors bucket
     * by the sign pattern of their first 6 dimensions (a quadrant hash);
@@ -1634,6 +1715,7 @@ object SimilarityOps {
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_bitext_mine" -> (bitextMine _),
+    "q_maxsim" -> (maxSim _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
     "q_kmeans" -> (kmeansRefine _),
@@ -1655,6 +1737,7 @@ object SimilarityOps {
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_bitext_mine" -> bitextMineOracle,
+    "q_maxsim" -> maxSimOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_kmeans" -> kmeansRefineOracle,

@@ -509,4 +509,58 @@ class SimilaritySpec extends SparkSpec {
     assert(cosv(v2, v3) > cosv(v1, v2))
     assert(rayleigh(v3) >= rayleigh(v1))
   }
+
+  test("maxsim late interaction == driver-side alignment recompute") {
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosE9(x: Array[Double], y: Array[Double]): Long = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i)
+        ny += y(i) * y(i); i += 1 }
+      math.round(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e9)
+    }
+    val byDoc = vecs.groupBy(_._1 / 8).view
+      .mapValues(_.sortBy(_._1)).toMap
+    val qdocs = byDoc.filter(_._1 < 2)
+    val cdocs = byDoc.filter(_._1 >= 2)
+    // score = Σ over query tokens of the best doc-token cosine; also
+    // track the single best alignment
+    val truth = (for {
+      (qd, qts) <- qdocs.toSeq
+      (cd, cts) <- cdocs.toSeq
+    } yield {
+      val maxima = qts.map { case (_, qv) =>
+        cts.map { case (_, cv) => cosE9(qv, cv) }.max }
+      ((qd, cd), (maxima.sum, maxima.max))
+    }).toMap
+    val want = qdocs.keys.toSeq.sorted.flatMap { qd =>
+      cdocs.keys.toSeq.map(cd => (cd, truth((qd, cd))))
+        .sortBy { case (cd, (s, _)) => (-s, cd) }
+        .take(5).zipWithIndex
+        .map { case ((cd, (s, b)), i) => (qd, i + 1, cd, s, b) }
+    }
+    val got = ops.SimilarityOps.maxSim(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got ${got.take(3)}… want ${want.take(3)}…")
+    // late interaction must actually beat pooled cosine somewhere:
+    // for at least one query the MaxSim-best doc differs from the
+    // doc whose MEAN token cosine is best (pooling), or the operator
+    // adds nothing over single-vector retrieval on this fixture
+    val rerank = qdocs.keys.exists { qd =>
+      val bySum = cdocs.keys.map(cd => (truth((qd, cd))._1, cd))
+        .toSeq.sortBy(t => (-t._1, t._2)).head._2
+      val byMean = cdocs.keys.map { cd =>
+        val qts = qdocs(qd); val cts = cdocs(cd)
+        val mean = (for { (_, qv) <- qts; (_, cv) <- cts }
+          yield cosE9(qv, cv)).sum / (qts.length * cts.length)
+        (mean, cd)
+      }.toSeq.sortBy(t => (-t._1, t._2)).head._2
+      bySum != byMean
+    }
+    assert(rerank, "MaxSim agrees with mean-pooling everywhere — " +
+      "fixture exercises nothing late-interaction-specific")
+  }
 }
