@@ -2043,7 +2043,176 @@ object CurationOps {
        |ORDER BY item""".stripMargin
   }
 
+  // ------------------------------------------- logistic regression
+  /** Batch-gradient-descent logistic regression over the embedding
+    * features — the TRAINED half of the quality-classifier family
+    * (fastText [[fastTextScore]] and naive Bayes infer with FIXED
+    * parameters; this one actually fits them): y = (label = 0),
+    * x = the 64-dim embedding quantized to e3, and
+    * [[LogregIters]] rounds of full-batch ascent on the
+    * log-likelihood, w ← w + η·mean((y − σ(w·x))·x).
+    *
+    * Parity (the pcaPower driver-reinject construction): features
+    * quantize to e3 ONCE; each round's margin Σ w_e6·x_e3 is exact
+    * integer; σ leaves float for exactly one exp per row and
+    * re-quantizes to e6 immediately; the gradient Σ(y_e6 − p_e6)·x_e3
+    * is exact integer; and the step divides on the integer lattice
+    * with TRUNCATING division (Scala `Long./` == DuckDB `//`, which
+    * truncates toward zero on negatives — NOT floor; a floorDiv here
+    * would diverge from the oracle one weight-unit per negative
+    * gradient). Lattice headroom: |g| ≤ n·1e6·max|x_e3| ≈ n·2.5e8, so
+    * η·g stays under 2⁶³ to n ≈ 7e8 rows per batch — beyond that,
+    * normalize the gradient per-partition first.
+    *
+    * Scale shape: the feature frame is built and cached once; each
+    * round is ONE pass — margins and per-row losses are map-side
+    * (weights enter as literals, the A6 scalar-reinject pattern at
+    * dim size; no join), and the gradient is a posexplode +
+    * groupBy(pos) whose partial aggregation reduces every partition
+    * to dim rows before the exchange, so 64·partitions rows cross
+    * the wire per round regardless of corpus size. The driver holds
+    * only the dim-sized weight vector.
+    */
+  private val LogregIters = 5
+  private val LogregEta = 2L
+
+  private def logregX(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1000000L).otherwise(0L).as("y"),
+      // j=1 is the intercept (constant 1.0 at e3): without it the
+      // origin-bound decision boundary can't express the ~10% base
+      // rate and the fit loses to the majority guess
+      expr("concat(array(CAST(1000 AS BIGINT)), transform(embedding, " +
+        "v -> CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT)))")
+        .as("x"))
+
+  /** σ on the lattice: one exp of the exact-integer margin, quantized
+    * straight back to e6. */
+  private def logregP: Column =
+    round(lit(1000000.0) /
+      (lit(1.0) + exp(-(col("m") / lit(1000000000.0)))), 0).cast("long")
+
+  /** Per-row log-loss at e6, with p clamped off the ln singularities. */
+  private def logregLoss: Column = {
+    val pc = least(greatest(col("p"), lit(1L)), lit(999999L))
+    round(when(col("y") === 1000000L, -log(pc / lit(1000000.0)))
+      .otherwise(-log((lit(1000000L) - pc) / lit(1000000.0)))
+      * 1000000.0, 0).cast("long")
+  }
+
+  /** Margin Σ wⱼ·xⱼ as a codegen sum of literals — zero-weight terms
+    * dropped (round 1 is literally `0`). */
+  private def logregMargin(w: Array[Long]): Column = {
+    val terms = w.zipWithIndex.collect { case (wj, i) if wj != 0L =>
+      lit(wj) * element_at(col("x"), i + 1)
+    }
+    if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+  }
+
+  /** The training loop: returns (final weights, total log-loss per
+    * round at the round's INCOMING weights, n). Exposed for the spec's
+    * driver-side recompute and monotone-loss check. */
+  private[graft] def logregTrainLoop(spark: SparkSession, sfDir: String,
+      iters: Int): (Array[Long], Seq[Long], Long) = {
+    val x = logregX(spark, sfDir).cache()
+    val n = x.count()
+    val dim = x.select(size(col("x"))).head().getInt(0)
+    val w = Array.fill(dim)(0L)
+    val losses = Seq.newBuilder[Long]
+    for (_ <- 1 to iters) {
+      val rows = x.withColumn("m", logregMargin(w))
+        .withColumn("p", logregP)
+        .withColumn("lr", logregLoss)
+        .select(col("y"), col("p"), col("lr"),
+          posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("pos"))
+        .agg(sum((col("y") - col("p")) * col("xv")).as("g"),
+          sum(when(col("pos") === 0, col("lr")).otherwise(0L)).as("l"))
+        .collect()
+      losses += rows.map(_.getLong(2)).sum // only pos=0 contributes
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        w(j) = w(j) + LogregEta * r.getLong(1) / (n * 1000L)
+      }
+    }
+    (w, losses.result(), n)
+  }
+
+  def logregTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (w, _, n) = logregTrainLoop(spark, sfDir, LogregIters)
+    val metrics = logregX(spark, sfDir)
+      .withColumn("m", logregMargin(w))
+      .withColumn("p", logregP)
+      .withColumn("lr", logregLoss)
+      .agg(
+        sum(when((col("m") > 0L) === (col("y") === 1000000L), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(when(col("y") === 1000000L, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("lr")).as("loss_total"))
+    val wDf = w.toSeq.zipWithIndex
+      .map { case (wj, i) => (i + 1L, wj) }.toDF("j", "w_e6")
+    wDf.crossJoin(broadcast(metrics))
+      .select(col("j"), col("w_e6"), lit(n).as("n"), col("n_pos"),
+        call_function("div", col("n_correct") * 1000000L, lit(n))
+          .as("acc_e6"),
+        call_function("div", col("loss_total"), lit(n)).as("loss_e6"))
+      .orderBy(col("j"))
+  }
+
+  private val logregOracle = {
+    val iter = (t: Int) =>
+      s"""m$t AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+         |        FROM X JOIN w${t - 1} USING (j) GROUP BY vec_id, y),
+         |p$t AS (SELECT vec_id, y,
+         |          CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+         |               AS BIGINT) AS p
+         |        FROM m$t),
+         |g$t AS (SELECT j, CAST(SUM((X.y - p) * x) AS BIGINT) AS g
+         |        FROM X JOIN p$t USING (vec_id) GROUP BY j),
+         |w$t AS (SELECT j, w + ($LogregEta * g) // ((SELECT n FROM nn) * 1000)
+         |                 AS w
+         |        FROM w${t - 1} JOIN g$t USING (j))""".stripMargin
+    val T = LogregIters
+    s"""WITH X AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN label = 0 THEN 1000000 ELSE 0 END AS y,
+       |         unnest([CAST(1000 AS BIGINT)] || list_transform(embedding,
+       |           v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)))
+       |           AS x,
+       |         unnest(range(1, len(embedding) + 2)) AS j
+       |  FROM embeddings),
+       |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM X),
+       |w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM X),
+       |${(1 to T).map(iter).mkString(",\n")},
+       |mf AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+       |       FROM X JOIN w$T USING (j) GROUP BY vec_id, y),
+       |pf AS (SELECT vec_id, y, m,
+       |         CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+       |              AS BIGINT) AS p
+       |       FROM mf),
+       |lf AS (SELECT *,
+       |         CAST(ROUND((CASE WHEN y = 1000000
+       |           THEN -ln(LEAST(GREATEST(p, 1), 999999) / 1000000.0)
+       |           ELSE -ln((1000000 - LEAST(GREATEST(p, 1), 999999))
+       |                    / 1000000.0) END) * 1000000.0) AS BIGINT) AS lr
+       |       FROM pf),
+       |metrics AS (
+       |  SELECT CAST(SUM(CASE WHEN (m > 0) = (y = 1000000) THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_correct,
+       |         CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pos,
+       |         CAST(SUM(lr) AS BIGINT) AS loss_total
+       |  FROM lf)
+       |SELECT j, w AS w_e6, (SELECT n FROM nn) AS n, n_pos,
+       |       (n_correct * 1000000) // (SELECT n FROM nn) AS acc_e6,
+       |       loss_total // (SELECT n FROM nn) AS loss_e6
+       |FROM w$T CROSS JOIN metrics ORDER BY j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logreg_train" -> (logregTrain _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_nb_calibration" -> (nbCalibration _),
@@ -2073,6 +2242,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_logreg_train" -> logregOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_nb_calibration" -> nbCalibrationOracle,

@@ -758,4 +758,59 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("tokens")).sum == total)
   }
 
+  test("logreg GD == driver-side exact-lattice recompute; loss decreases") {
+    val raw = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def q3(v: Float): Long = {
+      val x = v.toDouble * 1000.0
+      if (x < 0) -math.round(-x) else math.round(x) // half away from zero
+    }
+    val xs = raw.map { case (_, lab, emb) =>
+      (if (lab == 0) 1000000L else 0L, 1000L +: emb.map(q3).toArray)
+    }
+    val n = xs.length.toLong
+    val dim = xs.head._2.length
+    val w = Array.fill(dim)(0L)
+    val iters = 5
+    val wantLosses = (1 to iters).map { _ =>
+      val withP = xs.map { case (y, x) =>
+        val m = (0 until dim).map(j => w(j) * x(j)).sum
+        val p = math.round(1e6 / (1.0 + math.exp(-(m / 1e9))))
+        val pc = math.max(1L, math.min(999999L, p))
+        val lr = math.round((if (y == 1000000L) -math.log(pc / 1e6)
+                             else -math.log((1000000L - pc) / 1e6)) * 1e6)
+        (y, x, p, lr)
+      }
+      val loss = withP.map(_._4).sum
+      for (j <- 0 until dim) {
+        val g = withP.map { case (y, x, p, _) => (y - p) * x(j) }.sum
+        w(j) = w(j) + 2L * g / (n * 1000L) // truncating, == DuckDB //
+      }
+      loss
+    }
+    val (gotW, gotLosses, gotN) =
+      CurationOps.logregTrainLoop(spark, sfTiny, iters)
+    assert(gotN == n)
+    assert(gotLosses == wantLosses, s"loss trajectory: $gotLosses")
+    assert(gotW.toSeq == w.toSeq, "final weights diverge from recompute")
+    // the trainer must actually LEARN: every round's incoming loss is
+    // strictly below the previous round's (full-batch GD at this η is
+    // monotone on the fixture), and the fitted model beats both the
+    // all-negative majority guess and the w=0 coin-flip loss (ln 2)
+    assert(gotLosses == gotLosses.sorted.reverse &&
+      gotLosses.distinct.size == gotLosses.size,
+      s"loss not strictly decreasing: $gotLosses")
+    val acc = {
+      val correct = xs.count { case (y, x) =>
+        val m = (0 until dim).map(j => w(j) * x(j)).sum
+        (m > 0) == (y == 1000000L)
+      }
+      correct.toDouble / n
+    }
+    val majority = xs.count(_._1 == 0L).toDouble / n
+    assert(acc >= majority, f"trained acc $acc%.3f below majority $majority%.3f")
+    assert(gotLosses.last < math.round(math.log(2) * 1e6) * n,
+      "after training, loss still at or above the w=0 coin-flip bound")
+  }
 }
