@@ -1763,6 +1763,115 @@ object StatsOps {
       |         AS mi_nats
       |FROM t ORDER BY lang, source""".stripMargin
 
+  // ------------------------------------------------- Holt-Winters
+  /** Additive Holt-Winters triple exponential smoothing per event
+    * type (level + trend + weekly seasonality; Winters 1960) — the
+    * model tier above [[seasonalNaive]]'s lag-7 baseline and
+    * [[graft.ops.AnalyticsOps.ewma]]'s single smoothing: daily cent
+    * volume, α=1/4, β=1/8, γ=1/4, classic first-two-seasons init
+    * (L₀ = mean of week 1, B₀ = (mean of week 2 − mean of week 1)/7,
+    * Sᵢ = xᵢ − L₀), then the three-state recurrence from day 8 with
+    * one-step-ahead absolute error accumulated as the in-sample
+    * score. Reports final level/trend, the next-day forecast
+    * L + B + S_oldest, and the MAE — per type.
+    *
+    * ENTIRELY on the integer micro-cent lattice: every smoothing
+    * update is `(1·new + (k−1)·old) // k` with TRUNCATING integer
+    * division (Scala `Long./` == DuckDB `//`), so no float ever
+    * crosses engines — the recurrence is exact, not
+    * rounded-and-hopefully-stable. Day gaps are treated as
+    * consecutive observations (the dense-grid repair is
+    * [[graft.ops.AnalyticsOps]]'s calendar-fill job, deliberately
+    * not re-run here).
+    *
+    * Scale shape (the tokenBucket doctrine): the 100 TB event scan
+    * collapses to a (type × day) frame in ONE partial-aggregated
+    * pass; the non-associative three-state fold — which no window
+    * frame can express — runs typed per type over that tiny series
+    * with a FORCED in-group sort. The oracle replays the identical
+    * fold as a recursive CTE stepping all types in lockstep with the
+    * rolling seasonal window as a list column — a completely
+    * different evaluation strategy, same integer semantics.
+    */
+  private val HwSeason = 7
+
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = HwSeason
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg((sum(expr("CAST(round(value * 100) AS BIGINT)")) * 1000000L)
+        .as("xq"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t, it) =>
+        val xs = it.toArray.sortBy(_._2).map(_._3)
+        val n = xs.length
+        if (n < 2 * m) Iterator.empty
+        else {
+          var lvl = xs.take(m).sum / m
+          var b = (xs.slice(m, 2 * m).sum / m - lvl) / m
+          val s = scala.collection.mutable.Queue(xs.take(m).map(_ - lvl): _*)
+          var err = 0L
+          for (i <- m until n) {
+            val su = s.dequeue()
+            err += math.abs(xs(i) - (lvl + b + su))
+            val l1 = (xs(i) - su + 3L * (lvl + b)) / 4L
+            b = ((l1 - lvl) + 7L * b) / 8L
+            s.enqueue(((xs(i) - l1) + 3L * su) / 4L)
+            lvl = l1
+          }
+          Iterator.single((t, n.toLong, lvl, b, lvl + b + s.head,
+            err / (n - m)))
+        }
+      }
+      .toDF("t", "n_days", "level_uc", "trend_uc", "forecast_uc", "mae_uc")
+      .orderBy(col("t"))
+  }
+
+  private val holtWintersOracle = {
+    val m = HwSeason
+    // the step's new level, inlined wherever the recurrence needs it
+    // (recursive CTEs can't name intermediates)
+    val l1 = s"(w.xs[w.i + 1] - w.s[1] + 3 * (w.l + w.b)) // 4"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
+       |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) * 1000000
+       |              AS BIGINT) AS xq
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT t, xq, CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY day)
+       |                     AS BIGINT) AS i
+       |  FROM daily),
+       |init AS (
+       |  SELECT t, CAST(MAX(i) AS BIGINT) AS n, list(xq ORDER BY i) AS xs
+       |  FROM series GROUP BY t HAVING MAX(i) >= ${2 * m}),
+       |base AS (
+       |  SELECT t, n, xs, CAST($m AS BIGINT) AS i,
+       |         CAST(list_sum(xs[1:$m]) // $m AS BIGINT) AS l,
+       |         CAST((list_sum(xs[${m + 1}:${2 * m}]) // $m
+       |               - list_sum(xs[1:$m]) // $m) // $m AS BIGINT) AS b,
+       |         list_transform(xs[1:$m],
+       |           v -> CAST(v - list_sum(xs[1:$m]) // $m AS BIGINT)) AS s,
+       |         CAST(0 AS BIGINT) AS err
+       |  FROM init),
+       |walk AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT w.t, w.n, w.xs, w.i + 1,
+       |         CAST($l1 AS BIGINT),
+       |         CAST((($l1 - w.l) + 7 * w.b) // 8 AS BIGINT),
+       |         w.s[2:] || [CAST(((w.xs[w.i + 1] - $l1) + 3 * w.s[1]) // 4
+       |                          AS BIGINT)],
+       |         w.err + abs(w.xs[w.i + 1] - (w.l + w.b + w.s[1]))
+       |  FROM walk w WHERE w.i < w.n)
+       |SELECT t, n AS n_days, l AS level_uc, b AS trend_uc,
+       |       CAST(l + b + s[1] AS BIGINT) AS forecast_uc,
+       |       CAST(err // (n - $m) AS BIGINT) AS mae_uc
+       |FROM walk WHERE i = n ORDER BY t""".stripMargin
+  }
+
   // ---------------------------------------------------- WoE / IV
   /** Weight-of-evidence + information value feature screening (the
     * credit-scoring standard, Siddiqi 2006 — the categorical-feature
@@ -1889,6 +1998,7 @@ object StatsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_woe_iv" -> (woeIv _),
+    "q_holt_winters" -> (holtWinters _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -1921,6 +2031,7 @@ object StatsOps {
 
   def oracles: Map[String, String] = Map(
     "q_woe_iv" -> woeIvOracle,
+    "q_holt_winters" -> holtWintersOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,

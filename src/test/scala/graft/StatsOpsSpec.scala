@@ -82,6 +82,56 @@ class StatsOpsSpec extends SparkSpec {
       "feature ranking inverted — IV screen useless on the fixture")
   }
 
+  test("holtWinters == driver-side integer fold; beats both baselines") {
+    // sfSmall, not sfTiny: at 1/10th the events the daily series is
+    // noise-dominated and the seasonal model has nothing to learn —
+    // the beat-the-baseline claim below only holds where there IS
+    // signal (verified: at sf0.01 HW wins both aggregates, at sf0.001
+    // neither)
+    val daily = Tables.events(spark, sfSmall)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg((sum(expr("CAST(round(value * 100) AS BIGINT)")) * 1000000L)
+        .as("xq"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def tdiv(a: Long, b: Long): Long = a / b // truncating, == DuckDB //
+    val truth = daily.groupBy(_._1).view.mapValues { rows =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length
+      assert(n >= 14, "fixture series too short to exercise the model")
+      var l = tdiv(xs.take(7).sum, 7)
+      var b = tdiv(tdiv(xs.slice(7, 14).sum, 7) - l, 7)
+      val s = scala.collection.mutable.Queue(xs.take(7).map(_ - l): _*)
+      var (err, errP, err7) = (0L, 0L, 0L)
+      for (i <- 7 until n) {
+        val su = s.dequeue()
+        err += math.abs(xs(i) - (l + b + su))
+        errP += math.abs(xs(i) - xs(i - 1))
+        err7 += math.abs(xs(i) - xs(i - 7))
+        val l1 = tdiv(xs(i) - su + 3 * (l + b), 4)
+        b = tdiv((l1 - l) + 7 * b, 8)
+        s.enqueue(tdiv((xs(i) - l1) + 3 * su, 4))
+        l = l1
+      }
+      (n.toLong, l, b, l + b + s.head, err / (n - 7), errP / (n - 7),
+        err7 / (n - 7))
+    }.toMap
+    val got = ops.StatsOps.holtWinters(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (t, g) =>
+      val w = truth(t)
+      assert(g == ((w._1, w._2, w._3, w._4, w._5)), s"$t: $g != $w")
+    }
+    // the model's reason to exist: in aggregate its one-step MAE beats
+    // BOTH the persistence forecast (x̂=yesterday) and the lag-7
+    // seasonal-naive it claims to improve on
+    val hw = truth.values.map(_._5).sum
+    assert(hw < truth.values.map(_._6).sum, "HW loses to persistence")
+    assert(hw < truth.values.map(_._7).sum, "HW loses to seasonal-naive")
+  }
+
   test("attribution conserves conversions") {
     val at = StatsOps.attribution(spark, sfTiny).collect()
     val purchases = Tables.events(spark, sfTiny)
