@@ -819,6 +819,156 @@ object TextOps {
        |FROM tok JOIN sub USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------- WordPiece
+  /** WordPiece greedy longest-match-first tokenization (Schuster &
+    * Nakajima 2012; the BERT tokenizer) — the third member of the
+    * tokenizer triple beside [[bpeApply]] (merge-rule replay) and
+    * [[unigramApply]] (Viterbi): scan each word left to right, at
+    * every position take the LONGEST vocab token matching (`##`-form
+    * past position 0), and if any position matches nothing the whole
+    * word becomes `[UNK]` — BERT's all-or-nothing word fallback,
+    * exercised here for real (rare chars are out-of-alphabet below).
+    * Same per-lang fertility rollup as the other two, so the three
+    * queries form a directly comparable bake-off.
+    *
+    * The vocab is corpus-derived and deterministic (a trained-model
+    * stand-in with the construction stated): alphabet = chars
+    * holding ≥ 1% of corpus char mass (each in both `x` and `##x`
+    * form); plus the top-[[WpK]] most frequent substrings of length
+    * 2..[[WpMaxLen]] per form class (start vs continuation), drawn
+    * only over the alphabet, ties broken by token text.
+    *
+    * Scale shape: the vocab is BOUNDED (alphabet + 2·K entries) — a
+    * legit driver collect + closure broadcast (the fastText
+    * fixed-bucket model pattern); tokenization runs once per
+    * DISTINCT word map-side and joins back to the corpus stream; the
+    * per-lang rollup is one partial-aggregated exchange. The oracle
+    * builds the identical vocab in SQL, precomputes the longest
+    * match for every (word, position) with a join (no aggregation
+    * inside recursion), and follows the greedy chain as a recursive
+    * CTE in lockstep over all words.
+    */
+  private val WpK = 40
+  private val WpMaxLen = 4
+
+  def wordpieceApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wf = words.groupBy(col("w")).agg(count(lit(1)).as("freq")).cache()
+    val chars = wf
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("ch"))
+      .groupBy(col("ch")).agg(sum(col("freq")).as("cnt"))
+    val totalChars = chars.agg(sum(col("cnt"))).head().getLong(0)
+    val alphabet = chars.filter(col("cnt") * 100 >= totalChars)
+      .select(col("ch")).collect().map(_.getString(0)).sorted
+    val cls = alphabet.mkString
+    val subs = wf
+      .select(col("w"), col("freq"), explode(sequence(lit(2),
+        lit(WpMaxLen))).as("len"))
+      .filter(length(col("w")) >= col("len"))
+      .select(col("freq"), col("len"), explode(expr(
+        "transform(sequence(1, length(w) - len + 1), " +
+          "p -> struct(substring(w, p, len) AS tok, p > 1 AS cont))"))
+        .as("s"))
+      .filter(length(translate(col("s.tok"), cls, "")) === 0)
+      .groupBy(col("s.tok").as("tok"), col("s.cont").as("cont"),
+        col("len"))
+      .agg(sum(col("freq")).as("freq"))
+    val topk = subs
+      .withColumn("r", row_number().over(Window.partitionBy(col("cont"))
+        .orderBy(col("freq").desc, col("tok"))))
+      .filter(col("r") <= WpK)
+      .select(col("tok"), col("cont")).collect()
+      .map(r => (if (r.getBoolean(1)) "##" else "") + r.getString(0))
+    val vocab: Set[String] =
+      (alphabet.toSeq ++ alphabet.map("##" + _) ++ topk).toSet
+    val maxLen = WpMaxLen
+    val pieces = wf.select(col("w")).as[String].mapPartitions(_.map { w =>
+      var p = 0
+      var n = 0L
+      var unk = false
+      while (p < w.length && !unk) {
+        var l = math.min(maxLen, w.length - p)
+        var hit = 0
+        while (l >= 1 && hit == 0) {
+          val cand = (if (p > 0) "##" else "") + w.substring(p, p + l)
+          if (vocab(cand)) hit = l else l -= 1
+        }
+        if (hit == 0) unk = true else { n += 1; p += hit }
+      }
+      (w, if (unk) 1L else n, unk)
+    }).toDF("w", "n_tok", "unk")
+    words.join(pieces, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_subwords"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private val wordpieceApplyOracle =
+    s"""WITH RECURSIVE wds AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |w2 AS (SELECT lang, w FROM wds WHERE len(w) > 0),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w2 GROUP BY w),
+       |ch AS (SELECT substr(w, i.i, 1) AS ch, CAST(SUM(freq) AS BIGINT) AS cnt
+       |       FROM wf, LATERAL unnest(range(1, len(w) + 1)) AS i(i)
+       |       GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ch),
+       |vc AS (SELECT ch FROM ch, tot WHERE cnt * 100 >= total),
+       |cls AS (SELECT string_agg(ch, '' ORDER BY ch) AS cls FROM vc),
+       |subs AS (
+       |  SELECT substr(w, p.p, l.l) AS tok, (p.p > 1) AS cont,
+       |         CAST(l.l AS BIGINT) AS len, CAST(SUM(freq) AS BIGINT) AS freq
+       |  FROM wf, LATERAL unnest(range(2, $WpMaxLen + 1)) AS l(l),
+       |       LATERAL unnest(range(1, len(w) - l.l + 2)) AS p(p)
+       |  WHERE len(w) >= l.l
+       |  GROUP BY 1, 2, 3),
+       |clean AS (SELECT s.* FROM subs s, cls
+       |          WHERE length(translate(s.tok, cls.cls, '')) = 0),
+       |topk AS (SELECT tok, cont, len FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY cont
+       |             ORDER BY freq DESC, tok) AS r FROM clean)
+       |         WHERE r <= $WpK),
+       |vocab AS (SELECT tok, cont, len FROM topk
+       |          UNION ALL SELECT ch, FALSE, CAST(1 AS BIGINT) FROM vc
+       |          UNION ALL SELECT ch, TRUE, CAST(1 AS BIGINT) FROM vc),
+       |steps AS (
+       |  SELECT m.w, m.pos, MAX(m.len) AS step FROM (
+       |    SELECT wf.w, p.pos, v.len
+       |    FROM wf, LATERAL unnest(range(1, len(wf.w) + 1)) AS p(pos)
+       |    JOIN vocab v
+       |      ON v.cont = (p.pos > 1) AND v.len <= len(wf.w) - p.pos + 1
+       |     AND substr(wf.w, p.pos, CAST(v.len AS INTEGER)) = v.tok) m
+       |  GROUP BY m.w, m.pos),
+       |walk AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_tok,
+       |         FALSE AS unk
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT k.w,
+       |         CASE WHEN s.step IS NULL THEN CAST(len(k.w) + 1 AS BIGINT)
+       |              ELSE k.pos + s.step END,
+       |         CASE WHEN s.step IS NULL THEN CAST(1 AS BIGINT)
+       |              ELSE k.n_tok + 1 END,
+       |         k.unk OR s.step IS NULL
+       |  FROM walk k LEFT JOIN steps s ON s.w = k.w AND s.pos = k.pos
+       |  WHERE k.pos <= len(k.w)),
+       |res AS (SELECT w, n_tok, unk FROM walk WHERE pos = len(w) + 1)
+       |SELECT lang, COUNT(*) AS n_words,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unk_words,
+       |       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM w2 JOIN res USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- bigram LM
   /** Bigram language-model quality scoring with add-1 smoothing — the
     * CCNet-style LM filter signal one order up from
@@ -1889,6 +2039,7 @@ object TextOps {
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_apply" -> (bpeApply _),
+    "q_wordpiece_apply" -> (wordpieceApply _),
     "q_doc_repetition" -> (docRepetition _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
@@ -1919,6 +2070,7 @@ object TextOps {
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_apply" -> bpeApplyOracle,
+    "q_wordpiece_apply" -> wordpieceApplyOracle,
     "q_doc_repetition" -> docRepetitionOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,

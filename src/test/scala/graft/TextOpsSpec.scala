@@ -468,4 +468,67 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece == driver-side vocab build + greedy recompute") {
+    val words = Tables.documents(spark, sfTiny)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val wf = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val charCnt = wf.toSeq.flatMap { case (w, f) => w.map(c => (c, f)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = charCnt.values.sum
+    val alpha = charCnt.filter(_._2 * 100 >= total).keySet
+    val subs = wf.toSeq.flatMap { case (w, f) =>
+      for {
+        l <- 2 to 4
+        p <- 0 to w.length - l
+        tok = w.substring(p, p + l)
+        if tok.forall(alpha)
+      } yield ((tok, p > 0), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val topk = subs.groupBy(_._1._2).values.flatMap { grp =>
+      grp.sortBy { case ((tok, _), f) => (-f, tok) }.take(40).map(_._1)
+    }
+    val vocab: Set[String] = alpha.map(_.toString) ++
+      alpha.map("##" + _) ++
+      topk.map { case (tok, cont) => (if (cont) "##" else "") + tok }
+    def greedy(w: String): (Long, Boolean) = {
+      var p = 0; var n = 0L
+      while (p < w.length) {
+        val l = (math.min(4, w.length - p) to 1 by -1).find { l =>
+          vocab((if (p > 0) "##" else "") + w.substring(p, p + l))
+        }.getOrElse(0)
+        if (l == 0) return (1L, true)
+        n += 1; p += l
+      }
+      (n, false)
+    }
+    val toks = wf.keys.map(w => w -> greedy(w)).toMap
+    val want = words.groupBy(_._1).view.mapValues { ws =>
+      val ts = ws.map(w => toks(w._2))
+      (ws.length.toLong, ts.map(_._1).sum, ts.count(_._2).toLong)
+    }.toMap
+    val got = ops.TextOps.wordpieceApply(spark, sfTiny).collect()
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (nw, ns, nu) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nw, ns, nu)),
+        s"census for ${r.getString(0)}")
+      val fert = BigDecimal(ns.toDouble / nw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == fert, s"fertility for ${r.getString(0)}")
+    }
+    // the [UNK] fallback must actually FIRE (rare chars are below the
+    // 1% alphabet cut on this fixture) and must not dominate
+    val unkTotal = got.map(_.getLong(3)).sum
+    val wordTotal = got.map(_.getLong(1)).sum
+    assert(unkTotal > 0, "UNK path dead on the fixture")
+    assert(unkTotal * 2 < wordTotal, "UNK dominates — vocab degenerate")
+    // greedy must produce real subword splits, not all-chars: mean
+    // fertility strictly under the char-tokenizer's mean word length
+    val meanWordLen = words.map(_._2.length).sum.toDouble / words.length
+    val meanFert = got.map(r => r.getLong(2).toDouble).sum / wordTotal
+    assert(meanFert < meanWordLen * 0.75,
+      s"fertility $meanFert vs word len $meanWordLen — no real merges")
+  }
 }
