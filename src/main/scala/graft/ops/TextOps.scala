@@ -1042,6 +1042,158 @@ object TextOps {
       |         AS avg_logprob
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- DPO pairs
+  /** DPO implicit-reward audit over constructed preference pairs
+    * (Rafailov et al. 2023, "Direct Preference Optimization") — the
+    * RLHF-data-prep diagnostic: per (lang × length-bucket) the
+    * highest- and lowest-scoring docs under the unigram-LM heuristic
+    * label form a (chosen, rejected) pair, and the pair is scored by
+    * the DPO implicit reward with the BIGRAM LM as policy π and the
+    * UNIGRAM LM as reference: margin = [lnπ(y_c) − lnref(y_c)] −
+    * [lnπ(y_r) − lnref(y_r)], loss = ln(1 + e^(−β·margin)) at β=0.1.
+    * Accuracy (margin > 0 rate) answers "does the reference-free
+    * reward agree with the heuristic label?" — the sanity gate before
+    * training a reward model on pseudo-labels. Length buckets keep
+    * paired docs comparable, since DPO margins are sums of SEQUENCE
+    * logprobs, not per-token averages.
+    *
+    * Parity: both LM scores are the established e6-micro-nat sums
+    * ([[unigramLogprob]]/[[bigramLogprob]] constructions inline);
+    * pair selection orders by the exact integer per-token score
+    * `slp_u div n_tok` with doc_id tiebreaks; the margin is exact
+    * integer; loss leaves float for one exp+ln per PAIR and
+    * re-quantizes to e6 (the DSIR pattern).
+    *
+    * Scale shape: one token explode and one bigram explode feed the
+    * two count tables (unhinted — the 8 GB-cliff rationale at
+    * [[unigramLogprob]]); the per-doc score frame is corpus-sized but
+    * narrow (5 longs); pair selection is two WindowGroupLimit top-1s
+    * per (lang, bucket) — never a global sort; everything after is
+    * pair-count-sized.
+    */
+  private val DpoBucket = 32L
+  private val DpoBetaDen = 10L // β = 1/10
+
+  def dpoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val uni = toks.join(freqs, Seq("term")) // vocab-sized: unhinted
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0),
+          0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_e6")).as("slp_u"))
+    val big = docs.filter(col("text").contains(" "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val bi = big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")) // unhinted
+      .crossJoin(broadcast(v))
+      .withColumn("lp_e6",
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+          * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("lp_e6")).as("slp_b"))
+    val scored = uni.join(bi, Seq("doc_id"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("bucket", expr(s"n_tok div $DpoBucket"))
+      .withColumn("sel", expr("slp_u div n_tok"))
+    val wBest = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("sel").desc, col("doc_id"))
+    val wWorst = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("sel").asc, col("doc_id"))
+    val best = scored.withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1)
+      .select(col("lang"), col("bucket"), col("doc_id").as("c_id"),
+        (col("slp_b") - col("slp_u")).as("rw_c"))
+    val worst = scored.withColumn("r", row_number().over(wWorst))
+      .filter(col("r") === 1)
+      .select(col("lang"), col("bucket"), col("doc_id").as("r_id"),
+        (col("slp_b") - col("slp_u")).as("rw_r"))
+    best.join(worst, Seq("lang", "bucket"))
+      .filter(col("c_id") =!= col("r_id"))
+      .withColumn("margin_e6", col("rw_c") - col("rw_r"))
+      .withColumn("loss_e6",
+        round(log(lit(1.0) + exp(-(col("margin_e6") /
+          lit(1000000.0 * DpoBetaDen)))) * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("margin_e6") > 0, 1L).otherwise(0L)).as("n_correct"),
+        sum(col("margin_e6")).as("sum_margin_e6"),
+        sum(col("loss_e6")).as("sum_loss_e6"))
+      .select(col("lang"), col("n_pairs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_pairs").as("acc_e6"),
+        expr("sum_margin_e6 div n_pairs").as("mean_margin_e6"),
+        expr("sum_loss_e6 div n_pairs").as("mean_loss_e6"))
+      .orderBy(col("lang"))
+  }
+
+  private val dpoPairsOracle =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |toks AS (SELECT doc_id, unnest(ws) AS term FROM d),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+       |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+       |uni AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |         CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot)
+       |                  * 1000000.0) AS BIGINT)) AS BIGINT) AS slp_u
+       |  FROM toks JOIN freqs USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |        FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+       |v AS (SELECT COUNT(DISTINCT w) AS v
+       |      FROM (SELECT unnest(ws) AS w FROM d)),
+       |bi AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + v)) * 1000000.0)
+       |                  AS BIGINT)) AS BIGINT) AS slp_b
+       |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, uni.n_tok, uni.slp_u, bi.slp_b,
+       |         uni.n_tok // $DpoBucket AS bucket,
+       |         uni.slp_u // uni.n_tok AS sel
+       |  FROM d JOIN uni USING (doc_id) JOIN bi USING (doc_id)),
+       |best AS (SELECT lang, bucket, doc_id AS c_id,
+       |                slp_b - slp_u AS rw_c
+       |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bucket
+       |                 ORDER BY sel DESC, doc_id) AS r FROM scored)
+       |         WHERE r = 1),
+       |worst AS (SELECT lang, bucket, doc_id AS r_id,
+       |                 slp_b - slp_u AS rw_r
+       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bucket
+       |                  ORDER BY sel ASC, doc_id) AS r FROM scored)
+       |          WHERE r = 1),
+       |pairs AS (
+       |  SELECT b.lang, b.rw_c - w.rw_r AS margin_e6,
+       |         CAST(ROUND(ln(1.0 + exp(-((b.rw_c - w.rw_r)
+       |           / ${1000000.0 * DpoBetaDen}))) * 1000000.0) AS BIGINT)
+       |           AS loss_e6
+       |  FROM best b JOIN worst w USING (lang, bucket)
+       |  WHERE b.c_id <> w.r_id)
+       |SELECT lang, COUNT(*) AS n_pairs,
+       |       CAST(SUM(CASE WHEN margin_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       CAST(SUM(CASE WHEN margin_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // COUNT(*) AS acc_e6,
+       |       CAST(SUM(margin_e6) AS BIGINT) // COUNT(*) AS mean_margin_e6,
+       |       CAST(SUM(loss_e6) AS BIGINT) // COUNT(*) AS mean_loss_e6
+       |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- PMI collocations
   /** PMI collocation mining — the classic phrase-discovery statistic:
     * pointwise mutual information ln(p(w1,w2) / (p(w1)·p(w2))) of each
@@ -2040,6 +2192,7 @@ object TextOps {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_apply" -> (bpeApply _),
     "q_wordpiece_apply" -> (wordpieceApply _),
+    "q_dpo_pairs" -> (dpoPairs _),
     "q_doc_repetition" -> (docRepetition _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_zipf_slope" -> (zipfSlope _),
@@ -2071,6 +2224,7 @@ object TextOps {
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_apply" -> bpeApplyOracle,
     "q_wordpiece_apply" -> wordpieceApplyOracle,
+    "q_dpo_pairs" -> dpoPairsOracle,
     "q_doc_repetition" -> docRepetitionOracle,
     "q_ngram_novelty" -> ngramNoveltyOracle,
     "q_zipf_slope" -> zipfSlopeOracle,

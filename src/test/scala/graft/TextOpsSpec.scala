@@ -531,4 +531,54 @@ class TextOpsSpec extends SparkSpec {
     assert(meanFert < meanWordLen * 0.75,
       s"fertility $meanFert vs word len $meanWordLen — no real merges")
   }
+
+  test("dpo pairs == driver-side LM + pairing recompute") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val allToks = docs.flatMap(_._3)
+    val nTot = allToks.length.toDouble
+    val tf = allToks.groupBy(identity).view.mapValues(_.length).toMap
+    val bigs = docs.filter(_._3.length >= 2)
+      .flatMap(d => d._3.sliding(2).map(p => (p(0), p(1))))
+    val c2 = bigs.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = bigs.groupBy(_._1).view.mapValues(_.length).toMap
+    val v = allToks.distinct.length
+    def e6(x: Double): Long = math.round(x * 1e6)
+    val scored = docs.filter(_._3.length >= 2).map { case (id, lang, ws) =>
+      val slpU = ws.map(w => e6(math.log(tf(w) / nTot))).sum
+      val slpB = ws.sliding(2).map { p =>
+        e6(math.log((c2((p(0), p(1))) + 1.0) / (c1(p(0)) + v)))
+      }.sum
+      (id, lang, ws.length.toLong, slpU, slpB)
+    }
+    val byCell = scored.groupBy(t => (t._2, t._3 / 32))
+    val pairs = byCell.toSeq.flatMap { case ((lang, _), ds ) =>
+      val best = ds.minBy(d => (-(d._4 / d._3), d._1))
+      val worst = ds.minBy(d => (d._4 / d._3, d._1))
+      if (best._1 == worst._1) None
+      else Some((lang, (best._5 - best._4) - (worst._5 - worst._4)))
+    }
+    val want = pairs.groupBy(_._1).view.mapValues { ps =>
+      val n = ps.length.toLong
+      val nc = ps.count(_._2 > 0).toLong
+      val losses = ps.map { case (_, m) =>
+        e6(math.log(1.0 + math.exp(-(m / 1e7))))
+      }
+      (n, nc, nc * 1000000L / n, ps.map(_._2).sum / n, losses.sum / n)
+    }.toMap
+    val got = ops.TextOps.dpoPairs(spark, sfTiny).collect()
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val w = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == w, s"${r.getString(0)}: got row != $w")
+    }
+    // pairing must be non-degenerate: at least one lang has >1 pair,
+    // and margins are not all one sign (else the diagnostic is dead)
+    assert(want.values.exists(_._1 > 1), "every lang has at most one pair")
+    val margins = pairs.map(_._2)
+    assert(margins.nonEmpty && margins.exists(_ != margins.head),
+      "all margins identical — fixture degenerate")
+  }
 }
