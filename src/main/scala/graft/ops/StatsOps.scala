@@ -1793,11 +1793,38 @@ object StatsOps {
     * rolling seasonal window as a list column — a completely
     * different evaluation strategy, same integer semantics.
     */
-  private val HwSeason = 7
+  private[graft] val HwSeason = 7
+
+  /** The exact-integer Holt-Winters fold over a day-ordered series —
+    * THE one definition the batch query and the streaming twin
+    * ([[graft.streaming.StreamingOps.holtWintersStream]]) both run
+    * (the extractFrame factoring discipline). Returns (level, trend,
+    * next-day forecast, MAE), all micro-cents; None while the series
+    * is shorter than two seasons (warm-up). */
+  private[graft] def hwFold(xs: Array[Long])
+      : Option[(Long, Long, Long, Long)] = {
+    val m = HwSeason
+    val n = xs.length
+    if (n < 2 * m) None
+    else {
+      var lvl = xs.take(m).sum / m
+      var b = (xs.slice(m, 2 * m).sum / m - lvl) / m
+      val s = scala.collection.mutable.Queue(xs.take(m).map(_ - lvl): _*)
+      var err = 0L
+      for (i <- m until n) {
+        val su = s.dequeue()
+        err += math.abs(xs(i) - (lvl + b + su))
+        val l1 = (xs(i) - su + 3L * (lvl + b)) / 4L
+        b = ((l1 - lvl) + 7L * b) / 8L
+        s.enqueue(((xs(i) - l1) + 3L * su) / 4L)
+        lvl = l1
+      }
+      Some((lvl, b, lvl + b + s.head, err / (n - m)))
+    }
+  }
 
   def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val m = HwSeason
     Tables.events(spark, sfDir)
       .groupBy(col("event_type").as("t"),
         expr("unix_millis(ts) div 86400000").as("day"))
@@ -1807,23 +1834,8 @@ object StatsOps {
       .groupByKey(_._1)
       .flatMapGroups { (t, it) =>
         val xs = it.toArray.sortBy(_._2).map(_._3)
-        val n = xs.length
-        if (n < 2 * m) Iterator.empty
-        else {
-          var lvl = xs.take(m).sum / m
-          var b = (xs.slice(m, 2 * m).sum / m - lvl) / m
-          val s = scala.collection.mutable.Queue(xs.take(m).map(_ - lvl): _*)
-          var err = 0L
-          for (i <- m until n) {
-            val su = s.dequeue()
-            err += math.abs(xs(i) - (lvl + b + su))
-            val l1 = (xs(i) - su + 3L * (lvl + b)) / 4L
-            b = ((l1 - lvl) + 7L * b) / 8L
-            s.enqueue(((xs(i) - l1) + 3L * su) / 4L)
-            lvl = l1
-          }
-          Iterator.single((t, n.toLong, lvl, b, lvl + b + s.head,
-            err / (n - m)))
+        hwFold(xs).iterator.map { case (lvl, b, fc, mae) =>
+          (t, xs.length.toLong, lvl, b, fc, mae)
         }
       }
       .toDF("t", "n_days", "level_uc", "trend_uc", "forecast_uc", "mae_uc")

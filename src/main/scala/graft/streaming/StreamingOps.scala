@@ -643,6 +643,50 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class HwEv(event_type: String, ts: Timestamp, value: Double)
+  final case class HwState(days: Map[Long, Long])
+  final case class HwOut(event_type: String, n_days: Long, level_uc: Long,
+      trend_uc: Long, forecast_uc: Long, mae_uc: Long)
+
+  /** Streaming Holt-Winters with `mapGroupsWithState` (Update mode) —
+    * the stateful twin of [[graft.ops.StatsOps.holtWinters]]: per
+    * event type the state is the DAY→CENTS ledger (arriving events
+    * fold into their day's total — commutative integer adds, so
+    * arrival order never matters), and every update re-runs the ONE
+    * shared exact-integer fold ([[graft.ops.StatsOps.hwFold]]) over
+    * the day-sorted series — the sftAssembly re-fold discipline,
+    * chosen because the smoothing recurrence is order-critical while
+    * the raw ledger is order-free: accumulate the commutative thing,
+    * re-fold the sequential thing. Emits `mae_uc = -1` while a type
+    * is still inside the two-season warm-up. State is O(days per
+    * type) — bounded by the modeling horizon, not the event volume;
+    * a production variant would age out days beyond the horizon via
+    * the map (the smoothing forgets geometrically anyway).
+    */
+  def holtWintersStream(events: Dataset[HwEv]): Dataset[HwOut] = {
+    import events.sparkSession.implicits._
+    def update(t: String, evs: Iterator[HwEv],
+               state: GroupState[HwState]): HwOut = {
+      var days = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long])
+      evs.foreach { e =>
+        val day = e.ts.getTime / 86400000L
+        // half-away-from-zero, matching the batch side's SQL round()
+        val x = e.value * 100.0
+        val cents = if (x < 0) -math.round(-x) else math.round(x)
+        days = days.updated(day, days.getOrElse(day, 0L) + cents)
+      }
+      state.update(HwState(days))
+      val xs = days.toArray.sortBy(_._1).map(_._2 * 1000000L)
+      graft.ops.StatsOps.hwFold(xs) match {
+        case Some((l, b, fc, mae)) => HwOut(t, xs.length.toLong, l, b, fc, mae)
+        case None => HwOut(t, xs.length.toLong, 0L, 0L, 0L, -1L)
+      }
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class ChatEv(user_id: Long, ts: Timestamp,
       event_id: Long, event_type: String, value: Double)
   final case class ChatMsg(tsMs: Long, eventId: Long,

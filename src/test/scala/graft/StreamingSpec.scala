@@ -177,6 +177,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters converges to the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{HwEv, HwOut}
+
+    // the full sfTiny event log in 2 arrival waves split by DAY (first
+    // 10 days, then the rest): wave 1 leaves every type inside the
+    // two-season warm-up, wave 2 completes the series — n_days grows
+    // strictly, so "latest update" is well-defined by maxBy(n_days)
+    val evs = Tables.events(spark, sfTiny)
+      .selectExpr("event_type", "ts", "value").as[HwEv].collect()
+    val day0 = evs.map(_.ts.getTime / 86400000L).min
+    val input = MemoryStream[HwEv]
+    val q = StreamingOps.holtWintersStream(input.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("update").start()
+    try {
+      input.addData(evs.filter(_.ts.getTime / 86400000L < day0 + 10).toSeq)
+      q.processAllAvailable()
+      val mid = spark.table("hw_out").as[HwOut].collect()
+      assert(mid.nonEmpty, "no update after wave 1")
+      assert(mid.forall(_.mae_uc == -1L),
+        "10 days must still be inside the two-season warm-up")
+      input.addData(evs.filter(_.ts.getTime / 86400000L >= day0 + 10).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("hw_out").as[HwOut].collect()
+        .groupBy(_.event_type)
+        .map { case (t, os) => t -> os.maxBy(_.n_days) } // days only grow
+      val want = graft.ops.StatsOps.holtWinters(spark, sfTiny).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got.keySet == want.keySet, s"type sets differ")
+      for ((t, g) <- got) {
+        val w = want(t)
+        assert((g.n_days, g.level_uc, g.trend_uc, g.forecast_uc, g.mae_uc)
+          == w, s"$t: stream ${g} != batch $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming SFT assembly converges to the batch relational assembler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
