@@ -2211,7 +2211,202 @@ object CurationOps {
        |FROM w$T CROSS JOIN metrics ORDER BY j""".stripMargin
   }
 
+  // ------------------------------------------------- AdaBoost stumps
+  /** AdaBoost.M1 over decision stumps (Freund & Schapire '97) — the
+    * ENSEMBLE trainer beside [[logregTrain]]'s linear one, same task
+    * (y = (label = 0) over the e3-quantized embedding features):
+    * [[AdaRounds]] rounds of (pick the stump minimizing the
+    * weight-ed error over a FIXED threshold grid) → (reweight:
+    * misclassified up by e^α, correct down by e^−α,
+    * α = ½ln((1−ε)/ε)). Reports each round's chosen stump, its
+    * normalized weighted error, and α, with the final ensemble's
+    * training accuracy repeated per row.
+    *
+    * Exactness: sample weights LIVE on the e6 integer lattice —
+    * each round quantizes the two update factors e^±α to e6 ONCE
+    * (two exps per ROUND, not per row: the per-row update is then
+    * integer multiply + truncating e6 drop), so the weighted errors
+    * every stump choice ranks are exact integer sums; ties break by
+    * (feature, threshold, polarity). Stump choice only needs the
+    * p=+1 errors: werr(−p) = W − werr(p), so each round scans the
+    * grid once and argmins over both signs arithmetically.
+    *
+    * Scale shape: the feature frame stays cached with its weight
+    * column; each round is ONE pass — stump errors come from a
+    * posexplode × broadcast-grid conditional aggregation whose
+    * partial aggregation reduces every partition to (64·|grid|)
+    * rows before the exchange, the winning stump is a driver argmin
+    * over that bounded frame (A6), and the reweight is a map-side
+    * literal expression followed by localCheckpoint (the iterative-
+    * frame discipline: one materialized generation, no deepening
+    * plan). The oracle replays all rounds as unrolled CTEs with the
+    * argmin as an ORDER BY ... LIMIT 1 subquery.
+    */
+  private val AdaRounds = 4
+  private val AdaGrid: Seq[Long] = Seq(-225L, -150L, -75L, 0L, 75L, 150L, 225L, 1000L)
+
+  private def adaX(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1L).otherwise(-1L).as("y"),
+      expr("transform(embedding, " +
+        "v -> CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT))")
+        .as("x"),
+      lit(1000000L).as("w"))
+
+  /** The chosen stump of one round plus its bookkeeping. */
+  private[graft] final case class AdaStump(j: Int, thr: Long, pol: Long,
+      werrE6: Long, alphaE6: Long)
+
+  private[graft] def adaTrainLoop(spark: SparkSession, sfDir: String,
+      rounds: Int): (Seq[AdaStump], DataFrame) = {
+    import spark.implicits._
+    val grid = AdaGrid.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("ti", "thr")
+    var x = adaX(spark, sfDir).localCheckpoint(true)
+    val stumps = Seq.newBuilder[AdaStump]
+    for (_ <- 1 to rounds) {
+      // p=+1 stump h(x) = (x_j > θ ? +1 : −1); werr over the grid in
+      // one conditional aggregation, W rides along in every group
+      val errs = x
+        .select(col("y"), col("w"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .join(broadcast(grid), expr("true"))
+        .groupBy(col("pos"), col("thr"))
+        .agg(sum(when((col("xv") > col("thr")).cast("int") * 2 - 1 =!= col("y"),
+          col("w")).otherwise(0L)).as("werr"),
+          sum(col("w")).as("wsum"))
+        .collect()
+      // wsum in EVERY group is the full Σw (each group sees each row once)
+      val wAll = errs.head.getLong(3)
+      val best = errs.flatMap { r =>
+        val (j, thr, we) = (r.getInt(0), r.getLong(1), r.getLong(2))
+        Seq((j, thr, 1L, we), (j, thr, -1L, wAll - we))
+      }.minBy { case (j, thr, p, we) => (we, j, thr, p) }
+      val (j, thr, pol, werr) = best
+      require(werr > 0 && werr < wAll, "degenerate stump: separable fixture")
+      val alpha = math.log((wAll - werr).toDouble / werr) / 2.0
+      val alphaE6 = math.round(alpha * 1e6)
+      val fUp = math.round(math.exp(alphaE6 / 1e6) * 1e6)
+      val fDn = math.round(math.exp(-alphaE6 / 1e6) * 1e6)
+      stumps += AdaStump(j, thr, pol, werr * 1000000L / wAll, alphaE6)
+      val h = (element_at(col("x"), j + 1) > thr).cast("int") * 2 - 1
+      val miss = (h * lit(pol)) =!= col("y")
+      val next = x.withColumn("w",
+        call_function("div",
+          when(miss, col("w") * fUp).otherwise(col("w") * fDn),
+          lit(1000000L)))
+        .localCheckpoint(true)
+      graft.ops.GraphOps.freeCheckpoint(x)
+      x = next
+    }
+    (stumps.result(), x)
+  }
+
+  def adaboostStumps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (stumps, x) = adaTrainLoop(spark, sfDir, AdaRounds)
+    // ensemble vote Σ αₜhₜ as one literal expression over the cached
+    // final frame
+    val score = stumps.map { s =>
+      ((element_at(col("x"), s.j + 1) > s.thr).cast("int") * 2 - 1) *
+        lit(s.pol) * lit(s.alphaE6)
+    }.reduce(_ + _)
+    val metrics = x
+      .agg(sum(when((score > 0).cast("int") * 2 - 1 === col("y"), 1L)
+        .otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    graft.ops.GraphOps.freeCheckpoint(x)
+    val accE6 = metrics.getLong(0) * 1000000L / metrics.getLong(1)
+    stumps.zipWithIndex
+      .map { case (s, i) =>
+        (i + 1L, s.j + 1L, s.thr, s.pol, s.werrE6, s.alphaE6, accE6)
+      }
+      .toDF("round", "feature", "threshold_e3", "polarity", "werr_e6",
+        "alpha_e6", "ensemble_acc_e6")
+      .orderBy(col("round"))
+  }
+
+  private val adaboostOracle = {
+    val grid = AdaGrid.mkString("[", ", ", "]")
+    // one training round as CTEs: errs over the grid (p=+1 only),
+    // best via both-polarity argmin, weights w{t} from w{t-1}
+    val round = (t: Int) =>
+      s"""e$t AS (
+         |  SELECT X.j, g.thr,
+         |         CAST(SUM(CASE WHEN (CASE WHEN X.x > g.thr THEN 1
+         |                              ELSE -1 END) <> X.y
+         |                  THEN w.w ELSE 0 END) AS BIGINT) AS werr
+         |  FROM X JOIN w${t - 1} w USING (vec_id),
+         |       (SELECT unnest($grid) AS thr) g
+         |  GROUP BY X.j, g.thr),
+         |tot$t AS (SELECT CAST(SUM(w) AS BIGINT) AS wall FROM w${t - 1}),
+         |b$t AS (
+         |  SELECT j, thr, pol, werr, wall,
+         |         CAST(ROUND(ln(CAST(wall - werr AS DOUBLE) / werr)
+         |                    / 2.0 * 1000000.0) AS BIGINT) AS alpha_e6
+         |  FROM (SELECT j, thr, 1 AS pol, werr, wall
+         |          FROM e$t CROSS JOIN tot$t
+         |        UNION ALL
+         |        SELECT j, thr, -1, wall - werr, wall
+         |          FROM e$t CROSS JOIN tot$t)
+         |  ORDER BY werr, j, thr, pol LIMIT 1),
+         |f$t AS (
+         |  SELECT *,
+         |    CAST(ROUND(exp(alpha_e6 / 1000000.0) * 1000000.0) AS BIGINT)
+         |      AS f_up,
+         |    CAST(ROUND(exp(-alpha_e6 / 1000000.0) * 1000000.0) AS BIGINT)
+         |      AS f_dn
+         |  FROM b$t),
+         |w$t AS (
+         |  SELECT w.vec_id,
+         |         CAST((w.w * CASE WHEN (CASE WHEN X.x > f.thr THEN 1
+         |                                ELSE -1 END) * f.pol <> X.y
+         |                      THEN f.f_up ELSE f.f_dn END) // 1000000
+         |              AS BIGINT) AS w
+         |  FROM w${t - 1} w CROSS JOIN f$t f
+         |  JOIN X ON X.vec_id = w.vec_id AND X.j = f.j)""".stripMargin
+    val T = AdaRounds
+    val stumpsUnion = (1 to T)
+      .map(t => s"SELECT j, thr, pol, alpha_e6 FROM f$t")
+      .mkString(" UNION ALL ")
+    s"""WITH X AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN label = 0 THEN 1 ELSE -1 END AS y,
+       |         unnest(list_transform(embedding,
+       |           v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)))
+       |           AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS j
+       |  FROM embeddings),
+       |w0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS w
+       |       FROM embeddings),
+       |${(1 to T).map(round).mkString(",\n")},
+       |votes AS (
+       |  SELECT X.vec_id,
+       |         CAST(SUM((CASE WHEN X.x > f.thr THEN 1 ELSE -1 END)
+       |                  * f.pol * f.alpha_e6) AS BIGINT) AS sc
+       |  FROM X JOIN ($stumpsUnion) f ON X.j = f.j
+       |  GROUP BY X.vec_id),
+       |acc AS (
+       |  SELECT CAST(SUM(CASE WHEN (CASE WHEN v.sc > 0 THEN 1
+       |                              ELSE -1 END) = d.y
+       |                  THEN 1 ELSE 0 END) * 1000000
+       |              // COUNT(*) AS BIGINT) AS acc_e6
+       |  FROM (SELECT DISTINCT vec_id, y FROM X) d
+       |  JOIN votes v USING (vec_id))
+       |SELECT * FROM (
+       |${(1 to T).map(t =>
+      s"""  SELECT CAST($t AS BIGINT) AS round, CAST(j AS BIGINT) AS feature,
+         |         CAST(thr AS BIGINT) AS threshold_e3,
+         |         CAST(pol AS BIGINT) AS polarity,
+         |         CAST(werr * 1000000 // wall AS BIGINT) AS werr_e6,
+         |         alpha_e6, (SELECT acc_e6 FROM acc) AS ensemble_acc_e6
+         |  FROM f$t""".stripMargin).mkString("\n  UNION ALL\n")}
+       |) ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_adaboost_stumps" -> (adaboostStumps _),
     "q_logreg_train" -> (logregTrain _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
@@ -2242,6 +2437,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,

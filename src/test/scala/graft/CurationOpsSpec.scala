@@ -758,6 +758,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("tokens")).sum == total)
   }
 
+  test("adaboost == driver-side exact-lattice recompute; boosting invariants") {
+    val raw = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def q3(v: Float): Long = {
+      val x = v.toDouble * 1000.0
+      if (x < 0) -math.round(-x) else math.round(x)
+    }
+    val xs = raw.map { case (_, lab, emb) =>
+      (if (lab == 0) 1L else -1L, emb.map(q3).toArray)
+    }
+    val grid = Seq(-225L, -150L, -75L, 0L, 75L, 150L, 225L, 1000L)
+    val dim = xs.head._2.length
+    val w = Array.fill(xs.length)(1000000L)
+    val wantStumps = Seq.newBuilder[(Int, Long, Long, Long, Long)]
+    var prevStump: Option[(Int, Long, Long)] = None
+    for (_ <- 1 to 4) {
+      val wAll = w.sum
+      val cands = for (j <- 0 until dim; thr <- grid) yield {
+        val we = xs.indices.map { i =>
+          val h = if (xs(i)._2(j) > thr) 1L else -1L
+          if (h != xs(i)._1) w(i) else 0L
+        }.sum
+        Seq((j, thr, 1L, we), (j, thr, -1L, wAll - we))
+      }
+      val (j, thr, pol, werr) =
+        cands.flatten.minBy { case (j, t, p, we) => (we, j, t, p) }
+      // boosting invariant: the chosen stump beats random under the
+      // CURRENT weights
+      assert(werr * 2 < wAll, s"chosen stump no better than random")
+      // invariant: the PREVIOUS round's stump is exactly useless now —
+      // its reweighted error sits at 1/2 up to lattice rounding
+      prevStump.foreach { case (pj, pt, pp) =>
+        val pe = xs.indices.map { i =>
+          val h = (if (xs(i)._2(pj) > pt) 1L else -1L) * pp
+          if (h != xs(i)._1) w(i) else 0L
+        }.sum
+        val ratio = pe.toDouble / wAll
+        assert(math.abs(ratio - 0.5) < 0.01,
+          s"previous stump error $ratio not ~1/2 after reweight")
+      }
+      prevStump = Some((j, thr, pol))
+      val alphaE6 = math.round(
+        math.log((wAll - werr).toDouble / werr) / 2.0 * 1e6)
+      val fUp = math.round(math.exp(alphaE6 / 1e6) * 1e6)
+      val fDn = math.round(math.exp(-alphaE6 / 1e6) * 1e6)
+      wantStumps += ((j + 1, thr, pol, werr * 1000000L / wAll, alphaE6))
+      for (i <- xs.indices) {
+        val h = (if (xs(i)._2(j) > thr) 1L else -1L) * pol
+        w(i) = w(i) * (if (h != xs(i)._1) fUp else fDn) / 1000000L
+      }
+    }
+    val want = wantStumps.result()
+    val got = ops.CurationOps.adaboostStumps(spark, sfTiny).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(1).toInt, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want, s"stump trajectory: $got vs $want")
+  }
+
   test("logreg GD == driver-side exact-lattice recompute; loss decreases") {
     val raw = Tables.embeddings(spark, sfTiny)
       .selectExpr("vec_id", "label", "embedding").collect()
