@@ -1040,6 +1040,104 @@ object CurationOps {
     * equidepth ties doctrine applies (a mass-duplicated corpus needs
     * dedup first or a re-derived bound).
     */
+  // ------------------------------------------------- isotonic (PAV)
+  /** Isotonic calibration of the DSIR score against the target label
+    * — the CALIBRATOR for the signal [[liftTable]] audits: bin the
+    * docs into [[IsoBins]] equal-depth score bins (ascending), then
+    * fit the monotone non-decreasing rate curve by isotonic L2
+    * regression. Computed via the MINIMAX closed form
+    * ŷ_k = max_{i≤k} min_{j≥k} rate(i..j) — provably identical to
+    * pool-adjacent-violators (Ayer et al. 1955; the spec cross-checks
+    * against an actual PAV stack recompute), and chosen because it is
+    * pure bounded-frame relational algebra: no sequential pooling
+    * loop crosses engines.
+    *
+    * Parity: range rates are exact integers ((Σpos)·1e6 truncating-÷
+    * Σn from prefix sums), so min/max over them are exact; the only
+    * float is the documented global-ntile ordering on the 6dp score
+    * (the liftTable oracle-parity mode).
+    *
+    * Scale shape: one corpus pass scores the docs ([[importanceWeights]]
+    * machinery); the global ntile is the liftTable doctrine; EVERYTHING
+    * after the per-bin rollup is a [[IsoBins]]-row frame — the
+    * triangular minimax joins are 16×16 broadcast joins, not corpus
+    * work.
+    */
+  private val IsoBins = 16
+
+  def isotonicCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = importanceWeights(spark, sfDir)
+      .withColumn("pos", when(col("lang") === DsirTarget, 1L).otherwise(0L))
+    val w = Window.orderBy(col("dsir_w").asc, col("doc_id"))
+    val binned = scored.withColumn("bin", ntile(IsoBins).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cp", sum(col("pos")).over(wc))
+    val lo = cum.select(col("bin").as("i"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("pos")).as("cp0"))
+    val hi = cum.select(col("bin").as("j"), col("cn").as("cn1"),
+      col("cp").as("cp1"))
+    val pairs = lo.crossJoin(hi).filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        expr("(cp1 - cp0) * 1000000 div (cn1 - cn0)").as("r_e6"))
+    val inner = binned.select(col("bin").as("k"))
+      .join(pairs, col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy(col("k"), col("i")).agg(min(col("r_e6")).as("mn"))
+    val iso = inner.groupBy(col("k")).agg(max(col("mn")).as("iso_rate_e6"))
+    binned.join(iso, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("pos * 1000000 div n").as("raw_rate_e6"), col("iso_rate_e6"))
+      .orderBy(col("bin"))
+  }
+
+  private val isotonicOracle =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |freqs AS (SELECT term, COUNT(*) AS tf_all,
+       |                 CAST(SUM(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS tf_tgt
+       |          FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf_all) AS BIGINT) AS n_all,
+       |               CAST(SUM(tf_tgt) AS BIGINT) AS n_tgt,
+       |               COUNT(*) AS vocab
+       |        FROM freqs),
+       |lr AS (SELECT term,
+       |              CAST(ROUND((ln(CAST(tf_tgt + 1 AS DOUBLE) / (n_tgt + vocab)) -
+       |                          ln(CAST(tf_all + 1 AS DOUBLE) / (n_all + vocab)))
+       |                         * 1000000.0) AS BIGINT) AS lr_e6
+       |       FROM freqs CROSS JOIN tot),
+       |dw AS (SELECT doc_id, lang,
+       |              ROUND(CAST(SUM(lr_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |                AS dsir_w
+       |       FROM toks JOIN lr USING (term) GROUP BY doc_id, lang),
+       |binned AS (
+       |  SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS pos FROM (
+       |    SELECT CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END AS pos,
+       |           CAST(NTILE($IsoBins) OVER (ORDER BY dsir_w ASC, doc_id)
+       |                AS INTEGER) AS bin
+       |    FROM dw) GROUP BY bin),
+       |cum AS (SELECT *, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       |        FROM binned),
+       |pairs AS (
+       |  SELECT a.bin AS i, b.bin AS j,
+       |         (b.cp - (a.cp - a.pos)) * 1000000 // (b.cn - (a.cn - a.n))
+       |           AS r_e6
+       |  FROM cum a, cum b WHERE a.bin <= b.bin),
+       |im AS (SELECT k.bin AS k, p.i, CAST(MIN(p.r_e6) AS BIGINT) AS mn
+       |       FROM binned k JOIN pairs p ON p.i <= k.bin AND k.bin <= p.j
+       |       GROUP BY k.bin, p.i),
+       |iso AS (SELECT k, CAST(MAX(mn) AS BIGINT) AS iso_rate_e6
+       |        FROM im GROUP BY k)
+       |SELECT b.bin, b.n, b.pos, b.pos * 1000000 // b.n AS raw_rate_e6,
+       |       iso.iso_rate_e6
+       |FROM binned b JOIN iso ON iso.k = b.bin
+       |ORDER BY b.bin""".stripMargin
+
   def liftTableApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = importanceWeights(spark, sfDir)
     decileApprox(scored)
@@ -2419,6 +2517,7 @@ object CurationOps {
     "q_feature_hash" -> (featureHash _),
     "q_quantile_norm" -> (quantileNorm _),
     "q_lift_table" -> (liftTable _),
+    "q_isotonic" -> (isotonicCalibration _),
     "q_lift_table_approx" -> (liftTableApprox _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cv_leakage" -> (cvLeakage _),
@@ -2450,6 +2549,7 @@ object CurationOps {
     "q_feature_hash" -> featureHashOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_lift_table" -> liftTableOracle,
+    "q_isotonic" -> isotonicOracle,
     "q_lift_table_approx" -> liftTableApproxOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_cv_leakage" -> cvLeakageOracle,

@@ -758,6 +758,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("tokens")).sum == total)
   }
 
+  test("isotonic minimax == classic PAV stack recompute; monotone fit") {
+    val scored = CurationOps.importanceWeights(spark, sfTiny)
+      .selectExpr("doc_id", "lang", "dsir_w").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getDouble(2)))
+      .sortBy(t => (t._3, t._1))
+    // ntile semantics: first (n mod k) bins take the extra row
+    val n = scored.length
+    val k = 16
+    val (base, extra) = (n / k, n % k)
+    val bins = Seq.tabulate(k) { b =>
+      val start = b * base + math.min(b, extra)
+      val len = base + (if (b < extra) 1 else 0)
+      val slice = scored.slice(start, start + len)
+      (slice.length.toLong, slice.count(_._2).toLong)
+    }
+    // classic PAV: merge adjacent pools while the rate would decrease
+    // (fraction compare by cross-multiplication — no float)
+    val pools = scala.collection.mutable.Stack[(Long, Long)]() // (n, pos)
+    val members = scala.collection.mutable.Stack[Int]()
+    bins.foreach { case (bn, bp) =>
+      var (cn, cp, cm) = (bn, bp, 1)
+      while (pools.nonEmpty && pools.top._2 * cn >= cp * pools.top._1) {
+        val (pn, pp) = pools.pop(); val pm = members.pop()
+        cn += pn; cp += pp; cm += pm
+      }
+      pools.push((cn, cp)); members.push(cm)
+    }
+    val pavLevels = pools.toSeq.reverse.zip(members.toSeq.reverse)
+      .flatMap { case ((pn, pp), m) =>
+        Seq.fill(m)(pp * 1000000L / pn)
+      }
+    val got = CurationOps.isotonicCalibration(spark, sfTiny).collect()
+      .sortBy(_.getInt(0))
+    assert(got.length == k)
+    got.zipWithIndex.foreach { case (r, b) =>
+      assert((r.getLong(1), r.getLong(2)) == bins(b), s"bin ${b + 1} counts")
+      assert(r.getLong(3) == bins(b)._2 * 1000000L / bins(b)._1,
+        s"raw rate bin ${b + 1}")
+      assert(r.getLong(4) == pavLevels(b),
+        s"bin ${b + 1}: minimax ${r.getLong(4)} != PAV ${pavLevels(b)}")
+    }
+    // the fit is monotone and actually pooled somewhere (raw rates on
+    // this fixture are NOT already isotone)
+    val iso = got.map(_.getLong(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, "not monotone")
+    assert(got.exists(r => r.getLong(3) != r.getLong(4)),
+      "raw rates already isotone — PAV unexercised on fixture")
+  }
+
   test("adaboost == driver-side exact-lattice recompute; boosting invariants") {
     val raw = Tables.embeddings(spark, sfTiny)
       .selectExpr("vec_id", "label", "embedding").collect()
