@@ -198,11 +198,112 @@ object EvalOps {
        |FROM f ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ pass@k
+  /** The k values a code-eval report conventionally quotes. */
+  private val PassKs = Seq(1, 5, 10)
+
+  /** pass@k — the unbiased estimator from the HumanEval paper (Chen et
+    * al. 2021, "Evaluating Large Language Models Trained on Code",
+    * §2.1): with n samples per problem of which c pass, the probability
+    * that at least one of k drawn samples passes is
+    * 1 − C(n−c, k)/C(n, k), and the paper's numerically-stable product
+    * form is exactly a falling-factorial ratio
+    * Π_{j=0}^{k−1} (n−c−j)/(n−j). Problems: customers (their order
+    * history is the deterministic stand-in for an eval harness's
+    * samples-per-problem frame); a "passing" sample is an 'F'-status
+    * order. Per the paper, k is only estimable where n ≥ k, so each k
+    * keeps its own eligible problem set.
+    *
+    * Parity: both falling factorials are exact BIGINT products (n ≤ a
+    * few dozen per problem, k ≤ 10 ⇒ den < 2⁶³ with room); the
+    * per-problem estimate quantizes by the half-up e6 ratio computed in
+    * decimal(38,0)/HUGEINT, since 2·10⁶·den overflows a long while the
+    * quotient is back under 10⁶; the per-k mean is the same half-up
+    * ratio on the summed e6 lattice. When n−c < k the numerator
+    * product crosses zero — C(n−c,k) = 0 — and the estimate is exactly
+    * 1, special-cased identically on both sides.
+    *
+    * Scale shape: one (custkey) groupBy with map-side combine, a ×|K|
+    * map-side fanout, O(k) arithmetic per row via a bounded
+    * `aggregate(sequence(0, k−1))` fold (never a combinatorial
+    * blow-up, never a factorial table), and a |K|-row rollup. At
+    * 100 TB of eval samples the only exchange is the per-problem
+    * aggregate.
+    */
+  def passAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("pid"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+    val withK = p
+      .select(col("pid"), col("n"), col("c"),
+        explode(array(PassKs.map(lit(_)): _*)).as("k"))
+      .filter(col("n") >= col("k"))
+
+    // exact falling factorial start·(start−1)·…·(start−k+1) as a long
+    def falling(start: Column): Column =
+      aggregate(sequence(lit(0), col("k") - 1), lit(1L),
+        (acc, j) => acc * (start - j))
+
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den)
+    // half-up e6 of num/den with the widening done in decimal(38,0):
+    // 2e6·den exceeds 2⁶³ for the k=10 falling factorials
+    def halfUpDecE6(num: Column, den: Column): Column = {
+      val n38 = num.cast("decimal(38,0)")
+      val d38 = den.cast("decimal(38,0)")
+      floorDiv(n38 * 2000000L + d38, d38 * 2)
+    }
+
+    val perProblem = withK
+      .withColumn("num", falling(col("n") - col("c")))
+      .withColumn("den", falling(col("n")))
+      .withColumn("pass_e6",
+        when(col("n") - col("c") < col("k"), lit(1000000L))
+          .otherwise(halfUpDecE6(col("den") - col("num"), col("den"))))
+    perProblem.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_problems"),
+        sum(col("pass_e6")).cast("long").as("s"))
+      .select(col("k"), col("n_problems"),
+        (floorDiv(col("s") * 2 + col("n_problems"), col("n_problems") * 2)
+          .cast("double") / 1000000.0).as("pass_at_k"))
+      .orderBy(col("k"))
+  }
+
+  private val passAtKOracle = {
+    val h = "2000000*CAST(den - num AS HUGEINT) + den"
+    val d2 = "2*CAST(den AS HUGEINT)"
+    val m = "2*SUM(pass_e6) + COUNT(*)"
+    val c2 = "2*COUNT(*)"
+    s"""WITH p AS (SELECT o_custkey AS pid, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |pk AS (SELECT k, n, c,
+       |    CAST(list_reduce(list_transform(range(0, k), j -> n - c - j),
+       |                     (a, b) -> a * b) AS BIGINT) AS num,
+       |    CAST(list_reduce(list_transform(range(0, k), j -> n - j),
+       |                     (a, b) -> a * b) AS BIGINT) AS den
+       |  FROM p, UNNEST([${PassKs.mkString(", ")}]) AS t(k)
+       |  WHERE n >= k),
+       |pe AS (SELECT k,
+       |    CASE WHEN n - c < k THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST((($h) - ($h) % ($d2)) // ($d2) AS BIGINT)
+       |    END AS pass_e6
+       |  FROM pk)
+       |SELECT k, COUNT(*) AS n_problems,
+       |       CAST((($m) - ($m) % ($c2)) // ($c2) AS DOUBLE) / 1000000.0
+       |         AS pass_at_k
+       |FROM pe GROUP BY k ORDER BY k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gen_eval" -> (genEval _)
+    "q_gen_eval" -> (genEval _),
+    "q_pass_at_k" -> (passAtK _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q_gen_eval" -> genEvalOracle
+    "q_gen_eval" -> genEvalOracle,
+    "q_pass_at_k" -> passAtKOracle
   )
 }

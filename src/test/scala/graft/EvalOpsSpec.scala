@@ -79,4 +79,37 @@ class EvalOpsSpec extends SparkSpec {
       assert(r.getLong(7) > 0 && r.getLong(7) < 1000000L)
     }
   }
+
+  test("passAtK equals a driver-side exact-rational recompute") {
+    val nc = Tables.orders(spark, sfTiny)
+      .select("o_custkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, rows) =>
+        (rows.length.toLong, rows.count(_._2 == "F").toLong)
+      }
+    def halfUpE6(num: BigInt, den: BigInt): Long =
+      ((num * 2000000 + den) / (den * 2)).toLong // operands nonneg
+    val expect = Seq(1, 5, 10).map { k =>
+      val passes = nc.filter(_._1 >= k).map { case (n, c) =>
+        if (n - c < k) 1000000L
+        else {
+          val num = (0 until k).map(j => BigInt(n - c - j)).product
+          val den = (0 until k).map(j => BigInt(n - j)).product
+          halfUpE6(den - num, den)
+        }
+      }
+      // mean on the e6 lattice: (2e6·Σ + cnt·1e6)/(2·cnt·1e6) ==
+      // (2Σ + cnt) div (2·cnt), the operator's formula
+      k -> (passes.size.toLong,
+        halfUpE6(BigInt(passes.sum), BigInt(passes.size) * 1000000L))
+    }.toMap
+    val out = EvalOps.passAtK(spark, sfTiny).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 5, 10))
+    for (r <- out) {
+      val (cnt, meanE6) = expect(r.getInt(0))
+      assert(r.getLong(1) == cnt)
+      assert(r.getDouble(2) == meanE6 / 1000000.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
 }
