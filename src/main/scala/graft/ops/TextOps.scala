@@ -1042,6 +1042,114 @@ object TextOps {
       |         AS avg_logprob
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- stupid backoff
+  /** Stupid Backoff bigram scoring (Brants et al. EMNLP'07, "Large
+    * Language Models in Machine Translation" §4) — the web-scale LM
+    * the KN family's exact discounting gives way to at corpus size:
+    * S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was seen in training,
+    * else α·c(w₂)/N with α = 0.4 — no normalization, no discount
+    * fitting, just counts, which is exactly why Google ran it at 2
+    * trillion tokens. Held-out scoring (train = pmod(doc_id,5) < 4,
+    * test = the remaining fifth — the incremental-dedup ladder's split
+    * discipline) so the backoff path genuinely fires; a test token
+    * absent from training backs off with the floor count 1 (the paper
+    * leaves OOV policy open; the floor keeps ln finite and is applied
+    * identically in both engines).
+    *
+    * Parity: counts are exact longs; each score quantizes to e6
+    * micro-nats from ONE IEEE ln of ONE IEEE ratio (the established
+    * micro-nat convention); the per-lang mean renders once at 6 dp
+    * over the summed integer lattice, the [[bigramLogprob]] shape.
+    *
+    * Scale shape: the Brants paper's own layout — two count tables
+    * (unigram + bigram types) built map-side from the train stream,
+    * both corpus-vocabulary-sized and therefore UNHINTED (the 8 GB
+    * broadcast cliff rationale at [[bigramLogprob]]; AQE broadcasts at
+    * fixture scale, shuffle-joins at corpus scale), three equi-joins
+    * on the test bigram stream, a one-row N scalar as the only hinted
+    * broadcast, and a lang-sized rollup. Nothing sorts globally.
+    */
+  def stupidBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val test = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+
+    val trainToks = train.select(explode(col("ws")).as("w"))
+    val cw = trainToks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTot = trainToks.agg(count(lit(1)).as("nn"))
+
+    def bigrams(df: DataFrame, extra: Column*): DataFrame =
+      df.filter(col("text").contains(" "))
+        .select(extra :+ explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |          i -> struct(element_at(ws, i) AS w1,
+            |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+          .as("b"): _*)
+        .select(extra :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+
+    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+    // vocab-sized count tables joined unhinted; only the 1-row N hinted
+    bigrams(test, col("lang"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(cw.select(col("w").as("w1"), col("cw").as("cw1")),
+        Seq("w1"), "left")
+      .join(cw.select(col("w").as("w2"), col("cw").as("cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("score_e6",
+        when(col("c2").isNotNull, // seen pair ⇒ w1 seen ⇒ cw1 non-null
+          round(log(col("c2").cast("double") / col("cw1")) * 1000000.0, 0)
+            .cast("long"))
+          .otherwise(round(log(lit(0.4) *
+            coalesce(col("cw2"), lit(1L)).cast("double") / col("nn"))
+            * 1000000.0, 0).cast("long")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("score_e6")).as("ss"))
+      .select(col("lang"), col("n_positions"), col("n_backoff"),
+        round(col("ss").cast("double") / col("n_positions") / 1000000.0, 6)
+          .as("avg_score"))
+      .orderBy(col("lang"))
+  }
+
+  private val stupidBackoffOracle =
+    """WITH d AS (SELECT doc_id, lang, text,
+      |                  string_split(text, ' ') AS ws FROM documents),
+      |tr AS (SELECT * FROM d WHERE doc_id % 5 < 4),
+      |te AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+      |cw AS (SELECT w, COUNT(*) AS cw
+      |       FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w),
+      |nt AS (SELECT COUNT(*) AS nn
+      |       FROM (SELECT unnest(ws) AS w FROM tr)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2
+      |       FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |             FROM tr, UNNEST(range(1, len(ws))) AS t(i))
+      |       GROUP BY w1, w2),
+      |tb AS (SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM te, UNNEST(range(1, len(ws))) AS t(i)),
+      |sc AS (SELECT lang, c2.c2 AS c2,
+      |         CASE WHEN c2.c2 IS NOT NULL THEN
+      |           CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / cw1.cw)
+      |                      * 1000000.0) AS BIGINT)
+      |         ELSE
+      |           CAST(ROUND(ln(0.4 * CAST(COALESCE(cw2.cw, 1) AS DOUBLE)
+      |                         / nt.nn) * 1000000.0) AS BIGINT)
+      |         END AS score_e6
+      |       FROM tb LEFT JOIN c2 USING (w1, w2)
+      |            LEFT JOIN cw cw1 ON tb.w1 = cw1.w
+      |            LEFT JOIN cw cw2 ON tb.w2 = cw2.w
+      |            CROSS JOIN nt)
+      |SELECT lang, COUNT(*) AS n_positions,
+      |       CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_backoff,
+      |       ROUND(CAST(SUM(score_e6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |         AS avg_score
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- DPO pairs
   /** DPO implicit-reward audit over constructed preference pairs
     * (Rafailov et al. 2023, "Direct Preference Optimization") — the
@@ -2202,6 +2310,7 @@ object TextOps {
     "q_pmi_collocations" -> (pmiCollocations _),
     "q_lang_entropy" -> (langEntropy _),
     "q_bigram_logprob" -> (bigramLogprob _),
+    "q_stupid_backoff" -> (stupidBackoff _),
     "q_vocab_encode" -> (vocabEncode _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
@@ -2234,6 +2343,7 @@ object TextOps {
     "q_pmi_collocations" -> pmiCollocationsOracle,
     "q_lang_entropy" -> langEntropyOracle,
     "q_bigram_logprob" -> bigramLogprobOracle,
+    "q_stupid_backoff" -> stupidBackoffOracle,
     "q_vocab_encode" -> vocabEncodeOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,

@@ -581,4 +581,52 @@ class TextOpsSpec extends SparkSpec {
     assert(margins.nonEmpty && margins.exists(_ != margins.head),
       "all margins identical — fixture degenerate")
   }
+
+  test("stupidBackoff equals a driver-side recompute of the Brants score") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(d => d._1 % 5 < 4)
+    val test = docs.filter(d => d._1 % 5 == 4)
+    val cw = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    var nn = 0L
+    for ((_, _, t) <- train) {
+      val ws = t.split(" ", -1)
+      ws.foreach { w => cw(w) += 1; nn += 1 }
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => c2((p(0), p(1))) += 1)
+    }
+    // per lang: (n_positions, n_backoff, sum score_e6)
+    val acc = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L))
+    for ((_, lang, t) <- test if t.contains(" ")) {
+      val ws = t.split(" ", -1)
+      for (p <- ws.sliding(2) if p.length == 2) {
+        val pair = (p(0), p(1))
+        val (sc, bo) =
+          if (c2.contains(pair))
+            (math.round(math.log(c2(pair).toDouble / cw(p(0))) * 1e6), 0L)
+          else
+            (math.round(math.log(
+              0.4 * math.max(cw(p(1)), 1L).toDouble / nn) * 1e6), 1L)
+        val (n, b, s) = acc(lang)
+        acc(lang) = (n + 1, b + bo, s + sc)
+      }
+    }
+    val out = TextOps.stupidBackoff(spark, sfTiny).collect()
+    assert(out.map(_.getString(0)).toSet == acc.keySet)
+    var sawBackoff = false
+    for (r <- out) {
+      val (n, b, s) = acc(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == b)
+      assert(r.getDouble(3) ==
+        BigDecimal(s.toDouble / n / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(3) < 0.0) // every Brants score is < 1 ⇒ ln < 0
+      if (b > 0) sawBackoff = true
+    }
+    assert(sawBackoff, "fixture must exercise the backoff path")
+  }
 }
