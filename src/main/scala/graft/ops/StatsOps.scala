@@ -2008,8 +2008,115 @@ object StatsOps {
        |FROM iv ORDER BY feature, category""".stripMargin
   }
 
+  // ------------------------------------- Krippendorff's alpha
+  /** lcm(1..20): every per-unit coincidence denominator (m_u − 1) with
+    * m_u ≤ 21 ratings divides it, so per-unit disagreement terms stay
+    * exact integers on one shared lattice. `max_m` in the output is
+    * the witness that the bound holds (raise the constant if a corpus
+    * ever exceeds it). */
+  private val KaL = 232792560L
+
+  /** Krippendorff's alpha, nominal data (Krippendorff 2011, "Computing
+    * Krippendorff's Alpha-Reliability") — the annotator-reliability
+    * gate an RLHF/eval labeling pipeline runs before trusting a label
+    * set, and the standard answer when Cohen's kappa
+    * ([[AnalyticsOps]] `q_cohens_kappa`) can't cope with MISSING
+    * ratings and >2 raters per item. Units = orders, each lineitem one
+    * rating, category = `l_returnflag` (3 classes, 1..17 ratings per
+    * unit — genuinely unbalanced). α = 1 − D_o/D_e over the
+    * coincidence matrix; units with a single rating drop out, as the
+    * method requires.
+    *
+    * The category self-pairing is ALGEBRAIC, not joined: per unit,
+    * Σ_{c≠k} n_uc·n_uk = m_u² − Σ_c n_uc², so the whole coincidence
+    * computation is two aggregates — no per-unit category cross join
+    * ever materializes. Each unit's term scales by lcm(1..20)/(m_u−1)
+    * (exact — see [[KaL]]); D_e's pair total is (S₁² − S₂)/2 from the
+    * category marginals, kept ×2 un-divided so no intermediate
+    * division happens before the final signed half-up e6 ratio, done
+    * in decimal(38,0)/HUGEINT because L·(S₁²−S₂) overflows a long
+    * even at sf0.1.
+    *
+    * Scale shape: one (unit, cat) groupBy with map-side combine, one
+    * unit rollup, one category-sized marginal frame (3 rows), two
+    * 1-row A6 scalars cross-joined. The per-unit lattice terms are
+    * bounded (≤ L·m²/2); the rollup sums them in decimal so 10¹¹
+    * ratings cannot overflow. No global sort, no driver loop.
+    */
+  def krippendorff(spark: SparkSession, sfDir: String): DataFrame = {
+    def exactDiv(num: Column, den: Column): Column =
+      call_function("div", num, den)
+    val uc = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("u"), col("l_returnflag").as("cat"))
+      .agg(count(lit(1)).as("nuc"))
+    val per = uc.groupBy(col("u"))
+      .agg(sum(col("nuc")).as("m"),
+        sum(col("nuc") * col("nuc")).as("s2u"))
+      .filter(col("m") >= 2)
+    val units = per.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m")).cast("long").as("n"),
+      max(col("m")).as("max_m"),
+      sum((exactDiv(lit(KaL), col("m") - 1) *
+        exactDiv(col("m") * col("m") - col("s2u"), lit(2L)))
+        .cast("decimal(38,0)")).as("o_l"))
+    val marg = uc.join(per.select(col("u")), Seq("u"))
+      .groupBy(col("cat")).agg(sum(col("nuc")).as("nc"))
+    val d2 = marg.agg(
+      (sum(col("nc").cast("decimal(38,0)")) *
+        sum(col("nc").cast("decimal(38,0)")) -
+        sum(col("nc").cast("decimal(38,0)") * col("nc"))).as("d22"))
+
+    // half away from zero on the e6 lattice, decimal-widened (the
+    // pcaPower idiom — 2e6·den overflows a long here)
+    def signedHalfUpE6Dec(num: Column, den: Column): Column = {
+      val a = abs(num) * lit(2000000L)
+      val h = call_function("div", a + den - pmod(a + den, den * 2), den * 2)
+      when(num < 0, -h).otherwise(h).cast("long")
+    }
+    units.crossJoin(broadcast(d2))
+      .select(col("n_units"), col("n").as("n_ratings"), col("max_m"),
+        (signedHalfUpE6Dec(col("o_l") * 2,
+          col("n").cast("decimal(38,0)") * KaL)
+          .cast("double") / 1000000.0).as("do_rate"),
+        (signedHalfUpE6Dec(
+          col("d22") * KaL - col("o_l") * 2 * (col("n") - 1),
+          col("d22") * KaL)
+          .cast("double") / 1000000.0).as("alpha"))
+  }
+
+  private val krippendorffOracle = {
+    def shup(num: String, den: String): String =
+      s"(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * " +
+        s"(((2000000*ABS($num) + ($den)) - " +
+        s"(2000000*ABS($num) + ($den)) % (2*($den))) // (2*($den)))"
+    s"""WITH uc AS (SELECT l_orderkey AS u, l_returnflag AS cat,
+       |                   COUNT(*) AS nuc
+       |            FROM lineitem GROUP BY 1, 2),
+       |per AS (SELECT u, CAST(SUM(nuc) AS BIGINT) AS m,
+       |               CAST(SUM(nuc*nuc) AS BIGINT) AS s2u
+       |        FROM uc GROUP BY u HAVING SUM(nuc) >= 2),
+       |units AS (SELECT COUNT(*) AS n_units, CAST(SUM(m) AS BIGINT) AS n,
+       |                 MAX(m) AS max_m,
+       |                 SUM(CAST(($KaL // (m-1)) * ((m*m - s2u) // 2)
+       |                     AS HUGEINT)) AS o_l
+       |          FROM per),
+       |marg AS (SELECT cat, CAST(SUM(nuc) AS BIGINT) AS nc
+       |         FROM uc JOIN per USING (u) GROUP BY cat),
+       |d2 AS (SELECT SUM(CAST(nc AS HUGEINT)) * SUM(CAST(nc AS HUGEINT))
+       |              - SUM(CAST(nc AS HUGEINT) * nc) AS d22 FROM marg)
+       |SELECT n_units, n AS n_ratings, max_m,
+       |       CAST(${shup("2*o_l", s"CAST(n AS HUGEINT) * $KaL")}
+       |            AS DOUBLE) / 1000000.0 AS do_rate,
+       |       CAST(${shup(s"d22 * $KaL - 2*o_l*(n-1)",
+                           s"d22 * $KaL")}
+       |            AS DOUBLE) / 1000000.0 AS alpha
+       |FROM units CROSS JOIN d2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_woe_iv" -> (woeIv _),
+    "q_krippendorff" -> (krippendorff _),
     "q_holt_winters" -> (holtWinters _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
@@ -2043,6 +2150,7 @@ object StatsOps {
 
   def oracles: Map[String, String] = Map(
     "q_woe_iv" -> woeIvOracle,
+    "q_krippendorff" -> krippendorffOracle,
     "q_holt_winters" -> holtWintersOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,

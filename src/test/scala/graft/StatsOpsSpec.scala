@@ -489,4 +489,42 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_e3") >= 0)
   }
 
+
+  test("krippendorff equals a driver-side exact-rational recompute") {
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select("l_orderkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUnit = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.length >= 2)
+    val L = BigInt(232792560L)
+    var oL = BigInt(0); var n = 0L; var nUnits = 0L; var maxM = 0L
+    val nc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, cats) <- byUnit) {
+      val m = cats.length.toLong
+      val s2u = cats.groupBy(identity).values
+        .map(g => g.size.toLong * g.size).sum
+      oL += (L / (m - 1)) * BigInt(m * m - s2u) / 2
+      n += m; nUnits += 1; maxM = math.max(maxM, m)
+      cats.foreach(c => nc(c) += 1)
+    }
+    val s1 = BigInt(nc.values.sum)
+    val s2 = nc.values.map(v => BigInt(v) * v).sum
+    val d22 = s1 * s1 - s2
+    def shup(num: BigInt, den: BigInt): Long = {
+      val a = num.abs * 2000000
+      val h = (a + den) / (den * 2)
+      (if (num < 0) -h else h).toLong
+    }
+    val doE6 = shup(oL * 2, BigInt(n) * L)
+    val alphaE6 = shup(d22 * L - oL * 2 * (n - 1), d22 * L)
+    val r = graft.ops.StatsOps.krippendorff(spark, sfTiny).collect().head
+    assert(r.getLong(0) == nUnits && r.getLong(1) == n)
+    assert(r.getLong(2) == maxM && maxM <= 21,
+      "per-unit rating count must stay within the lcm(1..20) lattice")
+    assert(r.getDouble(3) == doE6 / 1000000.0)
+    assert(r.getDouble(4) == alphaE6 / 1000000.0)
+    // TPC-H returnflag is date-derived, not annotator agreement — alpha
+    // must sit near chance level, well inside [-1, 1]
+    assert(r.getDouble(4) > -1.0 && r.getDouble(4) < 1.0)
+  }
 }
