@@ -514,6 +514,71 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------------- zip scan
+  /** ZIP central-directory walk over synthesized corpus bundles — the
+    * third container front door: WARC is how the web ARRIVES
+    * ([[warcScan]]), tar is how corpora are SHIPPED ([[tarScan]]),
+    * ZIP is how datasets are UPLOADED (Kaggle bundles, data-portal
+    * exports). Same shape: pack each [[WarcDocsPerFile]]-doc group
+    * into one STORED-method zip via the [[graft.sources.ZipFiles]]
+    * codec (every 17th member's directory CRC deliberately off by one
+    * bit — synthetic corruption), walk it back with the total
+    * EOCD→central-directory parser, and prove the member census,
+    * CRC triage counts, payload byte total, and the full
+    * local+directory+EOCD byte arithmetic against the documents
+    * table in closed form. The parser's hand-rolled CRC-32 table is
+    * cross-checked against the generator's `java.util.zip.CRC32` on
+    * every clean member — two independent implementations under one
+    * hash gate.
+    *
+    * Scale shape: identical to [[tarScan]] — synth and parse are
+    * map-side over bounded 25-doc groups (one fact exchange to
+    * group); on a real dump the synth stage is replaced by
+    * `spark.read.format("binaryFile")` and the walk is unchanged.
+    */
+  def zipScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ZipFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val zip = ZipFiles.synthZip(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = ZipFiles.parseZip(zip)
+        (fid, scan.entries.size.toLong, scan.declared,
+          scan.entries.count(!_.crcOk).toLong,
+          scan.entries.map(_.size).sum, zip.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_entries", "n_declared", "n_badcrc",
+        "payload_bytes", "zip_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: entry counts, the 17-stride broken CRCs,
+    * payload bytes, and the exact archive size — per member a
+    * 30-byte local header + name + payload, a 46-byte directory
+    * record + name, plus the 22-byte EOCD; the member name is
+    * `docs/doc_<id>.txt`, so namelen = 13 + digits(doc_id). A
+    * one-byte arithmetic slip anywhere in the codec breaks the
+    * zip_bytes column. */
+  private val zipScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       COUNT(*) AS n_entries,
+       |       COUNT(*) AS n_declared,
+       |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_badcrc,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS payload_bytes,
+       |       CAST(22 + SUM(76 + 2 * (13 + strlen(CAST(doc_id AS VARCHAR)))
+       |                     + strlen(text)) AS BIGINT) AS zip_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1135,6 +1200,7 @@ object HtmlOps {
     "q_encoding_repair" -> (encodingRepair _),
     "q_warc_scan" -> (warcScan _),
     "q_tar_scan" -> (tarScan _),
+    "q_zip_scan" -> (zipScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1146,6 +1212,7 @@ object HtmlOps {
     "q_encoding_repair" -> encodingRepairOracle,
     "q_warc_scan" -> warcScanOracle,
     "q_tar_scan" -> tarScanOracle,
+    "q_zip_scan" -> zipScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

@@ -382,4 +382,53 @@ class HtmlOpsSpec extends SparkSpec {
     assert(!cs.clean && cs.members.map(_.name) == Vector("docs/") &&
       cs.trailing == corrupt.length - 512)
   }
+
+  test("zip codec: roundtrip, byte arithmetic, crc triage") {
+    import graft.sources.ZipFiles
+    val docs = Seq((1L, "x" * 100), (17L, "y" * 512), (18L, ""),
+      (40L, "z" * 513)).map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val zip = ZipFiles.synthZip(docs)
+    // closed form: Σ(local 30 + name + payload) + Σ(cd 46 + name) + EOCD 22
+    val expectBytes = docs.map { case (id, b) =>
+      76 + 2 * s"docs/doc_$id.txt".length + b.length
+    }.sum + 22
+    assert(zip.length == expectBytes, s"${zip.length} != $expectBytes")
+    val scan = ZipFiles.parseZip(zip)
+    assert(scan.clean && scan.declared == docs.length.toLong)
+    assert(scan.entries.map(_.name) ==
+      docs.map { case (id, _) => s"docs/doc_$id.txt" }.toVector)
+    assert(scan.entries.map(_.size) == docs.map(_._2.length.toLong).toVector)
+    assert(scan.entries.forall(_.localOk))
+    // exactly doc 17 carries the flipped CRC; the walk keeps going —
+    // and the clean members prove the hand-rolled CRC table against
+    // the generator's java.util.zip.CRC32
+    assert(scan.entries.filterNot(_.crcOk).map(_.name) ==
+      Vector("docs/doc_17.txt"))
+  }
+
+  test("zip walk: total on every prefix, triage on corruption") {
+    import graft.sources.ZipFiles
+    val docs = Seq((2L, "aa"), (3L, "b" * 600))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val full = ZipFiles.synthZip(docs)
+    (0 to full.length).foreach { n =>
+      val scan = ZipFiles.parseZip(java.util.Arrays.copyOf(full, n))
+      // a prefix can never be clean: EOCD's comment-length rule pins
+      // the record to exact end-of-input, so truncation loses it
+      if (n < full.length) assert(!scan.clean, s"prefix $n claimed clean")
+      assert(scan.entries.size <= docs.length)
+    }
+    // flip one payload byte: that member's CRC fails, walk continues
+    val corrupt = full.clone()
+    corrupt(30 + "docs/doc_2.txt".length) = 'X'.toByte
+    val cs = ZipFiles.parseZip(corrupt)
+    assert(cs.clean) // structure intact — only the checksum is wrong
+    assert(cs.entries.map(_.crcOk) == Vector(false, true))
+    // break a directory signature: walk stops, keeping prior entries
+    val cdStart = full.length - 22 - 2 * (46 + "docs/doc_2.txt".length)
+    val bad = full.clone()
+    bad(cdStart + 46 + "docs/doc_2.txt".length) = 0 // 2nd cd entry sig
+    val bs = ZipFiles.parseZip(bad)
+    assert(!bs.clean && bs.entries.size == 1)
+  }
 }
