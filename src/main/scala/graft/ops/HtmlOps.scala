@@ -579,6 +579,78 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // -------------------------------------------------- tfrecord scan
+  /** TFRecord framing walk over synthesized training shards — the
+    * container training jobs actually FEED FROM (TF input pipelines,
+    * WebDataset's TF mode): length + masked-CRC32C framing around
+    * protobuf wire messages, via the [[graft.sources.TfRecordFiles]]
+    * codec pair. Every 17th record's stored data CRC is off by one
+    * bit (triage-and-continue), every 7th doc's proto carries an
+    * UNKNOWN fixed64 field the reader must skip by wire type, and
+    * the decoded doc_id sum lands under the hash gate — so the
+    * framing arithmetic, the hand-rolled Castagnoli table (vs the
+    * generator's `java.util.zip.CRC32C`), the masking rotate, AND
+    * the proto wire-type dispatch are all proven in closed form.
+    *
+    * Scale shape: identical to the other container scans — map-side
+    * synth+walk over bounded 25-doc groups, one fact exchange, a
+    * file-count-sized rollup; on a real corpus the synth stage is
+    * `binaryFile` reads and the walk is unchanged.
+    */
+  def tfrecordScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TfRecordFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val shard = TfRecordFiles.synthTfRecords(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = TfRecordFiles.parseTfRecords(shard)
+        (fid, scan.records.size.toLong,
+          scan.records.count(!_.crcOk).toLong,
+          scan.records.count(_.protoOk).toLong,
+          scan.records.filter(_.protoOk).map(_.docId).sum,
+          scan.records.map(_.textLen).sum, shard.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_records", "n_badcrc", "n_proto_ok", "id_sum",
+        "text_bytes", "tfr_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: record/triage counts, the decoded-id sum
+    * (proves the varint decode), text bytes (proves the
+    * length-delimited decode), and the exact shard size — per record
+    * 16 framing bytes + the proto length, where the proto is
+    * 1 tag + varint(doc_id) + 1 tag + varint(strlen) + strlen bytes
+    * (+ 9 for the unknown fixed64 field on every 7th doc), and a
+    * varint takes 1 byte under 128, 2 under 16384, 3 under 2^21 —
+    * headroom one level past the sf0.1 maxima (doc_id < 5000,
+    * strlen < 600) so the formula survives scale-up. */
+  private val tfrecordScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       COUNT(*) AS n_records,
+       |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_badcrc,
+       |       COUNT(*) AS n_proto_ok,
+       |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+       |       CAST(SUM(16 + 2
+       |              + CASE WHEN doc_id < 128 THEN 1
+       |                     WHEN doc_id < 16384 THEN 2 ELSE 3 END
+       |              + CASE WHEN strlen(text) < 128 THEN 1
+       |                     WHEN strlen(text) < 16384 THEN 2 ELSE 3 END
+       |              + strlen(text)
+       |              + CASE WHEN doc_id % 7 = 0 THEN 9 ELSE 0 END)
+       |            AS BIGINT) AS tfr_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1201,6 +1273,7 @@ object HtmlOps {
     "q_warc_scan" -> (warcScan _),
     "q_tar_scan" -> (tarScan _),
     "q_zip_scan" -> (zipScan _),
+    "q_tfrecord_scan" -> (tfrecordScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1213,6 +1286,7 @@ object HtmlOps {
     "q_warc_scan" -> warcScanOracle,
     "q_tar_scan" -> tarScanOracle,
     "q_zip_scan" -> zipScanOracle,
+    "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

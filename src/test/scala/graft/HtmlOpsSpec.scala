@@ -431,4 +431,57 @@ class HtmlOpsSpec extends SparkSpec {
     val bs = ZipFiles.parseZip(bad)
     assert(!bs.clean && bs.entries.size == 1)
   }
+
+  test("tfrecord codec: framing arithmetic, crc32c cross-check, proto skip") {
+    import graft.sources.TfRecordFiles
+    // ids straddle the varint width corner (127/128) and hit both the
+    // 17-stride crc break and the 7-stride unknown field
+    val docs = Seq((7L, "a" * 127), (17L, "b" * 128), (127L, ""),
+      (128L, "c" * 300)).map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val shard = TfRecordFiles.synthTfRecords(docs)
+    def vlen(v: Long): Int = if (v < 128) 1 else if (v < 16384) 2 else 3
+    val expectBytes = docs.map { case (id, b) =>
+      16 + 2 + vlen(id) + vlen(b.length.toLong) + b.length +
+        (if (id % 7 == 0) 9 else 0)
+    }.sum
+    assert(shard.length == expectBytes, s"${shard.length} != $expectBytes")
+    val scan = TfRecordFiles.parseTfRecords(shard)
+    assert(scan.clean && scan.trailing == 0)
+    // every record's proto decodes despite the unknown fixed64 field,
+    // and every CLEAN record's hand-rolled crc32c matches the
+    // generator's java.util.zip.CRC32C
+    assert(scan.records.forall(_.protoOk))
+    assert(scan.records.map(_.docId) == docs.map(_._1).toVector)
+    assert(scan.records.map(_.textLen) ==
+      docs.map(_._2.length.toLong).toVector)
+    assert(scan.records.filterNot(_.crcOk).map(_.docId) == Vector(17L))
+  }
+
+  test("tfrecord walk: total on every prefix, length-crc kills framing") {
+    import graft.sources.TfRecordFiles
+    val docs = Seq((2L, "aa"), (3L, "b" * 200))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val full = TfRecordFiles.synthTfRecords(docs)
+    // TFRecord is pure concatenation with no end marker, so a prefix
+    // cut exactly at a record boundary IS a valid (shorter) shard —
+    // unlike tar/zip. Everything else must be unclean.
+    val boundaries = docs.map { case (id, b) =>
+      16 + 2 + (if (id < 128) 1 else 2) +
+        (if (b.length < 128) 1 else 2) + b.length +
+        (if (id % 7 == 0) 9 else 0)
+    }.scanLeft(0)(_ + _).toSet
+    (0 to full.length).foreach { n =>
+      val scan =
+        TfRecordFiles.parseTfRecords(java.util.Arrays.copyOf(full, n))
+      assert(scan.clean == boundaries.contains(n),
+        s"prefix $n clean=${scan.clean}")
+      assert(scan.trailing >= 0 && scan.trailing <= n)
+    }
+    // flip a byte in the FIRST record's length field: the length crc
+    // fails and the walk must stop immediately — untrusted framing
+    val corrupt = full.clone()
+    corrupt(0) = (corrupt(0) ^ 0x01).toByte
+    val cs = TfRecordFiles.parseTfRecords(corrupt)
+    assert(!cs.clean && cs.records.isEmpty && cs.trailing == corrupt.length)
+  }
 }
