@@ -651,6 +651,92 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------------ avro scan
+  /** Avro OCF block walk over synthesized interchange files — the
+    * fifth container ([[graft.sources.AvroFiles]]): WARC arrives,
+    * tar ships, ZIP uploads, TFRecord feeds — Avro INTERCHANGES
+    * (Kafka dumps, warehouse exports). Each 25-doc group becomes one
+    * OCF of 10-record blocks; every block whose first doc_id is a
+    * multiple of 17 declares one record MORE than it holds (the
+    * planted writer bug), and the parser must decode the size-bounded
+    * slice to exhaustion, flag the mismatch, keep the data, and walk
+    * on via the sync marker. The decoded id/text sums land under the
+    * hash, so the zigzag-varint grammar is proven end to end; the
+    * avro_bytes column pins every length byte in the file, including
+    * the header metadata map.
+    *
+    * Scale shape: identical to the other container scans — map-side
+    * synth+walk over bounded groups, one exchange, file-sized rollup.
+    */
+  def avroScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.AvroFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val ocf = AvroFiles.synthAvro(fid, docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = AvroFiles.parseAvro(fid, ocf)
+        (fid, scan.blocks.size.toLong, scan.blocks.map(_.decoded).sum,
+          scan.blocks.count(!_.countOk).toLong,
+          scan.blocks.map(_.idSum).sum, scan.blocks.map(_.textBytes).sum,
+          ocf.length.toLong, scan.codec, scan.clean)
+      })
+      .toDF("file_id", "n_blocks", "n_records", "n_badcount", "id_sum",
+        "text_bytes", "avro_bytes", "codec", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census. Block membership is arithmetic on doc_id
+    * (25-doc files, 10-doc blocks ⇒ block_first = id − id%25 +
+    * 10·(id%25 div 10)); a zigzag varint of non-negative v takes
+    * 1 byte under 64, 2 under 8192, 3 under 2^20 — one level of
+    * headroom past the sf0.1 maxima. The header constant (magic +
+    * metadata map + sync) is computed from the SAME schema string
+    * the generator writes, so a one-byte schema edit breaks the
+    * avro_bytes column. */
+  private val avroScanOracle = {
+    import graft.sources.AvroFiles
+    val s = AvroFiles.SchemaJson.length
+    val header = 4 + 1 +
+      (AvroFiles.zlen(10) + 10) + (AvroFiles.zlen(4) + 4) +
+      (AvroFiles.zlen(11) + 11) + (AvroFiles.zlen(s.toLong) + s) +
+      1 + 16
+    s"""WITH d AS (
+       |  SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |         doc_id - (doc_id % 25) + 10 * ((doc_id % 25) // 10)
+       |           AS block_first,
+       |         CASE WHEN doc_id < 64 THEN 1
+       |              WHEN doc_id < 8192 THEN 2 ELSE 3 END
+       |         + CASE WHEN strlen(text) < 64 THEN 1
+       |                WHEN strlen(text) < 8192 THEN 2 ELSE 3 END
+       |         + strlen(text) AS rec_bytes,
+       |         doc_id, strlen(text) AS tb
+       |  FROM documents),
+       |b AS (
+       |  SELECT file_id, block_first, COUNT(*) AS n_rec,
+       |         SUM(rec_bytes) AS s, SUM(doc_id) AS ids, SUM(tb) AS tb
+       |  FROM d GROUP BY 1, 2)
+       |SELECT file_id,
+       |       COUNT(*) AS n_blocks,
+       |       CAST(SUM(n_rec) AS BIGINT) AS n_records,
+       |       CAST(SUM(CASE WHEN block_first % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_badcount,
+       |       CAST(SUM(ids) AS BIGINT) AS id_sum,
+       |       CAST(SUM(tb) AS BIGINT) AS text_bytes,
+       |       CAST($header + SUM(1 + CASE WHEN s < 64 THEN 1
+       |                                   WHEN s < 8192 THEN 2 ELSE 3 END
+       |                          + s + 16) AS BIGINT) AS avro_bytes,
+       |       'null' AS codec,
+       |       TRUE AS clean
+       |FROM b GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1274,6 +1360,7 @@ object HtmlOps {
     "q_tar_scan" -> (tarScan _),
     "q_zip_scan" -> (zipScan _),
     "q_tfrecord_scan" -> (tfrecordScan _),
+    "q_avro_scan" -> (avroScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1287,6 +1374,7 @@ object HtmlOps {
     "q_tar_scan" -> tarScanOracle,
     "q_zip_scan" -> zipScanOracle,
     "q_tfrecord_scan" -> tfrecordScanOracle,
+    "q_avro_scan" -> avroScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

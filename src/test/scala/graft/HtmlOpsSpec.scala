@@ -484,4 +484,66 @@ class HtmlOpsSpec extends SparkSpec {
     val cs = TfRecordFiles.parseTfRecords(corrupt)
     assert(!cs.clean && cs.records.isEmpty && cs.trailing == corrupt.length)
   }
+
+  test("avro codec: block walk, zigzag grammar, count-bug triage") {
+    import graft.sources.AvroFiles
+    // 13 docs ⇒ two blocks (10 + 3); first block's head id 17 plants
+    // the declared-count bug; ids/lengths straddle the zigzag corner
+    // (63/64 ⇒ 1/2 bytes)
+    val docs = (Seq((17L, "x" * 63), (18L, "y" * 64), (63L, ""),
+      (64L, "z" * 100)) ++ (70L to 78L).map(i => (i, "a" * i.toInt)))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val ocf = AvroFiles.synthAvro(3L, docs)
+    def zl(v: Long): Int = if (v < 64) 1 else if (v < 8192) 2 else 3
+    val header = 4 + 1 + (1 + 10) + (1 + 4) + (1 + 11) +
+      (zl(AvroFiles.SchemaJson.length.toLong) +
+        AvroFiles.SchemaJson.length) + 1 + 16
+    val blockBytes = docs.grouped(10).map { blk =>
+      val s = blk.map { case (id, b) => zl(id) + zl(b.length.toLong) +
+        b.length }.sum
+      1 + zl(s.toLong) + s + 16
+    }.sum
+    assert(ocf.length == header + blockBytes,
+      s"${ocf.length} != ${header + blockBytes}")
+    val scan = AvroFiles.parseAvro(3L, ocf)
+    assert(scan.clean && scan.codec == "null")
+    assert(scan.blocks.size == 2)
+    // the bugged block: 11 declared, 10 decoded, data intact
+    assert(scan.blocks.map(_.declared) == Vector(11L, 3L))
+    assert(scan.blocks.map(_.decoded) == Vector(10L, 3L))
+    assert(scan.blocks.map(_.countOk) == Vector(false, true))
+    assert(scan.blocks.map(_.idSum).sum == docs.map(_._1).sum)
+    assert(scan.blocks.map(_.textBytes).sum ==
+      docs.map(_._2.length.toLong).sum)
+    // wrong sync (different file id) refuses the whole file
+    assert(!AvroFiles.parseAvro(4L, ocf).clean)
+  }
+
+  test("avro walk: total on every prefix, sync kills framing") {
+    import graft.sources.AvroFiles
+    val docs = Seq((2L, "aa"), (3L, "b" * 70))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val full = AvroFiles.synthAvro(0L, docs)
+    // blocks repeat until EOF with no terminator, so a prefix cut at
+    // the header end or after a block's sync IS a valid shorter file;
+    // every other cut must be unclean
+    def zl(v: Long): Int = if (v < 64) 1 else if (v < 8192) 2 else 3
+    val header = 4 + 1 + (1 + 10) + (1 + 4) + (1 + 11) +
+      (zl(AvroFiles.SchemaJson.length.toLong) +
+        AvroFiles.SchemaJson.length) + 1 + 16
+    val s = docs.map { case (id, b) =>
+      zl(id) + zl(b.length.toLong) + b.length }.sum
+    val boundaries = Set(header, header + 1 + zl(s.toLong) + s + 16)
+    (0 to full.length).foreach { n =>
+      val scan = AvroFiles.parseAvro(0L, java.util.Arrays.copyOf(full, n))
+      assert(scan.clean == boundaries.contains(n),
+        s"prefix $n clean=${scan.clean}")
+    }
+    // flip a byte in the block's trailing sync: walk stops, unclean,
+    // but the block's decoded data is kept
+    val corrupt = full.clone()
+    corrupt(full.length - 1) = (corrupt(full.length - 1) ^ 0x7f).toByte
+    val cs = AvroFiles.parseAvro(0L, corrupt)
+    assert(!cs.clean && cs.blocks.size == 1 && cs.blocks.head.decoded == 2L)
+  }
 }
