@@ -737,6 +737,71 @@ object HtmlOps {
        |FROM b GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // ----------------------------------------------- gzip member walk
+  /** Multi-member gzip walk over synthesized `.wet.gz`-shaped shards
+    * ([[graft.sources.GzipFiles]]) — the compression layer under the
+    * container battery: Common Crawl's WET/WARC files are
+    * CONCATENATIONS of gzip members, one per record, and a reader
+    * that stops after member one silently drops the corpus. Each
+    * 25-doc group becomes one stream of per-doc members exercising
+    * the full RFC 1952 FLG grammar (FNAME always; FEXTRA on 5s;
+    * FCOMMENT on 11s; FHCRC on 13s — verified against the
+    * hand-rolled CRC table, generator stamped it with
+    * `java.util.zip.CRC32`); every 17th doc's trailer CRC is off by
+    * one bit and must be triaged, not fatal. DEFLATE itself goes
+    * through the JDK `Inflater` in raw mode — framing is the
+    * engine's job, entropy coding is a solved library problem. The
+    * inflated byte total and per-member FNAME byte total land under
+    * the hash, so header-skip arithmetic and member re-alignment are
+    * both proven.
+    *
+    * Scale shape: same as the other containers — map-side over
+    * bounded groups; real dumps swap the synth for `binaryFile`
+    * reads, and because member boundaries are found by the inflater
+    * itself the walk needs no index. */
+  def gzipMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.GzipFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val gz = GzipFiles.synthGzip(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = GzipFiles.parseGzip(gz)
+        (fid, scan.members.size.toLong,
+          scan.members.count(!_.crcOk).toLong,
+          scan.members.count(_.isizeOk).toLong,
+          scan.members.map(_.rawLen).sum,
+          scan.members.map(_.name.length.toLong).sum, scan.clean)
+      })
+      .toDF("file_id", "n_members", "n_badcrc", "n_isize_ok",
+        "raw_bytes", "name_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: member/triage counts, inflated bytes
+    * (strlen = UTF-8 octets), and the FNAME byte total
+    * (`doc_<id>.txt` = 8 + digits) — compressed sizes are
+    * deliberately NOT pinned (deflate output is zlib-version
+    * detail, not grammar). */
+  private val gzipMembersOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       COUNT(*) AS n_members,
+       |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_badcrc,
+       |       COUNT(*) AS n_isize_ok,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS raw_bytes,
+       |       CAST(SUM(8 + strlen(CAST(doc_id AS VARCHAR)))
+       |            AS BIGINT) AS name_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1361,6 +1426,7 @@ object HtmlOps {
     "q_zip_scan" -> (zipScan _),
     "q_tfrecord_scan" -> (tfrecordScan _),
     "q_avro_scan" -> (avroScan _),
+    "q_gzip_members" -> (gzipMembers _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1375,6 +1441,7 @@ object HtmlOps {
     "q_zip_scan" -> zipScanOracle,
     "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_avro_scan" -> avroScanOracle,
+    "q_gzip_members" -> gzipMembersOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

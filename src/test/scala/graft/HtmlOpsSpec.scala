@@ -546,4 +546,53 @@ class HtmlOpsSpec extends SparkSpec {
     val cs = AvroFiles.parseAvro(0L, corrupt)
     assert(!cs.clean && cs.blocks.size == 1 && cs.blocks.head.decoded == 2L)
   }
+
+  test("gzip codec: member walk, FLG grammar, crc triage") {
+    import graft.sources.GzipFiles
+    // ids hit every FLG stride: 5 (FEXTRA), 11 (FCOMMENT), 13 (FHCRC),
+    // 17 (broken trailer crc), and a plain one; bodies include empty
+    // and >8KB (multiple inflate buffers)
+    val docs = Seq((5L, "x" * 100), (11L, ""), (13L, "y" * 9000),
+      (17L, "z" * 50), (19L, "w")).map { case (id, t) =>
+      (id, t.getBytes("UTF-8"))
+    }
+    val gz = GzipFiles.synthGzip(docs)
+    val scan = GzipFiles.parseGzip(gz)
+    assert(scan.clean && scan.trailing == 0)
+    assert(scan.members.map(_.name) ==
+      docs.map { case (id, _) => s"doc_$id.txt" }.toVector)
+    assert(scan.members.map(_.rawLen) == docs.map(_._2.length.toLong))
+    assert(scan.members.forall(_.isizeOk))
+    // exactly doc 17's trailer crc fails; the walk re-aligns and keeps
+    // every member after it
+    assert(scan.members.filterNot(_.crcOk).map(_.name) ==
+      Vector("doc_17.txt"))
+    // a parse with a flipped FHCRC byte must refuse the member stream
+    // at doc 13's header (hand-rolled header crc catches it)
+    val hdrCrcPos = {
+      // locate member 13's FHCRC: walk two clean members then its header
+      val idx = gz.indexOfSlice("doc_13.txt".getBytes("UTF-8"))
+      idx + "doc_13.txt".length + 1 // FNAME NUL, FHCRC next (no comment)
+    }
+    val bad = gz.clone()
+    bad(hdrCrcPos) = (bad(hdrCrcPos) ^ 0x55).toByte
+    val bs = GzipFiles.parseGzip(bad)
+    assert(!bs.clean && bs.members.size == 2)
+  }
+
+  test("gzip walk: total on every prefix") {
+    import graft.sources.GzipFiles
+    val docs = Seq((2L, "aa"), (13L, "b" * 300))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val full = GzipFiles.synthGzip(docs)
+    var cleanCount = 0
+    (0 to full.length).foreach { n =>
+      val scan = GzipFiles.parseGzip(java.util.Arrays.copyOf(full, n))
+      if (scan.clean) cleanCount += 1
+      assert(scan.members.size <= 2)
+      assert(scan.trailing >= 0 && scan.trailing <= n)
+    }
+    // clean only at member boundaries: empty, after member 1, full
+    assert(cleanCount == 3)
+  }
 }
