@@ -503,6 +503,70 @@ object CurationOps {
       .orderBy(col("shard"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding with a resharding
+    * audit — the placement discipline a 100 TB corpus store needs
+    * when the shard count changes: each doc goes to the shard
+    * maximizing `h(doc, shard)`, so growing N→N+1 can only move a
+    * doc TO the new shard (its old scores are unchanged; only the
+    * new candidate can win). [[shardBalance]] answers "are shards
+    * even"; this answers "what does resharding COST" — ~1/(N+1) of
+    * the corpus, vs ~all of it under mod-N hashing.
+    *
+    * One 9-candidate explode serves BOTH generations: the 8-shard
+    * assignment is the conditional argmax over the first 8 scores of
+    * the same frame (HRW score independence is the whole point, and
+    * computing it this way pins it). The `n_moved_elsewhere` column
+    * — movers whose new home is NOT the added shard — is provably
+    * zero and sits under the hash gate as the minimal-disruption
+    * witness.
+    *
+    * Scale shape: a bounded N× map-side expansion (no shuffle until
+    * the doc-keyed hash agg — uniform md5 keys, no skew), then a
+    * shard-sized rollup. At production N (thousands), the explode
+    * swaps for a per-row argmax loop in a codegen expression; the
+    * semantics pinned here don't change. */
+  def rendezvous(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Shards))).as("s"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("s").cast("string"))), 1, 15), 16, 10).cast("long"))
+    cand.groupBy(col("doc_id"))
+      .agg(
+        max_by(col("s"), col("h")).as("shard_new"),
+        max_by(when(col("s") < Shards, col("s")),
+          when(col("s") < Shards, col("h"))).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_new") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("shard_new") =!= col("shard") &&
+          col("shard_new") =!= Shards, 1L).otherwise(0L))
+          .as("n_moved_elsewhere"))
+      .orderBy(col("shard"))
+  }
+
+  private val rendezvousOracle =
+    s"""WITH c AS (
+       |  SELECT doc_id, s,
+       |         CAST('0x' || substring(md5(doc_id || ':' || s), 1, 15)
+       |              AS BIGINT) AS h
+       |  FROM documents, range($Shards + 1) t(s)),
+       |a AS (
+       |  SELECT doc_id,
+       |         arg_max(s, h) AS shard_new,
+       |         arg_max(CASE WHEN s < $Shards THEN s END,
+       |                 CASE WHEN s < $Shards THEN h END) AS shard
+       |  FROM c GROUP BY doc_id)
+       |SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN shard_new <> shard THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_moved,
+       |       CAST(SUM(CASE WHEN shard_new <> shard
+       |                      AND shard_new <> $Shards THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_moved_elsewhere
+       |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+
   private val shardBalanceOracle =
     s"""WITH d AS (SELECT doc_id, lang,
        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
@@ -2527,6 +2591,7 @@ object CurationOps {
     "q_pipeline_ledger" -> (pipelineLedger _),
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
+    "q_rendezvous" -> (rendezvous _),
     "q_seq_pack" -> (seqPack _),
     "q_importance_weights" -> (importanceWeights _),
     "q_nucleus_filter" -> (nucleusFilter _),
@@ -2559,6 +2624,7 @@ object CurationOps {
     "q_pipeline_ledger" -> pipelineLedgerOracle,
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,
+    "q_rendezvous" -> rendezvousOracle,
     "q_seq_pack" -> seqPackOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_nucleus_filter" -> nucleusFilterOracle,

@@ -922,4 +922,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(gotLosses.last < math.round(math.log(2) * 1e6) * n,
       "after training, loss still at or above the w=0 coin-flip bound")
   }
+
+  test("rendezvous: minimal disruption and sane movement on reshard") {
+    val rows = CurationOps.rendezvous(spark, sfTiny).collect()
+    assert(rows.length == 8)
+    val nDocs = rows.map(_.getLong(1)).sum
+    val moved = rows.map(_.getLong(2)).sum
+    // THE HRW guarantee: every mover goes to the ADDED shard — adding
+    // shard 8 cannot re-rank the existing candidates against each other
+    assert(rows.forall(_.getLong(3) == 0L), "a doc moved between OLD shards")
+    // movement mass ≈ 1/9 of the corpus (binomial; generous 3σ-ish band)
+    val frac = moved.toDouble / nDocs
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac not ~1/9")
+    // every doc is assigned exactly once across the 8 old shards
+    assert(nDocs == spark.read
+      .parquet(s"$sfTiny/documents.parquet").count())
+  }
 }
