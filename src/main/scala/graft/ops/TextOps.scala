@@ -302,6 +302,94 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dirichlet prior for [[qlmDirichlet]] — Zhai & Lafferty's
+    * standard μ. */
+  private val QlmMu = 2000.0
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the third lexical scorer beside [[bm25]] and the
+    * ColBERT-style MaxSim in RetrievalOps, and the one LM-pretraining
+    * people reach for because it IS a language model:
+    * `score(q,d) = Σ_t ln((tf + μ·ctf_t/|C|) / (dl + μ))`. Unlike
+    * BM25 every document scores against every query term (absent
+    * terms draw the collection-smoothing mass — that's the point of
+    * the prior), so the scorer doubles as a corpus-fit diagnostic.
+    *
+    * Scale shape: one explode for the corpus stats (a 1-row A6
+    * scalar frame, broadcast by construction), one FILTERED explode
+    * for per-doc tfs of the bounded query list (map-side, no
+    * corpus-sized shuffle), a left join back to the doc spine, and
+    * pure column math — the same two-exchange shape as bm25. */
+  def qlmDirichlet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val exploded = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val stats = exploded.agg(
+      count(lit(1)).as("sum_dl"),
+      Bm25Terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))
+        .as(s"ctf_$t")): _*)
+    val tf = exploded
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("term") === Bm25Terms.head, 1L).otherwise(0L))
+          .as(s"tf_${Bm25Terms.head}"),
+        Bm25Terms.tail.map(t =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    def termScore(t: String): Column =
+      log((coalesce(col(s"tf_$t"), lit(0L)).cast("double") +
+        lit(QlmMu) * col(s"ctf_$t").cast("double") /
+          col("sum_dl").cast("double")) /
+        (col("dl").cast("double") + lit(QlmMu)))
+    val raw = docs.select(col("doc_id"), col("dl"))
+      .join(tf, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+    raw.select((Seq(col("doc_id"), col("dl")) ++
+      Bm25Terms.map(t => round(termScore(t), 4).as(s"s_$t")) :+
+      round(Bm25Terms.map(termScore).reduce(_ + _), 4).as("qlm")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qlmDirichletOracle =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |              FROM documents),
+       |ex AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+       |stats AS (SELECT COUNT(*) AS sum_dl,
+       |                 SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)
+       |                   AS ctf_spark,
+       |                 SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END)
+       |                   AS ctf_join,
+       |                 SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END)
+       |                   AS ctf_window
+       |          FROM ex),
+       |tf AS (SELECT doc_id,
+       |              SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS f_s,
+       |              SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS f_j,
+       |              SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS f_w
+       |       FROM ex WHERE term IN ('spark', 'join', 'window')
+       |       GROUP BY doc_id)
+       |SELECT doc_id, dl,
+       |       ROUND(ln((COALESCE(f_s, 0) + $QlmMu * CAST(ctf_spark AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu)), 4)
+       |         AS s_spark,
+       |       ROUND(ln((COALESCE(f_j, 0) + $QlmMu * CAST(ctf_join AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu)), 4)
+       |         AS s_join,
+       |       ROUND(ln((COALESCE(f_w, 0) + $QlmMu * CAST(ctf_window AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu)), 4)
+       |         AS s_window,
+       |       ROUND(ln((COALESCE(f_s, 0) + $QlmMu * CAST(ctf_spark AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu))
+       |           + ln((COALESCE(f_j, 0) + $QlmMu * CAST(ctf_join AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu))
+       |           + ln((COALESCE(f_w, 0) + $QlmMu * CAST(ctf_window AS DOUBLE)
+       |                   / sum_dl) / (CAST(dl AS DOUBLE) + $QlmMu)), 4)
+       |         AS qlm
+       |FROM docs LEFT JOIN tf USING (doc_id) CROSS JOIN stats
+       |ORDER BY doc_id""".stripMargin
+
   private[ops] val bm25Oracle =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -2317,6 +2405,7 @@ object TextOps {
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
+    "q_qlm_dirichlet" -> (qlmDirichlet _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2350,6 +2439,7 @@ object TextOps {
     "q_unigram_logprob" -> unigramLogprobOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,
+    "q_qlm_dirichlet" -> qlmDirichletOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,

@@ -629,4 +629,40 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(sawBackoff, "fixture must exercise the backoff path")
   }
+
+  test("qlm dirichlet: full recompute, smoothing floor, tf monotonicity") {
+    val texts = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).sortBy(_._1)
+    val mu = 2000.0
+    val sumDl = texts.map(_._2.length.toLong).sum
+    val terms = Seq("spark", "join", "window")
+    val ctf = terms.map(t =>
+      t -> texts.map(_._2.count(_ == t).toLong).sum).toMap
+    val want = texts.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val ss = terms.map { t =>
+        math.log((toks.count(_ == t) + mu * ctf(t) / sumDl) / (dl + mu))
+      }
+      (id, dl, ss)
+    }
+    val got = TextOps.qlmDirichlet(spark, sfTiny).collect()
+    assert(got.length == want.length)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.zip(want).foreach { case (row, (id, dl, ss)) =>
+      assert(row.getLong(0) == id && row.getLong(1) == dl)
+      (0 until 3).foreach(i => assert(row.getDouble(2 + i) == r4(ss(i)),
+        s"doc $id term $i"))
+      assert(row.getDouble(5) == r4(ss.sum))
+      // every per-term score is a log-probability: strictly negative,
+      // and never below the pure-smoothing floor by more than the
+      // tf=0 case (monotone in tf)
+      (0 until 3).foreach { i =>
+        val floor = math.log(mu * ctf(terms(i)) / sumDl / (dl + mu))
+        assert(row.getDouble(2 + i) < 0.0)
+        assert(row.getDouble(2 + i) >= r4(floor) - 1e-9)
+      }
+    }
+  }
 }
