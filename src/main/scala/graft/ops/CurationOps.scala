@@ -547,6 +547,100 @@ object CurationOps {
       .orderBy(col("shard"))
   }
 
+  /** Dataloader shuffle-quality audit — the check a training run does
+    * before trusting its epoch order: assign every doc a per-epoch
+    * pseudorandom key (md5 of `epoch:doc_id`), and count ADJACENT
+    * same-source pairs in key order. Epoch 0 is the unshuffled
+    * baseline (doc_id = ingest order), which exposes the ingest
+    * pattern either way it deviates: source-clustered dumps sit far
+    * ABOVE the random yardstick `(n−1)·Σ p_s²`, and perfectly
+    * interleaved writers (this fixture: round-robin ⇒ 0 adjacents)
+    * sit far BELOW it — both are the signature of order the loader
+    * did not add. Shuffled epochs should track the yardstick, which
+    * ships as a column. Consecutive same-source samples are exactly
+    * what shuffling exists to break (gradient correlation within a
+    * batch), and "did my shuffle actually shuffle" is a real incident
+    * class when sharded loaders recycle seeds.
+    *
+    * The adjacency census is EXACT but never globally sorted on one
+    * partition: keys bucket by their top bits (monotone in key), so
+    * within-bucket adjacency runs in bucket-parallel windows, and the
+    * bucket-boundary pairs are stitched from a bucket-count-sized
+    * frame of per-bucket first/last sources — within + boundary =
+    * n−1 pairs, proven in the spec. The DuckDB oracle is the naive
+    * global LAG, so the decomposition itself sits under the hash
+    * gate. Scale shape: one exchange per epoch set (hash partition by
+    * bucket), narrow rows, dimension-sized stitch frame.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val keyed = d
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), lit(3))).as("epoch"))
+      .withColumn("key", when(col("epoch") === 0, col("doc_id"))
+        .otherwise(conv(substring(md5(concat(col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long")))
+      // monotone-in-key bucketing: top bits for the 60-bit md5 keys,
+      // a dense split for the doc_id baseline — any monotone split
+      // preserves adjacency except at the boundaries we stitch below
+      .withColumn("bucket",
+        when(col("epoch") === 0, floor(col("key") / 256).cast("long"))
+          .otherwise(shiftright(col("key"), 52)))
+    val wIn = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    val within = keyed
+      .withColumn("prev_src", lag(col("source"), 1).over(wIn))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
+          .as("adj_within"))
+    val wB = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+    val boundary = keyed
+      .groupBy(col("epoch"), col("bucket"))
+      .agg(min_by(col("source"), struct(col("key"), col("doc_id")))
+        .as("first_src"),
+        max_by(col("source"), struct(col("key"), col("doc_id")))
+          .as("last_src"))
+      .withColumn("prev_last", lag(col("last_src"), 1).over(wB))
+      .groupBy(col("epoch"))
+      .agg(sum(when(col("first_src") === col("prev_last"), 1L)
+        .otherwise(0L)).as("adj_boundary"))
+    val pSq = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("double").as("ssq"),
+        sum(col("c")).cast("double").as("n"))
+    within.join(boundary, Seq("epoch"))
+      .withColumn("same_src_adj", col("adj_within") + col("adj_boundary"))
+      .crossJoin(broadcast(pSq))
+      .select(col("epoch"), col("n_docs"), col("same_src_adj"),
+        round((col("n") - 1.0) * col("ssq") / (col("n") * col("n")), 4)
+          .as("expected_random"))
+      .orderBy(col("epoch"))
+  }
+
+  private val epochShuffleOracle =
+    """WITH k AS (
+      |  SELECT epoch, doc_id, source,
+      |         CASE WHEN epoch = 0 THEN doc_id
+      |              ELSE CAST('0x' ||
+      |                substring(md5(epoch || ':' || doc_id), 1, 15)
+      |                AS BIGINT) END AS key
+      |  FROM documents, range(4) t(epoch)),
+      |adj AS (
+      |  SELECT epoch,
+      |         CASE WHEN source = LAG(source) OVER
+      |                (PARTITION BY epoch ORDER BY key, doc_id)
+      |              THEN 1 ELSE 0 END AS s
+      |  FROM k),
+      |p AS (SELECT SUM(CAST(c AS DOUBLE) * c) AS ssq,
+      |             SUM(CAST(c AS DOUBLE)) AS n
+      |      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source))
+      |SELECT CAST(epoch AS INTEGER) AS epoch, COUNT(*) AS n_docs,
+      |       CAST(SUM(s) AS BIGINT) AS same_src_adj,
+      |       ROUND((n - 1.0) * ssq / (n * n), 4) AS expected_random
+      |FROM adj CROSS JOIN p
+      |GROUP BY epoch, ssq, n ORDER BY epoch""".stripMargin
+
   private val rendezvousOracle =
     s"""WITH c AS (
        |  SELECT doc_id, s,
@@ -2592,6 +2686,7 @@ object CurationOps {
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
     "q_rendezvous" -> (rendezvous _),
+    "q_epoch_shuffle" -> (epochShuffle _),
     "q_seq_pack" -> (seqPack _),
     "q_importance_weights" -> (importanceWeights _),
     "q_nucleus_filter" -> (nucleusFilter _),
@@ -2625,6 +2720,7 @@ object CurationOps {
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,
     "q_rendezvous" -> rendezvousOracle,
+    "q_epoch_shuffle" -> epochShuffleOracle,
     "q_seq_pack" -> seqPackOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_nucleus_filter" -> nucleusFilterOracle,

@@ -938,4 +938,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(nDocs == spark.read
       .parquet(s"$sfTiny/documents.parquet").count())
   }
+
+  test("epoch shuffle: bucketed adjacency equals the naive global scan") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def key(epoch: Int, id: Long): Long =
+      if (epoch == 0) id
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$epoch:$id".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+      }
+    val want = (0 to 3).map { e =>
+      val ordered = docs.sortBy { case (id, _) => (key(e, id), id) }
+      ordered.sliding(2).count(w => w(0)._2 == w(1)._2).toLong
+    }
+    val got = CurationOps.epochShuffle(spark, sfTiny).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(got.map(_.getLong(2)).toSeq == want,
+      s"bucketed ${got.map(_.getLong(2)).toSeq} != naive $want")
+    assert(got.forall(_.getLong(1) == docs.length.toLong))
+    // the yardstick column: (n-1)·Σp² on uniform 20-source data
+    val cnt = docs.groupBy(_._2).view.mapValues(_.length.toDouble).values
+    val n = docs.length.toDouble
+    val expect = BigDecimal((n - 1) * cnt.map(c => c * c).sum / (n * n))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall(_.getDouble(3) == expect))
+  }
 }
