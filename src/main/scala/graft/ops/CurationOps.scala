@@ -1949,6 +1949,84 @@ object CurationOps {
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- McNemar test
+  /** McNemar's paired-classifier test (1947; Edwards continuity
+    * correction) over the held-out split — the statistically RIGHT
+    * way to answer "is the trained NB better than the n-gram
+    * heuristic at lang-ID", because both classifiers score the SAME
+    * documents: accuracy deltas on paired data are driven entirely
+    * by the DISCORDANT cells (NB-only-right b vs heuristic-only-right
+    * c), and χ² = (|b−c|−1)²/(b+c) tests their symmetry. Swapping a
+    * quality classifier is a real curation decision, and eyeballing
+    * two accuracies on the same docs double-counts the easy examples
+    * — this is the operator that stops that.
+    *
+    * Composes the factored pieces: [[nbScoreFrame]] on [[nbModel]]
+    * (the exact classifier `q_nb_infer` ships) and
+    * `TextOps.langIdPredicted` (the exact `q_lang_id` decision) —
+    * one definition each, batch-proven here. Scale shape: two
+    * map-side scorers over the held-out docs, one doc-keyed join,
+    * one 1-row aggregate; χ² is exact integer arithmetic over the
+    * four cells until the final division. */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val nb = nbScoreFrame(heldOut, model, counts)
+      .select(col("doc_id"), col("lang"), col("predicted").as("nb_pred"))
+    val heur = heldOut.select(col("doc_id"),
+      TextOps.langIdPredicted.as("h_pred"))
+    val cells = nb.join(heur, Seq("doc_id"))
+      .select((col("nb_pred") === col("lang")).as("a_ok"),
+        (col("h_pred") === col("lang")).as("b_ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+          .as("both_ok"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+          .as("nb_only"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+          .as("heur_only"),
+        sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+          .as("both_wrong"))
+    cells.select(col("n_docs"), col("both_ok"), col("nb_only"),
+      col("heur_only"), col("both_wrong"),
+      when(col("nb_only") + col("heur_only") === 0L, lit(0.0))
+        .otherwise(round(
+          ((abs(col("nb_only") - col("heur_only")) - 1L) *
+            (abs(col("nb_only") - col("heur_only")) - 1L)).cast("double") /
+            (col("nb_only") + col("heur_only")), 4)).as("chi2_cc"))
+  }
+
+  private val mcnemarOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |pred AS (SELECT doc_id, lang, cls AS nb_pred,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                              ORDER BY slp DESC, cls) AS rn
+       |         FROM sc),
+       |h AS (SELECT doc_id, ${TextOps.langIdPredictedSql} AS h_pred
+       |      FROM test),
+       |cells AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         SUM(CASE WHEN p.nb_pred = p.lang AND h.h_pred = p.lang
+       |                  THEN 1 ELSE 0 END) AS both_ok,
+       |         SUM(CASE WHEN p.nb_pred = p.lang AND h.h_pred <> p.lang
+       |                  THEN 1 ELSE 0 END) AS nb_only,
+       |         SUM(CASE WHEN p.nb_pred <> p.lang AND h.h_pred = p.lang
+       |                  THEN 1 ELSE 0 END) AS heur_only,
+       |         SUM(CASE WHEN p.nb_pred <> p.lang AND h.h_pred <> p.lang
+       |                  THEN 1 ELSE 0 END) AS both_wrong
+       |  FROM pred p JOIN h USING (doc_id) WHERE p.rn = 1)
+       |SELECT n_docs, CAST(both_ok AS BIGINT) AS both_ok,
+       |       CAST(nb_only AS BIGINT) AS nb_only,
+       |       CAST(heur_only AS BIGINT) AS heur_only,
+       |       CAST(both_wrong AS BIGINT) AS both_wrong,
+       |       CASE WHEN nb_only + heur_only = 0 THEN 0.0
+       |            ELSE ROUND(CAST((ABS(nb_only - heur_only) - 1)
+       |                            * (ABS(nb_only - heur_only) - 1)
+       |                            AS DOUBLE)
+       |                       / (nb_only + heur_only), 4) END AS chi2_cc
+       |FROM cells""".stripMargin
+
   // ------------------------------------------------- NB calibration
   /** Reliability/calibration audit of the trained NB classifier — the
     * third leg of train → infer → CALIBRATE (DeGroot–Fienberg
@@ -2666,6 +2744,7 @@ object CurationOps {
     "q_logreg_train" -> (logregTrain _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
+    "q_mcnemar" -> (mcnemar _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -2700,6 +2779,7 @@ object CurationOps {
     "q_logreg_train" -> logregOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
+    "q_mcnemar" -> mcnemarOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,

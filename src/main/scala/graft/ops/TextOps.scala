@@ -67,16 +67,36 @@ object TextOps {
     * cross-tabulate predicted vs. labeled language (the confusion matrix a
     * corpus pipeline monitors).
     */
+  /** The langId decision expression over `text` — factored so paired
+    * evaluations (CurationOps.mcnemar) score the SAME classifier the
+    * lang-ID query ships, not a re-derivation. */
+  private[ops] def langIdPredicted: Column = {
+    val sEn = hits(col("text"), "(the|a|of|and)")
+    val sEs = hits(col("text"), "(el|la|de|que)")
+    val sZh = hits(col("text"), "(zh|shi|bu|le)")
+    when(sEn >= sEs && sEn >= sZh, "en")
+      .when(sEs >= sZh, "es")
+      .otherwise("zh")
+  }
+
+  /** The langId decision as DuckDB SQL over a frame exposing `text` —
+    * the oracle half of [[langIdPredicted]]. */
+  private[ops] val langIdPredictedSql =
+    """CASE WHEN len(regexp_extract_all(text, '(the|a|of|and)')) >=
+      |          len(regexp_extract_all(text, '(el|la|de|que)'))
+      |      AND len(regexp_extract_all(text, '(the|a|of|and)')) >=
+      |          len(regexp_extract_all(text, '(zh|shi|bu|le)')) THEN 'en'
+      |     WHEN len(regexp_extract_all(text, '(el|la|de|que)')) >=
+      |          len(regexp_extract_all(text, '(zh|shi|bu|le)')) THEN 'es'
+      |     ELSE 'zh' END""".stripMargin
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val sEn = hits(col("text"), "(the|a|of|and)")
     val sEs = hits(col("text"), "(el|la|de|que)")
     val sZh = hits(col("text"), "(zh|shi|bu|le)")
     Tables.documents(spark, sfDir)
       .withColumn("s_en", sEn).withColumn("s_es", sEs).withColumn("s_zh", sZh)
-      .withColumn("predicted",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
-          .when(col("s_es") >= col("s_zh"), "es")
-          .otherwise("zh"))
+      .withColumn("predicted", langIdPredicted)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"),
         sum(col("s_en")).cast("long").as("sum_s_en"))

@@ -967,4 +967,24 @@ class CurationOpsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.forall(_.getDouble(3) == expect))
   }
+
+  test("mcnemar: cells partition the held-out split, chi2 from discordants") {
+    val r = CurationOps.mcnemar(spark, sfTiny).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n, bothOk, nbOnly, hOnly, bothWrong) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    assert(bothOk + nbOnly + hOnly + bothWrong == n)
+    // held-out split size: doc_id % 5 == 4
+    val heldOut = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .filter("doc_id % 5 = 4").count()
+    assert(n == heldOut)
+    val d = math.abs(nbOnly - hOnly)
+    val want =
+      if (nbOnly + hOnly == 0) 0.0
+      else BigDecimal((d - 1.0) * (d - 1.0) / (nbOnly + hOnly))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(5) == want)
+  }
 }
