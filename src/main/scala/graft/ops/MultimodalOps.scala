@@ -802,6 +802,86 @@ object MultimodalOps {
     * whose every field AND total size the oracle recomputes from the
     * id formulas.
     */
+  /** Voice-activity detection over REAL decoded PCM — the first
+    * sample-level audio operator (the header battery stops at
+    * `data`-chunk arithmetic; this one reads the waveform): decode
+    * the 16-bit LE samples of each fixture clip, frame them into
+    * 10 ms windows, threshold the mean |amplitude| per frame, and
+    * merge active frames into segments — exactly the front-door
+    * triage a speech-training pipeline runs before ASR (keep clips
+    * with enough voiced ratio, split on silence). The fixture
+    * ([[graft.sources.AudioFiles.vadWavBytes]]) plants a
+    * burst/silence pattern by integer formulas of the clip id, so
+    * segment counts, active-frame counts, and the voiced ratio are
+    * all closed-form — a one-sample decode slip (sign extension,
+    * endianness, off-by-one framing) breaks the hash.
+    *
+    * Scale shape: mapPartitions batch decode over `binaryFile`
+    * splits, identical to the image pixel pass — per-clip state is
+    * one frame accumulator, nothing driver-side. */
+  def vadSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.AudioFiles
+    val dir = AudioFiles.vadClipsDir(spark, sfDir)
+    val frameN = AudioFiles.VadFrameSamples
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "clip_*.wav")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+          .cast("long").as("clip_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        // canonical mono 16-bit layout (the header battery's triage
+        // already proved the guards; this fixture is ours)
+        val nSamples = ((b.length - 44) / 2).toInt
+        val nFrames = nSamples / frameN
+        var seg = 0L
+        var active = 0L
+        var prevActive = false
+        var f = 0
+        while (f < nFrames) {
+          var sumAbs = 0L
+          var i = 0
+          while (i < frameN) {
+            val o = 44 + 2 * (f * frameN + i)
+            // LE int16 with sign extension via short cast
+            val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+            sumAbs += math.abs(s)
+            i += 1
+          }
+          val isActive = sumAbs / frameN >= 500L
+          if (isActive) {
+            active += 1
+            if (!prevActive) seg += 1
+          }
+          prevActive = isActive
+          f += 1
+        }
+        (id, nFrames.toLong, active, seg,
+          BigDecimal(active.toDouble / nFrames)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+      .toDF("clip_id", "n_frames", "active_frames", "n_segments",
+        "voiced_ratio")
+      .orderBy(col("clip_id"))
+  }
+
+  /** Formula ground truth: B = 2+id%4 burst frames, G = 1+id%3 gap
+    * frames, C = 3+id%5 cycles ⇒ C segments, C·B active of C·(B+G)
+    * total frames, ratio B/(B+G). */
+  private val vadSegmentsOracle =
+    s"""SELECT id AS clip_id,
+       |       CAST((3 + id % 5) * (2 + id % 4 + 1 + id % 3) AS BIGINT)
+       |         AS n_frames,
+       |       CAST((3 + id % 5) * (2 + id % 4) AS BIGINT) AS active_frames,
+       |       CAST(3 + id % 5 AS BIGINT) AS n_segments,
+       |       ROUND(CAST(2 + id % 4 AS DOUBLE) / (2 + id % 4 + 1 + id % 3),
+       |             4) AS voiced_ratio
+       |FROM range(${graft.sources.AudioFiles.NClips}) t(id)
+       |ORDER BY clip_id""".stripMargin
+
   def audioMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.sources.AudioFiles.clipsDir(spark, sfDir)
@@ -1324,6 +1404,7 @@ object MultimodalOps {
     "q_webp_meta" -> (webpMetaScan _),
     "q_video_meta" -> (videoMeta _),
     "q_audio_meta" -> (audioMeta _),
+    "q_vad_segments" -> (vadSegments _),
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
     "q_pair_curation" -> (pairCuration _),
@@ -1340,6 +1421,7 @@ object MultimodalOps {
     "q_webp_meta" -> webpMetaOracle,
     "q_video_meta" -> videoMetaOracle,
     "q_audio_meta" -> audioMetaOracle,
+    "q_vad_segments" -> vadSegmentsOracle,
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_pair_curation" -> pairCurationOracle,

@@ -50,6 +50,59 @@ object AudioFiles {
     out
   }
 
+  // ------------------------------------------------- VAD fixture
+  /** Speech-shaped fixture for the voice-activity operator
+    * ([[graft.ops.MultimodalOps.vadSegments]]): mono 8 kHz PCM whose
+    * SAMPLES carry a planted burst/gap pattern — [[vadCycles]] cycles
+    * of [[vadBurstFrames]] 10 ms frames at amplitude [[vadAmp]]
+    * (sign-alternating square so the signal has no DC bias) followed
+    * by [[vadGapFrames]] frames of silence — all integer formulas of
+    * the clip id, so every segment boundary the detector finds is
+    * recomputable by the oracle in closed form. Unlike the v1 header
+    * fixture above (silent payload), these files exist to prove the
+    * SAMPLE decode. */
+  private[graft] val VadFrameSamples = 80 // 10 ms at 8 kHz
+  private[graft] def vadBurstFrames(id: Long): Int = (2 + id % 4).toInt
+  private[graft] def vadGapFrames(id: Long): Int = (1 + id % 3).toInt
+  private[graft] def vadCycles(id: Long): Int = (3 + id % 5).toInt
+  private[graft] def vadAmp(id: Long): Int = (4000 + 100 * (id % 7)).toInt
+
+  private[graft] def vadWavBytes(id: Long): Array[Byte] = {
+    val frames = vadCycles(id) * (vadBurstFrames(id) + vadGapFrames(id))
+    val n = frames * VadFrameSamples
+    val out = wavBytes(8000, 1, n)
+    val amp = vadAmp(id)
+    val period = (vadBurstFrames(id) + vadGapFrames(id)) * VadFrameSamples
+    val burstLen = vadBurstFrames(id) * VadFrameSamples
+    var i = 0
+    while (i < n) {
+      if (i % period < burstLen) {
+        val v = if (i % 2 == 0) amp else -amp
+        out(44 + 2 * i) = (v & 0xff).toByte
+        out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def vadClipsDir(spark: SparkSession, sfDir: String)
+      : String = {
+    val dir = new File(
+      s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}" +
+        s"/fixtures/wav_vad_v$FixtureVersion")
+    val done = new File(dir, "_FIXTURE_OK")
+    if (!done.exists()) {
+      dir.mkdirs()
+      (0L until NClips.toLong).foreach { id =>
+        Files.write(Paths.get(dir.getPath, f"clip_$id%05d.wav"),
+          vadWavBytes(id))
+      }
+      Files.write(done.toPath, Array.emptyByteArray)
+    }
+    dir.getAbsolutePath
+  }
+
   private[graft] def clipsDir(spark: SparkSession, sfDir: String): String = {
     val dir = new File(
       s"${graft.etl.Medallion.warehouseBase}/${new File(sfDir).getName}" +

@@ -373,4 +373,35 @@ class MultimodalSpec extends SparkSpec {
         s"clip $id size")
     }
   }
+
+  test("vad: planted waveform decodes sample-exact, segments match formulas") {
+    import graft.sources.AudioFiles._
+    // sample-level roundtrip on one clip: burst samples alternate ±amp
+    // (no DC), gaps are true zeros, boundaries land on frame edges
+    val id = 5L
+    val b = vadWavBytes(id)
+    def s16(o: Int): Int = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+    val period = (vadBurstFrames(id) + vadGapFrames(id)) * VadFrameSamples
+    val burstLen = vadBurstFrames(id) * VadFrameSamples
+    val n = (b.length - 44) / 2
+    (0 until n).foreach { i =>
+      val want =
+        if (i % period < burstLen) {
+          if (i % 2 == 0) vadAmp(id) else -vadAmp(id)
+        } else 0
+      assert(s16(44 + 2 * i) == want, s"sample $i")
+    }
+    // the query agrees with the closed form for every clip
+    val rows = graft.ops.MultimodalOps.vadSegments(spark, sfTiny).collect()
+    assert(rows.length == NClips)
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      val (bf, gf, c) =
+        (vadBurstFrames(cid).toLong, vadGapFrames(cid).toLong,
+          vadCycles(cid).toLong)
+      assert(r.getLong(1) == c * (bf + gf))
+      assert(r.getLong(2) == c * bf)
+      assert(r.getLong(3) == c, s"clip $cid segments")
+    }
+  }
 }
