@@ -2053,23 +2053,36 @@ object CurationOps {
     * frame), then a 10-row bucket aggregate and an A6 scalar for the
     * corpus Brier. Nothing new shuffles at corpus scale.
     */
-  def nbCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val (model, counts) = nbModel(spark, sfDir)
-    val heldOut = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+  /** Exact half-up integer division (the stableAvg idiom) — shared by
+    * the NB softmax/calibration/label-noise chain. */
+  private def halfUpL(num: Column, den: Column): Column = {
+    val n2 = num * 2L + den
+    call_function("div", n2 - pmod(n2, den * 2), den * 2)
+  }
+
+  /** The e6-lattice softmax over [[nbClassScores]] — per (doc, class):
+    * slp, per-doc max `m`, rank `rn` (slp desc, cls asc), quantized
+    * exp `p_e6`, exact-integer partition `z_e6`, half-up posterior
+    * `q_e6`. Factored so calibration and label-noise audit the SAME
+    * posteriors. */
+  private def nbSoftmaxFrame(heldOut: DataFrame, model: DataFrame,
+      counts: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("doc_id"))
     val wr = wd.orderBy(col("slp").desc, col("cls"))
-    def halfUpL(num: Column, den: Column): Column = {
-      val n2 = num * 2L + den
-      call_function("div", n2 - pmod(n2, den * 2), den * 2)
-    }
-    val per = nbClassScores(heldOut, model, counts)
+    nbClassScores(heldOut, model, counts)
       .withColumn("m", max(col("slp")).over(wd))
       .withColumn("rn", row_number().over(wr))
       .withColumn("p_e6", round(exp((col("slp") - col("m")).cast("double")
         / 1000000.0) * 1000000.0, 0).cast("long"))
       .withColumn("z_e6", sum(col("p_e6")).over(wd))
       .withColumn("q_e6", halfUpL(col("p_e6") * 1000000L, col("z_e6")))
+  }
+
+  def nbCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val per = nbSoftmaxFrame(heldOut, model, counts)
       .withColumn("y", when(col("cls") === col("lang"), 1000000L)
         .otherwise(0L))
     val docs = per.groupBy(col("doc_id"), col("lang"))
@@ -2098,8 +2111,10 @@ object CurationOps {
       .orderBy(col("bin"))
   }
 
-  private val nbCalibrationOracle =
-    s"""WITH $nbScoreSqlCommon,
+  /** The e6 softmax chain as shared oracle CTEs (`pq` exposes q_e6) —
+    * the SQL half of [[nbSoftmaxFrame]]. */
+  private val nbSoftmaxSqlCommon =
+    s"""$nbScoreSqlCommon,
        |per AS (SELECT doc_id, lang, cls, slp,
        |          MAX(slp) OVER (PARTITION BY doc_id) AS m,
        |          ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -2111,15 +2126,19 @@ object CurationOps {
        |                   AS z_e6 FROM pe),
        |pq AS (SELECT *,
        |         ((2*p_e6*1000000 + z_e6) - (2*p_e6*1000000 + z_e6)
-       |            % (2*z_e6)) // (2*z_e6) AS q_e6,
-       |         CASE WHEN cls = lang THEN 1000000 ELSE 0 END AS y
-       |       FROM pz),
+       |            % (2*z_e6)) // (2*z_e6) AS q_e6
+       |       FROM pz)""".stripMargin
+
+  private val nbCalibrationOracle =
+    s"""WITH $nbSoftmaxSqlCommon,
+       |pqy AS (SELECT *, CASE WHEN cls = lang THEN 1000000 ELSE 0 END AS y
+       |        FROM pq),
        |docs AS (SELECT doc_id, lang,
        |           CAST(SUM(CASE WHEN rn = 1 THEN q_e6 END) AS BIGINT)
        |             AS conf_e6,
        |           MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
        |           CAST(SUM((q_e6 - y) * (q_e6 - y)) AS BIGINT) AS brier_doc
-       |         FROM pq GROUP BY doc_id, lang),
+       |         FROM pqy GROUP BY doc_id, lang),
        |d2 AS (SELECT *, CASE WHEN pred = lang THEN 1 ELSE 0 END AS correct,
        |              LEAST(conf_e6 * 10 // 1000000, 9) AS bin FROM docs),
        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
@@ -2137,6 +2156,65 @@ object CurationOps {
        |            // (2*n_all*1000000) AS BIGINT) AS brier_e6
        |FROM d2 CROSS JOIN g
        |GROUP BY bin, g.n_all, g.sb ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------ label-noise audit
+  /** Confident-learning label-noise estimation (Northcutt et al.
+    * JAIR'21, the cleanlab construction) over the held-out split —
+    * the audit that finds MISLABELED examples rather than a bad
+    * model: per class j, the self-confidence threshold t_j is the
+    * mean posterior p(j|x) over docs GIVEN label j; each doc counts
+    * into the confident joint C[given][ĵ] where ĵ is its
+    * highest-posterior class among those clearing their own
+    * threshold (docs clearing none abstain). Off-diagonal mass is
+    * the estimated label-error census — on a corpus with honest
+    * labels it should be small and SYMMETRIC-ish; a big asymmetric
+    * cell is a labeling-pipeline bug, which is exactly what a
+    * curation team triages with this table.
+    *
+    * Everything stays on [[nbSoftmaxFrame]]'s exact e6 lattice:
+    * thresholds are truncating integer means of q_e6, comparisons
+    * and argmaxes are integer-exact (ties cls-asc). Scale shape:
+    * inherits the nbClassScores plan; thresholds are a class-sized
+    * broadcast; the census is a (classes²)-row aggregate. */
+  def labelNoise(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val per = nbSoftmaxFrame(heldOut, model, counts)
+    val thr = per.filter(col("cls") === col("lang"))
+      .groupBy(col("cls"))
+      .agg(call_function("div", sum(col("q_e6")), count(lit(1)))
+        .as("t_e6"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("q_e6").desc, col("cls"))
+    per.join(broadcast(thr), Seq("cls"))
+      .filter(col("q_e6") >= col("t_e6"))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") === 1)
+      .groupBy(col("lang"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        halfUpL(sum(col("q_e6")), count(lit(1))).as("avg_conf_e6"))
+      .select(col("lang").as("given_lang"), col("cls").as("pred_cls"),
+        col("n_docs"), col("avg_conf_e6"),
+        (col("lang") =!= col("cls")).as("is_error"))
+      .orderBy(col("given_lang"), col("pred_cls"))
+  }
+
+  private val labelNoiseOracle =
+    s"""WITH $nbSoftmaxSqlCommon,
+       |thr AS (SELECT cls, SUM(q_e6) // COUNT(*) AS t_e6
+       |        FROM pq WHERE cls = lang GROUP BY cls),
+       |qual AS (SELECT pq.doc_id, pq.lang, pq.cls, pq.q_e6
+       |         FROM pq JOIN thr USING (cls) WHERE q_e6 >= t_e6),
+       |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                     ORDER BY q_e6 DESC, cls) AS rq FROM qual)
+       |SELECT lang AS given_lang, cls AS pred_cls, COUNT(*) AS n_docs,
+       |       CAST(((2*SUM(q_e6) + COUNT(*))
+       |             - (2*SUM(q_e6) + COUNT(*)) % (2*COUNT(*)))
+       |            // (2*COUNT(*)) AS BIGINT) AS avg_conf_e6,
+       |       lang <> cls AS is_error
+       |FROM pick WHERE rq = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------- DoReMi domain mixture
   /** DoReMi-style LEARNED domain mixture (Xie et al. 2023, "DoReMi:
@@ -2745,6 +2823,7 @@ object CurationOps {
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_mcnemar" -> (mcnemar _),
+    "q_label_noise" -> (labelNoise _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -2780,6 +2859,7 @@ object CurationOps {
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_mcnemar" -> mcnemarOracle,
+    "q_label_noise" -> labelNoiseOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,

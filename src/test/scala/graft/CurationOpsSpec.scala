@@ -987,4 +987,22 @@ class CurationOpsSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(row.getDouble(5) == want)
   }
+
+  test("label noise: confident joint is a sub-census with coherent cells") {
+    val rows = CurationOps.labelNoise(spark, sfTiny).collect()
+    val heldOut = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .filter("doc_id % 5 = 4").count()
+    // docs clearing no class threshold abstain, so the census is a
+    // subset of the held-out split; every doc counts at most once
+    assert(rows.map(_.getLong(2)).sum <= heldOut)
+    assert(rows.map(_.getLong(2)).sum > 0)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      // picked docs cleared their predicted class's threshold, so the
+      // cell's mean confidence is strictly positive
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L)
+    }
+    // the confident diagonal must be non-empty on a learnable fixture
+    assert(rows.exists(r => !r.getBoolean(4)))
+  }
 }
