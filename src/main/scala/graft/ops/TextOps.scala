@@ -1077,6 +1077,67 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- distinct-n
+  /** distinct-1 / distinct-2 corpus diversity (Li et al. NAACL'16 —
+    * THE generation-diversity metric, equally read as a per-source
+    * corpus health check: a template farm shows normal unigram
+    * diversity but collapsed bigram diversity): per source, distinct
+    * n-grams over total n-grams for n = 1, 2. Complements
+    * [[docRepetition]] (within-doc) with the ACROSS-doc view.
+    *
+    * Scale shape: two map-side n-gram streams into (source, gram)
+    * hash aggregates — count-distinct by pre-aggregated key, never a
+    * distinct over raw rows; output is source-sized. */
+  def distinctN(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val uni = docs.select(col("source"), explode(col("ws")).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_1"), sum(col("c")).as("total_1"))
+    val bi = docs.filter(col("text").contains(" "))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> concat(element_at(ws, i), ' ',
+          |                      element_at(ws, i + 1)))""".stripMargin))
+        .as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_2"), sum(col("c")).as("total_2"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("distinct_1"),
+        col("total_1").cast("long").as("total_1"),
+        round(col("distinct_1").cast("double") / col("total_1"), 4)
+          .as("d1_ratio"),
+        col("distinct_2"),
+        col("total_2").cast("long").as("total_2"),
+        round(col("distinct_2").cast("double") / col("total_2"), 4)
+          .as("d2_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val distinctNOracle =
+    """WITH docs AS (SELECT source, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |u AS (SELECT source, COUNT(*) AS distinct_1,
+      |             CAST(SUM(c) AS BIGINT) AS total_1
+      |      FROM (SELECT source, g, COUNT(*) AS c
+      |            FROM (SELECT source, unnest(ws) AS g FROM docs)
+      |            GROUP BY 1, 2) GROUP BY source),
+      |b AS (SELECT source, COUNT(*) AS distinct_2,
+      |             CAST(SUM(c) AS BIGINT) AS total_2
+      |      FROM (SELECT source, g, COUNT(*) AS c
+      |            FROM (SELECT source,
+      |                    unnest([ws[i] || ' ' || ws[i + 1]
+      |                            FOR i IN range(1, len(ws))]) AS g
+      |                  FROM docs WHERE len(ws) > 1)
+      |            GROUP BY 1, 2) GROUP BY source)
+      |SELECT source, distinct_1, total_1,
+      |       ROUND(CAST(distinct_1 AS DOUBLE) / total_1, 4) AS d1_ratio,
+      |       distinct_2, total_2,
+      |       ROUND(CAST(distinct_2 AS DOUBLE) / total_2, 4) AS d2_ratio
+      |FROM u JOIN b USING (source) ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- bigram LM
   /** Bigram language-model quality scoring with add-1 smoothing — the
     * CCNet-style LM filter signal one order up from
@@ -2426,6 +2487,7 @@ object TextOps {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_qlm_dirichlet" -> (qlmDirichlet _),
+    "q_distinct_n" -> (distinctN _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2460,6 +2522,7 @@ object TextOps {
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,
     "q_qlm_dirichlet" -> qlmDirichletOracle,
+    "q_distinct_n" -> distinctNOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
