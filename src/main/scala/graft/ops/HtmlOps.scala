@@ -759,7 +759,10 @@ object HtmlOps {
     * bounded groups; real dumps swap the synth for `binaryFile`
     * reads, and because member boundaries are found by the inflater
     * itself the walk needs no index. */
-  def gzipMembers(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthetic `.wet.gz`-shaped shards: one multi-member gzip per
+    * [[WarcDocsPerFile]]-doc group. */
+  private[graft] def synthGzipFrame(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     import graft.sources.GzipFiles
     Tables.documents(spark, sfDir)
@@ -769,20 +772,42 @@ object HtmlOps {
         .as("docs"))
       .as[(Long, Seq[(Long, String)])]
       .mapPartitions(_.map { case (fid, docs) =>
-        val gz = GzipFiles.synthGzip(docs.map { case (id, t) =>
+        (fid, GzipFiles.synthGzip(docs.map { case (id, t) =>
           (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        })
-        val scan = GzipFiles.parseGzip(gz)
-        (fid, scan.members.size.toLong,
-          scan.members.count(!_.crcOk).toLong,
-          scan.members.count(_.isizeOk).toLong,
-          scan.members.map(_.rawLen).sum,
-          scan.members.map(_.name.length.toLong).sum, scan.clean)
+        }))
       })
-      .toDF("file_id", "n_members", "n_badcrc", "n_isize_ok",
-        "raw_bytes", "name_bytes", "clean")
-      .orderBy(col("file_id"))
+      .toDF("file_id", "gz")
   }
+
+  /** The member walk as a frame function — (file_id, gz binary) rows
+    * in, one row per parsed member out (+ the per-file structural
+    * verdict on every row) — so the batch rollup and the streaming
+    * ingest twin run ONE walk definition. */
+  private[graft] def gzipMemberFrame(files: DataFrame): DataFrame = {
+    import graft.sources.GzipFiles
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_id"), col("gz"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, gz) =>
+        val scan = GzipFiles.parseGzip(gz)
+        scan.members.map(m =>
+          (fid, m.name, m.rawLen, m.crcOk, m.isizeOk, scan.clean))
+      })
+      .toDF("file_id", "name", "raw_len", "crc_ok", "isize_ok", "clean")
+  }
+
+  def gzipMembers(spark: SparkSession, sfDir: String): DataFrame =
+    gzipMemberFrame(synthGzipFrame(spark, sfDir))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(!col("crc_ok"), 1L).otherwise(0L)).as("n_badcrc"),
+        sum(when(col("isize_ok"), 1L).otherwise(0L)).as("n_isize_ok"),
+        sum(col("raw_len")).cast("long").as("raw_bytes"),
+        sum(length(col("name")).cast("long")).cast("long")
+          .as("name_bytes"),
+        (min(when(col("clean"), 1L).otherwise(0L)) === 1L).as("clean"))
+      .orderBy(col("file_id"))
 
   /** Closed-form census: member/triage counts, inflated bytes
     * (strlen = UTF-8 octets), and the FNAME byte total

@@ -73,6 +73,19 @@ object StreamingOps {
       graft.ops.HtmlOps.warcSplitFrame(files)
         .select(col("doc_id"), col("raw")))
 
+  /** The compressed-container ingest twin — multi-member gzip shards
+    * in (the `.wet.gz` reality: segments LAND as concatenated-member
+    * files), per-member triage verdicts out, via the batch
+    * `q_gzip_members`' own factored walk
+    * ([[graft.ops.HtmlOps.gzipMemberFrame]] — one definition).
+    * Stateless map-side (member boundaries come from the inflater,
+    * no index, no state store); the per-member rows append to a
+    * ledger and the batch rollup over that ledger equals the batch
+    * query, which StreamingSpec pins. Input schema: (file_id, gz
+    * binary). */
+  def gzipMembersStream(files: DataFrame): DataFrame =
+    graft.ops.HtmlOps.gzipMemberFrame(files)
+
   /** Streaming benchmark decontamination — the graded screen
     * (`q_decontam_graded`) run the way ingestion actually needs it:
     * every ARRIVING document graded against the STANDING eval-gram

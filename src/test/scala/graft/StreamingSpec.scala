@@ -596,6 +596,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gzip member ledger rolls up to the batch census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val files = graft.ops.HtmlOps.synthGzipFrame(spark, sfTiny)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.gzipMembersStream(
+      input.toDF().toDF("file_id", "gz"))
+      .writeStream.format("memory").queryName("gzip_members_out")
+      .outputMode("append").start()
+    try {
+      files.grouped(2).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // per-member ledger rolled up per file equals the batch query
+      val streamed = spark.table("gzip_members_out")
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("crc_ok"), 1L).otherwise(0L)).as("bad"),
+          sum(col("raw_len")).as("raw"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = graft.ops.HtmlOps.gzipMembers(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} files != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination ledger equals the batch graded screen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
