@@ -2157,6 +2157,87 @@ object CurationOps {
        |FROM d2 CROSS JOIN g
        |GROUP BY bin, g.n_all, g.sb ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------- temperature scaling
+  /** Temperature-scaling fit (Guo et al. ICML'17 — the one-parameter
+    * calibration fix that became standard): grid-search T over the
+    * held-out split, scoring each T by total negative log-likelihood
+    * of the true class under softmax(slp/T). [[nbCalibration]]
+    * DIAGNOSES miscalibration; this op picks the remedy a serving
+    * layer would apply. T is carried as 2T (exact integers 1..16 for
+    * T ∈ {0.5, 1, 2, 4, 8}), the softmax reuses the e6 quantization
+    * discipline (each exp term quantized BEFORE the integer Z sum),
+    * and per-doc NLL is an e6 integer, so the winner is an exact
+    * integer argmin — ties to the smaller T.
+    *
+    * Scale shape: the (doc, class) frame fans out 5× map-side (the
+    * bounded grid), per-(doc,T) windows stay 5-row, the scoreboard is
+    * a 5-row aggregate with a frame-local best flag. */
+  def tempScaling(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val per = nbClassScores(heldOut, model, counts)
+      .select(col("doc_id"), col("lang"), col("cls"), col("slp"),
+        explode(array(Seq(1, 2, 4, 8, 16).map(lit): _*)).as("t_x2"))
+    val wd = Window.partitionBy(col("doc_id"), col("t_x2"))
+    val scored = per
+      .withColumn("m", max(col("slp")).over(wd))
+      .withColumn("p_e6",
+        round(exp((col("slp") - col("m")).cast("double") * 2.0 /
+          (lit(1000000.0) * col("t_x2"))) * 1000000.0, 0).cast("long"))
+      .withColumn("z_e6", sum(col("p_e6")).over(wd))
+      .withColumn("q_e6", halfUpL(col("p_e6") * 1000000L, col("z_e6")))
+      .filter(col("cls") === col("lang"))
+      .withColumn("nll_e6",
+        -round(log(greatest(col("q_e6"), lit(1L)).cast("double")
+          / 1000000.0) * 1000000.0, 0).cast("long"))
+      .groupBy(col("t_x2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll_e6")).cast("long").as("nll_e6_total"))
+    val wAll = Window.partitionBy() // 5-row grid scoreboard — bounded
+    scored
+      .withColumn("best_nll", min(col("nll_e6_total")).over(wAll))
+      .withColumn("best_t",
+        min(when(col("nll_e6_total") === col("best_nll"), col("t_x2")))
+          .over(wAll))
+      .select(round(col("t_x2") / 2.0, 1).as("temperature"),
+        col("n_docs"), col("nll_e6_total"),
+        halfUpL(col("nll_e6_total"), col("n_docs")).as("avg_nll_e6"),
+        (col("t_x2") === col("best_t")).as("is_best"))
+      .orderBy(col("temperature"))
+  }
+
+  private val tempScalingOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |g AS (SELECT sc.*, t_x2 FROM sc,
+       |        (SELECT unnest([1, 2, 4, 8, 16]) AS t_x2)),
+       |per AS (SELECT *, MAX(slp) OVER (PARTITION BY doc_id, t_x2) AS m
+       |        FROM g),
+       |pe AS (SELECT *, CAST(ROUND(exp(CAST(slp - m AS DOUBLE) * 2.0
+       |                                / (1000000.0 * t_x2))
+       |                            * 1000000.0) AS BIGINT) AS p_e6
+       |       FROM per),
+       |pz AS (SELECT *, CAST(SUM(p_e6) OVER (PARTITION BY doc_id, t_x2)
+       |                      AS BIGINT) AS z_e6 FROM pe),
+       |pq AS (SELECT *,
+       |         ((2*p_e6*1000000 + z_e6) - (2*p_e6*1000000 + z_e6)
+       |            % (2*z_e6)) // (2*z_e6) AS q_e6
+       |       FROM pz WHERE cls = lang),
+       |nl AS (SELECT t_x2, COUNT(*) AS n_docs,
+       |         CAST(SUM(-CAST(ROUND(ln(CAST(GREATEST(q_e6, 1) AS DOUBLE)
+       |                                  / 1000000.0) * 1000000.0)
+       |                         AS BIGINT)) AS BIGINT) AS nll_e6_total
+       |       FROM pq GROUP BY t_x2),
+       |sb AS (SELECT *, MIN(nll_e6_total) OVER () AS best_nll FROM nl),
+       |sb2 AS (SELECT *, MIN(CASE WHEN nll_e6_total = best_nll
+       |                           THEN t_x2 END) OVER () AS best_t FROM sb)
+       |SELECT ROUND(t_x2 / 2.0, 1) AS temperature, n_docs, nll_e6_total,
+       |       CAST(((2*nll_e6_total + n_docs)
+       |             - (2*nll_e6_total + n_docs) % (2*n_docs))
+       |            // (2*n_docs) AS BIGINT) AS avg_nll_e6,
+       |       t_x2 = best_t AS is_best
+       |FROM sb2 ORDER BY temperature""".stripMargin
+
   // ------------------------------------------------ label-noise audit
   /** Confident-learning label-noise estimation (Northcutt et al.
     * JAIR'21, the cleanlab construction) over the held-out split —
@@ -2824,6 +2905,7 @@ object CurationOps {
     "q_nb_infer" -> (nbInfer _),
     "q_mcnemar" -> (mcnemar _),
     "q_label_noise" -> (labelNoise _),
+    "q_temp_scaling" -> (tempScaling _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -2860,6 +2942,7 @@ object CurationOps {
     "q_nb_infer" -> nbInferOracle,
     "q_mcnemar" -> mcnemarOracle,
     "q_label_noise" -> labelNoiseOracle,
+    "q_temp_scaling" -> tempScalingOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,

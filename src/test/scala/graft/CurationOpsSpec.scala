@@ -1005,4 +1005,21 @@ class CurationOpsSpec extends SparkSpec {
     // the confident diagonal must be non-empty on a learnable fixture
     assert(rows.exists(r => !r.getBoolean(4)))
   }
+
+  test("temperature scaling: exactly one winner at the NLL argmin") {
+    val rows = CurationOps.tempScaling(spark, sfTiny).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 1.0, 2.0, 4.0, 8.0))
+    val nll = rows.map(_.getLong(2))
+    assert(nll.forall(_ > 0L))
+    val best = rows.filter(_.getBoolean(4))
+    assert(best.length == 1)
+    assert(best.head.getLong(2) == nll.min)
+    // avg is the half-up mean of the total
+    rows.foreach { r =>
+      val want = (2 * r.getLong(2) + r.getLong(1) -
+        (2 * r.getLong(2) + r.getLong(1)) % (2 * r.getLong(1))) /
+        (2 * r.getLong(1))
+      assert(r.getLong(3) == want)
+    }
+  }
 }
