@@ -126,6 +126,88 @@ object SimilarityOps {
     * lesson), per-side windows partition by the side's id (parallel,
     * never global), and the mutual filter is two keyed equi-joins.
     */
+  // -------------------------------------------------------- hubness
+  /** k-occurrence hubness audit (Radovanović et al. JMLR'10) — the
+    * intrinsic-dimensionality pathology every embedding-retrieval
+    * stack should measure before trusting its kNN graph: N_k(y) =
+    * how many points list y among their k nearest; in high-D spaces
+    * the distribution skews right (a few HUBS appear in everyone's
+    * list, many ANTI-HUBS in no one's), which silently corrupts
+    * kNN classification, dedup, and bitext mining ([[bitextMine]]'s
+    * margin normalization exists to FIGHT exactly this — this op
+    * measures whether the fight is needed). Mean N_k is exactly k,
+    * so moments of (N_k − k) are exact integers; the skewness is the
+    * single published hubness score, anti-hub and max-hub counts
+    * ride along.
+    *
+    * Scale shape: dense pair scoring as the documented fixture-scale
+    * stand-in for the IVF-probed candidate set (the [[bitextMine]]
+    * discipline — vectors dropped before every exchange, per-query
+    * windows parallel by qid); the census is one (point)-keyed count
+    * + a 1-row moment aggregate. */
+  private val HubK = 10
+
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("norm").as("cn"))
+    val pairs = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_e9",
+        round(cosine("qv", "qn", "cv", "cn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("qid"), col("cid"), col("cos_e9"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e9").desc, col("cid"))
+    val nk = pairs.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= HubK)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_k"))
+    e.select(col("vec_id").as("cid"))
+      .join(nk, Seq("cid"), "left")
+      .withColumn("n_k", coalesce(col("n_k"), lit(0L)))
+      .withColumn("d", col("n_k") - HubK.toLong)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("n_k")).cast("long").as("sum_nk"),
+        max(col("n_k")).as("max_nk"),
+        sum(when(col("n_k") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+        sum(col("d") * col("d")).cast("long").as("m2"),
+        sum(col("d") * col("d") * col("d")).cast("long").as("m3"))
+      .select(col("n_points"), lit(HubK).as("k"), col("sum_nk"),
+        col("max_nk"), col("n_antihubs"), col("m2"), col("m3"),
+        round((col("m3").cast("double") / col("n_points")) /
+          pow(col("m2").cast("double") / col("n_points"), 1.5), 4)
+          .as("skew"))
+  }
+
+  private val hubnessOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         CAST(ROUND(${cosineSql("q.embedding", "c.embedding")}
+       |                    * 1000000000.0) AS BIGINT) AS cos_e9
+       |  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+       |topk AS (SELECT cid FROM (
+       |    SELECT cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY cos_e9 DESC, cid) AS r FROM pairs)
+       |  WHERE r <= $HubK),
+       |nk AS (SELECT e.vec_id AS cid,
+       |              COALESCE(t.n_k, 0) AS n_k,
+       |              COALESCE(t.n_k, 0) - $HubK AS d
+       |       FROM e LEFT JOIN (SELECT cid, COUNT(*) AS n_k FROM topk
+       |                         GROUP BY cid) t ON t.cid = e.vec_id)
+       |SELECT COUNT(*) AS n_points, $HubK AS k,
+       |       CAST(SUM(n_k) AS BIGINT) AS sum_nk,
+       |       CAST(MAX(n_k) AS BIGINT) AS max_nk,
+       |       CAST(SUM(CASE WHEN n_k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_antihubs,
+       |       CAST(SUM(d * d) AS BIGINT) AS m2,
+       |       CAST(SUM(d * d * d) AS BIGINT) AS m3,
+       |       ROUND((CAST(SUM(d * d * d) AS DOUBLE) / COUNT(*))
+       |             / pow(CAST(SUM(d * d) AS DOUBLE) / COUNT(*), 1.5), 4)
+       |         AS skew
+       |FROM nk""".stripMargin
+
   private val BitextK = 4
   private val BitextThreshE6 = 1050000L
 
@@ -1715,6 +1797,7 @@ object SimilarityOps {
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_bitext_mine" -> (bitextMine _),
+    "q_hubness" -> (hubness _),
     "q_maxsim" -> (maxSim _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
@@ -1737,6 +1820,7 @@ object SimilarityOps {
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_bitext_mine" -> bitextMineOracle,
+    "q_hubness" -> hubnessOracle,
     "q_maxsim" -> maxSimOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,

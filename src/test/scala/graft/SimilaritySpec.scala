@@ -563,4 +563,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rerank, "MaxSim agrees with mean-pooling everywhere — " +
       "fixture exercises nothing late-interaction-specific")
   }
+
+  test("hubness: k-occurrence conservation and moment coherence") {
+    val r = SimilarityOps.hubness(spark, sfTiny).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n, k) = (row.getLong(0), row.getInt(1))
+    // every point lists exactly k neighbors ⇒ ΣN_k = n·k and mean = k
+    assert(row.getLong(2) == n * k)
+    assert(row.getLong(3) <= n - 1 && row.getLong(3) >= k,
+      "max hub outside [k, n-1]")
+    assert(row.getLong(5) > 0L, "zero variance — degenerate fixture")
+    // skew sign must match the third central moment's sign
+    assert((row.getDouble(7) >= 0) == (row.getLong(6) >= 0))
+  }
 }
