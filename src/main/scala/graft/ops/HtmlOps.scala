@@ -827,6 +827,70 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------------ zstd scan
+  /** Zstandard frame walk ([[graft.sources.ZstdFiles]]) — the modern
+    * compression beside [[gzipMembers]]' gzip: Common Crawl and new
+    * dataset dumps ship `.zst`. Frames here use RAW blocks (valid
+    * zstd, no entropy coder — the frame GRAMMAR is the engine's job),
+    * every 5th doc is preceded by a SKIPPABLE frame the walk must
+    * step over, and every 17th doc's declared content size is off by
+    * one — the FCS triage channel (block headers still frame
+    * everything, so one lying header costs one frame's trust).
+    * Decoded content bytes land under the hash, so the block-split
+    * arithmetic and both FCS encodings (1-byte, and 2-byte value−256)
+    * are proven in closed form.
+    *
+    * Scale shape: identical to the other container scans. */
+  def zstdScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ZstdFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val z = ZstdFiles.synthZstd(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = ZstdFiles.parseZstd(z)
+        (fid, scan.frames.size.toLong, scan.skippable,
+          scan.frames.count(!_.fcsOk).toLong,
+          scan.frames.map(_.decoded).sum,
+          scan.frames.map(_.nBlocks).sum, z.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_frames", "n_skippable", "n_fcs_bad",
+        "content_bytes", "n_blocks", "zstd_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: per doc 12 skippable bytes on the 5-stride,
+    * then 4 magic + 1 descriptor + FCS width (1 byte under 256 — the
+    * 17-stride +1 bias counts — else 2) + 3 bytes per raw block
+    * (⌈len/100⌉, min 1 for the empty doc) + the content itself. */
+  private val zstdScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       COUNT(*) AS n_frames,
+       |       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_skippable,
+       |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_fcs_bad,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS content_bytes,
+       |       CAST(SUM(GREATEST(1, (strlen(text) + 99) // 100))
+       |            AS BIGINT) AS n_blocks,
+       |       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END
+       |              + 5
+       |              + CASE WHEN strlen(text)
+       |                          + CASE WHEN doc_id % 17 = 0
+       |                                 THEN 1 ELSE 0 END < 256
+       |                     THEN 1 ELSE 2 END
+       |              + 3 * GREATEST(1, (strlen(text) + 99) // 100)
+       |              + strlen(text)) AS BIGINT) AS zstd_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1452,6 +1516,7 @@ object HtmlOps {
     "q_tfrecord_scan" -> (tfrecordScan _),
     "q_avro_scan" -> (avroScan _),
     "q_gzip_members" -> (gzipMembers _),
+    "q_zstd_scan" -> (zstdScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1467,6 +1532,7 @@ object HtmlOps {
     "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_avro_scan" -> avroScanOracle,
     "q_gzip_members" -> gzipMembersOracle,
+    "q_zstd_scan" -> zstdScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

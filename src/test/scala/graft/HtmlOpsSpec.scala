@@ -595,4 +595,39 @@ class HtmlOpsSpec extends SparkSpec {
     // clean only at member boundaries: empty, after member 1, full
     assert(cleanCount == 3)
   }
+
+  test("zstd codec: frame grammar, fcs encodings, skippable + triage") {
+    import graft.sources.ZstdFiles
+    // lengths straddle the FCS width corner (255/256 with and without
+    // the 17-stride bias) and the block split (0, 100, 201)
+    val docs = Seq((5L, "s" * 255), (17L, "t" * 255), (18L, ""),
+      (20L, "u" * 100), (34L, "v" * 201), (40L, "w" * 256))
+      .map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val z = ZstdFiles.synthZstd(docs)
+    def blocks(n: Int) = math.max(1, (n + 99) / 100)
+    val expect = docs.map { case (id, b) =>
+      (if (id % 5 == 0) 12 else 0) + 5 +
+        (if (b.length + (if (id % 17 == 0) 1 else 0) < 256) 1 else 2) +
+        3 * blocks(b.length) + b.length
+    }.sum
+    assert(z.length == expect, s"${z.length} != $expect")
+    val scan = ZstdFiles.parseZstd(z)
+    assert(scan.clean && scan.trailing == 0)
+    assert(scan.frames.size == docs.size && scan.skippable == 3L)
+    assert(scan.frames.map(_.decoded) == docs.map(_._2.length.toLong))
+    assert(scan.frames.map(_.nBlocks) ==
+      docs.map(d => blocks(d._2.length).toLong))
+    // the 17-stride frames lie about content size; data still decodes
+    assert(scan.frames.map(_.fcsOk) ==
+      Vector(true, false, true, true, false, true))
+    // prefix totality
+    (0 to z.length).foreach { n =>
+      ZstdFiles.parseZstd(java.util.Arrays.copyOf(z, n))
+    }
+    // unknown magic stops the walk cleanly, keeping prior frames
+    val bad = z.clone()
+    bad(12 + 5 + 2 + 3 * 3 + 255) = 0x77 // second frame's magic byte 0
+    val bs = ZstdFiles.parseZstd(bad)
+    assert(!bs.clean && bs.frames.size == 1)
+  }
 }
