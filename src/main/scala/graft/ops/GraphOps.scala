@@ -307,6 +307,139 @@ object GraphOps {
         .agg(count(lit(1)).as("n"))
     }
 
+  /** Sampled stress centrality (Shimbel '53 via Brandes '01's
+    * two-pass shape) — the centrality the family lacked: how many
+    * shortest paths RUN THROUGH each node. Betweenness's σ_st(v)/σ_st
+    * ratios are float and order-sensitive; stress is its ALL-INTEGER
+    * sibling (Σ_st σ_st(v)), so the whole two-pass algorithm stays on
+    * exact integers under the driver hash: forward level-synchronous
+    * BFS accumulating path counts σ (sum over predecessors), backward
+    * accumulation R(v) = Σ_{w∈succ}(1 + R(w)) counting DAG paths
+    * below v, contribution σ(v)·R(v) per source. Sources are the
+    * [[bfsHops]] seed set (Brandes-pivot sampling — exact per-pivot,
+    * sampled over pivots, which is how centrality is actually run at
+    * scale), depth-capped at the same 4 hops.
+    *
+    * Scale shape: the [[bfsHops]] discipline both directions —
+    * per-round localCheckpoint on the deepening frames, the constant
+    * edge frame cached and released, level frames are (pivots ×
+    * nodes)-bounded narrow rows; 4+4 bounded rounds, no global sort
+    * until the 20-row take. */
+  def stressCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    val MaxHops = 4
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    // σ counts paths, so edge multiplicity MUST be 1 — distinct both
+    // directions (bfsHops' duplicate-tolerant min-merge doesn't apply)
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val seeds = Tables.part(spark, sfDir).filter(col("p_partkey") <= 5)
+      .select(col("p_partkey").as("s"), col("p_partkey").as("v"),
+        lit(0).as("d"), lit(1L).as("sigma"))
+    var all = seeds.localCheckpoint(eager = true)
+    var level = all
+    var h = 1
+    while (h <= MaxHops) {
+      val nxt = level.join(edges, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v2"), col("sigma"))
+        .join(all.select(col("s").as("s2"), col("v").as("seen")),
+          col("s") === col("s2") && col("v2") === col("seen"), "left_anti")
+        .groupBy(col("s"), col("v2"))
+        .agg(sum(col("sigma")).cast("long").as("sigma"))
+        .select(col("s"), col("v2").as("v"), lit(h).as("d"), col("sigma"))
+      level = nxt.localCheckpoint(eager = true)
+      all = all.unionByName(level).localCheckpoint(eager = true)
+      h += 1
+    }
+    // backward: R per level, deepest first (its R is 0 — no successors
+    // inside the cap)
+    var r = level.select(col("s"), col("v"), lit(0L).as("r"))
+      .localCheckpoint(eager = true)
+    var rAll = r
+    var hh = MaxHops - 1
+    while (hh >= 0) {
+      val cur = all.filter(col("d") === hh)
+      val contrib = cur.join(edges, col("v") === col("src"))
+        .join(r.select(col("s").as("s3"), col("v").as("w"), col("r")),
+          col("s") === col("s3") && col("dst") === col("w"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(lit(1L) + col("r")).cast("long").as("rsum"))
+      r = cur
+        .join(contrib.select(col("s").as("s4"), col("v").as("v4"),
+          col("rsum")),
+          col("s") === col("s4") && col("v") === col("v4"), "left")
+        .select(col("s"), col("v"), coalesce(col("rsum"), lit(0L)).as("r"))
+        .localCheckpoint(eager = true)
+      rAll = rAll.unionByName(r).localCheckpoint(eager = true)
+      hh -= 1
+    }
+    val out = all
+      .join(rAll.select(col("s").as("s5"), col("v").as("v5"), col("r")),
+        col("s") === col("s5") && col("v") === col("v5"))
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("part"))
+      .agg(sum(col("sigma") * col("r")).cast("long").as("stress"))
+      .filter(col("stress") > 0L)
+      .orderBy(col("stress").desc, col("part"))
+      .limit(20)
+      .localCheckpoint(eager = true) // 20 rows; lets edges release
+    edges.unpersist()
+    out
+  }
+
+  /** The sigma/R recursion replayed relationally: dist via the
+    * recursive BFS, then 4 unrolled σ level joins forward and 4
+    * unrolled R level joins backward — all integer. */
+  private val stressCentralityOracle = {
+    val fwd = (1 to 4).map(l =>
+      s"""s$l AS (SELECT d.s, d.v, CAST(SUM(sp.sigma) AS BIGINT) AS sigma
+         |  FROM dist d JOIN e ON e.dst = d.v
+         |  JOIN s${l - 1} sp ON sp.s = d.s AND sp.v = e.src
+         |  WHERE d.d = $l GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+    val bwd = (0 to 3).reverse.map(l =>
+      s"""c$l AS (SELECT dd.s, dd.v, CAST(SUM(1 + rn.r) AS BIGINT) AS r
+         |  FROM dist dd JOIN e ON e.src = dd.v
+         |  JOIN r${l + 1} rn ON rn.s = dd.s AND rn.v = e.dst
+         |  WHERE dd.d = $l GROUP BY 1, 2),
+         |r$l AS (SELECT d.s, d.v, COALESCE(c.r, 0) AS r
+         |  FROM dist d LEFT JOIN c$l c ON c.s = d.s AND c.v = d.v
+         |  WHERE d.d = $l)""".stripMargin).mkString(",\n")
+    s"""WITH RECURSIVE
+       |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (
+       |  SELECT l_orderkey FROM op GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a
+       |  JOIN op b ON a.l_orderkey = b.l_orderkey
+       |           AND a.l_partkey <> b.l_partkey
+       |  JOIN sized s ON s.l_orderkey = a.l_orderkey),
+       |seeds AS (SELECT p_partkey AS s FROM part WHERE p_partkey <= 5),
+       |bfs AS (
+       |  SELECT s, s AS v, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.v
+       |  WHERE bfs.d < 4),
+       |dist AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+       |s0 AS (SELECT s, v, CAST(1 AS BIGINT) AS sigma FROM dist
+       |       WHERE d = 0),
+       |$fwd,
+       |sigma AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |          UNION ALL SELECT * FROM s4),
+       |r4 AS (SELECT s, v, CAST(0 AS BIGINT) AS r FROM dist WHERE d = 4),
+       |$bwd,
+       |rall AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |         UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       |         UNION ALL SELECT * FROM r4)
+       |SELECT v AS part, CAST(SUM(sigma * r) AS BIGINT) AS stress
+       |FROM sigma JOIN rall USING (s, v) WHERE v <> s
+       |GROUP BY v HAVING SUM(sigma * r) > 0
+       |ORDER BY stress DESC, part LIMIT 20""".stripMargin
+  }
+
   def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
     // NO distinct: a pair recurring under several order sizes yields a
     // duplicate edge, which only widens one hop's join fan-out before
@@ -1047,6 +1180,7 @@ object GraphOps {
     "q_shortest_path" -> (shortestPath _),
     "q_widest_path" -> (widestPath _),
     "q_bfs_hops" -> (bfsHops _),
+    "q_stress_centrality" -> (stressCentrality _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
     "q_triangle_count" -> (triangleCount _),
@@ -1061,6 +1195,7 @@ object GraphOps {
     "q_shortest_path" -> shortestPathOracle,
     "q_widest_path" -> widestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
+    "q_stress_centrality" -> stressCentralityOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
     "q_triangle_count" -> triangleCountOracle,

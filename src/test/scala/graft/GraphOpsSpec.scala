@@ -361,4 +361,60 @@ class GraphOpsSpec extends SparkSpec {
     val total = s2.values.sum
     assert(total > 0.0 && total <= 1.0 + 1e-9, s"ppr mass $total out of range")
   }
+
+  test("stress centrality equals the driver two-pass recompute") {
+    // rebuild the co-purchase graph and run Brandes' two passes in
+    // plain Scala (exact integers), then compare the top-20 table
+    val op = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sized = op.groupBy(_._1).filter { case (_, xs) =>
+      xs.length >= 2 && xs.length <= 20 }.keySet
+    val adj = op.filter(p => sized(p._1)).groupBy(_._1).values
+      .flatMap { g =>
+        for (a <- g.toVector; b <- g.toVector if a._2 != b._2)
+          yield (a._2, b._2)
+      }
+      .toSet.groupBy((e: (Long, Long)) => e._1).view
+      .mapValues(_.map(_._2).toVector).toMap
+    val stress = scala.collection.mutable.Map.empty[Long, Long]
+    // the seed predicate is p_partkey <= 5 over the part TABLE — this
+    // testdata's partkeys start at 0, so that is six pivots, not five
+    val seeds = spark.read.parquet(s"$sfTiny/part.parquet")
+      .filter("p_partkey <= 5").collect().map(_.getLong(0)).sorted
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Vector(s)
+      (1 to 4).foreach { d =>
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { u =>
+          adj.getOrElse(u, Vector.empty).foreach { w =>
+            if (!dist.contains(w))
+              nxt(w) = nxt.getOrElse(w, 0L) + sigma(u)
+          }
+        }
+        nxt.keys.foreach(w => dist(w) = d)
+        nxt.foreach { case (w, sg) => sigma(w) = sg }
+        frontier = nxt.keys.toVector
+      }
+      val r = scala.collection.mutable.Map.empty[Long, Long]
+      (3 to 0 by -1).foreach { d =>
+        dist.filter(_._2 == d).keys.foreach { v =>
+          r(v) = adj.getOrElse(v, Vector.empty)
+            .filter(w => dist.get(w).contains(d + 1))
+            .map(w => 1L + r(w)).sum
+        }
+      }
+      dist.keys.filter(_ != s).foreach { v =>
+        val c = sigma(v) * r.getOrElse(v, 0L)
+        if (c != 0) stress(v) = stress.getOrElse(v, 0L) + c
+      }
+    }
+    val want = stress.toSeq.filter(_._2 > 0)
+      .sortBy { case (p, st) => (-st, p) }.take(20)
+    val got = GraphOps.stressCentrality(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got ${got.take(5)}.. want ${want.take(5)}..")
+  }
 }
