@@ -323,8 +323,14 @@ object GraphOps {
     * Scale shape: the [[bfsHops]] discipline both directions —
     * per-round localCheckpoint on the deepening frames, the constant
     * edge frame cached and released, level frames are (pivots ×
-    * nodes)-bounded narrow rows; 4+4 bounded rounds, no global sort
-    * until the 20-row take. */
+    * nodes)-bounded narrow rows; frontier-drain early exit bounds the
+    * rounds by the true diameter, no global sort until the 20-row
+    * take. The dominant cost is irreducible Brandes work — every DAG
+    * edge of every pivot's BFS is touched once forward (σ) and once
+    * backward (R), ~pivots × |edges| join rows — and the published
+    * mitigation IS the one implemented: sample pivots (the seed-set
+    * size is the knob; exactness is per-pivot, coverage scales
+    * linearly). */
   def stressCentrality(spark: SparkSession, sfDir: String): DataFrame = {
     val MaxHops = 4
     val half = coPurchasePairs(spark, sfDir)
@@ -340,7 +346,13 @@ object GraphOps {
     var all = seeds.localCheckpoint(eager = true)
     var level = all
     var h = 1
-    while (h <= MaxHops) {
+    var frontierSize = 1L
+    var deepest = 0
+    // early exit on frontier drain (the bfsHops discipline): this
+    // graph's diameter is ~2, so without it HALF the edge-table
+    // passes — forward rounds 3..4 and backward levels 4..3 — would
+    // be no-op joins against the 2M-edge frame
+    while (h <= MaxHops && frontierSize > 0L) {
       val nxt = level.join(edges, col("v") === col("src"))
         .select(col("s"), col("dst").as("v2"), col("sigma"))
         .join(all.select(col("s").as("s2"), col("v").as("seen")),
@@ -349,15 +361,20 @@ object GraphOps {
         .agg(sum(col("sigma")).cast("long").as("sigma"))
         .select(col("s"), col("v2").as("v"), lit(h).as("d"), col("sigma"))
       level = nxt.localCheckpoint(eager = true)
-      all = all.unionByName(level).localCheckpoint(eager = true)
+      frontierSize = level.count()
+      if (frontierSize > 0) {
+        all = all.unionByName(level).localCheckpoint(eager = true)
+        deepest = h
+      }
       h += 1
     }
     // backward: R per level, deepest first (its R is 0 — no successors
     // inside the cap)
-    var r = level.select(col("s"), col("v"), lit(0L).as("r"))
+    var r = all.filter(col("d") === deepest)
+      .select(col("s"), col("v"), lit(0L).as("r"))
       .localCheckpoint(eager = true)
     var rAll = r
-    var hh = MaxHops - 1
+    var hh = deepest - 1
     while (hh >= 0) {
       val cur = all.filter(col("d") === hh)
       val contrib = cur.join(edges, col("v") === col("src"))
@@ -371,7 +388,9 @@ object GraphOps {
           col("s") === col("s4") && col("v") === col("v4"), "left")
         .select(col("s"), col("v"), coalesce(col("rsum"), lit(0L)).as("r"))
         .localCheckpoint(eager = true)
-      rAll = rAll.unionByName(r).localCheckpoint(eager = true)
+      // r is checkpointed per level (the recurrence input); the union
+      // of checkpointed frames needs no checkpoint of its own
+      rAll = rAll.unionByName(r)
       hh -= 1
     }
     val out = all
