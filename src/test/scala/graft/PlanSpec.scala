@@ -813,4 +813,56 @@ class PlanSpec extends SparkSpec {
       s"cdc owner joins must broadcast:\n$ccPlan")
   }
 
+  test("round-11 session-4 plan shapes: containers, shuffle audit, QLM") {
+    // container scans: ONE fact exchange (the 25-doc grouping) plus
+    // the presentation sort — the codec walk itself never shuffles;
+    // at 100 TB the group stage is replaced by binaryFile splits and
+    // the walk runs where the bytes are
+    for ((name, df) <- Seq(
+      "zip" -> graft.ops.HtmlOps.zipScan(spark, sfTiny),
+      "tfrecord" -> graft.ops.HtmlOps.tfrecordScan(spark, sfTiny),
+      "zstd" -> graft.ops.HtmlOps.zstdScan(spark, sfTiny))) {
+      df.collect()
+      val plan = executed(df).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Join"),
+        s"$name scan must not join:\n$plan")
+      assert("(?<!Broadcast)Exchange".r.findAllIn(plan).size <= 2,
+        s"$name scan: group + presentation sort are the only " +
+          s"exchanges:\n$plan")
+    }
+    // epoch shuffle: THE claim — the exact adjacency census has no
+    // single-partition sort or window over the corpus-sized frame;
+    // every Sort below the heavy window carries the (epoch, bucket)
+    // partition keys, and the only SinglePartition stage is the
+    // bucket-count-sized boundary stitch
+    val es = graft.ops.CurationOps.epochShuffle(spark, sfTiny)
+    es.collect()
+    val esPlan = executed(es).split("== Initial Plan ==")(0)
+    assert(esPlan.contains("bucket"),
+      s"bucketed window shape lost:\n$esPlan")
+    val heavySorts = "Sort \\[key".r.findAllIn(esPlan).size
+    assert(heavySorts == 0 ||
+      "Sort \\[epoch[^\\n]*bucket".r.findAllIn(esPlan).nonEmpty,
+      s"corpus-sized sort must be bucket-partitioned:\n$esPlan")
+    // qlm: corpus stats ride ONE 1-row broadcast; the tf join back to
+    // the doc spine must broadcast (bounded term list), never
+    // sort-merge
+    val ql = graft.ops.TextOps.qlmDirichlet(spark, sfTiny)
+    ql.collect()
+    val qlPlan = executed(ql).split("== Initial Plan ==")(0)
+    assert(!qlPlan.contains("SortMergeJoin"),
+      s"qlm joins are bounded and must broadcast:\n$qlPlan")
+    assert(!qlPlan.contains("CartesianProduct"),
+      s"the stats cross must ride a broadcast:\n$qlPlan")
+    // label noise: threshold frame is class-sized — broadcast only;
+    // the per-doc argmax group-limits below its sort
+    val ln = graft.ops.CurationOps.labelNoise(spark, sfTiny)
+    ln.collect()
+    val lnPlan = executed(ln).split("== Initial Plan ==")(0)
+    assert(lnPlan.contains("WindowGroupLimit"),
+      s"confident argmax must group-limit below the sort:\n$lnPlan")
+    assert(!lnPlan.contains("CartesianProduct"),
+      s"label noise must not plan a cartesian product:\n$lnPlan")
+  }
+
 }
