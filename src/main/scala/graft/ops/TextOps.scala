@@ -1077,6 +1077,78 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ readability
+  /** Flesch reading-ease battery (Flesch '48; the readability screen
+    * web-corpus filters run beside the Gopher stats): per doc,
+    * sentences = punctuation-run count (min 1), words = whitespace
+    * tokens, syllables = vowel-group count with the per-word min-1
+    * rule (vowel-less tokens count one); Flesch = 206.835 −
+    * 1.015·(words/sentence) − 84.6·(syllables/word). Each per-doc
+    * score quantizes ONCE to the e6 lattice, so the per-source means
+    * are exact half-up integer ratios — a float mean of doubles
+    * would be partition-order-sensitive.
+    *
+    * Scale shape: pure map-side column math + one source-sized hash
+    * rollup. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("words", size(col("ws")).cast("long"))
+      .withColumn("sentences",
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")))
+      .withColumn("syllables",
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long") +
+          expr("size(filter(ws, w -> w NOT rlike '[aeiouy]'))").cast("long"))
+      .withColumn("flesch_e6",
+        round((lit(206.835) -
+          lit(1.015) * col("words").cast("double") / col("sentences") -
+          lit(84.6) * col("syllables").cast("double") / col("words"))
+          * 1000000.0, 0).cast("long"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flesch_e6")).cast("long").as("sf"),
+        sum(col("words")).cast("long").as("sum_words"),
+        sum(col("syllables")).cast("long").as("sum_syllables"))
+      .select(col("source"), col("n_docs"),
+        halfUp(col("sf"), col("n_docs")).cast("double")
+          .divide(1000000.0).as("avg_flesch"),
+        col("sum_words"), col("sum_syllables"),
+        halfUp(col("sum_syllables") * 1000000L, col("sum_words"))
+          .cast("double").divide(1000000.0).as("syl_per_word"))
+      .orderBy(col("source"))
+  }
+
+  private val readabilityOracle =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |         GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+      |           AS sentences,
+      |         CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+      |              + len(list_filter(string_split(text, ' '),
+      |                    w -> NOT regexp_matches(w, '[aeiouy]')))
+      |              AS BIGINT) AS syllables
+      |  FROM documents),
+      |f AS (SELECT source, words, syllables,
+      |        CAST(ROUND((206.835
+      |               - 1.015 * CAST(words AS DOUBLE) / sentences
+      |               - 84.6 * CAST(syllables AS DOUBLE) / words)
+      |              * 1000000.0) AS BIGINT) AS flesch_e6
+      |      FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST((2*SUM(flesch_e6) + COUNT(*)) // (2*COUNT(*))
+      |            AS DOUBLE) / 1000000.0 AS avg_flesch,
+      |       CAST(SUM(words) AS BIGINT) AS sum_words,
+      |       CAST(SUM(syllables) AS BIGINT) AS sum_syllables,
+      |       CAST((2*SUM(syllables)*1000000 + SUM(words))
+      |            // (2*SUM(words)) AS DOUBLE) / 1000000.0 AS syl_per_word
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- distinct-n
   /** distinct-1 / distinct-2 corpus diversity (Li et al. NAACL'16 —
     * THE generation-diversity metric, equally read as a per-source
@@ -2488,6 +2560,7 @@ object TextOps {
     "q_bm25" -> (bm25 _),
     "q_qlm_dirichlet" -> (qlmDirichlet _),
     "q_distinct_n" -> (distinctN _),
+    "q_readability" -> (readability _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2523,6 +2596,7 @@ object TextOps {
     "q_bm25" -> bm25Oracle,
     "q_qlm_dirichlet" -> qlmDirichletOracle,
     "q_distinct_n" -> distinctNOracle,
+    "q_readability" -> readabilityOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
