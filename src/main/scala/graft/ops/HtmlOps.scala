@@ -891,6 +891,101 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // --------------------------------------------------- sitemap scan
+  /** XML sitemap generator for [[sitemapScan]] — per host, `<url>`
+    * entries with loc (every 3rd id carries an `&amp;`-escaped query,
+    * exercising entity decode), lastmod, priority, and an UNKNOWN
+    * `<changefreq>` child on every 17th id that the reader must skip.
+    * The xmlns points at example.org (the repo's only sanctioned
+    * domain), standing in for the sitemaps.org schema URI — the
+    * parser treats it as the opaque attribute it is either way. */
+  private[graft] def synthSitemap(source: String, ids: Seq[Long]): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<urlset xmlns=\"https://example.org/schemas/sitemap/0.9\">\n")
+    ids.foreach { id =>
+      val query = if (id % 3 == 0) "?a=1&amp;b=2" else ""
+      sb.append("<url>")
+      sb.append(s"<loc>https://$source.example.org/doc/$id$query</loc>")
+      if (id % 17 == 0) sb.append("<changefreq>daily</changefreq>")
+      sb.append(f"<lastmod>2024-01-${1 + id % 28}%02d</lastmod>")
+      sb.append(s"<priority>0.${id % 10}</priority>")
+      sb.append("</url>\n")
+    }
+    sb.append("</urlset>\n")
+    sb.toString
+  }
+
+  /** Minimal total sitemap walk: `<url>` blocks to (loc, lastmod,
+    * priority) with `&amp;/&lt;/&gt;` decode, unknown children
+    * skipped, malformed block ⇒ clean stop keeping prior entries. */
+  private[graft] def parseSitemap(xml: String)
+      : Vector[(String, String, String)] = {
+    def decode(s: String): String =
+      s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    val out = Vector.newBuilder[(String, String, String)]
+    var p = 0
+    var stop = false
+    while (!stop) {
+      val u = xml.indexOf("<url>", p)
+      if (u < 0) stop = true
+      else {
+        val e = xml.indexOf("</url>", u)
+        if (e < 0) stop = true
+        else {
+          val block = xml.substring(u + 5, e)
+          def child(tag: String): String = {
+            val o = block.indexOf(s"<$tag>")
+            val c = block.indexOf(s"</$tag>")
+            if (o >= 0 && c > o) decode(
+              block.substring(o + tag.length + 2, c))
+            else ""
+          }
+          out += ((child("loc"), child("lastmod"), child("priority")))
+          p = e + 6
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Sitemap ingestion — the frontier's OTHER input beside links and
+    * robots.txt (RFC 9309 `Sitemap:` lines point here; large sites
+    * publish their whole URL space this way, and a crawler that only
+    * follows links never sees it). One sitemap per host (source),
+    * round-tripped through the codec pair: entity decode, unknown-tag
+    * skip, lastmod/priority field extraction — the day and priority
+    * sums land under the hash, so a one-character walk slip breaks a
+    * column.
+    *
+    * Scale shape: the container-scan shape — bounded per-host groups,
+    * map-side synth+walk, host-sized rollup. */
+  def sitemapScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .as[(String, Seq[Long])]
+      .mapPartitions(_.map { case (source, ids) =>
+        val entries = parseSitemap(synthSitemap(source, ids))
+        (source, entries.size.toLong,
+          entries.count(_._1.contains("&")).toLong,
+          entries.map(_._2.takeRight(2).toLong).sum,
+          entries.map(e => e._3.stripPrefix("0.").toLong).sum)
+      })
+      .toDF("source", "n_urls", "n_amp_locs", "sum_day", "sum_pri_e1")
+      .orderBy(col("source"))
+  }
+
+  private val sitemapScanOracle =
+    """SELECT source, COUNT(*) AS n_urls,
+      |       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_amp_locs,
+      |       CAST(SUM(1 + doc_id % 28) AS BIGINT) AS sum_day,
+      |       CAST(SUM(doc_id % 10) AS BIGINT) AS sum_pri_e1
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------
   /** RFC-3986-lite reference resolution for the crawl frontier:
     * fragment stripped (same-document reference, never fetched);
@@ -1517,6 +1612,7 @@ object HtmlOps {
     "q_avro_scan" -> (avroScan _),
     "q_gzip_members" -> (gzipMembers _),
     "q_zstd_scan" -> (zstdScan _),
+    "q_sitemap_scan" -> (sitemapScan _),
     "q_crawl_frontier" -> (crawlFrontier _)
   )
 
@@ -1533,6 +1629,7 @@ object HtmlOps {
     "q_avro_scan" -> avroScanOracle,
     "q_gzip_members" -> gzipMembersOracle,
     "q_zstd_scan" -> zstdScanOracle,
+    "q_sitemap_scan" -> sitemapScanOracle,
     "q_crawl_frontier" -> crawlFrontierOracle
   )
 }

@@ -630,4 +630,24 @@ class HtmlOpsSpec extends SparkSpec {
     val bs = ZstdFiles.parseZstd(bad)
     assert(!bs.clean && bs.frames.size == 1)
   }
+
+  test("sitemap codec: roundtrip, entity decode, unknown-tag skip") {
+    // ids hit the &-query stride (3), the changefreq stride (17), and
+    // both lastmod-day digits
+    val ids = Seq(3L, 17L, 28L, 40L)
+    val xml = HtmlOps.synthSitemap("srcX", ids)
+    val got = HtmlOps.parseSitemap(xml)
+    assert(got.size == 4)
+    assert(got.map(_._1) == Vector(
+      "https://srcX.example.org/doc/3?a=1&b=2", // &amp; decoded
+      "https://srcX.example.org/doc/17",
+      "https://srcX.example.org/doc/28",
+      "https://srcX.example.org/doc/40"))
+    assert(got.map(_._2) == ids.map(i => f"2024-01-${1 + i % 28}%02d"))
+    assert(got.map(_._3) == ids.map(i => s"0.${i % 10}"))
+    // truncation mid-entry: clean stop keeping complete entries
+    val cut = xml.substring(0, xml.indexOf("</url>", xml.indexOf("<url>",
+      xml.indexOf("</url>") + 1)) + 3)
+    assert(HtmlOps.parseSitemap(cut).size == 1)
+  }
 }
