@@ -2238,6 +2238,48 @@ object CurationOps {
        |       t_x2 = best_t AS is_best
        |FROM sb2 ORDER BY temperature""".stripMargin
 
+  // --------------------------------------------- uncertainty sampling
+  /** Margin-based uncertainty sampling (Lewis & Gale '94 lineage —
+    * the active-learning step that decides WHAT TO LABEL NEXT): per
+    * held-out doc, the margin between the top two class posteriors;
+    * the 20 smallest-margin docs are the labeling batch. Closes the
+    * annotation loop the way [[labelNoise]] closes the audit loop —
+    * same factored posteriors ([[nbSoftmaxFrame]]'s exact e6
+    * lattice), so margins are integer-exact and the batch boundary
+    * can't flip on float noise.
+    *
+    * Scale shape: inherits nbClassScores; the top-2 extraction is a
+    * 5-row-per-doc conditional aggregate, and the final take is a
+    * bounded TakeOrdered — nothing new shuffles. */
+  def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    nbSoftmaxFrame(heldOut, model, counts)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(when(col("rn") === 1, col("cls"))).as("pred"),
+        sum(when(col("rn") === 1, col("q_e6"))).cast("long").as("conf_e6"),
+        sum(when(col("rn") === 2, col("q_e6"))).cast("long").as("second_e6"))
+      .withColumn("margin_e6", col("conf_e6") - col("second_e6"))
+      .select(col("doc_id"), col("lang"), col("pred"), col("conf_e6"),
+        col("margin_e6"))
+      .orderBy(col("margin_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val uncertaintySampleOracle =
+    s"""WITH $nbSoftmaxSqlCommon,
+       |docs AS (SELECT doc_id, lang,
+       |           MAX(CASE WHEN rn = 1 THEN cls END) AS pred,
+       |           CAST(SUM(CASE WHEN rn = 1 THEN q_e6 END) AS BIGINT)
+       |             AS conf_e6,
+       |           CAST(SUM(CASE WHEN rn = 2 THEN q_e6 END) AS BIGINT)
+       |             AS second_e6
+       |         FROM pq GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, pred, conf_e6,
+       |       conf_e6 - second_e6 AS margin_e6
+       |FROM docs ORDER BY margin_e6, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------ label-noise audit
   /** Confident-learning label-noise estimation (Northcutt et al.
     * JAIR'21, the cleanlab construction) over the held-out split —
@@ -2906,6 +2948,7 @@ object CurationOps {
     "q_mcnemar" -> (mcnemar _),
     "q_label_noise" -> (labelNoise _),
     "q_temp_scaling" -> (tempScaling _),
+    "q_uncertainty_sample" -> (uncertaintySample _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -2943,6 +2986,7 @@ object CurationOps {
     "q_mcnemar" -> mcnemarOracle,
     "q_label_noise" -> labelNoiseOracle,
     "q_temp_scaling" -> tempScalingOracle,
+    "q_uncertainty_sample" -> uncertaintySampleOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,
