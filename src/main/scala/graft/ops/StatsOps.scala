@@ -1842,12 +1842,15 @@ object StatsOps {
       .orderBy(col("t"))
   }
 
-  private val holtWintersOracle = {
+  /** The HW walk as shared oracle CTEs (through `walk`; `daily`
+    * exposes the micro-cent series) — factored so the forecast
+    * bake-off ([[forecastEval]]) replays the SAME recurrence. */
+  private val hwWalkSql = {
     val m = HwSeason
     // the step's new level, inlined wherever the recurrence needs it
     // (recursive CTEs can't name intermediates)
     val l1 = s"(w.xs[w.i + 1] - w.s[1] + 3 * (w.l + w.b)) // 4"
-    s"""WITH RECURSIVE daily AS (
+    s"""daily AS (
        |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) * 1000000
        |              AS BIGINT) AS xq
@@ -1877,12 +1880,63 @@ object StatsOps {
        |         w.s[2:] || [CAST(((w.xs[w.i + 1] - $l1) + 3 * w.s[1]) // 4
        |                          AS BIGINT)],
        |         w.err + abs(w.xs[w.i + 1] - (w.l + w.b + w.s[1]))
-       |  FROM walk w WHERE w.i < w.n)
+       |  FROM walk w WHERE w.i < w.n)""".stripMargin
+  }
+
+  private val holtWintersOracle =
+    s"""WITH RECURSIVE $hwWalkSql
        |SELECT t, n AS n_days, l AS level_uc, b AS trend_uc,
        |       CAST(l + b + s[1] AS BIGINT) AS forecast_uc,
-       |       CAST(err // (n - $m) AS BIGINT) AS mae_uc
+       |       CAST(err // (n - $HwSeason) AS BIGINT) AS mae_uc
        |FROM walk WHERE i = n ORDER BY t""".stripMargin
+
+  // ------------------------------------------------ forecast bake-off
+  /** MASE forecast evaluation (Hyndman & Koehler '06 — the
+    * scale-free forecast scorecard): the trained model's MAE over the
+    * seasonal-naive baseline's, per event type. Pure COMPOSITION of
+    * the two shipped forecasters — [[holtWinters]]' exact-integer
+    * recurrence MAE and [[seasonalNaive]]'s lag-7 MAE — so the
+    * bake-off can never drift from what the queries actually ship
+    * (the McNemar discipline, applied to forecasting). MASE < 1 ⇒
+    * the model earns its keep; both MAEs are exact integers and the
+    * micro-cent/cent unit difference cancels into an exact e6 ratio.
+    * Each model scores its own published in-sample window (naive
+    * skips week one, HW skips the two-season warm-up) — stated, not
+    * hidden.
+    *
+    * Scale shape: both inputs collapse the event scan to (type × day)
+    * frames; everything here joins type-sized scorecards. */
+  def forecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val naive = seasonalNaive(spark, sfDir)
+      .select(col("t"), col("mae_c").as("naive_mae_c"))
+    val hw = holtWinters(spark, sfDir)
+      .select(col("t"), col("n_days"), col("mae_uc").as("hw_mae_uc"))
+    hw.join(naive, Seq("t"))
+      .select(col("t"), col("n_days"), col("naive_mae_c"),
+        col("hw_mae_uc"),
+        when(col("naive_mae_c") === 0L, lit(null).cast("long"))
+          .otherwise(expr("hw_mae_uc DIV naive_mae_c")).as("mase_e6"),
+        (col("hw_mae_uc") < col("naive_mae_c") * 1000000L).as("hw_wins"))
+      .orderBy(col("t"))
   }
+
+  private val forecastEvalOracle =
+    s"""WITH RECURSIVE $hwWalkSql,
+       |hw AS (SELECT t, n AS n_days,
+       |         CAST(err // (n - $HwSeason) AS BIGINT) AS hw_mae_uc
+       |       FROM walk WHERE i = n),
+       |dc AS (SELECT t, day, CAST(xq // 1000000 AS BIGINT) AS c
+       |       FROM daily),
+       |nv AS (SELECT a.t,
+       |         CAST(SUM(ABS(a.c - f.c)) AS BIGINT) // COUNT(*)
+       |           AS naive_mae_c
+       |       FROM dc a JOIN dc f ON f.t = a.t AND f.day = a.day - 7
+       |       GROUP BY a.t)
+       |SELECT hw.t, hw.n_days, nv.naive_mae_c, hw.hw_mae_uc,
+       |       CASE WHEN nv.naive_mae_c = 0 THEN NULL
+       |            ELSE hw.hw_mae_uc // nv.naive_mae_c END AS mase_e6,
+       |       hw.hw_mae_uc < nv.naive_mae_c * 1000000 AS hw_wins
+       |FROM hw JOIN nv ON nv.t = hw.t ORDER BY hw.t""".stripMargin
 
   // ---------------------------------------------------- WoE / IV
   /** Weight-of-evidence + information value feature screening (the
@@ -2118,6 +2172,7 @@ object StatsOps {
     "q_woe_iv" -> (woeIv _),
     "q_krippendorff" -> (krippendorff _),
     "q_holt_winters" -> (holtWinters _),
+    "q_forecast_eval" -> (forecastEval _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2152,6 +2207,7 @@ object StatsOps {
     "q_woe_iv" -> woeIvOracle,
     "q_krippendorff" -> krippendorffOracle,
     "q_holt_winters" -> holtWintersOracle,
+    "q_forecast_eval" -> forecastEvalOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
