@@ -2238,6 +2238,90 @@ object CurationOps {
        |       t_x2 = best_t AS is_best
        |FROM sb2 ORDER BY temperature""".stripMargin
 
+  // ------------------------------------------------ conformal sets
+  /** Split-conformal prediction sets (Vovk's framework; Angelopoulos
+    * & Bates '21 recipe) — the distribution-free coverage guarantee a
+    * serving layer can actually promise: on a calibration split,
+    * nonconformity = 1 − p(true class); q̂ = the ⌈(n+1)(1−α)⌉-th
+    * smallest score; on the test split, each doc's prediction SET is
+    * every class with 1 − p(cls) ≤ q̂, which covers the true class
+    * with probability ≥ 1−α regardless of how wrong the model is.
+    * Reports q̂, mean set size (the efficiency), and the empirical
+    * coverage. α = 0.1; cal/test are the two halves of the held-out
+    * split (doc_id mod 10 ∈ {4, 9}).
+    *
+    * Everything is exact on [[nbSoftmaxFrame]]'s e6 lattice: scores
+    * are integers, the quantile is an integer-rank SELECTION (not an
+    * interpolated float), set membership is an integer compare. The
+    * calibration ranking is a global window over the CAL SPLIT ONLY —
+    * a bounded labeled-data frame (labels are the expensive thing;
+    * this is dimension-sized by construction).
+    *
+    * Scale shape: inherits nbClassScores; q̂ is a 1-row A6 broadcast
+    * into the test scan; one test-doc aggregate + a 1-row scoreboard. */
+  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val per = nbSoftmaxFrame(heldOut, model, counts)
+    val cal = per.filter(col("doc_id") % 10 === 4 &&
+        col("cls") === col("lang"))
+      .select(col("doc_id"), (lit(1000000L) - col("q_e6")).as("s"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = cal
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("s"), col("doc_id"))))
+      .crossJoin(broadcast(nCal))
+      // k = ⌈0.9·(n+1)⌉ as exact integer arithmetic
+      .filter(col("r") ===
+        expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)"))
+      .select(col("s").as("qhat_e6"), col("n_cal"))
+    val test = per.filter(col("doc_id") % 10 === 9)
+      .crossJoin(broadcast(qhat))
+      .withColumn("inset",
+        lit(1000000L) - col("q_e6") <= col("qhat_e6"))
+      .groupBy(col("doc_id"), col("lang"), col("qhat_e6"), col("n_cal"))
+      .agg(sum(when(col("inset"), 1L).otherwise(0L)).as("set_size"),
+        max(when(col("cls") === col("lang") && col("inset"), 1L)
+          .otherwise(0L)).as("covered"))
+    test.groupBy(col("n_cal"), col("qhat_e6"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("set_size")).cast("long").as("sum_set_size"),
+        sum(col("covered")).cast("long").as("n_covered"))
+      .select(col("n_cal"), col("qhat_e6"), col("n_test"),
+        col("sum_set_size"),
+        halfUpL(col("sum_set_size") * 1000000L, col("n_test"))
+          .as("avg_set_e6"),
+        col("n_covered"),
+        halfUpL(col("n_covered") * 1000000L, col("n_test"))
+          .as("coverage_e6"))
+  }
+
+  private val conformalOracle =
+    s"""WITH $nbSoftmaxSqlCommon,
+       |cal AS (SELECT doc_id, 1000000 - q_e6 AS s FROM pq
+       |        WHERE doc_id % 10 = 4 AND cls = lang),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+       |qh AS (SELECT s AS qhat_e6, n_cal FROM
+       |         (SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS r
+       |          FROM cal) CROSS JOIN nc
+       |       WHERE r = (9 * (n_cal + 1) + 9) // 10),
+       |t AS (SELECT doc_id, lang, qhat_e6, n_cal,
+       |        CAST(SUM(CASE WHEN 1000000 - q_e6 <= qhat_e6
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS set_size,
+       |        CAST(MAX(CASE WHEN cls = lang AND 1000000 - q_e6 <= qhat_e6
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS covered
+       |      FROM pq CROSS JOIN qh WHERE doc_id % 10 = 9
+       |      GROUP BY doc_id, lang, qhat_e6, n_cal)
+       |SELECT n_cal, qhat_e6, COUNT(*) AS n_test,
+       |       CAST(SUM(set_size) AS BIGINT) AS sum_set_size,
+       |       CAST((2*SUM(set_size)*1000000 + COUNT(*))
+       |            // (2*COUNT(*)) AS BIGINT) AS avg_set_e6,
+       |       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       |       CAST((2*SUM(covered)*1000000 + COUNT(*))
+       |            // (2*COUNT(*)) AS BIGINT) AS coverage_e6
+       |FROM t GROUP BY n_cal, qhat_e6""".stripMargin
+
   // --------------------------------------------- uncertainty sampling
   /** Margin-based uncertainty sampling (Lewis & Gale '94 lineage —
     * the active-learning step that decides WHAT TO LABEL NEXT): per
@@ -2949,6 +3033,7 @@ object CurationOps {
     "q_label_noise" -> (labelNoise _),
     "q_temp_scaling" -> (tempScaling _),
     "q_uncertainty_sample" -> (uncertaintySample _),
+    "q_conformal" -> (conformal _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -2987,6 +3072,7 @@ object CurationOps {
     "q_label_noise" -> labelNoiseOracle,
     "q_temp_scaling" -> tempScalingOracle,
     "q_uncertainty_sample" -> uncertaintySampleOracle,
+    "q_conformal" -> conformalOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,

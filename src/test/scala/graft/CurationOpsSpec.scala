@@ -1022,4 +1022,25 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getLong(3) == want)
     }
   }
+
+  test("conformal: quantile is a cal score, sets and coverage coherent") {
+    val r = CurationOps.conformal(spark, sfTiny).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nCal, qhat, nTest) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nCal > 0 && nTest > 0)
+    assert(qhat >= 0L && qhat <= 1000000L)
+    // sets draw from 5 classes; a doc covers at most once
+    assert(row.getLong(3) <= 5 * nTest && row.getLong(3) >= nTest * 0)
+    assert(row.getLong(5) <= nTest)
+    // the guarantee direction on a small sample: coverage within a
+    // generous binomial band of the 90% target (hard failure only on
+    // gross miscomputation, not sampling noise)
+    val cov = row.getLong(6).toDouble / 1e6
+    assert(cov > 0.6 && cov <= 1.0, s"coverage $cov implausible")
+    // a larger q-hat can only grow sets: every class is in the set
+    // when qhat = 1e6, so avg set size must not exceed the class count
+    assert(row.getLong(4) <= 5000000L)
+  }
 }
