@@ -882,6 +882,64 @@ object MultimodalOps {
        |FROM range(${graft.sources.AudioFiles.NClips}) t(id)
        |ORDER BY clip_id""".stripMargin
 
+  /** TIFF/EXIF IFD walk ([[graft.sources.TiffFiles]]) — the metadata
+    * read every image pipeline does BEFORE pixels (EXIF Orientation
+    * decides whether resize rotates; Width/Length gate the aspect
+    * buckets), and the one format where BOTH byte orders ship. Byte
+    * order alternates per image, the Height SHORT rides the value
+    * field left-justified in FILE order (the classic truncation bug,
+    * under the hash via sum_height), the Make string lives at an
+    * out-of-line offset, and every 17th image's Orientation carries a
+    * wrong TYPE the reader must flag, not crash on — so its
+    * orientation is EXCLUDED from orient_sum, which the oracle
+    * mirrors.
+    *
+    * Scale shape: one synth+walk per doc, map-side; source-sized
+    * rollup. */
+  def exifMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TiffFiles
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"))
+      .as[(String, Long)]
+      .mapPartitions(_.map { case (source, id) =>
+        val m = TiffFiles.parseTiff(TiffFiles.synthTiff(id))
+        (source, if (m.bigEndian) 1L else 0L, m.width, m.height,
+          if (m.orientation > 0) m.orientation else 0L, m.nBadType,
+          m.make.stripPrefix("graftcam-").toLong, if (m.ok) 1L else 0L)
+      })
+      .toDF("source", "be", "width", "height", "orient", "badtype",
+        "make_digit", "ok")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("be")).cast("long").as("n_be"),
+        sum(col("width")).cast("long").as("sum_width"),
+        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("orient")).cast("long").as("orient_sum"),
+        sum(col("badtype")).cast("long").as("n_badtype"),
+        sum(col("make_digit")).cast("long").as("make_sum"),
+        sum(col("ok")).cast("long").as("n_ok"))
+      .orderBy(col("source"))
+  }
+
+  /** Formula census: width = 320+(13·id)%480, height = 240+(7·id)%360,
+    * orientation = 1+id%8 (excluded on the 17-stride wrong-type
+    * channel), make digit = id%5, big-endian on odd ids. */
+  private val exifMetaOracle =
+    """SELECT source, COUNT(*) AS n_images,
+      |       CAST(SUM(doc_id % 2) AS BIGINT) AS n_be,
+      |       CAST(SUM(320 + (doc_id * 13) % 480) AS BIGINT) AS sum_width,
+      |       CAST(SUM(240 + (doc_id * 7) % 360) AS BIGINT) AS sum_height,
+      |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 0
+      |                     ELSE 1 + doc_id % 8 END) AS BIGINT)
+      |         AS orient_sum,
+      |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_badtype,
+      |       CAST(SUM(doc_id % 5) AS BIGINT) AS make_sum,
+      |       COUNT(*) AS n_ok
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def audioMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.sources.AudioFiles.clipsDir(spark, sfDir)
@@ -1405,6 +1463,7 @@ object MultimodalOps {
     "q_video_meta" -> (videoMeta _),
     "q_audio_meta" -> (audioMeta _),
     "q_vad_segments" -> (vadSegments _),
+    "q_exif_meta" -> (exifMeta _),
     "q_image_meta" -> (imageMeta _),
     "q_phash_neardup" -> (phashNearDup _),
     "q_pair_curation" -> (pairCuration _),
@@ -1422,6 +1481,7 @@ object MultimodalOps {
     "q_video_meta" -> videoMetaOracle,
     "q_audio_meta" -> audioMetaOracle,
     "q_vad_segments" -> vadSegmentsOracle,
+    "q_exif_meta" -> exifMetaOracle,
     "q_image_meta" -> imageMetaOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_pair_curation" -> pairCurationOracle,

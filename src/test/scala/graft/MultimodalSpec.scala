@@ -404,4 +404,31 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(3) == c, s"clip $cid segments")
     }
   }
+
+  test("tiff codec: both byte orders, packed SHORT, offset ASCII, type triage") {
+    import graft.sources.TiffFiles._
+    // id 2 = little-endian clean; id 3 = big-endian clean (the packed
+    // SHORT sits in the HIGH bytes — a u32-and-truncate reader gets
+    // 0); id 17 = the wrong-type orientation channel
+    Seq(2L, 3L, 17L).foreach { id =>
+      val m = parseTiff(synthTiff(id))
+      assert(m.ok && m.bigEndian == (id % 2 == 1), s"id $id order")
+      assert(m.width == widthOf(id) && m.height == heightOf(id),
+        s"id $id dims ${m.width}x${m.height}")
+      assert(m.make == makeOf(id), s"id $id make '${m.make}'")
+      if (id % 17 == 0)
+        assert(m.orientation == -1 && m.nBadType == 1, s"id $id triage")
+      else
+        assert(m.orientation == orientOf(id) && m.nBadType == 0)
+    }
+    // a truncated header or wrong order mark refuses the file
+    assert(!parseTiff(Array[Byte]('I', 'I', 42, 0)).ok)
+    val junk = synthTiff(2L).clone()
+    junk(0) = 'X'
+    assert(!parseTiff(junk).ok)
+    // prefix totality
+    val full = synthTiff(4L)
+    (0 to full.length).foreach(n =>
+      parseTiff(java.util.Arrays.copyOf(full, n)))
+  }
 }
