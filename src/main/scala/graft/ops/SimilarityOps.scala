@@ -126,6 +126,123 @@ object SimilarityOps {
     * lesson), per-side windows partition by the side's id (parallel,
     * never global), and the mutual filter is two keyed equi-joins.
     */
+  // ------------------------------------------------------------ MMD
+  /** Maximum mean discrepancy between two embedding populations
+    * (Gretton et al. JMLR'12) — the distribution-shift test at the
+    * EMBEDDING level ([[graft.ops.CatalogOps]]'s PSI works on scalar
+    * histograms; production drift lives in vector space). Kernel =
+    * quadratic polynomial (1 + ⟨x,y⟩)², chosen because it FACTORS:
+    * Σ_{x,y} k(x,y) = nₐn_b + 2⟨M1ₐ, M1_b⟩ + ⟨M2ₐ, M2_b⟩ over the
+    * per-side first/second moment tensors — so the textbook O(n²)
+    * pair sum becomes two single-pass moment aggregations (the
+    * [[pcaPower]] scatter shape) joined on 64/4096-cell frames.
+    * That's the whole 100 TB story: no pairwise join EXISTS in the
+    * plan, at any scale. Biased V-statistic (diagonal included),
+    * stated.
+    *
+    * Exactness: components quantize ONCE to the e2 lattice, so every
+    * moment cell and every pair-sum term is an exact integer (summed
+    * in DECIMAL(38) against the e8 kernel lattice = DuckDB HUGEINT);
+    * the only floats are the three final mean divisions, rounded at
+    * 6 dp. Sides: even/odd vec_id, the [[bitextMine]] convention. */
+  def mmdDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100.0, 0).cast("long")).as("xq"))
+
+    def moments(side: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val n = side.agg(count(lit(1)).as("n"))
+      val m1 = side.select(posexplode(col("xq")))
+        .select((col("pos") + 1).as("k"), col("col").as("x"))
+        .groupBy(col("k")).agg(sum(col("x")).as("m1"))
+      val m2 = side.select(col("xq"), posexplode(col("xq")))
+        .select(col("xq"), (col("pos") + 1).as("k"), col("col").as("xk"))
+        .select(col("k"), col("xk"), posexplode(col("xq")))
+        .select(col("k"), col("xk"), (col("pos") + 1).as("l"),
+          col("col").as("xl"))
+        .groupBy(col("k"), col("l"))
+        .agg(sum(col("xk") * col("xl")).as("m2"))
+      (n, m1, m2)
+    }
+    val (nx, m1x, m2x) = moments(e.filter(col("vec_id") % 2 === 0))
+    val (ny, m1y, m2y) = moments(e.filter(col("vec_id") % 2 === 1))
+
+    // S_AB = nA·nB·1e8 + 2e4·⟨M1A,M1B⟩ + ⟨M2A,M2B⟩ (e8 kernel lattice)
+    def pairSum(nA: DataFrame, m1A: DataFrame, m2A: DataFrame,
+        nB: DataFrame, m1B: DataFrame, m2B: DataFrame,
+        name: String): DataFrame = {
+      val dot1 = m1A.join(broadcast(m1B
+        .select(col("k"), col("m1").as("m1b"))), Seq("k"))
+        .agg(sum(col("m1").cast("decimal(38,0)") * col("m1b")).as("d1"))
+      val dot2 = m2A.join(broadcast(m2B
+        .select(col("k"), col("l"), col("m2").as("m2b"))), Seq("k", "l"))
+        .agg(sum(col("m2").cast("decimal(38,0)") * col("m2b")).as("d2"))
+      nA.select(col("n").as("na")).crossJoin(nB.select(col("n").as("nb")))
+        .crossJoin(broadcast(dot1)).crossJoin(broadcast(dot2))
+        .select((col("na").cast("decimal(38,0)") * col("nb") * 100000000L
+          + col("d1") * 20000L + col("d2")).as(name),
+          col("na"), col("nb"))
+    }
+    val sxx = pairSum(nx, m1x, m2x, nx, m1x, m2x, "sxx")
+      .select(col("sxx"), col("na").as("n_x"))
+    val syy = pairSum(ny, m1y, m2y, ny, m1y, m2y, "syy")
+      .select(col("syy"), col("na").as("n_y"))
+    val sxy = pairSum(nx, m1x, m2x, ny, m1y, m2y, "sxy").select(col("sxy"))
+    sxx.crossJoin(syy).crossJoin(sxy)
+      .select(col("n_x"), col("n_y"),
+        round(col("sxx").cast("double") /
+          (col("n_x") * col("n_x")) / 1e8, 6).as("kxx_mean"),
+        round(col("syy").cast("double") /
+          (col("n_y") * col("n_y")) / 1e8, 6).as("kyy_mean"),
+        round(col("sxy").cast("double") /
+          (col("n_x") * col("n_y")) / 1e8, 6).as("kxy_mean"),
+        round((col("sxx").cast("double") / (col("n_x") * col("n_x"))
+          + col("syy").cast("double") / (col("n_y") * col("n_y"))
+          - lit(2.0) * col("sxy").cast("double") /
+            (col("n_x") * col("n_y"))) / 1e8, 6).as("mmd2"))
+  }
+
+  private val mmdDriftOracle =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               v -> CAST(ROUND(v * 100) AS BIGINT)) AS xq
+      |           FROM embeddings),
+      |ex AS (SELECT vec_id, vec_id % 2 AS side, CAST(k AS INTEGER) AS k,
+      |              xq[CAST(k AS INTEGER)] AS x
+      |       FROM e, range(1, 65) t(k)),
+      |n AS (SELECT vec_id % 2 AS side, COUNT(*) AS n FROM e GROUP BY 1),
+      |m1 AS (SELECT side, k, CAST(SUM(x) AS BIGINT) AS m1
+      |       FROM ex GROUP BY 1, 2),
+      |m2 AS (SELECT a.side, a.k, b.k AS l,
+      |              CAST(SUM(a.x * b.x) AS BIGINT) AS m2
+      |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      |       GROUP BY 1, 2, 3),
+      |d1 AS (SELECT a.side AS sa, b.side AS sb, SUM(a.m1 * b.m1) AS d1
+      |       FROM m1 a JOIN m1 b ON a.k = b.k GROUP BY 1, 2),
+      |d2 AS (SELECT a.side AS sa, b.side AS sb, SUM(a.m2 * b.m2) AS d2
+      |       FROM m2 a JOIN m2 b ON a.k = b.k AND a.l = b.l GROUP BY 1, 2),
+      |s AS (SELECT d1.sa, d1.sb,
+      |        CAST(na.n AS HUGEINT) * nb.n * 100000000
+      |          + d1.d1 * 20000 + d2.d2 AS sab
+      |      FROM d1 JOIN d2 ON d2.sa = d1.sa AND d2.sb = d1.sb
+      |      JOIN n na ON na.side = d1.sa JOIN n nb ON nb.side = d1.sb)
+      |SELECT nx.n AS n_x, ny.n AS n_y,
+      |       ROUND(CAST(sxx.sab AS DOUBLE) / (nx.n * nx.n) / 1e8, 6)
+      |         AS kxx_mean,
+      |       ROUND(CAST(syy.sab AS DOUBLE) / (ny.n * ny.n) / 1e8, 6)
+      |         AS kyy_mean,
+      |       ROUND(CAST(sxy.sab AS DOUBLE) / (nx.n * ny.n) / 1e8, 6)
+      |         AS kxy_mean,
+      |       ROUND((CAST(sxx.sab AS DOUBLE) / (nx.n * nx.n)
+      |              + CAST(syy.sab AS DOUBLE) / (ny.n * ny.n)
+      |              - 2.0 * CAST(sxy.sab AS DOUBLE) / (nx.n * ny.n))
+      |             / 1e8, 6) AS mmd2
+      |FROM (SELECT sab FROM s WHERE sa = 0 AND sb = 0) sxx,
+      |     (SELECT sab FROM s WHERE sa = 1 AND sb = 1) syy,
+      |     (SELECT sab FROM s WHERE sa = 0 AND sb = 1) sxy,
+      |     (SELECT n FROM n WHERE side = 0) nx,
+      |     (SELECT n FROM n WHERE side = 1) ny""".stripMargin
+
   // -------------------------------------------------------- hubness
   /** k-occurrence hubness audit (Radovanović et al. JMLR'10) — the
     * intrinsic-dimensionality pathology every embedding-retrieval
@@ -1798,6 +1915,7 @@ object SimilarityOps {
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_bitext_mine" -> (bitextMine _),
     "q_hubness" -> (hubness _),
+    "q_mmd_drift" -> (mmdDrift _),
     "q_maxsim" -> (maxSim _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
@@ -1821,6 +1939,7 @@ object SimilarityOps {
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_bitext_mine" -> bitextMineOracle,
     "q_hubness" -> hubnessOracle,
+    "q_mmd_drift" -> mmdDriftOracle,
     "q_maxsim" -> maxSimOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,

@@ -577,4 +577,37 @@ class SimilaritySpec extends SparkSpec {
     // skew sign must match the third central moment's sign
     assert((row.getDouble(7) >= 0) == (row.getLong(6) >= 0))
   }
+
+  test("mmd: moment factorization equals the brute-force pair sum") {
+    val vecs = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.round(v * 100.0).toLong).toArray))
+    val xs = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val ys = vecs.filter(_._1 % 2 == 1).map(_._2)
+    def k(a: Array[Long], b: Array[Long]): BigInt = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val t = BigInt(10000) + BigInt(dot)
+      t * t
+    }
+    def pairMean(as: Array[Array[Long]], bs: Array[Array[Long]]): Double = {
+      var s = BigInt(0)
+      as.foreach(a => bs.foreach(b => s += k(a, b)))
+      (BigDecimal(s) / (BigDecimal(as.length) * bs.length) /
+        BigDecimal(1e8)).toDouble
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SimilarityOps.mmdDrift(spark, sfTiny).collect().head
+    assert(row.getLong(0) == xs.length && row.getLong(1) == ys.length)
+    val (kxx, kyy, kxy) =
+      (pairMean(xs, xs), pairMean(ys, ys), pairMean(xs, ys))
+    assert(math.abs(row.getDouble(2) - r6(kxx)) <= 1e-6, "kxx")
+    assert(math.abs(row.getDouble(3) - r6(kyy)) <= 1e-6, "kyy")
+    assert(math.abs(row.getDouble(4) - r6(kxy)) <= 1e-6, "kxy")
+    assert(math.abs(row.getDouble(5) - r6(kxx + kyy - 2 * kxy)) <= 2e-6,
+      "mmd2")
+    // MMD² is a squared RKHS distance: never negative (V-statistic)
+    assert(row.getDouble(5) >= -1e-12)
+  }
 }
