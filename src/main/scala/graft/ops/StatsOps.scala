@@ -1037,6 +1037,87 @@ object StatsOps {
       |         // CAST(SUM(c) AS BIGINT) AS wape_e6
       |FROM j GROUP BY t ORDER BY t""".stripMargin
 
+  // ------------------------------------------- 1-D Wasserstein drift
+  /** Per-source Wasserstein-1 (earth mover's) distance between the
+    * source's document-length distribution and the rest of the
+    * corpus — the drift METRIC beside PSI's binned divergence: W1 is
+    * bin-free, respects the value ordering (a source whose docs grew
+    * by 5 tokens moves a little; PSI can score both as "all mass
+    * changed"), and in 1-D it is EXACT: W1 = ∫|F_A − F_B| dv = Σ over
+    * the merged value lattice of gap·|F_A − F_B|. With rational CDFs
+    * over the common denominator n_A·n_B the integrand is
+    * |c_A·n_B − c_B·n_A| — exact integers end to end; one half-up e6
+    * division renders the distance in tokens.
+    *
+    * Scale shape: the corpus collapses to (source × length) counts in
+    * one pass; the axis frame is (sources × distinct lengths) —
+    * dimension-sized — with per-source cumsum windows (parallel by
+    * source, never global). */
+  def wasserstein(spark: SparkSession, sfDir: String): DataFrame = {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+    val bySrc = lens.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val glob = lens.groupBy(col("len")).agg(count(lit(1)).as("cg"))
+    val nSrc = lens.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nAll = lens.agg(count(lit(1)).as("nt"))
+    // full axis: every source × every distinct length in the corpus
+    val axis = nSrc.crossJoin(broadcast(glob))
+      .join(bySrc, Seq("source", "len"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nAll))
+      .withColumn("cr", col("cg") - col("c")) // rest-of-corpus count
+      .withColumn("nr", col("nt") - col("ns"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    axis
+      .withColumn("fs", sum(col("c")).over(w))
+      .withColumn("fr", sum(col("cr")).over(w))
+      .withColumn("gap", lead(col("len"), 1).over(w) - col("len"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("source"), col("ns"), col("nr"))
+      .agg(sum(col("gap") * abs(col("fs") * col("nr")
+        - col("fr") * col("ns"))).cast("long").as("num"))
+      .select(col("source"), col("ns").as("n_docs"),
+        halfUp(col("num") * 1000000L, col("ns") * col("nr"))
+          .as("w1_tokens_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val wassersteinOracle =
+    """WITH l AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |           FROM documents),
+      |bs AS (SELECT source, len, COUNT(*) AS c FROM l GROUP BY 1, 2),
+      |g AS (SELECT len, COUNT(*) AS cg FROM l GROUP BY 1),
+      |ns AS (SELECT source, COUNT(*) AS nsz FROM l GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS ntot FROM l),
+      |axis AS (
+      |  SELECT ns.source, g.len, ns.nsz, COALESCE(bs.c, 0) AS c,
+      |         g.cg - COALESCE(bs.c, 0) AS cr, nt.ntot - ns.nsz AS nr
+      |  FROM ns CROSS JOIN g
+      |  LEFT JOIN bs ON bs.source = ns.source AND bs.len = g.len
+      |  CROSS JOIN nt),
+      |cum AS (
+      |  SELECT source, nsz, nr,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY len) AS fs,
+      |         SUM(cr) OVER (PARTITION BY source ORDER BY len) AS fr,
+      |         LEAD(len) OVER (PARTITION BY source ORDER BY len) - len
+      |           AS gap
+      |  FROM axis)
+      |SELECT source, CAST(nsz AS BIGINT) AS n_docs,
+      |       CAST((2*CAST(SUM(gap * ABS(fs * nr - fr * nsz)) AS BIGINT)
+      |               *1000000 + nsz*nr)
+      |            - (2*CAST(SUM(gap * ABS(fs * nr - fr * nsz)) AS BIGINT)
+      |               *1000000 + nsz*nr) % (2*nsz*nr)
+      |            AS BIGINT) // (2*nsz*nr) AS w1_tokens_e6
+      |FROM cum WHERE gap IS NOT NULL
+      |GROUP BY source, nsz, nr ORDER BY source""".stripMargin
+
   // ------------------------------------------------- symbolic motifs
   /** SAX-style symbolic motif mining over the event stream — the
     * time-series indexing trick (Lin/Keogh's Symbolic Aggregate
@@ -2173,6 +2254,7 @@ object StatsOps {
     "q_krippendorff" -> (krippendorff _),
     "q_holt_winters" -> (holtWinters _),
     "q_forecast_eval" -> (forecastEval _),
+    "q_wasserstein" -> (wasserstein _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2208,6 +2290,7 @@ object StatsOps {
     "q_krippendorff" -> krippendorffOracle,
     "q_holt_winters" -> holtWintersOracle,
     "q_forecast_eval" -> forecastEvalOracle,
+    "q_wasserstein" -> wassersteinOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,

@@ -527,4 +527,35 @@ class StatsOpsSpec extends SparkSpec {
     // must sit near chance level, well inside [-1, 1]
     assert(r.getDouble(4) > -1.0 && r.getDouble(4) < 1.0)
   }
+
+  test("wasserstein: exact CDF-integral recompute, mean-gap lower bound") {
+    val lens = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val rows = StatsOps.wasserstein(spark, sfTiny).collect()
+    assert(rows.map(_.getString(0)).toSet == lens.map(_._1).toSet)
+    rows.foreach { row =>
+      val src = row.getString(0)
+      val a = lens.filter(_._1 == src).map(_._2).sorted
+      val b = lens.filter(_._1 != src).map(_._2).sorted
+      // exact rational CDF integral over the merged axis
+      val axis = (a ++ b).distinct.sorted
+      var num = BigInt(0)
+      axis.sliding(2).foreach {
+        case Array(v, v2) =>
+          val fs = a.count(_ <= v).toLong
+          val fr = b.count(_ <= v).toLong
+          num += BigInt(v2 - v) * (fs * b.length - fr * a.length).abs
+        case _ => ()
+      }
+      val den = BigInt(a.length.toLong * b.length)
+      val want = ((num * 2000000 + den) / (den * 2)).toLong
+      assert(row.getLong(2) == want, s"$src: ${row.getLong(2)} != $want")
+      // W1 dominates the mean gap in 1-D
+      val meanGap = math.abs(a.sum.toDouble / a.length -
+        b.sum.toDouble / b.length)
+      assert(row.getLong(2) >= math.floor(meanGap * 1e6).toLong - 1,
+        s"$src: W1 below the mean gap")
+    }
+  }
 }
