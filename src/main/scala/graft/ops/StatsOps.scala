@@ -1037,6 +1037,96 @@ object StatsOps {
       |         // CAST(SUM(c) AS BIGINT) AS wape_e6
       |FROM j GROUP BY t ORDER BY t""".stripMargin
 
+  // --------------------------------------------------------- CUPED
+  /** CUPED variance reduction (Deng et al. WSDM'13 — the adjustment
+    * every large A/B platform applies before reading an experiment):
+    * with X = each unit's PRE-period metric and Y = the in-experiment
+    * metric, Y_adj = Y − θ(X − X̄) at θ = cov(X,Y)/var(X) keeps the
+    * treatment effect unbiased while shrinking variance by exactly
+    * ρ² = cov²/(var X · var Y). This op computes θ and the reduction
+    * from the orders fact (pre/post 1998 split per customer) — the
+    * number that decides how much traffic an experiment needs.
+    *
+    * Exactness: dollar-lattice sums; central moments as n-scaled
+    * integers in DECIMAL(38) (Sx² passes 2^63 at sf0.1 — the
+    * pcaPower precedent); θ is an exact signed half-up integer
+    * division of decimals (the quotient of an exact multiple is
+    * integral, so the decimal divide is exact); only ρ² leaves the
+    * lattice, as one ROUND(·,6) of a [0,1] double.
+    *
+    * Scale shape: one conditional-sum pass over the orders fact keyed
+    * by customer, then a 1-row moment aggregate — the A/B metric
+    * pipeline's natural shape. */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val per = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("d"),
+        (col("o_orderdate") < cut).as("pre"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("pre"), col("d")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("d")).otherwise(0L)).as("y"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val dec = "decimal(38,0)"
+    val withC = m.select(col("n"), col("sx"), col("sy"),
+      (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+        .as("vx"),
+      (col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy"))
+        .as("vy"),
+      (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+        .as("cov"))
+    // signed half-up θ in e6: floor((2·cov·1e6 + vx) / (2·vx)) — the
+    // numerator is adjusted to an exact multiple, so the decimal
+    // divide is exact and integral
+    val num = col("cov") * lit(2000000L).cast(dec) + col("vx")
+    val den = col("vx") * lit(2L).cast(dec)
+    withC.select(col("n").as("n_units"),
+      col("sx").cast("long").as("sum_pre"),
+      col("sy").cast("long").as("sum_post"),
+      ((num - pmod(num, den)) / den).cast("long").as("theta_e6"),
+      round(col("cov").cast("double") * col("cov").cast("double") /
+        (col("vx").cast("double") * col("vy").cast("double")), 6)
+        .as("var_reduction"))
+  }
+
+  private val cupedOracle =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |                  THEN CAST(round(o_totalprice) AS BIGINT)
+      |                  ELSE 0 END) AS x,
+      |         SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |                  THEN 0
+      |                  ELSE CAST(round(o_totalprice) AS BIGINT) END) AS y
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (SELECT COUNT(*) AS n,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        CAST(SUM(x*x) AS HUGEINT) AS sxx,
+      |        CAST(SUM(y*y) AS HUGEINT) AS syy,
+      |        CAST(SUM(x*y) AS HUGEINT) AS sxy
+      |      FROM per),
+      |c AS (SELECT n, sx, sy,
+      |        n * sxx - sx * sx AS vx,
+      |        n * syy - sy * sy AS vy,
+      |        n * sxy - sx * sy AS cov
+      |      FROM m)
+      |SELECT n AS n_units, CAST(sx AS BIGINT) AS sum_pre,
+      |       CAST(sy AS BIGINT) AS sum_post,
+      |       -- cov can be negative and DuckDB's // truncates toward
+      |       -- zero, so force FLOOR via the positive mod (matches
+      |       -- Spark's (num - pmod)/den exactly)
+      |       CAST(((2 * cov * 1000000 + vx)
+      |             - (((2 * cov * 1000000 + vx) % (2 * vx) + 2 * vx)
+      |                % (2 * vx))) // (2 * vx) AS BIGINT) AS theta_e6,
+      |       ROUND(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+      |             / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+      |         AS var_reduction
+      |FROM c""".stripMargin
+
   // ------------------------------------------- 1-D Wasserstein drift
   /** Per-source Wasserstein-1 (earth mover's) distance between the
     * source's document-length distribution and the rest of the
@@ -2255,6 +2345,7 @@ object StatsOps {
     "q_holt_winters" -> (holtWinters _),
     "q_forecast_eval" -> (forecastEval _),
     "q_wasserstein" -> (wasserstein _),
+    "q_cuped" -> (cuped _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2291,6 +2382,7 @@ object StatsOps {
     "q_holt_winters" -> holtWintersOracle,
     "q_forecast_eval" -> forecastEvalOracle,
     "q_wasserstein" -> wassersteinOracle,
+    "q_cuped" -> cupedOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,

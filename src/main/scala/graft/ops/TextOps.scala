@@ -1141,7 +1141,11 @@ object TextOps {
       |              * 1000000.0) AS BIGINT) AS flesch_e6
       |      FROM d)
       |SELECT source, COUNT(*) AS n_docs,
-      |       CAST((2*SUM(flesch_e6) + COUNT(*)) // (2*COUNT(*))
+      |       -- flesch can be negative; DuckDB // truncates toward
+      |       -- zero, so force FLOOR via the positive mod
+      |       CAST(((2*SUM(flesch_e6) + COUNT(*))
+      |             - (((2*SUM(flesch_e6) + COUNT(*)) % (2*COUNT(*))
+      |                 + 2*COUNT(*)) % (2*COUNT(*)))) // (2*COUNT(*))
       |            AS DOUBLE) / 1000000.0 AS avg_flesch,
       |       CAST(SUM(words) AS BIGINT) AS sum_words,
       |       CAST(SUM(syllables) AS BIGINT) AS sum_syllables,
