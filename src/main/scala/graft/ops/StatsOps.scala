@@ -1037,6 +1037,122 @@ object StatsOps {
       |         // CAST(SUM(c) AS BIGINT) AS wape_e6
       |FROM j GROUP BY t ORDER BY t""".stripMargin
 
+  // ----------------------------------------------------------- DiD
+  /** Difference-in-differences (Card & Krueger lineage — the
+    * workhorse quasi-experimental estimator when you can't randomize:
+    * (treat_post − treat_pre) − (control_post − control_pre) cancels
+    * both the group gap and the common time trend): treatment = odd
+    * user_id, exposure starts Jan 16; the metric is mean event value
+    * in cents. A PLACEBO estimate at a fake Jan 8 cutoff computed
+    * INSIDE the pre-period ships alongside — the standard
+    * parallel-trends smoke test; a placebo rivaling the estimate
+    * means the design, not the treatment, moved the number.
+    *
+    * Exactness: cell sums are exact cent integers; the four cell
+    * means and the DiD land as half-up e4 integer ratios over the
+    * common denominator (n products fit comfortably in HUGEINT /
+    * DECIMAL(38)); one row out.
+    *
+    * Scale shape: ONE conditional-aggregate pass over the event
+    * fact — eight sums, no join, no window; the estimator is plan-
+    * identical to a metrics rollup. */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val pl = lit("2024-01-08").cast("timestamp")
+    val dec = "decimal(38,0)"
+    val cells = Tables.events(spark, sfDir)
+      .select((col("user_id") % 2 === 1).as("treat"),
+        (col("ts") >= cut).as("post"),
+        // placebo experiment runs entirely inside the true pre-period
+        (col("ts") >= pl && col("ts") < cut).as("ppost"),
+        (col("ts") < pl).as("ppre"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    def s(p: Column) = sum(when(p, col("c")).otherwise(0L))
+    def n(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val m = cells.agg(
+      s(col("treat") && col("post")).as("s_tp"),
+      n(col("treat") && col("post")).as("n_tp"),
+      s(col("treat") && !col("post")).as("s_t0"),
+      n(col("treat") && !col("post")).as("n_t0"),
+      s(!col("treat") && col("post")).as("s_cp"),
+      n(!col("treat") && col("post")).as("n_cp"),
+      s(!col("treat") && !col("post")).as("s_c0"),
+      n(!col("treat") && !col("post")).as("n_c0"),
+      s(col("treat") && col("ppost")).as("q_tp"),
+      n(col("treat") && col("ppost")).as("m_tp"),
+      s(col("treat") && col("ppre")).as("q_t0"),
+      n(col("treat") && col("ppre")).as("m_t0"),
+      s(!col("treat") && col("ppost")).as("q_cp"),
+      n(!col("treat") && col("ppost")).as("m_cp"),
+      s(!col("treat") && col("ppre")).as("q_c0"),
+      n(!col("treat") && col("ppre")).as("m_c0"))
+    // did·D = Σ± s·(product of the other three cell counts); signed
+    // half-up e4 over the exact common denominator D (DECIMAL(38))
+    def didE4(stp: String, ntp: String, st0: String, nt0: String,
+        scp: String, ncp: String, sc0: String, nc0: String): Column = {
+      def d(c: String) = col(c).cast(dec)
+      val dd = d(ntp) * d(nt0) * d(ncp) * d(nc0)
+      val numRaw = (d(stp) * d(nt0) * d(ncp) * d(nc0)
+        - d(st0) * d(ntp) * d(ncp) * d(nc0)
+        - d(scp) * d(ntp) * d(nt0) * d(nc0)
+        + d(sc0) * d(ntp) * d(nt0) * d(ncp)) * lit(10000L).cast(dec)
+      val num2 = numRaw * lit(2L).cast(dec) + dd
+      val den2 = dd * lit(2L).cast(dec)
+      ((num2 - pmod(num2, den2)) / den2).cast("long")
+    }
+    m.select(col("n_tp").as("n_treat_post"), col("n_t0").as("n_treat_pre"),
+      col("n_cp").as("n_ctrl_post"), col("n_c0").as("n_ctrl_pre"),
+      didE4("s_tp", "n_tp", "s_t0", "n_t0", "s_cp", "n_cp", "s_c0",
+        "n_c0").as("did_cents_e4"),
+      didE4("q_tp", "m_tp", "q_t0", "m_t0", "q_cp", "m_cp", "q_c0",
+        "m_c0").as("placebo_cents_e4"))
+  }
+
+  private val didOracle = {
+    def cell(sql: String, alias: String) =
+      s"CAST(SUM(CASE WHEN $sql THEN c ELSE 0 END) AS HUGEINT) AS s_$alias,\n" +
+        s"CAST(SUM(CASE WHEN $sql THEN 1 ELSE 0 END) AS HUGEINT) AS n_$alias"
+    def didE4(p: String) = {
+      def s(c: String) = s"s_$p$c"
+      def n(c: String) = s"n_$p$c"
+      val d = s"(${n("tp")} * ${n("t0")} * ${n("cp")} * ${n("c0")})"
+      val den = s"(2 * $d)"
+      val raw = s"(${s("tp")} * ${n("t0")} * ${n("cp")} * ${n("c0")} " +
+        s"- ${s("t0")} * ${n("tp")} * ${n("cp")} * ${n("c0")} " +
+        s"- ${s("cp")} * ${n("tp")} * ${n("t0")} * ${n("c0")} " +
+        s"+ ${s("c0")} * ${n("tp")} * ${n("t0")} * ${n("cp")})"
+      val num2 = s"(2 * $raw * 10000 + $d)"
+      // signed-floor half-up: DuckDB // truncates, so force the
+      // positive mod (the cuped parity rule)
+      s"(($num2 - (($num2 % $den + $den) % $den)) // $den)"
+    }
+    s"""WITH e AS (
+       |  SELECT user_id % 2 = 1 AS treat,
+       |         ts >= TIMESTAMP '2024-01-16' AS post,
+       |         ts >= TIMESTAMP '2024-01-08'
+       |           AND ts < TIMESTAMP '2024-01-16' AS ppost,
+       |         ts < TIMESTAMP '2024-01-08' AS ppre,
+       |         CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |m AS (SELECT
+       |  ${cell("treat AND post", "tp")},
+       |  ${cell("treat AND NOT post", "t0")},
+       |  ${cell("NOT treat AND post", "cp")},
+       |  ${cell("NOT treat AND NOT post", "c0")},
+       |  ${cell("treat AND ppost", "ptp")},
+       |  ${cell("treat AND ppre", "pt0")},
+       |  ${cell("NOT treat AND ppost", "pcp")},
+       |  ${cell("NOT treat AND ppre", "pc0")}
+       |  FROM e)
+       |SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+       |       CAST(n_t0 AS BIGINT) AS n_treat_pre,
+       |       CAST(n_cp AS BIGINT) AS n_ctrl_post,
+       |       CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+       |       CAST(${didE4("")} AS BIGINT) AS did_cents_e4,
+       |       CAST(${didE4("p")} AS BIGINT) AS placebo_cents_e4
+       |FROM m""".stripMargin
+  }
+
   // --------------------------------------------------------- CUPED
   /** CUPED variance reduction (Deng et al. WSDM'13 — the adjustment
     * every large A/B platform applies before reading an experiment):
@@ -2346,6 +2462,7 @@ object StatsOps {
     "q_forecast_eval" -> (forecastEval _),
     "q_wasserstein" -> (wasserstein _),
     "q_cuped" -> (cuped _),
+    "q_did" -> (did _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2383,6 +2500,7 @@ object StatsOps {
     "q_forecast_eval" -> forecastEvalOracle,
     "q_wasserstein" -> wassersteinOracle,
     "q_cuped" -> cupedOracle,
+    "q_did" -> didOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
