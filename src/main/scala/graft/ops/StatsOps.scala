@@ -1153,6 +1153,64 @@ object StatsOps {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------- power analysis
+  /** Two-sample power analysis / minimum detectable effect — the
+    * question asked BEFORE every experiment ([[cuped]] shrinks the
+    * variance; this says what that buys): at α = 0.05 two-sided and
+    * 80% power, MDE = (z_{α/2} + z_β)·σ·√(2/n) per arm. Computed per
+    * event type from the event-value variance, both in absolute
+    * cents and relative to the mean — the number that says "this
+    * metric can detect a 2% move with a week of traffic" or "don't
+    * bother".
+    *
+    * Exactness: σ² is the exact n-scaled integer moment
+    * (n·Σc²−(Σc)², DECIMAL(38)/HUGEINT); the single sqrt and the
+    * fixed z-sum (1.959964 + 0.841621, e6 constants) leave the
+    * lattice once at the end, ROUND(·,4). One fact pass, type-sized
+    * output. */
+  def powerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    // half the traffic per arm; z_{0.025}+z_{0.2} = 2.801585 (e6)
+    m.select(col("t"), col("n"),
+      round(col("sc").cast("double") / col("n") / 100.0, 4)
+        .as("mean_value"),
+      round(lit(2.801585) *
+        sqrt((col("n").cast(dec) * col("scc") - col("sc").cast(dec) *
+          col("sc")).cast("double")) / col("n") *
+        sqrt(lit(2.0) / expr("n div 2")) / 100.0, 4).as("mde_value"),
+      round(lit(2.801585) *
+        sqrt((col("n").cast(dec) * col("scc") - col("sc").cast(dec) *
+          col("sc")).cast("double")) / col("n") *
+        sqrt(lit(2.0) / expr("n div 2")) /
+        (col("sc").cast("double") / col("n")) * 100.0, 4)
+        .as("mde_pct"))
+      .orderBy(col("t"))
+  }
+
+  private val powerMdeOracle =
+    """WITH m AS (
+      |  SELECT event_type AS t, COUNT(*) AS n,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+      |           AS sc,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+      |                  * CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+      |           AS scc
+      |  FROM events GROUP BY 1)
+      |SELECT t, n,
+      |       ROUND(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean_value,
+      |       ROUND(2.801585 * sqrt(CAST(n * scc - sc * sc AS DOUBLE)) / n
+      |             * sqrt(2.0 / (n // 2)) / 100.0, 4) AS mde_value,
+      |       ROUND(2.801585 * sqrt(CAST(n * scc - sc * sc AS DOUBLE)) / n
+      |             * sqrt(2.0 / (n // 2))
+      |             / (CAST(sc AS DOUBLE) / n) * 100.0, 4) AS mde_pct
+      |FROM m ORDER BY t""".stripMargin
+
   // --------------------------------------------------------- CUPED
   /** CUPED variance reduction (Deng et al. WSDM'13 — the adjustment
     * every large A/B platform applies before reading an experiment):
@@ -2463,6 +2521,7 @@ object StatsOps {
     "q_wasserstein" -> (wasserstein _),
     "q_cuped" -> (cuped _),
     "q_did" -> (did _),
+    "q_power_mde" -> (powerMde _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2501,6 +2560,7 @@ object StatsOps {
     "q_wasserstein" -> wassersteinOracle,
     "q_cuped" -> cupedOracle,
     "q_did" -> didOracle,
+    "q_power_mde" -> powerMdeOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
