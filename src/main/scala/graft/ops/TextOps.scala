@@ -1077,6 +1077,123 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------- Heaps' law
+  /** Heaps'-law vocabulary growth fit (V(N) ≈ K·N^β; Heaps '78) —
+    * the corpus-health exponent: natural text sits near β ≈ 0.5;
+    * β → 1 is template spam re-minting tokens, β → 0 a vocabulary
+    * that stopped growing (dedup gone wrong, or a bot). Growth is
+    * sampled at 20 ingest thresholds (every 25th doc in doc_id
+    * order) and ln V on ln N is fit by exact-lattice OLS.
+    *
+    * Scale shape — the deliberate part: NO running cumsum exists in
+    * the plan. V at a threshold is "words whose FIRST occurrence is
+    * ≤ t" — one vocab-sized min-aggregate, then 20 conditional
+    * counts; N likewise from per-doc lengths. The naive formulation
+    * (a global window ordered by doc over the whole corpus) is
+    * exactly what 100 TB forbids, and the oracle computes THAT naive
+    * shape in DuckDB — the two must agree exactly. The OLS runs on
+    * e6-quantized lns with HUGEINT/DECIMAL(38) cross products,
+    * signed-floor parity. */
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val lens = docs.select(col("doc_id"),
+      size(col("ws")).cast("long").as("len"))
+    // vocabulary unit = BIGRAMS: the fixture's unigram lexicon is a
+    // closed ~50-word list that saturates inside the first threshold
+    // (β would be exactly 0 — no growth to fit); the bigram vocab is
+    // still growing at every sampled point, which is the regime the
+    // exponent measures. Heaps' law is routinely applied to n-gram
+    // vocabularies.
+    val firstOcc = docs.filter(size(col("ws")) > 1)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> concat(element_at(ws, i), ' ',
+          |                      element_at(ws, i + 1)))""".stripMargin))
+        .as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    // LOG-spaced ingest thresholds (t = (maxd+1)/2^(12−i)): a power
+    // law is a line in log-log, so equal spacing belongs on the x
+    // axis of the FIT, not the ingest axis — linear thresholds all
+    // land in the saturated tail. Degenerate early thresholds (no
+    // docs or no vocab yet) are excluded by the v>0 ∧ nt>0 guard.
+    val ts = docs.agg(max(col("doc_id")).as("maxd"))
+      .select(explode(sequence(lit(1), lit(12))).as("i"), col("maxd"))
+      .select(col("i"),
+        call_function("div", (col("maxd") + 1).cast("long"),
+          call_function("shiftleft", lit(1L),
+            (lit(12) - col("i")).cast("int"))).as("t"))
+      .filter(col("t") > 0)
+    val pts = ts
+      .join(firstOcc.crossJoin(ts.select(col("i").as("i2"), col("t")
+        .as("t2"))).filter(col("fd") < col("t2"))
+        .groupBy(col("i2")).agg(count(lit(1)).as("v")),
+        col("i") === col("i2"))
+      .join(lens.crossJoin(ts.select(col("i").as("i3"), col("t")
+        .as("t3"))).filter(col("doc_id") < col("t3"))
+        .groupBy(col("i3")).agg(sum(col("len")).as("nt")),
+        col("i") === col("i3"))
+      .select(col("i"), col("nt"), col("v"),
+        round(log(col("nt").cast("double")) * 1000000.0, 0).cast("long")
+          .as("x"),
+        round(log(col("v").cast("double")) * 1000000.0, 0).cast("long")
+          .as("y"))
+    val m = pts.agg(count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    m.select(col("k").as("n_points"),
+      floorDiv(
+        (col("k").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+          * lit(2000000L).cast(dec) +
+          (col("k").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx")),
+        (col("k").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+          * lit(2L).cast(dec)).as("beta_e6"))
+  }
+
+  private val heapsLawOracle =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM docs),
+      |fo AS (SELECT w, MIN(doc_id) AS fd
+      |       FROM (SELECT doc_id,
+      |               unnest([ws[i] || ' ' || ws[i + 1]
+      |                       FOR i IN range(1, len(ws))]) AS w
+      |             FROM docs WHERE len(ws) > 1) GROUP BY w),
+      |mx AS (SELECT MAX(doc_id) AS maxd FROM docs),
+      |ts AS (SELECT i, (maxd + 1) // (1 << (12 - i)) AS t
+      |       FROM mx, range(1, 13) r(i)
+      |       WHERE (maxd + 1) // (1 << (12 - i)) > 0),
+      |pts AS (
+      |  SELECT ts.i,
+      |    (SELECT CAST(SUM(len) AS BIGINT) FROM lens
+      |     WHERE doc_id < ts.t) AS nt,
+      |    (SELECT COUNT(*) FROM fo WHERE fd < ts.t) AS v
+      |  FROM ts),
+      |q AS (SELECT i, nt, v,
+      |        CAST(ROUND(ln(CAST(nt AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |          AS x,
+      |        CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |          AS y
+      |      FROM pts WHERE nt IS NOT NULL AND nt > 0 AND v > 0),
+      |m AS (SELECT COUNT(*) AS k, CAST(SUM(x) AS HUGEINT) AS sx,
+      |        CAST(SUM(y) AS HUGEINT) AS sy,
+      |        CAST(SUM(x*x) AS HUGEINT) AS sxx,
+      |        CAST(SUM(x*y) AS HUGEINT) AS sxy
+      |      FROM q)
+      |SELECT k AS n_points,
+      |       CAST((((k * sxy - sx * sy) * 2000000 + (k * sxx - sx * sx))
+      |             - (((((k * sxy - sx * sy) * 2000000
+      |                   + (k * sxx - sx * sx))
+      |                  % ((k * sxx - sx * sx) * 2))
+      |                 + ((k * sxx - sx * sx) * 2))
+      |                % ((k * sxx - sx * sx) * 2)))
+      |            // ((k * sxx - sx * sx) * 2) AS BIGINT) AS beta_e6
+      |FROM m""".stripMargin
+
   // ------------------------------------------------ readability
   /** Flesch reading-ease battery (Flesch '48; the readability screen
     * web-corpus filters run beside the Gopher stats): per doc,
@@ -2565,6 +2682,7 @@ object TextOps {
     "q_qlm_dirichlet" -> (qlmDirichlet _),
     "q_distinct_n" -> (distinctN _),
     "q_readability" -> (readability _),
+    "q_heaps_law" -> (heapsLaw _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2601,6 +2719,7 @@ object TextOps {
     "q_qlm_dirichlet" -> qlmDirichletOracle,
     "q_distinct_n" -> distinctNOracle,
     "q_readability" -> readabilityOracle,
+    "q_heaps_law" -> heapsLawOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,

@@ -665,4 +665,45 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("heaps law: exact OLS recompute over the log-spaced thresholds") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val lens = docs.map { case (id, ws) => (id, ws.length.toLong) }
+    val firstOcc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, ws) =>
+      ws.sliding(2).filter(_.length == 2).foreach { p =>
+        val b = p.mkString(" ")
+        if (!firstOcc.contains(b)) firstOcc(b) = id
+      }
+    }
+    val maxd = docs.map(_._1).max
+    val pts = (1 to 12).map(i => (maxd + 1) / (1L << (12 - i)))
+      .filter(_ > 0)
+      .map { t =>
+        val nt = lens.filter(_._1 < t).map(_._2).sum
+        val v = firstOcc.values.count(_ < t).toLong
+        (nt, v)
+      }
+      .filter { case (nt, v) => nt > 0 && v > 0 }
+      .map { case (nt, v) =>
+        (math.round(math.log(nt.toDouble) * 1e6),
+          math.round(math.log(v.toDouble) * 1e6))
+      }
+    val k = BigInt(pts.length)
+    val sx = BigInt(pts.map(_._1).sum)
+    val sy = BigInt(pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val d = k * sxx - sx * sx
+    val num = (k * sxy - sx * sy) * 2000000 + d
+    def floorDiv(a: BigInt, b: BigInt) = (a - (a % b + b) % b) / b
+    val want = floorDiv(num, d * 2).toLong
+    val row = TextOps.heapsLaw(spark, sfTiny).collect().head
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(row.getLong(1) == want, s"beta ${row.getLong(1)} != $want")
+    // the exponent must be a genuine power-law slope: inside (0, 1)
+    assert(row.getLong(1) > 0L && row.getLong(1) < 1000000L)
+  }
 }
