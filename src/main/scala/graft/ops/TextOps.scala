@@ -1077,6 +1077,94 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------- JS divergence
+  /** Per-source Jensen–Shannon divergence against the rest of the
+    * corpus, over bigram distributions — the bounded, symmetric
+    * corpus-similarity measure (Lin '91) that answers "which source
+    * is the odd one out" without KL's infinities (absent grams draw
+    * zero mass from the side that lacks them, by construction). JSD ∈
+    * [0, ln 2]; complements [[wasserstein]] (ordered scalar drift)
+    * with DISTRIBUTIONAL drift over a discrete vocabulary.
+    *
+    * Parity: each (source, gram) contribution is computed from exact
+    * integer counts in one identical double expression and quantized
+    * ONCE to e9 — integer sums are order-free across engines (a raw
+    * float Σ over thousands of grams would be partition-order
+    * noise). Scale shape: one gram-count exchange, a (sources ×
+    * vocab) axis frame built from bounded dimension joins, one
+    * source-sized rollup. */
+  def jsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(col("text").contains(" "))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> concat(element_at(ws, i), ' ',
+          |                      element_at(ws, i + 1)))""".stripMargin))
+        .as("w"))
+    val cs = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cp"))
+    val cg = toks.groupBy(col("w")).agg(count(lit(1)).as("call"))
+    val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("np"))
+    val nt = toks.agg(count(lit(1)).as("ntot"))
+    val axis = ns.crossJoin(cg) // sources × global gram vocab
+      .join(cs, Seq("source", "w"), "left")
+      .withColumn("cp", coalesce(col("cp"), lit(0L)))
+      .crossJoin(broadcast(nt))
+      .withColumn("cq", col("call") - col("cp"))
+      .withColumn("nq", col("ntot") - col("np"))
+    val p = col("cp").cast("double") / col("np")
+    val q = col("cq").cast("double") / col("nq")
+    val m = (p + q) / 2.0
+    val contrib =
+      (when(col("cp") > 0, p / 2.0 * log(p / m)).otherwise(lit(0.0)) +
+        when(col("cq") > 0, q / 2.0 * log(q / m)).otherwise(lit(0.0)))
+    axis
+      .withColumn("c_e9", round(contrib * 1e9, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("np")).as("n_grams"),
+        sum(col("c_e9")).cast("long").as("jsd_e9"))
+      .select(col("source"), col("n_grams"),
+        col("jsd_e9"),
+        round(col("jsd_e9").cast("double") / 1e9, 6).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  private val jsDivergenceOracle =
+    """WITH toks AS (
+      |  SELECT source,
+      |         unnest([ws[i] || ' ' || ws[i + 1]
+      |                 FOR i IN range(1, len(ws))]) AS w
+      |  FROM (SELECT source, string_split(text, ' ') AS ws
+      |        FROM documents) WHERE len(ws) > 1),
+      |cs AS (SELECT source, w, COUNT(*) AS cp FROM toks GROUP BY 1, 2),
+      |cg AS (SELECT w, COUNT(*) AS call FROM toks GROUP BY 1),
+      |ns AS (SELECT source, COUNT(*) AS np FROM toks GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS ntot FROM toks),
+      |axis AS (
+      |  SELECT ns.source, cg.w, ns.np, COALESCE(cs.cp, 0) AS cp,
+      |         cg.call - COALESCE(cs.cp, 0) AS cq, nt.ntot - ns.np AS nq
+      |  FROM ns CROSS JOIN cg
+      |  LEFT JOIN cs ON cs.source = ns.source AND cs.w = cg.w
+      |  CROSS JOIN nt),
+      |c AS (
+      |  SELECT source, np,
+      |    CAST(ROUND((
+      |      CASE WHEN cp > 0 THEN (CAST(cp AS DOUBLE) / np) / 2.0
+      |        * ln((CAST(cp AS DOUBLE) / np)
+      |             / ((CAST(cp AS DOUBLE) / np
+      |                 + CAST(cq AS DOUBLE) / nq) / 2.0)) ELSE 0.0 END
+      |      + CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / nq) / 2.0
+      |        * ln((CAST(cq AS DOUBLE) / nq)
+      |             / ((CAST(cp AS DOUBLE) / np
+      |                 + CAST(cq AS DOUBLE) / nq) / 2.0)) ELSE 0.0 END
+      |      ) * 1e9) AS BIGINT) AS c_e9
+      |  FROM axis)
+      |SELECT source, CAST(MAX(np) AS BIGINT) AS n_grams,
+      |       CAST(SUM(c_e9) AS BIGINT) AS jsd_e9,
+      |       ROUND(CAST(SUM(c_e9) AS DOUBLE) / 1e9, 6) AS jsd
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // -------------------------------------------------- Heaps' law
   /** Heaps'-law vocabulary growth fit (V(N) ≈ K·N^β; Heaps '78) —
     * the corpus-health exponent: natural text sits near β ≈ 0.5;
@@ -2683,6 +2771,7 @@ object TextOps {
     "q_distinct_n" -> (distinctN _),
     "q_readability" -> (readability _),
     "q_heaps_law" -> (heapsLaw _),
+    "q_js_divergence" -> (jsDivergence _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2720,6 +2809,7 @@ object TextOps {
     "q_distinct_n" -> distinctNOracle,
     "q_readability" -> readabilityOracle,
     "q_heaps_law" -> heapsLawOracle,
+    "q_js_divergence" -> jsDivergenceOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,

@@ -706,4 +706,36 @@ class TextOpsSpec extends SparkSpec {
     // the exponent must be a genuine power-law slope: inside (0, 1)
     assert(row.getLong(1) > 0L && row.getLong(1) < 1000000L)
   }
+
+  test("js divergence: bounds and an exact one-source recompute") {
+    val rows = TextOps.jsDivergence(spark, sfTiny).collect()
+    // JSD in nats is bounded by ln 2, strictly positive on real drift
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(2) < 693147181L,
+        s"${r.getString(0)} out of [0, ln2]")
+    }
+    // exact recompute for one source (same e9 quantize-then-sum)
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val grams = docs.filter(_._2.length > 1).flatMap { case (s, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => (s, p.mkString(" ")))
+    }
+    val src = rows.head.getString(0)
+    val cp = grams.filter(_._1 == src).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val cq = grams.filter(_._1 != src).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val (np, nq) = (cp.values.sum.toDouble, cq.values.sum.toDouble)
+    val want = (cp.keySet ++ cq.keySet).toSeq.map { w =>
+      val p = cp.getOrElse(w, 0L) / np
+      val q = cq.getOrElse(w, 0L) / nq
+      val m = (p + q) / 2.0
+      val t = (if (p > 0) p / 2.0 * math.log(p / m) else 0.0) +
+        (if (q > 0) q / 2.0 * math.log(q / m) else 0.0)
+      math.round(t * 1e9)
+    }.sum
+    assert(rows.head.getLong(2) == want,
+      s"$src: ${rows.head.getLong(2)} != $want")
+  }
 }
