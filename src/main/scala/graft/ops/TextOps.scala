@@ -1077,6 +1077,99 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- Burrows' Delta
+  /** Burrows' Delta stylometry (Burrows '02; Evert et al. '17 made it
+    * the attribution standard): over the K most frequent words, each
+    * source's relative frequencies are z-scored against the
+    * across-source distribution, and Delta(a,b) = mean |z_a − z_b| —
+    * the distance that finds same-author/same-GENERATOR sources, the
+    * provenance question a training-data audit actually asks
+    * (machine-translated mirrors, templated farms). Reports each
+    * source's nearest style neighbor.
+    *
+    * Parity: relative frequencies land on the e9 lattice as exact
+    * half-up ratios; z = (n·f − Σf)/√(n·Σf² − (Σf)²) needs ONE sqrt
+    * of an exact integer (IEEE sqrt is correctly rounded — the one
+    * transcendental-free float that IS portable) and quantizes to e6;
+    * Deltas are then exact integer means. Scale shape: everything
+    * after the word-count exchange is (sources × K)-sized; the
+    * pairwise Delta matrix is sources² — dimension-bounded. */
+  private val DeltaTopK = 30
+
+  def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cg"))
+      .orderBy(col("cg").desc, col("w")).limit(DeltaTopK)
+      .select(col("w"))
+    val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("np"))
+    val cs = toks.join(broadcast(top), Seq("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val f = ns.crossJoin(broadcast(top))
+      .join(cs, Seq("source", "w"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("f_e9", halfUp(col("c") * 1000000000L, col("np")))
+    val stats = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("k"), sum(col("f_e9")).as("sf"),
+        sum(col("f_e9") * col("f_e9")).as("sff"))
+    val z = f.join(broadcast(stats), Seq("w"))
+      .withColumn("z_e6",
+        round((col("k") * col("f_e9") - col("sf")).cast("double") /
+          sqrt((col("k") * col("sff") - col("sf") * col("sf"))
+            .cast("double")) * 1000000.0, 0).cast("long"))
+      .select(col("source"), col("w"), col("z_e6"))
+    val pairs = z.join(z.select(col("source").as("other"),
+        col("w"), col("z_e6").as("z2")), Seq("w"))
+      .filter(col("source") =!= col("other"))
+      .groupBy(col("source"), col("other"))
+      .agg(halfUp(sum(abs(col("z_e6") - col("z2"))), count(lit(1)))
+        .as("delta_e6"))
+    val wN = Window.partitionBy(col("source"))
+      .orderBy(col("delta_e6"), col("other"))
+    pairs.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("other").as("nearest"), col("delta_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val burrowsDeltaOracle =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |              FROM documents),
+       |top AS (SELECT w FROM (SELECT w, COUNT(*) AS cg FROM toks
+       |                       GROUP BY w ORDER BY cg DESC, w
+       |                       LIMIT $DeltaTopK)),
+       |ns AS (SELECT source, COUNT(*) AS np FROM toks GROUP BY 1),
+       |cs AS (SELECT source, w, COUNT(*) AS c
+       |       FROM toks JOIN top USING (w) GROUP BY 1, 2),
+       |f AS (SELECT ns.source, top.w, ns.np, COALESCE(cs.c, 0) AS c,
+       |        (2 * COALESCE(cs.c, 0) * 1000000000 + ns.np)
+       |          // (2 * ns.np) AS f_e9
+       |      FROM ns CROSS JOIN top
+       |      LEFT JOIN cs ON cs.source = ns.source AND cs.w = top.w),
+       |st AS (SELECT w, COUNT(*) AS k, CAST(SUM(f_e9) AS BIGINT) AS sf,
+       |         CAST(SUM(f_e9 * f_e9) AS BIGINT) AS sff
+       |       FROM f GROUP BY w),
+       |z AS (SELECT f.source, f.w,
+       |        CAST(ROUND(CAST(st.k * f.f_e9 - st.sf AS DOUBLE)
+       |               / sqrt(CAST(st.k * st.sff - st.sf * st.sf
+       |                           AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |          AS z_e6
+       |      FROM f JOIN st USING (w)),
+       |pairs AS (SELECT a.source, b.source AS other,
+       |            (2 * CAST(SUM(ABS(a.z_e6 - b.z_e6)) AS BIGINT)
+       |               + COUNT(*)) // (2 * COUNT(*)) AS delta_e6
+       |          FROM z a JOIN z b ON a.w = b.w AND a.source <> b.source
+       |          GROUP BY 1, 2),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY delta_e6, other) AS rn FROM pairs)
+       |SELECT source, other AS nearest, CAST(delta_e6 AS BIGINT)
+       |         AS delta_e6
+       |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------- JS divergence
   /** Per-source Jensen–Shannon divergence against the rest of the
     * corpus, over bigram distributions — the bounded, symmetric
@@ -2772,6 +2865,7 @@ object TextOps {
     "q_readability" -> (readability _),
     "q_heaps_law" -> (heapsLaw _),
     "q_js_divergence" -> (jsDivergence _),
+    "q_burrows_delta" -> (burrowsDelta _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2810,6 +2904,7 @@ object TextOps {
     "q_readability" -> readabilityOracle,
     "q_heaps_law" -> heapsLawOracle,
     "q_js_divergence" -> jsDivergenceOracle,
+    "q_burrows_delta" -> burrowsDeltaOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
