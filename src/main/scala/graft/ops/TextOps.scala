@@ -1077,6 +1077,80 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- vocabulary richness
+  /** Chao1 + Good–Turing vocabulary richness per source — the
+    * "how much is UNSEEN" estimators ([[heapsLaw]] fits how vocab
+    * grew; these say where it's going): Chao1 = V + F1²/(2F2)
+    * lower-bounds the true vocabulary from singleton/doubleton
+    * counts (Chao '84), and the Good–Turing mass F1/N estimates the
+    * probability the NEXT token is a new type — the number that says
+    * whether a source still has tail left to crawl. Bigram types,
+    * consistent with the growth fit.
+    *
+    * Exactness: F1/F2/V/N are exact integer censuses; the two ratios
+    * are half-up e2/e6 integer divisions (F2 = 0 ⇒ the bias-corrected
+    * Chao1 variant F1(F1−1)/2 is used — stated, not hidden). Scale
+    * shape: one gram-count exchange, a frequency-of-frequencies
+    * rollup, source-sized output. */
+  def vocabRichness(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(col("text").contains(" "))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> concat(element_at(ws, i), ' ',
+          |                      element_at(ws, i + 1)))""".stripMargin))
+        .as("w"))
+    val counts = grams.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("v"),
+        sum(col("c")).cast("long").as("n_grams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("v"), col("n_grams"), col("f1"),
+        col("f2"),
+        // Chao1 (bias-corrected when F2 = 0), on the e2 lattice
+        when(col("f2") > 0L,
+          col("v") * 100L + halfUp(col("f1") * col("f1") * 100L,
+            col("f2") * 2L))
+          .otherwise(col("v") * 100L +
+            halfUp(col("f1") * (col("f1") - 1L) * 100L, lit(2L)))
+          .as("chao1_e2"),
+        halfUp(col("f1") * 1000000L, col("n_grams"))
+          .as("unseen_mass_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val vocabRichnessOracle =
+    """WITH grams AS (
+      |  SELECT source,
+      |         unnest([ws[i] || ' ' || ws[i + 1]
+      |                 FOR i IN range(1, len(ws))]) AS w
+      |  FROM (SELECT source, string_split(text, ' ') AS ws
+      |        FROM documents) WHERE len(ws) > 1),
+      |c AS (SELECT source, w, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      |m AS (SELECT source, COUNT(*) AS v,
+      |        CAST(SUM(c) AS BIGINT) AS n_grams,
+      |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS f1,
+      |        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS f2
+      |      FROM c GROUP BY source)
+      |SELECT source, v, n_grams, f1, f2,
+      |       CASE WHEN f2 > 0
+      |            THEN v * 100 + (2 * f1 * f1 * 100 + f2 * 2)
+      |                           // (2 * f2 * 2)
+      |            ELSE v * 100 + (2 * f1 * (f1 - 1) * 100 + 2) // 4
+      |       END AS chao1_e2,
+      |       (2 * f1 * 1000000 + n_grams) // (2 * n_grams)
+      |         AS unseen_mass_e6
+      |FROM m ORDER BY source""".stripMargin
+
   // --------------------------------------------- Burrows' Delta
   /** Burrows' Delta stylometry (Burrows '02; Evert et al. '17 made it
     * the attribution standard): over the K most frequent words, each
@@ -2866,6 +2940,7 @@ object TextOps {
     "q_heaps_law" -> (heapsLaw _),
     "q_js_divergence" -> (jsDivergence _),
     "q_burrows_delta" -> (burrowsDelta _),
+    "q_vocab_richness" -> (vocabRichness _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2905,6 +2980,7 @@ object TextOps {
     "q_heaps_law" -> heapsLawOracle,
     "q_js_divergence" -> jsDivergenceOracle,
     "q_burrows_delta" -> burrowsDeltaOracle,
+    "q_vocab_richness" -> vocabRichnessOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
