@@ -1153,6 +1153,69 @@ object StatsOps {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------ Neyman allocation
+  /** Neyman-optimal stratified allocation (Neyman '34 — THE sampling
+    * design result: for a fixed budget, sample each stratum ∝
+    * N_h·σ_h, not ∝ N_h): strata = sources, metric = document token
+    * count, budget = 100 docs. Ships each stratum's allocation
+    * against proportional, plus the DESIGN EFFECT (variance ratio
+    * Neyman/proportional ≤ 1 — how much the optimal design buys).
+    * The sampling ops ([[graft.ops.CurationOps]] stratified/PPS) take
+    * an allocation as given; this is the op that CHOOSES it.
+    *
+    * Exactness: N_h·σ_h = √(N_h·Σx² − (Σx)²) — one portable IEEE
+    * sqrt of an exact integer, quantized to the integer lattice
+    * before ANY cross-stratum sum (float Σ over strata would be
+    * order-noise); allocations and the design effect are then exact
+    * half-up integer ratios. One fact pass, stratum-sized output. */
+  def neymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("r",
+        round(sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")), 0).cast("long"))
+    val tot = m.agg(sum(col("r")).cast("long").as("rt"),
+      sum(col("nh")).cast("long").as("nt"),
+      sum(call_function("div", col("r") * col("r"), col("nh")))
+        .cast("long").as("q"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    m.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh").as("n_docs"),
+        halfUp(col("r") * 1000000L, col("nh")).as("sigma_e6"),
+        halfUp(lit(100L) * col("r"), col("rt")).as("neyman_n"),
+        halfUp(lit(100L) * col("nh"), col("nt")).as("proportional_n"),
+        halfUp(col("rt") * col("rt") * 1000000L, col("nt") * col("q"))
+          .as("design_effect_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val neymanAllocOracle =
+    """WITH m AS (
+      |  SELECT source, COUNT(*) AS nh,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sx,
+      |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)
+      |                  * len(string_split(text, ' '))) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT *, CAST(ROUND(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)))
+      |                     AS BIGINT) AS r FROM m),
+      |t AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+      |        CAST(SUM(nh) AS BIGINT) AS nt,
+      |        CAST(SUM(r * r // nh) AS BIGINT) AS q FROM r)
+      |SELECT source, nh AS n_docs,
+      |       (2 * r * 1000000 + nh) // (2 * nh) AS sigma_e6,
+      |       (2 * 100 * r + rt) // (2 * rt) AS neyman_n,
+      |       (2 * 100 * nh + nt) // (2 * nt) AS proportional_n,
+      |       (2 * rt * rt * 1000000 + nt * q) // (2 * nt * q)
+      |         AS design_effect_e6
+      |FROM r CROSS JOIN t ORDER BY source""".stripMargin
+
   // ------------------------------------------------- power analysis
   /** Two-sample power analysis / minimum detectable effect — the
     * question asked BEFORE every experiment ([[cuped]] shrinks the
@@ -2522,6 +2585,7 @@ object StatsOps {
     "q_cuped" -> (cuped _),
     "q_did" -> (did _),
     "q_power_mde" -> (powerMde _),
+    "q_neyman_alloc" -> (neymanAlloc _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2561,6 +2625,7 @@ object StatsOps {
     "q_cuped" -> cupedOracle,
     "q_did" -> didOracle,
     "q_power_mde" -> powerMdeOracle,
+    "q_neyman_alloc" -> neymanAllocOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
