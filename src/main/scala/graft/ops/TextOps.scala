@@ -1077,6 +1077,70 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- invisible chars
+  /** Invisible-character and homoglyph audit — the unicode-janitor
+    * screen the LLM era made mandatory: zero-width characters
+    * (U+200B/200C/200D/FEFF) are both a watermarking channel and a
+    * tokenizer poison (they split tokens invisibly), and Cyrillic/
+    * Greek homoglyphs ('а' for 'a') defeat exact dedup while reading
+    * identically. The generator plants a U+200B after the first space
+    * on every 9th doc and swaps the first 'a' for Cyrillic 'а' on
+    * every 13th; the detector censuses both, plus the cleaned-length
+    * delta — so the codepoint-level scan sits under the hash with the
+    * planted strides as ground truth.
+    *
+    * Scale shape: pure map-side regex/length arithmetic + one
+    * source-sized rollup (the quality-screen shape). */
+  def invisibleChars(spark: SparkSession, sfDir: String): DataFrame = {
+    val zw = "​"
+    val cyrA = "а" // Cyrillic small a — reads as Latin 'a'
+    val planted = Tables.documents(spark, sfDir)
+      // anchored non-greedy patterns plant exactly ONE artifact per
+      // stride doc (Spark regexp_replace has no max-count arg)
+      .withColumn("t1",
+        when(col("doc_id") % 9 === 0,
+          regexp_replace(col("text"), "^([^ ]*) ", "$1 " + zw))
+          .otherwise(col("text")))
+      .withColumn("t2",
+        when(col("doc_id") % 13 === 0,
+          regexp_replace(col("t1"), "^([^a]*)a", "$1" + cyrA))
+          .otherwise(col("t1")))
+    planted
+      .withColumn("n_zw",
+        (length(col("t2")) -
+          length(regexp_replace(col("t2"),
+            "[​‌‍﻿]", ""))).cast("long"))
+      .withColumn("n_homo",
+        (length(col("t2")) -
+          length(regexp_replace(col("t2"),
+            "[аоер]", ""))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_zw") > 0, 1L).otherwise(0L)).as("docs_with_zw"),
+        sum(col("n_zw")).cast("long").as("zw_chars"),
+        sum(when(col("n_homo") > 0, 1L).otherwise(0L))
+          .as("docs_with_homoglyphs"),
+        sum(col("n_homo")).cast("long").as("homoglyph_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val invisibleCharsOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN doc_id % 9 = 0
+      |                      AND text LIKE '% %' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS docs_with_zw,
+      |       CAST(SUM(CASE WHEN doc_id % 9 = 0
+      |                      AND text LIKE '% %' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS zw_chars,
+      |       CAST(SUM(CASE WHEN doc_id % 13 = 0
+      |                      AND text LIKE '%a%' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS docs_with_homoglyphs,
+      |       CAST(SUM(CASE WHEN doc_id % 13 = 0
+      |                      AND text LIKE '%a%' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS homoglyph_chars
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------- vocabulary richness
   /** Chao1 + Good–Turing vocabulary richness per source — the
     * "how much is UNSEEN" estimators ([[heapsLaw]] fits how vocab
@@ -2941,6 +3005,7 @@ object TextOps {
     "q_js_divergence" -> (jsDivergence _),
     "q_burrows_delta" -> (burrowsDelta _),
     "q_vocab_richness" -> (vocabRichness _),
+    "q_invisible_chars" -> (invisibleChars _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -2981,6 +3046,7 @@ object TextOps {
     "q_js_divergence" -> jsDivergenceOracle,
     "q_burrows_delta" -> burrowsDeltaOracle,
     "q_vocab_richness" -> vocabRichnessOracle,
+    "q_invisible_chars" -> invisibleCharsOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
