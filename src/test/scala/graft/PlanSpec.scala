@@ -865,4 +865,30 @@ class PlanSpec extends SparkSpec {
       s"label noise must not plan a cartesian product:\n$lnPlan")
   }
 
+  test("session-4 analytics plan shapes: MMD factorization, no-window Heaps, source-local Wasserstein") {
+    // MMD: THE claim — no pairwise join exists in the plan; every
+    // join is on the 64/4096-cell moment frames (broadcast or tiny),
+    // never two corpus-sized streams
+    val mm = graft.ops.SimilarityOps.mmdDrift(spark, sfTiny)
+    mm.collect()
+    val mmPlan = executed(mm).split("== Initial Plan ==")(0)
+    assert(!mmPlan.contains("CartesianProduct") &&
+      !mmPlan.contains("SortMergeJoin"),
+      s"MMD must never pair vectors:\n$mmPlan")
+    // Heaps: the no-running-cumsum claim — NO Window operator at all
+    val hl = graft.ops.TextOps.heapsLaw(spark, sfTiny)
+    hl.collect()
+    val hlPlan = executed(hl).split("== Initial Plan ==")(0)
+    assert(!hlPlan.contains("Window"),
+      s"Heaps must use threshold censuses, not a running window:\n$hlPlan")
+    // Wasserstein: the cumsum windows are per-source partitioned —
+    // every Sort under a Window carries the source key
+    val ws = graft.ops.StatsOps.wasserstein(spark, sfTiny)
+    ws.collect()
+    val wsPlan = executed(ws).split("== Initial Plan ==")(0)
+    assert(wsPlan.contains("Window"), s"window shape lost:\n$wsPlan")
+    assert(!"Window \\[[^\\n]*\\], \\[\\]".r.findFirstIn(wsPlan).isDefined,
+      s"an unpartitioned window appeared:\n$wsPlan")
+  }
+
 }
