@@ -198,6 +198,71 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree assortativity (Newman '02) — the network-science
+    * coefficient that says whether hubs attach to hubs (r > 0,
+    * social-ish) or to leaves (r < 0, web/biology-ish): the Pearson
+    * correlation of endpoint degrees over the directed edge list.
+    * Dedup/co-occurrence graphs with strong NEGATIVE assortativity
+    * are hub-and-spoke (one template document touching everything) —
+    * a structure audit before trusting CC-based cluster dedup.
+    *
+    * Exactness: degrees are exact integer counts; all five moments
+    * over edges are exact in DECIMAL(38)/HUGEINT; r leaves the
+    * lattice once, ROUND(·,6) of a [−1,1] double. One degree
+    * aggregate + two bounded joins back to the edge list, one 1-row
+    * moment rollup. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+    val dec = "decimal(38,0)"
+    val m = edges
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    m.select(col("m").as("n_directed_edges"),
+      round((col("m").cast(dec) * col("sxy") -
+        col("sx").cast(dec) * col("sy")).cast("double") /
+        sqrt((col("m").cast(dec) * col("sxx") -
+          col("sx").cast(dec) * col("sx")).cast("double") *
+          (col("m").cast(dec) * col("syy") -
+            col("sy").cast(dec) * col("sy")).cast("double")), 6)
+        .as("assortativity"))
+  }
+
+  private val assortativityOracle =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+      |          HAVING COUNT(*) BETWEEN 2 AND 20),
+      |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey <> b.l_partkey
+      |      JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+      |j AS (SELECT dx.d AS dx, dy.d AS dy
+      |      FROM e JOIN deg dx ON dx.v = e.src
+      |             JOIN deg dy ON dy.v = e.dst),
+      |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |        CAST(SUM(dx) AS HUGEINT) AS sx,
+      |        CAST(SUM(dy) AS HUGEINT) AS sy,
+      |        CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+      |        CAST(SUM(dy * dy) AS HUGEINT) AS syy,
+      |        CAST(SUM(dx * dy) AS HUGEINT) AS sxy
+      |      FROM j)
+      |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+      |       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+      |             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+      |                    * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+      |         AS assortativity
+      |FROM m""".stripMargin
+
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
     trianglesPerNode(DedupOps.simhashPairsMaterialized(spark, sfDir))
       .orderBy(col("n_triangles").desc, col("doc_id"))
@@ -1200,6 +1265,7 @@ object GraphOps {
     "q_widest_path" -> (widestPath _),
     "q_bfs_hops" -> (bfsHops _),
     "q_stress_centrality" -> (stressCentrality _),
+    "q_assortativity" -> (assortativity _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
     "q_triangle_count" -> (triangleCount _),
@@ -1215,6 +1281,7 @@ object GraphOps {
     "q_widest_path" -> widestPathOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_stress_centrality" -> stressCentralityOracle,
+    "q_assortativity" -> assortativityOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
     "q_triangle_count" -> triangleCountOracle,
