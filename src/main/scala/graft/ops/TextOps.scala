@@ -1077,6 +1077,108 @@ object TextOps {
        |FROM w2 JOIN res USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- PPMI embedding
+  /** Relational word-embedding training: the top principal direction
+    * of the PPMI co-occurrence matrix (Levy & Goldberg NeurIPS'14
+    * showed SGNS/word2vec implicitly factorizes exactly this matrix —
+    * so power-iterating PPMI IS embedding training, one component at
+    * a time). Adjacent-word co-occurrence both directions, PPMI =
+    * max(0, ln(n_wc·N / (n_w·n_c))) on the e6 lattice, then three
+    * [[graft.ops.SimilarityOps.pcaPower]]-discipline matrix-vector
+    * rounds with signed half-up e6 renormalization; the top-10 words
+    * by |loading| are the corpus's dominant context axis.
+    *
+    * Scale shape: the matrix is vocab² but SPARSE (PPMI zeros drop);
+    * each round is one groupBy-w aggregate over the sparse cells with
+    * the vector broadcast — the pcaPower plan with words for
+    * dimensions. Vocabulary at web scale is df-capped upstream like
+    * every LM table here. */
+  def ppmiEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bi = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(col("text").contains(" "))
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w,
+          |                      element_at(ws, i + 1) AS c))""".stripMargin))
+        .as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+    val pairs = bi.unionByName(
+      bi.select(col("c").as("w"), col("w").as("c")))
+    val cwc = pairs.groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+    val cw = pairs.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val nt = pairs.agg(count(lit(1)).as("ntot"))
+    val ppmi = cwc
+      .join(cw, Seq("w"))
+      .join(cw.select(col("w").as("c"), col("nw").as("nc")), Seq("c"))
+      .crossJoin(broadcast(nt))
+      .withColumn("m_e6", greatest(lit(0L),
+        round(log(col("nwc").cast("double") * col("ntot") /
+          (col("nw").cast("double") * col("nc"))) * 1000000.0, 0)
+          .cast("long")))
+      .filter(col("m_e6") > 0L)
+      .select(col("w"), col("c"), col("m_e6"))
+      .localCheckpoint()
+    def signedHalfUpE6(num: Column, den: Column): Column = {
+      val a = abs(num) * lit(2000000L).cast(dec)
+      val h = ((a + den - pmod(a + den, den * lit(2L).cast(dec))) /
+        (den * lit(2L).cast(dec))).cast("long")
+      when(num < 0, -h).otherwise(h)
+    }
+    def step(v: DataFrame): DataFrame = {
+      val u = ppmi.join(broadcast(v), col("c") === col("d"))
+        .groupBy(col("w"))
+        .agg(sum(col("m_e6").cast(dec) * col("v")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("mx"))
+      u.crossJoin(broadcast(m))
+        .select(col("w").as("d"), signedHalfUpE6(col("u"), col("mx"))
+          .as("v"))
+        .localCheckpoint(eager = true)
+    }
+    val v0 = cw.select(col("w").as("d"), lit(1000000L).as("v"))
+    val v3 = step(step(step(v0)))
+    v3.select(col("d").as("word"), col("v").as("loading_e6"))
+      .orderBy(abs(col("v")).desc, col("d"))
+      .limit(10)
+  }
+
+  private val ppmiEmbedOracle = {
+    val rounds = (1 to 3).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""u$k AS (SELECT p.w, SUM(CAST(p.m_e6 AS HUGEINT) * v.v) AS u
+         |        FROM ppmi p JOIN $prev v ON v.d = p.c GROUP BY p.w),
+         |m$k AS (SELECT MAX(ABS(u)) AS m FROM u$k),
+         |v$k AS (SELECT w AS d, CASE WHEN u < 0 THEN -h ELSE h END AS v
+         |        FROM (SELECT w, u,
+         |                ((ABS(u)*2000000 + m) - (ABS(u)*2000000 + m) % (2*m))
+         |                  // (2*m) AS h
+         |              FROM u$k CROSS JOIN m$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bi0 AS (
+       |  SELECT unnest([{'w': ws[i], 'c': ws[i + 1]}
+       |                 FOR i IN range(1, len(ws))]) AS p
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) > 1),
+       |pairs AS (SELECT p.w AS w, p.c AS c FROM bi0
+       |          UNION ALL SELECT p.c, p.w FROM bi0),
+       |cwc AS (SELECT w, c, COUNT(*) AS nwc FROM pairs GROUP BY 1, 2),
+       |cw AS (SELECT w, COUNT(*) AS nw FROM pairs GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS ntot FROM pairs),
+       |ppmi AS (
+       |  SELECT cwc.w, cwc.c,
+       |         GREATEST(0, CAST(ROUND(ln(CAST(cwc.nwc AS DOUBLE) * nt.ntot
+       |                    / (CAST(a.nw AS DOUBLE) * b.nw))
+       |                  * 1000000.0) AS BIGINT)) AS m_e6
+       |  FROM cwc JOIN cw a ON a.w = cwc.w JOIN cw b ON b.w = cwc.c
+       |  CROSS JOIN nt),
+       |pp AS (SELECT * FROM ppmi WHERE m_e6 > 0),
+       |v0 AS (SELECT w AS d, CAST(1000000 AS HUGEINT) AS v FROM cw),
+       |${rounds.replace("FROM ppmi p", "FROM pp p")}
+       |SELECT d AS word, CAST(v AS BIGINT) AS loading_e6
+       |FROM v3 ORDER BY ABS(v) DESC, d LIMIT 10""".stripMargin
+  }
+
   // --------------------------------------------- invisible chars
   /** Invisible-character and homoglyph audit — the unicode-janitor
     * screen the LLM era made mandatory: zero-width characters
@@ -3006,6 +3108,7 @@ object TextOps {
     "q_burrows_delta" -> (burrowsDelta _),
     "q_vocab_richness" -> (vocabRichness _),
     "q_invisible_chars" -> (invisibleChars _),
+    "q_ppmi_embed" -> (ppmiEmbed _),
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
@@ -3047,6 +3150,7 @@ object TextOps {
     "q_burrows_delta" -> burrowsDeltaOracle,
     "q_vocab_richness" -> vocabRichnessOracle,
     "q_invisible_chars" -> invisibleCharsOracle,
+    "q_ppmi_embed" -> ppmiEmbedOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
