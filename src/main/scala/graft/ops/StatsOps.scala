@@ -1153,6 +1153,80 @@ object StatsOps {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------- seasonality strength
+  /** Seasonality strength (Hyndman's STL-based F_s, in the exact
+    * variance-decomposition form): per event type, the share of
+    * daily-total variance explained by the day-of-week means —
+    * F = 1 − Var(residual)/Var(total) = Var_between(weekday)/Var_total
+    * on the one-way ANOVA identity. The number that says whether
+    * [[holtWinters]]' seasonal component is even worth fitting for a
+    * series, and the [[forecastEval]] family's missing diagnostic.
+    *
+    * Exactness: cent-lattice daily sums; between/total sums of squares
+    * as n-scaled DECIMAL(38)/HUGEINT integers via the ANOVA identity
+    * (SSB = Σ_g (S_g²·n/n_g) − S²  on the n-common-denominator
+    * lattice); one ROUND(·,6) division at the end. One fact pass +
+    * a 7-row group stage per type. */
+  def seasonalityStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val byDow = daily.groupBy(col("t"), col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum(col("c") * col("c")).as("sgg"))
+    // per type: n, S, SS totals and Σ_g Sg²/ng on the common lattice —
+    // Sg²/ng stays exact by scaling everything to denominator Πng? No:
+    // use the ANOVA sums with per-group exact rationals folded as
+    // (Sg² · L / ng) where L = lcm-free common scale n·Πng is too big;
+    // instead quantize each group term ONCE: bg = Sg²·56 div ng (56 =
+    // 8 weeks × 7 — an exact multiple of every possible ng on this
+    // 30-day window is not guaranteed, so this is a DEFINED lattice,
+    // floor both engines)
+    val m = byDow
+      .withColumn("bg",
+        call_function("div", col("sg").cast(dec) * col("sg") * lit(10000L),
+          col("ng")))
+      .groupBy(col("t"))
+      .agg(sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast(dec).as("s"),
+        sum(col("sgg")).cast(dec).as("ss"),
+        sum(col("bg")).as("sb"))
+    // the moments are exact integers; the F ratio leaves the lattice
+    // in ONE identically-ordered double expression on both engines
+    m.select(col("t"), col("n"),
+      round((col("sb").cast("double") / 10000.0 -
+        col("s").cast("double") * col("s").cast("double") / col("n")) /
+        (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")),
+        6).as("seasonal_strength"))
+      .orderBy(col("t"))
+  }
+
+  private val seasonalityStrengthOracle =
+    """WITH daily AS (
+      |  SELECT event_type AS t, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT t, day % 7 AS dow, COUNT(*) AS ng,
+      |        CAST(SUM(c) AS HUGEINT) AS sg,
+      |        CAST(SUM(c * c) AS HUGEINT) AS sgg
+      |      FROM daily GROUP BY 1, 2),
+      |m AS (SELECT t, CAST(SUM(ng) AS BIGINT) AS n,
+      |        CAST(SUM(sg) AS HUGEINT) AS s,
+      |        CAST(SUM(sgg) AS HUGEINT) AS ss,
+      |        CAST(SUM(sg * sg * 10000 // ng) AS HUGEINT) AS sb
+      |      FROM g GROUP BY 1)
+      |SELECT t, n,
+      |       ROUND((CAST(sb AS DOUBLE) / 10000.0
+      |              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |             / (CAST(ss AS DOUBLE)
+      |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+      |         AS seasonal_strength
+      |FROM m ORDER BY t""".stripMargin
+
   // ------------------------------------------------ Neyman allocation
   /** Neyman-optimal stratified allocation (Neyman '34 — THE sampling
     * design result: for a fixed budget, sample each stratum ∝
@@ -2586,6 +2660,7 @@ object StatsOps {
     "q_did" -> (did _),
     "q_power_mde" -> (powerMde _),
     "q_neyman_alloc" -> (neymanAlloc _),
+    "q_seasonality_strength" -> (seasonalityStrength _),
     "q_mutual_info" -> (mutualInfo _),
     "q_dtw" -> (dtw _),
     "q_cohens_kappa" -> (cohensKappa _),
@@ -2626,6 +2701,7 @@ object StatsOps {
     "q_did" -> didOracle,
     "q_power_mde" -> powerMdeOracle,
     "q_neyman_alloc" -> neymanAllocOracle,
+    "q_seasonality_strength" -> seasonalityStrengthOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_dtw" -> dtwOracle,
     "q_cohens_kappa" -> cohensKappaOracle,
