@@ -1209,6 +1209,78 @@ object AnalyticsOps {
       |         / 1000000.0 AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  // ----------------------------------------------- entropy rate
+  /** Markov entropy rate of the user event stream — how PREDICTABLE
+    * behavior is, in nats per event: H = −Σ_ab (c_ab/N)·ln(c_ab/c_a)
+    * over the [[eventTransitions]] pair counts, with the zero-order
+    * entropy H₀ = −Σ_a (c_a/N)·ln(c_a/N) beside it; their gap is the
+    * predictability the first-order model captures (H ≤ H₀ always —
+    * conditioning never hurts). The number a prefetcher,
+    * sessionizer, or anomaly screen calibrates against.
+    *
+    * Parity: per-cell contributions quantized ONCE to e9 from exact
+    * counts, integer-summed (order-free). One pair-count exchange,
+    * |types|²-sized everything after. */
+  def entropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val nTot = pairs.agg(sum(col("c")).cast("long").as("n"))
+    val h1 = pairs.join(broadcast(rowTot), Seq("a"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("t_e9",
+        round(-(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("ca")) * 1e9, 0).cast("long"))
+      .agg(sum(col("t_e9")).cast("long").as("h1_e9"))
+    val h0 = rowTot.crossJoin(broadcast(nTot))
+      .withColumn("t_e9",
+        round(-(col("ca").cast("double") / col("n")) *
+          log(col("ca").cast("double") / col("n")) * 1e9, 0).cast("long"))
+      .agg(sum(col("t_e9")).cast("long").as("h0_e9"),
+        max(col("n")).as("n_transitions"))
+    h0.crossJoin(broadcast(h1))
+      .select(col("n_transitions"), col("h0_e9"), col("h1_e9"),
+        round(col("h0_e9").cast("double") / 1e9, 6).as("h0_nats"),
+        round(col("h1_e9").cast("double") / 1e9, 6).as("h1_nats"),
+        round((col("h0_e9") - col("h1_e9")).cast("double") / 1e9, 6)
+          .as("predictability_gain"))
+  }
+
+  private val entropyRateOracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev AS a, event_type AS b, COUNT(*) AS c
+      |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM t GROUP BY a),
+      |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t),
+      |h1 AS (SELECT CAST(SUM(CAST(ROUND(
+      |          -(CAST(c AS DOUBLE) / n)
+      |          * ln(CAST(c AS DOUBLE) / ca) * 1e9) AS BIGINT)) AS BIGINT)
+      |          AS h1_e9
+      |       FROM t JOIN rt USING (a) CROSS JOIN nt),
+      |h0 AS (SELECT CAST(SUM(CAST(ROUND(
+      |          -(CAST(ca AS DOUBLE) / n)
+      |          * ln(CAST(ca AS DOUBLE) / n) * 1e9) AS BIGINT)) AS BIGINT)
+      |          AS h0_e9,
+      |        CAST(MAX(n) AS BIGINT) AS n_transitions
+      |       FROM rt CROSS JOIN nt)
+      |SELECT n_transitions, h0_e9, h1_e9,
+      |       ROUND(CAST(h0_e9 AS DOUBLE) / 1e9, 6) AS h0_nats,
+      |       ROUND(CAST(h1_e9 AS DOUBLE) / 1e9, 6) AS h1_nats,
+      |       ROUND(CAST(h0_e9 - h1_e9 AS DOUBLE) / 1e9, 6)
+      |         AS predictability_gain
+      |FROM h0 CROSS JOIN h1""".stripMargin
+
   // ------------------------------------------------ Pareto analysis
   /** Activity concentration (the 80/20 readout): how many of the most
     * active users does it take to cover 80% of all events, plus the
@@ -1780,6 +1852,7 @@ object AnalyticsOps {
     "q_decayed_sum" -> (decayedSum _),
     "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_entropy_rate" -> (entropyRate _),
     "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
     "q_survival_km" -> (survivalKm _),
@@ -1819,6 +1892,7 @@ object AnalyticsOps {
     "q_decayed_sum" -> decayedSumOracle,
     "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
+    "q_entropy_rate" -> entropyRateOracle,
     "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,
     "q_survival_km" -> survivalKmOracle,
