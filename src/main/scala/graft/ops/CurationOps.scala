@@ -2259,31 +2259,53 @@ object CurationOps {
     *
     * Scale shape: inherits nbClassScores; q̂ is a 1-row A6 broadcast
     * into the test scan; one test-doc aggregate + a 1-row scoreboard. */
-  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The standing conformal quantile — a 1-row (qhat_e6, n_cal)
+    * artifact from the calibration split, materialized once per
+    * session+SF (the nbScoreBatch model discipline) so batch eval and
+    * the streaming serving twin read ONE calibration. */
+  private[graft] def conformalQhatFrame(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/conformal_qhat") {
+      val (model, counts) = nbModel(spark, sfDir)
+      val calDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 === 4)
+      val cal = nbSoftmaxFrame(calDocs, model, counts)
+        .filter(col("cls") === col("lang"))
+        .select(col("doc_id"), (lit(1000000L) - col("q_e6")).as("s"))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      cal
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("s"), col("doc_id"))))
+        .crossJoin(broadcast(nCal))
+        // k = ⌈0.9·(n+1)⌉ as exact integer arithmetic
+        .filter(col("r") ===
+          expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)"))
+        .select(col("s").as("qhat_e6"), col("n_cal"))
+    }
+
+  /** Score arbitrary docs into conformal prediction sets against the
+    * standing q̂ — the per-batch body the batch query and the
+    * streaming serving twin both run. Per doc: set size and whether
+    * the true class is covered. */
+  private[graft] def conformalScoreBatch(docs: DataFrame,
+      sfDir: String): DataFrame = {
+    val spark = docs.sparkSession
     val (model, counts) = nbModel(spark, sfDir)
-    val heldOut = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
-    val per = nbSoftmaxFrame(heldOut, model, counts)
-    val cal = per.filter(col("doc_id") % 10 === 4 &&
-        col("cls") === col("lang"))
-      .select(col("doc_id"), (lit(1000000L) - col("q_e6")).as("s"))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val qhat = cal
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("s"), col("doc_id"))))
-      .crossJoin(broadcast(nCal))
-      // k = ⌈0.9·(n+1)⌉ as exact integer arithmetic
-      .filter(col("r") ===
-        expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)"))
-      .select(col("s").as("qhat_e6"), col("n_cal"))
-    val test = per.filter(col("doc_id") % 10 === 9)
-      .crossJoin(broadcast(qhat))
+    nbSoftmaxFrame(docs, model, counts)
+      .crossJoin(broadcast(conformalQhatFrame(spark, sfDir)))
       .withColumn("inset",
         lit(1000000L) - col("q_e6") <= col("qhat_e6"))
       .groupBy(col("doc_id"), col("lang"), col("qhat_e6"), col("n_cal"))
       .agg(sum(when(col("inset"), 1L).otherwise(0L)).as("set_size"),
         max(when(col("cls") === col("lang") && col("inset"), 1L)
           .otherwise(0L)).as("covered"))
+  }
+
+  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val test = conformalScoreBatch(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 9),
+      sfDir)
     test.groupBy(col("n_cal"), col("qhat_e6"))
       .agg(count(lit(1)).as("n_test"),
         sum(col("set_size")).cast("long").as("sum_set_size"),

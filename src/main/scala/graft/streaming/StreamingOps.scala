@@ -138,6 +138,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming conformal serving — arrivals scored into prediction
+    * SETS against the STANDING calibration quantile (the
+    * [[graft.ops.CurationOps.conformalQhatFrame]] artifact,
+    * materialized once — serving never recalibrates mid-stream, that
+    * would silently void the coverage guarantee): each micro-batch
+    * runs the batch op's own factored
+    * [[graft.ops.CurationOps.conformalScoreBatch]] and appends
+    * per-doc (set size, covered) rows to a ledger. Stateless per
+    * arrival; replay re-appends byte-identical rows a reader dedups
+    * on doc_id. This is the serving half of `q_conformal`: the batch
+    * query's scoreboard over the ledger must equal batch eval, which
+    * StreamingSpec pins. */
+  def conformalStream(docs: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.CurationOps.conformalScoreBatch(batch.toDF(), sfDir)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Watermarked event-time hourly OD aggregation — the streaming twin
     * of the silver hourly rollup. Append-mode emits a (window, zone) row
     * exactly once, after the watermark passes the window end. */

@@ -711,6 +711,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming conformal serving ledger rolls up to the batch scoreboard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/conformal_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val testDocs = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.conformalStream(
+      input.toDF().toDF("doc_id", "lang", "text"), sfTiny, s"$base/ledger")
+    try {
+      testDocs.grouped(7).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val led = spark.read.parquet(s"$base/ledger")
+      // per-doc set sizes and coverage must equal the batch scorer
+      val streamed = led.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("set_size"),
+          r.getAs[Long]("covered"))).sortBy(_._1).toSeq
+      val batch = graft.ops.CurationOps.conformalScoreBatch(
+        Tables.documents(spark, sfTiny).filter(col("doc_id") % 10 === 9),
+        sfTiny).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("set_size"),
+          r.getAs[Long]("covered"))).sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      // and the ledger rollup equals the q_conformal scoreboard
+      val want = graft.ops.CurationOps.conformal(spark, sfTiny)
+        .collect().head
+      assert(streamed.size.toLong == want.getLong(2))
+      assert(streamed.map(_._2).sum == want.getLong(3))
+      assert(streamed.map(_._3).sum == want.getLong(5))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
