@@ -1209,6 +1209,66 @@ object AnalyticsOps {
       |         / 1000000.0 AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------------- interval union
+  /** Interval-union length per user — the sweep-line primitive the
+    * relational family lacked (sessionization merges by GAP; this is
+    * the general overlap algebra): each event spans [ts, ts + value
+    * minutes], and the answer is how much WALL TIME each user was
+    * covered by at least one span — engaged-time / SLA-coverage /
+    * on-call math, where naive SUM(duration) double-counts every
+    * overlap. Union = Σ max(0, end − max(start, running-max of prior
+    * ends)) over the start-ordered spans, one pass.
+    *
+    * Exactness: millisecond integers end to end. Scale shape: ONE
+    * per-user window (start-ordered running max — parallel across
+    * users, the sessionizer's exchange), then a user-keyed rollup;
+    * output top-20 most-covered users for a bounded result. */
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("s"),
+        col("event_id"),
+        (unix_millis(col("ts")) +
+          expr("CAST(round(value * 60000) AS BIGINT)")).as("e"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("e"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("prev_max_e", max(col("e")).over(w))
+      .withColumn("covered",
+        greatest(lit(0L), col("e") -
+          greatest(col("s"), coalesce(col("prev_max_e"), col("s")))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("sum_span_ms"),
+        sum(col("covered")).cast("long").as("union_ms"))
+      .withColumn("overlap_ms", col("sum_span_ms") - col("union_ms"))
+      .orderBy(col("union_ms").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val intervalUnionOracle =
+    """WITH spans AS (
+      |  SELECT user_id, epoch_ms(ts) AS s, event_id,
+      |         epoch_ms(ts) + CAST(round(value * 60000) AS BIGINT) AS e
+      |  FROM events),
+      |sw AS (
+      |  SELECT user_id, s, e,
+      |         MAX(e) OVER (PARTITION BY user_id
+      |           ORDER BY s, e, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_max_e
+      |  FROM spans),
+      |c AS (SELECT user_id, s, e,
+      |        GREATEST(0, e - GREATEST(s, COALESCE(prev_max_e, s)))
+      |          AS covered
+      |      FROM sw)
+      |SELECT user_id, COUNT(*) AS n_spans,
+      |       CAST(SUM(e - s) AS BIGINT) AS sum_span_ms,
+      |       CAST(SUM(covered) AS BIGINT) AS union_ms,
+      |       CAST(SUM(e - s) - SUM(covered) AS BIGINT) AS overlap_ms
+      |FROM c GROUP BY user_id
+      |ORDER BY union_ms DESC, user_id LIMIT 20""".stripMargin
+
   // ----------------------------------------------- entropy rate
   /** Markov entropy rate of the user event stream — how PREDICTABLE
     * behavior is, in nats per event: H = −Σ_ab (c_ab/N)·ln(c_ab/c_a)
@@ -1853,6 +1913,7 @@ object AnalyticsOps {
     "q_gini" -> (giniActivity _),
     "q_event_transitions" -> (eventTransitions _),
     "q_entropy_rate" -> (entropyRate _),
+    "q_interval_union" -> (intervalUnion _),
     "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
     "q_survival_km" -> (survivalKm _),
@@ -1893,6 +1954,7 @@ object AnalyticsOps {
     "q_gini" -> giniActivityOracle,
     "q_event_transitions" -> eventTransitionsOracle,
     "q_entropy_rate" -> entropyRateOracle,
+    "q_interval_union" -> intervalUnionOracle,
     "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,
     "q_survival_km" -> survivalKmOracle,
