@@ -126,6 +126,90 @@ object SimilarityOps {
     * lesson), per-side windows partition by the side's id (parallel,
     * never global), and the mutual filter is two keyed equi-joins.
     */
+  // ------------------------------------------------ geometric median
+  /** Geometric median of the embedding cloud by two unrolled
+    * Weiszfeld rounds (Weiszfeld 1937; the ROBUST centroid — a
+    * corrupted or adversarial 1% barely moves it, while the mean
+    * chases it; Krum-style robust aggregation is this idea): from the
+    * coordinate-wise mean, v ← Σᵢ wᵢxᵢ / Σᵢ wᵢ at wᵢ = 1/‖xᵢ−v‖.
+    * Ships mean and median per dimension so the robustness gap is
+    * visible.
+    *
+    * Parity: components on the e3 lattice; each round's per-point
+    * distance is one sqrt of an exact integer (portable), the weight
+    * quantizes ONCE to e9, and the re-estimate is a half-up integer
+    * ratio — so both rounds replay bit-identically. Scale shape: per
+    * round, one broadcast of the 64-dim v frame into a point-dim
+    * explode and a dim-keyed rollup (the pcaPower exchange). */
+  def geoMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("xq"))
+      .localCheckpoint()
+    val dims = e.select(col("vec_id"), posexplode(col("xq")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("x"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val mean = dims.groupBy(col("d"))
+      .agg(halfUp(sum(col("x")), count(lit(1))).as("v"))
+    def round1(v: DataFrame): DataFrame = {
+      val w = dims
+        .join(broadcast(v), Seq("d"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x") - col("v")) * (col("x") - col("v"))).as("d2"))
+        // w = 1/dist on the e9 lattice; exact-coincidence points
+        // (d2 = 0) would be infinite-weight — Weiszfeld's classical
+        // singularity — and are excluded, the standard remedy
+        .filter(col("d2") > 0L)
+        .select(col("vec_id"),
+          round(lit(1e9) / sqrt(col("d2").cast("double")), 0)
+            .cast("long").as("w"))
+      dims.join(broadcast(w), Seq("vec_id"))
+        .groupBy(col("d"))
+        .agg(halfUp(sum(col("w") * col("x")), sum(col("w"))).as("v"))
+    }
+    val v2 = round1(round1(mean))
+    mean.select(col("d"), col("v").as("mean_e3"))
+      .join(v2.select(col("d"), col("v").as("gm_e3")), Seq("d"))
+      .orderBy(col("d"))
+  }
+
+  private val geoMedianOracle = {
+    // components are SIGNED: force the floor with the positive mod
+    // (DuckDB // truncates toward zero; the cuped parity rule)
+    def floorHalfUp(num: String, den: String): String =
+      s"((2 * $num + $den) - (((2 * $num + $den) % (2 * $den) + 2 * $den)" +
+        s" % (2 * $den))) // (2 * $den)"
+    def roundSql(prev: String, k: Int): String =
+      s"""w$k AS (SELECT vec_id,
+         |          CAST(ROUND(1e9 / sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+         |            AS w
+         |        FROM (SELECT dims.vec_id,
+         |                SUM((dims.x - v.v) * (dims.x - v.v)) AS d2
+         |              FROM dims JOIN $prev v USING (d)
+         |              GROUP BY dims.vec_id)
+         |        WHERE d2 > 0),
+         |v$k AS (SELECT d,
+         |          ${floorHalfUp("SUM(w * x)", "SUM(w)")} AS v
+         |        FROM dims JOIN w$k USING (vec_id) GROUP BY d)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+       |             AS xq FROM embeddings),
+       |dims AS (SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |                xq[CAST(d AS INTEGER)] AS x
+       |         FROM e, range(1, 65) t(d)),
+       |v0 AS (SELECT d, ${floorHalfUp("SUM(x)", "COUNT(*)")} AS v
+       |       FROM dims GROUP BY d),
+       |${roundSql("v0", 1)},
+       |${roundSql("v1", 2)}
+       |SELECT d, CAST(v0.v AS BIGINT) AS mean_e3,
+       |       CAST(v2.v AS BIGINT) AS gm_e3
+       |FROM v0 JOIN v2 USING (d) ORDER BY d""".stripMargin
+  }
+
   // ------------------------------------------------------------ MMD
   /** Maximum mean discrepancy between two embedding populations
     * (Gretton et al. JMLR'12) — the distribution-shift test at the
@@ -1916,6 +2000,7 @@ object SimilarityOps {
     "q_bitext_mine" -> (bitextMine _),
     "q_hubness" -> (hubness _),
     "q_mmd_drift" -> (mmdDrift _),
+    "q_geo_median" -> (geoMedian _),
     "q_maxsim" -> (maxSim _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
@@ -1940,6 +2025,7 @@ object SimilarityOps {
     "q_bitext_mine" -> bitextMineOracle,
     "q_hubness" -> hubnessOracle,
     "q_mmd_drift" -> mmdDriftOracle,
+    "q_geo_median" -> geoMedianOracle,
     "q_maxsim" -> maxSimOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,

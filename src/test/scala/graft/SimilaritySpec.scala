@@ -610,4 +610,27 @@ class SimilaritySpec extends SparkSpec {
     // MMD² is a squared RKHS distance: never negative (V-statistic)
     assert(row.getDouble(5) >= -1e-12)
   }
+
+  test("geo median: Weiszfeld rounds lower the distance objective") {
+    val pts = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.round(v * 1000.0)).toArray)
+    val rows = SimilarityOps.geoMedian(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == 64)
+    val mean = rows.map(_._2)
+    val gm = rows.map(_._3)
+    def objective(v: Array[Long]): Double =
+      pts.map { p =>
+        math.sqrt(p.indices.map(i => (p(i) - v(i)).toDouble *
+          (p(i) - v(i))).sum)
+      }.sum
+    val om = objective(mean)
+    val og = objective(gm)
+    // Weiszfeld is a descent method: two rounds from the mean must
+    // not increase the total distance (equality only at the optimum)
+    assert(og <= om + 1e-6, s"objective rose: $om -> $og")
+    // and the median must genuinely move (the cloud is not symmetric)
+    assert(gm.zip(mean).exists { case (a, b) => a != b })
+  }
 }
