@@ -2238,6 +2238,154 @@ object CurationOps {
        |       t_x2 = best_t AS is_best
        |FROM sb2 ORDER BY temperature""".stripMargin
 
+  // ------------------------------------------------- Dawid–Skene
+  /** Dawid–Skene annotator aggregation (1979; the crowdsourcing/RLHF
+    * labeling standard — [[graft.ops.StatsOps]]' kappa/alpha MEASURE
+    * agreement, this one RESOLVES it): estimate each annotator's
+    * accuracy and the true labels jointly by EM — majority-vote init,
+    * then M-step (accuracy against current labels) and E-step
+    * (per-doc argmax of Σ log-likelihoods), two rounds unrolled, in
+    * the one-coin model (single accuracy parameter per annotator).
+    * Three synthetic annotators with PLANTED error strides (wrong on
+    * doc_id % 5 / % 3 / % 10 ⇒ true accuracies 80/67/90%) make the
+    * estimator's recovery verifiable: the estimated accuracies and
+    * the final labels' agreement with truth both sit under the hash.
+    *
+    * Parity: accuracies are half-up e6 integers; the E-step
+    * log-weights quantize ln(p) and ln((1−p)/(K−1)) ONCE to e6 from
+    * those exact ratios, so the per-doc argmax is exact integer
+    * arithmetic (ties class-asc). Scale shape: annotator frames are
+    * (docs × 3) map-side derivations; every EM stage is one doc- or
+    * annotator-keyed aggregate with class-dimension broadcasts. */
+  def dawidSkene(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val langRank = docs.select(col("lang")).distinct()
+      .orderBy(col("lang")).collect().map(_.getString(0)).zipWithIndex
+    val k = langRank.length
+    val rankDf = langRank.toSeq.toDF("lang", "rk")
+    // each annotator confuses toward a DIFFERENT class (wrong =
+    // rank + a, cyclic) — colluding identical errors would defeat
+    // majority vote at stride intersections, and real annotators'
+    // confusions differ
+    val wrongOf = (1 to 3).flatMap { a =>
+      langRank.map { case (l, r) => (l, a, langRank((r + a) % k)._1) }
+    }.toDF("lang", "a", "wrong")
+    def annotator(id: Int, stride: Int): DataFrame =
+      docs.join(broadcast(wrongOf.filter(col("a") === id)), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("a"),
+          when(col("doc_id") % stride === 0, col("wrong"))
+            .otherwise(col("lang")).as("y"))
+    val labels = annotator(1, 5)
+      .unionByName(annotator(2, 3))
+      .unionByName(annotator(3, 10))
+      .localCheckpoint()
+    // init: majority vote, ties lexicographic-asc
+    val wv = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n").desc, col("y"))
+    val z0 = labels.groupBy(col("doc_id"), col("y"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("y").as("z"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    // M-step: one-coin accuracy per annotator against current labels
+    def mStep(z: DataFrame): DataFrame =
+      labels.join(z, Seq("doc_id"))
+        .groupBy(col("a"))
+        .agg(halfUp(sum(when(col("y") === col("z"), 1L).otherwise(0L))
+          * 1000000L, count(lit(1))).as("p_e6"))
+    // E-step: per-doc argmax over classes of the quantized log-score
+    def eStep(p: DataFrame): DataFrame = {
+      val lw = p.select(col("a"),
+        round(log(col("p_e6").cast("double") / 1000000.0) * 1000000.0, 0)
+          .cast("long").as("lp_e6"),
+        round(log((lit(1000000L) - col("p_e6")).cast("double") /
+          1000000.0 / (k - 1)) * 1000000.0, 0).cast("long").as("lq_e6"))
+      val cand = labels.join(broadcast(lw), Seq("a"))
+        .crossJoin(broadcast(rankDf.select(col("lang").as("c"))))
+        .withColumn("s",
+          when(col("y") === col("c"), col("lp_e6")).otherwise(col("lq_e6")))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(sum(col("s")).as("score"))
+      val wz = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c"))
+      cand.withColumn("r", row_number().over(wz))
+        .filter(col("r") === 1)
+        .select(col("doc_id"), col("c").as("z"))
+    }
+    val p1 = mStep(z0).localCheckpoint(eager = true)
+    val z1 = eStep(p1).localCheckpoint(eager = true)
+    val p2 = mStep(z1)
+    // truth agreement of the recovered labels (the fixture knows it)
+    val agree = z1.join(docs, Seq("doc_id"))
+      .agg(halfUp(sum(when(col("z") === col("lang"), 1L).otherwise(0L))
+        * 1000000L, count(lit(1))).as("label_agree_e6"))
+    p2.crossJoin(broadcast(agree))
+      .select(col("a").as("annotator"), col("p_e6").as("est_acc_e6"),
+        col("label_agree_e6"))
+      .orderBy(col("annotator"))
+  }
+
+  private val dawidSkeneOracle =
+    """WITH langs AS (
+      |  SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS rk,
+      |         COUNT(*) OVER () AS k
+      |  FROM (SELECT DISTINCT lang FROM documents)),
+      |ann AS (SELECT * FROM (VALUES (1, 5), (2, 3), (3, 10))
+      |        AS t(a, stride)),
+      |wr AS (SELECT a.lang, t.a, t.stride, b.lang AS wrong
+      |       FROM langs a CROSS JOIN ann t
+      |       JOIN langs b ON b.rk = (a.rk + t.a) % a.k),
+      |labels AS (
+      |  SELECT d.doc_id, d.lang, w.a,
+      |         CASE WHEN d.doc_id % w.stride = 0 THEN w.wrong
+      |              ELSE d.lang END AS y
+      |  FROM documents d JOIN wr w ON w.lang = d.lang),
+      |z0 AS (SELECT doc_id, y AS z FROM (
+      |         SELECT doc_id, y,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY COUNT(*) DESC, y) AS r
+      |         FROM labels GROUP BY doc_id, y) WHERE r = 1),
+      |p1 AS (SELECT a,
+      |         (2 * SUM(CASE WHEN y = z THEN 1 ELSE 0 END) * 1000000
+      |            + COUNT(*)) // (2 * COUNT(*)) AS p_e6
+      |       FROM labels JOIN z0 USING (doc_id) GROUP BY a),
+      |lw AS (SELECT a,
+      |         CAST(ROUND(ln(CAST(p_e6 AS DOUBLE) / 1000000.0)
+      |                    * 1000000.0) AS BIGINT) AS lp_e6,
+      |         CAST(ROUND(ln(CAST(1000000 - p_e6 AS DOUBLE) / 1000000.0
+      |                       / (SELECT MAX(k) - 1 FROM langs))
+      |                    * 1000000.0) AS BIGINT) AS lq_e6
+      |       FROM p1),
+      |cand AS (SELECT l.doc_id, c.lang AS c,
+      |           SUM(CASE WHEN l.y = c.lang THEN lw.lp_e6
+      |                    ELSE lw.lq_e6 END) AS score
+      |         FROM labels l JOIN lw USING (a)
+      |         CROSS JOIN (SELECT lang FROM langs) c
+      |         GROUP BY 1, 2),
+      |z1 AS (SELECT doc_id, c AS z FROM (
+      |         SELECT doc_id, c,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, c) AS r
+      |         FROM cand) WHERE r = 1),
+      |p2 AS (SELECT a,
+      |         (2 * SUM(CASE WHEN y = z THEN 1 ELSE 0 END) * 1000000
+      |            + COUNT(*)) // (2 * COUNT(*)) AS p_e6
+      |       FROM labels JOIN z1 USING (doc_id) GROUP BY a),
+      |agree AS (SELECT
+      |    (2 * SUM(CASE WHEN z1.z = d.lang THEN 1 ELSE 0 END) * 1000000
+      |       + COUNT(*)) // (2 * COUNT(*)) AS label_agree_e6
+      |  FROM z1 JOIN documents d USING (doc_id))
+      |SELECT a AS annotator, CAST(p_e6 AS BIGINT) AS est_acc_e6,
+      |       CAST(label_agree_e6 AS BIGINT) AS label_agree_e6
+      |FROM p2 CROSS JOIN agree ORDER BY annotator""".stripMargin
+
   // ------------------------------------------------ conformal sets
   /** Split-conformal prediction sets (Vovk's framework; Angelopoulos
     * & Bates '21 recipe) — the distribution-free coverage guarantee a
@@ -3056,6 +3204,7 @@ object CurationOps {
     "q_temp_scaling" -> (tempScaling _),
     "q_uncertainty_sample" -> (uncertaintySample _),
     "q_conformal" -> (conformal _),
+    "q_dawid_skene" -> (dawidSkene _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_bradley_terry" -> (bradleyTerry _),
     "q_doremi_mix" -> (doremiMix _),
@@ -3095,6 +3244,7 @@ object CurationOps {
     "q_temp_scaling" -> tempScalingOracle,
     "q_uncertainty_sample" -> uncertaintySampleOracle,
     "q_conformal" -> conformalOracle,
+    "q_dawid_skene" -> dawidSkeneOracle,
     "q_nb_calibration" -> nbCalibrationOracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_doremi_mix" -> doremiMixOracle,

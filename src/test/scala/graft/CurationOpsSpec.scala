@@ -1043,4 +1043,21 @@ class CurationOpsSpec extends SparkSpec {
     // when qhat = 1e6, so avg set size must not exceed the class count
     assert(row.getLong(4) <= 5000000L)
   }
+
+  test("dawid-skene: recovers the planted annotator quality ordering") {
+    val rows = CurationOps.dawidSkene(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val est = rows.map(_._2)
+    // planted accuracies are 80% / 66.7% / 90% (strides 5, 3, 10):
+    // EM must recover the ORDERING even where the absolute level is
+    // biased by label-error correlation
+    assert(est(1) < est(0) && est(0) <= est(2),
+      s"quality ordering lost: ${est.toSeq}")
+    assert(est.forall(e => e > 500000L && e <= 1000000L))
+    // the aggregated labels must beat the WORST annotator by a wide
+    // margin and sit in the top range
+    val agree = rows.head._3
+    assert(agree >= 800000L && agree <= 1000000L, s"agreement $agree")
+  }
 }
