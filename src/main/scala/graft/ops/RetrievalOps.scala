@@ -426,8 +426,75 @@ object RetrievalOps {
        |FROM sel$MmrOut ORDER BY qid, step""".stripMargin
   }
 
+  // ------------------------------------------------- Kendall tau
+  /** Kendall rank correlation between the two shipped lexical
+    * scorers (Kendall '38; the IR-diagnostic that says whether BM25
+    * and the Dirichlet QLM would PAGE the same docs — τ near 1 means
+    * the cheaper scorer can serve, τ near 0 means they disagree and
+    * a fusion like [[rrfFusion]] earns its keep): over the top-100
+    * BM25 docs, concordant minus discordant score-pairs. Pure
+    * COMPOSITION of `q_bm25` and `q_qlm_dirichlet` — the scorers the
+    * library actually ships, so the bake-off can't drift (the
+    * forecastEval/mcnemar discipline for retrieval).
+    *
+    * Exactness: both inputs are already ROUND(·,4)-lattice scores
+    * (their own hash gates prove engine equality), so every pairwise
+    * comparison is exact; the census is integers, τ-a is one final
+    * rounded ratio. Scale shape: the pair frame is the BOUNDED
+    * top-k² (4 950 pairs), built by a self-join of a 100-row frame. */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = TextOps.bm25(spark, sfDir)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+    val q = TextOps.qlmDirichlet(spark, sfDir)
+      .select(col("doc_id"), col("qlm"))
+    val j = top.join(q, Seq("doc_id"))
+    val pairs = j.as("x").join(j.as("y"),
+      col("x.doc_id") < col("y.doc_id"))
+      .select(
+        ((col("x.bm25") - col("y.bm25")) *
+          (col("x.qlm") - col("y.qlm"))).as("prod"),
+        (col("x.bm25") === col("y.bm25")).as("tie_b"),
+        (col("x.qlm") === col("y.qlm")).as("tie_q"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("tie_b"), 1L).otherwise(0L)).as("ties_bm25"),
+      sum(when(col("tie_q"), 1L).otherwise(0L)).as("ties_qlm"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_bm25"), col("ties_qlm"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs"), 6).as("tau_a"))
+  }
+
+  private val kendallTauOracle =
+    s"""WITH bm AS (${TextOps.bm25Oracle}),
+       |ql AS (${TextOps.qlmDirichletOracle}),
+       |top AS (SELECT doc_id, bm25 FROM bm
+       |        ORDER BY bm25 DESC, doc_id LIMIT 100),
+       |j AS (SELECT t.doc_id, t.bm25, ql.qlm
+       |      FROM top t JOIN ql USING (doc_id)),
+       |p AS (SELECT (x.bm25 - y.bm25) * (x.qlm - y.qlm) AS prod,
+       |        x.bm25 = y.bm25 AS tie_b, x.qlm = y.qlm AS tie_q
+       |      FROM j x JOIN j y ON x.doc_id < y.doc_id)
+       |SELECT COUNT(*) AS n_pairs,
+       |       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS concordant,
+       |       CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS discordant,
+       |       CAST(SUM(CASE WHEN tie_b THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS ties_bm25,
+       |       CAST(SUM(CASE WHEN tie_q THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS ties_qlm,
+       |       ROUND(CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+       |                  - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / COUNT(*), 6) AS tau_a
+       |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> (rrfFusion _),
+    "q_kendall_tau" -> (kendallTau _),
     "q_prf_expand" -> (prfExpand _),
     "q_ndcg" -> (ndcg _),
     "q_mmr_rerank" -> (mmrRerank _)
@@ -435,6 +502,7 @@ object RetrievalOps {
 
   def oracles: Map[String, String] = Map(
     "q_rrf_fusion" -> rrfFusionOracle,
+    "q_kendall_tau" -> kendallTauOracle,
     "q_prf_expand" -> prfExpandOracle,
     "q_ndcg" -> ndcgOracle,
     "q_mmr_rerank" -> mmrRerankOracle

@@ -371,7 +371,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val qlmDirichletOracle =
+  private[ops] val qlmDirichletOracle =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
        |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
        |              FROM documents),
