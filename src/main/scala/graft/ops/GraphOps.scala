@@ -319,6 +319,99 @@ object GraphOps {
        |SELECT doc_id, COUNT(*) AS n_triangles FROM x
        |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ k-truss
+  /** 4-truss peeling over the near-dup graph (Cohen '08) — the
+    * community core STRONGER than [[kcore]]: an edge survives only
+    * while it sits in ≥ k−2 triangles among surviving edges, so a
+    * truss keeps genuine boilerplate CLIQUES and sheds the banding
+    * CHAINS that k-core keeps (a chain node has degree but its edges
+    * have no triangle support). Three peel rounds unrolled — each
+    * recomputes triangle support on the survivors — with the
+    * per-round edge/node census as the output, so convergence is
+    * visible under the hash.
+    *
+    * Scale shape: each round is the [[triangleCount]] wedge+close
+    * join on the CURRENT edge frame (shrinking monotonically) plus an
+    * edge-keyed support count; per-round localCheckpoint (the
+    * iterative-frame discipline). */
+  def ktruss(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    var e = DedupOps.simhashPairsMaterialized(spark, sfDir)
+      .select(col("d1"), col("d2")).distinct()
+      .localCheckpoint(eager = true)
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    def stat(round: Int): Unit = census += ((round, e.count(),
+      e.select(explode(array(col("d1"), col("d2"))).as("v"))
+        .distinct().count()))
+    stat(0)
+    var r = 1
+    while (r <= 3) {
+      val wedges = e.as("e1").join(e.as("e2"),
+          col("e1.d2") === col("e2.d1"))
+        .select(col("e1.d1").as("a"), col("e1.d2").as("b"),
+          col("e2.d2").as("c"))
+      val tri = wedges.join(e.as("e3"),
+          col("a") === col("e3.d1") && col("c") === col("e3.d2"))
+        .select(col("a"), col("b"), col("c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("d1"), col("b").as("d2")),
+          struct(col("b").as("d1"), col("c").as("d2")),
+          struct(col("a").as("d1"), col("c").as("d2")))).as("ed"))
+        .select(col("ed.d1").as("d1"), col("ed.d2").as("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("s"))
+      e = e.join(sup, Seq("d1", "d2"))
+        .filter(col("s") >= 2L) // k = 4 ⇒ support ≥ k − 2
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(eager = true)
+      stat(r)
+      r += 1
+    }
+    census.toSeq.toDF("round", "n_edges", "n_nodes")
+      .orderBy(col("round"))
+  }
+
+  private val ktrussOracle = {
+    // every round CTE is referenced several times downstream — AS
+    // MATERIALIZED stops DuckDB re-evaluating the whole chain per
+    // reference (exponential across 3 rounds; the unigram_lm lesson)
+    def roundSql(prev: String, k: Int): String =
+      s"""t$k AS MATERIALIZED (
+         |  SELECT w.a, w.b, w.c FROM (
+         |    SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+         |    FROM $prev e1 JOIN $prev e2 ON e1.d2 = e2.d1) w
+         |  JOIN $prev e3 ON w.a = e3.d1 AND w.c = e3.d2),
+         |s$k AS MATERIALIZED (SELECT d1, d2, COUNT(*) AS s FROM (
+         |          SELECT a AS d1, b AS d2 FROM t$k
+         |          UNION ALL SELECT b, c FROM t$k
+         |          UNION ALL SELECT a, c FROM t$k) GROUP BY 1, 2),
+         |e$k AS MATERIALIZED (SELECT e.d1, e.d2 FROM $prev e
+         |        JOIN s$k USING (d1, d2) WHERE s$k.s >= 2)"""
+        .stripMargin
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT d1, d2
+       |            FROM (${DedupOps.dedupSimhashOracle})),
+       |${roundSql("e0", 1)},
+       |${roundSql("e1", 2)},
+       |${roundSql("e2", 3)},
+       |c AS (
+       |  SELECT 0 AS round, (SELECT COUNT(*) FROM e0) AS n_edges,
+       |    (SELECT COUNT(DISTINCT v) FROM (SELECT d1 AS v FROM e0
+       |       UNION ALL SELECT d2 FROM e0)) AS n_nodes
+       |  UNION ALL SELECT 1, (SELECT COUNT(*) FROM e1),
+       |    (SELECT COUNT(DISTINCT v) FROM (SELECT d1 AS v FROM e1
+       |       UNION ALL SELECT d2 FROM e1))
+       |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM e2),
+       |    (SELECT COUNT(DISTINCT v) FROM (SELECT d1 AS v FROM e2
+       |       UNION ALL SELECT d2 FROM e2))
+       |  UNION ALL SELECT 3, (SELECT COUNT(*) FROM e3),
+       |    (SELECT COUNT(DISTINCT v) FROM (SELECT d1 AS v FROM e3
+       |       UNION ALL SELECT d2 FROM e3)))
+       |SELECT CAST(round AS INTEGER) AS round,
+       |       CAST(n_edges AS BIGINT) AS n_edges,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes
+       |FROM c ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------- BFS
   /** Multi-source BFS over the co-purchase part graph: distance from
     * the seed set {p_partkey ≤ 5} through "appeared in the same order"
@@ -1266,6 +1359,7 @@ object GraphOps {
     "q_bfs_hops" -> (bfsHops _),
     "q_stress_centrality" -> (stressCentrality _),
     "q_assortativity" -> (assortativity _),
+    "q_ktruss" -> (ktruss _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
     "q_triangle_count" -> (triangleCount _),
@@ -1282,6 +1376,7 @@ object GraphOps {
     "q_bfs_hops" -> bfsHopsOracle,
     "q_stress_centrality" -> stressCentralityOracle,
     "q_assortativity" -> assortativityOracle,
+    "q_ktruss" -> ktrussOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
     "q_triangle_count" -> triangleCountOracle,
