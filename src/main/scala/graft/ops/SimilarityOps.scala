@@ -117,14 +117,16 @@ object SimilarityOps {
     * and the margin (cos·2k·1e6 DIV (sa+sb)) are exact integer
     * arithmetic — order-free, no float sums cross engines.
     *
-    * Scale shape: the dense A×B scoring here is the fixture-scale
-    * stand-in for the IVF-probed candidate set ([[annIvf]]'s layout —
-    * swap the crossJoin for the probe and everything downstream is
-    * unchanged); the scored frame is cached (one dot-product pass,
-    * not four — the dsirResample narrow-frame discipline), vectors
-    * are DROPPED before any exchange (the round-5 array-shuffle
-    * lesson), per-side windows partition by the side's id (parallel,
-    * never global), and the mutual filter is two keyed equi-joins.
+    * Scale shape: the dense A×B scoring in [[bitextMine]] is the
+    * exact-recall baseline; the 100 TB path is [[bitextMineIvf]] —
+    * the SHIPPED oracle-checked twin whose candidates come from the
+    * trained IVF probe and whose plan contains no data-sized
+    * cartesian (PlanSpec-pinned). Both feed [[bitextPipeline]]: the
+    * scored frame is cached (one dot-product pass, not four — the
+    * dsirResample narrow-frame discipline), vectors are DROPPED
+    * before any exchange (the round-5 array-shuffle lesson), per-side
+    * windows partition by the side's id (parallel, never global), and
+    * the mutual filter is two keyed equi-joins.
     */
   // ------------------------------------------------ geometric median
   /** Geometric median of the embedding cloud by two unrolled
@@ -341,24 +343,23 @@ object SimilarityOps {
     * single published hubness score, anti-hub and max-hub counts
     * ride along.
     *
-    * Scale shape: dense pair scoring as the documented fixture-scale
-    * stand-in for the IVF-probed candidate set (the [[bitextMine]]
-    * discipline — vectors dropped before every exchange, per-query
-    * windows parallel by qid); the census is one (point)-keyed count
-    * + a 1-row moment aggregate. */
+    * Scale shape: [[hubness]]'s dense pair scoring is the
+    * exact-recall baseline; the 100 TB path is [[hubnessIvf]] — the
+    * SHIPPED oracle-checked twin over IVF-probed candidates with no
+    * data-sized cartesian in the plan (PlanSpec-pinned). Both feed
+    * [[hubnessCensus]] (vectors dropped before every exchange,
+    * per-query windows parallel by qid); the census is one
+    * (point)-keyed count + a 1-row moment aggregate. */
   private val HubK = 10
 
-  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      col("norm").as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      col("norm").as("cn"))
-    val pairs = q.crossJoin(c).filter(col("qid") =!= col("cid"))
-      .withColumn("cos_e9",
-        round(cosine("qv", "qn", "cv", "cn") * lit(1000000000.0), 0)
-          .cast("long"))
-      .select(col("qid"), col("cid"), col("cos_e9"))
+  /** The N_k census + moment rollup downstream of EITHER candidate
+    * generator: `pairs` is a narrow (qid, cid, cos_e9) frame — per-query
+    * top-[[HubK]] window (parallel by qid), a (cid)-keyed count, left
+    * join back to the full point set (anti-hubs must count as 0), and a
+    * 1-row exact-integer moment aggregate. Shared verbatim by the dense
+    * [[hubness]] and the IVF-probed [[hubnessIvf]] — the candidate set
+    * is the ONLY thing that differs. */
+  private def hubnessCensus(e: DataFrame, pairs: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cos_e9").desc, col("cid"))
     val nk = pairs.withColumn("r", row_number().over(wq))
@@ -381,14 +382,59 @@ object SimilarityOps {
           .as("skew"))
   }
 
-  private val hubnessOracle =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |pairs AS (
-       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |         CAST(ROUND(${cosineSql("q.embedding", "c.embedding")}
-       |                    * 1000000000.0) AS BIGINT) AS cos_e9
-       |  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
-       |topk AS (SELECT cid FROM (
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("norm").as("cn"))
+    val pairs = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_e9",
+        round(cosine("qv", "qn", "cv", "cn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("qid"), col("cid"), col("cos_e9"))
+    hubnessCensus(e, pairs)
+  }
+
+  /** [[hubness]] with the 100 TB candidate generator: each point's kNN
+    * list is drawn from the IVF-probed candidate set — the point probes
+    * its [[NProbe]] nearest coarse cells and ranks only the vectors the
+    * MATERIALIZED [[ivfIndex]] stores in those cells, exactly how a
+    * production retrieval stack measures its own kNN-graph pathology
+    * (the hubness you can act on is the hubness of the index you
+    * actually serve). The census/moment tail is [[hubnessCensus]],
+    * unchanged.
+    *
+    * Scale shape: NO data-sized cartesian anywhere (PlanSpec-pinned) —
+    * probe assignment is a bounded ≤[[IvfKCap]]-row centroid broadcast
+    * whose scored triples drop the arrays BEFORE the rank exchange
+    * ([[probeCells]]); candidates come from a cell EQUI-join of the
+    * probe frame against the index (n·nprobe vs n rows co-located by
+    * cell — the standard IVF search shuffle); each (q, c) pair arises
+    * at most once because a candidate has exactly one stored cell, so
+    * no dedup pass is needed. */
+  def hubnessIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val probes = probeCells(e,
+      centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
+    val q = probes.select(col("vec_id").as("qid"), col("cell"))
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn")), Seq("qid"))
+    val pairs = q.join(ivfIndex(spark, sfDir), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_e9",
+        round(cosine("qv", "qn", "cv", "cn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("qid"), col("cid"), col("cos_e9"))
+    hubnessCensus(e, pairs)
+  }
+
+  /** The SQL census tail shared by both hubness oracles — expects a
+    * `pairs` CTE (qid, cid, cos_e9) in scope; mirrors [[hubnessCensus]]
+    * clause for clause so the candidate generator is the ONLY thing an
+    * oracle swaps (the decomposition discipline of the Scala side). */
+  private val hubnessTailSql =
+    s"""topk AS (SELECT cid FROM (
        |    SELECT cid, ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY cos_e9 DESC, cid) AS r FROM pairs)
        |  WHERE r <= $HubK),
@@ -409,24 +455,49 @@ object SimilarityOps {
        |         AS skew
        |FROM nk""".stripMargin
 
+  private val hubnessOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         CAST(ROUND(${cosineSql("q.embedding", "c.embedding")}
+       |                    * 1000000000.0) AS BIGINT) AS cos_e9
+       |  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+       |$hubnessTailSql""".stripMargin
+
+  private lazy val hubnessIvfOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |stored AS (SELECT vec_id, embedding, cell FROM cellranked
+       |           WHERE arank = 1),
+       |probes AS (SELECT vec_id, embedding, cell FROM cellranked
+       |           WHERE arank <= $NProbe),
+       |pairs AS (
+       |  SELECT p.vec_id AS qid, s.vec_id AS cid,
+       |         CAST(ROUND(${cosineSql("p.embedding", "s.embedding")}
+       |                    * 1000000000.0) AS BIGINT) AS cos_e9
+       |  FROM probes p JOIN stored s USING (cell)
+       |  WHERE p.vec_id <> s.vec_id),
+       |$hubnessTailSql""".stripMargin
+
   private val BitextK = 4
   private val BitextThreshE6 = 1050000L
 
-  def bitextMine(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-    val aSide = e.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
-        col("norm").as("an"), col("label").as("a_label"))
-    val bSide = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
-        col("norm").as("bn"), col("label").as("b_label"))
-    val pairs = aSide.crossJoin(bSide)
-      .withColumn("cos_e9",
-        round(cosine("av", "an", "bv", "bn") * lit(1000000000.0), 0)
-          .cast("long"))
-      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
-        col("cos_e9"))
-      .cache() // one dot-product pass feeds four consumers
+  /** The margin/mutual-best pipeline downstream of EITHER candidate
+    * generator: `pairs0` is a scored (a_id, b_id, a_label, b_label,
+    * cos_e9) frame — per-side top-[[BitextK]] neighborhood sums
+    * (windows parallel by the side's id), the integer margin, forward
+    * + backward best as keyed equi-joins, and the threshold. Shared
+    * verbatim by the dense [[bitextMine]] and the IVF-probed
+    * [[bitextMineIvf]] — the candidate set is the ONLY difference. */
+  private def bitextPipeline(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.cache() // one dot-product pass feeds four consumers
     val wA = Window.partitionBy(col("a_id"))
       .orderBy(col("cos_e9").desc, col("b_id"))
     val wB = Window.partitionBy(col("b_id"))
@@ -458,17 +529,75 @@ object SimilarityOps {
       .orderBy(col("a_id"))
   }
 
-  private val bitextMineOracle =
-    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS a_label
-       |           FROM embeddings WHERE vec_id % 2 = 0),
-       |b AS (SELECT vec_id AS b_id, embedding AS bv, label AS b_label
-       |      FROM embeddings WHERE vec_id % 2 = 1),
-       |pairs AS (
-       |  SELECT a_id, b_id, a_label, b_label,
-       |         CAST(ROUND(${cosineSql("av", "bv")} * 1000000000.0)
-       |              AS BIGINT) AS cos_e9
-       |  FROM a CROSS JOIN b),
-       |sa AS (SELECT a_id, CAST(SUM(cos_e9) AS BIGINT) AS sa
+  def bitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val aSide = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("norm").as("an"), col("label").as("a_label"))
+    val bSide = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        col("norm").as("bn"), col("label").as("b_label"))
+    bitextPipeline(aSide.crossJoin(bSide)
+      .withColumn("cos_e9",
+        round(cosine("av", "an", "bv", "bn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
+        col("cos_e9")))
+  }
+
+  /** [[bitextMine]] with the 100 TB candidate generator: the CCMatrix
+    * construction proper (Schwenk et al. '21 mine with faiss IVF, not
+    * dense A×B) — candidate pairs come from the trained coarse
+    * quantizer's probe, searched in BOTH directions exactly like the
+    * published forward/backward kNN: (a,b) is a candidate iff b's
+    * stored cell is among a's [[NProbe]] probed cells (forward) OR a's
+    * stored cell is among b's probed cells (backward). The
+    * margin/mutual-best tail is [[bitextPipeline]], unchanged.
+    *
+    * Scale shape: NO data-sized cartesian anywhere (PlanSpec-pinned).
+    * Probe assignment drops arrays before its rank exchange
+    * ([[probeCells]]); candidate GENERATION is pure narrow-id algebra —
+    * two cell equi-joins over (id, cell) pairs and a distinct on id
+    * pairs, nothing wide crosses those exchanges; vectors rejoin by id
+    * ONCE for the single scoring pass. A candidate can arise at most
+    * twice (once per direction), so the distinct is a narrow dedup,
+    * not a combinatorial one. */
+  def bitextMineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val probes = probeCells(e,
+      centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
+    val stored = ivfIndex(spark, sfDir)
+      .select(col("cid").as("vec_id"), col("cell"))
+    def side(df: DataFrame, even: Boolean, as: String): DataFrame =
+      df.filter(col("vec_id") % 2 === (if (even) 0 else 1))
+        .select(col("vec_id").as(as), col("cell"))
+    val candIds = side(probes, even = true, "a_id")
+      .join(side(stored, even = false, "b_id"), Seq("cell"))
+      .select(col("a_id"), col("b_id"))
+      .union(side(stored, even = true, "a_id")
+        .join(side(probes, even = false, "b_id"), Seq("cell"))
+        .select(col("a_id"), col("b_id")))
+      .distinct()
+    val aVec = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("norm").as("an"), col("label").as("a_label"))
+    val bVec = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        col("norm").as("bn"), col("label").as("b_label"))
+    bitextPipeline(candIds.join(aVec, Seq("a_id")).join(bVec, Seq("b_id"))
+      .withColumn("cos_e9",
+        round(cosine("av", "an", "bv", "bn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .select(col("a_id"), col("b_id"), col("a_label"), col("b_label"),
+        col("cos_e9")))
+  }
+
+  /** The SQL margin/mutual-best tail shared by both bitext oracles —
+    * expects a `pairs` CTE (a_id, b_id, a_label, b_label, cos_e9) in
+    * scope; mirrors [[bitextPipeline]] clause for clause so the
+    * candidate generator is the ONLY thing an oracle swaps. */
+  private val bitextTailSql =
+    s"""sa AS (SELECT a_id, CAST(SUM(cos_e9) AS BIGINT) AS sa
        |       FROM (SELECT a_id, cos_e9,
        |               ROW_NUMBER() OVER (PARTITION BY a_id
        |                 ORDER BY cos_e9 DESC, b_id) AS r FROM pairs)
@@ -495,6 +624,48 @@ object SimilarityOps {
        |FROM ba JOIN bb USING (b_id)
        |WHERE ba.a_id = bb.back_a AND ba.margin_e6 >= $BitextThreshE6
        |ORDER BY ba.a_id""".stripMargin
+
+  private val bitextMineOracle =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS a_label
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS b_id, embedding AS bv, label AS b_label
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |pairs AS (
+       |  SELECT a_id, b_id, a_label, b_label,
+       |         CAST(ROUND(${cosineSql("av", "bv")} * 1000000000.0)
+       |              AS BIGINT) AS cos_e9
+       |  FROM a CROSS JOIN b),
+       |$bitextTailSql""".stripMargin
+
+  private lazy val bitextMineIvfOracle =
+    s"""WITH $coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |stored AS (SELECT vec_id, cell FROM cellranked WHERE arank = 1),
+       |probes AS (SELECT vec_id, cell FROM cellranked
+       |           WHERE arank <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT p.vec_id AS a_id, s.vec_id AS b_id
+       |    FROM probes p JOIN stored s USING (cell)
+       |    WHERE p.vec_id % 2 = 0 AND s.vec_id % 2 = 1
+       |    UNION ALL
+       |    SELECT s.vec_id AS a_id, p.vec_id AS b_id
+       |    FROM stored s JOIN probes p USING (cell)
+       |    WHERE s.vec_id % 2 = 0 AND p.vec_id % 2 = 1)),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id, ea.label AS a_label, eb.label AS b_label,
+       |         CAST(ROUND(${cosineSql("ea.embedding", "eb.embedding")}
+       |              * 1000000000.0) AS BIGINT) AS cos_e9
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+       |$bitextTailSql""".stripMargin
 
   // ------------------------------------------- late interaction (MaxSim)
   /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
@@ -664,6 +835,26 @@ object SimilarityOps {
   private def centroidsWithNorm(cents: DataFrame): DataFrame =
     cents.select(col("cell").as("seed_id"), col("cv").as("sv"),
       sqrt(expr("vec_dot(cv, cv)")).as("sn"))
+
+  /** CORPUS-WIDE multi-probe assignment, returning only the narrow
+    * (vec_id, cell) pairs for each vector's `n` nearest coarse cells.
+    * Unlike [[assign]] (right for a handful of query rows), this is the
+    * shape for probing EVERY corpus vector: the scored rows drop the
+    * embedding arrays before the per-vector rank exchange — only
+    * (vec_id, seed_id, seed_cos) triples shuffle (the round-5
+    * array-shuffle lesson; [[assignWithCos]]'s discipline, generalized
+    * from argmax to top-n via a WindowGroupLimit-eligible rank filter).
+    * Callers rejoin vectors by id where scoring needs them. */
+  private def probeCells(e: DataFrame, seedSet: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("seed_cos").desc, col("seed_id").asc)
+    e.crossJoin(broadcast(seedSet))
+      .withColumn("seed_cos", cosine("embedding", "norm", "sv", "sn"))
+      .select(col("vec_id"), col("seed_id"), col("seed_cos"))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= n)
+      .select(col("vec_id"), col("seed_id").as("cell"))
+  }
 
   /** Nearest-`n` cell assignments for `vectors`: broadcast the (bounded)
     * centroid set, rank per vector by cosine. */
@@ -1998,7 +2189,9 @@ object SimilarityOps {
     "q_pq_ann" -> (pqAnn _),
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_bitext_mine" -> (bitextMine _),
+    "q_bitext_mine_ivf" -> (bitextMineIvf _),
     "q_hubness" -> (hubness _),
+    "q_hubness_ivf" -> (hubnessIvf _),
     "q_mmd_drift" -> (mmdDrift _),
     "q_geo_median" -> (geoMedian _),
     "q_maxsim" -> (maxSim _),
@@ -2023,7 +2216,9 @@ object SimilarityOps {
     "q_pq_ann" -> pqAnnOracle,
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_bitext_mine" -> bitextMineOracle,
+    "q_bitext_mine_ivf" -> bitextMineIvfOracle,
     "q_hubness" -> hubnessOracle,
+    "q_hubness_ivf" -> hubnessIvfOracle,
     "q_mmd_drift" -> mmdDriftOracle,
     "q_geo_median" -> geoMedianOracle,
     "q_maxsim" -> maxSimOracle,
