@@ -451,6 +451,191 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------- crawl funnel
+  /** WARC files whose response bodies are the per-class MANGLED wire
+    * bytes ([[encBytes]] over the synthesized page): what a crawler
+    * actually hands the pipeline — container framing around bytes of
+    * unknown encoding. The [[synthWarcFrame]] layout with the
+    * encoding-repair fixture's byte classes composed in. */
+  private[graft] def synthWarcWireFrame(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.sources.WarcFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        (fid, WarcFiles.synthWarc(fid, docs.map { case (id, t) =>
+          (id, encBytes(id, synthPage(id, t)))
+        }))
+      })
+      .toDF("file_id", "warc")
+  }
+
+  /** The END-TO-END batch crawl funnel — wire bytes to training-ready
+    * keep/drop in ONE oracle-checked query, composing every shipped
+    * front-door stage: [[warcSplitFrame]] (container → HTTP bodies) →
+    * [[repairFrame]] (charset triage over the per-class mangled
+    * bytes) → [[extractDoc]] (markup → clean text; the repaired
+    * `café ` prefix parses as its own sub-minimum block and drops,
+    * so extracted == original text BY CONSTRUCTION) →
+    * [[TextOps.qualityKeep]] (Gopher gate) → canonical-prefix dedup
+    * keeper (the [[graft.ops.CurationOps.pipelineLedger]] rule:
+    * min doc_id per md5 of the 40-char prefix, among quality-
+    * surviving train candidates) → 8-gram eval decontamination (the
+    * [[graft.ops.PipelineOps.decontaminate]] rule, on the graded
+    * sibling's LARGER `doc_id % 10 = 7` eval split so the stage is
+    * WITNESSED at fixture scale — the %97 split's 6 docs share no
+    * 8-gram with any train doc, which would leave the overlap join
+    * unexercised under the hash). Output is one row of per-stage
+    * conditional
+    * tallies — the [[graft.ops.MultimodalOps]] pairCuration shape:
+    * the corpus is enriched ONCE, stage verdicts become flags, and
+    * the ledger is a single-row rollup of conditional sums, so no
+    * stage re-scans the corpus.
+    *
+    * This is the text-funnel twin of the image pair funnel's
+    * composition proof: every stage here also ships (and is
+    * oracle-checked) stand-alone — this query proves their contracts
+    * COMPOSE.
+    *
+    * Scale shape: WARC synth is the fixture stand-in for a
+    * `binaryFile` scan (walk unchanged); split/repair/extract are
+    * stateless map-side byte/markup walks; the dedup keeper is one
+    * fingerprint groupBy + a doc_id semi-join; decontamination
+    * explodes train grams map-side against the BROADCAST
+    * dimension-sized eval-gram set; file-level stats aggregate over
+    * the (bounded) file-count frame; the final ledger is a 1-row
+    * conditional rollup. The enriched per-doc frame is cached — one
+    * container-parse+extract pass feeds all stage consumers. */
+  def crawlFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recs = warcSplitFrame(synthWarcWireFrame(spark, sfDir))
+    val repaired = repairFrame(recs.select(col("doc_id"), col("raw")))
+    val perDoc = repaired
+      .select(col("doc_id"), col("detected"), col("repaired"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, det, html) =>
+        (id, det, extractDoc(id, html)._6)
+      })
+      .toDF("doc_id", "detected", "text")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("keep_q", TextOps.qualityKeep)
+      .withColumn("is_eval", col("doc_id") % 10 === 7)
+      .cache() // one parse+extract pass feeds every stage consumer
+    val tc = perDoc.filter(col("keep_q") && !col("is_eval"))
+    val keepers = tc
+      .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dd = tc.join(keepers, Seq("doc_id"), "left_semi")
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("gram", explode(
+        when(size(col("w")) >= 8,
+          expr("transform(sequence(0, size(w) - 8), " +
+            "i -> array_join(slice(w, i + 1, 8), ' '))"))
+          .otherwise(array().cast("array<string>"))))
+    val evalGrams = grams(perDoc.filter(col("is_eval")))
+      .select(col("gram")).distinct()
+    val dirty = grams(dd)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("dirty", lit(1))
+    val fileStats = recs
+      .groupBy(col("file_id"))
+      .agg(max(col("clean").cast("int")).as("clean"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("clean")).cast("long").as("n_clean_files"))
+    val flagged = perDoc
+      .join(dd.select(col("doc_id")).withColumn("keep_d", lit(1)),
+        Seq("doc_id"), "left")
+      .join(dirty, Seq("doc_id"), "left")
+    flagged.agg(
+        count(lit(1)).as("n_responses"),
+        sum(when(col("detected") === "utf8", 1L).otherwise(0L))
+          .as("n_enc_utf8"),
+        sum(when(col("detected") === "cp1252", 1L).otherwise(0L))
+          .as("n_enc_cp1252"),
+        sum(when(col("detected") === "double_utf8", 1L).otherwise(0L))
+          .as("n_enc_double"),
+        sum(when(col("detected") === "truncated_utf8", 1L).otherwise(0L))
+          .as("n_enc_truncated"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("keep_q") && !col("is_eval"), 1L).otherwise(0L))
+          .as("n_quality_keep"),
+        sum(when(col("keep_d") === 1, 1L).otherwise(0L)).as("n_dedup_keep"),
+        sum(when(col("keep_d") === 1 && col("dirty") === 1, 1L)
+          .otherwise(0L)).as("n_decontam_drop"),
+        sum(when(col("keep_d") === 1 && col("dirty").isNull, 1L)
+          .otherwise(0L)).as("n_train_ready"),
+        sum(when(col("keep_d") === 1 && col("dirty").isNull, col("n_tok"))
+          .otherwise(0L)).cast("long").as("train_tokens"))
+      .crossJoin(broadcast(fileStats))
+      .select(col("n_files"), col("n_clean_files"), col("n_responses"),
+        col("n_enc_utf8"), col("n_enc_cp1252"), col("n_enc_double"),
+        col("n_enc_truncated"), col("n_eval"), col("n_quality_keep"),
+        col("n_dedup_keep"), col("n_decontam_drop"), col("n_train_ready"),
+        col("train_tokens"))
+  }
+
+  /** Ground truth from `documents` alone: record recovery and
+    * extraction are identities BY CONSTRUCTION of the generator/parser
+    * pairs (proven stand-alone by q_warc_scan / q_encoding_repair /
+    * q_html_extract), so the funnel oracle restates only the STAGE
+    * RULES — encoding class formulas, the quality predicate, the
+    * prefix-dedup keeper, and the 8-gram overlap. */
+  private lazy val crawlFunnelOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         doc_id % 10 = 7 AS is_eval,
+       |         ${TextOps.qualityKeepSql} AS keep_q,
+       |         CASE doc_id % 4 WHEN 0 THEN 'utf8' WHEN 1 THEN 'cp1252'
+       |              WHEN 2 THEN 'double_utf8' ELSE 'truncated_utf8'
+       |         END AS detected
+       |  FROM documents),
+       |tc AS (SELECT * FROM base WHERE keep_q AND NOT is_eval),
+       |k AS (SELECT MIN(doc_id) AS doc_id FROM tc
+       |      GROUP BY md5(substr(text, 1, 40))),
+       |d AS (SELECT tc.* FROM tc JOIN k USING (doc_id)),
+       |eg AS (SELECT DISTINCT unnest(list_transform(
+       |         range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+       |         i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))
+       |         AS gram
+       |       FROM base WHERE is_eval),
+       |dirty AS (SELECT DISTINCT doc_id FROM (
+       |         SELECT doc_id, unnest(list_transform(
+       |           range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+       |           i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))
+       |           AS gram
+       |         FROM d)
+       |       WHERE gram IN (SELECT gram FROM eg))
+       |SELECT
+       |  (SELECT COUNT(DISTINCT doc_id // $WarcDocsPerFile) FROM base)
+       |    AS n_files,
+       |  (SELECT COUNT(DISTINCT doc_id // $WarcDocsPerFile) FROM base)
+       |    AS n_clean_files,
+       |  (SELECT COUNT(*) FROM base) AS n_responses,
+       |  (SELECT COUNT(*) FROM base WHERE detected = 'utf8') AS n_enc_utf8,
+       |  (SELECT COUNT(*) FROM base WHERE detected = 'cp1252')
+       |    AS n_enc_cp1252,
+       |  (SELECT COUNT(*) FROM base WHERE detected = 'double_utf8')
+       |    AS n_enc_double,
+       |  (SELECT COUNT(*) FROM base WHERE detected = 'truncated_utf8')
+       |    AS n_enc_truncated,
+       |  (SELECT COUNT(*) FROM base WHERE is_eval) AS n_eval,
+       |  (SELECT COUNT(*) FROM tc) AS n_quality_keep,
+       |  (SELECT COUNT(*) FROM d) AS n_dedup_keep,
+       |  (SELECT COUNT(*) FROM dirty) AS n_decontam_drop,
+       |  (SELECT COUNT(*) FROM d WHERE doc_id NOT IN
+       |     (SELECT doc_id FROM dirty)) AS n_train_ready,
+       |  (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM d
+       |   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)) AS train_tokens
+       |""".stripMargin
+
   // ------------------------------------------------------- tar scan
   /** POSIX-ustar member walk over synthesized corpus shards — the
     * other container front door beside [[warcScan]]: WARC is how the
@@ -1613,7 +1798,8 @@ object HtmlOps {
     "q_gzip_members" -> (gzipMembers _),
     "q_zstd_scan" -> (zstdScan _),
     "q_sitemap_scan" -> (sitemapScan _),
-    "q_crawl_frontier" -> (crawlFrontier _)
+    "q_crawl_frontier" -> (crawlFrontier _),
+    "q_crawl_funnel" -> (crawlFunnel _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1630,6 +1816,7 @@ object HtmlOps {
     "q_gzip_members" -> gzipMembersOracle,
     "q_zstd_scan" -> zstdScanOracle,
     "q_sitemap_scan" -> sitemapScanOracle,
-    "q_crawl_frontier" -> crawlFrontierOracle
+    "q_crawl_frontier" -> crawlFrontierOracle,
+    "q_crawl_funnel" -> crawlFunnelOracle
   )
 }

@@ -650,4 +650,27 @@ class HtmlOpsSpec extends SparkSpec {
       xml.indexOf("</url>") + 1)) + 3)
     assert(HtmlOps.parseSitemap(cut).size == 1)
   }
+
+  test("crawl funnel: ledger coherence across the composed stages") {
+    val row = HtmlOps.crawlFunnel(spark, sfTiny).collect().head
+    def L(c: String) = row.getLong(row.fieldIndex(c))
+    // container walk consumed every file cleanly
+    assert(L("n_clean_files") == L("n_files") && L("n_files") > 0)
+    // every response lands in exactly one encoding class
+    assert(L("n_enc_utf8") + L("n_enc_cp1252") + L("n_enc_double") +
+      L("n_enc_truncated") == L("n_responses"))
+    // funnel is monotone and the final arithmetic closes
+    assert(L("n_quality_keep") <= L("n_responses") - L("n_eval"))
+    assert(L("n_dedup_keep") <= L("n_quality_keep"))
+    assert(L("n_train_ready") == L("n_dedup_keep") - L("n_decontam_drop"))
+    // each gate must WITNESS something at fixture scale — a stage
+    // dropping nothing would pass the hash even if its join broke
+    assert(L("n_quality_keep") < L("n_responses") - L("n_eval"),
+      "quality gate dropped nothing")
+    assert(L("n_dedup_keep") < L("n_quality_keep"),
+      "dedup keeper dropped nothing")
+    assert(L("n_decontam_drop") > 0, "decontamination witnessed nothing")
+    assert(L("train_tokens") > 0)
+    spark.catalog.clearCache()
+  }
 }
