@@ -918,19 +918,25 @@ object SimilarityOps {
           col("norm").as("cn"), col("cell"))
     }
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-    // candidates come from the MATERIALIZED index; only the 5 query
-    // vectors pay an assignment pass (multi-probe: NProbe nearest cells)
+  /** Serve a (small) query-vector frame against the STANDING
+    * materialized index — probe assignment, cell equi-join, per-query
+    * top-5. The ONE serving definition the batch query and the
+    * streaming twin ([[graft.streaming.StreamingOps.annServeStream]])
+    * both run: queries pay a bounded-centroid assignment pass, then
+    * broadcast into the cell join so the candidate corpus never
+    * shuffles; the standing index is NEVER re-trained or re-assigned
+    * per batch (the conformal-serving discipline — retraining
+    * mid-stream would shift every cell boundary under the server).
+    * Expects (vec_id, embedding, norm) on `queryVecs`. */
+  private[graft] def annServeBatch(
+      queryVecs: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     val cands = ivfIndex(spark, sfDir)
-    val queries = assign(e.filter(col("vec_id") < 5),
+    val queries = assign(queryVecs,
         centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn"), col("seed_id").as("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
-    // query side is a handful of rows — broadcast it so the cell join
-    // never shuffles the candidate corpus
     broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
@@ -938,6 +944,13 @@ object SimilarityOps {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("cid"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    // candidates come from the MATERIALIZED index; only the 5 query
+    // vectors pay an assignment pass (multi-probe: NProbe nearest cells)
+    annServeBatch(e.filter(col("vec_id") < 5), spark, sfDir)
       .orderBy(col("qid"), col("rank"))
   }
 

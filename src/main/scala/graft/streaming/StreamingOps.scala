@@ -161,6 +161,43 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ANN serving — query-vector arrivals probed against the
+    * STANDING materialized IVF index
+    * ([[graft.ops.SimilarityOps.ivfIndex]], built once — serving never
+    * re-trains or re-assigns mid-stream; that would shift every cell
+    * boundary under the server, the same guarantee-voiding move as
+    * recalibrating conformal mid-stream): each micro-batch runs the
+    * batch op's own factored
+    * [[graft.ops.SimilarityOps.annServeBatch]] — bounded-centroid
+    * probe assignment, broadcast of the (small) query batch into the
+    * cell equi-join, per-query top-5 — and appends (qid, rank, cid,
+    * cosine) rows to a ledger. Stateless per arrival; replay
+    * re-appends byte-identical rows a reader dedups on (qid, rank).
+    * This is the serving half of `q_ann_ivf`: the ledger must equal
+    * the batch query row-for-row, which StreamingSpec pins —
+    * completing the train-once/serve-many story for the similarity
+    * family the way [[nbScoreStream]] did for classification.
+    *
+    * Scale shape per micro-batch: the index is the standing parquet
+    * (bucketed by cell at 100 TB, so a probe reads only touched
+    * buckets); the batch pays one ≤4096-row centroid broadcast and
+    * one cell equi-join — no corpus shuffle, no state store. */
+  def annServeStream(queries: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorExprs.register(spark)
+        graft.ops.SimilarityOps.annServeBatch(
+            batch.toDF()
+              .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)"))),
+            spark, sfDir)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Watermarked event-time hourly OD aggregation — the streaming twin
     * of the silver hourly rollup. Append-mode emits a (window, zone) row
     * exactly once, after the watermark passes the window end. */

@@ -17,12 +17,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
     // the bloom pair is part of the registered surface too: a filter
     // built over keys 1..3 must admit its members (no false negatives);
-    // might_contain demands a CONSTANT or scalar-subquery bloom side
+    // might_contain demands a CONSTANT or scalar-subquery bloom side.
+    // The probe key must reach codegen as a COLUMN, not a literal —
+    // Spark's BloomFilterMightContain codegen mishandles foldable
+    // probe inputs (emits `(Long)<literal>`, invalid Janino → "Expr
+    // codegen error" WARN + interpreted fallback). A generator source
+    // survives constant folding; a plain `SELECT 2L AS k` subquery
+    // does not. The column probe is also the production shape
+    // (q_bloom_prune).
     val bloom = spark.sql(
       """SELECT bloom_might_contain(
         |         (SELECT bloom_agg(id, 100L)
         |          FROM (SELECT explode(sequence(1L, 3L)) AS id)),
-        |         2L) AS hit
+        |         k) AS hit
+        |FROM (SELECT explode(sequence(2L, 2L)) AS k)
         |""".stripMargin).collect()(0)
     assert(bloom.getBoolean(0), "bloom filter dropped a member key")
   }

@@ -754,6 +754,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving ledger equals the batch q_ann_ivf row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/ann_serve_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    // the batch query's own 5 query vectors, arriving in two waves —
+    // the standing index must serve both waves without re-training
+    val qVecs = Tables.embeddings(spark, sfTiny)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.annServeStream(
+      input.toDF().toDF("vec_id", "embedding"), sfTiny, s"$base/ledger")
+    try {
+      qVecs.grouped(3).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("cid"), r.getAs[Double]("cosine")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val streamed = rows(spark.read.parquet(s"$base/ledger"))
+      val batch = rows(graft.ops.SimilarityOps.annIvf(spark, sfTiny))
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
