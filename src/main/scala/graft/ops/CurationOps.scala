@@ -768,6 +768,202 @@ object CurationOps {
        |GROUP BY source, total_tokens, n_windows, tail_pad
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- FIM transform
+  /** Fill-in-the-middle transform audit (Bavarian et al. '22 — the
+    * data-level trick behind every code model's infilling ability:
+    * reorder a document into prefix/suffix/middle so a causal LM
+    * learns to fill holes, applied to ~half the corpus so left-to-
+    * right ability is preserved). FIM docs (`doc_id % 2 = 0`, the
+    * paper's 0.5 rate as a deterministic split) cut at two
+    * token-level points derived from the shared md5-lattice hash (the
+    * engines' common 60-bit primitive standing in for the paper's
+    * uniform draws), and mode PSM vs SPM is another hash bit. The
+    * audit a pipeline actually runs on this transform: segment-token
+    * CONSERVATION and reassembly IDENTITY (prefix·middle·suffix must
+    * re-concatenate to the original document — a lossy FIM transform
+    * silently corrupts the corpus), plus per-source mode counts and
+    * middle-fraction mass.
+    *
+    * Parity: the cut arithmetic is pure nonneg integer mod/div on the
+    * shared hash, so segment lengths are exact in both engines; the
+    * reassembly check compares strings rebuilt by the same
+    * split-on-space/join-with-space inverse pair.
+    *
+    * Scale shape: pure map-side column math (split, slice, join —
+    * all codegen'd) + one per-source hash rollup; no joins, no
+    * windows, nothing driver-side. */
+  def fimTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("m", size(col("w")).cast("long"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("is_fim", col("doc_id") % 2 === 0)
+      .withColumn("cut1", expr("h % (m + 1)"))
+      .withColumn("len_mid", expr("(h div 7) % (m - cut1 + 1)"))
+      .withColumn("mode",
+        when(!col("is_fim"), lit("plain"))
+          .when(expr("(h div 13) % 2 = 0"), lit("psm"))
+          .otherwise(lit("spm")))
+      .withColumn("prefix", expr("slice(w, 1, CAST(cut1 AS INT))"))
+      .withColumn("middle",
+        expr("slice(w, CAST(cut1 + 1 AS INT), CAST(len_mid AS INT))"))
+      .withColumn("suffix",
+        expr("slice(w, CAST(cut1 + len_mid + 1 AS INT), CAST(m AS INT))"))
+      .withColumn("conserved",
+        size(col("prefix")) + size(col("middle")) + size(col("suffix"))
+          === col("m").cast("int"))
+      .withColumn("reassembled",
+        expr("array_join(concat(prefix, middle, suffix), ' ')") === col("text"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_fim"), 1L).otherwise(0L)).as("n_fim"),
+        sum(when(col("mode") === "psm", 1L).otherwise(0L)).as("n_psm"),
+        sum(when(col("mode") === "spm", 1L).otherwise(0L)).as("n_spm"),
+        sum(col("m")).cast("long").as("tokens"),
+        sum(when(col("is_fim"), col("len_mid")).otherwise(0L)).cast("long")
+          .as("mid_tokens"),
+        sum(when(col("is_fim") && col("conserved"), 1L).otherwise(0L))
+          .as("n_conserved"),
+        sum(when(col("is_fim") && col("reassembled"), 1L).otherwise(0L))
+          .as("n_reassembled"))
+      .withColumn("mid_frac_e6",
+        expr("mid_tokens * 1000000 DIV tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val fimTransformOracle =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |         string_split(text, ' ') AS w,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS m,
+      |         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h,
+      |         doc_id % 2 = 0 AS is_fim
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT *, h % (m + 1) AS cut1,
+      |         (h // 7) % (m - (h % (m + 1)) + 1) AS len_mid,
+      |         CASE WHEN NOT is_fim THEN 'plain'
+      |              WHEN (h // 13) % 2 = 0 THEN 'psm' ELSE 'spm'
+      |         END AS mode
+      |  FROM d),
+      |seg AS (
+      |  SELECT *,
+      |         w[1:CAST(cut1 AS INTEGER)] AS pre,
+      |         w[CAST(cut1 + 1 AS INTEGER):CAST(cut1 + len_mid AS INTEGER)]
+      |           AS mid,
+      |         w[CAST(cut1 + len_mid + 1 AS INTEGER):CAST(m AS INTEGER)]
+      |           AS suf
+      |  FROM cuts)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN is_fim THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_fim,
+      |       CAST(SUM(CASE WHEN mode = 'psm' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_psm,
+      |       CAST(SUM(CASE WHEN mode = 'spm' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_spm,
+      |       CAST(SUM(m) AS BIGINT) AS tokens,
+      |       CAST(SUM(CASE WHEN is_fim THEN len_mid ELSE 0 END) AS BIGINT)
+      |         AS mid_tokens,
+      |       CAST(SUM(CASE WHEN is_fim AND
+      |                len(pre) + len(mid) + len(suf) = m
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_conserved,
+      |       CAST(SUM(CASE WHEN is_fim AND
+      |                array_to_string(
+      |                  list_concat(list_concat(pre, mid), suf), ' ') = text
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_reassembled,
+      |       CAST(SUM(CASE WHEN is_fim THEN len_mid ELSE 0 END)
+      |            * 1000000 // SUM(m) AS BIGINT) AS mid_frac_e6
+      |FROM seg GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------------- canary survival
+  /** Canary extraction-risk audit (Carlini et al. '19 "secret
+    * sharer"): plant marker sequences into the corpus at CONTROLLED
+    * duplication counts, run the pipeline's own defenses, and report
+    * which canaries survive into training — the measurement behind
+    * every memorization claim. Class c ∈ 0..3 plants 2^c copies of
+    * its canary PREFIX per 101-doc stride (`doc_id % 101` in the
+    * class's cumulative-offset window — duplication grows
+    * geometrically across classes, the secret-sharer sweep, and
+    * scales with the corpus); defenses are the SHIPPED stage rules
+    * composed in pipeline order — the Gopher gate
+    * ([[graft.ops.TextOps.qualityKeep]], which planted docs pass
+    * unchanged modulo the short prefix) and the canonical-prefix
+    * exact-dedup keeper ([[pipelineLedger]]'s md5-of-40-chars rule).
+    * Because a class's canary prefix DOMINATES the 40-char window,
+    * all its copies collapse to one fingerprint — so dedup reduces
+    * every class to ≤1 surviving copy, the secret-sharer result
+    * (duplication drives extraction risk; dedup is the defense) made
+    * visible per class under the hash.
+    *
+    * Scale shape: planting is map-side column math; the audit is the
+    * ledger's one fingerprint groupBy + semi-join; the report is a
+    * class-keyed rollup. */
+  def canaryAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    // class c ∈ 0..3 plants 2^c copies on docs with doc_id % 101 ∈
+    // [off(c), off(c) + 2^c) where off = cumulative (0, 1, 3, 7)
+    val r = col("doc_id") % 101
+    val cls = when(r < 1, 0).when(r < 3, 1).when(r < 7, 2)
+      .when(r < 15, 3).otherwise(-1)
+    val planted = d
+      .withColumn("cls", cls)
+      .withColumn("text",
+        when(col("cls") >= 0,
+          concat(lit("CANARY-"), col("cls"),
+            lit(" the quick zebra vaults over marker "),
+            col("cls"), lit(" "), col("text")))
+          .otherwise(col("text")))
+    val keepQ = planted.withColumn("keep_q", TextOps.qualityKeep)
+    val q = keepQ.filter(col("keep_q"))
+    val keepers = q
+      .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = q.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).withColumn("kept", lit(1))
+    keepQ.filter(col("cls") >= 0)
+      .join(surv, Seq("doc_id"), "left")
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_pass_quality"),
+        sum(when(col("kept") === 1, 1L).otherwise(0L)).as("n_survive_dedup"))
+      .orderBy(col("cls"))
+  }
+
+  private lazy val canaryAuditOracle = {
+    // single-line fragment: it interpolates into a stripMargin string,
+    // where a line-leading `||` would lose a pipe to the margin strip
+    val clsSql = "CASE WHEN doc_id % 101 < 1 THEN 0 " +
+      "WHEN doc_id % 101 < 3 THEN 1 WHEN doc_id % 101 < 7 THEN 2 " +
+      "ELSE 3 END"
+    val plantedText = s"CASE WHEN doc_id % 101 < 15 THEN 'CANARY-' || " +
+      s"$clsSql || ' the quick zebra vaults over marker ' || $clsSql || " +
+      "' ' || text ELSE text END"
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 101 < 1 THEN 0
+       |              WHEN doc_id % 101 < 3 THEN 1
+       |              WHEN doc_id % 101 < 7 THEN 2
+       |              WHEN doc_id % 101 < 15 THEN 3 ELSE -1 END AS cls,
+       |         $plantedText AS text
+       |  FROM documents),
+       |kq AS (SELECT doc_id, cls, text, ${TextOps.qualityKeepSql} AS keep_q
+       |       FROM planted),
+       |k AS (SELECT MIN(doc_id) AS doc_id FROM kq WHERE keep_q
+       |      GROUP BY md5(substr(text, 1, 40))),
+       |surv AS (SELECT kq.doc_id FROM kq JOIN k USING (doc_id)
+       |         WHERE kq.keep_q)
+       |SELECT cls, COUNT(*) AS n_planted,
+       |       CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pass_quality,
+       |       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_survive_dedup
+       |FROM kq LEFT JOIN surv s USING (doc_id)
+       |WHERE cls >= 0
+       |GROUP BY cls ORDER BY cls""".stripMargin
+  }
+
   // ------------------------------------------------- pipeline ledger
   /** End-to-end curation funnel — the stage ledger a pipeline run
     * publishes: raw corpus → Gopher-style quality gate (the IDENTICAL
@@ -3222,6 +3418,8 @@ object CurationOps {
     "q_curriculum" -> (curriculum _),
     "q_inverted_index" -> (invertedIndex _),
     "q_pipeline_ledger" -> (pipelineLedger _),
+    "q_fim_transform" -> (fimTransform _),
+    "q_canary_audit" -> (canaryAudit _),
     "q_dsir_resample" -> (dsirResample _),
     "q_shard_balance" -> (shardBalance _),
     "q_rendezvous" -> (rendezvous _),
@@ -3262,6 +3460,8 @@ object CurationOps {
     "q_curriculum" -> curriculumOracle,
     "q_inverted_index" -> invertedIndexOracle,
     "q_pipeline_ledger" -> pipelineLedgerOracle,
+    "q_fim_transform" -> fimTransformOracle,
+    "q_canary_audit" -> canaryAuditOracle,
     "q_dsir_resample" -> dsirResampleOracle,
     "q_shard_balance" -> shardBalanceOracle,
     "q_rendezvous" -> rendezvousOracle,

@@ -667,6 +667,107 @@ object SimilarityOps {
        |  JOIN embeddings eb ON eb.vec_id = c.b_id),
        |$bitextTailSql""".stripMargin
 
+  // ------------------------------------- semantic decontamination
+  /** Embedding-space benchmark decontamination — the SEMANTIC
+    * companion to the lexical 8-gram screens
+    * ([[graft.ops.PipelineOps.decontaminate]] and its graded sibling):
+    * paraphrased or translated benchmark material shares no 8-gram
+    * with the eval split, but its embedding sits next to it — so
+    * production pipelines (e.g. the phi-series "decontamination by
+    * embedding similarity") flag training docs whose nearest EVAL
+    * neighbor clears a cosine bar. Eval split `vec_id % 10 = 7` (the
+    * graded-decontam convention); a train doc is flagged when its
+    * best eval cosine ≥ [[SemDecontamE9]]/1e9.
+    *
+    * Candidates come from the trained IVF probe in BOTH directions
+    * (train probes eval's stored cells, eval probes train's stored
+    * cells — the [[bitextMineIvf]] recall-symmetric shape), so the
+    * plan has NO data-sized cartesian: candidate generation is
+    * narrow-id cell equi-joins, vectors rejoin once for scoring,
+    * per-train best is a keyed max, and the report is a label-keyed
+    * rollup. Parity: cosines quantize once to the e9 lattice; max
+    * and conditional counts are then exact integer ops. */
+  private val SemDecontamE9 = 400000000L
+
+  def semanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val isEval = col("vec_id") % 10 === 7
+    val probes = probeCells(e,
+      centroidsWithNorm(coarseCentroids(spark, sfDir)), NProbe)
+    val stored = ivfIndex(spark, sfDir)
+      .select(col("cid").as("vec_id"), col("cell"))
+    def side(df: DataFrame, eval: Boolean, as: String): DataFrame =
+      df.filter(if (eval) isEval else !isEval)
+        .select(col("vec_id").as(as), col("cell"))
+    val candIds = side(probes, eval = false, "tid")
+      .join(side(stored, eval = true, "vid"), Seq("cell"))
+      .select(col("tid"), col("vid"))
+      .union(side(stored, eval = false, "tid")
+        .join(side(probes, eval = true, "vid"), Seq("cell"))
+        .select(col("tid"), col("vid")))
+      .distinct()
+    val tVec = e.filter(!isEval).select(col("vec_id").as("tid"),
+      col("embedding").as("tv"), col("norm").as("tn"), col("label"))
+    val vVec = e.filter(isEval).select(col("vec_id").as("vid"),
+      col("embedding").as("vv"), col("norm").as("vn"))
+    val best = candIds.join(tVec.select(col("tid"), col("tv"), col("tn")),
+        Seq("tid"))
+      .join(vVec, Seq("vid"))
+      .withColumn("cos_e9",
+        round(cosine("tv", "tn", "vv", "vn") * lit(1000000000.0), 0)
+          .cast("long"))
+      .groupBy(col("tid")).agg(max(col("cos_e9")).as("best_e9"))
+    tVec.select(col("tid"), col("label"))
+      .join(best, Seq("tid"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("best_e9").isNotNull, 1L).otherwise(0L))
+          .as("n_candidated"),
+        sum(when(col("best_e9") >= SemDecontamE9, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("best_e9")).as("max_best_e9"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val semanticDecontamOracle =
+    s"""WITH $coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |stored AS (SELECT vec_id, cell FROM cellranked WHERE arank = 1),
+       |probes AS (SELECT vec_id, cell FROM cellranked
+       |           WHERE arank <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT tid, vid FROM (
+       |    SELECT p.vec_id AS tid, s.vec_id AS vid
+       |    FROM probes p JOIN stored s USING (cell)
+       |    WHERE p.vec_id % 10 <> 7 AND s.vec_id % 10 = 7
+       |    UNION ALL
+       |    SELECT s.vec_id AS tid, p.vec_id AS vid
+       |    FROM stored s JOIN probes p USING (cell)
+       |    WHERE s.vec_id % 10 <> 7 AND p.vec_id % 10 = 7)),
+       |best AS (
+       |  SELECT c.tid, MAX(CAST(ROUND(
+       |           ${cosineSql("et.embedding", "ev.embedding")}
+       |           * 1000000000.0) AS BIGINT)) AS best_e9
+       |  FROM cand c
+       |  JOIN embeddings et ON et.vec_id = c.tid
+       |  JOIN embeddings ev ON ev.vec_id = c.vid
+       |  GROUP BY c.tid)
+       |SELECT t.label, COUNT(*) AS n_train,
+       |       CAST(SUM(CASE WHEN b.best_e9 IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_candidated,
+       |       CAST(SUM(CASE WHEN b.best_e9 >= $SemDecontamE9
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       MAX(b.best_e9) AS max_best_e9
+       |FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 <> 7) t
+       |LEFT JOIN best b ON b.tid = t.vec_id
+       |GROUP BY t.label ORDER BY t.label""".stripMargin
+
   // ------------------------------------------- late interaction (MaxSim)
   /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
     * SIGIR'20): query and document are BAGS of token vectors, not one
@@ -2203,6 +2304,7 @@ object SimilarityOps {
     "q_ann_bruteforce" -> (annBruteforce _),
     "q_bitext_mine" -> (bitextMine _),
     "q_bitext_mine_ivf" -> (bitextMineIvf _),
+    "q_semantic_decontam" -> (semanticDecontam _),
     "q_hubness" -> (hubness _),
     "q_hubness_ivf" -> (hubnessIvf _),
     "q_mmd_drift" -> (mmdDrift _),
@@ -2230,6 +2332,7 @@ object SimilarityOps {
     "q_ann_bruteforce" -> annBruteforceOracle,
     "q_bitext_mine" -> bitextMineOracle,
     "q_bitext_mine_ivf" -> bitextMineIvfOracle,
+    "q_semantic_decontam" -> semanticDecontamOracle,
     "q_hubness" -> hubnessOracle,
     "q_hubness_ivf" -> hubnessIvfOracle,
     "q_mmd_drift" -> mmdDriftOracle,

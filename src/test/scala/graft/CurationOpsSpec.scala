@@ -1060,4 +1060,40 @@ class CurationOpsSpec extends SparkSpec {
     val agree = rows.head._3
     assert(agree >= 800000L && agree <= 1000000L, s"agreement $agree")
   }
+
+  test("fim transform: lossless on every FIM doc, modes partition") {
+    val rows = CurationOps.fimTransform(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    var fimTotal = 0L
+    rows.foreach { r =>
+      def L(c: String) = r.getLong(r.fieldIndex(c))
+      // conservation and reassembly must hold for EVERY transformed
+      // doc — a single miss means the transform corrupts the corpus
+      assert(L("n_conserved") == L("n_fim"), s"${r.getString(0)} lost tokens")
+      assert(L("n_reassembled") == L("n_fim"),
+        s"${r.getString(0)} reassembly broke")
+      assert(L("n_psm") + L("n_spm") == L("n_fim"))
+      assert(L("mid_tokens") <= L("tokens"))
+      fimTotal += L("n_fim")
+    }
+    assert(fimTotal > 0, "no doc was FIM-transformed — degenerate fixture")
+  }
+
+  test("canary audit: geometric planting, dedup collapses every class to one") {
+    val rows = CurationOps.canaryAudit(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // planting doubles per class (the secret-sharer duplication sweep)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == 2 * a._2, s"planting not geometric: ${rows.toSeq}") }
+    rows.foreach { case (cls, planted, passQ, surv) =>
+      assert(passQ <= planted)
+      // all copies of a class share the 40-char fingerprint window —
+      // exact dedup must collapse the class to at most one survivor
+      assert(surv <= 1L, s"class $cls: $surv canaries survived dedup")
+      assert(passQ == 0L || surv == 1L,
+        s"class $cls: quality-surviving canaries vanished entirely")
+    }
+  }
 }

@@ -600,6 +600,30 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getLong(3) <= n - 1, "max hub above n-1")
   }
 
+  test("semantic decontam: IVF flags are a subset of the brute-force flags") {
+    // candidates ⊆ all pairs ⇒ the probed best cosine never exceeds
+    // the true best ⇒ no false positives vs the dense screen
+    val e = Tables.embeddings(spark, sfTiny)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val (evalV, trainV) = e.partition(_._1 % 10 == 7)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bruteFlag = trainV.filter { case (_, tv) =>
+      evalV.exists { case (_, vv) =>
+        math.round(cos(tv, vv) * 1e9) >= 400000000L }
+    }.map(_._1).toSet
+    val rep = SimilarityOps.semanticDecontam(spark, sfTiny).collect()
+    val nFlagged = rep.map(_.getLong(rep.head.fieldIndex("n_flagged"))).sum
+    assert(nFlagged > 0, "no flags — threshold exercises nothing")
+    assert(nFlagged <= bruteFlag.size,
+      s"IVF flagged $nFlagged > brute ${bruteFlag.size} — impossible")
+    assert(rep.map(_.getLong(1)).sum == trainV.length)
+  }
+
   test("hubness: k-occurrence conservation and moment coherence") {
     val r = SimilarityOps.hubness(spark, sfTiny).collect()
     assert(r.length == 1)
