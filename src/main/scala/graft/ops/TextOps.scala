@@ -543,6 +543,90 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- Min-K% membership
+  /** Min-K% Prob membership-inference audit (Shi et al. '24,
+    * "Detecting Pretraining Data from Large Language Models"): a
+    * document the model has SEEN scores high even on its least-likely
+    * tokens, so the test statistic is the mean logprob of each doc's
+    * bottom-K% tokens — the contamination/memorization screen that
+    * needs no reference model. Scored here under the SHIPPED unigram
+    * LM ([[unigramLogprob]]'s exact lp_e6 lattice — the same
+    * model-composition discipline as the eval family); K = 20%
+    * (k = ⌈n/5⌉), flag when the doc's min-k mass clears
+    * [[MinKThreshE6]] per token — the comparison is the integer
+    * cross-multiplication `Σlp > T·k`, so NO division touches the
+    * flag (signed-division parity never arises; the
+    * duckdb-floor-division lesson).
+    *
+    * Scale shape: token scoring is the unigramLogprob vocab equi-join
+    * (AQE broadcast at fixture scale, term-keyed shuffle at corpus
+    * scale); the bottom-k pick is a per-doc window (parallel by
+    * doc_id, narrow rows — ids and lattice longs only); rollup is
+    * source-keyed. Sum-of-k-smallest is tie-safe: any tie-break at
+    * the boundary yields the same multiset sum, so the window's
+    * order-by needs no tiebreaker column. */
+  private val MinKThreshE6 = -3440000L
+
+  def minKProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val scored = toks.join(freqs, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0), 0)
+          .cast("long").as("lp_e6"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val mink = scored
+      .withColumn("r", row_number().over(wDoc.orderBy(col("lp_e6").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("r") <= expr("(n + 4) div 5"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lp_e6")).as("s"), count(lit(1)).as("k"))
+      .withColumn("flagged", col("s") > lit(MinKThreshE6) * col("k"))
+    mink.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("k")).cast("long").as("n_mink_tokens"),
+        sum(col("s")).cast("long").as("sum_mink_lp_e6"))
+      .withColumn("mink_avg",
+        round(col("sum_mink_lp_e6").cast("double") /
+          col("n_mink_tokens") / lit(1000000.0), 6))
+      .orderBy(col("source"))
+  }
+
+  private val minKProbOracle =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |                     unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+       |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |         CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot) * 1000000.0)
+       |              AS BIGINT) AS lp_e6
+       |  FROM toks JOIN freqs USING (term) CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT doc_id, source, lp_e6,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lp_e6) AS r,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM scored),
+       |mink AS (
+       |  SELECT doc_id, source, CAST(SUM(lp_e6) AS BIGINT) AS s,
+       |         COUNT(*) AS k
+       |  FROM ranked WHERE r <= (n + 4) // 5
+       |  GROUP BY doc_id, source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN s > $MinKThreshE6 * k THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_flagged,
+       |       CAST(SUM(k) AS BIGINT) AS n_mink_tokens,
+       |       CAST(SUM(s) AS BIGINT) AS sum_mink_lp_e6,
+       |       ROUND(CAST(SUM(s) AS DOUBLE) / SUM(k) / 1000000.0, 6)
+       |         AS mink_avg
+       |FROM mink GROUP BY source ORDER BY source""".stripMargin
+
   private[ops] val unigramLogprobOracle =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |              FROM documents),
@@ -2085,6 +2169,111 @@ object TextOps {
        |       CAST(SUM(loss_e6) AS BIGINT) // COUNT(*) AS mean_loss_e6
        |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- GRPO advantages
+  /** Group-relative advantage normalization (the GRPO/RLVR data-prep
+    * step: within each prompt's sample GROUP, reward r becomes
+    * (r − μ_g)/σ_g, so groups with different reward scales contribute
+    * comparable gradients and a constant-reward group contributes
+    * none). Fixture groups are the [[dpoPairs]] (lang, length-bucket)
+    * cells standing in for prompts, their docs for sampled
+    * completions, and the unigram-LM per-token logprob lattice
+    * (`slp_u div n_tok`, dpoPairs' `sel`) for the reward.
+    *
+    * Parity: per-group n, Σr, Σr² are exact longs, and the advantage
+    * is the algebraic form (n·r − Σr)/√(n·Σr² − (Σr)²) — integers
+    * inside, then ONE sqrt, ONE division, ONE e6 round, identical
+    * IEEE ops on identical inputs in both engines. Degenerate groups
+    * (n < 2 or zero variance) are excluded — GRPO itself skips them
+    * (σ = 0 means no learning signal). Per-group Σadv_e6 ships as the
+    * normalization witness (must hover near 0; a wrong μ shifts it
+    * group-size-fold).
+    *
+    * Scale shape: reward scoring is the unigramLogprob vocab
+    * equi-join; group stats and the argmax are (lang, bucket)-keyed
+    * aggregates — the window partitions by group, never global. */
+  def grpoAdvantage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " "))
+      .as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val uni = toks.join(freqs, Seq("term")) // vocab-sized: unhinted
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0),
+          0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_e6")).as("slp_u"))
+    val scored = uni
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket", expr(s"n_tok div $DpoBucket"))
+      .withColumn("rw", expr("slp_u div n_tok"))
+    val stats = scored.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("rw")).as("s1"),
+        sum(col("rw") * col("rw")).as("s2"))
+      .filter(col("n") >= 2 && col("n") * col("s2") > col("s1") * col("s1"))
+    val adv = scored.join(stats, Seq("lang", "bucket"))
+      .withColumn("adv_e6",
+        round((col("n") * col("rw") - col("s1")).cast("double") /
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double"))
+          * lit(1000000.0), 0).cast("long"))
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("adv_e6").desc, col("doc_id"))
+    val best = adv.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("lang"), col("bucket"), col("doc_id").as("best_id"),
+        col("adv_e6").as("best_adv_e6"))
+    adv.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("adv_e6")).cast("long").as("sum_adv_e6"))
+      .join(best, Seq("lang", "bucket"))
+      .select(col("lang"), col("bucket"), col("n_samples"),
+        col("sum_adv_e6"), col("best_id"), col("best_adv_e6"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val grpoAdvantageOracle =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |toks AS (SELECT doc_id, unnest(ws) AS term FROM d),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+       |freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+       |uni AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |         CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot)
+       |                  * 1000000.0) AS BIGINT)) AS BIGINT) AS slp_u
+       |  FROM toks JOIN freqs USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, uni.n_tok // $DpoBucket AS bucket,
+       |         uni.slp_u // uni.n_tok AS rw
+       |  FROM d JOIN uni USING (doc_id)),
+       |stats AS (
+       |  SELECT lang, bucket, COUNT(*) AS n,
+       |         CAST(SUM(rw) AS BIGINT) AS s1,
+       |         CAST(SUM(rw * rw) AS BIGINT) AS s2
+       |  FROM scored GROUP BY lang, bucket
+       |  HAVING COUNT(*) >= 2
+       |     AND COUNT(*) * CAST(SUM(rw * rw) AS BIGINT)
+       |         > CAST(SUM(rw) AS BIGINT) * CAST(SUM(rw) AS BIGINT)),
+       |adv AS (
+       |  SELECT s.lang, s.bucket, s.doc_id,
+       |         CAST(ROUND(CAST(t.n * s.rw - t.s1 AS DOUBLE)
+       |           / sqrt(CAST(t.n * t.s2 - t.s1 * t.s1 AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS adv_e6
+       |  FROM scored s JOIN stats t USING (lang, bucket)),
+       |best AS (
+       |  SELECT lang, bucket, doc_id AS best_id, adv_e6 AS best_adv_e6
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bucket
+       |          ORDER BY adv_e6 DESC, doc_id) AS r FROM adv)
+       |  WHERE r = 1)
+       |SELECT a.lang, a.bucket, COUNT(*) AS n_samples,
+       |       CAST(SUM(a.adv_e6) AS BIGINT) AS sum_adv_e6,
+       |       b.best_id, b.best_adv_e6
+       |FROM adv a JOIN best b USING (lang, bucket)
+       |GROUP BY a.lang, a.bucket, b.best_id, b.best_adv_e6
+       |ORDER BY a.lang, a.bucket""".stripMargin
+
   // ---------------------------------------------------- PMI collocations
   /** PMI collocation mining — the classic phrase-discovery statistic:
     * pointwise mutual information ln(p(w1,w2) / (p(w1)·p(w2))) of each
@@ -3098,6 +3287,8 @@ object TextOps {
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
+    "q_min_k_prob" -> (minKProb _),
+    "q_grpo_advantage" -> (grpoAdvantage _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_qlm_dirichlet" -> (qlmDirichlet _),
@@ -3140,6 +3331,8 @@ object TextOps {
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,
+    "q_min_k_prob" -> minKProbOracle,
+    "q_grpo_advantage" -> grpoAdvantageOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_bm25" -> bm25Oracle,
     "q_qlm_dirichlet" -> qlmDirichletOracle,

@@ -738,4 +738,50 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == want,
       s"$src: ${rows.head.getLong(2)} != $want")
   }
+
+  test("min-k prob: bottom-k mean never exceeds the full-doc mean") {
+    import org.apache.spark.sql.functions._
+    // the bottom-20% token mean is a lower envelope of the overall
+    // per-token mean by construction — compare the source rollups
+    val mink = TextOps.minKProb(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> (r.getLong(r.fieldIndex("sum_mink_lp_e6")),
+        r.getLong(r.fieldIndex("n_mink_tokens")))).toMap
+    val full = Tables.documents(spark, sfSmall)
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val freqs = full.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val tot = full.count().toDouble
+    val fullLp = full.join(freqs, Seq("term"))
+      .select(col("source"),
+        round(log(col("tf").cast("double") / tot) * lit(1e6), 0)
+          .cast("long").as("lp"))
+      .groupBy(col("source"))
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mink.nonEmpty && mink.keySet == fullLp.keySet)
+    mink.foreach { case (src, (sm, km)) =>
+      val (sf, nf) = fullLp(src)
+      // cross-multiplied means (all counts positive, sums negative)
+      assert(sm * nf <= sf * km,
+        s"$src: min-k mean above full mean — selection broke")
+    }
+    val flagged = TextOps.minKProb(spark, sfSmall).collect()
+      .map(_.getLong(2)).sum
+    assert(flagged > 0, "threshold flags nothing at sf0.01 — unwitnessed")
+  }
+
+  test("grpo advantage: per-group normalization witness holds") {
+    val rows = TextOps.grpoAdvantage(spark, sfSmall).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_samples"))
+      val s = r.getLong(r.fieldIndex("sum_adv_e6"))
+      val best = r.getLong(r.fieldIndex("best_adv_e6"))
+      assert(n >= 2)
+      // Σ(r−μ)/σ is identically 0 pre-rounding; each rounded term is
+      // off by < 0.5 on the e6 lattice, so |Σ| < n/2 + slack
+      assert(math.abs(s) <= n, s"group sum_adv_e6 $s exceeds ±$n")
+      assert(best > 0, "argmax advantage must be positive in a n≥2 group")
+    }
+  }
 }
