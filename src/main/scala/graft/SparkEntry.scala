@@ -85,7 +85,7 @@ object SparkEntry {
       ops.MultimodalOps.oracles ++
       ops.CatalogOps.oracles ++
       etl.Medallion.oracles ++
-      etl.Layout.oracles ++
+      etl.Layout.oracles(sfDir) ++
       etl.Bucketing.oracles ++
       etl.SilverMobility.oracles ++
       sources.CsvSources.oracles(sfDir) ++

@@ -240,17 +240,96 @@ object Layout {
       spark: SparkSession, dir: String): Seq[(Long, Long)] =
     fileColumnRanges(spark, dir, "hval")
 
+  // ------------------------------------------- parquet footer audit
+  /** Per-column physical-layout audit of a written parquet table —
+    * values, compressed and uncompressed byte mass, and the
+    * compression ratio per column, summed over row groups from the
+    * FOOTER metadata alone (no data pages read). This is the report
+    * behind every storage-layout decision: which columns dominate the
+    * bytes, which compress poorly (a high-entropy column that won't
+    * dictionary-encode is a Z-ORDER/sort-key candidate or a
+    * cast-to-narrower-type candidate), and whether a layout change
+    * actually moved the on-disk mass.
+    *
+    * The oracle is DuckDB's own `parquet_metadata()` over the SAME
+    * file — an INDEPENDENT parquet implementation reading the
+    * identical footer, so the walk (offsets, row-group iteration,
+    * column-path naming, size fields) is cross-validated reader vs
+    * reader, the shapefile/WARC generator-parser discipline applied
+    * to a format we DIDN'T hand-roll.
+    *
+    * Scale shape: footer metadata is KB-sized per file regardless of
+    * data volume; the walk is a bounded driver pass over the file
+    * list ([[fileColumnRanges]]'s shape — at a real table's file
+    * count this moves into a mapPartitions over file names, same
+    * walk). The fixture table writes once per session+SF as one
+    * deterministic file. */
+  def parquetFooterAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val tbl = footerFixture(spark, sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(tbl)
+    val fs = p.getFileSystem(conf)
+    val chunks = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala
+          .map(c => (c.getPath.toDotString, c.getValueCount,
+            c.getTotalSize, c.getTotalUncompressedSize))).toSeq
+        finally reader.close()
+      }
+    chunks.toDF("col_name", "nv", "comp", "uncomp")
+      .groupBy(col("col_name"))
+      .agg(sum(col("nv")).as("n_values"),
+        sum(col("comp")).as("compressed_bytes"),
+        sum(col("uncomp")).as("uncompressed_bytes"))
+      .withColumn("ratio",
+        round(col("uncompressed_bytes").cast("double") /
+          col("compressed_bytes"), 4))
+      .orderBy(col("col_name"))
+  }
+
+  /** The audited table: documents as ONE deterministic snappy file,
+    * written once per session+SF. */
+  private[graft] def footerFixture(spark: SparkSession, sfDir: String): String = {
+    val tbl = s"${Medallion.warehouse(sfDir)}/footer_fixture"
+    Medallion.materializeOnce(spark, tbl) {
+      Tables.documents(spark, sfDir)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }
+    tbl
+  }
+
+  private def parquetFooterOracle(sfDir: String): String =
+    s"""SELECT path_in_schema AS col_name,
+       |       CAST(SUM(num_values) AS BIGINT) AS n_values,
+       |       CAST(SUM(total_compressed_size) AS BIGINT)
+       |         AS compressed_bytes,
+       |       CAST(SUM(total_uncompressed_size) AS BIGINT)
+       |         AS uncompressed_bytes,
+       |       ROUND(CAST(SUM(total_uncompressed_size) AS DOUBLE)
+       |             / SUM(total_compressed_size), 4) AS ratio
+       |FROM parquet_metadata(
+       |  '${Medallion.warehouse(sfDir)}/footer_fixture/*.parquet')
+       |GROUP BY 1 ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_probe" -> (layoutProbe _),
     "q_zorder_probe" -> (zorderProbe _),
-    "q_hilbert_probe" -> (hilbertProbe _)
+    "q_hilbert_probe" -> (hilbertProbe _),
+    "q_parquet_footer" -> (parquetFooterAudit _)
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles(sfDir: String): Map[String, String] = Map(
     "q_layout_probe" -> layoutProbeOracle,
     "q_zorder_probe" -> zorderProbeOracle,
     // layout-independence: the Hilbert write answers the identical
     // rectangle aggregate — same oracle by design
-    "q_hilbert_probe" -> zorderProbeOracle
+    "q_hilbert_probe" -> zorderProbeOracle,
+    "q_parquet_footer" -> parquetFooterOracle(sfDir)
   )
 }

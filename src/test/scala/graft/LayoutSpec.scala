@@ -106,4 +106,23 @@ class LayoutSpec extends SparkSpec {
     assert(skippableExact(hilbert) >= 4,
       s"hilbert should make most files skippable, got ${skippableExact(hilbert)}/8")
   }
+
+  test("parquet footer audit: per-column chunk walk is self-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = Layout.parquetFooterAudit(spark, sfTiny).collect()
+    val nDocs = Tables.documents(spark, sfTiny).count()
+    val cols = Tables.documents(spark, sfTiny).columns.toSet
+    assert(rows.map(_.getString(0)).toSet == cols,
+      "audit must cover exactly the table's columns")
+    rows.foreach { r =>
+      // flat schema, no nulls skipped: every column chunk holds one
+      // value per row
+      assert(r.getLong(1) == nDocs, s"${r.getString(0)} value count")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+    // the text column must dominate the byte mass and compress
+    val text = rows.find(_.getString(0) == "text").get
+    assert(text.getLong(2) == rows.map(_.getLong(2)).max)
+    assert(text.getLong(2) < text.getLong(3), "text column didn't compress")
+  }
 }
