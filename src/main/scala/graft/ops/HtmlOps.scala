@@ -513,15 +513,23 @@ object HtmlOps {
     * container-parse+extract pass feeds all stage consumers. */
   def crawlFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // ONE fused map-side pass: container walk → charset repair →
+    // extraction, with the file-level flags riding along as narrow
+    // columns so the file stats read off the SAME cached frame
+    // instead of re-running the WARC parse (the q_pair_curation
+    // re-scan lesson — an eager checkpoint of the raw bodies was
+    // measured SLOWER than the fused pass). The per-row kernels
+    // ([[detectRepair]], [[extractDoc]], [[TextOps.qualityKeep]]) are
+    // the same definitions the stand-alone stages run.
     val recs = warcSplitFrame(synthWarcWireFrame(spark, sfDir))
-    val repaired = repairFrame(recs.select(col("doc_id"), col("raw")))
-    val perDoc = repaired
-      .select(col("doc_id"), col("detected"), col("repaired"))
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, det, html) =>
-        (id, det, extractDoc(id, html)._6)
+    val perDoc = recs
+      .select(col("file_id"), col("clean"), col("doc_id"), col("raw"))
+      .as[(Long, Boolean, Long, Array[Byte])]
+      .mapPartitions(_.map { case (fid, cl, id, b) =>
+        val (det, repaired) = detectRepair(b)
+        (fid, cl, id, det, extractDoc(id, repaired)._6)
       })
-      .toDF("doc_id", "detected", "text")
+      .toDF("file_id", "clean", "doc_id", "detected", "text")
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("keep_q", TextOps.qualityKeep)
       .withColumn("is_eval", col("doc_id") % 10 === 7)
@@ -544,7 +552,7 @@ object HtmlOps {
     val dirty = grams(dd)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("dirty", lit(1))
-    val fileStats = recs
+    val fileStats = perDoc
       .groupBy(col("file_id"))
       .agg(max(col("clean").cast("int")).as("clean"))
       .agg(count(lit(1)).as("n_files"),
