@@ -667,6 +667,87 @@ object SimilarityOps {
        |  JOIN embeddings eb ON eb.vec_id = c.b_id),
        |$bitextTailSql""".stripMargin
 
+  // ------------------------------------------- IVF balance audit
+  /** IVF index health audit — the faiss `imbalance_factor` and its
+    * companions, computed over the STANDING materialized index: for
+    * cell sizes c_i, imbalance = nlist·Σc_i² / (Σc_i)² (1.0 =
+    * perfectly uniform; probe cost scales with it, because a probe
+    * landing in a hot cell scans the hot cell), plus empty-cell
+    * count (wasted quantizer capacity), max/min occupied cell size,
+    * and the share of the corpus in the top decile of cells. This is
+    * the retrain signal every serving deployment monitors: drifting
+    * ingest skews cells until the quantizer is retrained
+    * ([[graft.streaming.StreamingOps.annServeStream]] deliberately
+    * never retrains mid-stream — this audit is WHEN the offline
+    * retrain fires).
+    *
+    * Parity: all counts are exact integers; imbalance lands on the
+    * e6 lattice via integer cross-products (nlist·Σc² and (Σc)² are
+    * exact longs, one division + round). Scale shape: one
+    * cell-keyed count over the index + a 1-row moment rollup; the
+    * centroid count joins from the bounded materialized frame. */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = ivfIndex(spark, sfDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val nlist = coarseCentroids(spark, sfDir)
+      .agg(count(lit(1)).as("nlist"))
+    val decile = cells
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("cell"))))
+      .crossJoin(broadcast(nlist))
+      .filter(col("r") <= expr("(nlist + 9) div 10"))
+      .agg(sum(col("c")).cast("long").as("top_decile_mass"))
+    cells.crossJoin(broadcast(nlist))
+      .agg(first(col("nlist")).as("nlist"),
+        count(lit(1)).as("n_occupied"),
+        sum(col("c")).cast("long").as("n_vectors"),
+        sum(col("c") * col("c")).cast("long").as("sum_c2"),
+        max(col("c")).as("max_cell"),
+        min(col("c")).as("min_cell"))
+      .withColumn("n_empty", col("nlist") - col("n_occupied"))
+      .withColumn("imbalance_e6",
+        round(col("nlist").cast("double") * col("sum_c2") /
+          (col("n_vectors") * col("n_vectors")).cast("double")
+          * lit(1000000.0), 0).cast("long"))
+      .crossJoin(broadcast(decile))
+      .select(col("nlist"), col("n_vectors"), col("n_occupied"),
+        col("n_empty"), col("max_cell"), col("min_cell"),
+        col("imbalance_e6"), col("top_decile_mass"))
+  }
+
+  private lazy val ivfBalanceOracle =
+    s"""WITH $coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |cellsz AS (SELECT cell, COUNT(*) AS c FROM cellranked
+       |           WHERE arank = 1 GROUP BY cell),
+       |nl AS (SELECT COUNT(*) AS nlist FROM cents),
+       |agg AS (
+       |  SELECT (SELECT nlist FROM nl) AS nlist,
+       |         COUNT(*) AS n_occupied,
+       |         CAST(SUM(c) AS BIGINT) AS n_vectors,
+       |         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       |         CAST(MAX(c) AS BIGINT) AS max_cell,
+       |         CAST(MIN(c) AS BIGINT) AS min_cell
+       |  FROM cellsz),
+       |dec AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS top_decile_mass FROM (
+       |    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, cell) AS r
+       |    FROM cellsz) t, nl
+       |  WHERE t.r <= (nl.nlist + 9) // 10)
+       |SELECT nlist, n_vectors, n_occupied,
+       |       nlist - n_occupied AS n_empty, max_cell, min_cell,
+       |       CAST(ROUND(CAST(nlist AS DOUBLE) * sum_c2
+       |            / CAST(n_vectors * n_vectors AS DOUBLE)
+       |            * 1000000.0) AS BIGINT) AS imbalance_e6,
+       |       (SELECT top_decile_mass FROM dec) AS top_decile_mass
+       |FROM agg""".stripMargin
+
   // ------------------------------------- semantic decontamination
   /** Embedding-space benchmark decontamination — the SEMANTIC
     * companion to the lexical 8-gram screens
@@ -2305,6 +2386,7 @@ object SimilarityOps {
     "q_bitext_mine" -> (bitextMine _),
     "q_bitext_mine_ivf" -> (bitextMineIvf _),
     "q_semantic_decontam" -> (semanticDecontam _),
+    "q_ivf_balance" -> (ivfBalance _),
     "q_hubness" -> (hubness _),
     "q_hubness_ivf" -> (hubnessIvf _),
     "q_mmd_drift" -> (mmdDrift _),
@@ -2333,6 +2415,7 @@ object SimilarityOps {
     "q_bitext_mine" -> bitextMineOracle,
     "q_bitext_mine_ivf" -> bitextMineIvfOracle,
     "q_semantic_decontam" -> semanticDecontamOracle,
+    "q_ivf_balance" -> ivfBalanceOracle,
     "q_hubness" -> hubnessOracle,
     "q_hubness_ivf" -> hubnessIvfOracle,
     "q_mmd_drift" -> mmdDriftOracle,

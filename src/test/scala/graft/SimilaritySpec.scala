@@ -600,6 +600,19 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getLong(3) <= n - 1, "max hub above n-1")
   }
 
+  test("ivf balance: Cauchy-Schwarz floor and mass conservation") {
+    val r = SimilarityOps.ivfBalance(spark, sfTiny).collect().head
+    def L(c: String) = r.getLong(r.fieldIndex(c))
+    assert(L("n_occupied") + L("n_empty") == L("nlist"))
+    // imbalance = nlist·Σc²/(Σc)² ≥ 1 with equality iff uniform
+    assert(L("imbalance_e6") >= 1000000L, "below the Cauchy-Schwarz floor")
+    assert(L("max_cell") >= L("min_cell") && L("min_cell") >= 1)
+    assert(L("max_cell") * L("n_occupied") >= L("n_vectors"))
+    assert(L("top_decile_mass") <= L("n_vectors"))
+    assert(L("top_decile_mass") * 10 >= L("n_vectors"),
+      "top decile of cells must hold at least a uniform share")
+  }
+
   test("semantic decontam: IVF flags are a subset of the brute-force flags") {
     // candidates ⊆ all pairs ⇒ the probed best cosine never exceeds
     // the true best ⇒ no false positives vs the dense screen
