@@ -667,6 +667,78 @@ object SimilarityOps {
        |  JOIN embeddings eb ON eb.vec_id = c.b_id),
        |$bitextTailSql""".stripMargin
 
+  // --------------------------------------------- bitext filtering
+  /** Post-mining bitext pair filtering — the gate every mined
+    * parallel corpus passes before training (the WMT/CCMatrix
+    * cleaning recipe): mined pairs survive only if BOTH sides clear
+    * a minimum token length AND the length RATIO stays under a bar
+    * (wildly mismatched lengths are the dominant mining error mode —
+    * a caption aligned to a novel). Composes the SHIPPED IVF miner:
+    * the pair stream is [[bitextMineIvf]]'s output, sides' token
+    * counts join from the documents table by id (the fixture's
+    * vec_id↔doc_id correspondence), and the report tallies
+    * keep/drop-by-reason per label pair with kept-pair margin mass.
+    *
+    * Parity: the ratio test is integer cross-multiplication
+    * (max·2 ≤ min·3 for the 1.5 bar — no division), token counts and
+    * margins are exact lattice longs. Scale shape: two narrow id
+    * equi-joins onto the mined pair frame + one rollup; the miner's
+    * own plan (cartesian-free, PlanSpec-pinned) does the heavy work. */
+  private val BitextMinTok = 5L
+
+  def bitextFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tok"))
+    val pairs = bitextMineIvf(spark, sfDir)
+      .join(toks.select(col("doc_id").as("a_id"), col("n_tok").as("a_tok")),
+        Seq("a_id"))
+      .join(toks.select(col("doc_id").as("b_id"), col("n_tok").as("b_tok")),
+        Seq("b_id"))
+      .withColumn("too_short",
+        col("a_tok") < BitextMinTok || col("b_tok") < BitextMinTok)
+      .withColumn("bad_ratio", !col("too_short") &&
+        greatest(col("a_tok"), col("b_tok")) * 2 >
+          least(col("a_tok"), col("b_tok")) * 3)
+    pairs.groupBy(col("a_label"), col("b_label"))
+      .agg(count(lit(1)).as("n_mined"),
+        sum(when(col("too_short"), 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("bad_ratio"), 1L).otherwise(0L)).as("n_bad_ratio"),
+        sum(when(!col("too_short") && !col("bad_ratio"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(!col("too_short") && !col("bad_ratio"), col("margin_e6"))
+          .otherwise(0L)).cast("long").as("kept_margin_e6"))
+      .orderBy(col("a_label"), col("b_label"))
+  }
+
+  private lazy val bitextFilterOracle =
+    s"""WITH mined AS ($bitextMineIvfOracle),
+       |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |              AS n_tok
+       |       FROM documents),
+       |flagged AS (
+       |  SELECT m.*, ta.n_tok AS a_tok, tb.n_tok AS b_tok,
+       |         (ta.n_tok < $BitextMinTok OR tb.n_tok < $BitextMinTok)
+       |           AS too_short,
+       |         (NOT (ta.n_tok < $BitextMinTok OR tb.n_tok < $BitextMinTok))
+       |           AND greatest(ta.n_tok, tb.n_tok) * 2
+       |               > least(ta.n_tok, tb.n_tok) * 3 AS bad_ratio
+       |  FROM mined m
+       |  JOIN tk ta ON ta.doc_id = m.a_id
+       |  JOIN tk tb ON tb.doc_id = m.b_id)
+       |SELECT a_label, b_label, COUNT(*) AS n_mined,
+       |       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_too_short,
+       |       CAST(SUM(CASE WHEN bad_ratio THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_bad_ratio,
+       |       CAST(SUM(CASE WHEN NOT too_short AND NOT bad_ratio
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN NOT too_short AND NOT bad_ratio
+       |                THEN margin_e6 ELSE 0 END) AS BIGINT)
+       |         AS kept_margin_e6
+       |FROM flagged GROUP BY a_label, b_label
+       |ORDER BY a_label, b_label""".stripMargin
+
   // ------------------------------------------- IVF balance audit
   /** IVF index health audit — the faiss `imbalance_factor` and its
     * companions, computed over the STANDING materialized index: for
@@ -2387,6 +2459,7 @@ object SimilarityOps {
     "q_bitext_mine_ivf" -> (bitextMineIvf _),
     "q_semantic_decontam" -> (semanticDecontam _),
     "q_ivf_balance" -> (ivfBalance _),
+    "q_bitext_filter" -> (bitextFilter _),
     "q_hubness" -> (hubness _),
     "q_hubness_ivf" -> (hubnessIvf _),
     "q_mmd_drift" -> (mmdDrift _),
@@ -2416,6 +2489,7 @@ object SimilarityOps {
     "q_bitext_mine_ivf" -> bitextMineIvfOracle,
     "q_semantic_decontam" -> semanticDecontamOracle,
     "q_ivf_balance" -> ivfBalanceOracle,
+    "q_bitext_filter" -> bitextFilterOracle,
     "q_hubness" -> hubnessOracle,
     "q_hubness_ivf" -> hubnessIvfOracle,
     "q_mmd_drift" -> mmdDriftOracle,

@@ -600,6 +600,22 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getLong(3) <= n - 1, "max hub above n-1")
   }
 
+  test("bitext filter: reasons partition the mined pairs, gates witnessed") {
+    val rows = SimilarityOps.bitextFilter(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    var (mined, short, ratio, kept) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      def L(c: String) = r.getLong(r.fieldIndex(c))
+      assert(L("n_too_short") + L("n_bad_ratio") + L("n_kept") == L("n_mined"),
+        "drop reasons must partition the mined pairs")
+      mined += L("n_mined"); short += L("n_too_short")
+      ratio += L("n_bad_ratio"); kept += L("n_kept")
+    }
+    assert(kept > 0 && kept < mined, "filter must keep some and drop some")
+    assert(ratio > 0, "length-ratio gate witnessed nothing")
+    spark.catalog.clearCache()
+  }
+
   test("ivf balance: Cauchy-Schwarz floor and mass conservation") {
     val r = SimilarityOps.ivfBalance(spark, sfTiny).collect().head
     def L(c: String) = r.getLong(r.fieldIndex(c))
