@@ -567,6 +567,49 @@ object TextOps {
     * order-by needs no tiebreaker column. */
   private val MinKThreshE6 = -3440000L
 
+  /** The STANDING unigram model: corpus term frequencies with the
+    * corpus total denormalized onto every row, materialized once per
+    * session+SF — the train-once artifact the serving twin scores
+    * against (the nbModel lifecycle applied to the LM family). */
+  private[graft] def unigramModelMaterialized(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/unigram_model") {
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("term"))
+      toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tot"))))
+    }
+
+  /** Score a (doc_id, text) frame's Min-K% statistic against the
+    * STANDING model — the ONE scorer definition the batch rollup's
+    * semantics and the streaming twin
+    * ([[graft.streaming.StreamingOps.minKStream]]) share: per doc,
+    * the bottom-⌈n/5⌉ token logprobs' exact (Σlp_e6, k) and the
+    * integer cross-multiplied flag. Terms absent from the standing
+    * model drop (standing-model semantics: the server scores with
+    * the vocabulary it trained). */
+  private[graft] def minKScoreBatch(docs: DataFrame, sfDir: String)
+      : DataFrame = {
+    val m = unigramModelMaterialized(docs.sparkSession, sfDir)
+    val scored = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(m, Seq("term"))
+      .select(col("doc_id"),
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0), 0)
+          .cast("long").as("lp_e6"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    scored
+      .withColumn("r", row_number().over(wDoc.orderBy(col("lp_e6").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("r") <= expr("(n + 4) div 5"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp_e6")).as("sum_mink_lp_e6"),
+        count(lit(1)).as("k_tokens"))
+      .withColumn("flagged",
+        col("sum_mink_lp_e6") > lit(MinKThreshE6) * col("k_tokens"))
+  }
+
   def minKProb(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),

@@ -198,6 +198,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming Min-K% membership screening — document arrivals scored
+    * against the STANDING unigram model
+    * ([[graft.ops.TextOps.unigramModelMaterialized]], built once —
+    * serving never refits the model mid-stream; refitting would move
+    * the statistic under every previously emitted verdict): each
+    * micro-batch runs the batch op's own factored
+    * [[graft.ops.TextOps.minKScoreBatch]] and appends per-doc
+    * (Σ bottom-k lp, k, flagged) rows to a ledger. Stateless per
+    * arrival; replay re-appends byte-identical rows a reader dedups
+    * on doc_id. Completes the train-once/serve-many story for the LM
+    * family the way [[nbScoreStream]] did for classification and
+    * [[annServeStream]] for similarity; StreamingSpec pins ledger ==
+    * batch scorer row-for-row. */
+  def minKStream(docs: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.TextOps.minKScoreBatch(batch.toDF(), sfDir)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Watermarked event-time hourly OD aggregation — the streaming twin
     * of the silver hourly rollup. Append-mode emits a (window, zone) row
     * exactly once, after the watermark passes the window end. */

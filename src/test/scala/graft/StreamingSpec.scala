@@ -788,6 +788,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming min-k serving ledger equals the batch scorer row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/mink_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val heldOut = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.minKStream(
+      input.toDF().toDF("doc_id", "text"), sfTiny, s"$base/ledger")
+    try {
+      heldOut.grouped(7).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sum_mink_lp_e6"),
+          r.getAs[Long]("k_tokens"), r.getAs[Boolean]("flagged")))
+        .sortBy(_._1).toSeq
+      val streamed = rows(spark.read.parquet(s"$base/ledger"))
+      val batch = rows(graft.ops.TextOps.minKScoreBatch(
+        Tables.documents(spark, sfTiny).filter(col("doc_id") % 10 === 9)
+          .select(col("doc_id"), col("text")), sfTiny))
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.size == heldOut.length)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
