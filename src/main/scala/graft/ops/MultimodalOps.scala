@@ -1456,7 +1456,154 @@ object MultimodalOps {
        |FROM f ORDER BY song_id""".stripMargin
   }
 
+  // ---------------------------------------------------- OCR roundtrip
+  /** OCR ingest stage — the pipeline shape behind every scanned-PDF /
+    * page-image corpus (render → raster → OCR → text funnel), with
+    * the glyph model deterministic so the WHOLE loop sits under the
+    * hash: each document's first [[OcrChars]] chars render onto a
+    * real 24 bpp BMP page (16 glyph cells per row, 5×7 ink dots in a
+    * 6×8 cell; glyph(c) = the first 35 md5 bits of the character — a
+    * pseudo-font whose shapes are arbitrary but whose IDENTITY is
+    * exact), the page decodes back through the JDK's own ImageIO
+    * (the REAL raster path [[pixelStats]] uses — any byte-layout slip
+    * in the writer breaks the loop), cells glyph-match against the
+    * corpus alphabet, and the report ships per-source page/char/
+    * roundtrip tallies plus the INK-PIXEL count measured from the
+    * decoded raster — which the oracle recomputes as Σ bit_count of
+    * the per-char md5 masks, so one misplaced pixel anywhere in
+    * render-or-decode flips the hash.
+    *
+    * Scale shape: render/decode/match are stateless map-side kernels
+    * per doc (the extractFrame discipline); the alphabet→glyph map is
+    * a bounded driver collect (corpus alphabet — the WordPiece vocab
+    * pattern) broadcast into the closure; rollup is source-keyed.
+    * Real OCR swaps the glyph matcher for a model behind the same
+    * (page bytes → text) seam; everything else is unchanged. */
+  private val OcrChars = 80
+  private val OcrCols = 16
+
+  private[graft] def glyphPattern(c: Char): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(c.toString.getBytes("UTF-8"))
+    val hex9 = d.map(b => f"$b%02x").mkString.take(9)
+    java.lang.Long.parseLong(hex9, 16) & ((1L << 35) - 1)
+  }
+
+  /** Render `s` as a 24 bpp bottom-up BI_RGB BMP page (white bg,
+    * black ink; [[OcrCols]] cells per row). */
+  private[graft] def renderPage(s: String): Array[Byte] = {
+    val rows = (s.length + OcrCols - 1) / OcrCols
+    val w = OcrCols * 6
+    val h = math.max(rows, 1) * 8
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val out = new Array[Byte](54 + h * rowSize)
+    def le32(v: Long, at: Int): Unit = {
+      out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+      out(at + 2) = ((v >> 16) & 0xff).toByte
+      out(at + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'; le32(out.length.toLong, 2); le32(54L, 10)
+    le32(40L, 14); le32(w.toLong, 18); le32(h.toLong, 22)
+    out(26) = 1; out(28) = 24
+    java.util.Arrays.fill(out, 54, out.length, 0xff.toByte) // white bg
+    var i = 0
+    while (i < s.length) {
+      val pat = glyphPattern(s.charAt(i))
+      val cx = (i % OcrCols) * 6
+      val cy = (i / OcrCols) * 8
+      var b = 0
+      while (b < 35) {
+        if (((pat >> b) & 1L) != 0L) {
+          val x = cx + b % 5
+          val y = cy + b / 5
+          val off = 54 + (h - 1 - y) * rowSize + 3 * x // bottom-up rows
+          out(off) = 0; out(off + 1) = 0; out(off + 2) = 0
+        }
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def ocrRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // bounded: the corpus alphabet (WordPiece-vocab collect pattern);
+    // glyph collisions are astronomically unlikely at 35 bits and the
+    // build fails loudly if one ever appears
+    val alphabet = Tables.documents(spark, sfDir)
+      .select(explode(split(substring(col("text"), 1, OcrChars), ""))
+        .as("ch"))
+      .filter(length(col("ch")) === 1)
+      .distinct().collect().map(_.getString(0).charAt(0))
+    val glyphMap = alphabet.map(c => glyphPattern(c) -> c).toMap
+    require(glyphMap.size == alphabet.length, "glyph pattern collision")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, OcrChars).as("p"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val inv = glyphMap // serialized into the closure (bounded)
+        it.map { case (id, src, p) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(renderPage(p)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var ink = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if ((img.getRGB(x, y) & 0xffffff) == 0) ink += 1
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder
+          val cells = (h / 8) * OcrCols
+          var ci = 0
+          while (ci < cells) {
+            val cx = (ci % OcrCols) * 6
+            val cy = (ci / OcrCols) * 8
+            var pat = 0L
+            var b = 0
+            while (b < 35) {
+              if ((img.getRGB(cx + b % 5, cy + b / 5) & 0xffffff) == 0)
+                pat |= 1L << b
+              b += 1
+            }
+            if (pat != 0L) inv.get(pat).foreach(sb.append)
+            ci += 1
+          }
+          (id, src, p.length.toLong, ink, sb.toString == p)
+        }
+      }
+      .toDF("doc_id", "source", "n_chars", "ink", "ok")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("ink")).cast("long").as("n_ink_pixels"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
+      .orderBy(col("source"))
+  }
+
+  private val ocrRoundtripOracle =
+    s"""WITH pre AS (SELECT doc_id, source, substr(text, 1, $OcrChars) AS p
+       |             FROM documents),
+       |chars AS (SELECT doc_id, source, substr(p, i, 1) AS ch
+       |          FROM pre, UNNEST(range(1, len(p) + 1)) AS t(i)),
+       |ink AS (SELECT doc_id, source, COUNT(*) AS n_chars,
+       |               SUM(bit_count(
+       |                 CAST('0x' || substring(md5(ch), 1, 9) AS BIGINT)
+       |                 & 34359738367)) AS ink
+       |        FROM chars GROUP BY doc_id, source)
+       |SELECT source, COUNT(*) AS n_pages,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(ink) AS BIGINT) AS n_ink_pixels,
+       |       COUNT(*) AS n_roundtrip
+       |FROM ink GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ocr_roundtrip" -> (ocrRoundtrip _),
     "q_mp3_meta" -> (mp3MetaScan _),
     "q_flac_meta" -> (flacMetaScan _),
     "q_webp_meta" -> (webpMetaScan _),
@@ -1475,6 +1622,7 @@ object MultimodalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ocr_roundtrip" -> ocrRoundtripOracle,
     "q_mp3_meta" -> mp3MetaOracle,
     "q_flac_meta" -> flacMetaOracle,
     "q_webp_meta" -> webpMetaOracle,

@@ -431,4 +431,32 @@ class MultimodalSpec extends SparkSpec {
     (0 to full.length).foreach(n =>
       parseTiff(java.util.Arrays.copyOf(full, n)))
   }
+
+  test("ocr roundtrip: glyphs injective, decode reads pixels not metadata") {
+    import graft.ops.MultimodalOps.{glyphPattern, renderPage}
+    // the pseudo-font must be injective over printable ASCII
+    val pats = (32 to 126).map(c => glyphPattern(c.toChar))
+    assert(pats.distinct.size == pats.size, "glyph collision")
+    // a rendered page decodes to the right raster via ImageIO
+    val s = "hello world this is a page"
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(renderPage(s)))
+    assert(img.getWidth == 96 && img.getHeight == 16)
+    // ink pixels in the raster == Σ popcount of the glyph patterns
+    var ink = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) == 0) ink += 1
+    assert(ink == s.map(c => java.lang.Long.bitCount(glyphPattern(c))).sum)
+    // TAMPER: flipping one ink pixel must change the decoded raster —
+    // the reader reads pixels, not header metadata
+    val bytes = renderPage(s)
+    val firstInk = (54 until bytes.length).find(bytes(_) == 0).get
+    bytes(firstInk) = 0xff.toByte
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var ink2 = 0
+    for (y <- 0 until img2.getHeight; x <- 0 until img2.getWidth)
+      if ((img2.getRGB(x, y) & 0xffffff) == 0) ink2 += 1
+    assert(ink2 == ink - 1, "tampered pixel not observed by the decoder")
+  }
 }
