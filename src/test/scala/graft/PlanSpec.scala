@@ -105,7 +105,8 @@ class PlanSpec extends SparkSpec {
         case x => Seq(x)
       }
     for (df <- Seq(ops.SimilarityOps.bitextMineIvf(spark, sfTiny),
-                   ops.SimilarityOps.hubnessIvf(spark, sfTiny))) {
+                   ops.SimilarityOps.hubnessIvf(spark, sfTiny),
+                   ops.SimilarityOps.semanticDecontam(spark, sfTiny))) {
       val nodes = allNodes(df.queryExecution.sparkPlan)
       assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
         "cartesian product in IVF twin plan")
