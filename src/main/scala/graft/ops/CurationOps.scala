@@ -3146,7 +3146,10 @@ object CurationOps {
       .orderBy(col("j"))
   }
 
-  private val logregOracle = {
+  /** The unrolled-training CTE chain shared by [[logregTrain]]'s oracle
+    * and [[tracin]]'s: X (e3 features), nn, w0, and iteration CTEs up to
+    * the final weights `w{LogregIters}`. */
+  private def logregCtePrefix: String = {
     val iter = (t: Int) =>
       s"""m$t AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
          |        FROM X JOIN w${t - 1} USING (j) GROUP BY vec_id, y),
@@ -3159,8 +3162,7 @@ object CurationOps {
          |w$t AS (SELECT j, w + ($LogregEta * g) // ((SELECT n FROM nn) * 1000)
          |                 AS w
          |        FROM w${t - 1} JOIN g$t USING (j))""".stripMargin
-    val T = LogregIters
-    s"""WITH X AS MATERIALIZED (
+    s"""X AS MATERIALIZED (
        |  SELECT vec_id,
        |         CASE WHEN label = 0 THEN 1000000 ELSE 0 END AS y,
        |         unnest([CAST(1000 AS BIGINT)] || list_transform(embedding,
@@ -3170,7 +3172,12 @@ object CurationOps {
        |  FROM embeddings),
        |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM X),
        |w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM X),
-       |${(1 to T).map(iter).mkString(",\n")},
+       |${(1 to LogregIters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val logregOracle = {
+    val T = LogregIters
+    s"""WITH $logregCtePrefix,
        |mf AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
        |       FROM X JOIN w$T USING (j) GROUP BY vec_id, y),
        |pf AS (SELECT vec_id, y, m,
@@ -3194,6 +3201,93 @@ object CurationOps {
        |       (n_correct * 1000000) // (SELECT n FROM nn) AS acc_e6,
        |       loss_total // (SELECT n FROM nn) AS loss_e6
        |FROM w$T CROSS JOIN metrics ORDER BY j""".stripMargin
+  }
+
+  // ------------------------------------------------- TracIn attribution
+  /** TracIn-style training-data attribution (Pruthi et al. 2020, public
+    * paper) at the final [[logregTrain]] checkpoint — the data-selection
+    * op that closes the trainer→curation loop: influence of train
+    * example i on the held-out set is ∇L(zᵢ)·∇L(test) = (yᵢ−pᵢ)·(xᵢ·G)
+    * where G is the mean held-out gradient, and SELF-influence
+    * ‖∇L(zᵢ)‖² = (yᵢ−pᵢ)²·‖xᵢ‖² is the canonical mislabel detector
+    * (high self-influence = the example only its own gradient likes).
+    *
+    * Exactness: the held-out gradient is the trainer's own integer
+    * gradient normalized by TRUNCATING lattice division (Scala `Long./`
+    * == DuckDB `//`); per-row influence is then (e6 diff)·(exact
+    * integer dot) with headroom ≤ 65·1e3·1e6·1e6 ≈ 6.5e16 < 2⁶³, and
+    * both reported scores drop to e6 by the same truncating division —
+    * every reduction is order-free long arithmetic.
+    *
+    * Scale shape: ONE dim-sized collect (the A6 scalar-reinject
+    * pattern: 65 gradient components, independent of corpus size);
+    * influence and self-influence are then map-side literal-vector dot
+    * products over the train split — no join, no shuffle beyond the
+    * dim-sized gradient aggregate whose partial aggregation reduces
+    * each partition to dim rows. At 100 TB this scores every train doc
+    * in one scan.
+    */
+  def tracin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, _, _) = logregTrainLoop(spark, sfDir, LogregIters)
+    val x = logregX(spark, sfDir)
+      .withColumn("m", logregMargin(w))
+      .withColumn("p", logregP)
+    val test = x.filter(col("vec_id") % 5 === 0)
+    val nTest = test.count()
+    val gRows = test
+      .select(col("y"), col("p"), posexplode(col("x")).as(Seq("pos", "xv")))
+      .groupBy(col("pos"))
+      .agg(sum((col("y") - col("p")) * col("xv")).as("graw"))
+      .collect() // dim-sized (65 rows): the bounded A6 reinject pattern
+    val gn = Array.fill(w.length)(0L)
+    gRows.foreach(r => gn(r.getInt(0)) = r.getLong(1) / (nTest * 1000L))
+    val dotG = {
+      val terms = gn.zipWithIndex.collect { case (gj, i) if gj != 0L =>
+        lit(gj) * element_at(col("x"), i + 1)
+      }
+      if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+    }
+    x.filter(col("vec_id") % 5 =!= 0)
+      .withColumn("dot_g", dotG)
+      .withColumn("xx",
+        expr("aggregate(transform(x, v -> v * v), 0L, (acc, v) -> acc + v)"))
+      .select(col("vec_id"),
+        when(col("y") === 1000000L, 1L).otherwise(0L).as("y01"),
+        col("dot_g"),
+        call_function("div", (col("y") - col("p")) * col("dot_g"),
+          lit(1000000L)).as("infl_e6"),
+        call_function("div", (col("y") - col("p")) * (col("y") - col("p")),
+          lit(1000000L)).multiply(col("xx")).as("self_infl"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val tracinOracle = {
+    val T = LogregIters
+    s"""WITH $logregCtePrefix,
+       |mf AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+       |       FROM X JOIN w$T USING (j) GROUP BY vec_id, y),
+       |pf AS (SELECT vec_id, y,
+       |         CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+       |              AS BIGINT) AS p
+       |       FROM mf),
+       |nt AS (SELECT COUNT(*) AS n_test FROM pf WHERE vec_id % 5 = 0),
+       |g AS (SELECT j, CAST(SUM((y - p) * x) AS BIGINT) AS graw
+       |      FROM X JOIN pf USING (vec_id, y) WHERE vec_id % 5 = 0
+       |      GROUP BY j),
+       |gn AS (SELECT j, graw // ((SELECT n_test FROM nt) * 1000) AS gj
+       |       FROM g),
+       |dots AS (SELECT vec_id, CAST(SUM(x * gj) AS BIGINT) AS dot_g,
+       |                CAST(SUM(x * x) AS BIGINT) AS xx
+       |         FROM X JOIN gn USING (j) WHERE vec_id % 5 <> 0
+       |         GROUP BY vec_id)
+       |SELECT pf.vec_id,
+       |       CAST(CASE WHEN pf.y = 1000000 THEN 1 ELSE 0 END AS BIGINT)
+       |         AS y01,
+       |       dot_g,
+       |       ((pf.y - pf.p) * dot_g) // 1000000 AS infl_e6,
+       |       (((pf.y - pf.p) * (pf.y - pf.p)) // 1000000) * xx AS self_infl
+       |FROM pf JOIN dots USING (vec_id)
+       |ORDER BY pf.vec_id""".stripMargin
   }
 
   // ------------------------------------------------- AdaBoost stumps
@@ -3393,6 +3487,7 @@ object CurationOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_adaboost_stumps" -> (adaboostStumps _),
     "q_logreg_train" -> (logregTrain _),
+    "q_tracin" -> (tracin _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_mcnemar" -> (mcnemar _),
@@ -3435,6 +3530,7 @@ object CurationOps {
   def oracles: Map[String, String] = Map(
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
+    "q_tracin" -> tracinOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_mcnemar" -> mcnemarOracle,

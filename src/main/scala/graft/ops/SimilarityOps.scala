@@ -1428,6 +1428,127 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------
+  /** Binary (sign-bit) quantization with Hamming shortlist + exact
+    * rerank — the 32× vector-compression serving trick (one bit per
+    * dimension; distance = popcount of XOR, a handful of machine
+    * instructions per comparison). The 64-dim embedding packs into two
+    * 32-bit lanes carried as BIGINT words (lanes, not one 64-bit word,
+    * so neither engine touches the 1<<63 sign-bit edge); serving is
+    * Hamming-top-20 shortlist → exact-cosine rerank → top-5; the audit
+    * joins that against the exact-cosine top-5 to measure recall@5.
+    *
+    * Determinism: packing compares float>0 identically in both engines
+    * and sums distinct powers of two (exact in BIGINT); Hamming is
+    * integer; ties rank by candidate id; cosines go through the module's
+    * pinned sequential fold (VecDot == list_reduce, bit-identical).
+    *
+    * 100 TB story: the packed words are a 16-byte column scanned
+    * linearly per query batch — the query set is a broadcast (bounded
+    * audit sample here; a serving batch in production), so the scored
+    * frame is ONE map-side pass over the corpus, never a data-sized
+    * cartesian. The exact-cosine ground-truth pass exists only because
+    * this is the recall AUDIT; the serving plan reranks the 20-row
+    * shortlist. Ref: reference dedup/cosine usage is exact-only
+    * (etl/dedup.py); the compression ladder is beyond-reference.
+    */
+  private def packLaneSql(offset: Int): String =
+    s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+      s"CASE WHEN element_at(embedding, i + ${offset + 1}) > 0 " +
+      s"THEN shiftleft(1L, i) ELSE 0L END)"
+
+  def binaryQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+      .withColumn("w0", expr(packLaneSql(0)))
+      .withColumn("w1", expr(packLaneSql(32)))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"), col("w0"), col("w1"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("hamming",
+        expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .select(col("qid"), col("cid"), col("hamming"), col("cosine"))
+    val byHamming = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cid").asc)
+    val byCosine = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val shortlist = scored.withColumn("hrank", row_number().over(byHamming))
+      .filter(col("hrank") <= 20)
+    val approx5 = shortlist
+      .withColumn("arank", row_number().over(byCosine))
+      .filter(col("arank") <= 5)
+    val exact5 = scored.withColumn("erank", row_number().over(byCosine))
+      .filter(col("erank") <= 5)
+      .select(col("qid"), col("cid"))
+    val hits = approx5.join(exact5, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val top1 = approx5.filter(col("arank") === 1)
+      .select(col("qid"), col("cid").as("top1_cid"),
+        round(col("cosine"), 6).as("top1_cosine"))
+    val meanH = shortlist.groupBy(col("qid"))
+      .agg(round(avg(col("hamming")), 4).as("mean_hamming20"))
+    top1.join(hits, Seq("qid"), "left")
+      .join(meanH, Seq("qid"))
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall_at_5"),
+        col("top1_cid"), col("top1_cosine"), col("mean_hamming20"))
+      .orderBy(col("qid"))
+  }
+
+  private val binaryQuantOracle = {
+    def lane(offset: Int) =
+      s"list_reduce(list_transform(generate_series(0, 31), i -> " +
+        s"CASE WHEN embedding[i + ${offset + 1}] > 0 " +
+        s"THEN (1::BIGINT << i) ELSE 0::BIGINT END), (acc, v) -> acc + v)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${lane(0)} AS w0, ${lane(32)} AS w1
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, w0 AS qw0, w1 AS qw1
+       |      FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS cid,
+       |         bit_count(xor(q.qw0, e.w0)) + bit_count(xor(q.qw1, e.w1))
+       |           AS hamming,
+       |         ${cosineSql("q.qv", "e.embedding")} AS cosine
+       |  FROM e CROSS JOIN q
+       |  WHERE e.vec_id <> q.qid),
+       |shortlist AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER
+       |             (PARTITION BY qid ORDER BY hamming, cid) AS hrank
+       |    FROM scored) WHERE hrank <= 20),
+       |a5 AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER
+       |             (PARTITION BY qid ORDER BY cosine DESC, cid) AS arank
+       |    FROM shortlist) WHERE arank <= 5),
+       |e5 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER
+       |             (PARTITION BY qid ORDER BY cosine DESC, cid) AS erank
+       |    FROM scored) WHERE erank <= 5),
+       |hits AS (
+       |  SELECT a5.qid, COUNT(*) AS n_hits
+       |  FROM a5 JOIN e5 USING (qid, cid) GROUP BY a5.qid),
+       |top1 AS (
+       |  SELECT qid, cid AS top1_cid, ROUND(cosine, 6) AS top1_cosine
+       |  FROM a5 WHERE arank = 1),
+       |mh AS (
+       |  SELECT qid, ROUND(AVG(hamming), 4) AS mean_hamming20
+       |  FROM shortlist GROUP BY qid)
+       |SELECT top1.qid, COALESCE(hits.n_hits, 0) AS n_hits,
+       |       ROUND(COALESCE(hits.n_hits, 0) / 5.0, 4) AS recall_at_5,
+       |       top1.top1_cid, top1.top1_cosine, mh.mean_hamming20
+       |FROM top1 LEFT JOIN hits USING (qid) JOIN mh USING (qid)
+       |ORDER BY top1.qid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   /** Contrastive hard-negative mining — the pair-construction step of
     * an embedding-training pipeline: pairs that look similar in VECTOR
     * space (the sign-LSH bucketed cosine pairs) but are NOT verified
@@ -2469,6 +2590,7 @@ object SimilarityOps {
     "q_ann_ivf" -> (annIvf _),
     "q_kmeans" -> (kmeansRefine _),
     "q_quantize_int8" -> (quantizeInt8 _),
+    "q_binary_quant" -> (binaryQuant _),
     "q_hard_negatives" -> (hardNegatives _)
   )
 
@@ -2499,6 +2621,7 @@ object SimilarityOps {
     "q_ann_ivf" -> annIvfOracle,
     "q_kmeans" -> kmeansRefineOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
+    "q_binary_quant" -> binaryQuantOracle,
     "q_hard_negatives" -> hardNegativesOracle
   )
 

@@ -686,6 +686,112 @@ object TextOps {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Top-k distillation-logit truncation audit — the storage-format
+    * decision of a distillation-data pipeline: a teacher's next-token
+    * distribution is persisted as its top-k entries plus a lumped tail
+    * (soft targets stored top-k are the standard format; storing the
+    * full vocab row is ~1e5 floats per position). Here each document's
+    * empirical token distribution p(t) = tf/len stands in for one
+    * teacher context; the audit quantifies what top-8 truncation keeps:
+    * kept probability mass, full vs kept-renormalized entropy, and the
+    * renormalization penalty KL(q‖p) = −ln(kept_mass) (the exact
+    * cross-entropy inflation of serving the renormalized top-k).
+    *
+    * Parity discipline: tf, len, kept_tf are exact integers; each
+    * entropy term quantizes ln(p) to integer micro-nats ONCE and scales
+    * by the integer tf, so both entropy sums are order-free long
+    * arithmetic (the [[unigramLogprob]] lattice); ranking ties break on
+    * the term string identically in both engines. The final divisions
+    * are written token-identically.
+    *
+    * Scale shape: one token-stream aggregation to (doc, term) counts,
+    * then per-doc windows (vocab-per-doc–bounded partitions, never
+    * global) and one per-doc reduction — the same two-shuffle plan at
+    * any corpus size; k=8 tail lumping is what makes 100 TB of teacher
+    * logits storable at all.
+    */
+  private val LogitTopK = 8
+
+  def logitCompress(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val byFreq = byDoc.orderBy(col("tf").desc, col("term").asc)
+    val ranked = tf
+      .withColumn("len", sum(col("tf")).over(byDoc))
+      .withColumn("rnk", row_number().over(byFreq))
+      .withColumn("kept", col("rnk") <= LogitTopK)
+      .withColumn("kept_sum",
+        sum(when(col("kept"), col("tf")).otherwise(lit(0L))).over(byDoc))
+    val terms = ranked
+      .withColumn("c_full_e6", col("tf") *
+        round(log(col("tf").cast("double") / col("len")) * lit(1000000.0), 0)
+          .cast("long"))
+      .withColumn("c_kept_e6", when(col("kept"), col("tf") *
+        round(log(col("tf").cast("double") / col("kept_sum")) * lit(1000000.0), 0)
+          .cast("long")).otherwise(lit(0L)))
+    terms.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        first(col("len")).as("len"),
+        first(col("kept_sum")).as("kept_sum"),
+        sum(col("c_full_e6")).as("s_full"),
+        sum(col("c_kept_e6")).as("s_kept"))
+      .select(col("doc_id"), col("n_vocab"), col("n_kept"),
+        round(col("kept_sum").cast("double") / col("len"), 6).as("kept_mass"),
+        // entropies and KL are ≥ 0 by construction; abs() only folds the
+        // -0.0 a zero lattice sum would otherwise produce (ln(1) = 0 on
+        // single-term or fully-kept docs), keeping the hash sign-stable
+        abs(round(-col("s_full").cast("double") / col("len") / lit(1000000.0), 6))
+          .as("ent_full"),
+        abs(round(-col("s_kept").cast("double") / col("kept_sum") / lit(1000000.0), 6))
+          .as("ent_kept"),
+        abs(round(-round(log(col("kept_sum").cast("double") / col("len")) * lit(1000000.0), 0)
+          / lit(1000000.0), 6)).as("kl_renorm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val logitCompressOracle =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       GROUP BY doc_id, term),
+       |ranked AS (
+       |  SELECT doc_id, term, tf,
+       |         SUM(tf) OVER (PARTITION BY doc_id) AS len,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tf DESC, term) AS rnk
+       |  FROM tf),
+       |flagged AS (
+       |  SELECT *, rnk <= $LogitTopK AS kept,
+       |         SUM(CASE WHEN rnk <= $LogitTopK THEN tf ELSE 0 END)
+       |           OVER (PARTITION BY doc_id) AS kept_sum
+       |  FROM ranked),
+       |terms AS (
+       |  SELECT doc_id, kept, len, kept_sum,
+       |         tf * CAST(ROUND(ln(CAST(tf AS DOUBLE) / len) * 1000000.0)
+       |                   AS BIGINT) AS c_full_e6,
+       |         CASE WHEN kept THEN tf *
+       |           CAST(ROUND(ln(CAST(tf AS DOUBLE) / kept_sum) * 1000000.0)
+       |                AS BIGINT) ELSE 0 END AS c_kept_e6
+       |  FROM flagged)
+       |SELECT doc_id, COUNT(*) AS n_vocab,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       ROUND(CAST(ANY_VALUE(kept_sum) AS DOUBLE) / ANY_VALUE(len), 6)
+       |         AS kept_mass,
+       |       ABS(ROUND(-CAST(SUM(c_full_e6) AS DOUBLE) / ANY_VALUE(len)
+       |             / 1000000.0, 6)) AS ent_full,
+       |       ABS(ROUND(-CAST(SUM(c_kept_e6) AS DOUBLE) / ANY_VALUE(kept_sum)
+       |             / 1000000.0, 6)) AS ent_kept,
+       |       ABS(ROUND(-ROUND(ln(CAST(ANY_VALUE(kept_sum) AS DOUBLE)
+       |                       / ANY_VALUE(len)) * 1000000.0)
+       |             / 1000000.0, 6)) AS kl_renorm
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Temperature-based corpus re-weighting (the mT5 α-sampling rule):
     * per-language mixing weight ∝ (token mass)^α with α = 0.5, i.e. the
     * sampling distribution that up-weights low-resource languages
@@ -3330,6 +3436,7 @@ object TextOps {
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
+    "q_logit_compress" -> (logitCompress _),
     "q_min_k_prob" -> (minKProb _),
     "q_grpo_advantage" -> (grpoAdvantage _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -3374,6 +3481,7 @@ object TextOps {
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,
+    "q_logit_compress" -> logitCompressOracle,
     "q_min_k_prob" -> minKProbOracle,
     "q_grpo_advantage" -> grpoAdvantageOracle,
     "q_heavy_hitters" -> heavyHittersOracle,

@@ -1096,4 +1096,46 @@ class CurationOpsSpec extends SparkSpec {
         s"class $cls: quality-surviving canaries vanished entirely")
     }
   }
+
+  test("tracin: exact driver-side recompute of influence and self-influence") {
+    val rows = CurationOps.tracin(spark, sfTiny).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val (w, _, _) = CurationOps.logregTrainLoop(spark, sfTiny, 5) // LogregIters
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    // Spark ROUND is half-away-from-zero; math.round is half-up
+    def q3(v: Float): Long = {
+      val d = v.toDouble * 1000.0
+      if (d < 0) -math.round(-d) else math.round(d)
+    }
+    val feats = vecs.map { case (id, lab, emb) =>
+      (id, if (lab == 0) 1000000L else 0L, (1000L +: emb.map(q3)).toArray)
+    }
+    def pOf(x: Array[Long]): Long = {
+      val m = x.zip(w).map { case (a, b) => a * b }.sum
+      math.round(1000000.0 / (1.0 + math.exp(-(m.toDouble / 1000000000.0))))
+    }
+    val testSet = feats.filter(_._1 % 5 == 0)
+    val g = Array.fill(w.length)(0L)
+    testSet.foreach { case (_, y, x) =>
+      val pi = pOf(x)
+      x.indices.foreach(j => g(j) += (y - pi) * x(j))
+    }
+    val gn = g.map(_ / (testSet.length * 1000L))
+    feats.filter(_._1 % 5 != 0).foreach { case (id, y, x) =>
+      val pi = pOf(x)
+      val dot = x.zip(gn).map { case (a, b) => a * b }.sum
+      val infl = (y - pi) * dot / 1000000L
+      val self = ((y - pi) * (y - pi) / 1000000L) * x.map(v => v * v).sum
+      val (y01, dotG, inflE6, selfI) = rows(id)
+      assert(y01 == (if (y == 1000000L) 1L else 0L), s"y01 of $id")
+      assert(dotG == dot, s"dot_g of $id: got $dotG want $dot")
+      assert(inflE6 == infl, s"infl of $id: got $inflE6 want $infl")
+      assert(selfI == self, s"self of $id: got $selfI want $self")
+      assert(selfI >= 0L)
+    }
+  }
 }

@@ -722,4 +722,36 @@ class SimilaritySpec extends SparkSpec {
     // and the median must genuinely move (the cloud is not symmetric)
     assert(gm.zip(mean).exists { case (a, b) => a != b })
   }
+
+  test("binary quant: packing round-trips the sign pattern, recall bounded") {
+    val rows = SimilarityOps.binaryQuant(spark, sfTiny).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nHits = r.getAs[Long]("n_hits")
+      val recall = r.getAs[Double]("recall_at_5")
+      assert(nHits >= 0L && nHits <= 5L)
+      assert(recall == nHits / 5.0)
+      // mean Hamming over the 20-candidate shortlist lives in [0, 64]
+      val mh = r.getAs[Double]("mean_hamming20")
+      assert(mh >= 0.0 && mh <= 64.0, s"mean hamming $mh")
+    }
+    // the packed lanes reproduce the sign pattern exactly: recompute one
+    // vector's words driver-side from the raw floats
+    val e = Tables.embeddings(spark, sfTiny)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    def lane(off: Int): Long =
+      (0 until 32).map(i => if (e(off + i) > 0f) 1L << i else 0L).sum
+    val packed = spark.sql(
+      s"""SELECT aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+         |         CASE WHEN element_at(embedding, i + 1) > 0
+         |         THEN shiftleft(1L, i) ELSE 0L END) AS w0,
+         |       aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+         |         CASE WHEN element_at(embedding, i + 33) > 0
+         |         THEN shiftleft(1L, i) ELSE 0L END) AS w1
+         |FROM parquet.`$sfTiny/embeddings.parquet` WHERE vec_id = 0
+         |""".stripMargin).collect()(0)
+    assert(packed.getLong(0) == lane(0), "lane 0 mismatch")
+    assert(packed.getLong(1) == lane(32), "lane 1 mismatch")
+  }
 }

@@ -784,4 +784,43 @@ class TextOpsSpec extends SparkSpec {
       assert(best > 0, "argmax advantage must be positive in a n≥2 group")
     }
   }
+
+  test("logit compress: driver-side lattice recompute and truncation laws") {
+    val rows = TextOps.logitCompress(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      val nVocab = r.getLong(r.fieldIndex("n_vocab"))
+      val nKept = r.getLong(r.fieldIndex("n_kept"))
+      val mass = r.getDouble(r.fieldIndex("kept_mass"))
+      val kl = r.getDouble(r.fieldIndex("kl_renorm"))
+      assert(nKept == math.min(8L, nVocab))
+      assert(mass > 0.0 && mass <= 1.0)
+      // the renorm penalty is exactly −ln(kept_mass) on the e6 lattice
+      assert(math.abs(kl - (-math.log(mass))) < 2e-6,
+        s"kl $kl vs -ln(mass) ${-math.log(mass)}")
+      if (nVocab <= 8) assert(mass == 1.0 && kl == 0.0)
+      assert(r.getDouble(r.fieldIndex("ent_kept")) <= math.log(8.0) + 1e-6)
+      assert(r.getDouble(r.fieldIndex("ent_full")) <=
+        math.log(nVocab.toDouble) + 1e-6)
+    }
+    // exact recompute of one doc from the raw text with the same lattice
+    val text = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") === 0).select(col("text"))
+      .collect()(0).getString(0)
+    val tf = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val len = tf.map(_._2).sum
+    val keptSum = tf.take(8).map(_._2).sum
+    def e6(x: Double): Long = math.round(x * 1000000.0)
+    val sFull = tf.map { case (_, n) => n * e6(math.log(n.toDouble / len)) }.sum
+    val got = rows(0L)
+    assert(got.getLong(got.fieldIndex("n_vocab")) == tf.length)
+    // 6-dp rounding tolerance (Spark rounds half-away, re-round here would
+    // be half-even on exact halves — compare within one lattice step)
+    assert(math.abs(got.getDouble(got.fieldIndex("kept_mass")) -
+      keptSum.toDouble / len) < 1.1e-6)
+    assert(math.abs(got.getDouble(got.fieldIndex("ent_full")) -
+      (-sFull.toDouble / len / 1e6)) < 1.1e-6)
+  }
 }
