@@ -930,6 +930,95 @@ object HtmlOps {
        |FROM b GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // ----------------------------------------------- arrow ipc scan
+  /** Arrow IPC streaming-format walk over synthesized `.arrows`
+    * shards — the sixth container ([[graft.sources.ArrowIpc]]): WARC
+    * arrives, tar ships, ZIP uploads, TFRecord feeds, Avro
+    * interchanges — Arrow IPC is what ANALYTICS tooling hands over
+    * (Flight dumps, Polars/pandas exports). Each 25-doc group becomes
+    * one stream of a flatbuffers Schema message plus 10-row record
+    * batches; text is NULL on every 13th doc (real validity bitmaps),
+    * and every batch whose first doc_id is a multiple of 17 DECLARES
+    * one more text null in its FieldNode than the bitmap holds — the
+    * reader recounts the bitmap and flags the metadata/body
+    * disagreement, triage-and-continue. The decoded id/text-byte sums
+    * land under the hash, so the hand-rolled flatbuffers vtable walk
+    * (generator builds with an independent backward-growing builder),
+    * the validity-bitmap popcount, AND the utf8 offsets decode are
+    * all proven in closed form; arrow_bytes pins every frame,
+    * alignment pad, and buffer layout byte in the stream.
+    *
+    * Scale shape: identical to the other container scans — map-side
+    * synth+walk over bounded 25-doc groups, one fact exchange, a
+    * file-count-sized rollup; on a real corpus the synth stage is
+    * `binaryFile` reads and the walk is unchanged.
+    */
+  def arrowScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ArrowIpc
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val stream = ArrowIpc.synthArrowStream(docs)
+        val scan = ArrowIpc.parseArrowStream(stream)
+        (fid, scan.batches.size.toLong,
+          scan.batches.map(_.nRows).sum,
+          scan.batches.map(_.nNullText).sum,
+          scan.batches.map(_.idSum).sum,
+          scan.batches.map(_.textBytes).sum,
+          scan.batches.count(_.nodeMismatch).toLong,
+          stream.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_batches", "n_rows", "null_texts", "id_sum",
+        "text_bytes", "node_mismatches", "arrow_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: the schema frame and per-batch metadata are
+    * CONSTANT sizes (flatbuffers lengths are fixed-width ints —
+    * SourcesSpec pins row-count independence), computed once from the
+    * codec at oracle-build time; each batch body is the 8-aligned
+    * buffer chain [empty id-validity][n·8 id data][⌈n/8⌉ bitmap]
+    * [(n+1)·4 offsets][non-null text bytes]. */
+  private val arrowScanOracle = {
+    import graft.sources.ArrowIpc
+    val schemaFrame = 8 + ArrowIpc.schemaMsgLen
+    val batchMeta = ArrowIpc.batchMetaLen
+    s"""WITH per_batch AS (
+       |  SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |         (doc_id % 25) // 10 AS batch_no,
+       |         COUNT(*) AS n, MIN(doc_id) AS first_id,
+       |         SUM(doc_id) AS ids,
+       |         SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS nulls,
+       |         SUM(CASE WHEN doc_id % 13 <> 0 THEN strlen(text)
+       |                  ELSE 0 END) AS tb
+       |  FROM documents GROUP BY 1, 2),
+       |sized AS (
+       |  SELECT *,
+       |         ((n * 8 + (n + 7) // 8 + 7) // 8) * 8 AS b2
+       |  FROM per_batch),
+       |sized2 AS (
+       |  SELECT *, ((b2 + (n + 1) * 4 + 7) // 8) * 8 AS b3 FROM sized),
+       |framed AS (
+       |  SELECT *, 8 + $batchMeta + ((b3 + tb + 7) // 8) * 8 AS frame
+       |  FROM sized2)
+       |SELECT file_id,
+       |       COUNT(*) AS n_batches,
+       |       CAST(SUM(n) AS BIGINT) AS n_rows,
+       |       CAST(SUM(nulls) AS BIGINT) AS null_texts,
+       |       CAST(SUM(ids) AS BIGINT) AS id_sum,
+       |       CAST(SUM(tb) AS BIGINT) AS text_bytes,
+       |       CAST(SUM(CASE WHEN first_id % 17 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS node_mismatches,
+       |       CAST($schemaFrame + SUM(frame) + 8 AS BIGINT) AS arrow_bytes,
+       |       TRUE AS clean
+       |FROM framed GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   // ----------------------------------------------- gzip member walk
   /** Multi-member gzip walk over synthesized `.wet.gz`-shaped shards
     * ([[graft.sources.GzipFiles]]) — the compression layer under the
@@ -1803,6 +1892,7 @@ object HtmlOps {
     "q_zip_scan" -> (zipScan _),
     "q_tfrecord_scan" -> (tfrecordScan _),
     "q_avro_scan" -> (avroScan _),
+    "q_arrow_scan" -> (arrowScan _),
     "q_gzip_members" -> (gzipMembers _),
     "q_zstd_scan" -> (zstdScan _),
     "q_sitemap_scan" -> (sitemapScan _),
@@ -1821,6 +1911,7 @@ object HtmlOps {
     "q_zip_scan" -> zipScanOracle,
     "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_avro_scan" -> avroScanOracle,
+    "q_arrow_scan" -> arrowScanOracle,
     "q_gzip_members" -> gzipMembersOracle,
     "q_zstd_scan" -> zstdScanOracle,
     "q_sitemap_scan" -> sitemapScanOracle,

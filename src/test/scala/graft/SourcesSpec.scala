@@ -45,4 +45,49 @@ class SourcesSpec extends SparkSpec {
       s"quantity predicate not pushed:\n$plan")
   }
 
+  test("arrow ipc: round-trip, planted node lie, constant metadata size") {
+    import graft.sources.ArrowIpc
+    val docs = (0L until 25L).map(i => (i, s"doc-$i-" + ("x" * i.toInt)))
+    val stream = ArrowIpc.synthArrowStream(docs)
+    val scan = ArrowIpc.parseArrowStream(stream)
+    assert(scan.schemaOk, "schema message did not parse")
+    assert(scan.fieldNames == Seq("doc_id", "text"))
+    assert(scan.eos && scan.clean && scan.consumed == stream.length)
+    assert(scan.batches.map(_.nRows) == Vector(10L, 10L, 5L))
+    // per batch: id sums, nulls (id % 13 == 0), text bytes, the lie
+    docs.grouped(10).zip(scan.batches.iterator).foreach { case (g, batch) =>
+      assert(batch.idSum == g.map(_._1).sum)
+      val nulls = g.count(_._1 % 13 == 0)
+      assert(batch.nNullText == nulls, s"nulls in batch starting ${g.head._1}")
+      val tb = g.collect { case (id, t) if id % 13 != 0 => t.length }.sum
+      assert(batch.textBytes == tb.toLong)
+      assert(batch.nodeMismatch == (g.head._1 % 17 == 0),
+        s"mismatch flag for batch starting ${g.head._1}")
+    }
+    // batch METADATA size must be row-count- and content-independent —
+    // the oracle's closed-form byte census builds on this
+    def metaLen(ds: Seq[(Long, String)]): Int =
+      ArrowIpc.batchMessage(ds)._1.length
+    val m10 = metaLen(docs.take(10))
+    assert(metaLen(docs.drop(20)) == m10, "5-row batch meta differs")
+    assert(metaLen(Seq((170L, "zz"), (171L, ""))) == m10)
+    assert((m10 + 7) / 8 * 8 == ArrowIpc.batchMetaLen)
+  }
+
+  test("arrow ipc: total parse on every prefix and under byte flips") {
+    import graft.sources.ArrowIpc
+    val docs = (0L until 25L).map(i => (i, s"t$i"))
+    val stream = ArrowIpc.synthArrowStream(docs)
+    (0 to stream.length).foreach { n =>
+      val scan = ArrowIpc.parseArrowStream(stream.take(n)) // must not throw
+      assert(scan.consumed <= n)
+      assert(!scan.clean || n == stream.length)
+    }
+    stream.indices.foreach { i =>
+      val mutated = stream.clone()
+      mutated(i) = (mutated(i) ^ 0x5a).toByte
+      ArrowIpc.parseArrowStream(mutated) // must not throw
+    }
+  }
+
 }
