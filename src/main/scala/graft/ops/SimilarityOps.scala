@@ -1236,6 +1236,137 @@ object SimilarityOps {
        |ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  /** IVF nprobe tuning sweep — the recall/throughput CURVE a real
+    * deployment measures before picking its operating point (faiss'
+    * nprobe benchmark loop as one query): for each probe level
+    * p ∈ {1,2,3,5}, the top-5-by-cosine among candidates whose cell is
+    * within the query's p nearest cells, scored for recall@5 against
+    * the exact scan, plus the scanned candidate fraction — the two
+    * axes of the IVF trade. Candidate sets are NESTED in p, so the
+    * sweep pays the cell join ONCE (per-pair `minrank` = the probe
+    * level at which the candidate first appears) and derives every
+    * level by filtering, not re-probing.
+    *
+    * Exactness: recall and scan fraction are exact integer ratios
+    * (hit/candidate COUNTS divided once at the end); cosines go
+    * through the module's pinned fold and ranks tie-break on cid.
+    *
+    * Scale shape: queries are a bounded audit sample (broadcast);
+    * candidates come from the STANDING materialized index by cell
+    * equi-join — never a corpus cartesian; the arrays stay out of
+    * every exchange (cosine computed map-side on the joined row, the
+    * dedup groupBy ships narrow (qid, cid, arank, cosine) rows). The
+    * exact-scan pass exists because this is the tuning AUDIT — one
+    * linear pass per query batch, the same cost annRecall already
+    * carries. The 100 TB run is this exact plan with a larger sample.
+    */
+  private val SweepProbes = Seq(1, 2, 3, 5)
+
+  def ivfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 25)
+    val nq = queries.count() // bounded A6 scalars: sample + corpus size
+    val nCorpus = e.count()
+    val probes = assign(queries,
+        centroidsWithNorm(coarseCentroids(spark, sfDir)), SweepProbes.max)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("seed_id").as("cell"), col("arank"))
+    val dedup = broadcast(probes).join(ivfIndex(spark, sfDir), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .select(col("qid"), col("cid"), col("arank"), col("cosine"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(min(col("arank")).as("minrank"), first(col("cosine")).as("cosine"))
+    val exact5 = e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("norm").as("qn"))))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .withColumn("erank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("erank") <= 5)
+      .select(col("qid"), col("cid"))
+    val byP = dedup
+      .select(col("qid"), col("cid"), col("minrank"), col("cosine"),
+        explode(typedLit(SweepProbes)).as("nprobe"))
+      .filter(col("minrank") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val hits = byP.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(exact5, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    byP.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / (lit(5.0) * nq), 6)
+          .as("recall_at_5"),
+        col("n_cand"),
+        round(col("n_cand") / lit(nq.toDouble * nCorpus), 6).as("cand_frac"))
+      .orderBy(col("nprobe"))
+  }
+
+  private lazy val ivfSweepOracle =
+    s"""WITH $coarseCentSql,
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "s.cv")} DESC,
+       |                    s.cell ASC) AS arank
+       |  FROM embeddings e CROSS JOIN cents s),
+       |cand AS (SELECT vec_id, embedding, cell FROM cellranked
+       |         WHERE arank = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, cell, arank
+       |      FROM cellranked WHERE vec_id < 25 AND arank <= 5),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nq AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 25),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS cid, q.arank,
+       |         ${cosineSql("q.qv", "c.embedding")} AS cosine
+       |  FROM q JOIN cand c USING (cell)
+       |  WHERE q.qid <> c.vec_id),
+       |dedup AS (SELECT qid, cid, MIN(arank) AS minrank,
+       |                 ANY_VALUE(cosine) AS cosine
+       |          FROM scored GROUP BY qid, cid),
+       |exact5 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q2.qid, e.vec_id AS cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q2.qid
+       |             ORDER BY ${cosineSql("q2.qv", "e.embedding")} DESC,
+       |                      e.vec_id ASC) AS erank
+       |    FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |          WHERE vec_id < 25) q2
+       |    JOIN embeddings e ON e.vec_id <> q2.qid)
+       |  WHERE erank <= 5),
+       |levels AS (SELECT UNNEST([1, 2, 3, 5]) AS nprobe),
+       |byp AS (SELECT d.*, l.nprobe FROM dedup d CROSS JOIN levels l
+       |        WHERE d.minrank <= l.nprobe),
+       |top5 AS (
+       |  SELECT nprobe, qid, cid FROM (
+       |    SELECT nprobe, qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+       |             ORDER BY cosine DESC, cid ASC) AS rnk
+       |    FROM byp) WHERE rnk <= 5),
+       |hits AS (SELECT nprobe, COUNT(*) AS n_hits
+       |         FROM top5 JOIN exact5 USING (qid, cid) GROUP BY nprobe),
+       |cnts AS (SELECT nprobe, COUNT(*) AS n_cand FROM byp GROUP BY nprobe)
+       |SELECT CAST(c.nprobe AS INTEGER) AS nprobe,
+       |       (SELECT nq FROM nq) AS n_queries,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       ROUND(COALESCE(h.n_hits, 0) / (5.0 * (SELECT nq FROM nq)), 6)
+       |         AS recall_at_5,
+       |       c.n_cand,
+       |       ROUND(c.n_cand / ((SELECT nq FROM nq) *
+       |             CAST((SELECT n FROM nn) AS DOUBLE)), 6) AS cand_frac
+       |FROM cnts c LEFT JOIN hits h USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+
+  // ------------------------------------------------------------------
   /** K-means refinement of the IVF coarse centroids — two unrolled
     * Lloyd iterations (assign to nearest centroid by cosine, recompute
     * centroids as the per-dimension member mean), then the final
@@ -2588,6 +2719,7 @@ object SimilarityOps {
     "q_maxsim" -> (maxSim _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ivf_sweep" -> (ivfSweep _),
     "q_kmeans" -> (kmeansRefine _),
     "q_quantize_int8" -> (quantizeInt8 _),
     "q_binary_quant" -> (binaryQuant _),
@@ -2619,6 +2751,7 @@ object SimilarityOps {
     "q_maxsim" -> maxSimOracle,
     "q_dedup_embedding" -> dedupEmbeddingRealOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ivf_sweep" -> ivfSweepOracle,
     "q_kmeans" -> kmeansRefineOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
     "q_binary_quant" -> binaryQuantOracle,

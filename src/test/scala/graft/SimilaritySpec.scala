@@ -723,6 +723,26 @@ class SimilaritySpec extends SparkSpec {
     assert(gm.zip(mean).exists { case (a, b) => a != b })
   }
 
+  test("ivf sweep: recall and scan fraction both monotone in nprobe") {
+    val rows = SimilarityOps.ivfSweep(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getDouble(r.fieldIndex("recall_at_5")),
+        r.getDouble(r.fieldIndex("cand_frac")))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 5))
+    rows.foreach { case (p, rec, frac) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"recall at nprobe=$p: $rec")
+      assert(frac > 0.0 && frac <= 1.0, s"cand_frac at nprobe=$p: $frac")
+    }
+    // candidate sets are nested in p: both curves must be monotone
+    rows.sliding(2).foreach { case Array((p1, r1, f1), (p2, r2, f2)) =>
+      assert(r2 >= r1, s"recall fell from nprobe=$p1 ($r1) to $p2 ($r2)")
+      assert(f2 > f1, s"scan fraction not increasing at nprobe=$p2")
+    }
+    // probing every cell in the sweep range must beat the single cell
+    // on this fixture (recall is scanned-fraction-bound on near-random
+    // vectors, so more cells == strictly more chances)
+    assert(rows.last._2 >= rows.head._2)
+  }
+
   test("binary quant: packing round-trips the sign pattern, recall bounded") {
     val rows = SimilarityOps.binaryQuant(spark, sfTiny).collect()
     assert(rows.length == 5)
