@@ -1587,32 +1587,79 @@ object SimilarityOps {
       s"CASE WHEN element_at(embedding, i + ${offset + 1}) > 0 " +
       s"THEN shiftleft(1L, i) ELSE 0L END)"
 
-  def binaryQuant(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-      .withColumn("w0", expr(packLaneSql(0)))
-      .withColumn("w1", expr(packLaneSql(32)))
-    val queries = e.filter(col("vec_id") < 5)
+  /** Packed sign-bit index, materialized once per session+SF — the
+    * build-once/serve-many lifecycle [[ivfIndex]] established, for the
+    * Hamming path: (cid, cv, cn, w0, w1). */
+  def binaryIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/binary_index") {
+      withNorm(spark, sfDir)
+        .withColumn("w0", expr(packLaneSql(0)))
+        .withColumn("w1", expr(packLaneSql(32)))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("norm").as("cn"), col("w0"), col("w1"))
+    }
+
+  /** Serve a (small) query frame against the STANDING packed index —
+    * the ONE serving definition the batch audit and the streaming twin
+    * ([[graft.streaming.StreamingOps.binaryServeStream]]) both run:
+    * pack the queries map-side, broadcast into a single linear Hamming
+    * pass over the 16-byte words, keep the top-20 shortlist, and rerank
+    * ONLY the shortlist by exact cosine (the serving plan never pays a
+    * full-precision corpus pass). Returns the shortlist with both ranks
+    * so callers slice what they need. */
+  private[graft] def binaryShortlist(
+      queryVecs: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val queries = queryVecs
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .withColumn("qw0", expr(packLaneSql(0)))
+      .withColumn("qw1", expr(packLaneSql(32)))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("norm").as("qn"), col("w0").as("qw0"), col("w1").as("qw1"))
-    val scored = e
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("norm").as("cn"), col("w0"), col("w1"))
-      .crossJoin(broadcast(queries))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("hamming",
-        expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)"))
-      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
-      .select(col("qid"), col("cid"), col("hamming"), col("cosine"))
+        col("norm").as("qn"), col("qw0"), col("qw1"))
     val byHamming = Window.partitionBy(col("qid"))
       .orderBy(col("hamming").asc, col("cid").asc)
     val byCosine = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
-    val shortlist = scored.withColumn("hrank", row_number().over(byHamming))
+    binaryIndex(spark, sfDir).crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("hamming",
+        expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)"))
+      // the pre-shortlist exchange ships only narrow columns — arrays
+      // rejoin by cid for the 20-row rerank
+      .select(col("qid"), col("cid"), col("hamming"))
+      .withColumn("hrank", row_number().over(byHamming))
       .filter(col("hrank") <= 20)
-    val approx5 = shortlist
+      .join(binaryIndex(spark, sfDir).select(col("cid"), col("cv"),
+        col("cn")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qv"), col("qn"))),
+        Seq("qid"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .select(col("qid"), col("cid"), col("hamming"), col("cosine"),
+        col("hrank"))
       .withColumn("arank", row_number().over(byCosine))
-      .filter(col("arank") <= 5)
-    val exact5 = scored.withColumn("erank", row_number().over(byCosine))
+  }
+
+  def binaryQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val shortlist = binaryShortlist(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")), spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val byCosine = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val approx5 = shortlist.filter(col("arank") <= 5)
+    // ground truth exists only because this is the recall AUDIT: one
+    // exact linear pass per query batch, same cost annRecall carries
+    val exact5 = e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .withColumn("erank", row_number().over(byCosine))
       .filter(col("erank") <= 5)
       .select(col("qid"), col("cid"))
     val hits = approx5.join(exact5, Seq("qid", "cid"), "left_semi")

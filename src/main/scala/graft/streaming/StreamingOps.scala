@@ -198,6 +198,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming binary-quantized serving — query arrivals
+    * Hamming-probed against the STANDING packed sign-bit index
+    * ([[graft.ops.SimilarityOps.binaryIndex]], built once; serving
+    * never re-packs the corpus mid-stream): each micro-batch runs the
+    * batch op's own [[graft.ops.SimilarityOps.binaryShortlist]] kernel
+    * — popcount shortlist, exact rerank of the 20 — and appends the
+    * per-query top-5 to a ledger. Stateless per arrival; replay
+    * re-appends byte-identical rows a reader dedups on (qid, rank).
+    * The compressed-serving sibling of [[annServeStream]]: one scorer
+    * definition batch and stream. */
+  def binaryServeStream(queries: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.SimilarityOps.binaryShortlist(batch.toDF(), spark, sfDir)
+          .filter(col("arank") <= 5)
+          .select(col("qid"), col("arank").as("rank"), col("cid"),
+            round(col("cosine"), 6).as("cosine"), col("hamming"))
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming Min-K% membership screening — document arrivals scored
     * against the STANDING unigram model
     * ([[graft.ops.TextOps.unigramModelMaterialized]], built once —

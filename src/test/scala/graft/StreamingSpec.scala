@@ -788,6 +788,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming binary-quant serving ledger equals the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/binary_serve_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val qVecs = Tables.embeddings(spark, sfTiny)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.binaryServeStream(
+      input.toDF().toDF("vec_id", "embedding"), sfTiny, s"$base/ledger")
+    try {
+      qVecs.grouped(3).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("cid"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("hamming")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val streamed = rows(spark.read.parquet(s"$base/ledger"))
+      val batch = rows(graft.ops.SimilarityOps.binaryShortlist(
+          Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")), spark, sfTiny)
+        .filter(col("arank") <= 5)
+        .select(col("qid"), col("arank").as("rank"), col("cid"),
+          round(col("cosine"), 6).as("cosine"), col("hamming")))
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming min-k serving ledger equals the batch scorer row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
