@@ -1359,6 +1359,154 @@ object HtmlOps {
       |FROM l GROUP BY url ORDER BY url""".stripMargin
 
   // ------------------------------------------------------------------
+  /** RFC 3986 URL canonicalization — the FIRST dedup of every crawl
+    * pipeline (before any content hash runs, the frontier and the
+    * seen-set collapse URL aliases): lowercase scheme+host, strip the
+    * scheme's default port, percent-decode unreserved characters and
+    * uppercase the surviving triplets (§6.2.2), squash `.`/`..` path
+    * segments (§5.2.4), drop the fragment, drop tracking parameters
+    * (the utm_ family, fbclid, gclid), and sort the query params. Total
+    * on any input: malformed percent escapes and scheme-less strings
+    * pass through untouched rather than throwing.
+    */
+  private val TrackingParams = Set("utm_source", "utm_medium",
+    "utm_campaign", "utm_term", "utm_content", "fbclid", "gclid")
+
+  private[graft] def canonicalUrl(u: String): String = {
+    val noFrag = { val h = u.indexOf('#'); if (h >= 0) u.substring(0, h) else u }
+    val se = noFrag.indexOf("://")
+    if (se < 0) return noFrag
+    val scheme = noFrag.substring(0, se).toLowerCase
+    val rest = noFrag.substring(se + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?') match {
+      case -1 => rest.length
+      case i => i
+    }
+    var auth = rest.substring(0, authEnd).toLowerCase
+    val defPort =
+      if (scheme == "https") ":443" else if (scheme == "http") ":80" else ""
+    if (defPort.nonEmpty && auth.endsWith(defPort))
+      auth = auth.dropRight(defPort.length)
+    val tail = rest.substring(authEnd)
+    val qAt = tail.indexOf('?')
+    val path0 = if (qAt < 0) tail else tail.substring(0, qAt)
+    val query0 = if (qAt < 0) "" else tail.substring(qAt + 1)
+    // §6.2.2.2: decode unreserved, uppercase surviving triplets;
+    // total — a malformed escape is kept verbatim
+    def pct(s: String): String = {
+      val out = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+          val v = Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)
+          val ch = v.toChar
+          if (ch.isLetterOrDigit && ch < 128 || "-._~".indexOf(ch.toInt) >= 0)
+            out.append(ch)
+          else out.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
+          i += 3
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
+    def squash(path: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      path.split("/", -1).drop(1).foreach {
+        case "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s => out += s
+      }
+      "/" + out.mkString("/")
+    }
+    val path = squash(pct(if (path0.isEmpty) "/" else path0))
+    val params = query0.split("&").filter(_.nonEmpty).map(pct)
+      .filterNot { p =>
+        val key = p.takeWhile(_ != '=')
+        TrackingParams.contains(key)
+      }.sorted
+    scheme + "://" + auth + path +
+      (if (params.isEmpty) "" else "?" + params.mkString("&"))
+  }
+
+  /** Canonical-URL dedup census over six deterministic alias forms per
+    * doc (uppercase scheme/host + default port, dot segments,
+    * tracking-only query, fragment, percent-encoded unreserved
+    * octets, explicit `:443` + empty `?`) — every 3rd doc also carries
+    * a REAL `q=` param the canonicalizer must keep and sort in from
+    * varying positions. All six collapse to one formula-predicted
+    * canonical, and a 48-bit md5-prefix sum over the distinct
+    * canonicals pins every canonical BYTE under the driver hash (12
+    * hex chars: ≤ 2^48 per URL × ~32M URLs/host of headroom before
+    * the long sum could wrap — mod the prefix down first past that).
+    *
+    * Scale shape: pure map-side generate+canonicalize, then the
+    * two-level (host, canon) → host rollup — the distinct-aggregate
+    * shape every dedup census here uses; the URL key is
+    * high-cardinality and hash-distributed.
+    */
+  def urlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val h = id % 10
+        val p = id % 7
+        val q = if (id % 3 == 0) s"q=$id" else ""
+        val base = s"site$h.example"
+        val pq = s"path$p/page$id"
+        def opt(s: String) = if (q.nonEmpty) s else ""
+        Seq(
+          s"HTTPS://SITE$h.EXAMPLE:443/$pq?" +
+            (if (q.nonEmpty) s"$q&utm_medium=m" else "utm_medium=m"),
+          s"https://$base/path$p/../$pq" +
+            (if (q.nonEmpty) s"?utm_source=feed&$q" else ""),
+          s"https://$base/$pq?utm_campaign=c$id" + opt(s"&$q"),
+          s"https://$base/$pq" + opt(s"?$q") + s"#sec${id % 5}",
+          s"https://$base/pa%74h$p/%70age$id" + opt(s"?$q"),
+          s"https://$base:443/$pq" + (if (q.nonEmpty) s"?$q" else "?")
+        ).map(raw => (id, raw, canonicalUrl(raw)))
+      })
+      .toDF("doc_id", "raw", "canon")
+      .withColumn("host", regexp_extract(col("canon"), "^https://([^/]+)/", 1))
+      .groupBy(col("host"), col("canon"))
+      .agg(count(lit(1)).as("n_var"),
+        max(when(col("canon").contains("?"), 1L).otherwise(0L)).as("has_q"))
+      .groupBy(col("host"))
+      .agg(sum(col("n_var")).as("n_raw"),
+        count(lit(1)).as("n_canon"),
+        (sum(col("n_var")) - count(lit(1))).as("n_dup"),
+        sum(col("has_q")).as("n_with_query"),
+        sum(expr("CAST(conv(substring(md5(CAST(canon AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+          .as("canon_hashsum"))
+      .orderBy(col("host"))
+  }
+
+  /** The oracle reconstructs the formula-predicted canonical per doc —
+    * if ANY canonicalization rule misfires, either n_canon inflates or
+    * the md5-prefix sum of the canonical strings moves. */
+  private val urlCanonicalOracle =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         'site' || (doc_id % 10) || '.example' AS host,
+      |         'https://site' || (doc_id % 10) || '.example/path' ||
+      |           (doc_id % 7) || '/page' || doc_id ||
+      |           CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id
+      |                ELSE '' END AS canon
+      |  FROM documents)
+      |SELECT host,
+      |       COUNT(*) * 6 AS n_raw,
+      |       COUNT(*) AS n_canon,
+      |       COUNT(*) * 5 AS n_dup,
+      |       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_with_query,
+      |       CAST(SUM(CAST('0x' || substring(md5(canon), 1, 12) AS BIGINT))
+      |            AS BIGINT) AS canon_hashsum
+      |FROM c GROUP BY host ORDER BY host""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Crawl-policy gate — the governance the front door must enforce
     * before a page's text or links enter the corpus: `<meta
     * name=robots>` directives decide whether the page is INDEXABLE
@@ -1885,6 +2033,7 @@ object HtmlOps {
     "q_robotstxt" -> (robotsTxt _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
+    "q_url_canonical" -> (urlCanonical _),
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
     "q_warc_scan" -> (warcScan _),
@@ -1904,6 +2053,7 @@ object HtmlOps {
     "q_robotstxt" -> robotsTxtOracle,
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
+    "q_url_canonical" -> urlCanonicalOracle,
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,
     "q_warc_scan" -> warcScanOracle,

@@ -673,4 +673,40 @@ class HtmlOpsSpec extends SparkSpec {
     assert(L("train_tokens") > 0)
     spark.catalog.clearCache()
   }
+
+  test("canonicalUrl: every RFC 3986 rule, totality, and idempotence") {
+    import graft.ops.HtmlOps.canonicalUrl
+    val cases = Seq(
+      // case + default port
+      "HTTPS://Site.Example:443/a" -> "https://site.example/a",
+      "http://HOST.example:80/x" -> "http://host.example/x",
+      // non-default port kept
+      "https://site.example:8443/a" -> "https://site.example:8443/a",
+      // dot segments, incl. over-popping past root
+      "https://s.example/a/./b/../c" -> "https://s.example/a/c",
+      "https://s.example/../../x" -> "https://s.example/x",
+      // empty path
+      "https://s.example" -> "https://s.example/",
+      "https://s.example?a=1" -> "https://s.example/?a=1",
+      // fragment off, empty query off
+      "https://s.example/a#frag" -> "https://s.example/a",
+      "https://s.example/a?" -> "https://s.example/a",
+      // percent-decoding: unreserved decoded, reserved kept UPPERCASED
+      "https://s.example/p%61th/%41%2fB" -> "https://s.example/path/A%2FB",
+      // malformed escapes pass through (totality, not an exception)
+      "https://s.example/a%zz%4" -> "https://s.example/a%zz%4",
+      // tracking strip + param sort (key then value within dups)
+      "https://s.example/a?utm_source=x&b=2&a=9&a=10" ->
+        "https://s.example/a?a=10&a=9&b=2",
+      "https://s.example/a?gclid=1&fbclid=2&utm_term=t" ->
+        "https://s.example/a",
+      // scheme-less strings untouched
+      "not a url at all" -> "not a url at all",
+      "mailto:x@example.com" -> "mailto:x@example.com")
+    cases.foreach { case (in, want) =>
+      assert(canonicalUrl(in) == want, s"canonicalUrl($in)")
+      // idempotence: canonical form is a fixed point
+      assert(canonicalUrl(want) == want, s"not a fixed point: $want")
+    }
+  }
 }
