@@ -646,6 +646,76 @@ object CatalogOps {
       |FROM u ORDER BY segment""".stripMargin
 
   // ------------------------------------------------------------------
+  /** DP-SGD privacy accountant — the noise-calibration table a private
+    * training run publishes beside its model card: for each (epochs,
+    * noise multiplier σ) configuration over THIS corpus, the spent
+    * ε at δ = 1e-6 via Rényi-DP composition of the per-step Gaussian
+    * mechanism (Mironov 2017, public paper): each sensitivity-1 step
+    * costs ε_RDP(α) = α/(2σ²), T steps compose additively, and the
+    * conversion to (ε, δ)-DP takes the MINIMUM over an α ∈ [2, 64]
+    * grid of T·α/(2σ²) + ln(1/δ)/(α−1). Steps derive from the corpus
+    * (T = epochs·⌈n/64⌉), so the accountant reads the data it prices.
+    *
+    * Exactness: σ ∈ {0.5, 1, 2} makes 2σ² a power of two (division is
+    * exact double scaling), T·α is exact integer, ln(1/δ) = ln(1e6) is
+    * one shared libm call, and each candidate quantizes to the e6
+    * lattice BEFORE the argmin — the α pick is an integer comparison
+    * with ties to the smaller α, identical in both engines.
+    *
+    * Scale shape: one corpus COUNT (an A6 1-row frame) + a 9×63
+    * constant grid — the accountant itself costs nothing at any scale;
+    * it exists so the lakehouse can gate exports on a privacy budget
+    * the same way dq_checks gates on quality.
+    */
+  def dpAccountant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+    val grid = Seq(1, 3, 10)
+      .flatMap(e => Seq(0.5, 1.0, 2.0).map(s => (e, s)))
+      .toDF("epochs", "sigma")
+    grid.crossJoin(broadcast(n))
+      .withColumn("steps", col("epochs") * expr("(n + 63) div 64"))
+      .withColumn("alpha", explode(expr("sequence(2, 64)")))
+      .withColumn("v_e6", round(
+        (col("steps") * col("alpha") / (col("sigma") * col("sigma") * 2.0)
+          + log(lit(1000000.0)) / (col("alpha") - 1)) * 1000000.0, 0)
+        .cast("long"))
+      .groupBy(col("epochs"), col("sigma"))
+      .agg(first(col("steps")).as("steps"),
+        min(struct(col("v_e6"), col("alpha"))).as("best"))
+      .select(col("epochs"), col("sigma"), col("steps"),
+        col("best.alpha").as("best_alpha"),
+        round(col("best.v_e6") / lit(1000000.0), 6).as("eps"))
+      .orderBy(col("epochs"), col("sigma"))
+  }
+
+  private val dpAccountantOracle =
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      |grid AS (
+      |  SELECT e.epochs, s.sigma
+      |  FROM (SELECT UNNEST([1, 3, 10]) AS epochs) e
+      |  CROSS JOIN (SELECT UNNEST([0.5::DOUBLE, 1.0, 2.0]) AS sigma) s),
+      |g2 AS (
+      |  SELECT epochs, sigma, epochs * ((n + 63) // 64) AS steps
+      |  FROM grid CROSS JOIN nn),
+      |scored AS (
+      |  SELECT epochs, sigma, steps, alpha,
+      |         CAST(ROUND((steps * alpha / (sigma * sigma * 2.0)
+      |               + ln(1000000.0) / (alpha - 1)) * 1000000.0)
+      |              AS BIGINT) AS v_e6
+      |  FROM g2, UNNEST(range(2, 65)) AS t(alpha)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY epochs, sigma
+      |             ORDER BY v_e6, alpha) AS rn
+      |  FROM scored)
+      |SELECT CAST(epochs AS INTEGER) AS epochs, sigma,
+      |       CAST(steps AS BIGINT) AS steps,
+      |       CAST(alpha AS INTEGER) AS best_alpha,
+      |       ROUND(v_e6 / 1000000.0, 6) AS eps
+      |FROM ranked WHERE rn = 1
+      |ORDER BY epochs, sigma""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Equi-depth (equi-height) 8-bucket histogram of l_extendedprice —
     * the histogram a cost-based optimizer keeps per column, where every
     * bucket holds ~n/8 rows and the EDGES move with the data (the
@@ -961,6 +1031,7 @@ object CatalogOps {
     "q_randomized_response" -> (randomizedResponse _),
     "q_skew_report" -> (skewReport _),
     "q_dp_counts" -> (dpCounts _),
+    "q_dp_accountant" -> (dpAccountant _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_equidepth_hist_approx" -> (equidepthHistApprox _),
     "q_ref_integrity" -> (refIntegrity _),
@@ -980,6 +1051,7 @@ object CatalogOps {
     "q_randomized_response" -> randomizedResponseOracle,
     "q_skew_report" -> skewReportOracle,
     "q_dp_counts" -> dpCountsOracle,
+    "q_dp_accountant" -> dpAccountantOracle,
     "q_equidepth_hist" -> equidepthHistOracle,
     "q_equidepth_hist_approx" -> equidepthHistApproxOracle,
     "q_ref_integrity" -> refIntegrityOracle,

@@ -172,4 +172,29 @@ class CatalogOpsSpec extends SparkSpec {
     assert(est > real / 3.0 && est < real * 3.0, s"est $est vs $real")
   }
 
+  test("dp accountant: driver recompute and privacy monotonicity laws") {
+    val rows = CatalogOps.dpAccountant(spark, sfTiny).collect()
+      .map(r => ((r.getInt(0), r.getDouble(1)),
+        (r.getLong(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(rows.size == 9)
+    val n = Tables.documents(spark, sfTiny).count()
+    rows.foreach { case ((epochs, sigma), (steps, bestA, eps)) =>
+      assert(steps == epochs * ((n + 63) / 64))
+      assert(bestA >= 2 && bestA <= 64)
+      // driver recompute on the same e6 lattice
+      val want = (2 to 64).map(a => math.round(
+        (steps * a / (sigma * sigma * 2.0) +
+          math.log(1000000.0) / (a - 1)) * 1000000.0)).min / 1e6
+      assert(math.abs(eps - want) < 1e-9, s"eps($epochs,$sigma)=$eps != $want")
+    }
+    // more epochs spends more budget; more noise spends less
+    Seq(0.5, 1.0, 2.0).foreach { s =>
+      assert(rows((1, s))._3 < rows((3, s))._3)
+      assert(rows((3, s))._3 < rows((10, s))._3)
+    }
+    Seq(1, 3, 10).foreach { e =>
+      assert(rows((e, 0.5))._3 > rows((e, 1.0))._3)
+      assert(rows((e, 1.0))._3 > rows((e, 2.0))._3)
+    }
+  }
 }
