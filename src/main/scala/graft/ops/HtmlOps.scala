@@ -1019,6 +1019,107 @@ object HtmlOps {
        |FROM framed GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // ------------------------------------------ arrow dictionary scan
+  /** Arrow IPC DICTIONARY-encoded stream walk — the second wire
+    * feature a real Arrow reader must speak ([[arrowScan]] covered the
+    * plain stream): the low-cardinality `source` column ships ONCE as
+    * a DictionaryBatch of sorted distinct values and every RecordBatch
+    * carries int32 indices into it. The planted defect is the
+    * stale-dictionary failure mode: every batch whose first doc_id is
+    * a multiple of 17 holds one out-of-range index, which the reader
+    * bounds-checks, counts, and nulls — never a crash, never a wrong
+    * value. The per-row DECODED source strings land under the hash via
+    * a 48-bit md5-prefix sum, so schema dictionary metadata (encoding
+    * id, Int32 index type), the dictionary decode, the index decode,
+    * and the bounds triage are all proven; arrow_bytes pins the frame
+    * layout including the dictionary body.
+    *
+    * Scale shape: identical to the other container scans; dictionary
+    * encoding is precisely what makes a 100 TB string column scannable
+    * (4-byte indices instead of repeated strings).
+    */
+  def arrowDictScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ArrowIpc
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("source"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val stream = ArrowIpc.synthDictStream(docs)
+        val scan = ArrowIpc.parseDictStream(stream)
+        def h12(s: String): Long = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.lang.Long.parseLong(
+            d.take(6).map(b => f"$b%02x").mkString, 16)
+        }
+        val srcHashSum = scan.batches.map(b =>
+          b.srcCounts.map { case (s, c) => h12(s) * c }.sum).sum
+        (fid, scan.dict.length, scan.batches.size.toLong,
+          scan.batches.map(_.nRows).sum,
+          scan.batches.map(_.idSum).sum,
+          scan.batches.map(_.nOob).sum,
+          srcHashSum, stream.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "dict_size", "n_batches", "n_rows", "id_sum",
+        "n_oob", "src_hashsum", "arrow_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: the OOB plant hits the LAST row of affected
+    * batches, so its source drops out of the hash sum by doc_id
+    * formula; dictionary body size derives from the distinct sources
+    * per shard; metadata sizes are codec-computed constants. */
+  private val arrowDictScanOracle = {
+    import graft.sources.ArrowIpc
+    s"""WITH pb AS (
+       |  SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |         (doc_id % 25) // 10 AS batch_no,
+       |         COUNT(*) AS n, MIN(doc_id) AS first_id,
+       |         MAX(doc_id) AS last_id, SUM(doc_id) AS ids
+       |  FROM documents GROUP BY 1, 2),
+       |rowsrc AS (
+       |  SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |         (doc_id % 25) // 10 AS batch_no, doc_id,
+       |         CAST('0x' || substring(md5(source), 1, 12) AS BIGINT) AS h
+       |  FROM documents),
+       |oob AS (SELECT file_id, batch_no, last_id FROM pb
+       |        WHERE first_id % 17 = 0),
+       |hsum AS (
+       |  SELECT r.file_id,
+       |         CAST(SUM(CASE WHEN o.last_id IS NOT NULL
+       |                       AND r.doc_id = o.last_id THEN 0
+       |                  ELSE r.h END) AS BIGINT) AS src_hashsum
+       |  FROM rowsrc r LEFT JOIN oob o USING (file_id, batch_no)
+       |  GROUP BY r.file_id),
+       |dicts AS (
+       |  SELECT file_id, COUNT(*) AS k, SUM(strlen(source)) AS slen
+       |  FROM (SELECT DISTINCT doc_id // $WarcDocsPerFile AS file_id, source
+       |        FROM documents)
+       |  GROUP BY file_id),
+       |sizes AS (
+       |  SELECT file_id, COUNT(*) AS n_batches,
+       |         CAST(SUM(n) AS BIGINT) AS n_rows,
+       |         CAST(SUM(ids) AS BIGINT) AS id_sum,
+       |         CAST(SUM(CASE WHEN first_id % 17 = 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_oob,
+       |         SUM(8 + ${ArrowIpc.dictBatchMetaLen} + n * 8
+       |             + ((n * 4 + 7) // 8) * 8) AS batch_frames
+       |  FROM pb GROUP BY 1)
+       |SELECT s.file_id, CAST(d.k AS INTEGER) AS dict_size,
+       |       s.n_batches, s.n_rows, s.id_sum, s.n_oob, h.src_hashsum,
+       |       CAST(${8 + ArrowIpc.dictSchemaMsgLen}
+       |            + 8 + ${ArrowIpc.dictMetaLen}
+       |            + ((((d.k + 1) * 4 + 7) // 8) * 8 + d.slen + 7) // 8 * 8
+       |            + s.batch_frames + 8 AS BIGINT) AS arrow_bytes,
+       |       TRUE AS clean
+       |FROM sizes s JOIN dicts d USING (file_id) JOIN hsum h USING (file_id)
+       |ORDER BY s.file_id""".stripMargin
+  }
+
   // ----------------------------------------------- gzip member walk
   /** Multi-member gzip walk over synthesized `.wet.gz`-shaped shards
     * ([[graft.sources.GzipFiles]]) — the compression layer under the
@@ -2042,6 +2143,7 @@ object HtmlOps {
     "q_tfrecord_scan" -> (tfrecordScan _),
     "q_avro_scan" -> (avroScan _),
     "q_arrow_scan" -> (arrowScan _),
+    "q_arrow_dict" -> (arrowDictScan _),
     "q_gzip_members" -> (gzipMembers _),
     "q_zstd_scan" -> (zstdScan _),
     "q_sitemap_scan" -> (sitemapScan _),
@@ -2062,6 +2164,7 @@ object HtmlOps {
     "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_avro_scan" -> avroScanOracle,
     "q_arrow_scan" -> arrowScanOracle,
+    "q_arrow_dict" -> arrowDictScanOracle,
     "q_gzip_members" -> gzipMembersOracle,
     "q_zstd_scan" -> zstdScanOracle,
     "q_sitemap_scan" -> sitemapScanOracle,

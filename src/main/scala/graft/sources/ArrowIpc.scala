@@ -516,4 +516,323 @@ object ArrowIpc {
   lazy val batchMetaLen: Int =
     pad8(batchMessage(Seq((1L, "x"), (2L, "y")))._1.length)
   lazy val schemaMsgLen: Int = pad8(schemaMessage.length)
+
+  // ================================================================
+  // Dictionary encoding — the second Arrow wire feature a real reader
+  // must speak: low-cardinality string columns ship ONCE as a
+  // DictionaryBatch (a Utf8 array of the distinct values) and each
+  // RecordBatch carries int32 INDICES into it. Schema: `doc_id: Int64,
+  // source: Utf8 dictionary-encoded (id 0, Int32 indices)`.
+  // Planted defect: in every batch whose first doc_id is a multiple
+  // of 17, the LAST row's index is out of range (== dict size) — the
+  // stale-dictionary failure mode; the reader bounds-checks every
+  // index, counts the overrun, and treats that slot as null.
+  // ================================================================
+
+  /** Constant flatbuffers Message(Schema) for the dictionary stream. */
+  private[graft] lazy val dictSchemaMessage: Array[Byte] = {
+    val fb = new FbBuilder
+    val idName = fb.createString("doc_id")
+    fb.startTable(2) // Int{64, signed}
+    fb.slotBool(1, v = true)
+    fb.slotInt(0, 64, 0)
+    val int64Tab = fb.endTable()
+    val idChildren = fb.createOffsetVector(Nil)
+    fb.startTable(7) // Field doc_id
+    fb.slotOffset(5, idChildren)
+    fb.slotOffset(3, int64Tab)
+    fb.slotByte(2, 2, 0) // Type.Int
+    fb.slotOffset(0, idName)
+    val idField = fb.endTable()
+
+    val srcName = fb.createString("source")
+    fb.startTable(0) // Utf8 {} — the VALUE type of the dictionary
+    val utf8Tab = fb.endTable()
+    fb.startTable(2) // Int{32, signed} — the INDEX type
+    fb.slotBool(1, v = true)
+    fb.slotInt(0, 32, 0)
+    val int32Tab = fb.endTable()
+    fb.startTable(4) // DictionaryEncoding{id:0, indexType, isOrdered:false}
+    fb.slotOffset(1, int32Tab)
+    fb.slotLong(0, 0L, -1L) // id 0, force-written
+    val dictEnc = fb.endTable()
+    val srcChildren = fb.createOffsetVector(Nil)
+    fb.startTable(7) // Field source
+    fb.slotOffset(5, srcChildren)
+    fb.slotOffset(4, dictEnc)
+    fb.slotOffset(3, utf8Tab)
+    fb.slotByte(2, 5, 0) // Type.Utf8 (the logical value type)
+    fb.slotOffset(0, srcName)
+    val srcField = fb.endTable()
+
+    val fieldsVec = fb.createOffsetVector(Seq(idField, srcField))
+    fb.startTable(4) // Schema
+    fb.slotOffset(1, fieldsVec)
+    val schema = fb.endTable()
+    fb.startTable(5) // Message
+    fb.slotLong(3, 0L, -1L)
+    fb.slotOffset(2, schema)
+    fb.slotByte(1, 1, 0) // Schema
+    fb.slotShort(0, 4, 0)
+    fb.finish(fb.endTable())
+  }
+
+  /** DictionaryBatch message: the sorted distinct values as one Utf8
+    * array. Returns (metadata, body). */
+  private[graft] def dictionaryMessage(values: Seq[String])
+      : (Array[Byte], Array[Byte]) = {
+    val k = values.length
+    val vbytes = values.map(_.getBytes(UTF_8))
+    val offsets = new Array[Byte]((k + 1) * 4)
+    var acc = 0
+    (0 to k).foreach { i =>
+      var v = acc; var j = 0
+      while (j < 4) { offsets(i * 4 + j) = ((v >>> (8 * j)) & 0xff).toByte; j += 1 }
+      if (i < k) acc += vbytes(i).length
+    }
+    val data = vbytes.flatten.toArray
+    val bufs = Seq(Array.empty[Byte], offsets, data) // no nulls in the dict
+    var off = 0
+    val entries = bufs.map { b =>
+      val e = (off.toLong, b.length.toLong); off = pad8(off + b.length); e
+    }
+    val body = new Array[Byte](off)
+    bufs.zip(entries).foreach { case (b, (o, _)) =>
+      System.arraycopy(b, 0, body, o.toInt, b.length)
+    }
+    val fb = new FbBuilder
+    val nodes = fb.createStructPairVector(Seq((k.toLong, 0L)))
+    val buffers = fb.createStructPairVector(entries)
+    fb.startTable(4) // RecordBatch payload
+    fb.slotOffset(2, buffers)
+    fb.slotOffset(1, nodes)
+    fb.slotLong(0, k.toLong, 0L)
+    val rb = fb.endTable()
+    fb.startTable(3) // DictionaryBatch{id:0, data, isDelta:false}
+    fb.slotOffset(1, rb)
+    fb.slotLong(0, 0L, -1L)
+    val db = fb.endTable()
+    fb.startTable(5) // Message
+    fb.slotLong(3, body.length.toLong, 0L)
+    fb.slotOffset(2, db)
+    fb.slotByte(1, 2, 0) // MessageHeader.DictionaryBatch
+    fb.slotShort(0, 4, 0)
+    (fb.finish(fb.endTable()), body)
+  }
+
+  /** Dictionary-indexed RecordBatch: (metadata, body); buffers
+    * [id validity (empty), id data, index validity (empty), int32
+    * indices]. Plants the out-of-range index when the first doc_id is
+    * a multiple of 17. */
+  private[graft] def dictBatchMessage(docs: Seq[(Long, Int)], dictSize: Int)
+      : (Array[Byte], Array[Byte]) = {
+    val n = docs.length
+    val idData = new Array[Byte](n * 8)
+    docs.zipWithIndex.foreach { case ((id, _), i) =>
+      var v = id; var j = 0
+      while (j < 8) { idData(i * 8 + j) = ((v >>> (8 * j)) & 0xff).toByte; j += 1 }
+    }
+    val oob = docs.head._1 % 17 == 0
+    val idx = new Array[Byte](n * 4)
+    docs.zipWithIndex.foreach { case ((_, ix0), i) =>
+      val ix = if (oob && i == n - 1) dictSize else ix0
+      var v = ix; var j = 0
+      while (j < 4) { idx(i * 4 + j) = ((v >>> (8 * j)) & 0xff).toByte; j += 1 }
+    }
+    val bufs = Seq(Array.empty[Byte], idData, Array.empty[Byte], idx)
+    var off = 0
+    val entries = bufs.map { b =>
+      val e = (off.toLong, b.length.toLong); off = pad8(off + b.length); e
+    }
+    val body = new Array[Byte](off)
+    bufs.zip(entries).foreach { case (b, (o, _)) =>
+      System.arraycopy(b, 0, body, o.toInt, b.length)
+    }
+    val fb = new FbBuilder
+    val nodes = fb.createStructPairVector(
+      Seq((n.toLong, 0L), (n.toLong, 0L)))
+    val buffers = fb.createStructPairVector(entries)
+    fb.startTable(4)
+    fb.slotOffset(2, buffers)
+    fb.slotOffset(1, nodes)
+    fb.slotLong(0, n.toLong, 0L)
+    val rb = fb.endTable()
+    fb.startTable(5)
+    fb.slotLong(3, body.length.toLong, 0L)
+    fb.slotOffset(2, rb)
+    fb.slotByte(1, 3, 0) // RecordBatch
+    fb.slotShort(0, 4, 0)
+    (fb.finish(fb.endTable()), body)
+  }
+
+  /** Deterministic dictionary-encoded stream: Schema, ONE
+    * DictionaryBatch (sorted distinct sources of this shard), then
+    * 10-row index batches, then EOS. */
+  private[graft] def synthDictStream(docs: Seq[(Long, String)])
+      : Array[Byte] = {
+    val dict = docs.map(_._2).distinct.sorted
+    val lookup = dict.zipWithIndex.toMap
+    val out = new java.io.ByteArrayOutputStream()
+    def frame(meta: Array[Byte], body: Array[Byte]): Unit = {
+      var i = 0
+      while (i < 4) { out.write(0xff); i += 1 }
+      val m = pad8(meta.length)
+      i = 0
+      while (i < 4) { out.write((m >>> (8 * i)) & 0xff); i += 1 }
+      out.write(meta)
+      i = meta.length
+      while (i < m) { out.write(0); i += 1 }
+      out.write(body)
+    }
+    frame(dictSchemaMessage, Array.empty)
+    val (dm, db) = dictionaryMessage(dict)
+    frame(dm, db)
+    docs.grouped(DocsPerBatch).foreach { g =>
+      val (meta, body) =
+        dictBatchMessage(g.map { case (id, s) => (id, lookup(s)) }, dict.length)
+      frame(meta, body)
+    }
+    var i = 0
+    while (i < 4) { out.write(0xff); i += 1 }
+    i = 0
+    while (i < 4) { out.write(0); i += 1 }
+    out.toByteArray
+  }
+
+  /** One decoded index batch: rows, id sum, per-dict-value row counts
+    * (bounded by dict size), out-of-range index count. */
+  final case class ArrowDictBatch(nRows: Long, idSum: Long,
+      srcCounts: Map[String, Long], nOob: Long)
+  final case class ArrowDictScan(schemaOk: Boolean, dict: Seq[String],
+      batches: Vector[ArrowDictBatch], eos: Boolean, consumed: Int,
+      clean: Boolean)
+
+  /** Total walk of the dictionary stream — never throws. */
+  private[graft] def parseDictStream(b: Array[Byte]): ArrowDictScan = {
+    var p = 0
+    var schemaOk = false
+    var dict: Seq[String] = Nil
+    val batches = Vector.newBuilder[ArrowDictBatch]
+    var eos = false
+    var stop = false
+    while (!stop && p + 8 <= b.length) {
+      if (u32le(b, p) != 0xffffffffL) stop = true
+      else {
+        val metaLen = u32le(b, p + 4)
+        if (metaLen == 0) { eos = true; p += 8; stop = true }
+        else if (metaLen < 0 || metaLen % 8 != 0 ||
+          p + 8 + metaLen > b.length) stop = true
+        else {
+          val meta = java.util.Arrays.copyOfRange(b, p + 8,
+            p + 8 + metaLen.toInt)
+          val root = i32(meta, 0)
+          val msg = if (root <= 0 || root >= meta.length) -1 else root
+          if (msg < 0) stop = true
+          else {
+            val hdrType = fieldByte(meta, msg, 1, 0)
+            val hdr = fieldTable(meta, msg, 2)
+            val bodyLen = fieldLong(meta, msg, 3, 0L)
+            if (bodyLen < 0 ||
+              p + 8 + metaLen + bodyLen > b.length) stop = true
+            else {
+              val bodyOff = p + 8 + metaLen.toInt
+              if (hdrType == 1) { // Schema: verify the dictionary spec
+                val (fv, fn) = fieldVector(meta, hdr, 1)
+                if (fv >= 0 && fn == 2) {
+                  def fieldAt(i: Int): Int = {
+                    val pos = fv + i * 4
+                    val u = i32(meta, pos)
+                    if (u <= 0 || pos.toLong + u > meta.length) -1
+                    else pos + u
+                  }
+                  val src = fieldAt(1)
+                  val enc = fieldTable(meta, src, 4)
+                  val idxType = fieldTable(meta, enc, 1)
+                  schemaOk =
+                    readString(meta, fieldTable(meta, fieldAt(0), 0)) == "doc_id" &&
+                    readString(meta, fieldTable(meta, src, 0)) == "source" &&
+                    fieldByte(meta, src, 2, 0) == 5 && // logical Utf8
+                    enc >= 0 && fieldLong(meta, enc, 0, -1L) == 0L &&
+                    fieldInt(meta, idxType, 0, 0) == 32 // Int32 indices
+                }
+              } else if (hdrType == 2 && dict.isEmpty) { // DictionaryBatch
+                val rb = fieldTable(meta, hdr, 1)
+                val k = fieldLong(meta, rb, 0, 0L)
+                val (bv, bn) = fieldVector(meta, rb, 2)
+                if (rb >= 0 && k >= 0 && bn == 3 && k <= bodyLen / 4) {
+                  def bufEntry(i: Int): (Long, Long) =
+                    (i64(meta, bv + i * 16), i64(meta, bv + i * 16 + 8))
+                  val (ofOff, ofLen) = bufEntry(1)
+                  val (tdOff, tdLen) = bufEntry(2)
+                  val inBody = Seq(bufEntry(0), bufEntry(1), bufEntry(2))
+                    .forall { case (o, l) =>
+                      o >= 0 && l >= 0 && o + l <= bodyLen
+                    }
+                  if (inBody && ofLen == (k + 1) * 4) {
+                    dict = (0 until k.toInt).flatMap { i =>
+                      val s = u32le(b, bodyOff + ofOff.toInt + i * 4)
+                      val e = u32le(b, bodyOff + ofOff.toInt + (i + 1) * 4)
+                      if (s >= 0 && e >= s && e <= tdLen)
+                        Some(new String(b, bodyOff + tdOff.toInt + s.toInt,
+                          (e - s).toInt, UTF_8))
+                      else None
+                    }
+                    if (dict.length != k.toInt) { dict = Nil; stop = true }
+                  } else stop = true
+                } else stop = true
+              } else if (hdrType == 3) { // index RecordBatch
+                val nRows = fieldLong(meta, hdr, 0, 0L)
+                val (nv, nn) = fieldVector(meta, hdr, 1)
+                val (bv, bn) = fieldVector(meta, hdr, 2)
+                if (nRows >= 0 && nRows <= bodyLen / 4 && nn == 2 &&
+                  bn == 4 && nv >= 0) {
+                  def bufEntry(i: Int): (Long, Long) =
+                    (i64(meta, bv + i * 16), i64(meta, bv + i * 16 + 8))
+                  val (idOff, idLen) = bufEntry(1)
+                  val (ixOff, ixLen) = bufEntry(3)
+                  val inBody = (0 until 4).map(bufEntry).forall {
+                    case (o, l) => o >= 0 && l >= 0 && o + l <= bodyLen
+                  }
+                  if (inBody && idLen == nRows * 8 && ixLen == nRows * 4) {
+                    var idSum = 0L
+                    var nOob = 0L
+                    val counts = scala.collection.mutable.Map
+                      .empty[String, Long]
+                    var i = 0
+                    while (i < nRows) {
+                      idSum += i64(b, bodyOff + idOff.toInt + i * 8)
+                      val ix = i32(b, bodyOff + ixOff.toInt + i * 4)
+                      if (ix >= 0 && ix < dict.length) {
+                        val s = dict(ix)
+                        counts(s) = counts.getOrElse(s, 0L) + 1L
+                      } else nOob += 1L
+                      i += 1
+                    }
+                    batches += ArrowDictBatch(nRows, idSum,
+                      counts.toMap, nOob)
+                  } else stop = true
+                } else stop = true
+              }
+              if (!stop) p = bodyOff + pad8(bodyLen.toInt)
+            }
+          }
+        }
+      }
+    }
+    ArrowDictScan(schemaOk, dict, batches.result(), eos, p,
+      clean = schemaOk && dict.nonEmpty && eos && p == b.length)
+  }
+
+  /** Int-typed field accessor (4-byte scalar), for the reader. */
+  private def fieldInt(b: Array[Byte], tab: Int, id: Int, dflt: Int): Int = {
+    val p = fieldPos(b, tab, id)
+    if (p < 0) dflt else i32(b, p)
+  }
+
+  /** Oracle constants for the dictionary stream's byte census. */
+  lazy val dictSchemaMsgLen: Int = pad8(dictSchemaMessage.length)
+  lazy val dictMetaLen: Int =
+    pad8(dictionaryMessage(Seq("a", "bb"))._1.length)
+  lazy val dictBatchMetaLen: Int =
+    pad8(dictBatchMessage(Seq((1L, 0), (2L, 1)), 2)._1.length)
 }

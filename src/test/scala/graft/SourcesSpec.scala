@@ -74,6 +74,52 @@ class SourcesSpec extends SparkSpec {
     assert((m10 + 7) / 8 * 8 == ArrowIpc.batchMetaLen)
   }
 
+  test("arrow dict: round-trip, OOB triage, constant metadata sizes") {
+    import graft.sources.ArrowIpc
+    val srcs = Seq("alpha", "beta", "gamma")
+    val docs = (0L until 25L).map(i => (i, srcs((i % 3).toInt)))
+    val stream = ArrowIpc.synthDictStream(docs)
+    val scan = ArrowIpc.parseDictStream(stream)
+    assert(scan.schemaOk, "dictionary schema did not verify")
+    assert(scan.dict == srcs.sorted)
+    assert(scan.eos && scan.clean && scan.consumed == stream.length)
+    assert(scan.batches.map(_.nRows) == Vector(10L, 10L, 5L))
+    docs.grouped(10).zip(scan.batches.iterator).foreach { case (g, batch) =>
+      assert(batch.idSum == g.map(_._1).sum)
+      val oob = g.head._1 % 17 == 0
+      assert(batch.nOob == (if (oob) 1L else 0L),
+        s"oob count for batch starting ${g.head._1}")
+      // decoded source counts: the OOB plant nulls the LAST row only
+      val expect = (if (oob) g.dropRight(1) else g)
+        .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(batch.srcCounts == expect,
+        s"source counts for batch starting ${g.head._1}")
+    }
+    // metadata sizes are content-independent (the byte census builds
+    // on this)
+    assert((ArrowIpc.dictionaryMessage(Seq("x", "yy", "zzz"))._1.length + 7)
+      / 8 * 8 == ArrowIpc.dictMetaLen)
+    assert((ArrowIpc.dictBatchMessage(docs.take(5).map {
+      case (id, s) => (id, srcs.indexOf(s))
+    }, 3)._1.length + 7) / 8 * 8 == ArrowIpc.dictBatchMetaLen)
+  }
+
+  test("arrow dict: total parse on every prefix and under byte flips") {
+    import graft.sources.ArrowIpc
+    val docs = (0L until 25L).map(i => (i, s"s${i % 4}"))
+    val stream = ArrowIpc.synthDictStream(docs)
+    (0 to stream.length).foreach { n =>
+      val scan = ArrowIpc.parseDictStream(stream.take(n))
+      assert(scan.consumed <= n)
+      assert(!scan.clean || n == stream.length)
+    }
+    stream.indices.foreach { i =>
+      val mutated = stream.clone()
+      mutated(i) = (mutated(i) ^ 0x5a).toByte
+      ArrowIpc.parseDictStream(mutated) // must not throw
+    }
+  }
+
   test("arrow ipc: total parse on every prefix and under byte flips") {
     import graft.sources.ArrowIpc
     val docs = (0L until 25L).map(i => (i, s"t$i"))
