@@ -2145,6 +2145,70 @@ object CurationOps {
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- fairness audit
+  /** Group-fairness audit of a classifier-backed KEEP gate — the
+    * governance table a curation pipeline publishes when a trained
+    * model (here: [[nbModel]]'s lang classifier, decision = "predicted
+    * en", the exact `q_nb_infer` scorer) decides what enters the
+    * corpus: per source group, the selection rate (demographic
+    * parity), TPR (equal opportunity), and FPR (equalized odds' other
+    * half), so disparate treatment of a source is visible BEFORE the
+    * gate ships. Rates are exact integer ratios rounded once; a group
+    * with no positives (or no negatives) reports NULL rather than a
+    * fake 0/0 — both engines agree on the NULL.
+    *
+    * Scale shape: the scorer is the shared materialized-model
+    * [[nbScoreFrame]] (map-side vocab join + per-doc argmax), then one
+    * doc-keyed join back for the group column and a group-count
+    * rollup — nothing new shuffles beyond what inference already did.
+    */
+  def fairnessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val pred = nbScoreFrame(heldOut, model, counts)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("sel", when(col("predicted") === "en", 1L).otherwise(0L))
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+    pred.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sel")).as("n_sel"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("sel") * col("pos")).as("tp"))
+      .select(col("source"), col("n"), col("n_sel"), col("n_pos"),
+        round(col("n_sel") / col("n").cast("double"), 6).as("sel_rate"),
+        round(when(col("n_pos") > 0, col("tp") / col("n_pos").cast("double")),
+          6).as("tpr"),
+        round(when(col("n") - col("n_pos") > 0,
+          (col("n_sel") - col("tp")) /
+            (col("n") - col("n_pos")).cast("double")), 6).as("fpr"))
+      .orderBy(col("source"))
+  }
+
+  private val fairnessAuditOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |pred AS (SELECT doc_id, lang, cls AS predicted,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                              ORDER BY slp DESC, cls) AS rn
+       |         FROM sc),
+       |p AS (SELECT p.doc_id, p.lang, p.predicted, d.source,
+       |             CASE WHEN p.predicted = 'en' THEN 1 ELSE 0 END AS sel,
+       |             CASE WHEN p.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |      FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1)
+       |SELECT source, COUNT(*) AS n,
+       |       CAST(SUM(sel) AS BIGINT) AS n_sel,
+       |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |       ROUND(SUM(sel) / CAST(COUNT(*) AS DOUBLE), 6) AS sel_rate,
+       |       ROUND(CASE WHEN SUM(pos) > 0
+       |             THEN SUM(sel * pos) / CAST(SUM(pos) AS DOUBLE) END, 6)
+       |         AS tpr,
+       |       ROUND(CASE WHEN COUNT(*) - SUM(pos) > 0
+       |             THEN (SUM(sel) - SUM(sel * pos))
+       |                  / CAST(COUNT(*) - SUM(pos) AS DOUBLE) END, 6)
+       |         AS fpr
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- McNemar test
   /** McNemar's paired-classifier test (1947; Edwards continuity
     * correction) over the held-out split — the statistically RIGHT
@@ -3124,9 +3188,33 @@ object CurationOps {
     (w, losses.result(), n)
   }
 
+  /** Final-checkpoint weights, materialized once per session+SF — the
+    * nbModel/ivfIndex build-once lifecycle: training runs ONCE and both
+    * the trainer report ([[logregTrain]]) and every checkpoint consumer
+    * ([[tracin]]) read the artifact. (j, w) rows, dim-sized. */
+  private[graft] def logregModel(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/logreg_model") {
+      import spark.implicits._
+      val (w, _, _) = logregTrainLoop(spark, sfDir, LogregIters)
+      w.toSeq.zipWithIndex.map { case (wj, i) => (i, wj) }.toDF("j0", "w")
+    }
+
+  /** The artifact back as the driver-side dim-sized vector (a bounded
+    * collect by construction). */
+  private def logregModelWeights(
+      spark: SparkSession, sfDir: String): Array[Long] = {
+    val rows = logregModel(spark, sfDir).collect()
+    val w = Array.fill(rows.length)(0L)
+    rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    w
+  }
+
   def logregTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (w, _, n) = logregTrainLoop(spark, sfDir, LogregIters)
+    val w = logregModelWeights(spark, sfDir)
+    val n = logregX(spark, sfDir).count()
     val metrics = logregX(spark, sfDir)
       .withColumn("m", logregMargin(w))
       .withColumn("p", logregP)
@@ -3228,7 +3316,7 @@ object CurationOps {
     * in one scan.
     */
   def tracin(spark: SparkSession, sfDir: String): DataFrame = {
-    val (w, _, _) = logregTrainLoop(spark, sfDir, LogregIters)
+    val w = logregModelWeights(spark, sfDir)
     val x = logregX(spark, sfDir)
       .withColumn("m", logregMargin(w))
       .withColumn("p", logregP)
@@ -3488,6 +3576,7 @@ object CurationOps {
     "q_adaboost_stumps" -> (adaboostStumps _),
     "q_logreg_train" -> (logregTrain _),
     "q_tracin" -> (tracin _),
+    "q_fairness_audit" -> (fairnessAudit _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_mcnemar" -> (mcnemar _),
@@ -3531,6 +3620,7 @@ object CurationOps {
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
     "q_tracin" -> tracinOracle,
+    "q_fairness_audit" -> fairnessAuditOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_mcnemar" -> mcnemarOracle,

@@ -1097,6 +1097,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("fairness audit: conservation, rate identities, gate coherence") {
+    val rows = CurationOps.fairnessAudit(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    var totalN = 0L
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val sel = r.getLong(r.fieldIndex("n_sel"))
+      val pos = r.getLong(r.fieldIndex("n_pos"))
+      totalN += n
+      assert(sel >= 0L && sel <= n)
+      assert(pos >= 0L && pos <= n)
+      assert(math.abs(r.getDouble(r.fieldIndex("sel_rate")) -
+        sel.toDouble / n) < 1e-6)
+      // tpr/fpr are NULL exactly when their denominator is empty
+      assert(r.isNullAt(r.fieldIndex("tpr")) == (pos == 0L))
+      assert(r.isNullAt(r.fieldIndex("fpr")) == (n - pos == 0L))
+      if (pos > 0L) {
+        val tpr = r.getDouble(r.fieldIndex("tpr"))
+        assert(tpr >= 0.0 && tpr <= 1.0)
+      }
+    }
+    // the audit covers exactly the held-out split (NbHoldMod = 5)
+    val heldOut = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(totalN == heldOut, s"covered $totalN of $heldOut held-out docs")
+  }
+
   test("tracin: exact driver-side recompute of influence and self-influence") {
     val rows = CurationOps.tracin(spark, sfTiny).collect()
       .map(r => r.getLong(0) ->
