@@ -492,7 +492,73 @@ object RetrievalOps {
        |                  AS DOUBLE) / COUNT(*), 6) AS tau_a
        |FROM p""".stripMargin
 
+  // ------------------------------------------------- context packing
+  /** Token-budget context assembly — the last step of a RAG serving
+    * path: the retrieved candidates (the shipped [[graft.ops.TextOps
+    * .bm25]] scorer, one ranking definition) are packed into a
+    * 512-token context under two constraints a production packer
+    * enforces: a per-source diversity cap (≤ 3 docs per source, so one
+    * crawl domain can't fill the window) and prefix-greedy budget
+    * packing (docs enter in score order while the running token total
+    * fits; token lengths are positive, so cum ≤ budget IS the prefix
+    * property — one window, no iterative scan).
+    *
+    * Scale shape: the scorer and the per-source cap are distributed
+    * (score rollup + a source-partitioned window); the global
+    * score-order step is orderBy+limit(64) — a distributed TakeOrdered,
+    * NOT a single-partition window over the corpus (the round-9 ntile
+    * lesson) — and the running-sum window then runs on that bounded
+    * 64-row frame, which is the real shape: a packer always works on a
+    * bounded retrieved set.
+    */
+  private val PackBudget = 512L
+  private val PackPerSource = 3
+  private val PackCandidates = 64
+
+  def contextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.ops.TextOps.bm25(spark, sfDir)
+      .select(col("doc_id"), col("dl"), col("bm25"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val cand = scored
+      .withColumn("sr", row_number().over(bySource))
+      .filter(col("sr") <= PackPerSource)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(PackCandidates)
+    val packOrder = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    cand // bounded 64-row frame: the global windows below are safe
+      .withColumn("rank", row_number().over(packOrder))
+      .withColumn("cum_tokens", sum(col("dl")).over(
+        packOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= PackBudget)
+      .select(col("rank"), col("doc_id"), col("source"), col("dl"),
+        col("bm25"), col("cum_tokens"))
+      .orderBy(col("rank"))
+  }
+
+  private lazy val contextPackOracle =
+    s"""WITH b AS (${graft.ops.TextOps.bm25Oracle}),
+       |j AS (SELECT b.doc_id, b.dl, b.bm25, d.source
+       |      FROM b JOIN documents d USING (doc_id)),
+       |dv AS (SELECT *, row_number() OVER (PARTITION BY source
+       |         ORDER BY bm25 DESC, doc_id) AS sr FROM j),
+       |cand AS (SELECT * FROM dv WHERE sr <= $PackPerSource
+       |         ORDER BY bm25 DESC, doc_id LIMIT $PackCandidates),
+       |packed AS (
+       |  SELECT *,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
+       |         SUM(dl) OVER (ORDER BY bm25 DESC, doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM cand)
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, source, dl, bm25,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM packed WHERE cum_tokens <= $PackBudget
+       |ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_context_pack" -> (contextPack _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_kendall_tau" -> (kendallTau _),
     "q_prf_expand" -> (prfExpand _),
@@ -501,6 +567,7 @@ object RetrievalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_context_pack" -> contextPackOracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_kendall_tau" -> kendallTauOracle,
     "q_prf_expand" -> prfExpandOracle,

@@ -1097,6 +1097,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("context pack: budget, diversity cap, score order, maximal prefix") {
+    val rows = RetrievalOps.contextPack(spark, sfSmall).collect()
+    assert(rows.nonEmpty)
+    // contiguous ranks from 1, score-descending, budget respected
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(r.fieldIndex("rank")) == i + 1)
+      assert(r.getLong(r.fieldIndex("cum_tokens")) <= 512L)
+    }
+    val scores = rows.map(_.getDouble(rows.head.fieldIndex("bm25")))
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // running sum is genuinely the prefix sum of dl
+    val dls = rows.map(_.getLong(rows.head.fieldIndex("dl")))
+    assert(rows.last.getLong(rows.head.fieldIndex("cum_tokens")) == dls.sum)
+    // no source exceeds the diversity cap
+    rows.groupBy(_.getString(rows.head.fieldIndex("source")))
+      .foreach { case (s, g) => assert(g.length <= 3, s"source $s over cap") }
+    // maximality: the pack stopped because the budget bound, not early
+    // (adding any positive-length doc to a 512-budget pack that ended
+    // below 512 - max_dl would contradict prefix-greedy); weak check:
+    // either the budget is nearly used or every candidate was packed
+    assert(rows.last.getLong(rows.head.fieldIndex("cum_tokens")) > 256L ||
+      rows.length == 64)
+  }
+
   test("fairness audit: conservation, rate identities, gate coherence") {
     val rows = CurationOps.fairnessAudit(spark, sfTiny).collect()
     assert(rows.nonEmpty)
