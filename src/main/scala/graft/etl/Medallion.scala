@@ -399,6 +399,19 @@ object Medallion {
   private[graft] def snapshotCommit(
       spark: SparkSession, base: String, df: DataFrame,
       basedOn: Option[Int]): Int = {
+    val next = snapshotStage(spark, base, df, basedOn)
+    snapshotPublish(spark, base, next)
+    next
+  }
+
+  /** The STAGE half of [[snapshotCommit]]: claim a generation and
+    * materialize its complete version directory WITHOUT moving the
+    * pointer — readers cannot see it yet. This is the substrate of
+    * write-audit-publish ([[wapCommit]]): audits run against the very
+    * files a publish would expose. */
+  private[graft] def snapshotStage(
+      spark: SparkSession, base: String, df: DataFrame,
+      basedOn: Option[Int]): Int = {
     val basePath = new Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = latestVersion(spark, base)
@@ -418,18 +431,104 @@ object Medallion {
     }
     if (!fs.rename(staged, new Path(s"$base/v$next")))
       throw new java.io.IOException(s"staging rename failed for $base/v$next")
-    // pointer flip: tmp + delete + rename (HDFS rename won't overwrite);
-    // a crash between delete and rename leaves the pointer missing, and
-    // latestVersion falls back to directory listing — never a torn read
+    next
+  }
+
+  /** The PUBLISH half: flip `_LATEST` to an already-staged complete
+    * version directory. tmp + delete + rename (HDFS rename won't
+    * overwrite); a crash between delete and rename leaves the pointer
+    * missing, and latestVersion falls back to directory listing —
+    * never a torn read. */
+  private[graft] def snapshotPublish(
+      spark: SparkSession, base: String, version: Int): Unit = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$base/_LATEST.tmp")
     val out = fs.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8")); out.close()
+    out.write(version.toString.getBytes("UTF-8")); out.close()
     val ptr = new Path(s"$base/_LATEST")
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"pointer flip failed for $base")
-    next
   }
+
+  /** A staged generation that failed its audit: drop the version
+    * directory and its claim — readers never saw it, so this is pure
+    * cleanup, not a rollback. */
+  private[graft] def snapshotDiscard(
+      spark: SparkSession, base: String, version: Int): Unit = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$base/v$version"), true)
+    fs.delete(new Path(s"$base/v$version._claim"), false)
+  }
+
+  /** Write-audit-publish — the Iceberg/Delta WAP pattern on the
+    * snapshot substrate: stage the candidate as a complete but
+    * UNPUBLISHED generation, run the audit battery against the staged
+    * FILES (what a publish would expose, not what the writer computed
+    * in memory), and flip the pointer only if every check passes;
+    * a failed candidate is discarded without readers ever seeing it.
+    * Returns (checks passed, checks run, published?). */
+  private[graft] def wapCommit(
+      spark: SparkSession, base: String, df: DataFrame,
+      checks: Seq[DataFrame => Boolean]): (Int, Int, Boolean) = {
+    val v = snapshotStage(spark, base, df, latestVersion(spark, base))
+    val stagedDf = spark.read.parquet(s"$base/v$v")
+    val results = checks.map(_(stagedDf))
+    val ok = results.forall(identity)
+    if (ok) snapshotPublish(spark, base, v)
+    else snapshotDiscard(spark, base, v)
+    (results.count(identity), checks.length, ok)
+  }
+
+  /** WAP attempt ledger: a BAD candidate (every '1-*' priority's count
+    * negated — the planted upstream bug) must fail positivity and
+    * conservation and stay invisible (pointer untouched, generation
+    * discarded); the GOOD candidate must pass all three audits and
+    * publish as v1. Audit checks are 1-row aggregate actions against
+    * the staged parquet — the bounded gate reads a real WAP runs.
+    */
+  def wap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"${warehouse(sfDir)}/orders_gold_wap"
+    rmTree(spark, base)
+    val good = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+    val bad = good.withColumn("n_orders",
+      when(col("o_orderpriority").startsWith("1"), -col("n_orders"))
+        .otherwise(col("n_orders")))
+    val total = Tables.orders(spark, sfDir).count()
+    val checks: Seq[DataFrame => Boolean] = Seq(
+      df => df.filter(col("n_orders") <= 0).count() == 0, // positivity
+      df => df.agg(coalesce(sum(col("n_orders")), lit(0L)))
+        .head().getLong(0) == total, // conservation vs the source
+      df => df.limit(1).count() > 0) // nonempty
+    val attempts = Seq(bad, good).zipWithIndex.map { case (df, i) =>
+      val (passed, nChecks, ok) = wapCommit(spark, base, df, checks)
+      val live = latestVersion(spark, base).getOrElse(0)
+      val liveRows =
+        if (live > 0) snapshotRead(spark, base).count() else 0L
+      (i + 1, nChecks.toLong, passed.toLong, ok, live, liveRows)
+    }
+    attempts.toDF("attempt", "n_checks", "n_passed", "published",
+      "live_version", "live_rows")
+      .orderBy(col("attempt"))
+  }
+
+  /** The bad candidate fails positivity AND conservation (TPC-H always
+    * has '1-URGENT' orders) and passes only nonempty; the good one
+    * publishes v1 with one row per priority. */
+  private val wapOracle =
+    """WITH g AS (SELECT o_orderpriority FROM orders GROUP BY 1)
+      |SELECT 1 AS attempt, CAST(3 AS BIGINT) AS n_checks,
+      |       CAST(1 AS BIGINT) AS n_passed, FALSE AS published,
+      |       0 AS live_version, CAST(0 AS BIGINT) AS live_rows
+      |UNION ALL
+      |SELECT 2, 3, 3, TRUE, 1, (SELECT COUNT(*) FROM g)
+      |ORDER BY attempt""".stripMargin
 
   /** Janitor for ORPHANED claims — the recovery half of
     * [[snapshotCommit]]'s arbiter: a writer that crashed between
@@ -917,6 +1016,7 @@ object Medallion {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_scd2" -> (cdcScd2 _),
+    "q_wap" -> (wap _),
     "q_cdc_apply" -> (cdcApply _),
     "q_dpp_prune" -> (dppPrune _),
     "q_ivm_signed" -> (ivmSigned _),
@@ -931,6 +1031,7 @@ object Medallion {
 
   def oracles: Map[String, String] = Map(
     "q_cdc_scd2" -> cdcScd2Oracle,
+    "q_wap" -> wapOracle,
     "q_cdc_apply" -> cdcApplyOracle,
     "q_dpp_prune" -> dppPruneOracle,
     "q_ivm_signed" -> ivmSignedOracle,

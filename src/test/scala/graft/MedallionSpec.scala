@@ -247,4 +247,33 @@ class MedallionSpec extends SparkSpec {
       assert(gotCur == wantCur, s"user $uid current: $gotCur != $wantCur")
     }
   }
+
+  test("wap: failed audit leaves zero trace; passed audit publishes atomically") {
+    import spark.implicits._
+    val base = s"${Medallion.warehouseBase}/test/wap_spec"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val goodDf = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val badDf = Seq((1L, -5L)).toDF("k", "v")
+    val positive: Seq[org.apache.spark.sql.DataFrame => Boolean] =
+      Seq(df => df.filter(col("v") <= 0).count() == 0)
+
+    // bad candidate: audited against the STAGED files, then discarded
+    val (p1, n1, ok1) = Medallion.wapCommit(spark, base, badDf, positive)
+    assert(p1 == 0 && n1 == 1 && !ok1)
+    assert(Medallion.latestVersion(spark, base).isEmpty,
+      "failed WAP moved the pointer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v1")),
+      "failed WAP left its generation behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v1._claim")),
+      "failed WAP left its claim behind (the table would wedge)")
+
+    // good candidate: same generation number is reusable, publish flips
+    val (p2, n2, ok2) = Medallion.wapCommit(spark, base, goodDf, positive)
+    assert(p2 == 1 && n2 == 1 && ok2)
+    assert(Medallion.latestVersion(spark, base).contains(1))
+    assert(Medallion.snapshotRead(spark, base).count() == 2L)
+  }
 }
