@@ -792,6 +792,67 @@ object TextOps {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Vocabulary-budget coverage curve — the tokenizer-sizing decision
+    * table (the [[graft.ops.SimilarityOps.ivfSweep]] of the tokenizer
+    * family): for each vocab budget V ∈ {64, 128, 256}, the fraction
+    * of corpus TOKEN OCCURRENCES covered by the top-V types — i.e.
+    * the byte-fallback/OOV rate a V-entry vocabulary would pay before
+    * any merges. Candidate sets are nested in V, so one ranked top-256
+    * frame serves every level.
+    *
+    * Exactness: covered/total are exact integer token counts divided
+    * once; ranking ties break on the term string.
+    *
+    * Scale shape: one token-stream frequency aggregate (vocab-sized,
+    * shuffle on the uniform term key), then orderBy+limit(256) — a
+    * distributed TakeOrdered, NOT a vocab-wide single-partition window
+    * — and all windows/levels run on that bounded 256-row frame.
+    */
+  private val VocabLevels = Seq(64, 128, 256)
+
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val totals = tf.agg(sum(col("tf")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc)
+      .limit(VocabLevels.max)
+      .withColumn("rnk", row_number().over( // bounded 256-row frame
+        Window.orderBy(col("tf").desc, col("term").asc)))
+    top.select(col("tf"), col("rnk"),
+        explode(typedLit(VocabLevels)).as("vocab_size"))
+      .filter(col("rnk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("tf")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("covered_tokens"),
+        col("total_tokens"), col("n_types"),
+        round(col("covered_tokens") / col("total_tokens").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
+  private val vocabCoverageOracle =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+       |               COUNT(*) AS n_types FROM tf),
+       |top AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term)
+       |          AS rnk
+       |        FROM tf ORDER BY tf DESC, term LIMIT 256),
+       |lv AS (SELECT UNNEST([64, 128, 256]) AS vocab_size)
+       |SELECT CAST(l.vocab_size AS INTEGER) AS vocab_size,
+       |       CAST(SUM(t.tf) AS BIGINT) AS covered_tokens,
+       |       tot.total_tokens, tot.n_types,
+       |       ROUND(SUM(t.tf) / CAST(tot.total_tokens AS DOUBLE), 6)
+       |         AS coverage
+       |FROM top t JOIN lv l ON t.rnk <= l.vocab_size CROSS JOIN tot
+       |GROUP BY l.vocab_size, tot.total_tokens, tot.n_types
+       |ORDER BY vocab_size""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Temperature-based corpus re-weighting (the mT5 α-sampling rule):
     * per-language mixing weight ∝ (token mass)^α with α = 0.5, i.e. the
     * sampling distribution that up-weights low-resource languages
@@ -3437,6 +3498,7 @@ object TextOps {
     "q_temperature_mix" -> (temperatureMix _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_logit_compress" -> (logitCompress _),
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_min_k_prob" -> (minKProb _),
     "q_grpo_advantage" -> (grpoAdvantage _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -3482,6 +3544,7 @@ object TextOps {
     "q_temperature_mix" -> temperatureMixOracle,
     "q_unigram_logprob" -> unigramLogprobOracle,
     "q_logit_compress" -> logitCompressOracle,
+    "q_vocab_coverage" -> vocabCoverageOracle,
     "q_min_k_prob" -> minKProbOracle,
     "q_grpo_advantage" -> grpoAdvantageOracle,
     "q_heavy_hitters" -> heavyHittersOracle,

@@ -785,6 +785,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: monotone nested curve, exact driver recompute") {
+    val rows = TextOps.vocabCoverage(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(64, 128, 256))
+    // nested candidate sets: coverage monotone, bounded by 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._5 >= a._5)
+    }
+    // exact recompute from the raw corpus
+    val freq = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val total = freq.map(_._2).sum
+    rows.foreach { case (v, covered, tot, types, cov) =>
+      assert(tot == total)
+      assert(types == freq.length.toLong)
+      assert(covered == freq.take(v).map(_._2).sum, s"covered at V=$v")
+      assert(math.abs(cov - covered.toDouble / total) < 1e-6)
+    }
+  }
+
   test("logit compress: driver-side lattice recompute and truncation laws") {
     val rows = TextOps.logitCompress(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r).toMap
