@@ -223,6 +223,48 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming write-audit-publish — every micro-batch's (k, v) delta
+    * is merged into the last PUBLISHED snapshot and committed through
+    * [[graft.etl.Medallion.wapCommit]]'s gate: positivity and
+    * key-count monotonicity run against the STAGED files, the pointer
+    * flips only on full pass, and a poisoned batch is discarded
+    * claim-and-all — downstream readers of `_LATEST` never observe it,
+    * and the NEXT good batch merges onto the last good state (the
+    * poisoned delta is dropped, not deferred). Appends one ledger row
+    * per batch: (batch_id, n_delta, n_passed, n_checks, published,
+    * live_version). This is the ingestion shape a production bronze→
+    * silver stream runs: audit-then-publish per micro-batch, with the
+    * lakehouse pointer as the only coordination. */
+  def wapStream(updates: DataFrame, base: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.etl.Medallion
+        val delta = batch.toDF().groupBy(col("k"))
+          .agg(sum(col("v")).as("v"))
+        val cur = Medallion.latestVersion(spark, base)
+        val prev = cur.map(v => spark.read.parquet(s"$base/v$v"))
+        val cand = prev
+          .map(_.unionByName(delta).groupBy(col("k"))
+            .agg(sum(col("v")).as("v")))
+          .getOrElse(delta)
+        val prevKeys = prev.map(_.count()).getOrElse(0L)
+        val checks: Seq[DataFrame => Boolean] = Seq(
+          df => df.filter(col("v") <= 0).count() == 0, // positivity
+          df => df.count() >= prevKeys) // merge never loses a key
+        val (passed, n, ok) = Medallion.wapCommit(spark, base, cand, checks)
+        Seq((batchId, delta.count(), passed.toLong, n.toLong, ok,
+          Medallion.latestVersion(spark, base).getOrElse(0)))
+          .toDF("batch_id", "n_delta", "n_passed", "n_checks",
+            "published", "live_version")
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming Min-K% membership screening — document arrivals scored
     * against the STANDING unigram model
     * ([[graft.ops.TextOps.unigramModelMaterialized]], built once —

@@ -788,6 +788,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WAP: poisoned wave stays invisible, good waves publish") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = s"${graft.etl.Medallion.warehouseBase}/test/wap_stream"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val base = s"$root/table"
+    val ledger = s"$root/ledger"
+
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingOps.wapStream(
+      input.toDF().toDF("k", "v"), base, ledger)
+    try {
+      input.addData(("a", 5L), ("b", 3L)) // wave 1: clean
+      q.processAllAvailable()
+      input.addData(("a", -99L), ("c", 2L)) // wave 2: poisoned
+      q.processAllAvailable()
+      input.addData(("b", 4L), ("d", 1L)) // wave 3: clean
+      q.processAllAvailable()
+
+      val led = spark.read.parquet(ledger).collect()
+        .map(r => (r.getAs[Long]("batch_id"),
+          (r.getAs[Boolean]("published"), r.getAs[Int]("live_version"))))
+        .toMap
+      assert(led(0L) == ((true, 1)), s"wave 1: ${led(0L)}")
+      assert(led(1L) == ((false, 1)), s"wave 2 must not publish: ${led(1L)}")
+      assert(led(2L) == ((true, 2)), s"wave 3: ${led(2L)}")
+
+      // final state = waves 1+3 merged; the poisoned delta vanished
+      val state = graft.etl.Medallion.snapshotRead(spark, base).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state == Map("a" -> 5L, "b" -> 7L, "d" -> 1L),
+        s"published state: $state")
+      // no version directory beyond the two published generations
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v3")))
+    } finally q.stop()
+  }
+
   test("streaming binary-quant serving ledger equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
