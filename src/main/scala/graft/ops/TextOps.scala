@@ -853,6 +853,55 @@ object TextOps {
        |ORDER BY vocab_size""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Negative-sampling distribution — word2vec/SGNS's unigram^0.75
+    * table (Mikolov et al. 2013): negatives are drawn ∝ tf^0.75, the
+    * flattening that keeps frequent words from dominating the
+    * contrastive signal. The [[ppmiEmbed]] trainer's missing half —
+    * PPMI is the count side, this is the sampling side.
+    *
+    * Parity trick (the [[temperatureMix]] doctrine extended): x^0.75
+    * is deliberately computed as sqrt(x·sqrt(x)) — IEEE sqrt is
+    * correctly rounded and the one multiply between the two sqrts is
+    * exact-input deterministic, so both engines produce bit-identical
+    * doubles with NO pow() (whose libm implementations differ in
+    * ulps). Each weight quantizes to e6 once; totals are integer sums.
+    *
+    * Scale shape: one vocab-sized frequency aggregate; the report is
+    * a TakeOrdered top-32 (never a vocab-wide window) + a 1-row total.
+    */
+  def negativeSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("w_e6",
+        round(sqrt(col("tf") * sqrt(col("tf"))) * 1000000.0, 0).cast("long"))
+    val tot = tf.agg(sum(col("w_e6")).as("w_tot"),
+      sum(col("tf")).as("n_tok"))
+    tf.orderBy(col("w_e6").desc, col("term").asc).limit(32)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("tf"), col("w_e6"),
+        round(col("w_e6") / col("w_tot").cast("double"), 6).as("p_neg"),
+        round(col("tf") / col("n_tok").cast("double"), 6).as("p_unigram"))
+      .orderBy(col("w_e6").desc, col("term").asc)
+  }
+
+  private val negativeSamplingOracle =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |tf0 AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+      |tf AS (SELECT term, tf,
+      |              CAST(ROUND(sqrt(tf * sqrt(tf)) * 1000000.0) AS BIGINT)
+      |                AS w_e6
+      |       FROM tf0),
+      |tot AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS w_tot,
+      |               CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf)
+      |SELECT term, tf, w_e6,
+      |       ROUND(w_e6 / CAST(w_tot AS DOUBLE), 6) AS p_neg,
+      |       ROUND(tf / CAST(n_tok AS DOUBLE), 6) AS p_unigram
+      |FROM tf CROSS JOIN tot
+      |ORDER BY w_e6 DESC, term LIMIT 32""".stripMargin
+
+  // ------------------------------------------------------------------
   /** Temperature-based corpus re-weighting (the mT5 α-sampling rule):
     * per-language mixing weight ∝ (token mass)^α with α = 0.5, i.e. the
     * sampling distribution that up-weights low-resource languages
@@ -3499,6 +3548,7 @@ object TextOps {
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_logit_compress" -> (logitCompress _),
     "q_vocab_coverage" -> (vocabCoverage _),
+    "q_negative_sampling" -> (negativeSampling _),
     "q_min_k_prob" -> (minKProb _),
     "q_grpo_advantage" -> (grpoAdvantage _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -3545,6 +3595,7 @@ object TextOps {
     "q_unigram_logprob" -> unigramLogprobOracle,
     "q_logit_compress" -> logitCompressOracle,
     "q_vocab_coverage" -> vocabCoverageOracle,
+    "q_negative_sampling" -> negativeSamplingOracle,
     "q_min_k_prob" -> minKProbOracle,
     "q_grpo_advantage" -> grpoAdvantageOracle,
     "q_heavy_hitters" -> heavyHittersOracle,

@@ -785,6 +785,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("negative sampling: pow-free 3/4 power, flattening law") {
+    val rows = TextOps.negativeSampling(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, tf, w, _, _) =>
+      // sqrt(x·sqrt(x)) really is x^0.75 on the e6 lattice
+      val want = math.round(math.sqrt(tf * math.sqrt(tf.toDouble)) * 1e6)
+      assert(w == want, s"weight of $t: $w != $want")
+    }
+    // the 3/4 power FLATTENS: the top term loses probability mass vs
+    // its raw unigram share, the bottom listed term gains
+    val (_, _, _, pNegTop, pUniTop) = rows.head
+    assert(pNegTop < pUniTop, s"head not flattened: $pNegTop >= $pUniTop")
+    val (_, _, _, pNegLast, pUniLast) = rows.last
+    assert(pNegLast >= pUniLast, s"tail not lifted: $pNegLast < $pUniLast")
+  }
+
   test("vocab coverage: monotone nested curve, exact driver recompute") {
     val rows = TextOps.vocabCoverage(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
