@@ -1120,6 +1120,76 @@ object HtmlOps {
        |ORDER BY s.file_id""".stripMargin
   }
 
+  // ----------------------------------------------- format sniffing
+  /** Content-based format dispatch over a MIXED lake — shards arrive
+    * with lying or missing extensions and the reader routes each to
+    * the right walker by magic bytes alone
+    * ([[graft.sources.FormatSniffer]]): each 25-doc group is packed
+    * into the container its file_id picks (gzip/zip/tar/WARC/TFRecord/
+    * Avro/Arrow, round-robin), and the DISPATCHER — which is never
+    * told the format — must classify it and hand it to the right
+    * parser from the codec battery. TFRecord is the adversarial case:
+    * it has NO magic and is identified last by its self-validating
+    * length-CRC frame. The per-format unit counts land under the hash,
+    * so a misrouted shard (wrong walker = wrong count or a dirty walk)
+    * cannot pass.
+    *
+    * Scale shape: identical to every container scan — the sniff is a
+    * bounded prefix read; at corpus scale this is the first map over
+    * `binaryFile` bytes in any mixed-provenance ingest.
+    */
+  def formatDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources._
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val bytes = docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val shard = (fid % 7) match {
+          case 0 => GzipFiles.synthGzip(bytes)
+          case 1 => ZipFiles.synthZip(bytes)
+          case 2 => TarFiles.synthTar(bytes)
+          case 3 => WarcFiles.synthWarc(fid, bytes)
+          case 4 => TfRecordFiles.synthTfRecords(bytes)
+          case 5 => AvroFiles.synthAvro(fid, bytes)
+          case _ => ArrowIpc.synthArrowStream(docs)
+        }
+        val s = FormatSniffer.sniffAndWalk(shard)
+        (fid, s.format, s.nUnits)
+      })
+      .toDF("file_id", "detected", "n_units")
+      .orderBy(col("file_id"))
+  }
+
+  /** Unit-count formulas per format: gzip one member/doc; zip one
+    * entry/doc; tar one member/doc + the directory header; WARC
+    * warcinfo + request/response pair per doc + a revisit per
+    * doc_id%13==0; TFRecord one record/doc; Avro/Arrow ⌈n/10⌉
+    * blocks/batches. */
+  private val formatDetectOracle =
+    s"""WITH g AS (
+       |  SELECT doc_id // $WarcDocsPerFile AS file_id, COUNT(*) AS n,
+       |         SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS rev
+       |  FROM documents GROUP BY 1)
+       |SELECT file_id,
+       |       CASE file_id % 7
+       |         WHEN 0 THEN 'gzip' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
+       |         WHEN 3 THEN 'warc' WHEN 4 THEN 'tfrecord'
+       |         WHEN 5 THEN 'avro' ELSE 'arrow' END AS detected,
+       |       CAST(CASE file_id % 7
+       |         WHEN 2 THEN n + 1
+       |         WHEN 3 THEN 1 + 2 * n + rev
+       |         WHEN 5 THEN (n + 9) // 10
+       |         WHEN 6 THEN (n + 9) // 10
+       |         ELSE n END AS BIGINT) AS n_units
+       |FROM g ORDER BY file_id""".stripMargin
+
   // ----------------------------------------------- gzip member walk
   /** Multi-member gzip walk over synthesized `.wet.gz`-shaped shards
     * ([[graft.sources.GzipFiles]]) — the compression layer under the
@@ -2144,6 +2214,7 @@ object HtmlOps {
     "q_avro_scan" -> (avroScan _),
     "q_arrow_scan" -> (arrowScan _),
     "q_arrow_dict" -> (arrowDictScan _),
+    "q_format_detect" -> (formatDetect _),
     "q_gzip_members" -> (gzipMembers _),
     "q_zstd_scan" -> (zstdScan _),
     "q_sitemap_scan" -> (sitemapScan _),
@@ -2165,6 +2236,7 @@ object HtmlOps {
     "q_avro_scan" -> avroScanOracle,
     "q_arrow_scan" -> arrowScanOracle,
     "q_arrow_dict" -> arrowDictScanOracle,
+    "q_format_detect" -> formatDetectOracle,
     "q_gzip_members" -> gzipMembersOracle,
     "q_zstd_scan" -> zstdScanOracle,
     "q_sitemap_scan" -> sitemapScanOracle,

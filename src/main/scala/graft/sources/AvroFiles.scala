@@ -136,7 +136,19 @@ object AvroFiles {
   }
 
   /** Total OCF walk — see the object doc for the triage rules. */
-  private[graft] def parseAvro(fileId: Long, b: Array[Byte]): AvroScan = {
+  private[graft] def parseAvro(fileId: Long, b: Array[Byte]): AvroScan =
+    parseAvroWith(Some(fileId), b)
+
+  /** The header-trusting variant a real OCF reader runs when nothing
+    * external pins the expected sync: the 16-byte marker is READ from
+    * the header and used to re-align blocks (exactly the spec's
+    * semantics; the fileId-pinned overload additionally cross-checks
+    * the generator's derivation). Used by the format sniffer. */
+  private[graft] def parseAvroSniffed(b: Array[Byte]): AvroScan =
+    parseAvroWith(None, b)
+
+  private def parseAvroWith(fileId: Option[Long], b: Array[Byte])
+      : AvroScan = {
     val none = AvroScan(Vector.empty, "", clean = false)
     if (b.length < 4 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' ||
       b(3) != 1) return none
@@ -190,7 +202,10 @@ object AvroFiles {
       }
     }
     if (!mapOk || p + 16 > b.length) return none
-    val marker = sync(fileId)
+    // header sync: trusted as-is in sniffed mode, cross-checked
+    // against the fileId derivation when the caller pins one
+    val marker = fileId.map(sync).getOrElse(
+      java.util.Arrays.copyOfRange(b, p, p + 16))
     var syncOk = true
     var i = 0
     while (i < 16) { if (b(p + i) != marker(i)) syncOk = false; i += 1 }

@@ -74,6 +74,30 @@ class SourcesSpec extends SparkSpec {
     assert((m10 + 7) / 8 * 8 == ArrowIpc.batchMetaLen)
   }
 
+  test("format sniffer: every codec recognized, no magic = tfrecord probe") {
+    import graft.sources._
+    val docs = (0L until 10L).map(i => (i, s"text $i"))
+    val bytes = docs.map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    assert(FormatSniffer.detect(GzipFiles.synthGzip(bytes)) == "gzip")
+    assert(FormatSniffer.detect(ZipFiles.synthZip(bytes)) == "zip")
+    assert(FormatSniffer.detect(TarFiles.synthTar(bytes)) == "tar")
+    assert(FormatSniffer.detect(WarcFiles.synthWarc(3L, bytes)) == "warc")
+    assert(FormatSniffer.detect(AvroFiles.synthAvro(5L, bytes)) == "avro")
+    assert(FormatSniffer.detect(ArrowIpc.synthArrowStream(docs)) == "arrow")
+    // TFRecord has no magic: only its self-validating length-CRC admits it
+    val tfr = TfRecordFiles.synthTfRecords(bytes)
+    assert(FormatSniffer.detect(tfr) == "tfrecord")
+    val corrupt = tfr.clone(); corrupt(9) = (corrupt(9) ^ 1).toByte
+    assert(FormatSniffer.detect(corrupt) == "unknown",
+      "a flipped length-crc byte must fail the tfrecord probe")
+    assert(FormatSniffer.detect("hello world plain text".getBytes("UTF-8"))
+      == "unknown")
+    assert(FormatSniffer.detect(Array.emptyByteArray) == "unknown")
+    // the header-trusting avro walk decodes without knowing the fileId
+    val scan = AvroFiles.parseAvroSniffed(AvroFiles.synthAvro(7L, bytes))
+    assert(scan.clean && scan.blocks.nonEmpty)
+  }
+
   test("arrow dict: round-trip, OOB triage, constant metadata sizes") {
     import graft.sources.ArrowIpc
     val srcs = Seq("alpha", "beta", "gamma")
