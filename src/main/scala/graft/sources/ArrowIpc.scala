@@ -580,6 +580,12 @@ object ArrowIpc {
   /** DictionaryBatch message: the sorted distinct values as one Utf8
     * array. Returns (metadata, body). */
   private[graft] def dictionaryMessage(values: Seq[String])
+      : (Array[Byte], Array[Byte]) = dictionaryMessage(values, isDelta = false)
+
+  /** As above; `isDelta = true` emits the APPEND form (Arrow's
+    * incremental-dictionary wire feature — later batches may index
+    * past the initial dictionary's length). */
+  private[graft] def dictionaryMessage(values: Seq[String], isDelta: Boolean)
       : (Array[Byte], Array[Byte]) = {
     val k = values.length
     val vbytes = values.map(_.getBytes(UTF_8))
@@ -608,7 +614,8 @@ object ArrowIpc {
     fb.slotOffset(1, nodes)
     fb.slotLong(0, k.toLong, 0L)
     val rb = fb.endTable()
-    fb.startTable(3) // DictionaryBatch{id:0, data, isDelta:false}
+    fb.startTable(3) // DictionaryBatch{id:0, data, isDelta}
+    fb.slotBool(2, isDelta)
     fb.slotOffset(1, rb)
     fb.slotLong(0, 0L, -1L)
     val db = fb.endTable()
@@ -665,6 +672,26 @@ object ArrowIpc {
     (fb.finish(fb.endTable()), body)
   }
 
+  private def frameInto(out: java.io.ByteArrayOutputStream,
+      meta: Array[Byte], body: Array[Byte]): Unit = {
+    var i = 0
+    while (i < 4) { out.write(0xff); i += 1 }
+    val m = pad8(meta.length)
+    i = 0
+    while (i < 4) { out.write((m >>> (8 * i)) & 0xff); i += 1 }
+    out.write(meta)
+    i = meta.length
+    while (i < m) { out.write(0); i += 1 }
+    out.write(body)
+  }
+
+  private def eosInto(out: java.io.ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < 4) { out.write(0xff); i += 1 }
+    i = 0
+    while (i < 4) { out.write(0); i += 1 }
+  }
+
   /** Deterministic dictionary-encoded stream: Schema, ONE
     * DictionaryBatch (sorted distinct sources of this shard), then
     * 10-row index batches, then EOS. */
@@ -673,29 +700,42 @@ object ArrowIpc {
     val dict = docs.map(_._2).distinct.sorted
     val lookup = dict.zipWithIndex.toMap
     val out = new java.io.ByteArrayOutputStream()
-    def frame(meta: Array[Byte], body: Array[Byte]): Unit = {
-      var i = 0
-      while (i < 4) { out.write(0xff); i += 1 }
-      val m = pad8(meta.length)
-      i = 0
-      while (i < 4) { out.write((m >>> (8 * i)) & 0xff); i += 1 }
-      out.write(meta)
-      i = meta.length
-      while (i < m) { out.write(0); i += 1 }
-      out.write(body)
-    }
-    frame(dictSchemaMessage, Array.empty)
+    frameInto(out, dictSchemaMessage, Array.empty)
     val (dm, db) = dictionaryMessage(dict)
-    frame(dm, db)
+    frameInto(out, dm, db)
     docs.grouped(DocsPerBatch).foreach { g =>
       val (meta, body) =
         dictBatchMessage(g.map { case (id, s) => (id, lookup(s)) }, dict.length)
-      frame(meta, body)
+      frameInto(out, meta, body)
     }
-    var i = 0
-    while (i < 4) { out.write(0xff); i += 1 }
-    i = 0
-    while (i < 4) { out.write(0); i += 1 }
+    eosInto(out)
+    out.toByteArray
+  }
+
+  /** Delta-dictionary stream (Arrow's incremental form, spec-pinned):
+    * the initial dictionary holds only the FIRST batch's values; each
+    * later batch that introduces new values is preceded by an
+    * `isDelta` APPEND message, so its indices reach past the initial
+    * dictionary's length — exactly the wire shape long-running Arrow
+    * producers emit. */
+  private[graft] def synthDictStreamDelta(docs: Seq[(Long, String)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frameInto(out, dictSchemaMessage, Array.empty)
+    var dict = Vector.empty[String]
+    docs.grouped(DocsPerBatch).foreach { g =>
+      val newVals = g.map(_._2).distinct.sorted.filterNot(dict.contains)
+      if (newVals.nonEmpty) {
+        val (dm, db) = dictionaryMessage(newVals, isDelta = dict.nonEmpty)
+        frameInto(out, dm, db)
+        dict = dict ++ newVals
+      }
+      val lookup = dict.zipWithIndex.toMap
+      val (meta, body) = dictBatchMessage(
+        g.map { case (id, s) => (id, lookup(s)) }, dict.length)
+      frameInto(out, meta, body)
+    }
+    eosInto(out)
     out.toByteArray
   }
 
@@ -755,7 +795,11 @@ object ArrowIpc {
                     enc >= 0 && fieldLong(meta, enc, 0, -1L) == 0L &&
                     fieldInt(meta, idxType, 0, 0) == 32 // Int32 indices
                 }
-              } else if (hdrType == 2 && dict.isEmpty) { // DictionaryBatch
+              } else if (hdrType == 2) { // DictionaryBatch
+                // isDelta = true APPENDS to the standing dictionary
+                // (Arrow's incremental-dictionary form); isDelta =
+                // false REPLACES it (the spec's restart semantics)
+                val isDelta = fieldByte(meta, hdr, 2, 0) == 1
                 val rb = fieldTable(meta, hdr, 1)
                 val k = fieldLong(meta, rb, 0, 0L)
                 val (bv, bn) = fieldVector(meta, rb, 2)
@@ -769,7 +813,7 @@ object ArrowIpc {
                       o >= 0 && l >= 0 && o + l <= bodyLen
                     }
                   if (inBody && ofLen == (k + 1) * 4) {
-                    dict = (0 until k.toInt).flatMap { i =>
+                    val vals = (0 until k.toInt).flatMap { i =>
                       val s = u32le(b, bodyOff + ofOff.toInt + i * 4)
                       val e = u32le(b, bodyOff + ofOff.toInt + (i + 1) * 4)
                       if (s >= 0 && e >= s && e <= tdLen)
@@ -777,7 +821,8 @@ object ArrowIpc {
                           (e - s).toInt, UTF_8))
                       else None
                     }
-                    if (dict.length != k.toInt) { dict = Nil; stop = true }
+                    if (vals.length != k.toInt) stop = true
+                    else dict = if (isDelta) dict ++ vals else vals
                   } else stop = true
                 } else stop = true
               } else if (hdrType == 3) { // index RecordBatch

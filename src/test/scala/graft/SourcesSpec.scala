@@ -128,6 +128,33 @@ class SourcesSpec extends SparkSpec {
     }, 3)._1.length + 7) / 8 * 8 == ArrowIpc.dictBatchMetaLen)
   }
 
+  test("arrow dict: delta dictionaries append; indices reach past the seed") {
+    import graft.sources.ArrowIpc
+    // batch 1 uses {a}, batch 2 introduces {b}, batch 3 introduces {c}:
+    // the reader must decode indices 1 and 2 that exceed the INITIAL
+    // dictionary's length via the isDelta appends
+    val docs = (0L until 30L).map { i =>
+      (i, if (i < 10) "alpha" else if (i < 20) "beta" else "gamma")
+    }
+    val stream = ArrowIpc.synthDictStreamDelta(docs)
+    val scan = ArrowIpc.parseDictStream(stream)
+    assert(scan.schemaOk && scan.eos && scan.clean,
+      s"delta stream not clean: $scan")
+    assert(scan.dict == Seq("alpha", "beta", "gamma"),
+      s"final dictionary ${scan.dict}")
+    assert(scan.batches.map(_.nRows) == Vector(10L, 10L, 10L))
+    // batch 3's value only exists via the second delta append
+    val b3 = scan.batches(2)
+    val oob3 = 20L % 17 == 0 // the OOB plant keys off the first doc_id
+    assert(b3.srcCounts.getOrElse("gamma", 0L) ==
+      (if (oob3) 9L else 10L), s"batch 3 counts: ${b3.srcCounts}")
+    // a plain (non-delta) second dictionary REPLACES: same docs through
+    // the one-shot generator still decode — regression guard that the
+    // replacement path didn't break the existing stream shape
+    val plain = ArrowIpc.parseDictStream(ArrowIpc.synthDictStream(docs))
+    assert(plain.clean && plain.dict == Seq("alpha", "beta", "gamma"))
+  }
+
   test("arrow dict: total parse on every prefix and under byte flips") {
     import graft.sources.ArrowIpc
     val docs = (0L until 25L).map(i => (i, s"s${i % 4}"))
