@@ -928,4 +928,35 @@ class PlanSpec extends SparkSpec {
       s"an unpartitioned window appeared:\n$wsPlan")
   }
 
+  test("round-12 plan shapes: TakeOrdered candidate cuts, Hamming rerank joins") {
+    // context pack and vocab coverage bound their global ordering with
+    // a distributed TakeOrderedAndProject (the round-9 ntile lesson);
+    // the only windows after the cut run on the bounded frame
+    for ((name, df) <- Seq(
+      "context_pack" -> graft.ops.RetrievalOps.contextPack(spark, sfTiny),
+      "vocab_coverage" -> graft.ops.TextOps.vocabCoverage(spark, sfTiny),
+      "negative_sampling" ->
+        graft.ops.TextOps.negativeSampling(spark, sfTiny))) {
+      val plan = executed(df).split("== Initial Plan ==")(0)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name lost its distributed top-k cut:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // the binary serving kernel reranks ONLY the shortlist: its plan
+    // may broadcast the tiny query side across the index (one linear
+    // popcount pass) but must never plan an unpartitioned window or a
+    // cartesian between data-sized frames
+    val bs = graft.ops.SimilarityOps.binaryShortlist(
+      graft.Tables.embeddings(spark, sfTiny)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select("vec_id", "embedding"), spark, sfTiny)
+    bs.collect()
+    val bsPlan = executed(bs).split("== Initial Plan ==")(0)
+    assert(!bsPlan.contains("CartesianProduct"),
+      s"binary shortlist planned a cartesian:\n$bsPlan")
+    assert(!"Window \\[[^\\n]*\\], \\[\\]".r.findFirstIn(bsPlan).isDefined,
+      s"binary shortlist planned an unpartitioned window:\n$bsPlan")
+  }
+
 }
