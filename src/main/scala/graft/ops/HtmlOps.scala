@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -51,9 +52,12 @@ object HtmlOps {
   private[graft] final case class Block(
       text: String, words: Int, chars: Int, linkChars: Int)
 
-  /** One captured outlink: the raw href plus whether the anchor
-    * carried `rel=nofollow` (the per-link crawl-policy signal). */
-  private[graft] final case class Link(href: String, nofollow: Boolean)
+  /** One captured outlink: the raw href, whether the anchor carried
+    * `rel=nofollow` (the per-link crawl-policy signal), and the
+    * anchor's visible text (whitespace-collapsed, entity-decoded —
+    * the weak relevance label anchor-text aggregation mines). */
+  private[graft] final case class Link(
+      href: String, nofollow: Boolean, anchor: String = "")
 
   /** A parsed page: content blocks, the `<a>` outlinks in document
     * order ([[linkExtract]] normalizes and aggregates them), and any
@@ -87,7 +91,7 @@ object HtmlOps {
     val lower = html.toLowerCase(java.util.Locale.ROOT)
     val n = html.length
     val out = Vector.newBuilder[Block]
-    val links = Vector.newBuilder[Link]
+    val links = scala.collection.mutable.ArrayBuffer.empty[Link]
     val robots = Vector.newBuilder[String]
     // attribute scan inside a tag body [from, until): double-,
     // single-, or un-quoted values; the name must start a token
@@ -123,12 +127,25 @@ object HtmlOps {
     var curLink = 0
     var lastSpace = true // leading-trim + run-collapse state
     var aDepth = 0
+    // anchor-text capture: accumulates (collapsed like `cur`) while
+    // inside any <a> span; when the span closes — or the input ends
+    // with it open (totality) — the text patches every link the span
+    // opened. Block boundaries flush `cur` but NOT the anchor buffer:
+    // an anchor wrapping a block boundary keeps one label.
+    val anchorSb = new java.lang.StringBuilder
+    var anchorLastSpace = true
+    var spanStart = 0 // links index where the current <a> span began
     def emit(c: Char): Unit = {
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
         if (!lastSpace) { cur.append(' '); lastSpace = true }
+        if (aDepth > 0 && !anchorLastSpace) {
+          anchorSb.append(' '); anchorLastSpace = true
+        }
       } else {
         cur.append(c); lastSpace = false
-        if (aDepth > 0) curLink += 1
+        if (aDepth > 0) {
+          curLink += 1; anchorSb.append(c); anchorLastSpace = false
+        }
       }
     }
     def flush(): Unit = {
@@ -166,10 +183,30 @@ object HtmlOps {
               i = if (e < n) e + 1 else n
             }
           } else {
-            if (BlockTags.contains(name)) flush()
+            if (BlockTags.contains(name)) {
+              flush()
+              // a block boundary inside an anchor reads as a word
+              // break in the label ("<p>x</p><p>y</p>" → "x y")
+              if (aDepth > 0 && !anchorLastSpace) {
+                anchorSb.append(' '); anchorLastSpace = true
+              }
+            }
             if (name == "a") {
-              if (closing) { if (aDepth > 0) aDepth -= 1 }
-              else {
+              if (closing) {
+                if (aDepth > 0) {
+                  aDepth -= 1
+                  if (aDepth == 0) { // span closed: label its links
+                    var t = anchorSb.toString
+                    if (t.endsWith(" ")) t = t.dropRight(1)
+                    var li = spanStart
+                    while (li < links.length) {
+                      links(li) = links(li).copy(anchor = t); li += 1
+                    }
+                    anchorSb.setLength(0); anchorLastSpace = true
+                  }
+                }
+              } else {
+                if (aDepth == 0) spanStart = links.length
                 aDepth += 1
                 attrOf(j, k, "href").foreach { h =>
                   val nf = attrOf(j, k, "rel").exists(
@@ -213,7 +250,15 @@ object HtmlOps {
       } else { emit(c); i += 1 }
     }
     flush()
-    Page(out.result(), links.result(), robots.result())
+    if (aDepth > 0) { // unterminated <a>: label with what accumulated
+      var t = anchorSb.toString
+      if (t.endsWith(" ")) t = t.dropRight(1)
+      var li = spanStart
+      while (li < links.length) {
+        links(li) = links(li).copy(anchor = t); li += 1
+      }
+    }
+    Page(out.result(), links.toVector, robots.result())
   }
 
   /** jusText-lite keep rules over [[parseHtml]]'s blocks. */
@@ -1530,6 +1575,83 @@ object HtmlOps {
       |FROM l GROUP BY url ORDER BY url""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Anchor-text aggregation — the classic weak-supervision signal of
+    * web corpora (anchor text describes the TARGET page better than
+    * the target describes itself; it's what trained the first web
+    * rankers and still labels retrieval pretraining pairs): for every
+    * normalized outlink target, the count of referring links, the
+    * number of DISTINCT anchor phrasings, and the modal anchor (ties
+    * broken lexicographically). Reuses [[parseHtml]]'s per-link
+    * anchor capture and [[resolveUrl]] — one extraction definition
+    * across the whole crawl family.
+    *
+    * The generator plants anchors whose per-target distribution
+    * genuinely varies: `/r/1` receives "read more about this" from
+    * every doc AND "also see that page" from the ids ≡ 1 (mod 7), so
+    * the modal-anchor argmax is exercised, not constant. The oracle
+    * reconstructs the exact (url, anchor) multiset from the id
+    * formulas — capture, entity decode, whitespace collapse, and
+    * resolution all sit under the driver hash.
+    *
+    * Scale shape: map-side parse → one hash aggregate on (url,
+    * anchor) → a window PARTITIONED BY url over the variant rollup
+    * (per-key row counts are anchor-vocabulary-bounded, never
+    * corpus-bounded) — no global window, no skew pathology. */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val base = s"https://example.com/docs/$id"
+        parseHtml(synthPage(id, text)).links
+          .map(l => (resolveUrl(base, l.href), l.anchor))
+      })
+      .toDF("url", "anchor")
+    val variants = pairs.groupBy(col("url"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+    val byUrl = Window.partitionBy(col("url"))
+      .orderBy(col("n").desc, col("anchor").asc)
+    variants
+      .withColumn("rk", row_number().over(byUrl))
+      .groupBy(col("url"))
+      .agg(sum(col("n")).as("n_refs"),
+        count(lit(1)).as("n_variants"),
+        max(when(col("rk") === 1, col("anchor"))).as("top_anchor"),
+        max(when(col("rk") === 1, col("n"))).as("top_n"))
+      .orderBy(col("url"))
+  }
+
+  private val anchorTextOracle =
+    """WITH l AS (
+      |  SELECT 'https://example.com/' AS url, 'Home' AS anchor
+      |    FROM documents
+      |  UNION ALL SELECT 'https://example.com/docs', 'Docs'
+      |    FROM documents
+      |  UNION ALL SELECT 'https://example.com/about', 'About'
+      |    FROM documents
+      |  UNION ALL SELECT 'https://example.com/r/1',
+      |    'read more about this' FROM documents
+      |  UNION ALL SELECT 'https://example.com/r/' || (doc_id % 7),
+      |    'also see that page' FROM documents
+      |  UNION ALL SELECT 'https://example.com/privacy', 'Privacy'
+      |    FROM documents
+      |  UNION ALL SELECT 'https://example.com/terms', 'Terms'
+      |    FROM documents
+      |  UNION ALL SELECT 'https://example.com/docs/legal/cookies',
+      |    'Cookie Policy' FROM documents
+      |  UNION ALL SELECT 'https://cdn.example.org/brand.png?v=2',
+      |    'Brand' FROM documents),
+      |v AS (SELECT url, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY url
+      |        ORDER BY n DESC, anchor) AS rk FROM v)
+      |SELECT url, CAST(SUM(n) AS BIGINT) AS n_refs,
+      |       COUNT(*) AS n_variants,
+      |       MAX(CASE WHEN rk = 1 THEN anchor END) AS top_anchor,
+      |       MAX(CASE WHEN rk = 1 THEN n END) AS top_n
+      |FROM r GROUP BY url ORDER BY url""".stripMargin
+
+  // ------------------------------------------------------------------
   /** RFC 3986 URL canonicalization — the FIRST dedup of every crawl
     * pipeline (before any content hash runs, the frontier and the
     * seen-set collapse URL aliases): lowercase scheme+host, strip the
@@ -2204,6 +2326,7 @@ object HtmlOps {
     "q_robotstxt" -> (robotsTxt _),
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
+    "q_anchor_text" -> (anchorText _),
     "q_url_canonical" -> (urlCanonical _),
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
@@ -2226,6 +2349,7 @@ object HtmlOps {
     "q_robotstxt" -> robotsTxtOracle,
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
+    "q_anchor_text" -> anchorTextOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,

@@ -492,6 +492,77 @@ object RetrievalOps {
        |                  AS DOUBLE) / COUNT(*), 6) AS tau_a
        |FROM p""".stripMargin
 
+  // ------------------------------------------------- Spearman rho
+  /** Spearman rank correlation between the same two shipped scorers
+    * [[kendallTau]] compares (Spearman 1904) — the OTHER standard
+    * rank-agreement diagnostic, and the one that weights by rank
+    * DISTANCE rather than counting inversions (a swap at the top and
+    * a swap at the bottom cost kendall the same; spearman charges the
+    * square of the displacement). Ties get average ranks (the
+    * tie-corrected estimator), so the classic 1−6Σd²/n(n²−1) shortcut
+    * is invalid; this computes Pearson over the rank vectors, which
+    * is the definition that stays correct under ties.
+    *
+    * Exactness: average ranks are half-integers, so both rank vectors
+    * are DOUBLED into exact integers (2·rank_min + ties − 1; Pearson
+    * is affine-invariant so the ×2 cancels), every moment is an exact
+    * integer sum over the bounded 100-row frame, and ρ is one final
+    * rounded double. Scale shape: identical to [[kendallTau]] — the
+    * scorers are distributed rollups, the comparison frame is the
+    * bounded top-k (TakeOrdered, no global window on the corpus), and
+    * the rank windows run on those 100 rows. */
+  def spearmanRho(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = TextOps.bm25(spark, sfDir)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+    val j = top.join(
+      TextOps.qlmDirichlet(spark, sfDir).select(col("doc_id"), col("qlm")),
+      Seq("doc_id"))
+    // bounded 100-row frame: the unpartitioned windows below are safe
+    def dr(c: String) = // doubled average rank: 2·rank_min + ties − 1
+      (lit(2) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast("long")
+    val ranked = j.withColumn("rb", dr("bm25")).withColumn("rq", dr("qlm"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rb")).as("sx"), sum(col("rq")).as("sy"),
+      sum(col("rb") * col("rb")).as("sxx"),
+      sum(col("rq") * col("rq")).as("syy"),
+      sum(col("rb") * col("rq")).as("sxy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("rho_spearman"))
+  }
+
+  private val spearmanRhoOracle =
+    s"""WITH bm AS (${TextOps.bm25Oracle}),
+       |ql AS (${TextOps.qlmDirichletOracle}),
+       |top AS (SELECT doc_id, bm25 FROM bm
+       |        ORDER BY bm25 DESC, doc_id LIMIT 100),
+       |j AS (SELECT t.doc_id, t.bm25, ql.qlm
+       |      FROM top t JOIN ql USING (doc_id)),
+       |r AS (SELECT
+       |        2 * rank() OVER (ORDER BY bm25)
+       |          + COUNT(*) OVER (PARTITION BY bm25) - 1 AS rb,
+       |        2 * rank() OVER (ORDER BY qlm)
+       |          + COUNT(*) OVER (PARTITION BY qlm) - 1 AS rq
+       |      FROM j),
+       |m AS (SELECT COUNT(*) AS n,
+       |        CAST(SUM(rb) AS BIGINT) AS sx, CAST(SUM(rq) AS BIGINT) AS sy,
+       |        CAST(SUM(rb * rb) AS BIGINT) AS sxx,
+       |        CAST(SUM(rq * rq) AS BIGINT) AS syy,
+       |        CAST(SUM(rb * rq) AS BIGINT) AS sxy
+       |      FROM r)
+       |SELECT n,
+       |       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+       |                  CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       |         AS rho_spearman
+       |FROM m""".stripMargin
+
   // ------------------------------------------------- context packing
   /** Token-budget context assembly — the last step of a RAG serving
     * path: the retrieved candidates (the shipped [[graft.ops.TextOps
@@ -561,6 +632,7 @@ object RetrievalOps {
     "q_context_pack" -> (contextPack _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_kendall_tau" -> (kendallTau _),
+    "q_spearman" -> (spearmanRho _),
     "q_prf_expand" -> (prfExpand _),
     "q_ndcg" -> (ndcg _),
     "q_mmr_rerank" -> (mmrRerank _)
@@ -570,6 +642,7 @@ object RetrievalOps {
     "q_context_pack" -> contextPackOracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_kendall_tau" -> kendallTauOracle,
+    "q_spearman" -> spearmanRhoOracle,
     "q_prf_expand" -> prfExpandOracle,
     "q_ndcg" -> ndcgOracle,
     "q_mmr_rerank" -> mmrRerankOracle

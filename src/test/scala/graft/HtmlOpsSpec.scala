@@ -97,6 +97,30 @@ class HtmlOpsSpec extends SparkSpec {
       "https://cdn.example.org/brand.png?v=2#top"))
   }
 
+  test("anchor-text capture: collapse, entities, inline tags, nesting, totality") {
+    // whitespace collapses, entities decode, inline tags vanish
+    val p = HtmlOps.parseHtml(
+      """<a href="/a">  read  <b>&amp;</b>
+        | more </a><a href="/b">second</a>""".stripMargin)
+    assert(p.links.map(_.anchor) == Vector("read & more", "second"))
+    // a nested span labels every link it opened with the full text
+    val nested = HtmlOps.parseHtml(
+      """<a href="/out">one <a href="/in">two</a> three</a>""")
+    assert(nested.links.map(_.anchor) ==
+      Vector("one two three", "one two three"))
+    // unterminated <a>: totality — label is whatever accumulated
+    val cut = HtmlOps.parseHtml("""<a href="/u">dangling tex""")
+    assert(cut.links.map(_.anchor) == Vector("dangling tex"))
+    // block boundary inside an anchor keeps one label
+    val blocky = HtmlOps.parseHtml("""<a href="/p"><p>x</p><p>y</p></a>""")
+    assert(blocky.links.map(_.anchor) == Vector("x y"))
+    // generator anchors are the planted constants
+    val page = HtmlOps.parseHtml(HtmlOps.synthPage(10L, "ten words here"))
+    assert(page.links.map(_.anchor) == Vector("Home", "Docs", "About",
+      "read more about this", "also see that page", "Privacy", "Terms",
+      "Cookie Policy", "Brand"))
+  }
+
   test("crawl policy: robots tokens and rel=nofollow, attribute probes token-anchored") {
     // rel=nofollow marks the link; class="related" must NOT satisfy a
     // "rel" probe (token-anchored attribute scan)
