@@ -1369,7 +1369,182 @@ object GraphOps {
     labels
   }
 
+  // ------------------------------------------------------------ bowtie
+  /** Broder bowtie decomposition (Broder et al. 2000, "Graph structure
+    * in the web" — THE census every web-corpus analysis runs first):
+    * from a deterministic pivot, forward reachability F and backward
+    * reachability B partition the directed graph into SCC = F∩B,
+    * IN = B∖SCC (reaches the core, unreachable from it), OUT = F∖SCC,
+    * and OTHER (tendrils/tubes/disconnected) = V∖(F∪B). The directed
+    * graph is the within-order part-SEQUENCE graph: line items ordered
+    * by (linenumber, partkey, suppkey) — the full-tuple DISTINCT +
+    * composite sort because this table has DUPLICATE (orderkey,
+    * linenumber) keys, so a bare linenumber window is nondeterministic
+    * — give src→dst for consecutive parts; cycles arise exactly when
+    * orders disagree on part sequencing. The raw graph is
+    * super-critical (avg degree 22 — one total SCC, census trivial),
+    * so edges pass an md5-lattice keep gate at 10% — the critical
+    * regime where all four bowtie regions are populated (1468/221/259/
+    * 26 at sf0.01, 14734/2408/2409/190 at sf0.1), the same
+    * shared-lattice fixture-variation discipline the FIM cuts use.
+    * Pivot = max out-degree (tie: smallest part) — the published
+    * heuristic: a high-degree node is in the giant SCC with
+    * overwhelming probability, and F/B from ANY core node yield the
+    * same decomposition.
+    *
+    * Scale shape — two reachability sweeps folded into ONE frontier
+    * loop, two round-halving tricks on top of the [[bfsHops]]
+    * discipline (per-round localCheckpoint, frontier-drain exit):
+    *  - BIDIRECTIONAL TAGGING: F and B advance in the same round over
+    *    a direction-tagged edge frame, so rounds = max(ecc_f, ecc_b),
+    *    not their sum, and each round is one join + one anti-join;
+    *  - HOP-TRIPLING: the tagged frame carries e ∪ e² ∪ e³, so each
+    *    round advances THREE levels — rounds = ⌈ecc/3⌉ (7 at sf0.1 vs
+    *    the 35 a naive two-sweep loop pays); e^k is degree-bounded
+    *    (m·d̄^(k−1) rows), the standard memory/rounds knob, NOT a
+    *    closure. Both edge frames are session-materialized (the
+    *    coPurchasePairs lifecycle) so repeat invocations scan parquet.
+    * The round joins broadcast the frontier/visited sides — bounded by
+    * |V| = |part|, the DIMENSION table, not the corpus — so cached eT
+    * is scanned map-side, never re-exchanged (drop the hint and AQE
+    * falls back to a shuffle join if the node set ever outgrows the
+    * broadcast threshold). The census
+    * is one grouped aggregate over the tagged visited set; the one
+    * collect is the 1-row pivot argmax. */
+  /** The sparsified sequence-edge frame, materialized once per
+    * session+SF (the coPurchasePairs lifecycle): the window + double
+    * distinct + md5 gate are paid once, later invocations scan
+    * parquet. */
+  private def bowtieEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/bowtie_edges") {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .distinct() // exact-duplicate rows would break LEAD determinism
+        .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+        .select(col("l_partkey").as("src"), col("dst"))
+        .distinct()
+        .filter( // md5-lattice sparsifier: keep 10% (see doc comment)
+          expr("CAST(conv(substring(md5(CAST(concat_ws('_', src, dst) " +
+            "AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 100") < 10)
+    }
+
+  /** The direction-tagged hop-tripled walk frame over [[bowtieEdges]],
+    * also materialized once per session+SF — every BFS round scans it
+    * map-side, so it must not be re-derived per invocation. */
+  private def bowtieWalkFrame(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/bowtie_walk") {
+      val e1 = bowtieEdges(spark, sfDir)
+      val e2 = e1.as("a").join(e1.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src"), col("b.dst"))
+      val e3 = e1.unionByName(e2)
+        .unionByName(e2.as("a").join(e1.as("b"),
+            col("a.dst") === col("b.src"))
+          .select(col("a.src"), col("b.dst")))
+        .distinct()
+      e3.withColumn("dir", lit("f"))
+        .unionByName(e3.select(col("dst").as("src"), col("src").as("dst"))
+          .withColumn("dir", lit("b")))
+    }
+
+  def bowtie(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = bowtieEdges(spark, sfDir)
+    val nEdges = e1.count()
+    val nNodes = e1.select(col("src").as("v"))
+      .unionByName(e1.select(col("dst").as("v"))).distinct().count()
+    val pivot = e1.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src"))
+      .limit(1).select(col("src")).as[Long].head() // 1-row argmax
+    // hop-tripled direction-tagged frame (e ∪ e² ∪ e³ both ways):
+    // rows are degree-bounded (m·(1+d̄+d̄²)), rounds become ⌈ecc/3⌉
+    val eT = bowtieWalkFrame(spark, sfDir)
+      .cache() // re-joined every round; released below
+    // visited = lazy union of per-round CHECKPOINTED frontiers: each
+    // component is materialized, so the plan stays shallow (≤ rounds
+    // leaves) without paying a visited-wide re-checkpoint every round
+    var frontier = Seq((pivot, "f"), (pivot, "b")).toDF("v", "dir")
+      .localCheckpoint(eager = true)
+    var visited = frontier
+    var frontierSize = 1L
+    while (frontierSize > 0L) {
+      // frontier and visited are |V|-bounded narrow rows — broadcast
+      // them so the round scans cached eT ONCE map-side instead of
+      // re-exchanging it every round (the reuse-a-partitioning
+      // lesson); the only shuffle left is the distinct on the
+      // frontier-sized join output
+      val next = broadcast(frontier).as("fr").join(eT.as("et"),
+          col("fr.v") === col("et.src") && col("fr.dir") === col("et.dir"))
+        .select(col("et.dst").as("v"), col("et.dir").as("dir")).distinct()
+        .join(broadcast(visited), Seq("v", "dir"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next)
+      frontier = next
+      frontierSize = next.count()
+    }
+    // census in ONE grouped aggregate over the tagged visited set
+    val census = visited
+      .groupBy(col("v"))
+      .agg(max(when(col("dir") === "f", 1).otherwise(0)).as("in_f"),
+        max(when(col("dir") === "b", 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_f") * col("in_b")).as("n_scc"),
+        sum(col("in_b") * (lit(1) - col("in_f"))).as("n_in"),
+        sum(col("in_f") * (lit(1) - col("in_b"))).as("n_out"),
+        count(lit(1)).as("n_fb"))
+      .select(lit(pivot).as("pivot_node"), lit(nNodes).as("n_nodes"),
+        lit(nEdges).as("n_edges"), col("n_scc"), col("n_in"),
+        col("n_out"), (lit(nNodes) - col("n_fb")).as("n_other"))
+      .localCheckpoint(eager = true) // 1 row; lets eT release
+    eT.unpersist()
+    census
+  }
+
+  private val bowtieOracle =
+    """WITH RECURSIVE
+      |e AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT DISTINCT src, dst FROM (
+      |      SELECT l_partkey AS src,
+      |             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+      |               ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+      |      FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey,
+      |                   l_suppkey FROM lineitem))
+      |    WHERE dst IS NOT NULL AND dst <> src)
+      |  WHERE CAST('0x' || substring(md5(src || '_' || dst), 1, 15)
+      |        AS BIGINT) % 100 < 10),
+      |p AS (SELECT src AS v FROM e GROUP BY src
+      |      ORDER BY COUNT(*) DESC, src LIMIT 1),
+      |f AS (SELECT v FROM p
+      |      UNION
+      |      SELECT e.dst FROM e, f WHERE e.src = f.v),
+      |b AS (SELECT v FROM p
+      |      UNION
+      |      SELECT e.src FROM e, b WHERE e.dst = b.v),
+      |-- UNION ALL + outer DISTINCT: inside a WITH RECURSIVE list,
+      |-- DuckDB does not de-duplicate a non-recursive bare UNION CTE
+      |nodes AS (SELECT DISTINCT v FROM
+      |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+      |c AS (SELECT
+      |  (SELECT v FROM p) AS pivot_node,
+      |  (SELECT COUNT(*) FROM nodes) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT COUNT(*) FROM f JOIN b USING (v)) AS n_scc,
+      |  (SELECT COUNT(*) FROM b) AS n_b,
+      |  (SELECT COUNT(*) FROM f) AS n_f,
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM
+      |     (SELECT v FROM f UNION ALL SELECT v FROM b))) AS n_fb)
+      |SELECT pivot_node, n_nodes, n_edges, n_scc,
+      |       n_b - n_scc AS n_in, n_f - n_scc AS n_out,
+      |       n_nodes - n_fb AS n_other
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bowtie" -> (bowtie _),
     "q_hyperanf" -> (hyperAnf _),
     "q_modularity" -> (modularity _),
     "q_kcore" -> (kcore _),
@@ -1387,6 +1562,7 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bowtie" -> bowtieOracle,
     "q_hyperanf" -> hyperAnfOracle,
     "q_modularity" -> modularityOracle,
     "q_kcore" -> kcoreOracle,

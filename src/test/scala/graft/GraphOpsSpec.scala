@@ -417,4 +417,47 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want, s"got ${got.take(5)}.. want ${want.take(5)}..")
   }
+
+  test("bowtie census == driver-side double reachability sweep") {
+    // rebuild the sparsified sequence graph driver-side: full-tuple
+    // distinct, (linenumber, partkey, suppkey) sort, consecutive
+    // pairs, md5 keep-gate at 10% — then plain BFS both directions
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    def gate(s: Long, d: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${s}_$d".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100 < 10
+    }
+    val edges = rows.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(t => (t._2, t._3, t._4)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2)
+    }.toSet.filter(p => gate(p._1, p._2))
+    val nodes = edges.flatMap(p => Set(p._1, p._2))
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val pivot = nodes.filter(outDeg.contains)
+      .minBy(v => (-outDeg(v), v))
+    def reach(adj: Map[Long, Set[Long]]): Set[Long] = {
+      var vis = Set(pivot); var fr = Set(pivot)
+      while (fr.nonEmpty) {
+        fr = fr.flatMap(v => adj.getOrElse(v, Set.empty)) -- vis
+        vis ++= fr
+      }
+      vis
+    }
+    val fwd = reach(edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+    val bwd = reach(edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap)
+    val scc = fwd intersect bwd
+    val got = GraphOps.bowtie(spark, sfTiny).collect().head
+    assert(got.getLong(0) == pivot && got.getLong(1) == nodes.size &&
+      got.getLong(2) == edges.size && got.getLong(3) == scc.size &&
+      got.getLong(4) == (bwd.size - scc.size) &&
+      got.getLong(5) == (fwd.size - scc.size) &&
+      got.getLong(6) == (nodes.size - (fwd ++ bwd).size),
+      s"got $got want pivot=$pivot nodes=${nodes.size} " +
+        s"edges=${edges.size} scc=${scc.size}")
+  }
 }
