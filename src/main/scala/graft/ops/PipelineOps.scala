@@ -1213,6 +1213,60 @@ object PipelineOps {
        |WHERE cum // step > (cum - wt) // step
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- weighted reservoir sample
+  /** Per-stratum size for [[weightedReservoir]]. */
+  private val WrK = 16
+
+  /** Weighted reservoir sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES) — the ONE-PASS weighted sampler a streaming
+    * or sharded pipeline actually runs ([[ppsSample]] is its
+    * systematic fixed-step sibling; this is the order-sampling form
+    * that composes with top-k machinery): each doc draws an
+    * exponential clock e = −ln(u)/w, the k SMALLEST clocks per source
+    * win — provably a weighted sample without replacement. u is the
+    * md5-lattice uniform ((m48+1)/(2^48+1) ∈ (0,1)), so the draw is
+    * deterministic and engine-shared. ln() may differ by an ulp across
+    * libm implementations, but clocks of distinct docs are md5-spread
+    * ≫ 1 ulp apart, so SELECTION and RANKING are stable (the clock
+    * itself is not an output column for exactly that reason).
+    *
+    * Scale shape: map-side clock, then rank-per-source — the
+    * WindowGroupLimit shape ([[q_topk_per_group]]): Spark rewrites the
+    * rank-≤-k filter into a per-partition partial top-k before the
+    * exchange, which IS the distributed reservoir merge (each shard
+    * keeps its k best, the merge keeps the k best of those). */
+  def weightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val clocked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("wt"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(concat('wr_', doc_id) " +
+          "AS BINARY)), 1, 12), 16, 10) AS BIGINT)") + 1) /
+          lit(281474976710657.0)) // (m48+1)/(2^48+1)
+      .withColumn("clock", -log(col("u")) / col("wt"))
+    clocked
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("clock"), col("doc_id"))))
+      .filter(col("rk") <= WrK)
+      .select(col("source"), col("rk"), col("doc_id"), col("wt"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val weightedReservoirOracle =
+    s"""WITH c AS (
+       |  SELECT doc_id, source, n_chars AS wt,
+       |         -ln((CAST('0x' || substring(md5('wr_' || doc_id), 1, 12)
+       |              AS BIGINT) + 1) / 281474976710657.0) / n_chars
+       |           AS clock
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, wt,
+       |             row_number() OVER (PARTITION BY source
+       |               ORDER BY clock, doc_id) AS rk
+       |      FROM c)
+       |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, wt
+       |FROM r WHERE rk <= $WrK
+       |ORDER BY source, rk""".stripMargin
+
   // ---------------------------------------------- length-bucketed batching
   /** Batch size for [[lengthBatching]]. */
   private val LbBatch = 32L
@@ -1283,6 +1337,7 @@ object PipelineOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_length_batching" -> (lengthBatching _),
     "q_pps_sample" -> (ppsSample _),
+    "q_weighted_reservoir" -> (weightedReservoir _),
     "q_target_encode" -> (targetEncode _),
     "q_token_bucket" -> (tokenBucket _),
     "q_nested_export" -> (nestedExport _),
@@ -1307,6 +1362,7 @@ object PipelineOps {
   def oracles: Map[String, String] = Map(
     "q_length_batching" -> lengthBatchingOracle,
     "q_pps_sample" -> ppsSampleOracle,
+    "q_weighted_reservoir" -> weightedReservoirOracle,
     "q_target_encode" -> targetEncodeOracle,
     "q_token_bucket" -> tokenBucketOracle,
     "q_nested_export" -> nestedExportOracle,

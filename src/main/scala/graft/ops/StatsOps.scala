@@ -2650,7 +2650,79 @@ object StatsOps {
        |FROM units CROSS JOIN d2""".stripMargin
   }
 
+  // --------------------------------------------------------- one-way ANOVA
+  /** One-way ANOVA of order value across the five order priorities —
+    * the k-group mean-difference test the family lacked ([[chiSquare]]
+    * tests CATEGORICAL association, [[abTest]] exactly two arms; a
+    * data pipeline comparing k sources/treatments runs this first).
+    * Reports effect size η² = SSB/SST beside F — the "is it real vs is
+    * it big" pairing every experimentation write-up needs.
+    *
+    * Exactness: values on the cents lattice; per-group moments (n_g,
+    * Σx, and corpus Σx²) are exact DECIMAL(38)/HUGEINT rollups. The
+    * classic SSB/SST forms subtract near-equal magnitudes, so both are
+    * rebuilt cancellation-free: N²·SSB = Σ_g (N·s_g − n_g·S)²/n_g —
+    * every numerator EXACT in DECIMAL(38) (≤5e34 at sf0.1; at corpus
+    * scale swap the lattice to dollars or the moments to doubles —
+    * the rocAuc guard discipline), each term positive so the 5-term
+    * double sum has no cancellation — and N·SST = N·Σx² − S² exact.
+    * F and η² are two final well-conditioned double ratios.
+    *
+    * Scale shape: ONE hash aggregate per group (k=5 rows), a 1-row
+    * total, broadcast re-join — the rfmSegments shape; no window, no
+    * sort, no second corpus pass. */
+  def anova(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+    val per = cents.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("s_g"))
+    val tot = cents.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
+    val parts = per.crossJoin(broadcast(tot))
+      .withColumn("num", // exact: (N·s_g − n_g·S)², ≤ 5e34 at sf0.1
+        expr("(CAST(n AS DECIMAL(38,0)) * s_g - CAST(n_g AS DECIMAL(38,0)) * s)"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("CAST(num * num AS DOUBLE) / n_g")).as("ssb_nn"), // ·N²
+        first(col("n")).as("n"),
+        first(expr("CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)"))
+          .as("sst_n")) // ·N
+    parts.select(col("n"), col("k"),
+      round(col("ssb_nn") / col("n") / col("sst_n"), 6).as("eta2"),
+      round((col("ssb_nn") / col("n") / col("sst_n")) /
+        ((lit(1) - col("ssb_nn") / col("n") / col("sst_n"))) *
+        (col("n") - col("k")).cast("double") /
+        (col("k") - 1).cast("double"), 6).as("f_stat"))
+  }
+
+  private val anovaOracle =
+    """WITH c AS (SELECT o_orderpriority AS grp,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |           FROM orders),
+      |per AS (SELECT grp, COUNT(*) AS n_g,
+      |               SUM(CAST(c AS HUGEINT)) AS s_g
+      |        FROM c GROUP BY grp),
+      |tot AS (SELECT COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS s,
+      |               SUM(CAST(c AS HUGEINT) * c) AS ss FROM c),
+      |parts AS (SELECT COUNT(*) AS k,
+      |    SUM(CAST((CAST(n AS HUGEINT) * s_g - CAST(n_g AS HUGEINT) * s)
+      |             * (CAST(n AS HUGEINT) * s_g - CAST(n_g AS HUGEINT) * s)
+      |        AS DOUBLE) / n_g) AS ssb_nn,
+      |    ANY_VALUE(n) AS n,
+      |    ANY_VALUE(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE))
+      |      AS sst_n
+      |  FROM per, tot)
+      |SELECT n, k,
+      |       ROUND(ssb_nn / n / sst_n, 6) AS eta2,
+      |       ROUND((ssb_nn / n / sst_n) / (1 - ssb_nn / n / sst_n)
+      |             * CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE), 6)
+      |         AS f_stat
+      |FROM parts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (anova _),
     "q_woe_iv" -> (woeIv _),
     "q_krippendorff" -> (krippendorff _),
     "q_holt_winters" -> (holtWinters _),
@@ -2692,6 +2764,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_anova" -> anovaOracle,
     "q_woe_iv" -> woeIvOracle,
     "q_krippendorff" -> krippendorffOracle,
     "q_holt_winters" -> holtWintersOracle,

@@ -267,4 +267,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("waste_bucketed_e6") <= r.getAs[Long]("waste_arrival_e6"))
   }
 
+  test("weighted reservoir: sizes exact, weight-biased, matches driver replay") {
+    val got = PipelineOps.weightedReservoir(spark, sfTiny).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("wt")))
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly min(16, |stratum|) rows per source, ranks 1..k dense
+    val bySource = docs.groupBy(_._2)
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length == math.min(16, bySource(s).length))
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // driver replay of the A-ES clocks picks the same winners
+    def clock(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wr_$id".getBytes("UTF-8"))
+      val m48 = java.lang.Long.parseLong(
+        md.map(b => f"$b%02x").mkString.take(12), 16)
+      -math.log((m48 + 1) / 281474976710657.0) / w
+    }
+    val want = bySource.toSeq.flatMap { case (s, rows) =>
+      rows.map(t => (s, t._1, t._3, clock(t._1, t._3)))
+        .sortBy(t => (t._4, t._2)).take(16).zipWithIndex
+        .map { case ((src, id, w, _), i) => (src, i + 1, id, w) }
+    }.toSet
+    assert(got.toSet == want)
+    // the sampler is weight-biased: sampled mean weight must exceed
+    // the corpus mean (heavy docs get shorter clocks)
+    val sampledMean = got.map(_._4).sum.toDouble / got.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean <= corpus mean $corpusMean")
+  }
+
 }
