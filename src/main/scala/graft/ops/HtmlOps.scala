@@ -496,6 +496,156 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------- CDX index
+  /** SURT transform (Sort-friendly URI Reordering Transform — the key
+    * order of every web-archive CDX index): scheme dropped, authority
+    * lowercased, default port stripped, host labels REVERSED and
+    * comma-joined, then `)` + the rest — so one domain's pages sort
+    * contiguously and a prefix range-scan answers "everything under
+    * example.org". Path/query kept verbatim (host-only folding; the
+    * aggressive variant is [[canonicalUrl]]'s job). */
+  private[graft] def surtKey(u: String): String = {
+    val se = u.indexOf("://")
+    if (se < 0) return u
+    val rest = u.substring(se + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?') match {
+      case -1 => rest.length
+      case i => i
+    }
+    var auth = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+    if (auth.endsWith(":80")) auth = auth.dropRight(3)
+    if (auth.endsWith(":443")) auth = auth.dropRight(4)
+    auth.split('.').reverse.mkString(",") + ")" + rest.substring(authEnd)
+  }
+
+  /** CDX index over the WARC battery — the lookup structure every web
+    * archive pairs with its WARCs (the CDX(J) file: one row per
+    * replayable record, keyed by [[surtKey]], carrying the REPLAY
+    * COORDINATES — file, byte offset, record length — plus the payload
+    * digest the archive's dedup consults): `response` and `revisit`
+    * records of [[synthWarcFrame]]'s files, offset/length from the
+    * parser's record walk, digest = md5 of the record block. The
+    * oracle REBUILDS every byte coordinate from the documents table
+    * alone — page string, HTTP wrapper, WARC headers, per-file
+    * cumulative offsets — so the generator's layout and the parser's
+    * walk sit under the driver hash jointly (the generator/parser
+    * cross-check discipline, extended to byte POSITIONS, not just
+    * counts).
+    *
+    * Scale shape: map-side record walk per file (the container-battery
+    * shape), one TakeOrdered on the SURT key — which is exactly how
+    * production CDX is built: per-WARC local scans, one global sort at
+    * write time. */
+  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.WarcFiles
+    synthWarcFrame(spark, sfDir)
+      .select(col("file_id"), col("warc"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, bytes) =>
+        WarcFiles.parseWarc(bytes).records
+          .filter(r => r.recType == "response" || r.recType == "revisit")
+          .map { r =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(r.body).map(b => f"$b%02x").mkString
+            (surtKey(r.targetUri), r.targetUri, r.recType, fid,
+              r.offset, r.recLen, hex.take(12))
+          }
+      })
+      .toDF("surt_key", "url", "rec_type", "file_id", "warc_offset",
+        "rec_len", "digest12")
+      .orderBy(col("surt_key"), col("rec_type"))
+  }
+
+  private val cdxIndexOracle =
+    s"""WITH k AS (SELECT chr(13) || chr(10) AS crlf),
+       |d AS (SELECT doc_id, text, doc_id // $WarcDocsPerFile AS file_id,
+       |             CAST(doc_id AS VARCHAR) AS ids,
+       |             str_split(text, ' ') AS ws
+       |      FROM documents),
+       |pg AS (SELECT *,
+       |    replace(array_to_string(ws[1:(len(ws)+1)//2], ' '),
+       |            'a', '&#97;') AS p1,
+       |    replace(array_to_string(ws[(len(ws)+1)//2+1:], ' '),
+       |            'a', '&#97;') AS p2
+       |  FROM d),
+       |html AS (SELECT doc_id, file_id, ids,
+       |    '<html><head><title>Doc ' || ids || '</title>'
+       |    || '<meta charset="utf-8"><meta name="viewport" content="width=device-width">'
+       |    || CASE WHEN doc_id % 11 = 0
+       |            THEN '<meta name="robots" content="noindex, follow">'
+       |            ELSE '' END
+       |    || '<script type="text/javascript">var n = ' || ids
+       |    || '; if (n < 10) { document.write("<p>ghost words that must never leak into the extraction</p>"); }</script>'
+       |    || '<style>p { color: #333; } .related a { font-weight: bold; }</style></head>'
+       |    || '<body><nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>'
+       |    || '<h1>Doc ' || ids || '</h1>'
+       |    || '<p><b>' || p1 || '</b></p>'
+       |    || '<div class="content"><p>' || p2 || '</p></div>'
+       |    || '<ul class="related"><li><a'
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' rel="nofollow"' ELSE '' END
+       |    || ' href="/r/1">read more about this</a></li><li><a href="/r/'
+       |    || CAST(doc_id % 7 AS VARCHAR)
+       |    || '">also see that page</a></li></ul>'
+       |    || '<footer><a href="/privacy">Privacy</a> · <a href="/terms">Terms</a> · <a href=''legal/cookies#s1''>Cookie Policy</a> · <a href=https://cdn.example.org/brand.png?v=2#top>Brand</a></footer></body></html>'
+       |      AS page
+       |  FROM pg),
+       |blocks AS (SELECT doc_id, file_id, ids,
+       |    'HTTP/1.1 200 OK' || crlf
+       |      || 'Content-Type: text/html; charset=utf-8' || crlf
+       |      || 'Content-Length: ' || strlen(page) || crlf || crlf
+       |      || page AS resp_block,
+       |    'GET /doc/' || ids || ' HTTP/1.1' || crlf
+       |      || 'Host: example.org' || crlf || crlf AS req_block
+       |  FROM html, k),
+       |recs AS (SELECT doc_id, file_id, ids, resp_block,
+       |    strlen('WARC/1.0' || crlf || 'WARC-Type: request' || crlf
+       |      || 'WARC-Record-ID: <urn:graft:req-' || ids || '>' || crlf
+       |      || 'WARC-Target-URI: https://example.org/doc/' || ids || crlf
+       |      || 'Content-Length: ' || strlen(req_block)
+       |      || crlf || crlf || req_block || crlf || crlf) AS req_len,
+       |    strlen('WARC/1.0' || crlf || 'WARC-Type: response' || crlf
+       |      || 'WARC-Record-ID: <urn:graft:resp-' || ids || '>' || crlf
+       |      || 'WARC-Target-URI: https://example.org/doc/' || ids || crlf
+       |      || 'Content-Length: ' || strlen(resp_block)
+       |      || crlf || crlf || resp_block || crlf || crlf) AS resp_len,
+       |    strlen('WARC/1.0' || crlf || 'WARC-Type: revisit' || crlf
+       |      || 'WARC-Record-ID: <urn:graft:rev-' || ids || '>' || crlf
+       |      || 'WARC-Target-URI: https://example.org/doc/' || ids || crlf
+       |      || 'Content-Length: 0' || crlf || crlf || crlf || crlf)
+       |      AS rev_len,
+       |    strlen('WARC/1.0' || crlf || 'WARC-Type: warcinfo' || crlf
+       |      || 'WARC-Record-ID: <urn:graft:info-' || file_id || '>' || crlf
+       |      || 'Content-Length: 27' || crlf || crlf
+       |      || 'software: graft-synth/1.0' || crlf || crlf || crlf)
+       |      AS info_len
+       |  FROM blocks, k),
+       |offs AS (SELECT *,
+       |    info_len + COALESCE(SUM(req_len + resp_len
+       |        + CASE WHEN doc_id % 13 = 0 THEN rev_len ELSE 0 END)
+       |      OVER (PARTITION BY file_id ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS base
+       |  FROM recs),
+       |cdx AS (
+       |  SELECT 'org,example)/doc/' || ids AS surt_key,
+       |         'https://example.org/doc/' || ids AS url,
+       |         'response' AS rec_type, file_id,
+       |         base + req_len AS warc_offset,
+       |         resp_len AS rec_len,
+       |         substring(md5(resp_block), 1, 12) AS digest12
+       |  FROM offs
+       |  UNION ALL
+       |  SELECT 'org,example)/doc/' || ids, 'https://example.org/doc/' || ids,
+       |         'revisit', file_id,
+       |         base + req_len + resp_len, rev_len,
+       |         substring(md5(''), 1, 12)
+       |  FROM offs WHERE doc_id % 13 = 0)
+       |SELECT surt_key, url, rec_type, file_id,
+       |       CAST(warc_offset AS BIGINT) AS warc_offset,
+       |       CAST(rec_len AS BIGINT) AS rec_len, digest12
+       |FROM cdx ORDER BY surt_key, rec_type""".stripMargin
+
   // ------------------------------------------------- crawl funnel
   /** WARC files whose response bodies are the per-class MANGLED wire
     * bytes ([[encBytes]] over the synthesized page): what a crawler
@@ -2327,6 +2477,7 @@ object HtmlOps {
     "q_html_extract" -> (htmlExtract _),
     "q_link_extract" -> (linkExtract _),
     "q_anchor_text" -> (anchorText _),
+    "q_cdx_index" -> (cdxIndex _),
     "q_url_canonical" -> (urlCanonical _),
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
@@ -2350,6 +2501,7 @@ object HtmlOps {
     "q_html_extract" -> htmlExtractOracle,
     "q_link_extract" -> linkExtractOracle,
     "q_anchor_text" -> anchorTextOracle,
+    "q_cdx_index" -> cdxIndexOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,

@@ -25,8 +25,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object WarcFiles {
 
+  /** offset/recLen are the record's replay coordinates inside its
+    * file (offset of the version line; length through the closing
+    * CRLF CRLF) — what a CDX index stores so a single record can be
+    * range-read back out of a multi-GB WARC without a full scan. */
   final case class WarcRecord(recType: String, targetUri: String,
-      body: Array[Byte])
+      body: Array[Byte], offset: Long = 0L, recLen: Long = 0L)
   /** records parsed, unconsumed trailing bytes, whether the walk hit
     * the exact end of input with no malformed residue */
   final case class WarcScan(records: Vector[WarcRecord], trailing: Int,
@@ -116,7 +120,8 @@ object WarcFiles {
               recs += WarcRecord(
                 field("WARC-Type").getOrElse(""),
                 field("WARC-Target-URI").getOrElse(""),
-                java.util.Arrays.copyOfRange(b, hdrEnd + 4, hdrEnd + 4 + l))
+                java.util.Arrays.copyOfRange(b, hdrEnd + 4, hdrEnd + 4 + l),
+                p.toLong, (hdrEnd + 8 + l - p).toLong)
               n += 1
               p = hdrEnd + 8 + l
               true

@@ -335,6 +335,34 @@ class HtmlOpsSpec extends SparkSpec {
       "HTTP/1.1 404 Not Found\r\n\r\nnope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("warc replay coordinates: [offset, offset+len) re-parses to the record") {
+    import graft.sources.WarcFiles
+    val docs = Seq((13L, "<p>alpha beta</p>"), (14L, "<p>gamma</p>"))
+      .map { case (id, h) => (id, h.getBytes("UTF-8")) }
+    val warc = WarcFiles.synthWarc(3L, docs)
+    val scan = WarcFiles.parseWarc(warc)
+    assert(scan.clean)
+    // offsets tile the file exactly: contiguous, gap-free, full cover
+    val sorted = scan.records.sortBy(_.offset)
+    assert(sorted.head.offset == 0L)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.recLen == b.offset)
+      case _ =>
+    }
+    assert(sorted.last.offset + sorted.last.recLen == warc.length)
+    // the CDX contract: a range-read of [offset, offset+recLen) parses
+    // back to exactly that one record, byte-identical body
+    scan.records.foreach { r =>
+      val slice = java.util.Arrays.copyOfRange(warc,
+        r.offset.toInt, (r.offset + r.recLen).toInt)
+      val re = WarcFiles.parseWarc(slice)
+      assert(re.clean && re.records.size == 1)
+      assert(re.records.head.recType == r.recType)
+      assert(re.records.head.targetUri == r.targetUri)
+      assert(re.records.head.body.sameElements(r.body))
+    }
+  }
+
   test("warc record walk: total and monotone on every prefix") {
     import graft.sources.WarcFiles
     val docs = Seq((0L, "<p>a</p>"), (5L, "<p>bb</p>"))
