@@ -536,10 +536,16 @@ object HtmlOps {
     * shape), one TakeOrdered on the SURT key — which is exactly how
     * production CDX is built: per-WARC local scans, one global sort at
     * write time. */
-  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** (file_id, warc binary) frame → un-sorted CDX rows. The ONE
+    * indexing definition the batch query and the streaming twin both
+    * run (the extractFrame factoring discipline) — stateless
+    * map-side, so the twin needs no state store; the global SURT sort
+    * is the batch query's write-time step, a streaming ledger sorts
+    * at read time. */
+  private[graft] def cdxFrame(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
     import graft.sources.WarcFiles
-    synthWarcFrame(spark, sfDir)
+    files
       .select(col("file_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fid, bytes) =>
@@ -554,8 +560,11 @@ object HtmlOps {
       })
       .toDF("surt_key", "url", "rec_type", "file_id", "warc_offset",
         "rec_len", "digest12")
-      .orderBy(col("surt_key"), col("rec_type"))
   }
+
+  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame =
+    cdxFrame(synthWarcFrame(spark, sfDir))
+      .orderBy(col("surt_key"), col("rec_type"))
 
   private val cdxIndexOracle =
     s"""WITH k AS (SELECT chr(13) || chr(10) AS crlf),

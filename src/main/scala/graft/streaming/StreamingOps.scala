@@ -86,6 +86,18 @@ object StreamingOps {
   def gzipMembersStream(files: DataFrame): DataFrame =
     graft.ops.HtmlOps.gzipMemberFrame(files)
 
+  /** Streaming CDX indexing — how a live archive actually builds its
+    * lookup structure: each arriving WARC file fans into its
+    * replayable records' CDX rows (SURT key, replay coordinates,
+    * payload digest) via the batch `q_cdx_index`'s own factored
+    * [[graft.ops.HtmlOps.cdxFrame]] (one indexing definition).
+    * Stateless map-side — offsets are intra-file, so no state store;
+    * rows append to a ledger and the read-time SURT sort equals the
+    * batch query's write-time sort, which StreamingSpec pins. Input
+    * schema: (file_id, warc binary). */
+  def cdxStream(files: DataFrame): DataFrame =
+    graft.ops.HtmlOps.cdxFrame(files)
+
   /** Streaming benchmark decontamination — the graded screen
     * (`q_decontam_graded`) run the way ingestion actually needs it:
     * every ARRIVING document graded against the STANDING eval-gram

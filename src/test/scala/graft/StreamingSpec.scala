@@ -596,6 +596,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDX ledger sorted at read time equals the batch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val files = graft.ops.HtmlOps.synthWarcFrame(spark, sfTiny)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.cdxStream(input.toDF().toDF("file_id", "warc"))
+      .writeStream.format("memory").queryName("cdx_out")
+      .outputMode("append").start()
+    try {
+      files.grouped(4).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6))
+      val streamed = spark.table("cdx_out").collect().map(key)
+        .sortBy(t => (t._1, t._3)).toSeq
+      val batch = graft.ops.HtmlOps.cdxIndex(spark, sfTiny)
+        .collect().map(key).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming gzip member ledger rolls up to the batch census") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
