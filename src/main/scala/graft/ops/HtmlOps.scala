@@ -496,6 +496,76 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------- msgpack scan
+  /** MessagePack stream walk over synthesized dump files — the
+    * seventh interchange container ([[graft.sources.MsgPackFiles]]):
+    * after WARC/tar/ZIP/TFRecord/Avro/Arrow, msgpack is what Redis
+    * dumps, Fluentd event streams, and Kafka log exports actually
+    * hand a pipeline. Each 25-doc group becomes one headerless object
+    * stream of per-doc maps; every 19th doc carries an ext8 field the
+    * reader must SKIP BY DECLARED WIDTH (the forward-compat rule that
+    * lets old readers cross new fields), and tag arrays of varying
+    * arity exercise the element walk. The decoded id/text/tag sums
+    * land under the hash, so the fixint/uint/fixstr/str8/str16 grammar
+    * is proven end to end; mp_bytes pins every length byte including
+    * the minimal-width integer rule.
+    *
+    * Scale shape: the container-battery shape — map-side synth+walk
+    * over bounded groups, one exchange, file-sized rollup. */
+  def msgpackScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.MsgPackFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val mp = MsgPackFiles.synthMsgPack(docs.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val scan = MsgPackFiles.parseMsgPack(mp)
+        (fid, scan.docs.size.toLong, scan.docs.map(_.id).sum,
+          scan.docs.map(_.textBytes.toLong).sum,
+          scan.docs.map(_.nTags.toLong).sum,
+          scan.docs.count(_.hasExt).toLong, mp.length.toLong, scan.clean)
+      })
+      .toDF("file_id", "n_docs", "id_sum", "text_bytes", "tag_sum",
+        "n_ext", "mp_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census: per doc 1 map-header byte; `id` key (3) +
+    * minimal-width uint (1 under 128, 2 under 256, 3 under 65536 —
+    * headroom past the sf0.1 maxima); `text` key (5) + str header
+    * (1 under 32, 2 under 256, 3 under 65536) + the bytes; `tags`
+    * key (5) + fixarray header (1) + one fixint byte per element
+    * (id mod 4 elements, each < 128); every 19th doc adds `ext`
+    * key (4) + ext8 framing (3) + 1 payload byte. */
+  private val msgpackScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+       |       CAST(SUM(doc_id % 4) AS BIGINT) AS tag_sum,
+       |       CAST(SUM(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_ext,
+       |       CAST(SUM(1 + 3
+       |              + CASE WHEN doc_id < 128 THEN 1
+       |                     WHEN doc_id < 256 THEN 2
+       |                     WHEN doc_id < 65536 THEN 3 ELSE 5 END
+       |              + 5
+       |              + CASE WHEN strlen(text) < 32 THEN 1
+       |                     WHEN strlen(text) < 256 THEN 2 ELSE 3 END
+       |              + strlen(text)
+       |              + 5 + 1 + doc_id % 4
+       |              + CASE WHEN doc_id % 19 = 0 THEN 8 ELSE 0 END)
+       |            AS BIGINT) AS mp_bytes,
+       |       TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------- CDX index
   /** SURT transform (Sort-friendly URI Reordering Transform — the key
     * order of every web-archive CDX index): scheme dropped, authority
@@ -2487,6 +2557,7 @@ object HtmlOps {
     "q_link_extract" -> (linkExtract _),
     "q_anchor_text" -> (anchorText _),
     "q_cdx_index" -> (cdxIndex _),
+    "q_msgpack_scan" -> (msgpackScan _),
     "q_url_canonical" -> (urlCanonical _),
     "q_robots_gate" -> (robotsGate _),
     "q_encoding_repair" -> (encodingRepair _),
@@ -2511,6 +2582,7 @@ object HtmlOps {
     "q_link_extract" -> linkExtractOracle,
     "q_anchor_text" -> anchorTextOracle,
     "q_cdx_index" -> cdxIndexOracle,
+    "q_msgpack_scan" -> msgpackScanOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_robots_gate" -> robotsGateOracle,
     "q_encoding_repair" -> encodingRepairOracle,

@@ -187,4 +187,43 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("msgpack: round-trip, ext skip, every int/str width, totality") {
+    import graft.sources.MsgPackFiles
+    // widths: id crosses fixint/uint8/uint16/uint32; text crosses
+    // fixstr/str8/str16
+    val docs = Seq(5L, 127L, 128L, 255L, 256L, 65535L, 65536L, 19L,
+      38L, 0L).map { id =>
+      val len = (id % 7) match {
+        case 0 => 3 case 1 => 31 case 2 => 32 case 3 => 255
+        case 4 => 256 case 5 => 40 case _ => 500
+      }
+      (id, Array.fill(len.toInt)('x'.toByte))
+    }
+    val mp = MsgPackFiles.synthMsgPack(docs)
+    val scan = MsgPackFiles.parseMsgPack(mp)
+    assert(scan.clean && scan.trailing == 0)
+    assert(scan.docs.map(_.id) == docs.map(_._1).toVector)
+    assert(scan.docs.map(_.textBytes) == docs.map(_._2.length).toVector)
+    assert(scan.docs.map(_.nTags) == docs.map(d => (d._1 % 4).toInt).toVector)
+    assert(scan.docs.map(_.hasExt) ==
+      docs.map(_._1 % 19 == 0).toVector) // 0, 19, 38 carry ext
+    // totality: every prefix parses without throwing, never claims
+    // clean early; decoded docs are monotone in the prefix
+    var prev = 0
+    (0 to mp.length).foreach { n =>
+      val s = MsgPackFiles.parseMsgPack(java.util.Arrays.copyOf(mp, n))
+      assert(s.docs.size >= prev); prev = s.docs.size
+      // clean only when the walk consumed the prefix exactly — i.e.
+      // the cut landed on an object boundary
+      assert(!s.clean || s.trailing == 0)
+      assert(s.trailing >= 0 && s.trailing <= n)
+    }
+    // byte flips never throw
+    mp.indices.foreach { i =>
+      val mutated = mp.clone()
+      mutated(i) = (mutated(i) ^ 0x5a).toByte
+      MsgPackFiles.parseMsgPack(mutated)
+    }
+  }
+
 }
