@@ -2276,6 +2276,126 @@ object TextOps {
       |         AS avg_score
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- speculative decoding
+  /** Speculative-decoding acceptance audit (Leviathan et al. ICML'23,
+    * "Fast Inference from Transformers via Speculative Decoding") —
+    * the SERVING-side twin of the LM bake-off: a cheap DRAFT model
+    * proposes tokens, the TARGET accepts with prob min(1, p/q), and
+    * the whole speedup rests on the per-position acceptance rate
+    * α = Σ_x min(p(x), q(x)). Here draft q = the context-free unigram
+    * distribution (cw/N — the cheapest possible drafter) and target
+    * p = the bigram MLE (c2/c(w1)), both from the shipped count
+    * tables on the standard train split; the audit asks, per
+    * language, what α a unigram drafter would buy and the expected
+    * tokens-per-target-pass (1 − α^(γ+1))/(1 − α) at draft depth
+    * γ = 4 — the go/no-go number a serving team reads first.
+    *
+    * Exactness: α(w1) over the target's support is
+    * Σ_{x: c2>0} min(c2/c(w1), cx/N) — every min resolves by exact
+    * integer CROSS-MULTIPLICATION (min(c2·N, cx·c(w1))), and the sum
+    * shares the single denominator c(w1)·N, so each context's α is
+    * ONE double division quantized once to e9 (longs hold it through
+    * sf0.1 — N² ≈ 2.5e11; at corpus scale swap to DECIMAL(38), the
+    * rocAuc guard). Positions with an UNSEEN context get α = 0 (the
+    * target has no distribution there — full re-decode), tallied
+    * separately. The speedup is computed from the 6-dp-rounded mean
+    * so both engines start from identical input.
+    *
+    * Scale shape: the [[stupidBackoff]] layout — count tables built
+    * map-side, vocab-sized and UNHINTED, α aggregated per context
+    * (one groupBy on w1), then one equi-join onto the test bigram
+    * stream and a lang-sized rollup. No cartesian: α runs over the
+    * bigram table's own support, never vocab × contexts. */
+  def specDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val test = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+
+    val trainToks = train.select(explode(col("ws")).as("w"))
+    val cw = trainToks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTot = trainToks.agg(count(lit(1)).as("nn"))
+
+    def bigrams(df: DataFrame, extra: Column*): DataFrame =
+      df.filter(col("text").contains(" "))
+        .select(extra :+ explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |          i -> struct(element_at(ws, i) AS w1,
+            |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+          .as("b"): _*)
+        .select(extra :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+
+    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // per-context acceptance: exact integer min over the target's
+    // support, one shared denominator, quantized once to e9
+    val alpha = c2
+      .join(cw.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .join(cw.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("w1"))
+      .agg(first(col("cw1")).as("cw1"), first(col("nn")).as("nn"),
+        sum(least(col("c2") * col("nn"), col("cw2") * col("cw1")))
+          .as("num"))
+      .select(col("w1"),
+        round(col("num").cast("double") / col("cw1") / col("nn")
+          * 1000000000.0, 0).cast("long").as("alpha_e9"))
+
+    bigrams(test, col("lang"))
+      .join(alpha, Seq("w1"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("alpha_e9").isNull, 1L).otherwise(0L))
+          .as("n_ctx_miss"),
+        sum(coalesce(col("alpha_e9"), lit(0L))).as("sa"))
+      .withColumn("alpha_mean",
+        round(col("sa").cast("double") / col("n_positions")
+          / 1000000000.0, 6))
+      .select(col("lang"), col("n_positions"), col("n_ctx_miss"),
+        col("alpha_mean"),
+        round((lit(1.0) - pow(col("alpha_mean"), 5)) /
+          (lit(1.0) - col("alpha_mean")), 4).as("exp_tokens_per_pass"))
+      .orderBy(col("lang"))
+  }
+
+  private val specDecodeOracle =
+    """WITH d AS (SELECT doc_id, lang, text,
+      |                  string_split(text, ' ') AS ws FROM documents),
+      |tr AS (SELECT * FROM d WHERE doc_id % 5 < 4),
+      |te AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+      |cw AS (SELECT w, COUNT(*) AS cw
+      |       FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w),
+      |nt AS (SELECT COUNT(*) AS nn
+      |       FROM (SELECT unnest(ws) AS w FROM tr)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2
+      |       FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |             FROM tr, UNNEST(range(1, len(ws))) AS t(i))
+      |       GROUP BY w1, w2),
+      |al AS (SELECT w1,
+      |         CAST(ROUND(CAST(SUM(LEAST(c2.c2 * nt.nn,
+      |                                   cw2.cw * cw1.cw)) AS DOUBLE)
+      |              / ANY_VALUE(cw1.cw) / ANY_VALUE(nt.nn)
+      |              * 1000000000.0) AS BIGINT) AS alpha_e9
+      |       FROM c2 JOIN cw cw2 ON c2.w2 = cw2.w
+      |               JOIN cw cw1 ON c2.w1 = cw1.w
+      |               CROSS JOIN nt
+      |       GROUP BY w1),
+      |tb AS (SELECT lang, ws[i] AS w1
+      |       FROM te, UNNEST(range(1, len(ws))) AS t(i)),
+      |g AS (SELECT lang, COUNT(*) AS n_positions,
+      |        CAST(SUM(CASE WHEN alpha_e9 IS NULL THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_ctx_miss,
+      |        CAST(SUM(COALESCE(alpha_e9, 0)) AS BIGINT) AS sa
+      |      FROM tb LEFT JOIN al USING (w1) GROUP BY lang),
+      |m AS (SELECT lang, n_positions, n_ctx_miss,
+      |        ROUND(CAST(sa AS DOUBLE) / n_positions / 1000000000.0, 6)
+      |          AS alpha_mean
+      |      FROM g)
+      |SELECT lang, n_positions, n_ctx_miss, alpha_mean,
+      |       ROUND((1.0 - pow(alpha_mean, 5)) / (1.0 - alpha_mean), 4)
+      |         AS exp_tokens_per_pass
+      |FROM m ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- DPO pairs
   /** DPO implicit-reward audit over constructed preference pairs
     * (Rafailov et al. 2023, "Direct Preference Optimization") — the
@@ -3542,6 +3662,7 @@ object TextOps {
     "q_lang_entropy" -> (langEntropy _),
     "q_bigram_logprob" -> (bigramLogprob _),
     "q_stupid_backoff" -> (stupidBackoff _),
+    "q_spec_decode" -> (specDecode _),
     "q_vocab_encode" -> (vocabEncode _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_temperature_mix" -> (temperatureMix _),
@@ -3589,6 +3710,7 @@ object TextOps {
     "q_lang_entropy" -> langEntropyOracle,
     "q_bigram_logprob" -> bigramLogprobOracle,
     "q_stupid_backoff" -> stupidBackoffOracle,
+    "q_spec_decode" -> specDecodeOracle,
     "q_vocab_encode" -> vocabEncodeOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_temperature_mix" -> temperatureMixOracle,
