@@ -2741,7 +2741,96 @@ object SimilarityOps {
        |FROM v1 JOIN v2 USING (d) JOIN v3 USING (d) ORDER BY d""".stripMargin
   }
 
+  // ----------------------------------------------- lightweight coreset
+  /** Output size for [[coreset]]. */
+  private val CsM = 64
+
+  /** Lightweight k-means coreset (Bachem, Lucic & Krause KDD'18) —
+    * the sketch that lets a 100 TB embedding table train k-means on
+    * one machine: sample m points with probability q(x) = ½·1/n +
+    * ½·d(x,μ)²/Σd² (uniform mass keeps dense regions, distance mass
+    * keeps outliers — the paper's whole trick), weight each pick
+    * 1/(m·q(x)), and the WEIGHTED sample provably preserves every
+    * quantization error up to ε. Composes three shipped disciplines:
+    * the e3 embedding lattice + exact half-up mean ([[geoMedian]]),
+    * integer importance weights — q(x) ∝ S + n·d²(x) EXACTLY, one
+    * shared denominator 2nS, so no float enters the sampling weight —
+    * and A-ES clock selection ([[graft.ops.PipelineOps
+    * .weightedReservoir]]: clock = −ln(u)/w on the md5 uniform,
+    * m smallest win; clocks are md5-spread, ln ulp drift can't flip
+    * them, and the clock is not an output column).
+    *
+    * Scale shape: one mean aggregate (64 cells), one map-side d²
+    * pass, one TakeOrdered(m) — never a shuffle of the vectors
+    * themselves (d² and the weight ride as narrow columns). */
+  def coreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("xq"))
+      .localCheckpoint()
+    val dims = e.select(col("vec_id"), posexplode(col("xq")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("x"))
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val mean = dims.groupBy(col("d"))
+      .agg(halfUp(sum(col("x")), count(lit(1))).as("v"))
+    val d2 = dims.join(broadcast(mean), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("x") - col("v")) * (col("x") - col("v"))).as("d2"))
+    val tot = d2.agg(count(lit(1)).as("n"), sum(col("d2")).as("s"))
+    d2.crossJoin(broadcast(tot))
+      // q(x) ∝ S + n·d²(x) exactly (shared denominator 2nS)
+      .withColumn("w", col("s") + col("n") * col("d2"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(concat('cs_', vec_id) " +
+          "AS BINARY)), 1, 12), 16, 10) AS BIGINT)") + 1) /
+          lit(281474976710657.0))
+      .withColumn("clock", -log(col("u")) / col("w").cast("double"))
+      .orderBy(col("clock"), col("vec_id"))
+      .limit(CsM)
+      .withColumn("rk", row_number().over( // bounded m-row frame
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("clock"), col("vec_id"))))
+      // coreset weight 1/(m·q) = 2nS / (m·(S + n·d²)), e6-quantized
+      .select(col("rk"), col("vec_id"), col("d2"),
+        round(lit(2.0) * col("n").cast("double") * col("s") /
+          (lit(CsM) * col("w").cast("double")) * 1000000.0, 0)
+          .cast("long").as("w_cs_e6"))
+      .orderBy(col("rk"))
+  }
+
+  private val coresetOracle =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+       |             AS xq FROM embeddings),
+       |dims AS (SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |                xq[CAST(d AS INTEGER)] AS x
+       |         FROM e, range(1, 65) t(d)),
+       |v0 AS (SELECT d,
+       |         ((2 * SUM(x) + COUNT(*)) - (((2 * SUM(x) + COUNT(*))
+       |            % (2 * COUNT(*)) + 2 * COUNT(*)) % (2 * COUNT(*))))
+       |           // (2 * COUNT(*)) AS v
+       |       FROM dims GROUP BY d),
+       |d2 AS (SELECT vec_id, SUM((x - v) * (x - v)) AS d2
+       |       FROM dims JOIN v0 USING (d) GROUP BY vec_id),
+       |tot AS (SELECT COUNT(*) AS n, SUM(d2) AS s FROM d2),
+       |cl AS (SELECT vec_id, d2, s + n * d2 AS w, n, s,
+       |         -ln((CAST('0x' || substring(md5('cs_' || vec_id), 1, 12)
+       |              AS BIGINT) + 1) / 281474976710657.0)
+       |           / CAST(s + n * d2 AS DOUBLE) AS clock
+       |       FROM d2, tot),
+       |top AS (SELECT * FROM cl ORDER BY clock, vec_id LIMIT $CsM),
+       |r AS (SELECT *, row_number() OVER (ORDER BY clock, vec_id) AS rk
+       |      FROM top)
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, CAST(d2 AS BIGINT) AS d2,
+       |       CAST(ROUND(2.0 * n * s / ($CsM * CAST(w AS DOUBLE))
+       |                  * 1000000.0) AS BIGINT) AS w_cs_e6
+       |FROM r ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_coreset" -> (coreset _),
     "q_pca_power" -> (pcaPower _),
     "q_kcenter" -> (kcenter _),
     "q_ivfpq_ann" -> (ivfpqAnn _),
@@ -2774,6 +2863,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_coreset" -> coresetOracle,
     "q_pca_power" -> pcaPowerOracle,
     "q_kcenter" -> kcenterOracle,
     "q_ivfpq_ann" -> ivfpqAnnOracle,

@@ -774,4 +774,25 @@ class SimilaritySpec extends SparkSpec {
     assert(packed.getLong(0) == lane(0), "lane 0 mismatch")
     assert(packed.getLong(1) == lane(32), "lane 1 mismatch")
   }
+
+  test("coreset: dense ranks, unbiased mass estimator, outlier uptake") {
+    import graft.ops.SimilarityOps
+    val rows = SimilarityOps.coreset(spark, sfTiny).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2"), r.getAs[Long]("w_cs_e6")))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).distinct.length == rows.length)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    // E[Σ w] = n exactly (each pick contributes 1/(m·q)); with m=64
+    // the estimator's std is ≤ n/4, so a generous band still catches
+    // a broken weight formula (off by m, missing the ½, wrong S)
+    val massEst = rows.map(_._4).sum / 1e6
+    assert(massEst > 0.3 * n && massEst < 2.5 * n,
+      s"coreset mass estimate $massEst vs n=$n")
+    // weights must be inversely ordered with d² (higher-d² picks got
+    // higher q, hence lower coreset weight): the extreme picks agree
+    val byD2 = rows.sortBy(_._3)
+    assert(byD2.head._4 >= byD2.last._4,
+      "coreset weight must not increase with d2")
+  }
 }
