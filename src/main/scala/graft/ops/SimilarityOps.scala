@@ -2829,7 +2829,122 @@ object SimilarityOps {
        |                  * 1000000.0) AS BIGINT) AS w_cs_e6
        |FROM r ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- MAUVE frontier
+  /** MAUVE divergence frontier (Pillutla et al. NeurIPS'21 — the
+    * standard "how close is model text to human text" metric): both
+    * populations are quantized into shared cells, and the frontier
+    * point at mixture λ is (exp(−c·KL(Q‖R_λ)), exp(−c·KL(P‖R_λ)))
+    * with R_λ = λP + (1−λ)Q; MAUVE is the area under that curve —
+    * this query emits the seven interior-grid frontier points
+    * (λ = 1/8 … 7/8, c = 5, the paper's scaling) and the spec
+    * integrates them. Quantizer = the shipped sign-bucket idea
+    * ([[graft.ops.PipelineOps]] binary quantization): 6-bit cell from
+    * the sign of (x_d − μ_d) on the e3 lattice with the exact half-up
+    * mean — deterministic, join-free, and the 64-cell histogram is
+    * exactly the k ≈ √n binning the paper recommends at this corpus
+    * size. P = even vec_id, Q = odd (the fixture's provenance
+    * stand-in; a real corpus swaps in its model/human column).
+    *
+    * Exactness: cell counts are exact ints; for rational λ = j/8
+    * every density ratio is a ratio of exact integers (p/r =
+    * 8·a·n_Q / (j·a·n_Q + (8−j)·b·n_P)), so each cell's KL term is
+    * ONE ln of an exact ratio times one exact ratio, quantized to e9
+    * and summed on the integer lattice — interior λ keeps both KLs
+    * finite by construction (r ≥ (j/8)·p wherever p > 0).
+    *
+    * Scale shape: one 6-cell mean aggregate, one map-side bucket
+    * pass, one 64-row histogram, a 7×64 bounded grid — nothing
+    * corpus-sized past the first aggregate. */
+  def mauve(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("xq"))
+    val dims = e.select(col("vec_id"), posexplode(col("xq")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("x"))
+      .filter(col("d") <= 6)
+    def halfUp(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val mean = dims.groupBy(col("d"))
+      .agg(halfUp(sum(col("x")), count(lit(1))).as("v"))
+    val cells = dims.join(broadcast(mean), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("x") > col("v"),
+        expr("shiftleft(1L, CAST(d AS INT) - 1)")).otherwise(0L))
+        .as("cell"))
+    val hist = cells
+      .groupBy(col("cell"))
+      .agg(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L))
+        .as("b"))
+    val tot = hist.agg(sum(col("a")).as("np"), sum(col("b")).as("nq"))
+    val grid = hist.crossJoin(broadcast(tot))
+      .crossJoin(spark.range(1, 8).select(col("id").as("j")))
+      .withColumn("den", col("j") * col("a") * col("nq") +
+        (lit(8) - col("j")) * col("b") * col("np"))
+      .withColumn("tp_e9", when(col("a") > 0,
+        round(col("a").cast("double") / col("np") *
+          log(lit(8.0) * col("a") * col("nq") / col("den")) * 1e9, 0)
+          .cast("long")).otherwise(0L))
+      .withColumn("tq_e9", when(col("b") > 0,
+        round(col("b").cast("double") / col("nq") *
+          log(lit(8.0) * col("b") * col("np") / col("den")) * 1e9, 0)
+          .cast("long")).otherwise(0L))
+    grid.groupBy(col("j"))
+      .agg(sum(col("tp_e9")).as("klp"), sum(col("tq_e9")).as("klq"))
+      .select(col("j"),
+        round(col("klp").cast("double") / 1e9, 6).as("kl_p"),
+        round(col("klq").cast("double") / 1e9, 6).as("kl_q"),
+        round(exp(lit(-5.0) * col("klq").cast("double") / 1e9), 6)
+          .as("fx"),
+        round(exp(lit(-5.0) * col("klp").cast("double") / 1e9), 6)
+          .as("fy"))
+      .orderBy(col("j"))
+  }
+
+  private val mauveOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding,
+      |             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+      |             AS xq FROM embeddings),
+      |dims AS (SELECT vec_id, CAST(d AS INTEGER) AS d,
+      |                xq[CAST(d AS INTEGER)] AS x
+      |         FROM e, range(1, 7) t(d)),
+      |v0 AS (SELECT d,
+      |         ((2 * SUM(x) + COUNT(*)) - (((2 * SUM(x) + COUNT(*))
+      |            % (2 * COUNT(*)) + 2 * COUNT(*)) % (2 * COUNT(*))))
+      |           // (2 * COUNT(*)) AS v
+      |       FROM dims GROUP BY d),
+      |cells AS (SELECT vec_id,
+      |            SUM(CASE WHEN x > v THEN 1 << (d - 1) ELSE 0 END)
+      |              AS cell
+      |          FROM dims JOIN v0 USING (d) GROUP BY vec_id),
+      |hist AS (SELECT cell,
+      |           SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+      |           SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+      |         FROM cells GROUP BY cell),
+      |tot AS (SELECT SUM(a) AS np, SUM(b) AS nq FROM hist),
+      |grid AS (SELECT h.*, t.np, t.nq, j,
+      |           j * a * nq + (8 - j) * b * np AS den
+      |         FROM hist h, tot t, range(1, 8) g(j)),
+      |terms AS (SELECT j,
+      |    CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) / np
+      |      * ln(8.0 * a * nq / den) * 1e9) AS BIGINT) ELSE 0 END AS tp,
+      |    CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) / nq
+      |      * ln(8.0 * b * np / den) * 1e9) AS BIGINT) ELSE 0 END AS tq
+      |  FROM grid),
+      |kl AS (SELECT j, CAST(SUM(tp) AS BIGINT) AS klp,
+      |              CAST(SUM(tq) AS BIGINT) AS klq
+      |       FROM terms GROUP BY j)
+      |SELECT j, ROUND(CAST(klp AS DOUBLE) / 1e9, 6) AS kl_p,
+      |       ROUND(CAST(klq AS DOUBLE) / 1e9, 6) AS kl_q,
+      |       ROUND(exp(-5.0 * CAST(klq AS DOUBLE) / 1e9), 6) AS fx,
+      |       ROUND(exp(-5.0 * CAST(klp AS DOUBLE) / 1e9), 6) AS fy
+      |FROM kl ORDER BY j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mauve" -> (mauve _),
     "q_coreset" -> (coreset _),
     "q_pca_power" -> (pcaPower _),
     "q_kcenter" -> (kcenter _),
@@ -2863,6 +2978,7 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mauve" -> mauveOracle,
     "q_coreset" -> coresetOracle,
     "q_pca_power" -> pcaPowerOracle,
     "q_kcenter" -> kcenterOracle,

@@ -795,4 +795,33 @@ class SimilaritySpec extends SparkSpec {
     assert(byD2.head._4 >= byD2.last._4,
       "coreset weight must not increase with d2")
   }
+
+  test("mauve frontier: KL monotone in λ, points in (0,1], AUC sane") {
+    import graft.ops.SimilarityOps
+    val pts = SimilarityOps.mauve(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("kl_p"),
+        r.getAs[Double]("kl_q"), r.getAs[Double]("fx"),
+        r.getAs[Double]("fy")))
+    assert(pts.map(_._1).toSeq == (1L to 7L))
+    // R_λ = λP+(1−λ)Q walks toward P as λ grows: KL(P‖R) must fall,
+    // KL(Q‖R) must rise — the frontier's defining monotonicity
+    pts.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 + 1e-9, s"kl_p not decreasing: $a -> $b")
+      assert(b._3 >= a._3 - 1e-9, s"kl_q not increasing: $a -> $b")
+    }
+    assert(pts.forall(p => p._4 > 0 && p._4 <= 1 && p._5 > 0 && p._5 <= 1))
+    // trapezoid AUC over the interior grid: the fixture's P/Q are
+    // random halves of one population, so the frontier hugs (1,1)
+    // and MAUVE must be high; a broken histogram or KL sign flip
+    // collapses it toward 0
+    val sorted = pts.sortBy(_._4)
+    val auc = sorted.sliding(2).collect {
+      case Array(a, b) => (b._4 - a._4) * (a._5 + b._5) / 2
+    }.sum
+    val span = sorted.last._4 - sorted.head._4
+    if (span > 1e-9) {
+      val meanY = auc / span
+      assert(meanY > 0.5, s"interior-grid MAUVE height $meanY too low")
+    }
+  }
 }
