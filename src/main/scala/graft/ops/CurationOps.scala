@@ -2209,6 +2209,105 @@ object CurationOps {
        |         AS fpr
        |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- error slices
+  /** Minimum slice support for [[errorSlices]]. */
+  private val EsMinN = 20L
+
+  /** Worst-slice error analysis (the SliceFinder/SliceLine question —
+    * Chung et al. ICDE'19: WHERE does the model fail, not just how
+    * often): the held-out predictions of the shipped [[nbModel]]
+    * classifier are cubed over (source × length-bucket) — every 2-way
+    * slice plus both marginals plus the corpus total in ONE pass (the
+    * grouping-sets shape `q_cube` pins) — and slices with support ≥
+    * 20 are ranked by the WILSON LOWER BOUND on their error rate (the
+    * conservative criterion: a 3/3 slice never outranks a 40/80 one;
+    * the `q_wilson_ci` formula, composed not re-derived). Top 10 with
+    * deterministic tie-breaks; NULL slice keys render as '*' so the
+    * marginals read as slices.
+    *
+    * Exactness: counts exact; the Wilson bound is the established
+    * double formula from exact ints, rounded once at 6 dp, and the
+    * RANKING orders by that rounded lattice value (ties broken on the
+    * slice keys) so both engines pick the same top-10. Scale shape:
+    * inference is the shared materialized-model scorer; the cube is
+    * one Expand aggregate; the rank is a TakeOrdered over the
+    * slice-count-bounded frame. */
+  def errorSlices(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val pred = nbScoreFrame(heldOut, model, counts)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
+      .withColumn("len_bucket",
+        when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 600, "mid").otherwise("long"))
+      .withColumn("err", when(col("predicted") =!= col("lang"), 1L)
+        .otherwise(0L))
+    val sliced = pred
+      .cube(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("k"))
+      .filter(col("n") >= EsMinN)
+      .select(coalesce(col("source"), lit("*")).as("slice_source"),
+        coalesce(col("len_bucket"), lit("*")).as("slice_bucket"),
+        col("n"), col("k"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("phat", col("k").cast("double") / col("nn"))
+      .withColumn("den", lit(1.0) + lit(3.8416) / col("nn"))
+      .withColumn("center",
+        col("phat") + lit(3.8416) / (lit(2.0) * col("nn")))
+      .withColumn("rad", lit(1.96) * sqrt(
+        col("phat") * (lit(1.0) - col("phat")) / col("nn") +
+          lit(3.8416) / (lit(4.0) * col("nn") * col("nn"))))
+      .select(col("slice_source"), col("slice_bucket"), col("n"), col("k"),
+        round(col("phat"), 6).as("err_rate"),
+        round((col("center") - col("rad")) / col("den"), 6).as("err_lo"))
+    sliced
+      .orderBy(col("err_lo").desc, col("slice_source"), col("slice_bucket"))
+      .limit(10)
+      .withColumn("rk", row_number().over( // bounded 10-row frame
+        Window.orderBy(col("err_lo").desc, col("slice_source"),
+          col("slice_bucket"))))
+      .select(col("rk"), col("slice_source"), col("slice_bucket"),
+        col("n"), col("k"), col("err_rate"), col("err_lo"))
+      .orderBy(col("rk"))
+  }
+
+  private val errorSlicesOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |pred AS (SELECT doc_id, lang, cls AS predicted,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                              ORDER BY slp DESC, cls) AS rn
+       |         FROM sc),
+       |p AS (SELECT p.doc_id, d.source,
+       |        CASE WHEN d.n_chars < 300 THEN 'short'
+       |             WHEN d.n_chars < 600 THEN 'mid' ELSE 'long' END
+       |          AS len_bucket,
+       |        CASE WHEN p.predicted <> p.lang THEN 1 ELSE 0 END AS err
+       |      FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1),
+       |g AS (SELECT COALESCE(source, '*') AS slice_source,
+       |             COALESCE(len_bucket, '*') AS slice_bucket,
+       |             COUNT(*) AS n, CAST(SUM(err) AS BIGINT) AS k
+       |      FROM p GROUP BY CUBE (source, len_bucket)
+       |      HAVING COUNT(*) >= $EsMinN),
+       |w AS (SELECT *,
+       |        CAST(k AS DOUBLE) / n AS phat,
+       |        1.0 + 3.8416 / n AS den,
+       |        CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n) AS center,
+       |        1.96 * sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
+       |                    / n + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n))
+       |          AS rad
+       |      FROM g),
+       |r AS (SELECT slice_source, slice_bucket, n, k,
+       |        ROUND(phat, 6) AS err_rate,
+       |        ROUND((center - rad) / den, 6) AS err_lo
+       |      FROM w
+       |      ORDER BY err_lo DESC, slice_source, slice_bucket LIMIT 10)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY err_lo DESC, slice_source,
+       |              slice_bucket) AS INTEGER) AS rk,
+       |       slice_source, slice_bucket, n, k, err_rate, err_lo
+       |FROM r ORDER BY rk""".stripMargin
+
   // ---------------------------------------------------- McNemar test
   /** McNemar's paired-classifier test (1947; Edwards continuity
     * correction) over the held-out split — the statistically RIGHT
@@ -3577,6 +3676,7 @@ object CurationOps {
     "q_logreg_train" -> (logregTrain _),
     "q_tracin" -> (tracin _),
     "q_fairness_audit" -> (fairnessAudit _),
+    "q_error_slices" -> (errorSlices _),
     "q_nb_train" -> (nbTrain _),
     "q_nb_infer" -> (nbInfer _),
     "q_mcnemar" -> (mcnemar _),
@@ -3621,6 +3721,7 @@ object CurationOps {
     "q_logreg_train" -> logregOracle,
     "q_tracin" -> tracinOracle,
     "q_fairness_audit" -> fairnessAuditOracle,
+    "q_error_slices" -> errorSlicesOracle,
     "q_nb_train" -> nbTrainOracle,
     "q_nb_infer" -> nbInferOracle,
     "q_mcnemar" -> mcnemarOracle,
