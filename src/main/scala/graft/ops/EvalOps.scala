@@ -297,12 +297,90 @@ object EvalOps {
        |FROM pe GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ------------------------------------------------- best-of-n
+  /** Best-of-N sampling audit (the rejection-sampling / BoN question
+    * every RLHF and inference-time-compute write-up starts from:
+    * if we draw n candidates and keep the best-scoring one, what
+    * reward do we expect?): per language, the EXACT expected maximum
+    * of n iid draws from the empirical reward distribution —
+    * E[max_n] = Σ_i r_(i)·((i/m)ⁿ − ((i−1)/m)ⁿ) over the ascending
+    * order statistics — at n ∈ {1, 4, 16}, plus the BoN lift
+    * (E[max₁₆] − E[max₁], the number that says whether more samples
+    * buy anything). Reward = the shipped [[TextOps.unigramLogprob]]
+    * score (model-composition discipline: the bake-off can't drift).
+    *
+    * Exactness: rewards land on the e6 lattice (the query's own 6-dp
+    * output, recovered as integers); each order-statistic term is
+    * quantized to an integer (r_e6 · Δpow · 1e6) — identical doubles
+    * round identically, negligible-mass tail terms round to 0 in both
+    * engines — and summed on the integer lattice, so group order
+    * can't move the result. Scale shape: the scorer's vocab join,
+    * then ONE per-lang window (rank — the stream's natural partition
+    * key) and a lang-sized rollup. */
+  def bestOfN(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = TextOps.unigramLogprob(spark, sfDir)
+      .select(col("doc_id"),
+        round(col("avg_logprob") * 1e6, 0).cast("long").as("r_e6"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("r_e6"), col("doc_id"))
+    val ranked = r
+      .withColumn("i", row_number().over(w).cast("double"))
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy(col("lang"))).cast("double"))
+    def term(n: Int): Column =
+      round(col("r_e6") * (pow(col("i") / col("m"), n) -
+        pow((col("i") - 1) / col("m"), n)) * lit(1e6), 0).cast("long")
+    ranked
+      .withColumn("t1", term(1))
+      .withColumn("t4", term(4))
+      .withColumn("t16", term(16))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("m_docs"),
+        sum(col("t1")).as("s1"), sum(col("t4")).as("s4"),
+        sum(col("t16")).as("s16"))
+      .select(col("lang"), col("m_docs"),
+        round(col("s1").cast("double") / 1e12, 6).as("bon1"),
+        round(col("s4").cast("double") / 1e12, 6).as("bon4"),
+        round(col("s16").cast("double") / 1e12, 6).as("bon16"),
+        round((col("s16") - col("s1")).cast("double") / 1e12, 6)
+          .as("lift"))
+      .orderBy(col("lang"))
+  }
+
+  private val bestOfNOracle = {
+    def term(n: Int): String =
+      s"CAST(ROUND(r_e6 * (pow(i / m, $n) - pow((i - 1) / m, $n)) * 1e6)" +
+        " AS BIGINT)"
+    s"""WITH ul AS (${TextOps.unigramLogprobOracle}),
+       |r AS (SELECT ul.doc_id,
+       |        CAST(ROUND(avg_logprob * 1e6) AS BIGINT) AS r_e6, d.lang
+       |      FROM ul JOIN documents d USING (doc_id)),
+       |rk AS (SELECT lang, r_e6,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY r_e6, doc_id) AS DOUBLE) AS i,
+       |         CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE) AS m
+       |       FROM r),
+       |t AS (SELECT lang, ${term(1)} AS t1, ${term(4)} AS t4,
+       |             ${term(16)} AS t16
+       |      FROM rk)
+       |SELECT lang, COUNT(*) AS m_docs,
+       |       ROUND(CAST(SUM(t1) AS DOUBLE) / 1e12, 6) AS bon1,
+       |       ROUND(CAST(SUM(t4) AS DOUBLE) / 1e12, 6) AS bon4,
+       |       ROUND(CAST(SUM(t16) AS DOUBLE) / 1e12, 6) AS bon16,
+       |       ROUND(CAST(SUM(t16) - SUM(t1) AS DOUBLE) / 1e12, 6) AS lift
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_best_of_n" -> (bestOfN _),
     "q_gen_eval" -> (genEval _),
     "q_pass_at_k" -> (passAtK _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_best_of_n" -> bestOfNOracle,
     "q_gen_eval" -> genEvalOracle,
     "q_pass_at_k" -> passAtKOracle
   )

