@@ -646,6 +646,102 @@ object CatalogOps {
       |FROM u ORDER BY segment""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Differentially private median via the exponential mechanism
+    * (McSherry & Talwar FOCS'07; the rank utility is the textbook DP
+    * median construction) — the release the privacy family lacked:
+    * [[dpCounts]] privatizes COUNTS, this privatizes an ORDER
+    * STATISTIC, which no amount of Laplace-on-a-count gives you. Per
+    * source, candidate values are the observed doc lengths; utility
+    * u(v) = −(rank distance from the lower median, 0 inside a
+    * duplicate span — exact integers from one cumulative window);
+    * the mechanism samples w.p. ∝ exp(ε·u/2) via the GUMBEL-MAX
+    * trick (argmax of ε·u/2 + Gumbel — the distributed-friendly
+    * form: no normalizing constant, one per-key window argmax), with
+    * the Gumbel from the md5-lattice uniform (deterministic, the
+    * [[dpCounts]] noise discipline). ε = 1. The true median and the
+    * winner's rank error ship beside the release so the
+    * utility/privacy trade reads directly.
+    *
+    * Scale shape: one distinct-value rollup per source, one
+    * source-partitioned cumulative window (values-per-source-bounded),
+    * one window argmax. Selection stability: utility gaps are
+    * integers scaled by ε/2 and Gumbels are md5-spread — ln() ulp
+    * drift can't flip an argmax. */
+  def dpQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = vals
+      .withColumn("below", coalesce(sum(col("cnt")).over(
+        w.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(col("source"))))
+      .withColumn("target", expr("(n + 1) DIV 2")) // lower median rank
+      .withColumn("dist", // 0 inside the span, else gap to nearer end
+        when(col("target").between(col("below") + 1,
+          col("below") + col("cnt")), 0L)
+          .otherwise(least(abs(col("below") + 1 - col("target")),
+            abs(col("below") + col("cnt") - col("target")))))
+      .withColumn("u", (pmod(expr(
+        "CAST(conv(substring(md5(CAST(concat('dq_', source, '_', v) " +
+          "AS BINARY)), 1, 15), 16, 10) AS BIGINT)"),
+        lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("g", -log(-log(col("u"))))
+      .withColumn("score", lit(-0.5) * col("dist") + col("g"))
+    val winner = ranked
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n"), col("v").as("dp_median"),
+        col("dist").as("rank_err"))
+    val truth = ranked.filter(col("target").between(col("below") + 1,
+        col("below") + col("cnt")))
+      .select(col("source"), col("v").as("true_median"))
+    winner.join(truth, Seq("source"))
+      .select(col("source"), col("n"), col("true_median"),
+        col("dp_median"), col("rank_err"))
+      .orderBy(col("source"))
+  }
+
+  private val dpQuantileOracle =
+    """WITH vals AS (
+      |  SELECT source, n_chars AS v, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM vals),
+      |s AS (
+      |  SELECT *, (n + 1) // 2 AS target FROM r),
+      |d AS (
+      |  SELECT *,
+      |    CASE WHEN target BETWEEN below + 1 AND below + cnt THEN 0
+      |         ELSE LEAST(abs(below + 1 - target),
+      |                    abs(below + cnt - target)) END AS dist,
+      |    (CAST(CAST('0x' || substring(md5('dq_' || source || '_' || v),
+      |          1, 15) AS BIGINT) % 4294967296 AS DOUBLE) + 0.5)
+      |      / 4294967296.0 AS u
+      |  FROM s),
+      |sc AS (SELECT *, -0.5 * dist + (-ln(-ln(u))) AS score FROM d),
+      |win AS (
+      |  SELECT source, n, v AS dp_median, dist AS rank_err,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY score DESC, v) AS rn
+      |  FROM sc),
+      |tru AS (
+      |  SELECT source, v AS true_median FROM sc
+      |  WHERE target BETWEEN below + 1 AND below + cnt)
+      |SELECT w.source, CAST(w.n AS BIGINT) AS n, t.true_median,
+      |       w.dp_median, CAST(w.rank_err AS BIGINT) AS rank_err
+      |FROM win w JOIN tru t ON w.source = t.source
+      |WHERE w.rn = 1 ORDER BY w.source""".stripMargin
+
+  // ------------------------------------------------------------------
   /** DP-SGD privacy accountant — the noise-calibration table a private
     * training run publishes beside its model card: for each (epochs,
     * noise multiplier σ) configuration over THIS corpus, the spent
@@ -1031,6 +1127,7 @@ object CatalogOps {
     "q_randomized_response" -> (randomizedResponse _),
     "q_skew_report" -> (skewReport _),
     "q_dp_counts" -> (dpCounts _),
+    "q_dp_quantile" -> (dpQuantile _),
     "q_dp_accountant" -> (dpAccountant _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_equidepth_hist_approx" -> (equidepthHistApprox _),
@@ -1051,6 +1148,7 @@ object CatalogOps {
     "q_randomized_response" -> randomizedResponseOracle,
     "q_skew_report" -> skewReportOracle,
     "q_dp_counts" -> dpCountsOracle,
+    "q_dp_quantile" -> dpQuantileOracle,
     "q_dp_accountant" -> dpAccountantOracle,
     "q_equidepth_hist" -> equidepthHistOracle,
     "q_equidepth_hist_approx" -> equidepthHistApproxOracle,
