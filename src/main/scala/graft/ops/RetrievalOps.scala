@@ -563,6 +563,84 @@ object RetrievalOps {
        |         AS rho_spearman
        |FROM m""".stripMargin
 
+  // ------------------------------------------------- rank-biased overlap
+  /** Rank-biased overlap between the BM25 and QLM top-100 lists
+    * (Webber, Moffat & Zobel TOIS'10) — the third member of the
+    * rank-agreement trio and the one built for RANKINGS rather than
+    * paired scores: [[kendallTau]] weights every inversion equally,
+    * [[spearmanRho]] by displacement, RBO is TOP-WEIGHTED (a swap at
+    * rank 2 matters more than one at rank 90 — exactly how users read
+    * result lists) and handles non-conjoint lists (a doc in one
+    * engine's top-k but not the other's). RBO@k = (1−p)·Σ_{d≤k}
+    * p^(d−1)·X_d/d with X_d = |top_B[1..d] ∩ top_Q[1..d]|, p = 0.9
+    * (the paper's "first ~10 ranks carry ~86% of the weight").
+    *
+    * The overlap prefix X_d needs no d×d work: a doc enters every
+    * overlap from depth max(rank_B, rank_Q) on, so X_d is ONE
+    * cumulative window over the per-doc max-rank histogram.
+    * Exactness: X_d are exact ints on a bounded 100-row frame; each
+    * depth term is quantized to e12 and integer-summed. Scale shape:
+    * two TakeOrdered(100) off the distributed scorers, a 100-row
+    * full-outer join, windows on the bounded frame only. */
+  private val RboP = 0.9
+  private val RboK = 100
+
+  def rbo(spark: SparkSession, sfDir: String): DataFrame = {
+    def top(df: DataFrame, score: String): DataFrame = df
+      .select(col("doc_id"), col(score))
+      .orderBy(col(score).desc, col("doc_id"))
+      .limit(RboK)
+      // bounded 100-row frame: the unpartitioned window is safe
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col(score).desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk"))
+    val tb = top(TextOps.bm25(spark, sfDir), "bm25")
+    val tq = top(TextOps.qlmDirichlet(spark, sfDir), "qlm")
+    val entry = tb.withColumnRenamed("rk", "rb")
+      .join(tq.withColumnRenamed("rk", "rq"), Seq("doc_id"))
+      .select(greatest(col("rb"), col("rq")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val depths = spark.range(1, RboK + 1).select(col("id").as("d"))
+    val xd = depths.join(entry, col("m") <= col("d"), "left")
+      .groupBy(col("d")).agg(coalesce(sum(col("c")), lit(0L)).as("x"))
+    xd
+      .withColumn("term_e12",
+        round(pow(lit(RboP), col("d") - 1) * col("x") / col("d")
+          * lit(1e12), 0).cast("long"))
+      .agg(sum(col("term_e12")).as("s"),
+        max(when(col("d") === RboK, col("x"))).as("overlap_at_k"))
+      .select(lit(RboK).as("depth"), lit(RboP).as("p"),
+        col("overlap_at_k"),
+        round(col("s").cast("double") * (1.0 - RboP) / 1e12, 6)
+          .as("rbo"))
+  }
+
+  private val rboOracle =
+    s"""WITH bm AS (${TextOps.bm25Oracle}),
+       |ql AS (${TextOps.qlmDirichletOracle}),
+       |tb AS (SELECT doc_id, row_number()
+       |         OVER (ORDER BY bm25 DESC, doc_id) AS rb
+       |       FROM (SELECT doc_id, bm25 FROM bm
+       |             ORDER BY bm25 DESC, doc_id LIMIT $RboK)),
+       |tq AS (SELECT doc_id, row_number()
+       |         OVER (ORDER BY qlm DESC, doc_id) AS rq
+       |       FROM (SELECT doc_id, qlm FROM ql
+       |             ORDER BY qlm DESC, doc_id LIMIT $RboK)),
+       |e AS (SELECT GREATEST(rb, rq) AS m, COUNT(*) AS c
+       |      FROM tb JOIN tq USING (doc_id) GROUP BY 1),
+       |xd AS (SELECT d, COALESCE(SUM(c), 0) AS x
+       |       FROM range(1, ${RboK + 1}) t(d)
+       |       LEFT JOIN e ON e.m <= t.d GROUP BY d),
+       |s AS (SELECT
+       |    CAST(SUM(CAST(ROUND(pow($RboP, d - 1) * x / d * 1e12)
+       |             AS BIGINT)) AS BIGINT) AS s,
+       |    MAX(CASE WHEN d = $RboK THEN x END) AS overlap_at_k
+       |  FROM xd)
+       |SELECT $RboK AS depth, CAST($RboP AS DOUBLE) AS p,
+       |       CAST(overlap_at_k AS BIGINT) AS overlap_at_k,
+       |       ROUND(CAST(s AS DOUBLE) * ${1.0 - RboP} / 1e12, 6) AS rbo
+       |FROM s""".stripMargin
+
   // ------------------------------------------------- context packing
   /** Token-budget context assembly — the last step of a RAG serving
     * path: the retrieved candidates (the shipped [[graft.ops.TextOps
@@ -633,6 +711,7 @@ object RetrievalOps {
     "q_rrf_fusion" -> (rrfFusion _),
     "q_kendall_tau" -> (kendallTau _),
     "q_spearman" -> (spearmanRho _),
+    "q_rbo" -> (rbo _),
     "q_prf_expand" -> (prfExpand _),
     "q_ndcg" -> (ndcg _),
     "q_mmr_rerank" -> (mmrRerank _)
@@ -643,6 +722,7 @@ object RetrievalOps {
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_kendall_tau" -> kendallTauOracle,
     "q_spearman" -> spearmanRhoOracle,
+    "q_rbo" -> rboOracle,
     "q_prf_expand" -> prfExpandOracle,
     "q_ndcg" -> ndcgOracle,
     "q_mmr_rerank" -> mmrRerankOracle
