@@ -1124,6 +1124,59 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class WrEv(source: String, docId: Long, wt: Long)
+
+  final case class WrState(ids: Array[Long], wts: Array[Long],
+      clocks: Array[Double], nSeen: Long)
+
+  final case class WrOut(source: String, n_seen: Long,
+      members: Seq[Long], wts: Seq[Long])
+
+  /** Streaming weighted reservoir (`mapGroupsWithState`, Update mode)
+    * — the STATEFUL twin of the batch
+    * [[graft.ops.PipelineOps.weightedReservoir]], and the reason A-ES
+    * clocks are the right sampler shape: the per-source state is just
+    * the k best (clock, id, wt) triples, each arriving doc computes
+    * its clock INDEPENDENTLY (the md5-lattice uniform — same bytes,
+    * same JVM ln, so stream clocks are bit-identical to the batch
+    * SQL's), and merging a batch is "keep the k smallest" — the
+    * reservoir merge is associative, which is exactly why this
+    * sampler distributes and streams while naive weighted sampling
+    * does not. Emits the full reservoir per touched source per batch
+    * (rank order); after any prefix of arrivals the state equals the
+    * batch query over that prefix, and after all arrivals it equals
+    * `q_weighted_reservoir` exactly — StreamingSpec pins both. */
+  def weightedReservoirStream(events: Dataset[WrEv], k: Int = 16)
+      : Dataset[WrOut] = {
+    import events.sparkSession.implicits._
+    def clock(id: Long, wt: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wr_$id".getBytes("UTF-8"))
+      val m48 = java.lang.Long.parseLong(
+        md.take(6).map(b => f"$b%02x").mkString, 16)
+      -math.log((m48 + 1) / 281474976710657.0) / wt
+    }
+    def update(src: String, evs: Iterator[WrEv],
+               state: GroupState[WrState]): WrOut = {
+      val s = state.getOption.getOrElse(
+        WrState(Array.empty, Array.empty, Array.empty, 0L))
+      var pool = s.ids.indices
+        .map(i => (s.clocks(i), s.ids(i), s.wts(i))).toVector
+      var n = s.nSeen
+      evs.foreach { e =>
+        n += 1
+        pool :+= ((clock(e.docId, e.wt), e.docId, e.wt))
+      }
+      val kept = pool.sortBy(t => (t._1, t._2)).take(k)
+      state.update(WrState(kept.map(_._2).toArray,
+        kept.map(_._3).toArray, kept.map(_._1).toArray, n))
+      WrOut(src, n, kept.map(_._2), kept.map(_._3))
+    }
+    events
+      .groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class MomEv(t: String, value: Double)
 
   final case class MomState(n: Long, mean: Double, m2: Double)

@@ -292,6 +292,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir converges to the batch sample exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{WrEv, WrOut}
+
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => WrEv(r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[WrEv]
+    val q = StreamingOps.weightedReservoirStream(input.toDS())
+      .writeStream.format("memory").queryName("wr_out")
+      .outputMode("update").start()
+    try {
+      docs.grouped(120).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // last emit per source (max n_seen) == the batch query
+      val fin = spark.table("wr_out").as[WrOut].collect()
+        .groupBy(_.source).map { case (_, rs) => rs.maxBy(_.n_seen) }
+      val streamed = fin.flatMap(o => o.members.zip(o.wts).zipWithIndex
+        .map { case ((id, w), i) => (o.source, i + 1, id, w) }).toSet
+      val batch = graft.ops.PipelineOps.weightedReservoir(spark, sfTiny)
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} != batch ${batch.size}")
+      // per-source accounting: every doc was seen
+      assert(fin.map(_.n_seen).sum == docs.length)
+    } finally q.stop()
+  }
+
   test("streaming Welford moments equal the two-pass mean/variance across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
