@@ -2650,6 +2650,67 @@ object StatsOps {
        |FROM units CROSS JOIN d2""".stripMargin
   }
 
+  // --------------------------------------------------------- Hill tail index
+  /** Top-k depth for [[hillTail]]. */
+  private val HillK = 16
+
+  /** Hill tail-index estimator per source (Hill 1975 — THE estimator
+    * of a power-law tail exponent from order statistics, and the
+    * heavy-tail diagnostic `q_zipf_slope`'s rank regression can't
+    * give: zipf fits the WHOLE frequency curve, Hill reads only the
+    * extreme tail, which is what decides batch-packing blowups and
+    * shard skew): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over each
+    * source's k largest doc lengths. Small α̂ = heavy tail (a source
+    * that will dominate token budgets); α̂ reported with its
+    * asymptotic se = α̂/√k so the read is calibrated.
+    *
+    * Exactness: order statistics are exact (integer lengths, id
+    * tie-break); each ln of an exact integer ratio quantizes to e9
+    * and sums on the integer lattice; α̂ is one final division.
+    * Scale shape: the rank-≤-k+1 filter is the WindowGroupLimit
+    * shape (per-shard partial top-k below the exchange), then a
+    * source-sized rollup — the corpus never globally sorts. */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HillK + 1)
+    val xk1 = ranked.filter(col("rk") === HillK + 1)
+      .select(col("source"), col("n_chars").as("x_k1"))
+    ranked.filter(col("rk") <= HillK)
+      .join(xk1, Seq("source"))
+      .withColumn("t_e9",
+        round(log(col("n_chars").cast("double") / col("x_k1")) * 1e9, 0)
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(first(col("x_k1")).as("x_k1"), sum(col("t_e9")).as("s"))
+      .select(col("source"), lit(HillK).as("k"), col("x_k1"),
+        round(lit(HillK) * 1e9 / col("s").cast("double"), 4).as("alpha"),
+        round(lit(HillK) * 1e9 / col("s").cast("double") /
+          math.sqrt(HillK.toDouble), 4).as("alpha_se"))
+      .orderBy(col("source"))
+  }
+
+  private val hillTailOracle =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents),
+       |xk1 AS (SELECT source, n_chars AS x_k1 FROM r
+       |        WHERE rk = ${HillK + 1}),
+       |t AS (SELECT r.source, x_k1,
+       |        CAST(ROUND(ln(CAST(n_chars AS DOUBLE) / x_k1) * 1e9)
+       |             AS BIGINT) AS t_e9
+       |      FROM r JOIN xk1 USING (source) WHERE rk <= $HillK)
+       |SELECT source, $HillK AS k, ANY_VALUE(x_k1) AS x_k1,
+       |       ROUND($HillK * 1e9 / CAST(SUM(t_e9) AS DOUBLE), 4) AS alpha,
+       |       ROUND($HillK * 1e9 / CAST(SUM(t_e9) AS DOUBLE)
+       |             / sqrt(${HillK.toDouble}), 4) AS alpha_se
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------- one-way ANOVA
   /** One-way ANOVA of order value across the five order priorities —
     * the k-group mean-difference test the family lacked ([[chiSquare]]
@@ -2723,6 +2784,7 @@ object StatsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (anova _),
+    "q_hill_tail" -> (hillTail _),
     "q_woe_iv" -> (woeIv _),
     "q_krippendorff" -> (krippendorff _),
     "q_holt_winters" -> (holtWinters _),
@@ -2765,6 +2827,7 @@ object StatsOps {
 
   def oracles: Map[String, String] = Map(
     "q_anova" -> anovaOracle,
+    "q_hill_tail" -> hillTailOracle,
     "q_woe_iv" -> woeIvOracle,
     "q_krippendorff" -> krippendorffOracle,
     "q_holt_winters" -> holtWintersOracle,
