@@ -2829,6 +2829,107 @@ object SimilarityOps {
        |                  * 1000000.0) AS BIGINT) AS w_cs_e6
        |FROM r ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- KNN-Shapley
+  /** Shapley K for [[knnShapley]]. */
+  private val ShapK = 5
+
+  /** Exact KNN data-Shapley (Jia et al. VLDB'19, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms")
+    * — the data-VALUATION op beside [[graft.ops.CurationOps]]'s
+    * TracIn attribution: for a KNN classifier the Shapley value of
+    * every training point has a CLOSED FORM per test point — sort by
+    * distance, then the suffix recursion s_i = s_{i+1} +
+    * (1[y_i=y] − 1[y_{i+1}=y])·min(K,i)/(K·i), s_n = 1[y_n=y]/n —
+    * so the O(2ⁿ) game evaluates in one sorted pass. That pass IS a
+    * window: rank candidates per query by cosine, quantize each
+    * recursion increment to e12 (exact rationals, |Δ| ≤ 1/K), and the
+    * suffix sum is a per-query cumulative window in rank-descending
+    * order — all integers under the hash. Top-10 most valuable
+    * training points per query ship (positive s = the point pushes
+    * the vote toward the right label at its distance rank).
+    *
+    * Scale shape: the [[annBruteforce]] adjudicated layout (tiny
+    * query side broadcast, candidates stream, per-query windows on
+    * the qid key); at corpus scale the candidate set comes from the
+    * IVF probe and the identical suffix window runs on the bounded
+    * candidate list. Efficiency identity Σᵢ sᵢ = (#matches in top
+    * K)/K is spec-pinned per query. */
+  def knnShapley(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").as("qlabel"))
+    val cands = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("train_id"), col("embedding").as("cv"),
+        col("norm").as("cn"), col("label").as("clabel"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine("qv", "qn", "cv", "cn"))
+      .withColumn("matched",
+        when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+      .select(col("qid"), col("train_id"), col("matched"), col("cos"))
+    val byQ = Window.partitionBy(col("qid"))
+    val ranked = scored
+      .withColumn("i", row_number().over(
+        byQ.orderBy(col("cos").desc, col("train_id"))))
+      .withColumn("n", count(lit(1)).over(byQ))
+      .withColumn("nxt", lead(col("matched"), 1).over(
+        byQ.orderBy(col("cos").desc, col("train_id"))))
+      .withColumn("d_e12", when(col("nxt").isNull, // boundary: s_n
+        round(col("matched") * 1e12 / col("n"), 0).cast("long"))
+        .otherwise(round((col("matched") - col("nxt")) *
+          least(lit(ShapK), col("i")).cast("double") * 1e12 /
+          (lit(ShapK) * col("i")), 0).cast("long")))
+      .withColumn("s_e12", sum(col("d_e12")).over(
+        byQ.orderBy(col("i").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("s_e12").desc, col("train_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("train_id"), col("matched"),
+        col("s_e12"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val knnShapleyOracle = {
+    val cos = cosineSql("qv", "cv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+       |                  label AS qlabel
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS train_id, embedding AS cv,
+       |             label AS clabel
+       |      FROM embeddings WHERE vec_id >= 5),
+       |sc AS (SELECT qid, train_id,
+       |         CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS matched,
+       |         $cos AS cos
+       |       FROM c CROSS JOIN q),
+       |r AS (SELECT qid, train_id, matched,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, train_id) AS i,
+       |        COUNT(*) OVER (PARTITION BY qid) AS n,
+       |        LEAD(matched) OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, train_id) AS nxt
+       |      FROM sc),
+       |d AS (SELECT *,
+       |        CASE WHEN nxt IS NULL THEN
+       |          CAST(ROUND(matched * 1e12 / n) AS BIGINT)
+       |        ELSE
+       |          CAST(ROUND((matched - nxt)
+       |               * LEAST($ShapK, i) * 1e12
+       |               / ($ShapK * i)) AS BIGINT) END AS d_e12
+       |      FROM r),
+       |s AS (SELECT qid, train_id, matched,
+       |        CAST(SUM(d_e12) OVER (PARTITION BY qid ORDER BY i DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS s_e12
+       |      FROM d)
+       |SELECT qid, CAST(rk AS INTEGER) AS rk, train_id,
+       |       CAST(matched AS BIGINT) AS matched, s_e12
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY s_e12 DESC, train_id) AS rk FROM s)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   // ------------------------------------------------- MAUVE frontier
   /** MAUVE divergence frontier (Pillutla et al. NeurIPS'21 — the
     * standard "how close is model text to human text" metric): both
@@ -2945,6 +3046,7 @@ object SimilarityOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mauve" -> (mauve _),
+    "q_knn_shapley" -> (knnShapley _),
     "q_coreset" -> (coreset _),
     "q_pca_power" -> (pcaPower _),
     "q_kcenter" -> (kcenter _),
@@ -2979,6 +3081,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "q_mauve" -> mauveOracle,
+    "q_knn_shapley" -> knnShapleyOracle,
     "q_coreset" -> coresetOracle,
     "q_pca_power" -> pcaPowerOracle,
     "q_kcenter" -> kcenterOracle,

@@ -796,6 +796,56 @@ class SimilaritySpec extends SparkSpec {
       "coreset weight must not increase with d2")
   }
 
+  test("knn shapley: driver replay matches, efficiency identity holds") {
+    import graft.ops.SimilarityOps
+    val got = SimilarityOps.knnShapley(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // driver replay: sequential-fold cosine (the VecDot order), exact
+    // e12 recursion, per-query suffix sums
+    val all = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val (qs, cs) = all.partition(_._1 < 5)
+    val K = 5
+    val wantTop = qs.flatMap { case (qid, qv, qlab) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val ranked = cs.map { case (cid, cv, clab) =>
+        (cid, dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))),
+          if (clab == qlab) 1L else 0L)
+      }.sortBy(t => (-t._2, t._1))
+      val n = ranked.length
+      val d = ranked.zipWithIndex.map { case ((cid, _, m), idx) =>
+        val i = idx + 1
+        val dE12 =
+          if (i == n) math.round(m * 1e12 / n)
+          else {
+            val nxt = ranked(idx + 1)._3
+            math.round((m - nxt) * math.min(K, i) * 1e12 / (K.toDouble * i))
+          }
+        (cid, m, dE12)
+      }
+      val s = d.scanRight(0L)((t, acc) => acc + t._3).init
+      val rows = d.zip(s).map { case ((cid, m, _), sv) => (cid, m, sv) }
+      // efficiency: Σ s_i == (#matched in top K)/K; Σ_i s_i = Σ_j j·Δ_j,
+      // so each Δ's ≤0.5 e12-unit rounding is amplified by its rank —
+      // the bound is Σ_j j/2 ≈ n²/4 e12 units (≈6e-8 absolute), not n
+      val sum = rows.map(_._3).sum
+      val vFull = ranked.take(K).map(_._3).sum * 1e12 / K
+      assert(math.abs(sum - vFull) <= n.toLong * n / 2 + 1,
+        s"efficiency identity broke for q$qid: $sum vs $vFull")
+      rows.sortBy(t => (-t._3, t._1)).take(10).zipWithIndex
+        .map { case ((cid, m, sv), i) => (qid, i + 1, cid, m, sv) }
+    }.toSet
+    assert(got.toSet == wantTop,
+      s"got ${got.size} rows; diff=${(got.toSet diff wantTop).take(3)}")
+  }
+
   test("mauve frontier: KL monotone in λ, points in (0,1], AUC sane") {
     import graft.ops.SimilarityOps
     val pts = SimilarityOps.mauve(spark, sfTiny).collect()
