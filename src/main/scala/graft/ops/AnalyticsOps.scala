@@ -1091,6 +1091,85 @@ object AnalyticsOps {
       |                    (1.0 / n_a + 1.0 / n_b)), 4) END) > 1.96 AS significant
       |FROM z""".stripMargin
 
+  // ------------------------------------------------- SRM gate
+  /** Sample-ratio-mismatch gate (Fabijan et al. KDD'19's "most useful
+    * A/B test check") — the trust gate every experimentation platform
+    * runs BEFORE reading any metric: if a 50/50 split didn't land
+    * 50/50, the assignment or logging path is broken and [[abTest]]'s
+    * readout is garbage. Four concurrent experiments are simulated on
+    * the event stream (trigger = event_id mod 4 — each event exposes
+    * its user to one experiment), assignment is the deterministic
+    * md5-lattice hash of (experiment, user) — the salted-hash
+    * assignment real platforms use, independent across experiments —
+    * and experiment 0 carries a PLANTED logging defect (arm-B
+    * exposures silently dropped for the 40% of users with user_id mod
+    * 10 < 4, the "broken telemetry on one variant" incident — sized so
+    * the χ² gate FIRES already at the sf0.01 verify scale's ~150
+    * exposed users). The
+    * χ²₁ statistic against the 50/50 expectation reduces to
+    * (n_A−n_B)²/N and is computed EXACTLY on the e6 lattice by
+    * half-up integer division in decimal(38)/HUGEINT — no float
+    * anywhere — then gated at the α=0.05 critical value 3.841459.
+    *
+    * Scale shape: one distinct over (experiment, user, arm) + one
+    * 2-way conditional count per experiment — the abTest reduction
+    * shape, experiment-count rows out; the hash assignment is
+    * map-side column math. */
+  def srm(spark: SparkSession, sfDir: String): DataFrame = {
+    val exposed = Tables.events(spark, sfDir)
+      .select(pmod(col("event_id"), lit(4L)).as("experiment"),
+        col("user_id"))
+      .distinct()
+      .withColumn("arm",
+        when(expr("CAST(conv(substring(md5(CAST(concat('srm_', experiment," +
+          " '_', user_id) AS BINARY)), 1, 12), 16, 10) AS BIGINT)") % 2 === 0L,
+          "A").otherwise("B"))
+      // planted defect: experiment 0 loses a slice of arm-B telemetry
+      .filter(!(col("experiment") === 0L && col("arm") === "B" &&
+        pmod(col("user_id"), lit(10L)) < 4L))
+    val dec = "decimal(38,0)"
+    exposed.groupBy(col("experiment"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("d", (col("n_a") - col("n_b")).cast(dec))
+      .withColumn("n", (col("n_a") + col("n_b")).cast(dec))
+      // exact half-up e6 lattice: (2·d²·1e6 + N) div (2N), all integers
+      .withColumn("chi2_e6",
+        expr("CAST((d * d * CAST(2000000 AS DECIMAL(38,0)) + n) " +
+          "div (2 * n) AS BIGINT)"))
+      .withColumn("srm", col("chi2_e6") > 3841459L)
+      .select(col("experiment"), col("n_a"), col("n_b"), col("chi2_e6"),
+        col("srm"))
+      .orderBy(col("experiment"))
+  }
+
+  private val srmOracle =
+    """WITH ex AS (
+      |  SELECT DISTINCT event_id % 4 AS experiment, user_id
+      |  FROM events),
+      |arms AS (
+      |  SELECT experiment, user_id,
+      |         CASE WHEN CAST('0x' || substring(
+      |                md5('srm_' || experiment || '_' || user_id), 1, 12)
+      |              AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM ex),
+      |kept AS (
+      |  SELECT * FROM arms
+      |  WHERE NOT (experiment = 0 AND arm = 'B' AND user_id % 10 < 4)),
+      |c AS (
+      |  SELECT experiment,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM kept GROUP BY 1)
+      |SELECT experiment, n_a, n_b,
+      |       CAST((2 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+      |             + (n_a + n_b)) // (2 * CAST(n_a + n_b AS HUGEINT))
+      |            AS BIGINT) AS chi2_e6,
+      |       CAST((2 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+      |             + (n_a + n_b)) // (2 * CAST(n_a + n_b AS HUGEINT))
+      |            AS BIGINT) > 3841459 AS srm
+      |FROM c ORDER BY experiment""".stripMargin
+
   // ------------------------------------------------- survival curve
   /** Kaplan–Meier survival over user lifetimes — churn's canonical
     * estimator: a user "dies" on their last active day unless that day
@@ -1916,6 +1995,7 @@ object AnalyticsOps {
     "q_interval_union" -> (intervalUnion _),
     "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
+    "q_srm" -> (srm _),
     "q_survival_km" -> (survivalKm _),
     "q_user_similarity" -> (userSimilarity _),
     "q_ks_test" -> (ksTest _),
@@ -1957,6 +2037,7 @@ object AnalyticsOps {
     "q_interval_union" -> intervalUnionOracle,
     "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,
+    "q_srm" -> srmOracle,
     "q_survival_km" -> survivalKmOracle,
     "q_user_similarity" -> userSimilarityOracle,
     "q_ks_test" -> ksTestOracle,

@@ -263,6 +263,178 @@ object GraphOps {
       |         AS assortativity
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------- rich club
+  /** Rich-club coefficient curve (Zhou & Mondragón '04) over the
+    * co-purchase graph — "do the hubs trade with each other": for each
+    * degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts
+    * nodes of degree > k and E_k the undirected edges with BOTH
+    * endpoints above k. The naive evaluation re-scans the edge list
+    * once per threshold; here both counts come from ONE pass each —
+    * a node-degree histogram and an edge min-endpoint-degree histogram,
+    * full-outer-joined on the degree value, with N_k/E_k read off as
+    * strictly-above cumulative window sums in value-descending order
+    * (the threshold grid IS the distinct degree values, so every
+    * histogram row yields one curve point). All counts are exact
+    * integers; the products run in decimal(38)/HUGEINT (N_k² overflows
+    * a long past ~3e9 nodes) and only the final ratio drops to double
+    * for the 6 dp round, token-identically in both engines.
+    *
+    * Scale shape: two key-aggregates (degree, min-degree) + one
+    * histogram-sized (≤ max-degree rows) outer join and window — the
+    * data-sized work is the same single edge-degree enrichment
+    * assortativity pays, and the curve itself is bounded by the
+    * degree support, not the graph. */
+  def richClub(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+    // node-degree histogram: degree value -> node count
+    val nodeHist = deg.groupBy(col("d").as("k")).agg(count(lit(1)).as("nc"))
+    // edge histogram keyed by min endpoint degree (undirected half only)
+    val edgeHist = half
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), Seq("dst"))
+      .groupBy(least(col("dx"), col("dy")).as("k"))
+      .agg(count(lit(1)).as("ec"))
+    val byKDesc = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    nodeHist.join(edgeHist, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("nc", "ec"))
+      .withColumn("n_k", coalesce(sum(col("nc")).over(byKDesc), lit(0L)))
+      .withColumn("e_k", coalesce(sum(col("ec")).over(byKDesc), lit(0L)))
+      .filter(col("n_k") >= 2)
+      .select(col("k"),
+        col("n_k").as("n_rich_nodes"), col("e_k").as("n_rich_edges"),
+        round((lit(2).cast(dec) * col("e_k").cast(dec)).cast("double") /
+          (col("n_k").cast(dec) *
+            (col("n_k").cast(dec) - lit(1).cast(dec))).cast("double"), 6)
+          .as("phi"))
+      .orderBy(col("k"))
+  }
+
+  private val richClubOracle =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+      |          HAVING COUNT(*) BETWEEN 2 AND 20),
+      |half AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |         FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                            AND a.l_partkey < b.l_partkey
+      |         JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |e AS (SELECT src, dst FROM half
+      |      UNION ALL SELECT dst, src FROM half),
+      |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+      |nh AS (SELECT d AS k, CAST(COUNT(*) AS BIGINT) AS nc
+      |       FROM deg GROUP BY 1),
+      |eh AS (SELECT LEAST(dx.d, dy.d) AS k, CAST(COUNT(*) AS BIGINT) AS ec
+      |       FROM half JOIN deg dx ON dx.v = half.src
+      |                 JOIN deg dy ON dy.v = half.dst
+      |       GROUP BY 1),
+      |u AS (SELECT COALESCE(nh.k, eh.k) AS k,
+      |             COALESCE(nc, 0) AS nc, COALESCE(ec, 0) AS ec
+      |      FROM nh FULL OUTER JOIN eh ON nh.k = eh.k),
+      |c AS (SELECT k,
+      |        CAST(COALESCE(SUM(nc) OVER (ORDER BY k DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS n_k,
+      |        CAST(COALESCE(SUM(ec) OVER (ORDER BY k DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS e_k
+      |      FROM u)
+      |SELECT k, n_k AS n_rich_nodes, e_k AS n_rich_edges,
+      |       ROUND(CAST(2 * CAST(e_k AS HUGEINT) AS DOUBLE)
+      |             / CAST(CAST(n_k AS HUGEINT)
+      |                    * (CAST(n_k AS HUGEINT) - 1) AS DOUBLE), 6)
+      |         AS phi
+      |FROM c WHERE n_k >= 2 ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------- square count
+  /** Exact 4-cycle (C4 / "butterfly of the unipartite world") census
+    * over the co-purchase graph. Triangles measure direct clustering;
+    * squares are the shortest EVEN cycle — the redundancy motif that
+    * survives when direct co-purchase is filtered out (two parts never
+    * ordered together but sharing two distinct co-purchase partners).
+    * Identity: every C4 has exactly two diagonal (opposite-corner)
+    * pairs, so #C4 = ½·Σ_{u<v} C(λ_uv, 2) where λ_uv = common
+    * neighbors of the (not necessarily adjacent) pair {u,v}. λ comes
+    * from one wedge join — adjacency self-joined on the center with
+    * an u<v emit guard so each wedge counts once — followed by a pair
+    * aggregation; the census is a single reduction over C(λ,2) in
+    * decimal(38) (Σλ² overflows a long on hub-heavy graphs long
+    * before the pair frame itself is a problem). Top-10 diagonal
+    * pairs by λ ship alongside the global counts (sentinel k=-1 rows
+    * carry the census so one schema holds both).
+    *
+    * Scale shape: the wedge join is the adjudicated triangle/ktruss
+    * quadratic — Σ_w d_w² wedge rows, mitigated in production by the
+    * same degree-cap/orientation knobs those operators document; the
+    * u<v guard halves it, and everything after is key aggregation. */
+  def squareCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val adj = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val lam = adj.as("a")
+      .join(adj.select(col("src").as("w"), col("dst").as("v")).as("b"),
+        col("a.src") === col("b.w") && col("a.dst") < col("b.v"))
+      .groupBy(col("a.dst").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val dec = "decimal(38,0)"
+    val census = lam.agg(
+      count(lit(1)).as("n_pairs"),
+      max(col("cn")).as("max_cn"),
+      sum((col("cn").cast(dec) * (col("cn").cast(dec) - lit(1).cast(dec)))
+        .cast(dec)).as("sum_cn2"))
+      // λ(λ−1) is even per pair, Σ/2 = ΣC(λ,2) exact; div = int division
+      .withColumn("n_sq2", expr("CAST(sum_cn2 AS DECIMAL(38,0)) div 2")
+        .cast("long"))
+    val top = lam
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cn").desc, col("u"), col("v"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk"), col("u"), col("v"), col("cn"))
+    top.unionByName(census.select(lit(-1).as("rk"),
+        col("n_pairs").as("u"), col("n_sq2").as("v"),
+        col("max_cn").as("cn")))
+      .withColumn("n_squares",
+        when(col("rk") === -1, expr("v div 2")).otherwise(lit(null))
+          .cast("long"))
+      .orderBy(col("rk"))
+  }
+
+  private val squareCountOracle =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+      |          HAVING COUNT(*) BETWEEN 2 AND 20),
+      |half AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |         FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                            AND a.l_partkey < b.l_partkey
+      |         JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |adj AS (SELECT src, dst FROM half
+      |        UNION ALL SELECT dst, src FROM half),
+      |lam AS (SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      |        FROM adj a JOIN adj b
+      |          ON a.src = b.src AND a.dst < b.dst
+      |        GROUP BY 1, 2),
+      |census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |             CAST(MAX(cn) AS BIGINT) AS max_cn,
+      |             CAST(SUM(CAST(cn AS HUGEINT) * (cn - 1)) // 2 AS BIGINT)
+      |               AS n_sq2
+      |           FROM lam),
+      |top AS (SELECT rk, u, v, cn FROM
+      |          (SELECT u, v, cn, ROW_NUMBER() OVER
+      |             (ORDER BY cn DESC, u, v) AS rk FROM lam)
+      |        WHERE rk <= 10)
+      |SELECT CAST(rk AS INTEGER) AS rk, u, v, cn,
+      |       CAST(NULL AS BIGINT) AS n_squares
+      |FROM top
+      |UNION ALL
+      |SELECT -1, n_pairs, n_sq2, max_cn, n_sq2 // 2 FROM census
+      |ORDER BY rk""".stripMargin
+
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
     trianglesPerNode(DedupOps.simhashPairsMaterialized(spark, sfDir))
       .orderBy(col("n_triangles").desc, col("doc_id"))
@@ -1554,6 +1726,8 @@ object GraphOps {
     "q_bfs_hops" -> (bfsHops _),
     "q_stress_centrality" -> (stressCentrality _),
     "q_assortativity" -> (assortativity _),
+    "q_rich_club" -> (richClub _),
+    "q_square_count" -> (squareCount _),
     "q_ktruss" -> (ktruss _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
@@ -1572,6 +1746,8 @@ object GraphOps {
     "q_bfs_hops" -> bfsHopsOracle,
     "q_stress_centrality" -> stressCentralityOracle,
     "q_assortativity" -> assortativityOracle,
+    "q_rich_club" -> richClubOracle,
+    "q_square_count" -> squareCountOracle,
     "q_ktruss" -> ktrussOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,

@@ -2782,7 +2782,132 @@ object StatsOps {
       |         AS f_stat
       |FROM parts""".stripMargin
 
+  // ------------------------------------------------- BH-FDR screen
+  /** Benjamini–Hochberg FDR screen (B–H '95) over a grid of slice
+    * hypotheses — the multiple-testing control a metrics platform must
+    * run when it tests EVERY slice: each (source, lang) cell clearing
+    * the support gate (≥8 docs — the fixture-scale setting of the
+    * usual n≥30 rule; one constant) is Welch-z-tested for "does this slice's mean length differ
+    * from the rest of the corpus", and the step-up procedure marks
+    * the largest k with p_(k) ≤ k·α/m, rejecting ranks 1..k — shown
+    * beside naive p<α (inflates discoveries) and Bonferroni p<α/m
+    * (deflates power), the three-way comparison that motivates FDR.
+    *
+    * Exactness: all moments are integer (n_chars), so the Welch z's
+    * mean difference uses the cancellation-free cross-multiplied form
+    * (n₂s₁−n₁s₂)/(n₁n₂) and sample variances exact decimal(38)
+    * numerators (nᵢqᵢ−sᵢ²) — z is a short identical-token double
+    * expression half-up-rounded to 4 dp BEFORE the p-value transform,
+    * so the transcendental's input is an exact rational both engines
+    * agree on. p = erfc(|z|/√2) via the Abramowitz–Stegun 7.1.26
+    * polynomial (public constants, same literal tokens both sides),
+    * e9-quantized; every BH comparison then runs on exact integers
+    * (p_e9·20·m ≤ i·1e9 at α=0.05) — the procedure itself can never
+    * split on float noise, only the 4 dp z-lattice can move (and sits
+    * ~1e11 above double ulp).
+    *
+    * Scale shape: one hash aggregate to |sources|×|langs| cells + a
+    * 1-row total broadcast; ranking and the step-up cummax run on the
+    * bounded cell frame. At 1e6 slices the windows stay
+    * histogram-sized; nothing touches the corpus twice. */
+  def bhFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "CAST(n_chars AS DECIMAL(38,0))"
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n1"),
+        sum(expr(dec)).as("s1"),
+        sum(expr(s"$dec * n_chars")).as("q1"))
+      .filter(col("n1") >= 8)
+    val tot = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(expr(dec)).as("s"),
+        sum(expr(s"$dec * n_chars")).as("q"))
+    val z = cells.crossJoin(broadcast(tot))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("s2", col("s") - col("s1"))
+      .withColumn("q2", col("q") - col("q1"))
+      .filter(col("n2") >= 8)
+      .withColumn("zval", expr(
+        """round((CAST(CAST(n2 AS DECIMAL(38,0)) * s1
+          |            - CAST(n1 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+          |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+          |       / sqrt(CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1
+          |                   AS DOUBLE)
+          |              / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) / n1
+          |              + CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2
+          |                     AS DOUBLE)
+          |              / (CAST(n2 AS DOUBLE) * (n2 - 1.0)) / n2), 4)
+          |""".stripMargin.replace("\n", " ")))
+      .withColumn("x", abs(col("zval")) / sqrt(lit(2.0)))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+      .withColumn("p_e9", expr(
+        """CAST(round(((0.254829592 * t - 0.284496736 * t * t
+          |  + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+          |  + 1.061405429 * t * t * t * t * t) * exp(-x * x))
+          |  * 1000000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")))
+    val m = Window.partitionBy()
+    val ranked = z
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_e9"), col("source"), col("lang"))))
+      .withColumn("cond",
+        col("p_e9") * 20L * col("m") <= col("rk") * 1000000000L)
+      .withColumn("kstar",
+        max(when(col("cond"), col("rk")).otherwise(0)).over(m))
+    ranked.select(col("rk"), col("source"), col("lang"), col("n1").as("n"),
+        col("zval").as("z"), col("p_e9"),
+        (col("p_e9") * 20L <= 1000000000L).as("rej_naive"),
+        (col("p_e9") * 20L * col("m") <= 1000000000L).as("rej_bonf"),
+        (col("rk") <= col("kstar")).as("rej_bh"))
+      .orderBy(col("rk"))
+  }
+
+  private val bhFdrOracle =
+    """WITH d AS (SELECT source, lang, CAST(n_chars AS HUGEINT) AS x
+      |           FROM documents),
+      |cells AS (SELECT source, lang, COUNT(*) AS n1,
+      |                 SUM(x) AS s1, SUM(x * x) AS q1
+      |          FROM d GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+      |tot AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM d),
+      |w AS (SELECT source, lang, n1, s1, q1,
+      |             n - n1 AS n2, s - s1 AS s2, q - q1 AS q2
+      |      FROM cells, tot WHERE n - n1 >= 8),
+      |z AS (SELECT source, lang, n1,
+      |        round((CAST(CAST(n2 AS HUGEINT) * s1
+      |                    - CAST(n1 AS HUGEINT) * s2 AS DOUBLE)
+      |               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+      |              / sqrt(CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1
+      |                          AS DOUBLE)
+      |                     / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) / n1
+      |                     + CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2
+      |                            AS DOUBLE)
+      |                     / (CAST(n2 AS DOUBLE) * (n2 - 1.0)) / n2), 4)
+      |          AS zval
+      |      FROM w),
+      |p AS (SELECT source, lang, n1, zval,
+      |        CAST(round(((0.254829592 * t - 0.284496736 * t * t
+      |          + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+      |          + 1.061405429 * t * t * t * t * t) * exp(-x * x))
+      |          * 1000000000.0) AS BIGINT) AS p_e9
+      |      FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t
+      |            FROM (SELECT *, abs(zval) / sqrt(2.0) AS x FROM z))),
+      |r AS (SELECT *,
+      |        COUNT(*) OVER () AS m,
+      |        ROW_NUMBER() OVER (ORDER BY p_e9, source, lang) AS rk
+      |      FROM p),
+      |k AS (SELECT *,
+      |        MAX(CASE WHEN p_e9 * 20 * m <= rk * 1000000000
+      |                 THEN rk ELSE 0 END) OVER () AS kstar
+      |      FROM r)
+      |SELECT CAST(rk AS INTEGER) AS rk, source, lang,
+      |       CAST(n1 AS BIGINT) AS n, zval AS z, p_e9,
+      |       p_e9 * 20 <= 1000000000 AS rej_naive,
+      |       p_e9 * 20 * m <= 1000000000 AS rej_bonf,
+      |       rk <= kstar AS rej_bh
+      |FROM k ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bh_fdr" -> (bhFdr _),
     "q_anova" -> (anova _),
     "q_hill_tail" -> (hillTail _),
     "q_woe_iv" -> (woeIv _),
@@ -2826,6 +2951,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bh_fdr" -> bhFdrOracle,
     "q_anova" -> anovaOracle,
     "q_hill_tail" -> hillTailOracle,
     "q_woe_iv" -> woeIvOracle,

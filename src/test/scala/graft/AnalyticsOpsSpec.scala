@@ -550,4 +550,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("srm: md5-lattice replay; only the planted experiment fires") {
+    import graft.ops.AnalyticsOps
+    val got = AnalyticsOps.srm(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // driver replay: exposure = distinct (event_id%4, user), assignment
+    // by the same md5 48-bit lattice, the experiment-0 arm-B drop, and
+    // the exact half-up e6 chi-square
+    val ev = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0) % 4, r.getLong(1))).distinct
+    def arm(e: Long, u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srm_${e}_$u".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(12)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val want = ev.map { case (e, u) => (e, u, arm(e, u)) }
+      .filterNot { case (e, u, a) => e == 0 && a == "B" && u % 10 < 4 }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (e, g) =>
+        val na = g.count(_._3 == "A").toLong
+        val nb = g.count(_._3 == "B").toLong
+        val chi = (2 * (na - nb) * (na - nb) * 1000000L + (na + nb)) /
+          (2 * (na + nb))
+        (e, na, nb, chi, chi > 3841459L)
+      }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.count(_._5) == 1 && got.find(_._5).get._1 == 0L,
+      "exactly the planted experiment must trip the gate")
+  }
 }

@@ -460,4 +460,81 @@ class GraphOpsSpec extends SparkSpec {
       s"got $got want pivot=$pivot nodes=${nodes.size} " +
         s"edges=${edges.size} scc=${scc.size}")
   }
+
+  /** Undirected co-purchase half-edges (p1 < p2) rebuilt driver-side —
+    * the [[GraphOps.coPurchasePairs]] fixture for the rich-club and
+    * square-census replays. */
+  private def coPurchaseHalf(): Set[(Long, Long)] = {
+    val op = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    op.groupBy(_._1).values.flatMap { g =>
+      val parts = g.map(_._2).distinct.sorted
+      if (parts.length >= 2 && parts.length <= 20)
+        for (i <- parts.indices; j <- (i + 1) until parts.length)
+          yield (parts(i), parts(j))
+      else Seq.empty
+    }.toSet
+  }
+
+  test("rich club: curve equals driver-side threshold sweep") {
+    val half = coPurchaseHalf()
+    val deg = half.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ks = deg.values.toSet ++
+      half.map(p => math.min(deg(p._1), deg(p._2)))
+    val want = ks.toSeq.sorted.flatMap { k =>
+      val nk = deg.values.count(_ > k).toLong
+      val ek = half.count(p => deg(p._1) > k && deg(p._2) > k).toLong
+      if (nk >= 2)
+        Some((k, nk, ek,
+          BigDecimal(2.0 * ek / (nk.toDouble * (nk - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val got = GraphOps.richClub(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the query's threshold grid is the distinct histogram values that
+    // survive the N_k >= 2 gate — compare on the intersection of grids
+    // plus monotone-N sanity
+    val gotMap = got.map(t => t._1 -> t).toMap
+    assert(got.map(_._1).toSet == want.map(_._1).toSet,
+      "threshold grids diverge")
+    want.foreach { w =>
+      assert(gotMap(w._1) == w, s"mismatch at k=${w._1}: ${gotMap(w._1)} vs $w")
+    }
+    assert(got.nonEmpty && got.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)), "N_k must be non-increasing in k")
+  }
+
+  test("square count: census equals driver-side common-neighbor fold") {
+    val half = coPurchaseHalf()
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    half.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    // λ_uv over all pairs sharing ≥1 neighbor: fold over wedge centers
+    val lam = collection.mutable.Map.empty[(Long, Long), Long]
+    adj.foreach { case (_, nbrs) =>
+      val s = nbrs.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        lam((s(i), s(j))) = lam.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val sumC2 = lam.values.map(c => c * (c - 1) / 2).sum
+    val rows = GraphOps.squareCount(spark, sfTiny).collect()
+    val census = rows.filter(_.getInt(0) == -1).head
+    assert(census.getLong(1) == lam.size.toLong, "diagonal pair count")
+    assert(census.getLong(2) == sumC2, "sum C(cn,2)")
+    assert(census.getLong(3) == lam.values.max, "max common neighbors")
+    assert(census.getLong(4) == sumC2 / 2, "square census")
+    val top = rows.filter(_.getInt(0) > 0)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wantTop = lam.toSeq.map { case ((u, v), c) => (u, v, c) }
+      .sortBy(t => (-t._3, t._1, t._2)).take(10).zipWithIndex
+      .map { case ((u, v, c), i) => (i + 1, u, v, c) }
+    assert(top.toSeq == wantTop, s"top pairs: ${top.take(3).toSeq} vs " +
+      s"${wantTop.take(3)}")
+  }
 }

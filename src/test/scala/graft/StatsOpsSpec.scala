@@ -558,4 +558,49 @@ class StatsOpsSpec extends SparkSpec {
         s"$src: W1 below the mean gap")
     }
   }
+
+  test("bh-fdr: driver replay; step-up set nests between bonferroni and naive") {
+    val rows = StatsOps.bhFdr(spark, sfTiny).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))
+    assert(rows.nonEmpty, "gate must leave cells at sf0.001")
+    // p ascending with rank; rejection sets are prefix-shaped and nested
+    assert(rows.sortBy(_._1).map(_._6).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)), "p_e9 must ascend with rank")
+    rows.foreach { r =>
+      if (r._8) assert(r._9, s"bonferroni reject at rk=${r._1} must be BH reject")
+      if (r._9) assert(r._7, s"BH reject at rk=${r._1} must be naive reject")
+    }
+    val m = rows.length.toLong
+    val kstar = rows.filter(r => r._6 * 20L * m <= r._1 * 1000000000L)
+      .map(_._1).reduceOption(_ max _).getOrElse(0)
+    rows.foreach(r => assert(r._9 == (r._1 <= kstar), "step-up property"))
+    // driver replay of one cell's z and p from raw integer moments
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val head = rows.minBy(_._1)
+    val cell = docs.filter(d => d._1 == head._2 && d._2 == head._3)
+    val rest = docs.filterNot(d => d._1 == head._2 && d._2 == head._3)
+    def mom(xs: Array[(String, String, Long)]) =
+      (xs.length.toLong, xs.map(t => BigInt(t._3)).sum,
+        xs.map(t => BigInt(t._3) * t._3).sum)
+    val (n1, s1, q1) = mom(cell); val (n2, s2, q2) = mom(rest)
+    val z = ((BigDecimal(n2) * BigDecimal(s1) - BigDecimal(n1) * BigDecimal(s2))
+      .toDouble / (n1.toDouble * n2.toDouble)) /
+      math.sqrt((BigDecimal(n1) * BigDecimal(q1) - BigDecimal(s1) * BigDecimal(s1))
+        .toDouble / (n1.toDouble * (n1 - 1.0)) / n1 +
+        (BigDecimal(n2) * BigDecimal(q2) - BigDecimal(s2) * BigDecimal(s2))
+          .toDouble / (n2.toDouble * (n2 - 1.0)) / n2)
+    val zr = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(zr == head._5, s"z replay: $zr vs ${head._5}")
+    val x = math.abs(zr) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val p = (0.254829592 * t - 0.284496736 * t * t + 1.421413741 * t * t * t
+      - 1.453152027 * t * t * t * t + 1.061405429 * t * t * t * t * t) *
+      math.exp(-x * x)
+    assert(math.round(p * 1000000000.0) == head._6,
+      s"p replay: ${math.round(p * 1e9)} vs ${head._6}")
+  }
 }
