@@ -803,6 +803,111 @@ object Medallion {
     * the runtime variant a BI layer exercises constantly — filters
     * arrive through dimension tables, not partition-column literals.
     */
+  // --------------------------------------- deletion vectors (MOR read)
+  /** Merge-on-read positional deletes — the Iceberg-v2 / Delta
+    * deletion-vector read path, the third delete strategy beside
+    * copy-on-write ([[partitionReplace]]) and log-fold ([[cdcApply]]):
+    * data files are IMMUTABLE and deletes ship as (file, position)
+    * vectors applied at read time by an anti-join. Base layout:
+    * orders bucketed into 8 "files" (o_orderkey mod 8) with the
+    * write-time position = row_number per file in key order — the
+    * position a real writer freezes into the file footer. Two delete
+    * sources compose, exactly as they do in production: an EQUALITY
+    * delete (every order of the c_custkey mod 97 == 0 GDPR cohort)
+    * rewritten to positions through the base (the write-path rewrite
+    * that keeps reads join-free on payload columns), and a direct
+    * POSITIONAL vector left by an earlier compaction (file 3, every
+    * 50th position). The read applies the DISTINCT union (the two
+    * sources overlap — both tallies ship beside the deduped count so
+    * the overlap is visible), and per-file live counts + exact cents
+    * prove the identity n_rows = n_live + n_deleted row by row.
+    *
+    * Scale shape: positions are assigned once at write (the per-file
+    * window here stands in for the writer's file-local row counter —
+    * partitioned by file, never global); DV frames are deleted-rows-
+    * sized, broadcast into one anti-join keyed (file, pos); the
+    * readout is one per-file aggregate. No payload column ever joins
+    * against the DV — that's the point of positional deletes. */
+  def deleteVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(8L)).as("file_id"))
+      .withColumn("pos", row_number().over(pos).cast("long"))
+    val gdpr = Tables.customer(spark, sfDir)
+      .filter(pmod(col("c_custkey"), lit(97L)) === 0L)
+      .select(col("c_custkey"))
+    val dvEq = base.join(gdpr, base("o_custkey") === gdpr("c_custkey"))
+      .select(col("file_id"), col("pos"))
+    val dvPos = base.filter(col("file_id") === 3L && col("pos") % 50L === 0L)
+      .select(col("file_id"), col("pos"))
+    val dv = dvEq.unionByName(dvPos).distinct()
+    val perFileDeleted = dv.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_deleted"))
+    val live = base.join(dv, Seq("file_id", "pos"), "left_anti")
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).cast("long")
+          .as("live_cents"))
+    base.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+      .join(dvEq.groupBy(col("file_id")).agg(count(lit(1)).as("n_eq")),
+        Seq("file_id"), "left_outer")
+      .join(dvPos.groupBy(col("file_id")).agg(count(lit(1)).as("n_pos")),
+        Seq("file_id"), "left_outer")
+      .join(perFileDeleted, Seq("file_id"), "left_outer")
+      .join(live, Seq("file_id"), "left_outer")
+      .na.fill(0L, Seq("n_eq", "n_pos", "n_deleted"))
+      .withColumn("identity_ok",
+        col("n_rows") === col("n_live") + col("n_deleted"))
+      .select(col("file_id"), col("n_rows"), col("n_eq"), col("n_pos"),
+        col("n_deleted"), col("n_live"), col("live_cents"),
+        col("identity_ok"))
+      .orderBy(col("file_id"))
+  }
+
+  private val deleteVectorsOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderkey % 8 AS file_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 8
+      |                                 ORDER BY o_orderkey) AS BIGINT) AS pos
+      |  FROM orders),
+      |dv_eq AS (
+      |  SELECT file_id, pos FROM base
+      |  JOIN customer ON o_custkey = c_custkey AND c_custkey % 97 = 0),
+      |dv_pos AS (
+      |  SELECT file_id, pos FROM base
+      |  WHERE file_id = 3 AND pos % 50 = 0),
+      |dv AS (SELECT DISTINCT file_id, pos FROM
+      |         (SELECT * FROM dv_eq UNION ALL SELECT * FROM dv_pos)),
+      |live AS (
+      |  SELECT b.file_id, CAST(COUNT(*) AS BIGINT) AS n_live,
+      |         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS live_cents
+      |  FROM base b ANTI JOIN dv
+      |    ON b.file_id = dv.file_id AND b.pos = dv.pos
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM base
+      |  GROUP BY 1)
+      |SELECT a.file_id, a.n_rows,
+      |       COALESCE(e.n_eq, 0) AS n_eq,
+      |       COALESCE(p.n_pos, 0) AS n_pos,
+      |       COALESCE(d.n_deleted, 0) AS n_deleted,
+      |       l.n_live, l.live_cents,
+      |       a.n_rows = l.n_live + COALESCE(d.n_deleted, 0) AS identity_ok
+      |FROM agg a
+      |LEFT JOIN (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_eq
+      |           FROM dv_eq GROUP BY 1) e ON e.file_id = a.file_id
+      |LEFT JOIN (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_pos
+      |           FROM dv_pos GROUP BY 1) p ON p.file_id = a.file_id
+      |LEFT JOIN (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_deleted
+      |           FROM dv GROUP BY 1) d ON d.file_id = a.file_id
+      |LEFT JOIN live l ON l.file_id = a.file_id
+      |ORDER BY a.file_id""".stripMargin
+
   def dppPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val factTbl = s"${warehouse(sfDir)}/events_by_day"
     val dimTbl = s"${warehouse(sfDir)}/day_dim"
@@ -1016,6 +1121,7 @@ object Medallion {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_scd2" -> (cdcScd2 _),
+    "q_delete_vectors" -> (deleteVectors _),
     "q_wap" -> (wap _),
     "q_cdc_apply" -> (cdcApply _),
     "q_dpp_prune" -> (dppPrune _),
@@ -1031,6 +1137,7 @@ object Medallion {
 
   def oracles: Map[String, String] = Map(
     "q_cdc_scd2" -> cdcScd2Oracle,
+    "q_delete_vectors" -> deleteVectorsOracle,
     "q_wap" -> wapOracle,
     "q_cdc_apply" -> cdcApplyOracle,
     "q_dpp_prune" -> dppPruneOracle,

@@ -276,4 +276,33 @@ class MedallionSpec extends SparkSpec {
     assert(Medallion.latestVersion(spark, base).contains(1))
     assert(Medallion.snapshotRead(spark, base).count() == 2L)
   }
+
+  test("delete vectors: MOR read equals the driver-side eager delete") {
+    val got = Medallion.deleteVectors(spark, sfTiny).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // eager (copy-on-write) replay: apply both delete sources to the
+    // positioned base driver-side, then diff against the MOR readout
+    val orders = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gdpr = Tables.customer(spark, sfTiny)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).toSet
+    val byFile = orders.groupBy(_._1 % 8)
+    val want = byFile.toSeq.sortBy(_._1).map { case (f, g) =>
+      val positioned = g.sortBy(_._1).zipWithIndex
+        .map { case ((ok, ck, c), i) => (ok, ck, c, i + 1L) }
+      val eq = positioned.filter(t => gdpr.contains(t._2)).map(_._4).toSet
+      val pv = positioned.filter(t => f == 3L && t._4 % 50 == 0).map(_._4).toSet
+      val dv = eq ++ pv
+      val live = positioned.filterNot(t => dv.contains(t._4))
+      (f, g.length.toLong, eq.size.toLong, pv.size.toLong, dv.size.toLong,
+        live.length.toLong, live.map(_._3).sum,
+        g.length.toLong == live.length + dv.size)
+    }
+    assert(got.toSeq == want, s"got ${got.head} want ${want.head}")
+    assert(got.forall(_._8), "n_rows = n_live + n_deleted must hold per file")
+  }
 }
