@@ -2516,6 +2516,141 @@ object CurationOps {
        |FROM d2 CROSS JOIN g
        |GROUP BY bin, g.n_all, g.sb ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------- Brier decomposition
+  /** Murphy decomposition of the Brier score (Murphy '73) over the
+    * held-out confidence/correctness frame — the diagnosis BEHIND
+    * [[nbCalibration]]'s reliability table: Brier = REL − RES + UNC
+    * (+ the within-bin variance and covariance the binned estimate
+    * hides — the generalized five-term identity, pinned to 0 by the
+    * shipped gap column). REL
+    * (calibration: bin confidence vs bin accuracy) is the part
+    * [[tempScaling]] can fix; RES (resolution: how far bin accuracies
+    * spread from the base rate) is the part no recalibration can buy
+    * back; UNC is the base-rate entropy floor. The shipped gap column
+    * pins the algebraic identity inside the result itself.
+    *
+    * Exactness: the event is "top-1 prediction correct", forecast =
+    * top-1 softmax confidence on the e6 lattice. Every bin moment
+    * (n_k, C_k, S_k, Q_k) and the global Brier numerator are EXACT
+    * integers in decimal(38)/HUGEINT; each decomposition term is a
+    * sum over ≤10 bins of exact-integer-numerator ratios cast to
+    * double (the anova discipline — cancellation-free numerators:
+    * (S_k−1e6·C_k)², (N·C_k−n_k·C)², (n_k·Q_k−S_k²), all ≥0 products
+    * of exact integers), rounded at 6 dp.
+    *
+    * Scale shape: one held-out softmax pass (the nbCalibration plan),
+    * a 10-row bin frame, a 1-row global frame — the decomposition
+    * itself costs nothing beyond the inference scan. */
+  def brierDecomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val dec = "CAST(conf_e6 AS DECIMAL(38,0))"
+    val docs = nbSoftmaxFrame(heldOut, model, counts)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("rn") === 1, col("q_e6"))).cast("long").as("conf_e6"),
+        max(when(col("rn") === 1, col("cls"))).as("pred"))
+      .withColumn("correct",
+        when(col("pred") === col("lang"), 1L).otherwise(0L))
+      .withColumn("bin",
+        least(call_function("div", col("conf_e6") * 10L, lit(1000000L)),
+          lit(9L)))
+    val bins = docs.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("correct")).cast("long").as("c_k"),
+        sum(expr(dec)).as("s_k"),
+        sum(expr(s"$dec * conf_e6")).as("q_k"),
+        sum(expr(s"$dec * correct")).as("py_k"))
+    val g = docs.agg(count(lit(1)).as("n"),
+      sum(col("correct")).cast("long").as("c"),
+      sum(expr(s"(conf_e6 - 1000000 * correct) * " +
+        "CAST(conf_e6 - 1000000 * correct AS DECIMAL(38,0))")).as("sb"))
+    bins.crossJoin(broadcast(g))
+      .agg(first(col("n")).as("n"), first(col("c")).as("n_correct"),
+        first(expr("CAST(sb AS DOUBLE)")).as("sbd"),
+        sum(expr("CAST((s_k - 1000000 * CAST(c_k AS DECIMAL(38,0))) " +
+          "* (s_k - 1000000 * CAST(c_k AS DECIMAL(38,0))) AS DOUBLE) " +
+          "/ n_k")).as("rel_num"),
+        sum(expr("CAST((CAST(n AS DECIMAL(38,0)) * c_k " +
+          "- CAST(n_k AS DECIMAL(38,0)) * c) " +
+          "* (CAST(n AS DECIMAL(38,0)) * c_k " +
+          "- CAST(n_k AS DECIMAL(38,0)) * c) AS DOUBLE) / n_k"))
+          .as("res_num"),
+        sum(expr("CAST(CAST(n_k AS DECIMAL(38,0)) * q_k - s_k * s_k " +
+          "AS DOUBLE) / n_k")).as("wbv_num"),
+        sum(expr("CAST(CAST(n_k AS DECIMAL(38,0)) * py_k - s_k * c_k " +
+          "AS DOUBLE) / n_k")).as("wbc_num"))
+      .select(col("n"), col("n_correct"),
+        round(col("sbd") / col("n") / 1.0e12, 6).as("brier"),
+        round(col("rel_num") / col("n") / 1.0e12, 6).as("reliability"),
+        round(col("res_num") / col("n") / col("n") / col("n"), 6)
+          .as("resolution"),
+        round(col("n_correct").cast("double")
+          * (col("n") - col("n_correct")).cast("double")
+          / col("n") / col("n"), 6).as("uncertainty"),
+        round(col("wbv_num") / col("n") / 1.0e12, 6).as("wbv"),
+        round(lit(2.0) * col("wbc_num") / col("n") / 1.0e6, 6).as("wbc"),
+        round(col("sbd") / col("n") / 1.0e12
+          - (col("rel_num") / col("n") / 1.0e12
+            - col("res_num") / col("n") / col("n") / col("n")
+            + col("n_correct").cast("double")
+              * (col("n") - col("n_correct")).cast("double")
+              / col("n") / col("n")
+            + col("wbv_num") / col("n") / 1.0e12
+            - lit(2.0) * col("wbc_num") / col("n") / 1.0e6), 6)
+          .as("decomp_gap"))
+  }
+
+  private val brierDecompOracle =
+    s"""WITH $nbSoftmaxSqlCommon,
+       |docs AS (SELECT doc_id, lang,
+       |           CAST(SUM(CASE WHEN rn = 1 THEN q_e6 END) AS BIGINT)
+       |             AS conf_e6,
+       |           MAX(CASE WHEN rn = 1 THEN cls END) AS pred
+       |         FROM pq GROUP BY doc_id, lang),
+       |d2 AS (SELECT *, CASE WHEN pred = lang THEN 1 ELSE 0 END AS correct,
+       |              LEAST(conf_e6 * 10 // 1000000, 9) AS bin FROM docs),
+       |bins AS (SELECT bin, COUNT(*) AS n_k,
+       |           CAST(SUM(correct) AS BIGINT) AS c_k,
+       |           SUM(CAST(conf_e6 AS HUGEINT)) AS s_k,
+       |           SUM(CAST(conf_e6 AS HUGEINT) * conf_e6) AS q_k,
+       |           SUM(CAST(conf_e6 AS HUGEINT) * correct) AS py_k
+       |         FROM d2 GROUP BY bin),
+       |g AS (SELECT COUNT(*) AS n, CAST(SUM(correct) AS BIGINT) AS c,
+       |        SUM(CAST(conf_e6 - 1000000 * correct AS HUGEINT)
+       |            * (conf_e6 - 1000000 * correct)) AS sb
+       |      FROM d2),
+       |terms AS (SELECT ANY_VALUE(n) AS n, ANY_VALUE(c) AS n_correct,
+       |    ANY_VALUE(CAST(sb AS DOUBLE)) AS sbd,
+       |    SUM(CAST((s_k - 1000000 * CAST(c_k AS HUGEINT))
+       |             * (s_k - 1000000 * CAST(c_k AS HUGEINT)) AS DOUBLE)
+       |        / n_k) AS rel_num,
+       |    SUM(CAST((CAST(n AS HUGEINT) * c_k - CAST(n_k AS HUGEINT) * c)
+       |             * (CAST(n AS HUGEINT) * c_k - CAST(n_k AS HUGEINT) * c)
+       |             AS DOUBLE) / n_k) AS res_num,
+       |    SUM(CAST(CAST(n_k AS HUGEINT) * q_k - s_k * s_k AS DOUBLE)
+       |        / n_k) AS wbv_num,
+       |    SUM(CAST(CAST(n_k AS HUGEINT) * py_k - s_k * c_k AS DOUBLE)
+       |        / n_k) AS wbc_num
+       |  FROM bins, g)
+       |SELECT CAST(n AS BIGINT) AS n, n_correct,
+       |       ROUND(sbd / n / 1.0e12, 6) AS brier,
+       |       ROUND(rel_num / n / 1.0e12, 6) AS reliability,
+       |       ROUND(res_num / n / n / n, 6) AS resolution,
+       |       ROUND(CAST(n_correct AS DOUBLE)
+       |             * CAST(n - n_correct AS DOUBLE) / n / n, 6)
+       |         AS uncertainty,
+       |       ROUND(wbv_num / n / 1.0e12, 6) AS wbv,
+       |       ROUND(2.0 * wbc_num / n / 1.0e6, 6) AS wbc,
+       |       ROUND(sbd / n / 1.0e12
+       |             - (rel_num / n / 1.0e12
+       |               - res_num / n / n / n
+       |               + CAST(n_correct AS DOUBLE)
+       |                 * CAST(n - n_correct AS DOUBLE) / n / n
+       |               + wbv_num / n / 1.0e12
+       |               - 2.0 * wbc_num / n / 1.0e6), 6) AS decomp_gap
+       |FROM terms""".stripMargin
+
   // ---------------------------------------------- temperature scaling
   /** Temperature-scaling fit (Guo et al. ICML'17 — the one-parameter
     * calibration fix that became standard): grid-search T over the
@@ -3673,6 +3808,7 @@ object CurationOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_adaboost_stumps" -> (adaboostStumps _),
+    "q_brier_decomp" -> (brierDecomp _),
     "q_logreg_train" -> (logregTrain _),
     "q_tracin" -> (tracin _),
     "q_fairness_audit" -> (fairnessAudit _),

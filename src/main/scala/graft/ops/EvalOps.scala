@@ -373,15 +373,135 @@ object EvalOps {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ chrF
+  /** chrF₂ (Popović WMT'15) — the character-n-gram F-score that
+    * complements [[genEval]]'s token-level BLEU/ROUGE: tokenization-
+    * free (the reason chrF won the WMT metric bake-offs on
+    * morphology-rich languages), computed here over character 2- and
+    * 3-grams of the space-stripped text, same candidate construction
+    * as genEval (80% prefix, every 7th token substituted) so the two
+    * metrics are directly comparable on the same "generation".
+    *
+    * The β=2 F-score reduces ALGEBRAICALLY to exact integers:
+    * F_β = (1+β²)PR/(β²P+R) with P = m/c, R = m/r collapses to
+    * 5m/(4r+c) at β=2 — so the entire metric is clipped-match counts
+    * and two half-up e6 divisions; chrF macro-averages the orders on
+    * the same lattice ((f₂+f₃+1) div 2). NO transcendental, NO float:
+    * the only doubles BLEU needed (ln/exp of precisions) never appear.
+    * Clipping is per document (the genEval rule): match(g) =
+    * min(count_cand(g), count_ref(g)) within the doc.
+    *
+    * Scale shape: the genEval plan — char-gram streams explode from
+    * bounded per-doc sequences (no windows needed at all here: grams
+    * come from substring over a generated index, pure map-side), ONE
+    * corpus exchange groups (doc, ord, gram), then a lang×2 rollup. */
+  def chrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .withColumn("ref_s", expr("array_join(ws, '')"))
+      // candidate: prefix ⌈0.8n⌉ tokens, every 7th (1-based) → SubTok;
+      // transform's index is 0-based so position i+1 carries the rule
+      .withColumn("cand_s", expr(
+        s"""array_join(transform(slice(ws, 1, (4 * size(ws) + 4) div 5),
+           |  (x, i) -> IF((i + 1) % $SubEvery = 0, '$SubTok', x)), '')"""
+          .stripMargin.replace("\n", " ")))
+
+    def grams(src: Column, ord: Int, isCand: Boolean) =
+      base.select(col("doc_id"), col("lang"), lit(ord).as("ord"),
+          explode(expr(s"transform(sequence(1, char_length(${src.toString
+            }) - ${ord - 1}), i -> substring(${src.toString}, i, $ord))"))
+            .as("gram"),
+          lit(if (isCand) 1L else 0L).as("is_cand"),
+          lit(if (isCand) 0L else 1L).as("is_ref"))
+        .where(length(col(src.toString)) >= ord)
+
+    val streams = Seq(
+      grams(col("ref_s"), 2, isCand = false),
+      grams(col("ref_s"), 3, isCand = false),
+      grams(col("cand_s"), 2, isCand = true),
+      grams(col("cand_s"), 3, isCand = true))
+      .reduce(_ unionByName _)
+    val perGram = streams
+      .groupBy(col("doc_id"), col("lang"), col("ord"), col("gram"))
+      .agg(sum(col("is_cand")).as("c"), sum(col("is_ref")).as("r"))
+    val perOrd = perGram.groupBy(col("lang"), col("ord"))
+      .agg(sum(least(col("c"), col("r"))).cast("long").as("m"),
+        sum(col("c")).cast("long").as("c"),
+        sum(col("r")).cast("long").as("r"))
+      // F₂ = 5m/(4r+c) exactly, half-up on the e6 lattice
+      .withColumn("f_e6", expr(
+        "(2 * 5 * m * 1000000 + (4 * r + c)) div (2 * (4 * r + c))"))
+    perOrd.groupBy(col("lang")).agg(
+        sum(when(col("ord") === 2, col("m")).otherwise(0L)).cast("long").as("m2"),
+        sum(when(col("ord") === 2, col("c")).otherwise(0L)).cast("long").as("c2"),
+        sum(when(col("ord") === 2, col("r")).otherwise(0L)).cast("long").as("r2"),
+        sum(when(col("ord") === 3, col("m")).otherwise(0L)).cast("long").as("m3"),
+        sum(when(col("ord") === 3, col("c")).otherwise(0L)).cast("long").as("c3"),
+        sum(when(col("ord") === 3, col("r")).otherwise(0L)).cast("long").as("r3"),
+        sum(when(col("ord") === 2, col("f_e6")).otherwise(0L)).cast("long").as("f2_e6"),
+        sum(when(col("ord") === 3, col("f_e6")).otherwise(0L)).cast("long").as("f3_e6"))
+      .withColumn("chrf_e6", expr("(f2_e6 + f3_e6 + 1) div 2"))
+      .orderBy(col("lang"))
+  }
+
+  private val chrfOracle =
+    s"""WITH doc AS (
+       |  SELECT doc_id, lang, replace(text, ' ', '') AS ref_s,
+       |         array_to_string(list_transform(
+       |           list_slice(string_split(text, ' '), 1,
+       |             (4 * len(string_split(text, ' ')) + 4) // 5),
+       |           (x, i) -> CASE WHEN i % $SubEvery = 0 THEN '$SubTok'
+       |                          ELSE x END), '') AS cand_s
+       |  FROM documents),
+       |streams AS (
+       |  SELECT doc_id, lang, o.ord,
+       |         substr(s.s, CAST(i AS INTEGER), o.ord) AS gram,
+       |         s.is_cand, s.is_ref
+       |  FROM doc,
+       |       LATERAL (VALUES (ref_s, 0, 1), (cand_s, 1, 0))
+       |         AS s(s, is_cand, is_ref),
+       |       LATERAL (VALUES (2), (3)) AS o(ord),
+       |       LATERAL unnest(range(1, len(s.s) - o.ord + 2)) AS g(i)
+       |  WHERE len(s.s) >= o.ord),
+       |per_gram AS (
+       |  SELECT doc_id, lang, ord, gram,
+       |         SUM(is_cand) AS c, SUM(is_ref) AS r
+       |  FROM streams GROUP BY 1, 2, 3, 4),
+       |per_ord AS (
+       |  SELECT lang, ord,
+       |         CAST(SUM(LEAST(c, r)) AS BIGINT) AS m,
+       |         CAST(SUM(c) AS BIGINT) AS c,
+       |         CAST(SUM(r) AS BIGINT) AS r
+       |  FROM per_gram GROUP BY 1, 2),
+       |f AS (
+       |  SELECT *, CAST((2 * 5 * m * 1000000 + (4 * r + c))
+       |                 // (2 * (4 * r + c)) AS BIGINT) AS f_e6
+       |  FROM per_ord)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN ord = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+       |  CAST(SUM(CASE WHEN ord = 2 THEN c ELSE 0 END) AS BIGINT) AS c2,
+       |  CAST(SUM(CASE WHEN ord = 2 THEN r ELSE 0 END) AS BIGINT) AS r2,
+       |  CAST(SUM(CASE WHEN ord = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+       |  CAST(SUM(CASE WHEN ord = 3 THEN c ELSE 0 END) AS BIGINT) AS c3,
+       |  CAST(SUM(CASE WHEN ord = 3 THEN r ELSE 0 END) AS BIGINT) AS r3,
+       |  CAST(SUM(CASE WHEN ord = 2 THEN f_e6 ELSE 0 END) AS BIGINT) AS f2_e6,
+       |  CAST(SUM(CASE WHEN ord = 3 THEN f_e6 ELSE 0 END) AS BIGINT) AS f3_e6,
+       |  CAST((SUM(CASE WHEN ord = 2 THEN f_e6 ELSE 0 END)
+       |        + SUM(CASE WHEN ord = 3 THEN f_e6 ELSE 0 END) + 1) // 2
+       |       AS BIGINT) AS chrf_e6
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_best_of_n" -> (bestOfN _),
     "q_gen_eval" -> (genEval _),
+    "q_chrf" -> (chrf _),
     "q_pass_at_k" -> (passAtK _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_best_of_n" -> bestOfNOracle,
     "q_gen_eval" -> genEvalOracle,
+    "q_chrf" -> chrfOracle,
     "q_pass_at_k" -> passAtKOracle
   )
 }

@@ -101,6 +101,78 @@ object SimilarityOps {
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------- MRR
+  /** Mean reciprocal rank over the label-relevance retrieval task —
+    * the first-hit metric beside [[graft.ops.RetrievalOps.ndcg]]'s
+    * graded gain: per query (the [[annBruteforce]] query set), rank
+    * the held-out candidates by cosine and find the FIRST rank whose
+    * label matches the query's; RR = 1/rank, MRR averages over
+    * queries, 0 for a query with no relevant candidate (the TREC
+    * convention). Both the reciprocal and the mean are exact half-up
+    * integer divisions on the e9 lattice — (2e9 + r) div 2r, then
+    * (2Σ + n) div 2n — so no float enters between the cosine ranking
+    * (the adjudicated annBruteforce order) and the shipped numbers.
+    * Per-query rows ship with a sentinel qid=-1 summary row.
+    *
+    * Scale shape: identical to annBruteforce — tiny query side
+    * broadcast, candidates stream, per-query rank windows keyed by
+    * qid; the min-rank reduction is a hash aggregate. At corpus scale
+    * the candidate set comes from the IVF probe and the window is
+    * unchanged (if the first relevant hit is outside the probed set,
+    * production MRR@k reports 0 — same convention). */
+  def mrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").as("qlabel"))
+    val cands = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cn"), col("label").as("clabel"))
+    val ranked = cands.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine("qv", "qn", "cv", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)).cast("long"))
+    val firstRel = ranked.filter(col("clabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(min(col("rank")).as("first_rank"))
+    val per = queries.select(col("qid"))
+      .join(firstRel, Seq("qid"), "left_outer")
+      .withColumn("rr_e9", when(col("first_rank").isNull, 0L)
+        .otherwise(expr("(2000000000 + first_rank) div (2 * first_rank)")))
+    val summary = per.agg(count(lit(1)).as("n"),
+        sum(col("rr_e9")).as("s"))
+      .select(lit(-1L).as("qid"), lit(null).cast("long").as("first_rank"),
+        expr("(2 * s + n) div (2 * n)").as("rr_e9"))
+    per.select(col("qid"), col("first_rank"), col("rr_e9"))
+      .unionByName(summary)
+      .orderBy(col("qid"))
+  }
+
+  private val mrrOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < 5),
+       |ranked AS (
+       |  SELECT qid, qlabel, label AS clabel,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY ${cosineSql("qv", "embedding")} DESC, vec_id ASC)
+       |           AS BIGINT) AS rank
+       |  FROM embeddings CROSS JOIN q
+       |  WHERE vec_id >= 5),
+       |fr AS (SELECT qid, MIN(rank) AS first_rank FROM ranked
+       |       WHERE clabel = qlabel GROUP BY 1),
+       |per AS (
+       |  SELECT q.qid, fr.first_rank,
+       |         CASE WHEN fr.first_rank IS NULL THEN 0
+       |              ELSE (2000000000 + fr.first_rank)
+       |                   // (2 * fr.first_rank) END AS rr_e9
+       |  FROM q LEFT JOIN fr ON fr.qid = q.qid)
+       |SELECT qid, first_rank, CAST(rr_e9 AS BIGINT) AS rr_e9 FROM per
+       |UNION ALL
+       |SELECT -1, NULL,
+       |       CAST((2 * SUM(rr_e9) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+       |FROM per
+       |ORDER BY qid""".stripMargin
+
   // ---------------------------------------------------- bitext mining
   /** Margin-based bitext mining (Artetxe & Schwenk '19; the LASER/
     * CCMatrix construction behind every large multilingual parallel
@@ -3047,6 +3119,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mauve" -> (mauve _),
     "q_knn_shapley" -> (knnShapley _),
+    "q_mrr" -> (mrr _),
     "q_coreset" -> (coreset _),
     "q_pca_power" -> (pcaPower _),
     "q_kcenter" -> (kcenter _),
@@ -3082,6 +3155,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q_mauve" -> mauveOracle,
     "q_knn_shapley" -> knnShapleyOracle,
+    "q_mrr" -> mrrOracle,
     "q_coreset" -> coresetOracle,
     "q_pca_power" -> pcaPowerOracle,
     "q_kcenter" -> kcenterOracle,

@@ -1189,4 +1189,25 @@ class CurationOpsSpec extends SparkSpec {
       assert(selfI >= 0L)
     }
   }
+
+  test("brier decomposition: five-term identity exact, terms sane") {
+    import graft.ops.CurationOps
+    val r = CurationOps.brierDecomp(spark, sfTiny).collect().head
+    val (n, nc) = (r.getLong(0), r.getLong(1))
+    val brier = r.getDouble(2); val rel = r.getDouble(3)
+    val res = r.getDouble(4); val unc = r.getDouble(5)
+    val gap = r.getDouble(8)
+    assert(gap == 0.0, s"identity gap must round to zero, got $gap")
+    assert(rel >= 0.0 && res >= 0.0, "REL and RES are sums of squares")
+    val p = nc.toDouble / n
+    assert(math.abs(unc - BigDecimal(p * (1 - p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+      "uncertainty is the base-rate variance")
+    assert(brier >= 0.0 && brier <= 1.0)
+    // the calibration table shares the held-out split (its Brier is the
+    // MULTICLASS sum over classes; this op's is the binary top-1
+    // confidence event — different by design, sizes must agree)
+    val cal = CurationOps.nbCalibration(spark, sfTiny).collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == n, "held-out sizes agree")
+  }
 }

@@ -132,4 +132,43 @@ class EvalOpsSpec extends SparkSpec {
       assert(b1 < 0.0, "unigram logprob rewards are negative")
     }
   }
+
+  test("chrf: driver char-ngram replay; F2 algebra and order-average hold") {
+    import graft.ops.EvalOps
+    val rows = EvalOps.chrf(spark, sfTiny).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(rows.nonEmpty)
+    // driver replay: same candidate construction, per-doc clipping
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def gramCount(s: String, n: Int): Map[String, Long] =
+      if (s.length < n) Map.empty
+      else (0 to s.length - n).map(i => s.substring(i, i + n))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val agg = collection.mutable.Map.empty[(String, Int), (Long, Long, Long)]
+    docs.foreach { case (_, lang, text) =>
+      val ws = text.split(" ", -1)
+      val ref = ws.mkString("")
+      val keep = (4 * ws.length + 4) / 5
+      val cand = ws.take(keep).zipWithIndex
+        .map { case (w, i) => if ((i + 1) % 7 == 0) "the" else w }
+        .mkString("")
+      for (n <- Seq(2, 3)) {
+        val (rc, cc) = (gramCount(ref, n), gramCount(cand, n))
+        val m = cc.map { case (g, c) => math.min(c, rc.getOrElse(g, 0L)) }.sum
+        val (pm, pc, pr) = agg.getOrElse((lang, n), (0L, 0L, 0L))
+        agg((lang, n)) = (pm + m, pc + cc.values.sum, pr + rc.values.sum)
+      }
+    }
+    rows.foreach { case (lang, m2, c2, r2, m3, c3, r3, f2, f3, chrf) =>
+      assert(agg((lang, 2)) == ((m2, c2, r2)), s"$lang ord2 counts")
+      assert(agg((lang, 3)) == ((m3, c3, r3)), s"$lang ord3 counts")
+      assert(f2 == (2 * 5 * m2 * 1000000L + (4 * r2 + c2)) / (2 * (4 * r2 + c2)))
+      assert(f3 == (2 * 5 * m3 * 1000000L + (4 * r3 + c3)) / (2 * (4 * r3 + c3)))
+      assert(chrf == (f2 + f3 + 1) / 2)
+    }
+  }
 }

@@ -874,4 +874,36 @@ class SimilaritySpec extends SparkSpec {
       assert(meanY > 0.5, s"interior-grid MAUVE height $meanY too low")
     }
   }
+
+  test("mrr: driver replay of first-relevant ranks and the exact mean") {
+    import graft.ops.SimilarityOps
+    val got = SimilarityOps.mrr(spark, sfTiny).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSeq
+    val all = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val (qs, cs) = all.partition(_._1 < 5)
+    val per = qs.sortBy(_._1).map { case (qid, qv, qlab) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val ranked = cs.map { case (cid, cv, clab) =>
+        (cid, dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))), clab)
+      }.sortBy(t => (-t._2, t._1))
+      val fr = ranked.indexWhere(_._3 == qlab)
+      if (fr < 0) (qid, -1L, 0L)
+      else {
+        val r = fr + 1L
+        (qid, r, (2000000000L + r) / (2 * r))
+      }
+    }
+    val n = per.length
+    val want = per :+ ((-1L, -1L, (2 * per.map(_._3).sum + n) / (2L * n)))
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+      s"got ${got.sortBy(_._1).toSeq} want ${want.sortBy(_._1).toSeq}")
+  }
 }
