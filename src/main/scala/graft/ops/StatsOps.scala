@@ -2782,6 +2782,170 @@ object StatsOps {
       |         AS f_stat
       |FROM parts""".stripMargin
 
+  // --------------------------------------------- Kruskal-Wallis H
+  /** Kruskal–Wallis rank test (K–W '52) across sources on doc length —
+    * the distribution-free sibling of [[anova]] (which assumes
+    * normal-ish tails; lengths are heavy-tailed, exactly K–W's use
+    * case). The textbook evaluation globally SORTS to assign ranks —
+    * the epoch-shuffle anti-pattern; here ranks come from the VALUE
+    * HISTOGRAM instead: midrank(v) = #smaller + (ties+1)/2, read off
+    * one cumulative window over the value-domain-sized histogram
+    * (the survivalKm day-domain discipline), carried throughout as
+    * 2×rank integers so ties never create fractions. Per-group rank
+    * sums are exact decimal(38); H = 3·Σ(2R_g)²/n_g / (N(N+1)) −
+    * 3(N+1) and the tie correction C = 1 − Σ(t³−t)/(N³−N) are
+    * anova-style ratios of exact integers, two final doubles.
+    *
+    * Scale shape: one hash aggregate to (value, source) cells + one
+    * value-histogram window (bounded by the length domain, not the
+    * corpus) + a groups-sized rollup. NO global sort anywhere — at
+    * 100 TB ranks still cost one histogram pass. */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c_gv"))
+    val hist = cells.groupBy(col("v")).agg(sum(col("c_gv")).as("cnt"))
+      .withColumn("before", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // 2×midrank: 2·#smaller + ties + 1 — integer even with ties
+      .withColumn("r2", lit(2L) * col("before") + col("cnt") + lit(1L))
+    val perGroup = cells.join(hist.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("c_gv")).as("n_g"),
+        sum(expr("CAST(c_gv AS DECIMAL(38,0)) * r2")).as("s2_g"))
+    val ties = hist.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("t3t"),
+      sum(col("cnt")).as("n"))
+    perGroup.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).as("k"), first(col("n")).as("n"),
+        first(expr("CAST(t3t AS DOUBLE)")).as("t3t"),
+        sum(expr("CAST(s2_g * s2_g AS DOUBLE) / n_g")).as("s2sum"))
+      .select(col("n"), col("k"),
+        round(lit(3.0) * col("s2sum")
+          / (col("n").cast("double") * (col("n") + 1L).cast("double"))
+          - lit(3.0) * (col("n") + 1L).cast("double"), 6).as("h"),
+        round(lit(1.0) - col("t3t")
+          / (col("n").cast("double") * col("n") * col("n")
+            - col("n").cast("double")), 6).as("tie_c"),
+        round((lit(3.0) * col("s2sum")
+          / (col("n").cast("double") * (col("n") + 1L).cast("double"))
+          - lit(3.0) * (col("n") + 1L).cast("double"))
+          / (lit(1.0) - col("t3t")
+            / (col("n").cast("double") * col("n") * col("n")
+              - col("n").cast("double"))), 6).as("h_corrected"))
+  }
+
+  private val kruskalWallisOracle =
+    """WITH cells AS (
+      |  SELECT n_chars AS v, source, COUNT(*) AS c_gv
+      |  FROM documents GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT v, CAST(SUM(c_gv) AS BIGINT) AS cnt FROM cells GROUP BY 1),
+      |h2 AS (
+      |  SELECT v, cnt,
+      |         COALESCE(SUM(cnt) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS before
+      |  FROM hist),
+      |r AS (SELECT v, 2 * before + cnt + 1 AS r2 FROM h2),
+      |pg AS (
+      |  SELECT source, CAST(SUM(c_gv) AS BIGINT) AS n_g,
+      |         SUM(CAST(c_gv AS HUGEINT) * r2) AS s2_g
+      |  FROM cells JOIN r USING (v) GROUP BY 1),
+      |t AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3t,
+      |             CAST(SUM(cnt) AS BIGINT) AS n
+      |      FROM hist),
+      |agg AS (SELECT COUNT(*) AS k, ANY_VALUE(n) AS n,
+      |          ANY_VALUE(CAST(t3t AS DOUBLE)) AS t3t,
+      |          SUM(CAST(s2_g * s2_g AS DOUBLE) / n_g) AS s2sum
+      |        FROM pg, t)
+      |SELECT n, CAST(k AS BIGINT) AS k,
+      |  ROUND(3.0 * s2sum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |        - 3.0 * CAST(n + 1 AS DOUBLE), 6) AS h,
+      |  ROUND(1.0 - t3t / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE)),
+      |        6) AS tie_c,
+      |  ROUND((3.0 * s2sum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |         - 3.0 * CAST(n + 1 AS DOUBLE))
+      |        / (1.0 - t3t / (CAST(n AS DOUBLE) * n * n
+      |                        - CAST(n AS DOUBLE))), 6) AS h_corrected
+      |FROM agg""".stripMargin
+
+  // --------------------------------------------- Cramér's V
+  /** Cramér's V association strength for the source×lang contingency
+    * table — the effect size [[chiSquare]]'s statistic lacks (χ²
+    * grows with N; V = √(χ²/(N·(min(r,c)−1))) is the [0,1] strength a
+    * data-mix dashboard can threshold). Expected counts are rationals
+    * of marginals, so each χ² term uses the cancellation-free form
+    * (N·O − R·C)²/(N·R·C) — exact decimal(38)/HUGEINT numerators cast
+    * to double per cell (the anova discipline), summed over the
+    * |sources|×|langs| frame. Absent cells contribute (R·C)²/(N·R·C)
+    * = R·C/N, so the zero-cell mass is added in closed form from the
+    * marginals alone — the observed-cell scan never fans out to the
+    * full cross product.
+    *
+    * Scale shape: one contingency aggregate + two marginal rollups,
+    * everything after is bounded-frame math. */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val obs = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rm = obs.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val cm = obs.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("source")).as("kr"),
+      countDistinct(col("lang")).as("kc"))
+    // observed cells: ((N·O − R·C)² − (R·C)²)/(N·R·C) each, so adding
+    // the closed-form all-cells mass Σ R·C/N = N yields the full χ²
+    val obsTerms = obs.join(rm, Seq("source")).join(cm, Seq("lang"))
+      .crossJoin(broadcast(n))
+      .agg(sum(expr(
+        """(CAST((CAST(n AS DECIMAL(38,0)) * o
+          |       - CAST(rt AS DECIMAL(38,0)) * ct)
+          |      * (CAST(n AS DECIMAL(38,0)) * o
+          |         - CAST(rt AS DECIMAL(38,0)) * ct) AS DOUBLE)
+          | - CAST(CAST(rt AS DECIMAL(38,0)) * ct
+          |        * (CAST(rt AS DECIMAL(38,0)) * ct) AS DOUBLE))
+          | / CAST(CAST(n AS DECIMAL(38,0)) * rt * ct AS DOUBLE)
+          |""".stripMargin.replace("\n", " "))).as("obs_mass"))
+    obsTerms.crossJoin(broadcast(n))
+      .select(col("n"), col("kr"), col("kc"),
+        round(col("obs_mass") + col("n").cast("double"), 6).as("chi2"),
+        ((col("kr") - 1L) * (col("kc") - 1L)).as("dof"),
+        round(sqrt((col("obs_mass") + col("n").cast("double"))
+          / (col("n").cast("double")
+            * (least(col("kr"), col("kc")) - 1L).cast("double"))), 6)
+          .as("v"))
+  }
+
+  private val cramersVOracle =
+    """WITH obs AS (
+      |  SELECT source, lang, COUNT(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+      |cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |             CAST(COUNT(DISTINCT source) AS BIGINT) AS kr,
+      |             CAST(COUNT(DISTINCT lang) AS BIGINT) AS kc
+      |      FROM obs),
+      |terms AS (
+      |  SELECT SUM((CAST((CAST(n.n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+      |                   * (CAST(n.n AS HUGEINT) * o
+      |                      - CAST(rt AS HUGEINT) * ct) AS DOUBLE)
+      |              - CAST(CAST(rt AS HUGEINT) * ct
+      |                     * (CAST(rt AS HUGEINT) * ct) AS DOUBLE))
+      |             / CAST(CAST(n.n AS HUGEINT) * rt * ct AS DOUBLE))
+      |           AS obs_mass
+      |  FROM obs JOIN rm USING (source) JOIN cm USING (lang), n)
+      |SELECT n.n, n.kr, n.kc,
+      |       ROUND(obs_mass + CAST(n.n AS DOUBLE), 6) AS chi2,
+      |       (n.kr - 1) * (n.kc - 1) AS dof,
+      |       ROUND(sqrt((obs_mass + CAST(n.n AS DOUBLE))
+      |                  / (CAST(n.n AS DOUBLE)
+      |                     * CAST(LEAST(n.kr, n.kc) - 1 AS DOUBLE))), 6)
+      |         AS v
+      |FROM terms, n""".stripMargin
+
   // ------------------------------------------------- BH-FDR screen
   /** Benjamini–Hochberg FDR screen (B–H '95) over a grid of slice
     * hypotheses — the multiple-testing control a metrics platform must
@@ -2908,6 +3072,8 @@ object StatsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bh_fdr" -> (bhFdr _),
+    "q_kruskal_wallis" -> (kruskalWallis _),
+    "q_cramers_v" -> (cramersV _),
     "q_anova" -> (anova _),
     "q_hill_tail" -> (hillTail _),
     "q_woe_iv" -> (woeIv _),
@@ -2952,6 +3118,8 @@ object StatsOps {
 
   def oracles: Map[String, String] = Map(
     "q_bh_fdr" -> bhFdrOracle,
+    "q_kruskal_wallis" -> kruskalWallisOracle,
+    "q_cramers_v" -> cramersVOracle,
     "q_anova" -> anovaOracle,
     "q_hill_tail" -> hillTailOracle,
     "q_woe_iv" -> woeIvOracle,

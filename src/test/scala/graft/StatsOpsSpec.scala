@@ -603,4 +603,53 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.round(p * 1000000000.0) == head._6,
       s"p replay: ${math.round(p * 1e9)} vs ${head._6}")
   }
+
+  test("kruskal-wallis: histogram midranks equal the textbook sorted-rank replay") {
+    val r = StatsOps.kruskalWallis(spark, sfTiny).collect().head
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // textbook path: global sort, midranks over ties
+    val sorted = docs.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1.0).sum / g.length).toMap
+    val n = docs.length
+    val sumR2overN = docs.groupBy(_._1).values.map { g =>
+      val rg = g.map(t => rank(t._2)).sum
+      rg * rg / g.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumR2overN - 3.0 * (n + 1)
+    assert(math.abs(r.getDouble(2) - h) < 1e-4,
+      s"H: got ${r.getDouble(2)} want $h")
+    val ties = docs.map(_._2).groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    val c = 1.0 - ties.toDouble / (n.toDouble * n * n - n)
+    assert(math.abs(r.getDouble(3) - c) < 1e-6, "tie correction")
+    assert(math.abs(r.getDouble(4) - h / c) < 1e-4, "corrected H")
+    assert(r.getLong(0) == n && r.getLong(1) ==
+      docs.map(_._1).distinct.length)
+  }
+
+  test("cramers v: full-contingency chi2 replay incl. absent cells; V in [0,1]") {
+    val r = StatsOps.cramersV(spark, sfTiny).collect().head
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toDouble
+    val rm = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cm = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val om = docs.groupBy(identity).view.mapValues(_.length).toMap
+    // naive full cross product over ALL (row, col) incl. zero cells
+    val chi2 = (for (rk <- rm.keys.toSeq; ck <- cm.keys.toSeq) yield {
+      val e = rm(rk) * cm(ck) / n
+      val o = om.getOrElse((rk, ck), 0)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-4,
+      s"chi2: got ${r.getDouble(3)} want $chi2")
+    val v = math.sqrt(chi2 / (n * (math.min(rm.size, cm.size) - 1)))
+    assert(math.abs(r.getDouble(5) - v) < 1e-6, "V")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(r.getLong(4) == (rm.size - 1).toLong * (cm.size - 1))
+  }
 }
