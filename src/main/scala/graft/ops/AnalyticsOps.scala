@@ -1170,6 +1170,205 @@ object AnalyticsOps {
       |            AS BIGINT) > 3841459 AS srm
       |FROM c ORDER BY experiment""".stripMargin
 
+  // ------------------------------------------------- Page-Hinkley
+  /** Page–Hinkley drift test (Page '54, the sequential CUSUM variant
+    * the stream-mining literature standardized for mean-increase
+    * detection) per event type over the daily count series — the
+    * question a feed-health monitor asks: "did this event's volume
+    * drift up, and WHEN did we have enough evidence". m_t accumulates
+    * (x_i − x̄_i − δ) with the RUNNING mean x̄_i (that's what makes it
+    * sequential rather than a fixed-baseline CUSUM); the alarm
+    * statistic g_t = m_t − min_{i≤t} m_i fires at λ.
+    *
+    * Parity: each increment's rational core (i·x_i − S_i)/i is exact
+    * integers in one IEEE division, e6 half-up per term (the
+    * survivalKm per-term quantization), so m_t, the running min, and
+    * every g_t are EXACT integers — alarm decisions can never split
+    * on float noise. δ=0, λ=8e6 (8 cumulative events above the
+    * running mean at fixture volume; the knob a platform tunes).
+    *
+    * Scale shape: the corpus reduces to |types|×|days| cells in one
+    * aggregate; all three windows (cumsum, running min via cumulative
+    * min, alarm scan) share the (event_type, day) sort — ONE window
+    * exchange over a bounded frame, the survivalKm day-domain
+    * discipline. The same recurrence streams: state = (t, S, m, min m)
+    * per key. */
+  def pageHinkley(spark: SparkSession, sfDir: String): DataFrame = {
+    val PhLambdaE6 = 8000000L
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("x")).over(cum))
+      .withColumn("term_e6",
+        expr("CAST(round(CAST(t * x - s AS DOUBLE) * 1000000.0 / t) " +
+          "AS BIGINT)"))
+      .withColumn("m", sum(col("term_e6")).over(cum))
+      .withColumn("m_min", min(col("m")).over(cum))
+      .withColumn("g", col("m") - col("m_min"))
+    stepped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("g")).as("max_g_e6"),
+        sum(when(col("g") > PhLambdaE6, 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("g") > PhLambdaE6, col("day"))).as("first_alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
+  private val pageHinkleyOracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, day, x,
+      |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+      |         CAST(SUM(x) OVER w AS BIGINT) AS s
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tm AS (
+      |  SELECT *, CAST(round(CAST(t * x - s AS DOUBLE) * 1000000.0 / t)
+      |                 AS BIGINT) AS term_e6
+      |  FROM st),
+      |mm AS (
+      |  SELECT *, CAST(SUM(term_e6) OVER w AS BIGINT) AS m
+      |  FROM tm
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |gg AS (
+      |  SELECT *, m - MIN(m) OVER w AS g
+      |  FROM mm
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |       CAST(MAX(g) AS BIGINT) AS max_g_e6,
+      |       CAST(SUM(CASE WHEN g > 8000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_alarm_days,
+      |       MIN(CASE WHEN g > 8000000 THEN day END) AS first_alarm_day
+      |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- Hurst exponent
+  /** Hurst exponent by rescaled-range analysis (Hurst '51 / the
+    * Mandelbrot–Wallis R/S procedure) over the daily total-event
+    * series — long-range-dependence triage for capacity planning:
+    * H≈0.5 means days are memoryless (bursts don't cluster), H→1
+    * means load autocorrelates and peak provisioning must assume
+    * runs. For each dyadic scale n ∈ {4,8,16} the day series splits
+    * into ⌊T/n⌋ full blocks; per block the cumulative deviation range
+    * R and population σ come from EXACT integer moments (n·cumdev =
+    * n·P_t − t·T_b is integer, so n·R is an integer max-minus-min;
+    * n²·σ² = n·Q − T² likewise), making ln(R/S) = ln(nR / √(n²σ²))
+    * one transcendental per block, e6-quantized (the micro-nat
+    * convention) and half-up-averaged per scale. Ĥ is the exact OLS
+    * slope of mean-ln(R/S) on ln(n) over the three points.
+    *
+    * Scale shape: the corpus reduces to the day domain in one
+    * aggregate; the ×3 scale fan-out, per-block windows, and the
+    * 3-row regression all run on bounded frames. Zero-variance blocks
+    * are excluded (R/S undefined), reported via n_blocks. */
+  def hurst(spark: SparkSession, sfDir: String): DataFrame = {
+    val scales = Seq(4, 8, 16)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t0", row_number().over(Window.orderBy(col("day")))
+        .cast("long") - 1L)
+    val fanned = daily.withColumn("n",
+        explode(typedLit(scales.map(_.toLong))))
+      .withColumn("blk", expr("t0 div n"))
+      .withColumn("i", pmod(col("t0"), col("n")) + lit(1L))
+    val wb = Window.partitionBy(col("n"), col("blk"))
+    val wcum = wb.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = fanned
+      .withColumn("blk_sz", count(lit(1)).over(wb))
+      .filter(col("blk_sz") === col("n"))
+      .withColumn("p", sum(col("x")).over(wcum))
+      .withColumn("tb", sum(col("x")).over(wb))
+      .withColumn("qb", sum(col("x") * col("x")).over(wb))
+      // n·cumdev_t = n·P_t − t·T_b : exact integers
+      .withColumn("ndev", col("n") * col("p") - col("i") * col("tb"))
+      .groupBy(col("n"), col("blk"))
+      .agg(max(col("ndev")).as("mx"), min(least(col("ndev"), lit(0L))).as("mn"),
+        first(col("tb")).as("tb"), first(col("qb")).as("qb"))
+      // R·n = mx − min(mn, 0) (cumdev at t=0 is 0, included in range);
+      // n²σ² = n·Q − T²
+      .withColumn("rn", col("mx") - col("mn"))
+      .withColumn("n2var", col("n") * col("qb") - col("tb") * col("tb"))
+      .filter(col("n2var") > 0L && col("rn") > 0L)
+      .withColumn("ln_rs_e6",
+        expr("CAST(round(ln(CAST(rn AS DOUBLE) / sqrt(CAST(n2var AS " +
+          "DOUBLE))) * 1000000.0) AS BIGINT)"))
+    val perScale = blocks.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("ln_rs_e6")).as("s_ln"))
+      .withColumn("mean_ln_e6",
+        expr("CAST((2 * s_ln + n_blocks) div (2 * n_blocks) AS BIGINT)"))
+      .withColumn("ln_n", log(col("n").cast("double")))
+    // exact 3-point OLS slope on (ln n, mean_ln/1e6)
+    val fit = perScale.agg(count(lit(1)).as("k"),
+      sum(col("ln_n")).as("sx"), sum(col("ln_n") * col("ln_n")).as("sxx"),
+      sum(col("mean_ln_e6").cast("double") / 1000000.0).as("sy"),
+      sum(col("ln_n") * col("mean_ln_e6").cast("double") / 1000000.0)
+        .as("sxy"))
+    val h = fit.select(
+      round((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("hurst"))
+    perScale.select(col("n"), col("n_blocks"), col("mean_ln_e6"))
+      .crossJoin(broadcast(h))
+      .orderBy(col("n"))
+  }
+
+  private val hurstOracle =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1
+      |           AS t0
+      |  FROM daily),
+      |fanned AS (
+      |  SELECT x, t0, n.n, t0 // n.n AS blk, t0 % n.n + 1 AS i
+      |  FROM idx, (VALUES (4), (8), (16)) AS n(n)),
+      |sized AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY n, blk) AS blk_sz
+      |  FROM fanned),
+      |full_blocks AS (SELECT * FROM sized WHERE blk_sz = n),
+      |dev AS (
+      |  SELECT n, blk, i,
+      |         n * SUM(x) OVER (PARTITION BY n, blk ORDER BY i
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - i * SUM(x) OVER (PARTITION BY n, blk) AS ndev,
+      |         SUM(x) OVER (PARTITION BY n, blk) AS tb,
+      |         SUM(x * x) OVER (PARTITION BY n, blk) AS qb
+      |  FROM full_blocks),
+      |blocks AS (
+      |  SELECT n, blk,
+      |         MAX(ndev) - MIN(LEAST(ndev, 0)) AS rn,
+      |         ANY_VALUE(n * qb - tb * tb) AS n2var
+      |  FROM dev GROUP BY 1, 2),
+      |lnrs AS (
+      |  SELECT n, CAST(round(ln(CAST(rn AS DOUBLE)
+      |              / sqrt(CAST(n2var AS DOUBLE))) * 1000000.0) AS BIGINT)
+      |           AS ln_rs_e6
+      |  FROM blocks WHERE n2var > 0 AND rn > 0),
+      |per_scale AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |         CAST((2 * SUM(ln_rs_e6) + COUNT(*)) // (2 * COUNT(*))
+      |              AS BIGINT) AS mean_ln_e6,
+      |         ln(CAST(n AS DOUBLE)) AS ln_n
+      |  FROM lnrs GROUP BY n),
+      |fit AS (
+      |  SELECT COUNT(*) AS k, SUM(ln_n) AS sx, SUM(ln_n * ln_n) AS sxx,
+      |         SUM(CAST(mean_ln_e6 AS DOUBLE) / 1000000.0) AS sy,
+      |         SUM(ln_n * CAST(mean_ln_e6 AS DOUBLE) / 1000000.0) AS sxy
+      |  FROM per_scale)
+      |SELECT CAST(n AS BIGINT) AS n, n_blocks, mean_ln_e6,
+      |       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+      |FROM per_scale, fit ORDER BY n""".stripMargin
+
   // ------------------------------------------------- survival curve
   /** Kaplan–Meier survival over user lifetimes — churn's canonical
     * estimator: a user "dies" on their last active day unless that day
@@ -1996,6 +2195,8 @@ object AnalyticsOps {
     "q_pareto_users" -> (paretoUsers _),
     "q_ab_test" -> (abTest _),
     "q_srm" -> (srm _),
+    "q_page_hinkley" -> (pageHinkley _),
+    "q_hurst" -> (hurst _),
     "q_survival_km" -> (survivalKm _),
     "q_user_similarity" -> (userSimilarity _),
     "q_ks_test" -> (ksTest _),
@@ -2038,6 +2239,8 @@ object AnalyticsOps {
     "q_pareto_users" -> paretoUsersOracle,
     "q_ab_test" -> abTestOracle,
     "q_srm" -> srmOracle,
+    "q_page_hinkley" -> pageHinkleyOracle,
+    "q_hurst" -> hurstOracle,
     "q_survival_km" -> survivalKmOracle,
     "q_user_similarity" -> userSimilarityOracle,
     "q_ks_test" -> ksTestOracle,

@@ -580,4 +580,65 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.count(_._5) == 1 && got.find(_._5).get._1 == 0L,
       "exactly the planted experiment must trip the gate")
   }
+
+  test("page-hinkley: sequential driver recurrence matches the window form") {
+    import graft.ops.AnalyticsOps
+    val got = AnalyticsOps.pageHinkley(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val daily = Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, g) =>
+      var t = 0L; var sum = 0L; var m = 0L; var mMin = 0L
+      var maxG = 0L; var alarms = 0L
+      g.sortBy(_._2).foreach { case (_, _, x) =>
+        t += 1; sum += x
+        m += math.round((t * x - sum).toDouble * 1000000.0 / t)
+        mMin = math.min(mMin, m)
+        val gg = m - mMin
+        maxG = math.max(maxG, gg)
+        if (gg > 8000000L) alarms += 1
+      }
+      (et, g.length.toLong, maxG, alarms)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
+  test("hurst: per-block R/S replay at n=4; slope from the 3 scale means") {
+    import graft.ops.AnalyticsOps
+    val rows = AnalyticsOps.hurst(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val xs = Tables.events(spark, sfTiny)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).orderBy(col("day")).collect()
+      .map(_.getLong(1))
+    def meanLn(n: Int): Long = {
+      val lns = xs.grouped(n).filter(_.length == n).flatMap { blk =>
+        val tb = blk.sum; val qb = blk.map(v => v * v).sum
+        val cum = blk.scanLeft(0L)(_ + _).tail
+        val ndev = cum.zipWithIndex.map { case (p, i) =>
+          n * p - (i + 1) * tb }
+        val rn = ndev.max - math.min(ndev.min, 0L)
+        val n2var = n * qb - tb * tb
+        if (n2var > 0 && rn > 0)
+          Some(math.round(math.log(rn.toDouble /
+            math.sqrt(n2var.toDouble)) * 1000000.0))
+        else None
+      }.toSeq
+      (2 * lns.sum + lns.length) / (2L * lns.length)
+    }
+    for ((n, nb, mln, _) <- rows) {
+      assert(mln == meanLn(n.toInt), s"mean ln(R/S) at n=$n")
+      assert(nb == xs.grouped(n.toInt).count(_.length == n.toInt))
+    }
+    // slope replay over the three (ln n, mean) points
+    val pts = rows.map(t => (math.log(t._1.toDouble), t._3 / 1.0e6))
+    val k = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum,
+      pts.map(p => p._1 * p._2).sum)
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(rows.head._4 - slope) < 1e-4, "OLS slope")
+  }
 }
