@@ -263,6 +263,96 @@ object GraphOps {
       |         AS assortativity
       |FROM m""".stripMargin
 
+  // ------------------------------------------ harmonic centrality
+  /** Sampled harmonic centrality (Boldi–Vigna '14's argument for WHY
+    * harmonic: closeness breaks on disconnected graphs, 1/∞ = 0
+    * doesn't) — H(v) = Σ_s 1/d(s,v) over the [[bfsHops]] seed set,
+    * the "which nodes are reachable from everywhere, fast" ranking a
+    * lineage or link-graph system runs with sampled sources exactly
+    * like [[stressCentrality]] samples pivots. The forward pass is
+    * the bfsHops multi-source BFS keyed (seed, node) — min-merge per
+    * round, per-round localCheckpoint, frontier-drain early exit —
+    * and every reciprocal is the exact half-up e9 integer division
+    * (2e9+d) div 2d, so the per-node sums and the ranking are pure
+    * integers. Top-20 ship with degree for context.
+    *
+    * Scale shape: state is (seeds × reach)-bounded narrow rows; every
+    * hop shuffles on the same key (bucket once); seed count is the
+    * sampling knob — exact per seed, coverage linear in seeds. */
+  def harmonicCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val deg = edges.groupBy(col("src").as("part"))
+      .agg(count_distinct(col("dst")).as("degree"))
+    var dist = Tables.part(spark, sfDir).filter(col("p_partkey") <= 5)
+      .select(col("p_partkey").as("s"), col("p_partkey").as("part"),
+        lit(0).as("d"))
+      .localCheckpoint(eager = true)
+    var h = 1
+    var frontierSize = 1L
+    while (h <= 4 && frontierSize > 0L) {
+      val next = dist.filter(col("d") === h - 1)
+        .join(edges, col("part") === col("src"))
+        .select(col("s"), col("dst").as("part"), lit(h).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy(col("s"), col("part")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
+      frontierSize = dist.filter(col("d") === h).count()
+      h += 1
+    }
+    val out = dist.filter(col("d") >= 1)
+      .withColumn("rr_e9", expr("(2000000000 + d) div (2 * d)"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("rr_e9")).as("harmonic_e9"))
+      .join(deg, Seq("part"), "left_outer")
+      .na.fill(0L, Seq("degree"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("harmonic_e9").desc, col("part"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("part"), col("n_sources"),
+        col("harmonic_e9"), col("degree"))
+      .orderBy(col("rk"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val harmonicCentralityOracle =
+    """WITH RECURSIVE
+      |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (
+      |  SELECT l_orderkey FROM op GROUP BY 1
+      |  HAVING COUNT(*) BETWEEN 2 AND 20),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM op a
+      |  JOIN op b ON a.l_orderkey = b.l_orderkey
+      |           AND a.l_partkey <> b.l_partkey
+      |  JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |deg AS (SELECT src AS part, CAST(COUNT(DISTINCT dst) AS BIGINT)
+      |          AS degree FROM e GROUP BY 1),
+      |bfs AS (
+      |  SELECT p_partkey AS s, p_partkey AS part, 0 AS d
+      |  FROM part WHERE p_partkey <= 5
+      |  UNION
+      |  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.part
+      |  WHERE bfs.d < 4),
+      |md AS (SELECT s, part, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+      |hc AS (
+      |  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |         CAST(SUM((2000000000 + d) // (2 * d)) AS BIGINT)
+      |           AS harmonic_e9
+      |  FROM md WHERE d >= 1 GROUP BY 1)
+      |SELECT CAST(rk AS INTEGER) AS rk, part, n_sources, harmonic_e9,
+      |       COALESCE(degree, 0) AS degree
+      |FROM (SELECT hc.*, deg.degree,
+      |        ROW_NUMBER() OVER (ORDER BY harmonic_e9 DESC, part) AS rk
+      |      FROM hc LEFT JOIN deg USING (part))
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   // ---------------------------------------------------- rich club
   /** Rich-club coefficient curve (Zhou & Mondragón '04) over the
     * co-purchase graph — "do the hubs trade with each other": for each
@@ -1727,6 +1817,7 @@ object GraphOps {
     "q_stress_centrality" -> (stressCentrality _),
     "q_assortativity" -> (assortativity _),
     "q_rich_club" -> (richClub _),
+    "q_harmonic_centrality" -> (harmonicCentrality _),
     "q_square_count" -> (squareCount _),
     "q_ktruss" -> (ktruss _),
     "q_pagerank" -> (pagerank _),
@@ -1747,6 +1838,7 @@ object GraphOps {
     "q_stress_centrality" -> stressCentralityOracle,
     "q_assortativity" -> assortativityOracle,
     "q_rich_club" -> richClubOracle,
+    "q_harmonic_centrality" -> harmonicCentralityOracle,
     "q_square_count" -> squareCountOracle,
     "q_ktruss" -> ktrussOracle,
     "q_pagerank" -> pagerankOracle,

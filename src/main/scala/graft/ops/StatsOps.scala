@@ -2946,6 +2946,89 @@ object StatsOps {
       |         AS v
       |FROM terms, n""".stripMargin
 
+  // --------------------------------------- quantile treatment effect
+  /** Quantile treatment effect curve (the Lehmann–Doksom QTE — what
+    * [[graft.ops.AnalyticsOps.abTest]]'s mean difference hides: a
+    * treatment that helps the P90 while hurting the P20 averages to
+    * "no effect"): per experiment arm (the hash-split even/odd
+    * user_id), the d/10-quantiles of per-user purchase spend for
+    * d = 1..9, and their per-decile difference. Quantiles are the
+    * EXACT type-1 order statistics — q_d = min{v : cum(v) ≥
+    * ⌈d·n/10⌉} — evaluated with NO per-arm global sort: spend
+    * quantizes to the whole-currency lattice (the bounded-domain move
+    * that keeps the histogram value-sized; the GK/t-digest twins are
+    * the unbounded-domain path), the per-arm value histogram gets one
+    * cumulative window, and each decile row binds by the bounded
+    * (deciles × histogram) cum-interval join. Everything is integer
+    * arithmetic end to end — ranks via (d·n+9) div 10, no float
+    * anywhere.
+    *
+    * Scale shape: corpus → per-user aggregate → per-(arm, dollar)
+    * histogram (bounded by the currency domain) → 18-row decile
+    * frame. The windows run on histogram-sized frames only. */
+  def qte(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
+      .select(col("user_id"), expr("cents div 100").as("dollars"),
+        when(pmod(col("user_id"), lit(2L)) === 0L, "A").otherwise("B")
+          .as("arm"))
+    val hist = perUser.groupBy(col("arm"), col("dollars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("arm")).orderBy(col("dollars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val n = perUser.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val deciles = n.select(col("arm"), col("n"),
+        explode(expr("sequence(1, 9)")).as("d"))
+      .withColumn("r", expr("(d * n + 9) div 10"))
+    val q = deciles.join(hist, Seq("arm"))
+      .filter(col("cum_before") < col("r") && col("r") <= col("cum"))
+      .select(col("arm"), col("d"), col("dollars"))
+    q.groupBy(col("d"))
+      .agg(sum(when(col("arm") === "A", col("dollars"))).as("q_a"),
+        sum(when(col("arm") === "B", col("dollars"))).as("q_b"))
+      .withColumn("qte", col("q_b") - col("q_a"))
+      .orderBy(col("d"))
+  }
+
+  private val qteOracle =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(round(value * 100) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) // 100 AS dollars,
+      |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT arm, dollars, COUNT(*) AS cnt FROM pu GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY arm ORDER BY dollars
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum
+      |  FROM hist),
+      |n AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM pu GROUP BY 1),
+      |dec AS (
+      |  SELECT arm, n, d.d, (d.d * n + 9) // 10 AS r
+      |  FROM n, (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+      |         AS d(d)),
+      |q AS (
+      |  SELECT dec.arm, dec.d, cum.dollars
+      |  FROM dec JOIN cum ON dec.arm = cum.arm
+      |    AND cum.cum - cum.cnt < dec.r AND dec.r <= cum.cum)
+      |SELECT CAST(d AS INTEGER) AS d,
+      |       CAST(SUM(CASE WHEN arm = 'A' THEN dollars END) AS BIGINT)
+      |         AS q_a,
+      |       CAST(SUM(CASE WHEN arm = 'B' THEN dollars END) AS BIGINT)
+      |         AS q_b,
+      |       CAST(SUM(CASE WHEN arm = 'B' THEN dollars END)
+      |            - SUM(CASE WHEN arm = 'A' THEN dollars END) AS BIGINT)
+      |         AS qte
+      |FROM q GROUP BY d ORDER BY d""".stripMargin
+
   // ------------------------------------------------- BH-FDR screen
   /** Benjamini–Hochberg FDR screen (B–H '95) over a grid of slice
     * hypotheses — the multiple-testing control a metrics platform must
@@ -3072,6 +3155,7 @@ object StatsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bh_fdr" -> (bhFdr _),
+    "q_qte" -> (qte _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_cramers_v" -> (cramersV _),
     "q_anova" -> (anova _),
@@ -3118,6 +3202,7 @@ object StatsOps {
 
   def oracles: Map[String, String] = Map(
     "q_bh_fdr" -> bhFdrOracle,
+    "q_qte" -> qteOracle,
     "q_kruskal_wallis" -> kruskalWallisOracle,
     "q_cramers_v" -> cramersVOracle,
     "q_anova" -> anovaOracle,

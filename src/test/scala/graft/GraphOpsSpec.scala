@@ -537,4 +537,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(top.toSeq == wantTop, s"top pairs: ${top.take(3).toSeq} vs " +
       s"${wantTop.take(3)}")
   }
+
+  test("harmonic centrality: driver multi-source BFS replay") {
+    val got = GraphOps.harmonicCentrality(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val half = coPurchaseHalf()
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    half.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    val seeds = Tables.part(spark, sfTiny)
+      .filter(col("p_partkey") <= 5).collect().map(_.getLong(0))
+    val acc = collection.mutable.Map.empty[Long, (Long, Long)]
+    seeds.foreach { s =>
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      var h = 1
+      while (h <= 4 && frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> h)
+        frontier = next; h += 1
+      }
+      dist.filter(_._2 >= 1).foreach { case (v, d) =>
+        val (c, hsum) = acc.getOrElse(v, (0L, 0L))
+        acc(v) = (c + 1, hsum + (2000000000L + d) / (2L * d))
+      }
+    }
+    val want = acc.toSeq.map { case (v, (c, hsum)) =>
+      (v, c, hsum, adj.get(v).map(_.size.toLong).getOrElse(0L))
+    }.sortBy(t => (-t._3, t._1)).take(20).zipWithIndex
+      .map { case ((v, c, hsum, dg), i) => (i + 1, v, c, hsum, dg) }
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
 }

@@ -652,4 +652,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     assert(r.getLong(4) == (rm.size - 1).toLong * (cm.size - 1))
   }
+
+  test("qte: type-1 quantile replay via per-arm sort; deciles monotone") {
+    val got = StatsOps.qte(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pu = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+        .as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 100))
+    def qs(vals: Seq[Long]): Map[Int, Long] = {
+      val sorted = vals.sorted
+      (1 to 9).map { d =>
+        val r = (d * sorted.length + 9) / 10
+        d -> sorted(r - 1)
+      }.toMap
+    }
+    val a = qs(pu.filter(_._1 % 2 == 0).map(_._2).toSeq)
+    val b = qs(pu.filter(_._1 % 2 == 1).map(_._2).toSeq)
+    val want = (1 to 9).map(d => (d, a(d), b(d), b(d) - a(d)))
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      "arm-A deciles must be monotone")
+  }
 }
