@@ -1259,4 +1259,51 @@ object StreamingOps {
       .groupByKey(_.t)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class PhEv(t: String, day: String, x: Long)
+
+  final case class PhState(n: Long, s: Long, m: Long, mMin: Long,
+      maxG: Long, alarms: Long, firstAlarm: String)
+
+  final case class PhOut(event_type: String, n_days: Long, max_g_e6: Long,
+      n_alarm_days: Long, first_alarm_day: String)
+
+  /** Streaming Page–Hinkley twin (`mapGroupsWithState`, Update mode) —
+    * the live form of [[graft.ops.AnalyticsOps.pageHinkley]]: per-key
+    * state is exactly the recurrence's sufficient statistics
+    * (t, Σx, m, min m, max g, alarm tally, first alarm day), each
+    * arriving day folds in with the IDENTICAL e6-lattice increment
+    * round((t·x − S)·1e6 / t), so after the last day the state EQUALS
+    * the batch query's row — integer-exact, not approximately (the
+    * weightedReservoir twin discipline). Days are processed in
+    * event-time order (sorted within each micro-batch; the feed
+    * contract is chronological batches, the same contract the batch
+    * window's ORDER BY day expresses). O(1) state per key. */
+  def pageHinkleyStream(events: Dataset[PhEv], lambdaE6: Long = 8000000L)
+      : Dataset[PhOut] = {
+    import events.sparkSession.implicits._
+    def update(t: String, evs: Iterator[PhEv],
+               state: GroupState[PhState]): PhOut = {
+      var s = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L, 0L, 0L, ""))
+      evs.toSeq.sortBy(_.day).foreach { e =>
+        val n = s.n + 1
+        val sum = s.s + e.x
+        val m = s.m +
+          math.round((n * e.x - sum).toDouble * 1000000.0 / n)
+        val mMin = math.min(s.mMin, m)
+        val g = m - mMin
+        val alarmed = g > lambdaE6
+        s = PhState(n, sum, m, mMin, math.max(s.maxG, g),
+          s.alarms + (if (alarmed) 1 else 0),
+          if (s.firstAlarm.nonEmpty) s.firstAlarm
+          else if (alarmed) e.day else "")
+      }
+      state.update(s)
+      PhOut(t, s.n, s.maxG, s.alarms,
+        if (s.firstAlarm.isEmpty) null else s.firstAlarm)
+    }
+    events
+      .groupByKey(_.t)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -1322,4 +1322,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming page-hinkley state equals the batch drift query exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{PhEv, PhOut}
+
+    val daily = Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).orderBy(col("day")).collect()
+      .map(r => PhEv(r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val input = MemoryStream[PhEv]
+    val q = StreamingOps.pageHinkleyStream(input.toDS())
+      .writeStream.format("memory").queryName("ph_out")
+      .outputMode("update").start()
+    try {
+      // chronological micro-batches (the feed contract): 7-day chunks
+      daily.grouped(7 * 5).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val fin = spark.table("ph_out").as[PhOut].collect()
+        .groupBy(_.event_type).map { case (_, rs) => rs.maxBy(_.n_days) }
+      val streamed = fin.map(o => (o.event_type, o.n_days, o.max_g_e6,
+        o.n_alarm_days, Option(o.first_alarm_day).getOrElse(""))).toSet
+      val batch = graft.ops.AnalyticsOps.pageHinkley(spark, sfTiny)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) "" else r.getDate(4).toString)).toSet
+      assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    } finally q.stop()
+  }
 }
