@@ -2653,6 +2653,103 @@ object TextOps {
        |GROUP BY a.lang, a.bucket, b.best_id, b.best_adv_e6
        |ORDER BY a.lang, a.bucket""".stripMargin
 
+  // -------------------------------------------- UMass topic coherence
+  /** UMass topic coherence (Mimno et al. EMNLP'11) per source — the
+    * intrinsic "are these words actually about one thing" score every
+    * topic-model and cluster-labeling pipeline gates on, here applied
+    * to each source's top-10 document-frequency words as its
+    * pseudo-topic (the corpus-science question: does a source have a
+    * coherent vocabulary or a grab bag). C = Σ_{j>i} ln((D(wᵢ,wⱼ)+1)
+    * / D(wᵢ)) over the frequency-ordered top list, with D = within-
+    * source DOCUMENT frequencies (the UMass convention — corpus-
+    * internal, no external reference needed) and the +1 smoothing
+    * keeping never-co-occurring pairs finite. ALL 45 ordered pairs
+    * enter — absent co-occurrence rows are restored by a left join
+    * from the generated pair grid, because the zero-pair penalty IS
+    * the signal. Each ln is e6-quantized and integer-summed (the
+    * micro-nat convention).
+    *
+    * Scale shape: one (doc, word) distinct + a per-source top-k rank
+    * window (WindowGroupLimit) + joins that only ever touch the
+    * (sources × 10)-bounded top-word frame and its ≤45-pair grid; the
+    * co-doc count joins through the distinct incidence list keyed by
+    * doc, fanning ≤10² per doc. */
+  def topicCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val df = dw.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("d"))
+    val top = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("d").desc, col("w"))))
+      .filter(col("rk") <= 10)
+    // ordered pair grid: i = the more frequent (lower rank) word
+    val grid = top.as("a")
+      .join(top.select(col("source"), col("w").as("wj"),
+        col("rk").as("rkj")).as("b"), Seq("source"))
+      .filter(col("rk") < col("rkj"))
+      .select(col("source"), col("w").as("wi"), col("rk").as("rki"),
+        col("wj"), col("rkj"), col("d").as("di"))
+    // co-document counts restricted to top words of the same source
+    val hits = dw.join(top.select(col("source"), col("w"), col("rk")),
+      Seq("source", "w"))
+    val codoc = hits.as("x")
+      .join(hits.select(col("source"), col("doc_id"),
+        col("w").as("wj"), col("rk").as("rkj")).as("y"),
+        Seq("source", "doc_id"))
+      .filter(col("rk") < col("rkj"))
+      .groupBy(col("source"), col("w").as("wi"), col("wj"))
+      .agg(count(lit(1)).as("dij"))
+    grid.join(codoc, Seq("source", "wi", "wj"), "left_outer")
+      .na.fill(0L, Seq("dij"))
+      .withColumn("term_e6", expr(
+        "CAST(round(ln(CAST(dij + 1 AS DOUBLE) / di) * 1000000.0) " +
+          "AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dij") > 0L, 1L).otherwise(0L)).as("n_cooc_pairs"),
+        sum(col("term_e6")).as("coherence_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val topicCoherenceOracle =
+    """WITH dw AS (
+      |  SELECT DISTINCT source, doc_id, w
+      |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |df AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS d
+      |       FROM dw GROUP BY 1, 2),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT source, w, d,
+      |           ROW_NUMBER() OVER (PARTITION BY source
+      |                              ORDER BY d DESC, w) AS rk
+      |    FROM df) WHERE rk <= 10),
+      |grid AS (
+      |  SELECT a.source, a.w AS wi, a.rk AS rki, b.w AS wj, b.rk AS rkj,
+      |         a.d AS di
+      |  FROM top a JOIN top b ON a.source = b.source AND a.rk < b.rk),
+      |hits AS (
+      |  SELECT dw.source, dw.doc_id, dw.w, top.rk
+      |  FROM dw JOIN top ON dw.source = top.source AND dw.w = top.w),
+      |codoc AS (
+      |  SELECT x.source, x.w AS wi, y.w AS wj, CAST(COUNT(*) AS BIGINT)
+      |           AS dij
+      |  FROM hits x JOIN hits y
+      |    ON x.source = y.source AND x.doc_id = y.doc_id AND x.rk < y.rk
+      |  GROUP BY 1, 2, 3)
+      |SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(CASE WHEN COALESCE(dij, 0) > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_cooc_pairs,
+      |       CAST(SUM(CAST(round(ln(CAST(COALESCE(dij, 0) + 1 AS DOUBLE)
+      |                              / di) * 1000000.0) AS BIGINT))
+      |            AS BIGINT) AS coherence_e6
+      |FROM grid g LEFT JOIN codoc c
+      |  ON g.source = c.source AND g.wi = c.wi AND g.wj = c.wj
+      |GROUP BY g.source ORDER BY g.source""".stripMargin
+
   // ---------------------------------------------------- PMI collocations
   /** PMI collocation mining — the classic phrase-discovery statistic:
     * pointwise mutual information ln(p(w1,w2) / (p(w1)·p(w2))) of each
@@ -3645,6 +3742,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_lm" -> (unigramLm _),
+    "q_topic_coherence" -> (topicCoherence _),
     "q_unigram_apply" -> (unigramApply _),
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
@@ -3693,6 +3791,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_unigram_lm" -> unigramLmOracle,
+    "q_topic_coherence" -> topicCoherenceOracle,
     "q_unigram_apply" -> unigramApplyOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,

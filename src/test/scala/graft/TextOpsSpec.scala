@@ -865,4 +865,32 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(got.fieldIndex("ent_full")) -
       (-sFull.toDouble / len / 1e6)) < 1.1e-6)
   }
+
+  test("topic coherence: full driver replay of the UMass sum per source") {
+    import graft.ops.TextOps
+    val got = TextOps.topicCoherence(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val dw = g.flatMap { case (_, id, t) =>
+        t.split(" ", -1).distinct.map(w => (id, w)) }
+      val df = dw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val top = df.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+      val byDoc = dw.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      var pairs = 0L; var cooc = 0L; var coh = 0L
+      for (i <- top.indices; j <- (i + 1) until top.length) {
+        val (wi, di) = top(i); val wj = top(j)._1
+        val dij = byDoc.values.count(s => s.contains(wi) && s.contains(wj))
+          .toLong
+        pairs += 1
+        if (dij > 0) cooc += 1
+        coh += math.round(math.log((dij + 1).toDouble / di) * 1000000.0)
+      }
+      (src, pairs, cooc, coh)
+    }
+    assert(got.toSeq == want, s"got ${got.take(2).toSeq} want ${want.take(2)}")
+  }
 }
