@@ -2946,6 +2946,147 @@ object StatsOps {
       |         AS v
       |FROM terms, n""".stripMargin
 
+  // --------------------------------------- matching estimator (ATT)
+  /** Nearest-neighbor matching ATT (the Rubin matching estimator —
+    * the causal tool [[cuped]]/[[did]] leave uncovered: when treatment
+    * is CONFOUNDED with activity, compare each treated unit to its
+    * closest control on the confounder, not to the control mean).
+    * Treated = users with an above-typical error load (n_err > 16 —
+    * self-selected AND mechanically activity-correlated, exactly the
+    * confounding that breaks the naive difference); balancing score = pre-treatment activity (event
+    * count); matching is 1-nearest WITH replacement under a caliper.
+    *
+    * The matching itself is the AS-OF JOIN shape with no join at all:
+    * one interleaved (score, uid) sort of treated+controls, the
+    * nearest preceding/succeeding control read off two running
+    * struct-extremum windows (max/min of (score, uid) structs — the
+    * asof discipline), the nearer of the two chosen by exact integer
+    * |Δscore| with a deterministic tie to the predecessor. ATT and
+    * the naive difference ship side by side on the half-up cents
+    * lattice — the gap between them IS the measured confounding.
+    *
+    * Scale shape: corpus → per-user aggregate → ONE global sort of
+    * the user frame for the running windows (the matching literature's
+    * own sort-merge; at corpus scale this is a range-partitioned sort,
+    * and the windows carry 2-integer state). Everything after is a
+    * 1-row reduction. */
+  def psmMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val Caliper = 3L
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("y_cents"))
+      .withColumn("treated", col("n_err") > 16L)
+    val w = Window.orderBy(col("score"), col("user_id"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    val matched = users
+      .withColumn("prev_c", max(when(!col("treated"),
+        struct(col("score"), col("user_id"), col("y_cents")))).over(prevW))
+      .withColumn("next_c", min(when(!col("treated"),
+        struct(col("score"), col("user_id"), col("y_cents")))).over(nextW))
+      .filter(col("treated"))
+      .withColumn("d_prev", when(col("prev_c").isNotNull,
+        col("score") - col("prev_c.score")))
+      .withColumn("d_next", when(col("next_c").isNotNull,
+        col("next_c.score") - col("score")))
+      .withColumn("pick", when(col("d_prev").isNotNull &&
+          (col("d_next").isNull || col("d_prev") <= col("d_next")), "p")
+        .when(col("d_next").isNotNull, "n"))
+      .withColumn("d_pick", when(col("pick") === "p", col("d_prev"))
+        .when(col("pick") === "n", col("d_next")))
+      .withColumn("ok", col("d_pick").isNotNull && col("d_pick") <= Caliper)
+      .withColumn("y_match", when(col("ok"),
+        when(col("pick") === "p", col("prev_c.y_cents"))
+          .otherwise(col("next_c.y_cents"))))
+    val naive = users.agg(
+      sum(when(col("treated"), col("y_cents"))).as("yt"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("treated"), col("y_cents"))).as("yc"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"))
+    matched.agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_unmatched"),
+        sum(when(col("ok"), col("y_cents") - col("y_match"))).as("d_sum"))
+      .crossJoin(broadcast(naive))
+      .select(col("nt").as("n_treated"), col("nc").as("n_control"),
+        col("n_matched"), col("n_unmatched"),
+        // signed means: one correctly-rounded IEEE division on exact
+        // integer cents (|Σ| ≪ 2^52) + ROUND — engine-identical
+        expr("CAST(round(CAST(d_sum AS DOUBLE) / n_matched) AS BIGINT)")
+          .as("att_cents"),
+        expr("CAST(round(CAST(yt AS DOUBLE) / nt " +
+          "- CAST(yc AS DOUBLE) / nc) AS BIGINT)").as("naive_diff_cents"))
+  }
+
+  private val psmMatchOracle =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+      |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_err,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(round(value * 100) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS y_cents
+      |  FROM events GROUP BY user_id),
+      |f AS (SELECT *, n_err > 16 AS treated FROM u),
+      |wins AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN NOT treated
+      |             THEN {'s': score, 'u': user_id, 'y': y_cents} END)
+      |      OVER (ORDER BY score, user_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_c,
+      |    MIN(CASE WHEN NOT treated
+      |             THEN {'s': score, 'u': user_id, 'y': y_cents} END)
+      |      OVER (ORDER BY score, user_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |      AS next_c
+      |  FROM f),
+      |t AS (
+      |  SELECT *,
+      |    score - prev_c.s AS d_prev,
+      |    next_c.s - score AS d_next,
+      |    CASE WHEN prev_c IS NOT NULL AND
+      |              (next_c IS NULL OR score - prev_c.s <= next_c.s - score)
+      |         THEN 'p'
+      |         WHEN next_c IS NOT NULL THEN 'n' END AS pick
+      |  FROM wins WHERE treated),
+      |m AS (
+      |  SELECT *,
+      |    CASE WHEN pick = 'p' THEN d_prev
+      |         WHEN pick = 'n' THEN d_next END AS d_pick,
+      |    CASE WHEN pick = 'p' THEN prev_c.y ELSE next_c.y END AS ym
+      |  FROM t),
+      |mm AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN d_pick IS NOT NULL AND d_pick <= 3
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |    CAST(SUM(CASE WHEN d_pick IS NULL OR d_pick > 3
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      |    CAST(SUM(CASE WHEN d_pick IS NOT NULL AND d_pick <= 3
+      |                  THEN y_cents - ym END) AS BIGINT) AS d_sum
+      |  FROM m),
+      |nv AS (
+      |  SELECT CAST(SUM(CASE WHEN treated THEN y_cents END) AS BIGINT)
+      |           AS yt,
+      |         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS nt,
+      |         CAST(SUM(CASE WHEN NOT treated THEN y_cents END) AS BIGINT)
+      |           AS yc,
+      |         CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS nc
+      |  FROM f)
+      |SELECT nt AS n_treated, nc AS n_control, n_matched, n_unmatched,
+      |       CAST(round(CAST(d_sum AS DOUBLE) / n_matched) AS BIGINT)
+      |         AS att_cents,
+      |       CAST(round(CAST(yt AS DOUBLE) / nt - CAST(yc AS DOUBLE) / nc)
+      |            AS BIGINT) AS naive_diff_cents
+      |FROM mm, nv""".stripMargin
+
   // --------------------------------------- quantile treatment effect
   /** Quantile treatment effect curve (the Lehmann–Doksom QTE — what
     * [[graft.ops.AnalyticsOps.abTest]]'s mean difference hides: a
@@ -3156,6 +3297,7 @@ object StatsOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bh_fdr" -> (bhFdr _),
     "q_qte" -> (qte _),
+    "q_psm_match" -> (psmMatch _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_cramers_v" -> (cramersV _),
     "q_anova" -> (anova _),
@@ -3203,6 +3345,7 @@ object StatsOps {
   def oracles: Map[String, String] = Map(
     "q_bh_fdr" -> bhFdrOracle,
     "q_qte" -> qteOracle,
+    "q_psm_match" -> psmMatchOracle,
     "q_kruskal_wallis" -> kruskalWallisOracle,
     "q_cramers_v" -> cramersVOracle,
     "q_anova" -> anovaOracle,

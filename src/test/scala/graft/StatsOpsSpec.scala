@@ -676,4 +676,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
       "arm-A deciles must be monotone")
   }
+
+  test("psm match: driver nearest-control replay; accounting closes") {
+    val r = StatsOps.psmMatch(spark, sfTiny).collect().head
+    val users = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("y")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val treated = users.filter(_._3 > 16)
+    val controls = users.filter(_._3 <= 16)
+      .map(t => (t._2, t._1, t._4)).sorted // (score, uid, y)
+    assert(r.getLong(0) == treated.length && r.getLong(1) == controls.length)
+    val diffs = treated.flatMap { case (uid, sc, _, y) =>
+      val before = controls.filter(c =>
+        c._1 < sc || (c._1 == sc && c._2 < uid)).lastOption
+      val after = controls.find(c =>
+        c._1 > sc || (c._1 == sc && c._2 > uid))
+      val pick = (before, after) match {
+        case (Some(p), Some(n)) =>
+          if (sc - p._1 <= n._1 - sc) Some(p) else Some(n)
+        case (Some(p), None) => Some(p)
+        case (None, Some(n)) => Some(n)
+        case _ => None
+      }
+      pick.filter(c => math.abs(c._1 - sc) <= 3).map(c => y - c._3)
+    }
+    assert(r.getLong(2) == diffs.length, "matched count")
+    assert(r.getLong(3) == treated.length - diffs.length, "unmatched count")
+    if (diffs.nonEmpty)
+      assert(r.getLong(4) ==
+        math.round(diffs.sum.toDouble / diffs.length), "ATT replay")
+  }
 }
