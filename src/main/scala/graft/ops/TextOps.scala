@@ -2653,6 +2653,80 @@ object TextOps {
        |GROUP BY a.lang, a.bucket, b.best_id, b.best_adv_e6
        |ORDER BY a.lang, a.bucket""".stripMargin
 
+  // ------------------------------------------------ term burstiness
+  /** Term burstiness via the Fano factor (Church–Gale '95's
+    * observation that content words are BURSTY — once a document uses
+    * a term it reuses it — while function words spread evenly; the
+    * dispersion diagnostic beside [[graft.ops.StatsOps]]'s Zipf/Heaps
+    * curves): per term, F = Var/Mean of its PER-DOCUMENT count across
+    * ALL docs (zeros included — that's what makes it dispersion), F≈1
+    * = Poisson scatter, F≫1 = bursty. Zeros enter in closed form:
+    * with occurrences on n docs of N total, Σc over the N-doc frame
+    * equals the observed Σc and Σc² likewise, so the N-denominator
+    * moments need no zero-row fan-out. Cancellation-free N²-scaled
+    * variance (N·Q − S²)/N² over exact decimal(38) integers, Fano on
+    * the e6 half-up lattice as (N·Q − S²)·1e6 / (N·S) exact-integer
+    * divided. Top-20 bursty terms (support ≥ 20 docs) and the 5
+    * least-bursty high-support terms ship together (negative rk).
+    *
+    * Scale shape: one (doc, term) count aggregate → one term rollup;
+    * the corpus never re-scans, zeros never materialize. */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val N = Tables.documents(spark, sfDir).count() // A6 scalar inject
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val terms = tc.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+      .filter(col("n_docs") >= 20)
+      // F·1e6 = (N·Q − S²)·1e6 div (N·S), exact half-up integers
+      .withColumn("fano_e6", expr(
+        s"""CAST((2 * (CAST($N AS DECIMAL(38,0)) * q - s * s) * 1000000
+           |      + CAST($N AS DECIMAL(38,0)) * s)
+           |     div (2 * CAST($N AS DECIMAL(38,0)) * s) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+    val bursty = terms.withColumn("rk", row_number().over(
+        Window.orderBy(col("fano_e6").desc, col("w"))))
+      .filter(col("rk") <= 20)
+    val even = terms.withColumn("neg", row_number().over(
+        Window.orderBy(col("fano_e6").asc, col("w"))))
+      .filter(col("neg") <= 5)
+      .withColumn("rk", -col("neg")).drop("neg")
+    bursty.unionByName(even)
+      .select(col("rk"), col("w"), col("n_docs"),
+        col("s").cast("long").as("n_occ"), col("fano_e6"))
+      .orderBy(col("rk"))
+  }
+
+  private val burstinessOracle =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents),
+      |tc AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         SUM(CAST(c AS HUGEINT)) AS s,
+      |         SUM(CAST(c AS HUGEINT) * c) AS q
+      |  FROM tc GROUP BY 1 HAVING COUNT(*) >= 20),
+      |f AS (
+      |  SELECT w, n_docs, s,
+      |         CAST((2 * (n * q - s * s) * 1000000 + n * s)
+      |              // (2 * n * s) AS BIGINT) AS fano_e6
+      |  FROM t, nn),
+      |b AS (SELECT *, ROW_NUMBER() OVER (ORDER BY fano_e6 DESC, w) AS rk
+      |      FROM f),
+      |e AS (SELECT *, -ROW_NUMBER() OVER (ORDER BY fano_e6 ASC, w) AS rk
+      |      FROM f)
+      |SELECT CAST(rk AS INTEGER) AS rk, w, n_docs,
+      |       CAST(s AS BIGINT) AS n_occ, fano_e6
+      |FROM (SELECT * FROM b WHERE rk <= 20
+      |      UNION ALL SELECT * FROM e WHERE rk >= -5)
+      |ORDER BY rk""".stripMargin
+
   // -------------------------------------------- UMass topic coherence
   /** UMass topic coherence (Mimno et al. EMNLP'11) per source — the
     * intrinsic "are these words actually about one thing" score every
@@ -3743,6 +3817,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_lm" -> (unigramLm _),
     "q_topic_coherence" -> (topicCoherence _),
+    "q_burstiness" -> (burstiness _),
     "q_unigram_apply" -> (unigramApply _),
     "q_kn_perplexity" -> (knPerplexity _),
     "q_kn_perplexity_approx" -> (knPerplexityApprox _),
@@ -3792,6 +3867,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_unigram_lm" -> unigramLmOracle,
     "q_topic_coherence" -> topicCoherenceOracle,
+    "q_burstiness" -> burstinessOracle,
     "q_unigram_apply" -> unigramApplyOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_kn_perplexity_approx" -> knPerplexityApproxOracle,

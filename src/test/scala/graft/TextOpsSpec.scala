@@ -893,4 +893,33 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(got.toSeq == want, s"got ${got.take(2).toSeq} want ${want.take(2)}")
   }
+
+  test("burstiness: driver Fano replay with closed-form zeros") {
+    import graft.ops.TextOps
+    val got = TextOps.burstiness(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    val counts = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, a) =>
+        (w, a.length.toLong) } }
+    val terms = counts.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(t => t._2 * t._2).sum)
+    }.toMap.filter(_._2._1 >= 20)
+    def fano(s: Long, q: Long): Long = {
+      val num = BigInt(2) * (BigInt(n) * q - BigInt(s) * s) * 1000000 +
+        BigInt(n) * s
+      (num / (BigInt(2) * n * s)).toLong
+    }
+    val f = terms.toSeq.map { case (w, (nd, s, q)) => (w, nd, s, fano(s, q)) }
+    val want = (f.sortBy(t => (-t._4, t._1)).take(20).zipWithIndex
+        .map { case ((w, nd, s, fa), i) => (i + 1, w, nd, s, fa) } ++
+      f.sortBy(t => (t._4, t._1)).take(5).zipWithIndex
+        .map { case ((w, nd, s, fa), i) => (-(i + 1), w, nd, s, fa) })
+      .sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
 }
