@@ -3398,11 +3398,21 @@ object CurationOps {
     * driver-side recompute and monotone-loss check. */
   private[graft] def logregTrainLoop(spark: SparkSession, sfDir: String,
       iters: Int): (Array[Long], Seq[Long], Long) = {
+    val (traj, losses, n) = logregTrajectoryLoop(spark, sfDir, iters)
+    (traj.last, losses, n)
+  }
+
+  /** The same loop exposing every post-step checkpoint w₁..w_T — the
+    * trajectory [[datasetCartography]] reads (training dynamics need
+    * the checkpoints, not just the final weights). */
+  private[graft] def logregTrajectoryLoop(spark: SparkSession,
+      sfDir: String, iters: Int): (Seq[Array[Long]], Seq[Long], Long) = {
     val x = logregX(spark, sfDir).cache()
     val n = x.count()
     val dim = x.select(size(col("x"))).head().getInt(0)
     val w = Array.fill(dim)(0L)
     val losses = Seq.newBuilder[Long]
+    val traj = Seq.newBuilder[Array[Long]]
     for (_ <- 1 to iters) {
       val rows = x.withColumn("m", logregMargin(w))
         .withColumn("p", logregP)
@@ -3418,8 +3428,9 @@ object CurationOps {
         val j = r.getInt(0)
         w(j) = w(j) + LogregEta * r.getLong(1) / (n * 1000L)
       }
+      traj += w.clone()
     }
-    (w, losses.result(), n)
+    (traj.result(), losses.result(), n)
   }
 
   /** Final-checkpoint weights, materialized once per session+SF — the
@@ -3523,6 +3534,126 @@ object CurationOps {
        |       (n_correct * 1000000) // (SELECT n FROM nn) AS acc_e6,
        |       loss_total // (SELECT n FROM nn) AS loss_e6
        |FROM w$T CROSS JOIN metrics ORDER BY j""".stripMargin
+  }
+
+  // --------------------------------------------- dataset cartography
+  /** Dataset cartography (Swayamdipta et al. EMNLP'20 "Dataset
+    * Maps") over the [[logregTrain]] trajectory — the training-
+    * dynamics triage that splits a corpus by HOW it was learned, not
+    * whether: per example, mean true-class confidence and confidence
+    * VARIABILITY across the T=5 GD checkpoints w₁..w_T. High-mean/
+    * low-var = easy-to-learn (safe bulk), high-var = ambiguous (the
+    * examples worth human review — and, per the paper, the best
+    * training signal), low-mean/low-var = hard-to-learn (the mislabel
+    * basin TracIn's self-influence also flags — two independent
+    * detectors, one artifact).
+    *
+    * Exactness: every checkpoint margin is an exact-integer literal
+    * dot (the trainer's own lattice), p_t re-quantizes to e6 after
+    * its one exp, conf_t = p_t or 1e6−p_t is integer, the mean is
+    * (2S+T) div 2T and variability is carried as the UNSCALED exact
+    * integer T²·Var = T·Q − S² — no sqrt, no float: region
+    * assignment (conf ≥ 0.7e6; variability cut 8.84e10 = the top decile of
+    * this trainer's T²Var, the paper's practice of taking the most-
+    * variable decile as the ambiguous band) happens
+    * entirely on integers. Ships the 3-region census plus the top-10
+    * most-ambiguous examples (negative rk rows, burstiness-style).
+    *
+    * Scale shape: T map-side literal margins over one cached scan —
+    * no join, no shuffle beyond the 3-row census; the trajectory is
+    * the dim×T driver artifact the trainer already holds. */
+  def datasetCartography(spark: SparkSession, sfDir: String): DataFrame = {
+    val (traj, _, _) = logregTrajectoryLoop(spark, sfDir, LogregIters)
+    val tN = traj.length
+    var df = logregX(spark, sfDir)
+    traj.zipWithIndex.foreach { case (wt, i) =>
+      df = df.withColumn(s"m${i + 1}", logregMargin(wt))
+        .withColumn(s"p${i + 1}",
+          round(lit(1000000.0) /
+            (lit(1.0) + exp(-(col(s"m${i + 1}") / lit(1000000000.0)))), 0)
+            .cast("long"))
+        .withColumn(s"c${i + 1}",
+          when(col("y") === 1000000L, col(s"p${i + 1}"))
+            .otherwise(lit(1000000L) - col(s"p${i + 1}")))
+    }
+    val confCols = (1 to tN).map(i => col(s"c$i"))
+    val scored = df
+      .withColumn("s", confCols.reduce(_ + _))
+      .withColumn("q", (1 to tN).map(i =>
+        col(s"c$i") * col(s"c$i")).reduce(_ + _))
+      .withColumn("mean_conf_e6",
+        expr(s"(2 * s + $tN) div (2 * $tN)"))
+      .withColumn("var_tt", lit(tN.toLong) * col("q") - col("s") * col("s"))
+      .withColumn("region",
+        when(col("var_tt") > 88400000000L, "ambiguous")
+          .when(col("mean_conf_e6") >= 700000L, "easy")
+          .otherwise("hard"))
+    val census = scored.groupBy(col("region"))
+      .agg(count(lit(1)).as("n"), sum(col("mean_conf_e6")).as("sm"),
+        sum(col("var_tt")).as("sv"))
+      .select(lit(0).as("rk"), col("region"),
+        col("n").cast("long").as("vec_id_or_n"),
+        expr("(2 * sm + n) div (2 * n)").as("mean_conf_e6"),
+        expr("(2 * sv + n) div (2 * n)").as("var_tt"))
+    val topAmb = scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("var_tt").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select((-col("rk")).as("rk"), col("region"),
+        col("vec_id").as("vec_id_or_n"), col("mean_conf_e6"),
+        col("var_tt"))
+    census.unionByName(topAmb).orderBy(col("rk"), col("region"))
+  }
+
+  private val datasetCartographyOracle = {
+    val T = LogregIters
+    val ck = (t: Int) =>
+      s"""cm$t AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+         |        FROM X JOIN w$t USING (j) GROUP BY vec_id, y),
+         |cc$t AS (SELECT vec_id, y,
+         |          CASE WHEN y = 1000000 THEN
+         |            CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+         |                 AS BIGINT)
+         |          ELSE 1000000 -
+         |            CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+         |                 AS BIGINT) END AS c
+         |        FROM cm$t)""".stripMargin
+    s"""WITH $logregCtePrefix,
+       |${(1 to T).map(ck).mkString(",\n")},
+       |conf AS (
+       |  SELECT vec_id, ${(1 to T).map(t => s"cc$t.c AS c$t").mkString(", ")}
+       |  FROM ${(1 to T).map(t => s"cc$t")
+            .reduce((a, b) => s"$a JOIN $b USING (vec_id)")}),
+       |scored AS (
+       |  SELECT vec_id,
+       |    (2 * (${(1 to T).map(t => s"c$t").mkString(" + ")}) + $T)
+       |      // (2 * $T) AS mean_conf_e6,
+       |    $T * (${(1 to T).map(t => s"c$t * c$t").mkString(" + ")})
+       |      - (${(1 to T).map(t => s"c$t").mkString(" + ")})
+       |        * (${(1 to T).map(t => s"c$t").mkString(" + ")}) AS var_tt
+       |  FROM conf),
+       |lab AS (
+       |  SELECT *, CASE WHEN var_tt > 88400000000 THEN 'ambiguous'
+       |                 WHEN mean_conf_e6 >= 700000 THEN 'easy'
+       |                 ELSE 'hard' END AS region
+       |  FROM scored),
+       |census AS (
+       |  SELECT 0 AS rk, region, CAST(COUNT(*) AS BIGINT) AS vec_id_or_n,
+       |         CAST((2 * SUM(mean_conf_e6) + COUNT(*)) // (2 * COUNT(*))
+       |              AS BIGINT) AS mean_conf_e6,
+       |         CAST((2 * SUM(var_tt) + COUNT(*)) // (2 * COUNT(*))
+       |              AS BIGINT) AS var_tt
+       |  FROM lab GROUP BY region),
+       |amb AS (
+       |  SELECT -rk AS rk, region, vec_id AS vec_id_or_n, mean_conf_e6,
+       |         var_tt
+       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY var_tt DESC, vec_id)
+       |          AS rk FROM lab)
+       |  WHERE rk <= 10)
+       |SELECT CAST(rk AS INTEGER) AS rk, region, vec_id_or_n,
+       |       mean_conf_e6, CAST(var_tt AS BIGINT) AS var_tt
+       |FROM (SELECT * FROM census UNION ALL SELECT * FROM amb)
+       |ORDER BY rk, region""".stripMargin
   }
 
   // ------------------------------------------------- TracIn attribution
@@ -3810,6 +3941,7 @@ object CurationOps {
     "q_adaboost_stumps" -> (adaboostStumps _),
     "q_brier_decomp" -> (brierDecomp _),
     "q_logreg_train" -> (logregTrain _),
+    "q_cartography" -> (datasetCartography _),
     "q_tracin" -> (tracin _),
     "q_fairness_audit" -> (fairnessAudit _),
     "q_error_slices" -> (errorSlices _),
@@ -3855,6 +3987,7 @@ object CurationOps {
   def oracles: Map[String, String] = Map(
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
+    "q_cartography" -> datasetCartographyOracle,
     "q_tracin" -> tracinOracle,
     "q_fairness_audit" -> fairnessAuditOracle,
     "q_error_slices" -> errorSlicesOracle,

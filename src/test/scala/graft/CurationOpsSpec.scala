@@ -1210,4 +1210,45 @@ class CurationOpsSpec extends SparkSpec {
     val cal = CurationOps.nbCalibration(spark, sfTiny).collect()
     assert(cal.map(_.getAs[Long]("n_docs")).sum == n, "held-out sizes agree")
   }
+
+  test("cartography: census == driver-side trajectory recompute") {
+    val (traj, _, _) = CurationOps.logregTrajectoryLoop(spark, sfTiny, 5)
+    val feats = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map { r =>
+        def q3(v: Float): Long = {
+          val x = v.toDouble * 1000.0
+          if (x < 0) -math.round(-x) else math.round(x)
+        }
+        (r.getLong(0), if (r.getInt(1) == 0) 1000000L else 0L,
+          1000L +: r.getSeq[Float](2).map(q3).toArray)
+      }
+    val tN = traj.length
+    val want = feats.map { case (id, y, x) =>
+      val confs = traj.map { w =>
+        val m = x.zip(w).map { case (a, b) => a * b }.sum
+        val p = math.round(1e6 / (1.0 + math.exp(-(m / 1e9))))
+        if (y == 1000000L) p else 1000000L - p
+      }
+      val s = confs.sum; val q = confs.map(c => c * c).sum
+      val mean = (2 * s + tN) / (2L * tN)
+      val varTT = tN * q - s * s
+      val region = if (varTT > 88400000000L) "ambiguous"
+        else if (mean >= 700000L) "easy" else "hard"
+      (id, mean, varTT, region)
+    }
+    val rows = CurationOps.datasetCartography(spark, sfTiny).collect()
+    val census = rows.filter(_.getInt(0) == 0)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val wantCensus = want.groupBy(_._4).map { case (k, v) => k -> v.length.toLong }
+    assert(census == wantCensus, s"census $census vs $wantCensus")
+    // regions must partition the corpus, and the top-ambiguous rows
+    // are exactly the 10 highest-T²Var examples (ties by vec_id)
+    assert(census.values.sum == feats.length.toLong)
+    val gotAmb = rows.filter(_.getInt(0) < 0).sortBy(_.getInt(0))
+      .reverse.map(_.getLong(2)).toSeq
+    val wantAmb = want.sortBy { case (id, _, v, _) => (-v, id) }
+      .take(10).map(_._1).toSeq
+    assert(gotAmb == wantAmb, s"top-ambiguous $gotAmb vs $wantAmb")
+  }
 }
