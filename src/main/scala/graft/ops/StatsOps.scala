@@ -3294,7 +3294,160 @@ object StatsOps {
       |       rk <= kstar AS rej_bh
       |FROM k ORDER BY rk""".stripMargin
 
+  // --------------------------------------- Herfindahl concentration
+  /** Herfindahl–Hirschman source-concentration index per language +
+    * an ALL row — the one-number "is this corpus dominated by a
+    * single crawl source?" gauge a data-mix dashboard thresholds
+    * (the DoReMi/temperature-mix ops RESHAPE the mix; this measures
+    * how lopsided it currently is). HHI = Σ share², its reciprocal
+    * is the effective number of sources (the corpus-science sibling
+    * of [[graft.ops.TextOps]]' vocab diversity), and the normalized
+    * form (k·HHI−1)/(k−1) is the [0,1] comparison across languages
+    * with different source counts. All three are rationals of the
+    * exact count frame — c_i²/N² sums carried as DECIMAL(38)/HUGEINT
+    * and emitted as half-up integer lattices (e6/e3/e6), so the
+    * whole row hashes exactly; zero doubles anywhere.
+    *
+    * Scale shape: one (lang, source) hash aggregate bounded by the
+    * label cross product, then lang-sized rollups — at 100 TB the
+    * only corpus-sized pass is the first count. */
+  def herfindahl(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val global = cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("c")).withColumn("lang", lit("ALL"))
+    def roll(src: DataFrame): DataFrame = src.groupBy(col("lang"))
+      .agg(count(lit(1)).as("k_sources"), sum(col("c")).as("n_docs"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sc2"))
+      .withColumn("n2", expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs"))
+      .select(col("lang"), col("k_sources"), col("n_docs"),
+        expr("(2000000 * sc2 + n2) div (2 * n2)").as("hhi_e6"),
+        expr("(2000 * n2 + sc2) div (2 * sc2)").as("eff_e3"),
+        expr("""CASE WHEN k_sources = 1 THEN 1000000L ELSE
+                (2000000 * (k_sources * sc2 - n2)
+                 + (k_sources - 1) * n2)
+                div (2 * (k_sources - 1) * n2) END""")
+          .as("norm_e6"))
+    roll(cells).unionByName(roll(global)).orderBy(col("lang"))
+  }
+
+  private val herfindahlOracle =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |unioned AS (
+      |  SELECT * FROM cells
+      |  UNION ALL
+      |  SELECT 'ALL' AS lang, source, SUM(c) AS c FROM cells GROUP BY 2),
+      |r AS (
+      |  SELECT lang, COUNT(*) AS k_sources,
+      |         CAST(SUM(c) AS HUGEINT) AS n_docs,
+      |         SUM(CAST(c AS HUGEINT) * c) AS sc2
+      |  FROM unioned GROUP BY 1)
+      |SELECT lang, CAST(k_sources AS BIGINT) AS k_sources,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST((2000000 * sc2 + n_docs * n_docs)
+      |       // (2 * n_docs * n_docs) AS BIGINT) AS hhi_e6,
+      |  CAST((2000 * n_docs * n_docs + sc2) // (2 * sc2) AS BIGINT)
+      |    AS eff_e3,
+      |  CAST(CASE WHEN k_sources = 1 THEN 1000000 ELSE
+      |       (2000000 * (k_sources * sc2 - n_docs * n_docs)
+      |        + (k_sources - 1) * n_docs * n_docs)
+      |       // (2 * (k_sources - 1) * n_docs * n_docs) END AS BIGINT)
+      |    AS norm_e6
+      |FROM r ORDER BY lang""".stripMargin
+
+  // --------------------------------------- Brown–Forsythe (Levene)
+  /** Brown–Forsythe homogeneity-of-variance test across sources on
+    * doc length — the gate that decides whether [[anova]]'s equal-
+    * variance assumption holds before anyone trusts its F (and, for
+    * a corpus, whether sources differ in length SPREAD, not just
+    * mean — a mix-balance signal shares can't see). Levene '60 with
+    * the '74 median center: z = |x − med_g|, W = ((N−k)/(k−1)) ·
+    * SSB(z)/SSW(z). Group medians come off the per-source VALUE
+    * HISTOGRAM (the [[kruskalWallis]] no-global-sort discipline);
+    * carrying 2×median keeps z integral even when an even group's
+    * median is fractional, and the ×2 scale cancels in the W ratio.
+    * SSB/SSW use the cancellation-free exact forms (Σs_g²/n_g −
+    * S²/N etc.) from DECIMAL(38)/HUGEINT moment sums — two final
+    * doubles.
+    *
+    * Scale shape: one (source, length) hash aggregate, one window
+    * over the per-source length domain (bounded by the value domain,
+    * not the corpus), a groups-sized rollup. No global sort. */
+  def leveneTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = cells
+      .withColumn("before", coalesce(sum(col("cnt")).over(cum), lit(0L)))
+      .withColumn("n_g", sum(col("cnt")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("rl", expr("(n_g + 1) div 2"))
+      .withColumn("ru", expr("n_g div 2 + 1"))
+    val med = hist.groupBy(col("source"))
+      .agg(min(when(col("rl") > col("before") &&
+          col("rl") <= col("before") + col("cnt"), col("v"))).as("mlo"),
+        min(when(col("ru") > col("before") &&
+          col("ru") <= col("before") + col("cnt"), col("v"))).as("mhi"))
+      .select(col("source"), (col("mlo") + col("mhi")).as("med2"))
+    val pg = cells.join(med, Seq("source"))
+      .withColumn("z2", abs(lit(2L) * col("v") - col("med2")))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * z2")).as("s_g"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * z2 * z2")).as("ss_g"))
+    pg.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(expr("CAST(s_g AS DOUBLE)")).as("s"),
+        sum(expr("CAST(ss_g AS DOUBLE)")).as("ss"),
+        sum(expr("CAST(s_g * s_g AS DOUBLE) / n_g")).as("a"))
+      .select(col("n"), col("k"),
+        round(((col("n") - col("k")).cast("double") /
+          (col("k") - 1).cast("double")) *
+          (col("a") - col("s") * col("s") / col("n").cast("double")) /
+          (col("ss") - col("a")), 6).as("w_stat"))
+  }
+
+  private val leveneOracle =
+    """WITH cells AS (
+      |  SELECT source, n_chars AS v, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |h AS (
+      |  SELECT source, v, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS before,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n_g
+      |  FROM cells),
+      |med AS (
+      |  SELECT source,
+      |    MIN(CASE WHEN (n_g + 1) // 2 > before
+      |              AND (n_g + 1) // 2 <= before + cnt THEN v END)
+      |    + MIN(CASE WHEN n_g // 2 + 1 > before
+      |               AND n_g // 2 + 1 <= before + cnt THEN v END)
+      |      AS med2
+      |  FROM h GROUP BY 1),
+      |pg AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g,
+      |    SUM(CAST(cnt AS HUGEINT) * abs(2 * v - med2)) AS s_g,
+      |    SUM(CAST(cnt AS HUGEINT) * abs(2 * v - med2)
+      |        * abs(2 * v - med2)) AS ss_g
+      |  FROM cells JOIN med USING (source) GROUP BY 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    SUM(CAST(s_g AS DOUBLE)) AS s, SUM(CAST(ss_g AS DOUBLE)) AS ss,
+      |    SUM(CAST(s_g * s_g AS DOUBLE) / n_g) AS a
+      |  FROM pg)
+      |SELECT n, CAST(k AS BIGINT) AS k,
+      |  ROUND((CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+      |        * (a - s * s / CAST(n AS DOUBLE)) / (ss - a), 6) AS w_stat
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_herfindahl" -> (herfindahl _),
+    "q_levene" -> (leveneTest _),
     "q_bh_fdr" -> (bhFdr _),
     "q_qte" -> (qte _),
     "q_psm_match" -> (psmMatch _),
@@ -3343,6 +3496,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_herfindahl" -> herfindahlOracle,
+    "q_levene" -> leveneOracle,
     "q_bh_fdr" -> bhFdrOracle,
     "q_qte" -> qteOracle,
     "q_psm_match" -> psmMatchOracle,

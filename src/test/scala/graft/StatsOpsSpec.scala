@@ -712,4 +712,56 @@ class StatsOpsSpec extends SparkSpec {
       assert(r.getLong(4) ==
         math.round(diffs.sum.toDouble / diffs.length), "ATT replay")
   }
+
+  test("herfindahl: driver share recompute; bounds and ALL row hold") {
+    val rows = StatsOps.herfindahl(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val counts = Tables.documents(spark, sfTiny)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byLang: Map[String, Seq[Long]] =
+      counts.groupBy(_._1).view.mapValues(_.map(c => c._3).toSeq)
+        .toMap + ("ALL" -> counts.groupBy(_._2)
+          .map { case (_, v) => v.map(_._3).sum }.toSeq)
+    def half(num: BigInt, den: BigInt): Long = ((2*num+den)/(2*den)).toLong
+    rows.foreach { case (lang, k, n, hhi, eff, norm) =>
+      val cs = byLang(lang)
+      assert(k == cs.length && n == cs.sum, s"$lang counts")
+      val sc2 = cs.map(c => BigInt(c) * c).sum
+      val n2 = BigInt(n) * n
+      assert(hhi == half(sc2 * 1000000, n2), s"$lang hhi")
+      assert(eff == half(n2 * 1000, sc2), s"$lang eff")
+      if (k > 1)
+        assert(norm == half((BigInt(k) * sc2 - n2) * 1000000,
+          BigInt(k - 1) * n2), s"$lang norm")
+      // uniform-lower-bound / concentration sanity
+      assert(hhi >= half(BigInt(1000000), BigInt(k)) - 1 &&
+        hhi <= 1000000L && norm >= 0L && norm <= 1000000L)
+    }
+    assert(rows.map(_._1).contains("ALL"))
+  }
+
+  test("levene: W matches the driver Brown-Forsythe recompute") {
+    val got = StatsOps.leveneTest(spark, sfTiny).collect().head
+    val xs = Tables.documents(spark, sfTiny)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val z = groups.toSeq.flatMap { case (g, vs) =>
+      val m2 = vs((vs.length + 1) / 2 - 1) + vs(vs.length / 2)
+      vs.map(v => (g, math.abs(2 * v - m2).toDouble))
+    }
+    val n = z.length; val k = groups.size
+    val grand = z.map(_._2).sum / n
+    val perMean = z.groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum / v.length).toMap
+    val ssb = z.groupBy(_._1).map { case (g, v) =>
+      v.length * math.pow(perMean(g) - grand, 2) }.sum
+    val ssw = z.map { case (g, zv) => math.pow(zv - perMean(g), 2) }.sum
+    val w = ((n - k).toDouble / (k - 1)) * ssb / ssw
+    assert(got.getLong(0) == n && got.getLong(1) == k)
+    assert(math.abs(got.getDouble(2) - w) < 1e-4,
+      s"W ${got.getDouble(2)} vs replay $w")
+  }
 }
