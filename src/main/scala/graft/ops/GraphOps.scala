@@ -1805,7 +1805,188 @@ object GraphOps {
       |       n_nodes - n_fb AS n_other
       |FROM c""".stripMargin
 
+  // ------------------------------------------------ Katz centrality
+  /** Katz centrality (Katz '53) over the co-purchase graph — the
+    * path-counting cousin of [[pagerank]] (no normalization by
+    * out-degree: a node is central if MANY short walks end there,
+    * attenuated by length). With α = 1/10 and T = 4 the series is
+    * exactly representable on an integer lattice: katz_e9(v) =
+    * Σ_{k=1..4} W_k(v)·10^{9−k}, where W_k(v) — the number of
+    * length-k walks ending at v — is a pure integer recurrence
+    * W_k = Aᵀ W_{k−1} starting from the all-ones vector. No damping
+    * division, no float: the whole ranking hashes exactly. Walk
+    * counts ride DECIMAL(38) (they overflow a long on high-degree
+    * graphs long before 100 TB). Top-20 ship with the per-length
+    * walk counts so the attenuation is auditable.
+    *
+    * Scale shape: T joins of the node-sized walk frame against the
+    * edge list, each shuffling on the same src key (bucket once) with
+    * per-round localCheckpoint; state is one DECIMAL per node. */
+  def katz(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val nodes = edges.select(col("src").as("v")).distinct()
+    var wk = nodes.withColumn("w", lit(1L).cast("decimal(38,0)"))
+    val perK = (1 to 4).map { k =>
+      wk = edges.join(wk.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = true)
+      wk.withColumnRenamed("w", s"w$k")
+    }
+    var acc = nodes
+    perK.foreach(p => acc = acc.join(p, Seq("v"), "left_outer"))
+    val filled = (1 to 4).foldLeft(acc)((d, k) =>
+      d.withColumn(s"w$k",
+        coalesce(col(s"w$k"), lit(0L).cast("decimal(38,0)"))))
+    val out = filled
+      .withColumn("katz_e9",
+        (col("w1") * lit(100000000L) + col("w2") * lit(10000000L) +
+          col("w3") * lit(1000000L) + col("w4") * lit(100000L))
+          .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("katz_e9").desc, col("v"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("v").as("part"), col("katz_e9"),
+        col("w1").cast("long").as("w1"), col("w2").cast("long").as("w2"),
+        col("w3").cast("long").as("w3"), col("w4").cast("long").as("w4"))
+      .orderBy(col("rk"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val katzOracle =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+      |          HAVING COUNT(*) BETWEEN 2 AND 20),
+      |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey <> b.l_partkey
+      |      JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |n AS (SELECT DISTINCT src AS v FROM e),
+      |w1 AS (SELECT dst AS v, CAST(COUNT(*) AS HUGEINT) AS w
+      |       FROM e GROUP BY 1),
+      |w2 AS (SELECT e.dst AS v, SUM(w1.w) AS w
+      |       FROM e JOIN w1 ON w1.v = e.src GROUP BY 1),
+      |w3 AS (SELECT e.dst AS v, SUM(w2.w) AS w
+      |       FROM e JOIN w2 ON w2.v = e.src GROUP BY 1),
+      |w4 AS (SELECT e.dst AS v, SUM(w3.w) AS w
+      |       FROM e JOIN w3 ON w3.v = e.src GROUP BY 1),
+      |k AS (
+      |  SELECT n.v,
+      |    COALESCE(w1.w, 0) AS w1, COALESCE(w2.w, 0) AS w2,
+      |    COALESCE(w3.w, 0) AS w3, COALESCE(w4.w, 0) AS w4
+      |  FROM n LEFT JOIN w1 ON w1.v = n.v LEFT JOIN w2 ON w2.v = n.v
+      |         LEFT JOIN w3 ON w3.v = n.v LEFT JOIN w4 ON w4.v = n.v)
+      |SELECT CAST(rk AS INTEGER) AS rk, v AS part,
+      |       CAST(katz_e9 AS BIGINT) AS katz_e9,
+      |       CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+      |       CAST(w3 AS BIGINT) AS w3, CAST(w4 AS BIGINT) AS w4
+      |FROM (SELECT *,
+      |        w1 * 100000000 + w2 * 10000000 + w3 * 1000000 + w4 * 100000
+      |          AS katz_e9,
+      |        ROW_NUMBER() OVER (ORDER BY w1 * 100000000 + w2 * 10000000
+      |          + w3 * 1000000 + w4 * 100000 DESC, v) AS rk
+      |      FROM k)
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // -------------------------------------------- deterministic walks
+  /** Deterministic random-walk corpus over the co-purchase graph —
+    * the node2vec/DeepWalk sampling stage (Grover–Leskovec '16) that
+    * turns a graph into walk "sentences" for embedding training,
+    * made REPRODUCIBLE: at each step the walk picks the neighbor
+    * minimizing md5(seed|walk|step|cur|neighbor) — a keyed PRF both
+    * engines evaluate identically (the md5-prefix primitive from
+    * SKILL lore), with a fixed-width printf tie-break key so even a
+    * hash collision can't diverge. 5 seeds × 8 walks × 6 steps; the
+    * output is the visit census (visits, distinct walks) per node —
+    * the quantity negative-sampling tables and embedding frequency
+    * cutoffs are built from.
+    *
+    * Scale shape: the frontier is walks-sized, each step one equi-join
+    * against the src-keyed edge list + one min_by hash aggregate per
+    * walk (no sort); per-step localCheckpoint. At corpus scale walks
+    * shard by walk_id and the edge side is bucketed by src, so every
+    * step reuses one co-partitioning. */
+  def randomWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var cur = Tables.part(spark, sfDir).filter(col("p_partkey") <= 5)
+      .crossJoin(spark.range(8).select(col("id").as("wid")))
+      .select((col("p_partkey") * 10 + col("wid")).as("walk_id"),
+        col("p_partkey").as("cur"))
+      .localCheckpoint(eager = true)
+    var trail = cur.withColumn("t", lit(0))
+    for (t <- 1 to 6) {
+      cur = cur.join(edges, col("cur") === col("src"))
+        .withColumn("hkey",
+          conv(substring(md5(concat_ws("|", col("walk_id"), lit(t),
+            col("cur"), col("dst"))), 1, 15), 16, 10).cast("long"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"),
+          format_string("%020d|%010d", col("hkey"), col("dst"))).as("cur"))
+        .localCheckpoint(eager = true)
+      trail = trail.unionByName(cur.withColumn("t", lit(t)))
+    }
+    val out = trail.filter(col("t") >= 1)
+      .groupBy(col("cur").as("part"))
+      .agg(count(lit(1)).as("visits"),
+        count_distinct(col("walk_id")).as("n_walks"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("visits").desc, col("part"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("part"), col("visits"), col("n_walks"))
+      .orderBy(col("rk"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val randomWalkOracle = {
+    val step = (t: Int) =>
+      s"""s$t AS (
+         |  SELECT walk_id,
+         |    arg_min(e.dst, printf('%020d|%010d',
+         |      CAST('0x' || substring(md5(
+         |        CAST(walk_id AS VARCHAR) || '|' || $t || '|' ||
+         |        CAST(cur AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR)),
+         |        1, 15) AS BIGINT), e.dst)) AS cur
+         |  FROM s${t - 1} JOIN e ON e.src = s${t - 1}.cur
+         |  GROUP BY walk_id)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+       |          HAVING COUNT(*) BETWEEN 2 AND 20),
+       |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                         AND a.l_partkey <> b.l_partkey
+       |      JOIN sized s ON s.l_orderkey = a.l_orderkey),
+       |s0 AS (SELECT p_partkey * 10 + wid AS walk_id, p_partkey AS cur
+       |       FROM part
+       |       CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS wid)
+       |       WHERE p_partkey <= 5),
+       |${(1 to 6).map(step).mkString(",\n")},
+       |trail AS (${(1 to 6).map(t => s"SELECT * FROM s$t")
+          .mkString(" UNION ALL ")}),
+       |census AS (
+       |  SELECT cur AS part, CAST(COUNT(*) AS BIGINT) AS visits,
+       |         CAST(COUNT(DISTINCT walk_id) AS BIGINT) AS n_walks
+       |  FROM trail GROUP BY 1)
+       |SELECT CAST(rk AS INTEGER) AS rk, part, visits, n_walks
+       |FROM (SELECT *, ROW_NUMBER() OVER
+       |        (ORDER BY visits DESC, part) AS rk
+       |      FROM census)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_katz" -> (katz _),
+    "q_random_walk" -> (randomWalk _),
     "q_bowtie" -> (bowtie _),
     "q_hyperanf" -> (hyperAnf _),
     "q_modularity" -> (modularity _),
@@ -1827,6 +2008,8 @@ object GraphOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_katz" -> katzOracle,
+    "q_random_walk" -> randomWalkOracle,
     "q_bowtie" -> bowtieOracle,
     "q_hyperanf" -> hyperAnfOracle,
     "q_modularity" -> modularityOracle,

@@ -572,4 +572,69 @@ class GraphOpsSpec extends SparkSpec {
       .map { case ((v, c, hsum, dg), i) => (i + 1, v, c, hsum, dg) }
     assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
   }
+
+  test("katz: walk-count recompute; attenuation ordering holds") {
+    val got = GraphOps.katz(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val half = coPurchaseHalf()
+    val adjIn = collection.mutable.Map.empty[Long, List[Long]]
+    half.foreach { case (a, b) =>
+      adjIn(a) = b :: adjIn.getOrElse(a, Nil)
+      adjIn(b) = a :: adjIn.getOrElse(b, Nil)
+    }
+    val nodes = adjIn.keySet
+    var wk: Map[Long, BigInt] = nodes.map(_ -> BigInt(1)).toMap
+    val perK = (1 to 4).map { _ =>
+      // undirected: walks INTO v sum the counts at v's neighbors
+      wk = nodes.map(v =>
+        v -> adjIn(v).map(u => wk.getOrElse(u, BigInt(0))).sum).toMap
+      wk
+    }
+    val want = nodes.toSeq.map { v =>
+      val ws = perK.map(_.getOrElse(v, BigInt(0)))
+      val katz = ws(0) * 100000000L + ws(1) * 10000000L +
+        ws(2) * 1000000L + ws(3) * 100000L
+      (v, katz.toLong, ws(0).toLong, ws(1).toLong, ws(2).toLong,
+        ws(3).toLong)
+    }.sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((v, k, w1, w2, w3, w4), i) =>
+        (i + 1, v, k, w1, w2, w3, w4) }
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
+
+  test("random walk: deterministic md5 replay reproduces the census") {
+    val got = GraphOps.randomWalk(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val half = coPurchaseHalf()
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    half.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    def hkey(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val seeds = Tables.part(spark, sfTiny)
+      .filter(col("p_partkey") <= 5).collect().map(_.getLong(0))
+    val visits = collection.mutable.Map.empty[Long, (Long, Set[Long])]
+    for (s <- seeds; wid <- 0 until 8) {
+      val walkId = s * 10 + wid
+      var cur = s
+      for (t <- 1 to 6) {
+        cur = adj(cur).toSeq.map { nb =>
+          (f"${hkey(s"$walkId|$t|$cur|$nb")}%020d|$nb%010d", nb)
+        }.min._2
+        val (c, ws) = visits.getOrElse(cur, (0L, Set.empty[Long]))
+        visits(cur) = (c + 1, ws + walkId)
+      }
+    }
+    val want = visits.toSeq
+      .map { case (v, (c, ws)) => (v, c, ws.size.toLong) }
+      .sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((v, c, w), i) => (i + 1, v, c, w) }
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
 }
