@@ -3937,7 +3937,86 @@ object CurationOps {
        |) ORDER BY round""".stripMargin
   }
 
+  // --------------------------------------------- gradient noise scale
+  /** Gradient noise scale B_simple (McCandlish et al. '18 "An
+    * Empirical Model of Large-Batch Training") at the final
+    * [[logregTrain]] checkpoint — the one number that predicts the
+    * critical batch size for this objective: B_simple = tr(Σ)/|G|²,
+    * the ratio of per-example gradient variance to the squared mean
+    * gradient. Per-example gradients are exact on the trainer's own
+    * lattice (g_i = (y_i−p_i)·x_i, all integers), so the three
+    * moments that form the answer are exact: A = Σ|g_i|² (HUGEINT —
+    * per-row terms brush the int64 edge), the dim-sized component
+    * sums b_j = Σ g_ij (BIGINT, shipped per row for audit), and
+    * S2 = Σ b_j². Then |G|² = S2/N², tr(Σ) = A/N − S2/N² (population
+    * covariance, same N both terms so the ratio is N-free), and
+    * B_simple = N·A/S2 − 1 — three final doubles from exact integers.
+    *
+    * Scale shape: one corpus pass for A (map-side |x|² fold, dim is
+    * tiny), one posexplode aggregate for b (dim-bounded output) — the
+    * same two-aggregate shape a real trainer's accumulators use; no
+    * join back to data. */
+  def gradNoise(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = logregModelWeights(spark, sfDir)
+    val scored = logregX(spark, sfDir)
+      .withColumn("m", logregMargin(w))
+      .withColumn("p", logregP)
+      .withColumn("r", col("y") - col("p"))
+    val aRow = scored
+      .withColumn("xx",
+        expr("aggregate(x, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r * xx")).as("a"))
+    val bj = scored
+      .select(col("r"), posexplode(col("x")).as(Seq("j0", "xv")))
+      .groupBy((col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("r") * col("xv")).as("g_sum"))
+    val s2 = bj.agg(
+      sum(expr("CAST(g_sum AS DECIMAL(38,0)) * g_sum")).as("s2"))
+    bj.crossJoin(broadcast(aRow)).crossJoin(broadcast(s2))
+      .select(col("j"), col("g_sum"), col("n"),
+        round(expr("CAST(s2 AS DOUBLE)") /
+          col("n").cast("double") / col("n").cast("double"), 6)
+          .as("grad_norm2"),
+        round(expr("CAST(a AS DOUBLE)") / col("n").cast("double") -
+          expr("CAST(s2 AS DOUBLE)") /
+          col("n").cast("double") / col("n").cast("double"), 6)
+          .as("trace_cov"),
+        round(col("n").cast("double") * expr("CAST(a AS DOUBLE)") /
+          expr("CAST(s2 AS DOUBLE)") - lit(1.0), 6).as("b_simple"))
+      .orderBy(col("j"))
+  }
+
+  private val gradNoiseOracle = {
+    val T = LogregIters
+    s"""WITH $logregCtePrefix,
+       |mf AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+       |       FROM X JOIN w$T USING (j) GROUP BY vec_id, y),
+       |rr AS (SELECT vec_id,
+       |         y - CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+       |             AS BIGINT) AS r
+       |       FROM mf),
+       |xxv AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS xx
+       |        FROM X GROUP BY vec_id),
+       |a AS (SELECT SUM(CAST(r AS HUGEINT) * r * xx) AS a,
+       |             CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM rr JOIN xxv USING (vec_id)),
+       |bj AS (SELECT j, CAST(SUM(r * x) AS BIGINT) AS g_sum
+       |       FROM X JOIN rr USING (vec_id) GROUP BY j),
+       |s2 AS (SELECT SUM(CAST(g_sum AS HUGEINT) * g_sum) AS s2 FROM bj)
+       |SELECT j, g_sum, n,
+       |  ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        / CAST(n AS DOUBLE), 6) AS grad_norm2,
+       |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |          / CAST(n AS DOUBLE), 6) AS trace_cov,
+       |  ROUND(CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+       |        / CAST(s2 AS DOUBLE) - 1.0, 6) AS b_simple
+       |FROM bj, a, s2 ORDER BY j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grad_noise" -> (gradNoise _),
     "q_adaboost_stumps" -> (adaboostStumps _),
     "q_brier_decomp" -> (brierDecomp _),
     "q_logreg_train" -> (logregTrain _),
@@ -3985,6 +4064,7 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_grad_noise" -> gradNoiseOracle,
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
     "q_cartography" -> datasetCartographyOracle,

@@ -1211,6 +1211,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(cal.map(_.getAs[Long]("n_docs")).sum == n, "held-out sizes agree")
   }
 
+  test("grad noise scale: driver moment recompute; variance positive") {
+    val rows = CurationOps.gradNoise(spark, sfTiny).collect()
+    val (w, _, _) = CurationOps.logregTrainLoop(spark, sfTiny, 5)
+    val feats = Tables.embeddings(spark, sfTiny)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map { r =>
+        def q3(v: Float): Long = {
+          val x = v.toDouble * 1000.0
+          if (x < 0) -math.round(-x) else math.round(x)
+        }
+        (if (r.getInt(1) == 0) 1000000L else 0L,
+          1000L +: r.getSeq[Float](2).map(q3).toArray)
+      }
+    val grads = feats.map { case (y, x) =>
+      val m = x.zip(w).map { case (a, b) => a * b }.sum
+      val p = math.round(1e6 / (1.0 + math.exp(-(m / 1e9))))
+      x.map(v => (y - p) * v)
+    }
+    val n = grads.length
+    val dim = grads.head.length
+    val a = grads.map(g => g.map(v => BigInt(v) * v).sum).sum
+    val b = (0 until dim).map(j => grads.map(_(j)).sum)
+    val s2 = b.map(v => BigInt(v) * v).sum
+    assert(rows.length == dim)
+    rows.foreach { r =>
+      val j = r.getLong(0).toInt
+      assert(r.getLong(1) == b(j - 1), s"g_sum at j=$j")
+      assert(r.getLong(2) == n)
+    }
+    val bSimple = (BigDecimal(n) * BigDecimal(a) / BigDecimal(s2)
+      - 1).toDouble
+    assert(math.abs(rows.head.getDouble(5) - bSimple) < 1e-4,
+      s"B_simple ${rows.head.getDouble(5)} vs replay $bSimple")
+    // per-example variance must exist: N·A > S2 strictly (gradients
+    // are not all identical), so trace_cov > 0 and B_simple > 0
+    assert(rows.head.getDouble(4) > 0.0 && rows.head.getDouble(5) > 0.0)
+  }
+
   test("cartography: census == driver-side trajectory recompute") {
     val (traj, _, _) = CurationOps.logregTrajectoryLoop(spark, sfTiny, 5)
     val feats = Tables.embeddings(spark, sfTiny)
