@@ -3814,7 +3814,110 @@ object TextOps {
        |FROM tok JOIN nsub USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------- TextRank
+  /** TextRank keyword extraction (Mihalcea–Tarau '04) over the corpus
+    * word co-occurrence graph — the unsupervised keyword ranker that
+    * needs no training data, here composed from the same primitives
+    * as [[pmiCollocations]] (adjacent-pair edges) and the PageRank
+    * iteration discipline: adjacent content words (length ≥ 4, the
+    * paper's syntactic-filter stand-in) form an undirected weighted
+    * graph; 4 rounds of the weighted rank recurrence PR(v) = 0.15 +
+    * 0.85·Σ_u w_uv/W_u·PR(u) run entirely on the e9 integer lattice —
+    * each edge contribution is the truncating division (w·PR) div W_u
+    * and the damping is (17·S) div 20, so both engines take
+    * bit-identical trajectories (the logreg trainer's discipline
+    * applied to a graph recurrence). Top-20 keywords ship with degree
+    * and edge-weight mass for audit.
+    *
+    * Scale shape: one adjacent-pair aggregate (vocab²-bounded, heavy
+    * tail trimmed by the length filter), then T joins shuffling on
+    * the same word key with per-round localCheckpoint — bucket the
+    * edge frame once and every round reuses the partitioning. */
+  def textrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+        col("w1") =!= col("w2"))
+    val und = pairs
+      .groupBy(least(col("w1"), col("w2")).as("u"),
+        greatest(col("w1"), col("w2")).as("v"))
+      .agg(count(lit(1)).as("wt"))
+    val edges = und.select(col("u").as("src"), col("v").as("dst"),
+        col("wt"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst"),
+        col("wt")))
+      .cache()
+    val wout = edges.groupBy(col("src"))
+      .agg(sum(col("wt")).as("wtot"),
+        count(lit(1)).as("degree"))
+    val e2 = edges.join(wout.select(col("src"), col("wtot")), Seq("src"))
+    var pr = edges.select(col("src").as("wd")).distinct()
+      .withColumn("pr", lit(1000000000L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to 4) {
+      pr = e2.join(pr.withColumnRenamed("wd", "src"), Seq("src"))
+        .withColumn("contrib", expr("(wt * pr) div wtot"))
+        .groupBy(col("dst").as("wd")).agg(sum(col("contrib")).as("s"))
+        .select(col("wd"),
+          (lit(150000000L) + expr("(17 * s) div 20")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    val out = pr
+      .join(wout.select(col("src").as("wd"), col("wtot"), col("degree")),
+        Seq("wd"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pr").desc, col("wd"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("wd").as("word"), col("pr").as("pr_e9"),
+        col("degree"), col("wtot").as("w_total"))
+      .orderBy(col("rk"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
+  private val textrankOracle = {
+    val iter = (t: Int) =>
+      s"""pr$t AS (
+         |  SELECT e.dst AS wd,
+         |    CAST(150000000 + (17 * SUM((e.wt * pr) // wtot)) // 20
+         |         AS BIGINT) AS pr
+         |  FROM e JOIN wo ON wo.src = e.src
+         |       JOIN pr${t - 1} ON pr${t - 1}.wd = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |big AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |        FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+       |fp AS (SELECT w1, w2 FROM big
+       |       WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+       |und AS (SELECT least(w1, w2) AS u, greatest(w1, w2) AS v,
+       |               CAST(COUNT(*) AS BIGINT) AS wt
+       |        FROM fp GROUP BY 1, 2),
+       |e AS (SELECT u AS src, v AS dst, wt FROM und
+       |      UNION ALL SELECT v, u, wt FROM und),
+       |wo AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS wtot,
+       |              CAST(COUNT(*) AS BIGINT) AS degree
+       |       FROM e GROUP BY 1),
+       |pr0 AS (SELECT DISTINCT src AS wd,
+       |               CAST(1000000000 AS BIGINT) AS pr FROM e),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT CAST(rk AS INTEGER) AS rk, wd AS word, pr AS pr_e9,
+       |       degree, wtot AS w_total
+       |FROM (SELECT pr4.wd, pr4.pr, wo.degree, wo.wtot,
+       |        ROW_NUMBER() OVER (ORDER BY pr4.pr DESC, pr4.wd) AS rk
+       |      FROM pr4 JOIN wo ON wo.src = pr4.wd)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_textrank" -> (textrank _),
     "q_unigram_lm" -> (unigramLm _),
     "q_topic_coherence" -> (topicCoherence _),
     "q_burstiness" -> (burstiness _),
@@ -3865,6 +3968,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_textrank" -> textrankOracle,
     "q_unigram_lm" -> unigramLmOracle,
     "q_topic_coherence" -> topicCoherenceOracle,
     "q_burstiness" -> burstinessOracle,

@@ -922,4 +922,45 @@ class TextOpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
   }
+  test("textrank: driver lattice replay of the damped rank recurrence") {
+    val got = graft.ops.TextOps.textrank(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val texts = Tables.documents(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0))
+    val wt = collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.sliding(2).foreach {
+        case Array(a, b)
+            if a.length >= 4 && b.length >= 4 && a != b =>
+          val k = if (a < b) (a, b) else (b, a)
+          wt(k) = wt.getOrElse(k, 0L) + 1
+        case _ =>
+      }
+    }
+    val adj = collection.mutable.Map
+      .empty[String, collection.mutable.Map[String, Long]]
+    wt.foreach { case ((u, v), w) =>
+      adj.getOrElseUpdate(u, collection.mutable.Map.empty)(v) = w
+      adj.getOrElseUpdate(v, collection.mutable.Map.empty)(u) = w
+    }
+    val wtot = adj.view.mapValues(_.values.sum).toMap
+    var pr: Map[String, Long] = adj.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 4) {
+      val s = collection.mutable.Map.empty[String, Long]
+      adj.foreach { case (u, nbs) =>
+        nbs.foreach { case (v, w) =>
+          s(v) = s.getOrElse(v, 0L) + (w * pr(u)) / wtot(u)
+        }
+      }
+      pr = adj.keys.map(v =>
+        v -> (150000000L + (17L * s.getOrElse(v, 0L)) / 20L)).toMap
+    }
+    val want = pr.toSeq.sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((w, p), i) =>
+        (i + 1, w, p, adj(w).size.toLong, wtot(w)) }
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
 }
