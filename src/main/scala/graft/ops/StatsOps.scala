@@ -1657,6 +1657,101 @@ object StatsOps {
       |WHERE day >= cut
       |GROUP BY pi_action, train_r_c""".stripMargin
 
+  // ------------------------------------------- doubly robust eval
+  /** Doubly-robust off-policy evaluation (Dudík–Langford–Li '11) —
+    * the estimator that closes [[ipsEval]]'s gap: IPS is unbiased but
+    * high-variance, the direct method (a reward model q̂) is
+    * low-variance but biased; DR = q̂(x, π) + 1{a=π}·(r − q̂(x, a))/p
+    * is unbiased if EITHER is right. Same logged-bandit framing as
+    * ipsEval (actions = event types, uniform behavior propensity 1/5,
+    * target π = train-window argmax): q̂ is the per-(day-of-week,
+    * action) train-window mean reward with a global-mean fallback for
+    * unseen cells, learned as truncating-div integers so both engines
+    * hold the identical model; the estimate sums integer terms and
+    * divides once. Ships DM, IPS and DR side by side — the textbook
+    * variance-bias triangle in one row.
+    *
+    * Scale shape: the reward model is a 7×|actions| broadcast; the
+    * eval pass is one scan with two broadcast joins and a 1-row
+    * rollup. Nothing data-sized ever shuffles. */
+  def drEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type").as("action"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("r_c"))
+      .withColumn("dow", expr("day % 7"))
+    val cut = ev.agg((min(col("day")) + lit(15L)).as("cut"))
+    val split = ev.crossJoin(broadcast(cut))
+    val train = split.filter(col("day") < col("cut"))
+    val chosen = train
+      .groupBy(col("action")).agg(sum(col("r_c")).as("train_r_c"))
+      .agg(max(struct(col("train_r_c"), col("action"))).as("w"))
+      .select(col("w.action").as("pi_action"))
+    val qhat = train.groupBy(col("dow"), col("action"))
+      .agg(sum(col("r_c")).as("s"), count(lit(1)).as("c"))
+      .select(col("dow"), col("action"), expr("s div c").as("q_c"))
+    val qglob = train.agg(sum(col("r_c")).as("s"), count(lit(1)).as("c"))
+      .select(expr("s div c").as("qg"))
+    split.filter(col("day") >= col("cut"))
+      .crossJoin(broadcast(chosen)).crossJoin(broadcast(qglob))
+      .join(broadcast(qhat.select(col("dow"), col("action"),
+        col("q_c").as("q_a"))), Seq("dow", "action"), "left_outer")
+      .join(broadcast(qhat.select(col("dow"),
+        col("action").as("pi_action"), col("q_c").as("q_pi"))),
+        Seq("dow", "pi_action"), "left_outer")
+      .withColumn("q_a", coalesce(col("q_a"), col("qg")))
+      .withColumn("q_pi", coalesce(col("q_pi"), col("qg")))
+      .groupBy(col("pi_action"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("q_pi")).as("dm_sum"),
+        sum(when(col("action") === col("pi_action"),
+          lit(5L) * col("r_c")).otherwise(0L)).as("ips_sum"),
+        sum(when(col("action") === col("pi_action"),
+          lit(5L) * (col("r_c") - col("q_a"))).otherwise(0L))
+          .as("corr_sum"))
+      .select(col("pi_action"), col("n_eval"),
+        expr("dm_sum div n_eval").as("dm_c"),
+        expr("ips_sum div n_eval").as("ips_c"),
+        expr("(dm_sum + corr_sum) div n_eval").as("dr_c"))
+  }
+
+  private val drEvalOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS action, epoch_ms(ts) // 86400000 AS day,
+      |         (epoch_ms(ts) // 86400000) % 7 AS dow,
+      |         CAST(round(value * 100) AS BIGINT) AS r_c
+      |  FROM events),
+      |cut AS (SELECT MIN(day) + 15 AS cut FROM ev),
+      |train AS (SELECT * FROM ev, cut WHERE day < cut),
+      |chosen AS (
+      |  SELECT action AS pi_action FROM (
+      |    SELECT action, CAST(SUM(r_c) AS BIGINT) AS train_r_c
+      |    FROM train GROUP BY action)
+      |  ORDER BY train_r_c DESC, action DESC LIMIT 1),
+      |qhat AS (
+      |  SELECT dow, action,
+      |         CAST(SUM(r_c) AS BIGINT) // COUNT(*) AS q_c
+      |  FROM train GROUP BY 1, 2),
+      |qglob AS (
+      |  SELECT CAST(SUM(r_c) AS BIGINT) // COUNT(*) AS qg FROM train),
+      |scored AS (
+      |  SELECT ev.*, chosen.pi_action,
+      |         COALESCE(qa.q_c, qg) AS q_a,
+      |         COALESCE(qp.q_c, qg) AS q_pi
+      |  FROM ev CROSS JOIN cut CROSS JOIN chosen CROSS JOIN qglob
+      |  LEFT JOIN qhat qa ON qa.dow = ev.dow AND qa.action = ev.action
+      |  LEFT JOIN qhat qp ON qp.dow = ev.dow AND qp.action = pi_action
+      |  WHERE day >= cut)
+      |SELECT pi_action, COUNT(*) AS n_eval,
+      |  CAST(SUM(q_pi) AS BIGINT) // COUNT(*) AS dm_c,
+      |  CAST(SUM(CASE WHEN action = pi_action THEN 5 * r_c ELSE 0 END)
+      |       AS BIGINT) // COUNT(*) AS ips_c,
+      |  (CAST(SUM(q_pi) AS BIGINT)
+      |   + CAST(SUM(CASE WHEN action = pi_action
+      |              THEN 5 * (r_c - q_a) ELSE 0 END) AS BIGINT))
+      |    // COUNT(*) AS dr_c
+      |FROM scored GROUP BY pi_action""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------- post-stratification
   /** Post-stratified metric estimation — the survey-statistics
@@ -3473,6 +3568,7 @@ object StatsOps {
     "q_runs_test" -> (runsTest _),
     "q_post_stratified" -> (postStratified _),
     "q_ips_eval" -> (ipsEval _),
+    "q_dr_eval" -> (drEval _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
@@ -3523,6 +3619,7 @@ object StatsOps {
     "q_runs_test" -> runsTestOracle,
     "q_post_stratified" -> postStratifiedOracle,
     "q_ips_eval" -> ipsEvalOracle,
+    "q_dr_eval" -> drEvalOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,

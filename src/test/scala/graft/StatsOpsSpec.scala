@@ -713,6 +713,31 @@ class StatsOpsSpec extends SparkSpec {
         math.round(diffs.sum.toDouble / diffs.length), "ATT replay")
   }
 
+  test("dr eval: driver replay; DR = DM + IPS-correction identity") {
+    val r = StatsOps.drEval(spark, sfTiny).collect().head
+    val ev = Tables.events(spark, sfTiny)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS r_c").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val cut = ev.map(_._2).min + 15
+    val train = ev.filter(_._2 < cut)
+    val pi = train.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      .toSeq.maxBy(t => (t._2, t._1))._1
+    val qhat = train.groupBy(t => (t._2 % 7, t._1)).view
+      .mapValues(v => v.map(_._3).sum / v.length).toMap
+    val qg = train.map(_._3).sum / train.length
+    val eval = ev.filter(_._2 >= cut)
+    val dmSum = eval.map(t => qhat.getOrElse((t._2 % 7, pi), qg)).sum
+    val ipsSum = eval.filter(_._1 == pi).map(5L * _._3).sum
+    val corrSum = eval.filter(_._1 == pi)
+      .map(t => 5L * (t._3 - qhat.getOrElse((t._2 % 7, t._1), qg))).sum
+    val n = eval.length
+    assert(r.getString(0) == pi && r.getLong(1) == n)
+    assert(r.getLong(2) == dmSum / n, "DM replay")
+    assert(r.getLong(3) == ipsSum / n, "IPS replay")
+    assert(r.getLong(4) == (dmSum + corrSum) / n, "DR replay")
+  }
+
   test("herfindahl: driver share recompute; bounds and ALL row hold") {
     val rows = StatsOps.herfindahl(spark, sfTiny).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
