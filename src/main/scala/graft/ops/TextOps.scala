@@ -3916,7 +3916,153 @@ object TextOps {
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------- PLSA
+  /** PLSA topic model (Hofmann '99) trained by 2 rounds of hard-
+    * lattice EM over the doc×vocab count matrix — the trained-model
+    * complement of [[topicCoherence]] (which scores a GIVEN word
+    * grid): K=3 topics, top-50 content-word vocabulary, keyed-PRF
+    * initialization (phi₀ ∝ 1 + md5(w|z) mod 100, the randomWalk
+    * reproducibility trick), and every E/M normalization is the
+    * truncating e9 integer division — posteriors, theta, phi all
+    * quantize ONCE per step, so Spark and DuckDB walk bit-identical
+    * EM trajectories (the [[graft.ops.CurationOps]] logreg/Dawid-
+    * Skene discipline applied to a latent-variable model). A zero
+    * denominator (possible once truncation zeroes a rare word's whole
+    * mixture row) falls back to the uniform posterior,
+    * deterministically in both engines. Output: top-8 words per topic
+    * with corpus counts and phi mass.
+    *
+    * Scale shape: the E-step frame is matrix×K rows (matrix is
+    * doc×vocab-bounded, vocab is top-50); phi is vocab×K broadcast,
+    * theta is doc-sized and equi-joins on doc_id; M-steps are two
+    * hash aggregates + bounded windows (per-doc, per-topic). State
+    * between rounds is localCheckpointed. At corpus scale the only
+    * data-sized exchanges are the matrix build and the theta join —
+    * both key-partitioned by doc_id, reusable across rounds. */
+  def plsa(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cw").desc, col("w"))))
+      .filter(col("rk") <= 50).select(col("w"), col("cw"))
+    val mat = toks.join(broadcast(vocab.select(col("w"))), Seq("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .cache()
+    val topics = spark.range(3).select(col("id").as("z"))
+    var phi = vocab.select(col("w")).crossJoin(topics)
+      .withColumn("h", expr("1 + CAST(conv(substring(md5(" +
+        "concat(w, '|', z)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("sz", sum(col("h")).over(Window.partitionBy(col("z"))))
+      .select(col("w"), col("z"),
+        expr("(1000000000 * h) div sz").as("phi_e9"))
+      .localCheckpoint(eager = true)
+    var theta = mat.select(col("doc_id")).distinct().crossJoin(topics)
+      .withColumn("theta_e9", lit(333333333L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to 2) {
+      val posts = mat.join(broadcast(phi), Seq("w"))
+        .join(theta, Seq("doc_id", "z"))
+        .withColumn("num", col("theta_e9") * col("phi_e9"))
+        .withColumn("den", sum(col("num")).over(
+          Window.partitionBy(col("doc_id"), col("w"))))
+        .withColumn("post_e9", when(col("den") === 0L, lit(333333333L))
+          .otherwise(expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0)) * num) div den" +
+              " AS BIGINT)")))
+        .withColumn("np", col("n") * col("post_e9"))
+      theta = posts.groupBy(col("doc_id"), col("z"))
+        .agg(sum(col("np")).as("tz"))
+        .withColumn("td", sum(col("tz")).over(
+          Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id"), col("z"), expr(
+          "CAST((CAST(1000000000 AS DECIMAL(38,0)) * tz) div td" +
+            " AS BIGINT)").as("theta_e9"))
+        .localCheckpoint(eager = true)
+      phi = posts.groupBy(col("w"), col("z"))
+        .agg(sum(expr("CAST(np AS DECIMAL(38,0))")).as("pz"))
+        .withColumn("pt", sum(col("pz")).over(
+          Window.partitionBy(col("z"))))
+        .select(col("w"), col("z"),
+          expr("CAST((1000000000 * pz) div pt AS BIGINT)").as("phi_e9"))
+        .localCheckpoint(eager = true)
+    }
+    val out = phi.join(broadcast(vocab), Seq("w"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("z"))
+        .orderBy(col("phi_e9").desc, col("w"))))
+      .filter(col("rk") <= 8)
+      .select(col("z").as("topic"), col("rk"), col("w").as("word"),
+        col("cw").as("n_w"), col("phi_e9"))
+      .orderBy(col("topic"), col("rk"))
+      .localCheckpoint(eager = true)
+    mat.unpersist()
+    out
+  }
+
+  private val plsaOracle = {
+    val iter = (t: Int) =>
+      s"""j$t AS (
+         |  SELECT m.doc_id, m.w, p.z, m.n, t.theta * p.phi AS num
+         |  FROM mat m JOIN phi${t - 1} p ON p.w = m.w
+         |       JOIN theta${t - 1} t ON t.doc_id = m.doc_id
+         |                           AND t.z = p.z),
+         |po$t AS (
+         |  SELECT *, CASE WHEN den = 0 THEN 333333333
+         |    ELSE CAST((CAST(1000000000 AS HUGEINT) * num) // den
+         |         AS BIGINT) END AS post
+         |  FROM (SELECT *, SUM(num) OVER (PARTITION BY doc_id, w)
+         |          AS den FROM j$t)),
+         |theta$t AS (
+         |  SELECT doc_id, z,
+         |    CAST((CAST(1000000000 AS HUGEINT) * tz) // td AS BIGINT)
+         |      AS theta
+         |  FROM (SELECT doc_id, z, CAST(SUM(n * post) AS HUGEINT) AS tz,
+         |          SUM(SUM(n * post)) OVER (PARTITION BY doc_id) AS td
+         |        FROM po$t GROUP BY 1, 2)),
+         |phi$t AS (
+         |  SELECT w, z,
+         |    CAST((CAST(1000000000 AS HUGEINT) * pz) // pt AS BIGINT)
+         |      AS phi
+         |  FROM (SELECT w, z, CAST(SUM(n * post) AS HUGEINT) AS pz,
+         |          SUM(SUM(n * post)) OVER (PARTITION BY z) AS pt
+         |        FROM po$t GROUP BY 1, 2))""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w FROM toks WHERE length(w) >= 4),
+       |vocab AS (
+       |  SELECT w, cw FROM (
+       |    SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
+       |           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+       |    FROM tf GROUP BY w)
+       |  WHERE rk <= 50),
+       |mat AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM tf JOIN vocab USING (w) GROUP BY 1, 2),
+       |zs AS (SELECT UNNEST(range(3)) AS z),
+       |phi0 AS (
+       |  SELECT w, z, (1000000000 * h) // sz AS phi
+       |  FROM (SELECT w, z, h, SUM(h) OVER (PARTITION BY z) AS sz
+       |        FROM (SELECT w, z,
+       |                1 + CAST('0x' || substring(md5(
+       |                  w || '|' || CAST(z AS VARCHAR)), 1, 15)
+       |                  AS BIGINT) % 100 AS h
+       |              FROM vocab, zs))),
+       |theta0 AS (SELECT DISTINCT doc_id, z,
+       |                  CAST(333333333 AS BIGINT) AS theta
+       |           FROM mat, zs),
+       |${(1 to 2).map(iter).mkString(",\n")}
+       |SELECT z AS topic, CAST(rk AS INTEGER) AS rk, w AS word, cw AS n_w,
+       |       phi AS phi_e9
+       |FROM (SELECT phi2.*, vocab.cw,
+       |        ROW_NUMBER() OVER (PARTITION BY z
+       |          ORDER BY phi DESC, w) AS rk
+       |      FROM phi2 JOIN vocab USING (w))
+       |WHERE rk <= 8 ORDER BY topic, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_plsa" -> (plsa _),
     "q_textrank" -> (textrank _),
     "q_unigram_lm" -> (unigramLm _),
     "q_topic_coherence" -> (topicCoherence _),
@@ -3968,6 +4114,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_plsa" -> plsaOracle,
     "q_textrank" -> textrankOracle,
     "q_unigram_lm" -> unigramLmOracle,
     "q_topic_coherence" -> topicCoherenceOracle,

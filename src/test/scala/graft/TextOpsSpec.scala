@@ -963,4 +963,62 @@ class TextOpsSpec extends SparkSpec {
         (i + 1, w, p, adj(w).size.toLong, wtot(w)) }
     assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
   }
+  test("plsa: driver hard-lattice EM replay reproduces topic grids") {
+    val got = graft.ops.TextOps.plsa(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = texts.flatMap { case (d, t) =>
+      t.split(" ", -1).filter(_.length >= 4).map(w => (d, w)) }
+    val vocab = tf.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy(t => (-t._2, t._1)).take(50)
+    val vset = vocab.map(_._1).toSet
+    val mat = tf.filter(t => vset(t._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap  // (d,w) -> n
+    def hkey(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val zs = 0L to 2L
+    val h = (for (w <- vset; z <- zs)
+      yield (w, z) -> (1L + hkey(s"$w|$z") % 100)).toMap
+    val sz = zs.map(z => z -> vset.toSeq.map(w => h((w, z))).sum).toMap
+    var phi = h.map { case ((w, z), hv) =>
+      (w, z) -> (1000000000L * hv) / sz(z) }
+    val docs = mat.keys.map(_._1).toSet
+    var theta = (for (d <- docs; z <- zs)
+      yield (d, z) -> 333333333L).toMap
+    for (_ <- 1 to 2) {
+      val post = mat.keys.map { case (d, w) =>
+        val nums = zs.map(z => z -> theta(d -> z) * phi(w -> z)).toMap
+        val den = nums.values.sum
+        (d, w) -> zs.map(z => z -> (if (den == 0L) 333333333L
+          else ((BigInt(1000000000L) * nums(z)) / den).toLong)).toMap
+      }.toMap
+      val np = for (((d, w), n) <- mat; z <- zs)
+        yield (d, w, z, n * post((d, w))(z))
+      theta = np.groupBy(t => (t._1, t._3)).map { case (k, v) =>
+        val tz = v.map(_._4).sum
+        val td = np.filter(_._1 == k._1).map(_._4).sum
+        k -> ((BigInt(1000000000L) * tz) / td).toLong
+      }
+      phi = np.groupBy(t => (t._2, t._3)).map { case (k, v) =>
+        val pz = v.map(x => BigInt(x._4)).sum
+        val pt = np.filter(_._3 == k._2).map(x => BigInt(x._4)).sum
+        k -> ((BigInt(1000000000L) * pz) / pt).toLong
+      }
+    }
+    val cw = vocab.toMap
+    val want = zs.flatMap { z =>
+      phi.collect { case ((w, zz), p) if zz == z => (w, p) }.toSeq
+        .sortBy(t => (-t._2, t._1)).take(8).zipWithIndex
+        .map { case ((w, p), i) => (z, i + 1, w, cw(w), p) }
+    }
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.take(4).toSeq} want ${want.take(4).toSeq}")
+  }
 }
