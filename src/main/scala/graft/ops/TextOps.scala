@@ -3939,7 +3939,28 @@ object TextOps {
     * between rounds is localCheckpointed. At corpus scale the only
     * data-sized exchanges are the matrix build and the theta join —
     * both key-partitioned by doc_id, reusable across rounds. */
-  def plsa(spark: SparkSession, sfDir: String): DataFrame = {
+  def plsa(spark: SparkSession, sfDir: String): DataFrame =
+    plsaModel(spark, sfDir)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("z"))
+        .orderBy(col("phi_e9").desc, col("w"))))
+      .filter(col("rk") <= 8)
+      .select(col("z").as("topic"), col("rk"), col("w").as("word"),
+        col("cw").as("n_w"), col("phi_e9"))
+      .orderBy(col("topic"), col("rk"))
+
+  /** The trained topic-word table (w, z, phi_e9, cw) as a standing
+    * artifact — trained ONCE per session+SF (the nbModel/ivfIndex
+    * lifecycle): [[plsa]] reports it, [[plsaInfer]] and the streaming
+    * serving twin fold new documents against it without re-training
+    * mid-stream. */
+  private[graft] def plsaModel(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+        s"${graft.etl.Medallion.warehouse(sfDir)}/plsa_model") {
+      plsaTrain(spark, sfDir)
+    }
+
+  private def plsaTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 4)
@@ -3989,18 +4010,67 @@ object TextOps {
         .localCheckpoint(eager = true)
     }
     val out = phi.join(broadcast(vocab), Seq("w"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("z"))
-        .orderBy(col("phi_e9").desc, col("w"))))
-      .filter(col("rk") <= 8)
-      .select(col("z").as("topic"), col("rk"), col("w").as("word"),
-        col("cw").as("n_w"), col("phi_e9"))
-      .orderBy(col("topic"), col("rk"))
+      .select(col("w"), col("z"), col("phi_e9"), col("cw"))
       .localCheckpoint(eager = true)
     mat.unpersist()
     out
   }
 
-  private val plsaOracle = {
+  /** Fold-in inference against the standing [[plsaModel]] (Hofmann's
+    * §4 fold-in, one hard-lattice E/M round from the uniform doc
+    * prior — the model's phi is FROZEN, so serving never touches the
+    * trainer): per document, post(z|w) = (1e9·phi) div Σ_z phi, the
+    * doc-topic weight is the n-weighted posterior sum normalized on
+    * the same e9 lattice, and the document's topic is the argmax
+    * (ties to the lower topic id). The census per (lang, topic) ships
+    * doc counts and the exact integer mass so drift in the topic mix
+    * per language is one GROUP BY away. Kernel shared verbatim with
+    * the streaming twin. */
+  private[graft] def plsaInferFrame(docs: DataFrame,
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val model = plsaModel(spark, sfDir)
+    // post(z|w): word-topic responsibility under the frozen model
+    val postW = model
+      .withColumn("sw", sum(col("phi_e9")).over(
+        Window.partitionBy(col("w"))))
+      .select(col("w"), col("z"), when(col("sw") === 0L, lit(333333333L))
+        .otherwise(expr(
+          "CAST((CAST(1000000000 AS DECIMAL(38,0)) * phi_e9) div sw" +
+            " AS BIGINT)")).as("pw_e9"))
+    val mat = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val dz = mat.join(broadcast(postW), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"), col("z"))
+      .agg(sum(col("n") * col("pw_e9")).as("tz"))
+      .withColumn("td", sum(col("tz")).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("theta_e9", when(col("td") === 0L, lit(333333333L))
+        .otherwise(expr(
+          "CAST((CAST(1000000000 AS DECIMAL(38,0)) * tz) div td" +
+            " AS BIGINT)")))
+    dz.groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("theta_e9"), (-col("z")).as("nz"))).as("win"))
+      .select(col("lang"), (-col("win.nz")).as("topic"),
+        col("win.theta_e9").as("theta_e9"))
+      .groupBy(col("lang"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("theta_e9")).as("sum_theta_e9"))
+      .orderBy(col("lang"), col("topic"))
+  }
+
+  /** Batch inference census over the held-out slice (every 7th doc —
+    * the eval-split convention the calibration/conformal family
+    * uses). */
+  def plsaInfer(spark: SparkSession, sfDir: String): DataFrame =
+    plsaInferFrame(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0),
+      spark, sfDir)
+
+  private val plsaOraclePrefix = {
     val iter = (t: Int) =>
       s"""j$t AS (
          |  SELECT m.doc_id, m.w, p.z, m.n, t.theta * p.phi AS num
@@ -4027,7 +4097,7 @@ object TextOps {
          |  FROM (SELECT w, z, CAST(SUM(n * post) AS HUGEINT) AS pz,
          |          SUM(SUM(n * post)) OVER (PARTITION BY z) AS pt
          |        FROM po$t GROUP BY 1, 2))""".stripMargin
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |  FROM documents),
        |tf AS (SELECT doc_id, w FROM toks WHERE length(w) >= 4),
@@ -4051,7 +4121,11 @@ object TextOps {
        |theta0 AS (SELECT DISTINCT doc_id, z,
        |                  CAST(333333333 AS BIGINT) AS theta
        |           FROM mat, zs),
-       |${(1 to 2).map(iter).mkString(",\n")}
+       |${(1 to 2).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val plsaOracle =
+    s"""WITH $plsaOraclePrefix
        |SELECT z AS topic, CAST(rk AS INTEGER) AS rk, w AS word, cw AS n_w,
        |       phi AS phi_e9
        |FROM (SELECT phi2.*, vocab.cw,
@@ -4059,10 +4133,42 @@ object TextOps {
        |          ORDER BY phi DESC, w) AS rk
        |      FROM phi2 JOIN vocab USING (w))
        |WHERE rk <= 8 ORDER BY topic, rk""".stripMargin
-  }
+
+  private val plsaInferOracle =
+    s"""WITH $plsaOraclePrefix,
+       |pw AS (
+       |  SELECT w, z, CASE WHEN sw = 0 THEN 333333333
+       |    ELSE CAST((CAST(1000000000 AS HUGEINT) * phi) // sw AS BIGINT)
+       |    END AS pw_e9
+       |  FROM (SELECT w, z, phi, SUM(phi) OVER (PARTITION BY w) AS sw
+       |        FROM phi2)),
+       |hmat AS (
+       |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 7 = 0)
+       |  WHERE length(w) >= 4 GROUP BY 1, 2, 3),
+       |dz AS (
+       |  SELECT doc_id, lang, z, tz,
+       |         SUM(tz) OVER (PARTITION BY doc_id) AS td
+       |  FROM (SELECT doc_id, lang, z,
+       |          CAST(SUM(n * pw_e9) AS HUGEINT) AS tz
+       |        FROM hmat JOIN pw USING (w) GROUP BY 1, 2, 3)),
+       |th AS (
+       |  SELECT doc_id, lang, z, CASE WHEN td = 0 THEN 333333333
+       |    ELSE CAST((CAST(1000000000 AS HUGEINT) * tz) // td AS BIGINT)
+       |    END AS theta
+       |  FROM dz),
+       |win AS (
+       |  SELECT doc_id, lang, z AS topic, theta FROM th
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY theta DESC, z) = 1)
+       |SELECT lang, topic, COUNT(*) AS n_docs,
+       |       CAST(SUM(theta) AS BIGINT) AS sum_theta_e9
+       |FROM win GROUP BY 1, 2 ORDER BY lang, topic""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_plsa" -> (plsa _),
+    "q_plsa_infer" -> (plsaInfer _),
     "q_textrank" -> (textrank _),
     "q_unigram_lm" -> (unigramLm _),
     "q_topic_coherence" -> (topicCoherence _),
@@ -4115,6 +4221,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_plsa" -> plsaOracle,
+    "q_plsa_infer" -> plsaInferOracle,
     "q_textrank" -> textrankOracle,
     "q_unigram_lm" -> unigramLmOracle,
     "q_topic_coherence" -> topicCoherenceOracle,

@@ -235,6 +235,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming PLSA topic-mix serving — document arrivals folded
+    * against the STANDING trained topic-word table
+    * ([[graft.ops.TextOps.plsaModel]], trained once; serving never
+    * re-runs EM mid-stream): each micro-batch runs the batch op's own
+    * [[graft.ops.TextOps.plsaInferFrame]] fold-in kernel and appends
+    * the per-batch (lang, topic) census to a ledger. Counts and
+    * theta-mass are commutative sums, so a reader re-aggregating the
+    * ledger reproduces the batch census exactly — the train-once/
+    * serve-many story [[annServeStream]] tells for similarity,
+    * applied to the topic model. */
+  def plsaServeStream(docs: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.TextOps.plsaInferFrame(batch.toDF(), spark, sfDir)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming write-audit-publish — every micro-batch's (k, v) delta
     * is merged into the last PUBLISHED snapshot and committed through
     * [[graft.etl.Medallion.wapCommit]]'s gate: positivity and

@@ -848,6 +848,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PLSA serving ledger re-aggregates to the batch census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/plsa_serve_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    // the batch op's own held-out docs arriving in two waves — the
+    // standing model must serve both without re-running EM
+    val docs = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.plsaServeStream(
+      input.toDF().toDF("doc_id", "lang", "text"), sfTiny, s"$base/ledger")
+    try {
+      docs.grouped(math.max(1, docs.length / 2)).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(s"$base/ledger")
+        .groupBy(col("lang"), col("topic"))
+        .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n_docs"),
+          org.apache.spark.sql.functions.sum(col("sum_theta_e9"))
+            .as("sum_theta_e9"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = graft.ops.TextOps.plsaInfer(spark, sfTiny).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming WAP: poisoned wave stays invisible, good waves publish") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
