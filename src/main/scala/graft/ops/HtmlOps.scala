@@ -1046,6 +1046,77 @@ object HtmlOps {
        |FROM documents
        |GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------------ XML scan
+  /** Structured-markup feed walk over synthesized XML — the markup
+    * container beside the binary ones ([[zipScan]], [[tfrecordScan]]):
+    * RSS/Atom feeds, dump files, TEI corpora. The
+    * [[graft.sources.XmlFiles]] codec pair proves the whole parser
+    * surface in closed form: element/attribute censuses (nesting +
+    * self-closing + quoted attrs), the every-5th CDATA body (decode
+    * suppression), the entity decoder digit-by-digit (each doc id is
+    * encoded ENTIRELY as decimal character references in its title —
+    * the decoded-id sum only lands if every `&#NN;` resolves), and
+    * the attribute-vs-content cross-check (id attribute == decoded
+    * title id on every item).
+    *
+    * Scale shape: identical to the other container scans — map-side
+    * synth+walk over bounded 25-doc groups, one fact exchange, a
+    * file-count-sized rollup; on a real corpus the synth stage is
+    * `binaryFile` reads and the walk is unchanged. */
+  def xmlScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.XmlFiles
+    Tables.documents(spark, sfDir)
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, docs) =>
+        val xml = XmlFiles.synthXml(s"file_$fid", docs)
+        val scan = XmlFiles.parseXml(xml)
+        (fid, scan.items.size.toLong, scan.nElem, scan.maxDepth,
+          scan.nAttr, scan.nCdata, scan.nSelfClose, scan.nEnt,
+          scan.items.map(_.titleId).sum,
+          scan.items.count(it => it.idAttr == it.titleId).toLong,
+          scan.textBytes, scan.clean)
+      })
+      .toDF("file_id", "n_items", "n_elem", "max_depth", "n_attr",
+        "n_cdata", "n_selfclose", "n_ent", "id_sum", "n_id_match",
+        "text_bytes", "clean")
+      .orderBy(col("file_id"))
+  }
+
+  /** Closed-form census — per item 3 elements (+1 meta on every 4th,
+    * +2 em/strong on every 3rd) under the 1 feed root; 2 attrs per
+    * item (+1 on meta, +1 on feed); entities = id digits + the flag
+    * amp; decoded text = "doc <id>" + body + the 1-byte "x" on every
+    * 3rd. */
+  private val xmlScanOracle =
+    s"""SELECT doc_id // $WarcDocsPerFile AS file_id,
+       |  COUNT(*) AS n_items,
+       |  CAST(1 + SUM(3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+       |               + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END)
+       |       AS BIGINT) AS n_elem,
+       |  CAST(CASE WHEN SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+       |            > 0 THEN 5 ELSE 3 END AS BIGINT) AS max_depth,
+       |  CAST(1 + SUM(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_attr,
+       |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_cdata,
+       |  CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_selfclose,
+       |  CAST(SUM(strlen(CAST(doc_id AS VARCHAR)) + 1) AS BIGINT)
+       |    AS n_ent,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  COUNT(*) AS n_id_match,
+       |  CAST(SUM(4 + strlen(CAST(doc_id AS VARCHAR)) + strlen(text)
+       |           + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS text_bytes,
+       |  TRUE AS clean
+       |FROM documents
+       |GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // -------------------------------------------------- tfrecord scan
   /** TFRecord framing walk over synthesized training shards — the
     * container training jobs actually FEED FROM (TF input pipelines,
@@ -2564,6 +2635,7 @@ object HtmlOps {
     "q_warc_scan" -> (warcScan _),
     "q_tar_scan" -> (tarScan _),
     "q_zip_scan" -> (zipScan _),
+    "q_xml_scan" -> (xmlScan _),
     "q_tfrecord_scan" -> (tfrecordScan _),
     "q_avro_scan" -> (avroScan _),
     "q_arrow_scan" -> (arrowScan _),
@@ -2589,6 +2661,7 @@ object HtmlOps {
     "q_warc_scan" -> warcScanOracle,
     "q_tar_scan" -> tarScanOracle,
     "q_zip_scan" -> zipScanOracle,
+    "q_xml_scan" -> xmlScanOracle,
     "q_tfrecord_scan" -> tfrecordScanOracle,
     "q_avro_scan" -> avroScanOracle,
     "q_arrow_scan" -> arrowScanOracle,

@@ -761,4 +761,54 @@ class HtmlOpsSpec extends SparkSpec {
       assert(canonicalUrl(want) == want, s"not a fixed point: $want")
     }
   }
+  test("xml codec: roundtrip censuses, entity decode, CDATA suppression") {
+    import graft.sources.XmlFiles
+    val docs = Seq((3L, "alpha beta"), (4L, "gamma"), (5L, "delta eps"),
+      (12L, "zeta"), (17L, "eta theta"))
+    val xml = XmlFiles.synthXml("src_a", docs)
+    val scan = XmlFiles.parseXml(xml)
+    assert(scan.clean)
+    assert(scan.items.size == 5)
+    // id attribute and the char-ref-decoded title agree on every item
+    scan.items.zip(docs.sortBy(_._1)).foreach { case (it, (id, t)) =>
+      assert(it.idAttr == id && it.titleId == id, s"id mismatch at $id")
+      assert(it.bodyLen == t.length.toLong, s"body len at $id")
+    }
+    // censuses: feed + per-item (item,title,body) + meta on %4 + em/strong on %3
+    val e = 1 + docs.map { case (id, _) =>
+      3 + (if (id % 4 == 0) 1 else 0) + (if (id % 3 == 0) 2 else 0) }.sum
+    assert(scan.nElem == e.toLong)
+    assert(scan.maxDepth == 5L) // id=3/12 carry em>strong under body
+    assert(scan.nCdata == docs.count(_._1 % 5 == 0).toLong)
+    assert(scan.nSelfClose == docs.count(_._1 % 4 == 0).toLong)
+    assert(scan.nAttr == (1 + docs.map { case (id, _) =>
+      2 + (if (id % 4 == 0) 1 else 0) }.sum).toLong)
+    // entities: one per id digit + the flag amp, NOTHING from CDATA
+    assert(scan.nEnt == docs.map { case (id, _) =>
+      id.toString.length + 1 }.sum.toLong)
+    // a CDATA body containing entity syntax must NOT decode it
+    val cd = XmlFiles.parseXml(XmlFiles.synthXml("s",
+      Seq((10L, "a &amp; b"))))
+    assert(cd.clean && cd.items.head.bodyLen == "a &amp; b".length.toLong)
+    val esc = XmlFiles.parseXml(XmlFiles.synthXml("s",
+      Seq((11L, "a & b"))))
+    assert(esc.clean && esc.items.head.bodyLen == "a & b".length.toLong)
+  }
+
+  test("xml parse: total on every prefix, damage flips clean") {
+    import graft.sources.XmlFiles
+    val full = XmlFiles.synthXml("s", Seq((3L, "aa bb"), (20L, "cc")))
+    (0 to full.length).foreach { n =>
+      val scan = XmlFiles.parseXml(java.util.Arrays.copyOf(full, n))
+      // never throws (reaching here); a strict prefix with any open
+      // construct cannot be clean with a non-empty stack
+      if (n == full.length) assert(scan.clean)
+    }
+    assert(!XmlFiles.parseXml(
+      new String(full, "UTF-8").replace("</feed>", "</fee>")
+        .getBytes("UTF-8")).clean)
+    assert(!XmlFiles.parseXml(
+      new String(full, "UTF-8").replace("&amp;", "&nosuch;")
+        .getBytes("UTF-8")).clean)
+  }
 }
