@@ -1984,7 +1984,109 @@ object GraphOps {
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
   }
 
+  // ------------------------------------------------------ Luby MIS
+  /** Luby's maximal-independent-set algorithm ('86) over the
+    * co-purchase graph — THE textbook parallel-graph primitive (the
+    * basis of parallel coloring, scheduling, and symmetry breaking),
+    * made reproducible with the [[randomWalk]] keyed-PRF trick: in
+    * round r every undecided node draws priority md5(v|r) and joins
+    * the MIS iff its (priority, id) key is strictly smaller than
+    * every undecided neighbor's — a pure local minimum test, so a
+    * round is one edge join + one min aggregate, no coordination.
+    * Winners and their neighbors leave the graph; whp a constant
+    * fraction of edges dies per round. Both engines run EXACTLY 8
+    * rounds and ship the per-round census (winners, removed
+    * neighbors, undecided after) — convergence is visible in the
+    * output rather than assumed, and the spec asserts the fixture
+    * drains plus independence/maximality by replay.
+    *
+    * Scale shape: per round one equi-join of the shrinking edge frame
+    * against the undecided set + one min-by-key hash aggregate;
+    * per-round localCheckpoint; adjacent winners are impossible under
+    * a strict total order, so no conflict-resolution pass exists. */
+  def lubyMis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var und = edges.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    val census = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to 8) {
+      val pri = und.withColumn("k", format_string("%020d|%010d",
+        expr("CAST(conv(substring(md5(concat(CAST(v AS STRING), " +
+          s"'|$r')), 1, 15), 16, 10) AS BIGINT)"), col("v")))
+        .localCheckpoint(eager = true)
+      val er = edges
+        .join(pri.select(col("v").as("src")), Seq("src"))
+        .join(pri.select(col("v").as("dst"), col("k").as("nk")),
+          Seq("dst"))
+      val nbrMin = er.groupBy(col("src").as("v"))
+        .agg(min(col("nk")).as("nmin"))
+      val winners = pri.join(nbrMin, Seq("v"), "left_outer")
+        .filter(col("nmin").isNull || col("k") < col("nmin"))
+        .select(col("v"))
+        .localCheckpoint(eager = true)
+      val removed = er
+        .join(winners.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v")).distinct()
+        .localCheckpoint(eager = true)
+      und = und.join(winners, Seq("v"), "left_anti")
+        .join(removed, Seq("v"), "left_anti")
+        .localCheckpoint(eager = true)
+      census += ((r.toLong, winners.count(), removed.count(), und.count()))
+    }
+    edges.unpersist()
+    census.result()
+      .toDF("round", "n_winners", "n_removed", "n_undecided_after")
+      .orderBy(col("round"))
+  }
+
+  private val lubyMisOracle = {
+    val round = (r: Int) =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT v, printf('%020d|%010d',
+         |    CAST('0x' || substring(md5(CAST(v AS VARCHAR) || '|$r'),
+         |         1, 15) AS BIGINT), v) AS k
+         |  FROM u${r - 1}),
+         |m$r AS MATERIALIZED (
+         |  SELECT e.src AS v, MIN(pd.k) AS nmin
+         |  FROM e JOIN p$r pv ON pv.v = e.src
+         |       JOIN p$r pd ON pd.v = e.dst
+         |  GROUP BY e.src),
+         |w$r AS MATERIALIZED (
+         |  SELECT p$r.v FROM p$r LEFT JOIN m$r ON m$r.v = p$r.v
+         |  WHERE m$r.v IS NULL OR p$r.k < m$r.nmin),
+         |rm$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS v
+         |  FROM e JOIN w$r ON w$r.v = e.src
+         |       JOIN p$r pd ON pd.v = e.dst),
+         |u$r AS MATERIALIZED (
+         |  SELECT v FROM u${r - 1}
+         |  EXCEPT SELECT v FROM w$r
+         |  EXCEPT SELECT v FROM rm$r)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+       |          HAVING COUNT(*) BETWEEN 2 AND 20),
+       |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                         AND a.l_partkey <> b.l_partkey
+       |      JOIN sized s ON s.l_orderkey = a.l_orderkey),
+       |u0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |${(1 to 8).map(round).mkString(",\n")}
+       |${(1 to 8).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  (SELECT COUNT(*) FROM w$r) AS n_winners,
+             |  (SELECT COUNT(*) FROM rm$r) AS n_removed,
+             |  (SELECT COUNT(*) FROM u$r) AS n_undecided_after"""
+            .stripMargin).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_luby_mis" -> (lubyMis _),
     "q_katz" -> (katz _),
     "q_random_walk" -> (randomWalk _),
     "q_bowtie" -> (bowtie _),
@@ -2009,6 +2111,7 @@ object GraphOps {
 
   def oracles: Map[String, String] = Map(
     "q_katz" -> katzOracle,
+    "q_luby_mis" -> lubyMisOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_bowtie" -> bowtieOracle,
     "q_hyperanf" -> hyperAnfOracle,

@@ -603,6 +603,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
   }
 
+  test("luby MIS: replay census; independence and maximality hold") {
+    val got = GraphOps.lubyMis(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val half = coPurchaseHalf()
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    half.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    def hkey(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    var und = adj.keySet.toSet
+    val mis = collection.mutable.Set.empty[Long]
+    val want = (1 to 8).map { r =>
+      val key = und.map(v => v -> f"${hkey(s"$v|$r")}%020d|$v%010d").toMap
+      val winners = und.filter { v =>
+        val nbrs = adj(v).filter(und)
+        nbrs.isEmpty || nbrs.forall(u => key(v) < key(u))
+      }
+      val removed = winners.flatMap(v => adj(v).filter(und)) -- winners
+      mis ++= winners
+      und = und -- winners -- removed
+      (r.toLong, winners.size.toLong, removed.size.toLong,
+        und.size.toLong)
+    }
+    assert(got.toSeq == want, s"census got ${got.toSeq} want $want")
+    // the fixture must drain within 8 rounds, the result must be
+    // independent (no edge inside MIS) and maximal (every non-MIS
+    // node has a MIS neighbor)
+    assert(und.isEmpty, "undecided nodes remain after 8 rounds")
+    half.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"adjacent MIS pair $a-$b") }
+    adj.keys.foreach { v =>
+      assert(mis(v) || adj(v).exists(mis), s"non-maximal at $v") }
+  }
+
   test("random walk: deterministic md5 replay reproduces the census") {
     val got = GraphOps.randomWalk(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
