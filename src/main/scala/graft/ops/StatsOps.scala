@@ -1752,6 +1752,107 @@ object StatsOps {
       |    // COUNT(*) AS dr_c
       |FROM scored GROUP BY pi_action""".stripMargin
 
+  // ------------------------------------------------- UCB1 replay
+  /** UCB1 bandit replay (Auer–Cesa-Bianchi–Fischer '02) over the
+    * logged event stream — the exploration-policy audit beside the
+    * off-policy estimators ([[ipsEval]], [[drEval]]): replay the
+    * days in order, and each day pick the arm (event type) maximizing
+    * mean + √(2·ln N / n) over the PRIOR days' logged rewards. The
+    * textbook replay is sequential; here it is one windowed plan over
+    * the bounded day×arm grid (the survivalKm day-domain discipline):
+    * cumulative per-arm sums/counts via LAG-less prior-day windows,
+    * the bonus quantized ONCE to e6 (round-half-up of the same exact
+    * integer inputs in both engines), the pick a per-day rank with
+    * unseen-arms-first then ucb-desc then name — fully parallel over
+    * days, zero iteration. Output per day: the pick, its prior
+    * stats, the bonus, and that day's realized reward of the pick.
+    *
+    * Scale shape: one (day, arm) hash aggregate over the corpus, then
+    * windows over the grid (days × arms, bounded by the calendar not
+    * the data) — at 100 TB the grid is still a few thousand rows. */
+  def ucbBandit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type").as("arm"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("r_c"))
+      .groupBy(col("day"), col("arm"))
+      .agg(count(lit(1)).as("c"), sum(col("r_c")).as("s"))
+    // complete day×arm grid so unseen arms exist as rows
+    val grid = cells.select(col("day")).distinct()
+      .crossJoin(cells.select(col("arm")).distinct())
+      .join(cells, Seq("day", "arm"), "left_outer")
+      .na.fill(0L, Seq("c", "s"))
+    val prior = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = grid
+      .withColumn("n_prior", coalesce(sum(col("c")).over(prior), lit(0L)))
+      .withColumn("s_prior", coalesce(sum(col("s")).over(prior), lit(0L)))
+      .withColumn("nt", sum(col("n_prior")).over(
+        Window.partitionBy(col("day"))))
+      .withColumn("mean_e6", when(col("n_prior") === 0L, lit(0L))
+        .otherwise(expr(
+          "(2 * 1000000 * s_prior + n_prior) div (2 * n_prior)")))
+      .withColumn("bonus_e6", when(col("n_prior") === 0L, lit(0L))
+        .otherwise(round(sqrt(lit(2.0) *
+          log(col("nt").cast("double")) /
+          col("n_prior").cast("double")) * lit(1000000.0), 0)
+          .cast("long")))
+      .withColumn("ucb_e6", col("mean_e6") + col("bonus_e6"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("day"))
+        .orderBy(when(col("n_prior") === 0L, 0L).otherwise(1L),
+          col("ucb_e6").desc, col("arm"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("arm").as("chosen"), col("n_prior"),
+        col("mean_e6"), col("bonus_e6"), col("ucb_e6"),
+        col("c").as("day_pulls"), col("s").as("day_reward_c"))
+      .orderBy(col("day"))
+  }
+
+  private val ucbBanditOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS arm, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS r_c
+      |  FROM events),
+      |cells AS (
+      |  SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS c,
+      |         CAST(SUM(r_c) AS BIGINT) AS s
+      |  FROM ev GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.day, a.arm, COALESCE(c.c, 0) AS c, COALESCE(c.s, 0) AS s
+      |  FROM (SELECT DISTINCT day FROM cells) d
+      |  CROSS JOIN (SELECT DISTINCT arm FROM cells) a
+      |  LEFT JOIN cells c ON c.day = d.day AND c.arm = a.arm),
+      |pri AS (
+      |  SELECT *,
+      |    COALESCE(SUM(c) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_prior,
+      |    COALESCE(SUM(s) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS s_prior
+      |  FROM grid),
+      |sc AS (
+      |  SELECT *, SUM(n_prior) OVER (PARTITION BY day) AS nt,
+      |    CASE WHEN n_prior = 0 THEN 0
+      |      ELSE (2 * 1000000 * s_prior + n_prior) // (2 * n_prior)
+      |      END AS mean_e6,
+      |    CASE WHEN n_prior = 0 THEN 0
+      |      ELSE CAST(round(sqrt(2.0 * ln(CAST(SUM(n_prior)
+      |             OVER (PARTITION BY day) AS DOUBLE))
+      |             / CAST(n_prior AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      END AS bonus_e6
+      |  FROM pri)
+      |SELECT day, arm AS chosen, CAST(n_prior AS BIGINT) AS n_prior,
+      |       CAST(mean_e6 AS BIGINT) AS mean_e6, bonus_e6,
+      |       CAST(mean_e6 + bonus_e6 AS BIGINT) AS ucb_e6, c AS day_pulls,
+      |       s AS day_reward_c
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+      |        ORDER BY CASE WHEN n_prior = 0 THEN 0 ELSE 1 END,
+      |                 mean_e6 + bonus_e6 DESC, arm) AS rk
+      |      FROM sc)
+      |WHERE rk = 1 ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------- post-stratification
   /** Post-stratified metric estimation — the survey-statistics
@@ -3569,6 +3670,7 @@ object StatsOps {
     "q_post_stratified" -> (postStratified _),
     "q_ips_eval" -> (ipsEval _),
     "q_dr_eval" -> (drEval _),
+    "q_ucb_bandit" -> (ucbBandit _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
@@ -3620,6 +3722,7 @@ object StatsOps {
     "q_post_stratified" -> postStratifiedOracle,
     "q_ips_eval" -> ipsEvalOracle,
     "q_dr_eval" -> drEvalOracle,
+    "q_ucb_bandit" -> ucbBanditOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,

@@ -713,6 +713,42 @@ class StatsOpsSpec extends SparkSpec {
         math.round(diffs.sum.toDouble / diffs.length), "ATT replay")
   }
 
+  test("ucb bandit: sequential driver replay equals the windowed plan") {
+    val got = StatsOps.ucbBandit(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, sfTiny)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS r_c").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val arms = ev.map(_._1).distinct.sorted
+    val days = ev.map(_._2).distinct.sorted
+    // genuinely sequential replay: accumulate day by day
+    val n = collection.mutable.Map.empty[String, Long]
+    val s = collection.mutable.Map.empty[String, Long]
+    val want = days.map { d =>
+      val nt = arms.map(a => n.getOrElse(a, 0L)).sum
+      val scoredArms = arms.map { a =>
+        val np = n.getOrElse(a, 0L)
+        val mean = if (np == 0) 0L
+          else (2 * 1000000L * s.getOrElse(a, 0L) + np) / (2 * np)
+        val bonus = if (np == 0) 0L
+          else math.round(math.sqrt(2.0 * math.log(nt.toDouble) / np)
+            * 1000000.0)
+        (a, np, mean, bonus)
+      }
+      val pick = scoredArms.minBy { case (a, np, m, b) =>
+        (if (np == 0) 0L else 1L, -(m + b), a) }
+      ev.filter(e => e._2 == d).foreach { e =>
+        n(e._1) = n.getOrElse(e._1, 0L) + 1
+        s(e._1) = s.getOrElse(e._1, 0L) + e._3
+      }
+      (d, pick._1, pick._2, pick._3, pick._4, pick._3 + pick._4)
+    }
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.take(3).toSeq} want ${want.take(3).toSeq}")
+  }
+
   test("dr eval: driver replay; DR = DM + IPS-correction identity") {
     val r = StatsOps.drEval(spark, sfTiny).collect().head
     val ev = Tables.events(spark, sfTiny)
