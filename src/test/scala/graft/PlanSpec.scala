@@ -959,4 +959,33 @@ class PlanSpec extends SparkSpec {
       s"binary shortlist planned an unpartitioned window:\n$bsPlan")
   }
 
+  test("round-12 ops: no data-sized cartesians; eval joins broadcast") {
+    // q_plsa_infer: the fold-in kernel joins the doc matrix to the
+    // vocab-x-3 responsibility table — every join must be an equi-join
+    // (the broadcast side is the bounded model, never the corpus)
+    val inferPlan = executed(ops.TextOps.plsaInfer(spark, sfTiny))
+    assert(!inferPlan.contains("CartesianProduct"),
+      s"cartesian in plsa_infer:\n$inferPlan")
+    assert(!inferPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plsa_infer:\n$inferPlan")
+    // q_dr_eval: the eval pass must never shuffle the event scan —
+    // the reward model and the chosen-arm scalar ride as broadcasts
+    val drPlan = executed(ops.StatsOps.drEval(spark, sfTiny))
+    assert(!drPlan.contains("SortMergeJoin") &&
+      !drPlan.contains("ShuffledHashJoin"),
+      s"dr_eval shuffled a join that should broadcast:\n$drPlan")
+    assert(drPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast reward-model joins:\n$drPlan")
+    // q_ucb_bandit: the only nested-loop join is the bounded
+    // day-grid x arm-list completion, never event-sized
+    val ucbPlan = executed(ops.StatsOps.ucbBandit(spark, sfTiny))
+    assert(!ucbPlan.contains("CartesianProduct"),
+      s"cartesian in ucb plan:\n$ucbPlan")
+    // q_grad_noise: two aggregates over one scan, no join back to the
+    // corpus — the only joins are the 1-row moment broadcasts
+    val gnPlan = executed(ops.CurationOps.gradNoise(spark, sfTiny))
+    assert(!gnPlan.contains("SortMergeJoin") &&
+      !gnPlan.contains("CartesianProduct"),
+      s"grad_noise joined back to data:\n$gnPlan")
+  }
 }
