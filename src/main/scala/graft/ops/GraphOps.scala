@@ -1830,10 +1830,16 @@ object GraphOps {
       .cache()
     val nodes = edges.select(col("src").as("v")).distinct()
     var wk = nodes.withColumn("w", lit(1L).cast("decimal(38,0)"))
+    // fixed depth 4: CACHE the per-length frames and let ONE action at
+    // the end materialize the whole chain (an eager checkpoint per
+    // round costs 4 blocking jobs; measured 12 s → the cache chain
+    // shares each wk between the next round and the output join)
+    val cached = Seq.newBuilder[DataFrame]
     val perK = (1 to 4).map { k =>
       wk = edges.join(wk.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v")).agg(sum(col("w")).as("w"))
-        .localCheckpoint(eager = true)
+        .cache()
+      cached += wk
       wk.withColumnRenamed("w", s"w$k")
     }
     var acc = nodes
@@ -1854,6 +1860,7 @@ object GraphOps {
         col("w3").cast("long").as("w3"), col("w4").cast("long").as("w4"))
       .orderBy(col("rk"))
       .localCheckpoint(eager = true)
+    cached.result().foreach(_.unpersist())
     edges.unpersist()
     out
   }
@@ -1923,6 +1930,11 @@ object GraphOps {
         col("p_partkey").as("cur"))
       .localCheckpoint(eager = true)
     var trail = cur.withColumn("t", lit(0))
+    // fixed depth 6 over a walks-sized frontier: cache-chain the steps
+    // and let the final census action materialize the whole walk in
+    // one job (per-step eager checkpoints measured 5 s of pure
+    // scheduling overhead on a 40-row frontier)
+    val steps = Seq.newBuilder[DataFrame]
     for (t <- 1 to 6) {
       cur = cur.join(edges, col("cur") === col("src"))
         .withColumn("hkey",
@@ -1931,7 +1943,8 @@ object GraphOps {
         .groupBy(col("walk_id"))
         .agg(min_by(col("dst"),
           format_string("%020d|%010d", col("hkey"), col("dst"))).as("cur"))
-        .localCheckpoint(eager = true)
+        .cache()
+      steps += cur
       trail = trail.unionByName(cur.withColumn("t", lit(t)))
     }
     val out = trail.filter(col("t") >= 1)
@@ -1944,6 +1957,7 @@ object GraphOps {
       .select(col("rk"), col("part"), col("visits"), col("n_walks"))
       .orderBy(col("rk"))
       .localCheckpoint(eager = true)
+    steps.result().foreach(_.unpersist())
     edges.unpersist()
     out
   }
@@ -2013,30 +2027,40 @@ object GraphOps {
       .cache()
     var und = edges.select(col("src").as("v")).distinct()
       .localCheckpoint(eager = true)
+    var undCount = und.count()
     val census = Seq.newBuilder[(Long, Long, Long, Long)]
     for (r <- 1 to 8) {
-      val pri = und.withColumn("k", format_string("%020d|%010d",
-        expr("CAST(conv(substring(md5(concat(CAST(v AS STRING), " +
-          s"'|$r')), 1, 15), 16, 10) AS BIGINT)"), col("v")))
-        .localCheckpoint(eager = true)
-      val er = edges
-        .join(pri.select(col("v").as("src")), Seq("src"))
-        .join(pri.select(col("v").as("dst"), col("k").as("nk")),
-          Seq("dst"))
-      val nbrMin = er.groupBy(col("src").as("v"))
-        .agg(min(col("nk")).as("nmin"))
-      val winners = pri.join(nbrMin, Seq("v"), "left_outer")
-        .filter(col("nmin").isNull || col("k") < col("nmin"))
-        .select(col("v"))
-        .localCheckpoint(eager = true)
-      val removed = er
-        .join(winners.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v")).distinct()
-        .localCheckpoint(eager = true)
-      und = und.join(winners, Seq("v"), "left_anti")
-        .join(removed, Seq("v"), "left_anti")
-        .localCheckpoint(eager = true)
-      census += ((r.toLong, winners.count(), removed.count(), und.count()))
+      // drained graph: the remaining rounds are structurally empty in
+      // both engines — emit the zero census without scheduling jobs
+      // (the oracle's empty CTEs cost nothing; 8 Spark job rounds on
+      // an empty frame cost ~2 s of pure scheduling)
+      if (undCount == 0L) census += ((r.toLong, 0L, 0L, 0L))
+      else {
+        val pri = und.withColumn("k", format_string("%020d|%010d",
+          expr("CAST(conv(substring(md5(concat(CAST(v AS STRING), " +
+            s"'|$r')), 1, 15), 16, 10) AS BIGINT)"), col("v")))
+          .cache()
+        val er = edges
+          .join(pri.select(col("v").as("src")), Seq("src"))
+          .join(pri.select(col("v").as("dst"), col("k").as("nk")),
+            Seq("dst"))
+        val nbrMin = er.groupBy(col("src").as("v"))
+          .agg(min(col("nk")).as("nmin"))
+        val winners = pri.join(nbrMin, Seq("v"), "left_outer")
+          .filter(col("nmin").isNull || col("k") < col("nmin"))
+          .select(col("v"))
+          .cache()
+        val removed = er
+          .join(winners.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v")).distinct()
+          .cache()
+        und = und.join(winners, Seq("v"), "left_anti")
+          .join(removed, Seq("v"), "left_anti")
+          .localCheckpoint(eager = true)
+        undCount = und.count()
+        census += ((r.toLong, winners.count(), removed.count(), undCount))
+        pri.unpersist(); winners.unpersist(); removed.unpersist()
+      }
     }
     edges.unpersist()
     census.result()

@@ -1770,13 +1770,24 @@ object StatsOps {
     * Scale shape: one (day, arm) hash aggregate over the corpus, then
     * windows over the grid (days × arms, bounded by the calendar not
     * the data) — at 100 TB the grid is still a few thousand rows. */
-  def ucbBandit(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Tables.events(spark, sfDir)
+  def ucbBandit(spark: SparkSession, sfDir: String): DataFrame =
+    ucbFromCells(ucbCells(Tables.events(spark, sfDir)))
+
+  /** The day×arm reward ledger — commutative counts/sums, so the
+    * streaming twin can merge arrival waves into it in any order and
+    * re-fold through [[ucbFromCells]]. */
+  private[graft] def ucbCells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type").as("arm"),
         expr("unix_millis(ts) div 86400000").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("r_c"))
       .groupBy(col("day"), col("arm"))
       .agg(count(lit(1)).as("c"), sum(col("r_c")).as("s"))
+
+  /** The windowed UCB1 kernel over a (day, arm, c, s) ledger — shared
+    * verbatim between the batch op and the streaming re-fold. */
+  private[graft] def ucbFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0
     // complete day×arm grid so unseen arms exist as rows
     val grid = cells.select(col("day")).distinct()
       .crossJoin(cells.select(col("arm")).distinct())

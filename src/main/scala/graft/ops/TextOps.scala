@@ -3857,17 +3857,23 @@ object TextOps {
     val wout = edges.groupBy(col("src"))
       .agg(sum(col("wt")).as("wtot"),
         count(lit(1)).as("degree"))
+    // the rank rounds re-read the weighted edge frame 4x — cache the
+    // wtot-enriched frame ONCE (recomputing the join per round
+    // measured 8 s; the per-round eager checkpoint added 4 blocking
+    // jobs on a vocab-sized frame)
     val e2 = edges.join(wout.select(col("src"), col("wtot")), Seq("src"))
+      .cache()
     var pr = edges.select(col("src").as("wd")).distinct()
       .withColumn("pr", lit(1000000000L))
-      .localCheckpoint(eager = true)
+    val rounds = Seq.newBuilder[DataFrame]
     for (_ <- 1 to 4) {
       pr = e2.join(pr.withColumnRenamed("wd", "src"), Seq("src"))
         .withColumn("contrib", expr("(wt * pr) div wtot"))
         .groupBy(col("dst").as("wd")).agg(sum(col("contrib")).as("s"))
         .select(col("wd"),
           (lit(150000000L) + expr("(17 * s) div 20")).as("pr"))
-        .localCheckpoint(eager = true)
+        .cache()
+      rounds += pr
     }
     val out = pr
       .join(wout.select(col("src").as("wd"), col("wtot"), col("degree")),
@@ -3879,6 +3885,8 @@ object TextOps {
         col("degree"), col("wtot").as("w_total"))
       .orderBy(col("rk"))
       .localCheckpoint(eager = true)
+    rounds.result().foreach(_.unpersist())
+    e2.unpersist()
     edges.unpersist()
     out
   }

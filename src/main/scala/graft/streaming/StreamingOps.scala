@@ -235,6 +235,32 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming UCB1 replay — event arrivals merged into the
+    * commutative (day, arm, count, reward) ledger, then the batch
+    * op's own windowed kernel ([[graft.ops.StatsOps.ucbFromCells]])
+    * re-folds the WHOLE ledger into the per-day pick table each
+    * micro-batch (the holtWinters day-ledger discipline: one shared
+    * recurrence, state re-derived not incrementally mutated — replay
+    * or reordering of waves cannot diverge the picks). The pick
+    * table is overwritten per batch; after the last wave it equals
+    * the batch `q_ucb_bandit` output row-for-row. */
+  def ucbStream(events: DataFrame, stateTbl: String, outTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.StatsOps.ucbCells(batch.toDF())
+          .write.mode("append").parquet(stateTbl)
+        val merged = spark.read.parquet(stateTbl)
+          .groupBy(col("day"), col("arm"))
+          .agg(sum(col("c")).as("c"), sum(col("s")).as("s"))
+        graft.ops.StatsOps.ucbFromCells(merged)
+          .write.mode("overwrite").parquet(outTbl)
+        ()
+      }
+      .start()
+
   /** Streaming PLSA topic-mix serving — document arrivals folded
     * against the STANDING trained topic-word table
     * ([[graft.ops.TextOps.plsaModel]], trained once; serving never

@@ -848,6 +848,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming UCB re-fold equals the batch pick table after last wave") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/ucb_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    val events = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = StreamingOps.ucbStream(
+      input.toDF().toDF("event_type", "ts", "value"),
+      s"$base/state", s"$base/picks")
+    try {
+      events.grouped(math.max(1, events.length / 3)).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[String]("chosen"),
+          r.getAs[Long]("n_prior"), r.getAs[Long]("ucb_e6"),
+          r.getAs[Long]("day_pulls"), r.getAs[Long]("day_reward_c")))
+        .sortBy(_._1).toSeq
+      val streamed = rows(spark.read.parquet(s"$base/picks"))
+      val batch = rows(graft.ops.StatsOps.ucbBandit(spark, sfTiny))
+      assert(streamed == batch,
+        s"stream ${streamed.size} picks != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming PLSA serving ledger re-aggregates to the batch census") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
