@@ -1936,7 +1936,9 @@ object GraphOps {
     // scheduling overhead on a 40-row frontier)
     val steps = Seq.newBuilder[DataFrame]
     for (t <- 1 to 6) {
-      cur = cur.join(edges, col("cur") === col("src"))
+      // the frontier is walks-sized; without the checkpoint's exact
+      // stats Spark would shuffle the edge frame per step — hint it
+      cur = edges.join(broadcast(cur), col("cur") === col("src"))
         .withColumn("hkey",
           conv(substring(md5(concat_ws("|", col("walk_id"), lit(t),
             col("cur"), col("dst"))), 1, 15), 16, 10).cast("long"))
@@ -2040,10 +2042,12 @@ object GraphOps {
           expr("CAST(conv(substring(md5(concat(CAST(v AS STRING), " +
             s"'|$r')), 1, 15), 16, 10) AS BIGINT)"), col("v")))
           .cache()
+        // the undecided set shrinks geometrically — broadcast it into
+        // the edge restriction so no round shuffles the edge frame
         val er = edges
-          .join(pri.select(col("v").as("src")), Seq("src"))
-          .join(pri.select(col("v").as("dst"), col("k").as("nk")),
-            Seq("dst"))
+          .join(broadcast(pri.select(col("v").as("src"))), Seq("src"))
+          .join(broadcast(pri.select(col("v").as("dst"),
+            col("k").as("nk"))), Seq("dst"))
         val nbrMin = er.groupBy(col("src").as("v"))
           .agg(min(col("nk")).as("nmin"))
         val winners = pri.join(nbrMin, Seq("v"), "left_outer")
@@ -2051,11 +2055,12 @@ object GraphOps {
           .select(col("v"))
           .cache()
         val removed = er
-          .join(winners.withColumnRenamed("v", "src"), Seq("src"))
+          .join(broadcast(winners.withColumnRenamed("v", "src")),
+            Seq("src"))
           .select(col("dst").as("v")).distinct()
           .cache()
-        und = und.join(winners, Seq("v"), "left_anti")
-          .join(removed, Seq("v"), "left_anti")
+        und = und.join(broadcast(winners), Seq("v"), "left_anti")
+          .join(broadcast(removed), Seq("v"), "left_anti")
           .localCheckpoint(eager = true)
         undCount = und.count()
         census += ((r.toLong, winners.count(), removed.count(), undCount))
