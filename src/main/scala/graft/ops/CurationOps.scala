@@ -4065,6 +4065,7 @@ object CurationOps {
 
   def oracles: Map[String, String] = Map(
     "q_grad_noise" -> gradNoiseOracle,
+    "q_brier_decomp" -> brierDecompOracle,
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
     "q_cartography" -> datasetCartographyOracle,
