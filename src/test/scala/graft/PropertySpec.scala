@@ -90,4 +90,28 @@ class PropertySpec extends AnyFunSuite {
         img.getRaster.getSample(0, h - 1, 0) == 128
     })
   }
+  test("xml codec: synth/parse roundtrip over arbitrary text incl. escapes") {
+    import graft.sources.XmlFiles
+    // alphabet deliberately includes the five characters the escaper
+    // must handle and a bracket the CDATA scanner must not trip on
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('&', '<', '>', '"', '\'', ' ', ']')))
+      .map(_.mkString).suchThat(!_.contains("]]>"))
+    val docGen = for {
+      id <- Gen.choose(1L, 999999L)
+      t <- textGen
+    } yield (id, t)
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { docs0 =>
+      val docs = docs0.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val scan = XmlFiles.parseXml(XmlFiles.synthXml("s", docs))
+      val byId = docs.map(d => d._1 -> d._2).toMap
+      scan.clean &&
+        scan.items.size == docs.size &&
+        scan.items.forall(it => it.idAttr == it.titleId) &&
+        scan.items.forall(it =>
+          it.bodyLen == byId(it.idAttr).getBytes("UTF-8").length.toLong) &&
+        scan.nCdata == docs.count(_._1 % 5 == 0).toLong &&
+        scan.nSelfClose == docs.count(_._1 % 4 == 0).toLong
+    })
+  }
 }
