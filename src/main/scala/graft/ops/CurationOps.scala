@@ -2590,14 +2590,18 @@ object CurationOps {
           / col("n") / col("n"), 6).as("uncertainty"),
         round(col("wbv_num") / col("n") / 1.0e12, 6).as("wbv"),
         round(lit(2.0) * col("wbc_num") / col("n") / 1.0e6, 6).as("wbc"),
-        round(col("sbd") / col("n") / 1.0e12
+        // + 0.0 folds IEEE -0.0 to +0.0 on BOTH engines: the gap rounds
+        // a tiny negative residual, and DuckDB ROUND preserves the sign
+        // bit of -0.0 where Spark's round lands on +0.0 — without the
+        // normalization the driver's bitwise hash splits on that bit
+        (round(col("sbd") / col("n") / 1.0e12
           - (col("rel_num") / col("n") / 1.0e12
             - col("res_num") / col("n") / col("n") / col("n")
             + col("n_correct").cast("double")
               * (col("n") - col("n_correct")).cast("double")
               / col("n") / col("n")
             + col("wbv_num") / col("n") / 1.0e12
-            - lit(2.0) * col("wbc_num") / col("n") / 1.0e6), 6)
+            - lit(2.0) * col("wbc_num") / col("n") / 1.0e6), 6) + lit(0.0))
           .as("decomp_gap"))
   }
 
@@ -2648,7 +2652,7 @@ object CurationOps {
        |               + CAST(n_correct AS DOUBLE)
        |                 * CAST(n - n_correct AS DOUBLE) / n / n
        |               + wbv_num / n / 1.0e12
-       |               - 2.0 * wbc_num / n / 1.0e6), 6) AS decomp_gap
+       |               - 2.0 * wbc_num / n / 1.0e6), 6) + 0.0 AS decomp_gap
        |FROM terms""".stripMargin
 
   // ---------------------------------------------- temperature scaling
@@ -3433,17 +3437,46 @@ object CurationOps {
     (traj.result(), losses.result(), n)
   }
 
+  /** The FULL checkpoint trajectory w₁..w_T, materialized once per
+    * session+SF — the nbModel/ivfIndex build-once lifecycle applied to
+    * training dynamics: GD runs ONCE and every trajectory consumer
+    * ([[datasetCartography]], and [[logregModel]] which is just its
+    * last slice) reads the artifact. (t, j0, w) rows, T×dim-sized. */
+  private[graft] def logregTrajectoryDf(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Medallion.materializeOnce(spark,
+      s"${graft.etl.Medallion.warehouse(sfDir)}/logreg_traj") {
+      import spark.implicits._
+      val (traj, _, _) = logregTrajectoryLoop(spark, sfDir, LogregIters)
+      traj.zipWithIndex.flatMap { case (wt, t) =>
+        wt.zipWithIndex.map { case (wj, j) => (t + 1, j, wj) }
+      }.toDF("t", "j0", "w")
+    }
+
+  /** The trajectory artifact back as driver-side vectors (a bounded
+    * T×dim collect by construction). */
+  private def logregTrajectory(
+      spark: SparkSession, sfDir: String): Seq[Array[Long]] = {
+    val rows = logregTrajectoryDf(spark, sfDir).collect()
+    val tN = rows.map(_.getInt(0)).max
+    val dim = rows.map(_.getInt(1)).max + 1
+    val traj = Array.fill(tN)(Array.fill(dim)(0L))
+    rows.foreach(r => traj(r.getInt(0) - 1)(r.getInt(1)) = r.getLong(2))
+    traj.toSeq
+  }
+
   /** Final-checkpoint weights, materialized once per session+SF — the
-    * nbModel/ivfIndex build-once lifecycle: training runs ONCE and both
-    * the trainer report ([[logregTrain]]) and every checkpoint consumer
-    * ([[tracin]]) read the artifact. (j, w) rows, dim-sized. */
+    * nbModel/ivfIndex build-once lifecycle: training runs ONCE (via
+    * the [[logregTrajectoryDf]] artifact — NOT a second GD run) and
+    * both the trainer report ([[logregTrain]]) and every checkpoint
+    * consumer ([[tracin]]) read the artifact. (j, w) rows, dim-sized. */
   private[graft] def logregModel(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.etl.Medallion.materializeOnce(spark,
       s"${graft.etl.Medallion.warehouse(sfDir)}/logreg_model") {
-      import spark.implicits._
-      val (w, _, _) = logregTrainLoop(spark, sfDir, LogregIters)
-      w.toSeq.zipWithIndex.map { case (wj, i) => (i, wj) }.toDF("j0", "w")
+      logregTrajectoryDf(spark, sfDir)
+        .filter(col("t") === LogregIters)
+        .select(col("j0"), col("w"))
     }
 
   /** The artifact back as the driver-side dim-sized vector (a bounded
@@ -3563,7 +3596,7 @@ object CurationOps {
     * no join, no shuffle beyond the 3-row census; the trajectory is
     * the dim×T driver artifact the trainer already holds. */
   def datasetCartography(spark: SparkSession, sfDir: String): DataFrame = {
-    val (traj, _, _) = logregTrajectoryLoop(spark, sfDir, LogregIters)
+    val traj = logregTrajectory(spark, sfDir)
     val tN = traj.length
     var df = logregX(spark, sfDir)
     traj.zipWithIndex.foreach { case (wt, i) =>

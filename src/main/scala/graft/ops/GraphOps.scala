@@ -459,14 +459,23 @@ object GraphOps {
     * carry the census so one schema holds both).
     *
     * Scale shape: the wedge join is the adjudicated triangle/ktruss
-    * quadratic — Σ_w d_w² wedge rows, mitigated in production by the
-    * same degree-cap/orientation knobs those operators document; the
-    * u<v guard halves it, and everything after is key aggregation. */
+    * quadratic — Σ_w d_w² wedge rows; the u<v guard halves it, and
+    * everything after is key aggregation. The shipped 100 TB path is
+    * [[squareCountCapped]] (`q_square_count_capped`): degree-capped +
+    * deterministically center-sampled census with the standard 1/p²
+    * estimator, this exact census as its recall baseline — the
+    * [[graft.ops.SimilarityOps.bitextMineIvf]] twin shape. */
   def squareCount(spark: SparkSession, sfDir: String): DataFrame = {
     val half = coPurchasePairs(spark, sfDir)
       .select(col("p1").as("src"), col("p2").as("dst")).distinct()
     val adj = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
+    // census and top-k consume lam as two branches; the exchanges do
+    // NOT unify under ReuseExchange, so the wedge join runs twice —
+    // MEASURED as the cheaper shape anyway: cache()-ing the 150M-row
+    // pair frame cost more than the second pipelined pass (28.9 s
+    // uncached vs 50.6 s cached at sf0.1), because both consumers are
+    // tiny aggregates the join pipelines straight into
     val lam = adj.as("a")
       .join(adj.select(col("src").as("w"), col("dst").as("v")).as("b"),
         col("a.src") === col("b.w") && col("a.dst") < col("b.v"))
@@ -481,10 +490,13 @@ object GraphOps {
       // λ(λ−1) is even per pair, Σ/2 = ΣC(λ,2) exact; div = int division
       .withColumn("n_sq2", expr("CAST(sum_cn2 AS DECIMAL(38,0)) div 2")
         .cast("long"))
-    val top = lam
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heap + driver merge), NOT an unpartitioned row_number window —
+    // that window funnels the ENTIRE pair frame through one task's
+    // sort; rank is assigned after, on the 10 surviving rows
+    val top = lam.orderBy(col("cn").desc, col("u"), col("v")).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cn").desc, col("u"), col("v"))))
-      .filter(col("rk") <= 10)
       .select(col("rk"), col("u"), col("v"), col("cn"))
     top.unionByName(census.select(lit(-1).as("rk"),
         col("n_pairs").as("u"), col("n_sq2").as("v"),
@@ -523,6 +535,115 @@ object GraphOps {
       |FROM top
       |UNION ALL
       |SELECT -1, n_pairs, n_sq2, max_cn, n_sq2 // 2 FROM census
+      |ORDER BY rk""".stripMargin
+
+  // ------------------------------------------- square count (capped)
+  /** Degree cap on wedge CENTERS — the hub guard. Even one celebrity
+    * node contributes d² wedge rows to the exact census; capping
+    * bounds every center's fan-out so Σ_{d_w≤D} d_w² ≤ D·2|E| — the
+    * quadratic becomes linear in edges regardless of skew. */
+  private[ops] val SquareDegCap = 150
+  /** Keep-1-in-S deterministic center sample — the throughput knob.
+    * On THIS graph degrees are tight (p50≈119, max≈222 at sf0.1) so
+    * the cap alone barely prunes; sampling centers at rate 1/S cuts
+    * wedge rows by S and C(λ,2) pair mass by ≈S². */
+  private[ops] val SquareSample = 4
+
+  /** The shipped 100 TB twin of [[squareCount]] (r12 verdict item 3 —
+    * the bitext_mine_ivf shape): the SAME diagonal-pair census run
+    * over wedges whose center (a) has degree ≤ [[SquareDegCap]] and
+    * (b) survives a deterministic md5 1-in-[[SquareSample]] sample.
+    * Sampling centers at rate p=1/S thins each pair's common-neighbor
+    * count λ → λ', with E[C(λ',2)] ≈ p²·C(λ,2), so the standard
+    * butterfly-sampling estimator scales the sampled census back by
+    * S²: n_squares_est = S²·Σλ'(λ'−1) / 4 (exact integer — Σλ'(λ'−1)
+    * is even). The sample is a keyed hash (md5 of the center id, the
+    * [[graft.Parity]] md5 bridge), not rand(): reruns and the oracle
+    * see the identical center set. Output mirrors [[squareCount]]:
+    * top-10 sampled diagonal pairs + a sentinel rk=-1 census row; the
+    * exact census stays registered as the recall baseline. */
+  def squareCountCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = coPurchasePairs(spark, sfDir)
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+    val adj = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val centers = adj.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= SquareDegCap)
+      .filter(
+        conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+          .cast("long") % SquareSample === 0)
+      .select(col("v").as("src"))
+    // adjacency restricted to sampled low-degree centers; equi-join on
+    // the center key — no cartesian, no data-sized broadcast required
+    val cadj = adj.join(centers, Seq("src"))
+    // two pipelined passes over the (sampled) wedge join beat caching
+    // the pair frame — same measured trade-off as the dense census
+    val lam = cadj.as("a")
+      .join(cadj.select(col("src").as("w"), col("dst").as("v")).as("b"),
+        col("a.src") === col("b.w") && col("a.dst") < col("b.v"))
+      .groupBy(col("a.dst").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val dec = "decimal(38,0)"
+    val census = lam.agg(
+      count(lit(1)).as("n_pairs"),
+      max(col("cn")).as("max_cn"),
+      sum((col("cn").cast(dec) * (col("cn").cast(dec) - lit(1).cast(dec)))
+        .cast(dec)).as("sum_cn2"))
+      .withColumn("n_sq2", expr("CAST(sum_cn2 AS DECIMAL(38,0)) div 2")
+        .cast("long"))
+      .withColumn("n_sq_est",
+        expr(s"CAST(${SquareSample * SquareSample} * sum_cn2" +
+          s" AS DECIMAL(38,0)) div 4").cast("long"))
+    // same top-k discipline as the dense census: TakeOrderedAndProject,
+    // never a single-task global window sort of the pair frame
+    val top = lam.orderBy(col("cn").desc, col("u"), col("v")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cn").desc, col("u"), col("v"))))
+      .select(col("rk"), col("u"), col("v"), col("cn"),
+        lit(null).cast("long").as("n_squares_est"))
+    top.unionByName(census.select(lit(-1).as("rk"),
+        col("n_pairs").as("u"), col("n_sq2").as("v"),
+        col("max_cn").as("cn"), col("n_sq_est").as("n_squares_est")))
+      .orderBy(col("rk"))
+  }
+
+  private val squareCountCappedOracle =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sized AS (SELECT l_orderkey FROM op GROUP BY 1
+      |          HAVING COUNT(*) BETWEEN 2 AND 20),
+      |half AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |         FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                            AND a.l_partkey < b.l_partkey
+      |         JOIN sized s ON s.l_orderkey = a.l_orderkey),
+      |adj AS (SELECT src, dst FROM half
+      |        UNION ALL SELECT dst, src FROM half),
+      |ctr AS (SELECT src AS v FROM adj GROUP BY 1
+      |        HAVING COUNT(*) <= $SquareDegCap
+      |           AND CAST('0x' || substring(md5(CAST(src AS VARCHAR)), 1, 15)
+      |               AS BIGINT) % $SquareSample = 0),
+      |cadj AS (SELECT adj.src, adj.dst FROM adj JOIN ctr ON adj.src = ctr.v),
+      |lam AS (SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      |        FROM cadj a JOIN cadj b
+      |          ON a.src = b.src AND a.dst < b.dst
+      |        GROUP BY 1, 2),
+      |census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |             CAST(MAX(cn) AS BIGINT) AS max_cn,
+      |             CAST(SUM(CAST(cn AS HUGEINT) * (cn - 1)) // 2 AS BIGINT)
+      |               AS n_sq2,
+      |             CAST(${SquareSample * SquareSample}
+      |                  * SUM(CAST(cn AS HUGEINT) * (cn - 1)) // 4 AS BIGINT)
+      |               AS n_sq_est
+      |           FROM lam),
+      |top AS (SELECT rk, u, v, cn FROM
+      |          (SELECT u, v, cn, ROW_NUMBER() OVER
+      |             (ORDER BY cn DESC, u, v) AS rk FROM lam)
+      |        WHERE rk <= 10)
+      |SELECT CAST(rk AS INTEGER) AS rk, u, v, cn,
+      |       CAST(NULL AS BIGINT) AS n_squares_est
+      |FROM top
+      |UNION ALL
+      |SELECT -1, n_pairs, n_sq2, max_cn, n_sq_est FROM census
       |ORDER BY rk""".stripMargin
 
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -2131,6 +2252,7 @@ object GraphOps {
     "q_rich_club" -> (richClub _),
     "q_harmonic_centrality" -> (harmonicCentrality _),
     "q_square_count" -> (squareCount _),
+    "q_square_count_capped" -> (squareCountCapped _),
     "q_ktruss" -> (ktruss _),
     "q_pagerank" -> (pagerank _),
     "q_ppr" -> (ppr _),
@@ -2155,6 +2277,7 @@ object GraphOps {
     "q_rich_club" -> richClubOracle,
     "q_harmonic_centrality" -> harmonicCentralityOracle,
     "q_square_count" -> squareCountOracle,
+    "q_square_count_capped" -> squareCountCappedOracle,
     "q_ktruss" -> ktrussOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,

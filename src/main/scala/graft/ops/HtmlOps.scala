@@ -785,18 +785,19 @@ object HtmlOps {
     * the (bounded) file-count frame; the final ledger is a 1-row
     * conditional rollup. The enriched per-doc frame is cached — one
     * container-parse+extract pass feeds all stage consumers. */
-  def crawlFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The fused per-document front-door pass — container walk →
+    * charset repair → extraction → quality verdict — factored so the
+    * batch funnel and its streaming twin
+    * ([[graft.streaming.StreamingOps.crawlFunnelStream]]) run ONE
+    * definition. The per-row kernels ([[detectRepair]],
+    * [[extractDoc]], [[TextOps.qualityKeep]]) are the same
+    * definitions the stand-alone stages run. Input: (file_id, warc
+    * wire bytes); output one row per response doc with the stage
+    * flags as narrow columns. */
+  private[graft] def crawlFunnelPerDoc(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    // ONE fused map-side pass: container walk → charset repair →
-    // extraction, with the file-level flags riding along as narrow
-    // columns so the file stats read off the SAME cached frame
-    // instead of re-running the WARC parse (the q_pair_curation
-    // re-scan lesson — an eager checkpoint of the raw bodies was
-    // measured SLOWER than the fused pass). The per-row kernels
-    // ([[detectRepair]], [[extractDoc]], [[TextOps.qualityKeep]]) are
-    // the same definitions the stand-alone stages run.
-    val recs = warcSplitFrame(synthWarcWireFrame(spark, sfDir))
-    val perDoc = recs
+    warcSplitFrame(files)
       .select(col("file_id"), col("clean"), col("doc_id"), col("raw"))
       .as[(Long, Boolean, Long, Array[Byte])]
       .mapPartitions(_.map { case (fid, cl, id, b) =>
@@ -807,35 +808,55 @@ object HtmlOps {
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("keep_q", TextOps.qualityKeep)
       .withColumn("is_eval", col("doc_id") % 10 === 7)
-      .cache() // one parse+extract pass feeds every stage consumer
-    val tc = perDoc.filter(col("keep_q") && !col("is_eval"))
-    val keepers = tc
-      .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val dd = tc.join(keepers, Seq("doc_id"), "left_semi")
-    def grams(d: DataFrame): DataFrame = d
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("gram", explode(
-        when(size(col("w")) >= 8,
-          expr("transform(sequence(0, size(w) - 8), " +
-            "i -> array_join(slice(w, i + 1, 8), ' '))"))
-          .otherwise(array().cast("array<string>"))))
-    val evalGrams = grams(perDoc.filter(col("is_eval")))
-      .select(col("gram")).distinct()
-    val dirty = grams(dd)
+  }
+
+  /** The funnel's 8-gram shingler (shared by the eval-set build and
+    * the per-doc overlap verdict). */
+  private[graft] def crawlGrams(d: DataFrame): DataFrame = d
+    .withColumn("w", split(col("text"), " "))
+    .withColumn("gram", explode(
+      when(size(col("w")) >= 8,
+        expr("transform(sequence(0, size(w) - 8), " +
+          "i -> array_join(slice(w, i + 1, 8), ' '))"))
+        .otherwise(array().cast("array<string>"))))
+
+  /** Per-arrival verdict rows — everything the funnel can decide
+    * about a document IN ISOLATION given the standing eval-gram set:
+    * encoding class, quality verdict, dedup fingerprint, and the
+    * decontamination overlap flag. Text does NOT ride along: this is
+    * the ledger a streaming ingest appends, and the cross-document
+    * stage (the min-doc_id dedup keeper) is resolved at ROLLUP time
+    * over the accumulated ledger ([[crawlFunnelRollup]]) — the
+    * compaction job's half of the contract. */
+  private[graft] def crawlFunnelDocLedger(perDoc: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val dirty = crawlGrams(perDoc.filter(col("keep_q") && !col("is_eval")))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("dirty", lit(1))
-    val fileStats = perDoc
+    perDoc
+      .withColumn("fp", md5(substring(col("text"), 1, 40).cast("binary")))
+      .join(dirty, Seq("doc_id"), "left")
+      .select(col("file_id"), col("clean"), col("doc_id"), col("detected"),
+        col("n_tok"), col("keep_q"), col("is_eval"), col("fp"),
+        coalesce(col("dirty"), lit(0)).as("dirty"))
+  }
+
+  /** Accumulated verdict ledger → the 13-column single-row funnel
+    * ledger: dedup keeper (min doc_id per fingerprint among quality-
+    * surviving train candidates) + the conditional stage tallies.
+    * Shared by the batch funnel and the streaming twin's read side —
+    * StreamingSpec pins batch == stream over the same corpus. */
+  private[graft] def crawlFunnelRollup(ledger: DataFrame): DataFrame = {
+    val keepers = ledger.filter(col("keep_q") && !col("is_eval"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).withColumn("keep_d", lit(1))
+    val fileStats = ledger
       .groupBy(col("file_id"))
       .agg(max(col("clean").cast("int")).as("clean"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("clean")).cast("long").as("n_clean_files"))
-    val flagged = perDoc
-      .join(dd.select(col("doc_id")).withColumn("keep_d", lit(1)),
-        Seq("doc_id"), "left")
-      .join(dirty, Seq("doc_id"), "left")
-    flagged.agg(
+    ledger.join(keepers, Seq("doc_id"), "left")
+      .agg(
         count(lit(1)).as("n_responses"),
         sum(when(col("detected") === "utf8", 1L).otherwise(0L))
           .as("n_enc_utf8"),
@@ -851,9 +872,9 @@ object HtmlOps {
         sum(when(col("keep_d") === 1, 1L).otherwise(0L)).as("n_dedup_keep"),
         sum(when(col("keep_d") === 1 && col("dirty") === 1, 1L)
           .otherwise(0L)).as("n_decontam_drop"),
-        sum(when(col("keep_d") === 1 && col("dirty").isNull, 1L)
+        sum(when(col("keep_d") === 1 && col("dirty") === 0, 1L)
           .otherwise(0L)).as("n_train_ready"),
-        sum(when(col("keep_d") === 1 && col("dirty").isNull, col("n_tok"))
+        sum(when(col("keep_d") === 1 && col("dirty") === 0, col("n_tok"))
           .otherwise(0L)).cast("long").as("train_tokens"))
       .crossJoin(broadcast(fileStats))
       .select(col("n_files"), col("n_clean_files"), col("n_responses"),
@@ -861,6 +882,22 @@ object HtmlOps {
         col("n_enc_truncated"), col("n_eval"), col("n_quality_keep"),
         col("n_dedup_keep"), col("n_decontam_drop"), col("n_train_ready"),
         col("train_tokens"))
+  }
+
+  def crawlFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE fused map-side pass ([[crawlFunnelPerDoc]]) with the
+    // file-level flags riding along as narrow columns so the file
+    // stats read off the SAME cached frame instead of re-running the
+    // WARC parse (the q_pair_curation re-scan lesson — an eager
+    // checkpoint of the raw bodies was measured SLOWER than the fused
+    // pass). Batch = ledger + rollup over the whole corpus at once;
+    // the streaming twin appends the SAME ledger rows per arrival and
+    // rolls up at read time.
+    val perDoc = crawlFunnelPerDoc(synthWarcWireFrame(spark, sfDir))
+      .cache() // one parse+extract pass feeds every stage consumer
+    val evalGrams = crawlGrams(perDoc.filter(col("is_eval")))
+      .select(col("gram")).distinct()
+    crawlFunnelRollup(crawlFunnelDocLedger(perDoc, evalGrams))
   }
 
   /** Ground truth from `documents` alone: record recovery and
@@ -1073,6 +1110,19 @@ object HtmlOps {
         .as("docs"))
       .as[(Long, Seq[(Long, String)])]
       .mapPartitions(_.map { case (fid, docs) =>
+        // Alphabet contract the closed-form oracle depends on: the
+        // fixture text must carry no raw markup chars (an escaped
+        // '&'/'<'/'>' would decode as EXTRA entities the oracle's
+        // n_ent/text_bytes terms don't model) and no ']]>' inside the
+        // id%5==0 CDATA bodies. Holds for the current generator
+        // (verified 0 hits at sf0.1); a fixture regeneration that
+        // breaks it must fail LOUDLY here, not silently diverge.
+        docs.foreach { case (id, text) =>
+          require(!text.exists(c => c == '&' || c == '<' || c == '>'),
+            s"xmlScan alphabet contract: doc $id text contains &/</>")
+          require(id % 5 != 0 || !text.contains("]]>"),
+            s"xmlScan alphabet contract: CDATA doc $id contains ]]>")
+        }
         val xml = XmlFiles.synthXml(s"file_$fid", docs)
         val scan = XmlFiles.parseXml(xml)
         (fid, scan.items.size.toLong, scan.nElem, scan.maxDepth,

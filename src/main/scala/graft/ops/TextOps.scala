@@ -783,12 +783,12 @@ object TextOps {
        |       ROUND(CAST(ANY_VALUE(kept_sum) AS DOUBLE) / ANY_VALUE(len), 6)
        |         AS kept_mass,
        |       ABS(ROUND(-CAST(SUM(c_full_e6) AS DOUBLE) / ANY_VALUE(len)
-       |             / 1000000.0, 6)) AS ent_full,
+       |             / 1000000.0, 6)) + 0.0 AS ent_full,
        |       ABS(ROUND(-CAST(SUM(c_kept_e6) AS DOUBLE) / ANY_VALUE(kept_sum)
-       |             / 1000000.0, 6)) AS ent_kept,
+       |             / 1000000.0, 6)) + 0.0 AS ent_kept,
        |       ABS(ROUND(-ROUND(ln(CAST(ANY_VALUE(kept_sum) AS DOUBLE)
        |                       / ANY_VALUE(len)) * 1000000.0)
-       |             / 1000000.0, 6)) AS kl_renorm
+       |             / 1000000.0, 6)) + 0.0 AS kl_renorm
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------

@@ -124,6 +124,43 @@ object StreamingOps {
       }
       .start()
 
+  /** The FULL crawl funnel as a streaming ingest — the batch
+    * `q_crawl_funnel`'s end-to-end twin ([[frontDoorStream]] extended
+    * through quality gate, dedup fingerprinting, and benchmark
+    * decontamination): each arriving WARC file runs the batch op's
+    * own fused per-doc pass
+    * ([[graft.ops.HtmlOps.crawlFunnelPerDoc]] — container walk →
+    * charset repair → extraction → quality verdict) and then the
+    * per-arrival verdict stage
+    * ([[graft.ops.HtmlOps.crawlFunnelDocLedger]] — dedup fingerprint
+    * + 8-gram overlap against the STANDING eval-gram set, a
+    * stream-static broadcast semi-join), appending one narrow verdict
+    * row per document to a ledger. The one genuinely CROSS-document
+    * stage — the min-doc_id-per-fingerprint dedup keeper — is
+    * resolved at read time by
+    * [[graft.ops.HtmlOps.crawlFunnelRollup]] over the accumulated
+    * ledger (the compaction job's half of the contract), so replay
+    * just re-appends byte-identical rows the rollup's keeper
+    * aggregation absorbs. StreamingSpec pins ledger-rollup == batch
+    * funnel over the same corpus.
+    *
+    * Scale shape per micro-batch: all per-document work is map-side
+    * (codec walks + kernels); the only exchange is the doc-keyed
+    * dirty-verdict distinct against the broadcast eval set; ledger
+    * rows are ~9 narrow columns — text never leaves the batch. Input
+    * schema: (file_id, warc wire bytes). */
+  def crawlFunnelStream(files: DataFrame, evalGrams: DataFrame,
+      ledgerTbl: String): org.apache.spark.sql.streaming.StreamingQuery =
+    files.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.HtmlOps.crawlFunnelDocLedger(
+            graft.ops.HtmlOps.crawlFunnelPerDoc(batch.toDF()), evalGrams)
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming Naive-Bayes scoring — the SERVE leg of the
     * train→infer→serve loop ([[graft.ops.CurationOps.nbTrain]] trains,
     * `nbInfer` evaluates, this scores arrivals): each micro-batch is

@@ -1209,6 +1209,30 @@ class CurationOpsSpec extends SparkSpec {
     // confidence event — different by design, sizes must agree)
     val cal = CurationOps.nbCalibration(spark, sfTiny).collect()
     assert(cal.map(_.getAs[Long]("n_docs")).sum == n, "held-out sizes agree")
+    // sign-of-zero parity (round 12's red row): the gap column rounds a
+    // tiny negative residual; the + 0.0 guard must clear the sign bit
+    assertNoNegativeZero(CurationOps.brierDecomp(spark, sfTiny))
+  }
+
+  test("sign-of-zero guard: round(tiny negative) + 0.0 is bitwise +0.0") {
+    // The named parity pattern (verify SKILL): DuckDB ROUND/ABS keep
+    // the sign bit of -0.0, Spark's clear it, and the driver hashes
+    // bitwise — so every sign-crossing rounded column ends in + 0.0.
+    // Push tiny negative lattice residuals through the guarded shape
+    // and pin that the output sign bit is ALWAYS clear.
+    import spark.implicits._
+    val residuals = Seq(-1e-12, -1e-9, -4.9e-7, -0.0, 0.0, 1e-12)
+    val got = residuals.toDF("x")
+      .select((round(col("x"), 6) + lit(0.0)).as("guarded"),
+        (abs(round(col("x"), 6)) + lit(0.0)).as("guarded_abs"))
+      .collect()
+    got.foreach { r =>
+      Seq(r.getDouble(0), r.getDouble(1)).foreach { d =>
+        assert(java.lang.Double.doubleToRawLongBits(d) !=
+          java.lang.Double.doubleToRawLongBits(-0.0),
+          s"guard leaked -0.0 from $r")
+      }
+    }
   }
 
   test("grad noise scale: driver moment recompute; variance positive") {

@@ -43,6 +43,25 @@ trait SparkSpec extends AnyFunSuite {
       .toArray.sliding(4).map(_.min).toSet
   }
 
+  /** No double cell may carry the -0.0 bit pattern: the driver hashes
+    * 4dp-rounded doubles BITWISE, and DuckDB ROUND/ABS preserve the
+    * sign bit of -0.0 where Spark's clear it (round 12's only red
+    * rows). Queries with sign-crossing rounded columns guard with
+    * `+ 0.0`; this sweeps a result for any cell the guard missed.
+    */
+  def assertNoNegativeZero(df: DataFrame): Unit =
+    df.collect().foreach { r =>
+      (0 until r.length).foreach { i =>
+        r.get(i) match {
+          case d: Double =>
+            assert(java.lang.Double.doubleToRawLongBits(d) !=
+              java.lang.Double.doubleToRawLongBits(-0.0),
+              s"-0.0 leaked in column ${df.columns(i)} of row $r")
+          case _ =>
+        }
+      }
+    }
+
   /** Exact equality of two frames (schema-order-insensitive, row-order
     * sensitive — our queries all end in orderBy).
     */

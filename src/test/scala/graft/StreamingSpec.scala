@@ -689,6 +689,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl funnel ledger rolls up to the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/crawl_funnel_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    // the standing eval-gram set (the benchmark is fixed state, like
+    // decontamStream's) — built once from the same fixture corpus the
+    // batch funnel derives its eval split from
+    val evalGrams = graft.ops.HtmlOps.crawlGrams(
+        graft.ops.HtmlOps.crawlFunnelPerDoc(
+          graft.ops.HtmlOps.synthWarcWireFrame(spark, sfTiny))
+          .filter(col("is_eval")))
+      .select(col("gram")).distinct().localCheckpoint(true)
+
+    val files = graft.ops.HtmlOps.synthWarcWireFrame(spark, sfTiny)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.crawlFunnelStream(
+      input.toDF().toDF("file_id", "warc"), evalGrams, base)
+    try {
+      files.grouped(3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // read-time rollup of the accumulated per-doc verdict ledger ==
+      // the one-shot batch funnel over the same corpus, column by column
+      val streamed = graft.ops.HtmlOps.crawlFunnelRollup(
+        spark.read.parquet(base)).collect().map(_.toSeq).toSeq
+      val batch = graft.ops.HtmlOps.crawlFunnel(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // the ledger text column never materializes — narrow rows only
+      assert(!spark.read.parquet(base).columns.contains("text"))
+    } finally q.stop()
+  }
+
   test("streaming decontamination ledger equals the batch graded screen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

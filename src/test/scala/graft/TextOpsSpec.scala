@@ -828,6 +828,10 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("logit compress: driver-side lattice recompute and truncation laws") {
+    // sign-of-zero parity (round 12's red row): kl_renorm is ln(1) on
+    // fully-kept docs — the abs/+0.0 guards must keep every cell's
+    // sign bit clear (the driver hashes bitwise)
+    assertNoNegativeZero(TextOps.logitCompress(spark, sfTiny))
     val rows = TextOps.logitCompress(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(rows.nonEmpty)

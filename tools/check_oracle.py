@@ -9,6 +9,14 @@ the same testdata parquet tables. Usage:
 
 Pass --strict-types to fail on ANY DuckDB-level column-type diff between
 the oracle result and the Spark parquet (not just the HUGEINT class).
+
+Pass --bitwise to ALSO compare without the -0.0 normalization, at both
+the driver's 4dp round and this tool's stricter 6dp round. The driver
+hashes the rounded doubles bitwise, so a DuckDB -0.0 (e.g. ABS/ROUND of
+a tiny negative — DuckDB preserves the sign bit where Spark clears it)
+against a Spark +0.0 is a driver failure the default normalizing
+compare structurally cannot see (this exact class produced the only two
+round-12 red rows). Run --bitwise full-surface before closing a round.
 """
 import json, os, sys
 
@@ -34,11 +42,14 @@ def type_diffs(con, oracle_sql, spark_glob):
             for c in sorted(set(omap) & set(smap)) if omap[c] != smap[c]]
 
 
-def canon(rows, cols):
+def canon(rows, cols, dp=6, normalize=True):
     # like the driver's compare (sort columns by name, round floats,
     # sort rows) but STRICTER on floats: 6dp instead of 4dp, since many
     # queries intentionally round to 6dp and a 4dp re-round would mask
-    # errors well above their tolerance. +0.0 normalizes -0.0.
+    # errors well above their tolerance. +0.0 normalizes -0.0 (default
+    # mode only — repr() preserves the sign of zero, so normalize=False
+    # makes the string compare bitwise on the sign of zero, matching
+    # the driver's hash).
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -48,7 +59,9 @@ def canon(rows, cols):
             if type(v).__name__ == "Decimal":
                 v = float(v)
             if isinstance(v, float):
-                v = round(v, 6) + 0.0
+                v = round(v, dp)
+                if normalize:
+                    v += 0.0
             vals.append(repr(v))
         out.append("|".join(vals))
     out.sort()
@@ -56,8 +69,10 @@ def canon(rows, cols):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict-types"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--strict-types", "--bitwise")]
     strict_types = "--strict-types" in sys.argv
+    bitwise = "--bitwise" in sys.argv
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -115,12 +130,31 @@ def main():
         if len(sc) != len(oc):
             print(f"{name}: ROWS MISMATCH spark={len(sc)} oracle={len(oc)}")
             fails += 1
-        elif sc != oc:
+            continue
+        if sc != oc:
             bad = next(i for i in range(len(sc)) if sc[i] != oc[i])
             print(f"{name}: HASH MISMATCH first diff row {bad}:\n  spark : {sc[bad]}\n  oracle: {oc[bad]}")
             fails += 1
-        else:
-            print(f"{name}: OK ({len(sc)} rows)")
+            continue
+        if bitwise:
+            # driver-faithful pass: the driver rounds to 4dp then hashes
+            # the bits, so the sign of zero counts. Check the driver's
+            # exact 4dp AND the stricter 6dp, both unnormalized.
+            bit_bad = False
+            for dp in (4, 6):
+                sb = canon(srows, scols, dp=dp, normalize=False)
+                ob = canon(orows, ocols, dp=dp, normalize=False)
+                if sb != ob:
+                    bad = next(i for i in range(len(sb)) if sb[i] != ob[i])
+                    print(f"{name}: BITWISE MISMATCH ({dp}dp, likely -0.0)"
+                          f" first diff row {bad}:\n  spark : {sb[bad]}"
+                          f"\n  oracle: {ob[bad]}")
+                    fails += 1
+                    bit_bad = True
+                    break
+            if bit_bad:
+                continue
+        print(f"{name}: OK ({len(sc)} rows)")
     sys.exit(1 if fails else 0)
 
 
