@@ -2516,6 +2516,134 @@ object CurationOps {
        |FROM d2 CROSS JOIN g
        |GROUP BY bin, g.n_all, g.sb ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------- distillation audit
+  /** Hash buckets the student compresses the teacher's vocabulary
+    * into — the hashing trick (Weinberger et al. ICML'09). */
+  private val DistillBuckets = 64L
+
+  /** Teacher→student distillation audit: the full-vocabulary NB
+    * teacher ([[nbModel]] — the standing materialized artifact)
+    * against a feature-HASHED student trained on the same split with
+    * the vocabulary compressed to [[DistillBuckets]] md5 buckets —
+    * the model you actually deploy when the teacher's (class × vocab)
+    * table is too big for the serving tier. Per language: teacher
+    * accuracy, student accuracy, and teacher-student AGREEMENT on the
+    * held-out fifth — the three numbers a distillation sign-off
+    * reads (how much accuracy the compression costs, and whether the
+    * student disagrees on the same docs the teacher gets wrong).
+    * Hashing uses the [[graft.ops.Parity]] md5 bridge so both engines
+    * bucket identically.
+    *
+    * Scale shape: the [[nbScoreFrame]] plan twice — the student's
+    * count table is (classes × [[DistillBuckets]])-sized, genuinely
+    * BOUNDED (unlike the teacher's vocab-sized table), so its scoring
+    * join broadcasts by construction at any corpus size; the teacher
+    * leg reads the materialized model; one doc-keyed join aligns the
+    * two verdicts; output is lang-sized. */
+  def distillAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, counts) = nbModel(spark, sfDir)
+    val heldOut = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod === NbHoldMod - 1)
+    val teacher = nbScoreFrame(heldOut, model, counts)
+      .select(col("doc_id"), col("lang"), col("predicted").as("t_pred"))
+
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long") % DistillBuckets
+    val train = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % NbHoldMod =!= NbHoldMod - 1)
+    val trToks = train.select(col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val bCounts = trToks
+      .groupBy(col("lang"), bucket(col("term")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang").as("cls"), col("b"), col("cnt"))
+    val cstat = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(trToks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens")),
+        Seq("lang"))
+    val tot = cstat.agg(sum(col("n_docs")).as("n_all"))
+    val sModel = cstat.crossJoin(broadcast(tot))
+      .select(col("lang").as("cls"), col("n_tokens"),
+        round(log(col("n_docs").cast("double") / col("n_all")) *
+          lit(1000000.0), 0).cast("long").as("prior_e6"))
+    val sPred = heldOut
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .withColumn("b", bucket(col("term")))
+      .crossJoin(broadcast(sModel))
+      .join(broadcast(bCounts), Seq("cls", "b"), "left")
+      .withColumn("lp_e6",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_tokens") + lit(DistillBuckets))) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("doc_id"), col("cls"), col("prior_e6"))
+      .agg(sum(col("lp_e6")).as("s"))
+      .withColumn("slp", col("prior_e6") + col("s"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("slp").desc, col("cls"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("s_pred"))
+
+    teacher.join(sPred, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("t_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_teacher_correct"),
+        sum(when(col("s_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_student_correct"),
+        sum(when(col("t_pred") === col("s_pred"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("t_pred") =!= col("lang") &&
+          col("s_pred") === col("t_pred"), 1L).otherwise(0L))
+          .as("n_agree_on_error"))
+      .withColumn("student_buckets", lit(DistillBuckets))
+      .orderBy(col("lang"))
+  }
+
+  private val distillAgreementOracle =
+    s"""WITH $nbScoreSqlCommon,
+       |tp AS (SELECT doc_id, lang, cls AS t_pred FROM sc
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |         ORDER BY slp DESC, cls) = 1),
+       |bt AS (SELECT lang AS cls,
+       |         CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+       |           % $DistillBuckets AS b,
+       |         COUNT(*) AS cnt
+       |       FROM toks GROUP BY 1, 2),
+       |sm AS (SELECT c.lang AS cls, ct.n_tokens,
+       |         CAST(ROUND(ln(CAST(c.n_docs AS DOUBLE) / tot.n_all)
+       |                    * 1000000.0) AS BIGINT) AS prior_e6
+       |       FROM cls c JOIN ctok ct USING (lang) CROSS JOIN tot),
+       |hb AS (SELECT doc_id, lang,
+       |         CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+       |           % $DistillBuckets AS b
+       |       FROM ttoks),
+       |sst AS (SELECT hb.doc_id, sm.cls, sm.prior_e6,
+       |          CAST(ROUND(ln(CAST(COALESCE(bt.cnt, 0) + 1 AS DOUBLE)
+       |                        / (sm.n_tokens + $DistillBuckets))
+       |                     * 1000000.0) AS BIGINT) AS lp_e6
+       |        FROM hb CROSS JOIN sm
+       |        LEFT JOIN bt ON bt.cls = sm.cls AND bt.b = hb.b),
+       |ssc AS (SELECT doc_id, cls,
+       |          prior_e6 + CAST(SUM(lp_e6) AS BIGINT) AS slp
+       |        FROM sst GROUP BY doc_id, cls, prior_e6),
+       |sp AS (SELECT doc_id, cls AS s_pred FROM ssc
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |         ORDER BY slp DESC, cls) = 1)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN t_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_teacher_correct,
+       |  CAST(SUM(CASE WHEN s_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_student_correct,
+       |  CAST(SUM(CASE WHEN t_pred = s_pred THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(SUM(CASE WHEN t_pred <> lang AND s_pred = t_pred
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_on_error,
+       |  CAST($DistillBuckets AS BIGINT) AS student_buckets
+       |FROM tp JOIN sp USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------- Brier decomposition
   /** Murphy decomposition of the Brier score (Murphy '73) over the
     * held-out confidence/correctness frame — the diagnosis BEHIND
@@ -3569,6 +3697,105 @@ object CurationOps {
        |FROM w$T CROSS JOIN metrics ORDER BY j""".stripMargin
   }
 
+  // --------------------------------------------------- model soup
+  /** Model soup / checkpoint averaging (Wortsman et al. ICML'22's
+    * uniform soup; stochastic weight averaging, Izmailov et al.
+    * UAI'18): the uniform average of the T GD checkpoints w₁..w_T,
+    * evaluated head-to-head against the final checkpoint on the same
+    * corpus — the cheapest ensembling a trainer gets (one weight
+    * vector, zero extra inference cost), and the audit a checkpoint-
+    * averaging serving deploy needs before swapping weights. Composes
+    * the [[logregTrajectoryDf]] artifact (training runs ONCE; the
+    * soup is arithmetic over the standing trajectory).
+    *
+    * Exactness: soup weights are (2Σ_t w_t + T) / 2T in exact integer
+    * TRUNCATING division — DuckDB `//` truncates toward zero on
+    * negatives (judge-style probe: `-7 // 2 = -3`), matching Java
+    * `/`, NOT `Math.floorDiv`; both evaluations run the trainer's
+    * own lattice kernels ([[logregMargin]]/[[logregP]]/
+    * [[logregLoss]]), so acc/loss are exact integers.
+    *
+    * Scale shape: the trajectory is the standing dim×T artifact; both
+    * metric passes are map-side literal margins over ONE cached scan
+    * (no join — the weights are codegen literals); output is dim-
+    * sized. */
+  def modelSoup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val traj = logregTrajectory(spark, sfDir)
+    val tN = traj.length
+    val dim = traj.head.length
+    val soup = Array.tabulate(dim) { j =>
+      (2L * traj.map(_(j)).sum + tN) / (2L * tN)
+    }
+    val wf = traj.last
+    val x = logregX(spark, sfDir).cache()
+    val n = x.count()
+    def metrics(w: Array[Long], tag: String): DataFrame =
+      x.withColumn("m", logregMargin(w))
+        .withColumn("p", logregP)
+        .withColumn("lr", logregLoss)
+        .agg(
+          sum(when((col("m") > 0L) === (col("y") === 1000000L), 1L)
+            .otherwise(0L)).as(s"n_correct_$tag"),
+          sum(col("lr")).as(s"loss_total_$tag"))
+    val m = metrics(soup, "soup").crossJoin(metrics(wf, "final"))
+    val wDf = soup.toSeq.zip(wf.toSeq).zipWithIndex
+      .map { case ((ws, wfj), i) => (i + 1L, ws, wfj) }
+      .toDF("j", "w_soup_e6", "w_final_e6")
+    wDf.crossJoin(broadcast(m))
+      .select(col("j"), col("w_soup_e6"), col("w_final_e6"),
+        lit(n).as("n"),
+        call_function("div", col("n_correct_soup") * 1000000L, lit(n))
+          .as("soup_acc_e6"),
+        call_function("div", col("loss_total_soup"), lit(n))
+          .as("soup_loss_e6"),
+        call_function("div", col("n_correct_final") * 1000000L, lit(n))
+          .as("final_acc_e6"),
+        call_function("div", col("loss_total_final"), lit(n))
+          .as("final_loss_e6"))
+      .orderBy(col("j"))
+  }
+
+  private val modelSoupOracle = {
+    val T = LogregIters
+    val wSum = (1 to T).map(t => s"w$t.w").mkString(" + ")
+    val joins = (2 to T).map(t => s"JOIN w$t USING (j)").mkString(" ")
+    def evalCtes(w: String, tag: String) =
+      s"""m_$tag AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+         |       FROM X JOIN $w USING (j) GROUP BY vec_id, y),
+         |p_$tag AS (SELECT vec_id, y, m,
+         |         CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+         |              AS BIGINT) AS p
+         |       FROM m_$tag),
+         |l_$tag AS (SELECT *,
+         |         CAST(ROUND((CASE WHEN y = 1000000
+         |           THEN -ln(LEAST(GREATEST(p, 1), 999999) / 1000000.0)
+         |           ELSE -ln((1000000 - LEAST(GREATEST(p, 1), 999999))
+         |                    / 1000000.0) END) * 1000000.0) AS BIGINT) AS lr
+         |       FROM p_$tag),
+         |g_$tag AS (
+         |  SELECT CAST(SUM(CASE WHEN (m > 0) = (y = 1000000) THEN 1 ELSE 0
+         |              END) AS BIGINT) AS n_correct,
+         |         CAST(SUM(lr) AS BIGINT) AS loss_total
+         |  FROM l_$tag)""".stripMargin
+    s"""WITH $logregCtePrefix,
+       |soup AS (SELECT w1.j, (2 * ($wSum) + $T) // (2 * $T) AS w
+       |         FROM w1 $joins),
+       |${evalCtes("soup", "soup")},
+       |${evalCtes(s"w$T", "final")}
+       |SELECT soup.j, soup.w AS w_soup_e6, w$T.w AS w_final_e6,
+       |       (SELECT n FROM nn) AS n,
+       |       (SELECT n_correct * 1000000 // (SELECT n FROM nn) FROM g_soup)
+       |         AS soup_acc_e6,
+       |       (SELECT loss_total // (SELECT n FROM nn) FROM g_soup)
+       |         AS soup_loss_e6,
+       |       (SELECT n_correct * 1000000 // (SELECT n FROM nn)
+       |        FROM g_final) AS final_acc_e6,
+       |       (SELECT loss_total // (SELECT n FROM nn) FROM g_final)
+       |         AS final_loss_e6
+       |FROM soup JOIN w$T USING (j) ORDER BY j""".stripMargin
+  }
+
   // --------------------------------------------- dataset cartography
   /** Dataset cartography (Swayamdipta et al. EMNLP'20 "Dataset
     * Maps") over the [[logregTrain]] trajectory — the training-
@@ -4054,6 +4281,8 @@ object CurationOps {
     "q_brier_decomp" -> (brierDecomp _),
     "q_logreg_train" -> (logregTrain _),
     "q_cartography" -> (datasetCartography _),
+    "q_model_soup" -> (modelSoup _),
+    "q_distill_agreement" -> (distillAgreement _),
     "q_tracin" -> (tracin _),
     "q_fairness_audit" -> (fairnessAudit _),
     "q_error_slices" -> (errorSlices _),
@@ -4102,6 +4331,8 @@ object CurationOps {
     "q_adaboost_stumps" -> adaboostOracle,
     "q_logreg_train" -> logregOracle,
     "q_cartography" -> datasetCartographyOracle,
+    "q_model_soup" -> modelSoupOracle,
+    "q_distill_agreement" -> distillAgreementOracle,
     "q_tracin" -> tracinOracle,
     "q_fairness_audit" -> fairnessAuditOracle,
     "q_error_slices" -> errorSlicesOracle,

@@ -491,10 +491,142 @@ object EvalOps {
        |       AS BIGINT) AS chrf_e6
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------- BLEU
+  /** Corpus BLEU-4 (Papineni et al. ACL'02) per language — the other
+    * half of the MT-metric pair beside [[chrf]]: token n-gram
+    * precision with per-document clipping, the brevity penalty, and
+    * the geometric mean over orders 1..4. Same candidate construction
+    * as genEval/chrf (80% prefix, every [[SubEvery]]-th token
+    * substituted) so all three metrics grade the same "generation".
+    *
+    * Exactness: clipped matches m_n and candidate totals c_n are
+    * exact corpus integers; the transcendental step chrf could avoid
+    * algebraically is BLEU's DEFINITION, so it runs ONCE per quantity
+    * on the lattice discipline: each ln(m_n/c_n) of two exact
+    * integers quantizes straight to e6 (the logregLoss pattern), the
+    * brevity-penalty exponent 1−r/c quantizes to e6, and one exp of
+    * the exact-integer combination lands on the final e6 value. Any
+    * order with zero matches makes BLEU exactly 0 (the standard
+    * convention), guarded before ln.
+    *
+    * Scale shape: the chrf plan — 8 gram streams (cand/ref × n=1..4)
+    * explode map-side from bounded per-doc arrays, ONE corpus
+    * exchange keyed (doc, ord, gram) clips within the pair, a lang-
+    * sized rollup carries only integers. */
+  def bleu(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .withColumn("cs", expr(
+        s"""transform(slice(ws, 1, (4 * size(ws) + 4) div 5),
+           |  (x, i) -> IF((i + 1) % $SubEvery = 0, '$SubTok', x))"""
+          .stripMargin.replace("\n", " ")))
+
+    def grams(src: String, ord: Int, isCand: Boolean) =
+      base.select(col("doc_id"), col("lang"), lit(ord).as("ord"),
+          explode(expr(s"transform(sequence(1, size($src) - ${ord - 1}), " +
+            s"i -> array_join(slice($src, i, $ord), ' '))")).as("gram"),
+          lit(if (isCand) 1L else 0L).as("is_cand"),
+          lit(if (isCand) 0L else 1L).as("is_ref"))
+        .where(size(col(src)) >= ord)
+
+    val streams = (1 to 4).flatMap(n =>
+      Seq(grams("cs", n, isCand = true), grams("ws", n, isCand = false)))
+      .reduce(_ unionByName _)
+    val perGram = streams
+      .groupBy(col("doc_id"), col("lang"), col("ord"), col("gram"))
+      .agg(sum(col("is_cand")).as("c"), sum(col("is_ref")).as("r"))
+    val perLang = perGram.groupBy(col("lang"), col("ord"))
+      .agg(sum(least(col("c"), col("r"))).cast("long").as("m"),
+        sum(col("c")).cast("long").as("c"))
+    val lens = base.groupBy(col("lang"))
+      .agg(sum(size(col("cs"))).cast("long").as("cand_len"),
+        sum(size(col("ws"))).cast("long").as("ref_len"))
+    val mcAggs = (1 to 4).flatMap(n => Seq(
+      sum(when(col("ord") === n, col("m")).otherwise(0L)).cast("long")
+        .as(s"m$n"),
+      sum(when(col("ord") === n, col("c")).otherwise(0L)).cast("long")
+        .as(s"c$n")))
+    val wide = perLang.groupBy(col("lang"))
+      .agg(mcAggs.head, mcAggs.tail: _*)
+      .join(lens, Seq("lang"))
+    val lnSum = (1 to 4).map(n =>
+      expr(s"CAST(round(ln(CAST(m$n AS DOUBLE) / c$n) * 1000000.0, 0) " +
+        "AS BIGINT)")).reduce(_ + _)
+    wide
+      .withColumn("bp_e6", when(col("cand_len") >= col("ref_len"), 0L)
+        .otherwise(expr("CAST(round((1.0 - CAST(ref_len AS DOUBLE) " +
+          "/ cand_len) * 1000000.0, 0) AS BIGINT)")))
+      .withColumn("bleu_e6",
+        when((1 to 4).map(n => col(s"m$n") === 0L).reduce(_ || _), 0L)
+          .otherwise((round(
+            exp((lnSum.cast("double") / 4.0 + col("bp_e6"))
+              / lit(1000000.0)) * 1000000.0, 0)).cast("long")))
+      .select(Seq(col("lang")) ++
+        (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"c$n"))) ++
+        Seq(col("cand_len"), col("ref_len"), col("bp_e6"),
+          col("bleu_e6")): _*)
+      .orderBy(col("lang"))
+  }
+
+  private val bleuOracle = {
+    val gramsSql = (1 to 4).flatMap(n => Seq(
+      s"""SELECT doc_id, lang, $n AS ord,
+         |  array_to_string(list_slice(cs, CAST(i AS INTEGER),
+         |    CAST(i AS INTEGER) + ${n - 1}), ' ') AS gram,
+         |  1 AS is_cand, 0 AS is_ref
+         |FROM doc, unnest(range(1, len(cs) - ${n - 2})) AS t(i)
+         |WHERE len(cs) >= $n""".stripMargin,
+      s"""SELECT doc_id, lang, $n AS ord,
+         |  array_to_string(list_slice(ws, CAST(i AS INTEGER),
+         |    CAST(i AS INTEGER) + ${n - 1}), ' ') AS gram,
+         |  0, 1
+         |FROM doc, unnest(range(1, len(ws) - ${n - 2})) AS t(i)
+         |WHERE len(ws) >= $n""".stripMargin)).mkString("\nUNION ALL\n")
+    val mcCols = (1 to 4).flatMap(n => Seq(
+      s"CAST(SUM(CASE WHEN ord = $n THEN m ELSE 0 END) AS BIGINT) AS m$n",
+      s"CAST(SUM(CASE WHEN ord = $n THEN c ELSE 0 END) AS BIGINT) AS c$n"))
+      .mkString(",\n|  ")
+    val lnSum = (1 to 4).map(n =>
+      s"CAST(ROUND(ln(CAST(m$n AS DOUBLE) / c$n) * 1000000.0) AS BIGINT)")
+      .mkString(" + ")
+    val anyZero = (1 to 4).map(n => s"m$n = 0").mkString(" OR ")
+    s"""WITH doc AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+       |    list_transform(list_slice(string_split(text, ' '), 1,
+       |      (4 * len(string_split(text, ' ')) + 4) // 5),
+       |      (x, i) -> CASE WHEN i % $SubEvery = 0 THEN '$SubTok'
+       |                     ELSE x END) AS cs
+       |  FROM documents),
+       |streams AS ($gramsSql),
+       |pg AS (SELECT doc_id, lang, ord, gram,
+       |         SUM(is_cand) AS c, SUM(is_ref) AS r
+       |       FROM streams GROUP BY 1, 2, 3, 4),
+       |pl AS (SELECT lang, ord, SUM(LEAST(c, r)) AS m, SUM(c) AS c
+       |       FROM pg GROUP BY 1, 2),
+       |lens AS (SELECT lang, CAST(SUM(len(cs)) AS BIGINT) AS cand_len,
+       |           CAST(SUM(len(ws)) AS BIGINT) AS ref_len
+       |         FROM doc GROUP BY 1),
+       |wide AS (SELECT lang,
+       |  $mcCols
+       |  FROM pl GROUP BY lang),
+       |fin AS (SELECT wide.*, cand_len, ref_len,
+       |    CASE WHEN cand_len >= ref_len THEN 0
+       |         ELSE CAST(ROUND((1.0 - CAST(ref_len AS DOUBLE) / cand_len)
+       |                   * 1000000.0) AS BIGINT) END AS bp_e6
+       |  FROM wide JOIN lens USING (lang))
+       |SELECT lang, m1, c1, m2, c2, m3, c3, m4, c4, cand_len, ref_len,
+       |  bp_e6,
+       |  CASE WHEN $anyZero THEN 0
+       |       ELSE CAST(ROUND(exp((CAST($lnSum AS DOUBLE) / 4.0 + bp_e6)
+       |                 / 1000000.0) * 1000000.0) AS BIGINT) END AS bleu_e6
+       |FROM fin ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_best_of_n" -> (bestOfN _),
     "q_gen_eval" -> (genEval _),
     "q_chrf" -> (chrf _),
+    "q_bleu" -> (bleu _),
     "q_pass_at_k" -> (passAtK _)
   )
 
@@ -502,6 +634,7 @@ object EvalOps {
     "q_best_of_n" -> bestOfNOracle,
     "q_gen_eval" -> genEvalOracle,
     "q_chrf" -> chrfOracle,
+    "q_bleu" -> bleuOracle,
     "q_pass_at_k" -> passAtKOracle
   )
 }

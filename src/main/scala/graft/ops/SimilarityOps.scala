@@ -3116,6 +3116,136 @@ object SimilarityOps {
       |       ROUND(exp(-5.0 * CAST(klp AS DOUBLE) / 1e9), 6) AS fy
       |FROM kl ORDER BY j""".stripMargin
 
+  // ------------------------------------------------------ MoE router
+  /** Fixed expert count — the Switch/Mixtral ballpark; the first
+    * [[MoeExperts]] TRAINED coarse centroids serve as the experts. */
+  private val MoeExperts = 8
+  /** Capacity factor × 100 (1.25 — the Switch Transformer default). */
+  private val MoeCapacityE2 = 125L
+
+  /** Mixture-of-experts ROUTER load-balance audit (Shazeer et al.
+    * ICLR'17 top-k gating; Fedus et al. JMLR'22 Switch): route every
+    * corpus vector to its top-2 of [[MoeExperts]] experts by cosine
+    * gate score (the experts are the first 8 TRAINED
+    * [[coarseCentroids]] — the standing artifact; a learned router IS
+    * a centroid bank), softmax the gate on the e6 lattice (the NB
+    * softmax chain), and report what a pre-training capacity planner
+    * reads: per-expert top-1/top-2 token counts, dispatch fraction
+    * f_i, mean router probability P_i, the Switch auxiliary
+    * load-balance loss E·Σ f_i·P_i (exact at e12 — 1/E per expert ⇒
+    * aux = 1 when perfectly balanced), and the token OVERFLOW each
+    * expert drops at capacity factor 1.25 (tokens ranked per expert
+    * by gate strength; beyond ⌈1.25·n/E⌉ spill).
+    *
+    * Exactness: gate scores are the [[cosine]] sequential-fold
+    * doubles both engines produce bit-identically; the softmax is
+    * ONE exp per (doc, expert) quantized straight to e6 with exact
+    * half-up normalization; every reported number after that is
+    * exact integer arithmetic (truncating divisions on nonnegative
+    * operands).
+    *
+    * Scale shape: the expert bank is BOUNDED (8 rows — broadcast by
+    * construction, the PlanSpec ivf_centroids discipline); routing is
+    * one map-side score + two bounded per-doc windows (8-row
+    * frames); the overflow rank is an expert-partitioned window (E
+    * partitions of n/E tokens — the dispatch shuffle a real MoE pays);
+    * output is expert-sized. */
+  def moeRouter(spark: SparkSession, sfDir: String): DataFrame = {
+    def halfUpL(num: Column, den: Column): Column = {
+      val n2 = num * 2L + den
+      call_function("div", n2 - pmod(n2, den * 2), den * 2)
+    }
+    val e = withNorm(spark, sfDir)
+    val experts = coarseCentroids(spark, sfDir)
+      .filter(col("cell") < MoeExperts)
+      .select(col("cell").as("expert"), col("cv").as("sv"),
+        sqrt(expr("vec_dot(cv, cv)")).as("sn"))
+    val wd = Window.partitionBy(col("vec_id"))
+    val soft = e.crossJoin(broadcast(experts))
+      .withColumn("score", cosine("embedding", "norm", "sv", "sn"))
+      .select(col("vec_id"), col("expert"), col("score"))
+      .withColumn("mx", max(col("score")).over(wd))
+      .withColumn("p_e6",
+        round(exp(col("score") - col("mx")) * 1000000.0, 0).cast("long"))
+      .withColumn("z_e6", sum(col("p_e6")).over(wd))
+      .withColumn("g_e6", halfUpL(col("p_e6") * 1000000L, col("z_e6")))
+      .withColumn("rk", row_number().over(
+        wd.orderBy(col("score").desc, col("expert"))))
+    val n = e.count()
+    val capacity = (MoeCapacityE2 * n) / (100L * MoeExperts)
+    val top1 = soft.filter(col("rk") === 1)
+      .withColumn("crk", row_number().over(Window.partitionBy(col("expert"))
+        .orderBy(col("g_e6").desc, col("vec_id"))))
+    val perExpert = soft.groupBy(col("expert"))
+      .agg(sum(col("g_e6")).cast("long").as("sum_g_e6"),
+        sum(when(col("rk") === 2, 1L).otherwise(0L)).as("n_top2"))
+    top1.groupBy(col("expert"))
+      .agg(count(lit(1)).as("n_top1"),
+        sum(when(col("crk") > capacity, 1L).otherwise(0L))
+          .as("n_overflow"))
+      .join(perExpert, Seq("expert"), "right")
+      .na.fill(0L, Seq("n_top1", "n_overflow"))
+      .withColumn("f_e6",
+        call_function("div", col("n_top1") * 1000000L, lit(n)))
+      .withColumn("pbar_e6", call_function("div", col("sum_g_e6"), lit(n)))
+      .withColumn("capacity", lit(capacity))
+      .withColumn("aux_e12",
+        lit(MoeExperts.toLong) * sum(col("f_e6") * col("pbar_e6"))
+          .over(Window.partitionBy()))
+      .select(col("expert"), col("n_top1"), col("n_top2"),
+        col("sum_g_e6"), col("f_e6"), col("pbar_e6"), col("capacity"),
+        col("n_overflow"), col("aux_e12"))
+      .orderBy(col("expert"))
+  }
+
+  private val moeRouterOracle =
+    s"""WITH $coarseCentSql,
+       |ex AS (SELECT cell AS expert, cv FROM cents WHERE cell < $MoeExperts),
+       |sc AS (SELECT e.vec_id, x.expert,
+       |         ${cosineSql("e.embedding", "x.cv")} AS score
+       |       FROM embeddings e CROSS JOIN ex x),
+       |sm AS (SELECT *, MAX(score) OVER (PARTITION BY vec_id) AS mx
+       |       FROM sc),
+       |pe AS (SELECT *, CAST(ROUND(exp(score - mx) * 1000000.0) AS BIGINT)
+       |                   AS p_e6 FROM sm),
+       |pz AS (SELECT *, CAST(SUM(p_e6) OVER (PARTITION BY vec_id)
+       |                   AS BIGINT) AS z_e6,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY score DESC, expert) AS rk
+       |       FROM pe),
+       |pq AS (SELECT *,
+       |         ((2*p_e6*1000000 + z_e6) - (2*p_e6*1000000 + z_e6)
+       |            % (2*z_e6)) // (2*z_e6) AS g_e6
+       |       FROM pz),
+       |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM pq),
+       |cap AS (SELECT ($MoeCapacityE2 * n) // (100 * $MoeExperts) AS c
+       |        FROM nn),
+       |t1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY expert
+       |                    ORDER BY g_e6 DESC, vec_id) AS crk
+       |       FROM pq WHERE rk = 1),
+       |agg1 AS (SELECT expert, CAST(COUNT(*) AS BIGINT) AS n_top1,
+       |           CAST(SUM(CASE WHEN crk > (SELECT c FROM cap)
+       |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+       |         FROM t1 GROUP BY expert),
+       |agge AS (SELECT expert,
+       |           CAST(SUM(g_e6) AS BIGINT) AS sum_g_e6,
+       |           CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |             AS n_top2
+       |         FROM pq GROUP BY expert),
+       |fin AS (SELECT agge.expert,
+       |          COALESCE(n_top1, 0) AS n_top1, n_top2, sum_g_e6,
+       |          (COALESCE(n_top1, 0) * 1000000) // (SELECT n FROM nn)
+       |            AS f_e6,
+       |          sum_g_e6 // (SELECT n FROM nn) AS pbar_e6,
+       |          (SELECT c FROM cap) AS capacity,
+       |          COALESCE(n_overflow, 0) AS n_overflow
+       |        FROM agge LEFT JOIN agg1 USING (expert))
+       |SELECT expert, n_top1, n_top2, sum_g_e6, f_e6, pbar_e6, capacity,
+       |       n_overflow,
+       |       (SELECT CAST($MoeExperts * SUM(f_e6 * pbar_e6) AS BIGINT)
+       |        FROM fin) AS aux_e12
+       |FROM fin ORDER BY expert""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mauve" -> (mauve _),
     "q_knn_shapley" -> (knnShapley _),
@@ -3137,6 +3267,7 @@ object SimilarityOps {
     "q_bitext_mine_ivf" -> (bitextMineIvf _),
     "q_semantic_decontam" -> (semanticDecontam _),
     "q_ivf_balance" -> (ivfBalance _),
+    "q_moe_router" -> (moeRouter _),
     "q_bitext_filter" -> (bitextFilter _),
     "q_hubness" -> (hubness _),
     "q_hubness_ivf" -> (hubnessIvf _),
@@ -3173,6 +3304,7 @@ object SimilarityOps {
     "q_bitext_mine_ivf" -> bitextMineIvfOracle,
     "q_semantic_decontam" -> semanticDecontamOracle,
     "q_ivf_balance" -> ivfBalanceOracle,
+    "q_moe_router" -> moeRouterOracle,
     "q_bitext_filter" -> bitextFilterOracle,
     "q_hubness" -> hubnessOracle,
     "q_hubness_ivf" -> hubnessIvfOracle,

@@ -1770,6 +1770,101 @@ object StatsOps {
     * Scale shape: one (day, arm) hash aggregate over the corpus, then
     * windows over the grid (days × arms, bounded by the calendar not
     * the data) — at 100 TB the grid is still a few thousand rows. */
+  // -------------------------------------------------- GAE advantage
+  /** Truncation horizon for the advantage sum — the standard n-step
+    * cutoff; 16 steps at γλ = 1/2 leaves a 2⁻¹⁶ tail. */
+  private val GaeHorizon = 16
+
+  /** Generalized Advantage Estimation (Schulman et al. ICLR'16) over
+    * the event stream's per-user trajectories — the PPO-side sibling
+    * of [[graft.ops.TextOps.grpoAdvantage]]'s critic-free
+    * normalization: each user's ordered events form an episode,
+    * `purchase` value is the reward, the critic is the constant
+    * global mean reward b, and A_t = Σᵢ (γλ)ⁱ δ_{t+i} with
+    * δ_t = r_t + γV − V (terminal step drops the bootstrap).
+    *
+    * Exactness — the op's whole point: γ = 1/2, λ = 1 makes every
+    * weight a power of two, so the advantage is computed ENTIRELY in
+    * long arithmetic — δ is carried at HALF-scale (2r − b avoids the
+    * b/2 split), the truncated sum at 2¹⁶ scale
+    * (Σ 2^(16−i)·δ_h — exact integers, max ≈ 2.3e11), and no double
+    * exists anywhere in the query. The one division (the baseline
+    * b = Σr/n) is truncating integer division on nonnegative operands
+    * (== DuckDB `//`).
+    *
+    * Scale shape: one row_number window per user (episodes are
+    * user-partitioned — embarrassingly parallel), a banded self-join
+    * on (user, rn ≤ rn' ≤ rn+H) producing n·H rows — LINEAR in
+    * events, never quadratic in episode length — and a user-sized
+    * rollup. */
+  def gaeAdvantage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("r_e2"))
+    val rk = ev
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))))
+      .withColumn("n_u",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    val b = ev.agg(
+      call_function("div", sum(col("r_e2")), count(lit(1))).as("b_e2"))
+    val steps = rk.crossJoin(broadcast(b))
+      .select(col("user_id"), col("rn"), col("b_e2"),
+        when(col("rn") === col("n_u"),
+          lit(2L) * col("r_e2") - lit(2L) * col("b_e2"))
+          .otherwise(lit(2L) * col("r_e2") - col("b_e2")).as("delta_h"))
+    val fut = steps
+      .select(col("user_id").as("f_uid"), col("rn").as("rn2"),
+        col("delta_h").as("d2"))
+    val adv = steps.join(fut,
+        col("user_id") === col("f_uid") &&
+          col("rn2") >= col("rn") && col("rn2") <= col("rn") + GaeHorizon)
+      .groupBy(col("user_id"), col("rn"), col("b_e2"))
+      .agg(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($GaeHorizon - (rn2 - rn) AS INT)) * d2"))
+        .cast("long").as("adv_h16"))
+    adv.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        max(col("b_e2")).as("b_e2"),
+        sum(col("adv_h16")).cast("long").as("sum_adv_h16"),
+        max(col("adv_h16")).as("max_adv_h16"),
+        min(col("adv_h16")).as("min_adv_h16"))
+      .orderBy(col("user_id"))
+  }
+
+  private val gaeAdvantageOracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END AS r_e2
+       |  FROM events),
+       |rk AS (SELECT *,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY user_id) AS n_u
+       |       FROM ev),
+       |b AS (SELECT CAST(SUM(r_e2) AS BIGINT) // COUNT(*) AS b_e2 FROM ev),
+       |st AS (SELECT user_id, rn, b_e2,
+       |         CASE WHEN rn = n_u THEN 2 * r_e2 - 2 * b_e2
+       |              ELSE 2 * r_e2 - b_e2 END AS delta_h
+       |       FROM rk CROSS JOIN b),
+       |adv AS (
+       |  SELECT a.user_id, a.rn, a.b_e2,
+       |    CAST(SUM((CAST(1 AS BIGINT)
+       |              << CAST($GaeHorizon - (f.rn - a.rn) AS INTEGER))
+       |             * f.delta_h) AS BIGINT) AS adv_h16
+       |  FROM st a JOIN st f ON a.user_id = f.user_id
+       |                     AND f.rn BETWEEN a.rn AND a.rn + $GaeHorizon
+       |  GROUP BY 1, 2, 3)
+       |SELECT user_id, COUNT(*) AS n_steps,
+       |       MAX(b_e2) AS b_e2,
+       |       CAST(SUM(adv_h16) AS BIGINT) AS sum_adv_h16,
+       |       MAX(adv_h16) AS max_adv_h16,
+       |       MIN(adv_h16) AS min_adv_h16
+       |FROM adv GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def ucbBandit(spark: SparkSession, sfDir: String): DataFrame =
     ucbFromCells(ucbCells(Tables.events(spark, sfDir)))
 
@@ -3682,6 +3777,7 @@ object StatsOps {
     "q_ips_eval" -> (ipsEval _),
     "q_dr_eval" -> (drEval _),
     "q_ucb_bandit" -> (ucbBandit _),
+    "q_gae_advantage" -> (gaeAdvantage _),
     "q_symbolic_motifs" -> (symbolicMotifs _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_rfm" -> (rfmSegments _),
@@ -3734,6 +3830,7 @@ object StatsOps {
     "q_ips_eval" -> ipsEvalOracle,
     "q_dr_eval" -> drEvalOracle,
     "q_ucb_bandit" -> ucbBanditOracle,
+    "q_gae_advantage" -> gaeAdvantageOracle,
     "q_symbolic_motifs" -> symbolicMotifsOracle,
     "q_seasonal_naive" -> seasonalNaiveOracle,
     "q_rfm" -> rfmSegmentsOracle,

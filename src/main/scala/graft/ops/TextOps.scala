@@ -2276,6 +2276,183 @@ object TextOps {
       |         AS avg_score
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ RHO loss
+  /** Reducible-holdout-loss data prioritization (Mindermann et al.
+    * ICML'22 "Prioritized Training on Points that are Learnable,
+    * Worth Learning, and Not Yet Learnt"; token-level as RHO-1, Lin
+    * et al. '24): rank each training candidate by
+    * L_current(x) − L_reference(x) — loss under the model being
+    * trained minus loss under a REFERENCE model trained on held-out
+    * data — and keep the top decile. High excess = learnable (a
+    * better model compresses it) AND not yet learnt; low/negative
+    * excess = already learnt or irreducible noise. The selection
+    * batch-curriculum schedulers actually run.
+    *
+    * Cast onto the shipped LM family: current = the candidates' own
+    * unigram MLE (the weakest "model in training"), reference = the
+    * [[stupidBackoff]] bigram scorer trained on the HELD-OUT fifth
+    * (doc_id % 5 = 4 — the split flipped relative to stupidBackoff,
+    * exactly the RHO recipe: the reference must not train on the
+    * candidates it judges). Both losses are per-position micro-nat
+    * averages in exact truncating integer division, so the excess is
+    * an exact integer; selection is the top ⌈n/10⌉ per language by
+    * (excess, doc_id) — a LANG-PARTITIONED window, never a global
+    * sort. Single-token docs carry no bigram positions and are
+    * excluded from candidacy on both sides.
+    *
+    * Scale shape: two count tables (holdout bigrams/unigrams) +
+    * the candidates' own unigram table, all vocab-sized and UNHINTED
+    * (the [[bigramLogprob]] broadcast-cliff rationale); two scoring
+    * streams aggregate doc-keyed; the decile pick is a per-lang
+    * window over doc-sized frames; output is lang-sized. */
+  def rhoLoss(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val cand = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+      .filter(col("text").contains(" "))
+    val ref = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+
+    // current model: the candidates' own unigram MLE (always seen)
+    val candToks = cand.select(col("doc_id"), col("lang"),
+      explode(col("ws")).as("w"))
+    val cwCur = candToks.groupBy(col("w")).agg(count(lit(1)).as("cwc"))
+    val nCur = candToks.agg(count(lit(1)).as("nc"))
+    val curDoc = candToks
+      .join(cwCur, Seq("w"))
+      .crossJoin(broadcast(nCur))
+      .withColumn("nll_e6",
+        -round(log(col("cwc").cast("double") / col("nc")) * 1000000.0, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_e6")).as("s_cur"))
+
+    // reference model: holdout-trained stupid-backoff bigram
+    val refToks = ref.select(explode(col("ws")).as("w"))
+    val cwRef = refToks.groupBy(col("w")).agg(count(lit(1)).as("cwr"))
+    val nRef = refToks.agg(count(lit(1)).as("nr"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(col("text").contains(" "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2Ref = bigrams(ref).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val refDoc = bigrams(cand)
+      .join(c2Ref, Seq("w1", "w2"), "left")
+      .join(cwRef.select(col("w").as("w1"), col("cwr").as("cw1")),
+        Seq("w1"), "left")
+      .join(cwRef.select(col("w").as("w2"), col("cwr").as("cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nRef))
+      .withColumn("nll_e6",
+        when(col("c2").isNotNull,
+          -round(log(col("c2").cast("double") / col("cw1")) * 1000000.0, 0)
+            .cast("long"))
+          .otherwise(-round(log(lit(0.4) *
+            coalesce(col("cw2"), lit(1L)).cast("double") / col("nr"))
+            * 1000000.0, 0).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("nll_e6")).as("s_ref"))
+
+    val scored = curDoc.join(refDoc, Seq("doc_id"))
+      // both NLL sums are nonnegative: truncating div == DuckDB //
+      .withColumn("cur_avg_e6",
+        call_function("div", col("s_cur"), col("n_tok")))
+      .withColumn("ref_avg_e6",
+        call_function("div", col("s_ref"), col("n_pos")))
+      .withColumn("excess_e6", col("cur_avg_e6") - col("ref_avg_e6"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("excess_e6").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("sel",
+        col("rn") <= call_function("div", col("n_lang") + 9, lit(10L)))
+    ranked.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("excess_e6")).otherwise(0L))
+          .cast("long").as("sel_sum_excess_e6"),
+        // + 0.0: the rest-average straddles zero — sign-of-zero guard
+        (round(sum(when(col("sel"), col("excess_e6")).otherwise(0L))
+          .cast("double")
+          / sum(when(col("sel"), 1L).otherwise(0L)) / 1000000.0, 6)
+          + lit(0.0)).as("sel_avg_excess"),
+        (round(sum(when(!col("sel"), col("excess_e6")).otherwise(0L))
+          .cast("double")
+          / sum(when(!col("sel"), 1L).otherwise(0L)) / 1000000.0, 6)
+          + lit(0.0)).as("rest_avg_excess"),
+        max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val rhoLossOracle =
+    """WITH d AS (SELECT doc_id, lang, text,
+      |                  string_split(text, ' ') AS ws FROM documents),
+      |cand AS (SELECT * FROM d WHERE doc_id % 5 < 4 AND contains(text, ' ')),
+      |ref AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+      |ct AS (SELECT doc_id, lang, unnest(ws) AS w FROM cand),
+      |cwc AS (SELECT w, COUNT(*) AS cwc FROM ct GROUP BY w),
+      |ncur AS (SELECT COUNT(*) AS nc FROM ct),
+      |cur AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_tok,
+      |    CAST(SUM(-CAST(ROUND(ln(CAST(cwc AS DOUBLE) / nc) * 1000000.0)
+      |              AS BIGINT)) AS BIGINT) AS s_cur
+      |  FROM ct JOIN cwc USING (w) CROSS JOIN ncur
+      |  GROUP BY doc_id, lang),
+      |rt AS (SELECT unnest(ws) AS w FROM ref),
+      |cwr AS (SELECT w, COUNT(*) AS cwr FROM rt GROUP BY w),
+      |nref AS (SELECT COUNT(*) AS nr FROM rt),
+      |c2r AS (SELECT w1, w2, COUNT(*) AS c2
+      |        FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |              FROM ref, UNNEST(range(1, len(ws))) AS t(i))
+      |        GROUP BY w1, w2),
+      |cb AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM cand, UNNEST(range(1, len(ws))) AS t(i)),
+      |rs AS (
+      |  SELECT doc_id, COUNT(*) AS n_pos,
+      |    CAST(SUM(CASE WHEN c2r.c2 IS NOT NULL THEN
+      |        -CAST(ROUND(ln(CAST(c2r.c2 AS DOUBLE) / cw1.cwr)
+      |              * 1000000.0) AS BIGINT)
+      |      ELSE
+      |        -CAST(ROUND(ln(0.4 * CAST(COALESCE(cw2.cwr, 1) AS DOUBLE)
+      |              / nref.nr) * 1000000.0) AS BIGINT)
+      |      END) AS BIGINT) AS s_ref
+      |  FROM cb LEFT JOIN c2r USING (w1, w2)
+      |       LEFT JOIN cwr cw1 ON cb.w1 = cw1.w
+      |       LEFT JOIN cwr cw2 ON cb.w2 = cw2.w
+      |       CROSS JOIN nref
+      |  GROUP BY doc_id),
+      |sc AS (
+      |  SELECT cur.doc_id, lang,
+      |         (s_cur // n_tok) - (s_ref // n_pos) AS excess_e6
+      |  FROM cur JOIN rs ON cur.doc_id = rs.doc_id),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY excess_e6 DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM sc),
+      |lab AS (SELECT *, rn <= (n_lang + 9) // 10 AS sel FROM rk)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+      |  CAST(SUM(CASE WHEN sel THEN excess_e6 ELSE 0 END) AS BIGINT)
+      |    AS sel_sum_excess_e6,
+      |  ROUND(CAST(SUM(CASE WHEN sel THEN excess_e6 ELSE 0 END) AS DOUBLE)
+      |        / SUM(CASE WHEN sel THEN 1 ELSE 0 END) / 1000000.0, 6) + 0.0
+      |    AS sel_avg_excess,
+      |  ROUND(CAST(SUM(CASE WHEN NOT sel THEN excess_e6 ELSE 0 END)
+      |             AS DOUBLE)
+      |        / SUM(CASE WHEN NOT sel THEN 1 ELSE 0 END) / 1000000.0, 6)
+      |    + 0.0 AS rest_avg_excess,
+      |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id
+      |FROM lab GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------- speculative decoding
   /** Speculative-decoding acceptance audit (Leviathan et al. ICML'23,
     * "Fast Inference from Transformers via Speculative Decoding") —
@@ -4174,6 +4351,66 @@ object TextOps {
        |       CAST(SUM(theta) AS BIGINT) AS sum_theta_e9
        |FROM win GROUP BY 1, 2 ORDER BY lang, topic""".stripMargin
 
+  // ------------------------------------------------ KV prefix cache
+  /** Shared-prefix depths the cache is audited at — powers of two up
+    * to a context-scale horizon, the way radix caches report hit
+    * depth. */
+  private val PrefixCacheLevels = Seq(2, 4, 8, 16)
+
+  /** KV prefix-cache sharing census (the radix-tree prefix reuse
+    * behind SGLang's RadixAttention and vLLM's automatic prefix
+    * caching): treating each document as an arriving PROMPT, how much
+    * of the token stream is re-served from cache at each prefix
+    * depth k? Prompts sharing their first k tokens hit the same
+    * cache entry: per level, the census reports prompts long enough
+    * to participate, distinct cache entries (the radix nodes at that
+    * depth), cache hits (every prompt after the first in its group),
+    * tokens served from cache (hits × k — the KV pages NOT recomputed
+    * if the cache holds depth-k prefixes), and the hottest entry's
+    * fan-out. The level table is what sizes a prefix cache: pick the
+    * depth where tokens_saved stops growing.
+    *
+    * Scale shape: one map-side explode of 4 levels (cheap — prefix
+    * strings, not full texts), ONE hash aggregation keyed (k, prefix)
+    * with map-side partials, then a 4-row rollup. At 100 TB the
+    * (k, prefix) key space is what a radix tree's node set would be —
+    * hash-partitioned, never collected; skew on a viral prefix is
+    * one hot key among millions (AQE splits it). */
+  def prefixCache(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val levels = PrefixCacheLevels.toDF("k")
+    Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("w"))
+      .crossJoin(broadcast(levels)) // 4-row bounded level grid
+      .filter(size(col("w")) >= col("k"))
+      .select(col("k"),
+        array_join(expr("slice(w, 1, k)"), " ").as("prefix"))
+      .groupBy(col("k"), col("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_prompts"),
+        count(lit(1)).as("n_prefixes"),
+        sum(col("cnt") - 1).cast("long").as("n_hits"),
+        (sum(col("cnt") - 1) * col("k")).cast("long").as("tokens_saved"),
+        max(col("cnt")).as("max_fanout"))
+      .orderBy(col("k"))
+  }
+
+  private val prefixCacheOracle =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |lv AS (SELECT unnest([${PrefixCacheLevels.mkString(", ")}]) AS k),
+       |p AS (SELECT k, array_to_string(w[1:k], ' ') AS prefix
+       |      FROM w, lv WHERE len(w) >= k),
+       |g AS (SELECT k, prefix, COUNT(*) AS cnt FROM p GROUP BY 1, 2)
+       |SELECT CAST(k AS INTEGER) AS k,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_prompts,
+       |       COUNT(*) AS n_prefixes,
+       |       CAST(SUM(cnt - 1) AS BIGINT) AS n_hits,
+       |       CAST(SUM(cnt - 1) * k AS BIGINT) AS tokens_saved,
+       |       CAST(MAX(cnt) AS BIGINT) AS max_fanout
+       |FROM g GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_plsa" -> (plsa _),
     "q_plsa_infer" -> (plsaInfer _),
@@ -4222,6 +4459,8 @@ object TextOps {
     "q_quality_filter" -> (qualityFilter _),
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
+    "q_prefix_cache" -> (prefixCache _),
+    "q_rho_loss" -> (rhoLoss _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprint _)
@@ -4275,6 +4514,8 @@ object TextOps {
     "q_quality_filter" -> qualityFilterOracle,
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
+    "q_prefix_cache" -> prefixCacheOracle,
+    "q_rho_loss" -> rhoLossOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,
     "q_doc_fingerprint" -> fingerprintOracle

@@ -1313,4 +1313,52 @@ class CurationOpsSpec extends SparkSpec {
       .take(10).map(_._1).toSeq
     assert(gotAmb == wantAmb, s"top-ambiguous $gotAmb vs $wantAmb")
   }
+
+  test("model soup: weights are the exact trajectory average; both evals coherent") {
+    import graft.ops.CurationOps
+    val rows = CurationOps.modelSoup(spark, sfTiny).collect()
+    assert(rows.length >= 2)
+    // the soup IS the truncating integer mean of the checkpoints
+    val (traj, _, _) = CurationOps.logregTrajectoryLoop(spark, sfTiny, 5)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j").toInt - 1
+      val want = (2L * traj.map(_(j)).sum + traj.length) / (2L * traj.length)
+      assert(r.getAs[Long]("w_soup_e6") == want, s"soup weight j=$j")
+      assert(r.getAs[Long]("w_final_e6") == traj.last(j), s"final weight j=$j")
+    }
+    val h = rows.head
+    for (c <- Seq("soup_acc_e6", "final_acc_e6")) {
+      val v = h.getAs[Long](c)
+      assert(v >= 0L && v <= 1000000L, s"$c out of [0,1]: $v")
+    }
+    // metric columns are corpus constants, identical on every row
+    assert(rows.map(_.getAs[Long]("soup_loss_e6")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n")).distinct.length == 1)
+  }
+
+  test("distillation audit: agreement bounds and compression direction") {
+    import graft.ops.CurationOps
+    val rows = CurationOps.distillAgreement(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    var (tTot, sTot, nTot) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val t = r.getAs[Long]("n_teacher_correct")
+      val s = r.getAs[Long]("n_student_correct")
+      val a = r.getAs[Long]("n_agree")
+      assert(t <= n && s <= n && a <= n)
+      // agree-on-error is a subset of both the agreements and the
+      // teacher errors
+      val aoe = r.getAs[Long]("n_agree_on_error")
+      assert(aoe <= a && aoe <= n - t)
+      assert(r.getAs[Long]("student_buckets") == 64L)
+      tTot += t; sTot += s; nTot += n
+    }
+    // compressing the vocabulary to 64 hash buckets must not IMPROVE
+    // the classifier corpus-wide (ties allowed): the audit's direction
+    assert(sTot <= tTot, s"student $sTot beats teacher $tTot")
+    // 5-class problem: chance is n/5
+    assert(tTot > nTot / rows.length,
+      s"teacher $tTot/$nTot must beat ${rows.length}-class chance")
+  }
 }

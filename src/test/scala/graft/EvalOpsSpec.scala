@@ -171,4 +171,58 @@ class EvalOpsSpec extends SparkSpec {
       assert(chrf == (f2 + f3 + 1) / 2)
     }
   }
+
+  test("BLEU: driver clipped-count recompute; BP and geometric mean laws") {
+    import graft.ops.EvalOps
+    val rows = EvalOps.bleu(spark, sfTiny).collect().map(r =>
+      r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    // driver recompute of the corpus clipped counts per lang
+    val docs = Tables.documents(spark, sfTiny)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def grams(ws: Array[String], n: Int): Map[String, Long] =
+      if (ws.length < n) Map.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val agg = scala.collection.mutable.Map[(String, Int), (Long, Long)]()
+    val lens = scala.collection.mutable.Map[String, (Long, Long)]()
+    docs.foreach { case (lang, text) =>
+      val ws = text.split(" ", -1)
+      val keep = (4 * ws.length + 4) / 5
+      val cs = ws.take(keep).zipWithIndex
+        .map { case (w, i) => if ((i + 1) % 7 == 0) "the" else w }
+      val (pc, pr) = lens.getOrElse(lang, (0L, 0L))
+      lens(lang) = (pc + cs.length, pr + ws.length)
+      for (n <- 1 to 4) {
+        val (cg, rg) = (grams(cs, n), grams(ws, n))
+        val m = cg.map { case (g, c) => math.min(c, rg.getOrElse(g, 0L)) }.sum
+        val (pm, pcn) = agg.getOrElse((lang, n), (0L, 0L))
+        agg((lang, n)) = (pm + m, pcn + cg.values.sum)
+      }
+    }
+    rows.foreach { case (lang, r) =>
+      for (n <- 1 to 4) {
+        val (m, c) = agg((lang, n))
+        assert(r.getAs[Long](s"m$n") == m && r.getAs[Long](s"c$n") == c,
+          s"$lang order-$n counts")
+        assert(m <= c, "clipped matches cannot exceed candidate grams")
+      }
+      val (cl, rl) = lens(lang)
+      assert(r.getAs[Long]("cand_len") == cl &&
+        r.getAs[Long]("ref_len") == rl)
+      // the 80% prefix makes every candidate shorter: BP must fire
+      assert(cl < rl && r.getAs[Long]("bp_e6") < 0L, "brevity penalty")
+      val bleu = r.getAs[Long]("bleu_e6")
+      assert(bleu > 0L && bleu < 1000000L, s"bleu in (0,1): $bleu")
+      // driver recompute of the lattice geometric mean
+      val lnSum = (1 to 4).map { n =>
+        val (m, c) = agg((lang, n))
+        math.round(math.log(m.toDouble / c) * 1e6)
+      }.sum
+      val want = math.round(math.exp(
+        (lnSum / 4.0 + r.getAs[Long]("bp_e6")) / 1e6) * 1e6)
+      assert(bleu == want, s"$lang bleu lattice: got $bleu want $want")
+    }
+  }
 }

@@ -906,4 +906,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
       s"got ${got.sortBy(_._1).toSeq} want ${want.sortBy(_._1).toSeq}")
   }
+
+  test("MoE router: dispatch conservation, balance loss floor, capacity law") {
+    val rows = graft.ops.SimilarityOps.moeRouter(spark, sfTiny).collect()
+    assert(rows.length == 8, "one row per expert")
+    val n = Tables.embeddings(spark, sfTiny).count()
+    // every token dispatches to exactly one top-1 and one top-2 expert
+    assert(rows.map(_.getAs[Long]("n_top1")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_top2")).sum == n)
+    val cap = 125L * n / (100L * 8L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("capacity") == cap)
+      // overflow is exactly the top-1 load beyond capacity
+      assert(r.getAs[Long]("n_overflow") ==
+        math.max(0L, r.getAs[Long]("n_top1") - cap))
+      // mean router prob stays a probability
+      val p = r.getAs[Long]("pbar_e6")
+      assert(p >= 0L && p <= 1000000L)
+    }
+    // dispatch fractions sum to 1 up to per-expert truncation
+    val fSum = rows.map(_.getAs[Long]("f_e6")).sum
+    assert(math.abs(fSum - 1000000L) <= 8L, s"f sum $fSum")
+    // Chebyshev (f and P similarly ordered): aux >= ~1, with equality
+    // only at perfect balance; allow lattice slack
+    val aux = rows.head.getAs[Long]("aux_e12")
+    assert(rows.map(_.getAs[Long]("aux_e12")).distinct.length == 1)
+    assert(aux >= 900000000000L, s"aux $aux below the balance floor")
+  }
 }

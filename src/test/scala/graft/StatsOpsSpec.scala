@@ -825,4 +825,37 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - w) < 1e-4,
       s"W ${got.getDouble(2)} vs replay $w")
   }
+
+  test("GAE advantage: driver recompute of one episode; step conservation") {
+    val rows = graft.ops.StatsOps.gaeAdvantage(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    // every event is a step of exactly one episode
+    assert(rows.values.map(_.getAs[Long]("n_steps")).sum == ev.length)
+    val b = ev.map(_._4).sum / ev.length
+    assert(rows.values.head.getAs[Long]("b_e2") == b)
+    // full driver recompute of the heaviest user's advantages
+    val uid = ev.groupBy(_._1).maxBy(_._2.length)._1
+    val traj = ev.filter(_._1 == uid).sortBy(t => (t._3.getTime, t._2))
+    val n = traj.length
+    val deltaH = traj.zipWithIndex.map { case ((_, _, _, r), i) =>
+      if (i == n - 1) 2 * r - 2 * b else 2 * r - b
+    }
+    val adv = (0 until n).map { t =>
+      (t until math.min(n, t + 17)).map(i =>
+        (1L << (16 - (i - t))) * deltaH(i)).sum
+    }
+    val row = rows(uid)
+    assert(row.getAs[Long]("n_steps") == n)
+    assert(row.getAs[Long]("sum_adv_h16") == adv.sum, "episode sum")
+    assert(row.getAs[Long]("max_adv_h16") == adv.max, "episode max")
+    assert(row.getAs[Long]("min_adv_h16") == adv.min, "episode min")
+  }
 }

@@ -1025,4 +1025,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"got ${got.take(4).toSeq} want ${want.take(4).toSeq}")
   }
+
+  test("prefix cache census: driver radix recompute at every level") {
+    val rows = graft.ops.TextOps.prefixCache(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(2, 4, 8, 16))
+    val texts = Tables.documents(spark, sfTiny)
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    for (k <- Seq(2, 4, 8, 16)) {
+      val eligible = texts.filter(_.length >= k)
+      val groups = eligible.groupBy(_.take(k).mkString(" "))
+      val r = rows(k)
+      assert(r.getAs[Long]("n_prompts") == eligible.length.toLong)
+      assert(r.getAs[Long]("n_prefixes") == groups.size.toLong)
+      assert(r.getAs[Long]("n_hits") ==
+        groups.values.map(_.length - 1L).sum)
+      assert(r.getAs[Long]("tokens_saved") ==
+        groups.values.map(_.length - 1L).sum * k)
+      assert(r.getAs[Long]("max_fanout") ==
+        groups.values.map(_.length.toLong).max)
+    }
+    // deeper prefixes can only split groups: hits are monotone non-incr
+    val hits = Seq(2, 4, 8, 16).map(k => rows(k).getAs[Long]("n_hits"))
+    assert(hits == hits.sorted.reverse, s"hits not monotone: $hits")
+  }
+
+  test("RHO loss: decile sizing exact, selection direction holds") {
+    val rows = graft.ops.TextOps.rhoLoss(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val sel = r.getAs[Long]("n_selected")
+      assert(sel == (n + 9) / 10, s"decile pick: $sel of $n")
+      // selected excess must dominate the rest: that IS the operator
+      assert(r.getAs[Double]("sel_avg_excess") >=
+        r.getAs[Double]("rest_avg_excess"),
+        s"selection direction inverted in $r")
+      assert(r.getAs[Long]("top_doc_id") % 5 < 4,
+        "top pick must be a candidate, never a holdout doc")
+    }
+  }
 }
