@@ -3150,27 +3150,40 @@ object SimilarityOps {
     * frames); the overflow rank is an expert-partitioned window (E
     * partitions of n/E tokens — the dispatch shuffle a real MoE pays);
     * output is expert-sized. */
-  def moeRouter(spark: SparkSession, sfDir: String): DataFrame = {
-    def halfUpL(num: Column, den: Column): Column = {
-      val n2 = num * 2L + den
-      call_function("div", n2 - pmod(n2, den * 2), den * 2)
-    }
-    val e = withNorm(spark, sfDir)
+  private def moeHalfUp(num: Column, den: Column): Column = {
+    val n2 = num * 2L + den
+    call_function("div", n2 - pmod(n2, den * 2), den * 2)
+  }
+
+  /** Route a (vec_id, embedding, norm) frame against the STANDING
+    * expert bank — the ONE routing definition: [[moeRouter]] audits
+    * the whole corpus through it, the streaming twin
+    * ([[graft.streaming.StreamingOps.moeRouteStream]]) routes each
+    * arriving micro-batch. Output: per (vector, expert) the raw gate
+    * score, e6-lattice softmax gate, and the top-k rank. */
+  private[graft] def moeRouteBatch(
+      vectors: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val experts = coarseCentroids(spark, sfDir)
       .filter(col("cell") < MoeExperts)
       .select(col("cell").as("expert"), col("cv").as("sv"),
         sqrt(expr("vec_dot(cv, cv)")).as("sn"))
     val wd = Window.partitionBy(col("vec_id"))
-    val soft = e.crossJoin(broadcast(experts))
+    vectors.crossJoin(broadcast(experts))
       .withColumn("score", cosine("embedding", "norm", "sv", "sn"))
       .select(col("vec_id"), col("expert"), col("score"))
       .withColumn("mx", max(col("score")).over(wd))
       .withColumn("p_e6",
         round(exp(col("score") - col("mx")) * 1000000.0, 0).cast("long"))
       .withColumn("z_e6", sum(col("p_e6")).over(wd))
-      .withColumn("g_e6", halfUpL(col("p_e6") * 1000000L, col("z_e6")))
+      .withColumn("g_e6", moeHalfUp(col("p_e6") * 1000000L, col("z_e6")))
       .withColumn("rk", row_number().over(
         wd.orderBy(col("score").desc, col("expert"))))
+  }
+
+  def moeRouter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(spark, sfDir)
+    val soft = moeRouteBatch(e, spark, sfDir)
     val n = e.count()
     val capacity = (MoeCapacityE2 * n) / (100L * MoeExperts)
     val top1 = soft.filter(col("rk") === 1)

@@ -247,6 +247,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming MoE routing — vector arrivals routed against the
+    * STANDING 8-expert bank (the trained coarse centroids
+    * [[graft.ops.SimilarityOps.moeRouter]] audits — a serving router
+    * loads its gate weights, it never retrains mid-stream): each
+    * micro-batch runs the batch op's own
+    * [[graft.ops.SimilarityOps.moeRouteBatch]] kernel (cosine gate,
+    * e6-lattice softmax, top-k rank) and appends each arrival's top-2
+    * dispatch rows to a ledger. Stateless per arrival; replay
+    * re-appends byte-identical rows a reader dedups on
+    * (vec_id, rank). The dispatch-side sibling of [[annServeStream]]:
+    * one routing definition batch and stream. */
+  def moeRouteStream(vectors: DataFrame, sfDir: String, ledgerTbl: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorExprs.register(spark)
+        graft.ops.SimilarityOps.moeRouteBatch(
+            batch.toDF()
+              .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)"))),
+            spark, sfDir)
+          .filter(col("rk") <= 2)
+          .select(col("vec_id"), col("rk"), col("expert"), col("g_e6"))
+          .write.mode("append").parquet(ledgerTbl)
+        ()
+      }
+      .start()
+
   /** Streaming binary-quantized serving — query arrivals
     * Hamming-probed against the STANDING packed sign-bit index
     * ([[graft.ops.SimilarityOps.binaryIndex]], built once; serving

@@ -1464,4 +1464,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed\nbatch $batch")
     } finally q.stop()
   }
+
+  test("streaming MoE routing ledger equals the batch router dispatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = s"${graft.etl.Medallion.warehouseBase}/test/moe_stream"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+
+    graft.functions.VectorExprs.register(spark)
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.moeRouteStream(
+      input.toDF().toDF("vec_id", "embedding"), sfTiny, s"$base/ledger")
+    try {
+      vecs.grouped(math.max(1, vecs.length / 3)).foreach { wave =>
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("expert"), r.getAs[Long]("g_e6")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val streamed = rows(spark.read.parquet(s"$base/ledger"))
+      // batch side: the router's own kernel over the same vectors
+      val batch = rows(graft.ops.SimilarityOps.moeRouteBatch(
+          Tables.embeddings(spark, sfTiny)
+            .select(col("vec_id"), col("embedding"))
+            .withColumn("norm",
+              sqrt(expr("vec_dot(embedding, embedding)"))),
+          spark, sfTiny)
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("rk"), col("expert"), col("g_e6")))
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+      assert(streamed.size == 2 * vecs.length, "top-2 rows per arrival")
+    } finally q.stop()
+  }
 }
