@@ -521,13 +521,20 @@ object EvalOps {
            |  (x, i) -> IF((i + 1) % $SubEvery = 0, '$SubTok', x))"""
           .stripMargin.replace("\n", " ")))
 
+    // Short-doc guard lives INSIDE the expression (the crawlGrams
+    // pattern): for size < ord, sequence(1, size-ord+1) would count
+    // DOWN through index 0 and slice(src, 0, ord) throws — a filter
+    // after the explode only saves us if Catalyst pushes it below
+    // the Generate, and correctness must not depend on an optimizer
+    // rule firing.
     def grams(src: String, ord: Int, isCand: Boolean) =
       base.select(col("doc_id"), col("lang"), lit(ord).as("ord"),
-          explode(expr(s"transform(sequence(1, size($src) - ${ord - 1}), " +
-            s"i -> array_join(slice($src, i, $ord), ' '))")).as("gram"),
+          explode(when(size(col(src)) >= ord,
+            expr(s"transform(sequence(1, size($src) - ${ord - 1}), " +
+              s"i -> array_join(slice($src, i, $ord), ' '))"))
+            .otherwise(array().cast("array<string>"))).as("gram"),
           lit(if (isCand) 1L else 0L).as("is_cand"),
           lit(if (isCand) 0L else 1L).as("is_ref"))
-        .where(size(col(src)) >= ord)
 
     val streams = (1 to 4).flatMap(n =>
       Seq(grams("cs", n, isCand = true), grams("ws", n, isCand = false)))

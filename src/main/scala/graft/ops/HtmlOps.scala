@@ -845,8 +845,15 @@ object HtmlOps {
     * ledger: dedup keeper (min doc_id per fingerprint among quality-
     * surviving train candidates) + the conditional stage tallies.
     * Shared by the batch funnel and the streaming twin's read side —
-    * StreamingSpec pins batch == stream over the same corpus. */
-  private[graft] def crawlFunnelRollup(ledger: DataFrame): DataFrame = {
+    * StreamingSpec pins batch == stream over the same corpus.
+    *
+    * Idempotent under at-least-once replay: a foreachBatch retry
+    * re-appends byte-identical verdict rows, and while the min-doc_id
+    * keeper absorbs them, the count/sum tallies would not — so the
+    * rollup dedups the ledger on doc_id FIRST (one row per document
+    * is the ledger's own invariant). */
+  private[graft] def crawlFunnelRollup(rawLedger: DataFrame): DataFrame = {
+    val ledger = rawLedger.dropDuplicates("doc_id")
     val keepers = ledger.filter(col("keep_q") && !col("is_eval"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id")).withColumn("keep_d", lit(1))

@@ -3147,9 +3147,9 @@ object SimilarityOps {
     * Scale shape: the expert bank is BOUNDED (8 rows — broadcast by
     * construction, the PlanSpec ivf_centroids discipline); routing is
     * one map-side score + two bounded per-doc windows (8-row
-    * frames); the overflow rank is an expert-partitioned window (E
-    * partitions of n/E tokens — the dispatch shuffle a real MoE pays);
-    * output is expert-sized. */
+    * frames); the overflow census is pure arithmetic on the
+    * per-expert counts (max(n_top1 - capacity, 0)) — no sort, no
+    * per-expert window; output is expert-sized. */
   private def moeHalfUp(num: Column, den: Column): Column = {
     val n2 = num * 2L + den
     call_function("div", n2 - pmod(n2, den * 2), den * 2)
@@ -3186,16 +3186,21 @@ object SimilarityOps {
     val soft = moeRouteBatch(e, spark, sfDir)
     val n = e.count()
     val capacity = (MoeCapacityE2 * n) / (100L * MoeExperts)
+    // Overflow needs NO rank: with a constant per-expert capacity the
+    // count of tokens ranked past it is just max(n_top1 - capacity, 0)
+    // — the gate order decides WHICH tokens overflow, never how many.
+    // (Round-13 shipped a row_number over Window.partitionBy(expert)
+    // here; at scale that is E single-task sorts of n/E tokens each,
+    // and nothing consumed the rank. PlanSpec pins the window's
+    // absence.)
     val top1 = soft.filter(col("rk") === 1)
-      .withColumn("crk", row_number().over(Window.partitionBy(col("expert"))
-        .orderBy(col("g_e6").desc, col("vec_id"))))
     val perExpert = soft.groupBy(col("expert"))
       .agg(sum(col("g_e6")).cast("long").as("sum_g_e6"),
         sum(when(col("rk") === 2, 1L).otherwise(0L)).as("n_top2"))
     top1.groupBy(col("expert"))
-      .agg(count(lit(1)).as("n_top1"),
-        sum(when(col("crk") > capacity, 1L).otherwise(0L))
-          .as("n_overflow"))
+      .agg(count(lit(1)).as("n_top1"))
+      .withColumn("n_overflow",
+        greatest(col("n_top1") - capacity, lit(0L)))
       .join(perExpert, Seq("expert"), "right")
       .na.fill(0L, Seq("n_top1", "n_overflow"))
       .withColumn("f_e6",
@@ -3233,13 +3238,10 @@ object SimilarityOps {
        |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM pq),
        |cap AS (SELECT ($MoeCapacityE2 * n) // (100 * $MoeExperts) AS c
        |        FROM nn),
-       |t1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY expert
-       |                    ORDER BY g_e6 DESC, vec_id) AS crk
-       |       FROM pq WHERE rk = 1),
        |agg1 AS (SELECT expert, CAST(COUNT(*) AS BIGINT) AS n_top1,
-       |           CAST(SUM(CASE WHEN crk > (SELECT c FROM cap)
-       |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
-       |         FROM t1 GROUP BY expert),
+       |           CAST(GREATEST(COUNT(*) - (SELECT c FROM cap), 0)
+       |             AS BIGINT) AS n_overflow
+       |         FROM pq WHERE rk = 1 GROUP BY expert),
        |agge AS (SELECT expert,
        |           CAST(SUM(g_e6) AS BIGINT) AS sum_g_e6,
        |           CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)

@@ -2383,10 +2383,15 @@ object TextOps {
           .cast("double")
           / sum(when(col("sel"), 1L).otherwise(0L)) / 1000000.0, 6)
           + lit(0.0)).as("sel_avg_excess"),
-        (round(sum(when(!col("sel"), col("excess_e6")).otherwise(0L))
-          .cast("double")
-          / sum(when(!col("sel"), 1L).otherwise(0L)) / 1000000.0, 6)
-          + lit(0.0)).as("rest_avg_excess"),
+        // NULL over 0/0 (the fairnessAudit convention): a language
+        // with exactly one candidate selects it (ceil(1/10) = 1) and
+        // the rest-count is zero — Spark's 0.0/0 is NaN while DuckDB's
+        // differs by version, so both engines emit NULL instead
+        when(sum(when(!col("sel"), 1L).otherwise(0L)) > 0L,
+          round(sum(when(!col("sel"), col("excess_e6")).otherwise(0L))
+            .cast("double")
+            / sum(when(!col("sel"), 1L).otherwise(0L)) / 1000000.0, 6)
+            + lit(0.0)).as("rest_avg_excess"),
         max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"))
       .orderBy(col("lang"))
   }
@@ -2446,10 +2451,11 @@ object TextOps {
       |  ROUND(CAST(SUM(CASE WHEN sel THEN excess_e6 ELSE 0 END) AS DOUBLE)
       |        / SUM(CASE WHEN sel THEN 1 ELSE 0 END) / 1000000.0, 6) + 0.0
       |    AS sel_avg_excess,
-      |  ROUND(CAST(SUM(CASE WHEN NOT sel THEN excess_e6 ELSE 0 END)
-      |             AS DOUBLE)
-      |        / SUM(CASE WHEN NOT sel THEN 1 ELSE 0 END) / 1000000.0, 6)
-      |    + 0.0 AS rest_avg_excess,
+      |  CASE WHEN SUM(CASE WHEN NOT sel THEN 1 ELSE 0 END) > 0 THEN
+      |    ROUND(CAST(SUM(CASE WHEN NOT sel THEN excess_e6 ELSE 0 END)
+      |               AS DOUBLE)
+      |          / SUM(CASE WHEN NOT sel THEN 1 ELSE 0 END) / 1000000.0, 6)
+      |      + 0.0 END AS rest_avg_excess,
       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id
       |FROM lab GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -140,9 +140,11 @@ object StreamingOps {
     * resolved at read time by
     * [[graft.ops.HtmlOps.crawlFunnelRollup]] over the accumulated
     * ledger (the compaction job's half of the contract), so replay
-    * just re-appends byte-identical rows the rollup's keeper
-    * aggregation absorbs. StreamingSpec pins ledger-rollup == batch
-    * funnel over the same corpus.
+    * just re-appends byte-identical rows the rollup absorbs — it
+    * dedups the ledger on doc_id before any tally, so an
+    * at-least-once retry cannot double-count the funnel's count/sum
+    * columns. StreamingSpec pins ledger-rollup == batch funnel over
+    * the same corpus.
     *
     * Scale shape per micro-batch: all per-document work is map-side
     * (codec walks + kernels); the only exchange is the doc-keyed

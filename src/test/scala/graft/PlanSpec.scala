@@ -1005,4 +1005,15 @@ class PlanSpec extends SparkSpec {
       !gnPlan.contains("CartesianProduct"),
       s"grad_noise joined back to data:\n$gnPlan")
   }
+
+  test("moe router: overflow census plans no expert-partitioned window") {
+    // n_overflow = max(n_top1 - capacity, 0) is arithmetic on the
+    // per-expert counts; a rank window partitioned by expert would be
+    // E single-task sorts of n/E tokens at scale (the round-13 shape
+    // this pin retires). The per-token softmax windows (partitioned
+    // by vec_id, bounded 8-row frames) are the ONLY windows allowed.
+    val plan = executed(ops.SimilarityOps.moeRouter(spark, sfTiny))
+    assert(!plan.contains("windowspecdefinition(expert"),
+      s"moe router planned an expert-partitioned window:\n$plan")
+  }
 }

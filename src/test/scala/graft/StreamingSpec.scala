@@ -726,6 +726,14 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed != batch $batch")
       // the ledger text column never materializes — narrow rows only
       assert(!spark.read.parquet(base).columns.contains("text"))
+      // at-least-once idempotence: a foreachBatch retry re-appends
+      // byte-identical verdict rows; the rollup's doc_id dedup must
+      // make the doubled ledger roll up to the same funnel
+      val ledger = spark.read.parquet(base)
+      val replayed = graft.ops.HtmlOps.crawlFunnelRollup(
+        ledger.unionAll(ledger)).collect().map(_.toSeq).toSeq
+      assert(replayed == batch,
+        s"replayed ledger double-counted: $replayed != $batch")
     } finally q.stop()
   }
 
