@@ -639,6 +639,89 @@ object PipelineOps {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents))
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // --------------------------------------- continuous-batching replay
+  /** Engine-step token budget a batch admits up to — the
+    * max-num-batched-tokens knob of a continuous-batching scheduler
+    * (Orca/vLLM). */
+  private val CbBudget = 2048L
+
+  /** Continuous-batching queue replay — the SCHEDULER twin of
+    * [[graft.ops.StatsOps.ucbBandit]]'s decision replay: given a
+    * deterministic arrival order and per-request token lengths, replay
+    * a max-batch-tokens admission policy and ledger what each engine
+    * step actually ran. Requests are the documents; arrival order is
+    * the md5 bridge over doc_id (a deterministic pseudo-random
+    * permutation, so arrival order is NOT length order — the regime a
+    * scheduler exists for); admission is the [[seqPacking]] machinery
+    * verbatim: running token cumsum over arrival order, batch_id =
+    * cumsum-before div budget (the standard two-phase relaxation — a
+    * request spanning the boundary rides in the earlier batch, ledgered
+    * by `overflow_tokens` rather than re-simulated, keeping the whole
+    * replay one window + one aggregation instead of a sequential
+    * fold). Per batch the ledger reports admitted requests, token
+    * fill (exact e6 rate), boundary overflow, the arrival-sequence
+    * span, and the saturated-queue wait ledger: with every request
+    * pending at t0 and one batch per engine step, a request's wait is
+    * its batch_id, so the batch's total added wait is n_reqs·batch_id.
+    *
+    * Scale shape: [[seqPacking]]'s exactly — the ONE global ordered
+    * window is the correctness baseline (at 100 TB the same expression
+    * runs per partition: admission within shards, the standard
+    * relaxation), then a single hash aggregation on batch_id. The
+    * md5 arrival key adds no exchange — it rides the same sort. */
+  def cbReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("ord"), col("doc_id"))
+    val arr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("ord"))
+    arr
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("batch_id", expr(s"(cum - n_tok) div $CbBudget"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_reqs"),
+        sum(col("n_tok")).cast("long").as("batch_tokens"),
+        min(col("seq")).as("first_arrival"),
+        max(col("seq")).as("last_arrival"))
+      .withColumn("fill_e6",
+        expr(s"(batch_tokens * 1000000) div $CbBudget"))
+      .withColumn("overflow_tokens",
+        greatest(col("batch_tokens") - CbBudget, lit(0L)))
+      .withColumn("sum_wait_steps", col("n_reqs") * col("batch_id"))
+      .select(col("batch_id"), col("n_reqs"), col("batch_tokens"),
+        col("fill_e6"), col("overflow_tokens"), col("first_arrival"),
+        col("last_arrival"), col("sum_wait_steps"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val cbReplayOracle =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) AS ord
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS BIGINT)
+       |           AS seq,
+       |         CAST(SUM(n_tok) OVER (ORDER BY ord, doc_id
+       |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM a),
+       |b AS (SELECT *, (cum - n_tok) // $CbBudget AS batch_id FROM s)
+       |SELECT batch_id, COUNT(*) AS n_reqs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+       |       (CAST(SUM(n_tok) AS BIGINT) * 1000000) // $CbBudget
+       |         AS fill_e6,
+       |       GREATEST(CAST(SUM(n_tok) AS BIGINT) - $CbBudget, 0)
+       |         AS overflow_tokens,
+       |       MIN(seq) AS first_arrival, MAX(seq) AS last_arrival,
+       |       COUNT(*) * batch_id AS sum_wait_steps
+       |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   // ------------------------------------------------------------ bloom prune
   /** Bloom-filter semi-join reduction — the 100 TB pattern for a join
     * whose build side is too big to broadcast AS ROWS but whose key set
@@ -1348,6 +1431,7 @@ object PipelineOps {
     "q_bloom_prune" -> (bloomPrune _),
     "q_doc_chunking" -> (docChunking _),
     "q_seq_packing" -> (seqPacking _),
+    "q_cb_replay" -> (cbReplay _),
     "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -1373,6 +1457,7 @@ object PipelineOps {
     "q_bloom_prune" -> bloomPruneOracle,
     "q_doc_chunking" -> docChunkingOracle,
     "q_seq_packing" -> seqPackingOracle,
+    "q_cb_replay" -> cbReplayOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,

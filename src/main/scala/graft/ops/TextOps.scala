@@ -4361,7 +4361,7 @@ object TextOps {
   /** Shared-prefix depths the cache is audited at — powers of two up
     * to a context-scale horizon, the way radix caches report hit
     * depth. */
-  private val PrefixCacheLevels = Seq(2, 4, 8, 16)
+  private[graft] val PrefixCacheLevels = Seq(2, 4, 8, 16)
 
   /** KV prefix-cache sharing census (the radix-tree prefix reuse
     * behind SGLang's RadixAttention and vLLM's automatic prefix
@@ -4401,6 +4401,93 @@ object TextOps {
         (sum(col("cnt") - 1) * col("k")).cast("long").as("tokens_saved"),
         max(col("cnt")).as("max_fanout"))
       .orderBy(col("k"))
+  }
+
+  // ------------------------------------------------ paged-KV blocks
+  /** Block sizes the paged-KV audit runs at — vLLM's default 16 with
+    * its neighbors, the knob a serving team actually sweeps. */
+  private val KvBlockSizes = Seq(8, 16, 32)
+
+  /** Paged-KV block fragmentation audit (the PagedAttention block
+    * manager behind vLLM) — the memory half of the serve-side pair
+    * whose sharing half is [[prefixCache]]: treating each document as
+    * a resident sequence, every sequence allocates ceil(n_tok / b)
+    * fixed-size KV blocks at block size b, and only its LAST block can
+    * be partially filled — internal fragmentation is allocated-minus-
+    * used tokens, the memory a block manager wastes to gain O(1)
+    * allocation. Per block size the audit reports sequences, blocks
+    * allocated, used/allocated/wasted tokens, the exact fragmentation
+    * rate at e6, and the utilization histogram (per-sequence
+    * used/allocated deciles, fully-utilized sequences folded into the
+    * top bucket) — the table that picks the block size: small blocks
+    * waste less memory but multiply block-table entries.
+    *
+    * Exactness: pure integer arithmetic on the exact lattice —
+    * ceil-div via (n_tok + b - 1) div b, rate and deciles by
+    * truncating division on nonnegative operands (engine-identical;
+    * the `//` catalog trap only bites negatives).
+    *
+    * Scale shape: the [[prefixCache]] plan — one map-side cross join
+    * against the broadcast 3-row size grid, ONE hash aggregation
+    * keyed block_size with map-side partials (the histogram is ten
+    * conditional counts, not a second grouping), 3-row output. No
+    * sort, no window, no data-sized join. */
+  def kvBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = KvBlockSizes.toDF("block_size")
+    val perSeq = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(sizes)) // 3-row bounded grid
+      .withColumn("blocks",
+        expr("(n_tok + block_size - 1) div block_size"))
+      .withColumn("alloc", col("blocks") * col("block_size"))
+      .withColumn("util_decile",
+        least(expr("(n_tok * 10) div alloc"), lit(9L)))
+    val histCols = (0 until 10).map(d =>
+      sum(when(col("util_decile") === d, 1L).otherwise(0L)).as(s"h$d"))
+    perSeq.groupBy(col("block_size"))
+      .agg(count(lit(1)).as("n_seqs"),
+        (Seq(
+          sum(col("blocks")).cast("long").as("n_blocks"),
+          sum(col("n_tok")).cast("long").as("used_tokens"),
+          sum(col("alloc")).cast("long").as("alloc_tokens"),
+          sum(col("alloc") - col("n_tok")).cast("long").as("frag_tokens"))
+          ++ histCols): _*)
+      .withColumn("frag_pct_e6",
+        expr("(frag_tokens * 1000000) div alloc_tokens"))
+      .select((Seq("block_size", "n_seqs", "n_blocks", "used_tokens",
+        "alloc_tokens", "frag_tokens", "frag_pct_e6")
+        ++ (0 until 10).map(d => s"h$d")).map(col): _*)
+      .orderBy(col("block_size"))
+  }
+
+  private val kvBlocksOracle = {
+    val hist = (0 until 10).map(d =>
+      s"CAST(SUM(CASE WHEN util_decile = $d THEN 1 ELSE 0 END) AS BIGINT) AS h$d")
+      .mkString(",\n       |       ")
+    s"""WITH seqs AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |grid AS (SELECT unnest([${KvBlockSizes.mkString(", ")}])
+       |           AS block_size),
+       |per AS (
+       |  SELECT block_size, n_tok,
+       |         (n_tok + block_size - 1) // block_size AS blocks,
+       |         ((n_tok + block_size - 1) // block_size) * block_size
+       |           AS alloc
+       |  FROM seqs CROSS JOIN grid),
+       |dec AS (SELECT *, LEAST((n_tok * 10) // alloc, 9) AS util_decile
+       |        FROM per)
+       |SELECT CAST(block_size AS INTEGER) AS block_size,
+       |       COUNT(*) AS n_seqs,
+       |       CAST(SUM(blocks) AS BIGINT) AS n_blocks,
+       |       CAST(SUM(n_tok) AS BIGINT) AS used_tokens,
+       |       CAST(SUM(alloc) AS BIGINT) AS alloc_tokens,
+       |       CAST(SUM(alloc - n_tok) AS BIGINT) AS frag_tokens,
+       |       (CAST(SUM(alloc - n_tok) AS BIGINT) * 1000000)
+       |         // CAST(SUM(alloc) AS BIGINT) AS frag_pct_e6,
+       |       $hist
+       |FROM dec GROUP BY block_size ORDER BY block_size""".stripMargin
   }
 
   private val prefixCacheOracle =
@@ -4466,6 +4553,7 @@ object TextOps {
     "q_corpus_mix" -> (corpusMix _),
     "q_token_count" -> (tokenCount _),
     "q_prefix_cache" -> (prefixCache _),
+    "q_kv_blocks" -> (kvBlocks _),
     "q_rho_loss" -> (rhoLoss _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -4521,6 +4609,7 @@ object TextOps {
     "q_corpus_mix" -> corpusMixOracle,
     "q_token_count" -> tokenCountOracle,
     "q_prefix_cache" -> prefixCacheOracle,
+    "q_kv_blocks" -> kvBlocksOracle,
     "q_rho_loss" -> rhoLossOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,

@@ -1063,6 +1063,56 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class PcPrompt(doc_id: Long, text: String)
+
+  final case class PcEntry(k: Int, prefix: String)
+
+  final case class PcState(cnt: Long)
+
+  final case class PcOut(k: Int, prefix: String, cnt: Long, n_hits: Long)
+
+  /** Streaming KV prefix-cache census with `mapGroupsWithState`
+    * (Update mode) — the ONLINE twin of
+    * [[graft.ops.TextOps.prefixCache]], which audits an inherently
+    * online structure: a RadixAttention/vLLM radix tree grows per
+    * arriving prompt. Each prompt explodes into its
+    * [[graft.ops.TextOps.PrefixCacheLevels]] (k, first-k-tokens)
+    * entries — the radix nodes it touches — and the per-entry state is
+    * the node's arrival count: the FIRST arrival is the insert (a
+    * cache miss that computes the KV pages), every later one is a hit
+    * served from cache, exactly the batch census's `cnt - 1`
+    * convention. Each update emits the entry's running (cnt, n_hits),
+    * so the latest row per (k, prefix) IS the radix tree's node table;
+    * StreamingSpec rolls those final rows up per level and pins them
+    * equal to the batch census column-for-column.
+    *
+    * Scale shape: state is one long per radix node — the same
+    * (k, prefix)-keyed space the batch op hash-aggregates, held
+    * incrementally instead of recomputed; a viral prefix is one hot
+    * state key whose updates fold associatively (cnt += batch
+    * arrivals). Tokenization mirrors the batch op's `split(text, ' ')`
+    * exactly (limit -1: trailing empties survive, as Spark's SQL split
+    * keeps them).
+    */
+  def prefixCacheStream(prompts: Dataset[PcPrompt]): Dataset[PcOut] = {
+    import prompts.sparkSession.implicits._
+    def update(key: PcEntry, arrivals: Iterator[PcEntry],
+               state: GroupState[PcState]): PcOut = {
+      val prev = state.getOption.getOrElse(PcState(0L)).cnt
+      val cnt = prev + arrivals.size
+      state.update(PcState(cnt))
+      PcOut(key.k, key.prefix, cnt, cnt - 1L)
+    }
+    prompts
+      .flatMap { p =>
+        val w = p.text.split(" ", -1)
+        graft.ops.TextOps.PrefixCacheLevels.filter(w.length >= _)
+          .map(k => PcEntry(k, w.take(k).mkString(" ")))
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class CdcEv(user_id: Long, lsn: Long, op: String, v_cents: Long)
 
   final case class CdcState(lsn: Long, op: String, v_cents: Long, nOps: Long)

@@ -302,4 +302,45 @@ class PipelineOpsSpec extends SparkSpec {
       s"sampled mean $sampledMean <= corpus mean $corpusMean")
   }
 
+  test("cb replay: driver admission fold matches the ledger exactly") {
+    val got = PipelineOps.cbReplay(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+
+    // replay the policy on the driver: md5-bridge arrival order, token
+    // cumsum, batch = cumsum-before div budget
+    def ordKey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val arrivals = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy { case (id, _) => (ordKey(id), id) }
+    var cum = 0L
+    val perReq = arrivals.zipWithIndex.map { case ((_, n), i) =>
+      val before = cum; cum += n
+      (before / 2048L, i + 1L, n)
+    }
+    val want = perReq.groupBy(_._1).toSeq.map { case (b, rs) =>
+      val toks = rs.map(_._3).sum
+      (b, rs.length.toLong, toks, toks * 1000000L / 2048L,
+        math.max(toks - 2048L, 0L), rs.map(_._2).min, rs.map(_._2).max,
+        rs.length * b)
+    }.sortBy(_._1)
+    assert(got == want, s"ledger mismatch:\n got $got\nwant $want")
+
+    // admission laws: batches are contiguous arrival spans, and only a
+    // boundary-spanning request can overflow the budget
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 + 1 == b._1 && a._7 + 1 == b._6,
+        s"non-contiguous batches: $a -> $b")
+    case _ => ()
+    }
+    got.foreach { r =>
+      assert(r._5 == 0 || r._3 > 2048L, s"phantom overflow in $r")
+    }
+  }
+
 }

@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming prefix-cache radix state rolls up to the batch census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{PcOut, PcPrompt}
+
+    val prompts = Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "text").as[PcPrompt].collect().sortBy(_.doc_id)
+    val input = MemoryStream[PcPrompt]
+    val q = StreamingOps.prefixCacheStream(input.toDS())
+      .writeStream.format("memory").queryName("pc_out")
+      .outputMode("update").start()
+    try {
+      prompts.grouped(7).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // the latest update per (k, prefix) IS the final radix node
+      // table; its per-level rollup must equal the batch census
+      val entries = spark.table("pc_out").as[PcOut].collect()
+        .groupBy(e => (e.k, e.prefix)).view.mapValues(_.maxBy(_.cnt))
+        .values.toSeq
+      val streamed = entries.groupBy(_.k).toSeq.map { case (k, es) =>
+        (k, es.map(_.cnt).sum, es.size.toLong,
+          es.map(_.n_hits).sum, es.map(_.n_hits).sum * k,
+          es.map(_.cnt).max)
+      }.sortBy(_._1)
+      val batch = graft.ops.TextOps.prefixCache(spark, sfTiny).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // online semantics: a re-arriving prefix HIT, not a new node —
+      // hits strictly below prompts at every level with sharing
+      assert(streamed.forall { case (_, n, p, h, _, _) => h == n - p })
+    } finally q.stop()
+  }
+
   test("streaming Holt-Winters converges to the batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1050,6 +1050,41 @@ class TextOpsSpec extends SparkSpec {
     assert(hits == hits.sorted.reverse, s"hits not monotone: $hits")
   }
 
+  test("kv blocks: driver ceil-div recompute, block-size direction laws") {
+    val rows = graft.ops.TextOps.kvBlocks(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    val toks = Tables.documents(spark, sfTiny)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    for (b <- Seq(8L, 16L, 32L)) {
+      val blocks = toks.map(n => (n + b - 1) / b)
+      val alloc = blocks.map(_ * b)
+      val frag = alloc.zip(toks).map { case (a, n) => a - n }
+      val r = rows(b.toInt)
+      assert(r.getAs[Long]("n_seqs") == toks.length.toLong)
+      assert(r.getAs[Long]("n_blocks") == blocks.sum)
+      assert(r.getAs[Long]("used_tokens") == toks.sum)
+      assert(r.getAs[Long]("alloc_tokens") == alloc.sum)
+      assert(r.getAs[Long]("frag_tokens") == frag.sum)
+      assert(r.getAs[Long]("frag_pct_e6") == frag.sum * 1000000L / alloc.sum)
+      // histogram recompute + conservation
+      val hist = toks.zip(alloc)
+        .groupBy { case (n, a) => math.min(n * 10 / a, 9L) }
+        .view.mapValues(_.length.toLong).toMap
+      for (d <- 0 until 10)
+        assert(r.getAs[Long](s"h$d") == hist.getOrElse(d.toLong, 0L),
+          s"decile $d at block size $b")
+    }
+    // the block-manager tradeoff IS the direction law: bigger blocks
+    // waste at least as many tokens but allocate at most as many blocks
+    val bySize = Seq(8, 16, 32).map(rows)
+    val frags = bySize.map(_.getAs[Long]("frag_tokens"))
+    assert(frags == frags.sorted, s"fragmentation not monotone: $frags")
+    val nblocks = bySize.map(_.getAs[Long]("n_blocks"))
+    assert(nblocks == nblocks.sorted.reverse,
+      s"block count not anti-monotone: $nblocks")
+  }
+
   test("RHO loss: decile sizing exact, selection direction holds") {
     val rows = graft.ops.TextOps.rhoLoss(spark, sfTiny).collect()
     assert(rows.nonEmpty)
@@ -1057,10 +1092,15 @@ class TextOpsSpec extends SparkSpec {
       val n = r.getAs[Long]("n_docs")
       val sel = r.getAs[Long]("n_selected")
       assert(sel == (n + 9) / 10, s"decile pick: $sel of $n")
-      // selected excess must dominate the rest: that IS the operator
-      assert(r.getAs[Double]("sel_avg_excess") >=
-        r.getAs[Double]("rest_avg_excess"),
-        s"selection direction inverted in $r")
+      // selected excess must dominate the rest: that IS the operator.
+      // rest_avg_excess is NULL (not 0/0) when a language selects all
+      // its candidates — nothing to dominate then.
+      if (!r.isNullAt(r.fieldIndex("rest_avg_excess")))
+        assert(r.getAs[Double]("sel_avg_excess") >=
+          r.getAs[Double]("rest_avg_excess"),
+          s"selection direction inverted in $r")
+      else assert(sel == n,
+        s"rest average may be NULL only when everything is selected: $r")
       assert(r.getAs[Long]("top_doc_id") % 5 < 4,
         "top pick must be a candidate, never a holdout doc")
     }
