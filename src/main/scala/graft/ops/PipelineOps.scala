@@ -697,6 +697,67 @@ object PipelineOps {
       .orderBy(col("batch_id"))
   }
 
+  /** Requests per static batch in the padding census. */
+  private val PadBatchSize = 8L
+
+  /** Static-batch padding-waste census — the OTHER HALF of the
+    * [[cbReplay]] comparison: continuous batching exists because the
+    * static alternative pads every request in a fixed-size batch to
+    * the batch's longest sequence. Same deterministic md5-bridge
+    * arrival order as the replay, requests taken [[PadBatchSize]] at
+    * a time; per batch the ledger reports admitted requests, the
+    * batch's max and total tokens, the padding it burns
+    * (n_reqs·max − Σtok — compute allocated for positions past each
+    * request's end), and the exact e6 pad rate. Read beside
+    * `q_cb_replay`'s fill ledger, the pair quantifies the
+    * continuous-batching win on the same arrival trace.
+    *
+    * Scale shape: [[cbReplay]]'s exactly — the one global ordered
+    * window (per-partition at 100 TB, the seqPacking relaxation),
+    * then a hash aggregation on batch_id. */
+  def padWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("ord"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("ord"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(seq - 1) div $PadBatchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_reqs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).cast("long").as("batch_tokens"))
+      .withColumn("pad_tokens",
+        col("n_reqs") * col("max_tok") - col("batch_tokens"))
+      .withColumn("pad_pct_e6",
+        expr("(pad_tokens * 1000000) div (n_reqs * max_tok)"))
+      .select(col("batch_id"), col("n_reqs"), col("max_tok"),
+        col("batch_tokens"), col("pad_tokens"), col("pad_pct_e6"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val padWasteOracle =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) AS ord
+       |  FROM documents),
+       |s AS (
+       |  SELECT n_tok,
+       |         (CAST(ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS BIGINT)
+       |          - 1) // $PadBatchSize AS batch_id
+       |  FROM a),
+       |b AS (SELECT batch_id, COUNT(*) AS n_reqs, MAX(n_tok) AS max_tok,
+       |             CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+       |      FROM s GROUP BY batch_id)
+       |SELECT batch_id, n_reqs, max_tok, batch_tokens,
+       |       n_reqs * max_tok - batch_tokens AS pad_tokens,
+       |       ((n_reqs * max_tok - batch_tokens) * 1000000)
+       |         // (n_reqs * max_tok) AS pad_pct_e6
+       |FROM b ORDER BY batch_id""".stripMargin
+
   private val cbReplayOracle =
     s"""WITH a AS (
        |  SELECT doc_id,
@@ -1432,6 +1493,7 @@ object PipelineOps {
     "q_doc_chunking" -> (docChunking _),
     "q_seq_packing" -> (seqPacking _),
     "q_cb_replay" -> (cbReplay _),
+    "q_pad_waste" -> (padWaste _),
     "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -1458,6 +1520,7 @@ object PipelineOps {
     "q_doc_chunking" -> docChunkingOracle,
     "q_seq_packing" -> seqPackingOracle,
     "q_cb_replay" -> cbReplayOracle,
+    "q_pad_waste" -> padWasteOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,

@@ -1798,6 +1798,87 @@ object SimilarityOps {
        |ORDER BY top1.qid""".stripMargin
   }
 
+  // --------------------------------------------- int8 quant error
+  /** Int8 per-channel symmetric quantization audit — the OTHER
+    * compression point on the serving ladder beside [[binaryQuant]]'s
+    * 1-bit extreme (weights/activations ship as int8 with one scale
+    * per channel — the llm.int8()/TensorRT convention): per embedding
+    * dimension d the scale is amax_d/127, every value quantizes to
+    * round(127·x/amax_d) and dequantizes back, and the audit ledgers
+    * what the round trip cost — value count, the channel's amax,
+    * saturated values (|q| = 127, the outlier census that motivates
+    * per-CHANNEL scales in the first place), worst and total absolute
+    * error, and total squared error against total signal power (the
+    * reader's SQNR numerator/denominator).
+    *
+    * Exactness: the per-element chain (127·x/amax, the dequantized
+    * residual, the square) is the SAME arithmetic in the same order in
+    * both engines on bit-identical doubles (float32 inputs widen
+    * exactly), each residual quantizes ONCE to its integer lattice
+    * (e9 absolute, e15 squared; at exact-.5 ties Spark's HALF_UP and
+    * DuckDB's ROUND both go away from zero), and every aggregate is an
+    * integer sum — DECIMAL(38,0) for the overflow-prone ones (e15
+    * squares would top a long at ~9e3 corpus-scale elements per
+    * channel... a 100 TB table; decimal headroom is the
+    * [[graft.ops.GraphOps.squareCount]] discipline).
+    *
+    * Scale shape: one posexplode (map-side), a 64-row per-channel
+    * amax aggregate broadcast back onto the element stream, one hash
+    * aggregation keyed dim. No window, no sort, no data-sized join. */
+  def quantError(spark: SparkSession, sfDir: String): DataFrame = {
+    val elems = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+    val amax = elems.groupBy(col("dim"))
+      .agg(max(abs(col("x"))).as("amax"))
+      .filter(col("amax") > 0.0) // an all-zero channel has no scale
+    val dec = "decimal(38,0)"
+    elems.join(broadcast(amax), Seq("dim"))
+      .withColumn("q",
+        expr("CAST(round(x * 127.0 / amax, 0) AS BIGINT)"))
+      .withColumn("err", col("x") - col("q") * col("amax") / lit(127.0))
+      .withColumn("abs_err_e9",
+        expr("CAST(round(abs(err) * 1e9, 0) AS BIGINT)"))
+      .withColumn("sq_err_e15",
+        expr("CAST(round(err * err * 1e15, 0) AS BIGINT)"))
+      .withColumn("sig_e9", expr("CAST(round(x * x * 1e9, 0) AS BIGINT)"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vals"),
+        (round(max(col("amax")), 6) + lit(0.0)).as("amax_r6"),
+        sum(when(abs(col("q")) === 127L, 1L).otherwise(0L)).as("n_sat"),
+        max(col("abs_err_e9")).as("max_abs_err_e9"),
+        sum(col("abs_err_e9")).cast(dec).as("sum_abs_err_e9"),
+        sum(col("sq_err_e15")).cast(dec).as("sse_e15"),
+        sum(col("sig_e9")).cast(dec).as("sig_e9"))
+      .orderBy(col("dim"))
+  }
+
+  private val quantErrorOracle =
+    """WITH el AS (
+      |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |am AS (SELECT dim, MAX(ABS(x)) AS amax FROM el GROUP BY dim
+      |       HAVING MAX(ABS(x)) > 0),
+      |q AS (
+      |  SELECT el.dim, x, amax,
+      |         CAST(ROUND(x * 127.0 / amax) AS BIGINT) AS q,
+      |         x - CAST(ROUND(x * 127.0 / amax) AS BIGINT) * amax / 127.0
+      |           AS err
+      |  FROM el JOIN am ON el.dim = am.dim)
+      |SELECT CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_vals,
+      |       ROUND(MAX(amax), 6) + 0.0 AS amax_r6,
+      |       CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_sat,
+      |       CAST(MAX(CAST(ROUND(ABS(err) * 1e9) AS BIGINT)) AS BIGINT)
+      |         AS max_abs_err_e9,
+      |       CAST(SUM(CAST(ROUND(ABS(err) * 1e9) AS BIGINT))
+      |            AS DECIMAL(38,0)) AS sum_abs_err_e9,
+      |       CAST(SUM(CAST(ROUND(err * err * 1e15) AS BIGINT))
+      |            AS DECIMAL(38,0)) AS sse_e15,
+      |       CAST(SUM(CAST(ROUND(x * x * 1e9) AS BIGINT))
+      |            AS DECIMAL(38,0)) AS sig_e9
+      |FROM q GROUP BY dim ORDER BY dim""".stripMargin
+
   // ------------------------------------------------------------------
   /** Contrastive hard-negative mining — the pair-construction step of
     * an embedding-training pipeline: pairs that look similar in VECTOR
@@ -3295,6 +3376,7 @@ object SimilarityOps {
     "q_kmeans" -> (kmeansRefine _),
     "q_quantize_int8" -> (quantizeInt8 _),
     "q_binary_quant" -> (binaryQuant _),
+    "q_quant_error" -> (quantError _),
     "q_hard_negatives" -> (hardNegatives _)
   )
 
@@ -3332,6 +3414,7 @@ object SimilarityOps {
     "q_kmeans" -> kmeansRefineOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
     "q_binary_quant" -> binaryQuantOracle,
+    "q_quant_error" -> quantErrorOracle,
     "q_hard_negatives" -> hardNegativesOracle
   )
 

@@ -2579,6 +2579,112 @@ object TextOps {
       |         AS exp_tokens_per_pass
       |FROM m ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------- top-p census
+  /** Nucleus thresholds the decoding audit sweeps — the top-p knob's
+    * conventional settings (Holtzman et al. ICLR'20 uses 0.95). */
+  private val TopPPcts = Seq(50, 90, 95)
+
+  /** Top-p (nucleus) decoding census over the standing bigram LM
+    * (Holtzman et al. ICLR'20, "The Curious Case of Neural Text
+    * Degeneration") — the decoding-knob audit beside [[specDecode]]'s
+    * acceptance audit: per context w1 of the standard train split's
+    * bigram table, next tokens sort by count descending and the
+    * NUCLEUS at threshold p is the minimal prefix whose cumulative
+    * mass reaches p — the candidate set a top-p sampler actually draws
+    * from. Membership needs no min-rank search: token at rank r is in
+    * the nucleus iff the cumulative mass BEFORE it is still short of
+    * the threshold ((cum − c)·100 < p·total, exact integer
+    * cross-multiplication). Per threshold the census reports contexts,
+    * total/average/max nucleus size, greedy contexts (nucleus = 1 —
+    * where top-p degenerates to argmax), and the exact e6 probability
+    * mass the nucleus covers — the table that picks p: sweep until
+    * covered mass stops buying candidate diversity.
+    *
+    * Exactness: counts, cumulative sums, and both reported rates live
+    * on the exact integer lattice (truncating division on nonnegative
+    * operands); ties inside a context break by token string, so the
+    * sort is engine-deterministic.
+    *
+    * Scale shape: the per-CONTEXT window discipline ([[rhoLoss]]'s
+    * lang-partitioned law) — cumulative mass runs inside
+    * Window.partitionBy(w1), frames bounded by a context's distinct
+    * successors (≤ vocab), never a global sort; the 3-row threshold
+    * grid broadcasts; everything after is two hash aggregations. */
+  def topPCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val c2 = train.filter(col("text").contains(" "))
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS w1,
+          |                      element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val wOrd = Window.partitionBy(col("w1"))
+      .orderBy(col("c2").desc, col("w2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("w1"))
+    val grid = TopPPcts.toDF("p_pct")
+    val perCtx = c2
+      .withColumn("cum", sum(col("c2")).over(wOrd))
+      .withColumn("tot", sum(col("c2")).over(wAll))
+      .crossJoin(broadcast(grid)) // 3-row bounded threshold grid
+      .filter((col("cum") - col("c2")) * 100 < col("p_pct") * col("tot"))
+      .groupBy(col("p_pct"), col("w1"))
+      .agg(count(lit(1)).as("nucleus"),
+        sum(col("c2")).cast("long").as("cov"),
+        first(col("tot")).as("tot"))
+    perCtx.groupBy(col("p_pct"))
+      .agg(count(lit(1)).as("n_ctx"),
+        sum(col("nucleus")).cast("long").as("sum_nucleus"),
+        max(col("nucleus")).as("max_nucleus"),
+        sum(when(col("nucleus") === 1L, 1L).otherwise(0L)).as("n_greedy"),
+        sum(col("cov")).cast("long").as("sum_cov"),
+        sum(col("tot")).cast("long").as("sum_tot"))
+      .withColumn("avg_nucleus_e6",
+        expr("(sum_nucleus * 1000000) div n_ctx"))
+      .withColumn("covered_e6", expr("(sum_cov * 1000000) div sum_tot"))
+      .select(col("p_pct"), col("n_ctx"), col("sum_nucleus"),
+        col("avg_nucleus_e6"), col("max_nucleus"), col("n_greedy"),
+        col("covered_e6"))
+      .orderBy(col("p_pct"))
+  }
+
+  private val topPCensusOracle =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents
+       |           WHERE doc_id % 5 < 4 AND contains(text, ' ')),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2
+       |       FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |             FROM d, UNNEST(range(1, len(ws))) AS t(i))
+       |       GROUP BY w1, w2),
+       |r AS (SELECT w1, w2, c2,
+       |        CAST(SUM(c2) OVER (PARTITION BY w1
+       |               ORDER BY c2 DESC, w2
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |        CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS tot
+       |      FROM c2),
+       |g AS (SELECT unnest([${TopPPcts.mkString(", ")}]) AS p_pct),
+       |pc AS (SELECT p_pct, w1, COUNT(*) AS nucleus,
+       |         CAST(SUM(c2) AS BIGINT) AS cov,
+       |         ANY_VALUE(tot) AS tot
+       |       FROM r CROSS JOIN g
+       |       WHERE (cum - c2) * 100 < p_pct * tot
+       |       GROUP BY p_pct, w1)
+       |SELECT CAST(p_pct AS INTEGER) AS p_pct, COUNT(*) AS n_ctx,
+       |       CAST(SUM(nucleus) AS BIGINT) AS sum_nucleus,
+       |       (CAST(SUM(nucleus) AS BIGINT) * 1000000) // COUNT(*)
+       |         AS avg_nucleus_e6,
+       |       CAST(MAX(nucleus) AS BIGINT) AS max_nucleus,
+       |       CAST(SUM(CASE WHEN nucleus = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_greedy,
+       |       (CAST(SUM(cov) AS BIGINT) * 1000000)
+       |         // CAST(SUM(tot) AS BIGINT) AS covered_e6
+       |FROM pc GROUP BY p_pct ORDER BY p_pct""".stripMargin
+
   // ---------------------------------------------------- DPO pairs
   /** DPO implicit-reward audit over constructed preference pairs
     * (Rafailov et al. 2023, "Direct Preference Optimization") — the
@@ -4554,6 +4660,7 @@ object TextOps {
     "q_token_count" -> (tokenCount _),
     "q_prefix_cache" -> (prefixCache _),
     "q_kv_blocks" -> (kvBlocks _),
+    "q_top_p" -> (topPCensus _),
     "q_rho_loss" -> (rhoLoss _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -4610,6 +4717,7 @@ object TextOps {
     "q_token_count" -> tokenCountOracle,
     "q_prefix_cache" -> prefixCacheOracle,
     "q_kv_blocks" -> kvBlocksOracle,
+    "q_top_p" -> topPCensusOracle,
     "q_rho_loss" -> rhoLossOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,

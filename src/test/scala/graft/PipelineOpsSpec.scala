@@ -343,4 +343,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pad waste: driver recompute; same trace as cb replay, waste real") {
+    val got = PipelineOps.padWaste(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    def ordKey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val arrivals = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy { case (id, _) => (ordKey(id), id) }
+    val want = arrivals.map(_._2).grouped(8).zipWithIndex.map {
+      case (toks, b) =>
+        val mx = toks.max
+        val alloc = toks.length * mx
+        (b.toLong, toks.length.toLong, mx, toks.sum,
+          alloc - toks.sum, (alloc - toks.sum) * 1000000L / alloc)
+    }.toSeq
+    assert(got == want, s"ledger mismatch:\n got $got\nwant $want")
+    // same arrival trace as the continuous-batching replay: total
+    // admitted tokens must agree operator-to-operator
+    val cbTokens = PipelineOps.cbReplay(spark, sfTiny).collect()
+      .map(_.getAs[Long]("batch_tokens")).sum
+    assert(got.map(_._4).sum == cbTokens,
+      "pad-waste and cb-replay disagree on the corpus token mass")
+    // padding is the point: a length-diverse trace must waste tokens
+    assert(got.map(_._5).sum > 0L, "no padding waste measured")
+  }
+
 }

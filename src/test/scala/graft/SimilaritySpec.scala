@@ -933,4 +933,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("aux_e12")).distinct.length == 1)
     assert(aux >= 900000000000L, s"aux $aux below the balance floor")
   }
+
+  test("int8 quant error: driver round-trip recompute, error bound law") {
+    val rows = graft.ops.SimilarityOps.quantError(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(rows.keySet == vecs.head.indices.toSet,
+      "one audited row per channel")
+    // Spark's round() is HALF_UP away from zero; math.round floors
+    // x + 0.5 (toward +inf on negative ties) — replay the engine's
+    // convention exactly
+    def rnd(v: Double): Long = new java.math.BigDecimal(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    for (d <- vecs.head.indices) {
+      val xs = vecs.map(_(d))
+      val amax = xs.map(math.abs).max
+      val qs = xs.map(x => rnd(x * 127.0 / amax))
+      val errs = xs.zip(qs).map { case (x, q) => x - q * amax / 127.0 }
+      val r = rows(d)
+      assert(r.getAs[Long]("n_vals") == xs.length.toLong)
+      assert(r.getAs[Long]("n_sat") == qs.count(q => math.abs(q) == 127L))
+      assert(r.getAs[Long]("n_sat") >= 1L,
+        s"the argmax element always saturates (dim $d)")
+      assert(r.getAs[Long]("max_abs_err_e9") ==
+        errs.map(e => math.round(math.abs(e) * 1e9)).max)
+      assert(r.getAs[java.math.BigDecimal]("sum_abs_err_e9").longValueExact ==
+        errs.map(e => math.round(math.abs(e) * 1e9)).sum)
+      assert(r.getAs[java.math.BigDecimal]("sse_e15").longValueExact ==
+        errs.map(e => math.round(e * e * 1e15)).sum)
+      // symmetric int8 guarantee: |err| <= scale/2 = amax/254
+      assert(r.getAs[Long]("max_abs_err_e9") <=
+        math.round(amax / 254.0 * 1e9) + 1L,
+        s"round-trip error exceeds half a quant step (dim $d)")
+    }
+  }
 }

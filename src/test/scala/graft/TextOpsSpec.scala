@@ -1085,6 +1085,48 @@ class TextOpsSpec extends SparkSpec {
       s"block count not anti-monotone: $nblocks")
   }
 
+  test("top-p census: driver nucleus recompute, threshold monotonicity") {
+    val rows = graft.ops.TextOps.topPCensus(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(50, 90, 95))
+    // driver recompute: train-split bigram counts, per-context sort
+    val bi = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .filter(r => r.getLong(0) % 5 < 4 && r.getString(1).contains(" "))
+      .flatMap(r => r.getString(1).split(" ", -1).sliding(2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byCtx = bi.groupBy(_._1._1).view.mapValues(
+      _.toSeq.map { case ((_, w2), c) => (w2, c) }
+        .sortBy { case (w2, c) => (-c, w2) }).toMap
+    for (p <- Seq(50, 90, 95)) {
+      val per = byCtx.values.map { succ =>
+        val tot = succ.map(_._2).sum
+        val cums = succ.scanLeft(0L)(_ + _._2)
+        val nucleus = succ.indices.count(i => cums(i) * 100 < p * tot)
+        val cov = succ.take(nucleus).map(_._2).sum
+        (nucleus.toLong, cov, tot)
+      }.toSeq
+      val r = rows(p)
+      assert(r.getAs[Long]("n_ctx") == per.length.toLong)
+      assert(r.getAs[Long]("sum_nucleus") == per.map(_._1).sum)
+      assert(r.getAs[Long]("avg_nucleus_e6") ==
+        per.map(_._1).sum * 1000000L / per.length)
+      assert(r.getAs[Long]("max_nucleus") == per.map(_._1).max)
+      assert(r.getAs[Long]("n_greedy") == per.count(_._1 == 1L).toLong)
+      assert(r.getAs[Long]("covered_e6") ==
+        per.map(_._2).sum * 1000000L / per.map(_._3).sum)
+    }
+    // raising p can only widen the nucleus and its covered mass
+    val sizes = Seq(50, 90, 95).map(p => rows(p).getAs[Long]("sum_nucleus"))
+    assert(sizes == sizes.sorted, s"nucleus not monotone in p: $sizes")
+    val cov = Seq(50, 90, 95).map(p => rows(p).getAs[Long]("covered_e6"))
+    assert(cov == cov.sorted, s"coverage not monotone in p: $cov")
+    // every nucleus must actually reach its threshold's mass
+    Seq(50, 90, 95).foreach(p =>
+      assert(rows(p).getAs[Long]("covered_e6") >= p * 10000L))
+  }
+
   test("RHO loss: decile sizing exact, selection direction holds") {
     val rows = graft.ops.TextOps.rhoLoss(spark, sfTiny).collect()
     assert(rows.nonEmpty)
