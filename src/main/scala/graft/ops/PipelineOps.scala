@@ -697,6 +697,88 @@ object PipelineOps {
       .orderBy(col("batch_id"))
   }
 
+  /** Data-parallel workers in the shard-balance audit. */
+  private val ShardWorkers = 32L
+
+  /** Data-parallel shard token-balance audit — the dataloader-side
+    * twin of the MoE router's load census: synchronous data-parallel
+    * training steps at the pace of the heaviest shard, so per sharding
+    * policy (content hash via the md5 bridge vs round-robin over the
+    * dense doc_id) the audit ledgers each policy's worker token
+    * spread, the faiss-style imbalance factor max/avg at e6, and the
+    * straggler stall — the fraction of step time the fleet idles
+    * waiting for the heaviest worker ((max·W − total) / (max·W)).
+    * Round-robin balances COUNTS but not token mass; the hash policy
+    * is what a stateless distributed loader can actually compute —
+    * the audit prices that convenience.
+    *
+    * Exactness: token counts and both rates are exact integers
+    * (truncating division, nonnegative operands); the md5 bridge is
+    * the engine-identical hash.
+    *
+    * Scale shape: one narrow projection fanned to two policy rows
+    * map-side, two hash aggregations (worker-keyed then policy-keyed),
+    * 2-row output. No window, no sort, no join. */
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val hashed = base.select(lit("hash").as("policy"),
+      pmod(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
+        lit(ShardWorkers)).as("worker"), col("n_tok"))
+    val rr = base.select(lit("round_robin").as("policy"),
+      pmod(col("doc_id"), lit(ShardWorkers)).as("worker"), col("n_tok"))
+    hashed.unionByName(rr)
+      .groupBy(col("policy"), col("worker"))
+      .agg(sum(col("n_tok")).cast("long").as("w_tok"),
+        count(lit(1)).as("w_docs"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_workers"),
+        sum(col("w_tok")).cast("long").as("total_tokens"),
+        min(col("w_tok")).as("min_tokens"),
+        max(col("w_tok")).as("max_tokens"),
+        max(col("w_docs")).as("max_docs"))
+      .withColumn("imbalance_e6",
+        expr(s"(max_tokens * $ShardWorkers * 1000000) div total_tokens"))
+      .withColumn("stall_pct_e6",
+        expr(s"((max_tokens * $ShardWorkers - total_tokens) * 1000000) " +
+          s"div (max_tokens * $ShardWorkers)"))
+      .select(col("policy"), col("n_workers"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"), col("max_docs"),
+        col("imbalance_e6"), col("stall_pct_e6"))
+      .orderBy(col("policy"))
+  }
+
+  private val shardBalanceOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT 'hash' AS policy,
+       |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) % $ShardWorkers AS worker, n_tok
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 'round_robin' AS policy, doc_id % $ShardWorkers AS worker,
+       |         n_tok
+       |  FROM base),
+       |w AS (SELECT policy, worker, CAST(SUM(n_tok) AS BIGINT) AS w_tok,
+       |             COUNT(*) AS w_docs
+       |      FROM assigned GROUP BY policy, worker),
+       |p AS (SELECT policy, COUNT(*) AS n_workers,
+       |             CAST(SUM(w_tok) AS BIGINT) AS total_tokens,
+       |             MIN(w_tok) AS min_tokens, MAX(w_tok) AS max_tokens,
+       |             MAX(w_docs) AS max_docs
+       |      FROM w GROUP BY policy)
+       |SELECT policy, n_workers, total_tokens, min_tokens, max_tokens,
+       |       max_docs,
+       |       (max_tokens * $ShardWorkers * 1000000) // total_tokens
+       |         AS imbalance_e6,
+       |       ((max_tokens * $ShardWorkers - total_tokens) * 1000000)
+       |         // (max_tokens * $ShardWorkers) AS stall_pct_e6
+       |FROM p ORDER BY policy""".stripMargin
+
   /** Requests per static batch in the padding census. */
   private val PadBatchSize = 8L
 
@@ -1494,6 +1576,7 @@ object PipelineOps {
     "q_seq_packing" -> (seqPacking _),
     "q_cb_replay" -> (cbReplay _),
     "q_pad_waste" -> (padWaste _),
+    "q_shard_balance" -> (shardBalance _),
     "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -1521,6 +1604,7 @@ object PipelineOps {
     "q_seq_packing" -> seqPackingOracle,
     "q_cb_replay" -> cbReplayOracle,
     "q_pad_waste" -> padWasteOracle,
+    "q_shard_balance" -> shardBalanceOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,

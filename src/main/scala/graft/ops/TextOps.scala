@@ -2685,6 +2685,112 @@ object TextOps {
        |         // CAST(SUM(tot) AS BIGINT) AS covered_e6
        |FROM pc GROUP BY p_pct ORDER BY p_pct""".stripMargin
 
+  // ------------------------------------------------- best-of-n audit
+  /** Candidates per best-of-n group. */
+  private val BonN = 4
+
+  /** Best-of-n (rejection) sampling audit (Stiennon '20 / Nakano '21
+    * WebGPT — the simplest inference-time alignment knob: draw n
+    * candidates, ship the best under the reward) — replayed
+    * deterministically over the corpus: within each language, docs in
+    * doc_id order form consecutive groups of [[BonN]] "candidates for
+    * one prompt" (incomplete tail groups are dropped — BoN needs its n
+    * draws), the reward is the negative per-token unigram NLL on the
+    * established micro-nat lattice ([[dpoPairs]]'s selection score),
+    * and the pick is the group minimum NLL. Per language the audit
+    * ledgers groups, the corpus-average vs picked-average NLL, and the
+    * uplift — the measured value of n=4 rejection sampling under this
+    * reward, the number a BoN deployment buys.
+    *
+    * Exactness: per-token NLL is (−slp) div n_tok on nonnegative
+    * operands (slp ≤ 0 by construction); group mins, sums, and both
+    * averages are exact integers (truncating division, nonneg).
+    * Law (pinned by spec): Σ best·n ≤ Σ all — the group minimum never
+    * exceeds its group's mean.
+    *
+    * Scale shape: the [[rhoLoss]] window doctrine — grouping runs in
+    * Window.partitionBy(lang) (never a global sort); the unigram
+    * scorer is the [[dpoPairs]] construction (vocab-sized count join,
+    * broadcast 1-row total); everything after is two hash
+    * aggregations. */
+  def bonSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+    val tot = toks.agg(count(lit(1)).as("n_tot"))
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val perDoc = toks.join(freqs, Seq("term")) // vocab-sized: unhinted
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        round(log(col("tf").cast("double") / col("n_tot")) * lit(1000000.0),
+          0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_e6")).as("slp_u"))
+      .withColumn("nll_tok_e6", expr("(-slp_u) div n_tok"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val grouped = perDoc
+      .withColumn("rn", row_number().over(wl).cast("long"))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") <= expr(s"(n_lang div $BonN) * $BonN"))
+      .withColumn("grp", expr(s"(rn - 1) div $BonN"))
+    val perGrp = grouped.groupBy(col("lang"), col("grp"))
+      .agg(min(col("nll_tok_e6")).as("best_nll"),
+        sum(col("nll_tok_e6")).cast("long").as("all_nll"))
+    perGrp.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * BonN).as("n_docs"),
+        sum(col("all_nll")).cast("long").as("sum_nll_e6"),
+        sum(col("best_nll")).cast("long").as("sum_best_nll_e6"))
+      .withColumn("avg_nll_e6", expr("sum_nll_e6 div n_docs"))
+      .withColumn("avg_best_nll_e6", expr("sum_best_nll_e6 div n_groups"))
+      .withColumn("uplift_e6", col("avg_nll_e6") - col("avg_best_nll_e6"))
+      .select(col("lang"), col("n_groups"), col("n_docs"),
+        col("sum_nll_e6"), col("sum_best_nll_e6"), col("avg_nll_e6"),
+        col("avg_best_nll_e6"), col("uplift_e6"))
+      .orderBy(col("lang"))
+  }
+
+  private val bonSamplingOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+       |tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |         CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_tot)
+       |                 * 1000000.0) AS BIGINT)) AS BIGINT) AS slp_u
+       |  FROM toks JOIN tf USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.lang, pd.doc_id, (-slp_u) // n_tok AS nll_tok_e6
+       |  FROM pd JOIN documents d ON pd.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+       |         AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM sc),
+       |gp AS (
+       |  SELECT lang, (rn - 1) // $BonN AS grp,
+       |         MIN(nll_tok_e6) AS best_nll,
+       |         CAST(SUM(nll_tok_e6) AS BIGINT) AS all_nll
+       |  FROM rk WHERE rn <= (n_lang // $BonN) * $BonN
+       |  GROUP BY lang, grp)
+       |SELECT lang, COUNT(*) AS n_groups,
+       |       COUNT(*) * $BonN AS n_docs,
+       |       CAST(SUM(all_nll) AS BIGINT) AS sum_nll_e6,
+       |       CAST(SUM(best_nll) AS BIGINT) AS sum_best_nll_e6,
+       |       CAST(SUM(all_nll) AS BIGINT) // (COUNT(*) * $BonN)
+       |         AS avg_nll_e6,
+       |       CAST(SUM(best_nll) AS BIGINT) // COUNT(*)
+       |         AS avg_best_nll_e6,
+       |       CAST(SUM(all_nll) AS BIGINT) // (COUNT(*) * $BonN)
+       |         - CAST(SUM(best_nll) AS BIGINT) // COUNT(*) AS uplift_e6
+       |FROM gp GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------- DPO pairs
   /** DPO implicit-reward audit over constructed preference pairs
     * (Rafailov et al. 2023, "Direct Preference Optimization") — the
@@ -4661,6 +4767,7 @@ object TextOps {
     "q_prefix_cache" -> (prefixCache _),
     "q_kv_blocks" -> (kvBlocks _),
     "q_top_p" -> (topPCensus _),
+    "q_bon_sampling" -> (bonSampling _),
     "q_rho_loss" -> (rhoLoss _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -4718,6 +4825,7 @@ object TextOps {
     "q_prefix_cache" -> prefixCacheOracle,
     "q_kv_blocks" -> kvBlocksOracle,
     "q_top_p" -> topPCensusOracle,
+    "q_bon_sampling" -> bonSamplingOracle,
     "q_rho_loss" -> rhoLossOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,

@@ -374,4 +374,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._5).sum > 0L, "no padding waste measured")
   }
 
+  test("shard balance: driver assignment replay, policy invariants") {
+    val rows = PipelineOps.shardBalance(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("hash", "round_robin"))
+    def ordKey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    for ((policy, assign) <- Seq(
+        "hash" -> ((id: Long) => ordKey(id) % 32L),
+        "round_robin" -> ((id: Long) => id % 32L))) {
+      val byW = docs.groupBy { case (id, _) => assign(id) }
+        .view.mapValues(ds => (ds.map(_._2).sum, ds.length.toLong)).toMap
+      val toks = byW.values.map(_._1)
+      val r = rows(policy)
+      assert(r.getAs[Long]("n_workers") == byW.size.toLong)
+      assert(r.getAs[Long]("total_tokens") == toks.sum)
+      assert(r.getAs[Long]("min_tokens") == toks.min)
+      assert(r.getAs[Long]("max_tokens") == toks.max)
+      assert(r.getAs[Long]("max_docs") == byW.values.map(_._2).max)
+      assert(r.getAs[Long]("imbalance_e6") ==
+        toks.max * 32L * 1000000L / toks.sum)
+      assert(r.getAs[Long]("stall_pct_e6") ==
+        (toks.max * 32L - toks.sum) * 1000000L / (toks.max * 32L))
+    }
+    // both policies shard the same corpus; imbalance is at least 1
+    assert(rows("hash").getAs[Long]("total_tokens") ==
+      rows("round_robin").getAs[Long]("total_tokens"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("imbalance_e6") >= 1000000L)
+      assert(r.getAs[Long]("stall_pct_e6") < 1000000L)
+    }
+    // round-robin over the dense doc_id balances COUNTS by construction
+    assert(rows("round_robin").getAs[Long]("max_docs") -
+      docs.length / 32 <= 1)
+  }
+
 }

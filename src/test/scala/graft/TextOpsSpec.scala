@@ -1127,6 +1127,44 @@ class TextOpsSpec extends SparkSpec {
       assert(rows(p).getAs[Long]("covered_e6") >= p * 10000L))
   }
 
+  test("best-of-n: driver pick replay, the min<=mean uplift law") {
+    val rows = graft.ops.TextOps.bonSampling(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    // driver replay of the unigram reward + grouped argmin pick
+    def rnd(v: Double): Long = new java.math.BigDecimal(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1)))
+    val tf = docs.flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val nTot = docs.map(_._3.length.toLong).sum
+    val perDoc = docs.map { case (id, lang, ws) =>
+      val slp = ws.map(w => rnd(math.log(tf(w).toDouble / nTot) * 1e6)).sum
+      (lang, id, (-slp) / ws.length)
+    }
+    val want = perDoc.groupBy(_._1).toSeq.map { case (lang, ds) =>
+      val grps = ds.sortBy(_._2).map(_._3).grouped(4).filter(_.length == 4)
+        .toSeq
+      val sumAll = grps.flatten.sum
+      val sumBest = grps.map(_.min).sum
+      (lang, grps.length.toLong, grps.length * 4L, sumAll, sumBest,
+        sumAll / (grps.length * 4L), sumBest / grps.length,
+        sumAll / (grps.length * 4L) - sumBest / grps.length)
+    }.sortBy(_._1)
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7))).toSeq
+    assert(got == want, s"bon mismatch:\n got $got\nwant $want")
+    // the pick can only help: group min <= group mean, exactly
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_best_nll_e6") * 4 <=
+        r.getAs[Long]("sum_nll_e6"), s"min>mean in $r")
+      assert(r.getAs[Long]("uplift_e6") >= 0L, s"negative uplift in $r")
+    }
+  }
+
   test("RHO loss: decile sizing exact, selection direction holds") {
     val rows = graft.ops.TextOps.rhoLoss(spark, sfTiny).collect()
     assert(rows.nonEmpty)
