@@ -3796,6 +3796,109 @@ object CurationOps {
        |FROM soup JOIN w$T USING (j) ORDER BY j""".stripMargin
   }
 
+  // ------------------------------------------------------ EMA soup
+  /** EMA (Polyak) checkpoint averaging — the exponential sibling of
+    * the uniform [[modelSoup]], and the average modern trainers
+    * actually ship to serving (the "EMA weights" of every diffusion /
+    * large-LM release; Polyak & Juditsky SIAM'92, Izmailov et al.
+    * UAI'18 §1): e_t = β·e_{t-1} + (1−β)·w_t with e_0 = 0 and β = ½,
+    * so e_T = (Σ_t 2^{t-1}·w_t) / 2^T — recent checkpoints weigh
+    * exponentially more, which tracks a moving optimum where the
+    * uniform soup lags it. Evaluated head-to-head against the final
+    * checkpoint on the same corpus, like [[modelSoup]]: the audit
+    * that decides whether the serving deploy swaps in the EMA.
+    *
+    * Exactness: β = ½ makes the EMA an exact dyadic rational — the
+    * weighted sum S = Σ 2^{t-1}·w_t is exact integer and the e6
+    * weight is (2S + 2^T) / 2^{T+1} in TRUNCATING division (Java
+    * `Long./` == DuckDB `//`, the [[modelSoup]] convention); both
+    * evaluations run the trainer's own lattice kernels so acc/loss
+    * are exact integers.
+    *
+    * Scale shape: identical to [[modelSoup]] — the trajectory is the
+    * standing dim×T artifact, both metric passes are map-side literal
+    * margins over ONE cached scan, output is dim-sized. */
+  def emaSoup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val traj = logregTrajectory(spark, sfDir)
+    val tN = traj.length
+    val dim = traj.head.length
+    val pow = 1L << tN // 2^T
+    val ema = Array.tabulate(dim) { j =>
+      val s = traj.zipWithIndex.map { case (w, i) => (1L << i) * w(j) }.sum
+      (2L * s + pow) / (2L * pow)
+    }
+    val wf = traj.last
+    val x = logregX(spark, sfDir).cache()
+    val n = x.count()
+    def metrics(w: Array[Long], tag: String): DataFrame =
+      x.withColumn("m", logregMargin(w))
+        .withColumn("p", logregP)
+        .withColumn("lr", logregLoss)
+        .agg(
+          sum(when((col("m") > 0L) === (col("y") === 1000000L), 1L)
+            .otherwise(0L)).as(s"n_correct_$tag"),
+          sum(col("lr")).as(s"loss_total_$tag"))
+    val m = metrics(ema, "ema").crossJoin(metrics(wf, "final"))
+    val wDf = ema.toSeq.zip(wf.toSeq).zipWithIndex
+      .map { case ((we, wfj), i) => (i + 1L, we, wfj) }
+      .toDF("j", "w_ema_e6", "w_final_e6")
+    wDf.crossJoin(broadcast(m))
+      .select(col("j"), col("w_ema_e6"), col("w_final_e6"),
+        lit(n).as("n"),
+        call_function("div", col("n_correct_ema") * 1000000L, lit(n))
+          .as("ema_acc_e6"),
+        call_function("div", col("loss_total_ema"), lit(n))
+          .as("ema_loss_e6"),
+        call_function("div", col("n_correct_final") * 1000000L, lit(n))
+          .as("final_acc_e6"),
+        call_function("div", col("loss_total_final"), lit(n))
+          .as("final_loss_e6"))
+      .orderBy(col("j"))
+  }
+
+  private val emaSoupOracle = {
+    val T = LogregIters
+    val pow = 1L << T
+    val wSum = (1 to T).map(t => s"${1L << (t - 1)} * w$t.w")
+      .mkString(" + ")
+    val joins = (2 to T).map(t => s"JOIN w$t USING (j)").mkString(" ")
+    def evalCtes(w: String, tag: String) =
+      s"""m_$tag AS (SELECT vec_id, y, CAST(SUM(w * x) AS BIGINT) AS m
+         |       FROM X JOIN $w USING (j) GROUP BY vec_id, y),
+         |p_$tag AS (SELECT vec_id, y, m,
+         |         CAST(ROUND(1000000.0 / (1.0 + exp(-(m / 1000000000.0))))
+         |              AS BIGINT) AS p
+         |       FROM m_$tag),
+         |l_$tag AS (SELECT *,
+         |         CAST(ROUND((CASE WHEN y = 1000000
+         |           THEN -ln(LEAST(GREATEST(p, 1), 999999) / 1000000.0)
+         |           ELSE -ln((1000000 - LEAST(GREATEST(p, 1), 999999))
+         |                    / 1000000.0) END) * 1000000.0) AS BIGINT) AS lr
+         |       FROM p_$tag),
+         |g_$tag AS (
+         |  SELECT CAST(SUM(CASE WHEN (m > 0) = (y = 1000000) THEN 1 ELSE 0
+         |              END) AS BIGINT) AS n_correct,
+         |         CAST(SUM(lr) AS BIGINT) AS loss_total
+         |  FROM l_$tag)""".stripMargin
+    s"""WITH $logregCtePrefix,
+       |ema AS (SELECT w1.j, (2 * ($wSum) + $pow) // (2 * $pow) AS w
+       |        FROM w1 $joins),
+       |${evalCtes("ema", "ema")},
+       |${evalCtes(s"w$T", "final")}
+       |SELECT ema.j, ema.w AS w_ema_e6, w$T.w AS w_final_e6,
+       |       (SELECT n FROM nn) AS n,
+       |       (SELECT n_correct * 1000000 // (SELECT n FROM nn) FROM g_ema)
+       |         AS ema_acc_e6,
+       |       (SELECT loss_total // (SELECT n FROM nn) FROM g_ema)
+       |         AS ema_loss_e6,
+       |       (SELECT n_correct * 1000000 // (SELECT n FROM nn)
+       |        FROM g_final) AS final_acc_e6,
+       |       (SELECT loss_total // (SELECT n FROM nn) FROM g_final)
+       |         AS final_loss_e6
+       |FROM ema JOIN w$T USING (j) ORDER BY j""".stripMargin
+  }
+
   // --------------------------------------------- dataset cartography
   /** Dataset cartography (Swayamdipta et al. EMNLP'20 "Dataset
     * Maps") over the [[logregTrain]] trajectory — the training-
@@ -4282,6 +4385,7 @@ object CurationOps {
     "q_logreg_train" -> (logregTrain _),
     "q_cartography" -> (datasetCartography _),
     "q_model_soup" -> (modelSoup _),
+    "q_ema_soup" -> (emaSoup _),
     "q_distill_agreement" -> (distillAgreement _),
     "q_tracin" -> (tracin _),
     "q_fairness_audit" -> (fairnessAudit _),
@@ -4332,6 +4436,7 @@ object CurationOps {
     "q_logreg_train" -> logregOracle,
     "q_cartography" -> datasetCartographyOracle,
     "q_model_soup" -> modelSoupOracle,
+    "q_ema_soup" -> emaSoupOracle,
     "q_distill_agreement" -> distillAgreementOracle,
     "q_tracin" -> tracinOracle,
     "q_fairness_audit" -> fairnessAuditOracle,

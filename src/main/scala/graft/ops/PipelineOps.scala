@@ -719,7 +719,7 @@ object PipelineOps {
     * Scale shape: one narrow projection fanned to two policy rows
     * map-side, two hash aggregations (worker-keyed then policy-keyed),
     * 2-row output. No window, no sort, no join. */
-  def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+  def dpBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -749,7 +749,7 @@ object PipelineOps {
       .orderBy(col("policy"))
   }
 
-  private val shardBalanceOracle =
+  private val dpBalanceOracle =
     s"""WITH base AS (
        |  SELECT doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -778,6 +778,82 @@ object PipelineOps {
        |       ((max_tokens * $ShardWorkers - total_tokens) * 1000000)
        |         // (max_tokens * $ShardWorkers) AS stall_pct_e6
        |FROM p ORDER BY policy""".stripMargin
+
+  /** TP degrees the comm census sweeps — the within-node ladder a
+    * Megatron-style trainer actually considers (2/4/8-way). */
+  private val TpDegrees = Seq(2, 4, 8)
+  private val TpDModel = 512L
+  private val TpLayers = 8L
+  private val TpBytes = 2L // bf16
+
+  /** Tensor-parallel all-reduce volume census (Megatron-LM, Shoeybi
+    * et al. arXiv:1909.08053 §3: each transformer layer's row/column-
+    * split pair costs 2 activation all-reduces forward + 2 backward)
+    * — the tensor-parallel sibling of the data-parallel
+    * [[shardBalance]]: treating each document as a training sequence
+    * of its token length over a fixed reference config (d_model 512,
+    * 8 layers, bf16), per TP degree t the census reports the
+    * all-reduce count and total payload, the per-GPU ring traffic
+    * (ring all-reduce moves 2·(t−1)/t of the payload per GPU — the
+    * bandwidth-optimal bound every NCCL deployment pays), and ring
+    * bytes per token — the table that decides how far TP scales
+    * before the interconnect, not the FLOPs, is the wall: payload is
+    * t-independent while ring traffic GROWS with t toward 2× payload.
+    *
+    * Exactness: pure integer arithmetic — the per-sequence ring bytes
+    * (4·layers · 2·(t−1) · L·d_model·bytes) div t truncate on
+    * nonnegative operands (and are exact here: the constant factor
+    * carries 2¹⁶), summed on the exact lattice.
+    *
+    * Scale shape: the [[shardBalance]]/kvBlocks plan — one map-side
+    * cross join against the broadcast 3-row degree grid, ONE hash
+    * aggregation keyed on tp with map-side partials, 3-row output.
+    * No sort, no window, no data-sized join. */
+  def tpComm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val degrees = TpDegrees.toDF("tp")
+    val nAr = 4L * TpLayers
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(degrees)) // 3-row bounded grid
+      .withColumn("payload",
+        lit(nAr) * col("n_tok") * lit(TpDModel) * lit(TpBytes))
+      .withColumn("ring",
+        expr(s"(${4L * TpLayers} * 2 * (tp - 1) * n_tok" +
+          s" * $TpDModel * $TpBytes) div tp"))
+      .groupBy(col("tp"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        (count(lit(1)) * nAr).cast("long").as("n_allreduces"),
+        sum(col("payload")).cast("long").as("payload_bytes"),
+        sum(col("ring")).cast("long").as("ring_bytes_per_gpu"))
+      .withColumn("ring_bytes_per_token",
+        expr("ring_bytes_per_gpu div total_tokens"))
+      .orderBy(col("tp"))
+  }
+
+  private val tpCommOracle = {
+    val nAr = 4L * TpLayers
+    s"""WITH seqs AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |grid AS (SELECT unnest([${TpDegrees.mkString(", ")}]) AS tp),
+       |per AS (
+       |  SELECT tp, n_tok,
+       |         $nAr * n_tok * $TpDModel * $TpBytes AS payload,
+       |         ($nAr * 2 * (tp - 1) * n_tok * $TpDModel * $TpBytes) // tp
+       |           AS ring
+       |  FROM seqs CROSS JOIN grid)
+       |SELECT CAST(tp AS INTEGER) AS tp,
+       |       COUNT(*) AS n_seqs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |       CAST(COUNT(*) * $nAr AS BIGINT) AS n_allreduces,
+       |       CAST(SUM(payload) AS BIGINT) AS payload_bytes,
+       |       CAST(SUM(ring) AS BIGINT) AS ring_bytes_per_gpu,
+       |       CAST(SUM(ring) AS BIGINT) // CAST(SUM(n_tok) AS BIGINT)
+       |         AS ring_bytes_per_token
+       |FROM per GROUP BY tp ORDER BY tp""".stripMargin
+  }
 
   /** Requests per static batch in the padding census. */
   private val PadBatchSize = 8L
@@ -1576,7 +1652,8 @@ object PipelineOps {
     "q_seq_packing" -> (seqPacking _),
     "q_cb_replay" -> (cbReplay _),
     "q_pad_waste" -> (padWaste _),
-    "q_shard_balance" -> (shardBalance _),
+    "q_dp_balance" -> (dpBalance _),
+    "q_tp_comm" -> (tpComm _),
     "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
@@ -1604,7 +1681,8 @@ object PipelineOps {
     "q_seq_packing" -> seqPackingOracle,
     "q_cb_replay" -> cbReplayOracle,
     "q_pad_waste" -> padWasteOracle,
-    "q_shard_balance" -> shardBalanceOracle,
+    "q_dp_balance" -> dpBalanceOracle,
+    "q_tp_comm" -> tpCommOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,

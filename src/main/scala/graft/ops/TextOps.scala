@@ -4673,6 +4673,86 @@ object TextOps {
       .orderBy(col("block_size"))
   }
 
+  // --------------------------------- sliding-window attention KV
+  /** Window sizes the SWA census runs at — chosen to straddle the
+    * corpus length distribution (p10≈21, p50≈56, max≈99 tokens) the
+    * way Mistral's 4096 straddles real context lengths. */
+  private val SwaWindows = Seq(16, 32, 64)
+
+  /** Sliding-window-attention KV residency + FLOPs census (Mistral's
+    * SWA, Child et al. strided-sparse attention) — the third leg of
+    * the serve-side memory family: [[prefixCache]] measures sharing,
+    * [[kvBlocks]] measures allocation granularity, and this measures
+    * the WINDOW — with window W only the last min(L, W) keys stay
+    * resident, everything older is evicted, and causal attention
+    * computes Σ_i min(i, W) score pairs instead of L(L+1)/2. Per
+    * window the census reports sequences, how many actually window
+    * (L > W), resident vs evicted KV tokens, the exact causal pair
+    * counts under full vs windowed attention, and the e6 pair-savings
+    * rate — the table that trades model quality (longer window) for
+    * serving memory and compute.
+    *
+    * Exactness: pure integer arithmetic on the exact lattice —
+    * min/max and the closed forms L(L+1)/2 and
+    * W(W+1)/2 + (L−W)·W (both even products, `div 2` exact), the e6
+    * rate by truncating division on nonnegative operands.
+    *
+    * Scale shape: the [[kvBlocks]] plan — one map-side cross join
+    * against the broadcast 3-row window grid, ONE hash aggregation
+    * keyed on window with map-side partials, 3-row output. No sort,
+    * no window function, no data-sized join. */
+  def swaKv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val windows = SwaWindows.toDF("win")
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(windows)) // 3-row bounded grid
+      .withColumn("resident", least(col("n_tok"), col("win")))
+      .withColumn("evicted", greatest(col("n_tok") - col("win"), lit(0L)))
+      .withColumn("pairs_full",
+        expr("(n_tok * (n_tok + 1)) div 2"))
+      .withColumn("pairs_swa",
+        when(col("n_tok") <= col("win"), col("pairs_full"))
+          .otherwise(expr("(win * (win + 1)) div 2 + (n_tok - win) * win")))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("n_tok") > col("win"), 1L).otherwise(0L))
+          .cast("long").as("n_windowed"),
+        sum(col("resident")).cast("long").as("resident_tokens"),
+        sum(col("evicted")).cast("long").as("evicted_tokens"),
+        sum(col("pairs_full")).cast("long").as("pairs_full"),
+        sum(col("pairs_swa")).cast("long").as("pairs_swa"))
+      .withColumn("pairs_saved_pct_e6",
+        expr("((pairs_full - pairs_swa) * 1000000) div pairs_full"))
+      .orderBy(col("win"))
+  }
+
+  private val swaKvOracle =
+    s"""WITH seqs AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |grid AS (SELECT unnest([${SwaWindows.mkString(", ")}]) AS win),
+       |per AS (
+       |  SELECT win, n_tok,
+       |         LEAST(n_tok, win) AS resident,
+       |         GREATEST(n_tok - win, 0) AS evicted,
+       |         (n_tok * (n_tok + 1)) // 2 AS pairs_full,
+       |         CASE WHEN n_tok <= win THEN (n_tok * (n_tok + 1)) // 2
+       |              ELSE (win * (win + 1)) // 2 + (n_tok - win) * win
+       |         END AS pairs_swa
+       |  FROM seqs CROSS JOIN grid)
+       |SELECT CAST(win AS INTEGER) AS win,
+       |       COUNT(*) AS n_seqs,
+       |       CAST(SUM(CASE WHEN n_tok > win THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_windowed,
+       |       CAST(SUM(resident) AS BIGINT) AS resident_tokens,
+       |       CAST(SUM(evicted) AS BIGINT) AS evicted_tokens,
+       |       CAST(SUM(pairs_full) AS BIGINT) AS pairs_full,
+       |       CAST(SUM(pairs_swa) AS BIGINT) AS pairs_swa,
+       |       (CAST(SUM(pairs_full) - SUM(pairs_swa) AS BIGINT) * 1000000)
+       |         // CAST(SUM(pairs_full) AS BIGINT) AS pairs_saved_pct_e6
+       |FROM per GROUP BY win ORDER BY win""".stripMargin
+
   private val kvBlocksOracle = {
     val hist = (0 until 10).map(d =>
       s"CAST(SUM(CASE WHEN util_decile = $d THEN 1 ELSE 0 END) AS BIGINT) AS h$d")
@@ -4766,6 +4846,7 @@ object TextOps {
     "q_token_count" -> (tokenCount _),
     "q_prefix_cache" -> (prefixCache _),
     "q_kv_blocks" -> (kvBlocks _),
+    "q_swa_kv" -> (swaKv _),
     "q_top_p" -> (topPCensus _),
     "q_bon_sampling" -> (bonSampling _),
     "q_rho_loss" -> (rhoLoss _),
@@ -4824,6 +4905,7 @@ object TextOps {
     "q_token_count" -> tokenCountOracle,
     "q_prefix_cache" -> prefixCacheOracle,
     "q_kv_blocks" -> kvBlocksOracle,
+    "q_swa_kv" -> swaKvOracle,
     "q_top_p" -> topPCensusOracle,
     "q_bon_sampling" -> bonSamplingOracle,
     "q_rho_loss" -> rhoLossOracle,

@@ -1336,6 +1336,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).distinct.length == 1)
   }
 
+  test("ema soup: weights are the exact dyadic EMA; both evals coherent") {
+    import graft.ops.CurationOps
+    val rows = CurationOps.emaSoup(spark, sfTiny).collect()
+    assert(rows.length >= 2)
+    // the EMA IS (2·Σ 2^(t-1) w_t + 2^T) / 2^(T+1) truncating
+    val (traj, _, _) = CurationOps.logregTrajectoryLoop(spark, sfTiny, 5)
+    val pow = 1L << traj.length
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j").toInt - 1
+      val s = traj.zipWithIndex.map { case (w, i) => (1L << i) * w(j) }.sum
+      val want = (2L * s + pow) / (2L * pow)
+      assert(r.getAs[Long]("w_ema_e6") == want, s"ema weight j=$j")
+      assert(r.getAs[Long]("w_final_e6") == traj.last(j), s"final weight j=$j")
+    }
+    val h = rows.head
+    for (c <- Seq("ema_acc_e6", "final_acc_e6")) {
+      val v = h.getAs[Long](c)
+      assert(v >= 0L && v <= 1000000L, s"$c out of [0,1]: $v")
+    }
+    // metric columns are corpus constants, identical on every row
+    assert(rows.map(_.getAs[Long]("ema_loss_e6")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n")).distinct.length == 1)
+    // e_T is a convex combination of {w_0=0, w_1..w_T} (the recursion's
+    // residual 1/2^T mass stays on the zero init), so it sits inside
+    // that envelope up to the +1-unit rounding
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j").toInt - 1
+      val ws = 0L +: traj.map(_(j))
+      val v = r.getAs[Long]("w_ema_e6")
+      assert(v >= ws.min - 1 && v <= ws.max + 1, s"ema escapes envelope j=$j")
+    }
+  }
+
   test("distillation audit: agreement bounds and compression direction") {
     import graft.ops.CurationOps
     val rows = CurationOps.distillAgreement(spark, sfTiny).collect()

@@ -375,7 +375,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("shard balance: driver assignment replay, policy invariants") {
-    val rows = PipelineOps.shardBalance(spark, sfTiny).collect()
+    val rows = PipelineOps.dpBalance(spark, sfTiny).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("hash", "round_robin"))
     def ordKey(id: Long): Long = {
@@ -413,6 +413,35 @@ class PipelineOpsSpec extends SparkSpec {
     // round-robin over the dense doc_id balances COUNTS by construction
     assert(rows("round_robin").getAs[Long]("max_docs") -
       docs.length / 32 <= 1)
+  }
+
+  test("tp comm: driver recompute, ring traffic grows toward 2x payload") {
+    val rows = PipelineOps.tpComm(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(2, 4, 8))
+    val toks = Tables.documents(spark, sfTiny)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    val nAr = 4L * 8L
+    for (t <- Seq(2L, 4L, 8L)) {
+      val payload = toks.map(nAr * _ * 512L * 2L)
+      val ring = toks.map(l => nAr * 2L * (t - 1) * l * 512L * 2L / t)
+      val r = rows(t.toInt)
+      assert(r.getAs[Long]("n_seqs") == toks.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == toks.sum)
+      assert(r.getAs[Long]("n_allreduces") == toks.length * nAr)
+      assert(r.getAs[Long]("payload_bytes") == payload.sum)
+      assert(r.getAs[Long]("ring_bytes_per_gpu") == ring.sum)
+      assert(r.getAs[Long]("ring_bytes_per_token") == ring.sum / toks.sum)
+      // ring all-reduce moves 2(t-1)/t of the payload: strictly under 2x
+      assert(r.getAs[Long]("ring_bytes_per_gpu") <
+        2L * r.getAs[Long]("payload_bytes"))
+    }
+    // payload is t-independent; per-GPU ring traffic grows with t
+    val bySize = Seq(2, 4, 8).map(rows)
+    assert(bySize.map(_.getAs[Long]("payload_bytes")).distinct.length == 1)
+    val rings = bySize.map(_.getAs[Long]("ring_bytes_per_gpu"))
+    assert(rings == rings.sorted && rings.distinct.length == 3,
+      s"ring traffic not strictly increasing with tp: $rings")
   }
 
 }

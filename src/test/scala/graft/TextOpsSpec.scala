@@ -1085,6 +1085,43 @@ class TextOpsSpec extends SparkSpec {
       s"block count not anti-monotone: $nblocks")
   }
 
+  test("swa kv: driver recompute, window direction laws") {
+    val rows = graft.ops.TextOps.swaKv(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(16, 32, 64))
+    val toks = Tables.documents(spark, sfTiny)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    for (w <- Seq(16L, 32L, 64L)) {
+      val resident = toks.map(math.min(_, w))
+      val evicted = toks.map(n => math.max(n - w, 0L))
+      val full = toks.map(n => n * (n + 1) / 2)
+      val swa = toks.map(n =>
+        if (n <= w) n * (n + 1) / 2 else w * (w + 1) / 2 + (n - w) * w)
+      val r = rows(w.toInt)
+      assert(r.getAs[Long]("n_seqs") == toks.length.toLong)
+      assert(r.getAs[Long]("n_windowed") == toks.count(_ > w).toLong)
+      assert(r.getAs[Long]("resident_tokens") == resident.sum)
+      assert(r.getAs[Long]("evicted_tokens") == evicted.sum)
+      assert(r.getAs[Long]("pairs_full") == full.sum)
+      assert(r.getAs[Long]("pairs_swa") == swa.sum)
+      assert(r.getAs[Long]("pairs_saved_pct_e6") ==
+        (full.sum - swa.sum) * 1000000L / full.sum)
+      // conservation: resident + evicted is the corpus token mass
+      assert(resident.sum + evicted.sum == toks.sum)
+      // SWA never computes MORE pairs than full causal attention
+      assert(r.getAs[Long]("pairs_swa") <= r.getAs[Long]("pairs_full"))
+    }
+    // direction laws: wider windows keep more KV resident, save fewer
+    // pairs, window fewer sequences
+    val bySize = Seq(16, 32, 64).map(rows)
+    val res = bySize.map(_.getAs[Long]("resident_tokens"))
+    assert(res == res.sorted, s"resident not monotone: $res")
+    val saved = bySize.map(_.getAs[Long]("pairs_saved_pct_e6"))
+    assert(saved == saved.sorted.reverse, s"savings not anti-monotone: $saved")
+    val win = bySize.map(_.getAs[Long]("n_windowed"))
+    assert(win == win.sorted.reverse, s"windowed not anti-monotone: $win")
+  }
+
   test("top-p census: driver nucleus recompute, threshold monotonicity") {
     val rows = graft.ops.TextOps.topPCensus(spark, sfTiny).collect()
       .map(r => r.getInt(0) -> r).toMap
