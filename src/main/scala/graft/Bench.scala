@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitions from thread
+    // count for scale-leg benches: a real cluster sizes partitions
+    // with DATA (so per-partition hash/sort state stays under spill
+    // thresholds) while local thread count stays at the core count —
+    // the round-14 scale spot-bench measures exactly this knob.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       // Pin UTC like Verify/Explain do: Tables' TimestampNTZ→Timestamp
       // cast is session-timezone-sensitive, and Bench must materialize
       // the exact ts values the verified path saw.
