@@ -117,6 +117,27 @@ object ScaleGen {
     }.repartition(8)
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
 
+    // embeddings: N copies, vec_id shifted; copy i>0 perturbs every
+    // element by a deterministic ±5e-3 hash-uniform jitter (xxhash64 of
+    // (vec_id, dim, copy) — no rand(): retried tasks must reproduce the
+    // row, SPARK-38388). Cluster geometry is preserved (measured on the
+    // sf0.1 fixture: label centroids sit ≥0.087 apart in L2 while the
+    // jitter moves a 64-dim vector by ~0.02), so IVF/kNN structure
+    // replicates per copy the way real corpus growth adds new points
+    // inside existing clusters, while no cross-copy vector is an exact
+    // duplicate (which would trivialize dedup-by-vector twins).
+    val emb = Tables.embeddings(spark, srcDir)
+    val vecOff = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    copies(emb, scale) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"""transform(embedding, (x, j) ->
+            CAST(x + (pmod(xxhash64(vec_id, j, ${i}L), 10001L) - 5000L)
+                     / 1000000.0D AS FLOAT))"""))
+    }.repartition(8)
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+
     val ev = Tables.events(spark, srcDir)
     val evOff = ev.agg(max(col("event_id")), max(col("user_id")))
       .collect()(0)

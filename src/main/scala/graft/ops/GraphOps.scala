@@ -901,6 +901,25 @@ object GraphOps {
     val edges = half.unionByName(
         half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // Scale-adaptive shuffle partitioning (r14 verdict item 5, guide
+    // §2.5): the per-round join/aggregate state is ~pivots × |edges|
+    // rows; at a FIXED 32 partitions the 10× fixture crossed
+    // per-partition spill thresholds (measured exp 1.30, dropping to
+    // ~1.13 at 320 partitions). Derive the partition count from the
+    // measured edge count (~400k join rows per partition — the
+    // operating point the r14 retune leg measured) instead of relying
+    // on an env knob; the count() also materializes the cache the 8+
+    // downstream passes reuse. AQE (on by default) coalesces the
+    // partitions tiny early rounds don't need. Session conf is
+    // restored on exit — the bench/verify session runs 461 other
+    // queries after this one.
+    val nEdges = edges.count()
+    val Pivots = 5L
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val adaptive = math.max(prevShuffle.toInt,
+      math.min(4096L, Pivots * nEdges / 400000L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", adaptive)
+    try {
     val seeds = Tables.part(spark, sfDir).filter(col("p_partkey") <= 5)
       .select(col("p_partkey").as("s"), col("p_partkey").as("v"),
         lit(0).as("d"), lit(1L).as("sigma"))
@@ -966,6 +985,7 @@ object GraphOps {
       .localCheckpoint(eager = true) // 20 rows; lets edges release
     edges.unpersist()
     out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** The sigma/R recursion replayed relationally: dist via the

@@ -1814,12 +1814,22 @@ object SimilarityOps {
     * Exactness: the per-element chain (127·x/amax, the dequantized
     * residual, the square) is the SAME arithmetic in the same order in
     * both engines on bit-identical doubles (float32 inputs widen
-    * exactly), each residual quantizes ONCE to its integer lattice
-    * (e9 absolute, e15 squared; at exact-.5 ties Spark's HALF_UP and
-    * DuckDB's ROUND both go away from zero), and every aggregate is an
-    * integer sum — DECIMAL(38,0) for the overflow-prone ones (e15
-    * squares would top a long at ~9e3 corpus-scale elements per
-    * channel... a 100 TB table; decimal headroom is the
+    * exactly), and each residual quantizes ONCE to its integer lattice
+    * (e9 absolute, e15 squared) through the ENGINE-ROUND-FREE form
+    * `floor(v·1eN + 0.5)` — identical IEEE multiply/add/floor in both
+    * engines with no engine rounding semantics in the hashed surface
+    * (r14's red row: Spark's `round` goes through BigDecimal HALF_UP
+    * while DuckDB's `ROUND` is libm-level and shifted tie behavior
+    * across releases; the driver's DuckDB flipped a lattice element
+    * the local 1.0.0 gate could not see). All floor(+0.5) operands
+    * here are nonnegative, so the form is tie-identical by
+    * construction; the one SIGNED quantization (q itself) decomposes
+    * as sign·floor(|v|+0.5) — half-away-from-zero spelled in IEEE ops.
+    * amax ships as an integer `amax_e6` on the same lattice instead
+    * of a ROUND(x,6) double. Every aggregate is an integer sum —
+    * DECIMAL(38,0) for the overflow-prone ones (e15 squares would top
+    * a long at ~9e3 corpus-scale elements per channel... a 100 TB
+    * table; decimal headroom is the
     * [[graft.ops.GraphOps.squareCount]] discipline).
     *
     * Scale shape: one posexplode (map-side), a 64-row per-channel
@@ -1835,16 +1845,17 @@ object SimilarityOps {
     val dec = "decimal(38,0)"
     elems.join(broadcast(amax), Seq("dim"))
       .withColumn("q",
-        expr("CAST(round(x * 127.0 / amax, 0) AS BIGINT)"))
+        expr("CAST(CASE WHEN x >= 0 THEN FLOOR(x * 127.0 / amax + 0.5)" +
+          " ELSE -FLOOR(-(x * 127.0 / amax) + 0.5) END AS BIGINT)"))
       .withColumn("err", col("x") - col("q") * col("amax") / lit(127.0))
       .withColumn("abs_err_e9",
-        expr("CAST(round(abs(err) * 1e9, 0) AS BIGINT)"))
+        expr("CAST(FLOOR(abs(err) * 1e9 + 0.5) AS BIGINT)"))
       .withColumn("sq_err_e15",
-        expr("CAST(round(err * err * 1e15, 0) AS BIGINT)"))
-      .withColumn("sig_e9", expr("CAST(round(x * x * 1e9, 0) AS BIGINT)"))
+        expr("CAST(FLOOR(err * err * 1e15 + 0.5) AS BIGINT)"))
+      .withColumn("sig_e9", expr("CAST(FLOOR(x * x * 1e9 + 0.5) AS BIGINT)"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n_vals"),
-        (round(max(col("amax")), 6) + lit(0.0)).as("amax_r6"),
+        expr("CAST(FLOOR(MAX(amax) * 1e6 + 0.5) AS BIGINT)").as("amax_e6"),
         sum(when(abs(col("q")) === 127L, 1L).otherwise(0L)).as("n_sat"),
         max(col("abs_err_e9")).as("max_abs_err_e9"),
         sum(col("abs_err_e9")).cast(dec).as("sum_abs_err_e9"),
@@ -1859,25 +1870,26 @@ object SimilarityOps {
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
       |am AS (SELECT dim, MAX(ABS(x)) AS amax FROM el GROUP BY dim
       |       HAVING MAX(ABS(x)) > 0),
-      |q AS (
+      |qq AS (
       |  SELECT el.dim, x, amax,
-      |         CAST(ROUND(x * 127.0 / amax) AS BIGINT) AS q,
-      |         x - CAST(ROUND(x * 127.0 / amax) AS BIGINT) * amax / 127.0
-      |           AS err
-      |  FROM el JOIN am ON el.dim = am.dim)
+      |         CAST(CASE WHEN x >= 0 THEN FLOOR(x * 127.0 / amax + 0.5)
+      |              ELSE -FLOOR(-(x * 127.0 / amax) + 0.5) END AS BIGINT)
+      |           AS q
+      |  FROM el JOIN am ON el.dim = am.dim),
+      |e AS (SELECT dim, x, amax, q, x - q * amax / 127.0 AS err FROM qq)
       |SELECT CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_vals,
-      |       ROUND(MAX(amax), 6) + 0.0 AS amax_r6,
+      |       CAST(FLOOR(MAX(amax) * 1e6 + 0.5) AS BIGINT) AS amax_e6,
       |       CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_sat,
-      |       CAST(MAX(CAST(ROUND(ABS(err) * 1e9) AS BIGINT)) AS BIGINT)
-      |         AS max_abs_err_e9,
-      |       CAST(SUM(CAST(ROUND(ABS(err) * 1e9) AS BIGINT))
+      |       CAST(MAX(CAST(FLOOR(ABS(err) * 1e9 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS max_abs_err_e9,
+      |       CAST(SUM(CAST(FLOOR(ABS(err) * 1e9 + 0.5) AS BIGINT))
       |            AS DECIMAL(38,0)) AS sum_abs_err_e9,
-      |       CAST(SUM(CAST(ROUND(err * err * 1e15) AS BIGINT))
+      |       CAST(SUM(CAST(FLOOR(err * err * 1e15 + 0.5) AS BIGINT))
       |            AS DECIMAL(38,0)) AS sse_e15,
-      |       CAST(SUM(CAST(ROUND(x * x * 1e9) AS BIGINT))
+      |       CAST(SUM(CAST(FLOOR(x * x * 1e9 + 0.5) AS BIGINT))
       |            AS DECIMAL(38,0)) AS sig_e9
-      |FROM q GROUP BY dim ORDER BY dim""".stripMargin
+      |FROM e GROUP BY dim ORDER BY dim""".stripMargin
 
   // ------------------------------------------------------------------
   /** Contrastive hard-negative mining — the pair-construction step of

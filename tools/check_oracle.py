@@ -76,6 +76,14 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # The driver runs its own DuckDB build; engine-level rounding (libm
+    # ROUND tie behavior shifted across DuckDB releases) can make a
+    # query pass this local gate and fail the driver (r14's only red
+    # row, q_quant_error) — so the gate discloses which engine it ran.
+    print(f"check_oracle: duckdb {duckdb.__version__} "
+          f"(the driver's build may differ — any hashed column that "
+          f"flows through engine round()/ROUND() on a derived double "
+          f"is version-sensitive; use floor(v*1eN + 0.5) lattices)")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
