@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r15: default was 8g — in local[32] the driver IS the executor, so
+  // 8g gave 32 concurrent tasks ~150 MB of execution memory each and
+  // pushed every large hash aggregation into sort-fallback/GC (guide
+  // §5); the corpus-scale census queries measured 3-13x slower under
+  // sbt than under a properly sized JVM on the same 128 GiB box.
+  // Sized to the machine, still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
 )

@@ -10,9 +10,18 @@ object Bench {
     // thresholds) while local thread count stays at the core count —
     // the round-14 scale spot-bench measures exactly this knob.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EVENTLOG=<dir>: write Spark event logs for offline
+    // stage/task-metric profiling (guide §1/§7 — the UI is disabled in
+    // bench runs, so the event log is how a slow stage gets attributed
+    // to fetch wait vs compute vs spill). Off unless set; adds no
+    // overhead to driver-comparable runs.
+    val eventLog = sys.env.get("SPARK_GRAFT_EVENTLOG")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+    val spark = eventLog.fold(b0)(d => b0
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d))
       // Pin UTC like Verify/Explain do: Tables' TimestampNTZ→Timestamp
       // cast is session-timezone-sensitive, and Bench must materialize
       // the exact ts values the verified path saw.

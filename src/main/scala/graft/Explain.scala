@@ -35,6 +35,24 @@ object Explain {
         }
         spark.catalog.clearCache()
       }
+    // The square-census public entries materialize inside their
+    // adaptive shuffle-partition scope (their returned plan is a
+    // checkpoint scan), so the auditable census plans are the inner
+    // builders — dump them when selected.
+    val inner: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("q_square_count.inner" -> (ops.GraphOps.squareCountInner _),
+        "q_square_count_capped.inner" -> (ops.GraphOps.squareCountCappedInner _))
+    inner.filter { case (n, _) =>
+        only.forall(o => o.contains(n) || o.contains(n.stripSuffix(".inner"))) }
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+          println(s"==== $name ====\n$plan")
+        } catch {
+          case e: Throwable => println(s"==== $name ==== FAILED: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

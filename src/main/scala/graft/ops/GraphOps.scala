@@ -465,11 +465,50 @@ object GraphOps {
     * deterministically center-sampled census with the standard 1/p²
     * estimator, this exact census as its recall baseline — the
     * [[graft.ops.SimilarityOps.bitextMineIvf]] twin shape. */
-  def squareCount(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The undirected co-purchase adjacency (both directions, distinct). */
+  private def squareAdj(spark: SparkSession, sfDir: String): DataFrame = {
     val half = coPurchasePairs(spark, sfDir)
       .select(col("p1").as("src"), col("p2").as("dst")).distinct()
-    val adj = half.unionByName(
+    half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Scale-adaptive shuffle partitioning (r15, guide §2.5/§5): the
+    * wedge stage's partial-aggregation hash map holds ~wedge/nPart
+    * mostly-distinct (u,v) keys per task; at a fixed 32 partitions the
+    * 10x fixture put ~47M keys (~2 GB) in each task's map, so whether
+    * the map stayed hashed or fell back to sort-based aggregation
+    * depended on the memory race of the moment — the SAME stage
+    * measured 579 vs 1986 CPU-seconds across runs on identical volume
+    * (event-log evidence, OPTIMIZATION_r15.md). Derive the partition
+    * count from the exact wedge mass (~2M wedge rows per task ≈
+    * 100 MB) so the map always fits; AQE coalesces the reduce side.
+    * Runs `body` under the derived conf and materializes its (tiny)
+    * result inside the scope, then restores the session default. */
+  private def withWedgePartitions(spark: SparkSession, wedgeEst: Long)(
+      body: => DataFrame): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val nPart = math.max(prevShuffle.toInt,
+      math.min(4096L, wedgeEst / 2000000L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", nPart)
+    try body.localCheckpoint(eager = true)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  def squareCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val adj = squareAdj(spark, sfDir)
+    val wedgeEst = adj.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).cast("long")).head().getLong(0)
+    withWedgePartitions(spark, wedgeEst)(squareCountInner(spark, sfDir))
+  }
+
+  /** The census plan itself, un-materialized — PlanSpec pins the
+    * join/aggregate shape here (the public entry materializes inside
+    * its adaptive-conf scope, so its returned plan is a checkpoint
+    * scan). */
+  private[graft] def squareCountInner(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val adj = squareAdj(spark, sfDir)
     // census and top-k consume lam as two branches; the exchanges do
     // NOT unify under ReuseExchange, so the wedge join runs twice —
     // MEASURED as the cheaper shape anyway: cache()-ing the 150M-row
@@ -562,18 +601,33 @@ object GraphOps {
     * see the identical center set. Output mirrors [[squareCount]]:
     * top-10 sampled diagonal pairs + a sentinel rk=-1 census row; the
     * exact census stays registered as the recall baseline. */
-  def squareCountCapped(spark: SparkSession, sfDir: String): DataFrame = {
-    val half = coPurchasePairs(spark, sfDir)
-      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
-    val adj = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    val centers = adj.groupBy(col("src").as("v"))
+  /** Sampled + degree-capped wedge centers, degree retained. */
+  private def cappedCentersD(spark: SparkSession, sfDir: String): DataFrame =
+    squareAdj(spark, sfDir).groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("d"))
       .filter(col("d") <= SquareDegCap)
       .filter(
         conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
           .cast("long") % SquareSample === 0)
-      .select(col("v").as("src"))
+
+  def squareCountCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    // the [[squareCount]] adaptive-partition discipline, sized from the
+    // EXACT sampled+capped wedge mass (the centers frame already holds
+    // d): each task's partial-agg map stays ~2M (u,v) keys, so the
+    // skewed fixture's endpoint-pair aggregation can't tip a 32-way
+    // task map into the sort-fallback regime (the r14 "endpoint heat"
+    // was exactly this — volume was measured EQUAL uniform vs skew)
+    val wedgeEst = cappedCentersD(spark, sfDir)
+      .agg(sum(expr("d * (d - 1) div 2")).cast("long")).head().getLong(0)
+    withWedgePartitions(spark, wedgeEst)(
+      squareCountCappedInner(spark, sfDir))
+  }
+
+  /** Un-materialized capped-census plan — the PlanSpec pin target. */
+  private[graft] def squareCountCappedInner(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val adj = squareAdj(spark, sfDir)
+    val centers = cappedCentersD(spark, sfDir).select(col("v").as("src"))
     // adjacency restricted to sampled low-degree centers; equi-join on
     // the center key — no cartesian, no data-sized broadcast required
     val cadj = adj.join(centers, Seq("src"))

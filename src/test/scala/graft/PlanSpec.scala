@@ -88,7 +88,10 @@ class PlanSpec extends SparkSpec {
     // pin that the wedge build stays an EQUI-join on the center key
     // (sampling/cap are filters feeding it, never a nested loop) and
     // nothing in the plan is a cartesian.
-    val df = ops.GraphOps.squareCountCapped(spark, sfTiny)
+    // the public entry materializes its 11 rows inside the adaptive
+    // shuffle-partition scope (its returned plan is a checkpoint
+    // scan), so the pin targets the un-materialized census plan
+    val df = ops.GraphOps.squareCountCappedInner(spark, sfTiny)
     val plan = executed(df)
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in capped square census:\n$plan")
